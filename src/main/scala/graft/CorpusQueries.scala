@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+
+/** Corpus / training-data pipeline queries: text analysis, dedup family,
+  * embedding similarity. These exercise the operators in
+  * `graft.operators` and `graft.functions` end to end; each SQL-expressible
+  * one has an exact DuckDB oracle twin.
+  */
+object CorpusQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  val defs: Map[String, Q] = Map(
+    // Token counting + quality signals, one narrow codegen'd projection.
+    "t01_token_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        meanTokenLen(col("text")).as("mean_tok_len"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"))
+    }),
+
+    // Quality scoring + filter (the classic corpus-cleaning gate).
+    "t02_quality_filter" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.5)
+    }),
+
+    // Heuristic language ID.
+    "t03_lang_id" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), langId(col("text")).as("lang_pred"))
+    }),
+
+    // Document fingerprint (polynomial rolling hash mod 1e9+7).
+    "t04_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    }),
+
+    // Exact dedup on a composite key, keep-lowest-id survivor.
+    "d01_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), Seq("lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source")
+    }),
+
+    // Exact dedup by 64-bit content hash (the at-scale variant: shuffles
+    // 8-byte keys, not document bodies). Oracle partitions by text —
+    // identical result absent xxhash64 collisions.
+    "d02_hash_dedup" -> ((s, dir) => {
+      Dedup.exactByHash(docs(s, dir), "text", "doc_id").select("doc_id")
+    }),
+
+    // MinHash + LSH near-dup dedup, exact-Jaccard verified. At the test
+    // corpus's similarity gap (dups >= 0.9, background <= 0.07) LSH recall
+    // is ~1, so it matches the exact-Jaccard oracle.
+    "d03_minhash_dedup" -> ((s, dir) => {
+      Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    }),
+
+    // Brute-force exact n-gram Jaccard dedup (the oracle-checkable truth).
+    "d04_ngram_jaccard_dedup" -> ((s, dir) => {
+      Dedup.ngramJaccardDedup(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8)
+    }),
+
+    // SimHash near-dup dedup (hamming <= 3 on 64-bit fingerprints).
+    "d05_simhash_dedup" -> ((s, dir) => {
+      Dedup.simhashDedup(docs(s, dir), "doc_id", "text", maxHamming = 3)
+    }),
+
+    // Exact cosine top-k neighbors for the first 20 vectors.
+    "s01_brute_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20L), k = 5)
+    }),
+
+    // LSH-bucketed approximate top-k (the 100 TB path; approximate, so
+    // rows-only check — recall is asserted in the ScalaTest suite instead).
+    "s02_lsh_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 20L), k = 5, dim = 64,
+        bits = 8, tables = 8)
+    }),
+
+    // All embedding pairs above a cosine threshold.
+    "s03_cosine_pairs" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(embs(s, dir), threshold = 0.45)
+    }))
+
+  // ---- DuckDB oracle twins ------------------------------------------------
+
+  /** tokens twin: regexp_split_to_array(lower(trim(text)), '\s+') */
+  private val toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+
+  /** 3-gram shingle list twin of TextFunctions.wordShingles(_, 3). */
+  private val shingles3 =
+    s"""CASE WHEN len($toks) < 3
+        THEN [array_to_string($toks, ' ')]
+        ELSE list_distinct([array_to_string(($toks)[i:i+2], ' ')
+              for i in generate_series(1, len($toks)-2)]) END"""
+
+  /** Cosine twin of VectorFunctions.cosine: same fold order, same ops. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_transform(generate_series(1,64),
+          i -> ($x)[i]::DOUBLE * ($y)[i]::DOUBLE), (p,q) -> p+q)"""
+    s"""CASE WHEN sqrt(${dot(a, a)}) = 0.0 OR sqrt(${dot(b, b)}) = 0.0 THEN 0.0
+        ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END"""
+  }
+
+  private val stopList = StopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  private def langScore(ws: Seq[String]) =
+    s"len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" ->
+      s"""SELECT doc_id,
+         CAST(len($toks) AS INTEGER) AS n_tokens,
+         CASE WHEN len($toks) = 0 THEN 0.0
+           ELSE CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE)
+                / CAST(len($toks) AS INTEGER) END AS mean_tok_len,
+         CASE WHEN length(text) = 0 THEN 0.0
+           ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                / length(text) END AS punct_ratio,
+         CASE WHEN len($toks) = 0 THEN 0.0
+           ELSE CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)
+                / CAST(len($toks) AS INTEGER) END AS stopword_ratio
+         FROM documents""",
+    "t02_quality_filter" ->
+      s"""SELECT doc_id, quality FROM (
+         SELECT doc_id,
+           (LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+            + LEAST((CASE WHEN len($toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)
+                     / CAST(len($toks) AS INTEGER) END) * 4.0, 1.0)
+            + GREATEST(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                     / length(text) END) * 5.0, 0.0)) / 3.0 AS quality
+         FROM documents) WHERE quality >= 0.5""",
+    "t03_lang_id" -> {
+      val scores = LangMarkers.map { case (lang, ws) => lang -> langScore(ws) }
+      val best = scores.map(_._2).reduce((a, b) => s"GREATEST($a, $b)")
+      val chain = scores.foldRight("'und'") { case ((lang, sc), els) =>
+        s"CASE WHEN $sc = __best AND $sc > 0 THEN '$lang' ELSE $els END"
+      }
+      s"""SELECT doc_id, $chain AS lang_pred
+         FROM (SELECT doc_id, text, $best AS __best FROM documents)"""
+    },
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(list_filter(string_split(text, ''), c -> c != ''),
+             c -> unicode(c)::BIGINT)),
+           (a, c) -> (a * 31 + c) % 1000000007) AS fp
+        FROM documents""",
+    "d01_exact_dedup" ->
+      """SELECT doc_id, lang, source FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1""",
+    "d02_hash_dedup" ->
+      """SELECT doc_id FROM documents
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
+    "d03_minhash_dedup" -> ngramJaccardOracle,
+    "d04_ngram_jaccard_dedup" -> ngramJaccardOracle,
+    "s01_brute_topk" ->
+      s"""SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ${cosSql("a.embedding", "b.embedding")} AS cos,
+         CAST(row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id ASC)
+           AS INTEGER) AS rank
+         FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         WHERE a.vec_id < 20
+         QUALIFY rank <= 5""",
+    "s03_cosine_pairs" ->
+      s"""SELECT id_a, id_b, cos FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ${cosSql("a.embedding", "b.embedding")} AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.45""")
+
+  /** Shared oracle for d03/d04: survivors of exact 3-gram Jaccard >= 0.8,
+    * keep-min-id policy (drop a doc iff a similar smaller-id doc exists).
+    */
+  private lazy val ngramJaccardOracle: String =
+    s"""WITH sh AS (SELECT doc_id, $shingles3 AS grams FROM documents),
+       ex AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh),
+       pairs AS (
+         SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter,
+                any_value(a.n) AS na, any_value(b.n) AS nb
+         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       dups AS (SELECT DISTINCT idb FROM pairs
+         WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT idb FROM dups)"""
+}

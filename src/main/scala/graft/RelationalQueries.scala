@@ -1,0 +1,403 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{decAvg, decSum}
+
+/** Relational query suite over the TPC-H-ish test tables.
+  *
+  * These cover SURVEY.md §2.9's checklist (the relational algebra PyDin
+  * delegates to source databases, which on this engine runs on Spark SQL):
+  * scan/filter/project, joins of every flavor, aggregation, rollup,
+  * windows, sort/limit, set ops, scalar functions, subqueries.
+  *
+  * Determinism contract with the DuckDB oracle:
+  *  - double SUM/AVG always go through DECIMAL(38,6) (see [[graft.functions.decSum]]);
+  *  - casts added wherever Spark and DuckDB default to different widths
+  *    (year() -> BIGINT in DuckDB, IntegerType in Spark; floor() -> DOUBLE
+  *    in DuckDB, LongType in Spark; SUM(int) -> HUGEINT in DuckDB);
+  *  - every ORDER BY carries a unique tie-break key.
+  */
+object RelationalQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, Q] = Map(
+    // TPC-H Q1-style pricing summary: scan + filter + groupBy aggregates.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          decAvg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Projection + filter; both predicates reach the parquet scan.
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1995-01-01").cast("timestamp"), lit("1995-03-31").cast("timestamp"))
+          && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+    }),
+
+    // TPC-H Q3-style: 3-way join (dim broadcast) + agg + deterministic top-k.
+    "q03_join_topk" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Left-semi join (EXISTS).
+    "q04_semi_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Left-anti join (NOT EXISTS).
+    "q05_anti_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Left-outer join + agg keeping unmatched dimension rows.
+    "q06_outer_join_agg" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      nat.join(cust, nat("n_nationkey") === cust("c_nationkey"), "left")
+        .groupBy("n_name")
+        .agg(count(col("c_custkey")).as("n_customers"),
+          decSum(coalesce(col("c_acctbal"), lit(0.0))).as("total_bal"))
+    }),
+
+    // Window: top-3 suppliers per nation by balance (deterministic ranks).
+    "q07_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("s_nationkey")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+      t(s, dir, "supplier")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("s_nationkey", "s_suppkey", "s_name", "rk")
+    }),
+
+    // Window: running sum per supplier (exact decimal accumulation).
+    "q08_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("decimal(38,6)")).over(w)
+            .cast("double").as("running_qty"))
+    }),
+
+    // ROLLUP aggregation (subtotal + grand-total rows).
+    "q09_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // Set op: UNION (distinct).
+    "q10_union" -> ((s, dir) => {
+      val a = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val b = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+        .select(col("o_custkey").as("custkey"))
+      a.union(b).distinct()
+    }),
+
+    // Set op: INTERSECT.
+    "q11_intersect" -> ((s, dir) => {
+      val a = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val b = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+        .select(col("o_custkey").as("custkey"))
+      a.intersect(b)
+    }),
+
+    // Set op: EXCEPT.
+    "q12_except" -> ((s, dir) => {
+      val a = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val b = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+        .select(col("o_custkey").as("custkey"))
+      a.except(b)
+    }),
+
+    // Exact distinct counts per group.
+    "q13_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Scalar function zoo: string / date / math.
+    "q14_scalar_fns" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        length(col("o_orderstatus")).as("status_len"),
+        concat(col("o_orderstatus"), lit("_"), col("o_orderpriority")).as("status_pri"),
+        floor(col("o_totalprice") / 1000.0).as("bucket_k"),
+        (col("o_orderkey") % 7).as("key_mod"))
+    }),
+
+    // GROUP BY ... HAVING.
+    "q15_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("order_count"),
+          decSum(col("o_totalprice")).as("total_spent"))
+        .filter(col("order_count") >= 12)
+    }),
+
+    // Scalar subquery: orders above the global average price.
+    // Spark side: 1-row aggregate broadcast-crossjoined (no driver collect).
+    "q16_subquery_avg" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val avgDf = ord.agg(decAvg(col("o_totalprice")).as("__avg"))
+      ord.crossJoin(broadcast(avgDf))
+        .filter(col("o_totalprice") > col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // Cross join (small x small).
+    "q17_cross_join" -> ((s, dir) => {
+      val statuses = t(s, dir, "lineitem").select("l_linestatus").distinct()
+      t(s, dir, "region").crossJoin(broadcast(statuses))
+        .select("r_name", "l_linestatus")
+    }),
+
+    // CASE expression bucketing.
+    "q18_case_expr" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000.0, "low")
+            .when(col("o_totalprice") < 150000.0, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total"))
+    }),
+
+    // Logical-date window + month breakdown (the Calendar/date-window knob).
+    "q19_date_window" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1995-01-01").cast("timestamp"), lit("1995-12-31").cast("timestamp")))
+        .groupBy(month(col("l_shipdate")).as("ship_month"))
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Incremental load: high-water-mark predicate + new HWM readback.
+    "q20_hwm_incremental" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") > 4000L)
+        .agg(count(lit(1)).as("n_new"),
+          decSum(col("o_totalprice")).as("sum_new"),
+          max(col("o_orderkey")).as("new_hwm"))
+    }),
+
+    // Mapper (rename/derive) + run-key stamping (pd_process_id).
+    "q21_mapper_keystamp" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("c_name_u"),
+        floor(col("c_acctbal")).as("bal_floor"),
+        lit(42L).as("pd_process_id"))
+    }),
+
+    // Event-time tumbling window aggregation (hourly).
+    "q22_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+    }),
+
+    // Sessionization: exact interval arithmetic, 30-minute gaps.
+    "q23_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val prev = lag(col("ts"), 1).over(w)
+      t(s, dir, "events")
+        .withColumn("new_session",
+          when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTE"), 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("new_session")).as("n_sessions"))
+    }),
+
+    // Manual pivot via conditional aggregation.
+    "q24_pivot_manual" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+          count(lit(1)).as("n_total"))
+    }))
+
+  private val decS = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
+  private def ds(e: String) = decS.format(e)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         ${ds("l_quantity")} AS sum_qty,
+         ${ds("l_extendedprice")} AS sum_base_price,
+         ${ds("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         ${ds("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         ${ds("l_quantity")} / count(l_quantity) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1995-03-31 00:00:00'
+          AND l_discount > 0.05""",
+    "q03_join_topk" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         ${ds("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""",
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""",
+    "q06_outer_join_agg" ->
+      s"""SELECT n_name, count(c_custkey) AS n_customers,
+         ${ds("coalesce(c_acctbal, 0.0)")} AS total_bal
+         FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY n_name""",
+    "q07_window_rank" ->
+      """SELECT s_nationkey, s_suppkey, s_name, rk FROM (
+          SELECT s_nationkey, s_suppkey, s_name,
+            row_number() OVER (PARTITION BY s_nationkey
+              ORDER BY s_acctbal DESC, s_suppkey ASC) AS rk
+          FROM supplier) WHERE rk <= 3""",
+    "q08_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+            PARTITION BY l_suppkey
+            ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        FROM lineitem""",
+    "q09_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, ${ds("l_quantity")} AS sum_qty,
+         count(*) AS n FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q10_union" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0""",
+    "q11_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0""",
+    "q12_except" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0""",
+    "q13_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+          count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag""",
+    "q14_scalar_fns" ->
+      """SELECT o_orderkey,
+          upper(substr(o_orderpriority, 1, 3)) AS pri3,
+          CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          CAST(month(o_orderdate) AS INTEGER) AS o_month,
+          CAST(day(o_orderdate) AS INTEGER) AS o_day,
+          CAST(length(o_orderstatus) AS INTEGER) AS status_len,
+          o_orderstatus || '_' || o_orderpriority AS status_pri,
+          CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bucket_k,
+          o_orderkey % 7 AS key_mod
+        FROM orders""",
+    "q15_having" ->
+      s"""SELECT o_custkey, count(*) AS order_count,
+         ${ds("o_totalprice")} AS total_spent
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 12""",
+    "q16_subquery_avg" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT ${ds("o_totalprice")} / count(o_totalprice) FROM orders)""",
+    "q17_cross_join" ->
+      """SELECT r_name, l_linestatus FROM region
+        CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem)""",
+    "q18_case_expr" ->
+      s"""SELECT CASE WHEN o_totalprice < 50000.0 THEN 'low'
+           WHEN o_totalprice < 150000.0 THEN 'mid' ELSE 'high' END AS bucket,
+         count(*) AS n, ${ds("o_totalprice")} AS total
+         FROM orders GROUP BY 1""",
+    "q19_date_window" ->
+      s"""SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+         count(*) AS n, ${ds("l_quantity")} AS sum_qty
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1995-12-31 00:00:00'
+         GROUP BY 1""",
+    "q20_hwm_incremental" ->
+      s"""SELECT count(*) AS n_new, ${ds("o_totalprice")} AS sum_new,
+         max(o_orderkey) AS new_hwm
+         FROM orders WHERE o_orderkey > 4000""",
+    "q21_mapper_keystamp" ->
+      """SELECT c_custkey, upper(c_name) AS c_name_u,
+          CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+          CAST(42 AS BIGINT) AS pd_process_id
+        FROM customer""",
+    "q22_events_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+         count(*) AS n, ${ds("value")} AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q23_sessionize" ->
+      """SELECT user_id, count(*) AS n_events,
+          CAST(SUM(new_session) AS BIGINT) AS n_sessions
+        FROM (
+          SELECT user_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        GROUP BY user_id""",
+    "q24_pivot_manual" ->
+      """SELECT user_id,
+          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+          count(*) AS n_total
+        FROM events GROUP BY user_id""")
+}

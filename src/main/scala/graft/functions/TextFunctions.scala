@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: tokenizing,
+  * quality scoring, language ID, fingerprinting.
+  *
+  * Design constraints:
+  *  - Pure `Column` expressions (whole-stage codegen, no UDFs) so a pass
+  *    over 100 TB of documents stays a single narrow projection — no
+  *    shuffle, no python worker, no interpreter boundary.
+  *  - Every function has an exact ANSI-SQL twin (used by the DuckDB
+  *    oracle), so semantics are pinned down, not incidental.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens. `trim` first so leading/trailing blanks
+    * don't produce empty tokens; empty string yields a single empty token
+    * (same as DuckDB's regexp_split_to_array).
+    */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Ratio of ASCII punctuation characters to total characters.
+    * Explicit char ranges (not \p{Punct}) so Java regex and RE2 agree.
+    */
+  def punctRatio(text: Column): Column = {
+    val stripped = regexp_replace(text, "[!-/:-@\\[-`{-~]", "")
+    when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) - length(stripped)).cast("double") / length(text))
+  }
+
+  /** English stopwords (public, minimal set). */
+  val StopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "is", "it", "that", "for",
+    "on", "with", "as", "at", "by", "this", "are", "was", "be", "or")
+
+  /** Fraction of tokens that are stopwords — a classic fluency signal. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val sw = filter(toks, t => t.isin(StopwordsEn: _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(sw).cast("double") / size(toks))
+  }
+
+  /** Mean token length — short-token spam / long-token garbage signal. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * moderate length, penalizes punctuation soup. Deliberately simple —
+    * the value is having SOME deterministic quality axis to filter on.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val sw = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punct = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    (lenScore + sw + punct) / 3.0
+  }
+
+  /** Language marker words. On real corpora these would be the top
+    * function words per language; the mechanism (count marker hits,
+    * argmax with deterministic tie-break) is what matters.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "que", "por"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+
+  /** N-gram/stopword heuristic language ID. Returns the language whose
+    * marker-word hit count is highest; ties broken by language code order
+    * (deterministic); zero hits => "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores: Seq[(String, Column)] = LangMarkers.map { case (lang, ws) =>
+      lang -> size(filter(toks, t => t.isin(ws: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight builds the when-chain with "en" outermost, so the FIRST
+    // language reaching the max wins (en > de > fr > es > zh).
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Polynomial rolling hash of the full text, mod 1e9+7 — a document
+    * fingerprint that both Spark and ANSI SQL can compute exactly
+    * (all arithmetic stays far below 2^63: acc < 1e9+7, *31 + codepoint
+    * < ~3.3e10).
+    *
+    * DuckDB twin:
+    *   list_reduce([0] || [unicode(c) for c in text], (a,c) -> (a*31+c) % 1000000007)
+    */
+  def fingerprint(text: Column): Column = {
+    // Java split keeps a trailing empty string (limit -1); drop empties so
+    // the fold sees exactly one code point per character, like the oracle.
+    val chars = filter(split(text, ""), c => length(c) > 0)
+    val codes = transform(chars, c => ascii(c).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L)
+  }
+
+  /** Character n-gram shingles (lowercased), distinct. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+        i => substring(t, i, lit(n))))
+  }
+
+  /** Word n-gram shingles, distinct — the unit for Jaccard similarity. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+}

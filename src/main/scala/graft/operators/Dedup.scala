@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large-scale corpus pipelines.
+  *
+  * Scale notes (the whole point of these designs):
+  *  - Exact dedup is one hash-partitioned window/aggregate — a single
+  *    shuffle on the dedup key. No driver-side state.
+  *  - MinHash/SimHash candidate generation shuffles on (band, bandHash) /
+  *    (chunk, chunkValue) buckets, so each bucket's pair expansion is
+  *    local to one partition. Pair verification is a narrow projection.
+  *    Nothing is ever collected to the driver; skewed buckets (e.g. the
+  *    empty-document bucket) are the known hazard and are capped.
+  *  - "Duplicate" is decided as: doc has a VERIFIED similar neighbor with
+  *    a smaller id. Keeping min-id per similarity cluster without full
+  *    transitive closure is the standard single-pass policy (transitive
+  *    chains devolve to connected components, which needs iteration;
+  *    round 1 ships the one-pass policy used by most production dedup).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first row (lowest `orderCol`) per key. One
+    * shuffle on `keys`; at 100 TB prefer this over `dropDuplicates` for
+    * its deterministic survivor choice.
+    */
+  def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact dedup on a hash of long text: groups on a 64-bit fingerprint
+    * instead of the full text, so the shuffle moves 8 bytes per row, not
+    * the document body. xxhash64 collisions at corpus scale are ~n²/2⁶⁴ —
+    * acceptable for training-data dedup (and verifiable downstream).
+    */
+  def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  private val Prime = 2147483647L // 2^31 - 1, Mersenne
+
+  /** MinHash signature column: array<long> of `numHashes` minima over the
+    * document's shingle set. Universal hashing h_i(x) = (a_i*x + b_i) mod p
+    * over a base 32-bit murmur hash of each shingle; a_i/b_i derive
+    * deterministically from the seed, so signatures are reproducible
+    * across runs and executors. Pure column expressions — no UDF.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val base = transform(shingles, s => (hash(s).cast("long") + 2147483648L) % Prime)
+    val hashes = (0 until numHashes).map { i =>
+      val a = 1L + 2L * math.floorMod(seed * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L, Prime / 2 - 1)
+      val b = math.floorMod(seed * 0x94D049BB133111EBL + i * 0xD6E8FEB86659FD93L, Prime)
+      array_min(transform(base, x => (x * a + b) % Prime))
+    }
+    array(hashes: _*)
+  }
+
+  /** Candidate duplicate pairs via LSH banding: split the signature into
+    * `bands` bands of `rows` values; docs sharing any band bucket become a
+    * candidate pair. Returns (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * Shuffle profile: one exchange on (band, bandHash); pair expansion is
+    * per-bucket local. `maxBucket` caps degenerate buckets (boilerplate /
+    * empty docs) that would otherwise explode quadratically at scale.
+    */
+  def lshCandidates(sigDf: DataFrame, idCol: String, sigCol: String,
+                    bands: Int, rows: Int, maxBucket: Int = 1000): DataFrame = {
+    val banded = sigDf
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col(sigCol), b * rows + 1, lit(rows))))))
+      .toDF(idCol, "band", "bucket")
+    // Bucket-size cap: count per bucket, drop pathological ones.
+    val sized = banded.groupBy("band", "bucket").count()
+      .filter(col("count").between(2, maxBucket))
+    val inBucket = banded.join(sized.select("band", "bucket"), Seq("band", "bucket"))
+    inBucket.as("a").join(inBucket.as("b"),
+        col(s"a.band") === col(s"b.band") &&
+        col(s"a.bucket") === col(s"b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** MinHash+LSH near-duplicate detection, end to end.
+    *
+    * docs(idCol, textCol) -> DataFrame(idCol) of SURVIVORS: a doc is
+    * dropped iff some verified-similar doc with a smaller id exists.
+    * Candidates from LSH banding, then verified with exact Jaccard on the
+    * shingle sets (re-joined by id — at 100 TB carry only (id, shingles)
+    * through the verify join, never the full text).
+    */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val shingled = docs.select(col(idCol),
+      TextFunctions.wordShingles(col(textCol), shingleSize).as("shingles"))
+    val sigs = shingled.select(col(idCol),
+      minhashSignature(col("shingles"), numHashes).as("sig"))
+    val cands = lshCandidates(sigs, idCol, "sig", bands, rows)
+    val verified = cands
+      .join(shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+    // survivors: all ids minus ids that appear as the LARGER of a verified pair
+    docs.select(col(idCol))
+      .join(verified.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** SimHash fingerprint of a document: 64-bit, from token hashes.
+    * bit i of the fingerprint = sign of sum over tokens of (+1 if token's
+    * bit i set else -1). Near-identical docs differ in few bits.
+    * Implemented as columnar aggregate over the token array.
+    */
+  def simhash(text: Column): Column = {
+    val tokHashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    (0 until 64).map { i =>
+      val bitSum = aggregate(tokHashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(shiftleft(lit(1L), i)) =!= 0L, 1L).otherwise(-1L))
+      when(bitSum > 0L, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup survivors: docs sharing any of 4 16-bit chunks land
+    * in the same bucket (guarantees finding all pairs with hamming <= 3),
+    * verified by full hamming distance <= maxHamming, keep-min-id policy.
+    */
+  def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val fp = docs.select(col(idCol), simhash(col(textCol)).as("fp"))
+    val chunked = fp.select(col(idCol), col("fp"), posexplode(
+        array((0 until 4).map(c =>
+          shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF(idCol, "fp", "chunk", "ckey")
+    val sized = chunked.groupBy("chunk", "ckey").count()
+      .filter(col("count").between(2, maxBucket))
+    val inB = chunked.join(sized.select("chunk", "ckey"), Seq("chunk", "ckey"))
+    val pairs = inB.as("a").join(inB.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .filter(hamming(col("fp_a"), col("fp_b")) <= maxHamming)
+    docs.select(col(idCol))
+      .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** Exact n-gram Jaccard dedup — the brute-force truth MinHash
+    * approximates. Quadratic within shingle-match groups (explode +
+    * self-join on shingle), so usable as-is only on modest corpora or as
+    * the verify stage; kept because it is the ORACLE-CHECKABLE variant.
+    */
+  def ngramJaccardDedup(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val shingled = docs.select(col(idCol),
+      TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
+    val exploded = shingled.select(col(idCol), col("sh"),
+      explode(col("sh")).as("g"))
+    val pairs = exploded.as("a").join(exploded.as("b"),
+        col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count("*").as("inter"),
+        first(size(col("a.sh"))).as("na"), first(size(col("b.sh"))).as("nb"))
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= threshold)
+    docs.select(col(idCol))
+      .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+}
