@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.{kernels, MinHashSignature, SimHash64}
 import graft.functions.TextFunctions
 
 /** Deduplication operators for large-scale corpus pipelines.
@@ -53,17 +54,11 @@ object Dedup {
     * document's shingle set. Universal hashing h_i(x) = (a_i*x + b_i) mod p
     * over a base 32-bit murmur hash of each shingle; a_i/b_i derive
     * deterministically from the seed, so signatures are reproducible
-    * across runs and executors. Pure column expressions — no UDF.
+    * across runs and executors. Native Catalyst expression — one pass
+    * over the shingles instead of `numHashes` transform/array_min trees.
     */
-  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val base = transform(shingles, s => (hash(s).cast("long") + 2147483648L) % Prime)
-    val hashes = (0 until numHashes).map { i =>
-      val a = 1L + 2L * math.floorMod(seed * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L, Prime / 2 - 1)
-      val b = math.floorMod(seed * 0x94D049BB133111EBL + i * 0xD6E8FEB86659FD93L, Prime)
-      array_min(transform(base, x => (x * a + b) % Prime))
-    }
-    array(hashes: _*)
-  }
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    kernels.toCol(MinHashSignature(kernels.toExpr(shingles), numHashes, seed))
 
   /** Candidate duplicate pairs via LSH banding: split the signature into
     * `bands` bands of `rows` values; docs sharing any band bucket become a
@@ -128,16 +123,10 @@ object Dedup {
   /** SimHash fingerprint of a document: 64-bit, from token hashes.
     * bit i of the fingerprint = sign of sum over tokens of (+1 if token's
     * bit i set else -1). Near-identical docs differ in few bits.
-    * Implemented as columnar aggregate over the token array.
+    * Native Catalyst expression — one pass over the token array.
     */
-  def simhash(text: Column): Column = {
-    val tokHashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    (0 until 64).map { i =>
-      val bitSum = aggregate(tokHashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(shiftleft(lit(1L), i)) =!= 0L, 1L).otherwise(-1L))
-      when(bitSum > 0L, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-  }
+  def simhash(text: Column): Column =
+    kernels.toCol(SimHash64(kernels.toExpr(TextFunctions.tokens(text))))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

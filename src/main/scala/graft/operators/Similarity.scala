@@ -52,9 +52,8 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               excludeSelf: Boolean = true): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec), posexplode(
-          array((0 until tables).map(t =>
-            hyperplaneSignature(col(vecCol), bits, dim, seed = 42L + t)): _*)))
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          posexplode(hyperplaneSignatures(col(vecCol), bits, tables, seed = 42L)))
         .toDF(id, vec, "table", "sig")
     val c = bucketed(corpus, "neighbor_id", "__cv")
     val q = bucketed(queries, "query_id", "__qv")
