@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,10 +76,18 @@ object Dedup {
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col(sigCol), b * rows + 1, lit(rows))))))
       .toDF(idCol, "band", "bucket")
-    // Bucket-size cap: count per bucket, drop pathological ones.
-    val sized = banded.groupBy("band", "bucket").count()
-      .filter(col("count").between(2, maxBucket))
-    val inBucket = banded.join(sized.select("band", "bucket"), Seq("band", "bucket"))
+      // referenced by the size filter and both sides of the pair join;
+      // caching the (id, band, bucket) triples avoids recomputing the
+      // upstream shingle+signature pipeline per reference
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Bucket-size cap via window count (one shuffle on (band, bucket),
+    // no separate aggregate+join): drop singleton buckets (no pairs) and
+    // pathological ones (boilerplate/empty docs, quadratic blowup).
+    val wb = Window.partitionBy("band", "bucket")
+    val inBucket = banded
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn").between(2, maxBucket))
+      .drop("__bn")
     inBucket.as("a").join(inBucket.as("b"),
         col(s"a.band") === col(s"b.band") &&
         col(s"a.bucket") === col(s"b.bucket") &&
@@ -108,6 +117,9 @@ object Dedup {
     val rows = numHashes / bands
     val shingled = docs.select(col(idCol),
       TextFunctions.wordShingles(col(textCol), shingleSize).as("shingles"))
+      // reused by signature derivation and both verify joins; (id,
+      // shingles) is ~2% of the raw text and spills to disk if needed
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = shingled.select(col(idCol),
       minhashSignature(col("shingles"), numHashes).as("sig"))
     val cands = lshCandidates(sigs, idCol, "sig", bands, rows)
@@ -142,9 +154,12 @@ object Dedup {
         array((0 until 4).map(c =>
           shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF(idCol, "fp", "chunk", "ckey")
-    val sized = chunked.groupBy("chunk", "ckey").count()
-      .filter(col("count").between(2, maxBucket))
-    val inB = chunked.join(sized.select("chunk", "ckey"), Seq("chunk", "ckey"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // 3 references, 32 bytes/row
+    val wb = Window.partitionBy("chunk", "ckey")
+    val inB = chunked
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn").between(2, maxBucket))
+      .drop("__bn")
     val pairs = inB.as("a").join(inB.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
@@ -167,6 +182,7 @@ object Dedup {
       TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
     val exploded = shingled.select(col(idCol), col("sh"),
       explode(col("sh")).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
     val pairs = exploded.as("a").join(exploded.as("b"),
         col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
