@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.models._
+
+/** Engine-model queries for the driver's correctness gate: each runs a
+  * REAL pipeline through the PdModel machinery (file formats, JDBC via
+  * embedded Derby, calendar windows, HWM, key stamping) and returns a
+  * DataFrame whose DuckDB oracle reads only the original parquet — so a
+  * hash match proves the whole roundtrip preserved the data exactly.
+  */
+object EngineQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def cal = Calendar.day("1995-06-15")
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft_$prefix").toString
+
+  private val derby = DatabaseSource("verifydb",
+    url = "jdbc:derby:memory:graftverify;create=true")
+
+  private def derbyExec(sql: String): Unit = {
+    val c = derby.connect()
+    try { c.createStatement().executeUpdate(sql); () }
+    catch { case _: java.sql.SQLException => } finally c.close()
+  }
+
+  val defs: Map[String, Q] = Map(
+    // CSV sink+source roundtrip through an E->T->L pipeline (dialect:
+    // pipe-delimited, headered). Oracle reads the parquet directly.
+    "m01_csv_pipeline" -> ((s, dir) => {
+      val out = tmp("csv")
+      val p = Pipeline(
+        ParquetModel(s"$dir/lineitem.parquet"),
+        Mapper(df => df.select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag")),
+        CsvModel(s"$out/li", delimiter = "|"))
+      require(p.run(s, cal).status == Status.Done)
+      CsvModel(s"$out/li", delimiter = "|")
+        .extract(StepContext(s, cal))
+        .select(col("l_orderkey").cast("long"), col("l_linenumber").cast("int"),
+          col("l_quantity").cast("double"), col("l_returnflag"))
+    }),
+
+    // JSON roundtrip (JSON-lines directory layout).
+    "m02_json_pipeline" -> ((s, dir) => {
+      val out = tmp("json")
+      val p = Pipeline(
+        ParquetModel(s"$dir/orders.parquet"),
+        Mapper(df => df.select("o_orderkey", "o_orderstatus", "o_totalprice")),
+        JsonModel(s"$out/o"))
+      require(p.run(s, cal).status == Status.Done)
+      JsonModel(s"$out/o", multiline = false).extract(StepContext(s, cal))
+        .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
+          col("o_totalprice").cast("double"))
+    }),
+
+    // XML roundtrip via Spark 4's built-in xml format.
+    "m03_xml_pipeline" -> ((s, dir) => {
+      val out = tmp("xml")
+      val p = Pipeline(
+        ParquetModel(s"$dir/nation.parquet"),
+        XmlModel(s"$out/n"))
+      require(p.run(s, cal).status == Status.Done)
+      XmlModel(s"$out/n").extract(StepContext(s, cal))
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+    }),
+
+    // JDBC table sink + source through embedded Derby: parquet ->
+    // TableModel.write -> TableModel.read. Hash match proves typed
+    // JDBC roundtrip fidelity.
+    "m04_jdbc_table" -> ((s, dir) => {
+      derbyExec("drop table m04_customer")
+      derbyExec("""create table m04_customer (
+        c_custkey bigint, c_name varchar(60), c_acctbal double)""")
+      val t = TableModel(derby, "m04_customer", append = true)
+      val p = Pipeline(
+        ParquetModel(s"$dir/customer.parquet"),
+        Mapper(df => df.select("c_custkey", "c_name", "c_acctbal")),
+        t)
+      require(p.run(s, cal).status == Status.Done)
+      t.extract(StepContext(s, cal))
+        .select(col("C_CUSTKEY").as("c_custkey"), col("C_NAME").as("c_name"),
+          col("C_ACCTBAL").as("c_acctbal"))
+    }),
+
+    // SelectModel with pushed-down date-window knob over Derby.
+    "m05_select_window" -> ((s, dir) => {
+      derbyExec("drop table m05_orders")
+      derbyExec("""create table m05_orders (
+        o_orderkey bigint, o_totalprice double, o_orderdate timestamp)""")
+      val seed = Pipeline(
+        ParquetModel(s"$dir/orders.parquet"),
+        Mapper(df => df.select("o_orderkey", "o_totalprice", "o_orderdate")),
+        TableModel(derby, "m05_orders"))
+      require(seed.run(s, cal).status == Status.Done)
+      SelectModel(derby,
+        text = Some("select o_orderkey, o_totalprice, o_orderdate from m05_orders"),
+        knobs = ModelKnobs(dateField = Some("O_ORDERDATE")))
+        .extract(StepContext(s, Calendar.day("1995-06-15").year))
+        .select(col("O_ORDERKEY").as("o_orderkey"),
+          col("O_TOTALPRICE").as("o_totalprice"),
+          col("O_ORDERDATE").as("o_orderdate"))
+    }),
+
+    // DB-side INSERT..SELECT with HWM + key stamping (InsertModel), then
+    // read the target back. Incremental contract: second execute moves 0.
+    "m06_insert_select" -> ((s, dir) => {
+      derbyExec("drop table m06_src")
+      derbyExec("drop table m06_tgt")
+      derbyExec("create table m06_src (o_orderkey bigint, o_totalprice double)")
+      derbyExec("""create table m06_tgt (o_orderkey bigint,
+        o_totalprice double, pd_process_id bigint)""")
+      val seed = Pipeline(
+        ParquetModel(s"$dir/orders.parquet"),
+        Mapper(df => df.select("o_orderkey", "o_totalprice")),
+        TableModel(derby, "m06_src"))
+      require(seed.run(s, cal).status == Status.Done)
+      val ins = InsertModel(derby, "m06_tgt",
+        select = Some("select o_orderkey, o_totalprice from m06_src"),
+        knobs = ModelKnobs(keyField = Some(KeyField.ProcessId),
+          valueField = Some("o_orderkey")))
+      val ctx = StepContext(s, cal, runId = 42L)
+      ins.execute(ctx)
+      require(ins.execute(ctx).resultValue.contains(0L)) // HWM: no re-copy
+      TableModel(derby, "m06_tgt").extract(ctx)
+        .select(col("O_ORDERKEY").as("o_orderkey"),
+          col("O_TOTALPRICE").as("o_totalprice"),
+          col("PD_PROCESS_ID").as("pd_process_id"))
+    }),
+
+    // Full engine slice (SURVEY.md §7.2): calendar month window + Mapper
+    // + key stamping, parquet->parquet, metrics asserted.
+    "m07_etl_window_keystamp" -> ((s, dir) => {
+      val out = tmp("etl")
+      val p = Pipeline(
+        ParquetModel(s"$dir/lineitem.parquet",
+          knobs = ModelKnobs(dateField = Some("l_shipdate"))),
+        Mapper(df => df.select(col("l_orderkey"), col("l_linenumber"),
+          upper(col("l_returnflag")).as("flag"), col("l_quantity"))),
+        ParquetModel(s"$out/w",
+          knobs = ModelKnobs(keyField = Some(KeyField.ProcessId))))
+      val task = p.run(s, cal.month, runId = 11L)
+      require(task.status == Status.Done)
+      require(task.totals.recordsRead == task.totals.recordsWritten)
+      s.read.parquet(s"$out/w")
+    }),
+
+    // File listing as a DataFrame (rows-only: mtimes are not in parquet).
+    "m08_filenames" -> ((s, dir) => {
+      FilenamesModel(dir, mask = Some("\\.parquet$"))
+        .extract(StepContext(s, cal))
+        .select("file", "is_file", "size")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "m01_csv_pipeline" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem""",
+    "m02_json_pipeline" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "m03_xml_pipeline" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""",
+    "m04_jdbc_table" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "m05_select_window" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+          AND TIMESTAMP '1995-12-31 23:59:59'""",
+    "m06_insert_select" ->
+      """SELECT o_orderkey, o_totalprice, CAST(42 AS BIGINT) AS pd_process_id
+        FROM orders""",
+    "m07_etl_window_keystamp" ->
+      """SELECT l_orderkey, l_linenumber, upper(l_returnflag) AS flag,
+        l_quantity, CAST(11 AS BIGINT) AS pd_process_id
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1995-06-01 00:00:00'
+          AND TIMESTAMP '1995-06-30 23:59:59'""")
+}

@@ -26,11 +26,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ CorpusQueries.defs
+    RelationalQueries.defs ++ CorpusQueries.defs ++ EngineQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ CorpusQueries.oracles
+    RelationalQueries.oracles ++ CorpusQueries.oracles ++ EngineQueries.oracles
 }

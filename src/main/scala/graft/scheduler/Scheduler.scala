@@ -1,0 +1,228 @@
+package graft.scheduler
+
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import graft.core.Status
+
+/** A schedule entry (pd_schedule row — db/sqlite.sql:6-79; in-memory Job
+  * of pydin/core.py:110-530). Period fields use the [[Cron]] dialect.
+  */
+final case class JobSpec(
+    id: Long,
+    name: String,
+    enabled: Boolean = true,
+    schedule: Cron.Schedule = Cron.Schedule(),
+    startDate: Option[LocalDateTime] = None,
+    endDate: Option[LocalDateTime] = None,
+    /** 'Y' -> 999 concurrent runs, 'N' -> 1, or an int (core.py:429-442). */
+    parallelism: String = "N",
+    timeoutSeconds: Option[Int] = None,
+    /** hour-matched sleep window; runs queued during it wait (core.py:485-498). */
+    sleepPeriod: Option[String] = None,
+    /** minute-matched wake-up window for sleeping runs (core.py:500-513). */
+    wakeUpPeriod: Option[String] = None,
+    rerunIntervalSeconds: Option[Int] = None,
+    rerunLimit: Int = 0,
+    rerunDays: Int = 1,
+    /** jobs launched when this one succeeds (core.py:1765-1826). */
+    triggerList: Seq[Long] = Nil) {
+
+  def isActive(t: LocalDateTime): Boolean =
+    enabled &&
+      startDate.forall(_.isBefore(t)) &&
+      endDate.forall(_.isAfter(t))
+
+  def isScheduled(t: LocalDateTime): Boolean = schedule.matches(t)
+
+  def parallelLimit: Int = parallelism match {
+    case "Y" => 999
+    case "N" => 1
+    case n if n.forall(_.isDigit) && n.nonEmpty => n.toInt
+    case _ => 1
+  }
+
+  def isSleeping(t: LocalDateTime): Boolean =
+    sleepPeriod.exists(p => Cron.matches(p, t.getHour))
+
+  def isAwakening(t: LocalDateTime): Boolean =
+    wakeUpPeriod.forall(p => Cron.matches(p, t.getMinute))
+}
+
+/** One queued/running/completed execution of a job. */
+final case class RunRecord(runId: Long, job: JobSpec, tag: Long,
+                           seqno: Int = 1)
+
+/** What actually happens when a job fires: user code returning normally
+  * (Done) or throwing (Error). The scheduler owns status bookkeeping.
+  */
+trait JobRunner {
+  def run(job: JobSpec, tag: Long): Unit
+}
+
+/** The scheduling engine (pydin/core.py:47-1214), re-expressed with a
+  * virtual clock for testability:
+  *
+  *  - `tick(moment)` = one scheduler second (`_process` — core.py:751-833):
+  *    match active+scheduled jobs, charge them into the run queue, wake
+  *    sleeping runs in their wake-up window, rerun failed runs within
+  *    their budget.
+  *  - charger semantics (core.py:964-1036): a fired job whose sleep
+  *    window is active parks as status W; one over its parallelism limit
+  *    is skipped; otherwise it is handed to the executor pool as status Q.
+  *  - executor semantics (core.py:1038-1095): run with optional timeout;
+  *    normal completion -> D, exception -> E, deadline -> T, cancel -> C.
+  *  - child triggering (core.py:1765-1826): on D, jobs in `triggerList`
+  *    are charged immediately with the SAME tag (logical-date
+  *    inheritance).
+  *
+  * `start()` drives `tick` from the wall clock at 1 Hz (core.py:812-833);
+  * tests drive it directly.
+  */
+final class Scheduler(runner: JobRunner,
+                      executorThreads: Int = 4,
+                      ledger: Option[graft.core.JdbcLedger] = None) {
+
+  private val jobs = new ConcurrentHashMap[Long, JobSpec]()
+  private val runIdGen = new AtomicLong(0L)
+  private val running = new ConcurrentHashMap[Long, AtomicLong]() // jobId -> active count
+  val waiting = new ConcurrentLinkedQueue[RunRecord]() // status W
+  private val failed = new ConcurrentLinkedQueue[(RunRecord, Int)]() // (run, rerunTimes)
+  val history = new ConcurrentLinkedQueue[(RunRecord, String)]() // (run, final status)
+  private val pool = Executors.newFixedThreadPool(executorThreads)
+  private val timeoutPool = Executors.newScheduledThreadPool(1)
+  private val alive = new AtomicBoolean(false)
+  private val inFlight = new ConcurrentHashMap[Long, CountDownLatch]()
+
+  def register(job: JobSpec): Unit = jobs.put(job.id, job)
+  def deregister(jobId: Long): Unit = jobs.remove(jobId)
+  def job(jobId: Long): Option[JobSpec] = Option(jobs.get(jobId))
+
+  def runningCount(jobId: Long): Int =
+    Option(running.get(jobId)).map(_.get().toInt).getOrElse(0)
+
+  /** One scheduler second at `moment` (epoch seconds). */
+  def tick(moment: Long): Unit = {
+    val t = LocalDateTime.ofInstant(Instant.ofEpochSecond(moment), ZoneOffset.UTC)
+    // 1. fire scheduled jobs (walk — core.py:905-912)
+    jobs.values.asScala.foreach { j =>
+      if (j.isActive(t) && j.isScheduled(t)) charge(j, moment, t)
+    }
+    // 2. wake sleeping runs whose window is over (core.py:1097-1143)
+    val stillWaiting = mutable.ListBuffer[RunRecord]()
+    var w = waiting.poll()
+    while (w != null) {
+      if (!w.job.isSleeping(t) && w.job.isAwakening(t)) execute(w)
+      else stillWaiting += w
+      w = waiting.poll()
+    }
+    stillWaiting.foreach(waiting.add)
+    // 3. reruns (core.py:926-962): budget + interval gate
+    val stillFailed = mutable.ListBuffer[(RunRecord, Int)]()
+    var f = failed.poll()
+    while (f != null) {
+      val (run, times) = f
+      val j = run.job
+      val due = j.rerunIntervalSeconds.exists(i => i > 0 && moment % i == 0)
+      if (due && times < j.rerunLimit) execute(run.copy(seqno = run.seqno + 1))
+      else if (times < j.rerunLimit) stillFailed += f
+      f = failed.poll()
+    }
+    stillFailed.foreach(failed.add)
+  }
+
+  /** Queue one run of `job` with logical tag `tag` (charger —
+    * core.py:986-1011). */
+  def charge(job: JobSpec, tag: Long,
+             t: LocalDateTime = LocalDateTime.now(ZoneOffset.UTC)): Option[RunRecord] = {
+    if (runningCount(job.id) >= job.parallelLimit) None // busy (core.py:429-442)
+    else {
+      val runId = ledger.map(_.startRun(job.id, tag))
+        .getOrElse(runIdGen.incrementAndGet())
+      val run = RunRecord(runId, job, tag)
+      if (job.isSleeping(t)) { // postpone (core.py:1013-1036)
+        ledger.foreach(_.setRunStatus(runId, Status.Waiting))
+        waiting.add(run)
+      } else execute(run)
+      Some(run)
+    }
+  }
+
+  /** Hand a run to the executor pool (core.py:1038-1095). */
+  private def execute(rec: RunRecord): Unit = {
+    val latch = new CountDownLatch(1)
+    inFlight.put(rec.runId, latch)
+    running.computeIfAbsent(rec.job.id, _ => new AtomicLong()).incrementAndGet()
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        val job = jobs.getOrDefault(rec.job.id, rec.job)
+        val thread = Thread.currentThread()
+        val killer = rec.job.timeoutSeconds.map(s =>
+          timeoutPool.schedule(new Runnable {
+            def run(): Unit = thread.interrupt()
+          }, s.toLong, TimeUnit.SECONDS))
+        val status =
+          try {
+            runner.run(job, rec.tag)
+            Status.Done
+          } catch {
+            case _: InterruptedException => Status.Timeout
+            case NonFatal(_) => Status.Error
+          } finally killer.foreach(_.cancel(false))
+        finish(rec, status)
+      }
+    })
+  }
+
+  private def finish(run: RunRecord, status: String): Unit = {
+    running.get(run.job.id).decrementAndGet()
+    history.add((run, status))
+    ledger.foreach(_.endRun(run.runId, status, None))
+    if (status == Status.Error && run.job.rerunLimit > 0)
+      failed.add((run, run.seqno - 1))
+    if (status == Status.Done)
+      run.job.triggerList.foreach { childId =>
+        Option(jobs.get(childId)).foreach(child =>
+          charge(child, run.tag)) // tag inheritance (core.py:1811-1818)
+      }
+    Option(inFlight.remove(run.runId)).foreach(_.countDown())
+  }
+
+  /** Block until all currently queued/running runs finish (test aid). */
+  def drain(timeoutSeconds: Int = 60): Boolean = {
+    val deadline = System.nanoTime() + timeoutSeconds * 1000000000L
+    while (System.nanoTime() < deadline) {
+      if (inFlight.isEmpty && waiting.isEmpty) return true
+      Thread.sleep(10)
+    }
+    inFlight.isEmpty
+  }
+
+  /** Wall-clock loop at 1 Hz (core.py:552-560, 812-833). */
+  def start(): Thread = {
+    alive.set(true)
+    val th = new Thread(() => {
+      while (alive.get()) {
+        val moment = System.currentTimeMillis() / 1000L
+        try tick(moment) catch { case NonFatal(_) => }
+        val next = (moment + 1) * 1000L
+        val sleep = next - System.currentTimeMillis()
+        if (sleep > 0) Thread.sleep(sleep)
+      }
+    }, "graft-scheduler")
+    th.setDaemon(true)
+    th.start()
+    th
+  }
+
+  def stop(): Unit = {
+    alive.set(false)
+    pool.shutdown()
+    timeoutPool.shutdown()
+  }
+}

@@ -12,4 +12,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Block until the listener bus has delivered all pending events — makes
+    * QueryExecutionListener-based metric collection deterministic. */
+  def waitListenerBus(spark: org.apache.spark.sql.SparkSession, timeoutMs: Long = 10000): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -1,0 +1,163 @@
+package graft.models
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core._
+
+/** Table/Select/Insert/Sql models + ledger against embedded Derby —
+  * the JDBC surface of SURVEY.md §2.3 plus M1/M2 semantics (HWM,
+  * recycle, key stamping) from §2.8/§4.
+  */
+class JdbcModelsSpec extends SparkSpec {
+
+  private val db = DatabaseSource("testdb",
+    url = "jdbc:derby:memory:grafttest;create=true",
+    driver = Some("org.apache.derby.iapi.jdbc.AutoloadedDriver"))
+
+  private def ctx(runId: Long = 1L) =
+    StepContext(spark, Calendar.day("2023-01-01"), runId)
+
+  private def exec(sql: String): Unit = {
+    val c = db.connect()
+    try { c.createStatement().executeUpdate(sql); () } finally c.close()
+  }
+  private def tryExec(sql: String): Unit =
+    try exec(sql) catch { case _: java.sql.SQLException => }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    tryExec("drop table src_t")
+    tryExec("drop table tgt_t")
+    exec("create table src_t (id int, name varchar(40), amount double)")
+    (1 to 10).foreach(i =>
+      exec(s"insert into src_t values ($i, 'name_$i', ${i * 10.5})"))
+  }
+
+  test("SqlModel executes DDL/DML scripts and counts affected rows") {
+    val r = SqlModel(db, text = Some(
+      """create table tgt_t (id int, name varchar(40), amount double,
+         pd_process_id bigint);
+         insert into tgt_t (id, name, amount) values (0, 'seed', 0.0);
+         delete from tgt_t where id = 0""")).execute(ctx())
+    assert(r.resultValue.contains(2L)) // 1 insert + 1 delete; DDL counts 0
+  }
+
+  test("TableModel reads through Spark JDBC with typed schema") {
+    val df = TableModel(db, "src_t").extract(ctx())
+    assert(df.count() == 10)
+    assert(df.schema("ID").dataType.typeName == "integer")
+    assert(df.filter(col("ID") === 3).select("NAME").collect()(0).getString(0) == "name_3")
+  }
+
+  test("SelectModel runs a query with {variable} templating") {
+    val m = SelectModel(db,
+      text = Some("select id, amount from src_t where id > {min_id}"))
+    val df = m.extract(StepContext(spark, Calendar.day("2023-01-01"), 1L,
+      variables = Map("min_id" -> "7")))
+    assert(df.count() == 3)
+  }
+
+  test("Table load with key stamping; recycle deletes by key (idempotent rerun)") {
+    val tgt = TableModel(db, "tgt_t",
+      knobs = ModelKnobs(keyField = Some(KeyField.ProcessId)))
+    val src = SelectModel(db, text = Some("select * from src_t"))
+    val p = Pipeline(src, Mapper(df => df
+      .select(col("ID").as("id"), col("NAME").as("name"), col("AMOUNT").as("amount"))), tgt)
+
+    assert(p.run(spark, Calendar.day("2023-01-01"), runId = 41L).status == Status.Done)
+    assert(tgt.rowCount() == 10)
+    // run again with a DIFFERENT run id -> appends
+    assert(p.run(spark, Calendar.day("2023-01-01"), runId = 42L).status == Status.Done)
+    assert(tgt.rowCount() == 20)
+    // recycle run 42, then repeat it: no duplicates
+    p.recycle(spark, Calendar.day("2023-01-01"), 42L)
+    assert(tgt.rowCount() == 10)
+    assert(p.run(spark, Calendar.day("2023-01-01"), runId = 42L).status == Status.Done)
+    assert(tgt.rowCount() == 20)
+  }
+
+  test("InsertModel: DB-side insert-select with key column and HWM probe") {
+    exec("delete from tgt_t")
+    val ins = InsertModel(db, "tgt_t",
+      select = Some("select id, name, amount from src_t"),
+      knobs = ModelKnobs(keyField = Some(KeyField.ProcessId),
+        valueField = Some("id")))
+    // empty target -> max(id) is NULL -> no HWM predicate -> full copy
+    val r1 = ins.execute(ctx(runId = 7L))
+    assert(r1.resultValue.contains(10L))
+    // second run: HWM = max(id) = 10 -> nothing new
+    val r2 = ins.execute(ctx(runId = 8L))
+    assert(r2.resultValue.contains(0L))
+    // add source rows beyond the HWM -> only they flow
+    exec("insert into src_t values (11, 'name_11', 115.5)")
+    val r3 = ins.execute(ctx(runId = 9L))
+    assert(r3.resultValue.contains(1L))
+    // key column stamped
+    val stamped = TableModel(db, "tgt_t").extract(ctx())
+      .filter(col("PD_PROCESS_ID") === 9L).count()
+    assert(stamped == 1L)
+    exec("delete from src_t where id = 11")
+  }
+
+  test("HWM via targetValue on an extract (pushed-down filter)") {
+    val m = TableModel(db, "src_t", knobs = ModelKnobs(
+      valueField = Some("ID"), targetValue = Some(5)))
+    assert(m.extract(ctx()).count() == 5) // ids 6..10
+  }
+
+  test("JdbcLedger writes run/task/step/query/file history rows") {
+    val ledger = Ledger.jdbc(db)
+    val runId = ledger.startRun(jobId = 3L, tag = 1672531200L)
+    assert(runId > 0)
+    assert(ledger.runStatus(runId).contains(Status.Started))
+
+    val c = ctx(runId)
+    val src = ParquetModel(sf("region").stripSuffix(".parquet") + ".parquet")
+    val sink = CsvModel(java.nio.file.Files.createTempDirectory("led").toString + "/o")
+    val p = Pipeline.withLedger("ledgered", ledger, src, sink)
+    val task = new Task(p, ledger)
+    assert(task.run(c) == Status.Done)
+
+    ledger.endRun(runId, Status.Done, Some("""{"k":1}"""))
+    assert(ledger.runStatus(runId).contains(Status.Done))
+
+    val conn = db.connect()
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"select count(*) from pd_task_history where run_id = $runId and status = 'D'")
+      rs.next(); assert(rs.getLong(1) == 1)
+      val rs2 = conn.createStatement().executeQuery(
+        s"select records_read, records_written, status from pd_step_history where run_id = $runId")
+      assert(rs2.next())
+      assert(rs2.getLong(1) == 5 && rs2.getLong(2) == 5 && rs2.getString(3) == "D")
+      ledger.logQuery(c, "SelectModel", "select 1", 1, Status.Done, None)
+      ledger.logFile(c, "CsvModel", "o.csv", "/tmp/o.csv", 42, "write")
+      val rs3 = conn.createStatement().executeQuery(
+        "select count(*) from pd_query_log"); rs3.next()
+      assert(rs3.getLong(1) >= 1)
+    } finally conn.close()
+  }
+
+  test("SourceRegistry INI heuristic: database vs filesystem sections") {
+    val ini = java.nio.file.Files.createTempFile("sources", ".ini")
+    java.nio.file.Files.write(ini,
+      """# sources
+        [warehouse]
+        url = jdbc:derby:memory:x
+        username = app
+        password = secret
+        vendor_name = derby
+
+        [landing]
+        protocol = file
+        host = localhost
+        root = /data/landing
+        """.stripMargin.getBytes)
+    val reg = new SourceRegistry().loadIni(ini.toFile)
+    assert(reg.names == Seq("landing", "warehouse"))
+    val wh = reg.database("warehouse")
+    assert(wh.url == "jdbc:derby:memory:x" && wh.user.contains("app"))
+    assert(reg.get("landing").isInstanceOf[FileSystemSource])
+  }
+}

@@ -1,0 +1,173 @@
+package graft.scheduler
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Status
+
+/** Virtual-clock scheduler tests (SURVEY.md §5.5): firing, parallelism
+  * limit, sleep/wake windows, rerun budget, trigger chains, timeout.
+  */
+class SchedulerSpec extends AnyFunSuite {
+
+  private class Recorder extends JobRunner {
+    val runs = new ConcurrentLinkedQueue[(Long, Long)]() // (jobId, tag)
+    @volatile var fail: Set[Long] = Set.empty
+    @volatile var sleepMs: Long = 0
+    def run(job: JobSpec, tag: Long): Unit = {
+      if (sleepMs > 0) Thread.sleep(sleepMs)
+      runs.add((job.id, tag))
+      if (fail.contains(job.id)) sys.error(s"job ${job.id} failed")
+    }
+  }
+
+  // moment chosen so wday/yday are stable: 2023-03-15 14:30:00 UTC
+  private val base = 1678890600L
+
+  test("cron firing: every-30-minutes job fires only on the matching second") {
+    val rec = new Recorder
+    val s = new Scheduler(rec, executorThreads = 2)
+    s.register(JobSpec(1, "half-hourly",
+      schedule = Cron.Schedule(min = Some("/30"), sec = Some("0"))))
+    s.tick(base)       // 14:30:00 -> fires
+    s.tick(base + 1)   // 14:30:01 -> no (sec=1)
+    s.tick(base + 60)  // 14:31:00 -> no (min=31)
+    assert(s.drain())
+    assert(rec.runs.size == 1)
+    assert(rec.runs.peek() == (1L, base))
+    s.stop()
+  }
+
+  test("inactive and out-of-window jobs do not fire") {
+    val rec = new Recorder
+    val s = new Scheduler(rec)
+    s.register(JobSpec(1, "disabled", enabled = false,
+      schedule = Cron.Schedule(sec = Some("0"))))
+    s.register(JobSpec(2, "expired",
+      schedule = Cron.Schedule(sec = Some("0")),
+      endDate = Some(java.time.LocalDateTime.parse("2020-01-01T00:00:00"))))
+    s.tick(base)
+    assert(s.drain())
+    assert(rec.runs.isEmpty)
+    s.stop()
+  }
+
+  test("parallelism limit: N skips while one run is active, Y allows many") {
+    val rec = new Recorder
+    rec.sleepMs = 400
+    val s = new Scheduler(rec, executorThreads = 4)
+    s.register(JobSpec(1, "serial", parallelism = "N",
+      schedule = Cron.Schedule()))  // matches every second
+    s.tick(base); Thread.sleep(50); s.tick(base + 1) // second fire while busy
+    assert(s.drain())
+    assert(rec.runs.asScala.count(_._1 == 1L) == 1) // second was skipped
+
+    rec.runs.clear()
+    s.register(JobSpec(2, "parallel", parallelism = "Y",
+      schedule = Cron.Schedule()))
+    s.tick(base + 10); Thread.sleep(50); s.tick(base + 11)
+    assert(s.drain())
+    assert(rec.runs.asScala.count(_._1 == 2L) == 2)
+    s.stop()
+  }
+
+  test("sleep window parks the run as W; wake-up window releases it") {
+    val rec = new Recorder
+    val s = new Scheduler(rec)
+    // sleeps 14:00-14:59; wake-up allowed at minute 45 only
+    s.register(JobSpec(1, "sleeper",
+      schedule = Cron.Schedule(min = Some("30"), sec = Some("0")),
+      sleepPeriod = Some("14"), wakeUpPeriod = Some("45")))
+    s.tick(base) // 14:30:00 -> queued W (sleep hour active)
+    assert(s.drain())
+    assert(rec.runs.isEmpty && s.waiting.size == 1)
+    s.tick(base + 15 * 60) // 14:45 -> still hour 14: asleep
+    assert(s.drain())
+    assert(rec.runs.isEmpty)
+    s.tick(base + 45 * 60) // 15:15 -> awake but minute 15 != 45: keep waiting
+    assert(s.drain())
+    assert(rec.runs.isEmpty)
+    s.tick(base + 75 * 60) // 15:45 -> wake-up window matches: run
+    assert(s.drain())
+    assert(rec.runs.size == 1)
+    s.stop()
+  }
+
+  test("rerun: failed run retries on the interval, bounded by rerun_limit") {
+    val rec = new Recorder
+    rec.fail = Set(1L)
+    val s = new Scheduler(rec)
+    s.register(JobSpec(1, "flaky",
+      schedule = Cron.Schedule(sec = Some("0"), min = Some("30"), hour = Some("14")),
+      rerunIntervalSeconds = Some(60), rerunLimit = 2))
+    s.tick(base) // fires, fails
+    assert(s.drain())
+    assert(rec.runs.size == 1)
+    s.tick(base + 30) // not on the interval -> no rerun
+    assert(s.drain())
+    assert(rec.runs.size == 1)
+    s.tick(base + 60) // interval tick -> rerun 1 (fails again)
+    assert(s.drain())
+    assert(rec.runs.size == 2)
+    s.tick(base + 120) // rerun 2 (seqno 3, at limit after this)
+    assert(s.drain())
+    assert(rec.runs.size == 3)
+    s.tick(base + 180) // budget exhausted
+    assert(s.drain())
+    assert(rec.runs.size == 3)
+    val statuses = s.history.asScala.map(_._2).toSeq
+    assert(statuses.count(_ == Status.Error) == 3)
+    s.stop()
+  }
+
+  test("trigger chain: child fires on parent success with inherited tag") {
+    val rec = new Recorder
+    val s = new Scheduler(rec)
+    s.register(JobSpec(1, "parent",
+      schedule = Cron.Schedule(sec = Some("0"), min = Some("30"), hour = Some("14")),
+      triggerList = Seq(2, 3)))
+    s.register(JobSpec(2, "child", schedule = Cron.Schedule(sec = Some("-"))))
+    s.register(JobSpec(3, "grandchild-src", schedule = Cron.Schedule(sec = Some("-")),
+      triggerList = Seq(2)))
+    s.tick(base)
+    assert(s.drain())
+    val runs = rec.runs.asScala.toSeq
+    assert(runs.count(_._1 == 1L) == 1)
+    assert(runs.count(_._1 == 2L) == 2) // triggered by both 1 and 3
+    assert(runs.count(_._1 == 3L) == 1)
+    assert(runs.forall(_._2 == base)) // tag inheritance
+    s.stop()
+  }
+
+  test("failed parent does not trigger children") {
+    val rec = new Recorder
+    rec.fail = Set(1L)
+    val s = new Scheduler(rec)
+    s.register(JobSpec(1, "parent",
+      schedule = Cron.Schedule(sec = Some("0"), min = Some("30"), hour = Some("14")),
+      triggerList = Seq(2)))
+    s.register(JobSpec(2, "child", schedule = Cron.Schedule(sec = Some("-"))))
+    s.tick(base)
+    assert(s.drain())
+    assert(rec.runs.asScala.count(_._1 == 2L) == 0)
+    s.stop()
+  }
+
+  test("timeout marks the run T") {
+    val rec = new Recorder
+    rec.sleepMs = 3000
+    val s = new Scheduler(rec)
+    s.register(JobSpec(1, "slow",
+      schedule = Cron.Schedule(sec = Some("0"), min = Some("30"), hour = Some("14")),
+      timeoutSeconds = Some(1)))
+    s.tick(base)
+    assert(s.drain(timeoutSeconds = 10))
+    val statuses = s.history.asScala.map(_._2).toSeq
+    assert(statuses == Seq(Status.Timeout))
+    s.stop()
+  }
+}
