@@ -93,6 +93,19 @@ object CorpusQueries {
     // All embedding pairs above a cosine threshold.
     "s03_cosine_pairs" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(embs(s, dir), threshold = 0.45)
+    }),
+
+    // IVF approximate top-k (the moderate-similarity scale path;
+    // rows-only — recall vs brute force asserted in OperatorsSpec).
+    "s04_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20L), k = 5,
+        nlist = 32, nprobe = 8)
+    }),
+
+    // Embedding-cosine near-dup dedup (keep-min-id survivors).
+    "d06_embedding_dedup" -> ((s, dir) => {
+      Similarity.cosineNearDupDedup(embs(s, dir), threshold = 0.45)
     }))
 
   // ---- DuckDB oracle twins ------------------------------------------------
@@ -184,7 +197,14 @@ object CorpusQueries {
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ${cosSql("a.embedding", "b.embedding")} AS cos
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-         WHERE cos >= 0.45""")
+         WHERE cos >= 0.45""",
+    "d06_embedding_dedup" ->
+      s"""SELECT vec_id FROM embeddings WHERE vec_id NOT IN (
+           SELECT id_b FROM (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ${cosSql("a.embedding", "b.embedding")} AS cos
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+           WHERE cos >= 0.45)""")
 
   /** Shared oracle for d03/d04: survivors of exact 3-gram Jaccard >= 0.8,
     * keep-min-id policy (drop a doc iff a similar smaller-id doc exists).

@@ -1,0 +1,114 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+import graft.models._
+
+/** Config-table-driven pipelines (pydin/core.py:1418-1504): a pipeline
+  * hydrated from rows of (node_name, node_type, node_config-JSON,
+  * node_seqno) — the reference's `pd_pipeline_config`/`pd_node_config`.
+  * The reflection lookup (`getattr(pd, node_type)` — core.py:1442)
+  * becomes an explicit registry map; node_config JSON becomes model
+  * constructor arguments. Nodes chain in seqno order.
+  */
+object PipelineConfig {
+
+  final case class NodeConfig(
+      nodeName: String,
+      nodeType: String,
+      nodeSeqno: Int,
+      config: Map[String, String])
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  type Builder = (Map[String, String], SourceRegistry) => PdModel
+
+  private def get(c: Map[String, String], k: String): String =
+    c.getOrElse(k, throw new IllegalArgumentException(s"missing config key: $k"))
+
+  private def knobsOf(c: Map[String, String]): ModelKnobs = ModelKnobs(
+    dateField = c.get("date_field"),
+    daysBack = c.get("days_back").map(_.toInt),
+    hoursBack = c.get("hours_back").map(_.toInt),
+    monthsBack = c.get("months_back").map(_.toInt),
+    timezone = c.get("timezone").map(_.toInt),
+    valueField = c.get("value_field"),
+    keyField = c.get("key_field").map {
+      case "run_id" => KeyField.RunId
+      case "task_id" => KeyField.TaskId
+      case "process_id" => KeyField.ProcessId
+      case other => throw new IllegalArgumentException(s"unknown key field: $other")
+    },
+    chunkSize = c.get("chunk_size").map(_.toInt).getOrElse(1000),
+    cleanup = c.get("cleanup").exists(_.toBoolean))
+
+  /** node_type string -> model builder; mirrors the reference's exported
+    * model names (pydin/__init__.py:3-22). */
+  val registry: Map[String, Builder] = Map(
+    "Table" -> ((c, src) => TableModel(src.database(get(c, "source_name")),
+      get(c, "table_name"), c.get("schema_name"), c.get("db_link"),
+      append = c.get("append").forall(_.toBoolean), knobs = knobsOf(c))),
+    "Select" -> ((c, src) => SelectModel(src.database(get(c, "source_name")),
+      text = c.get("text"), textPath = c.get("path"), knobs = knobsOf(c))),
+    "Insert" -> ((c, src) => InsertModel(src.database(get(c, "source_name")),
+      get(c, "table_name"), c.get("schema_name"),
+      select = c.get("select"), selectPath = c.get("select_path"),
+      knobs = knobsOf(c))),
+    "SQL" -> ((c, src) => SqlModel(src.database(get(c, "source_name")),
+      text = c.get("text"), textPath = c.get("path"), knobs = knobsOf(c))),
+    "CSV" -> ((c, _) => CsvModel(get(c, "path"),
+      head = c.get("head").forall(_.toBoolean),
+      delimiter = c.getOrElse("delimiter", ";"),
+      encoding = c.getOrElse("encoding", "UTF-8"),
+      knobs = knobsOf(c))),
+    "JSON" -> ((c, _) => JsonModel(get(c, "path"), knobs = knobsOf(c))),
+    "XML" -> ((c, _) => XmlModel(get(c, "path"),
+      rowTag = c.getOrElse("row_tag", "record"),
+      rootTag = c.getOrElse("root_tag", "data"), knobs = knobsOf(c))),
+    "Parquet" -> ((c, _) => ParquetModel(get(c, "path"), knobs = knobsOf(c))),
+    "Filenames" -> ((c, _) => FilenamesModel(get(c, "path"),
+      mask = c.get("mask"),
+      recursive = c.get("recursive").forall(_.toBoolean))),
+    "FileManager" -> ((c, _) => FileManagerModel(get(c, "path"),
+      action = get(c, "action"),
+      destinations = c.get("destination").toSeq,
+      mask = c.get("mask"),
+      zip = c.get("zip").exists(_.toBoolean),
+      unzip = c.get("unzip").exists(_.toBoolean))))
+
+  def buildNode(nc: NodeConfig, sources: SourceRegistry): PdModel =
+    registry.getOrElse(nc.nodeType,
+      throw new IllegalArgumentException(s"unknown node type: ${nc.nodeType}"))
+      .apply(nc.config, sources)
+
+  /** Hydrate a pipeline from node-config rows (seqno order = chain order,
+    * matching the reference's linear add — core.py:1452-1461). */
+  def build(name: String, nodes: Seq[NodeConfig],
+            sources: SourceRegistry, ledger: Ledger = Ledger.none): Pipeline = {
+    val items = nodes.sortBy(_.nodeSeqno)
+      .map(nc => One(buildNode(nc, sources)): PipeItem)
+    new Pipeline(name, items, ledger)
+  }
+
+  /** Parse a JSON array of node configs:
+    * `[{"node_name":..,"node_type":..,"node_seqno":1,"config":{...}}]`.
+    */
+  def parseJson(json: String): Seq[NodeConfig] = {
+    val parsed = mapper.readValue(json, classOf[Seq[Map[String, Any]]])
+    parsed.map { m =>
+      NodeConfig(
+        nodeName = m.getOrElse("node_name", "").toString,
+        nodeType = m.getOrElse("node_type",
+          throw new IllegalArgumentException("node_type required")).toString,
+        nodeSeqno = m.get("node_seqno").map(_.toString.toInt).getOrElse(0),
+        config = m.getOrElse("config", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> String.valueOf(v) })
+    }
+  }
+
+  def fromJson(name: String, json: String, sources: SourceRegistry,
+               ledger: Ledger = Ledger.none): Pipeline =
+    build(name, parseJson(json), sources, ledger)
+}

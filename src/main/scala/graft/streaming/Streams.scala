@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import org.apache.spark.sql.Row
+
+/** Structured Streaming extensions (SURVEY.md §1.1/§2.9: the reference
+  * has no streaming — its `Filenames` directory-monitor pattern and
+  * chunked batch pull are the closest analogues; these are their
+  * engine-native upgrades).
+  *
+  * Everything here is a thin declarative layer: `readStream` sources,
+  * event-time windows with watermarks, and file-monitor ingestion.
+  * State lives in the checkpoint, parallelism in the shuffle — nothing
+  * to hand-roll.
+  */
+object Streams {
+
+  /** Monitor a directory for new files of a given format — the streaming
+    * upgrade of the reference's Filenames/FileManager polling loop.
+    * Files are discovered incrementally (checkpoint-tracked), schema is
+    * mandatory (streaming reads cannot infer).
+    */
+  def fileMonitor(spark: SparkSession, path: String, format: String,
+                  schema: StructType,
+                  options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format(format).schema(schema)
+      .options(options)
+      .option("maxFilesPerTrigger", options.getOrElse("maxFilesPerTrigger", "100"))
+      .load(path)
+
+  /** Event-time tumbling-window counts/sums with a watermark — the
+    * streaming twin of q22_events_hourly. Late rows beyond `watermark`
+    * are dropped; state for closed windows is evicted automatically.
+    */
+  def windowedStats(events: DataFrame, tsCol: String, window: String,
+                    watermark: String, valueCol: String,
+                    keyCols: Seq[String] = Nil): DataFrame = {
+    val keys = col(s"window") +: keyCols.map(col)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy((org.apache.spark.sql.functions.window(col(tsCol), window) +:
+        keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select((col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        keyCols.map(col)) :+ col("n") :+ col("sum_value"): _*)
+  }
+
+  /** Continuous ingestion: stream files from `srcPath` into a partitioned
+    * parquet sink with exactly-once file tracking via the checkpoint.
+    * The streaming E->L step.
+    */
+  def ingest(df: DataFrame, outPath: String, checkpoint: String,
+             partitionBy: Seq[String] = Nil): DataStreamWriter[Row] = {
+    var w = df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w
+  }
+
+  /** Run an AvailableNow streaming query to completion (drains whatever
+    * is currently in the source, then stops — the batch-boundary pattern
+    * for testable streaming pipelines).
+    */
+  def runAvailableNow(w: DataStreamWriter[Row]): StreamingQuery = {
+    val q = w.start()
+    q.awaitTermination()
+    q
+  }
+}

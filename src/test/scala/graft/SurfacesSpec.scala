@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.operators.Multimodal
+import graft.streaming.Streams
+
+/** M4 surfaces: config-driven pipelines, streaming, multimodal plumbing. */
+class SurfacesSpec extends SparkSpec {
+
+  test("config-driven pipeline hydrates from JSON and runs") {
+    val out = Files.createTempDirectory("cfg").toString
+    val json =
+      s"""[
+        {"node_name": "src", "node_type": "Parquet", "node_seqno": 1,
+         "config": {"path": "${sf("nation")}",
+                    "date_field": null}},
+        {"node_name": "dst", "node_type": "CSV", "node_seqno": 2,
+         "config": {"path": "$out/n", "delimiter": "|",
+                    "key_field": "process_id"}}
+      ]""".replace("\"date_field\": null}", "\"ignore\": \"x\"}")
+    val p = PipelineConfig.fromJson("cfg_pipe", json, new SourceRegistry)
+    assert(p.steps.map(_.stepType) == Seq(StepType.EL))
+    val task = p.run(spark, Calendar.day("2023-01-01"), runId = 5L)
+    assert(task.status == Status.Done)
+    val back = spark.read.option("sep", "|").option("header", true).csv(s"$out/n")
+    assert(back.count() == 25)
+    assert(back.columns.contains("pd_process_id"))
+  }
+
+  test("config registry covers the reference model surface") {
+    assert(Seq("Table", "Select", "Insert", "SQL", "CSV", "JSON", "XML",
+      "Parquet", "Filenames", "FileManager")
+      .forall(PipelineConfig.registry.contains))
+  }
+
+  test("streaming file monitor ingests incrementally with checkpointed state") {
+    val dir = Files.createTempDirectory("stream_src").toString
+    val out = Files.createTempDirectory("stream_out").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    Files.write(java.nio.file.Paths.get(dir, "a.csv"), "1,1.5\n2,2.5\n".getBytes)
+
+    val src = Streams.fileMonitor(spark, dir, "csv", schema)
+    assert(src.isStreaming)
+    Streams.runAvailableNow(Streams.ingest(src, s"$out/data", ckpt))
+    assert(spark.read.parquet(s"$out/data").count() == 2)
+
+    // second batch: only the NEW file is processed (checkpoint tracking)
+    Files.write(java.nio.file.Paths.get(dir, "b.csv"), "3,3.5\n".getBytes)
+    Streams.runAvailableNow(Streams.ingest(
+      Streams.fileMonitor(spark, dir, "csv", schema), s"$out/data", ckpt))
+    val rows = spark.read.parquet(s"$out/data")
+    assert(rows.count() == 3)
+    assert(rows.agg(sum("v")).collect()(0).getDouble(0) == 7.5)
+  }
+
+  test("streaming windowed stats with watermark produce event-time windows") {
+    val dir = Files.createTempDirectory("stream_ev").toString
+    val out = Files.createTempDirectory("stream_ev_out").toString
+    val ckpt = Files.createTempDirectory("stream_ev_ckpt").toString
+    // one file per micro-batch: append-mode emission uses the watermark
+    // from the END of the PREVIOUS batch, so the flush of the 10:00
+    // window happens in batch 3 (after batch 2 advanced the watermark
+    // past 10:40 via the 11:10 event)
+    Files.write(java.nio.file.Paths.get(dir, "e1.csv"),
+      ("2023-01-01T10:05:00,click,1.0\n" +
+       "2023-01-01T10:20:00,click,2.0\n").getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "e2.csv"),
+      "2023-01-01T11:10:00,view,3.0\n".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "e3.csv"),
+      "2023-01-01T12:30:00,view,4.0\n".getBytes)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stats = Streams.windowedStats(
+      Streams.fileMonitor(spark, dir, "csv", schema,
+        options = Map("maxFilesPerTrigger" -> "1")),
+      tsCol = "ts", window = "1 hour", watermark = "30 minutes",
+      valueCol = "value", keyCols = Seq("event_type"))
+    // complete-mode-free sink: write append with AvailableNow; watermark
+    // closes the windows at drain end
+    val q = stats.writeStream.format("parquet")
+      .option("path", s"$out/w").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = spark.read.parquet(s"$out/w")
+    // the 10:00 window (2 clicks) is flushed; later windows remain in
+    // state for the next incremental run.
+    assert(res.count() >= 1)
+    val first = res.orderBy("window_start").collect()(0)
+    assert(first.getAs[java.sql.Timestamp]("window_start").toString
+      .startsWith("2023-01-01 10:00:00"))
+    assert(first.getAs[Long]("n") == 2L)
+  }
+
+  test("multimodal: binary schema, batched stub featurization, frame fanout") {
+    val bytes1 = Array.fill[Byte](100)(1)
+    val bytes2 = Array.fill[Byte](50)(2)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", bytes1, Row("png", 10, 10, null)),
+        Row(2L, "video", bytes2, Row("mp4", 4, 4, 1000L)))),
+      Multimodal.mediaSchema)
+
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+    assert(feats.schema == Multimodal.featureSchema)
+    val rows = feats.orderBy("media_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_bytes") == 100L)
+    assert(rows(0).getSeq[Float](3).length == 16)
+    // deterministic: same bytes -> same feature
+    val again = Multimodal.extractFeatures(media, dim = 16)
+      .orderBy("media_id").collect()
+    assert(rows(0).getSeq[Float](3) == again(0).getSeq[Float](3))
+    // different bytes -> different feature
+    assert(rows(0).getSeq[Float](3) != rows(1).getSeq[Float](3))
+
+    val frames = Multimodal.sampleFrames(media, n = 4)
+    assert(frames.schema == Multimodal.frameSchema)
+    assert(frames.count() == 4) // only the video row fans out
+    assert(frames.select("media_id").distinct().collect()(0).getLong(0) == 2L)
+  }
+
+  test("multimodal ingestion adapter from binaryFile-shaped rows") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("/data/x.png", Array.fill[Byte](10)(7)))),
+      StructType(Seq(StructField("path", StringType),
+        StructField("content", BinaryType))))
+    val media = Multimodal.fromBinaryFiles(df, "image")
+    val r = media.collect()(0)
+    assert(r.getAs[String]("modality") == "image")
+    assert(r.getAs[Row]("meta").getAs[String]("format") == "png")
+    assert(media.schema("bytes").dataType == BinaryType)
+  }
+}

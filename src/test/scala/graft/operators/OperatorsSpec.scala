@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.core._
+import graft.models._
+
+/** Dedup/similarity operator semantics that the DuckDB oracle cannot
+  * check (approximate paths), plus error-limit behavior.
+  */
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(sf("documents"))
+  private lazy val embs = spark.read.parquet(sf("embeddings"))
+
+  test("IVF top-k recall vs brute force is >= 0.9") {
+    val queries = embs.filter(col("vec_id") < 20L)
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(embs, queries, k = 5, nlist = 32, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
+  test("LSH near-dup recall with amplification matched to the threshold") {
+    // Hyperplane LSH capture = 1-(1-p^bits)^tables with p = 1 - angle/pi.
+    // The corpus's strongest pairs sit near cos 0.48 (p~0.66), so dedup
+    // at that threshold needs few bits and many tables: 3x16 -> ~0.99.
+    val dupPairs = Similarity.cosineNearDupPairs(embs, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.nonEmpty)
+    val lsh = Similarity.lshTopK(embs, embs, k = 10, dim = 64,
+      bits = 3, tables = 16)
+      .filter(col("cos") >= 0.45)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val recall = (dupPairs & lsh).size.toDouble / dupPairs.size
+    assert(recall >= 0.9, s"LSH near-dup recall $recall")
+  }
+
+  test("minhash dedup agrees with exact n-gram jaccard on the gapped corpus") {
+    val a = Dedup.minhashDedup(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val b = Dedup.ngramJaccardDedup(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("simhash: identical docs collide, different docs differ") {
+    val fp = docs.limit(50).select(col("doc_id"),
+      Dedup.simhash(col("text")).as("fp"))
+    val n = fp.select("fp").distinct().count()
+    assert(n > 1) // not everything collapses
+    // doc deduped against itself: union of corpus with itself keeps one copy
+    val doubled = docs.union(docs)
+    val survivors = Dedup.exactByHash(doubled, "text", "doc_id")
+    assert(survivors.count() == Dedup.exactByHash(docs, "text", "doc_id").count())
+  }
+
+  test("dedup survivors always form a subset with min-id kept") {
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(all))
+    assert(kept.contains(all.min)) // the smallest id can never be dropped
+  }
+
+  test("TolerantMapper: under-limit errors drop rows; at-limit aborts the step") {
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    val failOdd: Row => Row = r => {
+      val id = r.getLong(0)
+      if (id % 2 == 1) sys.error(s"boom $id") else Row(id)
+    }
+    val ctx = StepContext(spark, Calendar.day("2023-01-01"))
+    val ids = docs.select("doc_id").limit(10)
+
+    // generous limit: odd rows dropped, evens survive, no abort
+    val tol = TolerantMapper(failOdd, schema, errorLimit = 1000L)
+    val out = tol.transform(ctx, ids)
+    assert(out.collect().forall(_.getLong(0) % 2 == 0))
+    assert(tol.errors == 5)
+    tol.release(ctx) // under limit: no throw
+
+    // limit 1: the reference default — first error aborts at release
+    val strict = TolerantMapper(failOdd, schema, errorLimit = 1L)
+    strict.transform(ctx, ids).count()
+    intercept[ErrorLimitExceeded](strict.release(ctx))
+
+    // inside a pipeline: task status E
+    val dir = java.nio.file.Files.createTempDirectory("tol").toString
+    val p = Pipeline(
+      ParquetModel(sf("documents").stripSuffix(".parquet") + ".parquet"),
+      Mapper(df => df.select("doc_id")),
+      ParquetModel(dir + "/ok"))
+    assert(p.run(spark, Calendar.day("2023-01-01")).status == Status.Done)
+    val failing = new Pipeline("tolerant", Seq(
+      One(ParquetModel(sf("documents").stripSuffix(".parquet") + ".parquet")),
+      One(TolerantMapper(r => Row(r.getAs[Long]("doc_id")),
+        schema, errorLimit = 0L)), // zero budget: always aborts
+      One(ParquetModel(dir + "/never"))))
+    assert(failing.run(spark, Calendar.day("2023-01-01")).status == Status.Error)
+  }
+
+  test("embedding near-dup dedup keeps min-id survivors") {
+    val pairs = Similarity.cosineNearDupPairs(embs, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.map(_._2).toSet
+    val kept = Similarity.cosineNearDupDedup(embs, 0.45)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(dropped).isEmpty)
+    assert(kept.size == embs.count() - dropped.size)
+  }
+}
