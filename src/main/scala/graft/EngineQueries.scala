@@ -41,10 +41,11 @@ object EngineQueries {
           "l_returnflag")),
         CsvModel(s"$out/li", delimiter = "|"))
       require(p.run(s, cal).status == Status.Done)
-      CsvModel(s"$out/li", delimiter = "|")
+      // explicit schema on read-back: no inferSchema double-scan
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "l_orderkey long, l_linenumber int, l_quantity double, l_returnflag string")
+      CsvModel(s"$out/li", delimiter = "|", schema = Some(schema))
         .extract(StepContext(s, cal))
-        .select(col("l_orderkey").cast("long"), col("l_linenumber").cast("int"),
-          col("l_quantity").cast("double"), col("l_returnflag"))
     }),
 
     // JSON roundtrip (JSON-lines directory layout).

@@ -1,0 +1,59 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers graft's native expressions as SQL functions, so
+  * `spark.sql("SELECT cosine_sim(a.embedding, b.embedding) ...")` works
+  * exactly like the Scala column API. Install with
+  * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(vec, vec)")
+        CosineSimilarity(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(tokens)")
+        SimHash64(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "minhash_signature(shingles, numHashes, seed)")
+        MinHashSignature(args(0), intArg(args(1), "numHashes"),
+          longArg(args(2), "seed"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_sigs"),
+      new ExpressionInfo(classOf[HyperplaneSignatures].getName, "hyperplane_sigs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "hyperplane_sigs(vec, bits, tables, seed)")
+        HyperplaneSignatures(args(0), intArg(args(1), "bits"),
+          intArg(args(2), "tables"), longArg(args(3), "seed"))
+      }))
+  }
+}

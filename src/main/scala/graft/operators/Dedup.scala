@@ -93,7 +93,8 @@ object Dedup {
         col(s"a.bucket") === col(s"b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+      // NOT distinct: cross-band duplicate pairs are cheaper to verify
+      // twice than to shuffle once more; survivors dedup at the end
   }
 
   /** Exact Jaccard similarity between two shingle-array columns. */
@@ -165,32 +166,50 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-      .distinct()
       .filter(hamming(col("fp_a"), col("fp_b")) <= maxHamming)
     docs.select(col(idCol))
       .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
-  /** Exact n-gram Jaccard dedup — the brute-force truth MinHash
-    * approximates. Quadratic within shingle-match groups (explode +
-    * self-join on shingle), so usable as-is only on modest corpora or as
-    * the verify stage; kept because it is the ORACLE-CHECKABLE variant.
+  /** EXACT n-gram Jaccard dedup with prefix filtering (the classic
+    * similarity-join pruning of Chaudhuri/Ganti/Kaushik and PPJoin):
+    * under a single global shingle order, two sets with J >= t MUST share
+    * at least one shingle among each one's first |d| - ceil(t*|d|) + 1
+    * shingles. So only those prefixes are exploded and self-joined —
+    * with rare-shingles-first ordering this prunes the candidate space by
+    * orders of magnitude — and survivors are identical to the brute
+    * all-pairs join (candidates are verified with the FULL exact Jaccard).
+    *
+    * Shuffle profile: one aggregate for shingle document-frequency, one
+    * window per doc for prefix selection, the prefix self-join, the
+    * verify joins. Everything partitions on shingle/doc-id keys.
     */
   def ngramJaccardDedup(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
     val shingled = docs.select(col(idCol),
       TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
-    val exploded = shingled.select(col(idCol), col("sh"),
+      .persist(StorageLevel.MEMORY_AND_DISK) // prefix build + verify joins
+    val exploded = shingled.select(col(idCol), size(col("sh")).as("n"),
       explode(col("sh")).as("g"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
-    val pairs = exploded.as("a").join(exploded.as("b"),
+    // global canonical order: rare shingles first (fewest candidates)
+    val wdf = Window.partitionBy("g")
+    val wdoc = Window.partitionBy(idCol).orderBy(col("__df").asc, col("g").asc)
+    val prefixes = exploded
+      .withColumn("__df", count(lit(1)).over(wdf))
+      .withColumn("__rk", row_number().over(wdoc))
+      // prefix length = n - ceil(t*n) + 1
+      .filter(col("__rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col(idCol), col("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .agg(count("*").as("inter"),
-        first(size(col("a.sh"))).as("na"), first(size(col("b.sh"))).as("nb"))
-      .filter(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")) >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val verified = cands
+      .join(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
     docs.select(col(idCol))
-      .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .join(verified.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 }

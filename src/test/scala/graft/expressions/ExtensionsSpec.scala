@@ -1,0 +1,40 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration of the native expressions. Needs its own
+  * session (extensions install at session build time).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("cosine_sim / simhash64 / minhash_signature / hyperplane_sigs in SQL") {
+    val r = spark.sql(
+      """SELECT
+        cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c1,
+        cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c0,
+        simhash64(array('the', 'quick', 'fox')) AS sh,
+        minhash_signature(array('a b c', 'b c d'), 4, 42L) AS mh,
+        hyperplane_sigs(array(CAST(0.5 AS FLOAT), CAST(-0.2 AS FLOAT)), 4, 2, 42L) AS hp
+      """).collect()(0)
+    assert(r.getAs[Double]("c1") == 1.0)
+    assert(r.getAs[Double]("c0") == 0.0)
+    assert(r.getAs[Long]("sh") != 0L)
+    assert(r.getSeq[Long](3).length == 4)
+    assert(r.getSeq[Long](4).length == 2)
+    // SQL result equals the column-API result on the same input
+    import org.apache.spark.sql.functions._
+    val viaApi = spark.range(1).select(
+      graft.functions.VectorFunctions.cosine(
+        array(lit(1.0), lit(0.0)), array(lit(1.0), lit(0.0))).as("c"))
+      .collect()(0).getDouble(0)
+    assert(viaApi == r.getAs[Double]("c1"))
+  }
+}
