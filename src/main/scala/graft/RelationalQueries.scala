@@ -260,6 +260,41 @@ object RelationalQueries {
           sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
           sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
           count(lit(1)).as("n_total"))
+    }),
+
+    // CUBE aggregation (all grouping-set combinations).
+    "q25_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Exact percentiles (interpolated), grouped.
+    "q26_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+    }),
+
+    // JSON extraction from a string column (the events.props payload).
+    "q27_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+    }),
+
+    // Array aggregation: deterministic sorted collect per group.
+    "q28_array_agg" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+      t(s, dir, "region")
+        .join(nat, col("r_regionkey") === col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
     }))
 
   private val decS = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
@@ -399,5 +434,25 @@ object RelationalQueries {
           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
           count(*) AS n_total
-        FROM events GROUP BY user_id""")
+        FROM events GROUP BY user_id""",
+    "q25_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         ${ds("l_quantity")} AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q26_percentile" ->
+      """SELECT l_returnflag,
+          quantile_cont(l_quantity, 0.5) AS p50,
+          quantile_cont(l_quantity, 0.9) AS p90,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag""",
+    "q27_json_extract" ->
+      """SELECT event_type,
+          CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+          count(props->>'k') AS n_k
+        FROM events GROUP BY event_type""",
+    "q28_array_agg" ->
+      """SELECT r_name,
+          array_to_string(list_sort(list(n_name)), ',') AS nations
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+        GROUP BY r_name""")
 }

@@ -117,12 +117,14 @@ object TextFunctions {
         i => substring(t, i, lit(n))))
   }
 
-  /** Word n-gram shingles, distinct — the unit for Jaccard similarity. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles, distinct, first-seen order — the unit for
+    * Jaccard similarity. Native single-pass expression; identical output
+    * to the declarative
+    * `array_distinct(transform(sequence, i => concat_ws(slice)))` form
+    * (and to the DuckDB oracle twin), without per-shingle allocation.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.expressions.kernels.toCol(
+      graft.expressions.WordNGrams(
+        graft.expressions.kernels.toExpr(tokens(text)), n))
 }

@@ -16,5 +16,6 @@ object SparkSpec {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false"))
+    .withExtensions(new graft.expressions.GraftExtensions)
     .getOrCreate()
 }

@@ -1,19 +1,13 @@
 package graft.expressions
 
-import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** SQL-surface registration of the native expressions. Needs its own
-  * session (extensions install at session build time).
+/** SQL-surface registration of the native expressions (installed on the
+  * shared test session via `.withExtensions(new GraftExtensions)` —
+  * extensions bind at session BUILD time, so `getOrCreate` against an
+  * existing session would silently skip them).
   */
-class ExtensionsSpec extends AnyFunSuite {
-
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+class ExtensionsSpec extends graft.SparkSpec {
 
   test("cosine_sim / simhash64 / minhash_signature / hyperplane_sigs in SQL") {
     val r = spark.sql(
