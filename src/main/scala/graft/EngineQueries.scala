@@ -158,6 +158,27 @@ object EngineQueries {
       FilenamesModel(dir, mask = Some("\\.parquet$"))
         .extract(StepContext(s, cal))
         .select("file", "is_file", "size")
+    }),
+
+    // Bucketed co-located join: both sides bucketed+sorted on the join
+    // key, so the sort-merge join needs NO shuffle (PlanSpec asserts the
+    // exchange-free plan). The 100 TB pattern for repeated fact joins.
+    "m09_bucketed_join" -> ((s, dir) => {
+      val out = tmp("bucket")
+      s.sql("DROP TABLE IF EXISTS m09_orders")
+      s.sql("DROP TABLE IF EXISTS m09_lineitem")
+      Tables.load(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$out/orders").saveAsTable("m09_orders")
+      Tables.load(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$out/lineitem").saveAsTable("m09_lineitem")
+      s.table("m09_orders")
+        .join(s.table("m09_lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(max(col("o_totalprice")).as("o_totalprice"),
+          graft.functions.decSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -183,5 +204,11 @@ object EngineQueries {
         l_quantity, CAST(11 AS BIGINT) AS pd_process_id
         FROM lineitem
         WHERE l_shipdate BETWEEN TIMESTAMP '1995-06-01 00:00:00'
-          AND TIMESTAMP '1995-06-30 23:59:59'""")
+          AND TIMESTAMP '1995-06-30 23:59:59'""",
+    "m09_bucketed_join" ->
+      """SELECT o_orderkey, max(o_totalprice) AS o_totalprice,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        count(*) AS n
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey""")
 }

@@ -295,6 +295,25 @@ object RelationalQueries {
         .join(nat, col("r_regionkey") === col("n_regionkey"))
         .groupBy("r_name")
         .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+    }),
+
+    // Skew-salted two-stage aggregation; result identical to a plain
+    // groupBy (the oracle), shuffle pressure spread over 16 shards.
+    "q29_salted_agg" -> ((s, dir) => {
+      graft.operators.Relational.saltedSumCount(
+        t(s, dir, "events"), Seq("event_type"), "value", salt = 16)
+    }),
+
+    // As-of join: latest purchase at-or-before each click, per user.
+    "q30_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("pvalue"))
+      graft.operators.Relational.asofJoin(clicks, purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("pvalue"))
     }))
 
   private val decS = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
@@ -454,5 +473,17 @@ object RelationalQueries {
       """SELECT r_name,
           array_to_string(list_sort(list(n_name)), ',') AS nations
         FROM region JOIN nation ON r_regionkey = n_regionkey
-        GROUP BY r_name""")
+        GROUP BY r_name""",
+    "q29_salted_agg" ->
+      s"""SELECT event_type, ${ds("value")} AS sum_value, count(*) AS n
+         FROM events GROUP BY event_type""",
+    "q30_asof_join" ->
+      """WITH purchases AS (
+          SELECT user_id, ts, max(value) AS pvalue
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        SELECT c.event_id, c.user_id, c.ts, p.pvalue
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts""")
 }

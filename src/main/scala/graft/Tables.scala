@@ -25,8 +25,11 @@ object Tables {
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer division: `/` on longs is DOUBLE division, which cannot
+    // represent epoch-nanos exactly (2^53 < 1.7e18) and rounds the
+    // microsecond
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Register every table as a temp view so Spark SQL text works too. */

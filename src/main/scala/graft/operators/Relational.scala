@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond the Spark built-ins: skew-salted
+  * aggregation and as-of (most-recent-at-or-before) joins — composed
+  * from existing operators per the custom-operator preference order
+  * (compose > custom Expression > custom plan node).
+  */
+object Relational {
+
+  /** Two-stage aggregation with key salting — the standard fix for a
+    * skewed groupBy where one hot key overwhelms a single reducer.
+    * Stage 1 partially aggregates on (keys, salt) over `salt` shards;
+    * stage 2 combines the shards. Correct for algebraic aggregates
+    * (sum/count/min/max); the caller supplies both phases.
+    *
+    * At 100 TB: AQE's skew handling covers JOINS, but a skewed
+    * aggregation key still funnels into one task without salting.
+    * Spark's own partial aggregation already does map-side combine; use
+    * this when the REDUCE side itself is the bottleneck (e.g. exact
+    * distinct counting per hot key downstream of an explode).
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int)(
+      partial: Seq[(Column, String)], // stage-1 aggregates, with names
+      combine: Seq[(String, Column)]  // stage-2: name -> combiner over stage-1 col
+  ): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val stage1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partial.head._1.as(partial.head._2),
+        partial.tail.map { case (c, n) => c.as(n) }: _*)
+    stage1.groupBy(keys.map(col): _*)
+      .agg(combine.head._2.as(combine.head._1),
+        combine.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Convenience: salted sum+count per key (the common skewed shape). */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     salt: Int = 16): DataFrame =
+    saltedAgg(df, keys, salt)(
+      Seq(sum(col(valueCol).cast("decimal(38,6)")) -> "__psum",
+        count(lit(1)) -> "__pcnt"),
+      Seq("sum_value" -> sum(col("__psum")).cast("double"),
+        "n" -> sum(col("__pcnt"))))
+
+  /** As-of join: for each left row, attach the single most recent right
+    * row with `rightTs <= leftTs` (inclusive) sharing the equi-keys —
+    * the time-series point-in-time lookup Spark lacks as a built-in.
+    *
+    * Implementation: union both sides tagged, one window pass per key
+    * ordered by (ts, side) carrying the right payload forward with
+    * `last(_, ignoreNulls)`. ONE shuffle on the keys — same cost as a
+    * plain aggregation, no range-join explosion, skew-safe under AQE.
+    * Right side must be unique per (keys, rightTs); pre-dedupe if not.
+    *
+    * Returns left rows (original columns) plus the right payload
+    * columns (null when no right row precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               keys: Seq[String], leftTs: String, rightTs: String,
+               payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // normalize: both sides get (keys, __ts, __side, payload..., left-cols...)
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1)) // left sorts AFTER right at equal ts
+    val r0 = right.select((keys.map(col) :+ col(rightTs).as("__ts")) ++
+      payload.map(c => col(c).as(s"__p_$c")): _*)
+      .withColumn("__side", lit(0))
+    // align schemas for the union
+    val lAligned = l.select(
+      (keys.map(col) :+ col("__ts") :+ col("__side")) ++
+        payload.map(c => lit(null).cast(r0.schema(s"__p_$c").dataType).as(s"__p_$c")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+    val rAligned = r0.select(
+      (keys.map(col) :+ col("__ts") :+ col("__side")) ++
+        payload.map(c => col(s"__p_$c")) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val unioned = rAligned.union(lAligned)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__c_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__c_$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+
+  test("salted aggregation equals plain aggregation") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val salted = Relational.saltedSumCount(ev, Seq("event_type"), "value")
+      .orderBy("event_type").collect()
+    val plain = ev.groupBy("event_type")
+      .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
+  test("asof join picks the latest right row at-or-before, inclusive") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2023-01-01 10:00:00")),
+      (2L, 10L, ts("2023-01-01 12:00:00")),
+      (3L, 10L, ts("2023-01-01 09:00:00")), // before any right row
+      (4L, 20L, ts("2023-01-01 12:00:00"))  // equal ts -> inclusive
+    ).toDF("id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2023-01-01 09:30:00"), 1.0),
+      (10L, ts("2023-01-01 11:00:00"), 2.0),
+      (20L, ts("2023-01-01 12:00:00"), 9.0)
+    ).toDF("user_id", "ts", "pvalue")
+    val out = Relational.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("pvalue"))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.get(3)))).toSeq == Seq(
+      (1L, Some(1.0)), // 10:00 -> 09:30 row
+      (2L, Some(2.0)), // 12:00 -> 11:00 row
+      (3L, None),      // nothing at or before 09:00
+      (4L, Some(9.0)))) // equal timestamp included
+  }
+
+  test("bucketed join plan has no shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.EngineQueries.defs("m09_bucketed_join")(spark, dir)
+      df.collect() // force execution (AQE finalizes the plan)
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike => e
+      }
+      // join + grouping both run on the bucketed layout: the only
+      // permissible exchange would be none at all
+      assert(shuffles.isEmpty,
+        s"expected exchange-free bucketed plan, found ${shuffles.size}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
