@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class SessionizeSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stateful sessionization: gap split in-batch, timeout across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+    val out = Sessionize.sessions(events, gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 has two sessions already visible in-batch (gap >
+      // 30m between 10:20 and 12:00); the 12:00 one stays open in state
+      input.addData(
+        (1L, ts("2023-01-01 10:00:00")),
+        (1L, ts("2023-01-01 10:20:00")),
+        (1L, ts("2023-01-01 12:00:00")),
+        (2L, ts("2023-01-01 10:00:00")))
+      q.processAllAvailable()
+      // processAllAvailable also runs the follow-up timeout batch: the
+      // batch-1 watermark (12:00) already times out user 2's open
+      // session (ends 10:00, gap 30m), while user 1's 12:00 session
+      // (timeout 12:30) stays in state
+      val afterB1 = spark.table("sessions")
+        .orderBy("user_id").collect()
+      assert(afterB1.length == 2)
+      assert(afterB1(0).getLong(0) == 1L)
+      assert(afterB1(0).getAs[Timestamp]("session_start") == ts("2023-01-01 10:00:00"))
+      assert(afterB1(0).getAs[Timestamp]("session_end") == ts("2023-01-01 10:20:00"))
+      assert(afterB1(0).getAs[Long]("n_events") == 2L)
+      assert(afterB1(1).getLong(0) == 2L)
+
+      // batch 2: an event far in the future advances the watermark past
+      // every open session's end+gap -> both time out and emit
+      input.addData((3L, ts("2023-01-01 18:00:00")))
+      q.processAllAvailable()
+      // one more batch so timeouts fire with the advanced watermark
+      input.addData((3L, ts("2023-01-01 18:00:01")))
+      q.processAllAvailable()
+      val all = spark.table("sessions")
+        .orderBy("user_id", "session_start").collect()
+      val got = all.map(r => (r.getLong(0),
+        r.getAs[Timestamp](1).toString, r.getAs[Timestamp](2).toString,
+        r.getLong(3))).toSeq
+      assert(got.contains((1L, "2023-01-01 12:00:00.0", "2023-01-01 12:00:00.0", 1L)),
+        s"open session of user 1 should time out; got $got")
+      assert(got.contains((2L, "2023-01-01 10:00:00.0", "2023-01-01 10:00:00.0", 1L)),
+        s"user 2 session should time out; got $got")
+    } finally q.stop()
+  }
+}
