@@ -314,6 +314,15 @@ object RelationalQueries {
       graft.operators.Relational.asofJoin(clicks, purchases,
         keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
         payload = Seq("pvalue"))
+    }),
+
+    // Explicit GROUPING SETS (finer than cube/rollup).
+    "q31_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
     }))
 
   private val decS = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
@@ -359,7 +368,7 @@ object RelationalQueries {
          FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
          GROUP BY n_name""",
     "q07_window_rank" ->
-      """SELECT s_nationkey, s_suppkey, s_name, rk FROM (
+      """SELECT s_nationkey, s_suppkey, s_name, CAST(rk AS INTEGER) AS rk FROM (
           SELECT s_nationkey, s_suppkey, s_name,
             row_number() OVER (PARTITION BY s_nationkey
               ORDER BY s_acctbal DESC, s_suppkey ASC) AS rk
@@ -485,5 +494,10 @@ object RelationalQueries {
           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
         SELECT c.event_id, c.user_id, c.ts, p.pvalue
         FROM clicks c ASOF LEFT JOIN purchases p
-          ON c.user_id = p.user_id AND c.ts >= p.ts""")
+          ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "q31_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         ${ds("l_quantity")} AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
 }

@@ -171,6 +171,55 @@ object Dedup {
       .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
+  /** Transitive-closure dedup: treat verified similar pairs as edges of
+    * an undirected graph and keep ONE doc (the min id) per connected
+    * component — the upgrade over single-pass keep-min-id when duplicate
+    * chains matter (a~b, b~c, a!~c must still collapse to {a}).
+    *
+    * Iterative min-label propagation: every node adopts the smallest
+    * label among itself and its neighbors until fixpoint; O(diameter)
+    * rounds, each one join + aggregate (both shuffling on node id).
+    * Duplicate chains in real corpora are shallow, so 3-6 rounds
+    * typically converge; `maxIter` bounds pathological chains.
+    *
+    * `pairs` must have columns (id_a, id_b); returns (id, component)
+    * with component = min id of the connected component. Docs absent
+    * from `pairs` are their own component.
+    */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+                          idCol: String, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src").as("id2")).agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, col("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.as("u").join(labels.as("l"), "id")
+        .filter(col("u.label") =!= col("l.label")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("component"))
+  }
+
+  /** Cluster-aware survivors: one doc (min id) per similarity component,
+    * with `pairs` the verified similar pairs from any dedup family.
+    */
+  def clusteredSurvivors(docs: DataFrame, pairs: DataFrame,
+                         idCol: String): DataFrame =
+    connectedComponents(docs.select(col(idCol)), pairs, idCol)
+      .filter(col(idCol) === col("component"))
+      .select(idCol)
+
   /** EXACT n-gram Jaccard dedup with prefix filtering (the classic
     * similarity-join pruning of Chaudhuri/Ganti/Kaushik and PPJoin):
     * under a single global shingle order, two sets with J >= t MUST share

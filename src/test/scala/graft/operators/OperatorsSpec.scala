@@ -108,6 +108,26 @@ class OperatorsSpec extends SparkSpec {
     assert(failing.run(spark, Calendar.day("2023-01-01")).status == Status.Error)
   }
 
+  test("connected components collapse transitive duplicate chains") {
+    import spark.implicits._
+    val ids = (1L to 8L).toDF("doc_id")
+    // components: {1,2,3} via chain 1-2, 2-3; {5,6}; singletons 4,7,8
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(ids, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+    val survivors = Dedup.clusteredSurvivors(ids, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L, 5L, 7L, 8L))
+    // single-pass policy would ALSO drop only 2,3,6 here; a chain where
+    // transitivity matters: 10-11, 11-12 with no direct 10-12 edge
+    val ids2 = Seq(10L, 11L, 12L).toDF("doc_id")
+    val chain = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    assert(Dedup.clusteredSurvivors(ids2, chain, "doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(10L))
+  }
+
   test("embedding near-dup dedup keeps min-id survivors") {
     val pairs = Similarity.cosineNearDupPairs(embs, 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
