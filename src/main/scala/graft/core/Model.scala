@@ -92,7 +92,8 @@ final case class StepContext(
     spark: SparkSession,
     calendar: CalendarDate,
     runId: Long = 0L,
-    variables: Map[String, String] = Map.empty) {
+    variables: Map[String, String] = Map.empty,
+    ledger: Ledger = Ledger.none) {
 
   /** `{var}` templating for custom queries/paths (models.py:917-919). */
   def render(text: String): String = {

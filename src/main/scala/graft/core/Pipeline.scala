@@ -280,7 +280,7 @@ final class Pipeline(val name: String, items: Seq[PipeItem],
           calendar: CalendarDate = Calendar.today(),
           runId: Long = 0L): Task = {
     val task = new Task(this, ledger)
-    val ctx = StepContext(spark, calendar, runId)
+    val ctx = StepContext(spark, calendar, runId, ledger = ledger)
     task.run(ctx)
     task
   }

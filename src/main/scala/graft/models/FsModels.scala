@@ -161,10 +161,18 @@ final case class FileManagerModel(
             dfs.rename(tmpDst, finalDst)
           }
           filesWritten += 1
-          bytesWritten += dfs.getFileStatus(finalDst).getLen
+          val written = dfs.getFileStatus(finalDst).getLen
+          bytesWritten += written
+          ctx.ledger.logFile(ctx, modelName, finalDst.getName,
+            finalDst.toString, written, action)
         }
       }
-      if (action == "move" || action == "delete") fs.delete(src, false)
+      if (action == "move" || action == "delete") {
+        fs.delete(src, false)
+        if (action == "delete")
+          ctx.ledger.logFile(ctx, modelName, src.getName, src.toString,
+            st.getLen, action)
+      }
     }
     ExecResult(resultValue = Some(filesRead),
       resultLong = Some(s"files_read=$filesRead bytes_read=$bytesRead " +

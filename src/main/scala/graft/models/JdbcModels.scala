@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.core._
+import graft.core.Status
 
 /** Shared JDBC plumbing for the database models. Query texts can come
   * inline or from a file (models.py:652-655 `text=`/`path=`), with
@@ -159,17 +160,25 @@ final case class SqlModel(
   extends PdModel with Executable with JdbcQueryText {
 
   def execute(ctx: StepContext): ExecResult = {
+    val text = queryText(ctx)
     val c = source.connect()
     try {
       var total = 0L
-      for (stmt <- queryText(ctx).split(";").map(_.trim).filter(_.nonEmpty)) {
+      for (stmt <- text.split(";").map(_.trim).filter(_.nonEmpty)) {
         val s = c.createStatement()
         try {
           val isRs = s.execute(stmt)
           if (!isRs && s.getUpdateCount >= 0) total += s.getUpdateCount
         } finally s.close()
       }
+      // query-log bookkeeping (Query.save_as_completed - models.py:629-646)
+      ctx.ledger.logQuery(ctx, modelName, text, total, Status.Done)
       ExecResult(resultValue = Some(total))
+    } catch {
+      case e: java.sql.SQLException =>
+        ctx.ledger.logQuery(ctx, modelName, text, -1L, Status.Error,
+          Some(e.getMessage))
+        throw e
     } finally c.close()
   }
 }
@@ -234,12 +243,19 @@ final case class InsertModel(
   }
 
   def execute(ctx: StepContext): ExecResult = {
+    val sqlText = statement(ctx)
     val c = source.connect()
     try {
       if (knobs.cleanup)
         c.createStatement().executeUpdate(s"delete from $qualifiedName")
-      val n = c.createStatement().executeUpdate(statement(ctx))
+      val n = c.createStatement().executeUpdate(sqlText)
+      ctx.ledger.logQuery(ctx, modelName, sqlText, n.toLong, Status.Done)
       ExecResult(resultValue = Some(n.toLong))
+    } catch {
+      case e: java.sql.SQLException =>
+        ctx.ledger.logQuery(ctx, modelName, sqlText, -1L, Status.Error,
+          Some(e.getMessage))
+        throw e
     } finally c.close()
   }
 

@@ -139,6 +139,44 @@ class JdbcModelsSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("SqlModel and FileManager write query-log/file-log rows via the context") {
+    val ledger = Ledger.jdbc(db)
+    val c = StepContext(spark, Calendar.day("2023-01-01"), runId = 777L,
+      ledger = ledger)
+    // successful script -> status D row with affected-row count
+    SqlModel(db, text = Some(
+      "insert into src_t values (99, 'logged', 1.0); delete from src_t where id = 99"))
+      .execute(c)
+    // failing script -> status E row, exception still propagates
+    intercept[java.sql.SQLException] {
+      SqlModel(db, text = Some("select * from table_that_does_not_exist"))
+        .execute(c)
+    }
+    val conn = db.connect()
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "select status, output_rows from pd_query_log where run_id = 777 order by id")
+      assert(rs.next()); assert(rs.getString(1) == "D" && rs.getLong(2) == 2)
+      assert(rs.next()); assert(rs.getString(1) == "E" && rs.getLong(2) == -1)
+    } finally conn.close()
+
+    // FileManager logs one row per transferred file
+    val dir = java.nio.file.Files.createTempDirectory("flog").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f.bin"),
+      Array.fill[Byte](10)(1))
+    FileManagerModel(dir, action = "copy", mask = Some("\\.bin$"),
+      destinations = Seq(dir + "/out")).execute(c)
+    val conn2 = db.connect()
+    try {
+      val rs = conn2.createStatement().executeQuery(
+        """select file_name, bytes, file_action from pd_file_log
+          where run_id = 777""")
+      assert(rs.next())
+      assert(rs.getString(1) == "f.bin" && rs.getLong(2) == 10
+        && rs.getString(3) == "copy")
+    } finally conn2.close()
+  }
+
   test("SourceRegistry INI heuristic: database vs filesystem sections") {
     val ini = java.nio.file.Files.createTempFile("sources", ".ini")
     java.nio.file.Files.write(ini,
