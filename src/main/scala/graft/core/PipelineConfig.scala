@@ -69,7 +69,9 @@ object PipelineConfig {
     "Parquet" -> ((c, _) => ParquetModel(get(c, "path"), knobs = knobsOf(c))),
     "Filenames" -> ((c, _) => FilenamesModel(get(c, "path"),
       mask = c.get("mask"),
-      recursive = c.get("recursive").forall(_.toBoolean))),
+      recursive = c.get("recursive").forall(_.toBoolean),
+      createdFromExpr = c.get("created_from"),
+      createdToExpr = c.get("created_to"))),
     "FileManager" -> ((c, _) => FileManagerModel(get(c, "path"),
       action = get(c, "action"),
       destinations = c.get("destination").toSeq,

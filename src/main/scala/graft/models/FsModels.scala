@@ -65,6 +65,11 @@ final case class FilenamesModel(
     recursive: Boolean = true,
     createdFrom: Option[CalendarDate] = None,
     createdTo: Option[CalendarDate] = None,
+    /** Calendar EXPRESSIONS resolved against the run's calendar at read
+      * time (e.g. "calendar.yesterday", "days_back(3)") — the parsed
+      * replacement for the reference's eval'd `created` spec. */
+    createdFromExpr: Option[String] = None,
+    createdToExpr: Option[String] = None,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Extractable {
 
@@ -82,7 +87,11 @@ final case class FilenamesModel(
   protected def read(ctx: StepContext): DataFrame = {
     val p = new Path(ctx.render(path))
     val fs = p.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
-    val filter = FilesFilter(ctx.render(path), mask, recursive, createdFrom, createdTo)
+    val from = createdFrom.orElse(
+      createdFromExpr.map(CalendarExpr.resolveDate(_, ctx.calendar)))
+    val to = createdTo.orElse(
+      createdToExpr.map(CalendarExpr.resolveDate(_, ctx.calendar)))
+    val filter = FilesFilter(ctx.render(path), mask, recursive, from, to)
     val rows = filter.select(fs).map { st =>
       val full = Path.getPathWithoutSchemeAndAuthority(st.getPath).toString
       Row("localhost", full, p.toString,

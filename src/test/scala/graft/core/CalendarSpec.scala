@@ -87,4 +87,19 @@ class CalendarSpec extends AnyFunSuite {
       assert(d.daysBack(n).end.isBefore(d.start.plusSeconds(1)))
     }
   }
+
+  test("calendar expression parser replaces the reference's eval") {
+    def r(e: String) = CalendarExpr.resolve(e, d)
+    assert(r("calendar.yesterday.start") == LocalDateTime.parse("2023-03-14T00:00:00"))
+    assert(r("yd.end") == LocalDateTime.parse("2023-03-14T23:59:59"))
+    assert(r("days_back(3)") == LocalDateTime.parse("2023-03-12T00:00:00"))
+    assert(r("days_back(3).end") == LocalDateTime.parse("2023-03-12T23:59:59"))
+    assert(r("month.prev.start") == LocalDateTime.parse("2023-02-01T00:00:00"))
+    assert(r("calendar.mm.end") == LocalDateTime.parse("2023-03-31T23:59:59"))
+    assert(r("months_back(1).start") == LocalDateTime.parse("2023-02-01T00:00:00"))
+    assert(r("year.start") == LocalDateTime.parse("2023-01-01T00:00:00"))
+    assert(r("timezone(3).start") == LocalDateTime.parse("2023-03-15T03:00:00"))
+    intercept[IllegalArgumentException](r("rm_rf(1)"))
+    intercept[IllegalArgumentException](r("calendar.__class__"))
+  }
 }
