@@ -1,0 +1,45 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.scheduler.{Cron, JobSpec}
+
+class RepositorySpec extends SparkSpec {
+
+  private val db = DatabaseSource("repodb",
+    url = "jdbc:derby:memory:graftrepo;create=true")
+
+  test("JobSpec persists and loads back equal (schedule roundtrip)") {
+    val repo = new Repository(db)
+    val spec = JobSpec(0L, "roundtrip",
+      enabled = true,
+      schedule = Cron.Schedule(mday = Some("1-15"), hour = Some("/6"),
+        min = Some("0"), sec = Some("0"), wday = Some("1,3,5")),
+      parallelism = "3",
+      timeoutSeconds = Some(3600),
+      sleepPeriod = Some("22-23"),
+      wakeUpPeriod = Some("30"),
+      rerunIntervalSeconds = Some(300),
+      rerunLimit = 2, rerunDays = 3,
+      triggerList = Seq(7L, 9L))
+    val id = repo.saveJob(spec)
+    assert(id > 0)
+    val loaded = repo.loadJobs().find(_.id == id).get
+    assert(loaded == spec.copy(id = id))
+  }
+
+  test("config-driven pipeline persists and hydrates from the DB") {
+    val repo = new Repository(db)
+    val jobId = repo.saveJob(JobSpec(0L, "cfg"))
+    val out = java.nio.file.Files.createTempDirectory("repo").toString
+    repo.savePipeline(jobId, "p", Seq(
+      PipelineConfig.NodeConfig("src", "Parquet", 1,
+        Map("path" -> sf("region"))),
+      PipelineConfig.NodeConfig("dst", "JSON", 2,
+        Map("path" -> s"$out/r"))))
+    val p = repo.loadPipeline(jobId, new SourceRegistry).get
+    assert(p.steps.map(_.stepType) == Seq(StepType.EL))
+    assert(p.run(spark, Calendar.day("2023-01-01")).status == Status.Done)
+    assert(spark.read.json(s"$out/r").count() == 5)
+    assert(repo.loadPipeline(9999L, new SourceRegistry).isEmpty)
+  }
+}
