@@ -1,0 +1,117 @@
+package graft.scheduler
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import scala.jdk.CollectionConverters._
+
+/** REST admin surface (pydin/web.py:35-322): the reference's Flask app
+  * re-expressed over the JDK's built-in HttpServer (zero dependencies).
+  * Bearer-token auth (web.py:146-151); verbs delegate to [[Driver]].
+  *
+  * Endpoints (web.py:154-322 parity where meaningful in-process):
+  *   GET  /api/test          - liveness
+  *   GET  /api/help          - endpoint list
+  *   GET  /api/jobs          - list job specs
+  *   POST /api/create-job    - params: name, hour, min, sec, ...
+  *   POST /api/enable-job    - param: id
+  *   POST /api/disable-job   - param: id
+  *   POST /api/run-job       - params: id, tag (epoch seconds)
+  *   GET  /api/history       - completed runs
+  */
+final class RestServer(driver: Driver, token: String, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def authed(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .contains(s"Bearer $token")
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    (q + "&" + body).split('&').toSeq
+      .filter(_.contains('='))
+      .map { kv => val i = kv.indexOf('='); kv.take(i) ->
+        java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8") }
+      .toMap
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private val endpoints = Seq("/api/test", "/api/help", "/api/jobs",
+    "/api/create-job", "/api/enable-job", "/api/disable-job",
+    "/api/run-job", "/api/history")
+
+  private def handle(ex: HttpExchange): Unit = {
+    if (!authed(ex)) { respond(ex, 401, """{"error":"unauthorized"}"""); return }
+    try {
+      ex.getRequestURI.getPath match {
+        case "/api/test" => respond(ex, 200, """{"status":"ok"}""")
+        case "/api/help" => respond(ex, 200,
+          endpoints.map(e => s""""$e"""").mkString("[", ",", "]"))
+        case "/api/jobs" =>
+          val rows = driver.listJobs().map(j =>
+            s"""{"id":${j.id},"name":"${esc(j.name)}","enabled":${j.enabled}}""")
+          respond(ex, 200, rows.mkString("[", ",", "]"))
+        case "/api/create-job" =>
+          val p = params(ex)
+          val id = p.get("id").map(_.toLong)
+            .getOrElse(driver.listJobs().map(_.id).maxOption.getOrElse(0L) + 1)
+          val spec = JobSpec(id, p.getOrElse("name", s"job_$id"),
+            enabled = p.get("enabled").forall(_.toBoolean),
+            schedule = Cron.Schedule(p.get("mday"), p.get("hour"),
+              p.get("min"), p.get("sec"), p.get("wday"), p.get("yday")),
+            parallelism = p.getOrElse("parallelism", "N"))
+          driver.createJob(spec)
+          respond(ex, 200, s"""{"created":${spec.id}}""")
+        case "/api/enable-job" =>
+          val ok = driver.enableJob(params(ex)("id").toLong).isDefined
+          respond(ex, if (ok) 200 else 404, s"""{"enabled":$ok}""")
+        case "/api/disable-job" =>
+          val ok = driver.disableJob(params(ex)("id").toLong).isDefined
+          respond(ex, if (ok) 200 else 404, s"""{"disabled":$ok}""")
+        case "/api/run-job" =>
+          val p = params(ex)
+          val run = driver.runJob(p("id").toLong,
+            p.get("tag").map(_.toLong).getOrElse(System.currentTimeMillis() / 1000))
+          run match {
+            case Some(r) => respond(ex, 200,
+              s"""{"run_id":${r.runId},"tag":${r.tag}}""")
+            case None => respond(ex, 409, """{"error":"busy or unknown job"}""")
+          }
+        case "/api/history" =>
+          val rows = driver.runHistory().map { case (r, st) =>
+            s"""{"run_id":${r.runId},"job_id":${r.job.id},"tag":${r.tag},"status":"$st"}"""
+          }
+          respond(ex, 200, rows.mkString("[", ",", "]"))
+        case _ => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case e: Exception => respond(ex, 500,
+        s"""{"error":"${esc(String.valueOf(e.getMessage))}"}""")
+    }
+  }
+
+  def start(): RestServer = {
+    server.createContext("/", handle _)
+    server.setExecutor(null)
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+}

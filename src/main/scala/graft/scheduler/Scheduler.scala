@@ -103,6 +103,16 @@ final class Scheduler(runner: JobRunner,
   def deregister(jobId: Long): Unit = jobs.remove(jobId)
   def job(jobId: Long): Option[JobSpec] = Option(jobs.get(jobId))
 
+  /** Reload the in-memory schedule from the durable store — the
+    * reference's periodic schedule refresh (`refresh_interval` 300 s,
+    * config.py:149). Call from the tick loop or on demand. */
+  def refreshFrom(repo: graft.core.Repository): Unit = {
+    val fresh = repo.loadJobs()
+    val freshIds = fresh.map(_.id).toSet
+    fresh.foreach(register)
+    jobs.keySet.asScala.toSet.diff(freshIds).foreach(jobs.remove(_))
+  }
+
   def runningCount(jobId: Long): Int =
     Option(running.get(jobId)).map(_.get().toInt).getOrElse(0)
 

@@ -1,0 +1,76 @@
+package graft.scheduler
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RestServerSpec extends AnyFunSuite {
+
+  private class Recorder extends JobRunner {
+    val runs = new ConcurrentLinkedQueue[(Long, Long)]()
+    def run(job: JobSpec, tag: Long): Unit = runs.add((job.id, tag))
+  }
+
+  test("REST surface: auth, create/enable/run/history round trip") {
+    val rec = new Recorder
+    val sched = new Scheduler(rec)
+    val driver = new Driver(sched)
+    val srv = new RestServer(driver, token = "s3cret").start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    val http = HttpClient.newHttpClient()
+
+    def call(path: String, token: Option[String] = Some("s3cret"),
+             post: Option[String] = None): HttpResponse[String] = {
+      var b = HttpRequest.newBuilder(URI.create(base + path))
+      token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+      post.foreach(p => b = b.POST(HttpRequest.BodyPublishers.ofString(p)))
+      http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    }
+
+    try {
+      // auth gate (web.py:146-151)
+      assert(call("/api/test", token = None).statusCode() == 401)
+      assert(call("/api/test", token = Some("wrong")).statusCode() == 401)
+      assert(call("/api/test").body() == """{"status":"ok"}""")
+      assert(call("/api/help").body().contains("/api/run-job"))
+
+      // create (disabled job with a never-matching schedule: manual-only)
+      val created = call("/api/create-job",
+        post = Some("name=rest-job&sec=-"))
+      assert(created.statusCode() == 200 && created.body() == """{"created":1}""")
+      assert(call("/api/jobs").body() ==
+        """[{"id":1,"name":"rest-job","enabled":true}]""")
+
+      assert(call("/api/disable-job", post = Some("id=1")).body() ==
+        """{"disabled":true}""")
+      assert(call("/api/enable-job", post = Some("id=1")).body() ==
+        """{"enabled":true}""")
+      assert(call("/api/enable-job", post = Some("id=99")).statusCode() == 404)
+
+      // run with an explicit logical tag
+      val run = call("/api/run-job", post = Some("id=1&tag=1672531200"))
+      assert(run.statusCode() == 200 && run.body().contains(""""tag":1672531200"""))
+      assert(sched.drain())
+      assert(rec.runs.peek() == (1L, 1672531200L))
+      val hist = call("/api/history").body()
+      assert(hist.contains(""""status":"D""""))
+    } finally { srv.stop(); sched.stop() }
+  }
+
+  test("scheduler refresh from the durable repository") {
+    val db = graft.core.DatabaseSource("restdb",
+      "jdbc:derby:memory:graftrest;create=true")
+    val repo = new graft.core.Repository(db)
+    val id = repo.saveJob(JobSpec(0L, "from-db",
+      schedule = Cron.Schedule(sec = Some("-"))))
+    val sched = new Scheduler(new Recorder)
+    sched.refreshFrom(repo)
+    assert(sched.job(id).exists(_.name == "from-db"))
+    repo.deleteJob(id)
+    sched.refreshFrom(repo)
+    assert(sched.job(id).isEmpty)
+    sched.stop()
+  }
+}
