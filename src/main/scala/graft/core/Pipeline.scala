@@ -288,8 +288,22 @@ final class Pipeline(val name: String, items: Seq[PipeItem],
   /** Revoke a previous run: call every model's recycle for `keyValue`
     * (delete-by-key idempotency — core.py:2317-2349). */
   def recycle(spark: SparkSession, calendar: CalendarDate, keyValue: Long): Unit = {
-    val ctx = StepContext(spark, calendar, keyValue)
+    val ctx = StepContext(spark, calendar, keyValue, ledger = ledger)
     nodes.map(_.model).distinct.foreach(_.recycle(ctx, keyValue))
+  }
+
+  /** Full recycle-rerun (core.py:2317-2349): revoke the prior run's
+    * rows, mark its run-history row Canceled, then re-run under the
+    * SAME run id so re-stamped rows keep their provenance key.
+    */
+  def recycleRun(spark: SparkSession, calendar: CalendarDate,
+                 priorRunId: Long): Task = {
+    recycle(spark, calendar, priorRunId)
+    ledger match {
+      case j: JdbcLedger => j.setRunStatus(priorRunId, Status.Canceled)
+      case _ =>
+    }
+    run(spark, calendar, priorRunId)
   }
 }
 

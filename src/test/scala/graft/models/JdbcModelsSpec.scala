@@ -177,6 +177,29 @@ class JdbcModelsSpec extends SparkSpec {
     } finally conn2.close()
   }
 
+  test("recycleRun: revoke + history C + rerun under the same run id") {
+    val ledger = Ledger.jdbc(db)
+    exec("delete from tgt_t")
+    val tgt = TableModel(db, "tgt_t",
+      knobs = ModelKnobs(keyField = Some(KeyField.ProcessId)))
+    val src = SelectModel(db, text = Some("select * from src_t"))
+    val p = Pipeline.withLedger("recyclable", ledger, src,
+      Mapper(df => df.select(col("ID").as("id"), col("NAME").as("name"),
+        col("AMOUNT").as("amount"))), tgt)
+    val runId = ledger.startRun(jobId = 55L, tag = 1672531200L)
+    assert(p.run(spark, Calendar.day("2023-01-01"), runId).status == Status.Done)
+    ledger.endRun(runId, Status.Done, Some("""{"hwm": 10}"""))
+    val n0 = tgt.rowCount()
+    // recycle-rerun: same run id, no duplicates, prior history row -> C
+    val task = p.recycleRun(spark, Calendar.day("2023-01-01"), runId)
+    assert(task.status == Status.Done)
+    assert(tgt.rowCount() == n0)
+    assert(ledger.runStatus(runId).contains(Status.Canceled))
+    // data dump readback (cross-run state inheritance)
+    assert(ledger.runData(runId).contains("""{"hwm": 10}"""))
+    assert(ledger.lastRun(55L).exists(_._2 == 1672531200L))
+  }
+
   test("SourceRegistry INI heuristic: database vs filesystem sections") {
     val ini = java.nio.file.Files.createTempFile("sources", ".ini")
     java.nio.file.Files.write(ini,
