@@ -54,7 +54,7 @@ final class RestServer(driver: Driver, token: String, port: Int = 0) {
 
   private val endpoints = Seq("/api/test", "/api/help", "/api/jobs",
     "/api/create-job", "/api/enable-job", "/api/disable-job",
-    "/api/run-job", "/api/history")
+    "/api/run-job", "/api/cancel-run", "/api/history")
 
   private def handle(ex: HttpExchange): Unit = {
     if (!authed(ex)) { respond(ex, 401, """{"error":"unauthorized"}"""); return }
@@ -93,6 +93,9 @@ final class RestServer(driver: Driver, token: String, port: Int = 0) {
               s"""{"run_id":${r.runId},"tag":${r.tag}}""")
             case None => respond(ex, 409, """{"error":"busy or unknown job"}""")
           }
+        case "/api/cancel-run" =>
+          val ok = driver.scheduler.cancel(params(ex)("run_id").toLong)
+          respond(ex, if (ok) 200 else 404, s"""{"canceled":$ok}""")
         case "/api/history" =>
           val rows = driver.runHistory().map { case (r, st) =>
             s"""{"run_id":${r.runId},"job_id":${r.job.id},"tag":${r.tag},"status":"$st"}"""

@@ -98,6 +98,8 @@ final class Scheduler(runner: JobRunner,
   private val timeoutPool = Executors.newScheduledThreadPool(1)
   private val alive = new AtomicBoolean(false)
   private val inFlight = new ConcurrentHashMap[Long, CountDownLatch]()
+  private val threads = new ConcurrentHashMap[Long, Thread]() // runId -> executor
+  private val canceled = ConcurrentHashMap.newKeySet[Long]()
 
   def register(job: JobSpec): Unit = jobs.put(job.id, job)
   def deregister(jobId: Long): Unit = jobs.remove(jobId)
@@ -172,6 +174,7 @@ final class Scheduler(runner: JobRunner,
       def run(): Unit = {
         val job = jobs.getOrDefault(rec.job.id, rec.job)
         val thread = Thread.currentThread()
+        threads.put(rec.runId, thread)
         val killer = rec.job.timeoutSeconds.map(s =>
           timeoutPool.schedule(new Runnable {
             def run(): Unit = thread.interrupt()
@@ -181,13 +184,34 @@ final class Scheduler(runner: JobRunner,
             runner.run(job, rec.tag)
             Status.Done
           } catch {
-            case _: InterruptedException => Status.Timeout
-            case NonFatal(_) => Status.Error
-          } finally killer.foreach(_.cancel(false))
+            // interrupt is cancel (SIGTERM -> C, core.py:1685-1695) or
+            // the timeout killer (-> T)
+            case _: InterruptedException =>
+              if (canceled.remove(rec.runId)) Status.Canceled else Status.Timeout
+            case NonFatal(_) =>
+              if (canceled.remove(rec.runId)) Status.Canceled else Status.Error
+          } finally {
+            killer.foreach(_.cancel(false))
+            threads.remove(rec.runId)
+            Thread.interrupted() // clear a late interrupt flag
+          }
         finish(rec, status)
       }
     })
   }
+
+  /** Cancel a running run: interrupts its executor thread; the run
+    * finishes with status C (the reference's SIGTERM path —
+    * api.py:419-444, core.py:1685-1695). Returns false if the run is
+    * not currently executing. */
+  def cancel(runId: Long): Boolean =
+    Option(threads.get(runId)) match {
+      case Some(t) =>
+        canceled.add(runId)
+        t.interrupt()
+        true
+      case None => false
+    }
 
   private def finish(run: RunRecord, status: String): Unit = {
     running.get(run.job.id).decrementAndGet()

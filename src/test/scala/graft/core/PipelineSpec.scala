@@ -127,6 +127,29 @@ class PipelineSpec extends SparkSpec {
     assert(back.count() == 5)
   }
 
+  test("CSV all-strings compat mode (the reference's DictReader typing)") {
+    val dir = tmp()
+    val src = ParquetModel(sf("region").stripSuffix(".parquet") + ".parquet")
+    assert(Pipeline(src, CsvModel(dir + "/r"))
+      .run(spark, Calendar.day("2023-01-01")).status == Status.Done)
+    val back = CsvModel(dir + "/r", stringType = true)
+      .extract(StepContext(spark, Calendar.day("2023-01-01")))
+    // every column is a string, exactly like csv.DictReader rows
+    assert(back.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(back.count() == 5)
+  }
+
+  test("JSON top-level-array file reads via multiLine (reference layout)") {
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.json"),
+      """[{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]""".getBytes)
+    val back = JsonModel(dir + "/data.json", multiline = true)
+      .extract(StepContext(spark, Calendar.day("2023-01-01")))
+    assert(back.count() == 2)
+    assert(back.orderBy("id").collect().map(_.getAs[String]("name")).toSeq ==
+      Seq("a", "b"))
+  }
+
   test("strftime-style file naming from the calendar date") {
     val m = CsvModel("/data/%Y/%m/%d/out")
     val ctx = StepContext(spark, Calendar.day("2023-03-05"))

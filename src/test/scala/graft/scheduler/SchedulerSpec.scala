@@ -157,6 +157,23 @@ class SchedulerSpec extends AnyFunSuite {
     s.stop()
   }
 
+  test("cancel interrupts a running run and marks it C") {
+    val rec = new Recorder
+    rec.sleepMs = 5000
+    val s = new Scheduler(rec)
+    s.register(JobSpec(1, "cancellable",
+      schedule = Cron.Schedule(sec = Some("0"), min = Some("30"), hour = Some("14"))))
+    val run = { s.tick(base); Thread.sleep(200)
+      s.history.asScala.toSeq } // not finished yet
+    assert(run.isEmpty)
+    // the charge created run id 1 (in-memory generator)
+    assert(s.cancel(1L))
+    assert(s.drain(timeoutSeconds = 10))
+    assert(s.history.asScala.map(_._2).toSeq == Seq(Status.Canceled))
+    assert(!s.cancel(999L)) // unknown run
+    s.stop()
+  }
+
   test("timeout marks the run T") {
     val rec = new Recorder
     rec.sleepMs = 3000
