@@ -316,6 +316,28 @@ object RelationalQueries {
         payload = Seq("pvalue"))
     }),
 
+    // HLL sketch distinct counting (rows-only: HLL implementations
+    // differ across engines; accuracy asserted in RelationalSpec).
+    "q32_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+    }),
+
+    // RANGE window frame: trailing 30-day quantity sum per supplier,
+    // ordered by ship epoch (range frames need a numeric order key).
+    "q33_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("ship_epoch"))
+        .rangeBetween(-2592000L, 0L) // 30 days in seconds, inclusive
+      t(s, dir, "lineitem")
+        .withColumn("ship_epoch", unix_timestamp(col("l_shipdate")))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("decimal(38,6)")).over(w)
+            .cast("double").as("qty_30d"))
+    }),
+
     // Explicit GROUPING SETS (finer than cube/rollup).
     "q31_grouping_sets" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -495,6 +517,18 @@ object RelationalQueries {
         SELECT c.event_id, c.user_id, c.ts, p.pvalue
         FROM clicks c ASOF LEFT JOIN purchases p
           ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "q33_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+            PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
+            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_30d
+        FROM lineitem""",
+    "q33_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+            PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
+            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_30d
+        FROM lineitem""",
     "q31_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          ${ds("l_quantity")} AS sum_qty

@@ -44,6 +44,18 @@ class RelationalSpec extends SparkSpec {
       (4L, Some(9.0)))) // equal timestamp included
   }
 
+  test("approx_count_distinct within 5% of exact") {
+    val li = spark.read.parquet(sf("lineitem"))
+    val joined = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    joined.foreach { r =>
+      val a = r.getLong(1).toDouble; val e = r.getLong(2).toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
+    }
+  }
+
   test("bucketed join plan has no shuffle exchange") {
     val dir = "/root/testdata/sf0.001"
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
