@@ -127,6 +127,10 @@ object Dedup {
     val verified = cands
       .join(shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      // size-compatibility prune (implied by J >= t: |A| >= t|B| and
+      // vice versa) — rejects pairs before the O(|A|+|B|) intersect
+      .filter(size(col("sh_a")) >= ceil(lit(threshold) * size(col("sh_b"))) &&
+        size(col("sh_b")) >= ceil(lit(threshold) * size(col("sh_a"))))
       .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
     // survivors: all ids minus ids that appear as the LARGER of a verified pair
     docs.select(col(idCol))
@@ -257,6 +261,8 @@ object Dedup {
     val verified = cands
       .join(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(size(col("sh_a")) >= ceil(lit(threshold) * size(col("sh_b"))) &&
+        size(col("sh_b")) >= ceil(lit(threshold) * size(col("sh_a"))))
       .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
     docs.select(col(idCol))
       .join(verified.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
