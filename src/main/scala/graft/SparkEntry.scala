@@ -12,8 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Recommended session settings. ANSI off: the engine relies on classic
-    * Spark semantics (wrap-around long arithmetic in hash mixing).
+  /** Recommended session settings. ANSI off matches classic engine
+    * semantics, but every gate query also passes under a vanilla Spark 4
+    * session (ANSI on) — the hash/sketch kernels are native expressions
+    * computing in JVM arithmetic, outside ANSI's reach.
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.ansi.enabled", "false")
