@@ -338,6 +338,28 @@ object RelationalQueries {
             .cast("double").as("qty_30d"))
     }),
 
+    // String-function zoo beyond q14: regexp, pad, trim, case, locate.
+    "q34_string_fns" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "(\\d+)", 1).as("name_digits"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+        initcap(lower(col("c_mktsegment"))).as("seg_title"),
+        locate("_", col("c_name")).cast("int").as("underscore_at"),
+        reverse(col("c_mktsegment")).as("seg_rev"))
+    }),
+
+    // Array explode (UNNEST): tokens of each document with ordinals.
+    "q35_explode_tokens" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 50L)
+        .select(col("doc_id"), posexplode(
+          graft.functions.TextFunctions.tokens(col("text"))))
+        .toDF("doc_id", "pos", "token")
+        .select(col("doc_id"), col("pos").cast("int").as("pos"), col("token"))
+    }),
+
     // Explicit GROUPING SETS (finer than cube/rollup).
     "q31_grouping_sets" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -517,12 +539,80 @@ object RelationalQueries {
         SELECT c.event_id, c.user_id, c.ts, p.pvalue
         FROM clicks c ASOF LEFT JOIN purchases p
           ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "q34_string_fns" ->
+      """SELECT c_custkey,
+          coalesce(regexp_extract(c_name, '(\d+)', 1), '') AS name_digits,
+          lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+          translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+          upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS seg_title,
+          CAST(coalesce(position('_' IN c_name), 0) AS INTEGER) AS underscore_at,
+          reverse(c_mktsegment) AS seg_rev
+        FROM customer""",
+    "q35_explode_tokens" ->
+      """WITH t AS (SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE doc_id < 50)
+        SELECT doc_id, CAST(x['i'] - 1 AS INTEGER) AS pos,
+          CAST(x['t'] AS VARCHAR) AS token
+        FROM (SELECT doc_id,
+          unnest(list_transform(toks, (s, i) -> {'i': i, 't': s})) AS x FROM t)""",
+    "q34_string_fns" ->
+      """SELECT c_custkey,
+          coalesce(regexp_extract(c_name, '(\d+)', 1), '') AS name_digits,
+          lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+          translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+          upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS seg_title,
+          CAST(coalesce(position('_' IN c_name), 0) AS INTEGER) AS underscore_at,
+          reverse(c_mktsegment) AS seg_rev
+        FROM customer""",
+    "q35_explode_tokens" ->
+      """WITH t AS (SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE doc_id < 50)
+        SELECT doc_id, CAST(x['i'] - 1 AS INTEGER) AS pos,
+          CAST(x['t'] AS VARCHAR) AS token
+        FROM (SELECT doc_id,
+          unnest(list_transform(toks, (s, i) -> {'i': i, 't': s})) AS x FROM t)""",
     "q33_range_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
             PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_30d
         FROM lineitem""",
+    "q34_string_fns" ->
+      """SELECT c_custkey,
+          coalesce(regexp_extract(c_name, '(\d+)', 1), '') AS name_digits,
+          lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+          translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+          upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS seg_title,
+          CAST(coalesce(position('_' IN c_name), 0) AS INTEGER) AS underscore_at,
+          reverse(c_mktsegment) AS seg_rev
+        FROM customer""",
+    "q35_explode_tokens" ->
+      """WITH t AS (SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE doc_id < 50)
+        SELECT doc_id, CAST(x['i'] - 1 AS INTEGER) AS pos,
+          CAST(x['t'] AS VARCHAR) AS token
+        FROM (SELECT doc_id,
+          unnest(list_transform(toks, (s, i) -> {'i': i, 't': s})) AS x FROM t)""",
+    "q34_string_fns" ->
+      """SELECT c_custkey,
+          coalesce(regexp_extract(c_name, '(\d+)', 1), '') AS name_digits,
+          lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+          translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+          upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS seg_title,
+          CAST(coalesce(position('_' IN c_name), 0) AS INTEGER) AS underscore_at,
+          reverse(c_mktsegment) AS seg_rev
+        FROM customer""",
+    "q35_explode_tokens" ->
+      """WITH t AS (SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE doc_id < 50)
+        SELECT doc_id, CAST(x['i'] - 1 AS INTEGER) AS pos,
+          CAST(x['t'] AS VARCHAR) AS token
+        FROM (SELECT doc_id,
+          unnest(list_transform(toks, (s, i) -> {'i': i, 't': s})) AS x FROM t)""",
     "q33_range_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
