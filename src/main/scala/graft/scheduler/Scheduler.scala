@@ -149,10 +149,13 @@ final class Scheduler(runner: JobRunner,
   }
 
   /** Queue one run of `job` with logical tag `tag` (charger —
-    * core.py:986-1011). */
+    * core.py:986-1011). Busy check counts RUNNING plus parked (W) runs,
+    * like the reference's queued+running accounting (core.py:429-442).
+    */
   def charge(job: JobSpec, tag: Long,
              t: LocalDateTime = LocalDateTime.now(ZoneOffset.UTC)): Option[RunRecord] = {
-    if (runningCount(job.id) >= job.parallelLimit) None // busy (core.py:429-442)
+    val parked = waiting.stream().filter(_.job.id == job.id).count().toInt
+    if (runningCount(job.id) + parked >= job.parallelLimit) None
     else {
       val runId = ledger.map(_.startRun(job.id, tag))
         .getOrElse(runIdGen.incrementAndGet())

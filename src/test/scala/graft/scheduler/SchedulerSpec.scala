@@ -97,6 +97,24 @@ class SchedulerSpec extends AnyFunSuite {
     s.stop()
   }
 
+  test("parked (W) runs count toward the parallelism limit") {
+    val rec = new Recorder
+    val s = new Scheduler(rec)
+    // fires at :30, sleeps all of hour 14, limit 1
+    s.register(JobSpec(1, "sleepy-serial",
+      schedule = Cron.Schedule(min = Some("30"), sec = Some("0")),
+      sleepPeriod = Some("14"), parallelism = "N"))
+    s.tick(base)            // 14:30:00 -> parks as W
+    Thread.sleep(100)       // drain() waits for the W queue; don't use it here
+    assert(s.waiting.size == 1)
+    // 15:30: the charge phase sees the parked run and skips the NEW
+    // fire; the wake phase then releases the parked run (sleep over)
+    s.tick(base + 3600)
+    assert(s.drain())
+    assert(rec.runs.size == 1) // exactly the woken run - no double charge
+    s.stop()
+  }
+
   test("rerun: failed run retries on the interval, bounded by rerun_limit") {
     val rec = new Recorder
     rec.fail = Set(1L)
