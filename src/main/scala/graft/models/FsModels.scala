@@ -131,6 +131,11 @@ final case class FileManagerModel(
   extends PdModel with Executable {
 
   def execute(ctx: StepContext): ExecResult = {
+    // A copy/move with no destinations would copy nothing and (for move)
+    // then delete every matched source — silent data loss from a one-field
+    // misconfiguration. Fail fast instead.
+    require(action == "delete" || destinations.nonEmpty,
+      s"FileManagerModel action='$action' requires at least one destination")
     val conf = ctx.spark.sparkContext.hadoopConfiguration
     val srcRoot = new Path(ctx.render(path))
     val fs = srcRoot.getFileSystem(conf)

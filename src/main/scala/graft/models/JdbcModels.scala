@@ -149,9 +149,62 @@ final case class SelectModel(
 /** Arbitrary SQL script execution on a source DB (pydin/models.py:649-752):
   * DDL/DML passthrough the engine cannot (and should not) route through
   * DataFrames. Driver-side statement; affected-row count becomes the
-  * result metric. Statements split on `;`. Vendor hints (Oracle
-  * `/*+ parallel */`) pass through untouched inside the user's text.
+  * result metric. Statements split on `;` with a literal-aware scanner
+  * (the reference uses sqlparse.split, models.py:700-704): semicolons
+  * inside quoted strings, quoted identifiers, or comments do not split.
+  * Vendor hints (Oracle `/*+ parallel */`) pass through untouched inside
+  * the user's text.
   */
+/** Literal-aware SQL script splitting: `;` terminates a statement only
+  * outside '…' / "…" literals (with doubled-quote escapes), line comments
+  * (`--`), and block comments. The Scala twin of sqlparse.split used by
+  * the reference (models.py:700-704).
+  */
+object SqlScript {
+  def split(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    val n = text.length
+    var mode: Char = ' ' // ' '=code, '\''=string, '"'=ident, '-'=line, '*'=block
+    var blockStart = -1   // index of the '/' that opened a block comment
+    while (i < n) {
+      val ch = text.charAt(i)
+      mode match {
+        case ' ' =>
+          if (ch == ';') { out += cur.result(); cur.clear() }
+          else {
+            if (ch == '\'' || ch == '"') mode = ch
+            else if (ch == '-' && i + 1 < n && text.charAt(i + 1) == '-') mode = '-'
+            else if (ch == '/' && i + 1 < n && text.charAt(i + 1) == '*') {
+              mode = '*'; blockStart = i
+            }
+            cur += ch
+          }
+        case '\'' | '"' =>
+          cur += ch
+          if (ch == mode) {
+            // doubled quote is an escaped quote, stay in the literal
+            if (i + 1 < n && text.charAt(i + 1) == mode) { cur += mode; i += 1 }
+            else mode = ' '
+          }
+        case '-' =>
+          cur += ch
+          if (ch == '\n') mode = ' '
+        case '*' =>
+          cur += ch
+          // "*/" closes, but the closer may not overlap the "/*" opener
+          if (ch == '/' && text.charAt(i - 1) == '*' && i >= blockStart + 3)
+            mode = ' '
+        case _ => cur += ch
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}
+
 final case class SqlModel(
     source: DatabaseSource,
     text: Option[String] = None,
@@ -164,7 +217,7 @@ final case class SqlModel(
     val c = source.connect()
     try {
       var total = 0L
-      for (stmt <- text.split(";").map(_.trim).filter(_.nonEmpty)) {
+      for (stmt <- SqlScript.split(text)) {
         val s = c.createStatement()
         try {
           val isRs = s.execute(stmt)

@@ -54,9 +54,13 @@ final case class JobSpec(
     wakeUpPeriod.forall(p => Cron.matches(p, t.getMinute))
 }
 
-/** One queued/running/completed execution of a job. */
+/** One queued/running/completed execution of a job. `parkedForSleep`
+  * distinguishes a run waiting out its sleep window (released only in the
+  * wake-up window) from one parked for parallelism/fairness (released as
+  * soon as capacity frees).
+  */
 final case class RunRecord(runId: Long, job: JobSpec, tag: Long,
-                           seqno: Int = 1)
+                           seqno: Int = 1, parkedForSleep: Boolean = false)
 
 /** What actually happens when a job fires: user code returning normally
   * (Done) or throwing (Error). The scheduler owns status bookkeeping.
@@ -98,8 +102,19 @@ final class Scheduler(runner: JobRunner,
   private val timeoutPool = Executors.newScheduledThreadPool(1)
   private val alive = new AtomicBoolean(false)
   private val inFlight = new ConcurrentHashMap[Long, CountDownLatch]()
-  private val threads = new ConcurrentHashMap[Long, Thread]() // runId -> executor
+  private val threads = new ConcurrentHashMap[Long, RunSlot]() // runId -> executor
   private val canceled = ConcurrentHashMap.newKeySet[Long]()
+  /** Serializes park/regain decisions (charge, tick wake phase, finish
+    * regain) so two concurrent finishes cannot both regain past the
+    * parallelism limit. */
+  private val parkLock = new Object
+
+  /** Executor-thread handle for one run. Interrupts (cancel / timeout
+    * killer) are delivered only under the slot lock while `done` is
+    * false; the run's finally sets `done` and clears the flag under the
+    * same lock, so an interrupt can never leak into the next queued run
+    * on that pool thread. */
+  private final class RunSlot(val thread: Thread) { var done = false }
 
   def register(job: JobSpec): Unit = jobs.put(job.id, job)
   def deregister(jobId: Long): Unit = jobs.remove(jobId)
@@ -125,15 +140,21 @@ final class Scheduler(runner: JobRunner,
     jobs.values.asScala.foreach { j =>
       if (j.isActive(t) && j.isScheduled(t)) charge(j, moment, t)
     }
-    // 2. wake sleeping runs whose window is over (core.py:1097-1143)
-    val stillWaiting = mutable.ListBuffer[RunRecord]()
-    var w = waiting.poll()
-    while (w != null) {
-      if (!w.job.isSleeping(t) && w.job.isAwakening(t)) execute(w)
-      else stillWaiting += w
-      w = waiting.poll()
+    // 2. wake parked runs (core.py:948-962, 1097-1143): sleep-parked runs
+    // need their wake-up window; busy-parked runs need free capacity.
+    parkLock.synchronized {
+      val stillWaiting = mutable.ListBuffer[RunRecord]()
+      var w = waiting.poll()
+      while (w != null) {
+        val windowOk =
+          if (w.parkedForSleep) !w.job.isSleeping(t) && w.job.isAwakening(t)
+          else !w.job.isSleeping(t)
+        if (windowOk && runningCount(w.job.id) < w.job.parallelLimit) execute(w)
+        else stillWaiting += w
+        w = waiting.poll()
+      }
+      stillWaiting.foreach(waiting.add)
     }
-    stillWaiting.foreach(waiting.add)
     // 3. reruns (core.py:926-962): budget + interval gate
     val stillFailed = mutable.ListBuffer[(RunRecord, Int)]()
     var f = failed.poll()
@@ -149,24 +170,32 @@ final class Scheduler(runner: JobRunner,
   }
 
   /** Queue one run of `job` with logical tag `tag` (charger —
-    * core.py:986-1011). Busy check counts RUNNING plus parked (W) runs,
-    * like the reference's queued+running accounting (core.py:429-442).
+    * core.py:964-1036). No firing is ever dropped: a job that is
+    * sleeping, has runs already parked (FIFO fairness, is_waiting), or
+    * is at its parallelism limit (is_busy) POSTPONES the run as status W
+    * (_postpone, core.py:1013-1036); the wake phase / finish regain
+    * execute it later. Every tag is a distinct logical run.
     */
   def charge(job: JobSpec, tag: Long,
-             t: LocalDateTime = LocalDateTime.now(ZoneOffset.UTC)): Option[RunRecord] = {
-    val parked = waiting.stream().filter(_.job.id == job.id).count().toInt
-    if (runningCount(job.id) + parked >= job.parallelLimit) None
-    else {
+             t: LocalDateTime = LocalDateTime.now(ZoneOffset.UTC)): Option[RunRecord] =
+    parkLock.synchronized {
       val runId = ledger.map(_.startRun(job.id, tag))
         .getOrElse(runIdGen.incrementAndGet())
-      val run = RunRecord(runId, job, tag)
-      if (job.isSleeping(t)) { // postpone (core.py:1013-1036)
+      if (job.isSleeping(t)) { // postpone for sleep window
+        val run = RunRecord(runId, job, tag, parkedForSleep = true)
         ledger.foreach(_.setRunStatus(runId, Status.Waiting))
         waiting.add(run)
-      } else execute(run)
-      Some(run)
+        Some(run)
+      } else {
+        val run = RunRecord(runId, job, tag)
+        val hasParked = waiting.stream().anyMatch(_.job.id == job.id)
+        if (hasParked || runningCount(job.id) >= job.parallelLimit) {
+          ledger.foreach(_.setRunStatus(runId, Status.Waiting))
+          waiting.add(run) // postpone for fairness/parallelism
+        } else execute(run)
+        Some(run)
+      }
     }
-  }
 
   /** Hand a run to the executor pool (core.py:1038-1095). */
   private def execute(rec: RunRecord): Unit = {
@@ -175,12 +204,14 @@ final class Scheduler(runner: JobRunner,
     running.computeIfAbsent(rec.job.id, _ => new AtomicLong()).incrementAndGet()
     pool.submit(new Runnable {
       def run(): Unit = {
+        Thread.interrupted() // defensive: start with a clean interrupt flag
         val job = jobs.getOrDefault(rec.job.id, rec.job)
-        val thread = Thread.currentThread()
-        threads.put(rec.runId, thread)
+        val slot = new RunSlot(Thread.currentThread())
+        threads.put(rec.runId, slot)
         val killer = rec.job.timeoutSeconds.map(s =>
           timeoutPool.schedule(new Runnable {
-            def run(): Unit = thread.interrupt()
+            def run(): Unit =
+              slot.synchronized { if (!slot.done) slot.thread.interrupt() }
           }, s.toLong, TimeUnit.SECONDS))
         val status =
           try {
@@ -195,8 +226,11 @@ final class Scheduler(runner: JobRunner,
               if (canceled.remove(rec.runId)) Status.Canceled else Status.Error
           } finally {
             killer.foreach(_.cancel(false))
+            // close the interrupt window: once done is set (and any
+            // pending flag cleared) under the lock, no cancel/killer can
+            // interrupt this pool thread for THIS run anymore
+            slot.synchronized { slot.done = true; Thread.interrupted() }
             threads.remove(rec.runId)
-            Thread.interrupted() // clear a late interrupt flag
           }
         finish(rec, status)
       }
@@ -209,15 +243,21 @@ final class Scheduler(runner: JobRunner,
     * not currently executing. */
   def cancel(runId: Long): Boolean =
     Option(threads.get(runId)) match {
-      case Some(t) =>
-        canceled.add(runId)
-        t.interrupt()
-        true
+      case Some(slot) =>
+        slot.synchronized {
+          if (slot.done) false
+          else {
+            canceled.add(runId)
+            slot.thread.interrupt()
+            true
+          }
+        }
       case None => false
     }
 
   private def finish(run: RunRecord, status: String): Unit = {
     running.get(run.job.id).decrementAndGet()
+    regain(run.job.id) // freed capacity: release the next parked run now
     history.add((run, status))
     ledger.foreach(_.endRun(run.runId, status, None))
     if (status == Status.Error && run.job.rerunLimit > 0)
@@ -228,6 +268,26 @@ final class Scheduler(runner: JobRunner,
           charge(child, run.tag)) // tag inheritance (core.py:1811-1818)
       }
     Option(inFlight.remove(run.runId)).foreach(_.countDown())
+  }
+
+  /** Release the first eligible parked run of `jobId` (FIFO) if capacity
+    * allows — the work-conserving half of the postpone path: a run parked
+    * for parallelism executes as soon as a slot frees, without waiting
+    * for the next scheduler tick. Sleep-parked runs still wait for their
+    * wake-up window (tick phase 2). */
+  private def regain(jobId: Long): Unit = parkLock.synchronized {
+    val t = LocalDateTime.now(ZoneOffset.UTC)
+    val it = waiting.iterator()
+    var released = false
+    while (!released && it.hasNext) {
+      val w = it.next()
+      if (w.job.id == jobId && !w.parkedForSleep && !w.job.isSleeping(t) &&
+          runningCount(jobId) < w.job.parallelLimit) {
+        it.remove()
+        execute(w)
+        released = true
+      }
+    }
   }
 
   /** Block until all currently queued/running runs finish (test aid). */

@@ -43,6 +43,33 @@ class JdbcModelsSpec extends SparkSpec {
     assert(r.resultValue.contains(2L)) // 1 insert + 1 delete; DDL counts 0
   }
 
+  test("SqlScript.split is literal- and comment-aware") {
+    // plain split
+    assert(SqlScript.split("a; b ;c") == Seq("a", "b", "c"))
+    // ';' inside string literals and quoted identifiers does not split
+    assert(SqlScript.split("insert into t values ('a;b'); delete from t") ==
+      Seq("insert into t values ('a;b')", "delete from t"))
+    assert(SqlScript.split("""select "x;y" from t; select 1""") ==
+      Seq("""select "x;y" from t""", "select 1"))
+    // doubled-quote escape stays inside the literal
+    assert(SqlScript.split("select 'it''s; fine'; select 2") ==
+      Seq("select 'it''s; fine'", "select 2"))
+    // comments: line and block (incl. vendor hint passthrough)
+    assert(SqlScript.split("select 1 -- trailing; not a split\n; select 2") ==
+      Seq("select 1 -- trailing; not a split", "select 2"))
+    assert(SqlScript.split("select /* a;b */ 1; select /*+ parallel */ 2") ==
+      Seq("select /* a;b */ 1", "select /*+ parallel */ 2"))
+    // empty/whitespace statements drop
+    assert(SqlScript.split(";;  ;") == Seq.empty)
+  }
+
+  test("SqlModel splits on semicolons inside a PL-ish block body correctly") {
+    val r = SqlModel(db, text = Some(
+      """insert into src_t values (91, 'semi;colon', 1.0);
+         delete from src_t where name = 'semi;colon'""")).execute(ctx())
+    assert(r.resultValue.contains(2L)) // one insert + one delete, not 3 frags
+  }
+
   test("TableModel reads through Spark JDBC with typed schema") {
     val df = TableModel(db, "src_t").extract(ctx())
     assert(df.count() == 10)
@@ -175,6 +202,20 @@ class JdbcModelsSpec extends SparkSpec {
       assert(rs.getString(1) == "f.bin" && rs.getLong(2) == 10
         && rs.getString(3) == "copy")
     } finally conn2.close()
+  }
+
+  test("FileManager copy/move with no destinations fails fast (no silent delete)") {
+    val dir = java.nio.file.Files.createTempDirectory("fmguard").toString
+    val f = java.nio.file.Paths.get(dir, "keep.bin")
+    java.nio.file.Files.write(f, Array.fill[Byte](4)(1))
+    // a 'move' with the default empty destinations must NOT delete sources
+    intercept[IllegalArgumentException] {
+      FileManagerModel(dir, action = "move").execute(ctx())
+    }
+    intercept[IllegalArgumentException] {
+      FileManagerModel(dir, action = "copy").execute(ctx())
+    }
+    assert(java.nio.file.Files.exists(f)) // source survived
   }
 
   test("recycleRun: revoke + history C + rerun under the same run id") {

@@ -18,10 +18,16 @@ class SchedulerSpec extends AnyFunSuite {
     val runs = new ConcurrentLinkedQueue[(Long, Long)]() // (jobId, tag)
     @volatile var fail: Set[Long] = Set.empty
     @volatile var sleepMs: Long = 0
+    private val active = new AtomicInteger(0)
+    val maxActive = new AtomicInteger(0) // high-water concurrent runs
     def run(job: JobSpec, tag: Long): Unit = {
-      if (sleepMs > 0) Thread.sleep(sleepMs)
-      runs.add((job.id, tag))
-      if (fail.contains(job.id)) sys.error(s"job ${job.id} failed")
+      val a = active.incrementAndGet()
+      maxActive.updateAndGet(m => math.max(m, a))
+      try {
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+        runs.add((job.id, tag))
+        if (fail.contains(job.id)) sys.error(s"job ${job.id} failed")
+      } finally active.decrementAndGet()
     }
   }
 
@@ -56,21 +62,26 @@ class SchedulerSpec extends AnyFunSuite {
     s.stop()
   }
 
-  test("parallelism limit: N skips while one run is active, Y allows many") {
+  test("parallelism limit: N postpones the busy fire (W), then runs it; Y runs concurrently") {
     val rec = new Recorder
     rec.sleepMs = 400
     val s = new Scheduler(rec, executorThreads = 4)
     s.register(JobSpec(1, "serial", parallelism = "N",
       schedule = Cron.Schedule()))  // matches every second
     s.tick(base); Thread.sleep(50); s.tick(base + 1) // second fire while busy
-    assert(s.drain())
-    assert(rec.runs.asScala.count(_._1 == 1L) == 1) // second was skipped
+    // the second firing is POSTPONED (status W), not lost (core.py:973-980):
+    // it executes after the first completes, never concurrently
+    assert(s.drain(timeoutSeconds = 10))
+    assert(rec.runs.asScala.count(_._1 == 1L) == 2)
+    assert(rec.runs.asScala.map(_._2).toSet == Set(base, base + 1)) // both tags ran
+    assert(rec.maxActive.get() == 1) // serialized
 
     rec.runs.clear()
+    s.deregister(1)
     s.register(JobSpec(2, "parallel", parallelism = "Y",
       schedule = Cron.Schedule()))
     s.tick(base + 10); Thread.sleep(50); s.tick(base + 11)
-    assert(s.drain())
+    assert(s.drain(timeoutSeconds = 10))
     assert(rec.runs.asScala.count(_._1 == 2L) == 2)
     s.stop()
   }
@@ -97,21 +108,24 @@ class SchedulerSpec extends AnyFunSuite {
     s.stop()
   }
 
-  test("parked (W) runs count toward the parallelism limit") {
+  test("fire while runs are parked: new fire queues behind (FIFO), nothing lost") {
     val rec = new Recorder
     val s = new Scheduler(rec)
     // fires at :30, sleeps all of hour 14, limit 1
     s.register(JobSpec(1, "sleepy-serial",
       schedule = Cron.Schedule(min = Some("30"), sec = Some("0")),
       sleepPeriod = Some("14"), parallelism = "N"))
-    s.tick(base)            // 14:30:00 -> parks as W
+    s.tick(base)            // 14:30:00 -> parks as W (sleep window)
     Thread.sleep(100)       // drain() waits for the W queue; don't use it here
     assert(s.waiting.size == 1)
-    // 15:30: the charge phase sees the parked run and skips the NEW
-    // fire; the wake phase then releases the parked run (sleep over)
+    // 15:30: the new fire postpones behind the parked run (is_waiting,
+    // core.py:973-976); the wake phase releases the first, and finish
+    // regains the second — both tags execute, serialized
     s.tick(base + 3600)
-    assert(s.drain())
-    assert(rec.runs.size == 1) // exactly the woken run - no double charge
+    assert(s.drain(timeoutSeconds = 10))
+    assert(rec.runs.size == 2)
+    assert(rec.runs.asScala.map(_._2).toSet == Set(base, base + 3600))
+    assert(rec.maxActive.get() == 1)
     s.stop()
   }
 
