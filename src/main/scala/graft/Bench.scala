@@ -24,6 +24,10 @@ object Bench {
       val sec =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 } // failure sentinel, not a time
+      // drop this query's persisted intermediates before the next one:
+      // 58 queries' caches otherwise accumulate in executor storage and
+      // the eviction/spill churn bleeds into later queries' times
+      spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
