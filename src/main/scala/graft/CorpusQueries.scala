@@ -71,9 +71,13 @@ object CorpusQueries {
         shingleSize = 3, threshold = 0.8)
     }),
 
-    // SimHash near-dup dedup (hamming <= 3 on 64-bit fingerprints).
+    // SimHash near-dup dedup (hamming <= 3). The polynomial 60-bit
+    // fingerprint variant, so the DuckDB oracle recomputes the exact
+    // fingerprints and the survivor set is equality-checked (the xxhash64
+    // variant stays the scale default in Dedup.simhash).
     "d05_simhash_dedup" -> ((s, dir) => {
-      Dedup.simhashDedup(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashDedup(docs(s, dir), "doc_id", "text", maxHamming = 3,
+        fingerprint = Dedup.simhashPoly, fpBits = 60)
     }),
 
     // Exact cosine top-k neighbors for the first 20 vectors.
@@ -82,12 +86,13 @@ object CorpusQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20L), k = 5)
     }),
 
-    // LSH-bucketed approximate top-k (the 100 TB path; approximate, so
-    // rows-only check — recall is asserted in the ScalaTest suite instead).
+    // LSH-bucketed approximate top-k with query-side multi-probe (the
+    // 100 TB path; approximate, so rows-only check — recall >= 0.9 is
+    // asserted in OperatorsSpec for exactly these parameters).
     "s02_lsh_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 20L), k = 5, dim = 64,
-        bits = 8, tables = 8)
+        bits = 6, tables = 8, probes = 1)
     }),
 
     // All embedding pairs above a cosine threshold.
@@ -95,17 +100,30 @@ object CorpusQueries {
       Similarity.cosineNearDupPairs(embs(s, dir), threshold = 0.45)
     }),
 
-    // IVF approximate top-k (the moderate-similarity scale path;
-    // rows-only — recall vs brute force asserted in OperatorsSpec).
+    // IVF approximate top-k with k-means-trained coarse quantizer (the
+    // moderate-similarity scale path; rows-only — recall vs brute force
+    // asserted in OperatorsSpec for exactly these parameters).
     "s04_ivf_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20L), k = 5,
-        nlist = 32, nprobe = 8)
+        nlist = 32, nprobe = 12)
     }),
 
     // Embedding-cosine near-dup dedup (keep-min-id survivors).
     "d06_embedding_dedup" -> ((s, dir) => {
       Similarity.cosineNearDupDedup(embs(s, dir), threshold = 0.45)
+    }),
+
+    // TRANSITIVE-CLOSURE dedup: one survivor (min id) per connected
+    // component of the verified exact-Jaccard similarity graph — the
+    // chain-collapsing upgrade over single-pass keep-min-id (a~b, b~c,
+    // a!~c still collapses to {a}). Iterative min-label propagation in
+    // Spark; recursive-CTE closure in the DuckDB oracle.
+    "d07_cluster_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.clusteredSurvivors(d,
+        Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          shingleSize = 3, threshold = 0.8), "doc_id")
     }))
 
   // ---- DuckDB oracle twins ------------------------------------------------
@@ -183,6 +201,38 @@ object CorpusQueries {
         QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
     "d03_minhash_dedup" -> ngramJaccardOracle,
     "d04_ngram_jaccard_dedup" -> ngramJaccardOracle,
+    "d07_cluster_dedup" -> clusterDedupOracle,
+    // recompute the 60-bit poly simhash per doc, then brute all-pairs
+    // hamming (exact twin of the chunk-bucketed Spark plan: pigeonhole
+    // over 4 chunks finds every pair with hamming <= 3)
+    "d05_simhash_dedup" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest($toks) AS t FROM documents),
+         h AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(list_filter(string_split(t, ''), c -> c != ''),
+                 c -> unicode(c)::BIGINT)), (a,c) -> (a*31+c) % 1000000007) AS h1,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(list_filter(string_split(t, ''), c -> c != ''),
+                 c -> unicode(c)::BIGINT)), (a,c) -> (a*131+c) % 998244353) AS h2
+           FROM tok),
+         bits AS (
+           SELECT doc_id, b,
+             SUM(CASE WHEN b < 30 THEN ((h1 >> b) & 1)
+                 ELSE ((h2 >> (b-30)) & 1) END * 2 - 1) AS s
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0,59)) AS b) bb
+           GROUP BY 1,2),
+         fp AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS fp
+           FROM bits GROUP BY 1),
+         dups AS (
+           SELECT DISTINCT b.doc_id AS idb
+           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             AND bit_count(xor(a.fp, b.fp)) <= 3)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT idb FROM dups)""",
     "s01_brute_topk" ->
       s"""SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          ${cosSql("a.embedding", "b.embedding")} AS cos,
@@ -205,6 +255,32 @@ object CorpusQueries {
                ${cosSql("a.embedding", "b.embedding")} AS cos
              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
            WHERE cos >= 0.45)""")
+
+  /** Transitive-closure twin of d07: reachability via recursive CTE over
+    * the verified similar pairs (plus self-loops so isolated docs are
+    * their own component); survivors are docs equal to their component's
+    * min id.
+    */
+  private lazy val clusterDedupOracle: String =
+    s"""WITH RECURSIVE
+       sh AS (SELECT doc_id, $shingles3 AS grams FROM documents),
+       ex AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh),
+       pairs AS (
+         SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter,
+                any_value(a.n) AS na, any_value(b.n) AS nb
+         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       sim AS (SELECT ida, idb FROM pairs
+         WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+       edges AS (
+         SELECT ida AS src, idb AS dst FROM sim
+         UNION ALL SELECT idb, ida FROM sim
+         UNION ALL SELECT doc_id, doc_id FROM documents),
+       reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       SELECT src AS doc_id FROM reach GROUP BY src HAVING src = min(dst)"""
 
   /** Shared oracle for d03/d04: survivors of exact 3-gram Jaccard >= 0.8,
     * keep-min-id policy (drop a doc iff a similar smaller-id doc exists).

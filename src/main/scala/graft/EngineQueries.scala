@@ -153,7 +153,8 @@ object EngineQueries {
       s.read.parquet(s"$out/w")
     }),
 
-    // File listing as a DataFrame (rows-only: mtimes are not in parquet).
+    // File listing as a DataFrame; oracle twin stats the same files via
+    // DuckDB read_blob (name/size — mtimes excluded, not reproducible).
     "m08_filenames" -> ((s, dir) => {
       FilenamesModel(dir, mask = Some("\\.parquet$"))
         .extract(StepContext(s, cal))
@@ -210,5 +211,11 @@ object EngineQueries {
         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
         count(*) AS n
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        GROUP BY o_orderkey""")
+        GROUP BY o_orderkey""",
+    // DuckDB can list + stat the very same files via read_blob; the gate
+    // always runs at sf0.01 (driver contract), hence the literal path
+    "m08_filenames" ->
+      """SELECT regexp_extract(filename, '[^/]+$') AS file,
+        true AS is_file, size
+        FROM read_blob('/root/testdata/sf0.01/*.parquet')""")
 }

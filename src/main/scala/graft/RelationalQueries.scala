@@ -316,13 +316,18 @@ object RelationalQueries {
         payload = Seq("pvalue"))
     }),
 
-    // HLL sketch distinct counting (rows-only: HLL implementations
-    // differ across engines; accuracy asserted in RelationalSpec).
+    // HLL sketch distinct counting. HLL values differ across engines, so
+    // the oracle-checkable contract is: the exact count and row count
+    // match, AND the sketch estimate lands within 6% of exact (3 sigma at
+    // rsd 2% — deterministic for fixed data, so this is a stable claim).
     "q32_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          count(lit(1)).as("n"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n"),
+          (abs(approx_count_distinct(col("l_partkey"), 0.02) -
+              countDistinct(col("l_partkey"))).cast("double") /
+            countDistinct(col("l_partkey")) <= 0.06).as("approx_ok"))
     }),
 
     // RANGE window frame: trailing 30-day quantity sum per supplier,
@@ -623,5 +628,13 @@ object RelationalQueries {
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          ${ds("l_quantity")} AS sum_qty
          FROM lineitem
-         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    // the sketch side is engine-specific; the oracle checks the exact
+    // counts AND that Spark's own HLL claim landed within tolerance
+    "q32_approx_distinct" ->
+      """SELECT l_returnflag,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         true AS approx_ok
+         FROM lineitem GROUP BY 1""")
 }

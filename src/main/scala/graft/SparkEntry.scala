@@ -7,8 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `queries` is the operator inventory: one entry per implemented operator
   * from SURVEY.md §2 plus the corpus-pipeline operators (dedup, similarity,
   * text analysis). `oracleSql` carries the exact DuckDB twin for every
-  * SQL-expressible query; approximate operators (LSH top-k, SimHash) are
-  * rows-only and asserted in the ScalaTest suites instead.
+  * SQL-expressible query — including the recursive-CTE closure twin of
+  * the transitive dedup (d07) and the polynomial SimHash twin (d05);
+  * the two inherently engine-specific ANN paths (LSH/IVF top-k) are
+  * rows-only with recall floors asserted in OperatorsSpec instead.
   */
 object SparkEntry {
 

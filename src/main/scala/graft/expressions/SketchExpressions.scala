@@ -193,6 +193,62 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 60-bit SimHash over a token array, built from two independent
+  * polynomial rolling hashes of each token's code points:
+  *   h1 = fold (a*31 + cp) mod 1000000007, h2 = fold (a*131 + cp) mod 998244353
+  * Bit b<30 votes by h1's bit b; bit 30+b by h2's bit b. Unlike the
+  * xxhash64-based [[SimHash64]] (the scale default), every piece of this
+  * is plain integer arithmetic reproducible in ANY engine — the DuckDB
+  * oracle recomputes fingerprints exactly (same trick as t04's
+  * fingerprint twin: unicode(c) == Spark ascii == codePointAt).
+  */
+case class PolySimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_simhash60"
+
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](60)
+    var k = 0
+    while (k < n) {
+      var h1 = 0L; var h2 = 0L
+      if (!tokens.isNullAt(k)) {
+        val str = tokens.getUTF8String(k).toString
+        var i = 0
+        while (i < str.length) {
+          val cp = str.codePointAt(i)
+          h1 = (h1 * 31L + cp) % 1000000007L
+          h2 = (h2 * 131L + cp) % 998244353L
+          i += Character.charCount(cp)
+        }
+      }
+      var b = 0
+      while (b < 30) {
+        if (((h1 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        if (((h2 >>> b) & 1L) == 1L) counts(30 + b) += 1 else counts(30 + b) -= 1
+        b += 1
+      }
+      k += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) { if (counts(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pshExpr", this, classOf[PolySimHash60].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash signature over a shingle array: `numHashes` minima of
   * universal hashes h_i(x) = (a_i*x + b_i) mod p over a murmur3 base hash
   * of each shingle (identical to `functions.hash`, seed 42). One pass

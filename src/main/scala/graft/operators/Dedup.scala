@@ -5,7 +5,7 @@ import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{kernels, MinHashSignature, SimHash64}
+import graft.expressions.{kernels, MinHashSignature, PolySimHash60, SimHash64}
 import graft.functions.TextFunctions
 
 /** Deduplication operators for large-scale corpus pipelines.
@@ -145,19 +145,35 @@ object Dedup {
   def simhash(text: Column): Column =
     kernels.toCol(SimHash64(kernels.toExpr(TextFunctions.tokens(text))))
 
+  /** 60-bit polynomial SimHash — identical semantics, but every step is
+    * plain integer arithmetic an external engine can reproduce (the
+    * DuckDB oracle recomputes it exactly). Use [[simhash]] (xxhash64) as
+    * the scale default; this variant exists for cross-engine parity.
+    */
+  def simhashPoly(text: Column): Column =
+    kernels.toCol(PolySimHash60(kernels.toExpr(TextFunctions.tokens(text))))
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup survivors: docs sharing any of 4 16-bit chunks land
-    * in the same bucket (guarantees finding all pairs with hamming <= 3),
-    * verified by full hamming distance <= maxHamming, keep-min-id policy.
+  /** SimHash near-dup survivors: docs sharing any of 4 fingerprint chunks
+    * land in the same bucket (pigeonhole: guarantees finding all pairs
+    * with hamming <= 3), verified by full hamming distance <= maxHamming,
+    * keep-min-id policy. `fpBits` must be divisible by 4; pass
+    * `fingerprint = simhashPoly` with fpBits = 60 for the
+    * oracle-reproducible variant.
     */
   def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val fp = docs.select(col(idCol), simhash(col(textCol)).as("fp"))
+                   maxHamming: Int = 3, maxBucket: Int = 1000,
+                   fingerprint: Column => Column = simhash,
+                   fpBits: Int = 64): DataFrame = {
+    require(fpBits % 4 == 0, "chunking assumes 4 equal chunks")
+    val width = fpBits / 4
+    val fp = docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
     val chunked = fp.select(col(idCol), col("fp"), posexplode(
         array((0 until 4).map(c =>
-          shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+          shiftrightunsigned(col("fp"), c * width)
+            .bitwiseAND(lit((1L << width) - 1L))): _*)))
       .toDF(idCol, "fp", "chunk", "ckey")
       .persist(StorageLevel.MEMORY_AND_DISK) // 3 references, 32 bytes/row
     val wb = Window.partitionBy("chunk", "ckey")
@@ -239,6 +255,17 @@ object Dedup {
     */
   def ngramJaccardDedup(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val verified = ngramJaccardPairs(docs, idCol, textCol, shingleSize, threshold)
+    docs.select(col(idCol))
+      .join(verified.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** The VERIFIED similar pairs (id_a < id_b, exact Jaccard >= threshold)
+    * behind [[ngramJaccardDedup]] — also the edge list for
+    * [[connectedComponents]]/[[clusteredSurvivors]].
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
     val shingled = docs.select(col(idCol),
       TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK) // prefix build + verify joins
@@ -258,13 +285,12 @@ object Dedup {
         col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val verified = cands
+    cands
       .join(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .filter(size(col("sh_a")) >= ceil(lit(threshold) * size(col("sh_b"))) &&
         size(col("sh_b")) >= ceil(lit(threshold) * size(col("sh_a"))))
       .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
-    docs.select(col(idCol))
-      .join(verified.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .select("id_a", "id_b")
   }
 }

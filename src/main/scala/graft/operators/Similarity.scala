@@ -43,20 +43,38 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Approximate top-k via multi-table random-hyperplane LSH.
-    * `tables` independent signatures of `bits` bits each; candidates =
-    * pairs sharing a (table, signature) bucket; exact cosine re-ranks.
+  /** Approximate top-k via multi-table random-hyperplane LSH with
+    * QUERY-DIRECTED MULTI-PROBE (Lv et al., VLDB'07): besides its exact
+    * bucket, each query also probes every bucket within hamming radius
+    * `probes` of its signature. Recall rises steeply (a near neighbor
+    * differing in one sign bit is still found) while the CORPUS side
+    * stays one bucket per (vector, table) — probing cost is query-side
+    * only, which is exactly where you can afford it at 100 TB: the
+    * corpus shuffle is linear in |C|*tables regardless of probe radius.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              bits: Int = 12, tables: Int = 4,
+              bits: Int = 12, tables: Int = 4, probes: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding",
               excludeSelf: Boolean = true): DataFrame = {
+    require(probes >= 0 && probes <= 2, "probe radius 0..2 supported")
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
           posexplode(hyperplaneSignatures(col(vecCol), bits, tables, seed = 42L)))
         .toDF(id, vec, "table", "sig")
     val c = bucketed(corpus, "neighbor_id", "__cv")
-    val q = bucketed(queries, "query_id", "__qv")
+    val q0 = bucketed(queries, "query_id", "__qv")
+    // probe keys: signature plus all single-bit (and for radius 2,
+    // two-bit) flips — (bits choose <=probes) keys per (query, table)
+    val flips: Seq[Long] =
+      (if (probes >= 1) (0 until bits).map(b => 1L << b) else Seq.empty) ++
+      (if (probes >= 2)
+        for { a <- 0 until bits; b <- a + 1 until bits } yield (1L << a) | (1L << b)
+      else Seq.empty)
+    val q =
+      if (flips.isEmpty) q0
+      else q0.select(col("query_id"), col("__qv"), col("table"),
+        explode(array((lit(0L) +: flips.map(lit(_))).map(f =>
+          col("sig").bitwiseXOR(f)): _*)).as("sig"))
     val scored = c.join(q, Seq("table", "sig"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
@@ -73,26 +91,71 @@ object Similarity {
     * moderate-similarity neighbor search, where sign-bit LSH recall
     * collapses (hyperplane LSH only concentrates for very high cosine).
     *
-    * Coarse quantizer: `nlist` centroids taken deterministically from
-    * the corpus (lowest ids; at 100 TB swap in k-means on a sample —
-    * the operator shape is identical). Every corpus vector is assigned
-    * to its nearest centroid (1 list); every query probes its `nprobe`
-    * nearest lists. The join key is the centroid id, so the shuffle
-    * moves each corpus vector ONCE and each query `nprobe` times —
-    * sum-of-list-sizes work instead of |C|x|Q|.
+    * Coarse quantizer: `nlist` spherical-k-means centroids trained on a
+    * deterministic sample ([[kmeansCentroids]]). Every corpus vector is
+    * assigned to its nearest centroid (1 list); every query probes its
+    * `nprobe` nearest lists. The join key is the centroid id, so the
+    * shuffle moves each corpus vector ONCE and each query `nprobe`
+    * times — sum-of-list-sizes work instead of |C|x|Q|.
     */
+  /** Spherical k-means (cosine Lloyd) on a deterministic sample —
+    * coarse-quantizer training for [[ivfTopK]]. The sample is the first
+    * `sampleSize` rows in xxhash64(id) order (deterministic AND unbiased
+    * w.r.t. id locality, unlike lowest-id); init = first `nlist` sample
+    * vectors; each round assigns to the most-cosine centroid and
+    * recomputes normalized means. At 100 TB the collect is the only
+    * driver-side step (sampleSize x dim doubles, a few MB); training is
+    * O(sample * nlist * dim * iters) — noise next to one corpus scan.
+    */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 10,
+                      sampleSize: Int = 4096,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Double]] = {
+    def normed(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+      .limit(sampleSize)
+      .select(vecCol).collect()
+      .map(r => normed(r.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray))
+    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    val dim = sample.head.length
+    var cents = sample.take(nlist).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val cnt = new Array[Int](nlist)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < nlist) {
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i) * cents(c)(i); i += 1 }
+          if (dot > bestDot) { best = c; bestDot = dot }
+          c += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        cnt(best) += 1
+      }
+      cents = Array.tabulate(nlist)(c => if (cnt(c) == 0) cents(c) else normed(sums(c)))
+      it += 1
+    }
+    cents
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 64, nprobe: Int = 8,
+              nlist: Int = 64, nprobe: Int = 8, trainIters: Int = 10,
               idCol: String = "vec_id", vecCol: String = "embedding",
               excludeSelf: Boolean = true): DataFrame = {
     import graft.expressions.{kernels, NearestCentroids}
-    val centroids: Array[Array[Double]] = corpus
-      .orderBy(col(idCol).asc).limit(nlist)
-      .select(vecCol).collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray)
+    val centroids: Array[Array[Double]] =
+      kmeansCentroids(corpus, nlist, trainIters, idCol = idCol, vecCol = vecCol)
     def assign(df: DataFrame, n: Int): Column =
       kernels.toCol(NearestCentroids(kernels.toExpr(col(vecCol)), centroids, n))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
