@@ -50,6 +50,19 @@ object Streams {
         keyCols.map(col)) :+ col("n") :+ col("sum_value"): _*)
   }
 
+  /** Streaming exact dedup — the streaming twin of `Dedup.exact` /
+    * `Dedup.exactByHash` (pass a hash column as the key for long texts).
+    * `dropDuplicatesWithinWatermark` keeps only keys younger than the
+    * event-time watermark in state, so state is BOUNDED at unbounded
+    * input: a key reappearing within the watermark horizon is dropped,
+    * one older than it has been evicted and passes again — the standard
+    * at-scale contract for streaming ingest dedup.
+    */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                     watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Continuous ingestion: stream files from `srcPath` into a partitioned
     * parquet sink with exactly-once file tracking via the checkpoint.
     * The streaming E->L step.

@@ -100,6 +100,29 @@ class SurfacesSpec extends SparkSpec {
     assert(first.getAs[Long]("n") == 2L)
   }
 
+  test("streaming dedup drops within-watermark duplicate keys, bounded state") {
+    val dir = Files.createTempDirectory("stream_dd").toString
+    val out = Files.createTempDirectory("stream_dd_out").toString
+    val ckpt = Files.createTempDirectory("stream_dd_ckpt").toString
+    // duplicate key 'a' arrives twice within the watermark horizon; only
+    // the first instance survives the dedup
+    Files.write(java.nio.file.Paths.get(dir, "d1.csv"),
+      ("2023-01-01T10:00:00,a,1.0\n" +
+       "2023-01-01T10:01:00,a,2.0\n" +
+       "2023-01-01T10:02:00,b,3.0\n").getBytes)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("k", StringType), StructField("v", DoubleType)))
+    val deduped = Streams.streamingDedup(
+      Streams.fileMonitor(spark, dir, "csv", schema),
+      keyCols = Seq("k"), tsCol = "ts", watermark = "1 hour")
+    assert(deduped.isStreaming)
+    Streams.runAvailableNow(Streams.ingest(deduped, s"$out/data", ckpt))
+    val rows = spark.read.parquet(s"$out/data")
+    assert(rows.count() == 2)
+    assert(rows.select("k").collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    assert(rows.filter(col("k") === "a").collect()(0).getAs[Double]("v") == 1.0)
+  }
+
   test("multimodal: binary schema, batched stub featurization, frame fanout") {
     val bytes1 = Array.fill[Byte](100)(1)
     val bytes2 = Array.fill[Byte](50)(2)
