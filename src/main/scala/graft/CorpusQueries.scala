@@ -100,6 +100,14 @@ object CorpusQueries {
       Similarity.cosineNearDupPairs(embs(s, dir), threshold = 0.45)
     }),
 
+    // Same contract, LSH-bucketed (the at-scale pair scan): amplification
+    // tuned so capture at cos>=0.45 is ~1-2e-6 — checked against the
+    // SAME exact oracle as s03 (verified cosine filter makes candidates
+    // exact; only a missed bucket collision could differ).
+    "s05_lsh_cosine_pairs" -> ((s, dir) => {
+      Similarity.cosineNearDupPairsLsh(embs(s, dir), threshold = 0.45)
+    }),
+
     // IVF approximate top-k with k-means-trained coarse quantizer (the
     // moderate-similarity scale path; rows-only — recall vs brute force
     // asserted in OperatorsSpec for exactly these parameters).
@@ -243,6 +251,12 @@ object CorpusQueries {
          WHERE a.vec_id < 20
          QUALIFY rank <= 5""",
     "s03_cosine_pairs" ->
+      s"""SELECT id_a, id_b, cos FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ${cosSql("a.embedding", "b.embedding")} AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.45""",
+    "s05_lsh_cosine_pairs" ->
       s"""SELECT id_a, id_b, cos FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ${cosSql("a.embedding", "b.embedding")} AS cos
