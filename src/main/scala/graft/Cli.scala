@@ -102,6 +102,18 @@ object Cli {
         spark.stop()
         if (status != Status.Done) sys.exit(1)
 
+      // git-versioned schedule (reference create_repo/push_repo/pull_repo)
+      case "create-repo" =>
+        JobsRepo.createRepo(repo, rest(0), kv.get("remote"))
+        println(s"repo created at ${rest(0)}")
+      case "push-repo" =>
+        val committed = JobsRepo.pushRepo(repo, rest(0),
+          kv.getOrElse("message", "schedule sync"))
+        println(if (committed) "pushed schedule changes" else "nothing to push")
+      case "pull-repo" =>
+        val restored = JobsRepo.pullRepo(repo, rest(0))
+        println(s"restored ${restored.size} job(s)")
+
       case "history" =>
         val c = db.connect()
         try {
@@ -125,5 +137,6 @@ object Cli {
       |  list-jobs | enable-job <id> | disable-job <id> | delete-job <id>
       |  configure-pipeline <jobId> <nodesJson>
       |  run-job <id> [date=yyyy-MM-dd]
+      |  create-repo <dir> [remote=<url>] | push-repo <dir> [message=<m>] | pull-repo <dir>
       |  history""".stripMargin
 }

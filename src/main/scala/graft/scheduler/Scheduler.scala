@@ -89,7 +89,11 @@ trait JobRunner {
   * tests drive it directly.
   */
 final class Scheduler(runner: JobRunner,
-                      executorThreads: Int = 4,
+                      /** pool size; reference default executors_number = 20
+                        * (config.py:148). The reference's 5 charger threads
+                        * have no twin: charging here is synchronous in
+                        * tick(). */
+                      executorThreads: Int = 20,
                       ledger: Option[graft.core.JdbcLedger] = None) {
 
   private val jobs = new ConcurrentHashMap[Long, JobSpec]()

@@ -27,6 +27,41 @@ class RepositorySpec extends SparkSpec {
     assert(loaded == spec.copy(id = id))
   }
 
+  test("git job repo: create, push to a bare remote, pull restores exact specs") {
+    val repo = new Repository(db)
+    val spec = JobSpec(0L, "versioned",
+      schedule = Cron.Schedule(hour = Some("/2"), min = Some("15"), sec = Some("0")),
+      parallelism = "2", timeoutSeconds = Some(60),
+      rerunIntervalSeconds = Some(120), rerunLimit = 1,
+      triggerList = Seq(3L, 4L),
+      startDate = Some(java.time.LocalDateTime.parse("2023-01-01T00:00:00")))
+    val id = repo.saveJob(spec)
+
+    // bare remote + working tree
+    val remote = java.nio.file.Files.createTempDirectory("jobs_remote").toString
+    val tree = java.nio.file.Files.createTempDirectory("jobs_tree").toString
+    new ProcessBuilder("git", "init", "-q", "--bare", remote).start().waitFor()
+    JobsRepo.createRepo(repo, tree, remote = Some(remote))
+    assert(JobsRepo.pushRepo(repo, tree) == false) // nothing new after create
+    val changed = repo.loadJobs().find(_.id == id).get.copy(parallelism = "5")
+    repo.upsertJob(changed)
+    assert(JobsRepo.pushRepo(repo, tree, "bump parallelism"))
+
+    // a FRESH database + clone restores the job under its original id
+    val db2 = DatabaseSource("repodb2",
+      url = "jdbc:derby:memory:graftrepo2;create=true")
+    val repo2 = new Repository(db2)
+    val clone = java.nio.file.Files.createTempDirectory("jobs_clone").toString
+    new ProcessBuilder("git", "clone", "-q", remote, clone).start().waitFor()
+    val restored = JobsRepo.pullRepo(repo2, clone)
+    assert(restored.map(_.id).contains(id))
+    assert(repo2.loadJobs().find(_.id == id).get == changed)
+
+    // upsert-on-pull is idempotent
+    JobsRepo.pullRepo(repo2, clone)
+    assert(repo2.loadJobs().count(_.id == id) == 1)
+  }
+
   test("config-driven pipeline persists and hydrates from the DB") {
     val repo = new Repository(db)
     val jobId = repo.saveJob(JobSpec(0L, "cfg"))
