@@ -330,6 +330,33 @@ object RelationalQueries {
             countDistinct(col("l_partkey")) <= 0.06).as("approx_ok"))
     }),
 
+    // Typed UDAF (Aggregator with BigDecimal buffer): exact weighted
+    // average — order-independent under partial aggregation, so the
+    // DuckDB decimal twin matches bit-for-bit.
+    "q36_udaf_wavg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(graft.functions.WeightedAvg(
+          col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Map-typed scalar functions: build a map linestatus -> count per
+    // flag (map_from_entries over a sorted entry list), then look values
+    // back up with element_at — scalar output keeps the oracle exact.
+    "q37_map_fns" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("l_linestatus"), col("cnt"))))).as("m"))
+        .select(col("l_returnflag"),
+          coalesce(element_at(col("m"), "O"), lit(0L)).as("n_open"),
+          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_filled"),
+          size(map_keys(col("m"))).as("n_statuses"))
+    }),
+
     // RANGE window frame: trailing 30-day quantity sum per supplier,
     // ordered by ship epoch (range frames need a numeric order key).
     "q33_range_frame" -> ((s, dir) => {
@@ -629,6 +656,20 @@ object RelationalQueries {
          ${ds("l_quantity")} AS sum_qty
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "q36_udaf_wavg" ->
+      """SELECT l_returnflag,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))
+                       * CAST(l_quantity AS DECIMAL(38,6)))
+              / SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,6))
+           AS DOUBLE) AS wavg_price,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1""",
+    "q37_map_fns" ->
+      """SELECT l_returnflag,
+         CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_open,
+         CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_filled,
+         CAST(COUNT(DISTINCT l_linestatus) AS INTEGER) AS n_statuses
+         FROM lineitem GROUP BY 1""",
     // the sketch side is engine-specific; the oracle checks the exact
     // counts AND that Spark's own HLL claim landed within tolerance
     "q32_approx_distinct" ->
