@@ -65,6 +65,15 @@ object Multimodal {
     def sampleFrames(bytes: Array[Byte], n: Int): Array[Long] =
       Array.tabulate(n)(i =>
         if (bytes.isEmpty) 0L else (i.toLong * bytes.length) / n)
+
+    /** STUB resize: a real implementation decodes, scales to (w, h) and
+      * re-encodes; this derives deterministic placeholder bytes sized
+      * proportionally to the target area so downstream byte-accounting
+      * is exercised. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val n = math.max(1, math.min(bytes.length, (w.toLong * h / 64).toInt))
+      java.util.Arrays.copyOf(bytes, n)
+    }
   }
 
   /** Batched feature extraction over the binary column. One initializer
@@ -101,6 +110,30 @@ object Multimodal {
           }
         }
       }(Encoders.row(frameSchema))
+  }
+
+  /** Resize image/video media to (w, h): same media schema out, bytes
+    * re-encoded (STUB), metadata width/height updated — the standard
+    * normalize-resolution step before batching into a training set.
+    * Audio rows pass through untouched.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    media.mapPartitions { rows =>
+      // per-partition init point for a real codec
+      rows.map { r =>
+        val modality = r.getAs[String]("modality")
+        val meta = r.getAs[Row]("meta")
+        if (modality == "audio") r
+        else {
+          val bytes = Option(r.getAs[Array[Byte]]("bytes")).getOrElse(Array.empty)
+          Row(r.getAs[Long]("media_id"), modality,
+            StubCodec.resize(bytes, w, h),
+            Row(if (meta == null) null else meta.getAs[String]("format"),
+              w, h,
+              if (meta == null) null else meta.getAs[java.lang.Long]("duration_ms")))
+        }
+      }
+    }(Encoders.row(mediaSchema))
   }
 
   /** Wrap arbitrary rows with binary payloads into the media schema —

@@ -149,6 +149,15 @@ class SurfacesSpec extends SparkSpec {
     assert(frames.schema == Multimodal.frameSchema)
     assert(frames.count() == 4) // only the video row fans out
     assert(frames.select("media_id").distinct().collect()(0).getLong(0) == 2L)
+
+    // resize keeps the media schema, restamps dimensions, recodes bytes
+    val resized = Multimodal.resize(media, 8, 8)
+    assert(resized.schema == Multimodal.mediaSchema)
+    val rr = resized.orderBy("media_id").collect()
+    assert(rr(0).getAs[Row]("meta").getAs[Int]("width") == 8)
+    assert(rr(0).getAs[Row]("meta").getAs[Int]("height") == 8)
+    assert(rr(0).getAs[Array[Byte]]("bytes").length == 1) // 8*8/64
+    assert(rr(1).getAs[Row]("meta").getAs[Long]("duration_ms") == 1000L)
   }
 
   test("multimodal ingestion adapter from binaryFile-shaped rows") {
