@@ -27,6 +27,15 @@ object CorpusQueries {
         stopwordRatio(col("text")).as("stopword_ratio"))
     }),
 
+    // BPE-style regex token counting (the GPT-2 pretokenizer shape,
+    // lookahead-free so RE2 engines match Java): contractions, letter
+    // runs, digit runs, punctuation runs, whitespace runs.
+    "t05_bpe_tokens" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
+          .as("n_bpe_tokens"))
+    }),
+
     // Quality scoring + filter (the classic corpus-cleaning gate).
     "t02_quality_filter" -> ((s, dir) => {
       docs(s, dir)
@@ -157,6 +166,12 @@ object CorpusQueries {
 
   private val stopList = StopwordsEn.map(w => s"'$w'").mkString(", ")
 
+  /** GPT-2-ish pretokenizer, simplified to the lookahead-free subset so
+    * Java (Spark) and RE2 (DuckDB) agree on every match.
+    */
+  private val BpeTokenPattern =
+    """'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
+
   private def langScore(ws: Seq[String]) =
     s"len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
 
@@ -194,6 +209,12 @@ object CorpusQueries {
       s"""SELECT doc_id, $chain AS lang_pred
          FROM (SELECT doc_id, text, $best AS __best FROM documents)"""
     },
+    "t05_bpe_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+           AS INTEGER) AS n_bpe_tokens
+         FROM documents""",
     "t04_fingerprint" ->
       """SELECT doc_id,
          list_reduce(list_prepend(0::BIGINT,
