@@ -94,13 +94,20 @@ final class Scheduler(runner: JobRunner,
                         * have no twin: charging here is synchronous in
                         * tick(). */
                       executorThreads: Int = 20,
-                      ledger: Option[graft.core.JdbcLedger] = None) {
+                      ledger: Option[graft.core.JdbcLedger] = None,
+                      /** quarantine before a failed run becomes
+                        * rerun-eligible — SCHEDULER.rerun_delay, reference
+                        * default 14400 s (config.py:150). */
+                      rerunDelaySeconds: Long = 14400L) {
 
   private val jobs = new ConcurrentHashMap[Long, JobSpec]()
   private val runIdGen = new AtomicLong(0L)
   private val running = new ConcurrentHashMap[Long, AtomicLong]() // jobId -> active count
   val waiting = new ConcurrentLinkedQueue[RunRecord]() // status W
-  private val failed = new ConcurrentLinkedQueue[(RunRecord, Int)]() // (run, rerunTimes)
+  // (run, rerunTimes, failedAtMoment) — failure time in scheduler-clock
+  // seconds, for the rerun_delay quarantine and rerun_days budget window
+  private val failed = new ConcurrentLinkedQueue[(RunRecord, Int, Long)]()
+  private val lastMoment = new AtomicLong(0L)
   val history = new ConcurrentLinkedQueue[(RunRecord, String)]() // (run, final status)
   private val pool = Executors.newFixedThreadPool(executorThreads)
   private val timeoutPool = Executors.newScheduledThreadPool(1)
@@ -139,6 +146,7 @@ final class Scheduler(runner: JobRunner,
 
   /** One scheduler second at `moment` (epoch seconds). */
   def tick(moment: Long): Unit = {
+    lastMoment.set(moment)
     val t = LocalDateTime.ofInstant(Instant.ofEpochSecond(moment), ZoneOffset.UTC)
     // 1. fire scheduled jobs (walk — core.py:905-912)
     jobs.values.asScala.foreach { j =>
@@ -159,15 +167,20 @@ final class Scheduler(runner: JobRunner,
       }
       stillWaiting.foreach(waiting.add)
     }
-    // 3. reruns (core.py:926-962): budget + interval gate
-    val stillFailed = mutable.ListBuffer[(RunRecord, Int)]()
+    // 3. reruns (core.py:926-962): interval gate + rerun_delay
+    // quarantine + rerun_limit retry budget + rerun_days age window
+    val stillFailed = mutable.ListBuffer[(RunRecord, Int, Long)]()
     var f = failed.poll()
     while (f != null) {
-      val (run, times) = f
+      val (run, times, failedAt) = f
       val j = run.job
+      val aged = moment - failedAt > j.rerunDays.toLong * 86400L
+      val quarantined = moment < failedAt + rerunDelaySeconds
       val due = j.rerunIntervalSeconds.exists(i => i > 0 && moment % i == 0)
-      if (due && times < j.rerunLimit) execute(run.copy(seqno = run.seqno + 1))
-      else if (times < j.rerunLimit) stillFailed += f
+      if (times < j.rerunLimit && !aged) {
+        if (due && !quarantined) execute(run.copy(seqno = run.seqno + 1))
+        else stillFailed += f
+      } // else: budget exhausted or outside the rerun_days window — drop
       f = failed.poll()
     }
     stillFailed.foreach(failed.add)
@@ -265,7 +278,7 @@ final class Scheduler(runner: JobRunner,
     history.add((run, status))
     ledger.foreach(_.endRun(run.runId, status, None))
     if (status == Status.Error && run.job.rerunLimit > 0)
-      failed.add((run, run.seqno - 1))
+      failed.add((run, run.seqno - 1, lastMoment.get()))
     if (status == Status.Done)
       run.job.triggerList.foreach { childId =>
         Option(jobs.get(childId)).foreach(child =>

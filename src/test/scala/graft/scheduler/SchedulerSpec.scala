@@ -132,7 +132,7 @@ class SchedulerSpec extends AnyFunSuite {
   test("rerun: failed run retries on the interval, bounded by rerun_limit") {
     val rec = new Recorder
     rec.fail = Set(1L)
-    val s = new Scheduler(rec)
+    val s = new Scheduler(rec, rerunDelaySeconds = 0L)
     s.register(JobSpec(1, "flaky",
       schedule = Cron.Schedule(sec = Some("0"), min = Some("30"), hour = Some("14")),
       rerunIntervalSeconds = Some(60), rerunLimit = 2))
@@ -153,6 +153,31 @@ class SchedulerSpec extends AnyFunSuite {
     assert(rec.runs.size == 3)
     val statuses = s.history.asScala.map(_._2).toSeq
     assert(statuses.count(_ == Status.Error) == 3)
+    s.stop()
+  }
+
+  test("rerun_delay quarantines failures; rerun_days expires the budget window") {
+    val rec = new Recorder
+    rec.fail = Set(1L)
+    // 2-minute quarantine before a failure may rerun (reference default
+    // is 14400 s — config.py:150)
+    val s = new Scheduler(rec, rerunDelaySeconds = 120L)
+    s.register(JobSpec(1, "flaky",
+      schedule = Cron.Schedule(sec = Some("0"), min = Some("30"), hour = Some("14")),
+      rerunIntervalSeconds = Some(60), rerunLimit = 5, rerunDays = 1))
+    s.tick(base) // fires, fails at moment=base
+    assert(s.drain())
+    assert(rec.runs.size == 1)
+    s.tick(base + 60) // interval matches but still quarantined
+    assert(s.drain())
+    assert(rec.runs.size == 1)
+    s.tick(base + 120) // quarantine over -> rerun (fails again at +120)
+    assert(s.drain())
+    assert(rec.runs.size == 2)
+    // jump past the rerun_days window: the failure ages out, no rerun
+    s.tick(base + 120 + 2 * 86400)
+    assert(s.drain())
+    assert(rec.runs.size == 2)
     s.stop()
   }
 
