@@ -174,14 +174,21 @@ object Similarity {
   }
 
   /** LSH-bucketed near-dup pair scan: candidates are pairs sharing any
-    * (table, signature) bucket; exact cosine verifies. The at-scale
-    * replacement for [[cosineNearDupPairs]]'s |C|² crossjoin: the
-    * shuffle key is (table, sig) and each bucket's pair expansion is
-    * partition-local. Amplification (few bits, many tables) is chosen by
-    * the CALLER to push capture probability at the target threshold to
-    * ~1: capture = 1-(1-p^bits)^tables with p = 1 - acos(threshold)/pi.
-    * With bits=2, tables=24 at cos 0.45 (p≈0.65) capture ≈ 1-2e-6 —
-    * measured lossless vs the brute scan on the gate corpus.
+    * (table, signature) bucket; exact cosine verifies. The shuffle key
+    * is (table, sig) and each bucket's pair expansion is partition-local.
+    * Amplification is the CALLER's tradeoff:
+    * capture = 1-(1-p^bits)^tables with p = 1 - acos(threshold)/pi.
+    *
+    * WHERE THIS WINS (measured, NOTES.md): at HIGH thresholds
+    * (cos >= ~0.8, p >= 0.8) — many bits keep buckets tiny while capture
+    * stays ~1, so candidate volume collapses versus |C|²/2. At MODERATE
+    * thresholds (cos ~0.45) the amplification needed for capture ~1
+    * forces few bits => bucket sizes ~|C|/2^bits and candidate volume
+    * EXCEEDS the brute crossjoin — use [[cosineNearDupPairs]] (or IVF
+    * blocking) there. The s05 gate config (bits=2, tables=24, capture
+    * ~1-2e-6 in the independence model) is exact on the gate corpus;
+    * structured replicas correlate across tables, so treat measured
+    * capture (not the model) as the contract at scale.
     */
   def cosineNearDupPairsLsh(df: DataFrame, threshold: Double,
                             bits: Int = 2, tables: Int = 24,
