@@ -20,8 +20,12 @@ import scala.jdk.CollectionConverters._
   *   POST /api/disable-job   - param: id
   *   POST /api/run-job       - params: id, tag (epoch seconds)
   *   GET  /api/history       - completed runs
+  *   POST /api/sync-repo     - pull the git job repo, register restored
+  *                             jobs (web.py:310-322; needs repo+repoDir)
   */
-final class RestServer(driver: Driver, token: String, port: Int = 0) {
+final class RestServer(driver: Driver, token: String, port: Int = 0,
+                       repo: Option[graft.core.Repository] = None,
+                       repoDir: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -54,7 +58,7 @@ final class RestServer(driver: Driver, token: String, port: Int = 0) {
 
   private val endpoints = Seq("/api/test", "/api/help", "/api/jobs",
     "/api/create-job", "/api/enable-job", "/api/disable-job",
-    "/api/run-job", "/api/cancel-run", "/api/history")
+    "/api/run-job", "/api/cancel-run", "/api/history", "/api/sync-repo")
 
   private def handle(ex: HttpExchange): Unit = {
     if (!authed(ex)) { respond(ex, 401, """{"error":"unauthorized"}"""); return }
@@ -96,6 +100,14 @@ final class RestServer(driver: Driver, token: String, port: Int = 0) {
         case "/api/cancel-run" =>
           val ok = driver.scheduler.cancel(params(ex)("run_id").toLong)
           respond(ex, if (ok) 200 else 404, s"""{"canceled":$ok}""")
+        case "/api/sync-repo" =>
+          (repo, repoDir) match {
+            case (Some(r), Some(d)) =>
+              val restored = graft.core.JobsRepo.pullRepo(r, d)
+              restored.foreach(driver.createJob)
+              respond(ex, 200, s"""{"synced":${restored.size}}""")
+            case _ => respond(ex, 501, """{"error":"no job repo configured"}""")
+          }
         case "/api/history" =>
           val rows = driver.runHistory().map { case (r, st) =>
             s"""{"run_id":${r.runId},"job_id":${r.job.id},"tag":${r.tag},"status":"$st"}"""

@@ -59,6 +59,42 @@ class RestServerSpec extends AnyFunSuite {
     } finally { srv.stop(); sched.stop() }
   }
 
+  test("/api/sync-repo pulls the git job repo and registers restored jobs") {
+    // publisher side: a repository with one job, pushed to a bare remote
+    val dbA = graft.core.DatabaseSource("restsyncA",
+      "jdbc:derby:memory:graftrestsyncA;create=true")
+    val repoA = new graft.core.Repository(dbA)
+    val id = repoA.saveJob(JobSpec(0L, "synced-job",
+      schedule = Cron.Schedule(sec = Some("-"))))
+    val remote = java.nio.file.Files.createTempDirectory("sync_remote").toString
+    val tree = java.nio.file.Files.createTempDirectory("sync_tree").toString
+    new ProcessBuilder("git", "init", "-q", "--bare", remote).start().waitFor()
+    graft.core.JobsRepo.createRepo(repoA, tree, remote = Some(remote))
+    graft.core.JobsRepo.pushRepo(repoA, tree)
+
+    // subscriber side: fresh db + clone behind the REST server
+    val dbB = graft.core.DatabaseSource("restsyncB",
+      "jdbc:derby:memory:graftrestsyncB;create=true")
+    val repoB = new graft.core.Repository(dbB)
+    val clone = java.nio.file.Files.createTempDirectory("sync_clone").toString
+    new ProcessBuilder("git", "clone", "-q", remote, clone).start().waitFor()
+    val sched = new Scheduler(new Recorder)
+    val driver = new Driver(sched)
+    val srv = new RestServer(driver, token = "s3cret",
+      repo = Some(repoB), repoDir = Some(clone)).start()
+    val http = HttpClient.newHttpClient()
+    try {
+      val r = http.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.boundPort}/api/sync-repo"))
+        .header("Authorization", "Bearer s3cret")
+        .POST(HttpRequest.BodyPublishers.ofString("")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200 && r.body() == """{"synced":1}""")
+      assert(driver.listJobs().exists(j => j.id == id && j.name == "synced-job"))
+      assert(repoB.loadJobs().exists(_.id == id)) // durable too
+    } finally { srv.stop(); sched.stop() }
+  }
+
   test("scheduler refresh from the durable repository") {
     val db = graft.core.DatabaseSource("restdb",
       "jdbc:derby:memory:graftrest;create=true")
