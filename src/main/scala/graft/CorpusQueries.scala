@@ -117,6 +117,15 @@ object CorpusQueries {
       Similarity.cosineNearDupPairsLsh(embs(s, dir), threshold = 0.45)
     }),
 
+    // IVF-blocked near-dup pair scan (the moderate-threshold scale path;
+    // capture on this corpus is total, so the exact s03 oracle applies —
+    // the capture floor is ALSO spec-asserted so a regression is caught
+    // in two places).
+    "s06_ivf_cosine_pairs" -> ((s, dir) => {
+      Similarity.cosineNearDupPairsIvf(embs(s, dir), threshold = 0.45,
+        nlist = 32, nprobe = 8)
+    }),
+
     // IVF approximate top-k with k-means-trained coarse quantizer (the
     // moderate-similarity scale path; rows-only — recall vs brute force
     // asserted in OperatorsSpec for exactly these parameters).
@@ -272,6 +281,12 @@ object CorpusQueries {
          WHERE a.vec_id < 20
          QUALIFY rank <= 5""",
     "s03_cosine_pairs" ->
+      s"""SELECT id_a, id_b, cos FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ${cosSql("a.embedding", "b.embedding")} AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.45""",
+    "s06_ivf_cosine_pairs" ->
       s"""SELECT id_a, id_b, cos FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ${cosSql("a.embedding", "b.embedding")} AS cos

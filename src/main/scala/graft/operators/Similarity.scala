@@ -211,9 +211,38 @@ object Similarity {
       .groupBy("id_a", "id_b").agg(first("cos").as("cos")) // dedup cross-table hits
   }
 
+  /** IVF-blocked near-dup pair scan — the scale path for MODERATE
+    * thresholds where hyperplane-LSH amplification degenerates (see
+    * [[cosineNearDupPairsLsh]]): each vector joins the buckets of its
+    * `nprobe` nearest k-means centroids; same-bucket pairs verify with
+    * exact cosine. Candidate volume ~ sum of (probe-expanded) list
+    * sizes squared / nlist — tunable via nlist independently of the
+    * threshold, which is exactly what sign-bit LSH cannot do. Capture is
+    * data-dependent (near vectors rank centroids similarly); assert it
+    * against the brute scan on a sample, not from a closed-form model.
+    */
+  def cosineNearDupPairsIvf(df: DataFrame, threshold: Double,
+                            nlist: Int = 32, nprobe: Int = 4,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    import graft.expressions.{kernels, NearestCentroids}
+    val centroids = kmeansCentroids(df, nlist, idCol = idCol, vecCol = vecCol)
+    def assign: Column =
+      kernels.toCol(NearestCentroids(kernels.toExpr(col(vecCol)), centroids, nprobe))
+    val b = df.select(col(idCol), col(vecCol), explode(assign).as("cid"))
+    b.as("a").join(b.as("b"),
+        col("a.cid") === col("b.cid") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("id_a", "id_b").agg(first("cos").as("cos")) // dedup multi-list hits
+  }
+
   /** All pairs with cosine >= threshold (embedding near-dup detection),
-    * id_a < id_b. Brute-force variant; [[cosineNearDupPairsLsh]] is the
-    * scale path.
+    * id_a < id_b. Brute-force variant; [[cosineNearDupPairsLsh]] (high
+    * thresholds) and [[cosineNearDupPairsIvf]] (moderate thresholds)
+    * are the scale paths.
     */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
                          idCol: String = "vec_id",

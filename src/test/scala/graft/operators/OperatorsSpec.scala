@@ -71,6 +71,18 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"multi-probe LSH recall $recall")
   }
 
+  test("IVF-blocked pair scan: verified subset of brute pairs, high capture") {
+    val brute = Similarity.cosineNearDupPairs(embs01, 0.45)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.cosineNearDupPairsIvf(embs01, 0.45)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(brute)) // exact-cosine verify: no false positives
+    val capture = (ivf & brute).size.toDouble / brute.size
+    assert(capture >= 0.9, s"IVF pair capture $capture")
+  }
+
   test("minhash dedup agrees with exact n-gram jaccard on the gapped corpus") {
     val a = Dedup.minhashDedup(docs, "doc_id", "text")
       .collect().map(_.getLong(0)).toSet
