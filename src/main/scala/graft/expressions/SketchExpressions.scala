@@ -193,6 +193,99 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** MinHash signature over PRE-HASHED shingles (array<long>): same
+  * universal-hash scheme as [[MinHashSignature]] but the base value is
+  * the 64-bit shingle hash folded into [0, p) instead of a murmur3 of
+  * the string — for pipelines that carry 8-byte shingle hashes through
+  * the shuffle instead of the strings (the at-scale layout).
+  */
+case class MinHashSignatureHashed(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  private val Prime = 2147483647L // 2^31 - 1, Mersenne
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature_hashed"
+
+  @transient private lazy val coeffs: (Array[Long], Array[Long]) = {
+    val as = new Array[Long](numHashes); val bs = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      as(i) = 1L + 2L * math.floorMod(
+        seed * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L, Prime / 2 - 1)
+      bs(i) = math.floorMod(
+        seed * 0x94D049BB133111EBL + i.toLong * 0xD6E8FEB86659FD93L, Prime)
+      i += 1
+    }
+    (as, bs)
+  }
+
+  def compute(hashes: ArrayData): ArrayData = {
+    val (as, bs) = coeffs
+    val n = hashes.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var k = 0
+    while (k < n) {
+      val base = math.floorMod(hashes.getLong(k), Prime)
+      var i = 0
+      while (i < numHashes) {
+        val v = (base * as(i) + bs(i)) % Prime
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mhhExpr", this, classOf[MinHashSignatureHashed].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Intersection size of two SORTED long arrays (one merge pass, no
+  * allocation) — the verify kernel for hashed-shingle Jaccard:
+  * J = inter / (|a| + |b| - inter). Duplicate values (hash collisions
+  * inside one document's set) advance both cursors once.
+  */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_long_intersect"
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sliExpr", this, classOf[SortedLongIntersect].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** 60-bit SimHash over a token array, built from two independent
   * polynomial rolling hashes of each token's code points:
   *   h1 = fold (a*31 + cp) mod 1000000007, h2 = fold (a*131 + cp) mod 998244353

@@ -5,7 +5,8 @@ import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{kernels, MinHashSignature, PolySimHash60, SimHash64}
+import graft.expressions.{kernels, MinHashSignature, MinHashSignatureHashed,
+  PolySimHash60, SimHash64, SortedLongIntersect}
 import graft.functions.TextFunctions
 
 /** Deduplication operators for large-scale corpus pipelines.
@@ -60,6 +61,33 @@ object Dedup {
     */
   def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
     kernels.toCol(MinHashSignature(kernels.toExpr(shingles), numHashes, seed))
+
+  /** MinHash signature over PRE-HASHED shingles (array<long>) — the
+    * variant for the at-scale layout where only 8-byte shingle hashes
+    * travel through the shuffle.
+    */
+  def minhashSignatureHashed(hashes: Column, numHashes: Int, seed: Long = 42L): Column =
+    kernels.toCol(MinHashSignatureHashed(kernels.toExpr(hashes), numHashes, seed))
+
+  /** Sorted distinct 64-bit hashes of a document's word shingles — the
+    * dedup pipelines' carried representation: ~8 bytes per shingle
+    * through every shuffle instead of the shingle text. xxhash64
+    * collisions alter Jaccard by ~|sets|²/2⁶⁴ — negligible against the
+    * dedup threshold (and deterministic, so the oracle gate would
+    * surface one).
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    array_sort(transform(TextFunctions.wordShingles(text, n), s => xxhash64(s)))
+
+  /** Exact Jaccard over two SORTED hashed-shingle arrays: one merge pass
+    * (native kernel), no intermediate arrays.
+    */
+  def jaccardHashed(a: Column, b: Column): Column = {
+    val inter = kernels.toCol(
+      SortedLongIntersect(kernels.toExpr(a), kernels.toExpr(b))).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
 
   /** Candidate duplicate pairs via LSH banding: split the signature into
     * `bands` bands of `rows` values; docs sharing any band bucket become a
@@ -116,22 +144,22 @@ object Dedup {
                    shingleSize: Int = 3, numHashes: Int = 64,
                    bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
+    // carry 8-byte shingle hashes, never the shingle strings: the persist
+    // and both verify joins move ~8 bytes/shingle (the at-scale layout)
     val shingled = docs.select(col(idCol),
-      TextFunctions.wordShingles(col(textCol), shingleSize).as("shingles"))
-      // reused by signature derivation and both verify joins; (id,
-      // shingles) is ~2% of the raw text and spills to disk if needed
+      hashedShingles(col(textCol), shingleSize).as("shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = shingled.select(col(idCol),
-      minhashSignature(col("shingles"), numHashes).as("sig"))
+      minhashSignatureHashed(col("shingles"), numHashes).as("sig"))
     val cands = lshCandidates(sigs, idCol, "sig", bands, rows)
     val verified = cands
       .join(shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
       // size-compatibility prune (implied by J >= t: |A| >= t|B| and
-      // vice versa) — rejects pairs before the O(|A|+|B|) intersect
+      // vice versa) — rejects pairs before the O(|A|+|B|) merge
       .filter(size(col("sh_a")) >= ceil(lit(threshold) * size(col("sh_b"))) &&
         size(col("sh_b")) >= ceil(lit(threshold) * size(col("sh_a"))))
-      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .filter(jaccardHashed(col("sh_a"), col("sh_b")) >= threshold)
     // survivors: all ids minus ids that appear as the LARGER of a verified pair
     docs.select(col(idCol))
       .join(verified.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
@@ -271,8 +299,10 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // hashed-shingle layout: every downstream shuffle (prefix explode,
+    // prefix join, verify joins) moves 8-byte longs, not shingle text
     val shingled = docs.select(col(idCol),
-      TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
+      hashedShingles(col(textCol), shingleSize).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK) // prefix build + verify joins
     val exploded = shingled.select(col(idCol), size(col("sh")).as("n"),
       explode(col("sh")).as("g"))
@@ -295,7 +325,7 @@ object Dedup {
       .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .filter(size(col("sh_a")) >= ceil(lit(threshold) * size(col("sh_b"))) &&
         size(col("sh_b")) >= ceil(lit(threshold) * size(col("sh_a"))))
-      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .filter(jaccardHashed(col("sh_a"), col("sh_b")) >= threshold)
       .select("id_a", "id_b")
   }
 }
