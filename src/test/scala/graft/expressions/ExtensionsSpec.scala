@@ -31,4 +31,34 @@ class ExtensionsSpec extends graft.SparkSpec {
       .collect()(0).getDouble(0)
     assert(viaApi == r.getAs[Double]("c1"))
   }
+
+  test("sorted-long intersect and hashed minhash kernels: edge cases") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+
+    def inter(a: Seq[Long], b: Seq[Long]): Double = spark.range(1).select(
+      Dedup.jaccardHashed(
+        array(a.map(lit(_)): _*).cast("array<long>"),
+        array(b.map(lit(_)): _*).cast("array<long>")).as("j"))
+      .collect()(0).getDouble(0)
+
+    assert(inter(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)) == 0.5) // 2/4
+    assert(inter(Seq(1L, 2L), Seq(3L, 4L)) == 0.0)         // disjoint
+    assert(inter(Seq(1L, 2L), Seq(1L, 2L)) == 1.0)         // identical
+    assert(inter(Seq.empty, Seq.empty) == 0.0)             // both empty -> 0
+
+    // hashed minhash: identical hash sets -> identical signatures;
+    // order-independent (sets, not sequences)
+    val sigs = spark.range(1).select(
+      Dedup.minhashSignatureHashed(
+        array(lit(7L), lit(11L), lit(13L)), 16).as("a"),
+      Dedup.minhashSignatureHashed(
+        array(lit(13L), lit(7L), lit(11L)), 16).as("b"),
+      Dedup.minhashSignatureHashed(
+        array(lit(70L), lit(110L), lit(130L)), 16).as("c"))
+      .collect()(0)
+    assert(sigs.getSeq[Long](0) == sigs.getSeq[Long](1))
+    assert(sigs.getSeq[Long](0) != sigs.getSeq[Long](2))
+    assert(sigs.getSeq[Long](0).length == 16)
+  }
 }
