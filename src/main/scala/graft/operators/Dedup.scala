@@ -250,13 +250,15 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src").as("id2")).agg(min("label").as("nlabel"))
-      val updated = labels.join(neighborMin, col("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // one join feeds BOTH the convergence probe and the next labels;
+      // probing `nlabel < label` on the persisted join replaces the old
+      // updated-vs-labels equality join (a whole join + shuffle less per
+      // iteration)
+      val joined = labels.join(neighborMin, col("id") === col("id2"), "left")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.as("u").join(labels.as("l"), "id")
-        .filter(col("u.label") =!= col("l.label")).limit(1).count()
-      labels = updated
+      val changed = joined.filter(col("nlabel") < col("label")).limit(1).count()
+      labels = joined.select(col("id"),
+        least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       converged = changed == 0
       i += 1
     }
