@@ -7,7 +7,9 @@ object Explain {
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q01_pricing_summary", "q02_filter_project", "q03_join_topk")) {
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q01_pricing_summary", "q02_filter_project", "q03_join_topk")
+    for (q <- qs) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
