@@ -140,6 +140,21 @@ object CorpusQueries {
       Similarity.cosineNearDupDedup(embs(s, dir), threshold = 0.45)
     }),
 
+    // The corpus-cleaning COMPOSITION: quality gate -> content-hash
+    // dedup -> token accounting, one declarative plan end to end (the
+    // shape of a real training-data prep job; every stage reuses a
+    // gated operator).
+    "c01_corpus_etl" -> ((s, dir) => {
+      val quality = docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.5)
+      Dedup.exactByHash(quality, "text", "doc_id")
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          col("quality"))
+    }),
+
     // TRANSITIVE-CLOSURE dedup: one survivor (min id) per connected
     // component of the verified exact-Jaccard similarity graph — the
     // chain-collapsing upgrade over single-pass keep-min-id (a~b, b~c,
@@ -234,6 +249,24 @@ object CorpusQueries {
     "d01_exact_dedup" ->
       """SELECT doc_id, lang, source FROM documents
         QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1""",
+    // composition twin: the t02 quality formula gates, text-partitioned
+    // min-id dedup survives, token count projects
+    "c01_corpus_etl" ->
+      s"""WITH q AS (
+           SELECT doc_id, text,
+             (LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+              + LEAST((CASE WHEN len($toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)
+                       / CAST(len($toks) AS INTEGER) END) * 4.0, 1.0)
+              + GREATEST(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                       / length(text) END) * 5.0, 0.0)) / 3.0 AS quality
+           FROM documents),
+         gated AS (SELECT * FROM q WHERE quality >= 0.5),
+         surv AS (SELECT doc_id, text, quality FROM gated
+           QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+         SELECT doc_id, CAST(len($toks) AS INTEGER) AS n_tokens, quality
+         FROM surv""",
     "d02_hash_dedup" ->
       """SELECT doc_id FROM documents
         QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""",
