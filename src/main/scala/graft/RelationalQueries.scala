@@ -341,6 +341,23 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // The remaining window-function family in one pass: ntile buckets,
+    // first_value, lead, cume_dist. The raw table has duplicate
+    // (orderkey, linenumber) pairs, so aggregate to that unique triple
+    // FIRST — window determinism requires a ties-free total order.
+    "q38_window_stats" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .groupBy("l_suppkey", "l_orderkey", "l_linenumber")
+        .agg(decSum(col("l_quantity")).as("qty"))
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      base.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        ntile(4).over(w).as("quartile"),
+        first("qty").over(w).as("first_qty"),
+        lead(col("qty"), 1, 0.0).over(w).as("next_qty"),
+        cume_dist().over(w).as("cd"))
+    }),
+
     // Map-typed scalar functions: build a map linestatus -> count per
     // flag (map_from_entries over a sorted entry list), then look values
     // back up with element_at — scalar output keeps the oracle exact.
@@ -664,6 +681,18 @@ object RelationalQueries {
            AS DOUBLE) AS wavg_price,
          CAST(COUNT(*) AS BIGINT) AS n
          FROM lineitem GROUP BY 1""",
+    "q38_window_stats" ->
+      """WITH base AS (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+           FROM lineitem GROUP BY 1, 2, 3)
+         SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         first_value(qty) OVER w AS first_qty,
+         lead(qty, 1, 0.0) OVER w AS next_qty,
+         cume_dist() OVER w AS cd
+         FROM base
+         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber)""",
     "q37_map_fns" ->
       """SELECT l_returnflag,
          CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_open,
