@@ -18,13 +18,15 @@ class SchedulerSpec extends AnyFunSuite {
     val runs = new ConcurrentLinkedQueue[(Long, Long)]() // (jobId, tag)
     @volatile var fail: Set[Long] = Set.empty
     @volatile var sleepMs: Long = 0
+    @volatile var sleepFor: Map[Long, Long] = Map.empty // per-job override
     private val active = new AtomicInteger(0)
     val maxActive = new AtomicInteger(0) // high-water concurrent runs
     def run(job: JobSpec, tag: Long): Unit = {
       val a = active.incrementAndGet()
       maxActive.updateAndGet(m => math.max(m, a))
       try {
-        if (sleepMs > 0) Thread.sleep(sleepMs)
+        val ms = sleepFor.getOrElse(job.id, sleepMs)
+        if (ms > 0) Thread.sleep(ms)
         runs.add((job.id, tag))
         if (fail.contains(job.id)) sys.error(s"job ${job.id} failed")
       } finally active.decrementAndGet()
@@ -228,6 +230,23 @@ class SchedulerSpec extends AnyFunSuite {
     assert(s.drain(timeoutSeconds = 10))
     assert(s.history.asScala.map(_._2).toSeq == Seq(Status.Canceled))
     assert(!s.cancel(999L)) // unknown run
+    s.stop()
+  }
+
+  test("a timed-out run does not leak its interrupt into the next run on the thread") {
+    val rec = new Recorder
+    rec.sleepFor = Map(1L -> 3000L) // job 1 overruns; job 2 is instant
+    val s = new Scheduler(rec, executorThreads = 1) // SAME pool thread
+    s.register(JobSpec(1, "overrunner", parallelism = "N",
+      schedule = Cron.Schedule(sec = Some("-")), timeoutSeconds = Some(1)))
+    s.register(JobSpec(2, "innocent", parallelism = "N",
+      schedule = Cron.Schedule(sec = Some("-"))))
+    s.charge(s.job(1L).get, base)
+    s.charge(s.job(2L).get, base) // queues behind job 1 on the one thread
+    assert(s.drain(timeoutSeconds = 15))
+    val byJob = s.history.asScala.toSeq.map { case (r, st) => r.job.id -> st }.toMap
+    assert(byJob(1L) == Status.Timeout)
+    assert(byJob(2L) == Status.Done) // would be T/C if the interrupt leaked
     s.stop()
   }
 
