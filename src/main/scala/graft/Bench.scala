@@ -20,7 +20,7 @@ object Bench {
     // min of N passes: single-run times carry ~25% machine noise on this
     // host; the minimum is the standard stable estimator of a query's
     // actual cost (passes recorded in the metric line)
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = names.map { case (name, fn) =>
@@ -41,6 +41,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
+    // The per-query map above runs ~3 KB for 66 queries — longer than the
+    // driver's tail capture, so both prior rounds recorded "parsed": null.
+    // Emit a compact total-only line LAST so a parseable metric line always
+    // survives tail truncation.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"nqueries":${results.size}}""")
     spark.stop()
   }
 }

@@ -135,9 +135,23 @@ object CorpusQueries {
         nlist = 32, nprobe = 12)
     }),
 
-    // Embedding-cosine near-dup dedup (keep-min-id survivors).
+    // Embedding-cosine near-dup dedup (keep-min-id survivors), IVF-blocked
+    // pair scan — the moderate-threshold SCALE path (same quantizer
+    // config as s06, whose capture on this corpus is total, so the exact
+    // brute-pair oracle applies). The brute crossjoin is demoted to the
+    // oracle side only.
     "d06_embedding_dedup" -> ((s, dir) => {
-      Similarity.cosineNearDupDedup(embs(s, dir), threshold = 0.45)
+      Similarity.cosineNearDupDedup(embs(s, dir), threshold = 0.45,
+        strategy = Similarity.PairScanStrategy.Ivf(nlist = 32, nprobe = 8))
+    }),
+
+    // Same dedup contract through the LSH-bucketed pair scan (s05's
+    // amplification config: capture ~1-2e-6 missed at cos>=0.45), gated
+    // against the SAME exact oracle — both scale paths are now oracle-
+    // verified end to end, not just at the pair-scan layer.
+    "d08_lsh_embedding_dedup" -> ((s, dir) => {
+      Similarity.cosineNearDupDedup(embs(s, dir), threshold = 0.45,
+        strategy = Similarity.PairScanStrategy.Lsh(bits = 2, tables = 24))
     }),
 
     // The corpus-cleaning COMPOSITION: quality gate -> content-hash
@@ -331,13 +345,19 @@ object CorpusQueries {
              ${cosSql("a.embedding", "b.embedding")} AS cos
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          WHERE cos >= 0.45""",
-    "d06_embedding_dedup" ->
-      s"""SELECT vec_id FROM embeddings WHERE vec_id NOT IN (
-           SELECT id_b FROM (
-             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ${cosSql("a.embedding", "b.embedding")} AS cos
-             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-           WHERE cos >= 0.45)""")
+    "d06_embedding_dedup" -> embeddingDedupOracle,
+    "d08_lsh_embedding_dedup" -> embeddingDedupOracle)
+
+  /** Shared exact oracle for d06 (IVF-backed) and d08 (LSH-backed): the
+    * brute all-pairs scan, demoted from operator default to oracle-only.
+    */
+  private lazy val embeddingDedupOracle: String =
+    s"""SELECT vec_id FROM embeddings WHERE vec_id NOT IN (
+         SELECT id_b FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ${cosSql("a.embedding", "b.embedding")} AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.45)"""
 
   /** Transitive-closure twin of d07: reachability via recursive CTE over
     * the verified similar pairs (plus self-loops so isolated docs are

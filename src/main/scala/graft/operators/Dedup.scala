@@ -245,6 +245,10 @@ object Dedup {
       .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    // the superseded iteration's persisted join — released only AFTER the
+    // next one materializes, so at most one generation is ever pinned
+    // (the old code leaked one persisted DataFrame per round)
+    var prevJoined: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -257,13 +261,34 @@ object Dedup {
       val joined = labels.join(neighborMin, col("id") === col("id2"), "left")
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = joined.filter(col("nlabel") < col("label")).limit(1).count()
+      if (prevJoined != null) prevJoined.unpersist(blocking = false)
+      prevJoined = joined
       labels = joined.select(col("id"),
         least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       converged = changed == 0
       i += 1
+      // every few rounds, cut the compounding lineage: round N's plan
+      // otherwise nests all N-1 prior joins and planning cost grows
+      // superlinearly with iteration count
+      if (!converged && i % 3 == 0) {
+        labels = labels.localCheckpoint(eager = true)
+        prevJoined.unpersist(blocking = false); prevJoined = null
+      }
     }
+    // a silently non-converged result is WRONG (labels are not yet
+    // component minima) — fail loudly rather than keep extra survivors
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds: a " +
+        s"component chain is longer than $maxIter hops; raise maxIter")
+    // detach the result from the per-iteration caches before releasing
+    // them — one bounded (id,label) materialization instead of keeping
+    // the whole iteration history pinned for the caller's consumption
+    val out = labels.localCheckpoint(eager = true)
+    if (prevJoined != null) prevJoined.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     p0.unpersist(blocking = false)
-    labels.select(col("id").as(idCol), col("label").as("component"))
+    out.select(col("id").as(idCol), col("label").as("component"))
   }
 
   /** Cluster-aware survivors: one doc (min id) per similarity component,

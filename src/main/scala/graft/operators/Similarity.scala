@@ -255,16 +255,45 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Pair-scan strategy for [[cosineNearDupDedup]]. `Auto` picks by
+    * threshold: hyperplane-LSH amplification concentrates only at high
+    * cosine (capture model in [[cosineNearDupPairsLsh]]), so high
+    * thresholds route to LSH and moderate ones to IVF blocking. `Brute`
+    * stays available as the oracle/baseline — it is NOT a scale path
+    * (broadcasts the whole corpus, O(n²) pairs).
+    */
+  sealed trait PairScanStrategy
+  object PairScanStrategy {
+    case object Brute extends PairScanStrategy
+    case class Lsh(bits: Int = 2, tables: Int = 24) extends PairScanStrategy
+    case class Ivf(nlist: Int = 32, nprobe: Int = 4) extends PairScanStrategy
+    case object Auto extends PairScanStrategy
+  }
+
   /** Embedding-cosine near-dup DEDUP: survivors after dropping any row
     * with a cosine-similar neighbor of smaller id (same keep-min-id
-    * policy as the text dedups). Brute-force pair generation here; at
-    * scale swap in LSH-bucketed pair pruning via [[lshTopK]]'s bucketing.
+    * policy as the text dedups). Pair generation is pluggable via
+    * [[PairScanStrategy]]; the default (`Auto`) picks a bucketed scale
+    * path by threshold — LSH for high cosine, IVF blocking for moderate —
+    * never the brute crossjoin, which callers must opt into explicitly.
     */
   def cosineNearDupDedup(df: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
-    val dups = cosineNearDupPairs(df, threshold, idCol, vecCol)
-      .select(col("id_b").as(idCol)).distinct()
+                         vecCol: String = "embedding",
+                         strategy: PairScanStrategy = PairScanStrategy.Auto): DataFrame = {
+    import PairScanStrategy._
+    val pairs = strategy match {
+      case Brute => cosineNearDupPairs(df, threshold, idCol, vecCol)
+      case Lsh(bits, tables) =>
+        cosineNearDupPairsLsh(df, threshold, bits, tables, idCol = idCol, vecCol = vecCol)
+      case Ivf(nlist, nprobe) =>
+        cosineNearDupPairsIvf(df, threshold, nlist, nprobe, idCol, vecCol)
+      case Auto =>
+        if (threshold >= 0.75)
+          cosineNearDupPairsLsh(df, threshold, idCol = idCol, vecCol = vecCol)
+        else cosineNearDupPairsIvf(df, threshold, idCol = idCol, vecCol = vecCol)
+    }
+    val dups = pairs.select(col("id_b").as(idCol)).distinct()
     df.select(col(idCol)).join(dups, Seq(idCol), "left_anti")
   }
 }

@@ -57,4 +57,34 @@ final class Driver(val scheduler: Scheduler) {
   /** Final statuses of completed runs, newest last. */
   def runHistory(): Seq[(RunRecord, String)] =
     scheduler.history.asScala.toSeq
+
+  // ---- scheduler lifecycle + run administration (web.py:173-233,
+  // api.py:300-466) --------------------------------------------------------
+
+  /** Start the scheduler's wall-clock tick loop. Returns false when it is
+    * already running (the reference refuses a second scheduler process —
+    * api.py:300-318). */
+  def startScheduler(): Boolean =
+    if (scheduler.isAlive) false
+    else { scheduler.start(); true }
+
+  /** Stop the tick loop; queued runs stay queued and the scheduler can
+    * be started again (api.py:320-335). */
+  def stopScheduler(): Boolean =
+    if (!scheduler.isAlive) false
+    else { scheduler.stopTicking(); true }
+
+  def schedulerAlive: Boolean = scheduler.isAlive
+
+  /** Deactivate a W/E/T run so it never executes (api.py:446-466). */
+  def deactivateRun(runId: Long): Boolean = scheduler.deactivate(runId)
+
+  /** Cancel every RUNNING run of one job (api.py:389-404). Returns the
+    * number of runs interrupted. */
+  def cancelJob(id: Long): Int =
+    scheduler.runningRunIds(id).count(scheduler.cancel)
+
+  /** Cancel all running runs of all jobs (api.py:405-417). */
+  def cancelJobs(): Int =
+    listJobs().map(j => cancelJob(j.id)).sum
 }

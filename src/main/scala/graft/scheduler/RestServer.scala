@@ -19,6 +19,11 @@ import scala.jdk.CollectionConverters._
   *   POST /api/enable-job    - param: id
   *   POST /api/disable-job   - param: id
   *   POST /api/run-job       - params: id, tag (epoch seconds)
+  *   POST /api/cancel-run    - param: run_id (interrupt a running run)
+  *   POST /api/deactivate-run - param: run_id (drop a W/E/T run —
+  *                             web.py:293-308)
+  *   POST /api/start-scheduler - begin the tick loop (web.py:173-183)
+  *   POST /api/stop-scheduler  - halt the tick loop (web.py:185-194)
   *   GET  /api/history       - completed runs
   *   POST /api/sync-repo     - pull the git job repo, register restored
   *                             jobs (web.py:310-322; needs repo+repoDir)
@@ -58,7 +63,9 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
 
   private val endpoints = Seq("/api/test", "/api/help", "/api/jobs",
     "/api/create-job", "/api/enable-job", "/api/disable-job",
-    "/api/run-job", "/api/cancel-run", "/api/history", "/api/sync-repo")
+    "/api/run-job", "/api/cancel-run", "/api/deactivate-run",
+    "/api/start-scheduler", "/api/stop-scheduler",
+    "/api/history", "/api/sync-repo")
 
   private def handle(ex: HttpExchange): Unit = {
     if (!authed(ex)) { respond(ex, 401, """{"error":"unauthorized"}"""); return }
@@ -100,6 +107,15 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
         case "/api/cancel-run" =>
           val ok = driver.scheduler.cancel(params(ex)("run_id").toLong)
           respond(ex, if (ok) 200 else 404, s"""{"canceled":$ok}""")
+        case "/api/deactivate-run" => // web.py:293-308
+          val ok = driver.deactivateRun(params(ex)("run_id").toLong)
+          respond(ex, if (ok) 200 else 404, s"""{"deactivated":$ok}""")
+        case "/api/start-scheduler" => // web.py:173-183
+          val ok = driver.startScheduler()
+          respond(ex, if (ok) 200 else 409, s"""{"started":$ok}""")
+        case "/api/stop-scheduler" => // web.py:185-194
+          val ok = driver.stopScheduler()
+          respond(ex, if (ok) 200 else 409, s"""{"stopped":$ok}""")
         case "/api/sync-repo" =>
           (repo, repoDir) match {
             case (Some(r), Some(d)) =>

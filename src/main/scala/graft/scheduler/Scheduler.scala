@@ -114,6 +114,7 @@ final class Scheduler(runner: JobRunner,
   private val alive = new AtomicBoolean(false)
   private val inFlight = new ConcurrentHashMap[Long, CountDownLatch]()
   private val threads = new ConcurrentHashMap[Long, RunSlot]() // runId -> executor
+  private val liveRuns = new ConcurrentHashMap[Long, RunRecord]() // runId -> executing run
   private val canceled = ConcurrentHashMap.newKeySet[Long]()
   /** Serializes park/regain decisions (charge, tick wake phase, finish
     * regain) so two concurrent finishes cannot both regain past the
@@ -218,6 +219,7 @@ final class Scheduler(runner: JobRunner,
   private def execute(rec: RunRecord): Unit = {
     val latch = new CountDownLatch(1)
     inFlight.put(rec.runId, latch)
+    liveRuns.put(rec.runId, rec)
     running.computeIfAbsent(rec.job.id, _ => new AtomicLong()).incrementAndGet()
     pool.submit(new Runnable {
       def run(): Unit = {
@@ -273,6 +275,7 @@ final class Scheduler(runner: JobRunner,
     }
 
   private def finish(run: RunRecord, status: String): Unit = {
+    liveRuns.remove(run.runId)
     running.get(run.job.id).decrementAndGet()
     regain(run.job.id) // freed capacity: release the next parked run now
     history.add((run, status))
@@ -293,7 +296,11 @@ final class Scheduler(runner: JobRunner,
     * for the next scheduler tick. Sleep-parked runs still wait for their
     * wake-up window (tick phase 2). */
   private def regain(jobId: Long): Unit = parkLock.synchronized {
-    val t = LocalDateTime.now(ZoneOffset.UTC)
+    // the sleep check must use the SAME clock as tick(): wall-clock here
+    // would wrongly hold (or release) a parked run in virtual-clock
+    // deployments whenever real time and scheduler time disagree
+    val t = LocalDateTime.ofInstant(
+      Instant.ofEpochSecond(lastMoment.get()), ZoneOffset.UTC)
     val it = waiting.iterator()
     var released = false
     while (!released && it.hasNext) {
@@ -306,6 +313,42 @@ final class Scheduler(runner: JobRunner,
       }
     }
   }
+
+  /** Deactivate a parked (W) or failed-awaiting-rerun (E/T) run: drop it
+    * from the waiting/rerun queues so it never executes again, and stamp
+    * `deactivated` in the ledger (api.py:446-466 — only W/E/T runs are
+    * deactivatable; a RUNNING run must be canceled instead). Returns
+    * false when the run is in neither queue.
+    */
+  def deactivate(runId: Long): Boolean = parkLock.synchronized {
+    var removed = false
+    val it = waiting.iterator()
+    while (!removed && it.hasNext)
+      if (it.next().runId == runId) { it.remove(); removed = true }
+    if (!removed) {
+      val fit = failed.iterator()
+      while (!removed && fit.hasNext)
+        if (fit.next()._1.runId == runId) { fit.remove(); removed = true }
+    }
+    if (removed) ledger.foreach(_.deactivateRun(runId))
+    removed
+  }
+
+  def isAlive: Boolean = alive.get()
+
+  /** Run ids currently parked as W (test/console aid). */
+  def waitingRunIds: Seq[Long] = waiting.asScala.map(_.runId).toSeq
+
+  /** Run ids currently EXECUTING for `jobId` — the cancel-job sweep's
+    * selection (api.py:389-404 reads status R from run_history; here the
+    * live slot map is the source of truth). */
+  def runningRunIds(jobId: Long): Seq[Long] =
+    liveRuns.asScala.collect {
+      case (runId, rec) if rec.job.id == jobId => runId
+    }.toSeq
+
+  /** Run ids awaiting rerun after failure (test/console aid). */
+  def failedRunIds: Seq[Long] = failed.asScala.map(_._1.runId).toSeq
 
   /** Block until all currently queued/running runs finish (test aid). */
   def drain(timeoutSeconds: Int = 60): Boolean = {
@@ -334,6 +377,13 @@ final class Scheduler(runner: JobRunner,
     th
   }
 
+  /** Stop the TICK LOOP only: running/queued runs keep executing and the
+    * scheduler can be started again — the in-process twin of killing the
+    * reference's scheduler process while its spawned job processes live
+    * on (api.py:320-335). */
+  def stopTicking(): Unit = alive.set(false)
+
+  /** Full terminal shutdown (tick loop + executor pools). */
   def stop(): Unit = {
     alive.set(false)
     pool.shutdown()

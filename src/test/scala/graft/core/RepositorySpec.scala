@@ -60,6 +60,13 @@ class RepositorySpec extends SparkSpec {
     // upsert-on-pull is idempotent
     JobsRepo.pullRepo(repo2, clone)
     assert(repo2.loadJobs().count(_.id == id) == 1)
+
+    // REGRESSION: the restore's explicit-id insert must advance Derby's
+    // identity sequence — creating new jobs after a restore used to walk
+    // the generator through already-restored ids and die on a PK violation
+    val afterRestore = repo2.saveJob(JobSpec(0L, "post-restore"))
+    assert(afterRestore > id)
+    assert(repo2.loadJobs().map(_.id).distinct.size == repo2.loadJobs().size)
   }
 
   test("config-driven pipeline persists and hydrates from the DB") {

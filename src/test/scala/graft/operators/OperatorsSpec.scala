@@ -170,9 +170,26 @@ class OperatorsSpec extends SparkSpec {
     val pairs = Similarity.cosineNearDupPairs(embs, 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val dropped = pairs.map(_._2).toSet
-    val kept = Similarity.cosineNearDupDedup(embs, 0.45)
+    val kept = Similarity.cosineNearDupDedup(embs, 0.45,
+        strategy = Similarity.PairScanStrategy.Brute)
       .collect().map(_.getLong(0)).toSet
     assert(kept.intersect(dropped).isEmpty)
     assert(kept.size == embs.count() - dropped.size)
+  }
+
+  test("dedup scale strategies (IVF, LSH, Auto) match the brute survivors") {
+    import Similarity.PairScanStrategy._
+    def survivors(s: Similarity.PairScanStrategy): Set[Long] =
+      Similarity.cosineNearDupDedup(embs01, 0.45, strategy = s)
+        .collect().map(_.getLong(0)).toSet
+    val brute = survivors(Brute)
+    // gate-corpus capture is total for both bucketed scans (s05/s06), so
+    // the survivor sets are EQUAL, not merely supersets
+    assert(survivors(Ivf(nlist = 32, nprobe = 8)) == brute)
+    assert(survivors(Lsh(bits = 2, tables = 24)) == brute)
+    // Auto at a moderate threshold routes to a bucketed path, never brute;
+    // a missed candidate can only KEEP extra rows, never drop a true
+    // survivor, so brute's survivors are always a subset
+    assert(brute.subsetOf(survivors(Auto)))
   }
 }

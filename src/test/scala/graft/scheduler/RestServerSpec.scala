@@ -56,6 +56,42 @@ class RestServerSpec extends AnyFunSuite {
       assert(rec.runs.peek() == (1L, 1672531200L))
       val hist = call("/api/history").body()
       assert(hist.contains(""""status":"D""""))
+
+      // all 13 reference endpoints advertised (web.py:154-322)
+      val help = call("/api/help").body()
+      Seq("test", "help", "jobs", "create-job", "enable-job", "disable-job",
+        "run-job", "cancel-run", "deactivate-run", "start-scheduler",
+        "stop-scheduler", "history", "sync-repo")
+        .foreach(e => assert(help.contains(s"/api/$e"), s"missing /api/$e"))
+
+      // scheduler lifecycle over REST: start is exclusive, stop re-arms
+      assert(call("/api/start-scheduler", post = Some("")).body() ==
+        """{"started":true}""")
+      assert(call("/api/start-scheduler", post = Some("")).statusCode() == 409)
+      assert(call("/api/stop-scheduler", post = Some("")).body() ==
+        """{"stopped":true}""")
+      assert(call("/api/stop-scheduler", post = Some("")).statusCode() == 409)
+      assert(call("/api/start-scheduler", post = Some("")).body() ==
+        """{"started":true}""")
+      assert(call("/api/stop-scheduler", post = Some("")).body() ==
+        """{"stopped":true}""")
+
+      // deactivate-run: parked W runs are deactivatable, unknown ids 404
+      // (park a second run behind a parallelism-1 job mid-flight is racy
+      // over HTTP, so park via a sleep window instead: job asleep all day)
+      val sleepy = call("/api/create-job",
+        post = Some("name=sleepy&sec=-&id=7"))
+      assert(sleepy.statusCode() == 200)
+      driver.configureJob(7L, _.copy(sleepPeriod = Some("0-23")))
+      val parked = call("/api/run-job", post = Some("id=7&tag=1672531200"))
+      assert(parked.statusCode() == 200)
+      val runId = """"run_id":(\d+)""".r.findFirstMatchIn(parked.body())
+        .get.group(1).toLong
+      assert(call("/api/deactivate-run",
+        post = Some(s"run_id=$runId")).body() == """{"deactivated":true}""")
+      assert(call("/api/deactivate-run",
+        post = Some(s"run_id=$runId")).statusCode() == 404) // already gone
+      assert(sched.waitingRunIds.isEmpty)
     } finally { srv.stop(); sched.stop() }
   }
 

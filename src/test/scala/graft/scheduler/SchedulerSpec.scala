@@ -158,6 +158,27 @@ class SchedulerSpec extends AnyFunSuite {
     s.stop()
   }
 
+  test("deactivate drops a failed run from the rerun queue (api.py:446-466)") {
+    val rec = new Recorder
+    rec.fail = Set(1L)
+    val s = new Scheduler(rec, rerunDelaySeconds = 0L)
+    s.register(JobSpec(1, "flaky",
+      schedule = Cron.Schedule(sec = Some("0"), min = Some("30"), hour = Some("14")),
+      rerunIntervalSeconds = Some(60), rerunLimit = 5))
+    s.tick(base) // fires, fails -> queued for rerun
+    assert(s.drain())
+    assert(rec.runs.size == 1)
+    val Seq(failedId) = s.failedRunIds
+    assert(s.deactivate(failedId))
+    assert(!s.deactivate(failedId)) // idempotent-negative: already gone
+    assert(s.deactivate(99999L) == false) // unknown run
+    s.tick(base + 60) // rerun interval — but the run was deactivated
+    assert(s.drain())
+    assert(rec.runs.size == 1)
+    assert(s.failedRunIds.isEmpty)
+    s.stop()
+  }
+
   test("rerun_delay quarantines failures; rerun_days expires the budget window") {
     val rec = new Recorder
     rec.fail = Set(1L)
