@@ -1,5 +1,6 @@
 package graft
 
+import java.io.{BufferedReader, PrintStream}
 import java.time.LocalDateTime
 
 import org.apache.spark.sql.SparkSession
@@ -7,39 +8,93 @@ import org.apache.spark.sql.SparkSession
 import graft.core._
 import graft.scheduler._
 
-/** Command-line manager (pydin/cli.py:22-662 verbs, one command per
-  * invocation against a durable schedule DB):
+/** Command-line manager (pydin/cli.py:22-662): one-shot verbs against a
+  * durable schedule DB, or — with no verb (or `console`) — the
+  * reference's interactive console loop (cli.py:115-129): a prompt that
+  * parses the same verbs until `quit`.
   *
   * {{{
+  * graft.Cli <dbUrl>                          # interactive console
   * graft.Cli <dbUrl> create-job name=<n> [hour=<cron>] [min=<cron>] ...
-  * graft.Cli <dbUrl> list-jobs
+  * graft.Cli <dbUrl> list-jobs | history | status
   * graft.Cli <dbUrl> enable-job <id> | disable-job <id> | delete-job <id>
-  * graft.Cli <dbUrl> configure-pipeline <jobId> <nodesJson>
+  * graft.Cli <dbUrl> configure-pipeline <jobId> <nodesJson|@file>
   * graft.Cli <dbUrl> run-job <id> [date=<yyyy-MM-dd>]
-  * graft.Cli <dbUrl> history
+  * graft.Cli <dbUrl> run-jobs [date=<yyyy-MM-dd>]
+  * graft.Cli <dbUrl> deactivate-run <runId>
+  * graft.Cli <dbUrl> help [verb]
   * }}}
   *
   * `run-job` hydrates the job's config-driven pipeline
   * (pd_pipeline_config/pd_node_config) and executes it in-process with
   * run/task/step ledger rows — the reference's `run job <id> date <d>`
   * (cli.py:286-343) without the subprocess hop (SURVEY.md §7.4.5).
+  * Live-run cancellation is a scheduler-process concern: use the REST
+  * surface (`/api/cancel-run`) against a running [[scheduler.RestServer]].
   */
 object Cli {
 
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) { println(usage); sys.exit(2) }
+    if (args.isEmpty) { println(usage); sys.exit(2) }
+    if (args.length == 1 || args(1) == "console") {
+      console(args(0),
+        new BufferedReader(new java.io.InputStreamReader(System.in)),
+        System.out)
+    } else {
+      val code = execute(args(0), args.drop(1).toSeq, System.out)
+      if (code != 0) sys.exit(code)
+    }
+  }
+
+  /** The reference's interactive `start_console` (cli.py:115-129):
+    * prompt, parse, dispatch, repeat until `quit`. Errors print and the
+    * loop continues — a typo must not kill the session.
+    */
+  def console(url: String, in: BufferedReader, out: PrintStream): Unit = {
+    out.println("graft manager console — type `help` for commands, `quit` to leave")
+    var live = true
+    while (live) {
+      out.print(f"${LocalDateTime.now().getHour}%02d:${LocalDateTime.now().getMinute}%02d $$ ")
+      out.flush()
+      val line = in.readLine()
+      if (line == null || line.trim == "quit") live = false
+      else if (line.trim.nonEmpty) {
+        try execute(url, line.trim.split("\\s+").toSeq, out)
+        catch { case e: Exception => out.println(s"error: ${e.getMessage}") }
+      }
+    }
+    out.println("bye")
+  }
+
+  /** Dispatch one verb; returns a process exit code (0 ok). Shared by
+    * the one-shot path and the console loop. */
+  def execute(url0: String, command: Seq[String], out: PrintStream): Int = {
     // auto-create embedded Derby DBs (also lets callers avoid the ';'
     // attribute, which tools like sbt's command parser swallow)
-    val url = if (args(0).startsWith("jdbc:derby:") && !args(0).contains(";"))
-      args(0) + ";create=true" else args(0)
+    val url = if (url0.startsWith("jdbc:derby:") && !url0.contains(";"))
+      url0 + ";create=true" else url0
     val db = DatabaseSource("metadb", url)
     val repo = new Repository(db)
     val ledger = Ledger.jdbc(db)
-    val rest = args.drop(2)
+    val rest = command.drop(1)
     val kv: Map[String, String] = rest.filter(_.contains('='))
       .map { a => val i = a.indexOf('='); a.take(i) -> a.drop(i + 1) }.toMap
 
-    args(1) match {
+    command.head match {
+      case "help" =>
+        rest.headOption match {
+          case Some(verb) => helpTexts.collectFirst {
+            case (v, t) if v == verb => t
+          } match {
+            case Some(t) => out.println(s"$verb\n  $t")
+            case None => out.println(s"unknown command: $verb"); return 2
+          }
+          case None =>
+            out.println("commands:")
+            helpTexts.foreach { case (v, t) => out.println(f"  $v%-22s $t") }
+        }
+        0
+
       case "create-job" =>
         val spec = JobSpec(0L, kv.getOrElse("name", "job"),
           enabled = kv.get("enabled").forall(_.toBoolean),
@@ -48,22 +103,24 @@ object Cli {
           parallelism = kv.getOrElse("parallelism", "N"),
           timeoutSeconds = kv.get("timeout").map(_.toInt))
         val id = repo.saveJob(spec)
-        println(s"created job $id (${spec.name})")
+        out.println(s"created job $id (${spec.name})")
+        0
 
       case "list-jobs" =>
         repo.loadJobs().foreach { j =>
           val cron = Seq(j.schedule.mday, j.schedule.hour, j.schedule.min,
             j.schedule.sec, j.schedule.wday, j.schedule.yday)
             .map(_.getOrElse("*")).mkString(" ")
-          println(f"${j.id}%4d ${if (j.enabled) "Y" else "N"} ${j.name}%-24s [$cron]")
+          out.println(f"${j.id}%4d ${if (j.enabled) "Y" else "N"} ${j.name}%-24s [$cron]")
         }
+        0
 
       case "enable-job" => repo.setJobStatus(rest(0).toLong, enabled = true)
-        println(s"enabled ${rest(0)}")
+        out.println(s"enabled ${rest(0)}"); 0
       case "disable-job" => repo.setJobStatus(rest(0).toLong, enabled = false)
-        println(s"disabled ${rest(0)}")
+        out.println(s"disabled ${rest(0)}"); 0
       case "delete-job" => repo.deleteJob(rest(0).toLong)
-        println(s"deleted ${rest(0)}")
+        out.println(s"deleted ${rest(0)}"); 0
 
       case "configure-pipeline" =>
         val jobId = rest(0).toLong
@@ -75,44 +132,49 @@ object Cli {
         else rest(1)
         val nodes = PipelineConfig.parseJson(json)
         val pid = repo.savePipeline(jobId, s"job_${jobId}_pipeline", nodes)
-        println(s"configured pipeline $pid for job $jobId (${nodes.size} nodes)")
+        out.println(s"configured pipeline $pid for job $jobId (${nodes.size} nodes)")
+        0
 
       case "run-job" =>
         val jobId = rest.find(!_.contains('=')).map(_.toLong)
           .getOrElse(sys.error("run-job <id>"))
-        val cal = kv.get("date").map(Calendar.day).getOrElse(Calendar.today())
-        val tag = cal.start.toEpochSecond(java.time.ZoneOffset.UTC)
-        val spark = SparkEntry.configure(SparkSession.builder()
-          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-          .config("spark.sql.shuffle.partitions",
-            sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-          .config("spark.ui.enabled", "false")).getOrCreate()
-        spark.sparkContext.setLogLevel("ERROR")
-        val runId = ledger.startRun(jobId, tag)
-        val status = repo.loadPipeline(jobId, new SourceRegistry, ledger) match {
-          case Some(pipeline) =>
-            val task = pipeline.run(spark, cal, runId)
-            task.status
-          case None =>
-            println(s"no pipeline configured for job $jobId")
-            Status.Error
+        runOne(jobId, kv, repo, ledger, out)
+
+      case "run-jobs" => // bulk verb (cli.py run_jobs): every enabled job
+        val enabled = repo.loadJobs().filter(_.enabled)
+        if (enabled.isEmpty) { out.println("no enabled jobs"); 0 }
+        else enabled.map(j => runOne(j.id, kv, repo, ledger, out)).max
+
+      case "deactivate-run" => // api.py:446-466, ledger-level stamp
+        ledger.deactivateRun(rest(0).toLong)
+        out.println(s"deactivated run ${rest(0)}")
+        0
+
+      case "status" => // component registry (pd_components)
+        Seq("SCHEDULER", "RESTAPI").foreach { id =>
+          val line = ledger.componentStatus(id) match {
+            case Some((st, pid, urlOpt)) =>
+              val liveness = if (st == "Y") "running" else "stopped"
+              s"$liveness${pid.map(p => s" pid=$p").getOrElse("")}" +
+                urlOpt.map(u => s" url=$u").getOrElse("")
+            case None => "unknown"
+          }
+          out.println(f"$id%-10s $line")
         }
-        ledger.endRun(runId, status, None)
-        println(s"run $runId of job $jobId -> $status (tag=$tag)")
-        spark.stop()
-        if (status != Status.Done) sys.exit(1)
+        0
 
       // git-versioned schedule (reference create_repo/push_repo/pull_repo)
       case "create-repo" =>
         JobsRepo.createRepo(repo, rest(0), kv.get("remote"))
-        println(s"repo created at ${rest(0)}")
+        out.println(s"repo created at ${rest(0)}"); 0
       case "push-repo" =>
         val committed = JobsRepo.pushRepo(repo, rest(0),
           kv.getOrElse("message", "schedule sync"))
-        println(if (committed) "pushed schedule changes" else "nothing to push")
+        out.println(if (committed) "pushed schedule changes" else "nothing to push")
+        0
       case "pull-repo" =>
         val restored = JobsRepo.pullRepo(repo, rest(0))
-        println(s"restored ${restored.size} job(s)")
+        out.println(s"restored ${restored.size} job(s)"); 0
 
       case "history" =>
         val c = db.connect()
@@ -121,22 +183,65 @@ object Cli {
             """select id, job_id, run_tag, status, start_date, end_date
               from pd_run_history order by id""")
           while (rs.next())
-            println(f"${rs.getLong(1)}%4d job=${rs.getLong(2)} " +
+            out.println(f"${rs.getLong(1)}%4d job=${rs.getLong(2)} " +
               f"tag=${rs.getLong(3)} ${rs.getString(4)} " +
               s"${rs.getTimestamp(5)} .. ${Option(rs.getTimestamp(6)).getOrElse("")}")
         } finally c.close()
+        0
 
       case other =>
-        println(s"unknown command: $other\n$usage"); sys.exit(2)
+        out.println(s"unknown command: $other\n$usage")
+        2
     }
   }
 
+  private def runOne(jobId: Long, kv: Map[String, String], repo: Repository,
+                     ledger: JdbcLedger, out: PrintStream): Int = {
+    val cal = kv.get("date").map(Calendar.day).getOrElse(Calendar.today())
+    val tag = cal.start.toEpochSecond(java.time.ZoneOffset.UTC)
+    val spark = SparkEntry.configure(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val runId = ledger.startRun(jobId, tag)
+    val status = repo.loadPipeline(jobId, new SourceRegistry, ledger) match {
+      case Some(pipeline) => pipeline.run(spark, cal, runId).status
+      case None =>
+        out.println(s"no pipeline configured for job $jobId")
+        Status.Error
+    }
+    ledger.endRun(runId, status, None)
+    out.println(s"run $runId of job $jobId -> $status (tag=$tag)")
+    if (status != Status.Done) 1 else 0
+  }
+
+  private val helpTexts: Seq[(String, String)] = Seq(
+    "help" -> "show this list, or `help <verb>` for one command",
+    "create-job" -> "create-job name=<n> [mday|hour|min|sec|wday|yday=<cron>] [parallelism=N|Y|k] [timeout=s]",
+    "list-jobs" -> "list all jobs with status and cron schedule",
+    "enable-job" -> "enable-job <id>",
+    "disable-job" -> "disable-job <id>",
+    "delete-job" -> "delete-job <id>",
+    "configure-pipeline" -> "configure-pipeline <jobId> <nodesJson|@file>",
+    "run-job" -> "run-job <id> [date=yyyy-MM-dd] — execute the job's pipeline now",
+    "run-jobs" -> "run every enabled job [date=yyyy-MM-dd]",
+    "deactivate-run" -> "deactivate-run <runId> — exclude a W/E/T run from reruns",
+    "status" -> "show SCHEDULER/RESTAPI component liveness (pd_components)",
+    "create-repo" -> "create-repo <dir> [remote=<url>] — git-version the schedule",
+    "push-repo" -> "push-repo <dir> [message=<m>]",
+    "pull-repo" -> "pull-repo <dir> — restore jobs from the git repo",
+    "history" -> "list run history",
+    "quit" -> "leave the console")
+
   private val usage: String =
-    """usage: graft.Cli <jdbcUrl> <command> [args]
+    """usage: graft.Cli <jdbcUrl> [command] [args]   (no command = console)
       |  create-job name=<n> [mday|hour|min|sec|wday|yday=<cron>] [parallelism=N|Y|k] [timeout=s]
       |  list-jobs | enable-job <id> | disable-job <id> | delete-job <id>
       |  configure-pipeline <jobId> <nodesJson>
-      |  run-job <id> [date=yyyy-MM-dd]
+      |  run-job <id> [date=yyyy-MM-dd] | run-jobs [date=yyyy-MM-dd]
+      |  deactivate-run <runId> | status
       |  create-repo <dir> [remote=<url>] | push-repo <dir> [message=<m>] | pull-repo <dir>
-      |  history""".stripMargin
+      |  history | help [verb]""".stripMargin
 }

@@ -212,10 +212,11 @@ object EngineQueries {
         count(*) AS n
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderkey""",
-    // DuckDB can list + stat the very same files via read_blob; the gate
-    // always runs at sf0.01 (driver contract), hence the literal path
+    // DuckDB can list + stat the very same files via read_blob; the
+    // {SF_DIR} template resolves at dump time (SparkEntry.oracleSqlFor),
+    // so the oracle follows whatever SF the verify run reads
     "m08_filenames" ->
       """SELECT regexp_extract(filename, '[^/]+$') AS file,
         true AS is_file, size
-        FROM read_blob('/root/testdata/sf0.01/*.parquet')""")
+        FROM read_blob('{SF_DIR}/*.parquet')""")
 }

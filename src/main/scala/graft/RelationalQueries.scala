@@ -605,63 +605,6 @@ object RelationalQueries {
           CAST(x['t'] AS VARCHAR) AS token
         FROM (SELECT doc_id,
           unnest(list_transform(toks, (s, i) -> {'i': i, 't': s})) AS x FROM t)""",
-    "q34_string_fns" ->
-      """SELECT c_custkey,
-          coalesce(regexp_extract(c_name, '(\d+)', 1), '') AS name_digits,
-          lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
-          translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
-          upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS seg_title,
-          CAST(coalesce(position('_' IN c_name), 0) AS INTEGER) AS underscore_at,
-          reverse(c_mktsegment) AS seg_rev
-        FROM customer""",
-    "q35_explode_tokens" ->
-      """WITH t AS (SELECT doc_id,
-          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-          FROM documents WHERE doc_id < 50)
-        SELECT doc_id, CAST(x['i'] - 1 AS INTEGER) AS pos,
-          CAST(x['t'] AS VARCHAR) AS token
-        FROM (SELECT doc_id,
-          unnest(list_transform(toks, (s, i) -> {'i': i, 't': s})) AS x FROM t)""",
-    "q33_range_frame" ->
-      """SELECT l_suppkey, l_orderkey, l_linenumber,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
-            PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
-            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_30d
-        FROM lineitem""",
-    "q34_string_fns" ->
-      """SELECT c_custkey,
-          coalesce(regexp_extract(c_name, '(\d+)', 1), '') AS name_digits,
-          lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
-          translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
-          upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS seg_title,
-          CAST(coalesce(position('_' IN c_name), 0) AS INTEGER) AS underscore_at,
-          reverse(c_mktsegment) AS seg_rev
-        FROM customer""",
-    "q35_explode_tokens" ->
-      """WITH t AS (SELECT doc_id,
-          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-          FROM documents WHERE doc_id < 50)
-        SELECT doc_id, CAST(x['i'] - 1 AS INTEGER) AS pos,
-          CAST(x['t'] AS VARCHAR) AS token
-        FROM (SELECT doc_id,
-          unnest(list_transform(toks, (s, i) -> {'i': i, 't': s})) AS x FROM t)""",
-    "q34_string_fns" ->
-      """SELECT c_custkey,
-          coalesce(regexp_extract(c_name, '(\d+)', 1), '') AS name_digits,
-          lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
-          translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
-          upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS seg_title,
-          CAST(coalesce(position('_' IN c_name), 0) AS INTEGER) AS underscore_at,
-          reverse(c_mktsegment) AS seg_rev
-        FROM customer""",
-    "q35_explode_tokens" ->
-      """WITH t AS (SELECT doc_id,
-          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-          FROM documents WHERE doc_id < 50)
-        SELECT doc_id, CAST(x['i'] - 1 AS INTEGER) AS pos,
-          CAST(x['t'] AS VARCHAR) AS token
-        FROM (SELECT doc_id,
-          unnest(list_transform(toks, (s, i) -> {'i': i, 't': s})) AS x FROM t)""",
     "q33_range_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (

@@ -34,7 +34,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * The driver's gate always runs at sf0.01, so the static map renders
+    * for that dir; [[oracleSqlFor]] renders for any other SF.
     */
-  def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ CorpusQueries.oracles ++ EngineQueries.oracles
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** Oracle SQL with the `{SF_DIR}` template (used by oracles that must
+    * address the data files directly, e.g. m08's read_blob) resolved to
+    * a concrete SF dir — so tools/check.py verifies at any scale. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    (RelationalQueries.oracles ++ CorpusQueries.oracles ++ EngineQueries.oracles)
+      .map { case (k, v) => k -> v.replace("{SF_DIR}", sfDir.stripSuffix("/")) }
 }

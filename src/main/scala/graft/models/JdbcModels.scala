@@ -205,15 +205,79 @@ object SqlScript {
   }
 }
 
+/** Vendor hint injection (models.py:921-936, 1147-1170): on Oracle
+  * sources, `/*+ parallel(n) */` after the first top-level SELECT and
+  * `/*+ append */` after the first top-level INSERT. Other vendors pass
+  * through untouched — hints are comment syntax elsewhere, but the
+  * reference scopes injection to Oracle and so do we. The keyword scan
+  * is literal/comment-aware (a `select` inside a string or comment is
+  * never hinted).
+  */
+object SqlHints {
+  /** Effective vendor: the explicit `vendor` or the JDBC subprotocol
+    * ("jdbc:oracle:thin:..." -> "oracle"). */
+  def vendorOf(source: DatabaseSource): String =
+    source.vendor.map(_.toLowerCase).getOrElse {
+      val u = source.url.toLowerCase
+      if (u.startsWith("jdbc:")) u.drop(5).takeWhile(_ != ':') else ""
+    }
+
+  /** Splice `hint` after the first standalone `keyword` occurring
+    * outside string/identifier literals and comments. */
+  private[models] def inject(text: String, keyword: String, hint: String): String = {
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      text.charAt(i) match {
+        case q @ ('\'' | '"') =>
+          i += 1
+          while (i < n && text.charAt(i) != q) i += 1
+          i += 1 // past the closing quote (doubled quotes just re-enter)
+        case '-' if i + 1 < n && text.charAt(i + 1) == '-' =>
+          while (i < n && text.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < n && text.charAt(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < n && !(text.charAt(i) == '*' && text.charAt(i + 1) == '/')) i += 1
+          i += 2
+        case c if Character.isLetter(c) =>
+          val start = i
+          while (i < n && (Character.isLetterOrDigit(text.charAt(i)) ||
+            text.charAt(i) == '_')) i += 1
+          if (text.substring(start, i).equalsIgnoreCase(keyword))
+            return s"${text.substring(0, i)} $hint${text.substring(i)}"
+        case _ => i += 1
+      }
+    }
+    text
+  }
+
+  /** `parallel` degree <= 0 disables; 1 emits the bare `/*+ parallel */`
+    * (the reference's `parallel=True`); n > 1 emits `/*+ parallel(n) */`. */
+  def hintinize(text: String, vendor: String, parallel: Int = 0,
+                append: Boolean = false): String =
+    if (vendor != "oracle") text
+    else {
+      var t = text
+      if (parallel > 0)
+        t = inject(t, "select",
+          if (parallel == 1) "/*+ parallel */" else s"/*+ parallel($parallel) */")
+      if (append) t = inject(t, "insert", "/*+ append */")
+      t
+    }
+}
+
 final case class SqlModel(
     source: DatabaseSource,
     text: Option[String] = None,
     textPath: Option[String] = None,
+    /** Oracle parallel-DML degree (models.py:921-936); 0 = off. */
+    parallel: Int = 0,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable with JdbcQueryText {
 
   def execute(ctx: StepContext): ExecResult = {
-    val text = queryText(ctx)
+    val text = SqlHints.hintinize(queryText(ctx), SqlHints.vendorOf(source),
+      parallel = parallel)
     val c = source.connect()
     try {
       var total = 0L
@@ -254,6 +318,10 @@ final case class InsertModel(
     schemaName: Option[String] = None,
     select: Option[String] = None,
     selectPath: Option[String] = None,
+    /** Oracle hints (models.py:1147-1170): parallel-SELECT degree and
+      * direct-path `/*+ append */` on the INSERT; inert off-Oracle. */
+    parallel: Int = 0,
+    appendHint: Boolean = false,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable with JdbcQueryText {
 
@@ -288,11 +356,13 @@ final case class InsertModel(
     val ps = preds.result()
     if (ps.nonEmpty)
       sel = s"select * from ($sel) q where ${ps.mkString(" and ")}"
-    knobs.keyField match {
+    val stmt = knobs.keyField match {
       case Some(k) if knobs.insertKeyField =>
         s"insert into $qualifiedName select q.*, ${ctx.runId} as ${k.label} from ($sel) q"
       case _ => s"insert into $qualifiedName $sel"
     }
+    SqlHints.hintinize(stmt, SqlHints.vendorOf(source),
+      parallel = parallel, append = appendHint)
   }
 
   def execute(ctx: StepContext): ExecResult = {

@@ -66,13 +66,21 @@ final class Driver(val scheduler: Scheduler) {
     * api.py:300-318). */
   def startScheduler(): Boolean =
     if (scheduler.isAlive) false
-    else { scheduler.start(); true }
+    else {
+      scheduler.start()
+      scheduler.ledger.foreach(_.componentStarted("SCHEDULER"))
+      true
+    }
 
   /** Stop the tick loop; queued runs stay queued and the scheduler can
     * be started again (api.py:320-335). */
   def stopScheduler(): Boolean =
     if (!scheduler.isAlive) false
-    else { scheduler.stopTicking(); true }
+    else {
+      scheduler.stopTicking()
+      scheduler.ledger.foreach(_.componentStopped("SCHEDULER"))
+      true
+    }
 
   def schedulerAlive: Boolean = scheduler.isAlive
 

@@ -141,8 +141,13 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
     server.createContext("/", handle _)
     server.setExecutor(null)
     server.start()
+    driver.scheduler.ledger.foreach(_.componentStarted("RESTAPI",
+      Some(s"http://127.0.0.1:$boundPort"))) // web.py:115-131
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    driver.scheduler.ledger.foreach(_.componentStopped("RESTAPI"))
+    server.stop(0)
+  }
 }

@@ -94,7 +94,7 @@ final class Scheduler(runner: JobRunner,
                         * have no twin: charging here is synchronous in
                         * tick(). */
                       executorThreads: Int = 20,
-                      ledger: Option[graft.core.JdbcLedger] = None,
+                      val ledger: Option[graft.core.JdbcLedger] = None,
                       /** quarantine before a failed run becomes
                         * rerun-eligible — SCHEDULER.rerun_delay, reference
                         * default 14400 s (config.py:150). */

@@ -1,0 +1,104 @@
+package graft
+
+import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+
+import graft.core.{DatabaseSource, JdbcLedger}
+
+/** The interactive console (cli.py:115-129) driven end to end over
+  * scripted stdin: create, list, enable/disable, help, an unknown verb
+  * that must NOT kill the loop, component status, and quit.
+  */
+class CliSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftcli;create=true"
+
+  private def runConsole(script: String): String = {
+    val out = new ByteArrayOutputStream()
+    Cli.console(url, new BufferedReader(new StringReader(script)),
+      new PrintStream(out, true, "UTF-8"))
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  test("console drives create/list/enable/help/status and survives typos") {
+    val text = runConsole(
+      """help
+        |create-job name=nightly hour=2 min=30 sec=0
+        |list-jobs
+        |disable-job 1
+        |list-jobs
+        |enable-job 1
+        |nonsense-verb
+        |help run-job
+        |status
+        |quit
+        |""".stripMargin)
+    assert(text.contains("create-job name=<n>")) // help list
+    assert(text.contains("created job 1 (nightly)"))
+    assert(text.contains("nightly"))
+    assert(text.contains(" 1 N nightly")) // disabled listing
+    assert(text.contains(" 1 Y nightly")) // re-enabled listing
+    assert(text.contains("unknown command: nonsense-verb"))
+    assert(text.contains("execute the job's pipeline now")) // verb help
+    assert(text.contains("SCHEDULER")) // component status from pd_components
+    assert(text.contains("bye"))
+  }
+
+  test("one-shot deactivate-run stamps the ledger row") {
+    val db = DatabaseSource("clidb", url)
+    val ledger = new JdbcLedger(db)
+    val runId = ledger.startRun(1L, 1672531200L)
+    ledger.setRunStatus(runId, "W")
+    val out = new ByteArrayOutputStream()
+    assert(Cli.execute(url, Seq("deactivate-run", runId.toString),
+      new PrintStream(out, true, "UTF-8")) == 0)
+    val c = db.connect()
+    try {
+      val rs = c.createStatement().executeQuery(
+        s"select deactivated from pd_run_history where id = $runId")
+      assert(rs.next() && rs.getTimestamp(1) != null)
+    } finally c.close()
+  }
+
+  test("components registry: 9 ledger tables exist, seeded rows present") {
+    val db = DatabaseSource("clidb2", url)
+    new JdbcLedger(db)
+    val c = db.connect()
+    try {
+      val meta = c.getMetaData
+      val expect = Seq("pd_run_history", "pd_task_history", "pd_step_history",
+        "pd_query_log", "pd_file_log", "pd_schedule", "pd_pipeline_config",
+        "pd_node_config", "pd_components")
+      expect.foreach { t =>
+        val rs = meta.getTables(null, null, t.toUpperCase, null)
+        assert(rs.next(), s"missing ledger table $t")
+      }
+      val rs = c.createStatement().executeQuery(
+        "select id from pd_components order by id")
+      val ids = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString(1)).toSeq
+      assert(ids == Seq("RESTAPI", "SCHEDULER"))
+    } finally c.close()
+  }
+
+  test("scheduler/REST lifecycle updates pd_components liveness") {
+    import graft.scheduler._
+    val db = DatabaseSource("clidb3", "jdbc:derby:memory:graftcli3;create=true")
+    val ledger = new JdbcLedger(db)
+    val sched = new Scheduler((_, _) => (), ledger = Some(ledger))
+    val driver = new Driver(sched)
+    assert(ledger.componentStatus("SCHEDULER").exists(_._1 != "Y"))
+    assert(driver.startScheduler())
+    assert(ledger.componentStatus("SCHEDULER").exists(_._1 == "Y"))
+    assert(driver.stopScheduler())
+    assert(ledger.componentStatus("SCHEDULER").exists(_._1 == "N"))
+
+    val srv = new RestServer(driver, token = "t").start()
+    try {
+      val st = ledger.componentStatus("RESTAPI")
+      assert(st.exists(_._1 == "Y"))
+      assert(st.exists(_._3.exists(_.contains(srv.boundPort.toString))))
+    } finally srv.stop()
+    assert(ledger.componentStatus("RESTAPI").exists(_._1 == "N"))
+    sched.stop()
+  }
+}

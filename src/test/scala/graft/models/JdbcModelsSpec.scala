@@ -262,4 +262,30 @@ class JdbcModelsSpec extends SparkSpec {
     assert(wh.url == "jdbc:derby:memory:x" && wh.user.contains("app"))
     assert(reg.get("landing").isInstanceOf[FileSystemSource])
   }
+
+  test("Oracle vendor hints: parallel on SELECT, append on INSERT, inert elsewhere") {
+    // keyword scan skips literals and comments (models.py:921-936)
+    assert(SqlHints.hintinize(
+      "select c from t where x = 'select'", "oracle", parallel = 4) ==
+      "select /*+ parallel(4) */ c from t where x = 'select'")
+    assert(SqlHints.hintinize(
+      "-- select nothing\nselect c from t", "oracle", parallel = 1) ==
+      "-- select nothing\nselect /*+ parallel */ c from t")
+    // degree 0 and non-oracle vendors pass through untouched
+    assert(SqlHints.hintinize("select 1", "oracle") == "select 1")
+    assert(SqlHints.hintinize("select 1", "derby", parallel = 8) == "select 1")
+
+    // InsertModel emits both hints in the composed statement
+    val ora = DatabaseSource("ora", "jdbc:oracle:thin:@db:1521/x")
+    assert(SqlHints.vendorOf(ora) == "oracle")
+    val ins = InsertModel(ora, "tgt", select = Some("select c from src"),
+      parallel = 8, appendHint = true)
+    val stmt = ins.statement(StepContext(spark, Calendar.day("2023-01-01")))
+    assert(stmt == "insert /*+ append */ into tgt select /*+ parallel(8) */ c from src")
+    // hints stay inert on the embedded-Derby test source
+    val derby = InsertModel(db, "tgt", select = Some("select c from src"),
+      parallel = 8, appendHint = true)
+    assert(derby.statement(StepContext(spark, Calendar.day("2023-01-01")))
+      == "insert into tgt select c from src")
+  }
 }
