@@ -150,6 +150,16 @@ object Cli {
         out.println(s"deactivated run ${rest(0)}")
         0
 
+      case "install" => // install wizard (cli.py:131-147): config skeletons
+        // + schema, non-interactively into <dir>
+        val dir = rest.headOption.getOrElse(".")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        GraftConfig.writeSkeleton(s"$dir/graft.ini", dbUrl = Some(url))
+        GraftConfig.writeSourcesSkeleton(s"$dir/sources.ini")
+        // ledger/repo construction created the 9 pd_* tables already
+        out.println(s"installed: $dir/graft.ini, $dir/sources.ini, schema in $url")
+        0
+
       case "status" => // component registry (pd_components)
         Seq("SCHEDULER", "RESTAPI").foreach { id =>
           val line = ledger.componentStatus(id) match {
@@ -228,6 +238,7 @@ object Cli {
     "run-job" -> "run-job <id> [date=yyyy-MM-dd] — execute the job's pipeline now",
     "run-jobs" -> "run every enabled job [date=yyyy-MM-dd]",
     "deactivate-run" -> "deactivate-run <runId> — exclude a W/E/T run from reruns",
+    "install" -> "install [dir] — write graft.ini/sources.ini skeletons + create schema",
     "status" -> "show SCHEDULER/RESTAPI component liveness (pd_components)",
     "create-repo" -> "create-repo <dir> [remote=<url>] — git-version the schedule",
     "push-repo" -> "push-repo <dir> [message=<m>]",

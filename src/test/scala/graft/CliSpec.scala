@@ -80,6 +80,32 @@ class CliSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("install writes config skeletons; GraftConfig round-trips with defaults") {
+    import graft.core.GraftConfig
+    val dir = java.nio.file.Files.createTempDirectory("graft_install").toString
+    val out = new ByteArrayOutputStream()
+    assert(Cli.execute(url, Seq("install", dir),
+      new PrintStream(out, true, "UTF-8")) == 0)
+    val cfg = GraftConfig.load(new java.io.File(s"$dir/graft.ini"))
+    // skeleton carries the reference defaults (config.py:146-156)
+    assert(cfg.chargersNumber == 5 && cfg.executorsNumber == 20)
+    assert(cfg.refreshInterval == 300 && cfg.rerunDelay == 14400)
+    assert(cfg.apiPort == 8080 && cfg.apiToken.isEmpty)
+    assert(cfg.databaseUrl.contains(url))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/sources.ini")))
+
+    // overridden knobs flow into the scheduler factory
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/custom.ini"),
+      "[SCHEDULER]\nexecutors_number = 3\nrerun_delay = 60\n[API]\nport = 9999\n")
+    val c2 = GraftConfig.load(new java.io.File(s"$dir/custom.ini"))
+    assert(c2.executorsNumber == 3 && c2.rerunDelay == 60 && c2.apiPort == 9999)
+    assert(c2.chargersNumber == 5) // absent key keeps the default
+    val sched = GraftConfig.schedulerFrom(c2, (_, _) => ())
+    assert(!sched.isAlive)
+    sched.stop()
+  }
+
   test("scheduler/REST lifecycle updates pd_components liveness") {
     import graft.scheduler._
     val db = DatabaseSource("clidb3", "jdbc:derby:memory:graftcli3;create=true")
