@@ -150,6 +150,52 @@ object Cli {
         out.println(s"deactivated run ${rest(0)}")
         0
 
+      case "serve" =>
+        // the engine process (reference: scheduler.py + web.py behind one
+        // launch): scheduler ticking, config-driven pipelines executing
+        // on fire, REST admin surface, periodic schedule refresh
+        // (core.py:812-833 + config refresh_interval). `duration=<sec>`
+        // bounds the lifetime (tests/ops); absent = run until killed.
+        val cfg = kv.get("config")
+          .map(p => GraftConfig.load(new java.io.File(p)))
+          .getOrElse(GraftConfig.default)
+        val spark = SparkEntry.configure(SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")).getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        val runner = new PipelineJobRunner(spark, repo, new SourceRegistry, ledger)
+        val sched = GraftConfig.schedulerFrom(cfg, runner, Some(ledger))
+        sched.refreshFrom(repo)
+        val driver = new Driver(sched)
+        repo.loadJobs().foreach(driver.createJob)
+        val token = kv.get("token").orElse(cfg.apiToken).getOrElse("graft")
+        val port = kv.get("port").map(_.toInt).getOrElse(0)
+        val srv = new RestServer(driver, token, port,
+          repo = Some(repo), repoDir = kv.get("repoDir")).start()
+        driver.startScheduler()
+        out.println(s"serving: REST on port ${srv.boundPort}, " +
+          s"scheduler ticking (${repo.loadJobs().size} jobs), " +
+          s"refresh every ${cfg.refreshInterval}s")
+        val deadline = kv.get("duration").map(d =>
+          System.nanoTime() + d.toLong * 1000000000L)
+        var lastRefresh = System.nanoTime()
+        while (deadline.forall(System.nanoTime() < _)) {
+          Thread.sleep(200)
+          if ((System.nanoTime() - lastRefresh) / 1e9 >= cfg.refreshInterval) {
+            sched.refreshFrom(repo) // pick up schedule edits (core.py:812-833)
+            repo.loadJobs().foreach(driver.createJob)
+            lastRefresh = System.nanoTime()
+          }
+        }
+        driver.stopScheduler()
+        srv.stop()
+        sched.drain(30)
+        sched.stop()
+        out.println("serve finished")
+        0
+
       case "install" => // install wizard (cli.py:131-147): config skeletons
         // + schema, non-interactively into <dir>
         val dir = rest.headOption.getOrElse(".")
@@ -239,6 +285,7 @@ object Cli {
     "run-jobs" -> "run every enabled job [date=yyyy-MM-dd]",
     "deactivate-run" -> "deactivate-run <runId> — exclude a W/E/T run from reruns",
     "install" -> "install [dir] — write graft.ini/sources.ini skeletons + create schema",
+    "serve" -> "serve [config=ini] [port=] [token=] [duration=sec] — scheduler + REST engine process",
     "status" -> "show SCHEDULER/RESTAPI component liveness (pd_components)",
     "create-repo" -> "create-repo <dir> [remote=<url>] — git-version the schedule",
     "push-repo" -> "push-repo <dir> [message=<m>]",

@@ -67,6 +67,10 @@ final case class RunRecord(runId: Long, job: JobSpec, tag: Long,
   */
 trait JobRunner {
   def run(job: JobSpec, tag: Long): Unit
+  /** Override to also receive the scheduler-issued ledger run id (key
+    * stamping, run-history joins); the default forwards. Lambdas still
+    * SAM-convert to the 2-arg form. */
+  def run(job: JobSpec, tag: Long, runId: Long): Unit = run(job, tag)
 }
 
 /** The scheduling engine (pydin/core.py:47-1214), re-expressed with a
@@ -234,7 +238,7 @@ final class Scheduler(runner: JobRunner,
           }, s.toLong, TimeUnit.SECONDS))
         val status =
           try {
-            runner.run(job, rec.tag)
+            runner.run(job, rec.tag, rec.runId)
             Status.Done
           } catch {
             // interrupt is cancel (SIGTERM -> C, core.py:1685-1695) or

@@ -106,6 +106,40 @@ class CliSpec extends SparkSpec {
     sched.stop()
   }
 
+  test("serve: cron fire -> pipeline hydration -> Spark run -> ledger (end to end)") {
+    val serveUrl = "jdbc:derby:memory:graftserve;create=true"
+    val outDir = java.nio.file.Files.createTempDirectory("serve_out").toString
+    val out = new ByteArrayOutputStream()
+    val ps = new PrintStream(out, true, "UTF-8")
+    // a job firing every second with a config-driven EL pipeline
+    assert(Cli.execute(serveUrl,
+      Seq("create-job", "name=every-second", "sec=*"), ps) == 0)
+    val nodes = java.nio.file.Files.createTempFile("nodes", ".json")
+    java.nio.file.Files.writeString(nodes,
+      s"""[{"node_name":"src","node_type":"Parquet","node_seqno":1,
+         |  "config":{"path":"${sf("region")}"}},
+         | {"node_name":"dst","node_type":"JSON","node_seqno":2,
+         |  "config":{"path":"$outDir/r"}}]""".stripMargin)
+    assert(Cli.execute(serveUrl,
+      Seq("configure-pipeline", "1", s"@$nodes"), ps) == 0)
+    // the engine process, bounded to a few wall-clock seconds
+    assert(Cli.execute(serveUrl, Seq("serve", "duration=6", "token=t"), ps) == 0)
+    val text = new String(out.toByteArray, "UTF-8")
+    assert(text.contains("serving: REST on port"))
+    assert(text.contains("serve finished"))
+    // the fired run(s) executed the pipeline for real
+    assert(spark.read.json(s"$outDir/r").count() == 5)
+    // and the ledger recorded completed runs
+    val db = DatabaseSource("servedb", serveUrl)
+    val c = db.connect()
+    try {
+      val rs = c.createStatement().executeQuery(
+        "select count(*) from pd_run_history where status = 'D'")
+      rs.next()
+      assert(rs.getLong(1) >= 1L, "no Done runs recorded")
+    } finally c.close()
+  }
+
   test("scheduler/REST lifecycle updates pd_components liveness") {
     import graft.scheduler._
     val db = DatabaseSource("clidb3", "jdbc:derby:memory:graftcli3;create=true")
