@@ -213,30 +213,41 @@ object Similarity {
 
   /** IVF-blocked near-dup pair scan — the scale path for MODERATE
     * thresholds where hyperplane-LSH amplification degenerates (see
-    * [[cosineNearDupPairsLsh]]): each vector joins the buckets of its
-    * `nprobe` nearest k-means centroids; same-bucket pairs verify with
-    * exact cosine. Candidate volume ~ sum of (probe-expanded) list
-    * sizes squared / nlist — tunable via nlist independently of the
-    * threshold, which is exactly what sign-bit LSH cannot do. Capture is
-    * data-dependent (near vectors rank centroids similarly); assert it
-    * against the brute scan on a sample, not from a closed-form model.
+    * [[cosineNearDupPairsLsh]]): ASYMMETRIC inverted-file layout — the
+    * INDEX side posts each vector to its single nearest k-means list,
+    * the PROBE side expands each vector to its `nprobe` nearest lists,
+    * and a pair is a candidate when either member's probe set covers
+    * the other's index list (both directions scanned, id_a < id_b
+    * canonical). Same capture condition as FAISS-style IVF range
+    * search; candidate volume ~ n² * nprobe / nlist² — a factor nprobe
+    * LESS than the symmetric both-sides-probe join, and tunable via
+    * nlist independently of the threshold, which is exactly what
+    * sign-bit LSH cannot do. Capture is data-dependent (near vectors
+    * rank centroids similarly); assert it against the brute scan on a
+    * sample, not from a closed-form model.
     */
   def cosineNearDupPairsIvf(df: DataFrame, threshold: Double,
-                            nlist: Int = 32, nprobe: Int = 4,
+                            nlist: Int = 32, nprobe: Int = 8,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
     import graft.expressions.{kernels, NearestCentroids}
     val centroids = kmeansCentroids(df, nlist, idCol = idCol, vecCol = vecCol)
-    def assign: Column =
-      kernels.toCol(NearestCentroids(kernels.toExpr(col(vecCol)), centroids, nprobe))
-    val b = df.select(col(idCol), col(vecCol), explode(assign).as("cid"))
-    b.as("a").join(b.as("b"),
+    def assign(n: Int): Column =
+      kernels.toCol(NearestCentroids(kernels.toExpr(col(vecCol)), centroids, n))
+    val indexed = df.select(col(idCol), col(vecCol), assign(1)(0).as("cid"))
+    val probes = df.select(col(idCol), col(vecCol), explode(assign(nprobe)).as("cid"))
+    // probe(a) x index(b) with a<b finds cid1(b) ∈ probes(a); the a>b
+    // half of the SAME join finds cid1(a) ∈ probes(b) — one shuffled
+    // join, both directions, canonicalized afterwards
+    probes.as("a").join(indexed.as("b"),
         col("a.cid") === col("b.cid") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(
+        least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"),
         cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
       .filter(col("cos") >= threshold)
-      .groupBy("id_a", "id_b").agg(first("cos").as("cos")) // dedup multi-list hits
+      .groupBy("id_a", "id_b").agg(first("cos").as("cos")) // dedup direction/multi-list hits
   }
 
   /** All pairs with cosine >= threshold (embedding near-dup detection),
@@ -266,7 +277,7 @@ object Similarity {
   object PairScanStrategy {
     case object Brute extends PairScanStrategy
     case class Lsh(bits: Int = 2, tables: Int = 24) extends PairScanStrategy
-    case class Ivf(nlist: Int = 32, nprobe: Int = 4) extends PairScanStrategy
+    case class Ivf(nlist: Int = 32, nprobe: Int = 8) extends PairScanStrategy
     case object Auto extends PairScanStrategy
   }
 
