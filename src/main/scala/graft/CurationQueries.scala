@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Decontaminate, Sampling}
+
+/** Corpus-curation queries: the operators a training-data pipeline runs
+  * AFTER cleaning/dedup — repetition-quality signals, PII scrubbing,
+  * term statistics, deterministic sampling / data mixing, sequence
+  * packing, and benchmark decontamination. Every query has an exact
+  * DuckDB oracle twin.
+  */
+object CurationQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Mixture weights for p03: per-source keep fraction (1+i%4)*0.2 for
+    * src0..src19 — a deterministic stand-in for a real mixing config.
+    * The oracle CASE chain is generated from this same map.
+    */
+  private[graft] val MixWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> ((1 + i % 4) * 0.2)).toMap
+
+  val defs: Map[String, Q] = Map(
+    // Gopher-style repetition signals: one narrow codegen'd projection.
+    "t06_repetition" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        dupTokenFrac(col("text")).as("dup_token_frac"),
+        topNGramFrac(col("text"), 2).as("top_bigram_frac"),
+        dupNGramFrac(col("text"), 3).as("dup_trigram_frac"))
+    }),
+
+    // C4-style PII scrub over text augmented with deterministic synthetic
+    // PII (the corpus itself is clean word-soup; the augmentation is built
+    // identically in the oracle, so the scrubber is exercised for real).
+    "t07_pii_scrub" -> ((s, dir) => {
+      val aug = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit(".1"))
+      docs(s, dir).select(
+        col("doc_id"),
+        piiCount(aug, EmailPattern).as("n_emails"),
+        piiCount(aug, Ipv4Pattern).as("n_ips"),
+        piiCount(aug, PhonePattern).as("n_phones"),
+        scrubPii(aug).as("scrubbed"))
+    }),
+
+    // Per-document top terms by tf/df ratio (tf-idf with idf ∝ 1/df — the
+    // constant corpus-size factor cancels in the ranking, keeping every
+    // number integer-derived and engine-exact). Three shuffles: tf agg,
+    // df window on term, rank window on doc — each partial-aggregated /
+    // sorted map-side by Catalyst.
+    "t08_tfdf_topterms" -> ((s, dir) => {
+      val ex = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val wdf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      wdf
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy((col("tf").cast("double") / col("df")).desc, col("term")))
+          .cast("int"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    }),
+
+    // Corpus length profile: exact histogram of document char lengths per
+    // language (training-data reporting; one partial-agg shuffle).
+    "t09_length_histogram" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(col("lang"),
+          floor(col("n_chars") / lit(50.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+    }),
+
+    // Deterministic 25% Bernoulli sample — a pure filter (zero shuffle:
+    // the way to sample 100 TB in the scan stage).
+    "p01_hash_sample" -> ((s, dir) => {
+      Sampling.hashSample(docs(s, dir), "doc_id", 0.25).select("doc_id")
+    }),
+
+    // Per-language quota: the 40 smallest-hash docs per lang (deterministic
+    // stratified downsample; one shuffle on the stratum key).
+    "p02_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(docs(s, dir), Seq("lang"), "doc_id", 40)
+        .select("doc_id", "lang")
+    }),
+
+    // Domain mixing by per-source keep fraction (codegen'd CASE chain over
+    // the driver-side weights map; zero shuffle).
+    "p03_domain_mix" -> ((s, dir) => {
+      Sampling.domainMix(docs(s, dir), "source", "doc_id", MixWeights)
+        .select("doc_id", "source")
+    }),
+
+    // Sequence packing pre-step: pack docs into ~1000-token shards per
+    // language, in id order (shard = the unit a trainer reads).
+    "p04_token_packing" -> ((s, dir) => {
+      Sampling.tokenPack(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).cast("long").as("n_tokens")),
+        Seq("lang"), "doc_id", "n_tokens", budgetTokens = 1000L)
+        .select("doc_id", "lang", "n_tokens", "shard_id")
+    }),
+
+    // Benchmark decontamination: bench = docs with id % 53 == 0, training
+    // docs sharing any word 4-gram with the bench set are removed. Hashed
+    // grams (the broadcast scale path) gated against the string oracle —
+    // identical survivors absent xxhash64 collisions (d02 precedent).
+    "d09_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 53 === 0)
+      val train = d.filter(col("doc_id") % 53 =!= 0)
+      Decontaminate.decontaminate(train, bench, "doc_id", "text", n = 4)
+        .select("doc_id")
+    }))
+
+  // ---- DuckDB oracle twins ------------------------------------------------
+
+  private val toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+
+  /** ALL (non-distinct) word n-gram list twin of wordNGramsAll(_, n). */
+  private def ngramsAll(n: Int) =
+    s"""CASE WHEN len($toks) < $n THEN []
+        ELSE [array_to_string(($toks)[i:i+${n - 1}], ' ')
+              for i in generate_series(1, len($toks)-${n - 1})] END"""
+
+  /** Distinct-shingles twin of wordShingles(_, n) (whole-text fallback). */
+  private def shingles(n: Int) =
+    s"""CASE WHEN len($toks) < $n
+        THEN [array_to_string($toks, ' ')]
+        ELSE list_distinct([array_to_string(($toks)[i:i+${n - 1}], ' ')
+              for i in generate_series(1, len($toks)-${n - 1})]) END"""
+
+  private val hashExpr = s"(doc_id * ${Sampling.KnuthA}) % ${Sampling.HashMod}"
+
+  private val augText =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR)
+       || '@mail.example.com or +1-555-'
+       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'"""
+
+  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val ipRe = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+  private val phoneRe = """\+?[0-9][0-9-]{6,}[0-9]"""
+
+  val oracles: Map[String, String] = Map(
+    "t06_repetition" ->
+      s"""WITH g AS (SELECT doc_id, $toks AS tk,
+           ${ngramsAll(2)} AS bg, ${ngramsAll(3)} AS tg FROM documents)
+         SELECT doc_id,
+           CASE WHEN len(tk) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END
+             AS dup_token_frac,
+           CASE WHEN len(bg) = 0 THEN 0.0
+             ELSE CAST(list_max(list_transform(list_distinct(bg),
+                    b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE) / len(bg) END
+             AS top_bigram_frac,
+           CASE WHEN len(tg) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg) END
+             AS dup_trigram_frac
+         FROM g""",
+    "t07_pii_scrub" ->
+      s"""WITH aug AS (SELECT doc_id, $augText AS t FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '$emailRe')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '$ipRe')) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(t, '$phoneRe')) AS INTEGER) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '$emailRe', '<EMAIL>', 'g'),
+             '$ipRe', '<IP>', 'g'),
+             '$phoneRe', '<PHONE>', 'g') AS scrubbed
+         FROM aug""",
+    "t08_tfdf_topterms" ->
+      s"""WITH ex AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+         wdf AS (SELECT doc_id, term, tf,
+                   count(*) OVER (PARTITION BY term) AS df FROM tf)
+         SELECT doc_id, term, tf, df,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS INTEGER) AS rank
+         FROM wdf QUALIFY rank <= 3""",
+    "t09_length_histogram" ->
+      """SELECT lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket,
+           count(*) AS n_docs, min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+         FROM documents GROUP BY 1, 2""",
+    "p01_hash_sample" ->
+      s"""SELECT doc_id FROM documents
+         WHERE $hashExpr < ${Sampling.fractionThreshold(0.25)}""",
+    "p02_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         QUALIFY row_number() OVER (PARTITION BY lang
+           ORDER BY $hashExpr, doc_id) <= 40""",
+    "p03_domain_mix" -> {
+      val cases = MixWeights.toSeq.sortBy(_._1)
+        .map { case (g, w) =>
+          s"WHEN '$g' THEN ${Sampling.fractionThreshold(w)}" }
+        .mkString("\n           ")
+      s"""SELECT doc_id, source FROM documents
+         WHERE $hashExpr < (CASE source
+           $cases
+           ELSE ${Sampling.fractionThreshold(1.0)} END)"""
+    },
+    "p04_token_packing" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+           CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, lang, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         SELECT doc_id, lang, n_tokens,
+           CAST(floor((cum - n_tokens) / 1000.0) AS BIGINT) AS shard_id
+         FROM c""",
+    "d09_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, ${shingles(4)} AS grams FROM documents),
+         bg AS (SELECT DISTINCT unnest(grams) AS g FROM sh
+                WHERE doc_id % 53 = 0),
+         tg AS (SELECT doc_id, unnest(grams) AS g FROM sh
+                WHERE doc_id % 53 != 0),
+         cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g))
+         SELECT doc_id FROM documents
+         WHERE doc_id % 53 != 0
+           AND doc_id NOT IN (SELECT doc_id FROM cont)""")
+}

@@ -30,7 +30,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ CorpusQueries.defs ++ EngineQueries.defs
+    RelationalQueries.defs ++ CorpusQueries.defs ++ CurationQueries.defs ++
+      EngineQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -43,6 +44,7 @@ object SparkEntry {
     * address the data files directly, e.g. m08's read_blob) resolved to
     * a concrete SF dir — so tools/check.py verifies at any scale. */
   def oracleSqlFor(sfDir: String): Map[String, String] =
-    (RelationalQueries.oracles ++ CorpusQueries.oracles ++ EngineQueries.oracles)
+    (RelationalQueries.oracles ++ CorpusQueries.oracles ++
+      CurationQueries.oracles ++ EngineQueries.oracles)
       .map { case (k, v) => k -> v.replace("{SF_DIR}", sfDir.stripSuffix("/")) }
 }

@@ -127,4 +127,68 @@ object TextFunctions {
     graft.expressions.kernels.toCol(
       graft.expressions.WordNGrams(
         graft.expressions.kernels.toExpr(tokens(text)), n))
+
+  // ---- Repetition signals (Gopher-style quality rules) ---------------------
+  // Rae et al. 2021 ("Scaling Language Models: ... Gopher", §A1.1) filter
+  // documents by duplicate-line/n-gram fractions. Our corpus is single-line,
+  // so the signals are word-n-gram based; all are pure Column expressions
+  // (per-document, no shuffle — a narrow projection over 100 TB).
+
+  /** ALL word n-grams in order (NOT distinct — the counting unit for
+    * repetition signals; empty when the document has fewer than n tokens).
+    */
+  def wordNGramsAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Fraction of tokens that are repeats of an earlier token: 1 - |distinct|/|all|. */
+  def dupTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** Fraction of n-gram occurrences taken by the single most frequent
+    * n-gram — high values mean templated/looping text.
+    */
+  def topNGramFrac(text: Column, n: Int): Column = {
+    val gs = wordNGramsAll(text, n)
+    val counts = transform(array_distinct(gs), g => size(filter(gs, x => x === g)))
+    when(size(gs) === 0, lit(0.0))
+      .otherwise(array_max(counts).cast("double") / size(gs))
+  }
+
+  /** Fraction of n-grams that are duplicates of an earlier n-gram. */
+  def dupNGramFrac(text: Column, n: Int): Column = {
+    val gs = wordNGramsAll(text, n)
+    when(size(gs) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs))
+  }
+
+  // ---- PII scrubbing (C4-style cleanup) ------------------------------------
+  // Raffel et al. 2020 (C4) scrub pages by pattern filters before training.
+  // Patterns stay in the Java-regex ∩ RE2 subset (no lookahead/backrefs) so
+  // the DuckDB oracle twin matches byte for byte; replacement is codegen'd
+  // regexp_replace — no UDF in the 100 TB path.
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+?[0-9][0-9-]{6,}[0-9]"
+
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact emails, then IPv4s, then phone-shaped digit runs (order matters:
+    * the phone pattern would otherwise eat fragments of dotted IPs).
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
 }

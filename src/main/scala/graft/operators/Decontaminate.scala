@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination: remove from a training corpus every document
+  * that shares at least one word n-gram with a benchmark/eval set — the
+  * standard guard against test-set leakage when assembling training data
+  * (GPT-3 appendix C / PaLM-style n-gram overlap, re-expressed as one
+  * broadcast semi-join).
+  *
+  * Scale design: the benchmark side is small (eval suites are thousands of
+  * documents), so its distinct gram set is BROADCAST and the 100 TB
+  * training side is never shuffled — contamination detection happens in
+  * the scan stage. Grams travel as xxhash64 longs (8 bytes each, computed
+  * inside the scan projection) rather than strings; `hashGrams = false`
+  * keeps the exact strings for oracle-checkable runs (identical output
+  * absent 64-bit collisions, ~n²/2⁶⁴).
+  */
+object Decontaminate {
+
+  /** Distinct word n-grams of a text column, hashed or as strings. */
+  private def grams(textCol: Column, n: Int, hashed: Boolean): Column = {
+    val sh = TextFunctions.wordShingles(textCol, n)
+    if (hashed) transform(sh, g => xxhash64(g)) else sh
+  }
+
+  /** Training docs from `train` that share NO word n-gram with `bench`.
+    * Column sets of `train` pass through unchanged.
+    */
+  def decontaminate(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, hashGrams: Boolean = true,
+      broadcastBench: Boolean = true): DataFrame = {
+    val benchGrams = bench
+      .select(explode(grams(col(textCol), n, hashGrams)).as("__g"))
+      .distinct()
+    val b = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    val contaminated = train
+      .select(col(idCol), explode(grams(col(textCol), n, hashGrams)).as("__g"))
+      .join(b, "__g")
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+}

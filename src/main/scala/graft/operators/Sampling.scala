@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / data-mixing operators for training-corpus
+  * construction. All decisions derive from a multiplicative hash of the
+  * document id — no RNG state, so a sample is reproducible across runs,
+  * executors, and retries (Spark's `sample()` is seed-stable only per
+  * partitioning; these are stable, period).
+  *
+  * Scale design:
+  *  - [[hashSample]] and [[domainMix]] are pure filters — zero shuffle; a
+  *    100 TB corpus is sampled in the scan stage, and Parquet row-group
+  *    statistics still prune because no row ordering is assumed.
+  *  - [[stratifiedSample]] and [[tokenPack]] shuffle once, on the strata
+  *    key (the unavoidable shuffle: a per-stratum quota / running budget
+  *    is a per-stratum total order).
+  */
+object Sampling {
+
+  /** Knuth's multiplicative constant (2654435761 = floor(2^32/phi), odd),
+    * so `id -> (id * A) mod 2^32` is a BIJECTION on [0, 2^32): a hash
+    * sample of fraction f keeps exactly-f of any 2^32-dense id range, not
+    * approximately-f. Stays in integer arithmetic an ANSI oracle can
+    * reproduce (product < 2^63 for ids < ~3.4e9; for wider ids pre-fold
+    * with `pmod(id, 1L << 32)`).
+    */
+  val KnuthA = 2654435761L
+  val HashMod = 4294967296L // 2^32
+
+  /** The sampling hash: uniform on [0, 2^32) for any id distribution. */
+  def splitHash(id: Column): Column = pmod(id * lit(KnuthA), lit(HashMod))
+
+  /** Threshold for a keep-fraction, as the exact integer the oracle uses. */
+  def fractionThreshold(fraction: Double): Long =
+    (fraction * HashMod).toLong
+
+  /** Deterministic Bernoulli(fraction) sample by id hash. Pure filter:
+    * no shuffle, no state, reproducible on re-run and across engines.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(splitHash(col(idCol)) < lit(fractionThreshold(fraction)))
+
+  /** Per-stratum quota sample: the k docs with the smallest id-hash in
+    * each stratum (hash order = a deterministic shuffle of the stratum).
+    * One shuffle on the strata key; the sort is per-stratum, not global.
+    */
+  def stratifiedSample(
+      df: DataFrame, strataCols: Seq[String], idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(splitHash(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Domain mixing: keep a per-group fraction of documents (the training
+    * mixture weights of a multi-source corpus). Weights are a small
+    * driver-side map compiled into a codegen'd CASE chain — no join, no
+    * shuffle, no broadcast; groups absent from the map keep `defaultWeight`.
+    */
+  def domainMix(
+      df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    val threshold = weights.toSeq.sortBy(_._1).foldRight(
+      lit(fractionThreshold(defaultWeight)): Column) {
+      case ((g, w), els) =>
+        when(col(groupCol) === g, lit(fractionThreshold(w))).otherwise(els)
+    }
+    df.filter(splitHash(col(idCol)) < threshold)
+  }
+
+  /** Pack documents into ~`budgetTokens`-sized shards per stratum (the
+    * pre-step of sequence packing: a shard is the unit a trainer reads).
+    * Shard id = the running token total BEFORE the doc, integer-divided by
+    * the budget — so every shard except a stratum's last holds at least
+    * `budgetTokens` minus one document's overhang. Deterministic: docs are
+    * packed in id order. One shuffle (strata key), one window pass.
+    */
+  def tokenPack(
+      df: DataFrame, strataCols: Seq[String], idCol: String,
+      tokensCol: String, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("shard_id",
+        floor((col("__cum") - col(tokensCol)) / lit(budgetTokens.toDouble))
+          .cast("long"))
+      .drop("__cum")
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+/** Sampling / mixing / decontamination / text-signal semantics beyond what
+  * the DuckDB oracle gate already pins down: invariants (determinism,
+  * threshold nesting, quota bounds, packing monotonicity) and constructed
+  * edge cases.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf("documents"))
+
+  test("hashSample: deterministic, ~fraction, and threshold-nested") {
+    val n = docs.count().toDouble
+    val s25 = Sampling.hashSample(docs, "doc_id", 0.25)
+    val k25 = s25.count().toDouble
+    assert(math.abs(k25 / n - 0.25) < 0.07, s"kept ${k25 / n}")
+    // re-run is bit-identical (no RNG state)
+    assert(s25.select("doc_id").collect().map(_.getLong(0)).sorted.sameElements(
+      Sampling.hashSample(docs, "doc_id", 0.25)
+        .select("doc_id").collect().map(_.getLong(0)).sorted))
+    // a smaller fraction is a SUBSET (thresholds nest) — the property that
+    // makes staged downsampling consistent across pipeline versions
+    val ids10 = Sampling.hashSample(docs, "doc_id", 0.10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids25 = s25.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids10.subsetOf(ids25))
+  }
+
+  test("stratifiedSample: exact quota per stratum, subset of input") {
+    val k = 7
+    val out = Sampling.stratifiedSample(docs, Seq("lang"), "doc_id", k)
+    val per = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, total) =>
+      assert(per(lang) == math.min(k.toLong, total), s"$lang: ${per(lang)}")
+    }
+    assert(out.count() == per.values.sum)
+  }
+
+  test("domainMix: per-group keep rate tracks the weight; default keeps all") {
+    val weights = Map("en" -> 0.2, "de" -> 0.8)
+    val out = Sampling.domainMix(docs, "lang", "doc_id", weights)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("en").toDouble / full("en") - 0.2) < 0.15)
+    assert(math.abs(kept("de").toDouble / full("de") - 0.8) < 0.15)
+    // unlisted groups fall through to defaultWeight = 1.0
+    (full.keySet -- weights.keySet).foreach { g =>
+      assert(kept(g) == full(g), s"group $g should be fully kept")
+    }
+  }
+
+  test("tokenPack: shards contiguous in id order, budget-bounded starts") {
+    val budget = 500L
+    val packed = Sampling.tokenPack(
+      docs.select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("long").as("n_tokens")),
+      Seq("lang"), "doc_id", "n_tokens", budget)
+      .select("lang", "doc_id", "n_tokens", "shard_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_._2)
+      // shard ids start at 0 and never decrease as ids grow
+      assert(inOrder.head._4 == 0L)
+      inOrder.sliding(2).foreach {
+        case Array((_, _, _, a), (_, _, _, b)) => assert(a <= b)
+        case _ =>
+      }
+      // recompute: shard = floor(tokens-before-doc / budget)
+      var cum = 0L
+      inOrder.foreach { case (_, _, n, shard) =>
+        assert(shard == cum / budget, s"shard $shard at cum $cum")
+        cum += n
+      }
+    }
+  }
+
+  test("decontaminate: removes planted overlap, keeps disjoint docs") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("id", "txt")
+    val train = Seq(
+      (1L, "intro words then alpha beta gamma delta closing"), // shares a 4-gram
+      (2L, "totally different content with no shared run"),
+      (3L, "beta gamma delta words out of phase here")         // only 3-gram overlap
+    ).toDF("id", "txt")
+    val clean = Decontaminate.decontaminate(train, bench, "id", "txt", n = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+    // hashed and string gram paths agree on the real corpus
+    val d = docs
+    val b = d.filter(col("doc_id") % 53 === 0)
+    val t = d.filter(col("doc_id") % 53 =!= 0)
+    val hashed = Decontaminate.decontaminate(t, b, "doc_id", "text", n = 4,
+      hashGrams = true).select("doc_id").collect().map(_.getLong(0)).toSet
+    val strings = Decontaminate.decontaminate(t, b, "doc_id", "text", n = 4,
+      hashGrams = false).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hashed == strings)
+  }
+
+  test("repetition signals: constructed extremes") {
+    val df = Seq(
+      (1L, "x x x x"),            // one token repeated
+      (2L, "a b c d"),            // no repetition
+      (3L, "")                    // empty text
+    ).toDF("id", "txt")
+    val out = df.select(col("id"),
+      dupTokenFrac(col("txt")).as("dt"),
+      topNGramFrac(col("txt"), 2).as("tb"),
+      dupNGramFrac(col("txt"), 3).as("dg"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((0.75, 1.0, 0.5)))  // 3 dup tokens/4; "x x" 3/3; 1 dup tri/2
+    assert(out(2L) == ((0.0, 1.0 / 3.0, 0.0))) // distinct bigrams: max count 1 of 3
+    assert(out(3L)._1 == 0.0 && out(3L)._3 == 0.0)
+  }
+
+  test("PII scrub: redacts email, ip, phone; counts match") {
+    val df = Seq((1L,
+      "reach me at jane.doe+spam@sub.example.org or 192.168.0.12 tel +44-20-7946-0958 done"))
+      .toDF("id", "txt")
+    val r = df.select(
+      piiCount(col("txt"), EmailPattern).as("e"),
+      piiCount(col("txt"), Ipv4Pattern).as("i"),
+      piiCount(col("txt"), PhonePattern).as("p"),
+      scrubPii(col("txt")).as("s")).collect()(0)
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1 && r.getInt(2) == 1)
+    assert(r.getString(3) ==
+      "reach me at <EMAIL> or <IP> tel <PHONE> done")
+  }
+}
