@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Decontaminate, Sampling}
+
+/** 10x scale probe for the curation operators: sf0.1 documents replicated
+  * 10x with id offsets and a tail-token perturbation (50k docs). Verifies
+  * the designs hold when the corpus is an order of magnitude past the
+  * bench: sampling stays a scan-stage filter, decontamination's broadcast
+  * side stays bounded, tf/df and packing shuffle once per stage.
+  */
+object CurationProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkEntry.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val n0 = base.count()
+    val corpus = (0 until 10).map { i =>
+      base.select(
+        (col("doc_id") + lit(i * n0)).as("doc_id"),
+        (if (i == 0) col("text")
+         else concat(col("text"), lit(s" pad$i"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _).persist()
+    val n = corpus.count()
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[curation10x] $name rows $rows time ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.catalog.clearCache()
+      corpus.persist(); corpus.count()
+    }
+
+    timed("t06_repetition") {
+      corpus.select(col("doc_id"),
+        dupTokenFrac(col("text")), topNGramFrac(col("text"), 2),
+        dupNGramFrac(col("text"), 3)).count()
+    }
+    timed("t08_tfdf") {
+      CurationQueriesProbe.tfdf(corpus).count()
+    }
+    timed("p01+p03_sample_mix") {
+      Sampling.domainMix(
+        Sampling.hashSample(corpus, "doc_id", 0.5),
+        "source", "doc_id", CurationQueries.MixWeights).count()
+    }
+    timed("p02_stratified") {
+      Sampling.stratifiedSample(corpus, Seq("lang"), "doc_id", 400).count()
+    }
+    timed("p04_token_packing") {
+      Sampling.tokenPack(
+        corpus.select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).cast("long").as("n_tokens")),
+        Seq("lang"), "doc_id", "n_tokens", 1000L).count()
+    }
+    timed("d09_decontaminate") {
+      val bench = corpus.filter(col("doc_id") % 533 === 0)
+      val train = corpus.filter(col("doc_id") % 533 =!= 0)
+      Decontaminate.decontaminate(train, bench, "doc_id", "text", n = 4).count()
+    }
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    println(s"[curation10x] corpus $n residual_cached_rdds $cached")
+    spark.stop()
+  }
+}
+
+/** The t08 plan body shared with the probe (same shape as the gate query). */
+private object CurationQueriesProbe {
+  import org.apache.spark.sql.expressions.Window
+  def tfdf(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))))
+      .filter(col("rank") <= 3)
+  }
+}

@@ -63,6 +63,29 @@ object Streams {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming corpus curation: the batch cleaning gate (quality score +
+    * repetition signal + PII scrub + deterministic hash sample) applied
+    * to a document STREAM. Every signal is a stateless Column expression,
+    * so the exact batch semantics lift to Structured Streaming with no
+    * state, no watermark, and no shuffle — ingest-time curation at
+    * whatever rate the source delivers. Combine with [[streamingDedup]]
+    * (on a content-hash column) for the full streaming clean-and-dedup.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minQuality: Double = 0.5, maxDupTokenFrac: Double = 0.9,
+             sampleFraction: Double = 1.0): DataFrame = {
+    import graft.functions.TextFunctions._
+    import graft.operators.Sampling
+    docs
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("dup_token_frac", dupTokenFrac(col(textCol)))
+      .filter(col("quality") >= minQuality &&
+        col("dup_token_frac") <= maxDupTokenFrac &&
+        Sampling.splitHash(col(idCol)) <
+          lit(Sampling.fractionThreshold(sampleFraction)))
+      .withColumn(textCol, scrubPii(col(textCol)))
+  }
+
   /** Continuous ingestion: stream files from `srcPath` into a partitioned
     * parquet sink with exactly-once file tracking via the checkpoint.
     * The streaming E->L step.

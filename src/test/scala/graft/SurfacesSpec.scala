@@ -123,6 +123,37 @@ class SurfacesSpec extends SparkSpec {
     assert(rows.filter(col("k") === "a").collect()(0).getAs[Double]("v") == 1.0)
   }
 
+  test("streaming curation: quality gate + PII scrub + hash sample on a stream") {
+    val dir = Files.createTempDirectory("stream_cur").toString
+    val out = Files.createTempDirectory("stream_cur_out").toString
+    val ckpt = Files.createTempDirectory("stream_cur_ckpt").toString
+    // doc 1: fluent text with an email (kept, scrubbed); doc 2: punctuation
+    // soup (quality-gated out). Batch semantics lift unchanged: the same
+    // call on a batch DF must produce the same rows.
+    val good = "the quick brown fox is one of the animals that run in the " +
+      "field and it is known to all of the readers contact me at a@b.co ok"
+    val junk = "!!! ??? ;;; ### $$$ %%%"
+    Files.write(java.nio.file.Paths.get(dir, "c1.csv"),
+      s"""1,"$good"\n2,"$junk"\n""".getBytes)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val curated = Streams.curate(
+      Streams.fileMonitor(spark, dir, "csv", schema), "doc_id", "text")
+    assert(curated.isStreaming)
+    Streams.runAvailableNow(Streams.ingest(curated, s"$out/data", ckpt))
+    val rows = spark.read.parquet(s"$out/data")
+    assert(rows.count() == 1)
+    val kept = rows.collect()(0)
+    assert(kept.getAs[Long]("doc_id") == 1L)
+    assert(kept.getAs[String]("text").contains("<EMAIL>"))
+    // identical result on the same data as a BATCH frame
+    val batch = spark.read.schema(schema).csv(dir)
+    val batchKept = Streams.curate(batch, "doc_id", "text")
+      .select("doc_id", "text").collect()
+    assert(batchKept.length == 1 &&
+      batchKept(0).getString(1) == kept.getAs[String]("text"))
+  }
+
   test("multimodal: binary schema, batched stub featurization, frame fanout") {
     val bytes1 = Array.fill[Byte](100)(1)
     val bytes2 = Array.fill[Byte](50)(2)
