@@ -204,6 +204,18 @@ object CorpusQueries {
 
   private val stopList = StopwordsEn.map(w => s"'$w'").mkString(", ")
 
+  /** Quality-score twin of TextFunctions.qualityScore (shared by the t02,
+    * c01 and c02 oracles — one definition, no drift).
+    */
+  private[graft] lazy val qualitySqlExpr: String =
+    s"""(LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        + LEAST((CASE WHEN len($toks) = 0 THEN 0.0
+            ELSE CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)
+                 / CAST(len($toks) AS INTEGER) END) * 4.0, 1.0)
+        + GREATEST(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                 / length(text) END) * 5.0, 0.0)) / 3.0"""
+
   /** GPT-2-ish pretokenizer, simplified to the lookahead-free subset so
     * Java (Spark) and RE2 (DuckDB) agree on every match.
     */
@@ -229,14 +241,7 @@ object CorpusQueries {
          FROM documents""",
     "t02_quality_filter" ->
       s"""SELECT doc_id, quality FROM (
-         SELECT doc_id,
-           (LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-            + LEAST((CASE WHEN len($toks) = 0 THEN 0.0
-                ELSE CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)
-                     / CAST(len($toks) AS INTEGER) END) * 4.0, 1.0)
-            + GREATEST(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-                ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
-                     / length(text) END) * 5.0, 0.0)) / 3.0 AS quality
+         SELECT doc_id, $qualitySqlExpr AS quality
          FROM documents) WHERE quality >= 0.5""",
     "t03_lang_id" -> {
       val scores = LangMarkers.map { case (lang, ws) => lang -> langScore(ws) }
@@ -267,14 +272,7 @@ object CorpusQueries {
     // min-id dedup survives, token count projects
     "c01_corpus_etl" ->
       s"""WITH q AS (
-           SELECT doc_id, text,
-             (LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-              + LEAST((CASE WHEN len($toks) = 0 THEN 0.0
-                  ELSE CAST(len(list_filter($toks, t -> t IN ($stopList))) AS DOUBLE)
-                       / CAST(len($toks) AS INTEGER) END) * 4.0, 1.0)
-              + GREATEST(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-                  ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
-                       / length(text) END) * 5.0, 0.0)) / 3.0 AS quality
+           SELECT doc_id, text, $qualitySqlExpr AS quality
            FROM documents),
          gated AS (SELECT * FROM q WHERE quality >= 0.5),
          surv AS (SELECT doc_id, text, quality FROM gated

@@ -115,6 +115,29 @@ object CurationQueries {
         .select("doc_id", "lang", "n_tokens", "shard_id")
     }),
 
+    // Incremental dedup — the daily-ingest shape: dedup the new batch
+    // (ids >= 250) within itself and against the already-ingested index
+    // (ids < 250); only 8-byte content hashes of the index cross the
+    // wire. Gated against a text-partitioned oracle (d02 precedent).
+    "d10_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Dedup.incrementalDedup(
+        d.filter(col("doc_id") >= 250L), d.filter(col("doc_id") < 250L),
+        "doc_id", "text").select("doc_id")
+    }),
+
+    // One-row corpus report: the numbers a training run's data card
+    // quotes. Exact distinct counts here (the sketch variant is q32);
+    // double aggregation through DECIMAL(38,6) for engine-exactness.
+    "c02_corpus_report" -> ((s, dir) => {
+      docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+        graft.functions.decAvg(qualityScore(col("text"))).as("mean_quality"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+    }),
+
     // Benchmark decontamination: bench = docs with id % 53 == 0, training
     // docs sharing any word 4-gram with the bench set are removed. Hashed
     // grams (the broadcast scale path) gated against the string oracle —
@@ -223,6 +246,21 @@ object CurationQueries {
          SELECT doc_id, lang, n_tokens,
            CAST(floor((cum - n_tokens) / 1000.0) AS BIGINT) AS shard_id
          FROM c""",
+    "d10_incremental_dedup" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+         idx AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
+         surv AS (SELECT doc_id, text FROM batch
+           QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+         SELECT doc_id FROM surv
+         WHERE text NOT IN (SELECT text FROM idx)""",
+    "c02_corpus_report" ->
+      s"""SELECT count(*) AS n_docs,
+           CAST(sum(len($toks)) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(${CorpusQueries.qualitySqlExpr} AS DECIMAL(38,6)))
+             AS DOUBLE) / count(*) AS mean_quality,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT text) AS n_distinct_texts
+         FROM documents""",
     "d09_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, ${shingles(4)} AS grams FROM documents),
          bg AS (SELECT DISTINCT unnest(grams) AS g FROM sh

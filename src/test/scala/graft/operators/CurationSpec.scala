@@ -106,6 +106,20 @@ class CurationSpec extends SparkSpec {
     assert(hashed == strings)
   }
 
+  test("incrementalDedup: in-batch min-id wins, index content blocks") {
+    val index = Seq((10L, "already ingested content"), (11L, "old news"))
+      .toDF("id", "txt")
+    val batch = Seq(
+      (20L, "fresh content one"),
+      (21L, "already ingested content"), // dup of index -> dropped
+      (22L, "fresh content two"),
+      (23L, "fresh content one")         // in-batch dup of 20 -> dropped
+    ).toDF("id", "txt")
+    val out = Dedup.incrementalDedup(batch, index, "id", "txt")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(20L, 22L))
+  }
+
   test("repetition signals: constructed extremes") {
     val df = Seq(
       (1L, "x x x x"),            // one token repeated
