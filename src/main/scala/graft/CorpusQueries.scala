@@ -104,6 +104,17 @@ object CorpusQueries {
         bits = 6, tables = 8, probes = 1)
     }),
 
+    // Int8-quantized top-k with exact rescore (the memory-bandwidth scale
+    // path: 1 byte/dim through the scan, candidates rescored in float).
+    // The rescore margin makes the result EXACTLY the brute top-k on this
+    // corpus, so it shares s01's exact oracle; the margin itself is
+    // asserted in OperatorsSpec.
+    "s07_quantized_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") < 20L), k = 5,
+        rescoreFactor = 4)
+    }),
+
     // All embedding pairs above a cosine threshold.
     "s03_cosine_pairs" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(embs(s, dir), threshold = 0.45)
@@ -316,15 +327,10 @@ object CorpusQueries {
              AND bit_count(xor(a.fp, b.fp)) <= 3)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT idb FROM dups)""",
-    "s01_brute_topk" ->
-      s"""SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         ${cosSql("a.embedding", "b.embedding")} AS cos,
-         CAST(row_number() OVER (PARTITION BY a.vec_id
-           ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id ASC)
-           AS INTEGER) AS rank
-         FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
-         WHERE a.vec_id < 20
-         QUALIFY rank <= 5""",
+    "s01_brute_topk" -> bruteTopkOracle,
+    // same exact contract: the int8 scan's rescore margin recovers the
+    // true top-k (OperatorsSpec asserts the margin on this corpus)
+    "s07_quantized_topk" -> bruteTopkOracle,
     "s03_cosine_pairs" ->
       s"""SELECT id_a, id_b, cos FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -345,6 +351,19 @@ object CorpusQueries {
          WHERE cos >= 0.45""",
     "d06_embedding_dedup" -> embeddingDedupOracle,
     "d08_lsh_embedding_dedup" -> embeddingDedupOracle)
+
+  /** Exact brute top-k oracle shared by s01 (brute operator) and s07
+    * (int8 scan + exact rescore — identical result by margin).
+    */
+  private lazy val bruteTopkOracle: String =
+    s"""SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       ${cosSql("a.embedding", "b.embedding")} AS cos,
+       CAST(row_number() OVER (PARTITION BY a.vec_id
+         ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id ASC)
+         AS INTEGER) AS rank
+       FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+       WHERE a.vec_id < 20
+       QUALIFY rank <= 5"""
 
   /** Shared exact oracle for d06 (IVF-backed) and d08 (LSH-backed): the
     * brute all-pairs scan, demoted from operator default to oracle-only.

@@ -38,6 +38,19 @@ object VectorFunctions {
       }),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Per-vector symmetric int8 quantization: struct(q binary, qn double)
+    * — 1 byte/dim through scans and broadcasts instead of 4. Pair with
+    * [[int8Cos]] for the quantized ANN scan and rescore survivors with
+    * [[cosine]].
+    */
+  def quantizeInt8(vec: Column): Column =
+    kernels.toCol(graft.expressions.QuantizeInt8(kernels.toExpr(vec)))
+
+  /** Approximate cosine over two [[quantizeInt8]] structs (integer dot). */
+  def int8Cos(a: Column, b: Column): Column =
+    kernels.toCol(graft.expressions.Int8CosApprox(
+      kernels.toExpr(a), kernels.toExpr(b)))
+
   /** Random-hyperplane (SimHash) signatures of an embedding: `tables`
     * independent signatures of `bits` sign bits each, as array<long>.
     * Hyperplanes are pseudo-random but fully deterministic (splitmix64

@@ -173,6 +173,51 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Quantized top-k: int8 scan + exact rescore — the memory-bandwidth
+    * scale path. Phase 1 scores every (corpus, query) pair on int8
+    * vectors (1 byte/dim: 4x less traffic than float through the scan,
+    * and the query broadcast shrinks 4x) keeping `k * rescoreFactor`
+    * candidates per query; phase 2 rescores ONLY those candidates with
+    * exact float cosine (a candidate-driven second corpus read — narrow,
+    * broadcast-joined) and takes the final top-k. With a sufficient
+    * rescore margin the result EQUALS the exact brute scan: the true
+    * top-k just has to survive into the int8 top-(k*factor), a much
+    * weaker condition than int8 preserving the full order (s07 is gated
+    * against the exact s01 oracle on this basis; the margin is
+    * spec-asserted).
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    rescoreFactor: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    excludeSelf: Boolean = true): DataFrame = {
+    val qc = corpus.select(col(idCol).as("neighbor_id"),
+      quantizeInt8(col(vecCol)).as("__qc"))
+    val qq = queries.select(col(idCol).as("query_id"),
+      quantizeInt8(col(vecCol)).as("__qq"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val cands = qc.crossJoin(broadcast(qq))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        int8Cos(col("__qq"), col("__qc")).as("qcos"))
+      .withColumn("__qr", row_number().over(wq))
+      .filter(col("__qr") <= k * rescoreFactor)
+      .select("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        "neighbor_id")
+      .join(broadcast(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** LSH-bucketed near-dup pair scan: candidates are pairs sharing any
     * (table, signature) bucket; exact cosine verifies. The shuffle key
     * is (table, sig) and each bucket's pair expansion is partition-local.

@@ -20,6 +20,27 @@ class OperatorsSpec extends SparkSpec {
   private lazy val embs01 =
     spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
 
+  test("int8 quantized scan + rescore equals the exact top-k (s07 params)") {
+    // the s07 gate contract: int8 ordering only has to keep the true
+    // top-5 inside the top-20 candidates; exact rescore then reproduces
+    // the brute result bit for bit (cos comes from the same float kernel)
+    val queries = embs01.filter(col("vec_id") < 20L)
+    val exact = Similarity.bruteForceTopK(embs01, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val quant = Similarity.quantizedTopK(embs01, queries, k = 5, rescoreFactor = 4)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(quant == exact)
+    // and WITHOUT rescore headroom the int8 scan alone is already close —
+    // quantization noise on 64-dim vectors is small (recall floor 0.8)
+    val bare = Similarity.quantizedTopK(embs01, queries, k = 5, rescoreFactor = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactIds = exact.map(t => (t._1, t._2))
+    assert((bare & exactIds).size.toDouble / exactIds.size >= 0.8)
+  }
+
   test("IVF top-k recall vs brute force is >= 0.8 (s04 params)") {
     // this corpus is UNIFORM random (no cluster structure), the
     // worst case for IVF: k-means-trained balanced lists at
