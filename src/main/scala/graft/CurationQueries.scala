@@ -115,6 +115,17 @@ object CurationQueries {
         .select("doc_id", "lang", "n_tokens", "shard_id")
     }),
 
+    // Corpus-wide vocabulary: top-100 terms by frequency (the seed list
+    // of tokenizer training). One partial-aggregated shuffle on term;
+    // the ordered limit compiles to TakeOrderedAndProject — per-partition
+    // top-k then a driver merge of 100-row heaps, no global sort.
+    "t10_vocab_topk" -> ((s, dir) => {
+      docs(s, dir).select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term").asc)
+        .limit(100)
+    }),
+
     // Incremental dedup — the daily-ingest shape: dedup the new batch
     // (ids >= 250) within itself and against the already-ingested index
     // (ids < 250); only 8-byte content hashes of the index cross the
@@ -246,6 +257,10 @@ object CurationQueries {
          SELECT doc_id, lang, n_tokens,
            CAST(floor((cum - n_tokens) / 1000.0) AS BIGINT) AS shard_id
          FROM c""",
+    "t10_vocab_topk" ->
+      s"""SELECT term, count(*) AS freq
+         FROM (SELECT unnest($toks) AS term FROM documents)
+         GROUP BY term ORDER BY freq DESC, term LIMIT 100""",
     "d10_incremental_dedup" ->
       """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
          idx AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
