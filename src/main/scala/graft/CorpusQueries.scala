@@ -115,6 +115,15 @@ object CorpusQueries {
         rescoreFactor = 4)
     }),
 
+    // Product-quantized top-k: 8-byte ADC scan (32x compression) with
+    // exact rescore — same exact contract as s01/s07 via the rescore
+    // margin (spec-asserted; PQ needs the wider factor 8).
+    "s08_pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 20L), k = 5,
+        rescoreFactor = 8)
+    }),
+
     // All embedding pairs above a cosine threshold.
     "s03_cosine_pairs" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(embs(s, dir), threshold = 0.45)
@@ -328,9 +337,10 @@ object CorpusQueries {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT idb FROM dups)""",
     "s01_brute_topk" -> bruteTopkOracle,
-    // same exact contract: the int8 scan's rescore margin recovers the
-    // true top-k (OperatorsSpec asserts the margin on this corpus)
+    // same exact contract: the quantized scans' rescore margins recover
+    // the true top-k (OperatorsSpec asserts both margins on this corpus)
     "s07_quantized_topk" -> bruteTopkOracle,
+    "s08_pq_topk" -> bruteTopkOracle,
     "s03_cosine_pairs" ->
       s"""SELECT id_a, id_b, cos FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,

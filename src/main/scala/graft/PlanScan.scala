@@ -9,6 +9,7 @@ object PlanScan {
     val dir = "/root/testdata/sf0.001"
     // intended broadcast-NLJ users: crossjoin-by-design queries
     val intendedNlj = Set("s01_brute_topk", "s03_cosine_pairs",
+      "s07_quantized_topk", "s08_pq_topk", // quantized scans: crossJoin(broadcast) by design
       "d06_embedding_dedup", "q16_subquery_avg", "q17_cross_join")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -41,6 +41,27 @@ class OperatorsSpec extends SparkSpec {
     assert((bare & exactIds).size.toDouble / exactIds.size >= 0.8)
   }
 
+  test("PQ ADC scan + rescore equals the exact top-k (s08 params)") {
+    // PQ distortion (8 bytes/vector) is larger than int8's, so the gate
+    // contract rides on a wider rescore margin: true top-5 within the
+    // ADC top-40, then exact rescore reproduces the brute result
+    val queries = embs01.filter(col("vec_id") < 20L)
+    val exact = Similarity.bruteForceTopK(embs01, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pq = Similarity.pqTopK(embs01, queries, k = 5, rescoreFactor = 8)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pq == exact)
+    // the bare ADC ordering alone (no rescore headroom) keeps most of
+    // the true neighbors — the scan is a real ranking, not a sieve
+    val bare = Similarity.pqTopK(embs01, queries, k = 5, rescoreFactor = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactIds = exact.map(t => (t._1, t._2))
+    assert((bare & exactIds).size.toDouble / exactIds.size >= 0.6)
+  }
+
   test("IVF top-k recall vs brute force is >= 0.8 (s04 params)") {
     // this corpus is UNIFORM random (no cluster structure), the
     // worst case for IVF: k-means-trained balanced lists at
