@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** 10x scale probe for the quantized ANN tiers: sf0.1 embeddings
+  * replicated 10x (20k vectors), 20 queries, k=5. Measures the brute
+  * float scan against the int8 (s07) and PQ/ADC (s08) pipelines —
+  * rescore and (for PQ) driver-side codebook training included, so the
+  * numbers are end-to-end honest.
+  */
+object AnnProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkEntry.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val n0 = base.count()
+    val corpus = (0 until 10).map { i =>
+      base.select((col("vec_id") + lit(i * n0)).as("vec_id"), col("embedding"))
+    }.reduce(_ union _).persist()
+    val n = corpus.count()
+    val queries = corpus.filter(col("vec_id") < 20L).persist()
+    queries.count()
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[ann10x] $name rows $rows time ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    timed("brute_float") {
+      Similarity.bruteForceTopK(corpus, queries, k = 5).count()
+    }
+    timed("int8_rescore") {
+      Similarity.quantizedTopK(corpus, queries, k = 5, rescoreFactor = 4).count()
+    }
+    timed("pq_adc_rescore") {
+      Similarity.pqTopK(corpus, queries, k = 5, rescoreFactor = 8).count()
+    }
+    // amortized shape: codebooks trained once per corpus generation
+    val books = Similarity.pqCodebooks(corpus)
+    timed("pq_adc_pretrained") {
+      Similarity.pqTopK(corpus, queries, k = 5, rescoreFactor = 8,
+        trainedCodebooks = Some(books)).count()
+    }
+    println(s"[ann10x] corpus $n")
+    spark.stop()
+  }
+}

@@ -284,9 +284,14 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, codebookSize: Int = 256, rescoreFactor: Int = 8,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             excludeSelf: Boolean = true): DataFrame = {
+             excludeSelf: Boolean = true,
+             trainedCodebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     import graft.expressions.{kernels, PqAdcCos, PqEncode, PqLut}
-    val books = pqCodebooks(corpus, m, codebookSize, idCol = idCol, vecCol = vecCol)
+    // production amortization point: train once per corpus generation,
+    // reuse across every query batch (training is driver-side Lloyd on
+    // the sample — a fixed cost unrelated to corpus size)
+    val books = trainedCodebooks.getOrElse(
+      pqCodebooks(corpus, m, codebookSize, idCol = idCol, vecCol = vecCol))
     val kEff = books(0).length
     val enc = corpus.select(col(idCol).as("neighbor_id"),
       kernels.toCol(PqEncode(kernels.toExpr(col(vecCol)), books)).as("__pq"))
