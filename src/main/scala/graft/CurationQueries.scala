@@ -115,6 +115,33 @@ object CurationQueries {
         .select("doc_id", "lang", "n_tokens", "shard_id")
     }),
 
+    // Cross-document repeated-passage fraction (the tractable Spark form
+    // of exact-substring dedup, Lee et al. 2022: suffix arrays don't
+    // distribute, sliding window hashes do): per doc, the fraction of its
+    // 8-token windows that occur in ANY other document. One groupBy on
+    // the window hash (8-byte longs) + one per-doc aggregate; docs with
+    // a high fraction are copy-paste composites even when no single
+    // near-dup pair exists.
+    "t11_dup_passages" -> ((s, dir) => {
+      val w8 = docs(s, dir).select(col("doc_id"),
+        explode(wordNGramsAll(col("text"), 8)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h")).distinct()
+      val shared = w8.groupBy("h")
+        .agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") > 1)
+      w8.join(shared, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .join(
+          docs(s, dir).select(col("doc_id"),
+            size(array_distinct(wordNGramsAll(col("text"), 8))).as("n_windows")),
+          Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_windows").cast("long").as("n_windows"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          when(col("n_windows") === 0, lit(0.0))
+            .otherwise(coalesce(col("n_shared"), lit(0L)).cast("double") /
+              col("n_windows")).as("dup_passage_frac"))
+    }),
+
     // Corpus-wide vocabulary: top-100 terms by frequency (the seed list
     // of tokenizer training). One partial-aggregated shuffle on term;
     // the ordered limit compiles to TakeOrderedAndProject — per-partition
@@ -257,6 +284,20 @@ object CurationQueries {
          SELECT doc_id, lang, n_tokens,
            CAST(floor((cum - n_tokens) / 1000.0) AS BIGINT) AS shard_id
          FROM c""",
+    "t11_dup_passages" ->
+      s"""WITH w AS (SELECT doc_id, unnest(list_distinct(${ngramsAll(8)})) AS g
+             FROM documents),
+         shared AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
+         sh AS (SELECT doc_id, count(*) AS n_shared FROM w
+                WHERE g IN (SELECT g FROM shared) GROUP BY doc_id),
+         nw AS (SELECT doc_id, len(list_distinct(${ngramsAll(8)})) AS n_windows
+                FROM documents)
+         SELECT nw.doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+           COALESCE(n_shared, 0) AS n_shared,
+           CASE WHEN n_windows = 0 THEN 0.0
+             ELSE CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_windows END
+             AS dup_passage_frac
+         FROM nw LEFT JOIN sh ON nw.doc_id = sh.doc_id""",
     "t10_vocab_topk" ->
       s"""SELECT term, count(*) AS freq
          FROM (SELECT unnest($toks) AS term FROM documents)
