@@ -32,6 +32,28 @@ class CurationSpec extends SparkSpec {
     assert(ids10.subsetOf(ids25))
   }
 
+  test("property: split hash is a bijection with calibrated thresholds") {
+    // driver-side twin of Sampling.splitHash — the operator is this exact
+    // arithmetic as a Column expression
+    def h(id: Long): Long = (id * Sampling.KnuthA) % Sampling.HashMod
+    // bijectivity on a dense range: no collisions (odd multiplier mod 2^32)
+    val ids = (0L until 100000L)
+    assert(ids.map(h).toSet.size == ids.size)
+    assert(ids.forall(i => h(i) >= 0L && h(i) < Sampling.HashMod))
+    // kept fraction tracks the threshold within 1% on a dense id range,
+    // for arbitrary fractions (equidistribution, not luck)
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val f = rnd.nextDouble()
+      val t = Sampling.fractionThreshold(f)
+      val kept = ids.count(h(_) < t).toDouble / ids.size
+      assert(math.abs(kept - f) < 0.01, s"f=$f kept=$kept")
+      // nesting: every smaller fraction keeps a subset (thresholds order)
+      val f2 = f * rnd.nextDouble()
+      assert(Sampling.fractionThreshold(f2) <= t)
+    }
+  }
+
   test("stratifiedSample: exact quota per stratum, subset of input") {
     val k = 7
     val out = Sampling.stratifiedSample(docs, Seq("lang"), "doc_id", k)
