@@ -176,6 +176,32 @@ object CurationQueries {
         countDistinct(col("text")).as("n_distinct_texts"))
     }),
 
+    // The FULL curation pipeline as ONE declarative plan — the flagship
+    // composition (c01 is clean+dedup; this is the whole intake): quality
+    // + repetition gate -> benchmark decontamination -> content-hash
+    // dedup -> per-language quota sample -> token-budget packing. Every
+    // stage is a gated operator; Catalyst fuses the gates into the scan
+    // and the pipeline shuffles only where the semantics force it
+    // (decontamination's small-side aggregates, the dedup hash, the
+    // stratum window).
+    "c03_curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val gated = d
+        .withColumn("quality", qualityScore(col("text")))
+        .withColumn("dtf", dupTokenFrac(col("text")))
+        .filter(col("quality") >= 0.5 && col("dtf") <= 0.6)
+      val bench = d.filter(col("doc_id") % 53 === 0)
+      val clean = Decontaminate.decontaminate(
+        gated.filter(col("doc_id") % 53 =!= 0), bench, "doc_id", "text", n = 4)
+      val deduped = graft.operators.Dedup.exactByHash(clean, "text", "doc_id")
+      val sampled = Sampling.stratifiedSample(deduped, Seq("lang"), "doc_id", 40)
+      Sampling.tokenPack(
+        sampled.select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).cast("long").as("n_tokens")),
+        Seq("lang"), "doc_id", "n_tokens", budgetTokens = 1000L)
+        .select("doc_id", "lang", "n_tokens", "shard_id")
+    }),
+
     // Benchmark decontamination: bench = docs with id % 53 == 0, training
     // docs sharing any word 4-gram with the bench set are removed. Hashed
     // grams (the broadcast scale path) gated against the string oracle —
@@ -317,6 +343,36 @@ object CurationQueries {
            count(DISTINCT lang) AS n_langs,
            count(DISTINCT text) AS n_distinct_texts
          FROM documents""",
+    "c03_curation_pipeline" ->
+      s"""WITH sh AS (SELECT doc_id, ${shingles(4)} AS grams FROM documents),
+         bg AS (SELECT DISTINCT unnest(grams) AS g FROM sh
+                WHERE doc_id % 53 = 0),
+         gated AS (SELECT doc_id, text, lang FROM (
+             SELECT doc_id, text, lang,
+               ${CorpusQueries.qualitySqlExpr} AS quality,
+               CASE WHEN len($toks) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct($toks)) AS DOUBLE)
+                      / len($toks) END AS dtf
+             FROM documents)
+           WHERE quality >= 0.5 AND dtf <= 0.6 AND doc_id % 53 != 0),
+         tg AS (SELECT s.doc_id, unnest(s.grams) AS g
+                FROM sh s JOIN gated ON s.doc_id = gated.doc_id),
+         cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g)),
+         clean AS (SELECT * FROM gated
+           WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         surv AS (SELECT doc_id, text, lang FROM clean
+           QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+         samp AS (SELECT doc_id, lang, text FROM surv
+           QUALIFY row_number() OVER (PARTITION BY lang
+             ORDER BY $hashExpr, doc_id) <= 40),
+         tok AS (SELECT doc_id, lang,
+           CAST(len($toks) AS BIGINT) AS n_tokens FROM samp),
+         c AS (SELECT doc_id, lang, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum FROM tok)
+         SELECT doc_id, lang, n_tokens,
+           CAST(floor((cum - n_tokens) / 1000.0) AS BIGINT) AS shard_id
+         FROM c""",
     "d09_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, ${shingles(4)} AS grams FROM documents),
          bg AS (SELECT DISTINCT unnest(grams) AS g FROM sh
