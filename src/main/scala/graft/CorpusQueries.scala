@@ -124,6 +124,16 @@ object CorpusQueries {
         rescoreFactor = 8)
     }),
 
+    // Semantic bucketing by fixed anchors: every vector assigned to its
+    // most-cosine anchor (the 8 lowest-id vectors stand in for a trained
+    // concept codebook). Gates the NearestCentroids argmax kernel
+    // DIRECTLY against a DuckDB cross-join argmax — s04/s06 gate it only
+    // through downstream set equality.
+    "s09_anchor_assign" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.assignToAnchors(e, e.filter(col("vec_id") < 8L))
+    }),
+
     // All embedding pairs above a cosine threshold.
     "s03_cosine_pairs" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(embs(s, dir), threshold = 0.45)
@@ -341,6 +351,18 @@ object CorpusQueries {
     // the true top-k (OperatorsSpec asserts both margins on this corpus)
     "s07_quantized_topk" -> bruteTopkOracle,
     "s08_pq_topk" -> bruteTopkOracle,
+    "s09_anchor_assign" ->
+      s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av
+             FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT e.vec_id, a.anchor_id,
+             ${cosSql("e.embedding", "a.av")} AS cos
+           FROM embeddings e CROSS JOIN a)
+         SELECT vec_id, anchor_id, cos FROM (
+           SELECT vec_id, anchor_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, anchor_id) AS rn
+           FROM scored)
+         WHERE rn = 1""",
     "s03_cosine_pairs" ->
       s"""SELECT id_a, id_b, cos FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,

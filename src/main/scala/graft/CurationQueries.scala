@@ -115,6 +115,22 @@ object CurationQueries {
         .select("doc_id", "lang", "n_tokens", "shard_id")
     }),
 
+    // Deterministic epoch shuffle: the training read-order for epoch 1
+    // over 8 shards — (shard, pos) from the epoch-salted bijective hash.
+    // One shuffle on the shard key + per-shard sort; never a global sort.
+    "p05_epoch_shuffle" -> ((s, dir) => {
+      Sampling.epochShuffle(docs(s, dir), "doc_id", epoch = 1, nShards = 8)
+        .select("doc_id", "shard", "pos")
+    }),
+
+    // Token-window chunking: 64-token chunks at stride 48 (16-token
+    // overlap) — the context-window precursor. Pure flatMap projection,
+    // zero shuffle: chunking happens in the scan stage.
+    "t12_chunking" -> ((s, dir) => {
+      graft.operators.Chunker.chunkByTokens(
+        docs(s, dir), "doc_id", "text", chunkSize = 64, stride = 48)
+    }),
+
     // Cross-document repeated-passage fraction (the tractable Spark form
     // of exact-substring dedup, Lee et al. 2022: suffix arrays don't
     // distribute, sliding window hashes do): per doc, the fraction of its
@@ -310,6 +326,26 @@ object CurationQueries {
          SELECT doc_id, lang, n_tokens,
            CAST(floor((cum - n_tokens) / 1000.0) AS BIGINT) AS shard_id
          FROM c""",
+    "p05_epoch_shuffle" -> {
+      val h = s"((doc_id + ${Sampling.EpochSalt}) * ${Sampling.KnuthA})" +
+        s" % ${Sampling.HashMod}"
+      s"""WITH t AS (SELECT doc_id, $h AS h,
+           ($h) % 8 AS shard FROM documents)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+             ORDER BY h, doc_id) AS BIGINT) AS pos
+         FROM t"""
+    },
+    "t12_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         s AS (SELECT doc_id, tk,
+             unnest(range(0, len(tk), 48)) AS chunk_start FROM t)
+         SELECT doc_id, chunk_start,
+           CAST(len(list_slice(tk, chunk_start+1, chunk_start+64)) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(tk, chunk_start+1, chunk_start+64), ' ')
+             AS chunk_text
+         FROM s""",
     "t11_dup_passages" ->
       s"""WITH w AS (SELECT doc_id, unnest(list_distinct(${ngramsAll(8)})) AS g
              FROM documents),

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Document chunking: split each document into fixed-size token windows
+  * with a stride (overlap = chunkSize - stride) — the precursor of
+  * context-window construction: chunks are what gets embedded, packed,
+  * and trained on, not whole documents.
+  *
+  * Scale design: a pure per-row flatMap — tokenize, generate chunk
+  * starts, slice — all as codegen'd column expressions (split/sequence/
+  * slice/explode); ZERO shuffle, so chunking 100 TB happens in the scan
+  * stage and composes with the pure-filter sampling ops. Row expansion
+  * is bounded by ceil(n_tokens / stride) per document.
+  */
+object Chunker {
+
+  /** One row per (doc, chunk): `(idCol, chunk_start, n_chunk_tokens,
+    * chunk_text)`. Chunk starts are 0, stride, 2*stride, … while start
+    * < n_tokens; the last chunk may be short (holds the tail). Token
+    * split is the corpus-wide whitespace tokenizer ([[tokens]]), so
+    * chunk boundaries agree with every token-count operator.
+    */
+  def chunkByTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")
+    df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(0), size(col("__tk")) - 1, lit(stride)))
+          .as("chunk_start"))
+      .select(col(idCol), col("chunk_start").cast("long").as("chunk_start"),
+        slice(col("__tk"), col("chunk_start") + lit(1), lit(chunkSize)).as("__c"))
+      .select(col(idCol), col("chunk_start"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+}

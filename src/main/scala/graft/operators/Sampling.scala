@@ -72,6 +72,33 @@ object Sampling {
     df.filter(splitHash(col(idCol)) < threshold)
   }
 
+  /** Deterministic epoch shuffle: the training-data "random order" as a
+    * pure computation. Each row gets `(shard, pos)` — shard from the
+    * epoch-salted bijective hash, position = hash rank within the shard —
+    * so an epoch's read order is (shard asc, pos asc): uniform, stable
+    * across runs/retries, and different per epoch. Shuffling 100 TB this
+    * way costs ONE shuffle on the shard key (shards ≈ output files) with
+    * a per-shard sort — never a global total-order sort; re-shuffling for
+    * the next epoch is a recompute with a different constant, not a
+    * stored permutation.
+    */
+  def epochShuffle(
+      df: DataFrame, idCol: String, epoch: Int, nShards: Int): DataFrame = {
+    val h = splitHash(col(idCol) + lit(epoch.toLong * EpochSalt))
+    val withShard = df
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    withShard
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** Epoch offset constant (odd, large): `id + epoch * EpochSalt` keeps
+    * `id -> hash` a bijection per epoch while decorrelating epochs.
+    */
+  val EpochSalt = 1000003L
+
   /** Pack documents into ~`budgetTokens`-sized shards per stratum (the
     * pre-step of sequence packing: a shard is the unit a trainer reads).
     * Shard id = the running token total BEFORE the doc, integer-divided by

@@ -149,6 +149,42 @@ object Similarity {
     cents
   }
 
+  /** Semantic bucketing by FIXED anchor vectors: every corpus vector is
+    * assigned to the anchor with the highest cosine (ties → lower anchor
+    * id) — cluster assignment under an externally supplied codebook, the
+    * primitive behind concept-bucketed corpus slicing and SemDeDup-style
+    * per-cluster work queues. The anchors are collected to the driver
+    * (bounded: |anchors| × dim doubles) and embedded in one
+    * [[graft.expressions.NearestCentroids]] kernel — a codegen'd
+    * O(|anchors|·dim) pass per row with NO row expansion, vs the
+    * crossJoin+argmax form's |corpus|×|anchors| blow-up; the reported
+    * cosine is recomputed by the s03-gated kernel after a broadcast join
+    * on the tiny anchor table. Zero corpus shuffle.
+    */
+  def assignToAnchors(corpus: DataFrame, anchors: DataFrame,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import graft.expressions.{kernels, NearestCentroids}
+    val anchorRows: Array[(Long, Array[Double])] = anchors
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray))
+      .sortBy(_._1)
+    require(anchorRows.nonEmpty, "anchors must be non-empty")
+    val centroids = anchorRows.map(_._2)
+    val ids: Seq[Long] = anchorRows.map(_._1).toSeq
+    val av = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("__av"))
+    corpus
+      .withColumn("anchor_id", element_at(typedlit(ids),
+        element_at(kernels.toCol(
+          NearestCentroids(kernels.toExpr(col(vecCol)), centroids, 1)), 1) + 1))
+      .join(broadcast(av), Seq("anchor_id"))
+      .select(col(idCol), col("anchor_id"),
+        cosine(col(vecCol), col("__av")).as("cos"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 64, nprobe: Int = 8, trainIters: Int = 10,
               idCol: String = "vec_id", vecCol: String = "embedding",

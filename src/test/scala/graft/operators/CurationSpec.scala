@@ -159,6 +159,57 @@ class CurationSpec extends SparkSpec {
     assert(out(3L)._1 == 0.0 && out(3L)._3 == 0.0)
   }
 
+  test("epochShuffle: per-shard permutation, deterministic, epoch-varying") {
+    val n = docs.count()
+    val e1 = Sampling.epochShuffle(docs, "doc_id", epoch = 1, nShards = 8)
+    // (shard, pos) is a partition of the input: pos is 1..count within
+    // each shard, every input row present exactly once
+    assert(e1.count() == n)
+    val perShard = e1.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(perShard.forall(r => r.getLong(2) == 1L && r.getLong(3) == r.getLong(1)))
+    // deterministic across runs
+    val a = e1.select("doc_id", "shard", "pos").collect().map(_.toSeq).toSet
+    val b = Sampling.epochShuffle(docs, "doc_id", epoch = 1, nShards = 8)
+      .select("doc_id", "shard", "pos").collect().map(_.toSeq).toSet
+    assert(a == b)
+    // a different epoch is a genuinely different order: most docs move
+    val joined = e1.select(col("doc_id"), col("shard").as("s1"), col("pos").as("p1"))
+      .join(Sampling.epochShuffle(docs, "doc_id", epoch = 2, nShards = 8)
+        .select(col("doc_id"), col("shard").as("s2"), col("pos").as("p2")),
+        Seq("doc_id"))
+    val moved = joined.filter(col("s1") =!= col("s2") || col("p1") =!= col("p2")).count()
+    assert(moved > n / 2, s"only $moved of $n rows moved between epochs")
+  }
+
+  test("chunkByTokens: exact boundaries, overlap, short tail") {
+    val df = Seq((1L, "a b c d e"), (2L, "x")).toDF("id", "txt")
+    val out = Chunker.chunkByTokens(df, "id", "txt", chunkSize = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 3L, "a b c"),
+      (1L, 2L, 3L, "c d e"),
+      (1L, 4L, 1L, "e"),
+      (2L, 0L, 1L, "x")))
+  }
+
+  test("assignToAnchors: planted nearest anchor wins, cos exact on axes") {
+    val anchors = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f, 0f, 0f)),  // → anchor 0
+      (11L, Array(0.2f, 0.8f, 0f, 0f)),  // → anchor 1
+      (12L, Array(1f, 1f, 0f, 0f))       // tie → lower anchor id 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.assignToAnchors(corpus, anchors)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(10L)._1 == 0L && got(11L)._1 == 1L && got(12L)._1 == 0L)
+    assert(math.abs(got(12L)._2 - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
   test("PII scrub: redacts email, ip, phone; counts match") {
     val df = Seq((1L,
       "reach me at jane.doe+spam@sub.example.org or 192.168.0.12 tel +44-20-7946-0958 done"))
