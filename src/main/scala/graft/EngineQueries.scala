@@ -61,6 +61,24 @@ object EngineQueries {
           col("o_totalprice").cast("double"))
     }),
 
+    // ORC roundtrip with a PARTITIONED sink layout (the lakehouse
+    // exchange format beyond parquet): supplier -> ORC partitioned by
+    // nation key -> read back. The partition column comes back from the
+    // directory layout; the select restores order and type, and the
+    // hash match proves layout+values survived.
+    "m10_orc_pipeline" -> ((s, dir) => {
+      val out = tmp("orc")
+      val p = Pipeline(
+        ParquetModel(s"$dir/supplier.parquet"),
+        Mapper(df => df.select("s_suppkey", "s_name", "s_nationkey",
+          "s_acctbal")),
+        OrcModel(s"$out/sup", partitionBy = Seq("s_nationkey")))
+      require(p.run(s, cal).status == Status.Done)
+      OrcModel(s"$out/sup").extract(StepContext(s, cal))
+        .select(col("s_suppkey").cast("long"), col("s_name"),
+          col("s_nationkey").cast("long"), col("s_acctbal").cast("double"))
+    }),
+
     // XML roundtrip via Spark 4's built-in xml format.
     "m03_xml_pipeline" -> ((s, dir) => {
       val out = tmp("xml")
@@ -191,6 +209,10 @@ object EngineQueries {
     "m03_xml_pipeline" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""",
+    "m10_orc_pipeline" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+        CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        CAST(s_acctbal AS DOUBLE) AS s_acctbal FROM supplier""",
     "m04_jdbc_table" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "m05_select_window" ->

@@ -219,6 +219,33 @@ final case class ParquetModel(
   override def clean(ctx: StepContext): Unit = delete(ctx)
 }
 
+/** ORC source + sink — the second columnar format Spark ships natively;
+  * same partitioned-layout scale path as [[ParquetModel]]. Widens the
+  * reference's CSV/JSON/XML matrix to the formats a lakehouse actually
+  * exchanges.
+  */
+final case class OrcModel(
+    path: String,
+    partitionBy: Seq[String] = Nil,
+    append: Boolean = false,
+    override val knobs: ModelKnobs = ModelKnobs())
+  extends FileModel with Extractable with Loadable {
+
+  protected def read(ctx: StepContext): DataFrame =
+    ctx.spark.read.orc(resolvedPath(ctx))
+
+  protected def write(ctx: StepContext, df: DataFrame): LoadResult = {
+    val p = resolvedPath(ctx)
+    var w = df.write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.orc(p)
+    val (files, bytes) = writeStats(ctx, p)
+    LoadResult(-1L, bytes, files)
+  }
+
+  override def clean(ctx: StepContext): Unit = delete(ctx)
+}
+
 /** The reference's only built-in transform (models.py:425-437): a user
   * function over records. Declarative `DataFrame => DataFrame` is the
   * engine-native form; arbitrary row-level logic drops to `Dataset.map`
