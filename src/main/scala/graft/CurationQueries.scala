@@ -115,6 +115,22 @@ object CurationQueries {
         .select("doc_id", "lang", "n_tokens", "shard_id")
     }),
 
+    // Bigram-LM corpus-fit scoring (CCNet-style LM quality filtering in
+    // integer-exact form): model counted over the doc_id%7==0 reference
+    // slice; every doc scored by bigram hits and summed model counts.
+    // Hashed grams through both shuffles (d09 precedent).
+    "t13_lm_fit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.LmScore.bigramFit(
+        d, d.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    }),
+
+    // BPE tokenizer-training inner step: frequency-weighted adjacent
+    // character-pair counts over the vocabulary, top 20.
+    "t14_bpe_pairs" -> ((s, dir) => {
+      graft.operators.Tokenizer.bpePairCounts(docs(s, dir), "text", topK = 20)
+    }),
+
     // Deterministic epoch shuffle: the training read-order for epoch 1
     // over 8 shards — (shard, pos) from the epoch-salted bijective hash.
     // One shuffle on the shard key + per-shard sort; never a global sort.
@@ -326,6 +342,26 @@ object CurationQueries {
          SELECT doc_id, lang, n_tokens,
            CAST(floor((cum - n_tokens) / 1000.0) AS BIGINT) AS shard_id
          FROM c""",
+    "t13_lm_fit" ->
+      s"""WITH ref AS (SELECT unnest(${ngramsAll(2)}) AS g FROM documents
+             WHERE doc_id % 7 = 0),
+         model AS (SELECT g, count(*) AS cnt FROM ref GROUP BY g),
+         db AS (SELECT doc_id, unnest(${ngramsAll(2)}) AS g FROM documents),
+         sc AS (SELECT doc_id, count(*) AS n_bigrams, count(cnt) AS n_hits,
+             CAST(sum(coalesce(cnt, 0)) AS BIGINT) AS sum_model_count
+           FROM db LEFT JOIN model USING (g) GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(n_hits, 0) AS n_hits,
+           coalesce(sum_model_count, 0) AS sum_model_count
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+    "t14_bpe_pairs" ->
+      s"""WITH tf AS (SELECT term, count(*) AS freq FROM
+           (SELECT unnest($toks) AS term FROM documents) GROUP BY term),
+         p AS (SELECT unnest(list_transform(generate_series(1, length(term) - 1),
+                 i -> substr(term, i, 2))) AS pair, freq
+               FROM tf WHERE length(term) >= 2)
+         SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+         FROM p GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 20""",
     "p05_epoch_shuffle" -> {
       val h = s"((doc_id + ${Sampling.EpochSalt}) * ${Sampling.KnuthA})" +
         s" % ${Sampling.HashMod}"

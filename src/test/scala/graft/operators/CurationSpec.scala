@@ -210,6 +210,30 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(got(12L)._2 - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("bigramFit: planted model hits and zero-scored short docs") {
+    val d = Seq(
+      (0L, "the cat sat"),       // ref slice (id%7==0): bigrams "the cat","cat sat"
+      (1L, "the cat ran"),       // 2 bigrams, 1 hit ("the cat", cnt 1)
+      (2L, "x"),                 // <2 tokens: zero row preserved
+      (7L, "the cat sat")        // ref AND scored: both bigrams hit
+    ).toDF("doc_id", "txt")
+    val got = LmScore.bigramFit(d, d.filter(col("doc_id") % 7 === 0), "doc_id", "txt")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // model: "the cat"->2, "cat sat"->2 (ids 0 and 7 both contribute)
+    assert(got(1L) == ((2L, 1L, 2L)))
+    assert(got(2L) == ((0L, 0L, 0L)))
+    assert(got(7L) == ((2L, 2L, 4L)))
+  }
+
+  test("bpePairCounts: frequency-weighted pair totals, deterministic ties") {
+    val d = Seq((1L, "aba aba ab"), (2L, "ab")).toDF("id", "txt")
+    // tf: aba->2, ab->2; pairs: aba -> ab,ba (x2); ab -> ab (x2)
+    val got = Tokenizer.bpePairCounts(d, "txt", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("ab", 4L), ("ba", 2L)))
+  }
+
   test("PII scrub: redacts email, ip, phone; counts match") {
     val df = Seq((1L,
       "reach me at jane.doe+spam@sub.example.org or 192.168.0.12 tel +44-20-7946-0958 done"))
