@@ -65,6 +65,20 @@ object CurationProbe {
       val train = corpus.filter(col("doc_id") % 533 =!= 0)
       Decontaminate.decontaminate(train, bench, "doc_id", "text", n = 4).count()
     }
+    timed("p05_epoch_shuffle") {
+      Sampling.epochShuffle(corpus, "doc_id", epoch = 1, nShards = 32).count()
+    }
+    timed("t12_chunking") {
+      graft.operators.Chunker.chunkByTokens(
+        corpus, "doc_id", "text", chunkSize = 64, stride = 48).count()
+    }
+    timed("t13_lm_fit") {
+      graft.operators.LmScore.bigramFit(
+        corpus, corpus.filter(col("doc_id") % 7 === 0), "doc_id", "text").count()
+    }
+    timed("t14_bpe_pairs") {
+      graft.operators.Tokenizer.bpePairCounts(corpus, "text", topK = 20).count()
+    }
     val cached = spark.sparkContext.getPersistentRDDs.size
     println(s"[curation10x] corpus $n residual_cached_rdds $cached")
     spark.stop()
