@@ -276,7 +276,13 @@ object Similarity {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val ds = dim / m
-    Array.tabulate(m) { j =>
+    // subspaces train independently — run them on parallel driver threads
+    // (bit-identical per subspace; ~m-fold wall-clock cut of the one
+    // driver-side stage in the PQ pipeline)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val trained = Array.tabulate(m) { j => Future {
       val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds))
       val kk = math.min(k, subs.length)
       var cents = subs.take(kk).map(_.clone())
@@ -303,7 +309,8 @@ object Similarity {
         it += 1
       }
       cents
-    }
+    } }
+    trained.map(f => Await.result(f, Duration.Inf))
   }
 
   /** PQ top-k: asymmetric-distance scan over `m`-byte codes + exact

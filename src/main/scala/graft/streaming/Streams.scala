@@ -86,6 +86,17 @@ object Streams {
       .withColumn(textCol, scrubPii(col(textCol)))
   }
 
+  /** Streaming token-window chunking: [[graft.operators.Chunker]] lifted
+    * to a document stream. The chunker is a pure flatMap projection
+    * (tokenize → sequence → slice), so batch semantics carry over with no
+    * state and no shuffle — documents arrive, chunks leave, at ingest
+    * rate. The natural downstream of [[curate]]: clean on the stream,
+    * chunk on the stream, land training-ready windows.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, stride: Int): DataFrame =
+    graft.operators.Chunker.chunkByTokens(docs, idCol, textCol, chunkSize, stride)
+
   /** Continuous ingestion: stream files from `srcPath` into a partitioned
     * parquet sink with exactly-once file tracking via the checkpoint.
     * The streaming E->L step.

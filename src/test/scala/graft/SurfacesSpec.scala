@@ -154,6 +154,27 @@ class SurfacesSpec extends SparkSpec {
       batchKept(0).getString(1) == kept.getAs[String]("text"))
   }
 
+  test("streaming chunking: stateless token windows, batch ≡ stream") {
+    val dir = Files.createTempDirectory("stream_chk").toString
+    val out = Files.createTempDirectory("stream_chk_out").toString
+    val ckpt = Files.createTempDirectory("stream_chk_ckpt").toString
+    Files.write(java.nio.file.Paths.get(dir, "c1.csv"),
+      "1,a b c d e\n2,x\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val chunked = Streams.chunk(
+      Streams.fileMonitor(spark, dir, "csv", schema), "doc_id", "text",
+      chunkSize = 3, stride = 2)
+    assert(chunked.isStreaming)
+    Streams.runAvailableNow(Streams.ingest(chunked, s"$out/data", ckpt))
+    val streamRows = spark.read.parquet(s"$out/data")
+      .collect().map(_.toSeq).toSet
+    val batchRows = Streams.chunk(
+      spark.read.schema(schema).csv(dir), "doc_id", "text",
+      chunkSize = 3, stride = 2).collect().map(_.toSeq).toSet
+    assert(streamRows == batchRows && streamRows.size == 4)
+  }
+
   test("multimodal: binary schema, batched stub featurization, frame fanout") {
     val bytes1 = Array.fill[Byte](100)(1)
     val bytes2 = Array.fill[Byte](50)(2)
