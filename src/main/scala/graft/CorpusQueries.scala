@@ -124,6 +124,13 @@ object CorpusQueries {
         rescoreFactor = 8)
     }),
 
+    // Per-label embedding diversity: mean pairwise cosine via the moment
+    // identity — O(n·d), no pair expansion; decimal-summed for engine
+    // exactness. The corpus-slice diversity number of a data card.
+    "c04_embedding_diversity" -> ((s, dir) => {
+      Similarity.diversityByGroup(embs(s, dir), "label", "embedding")
+    }),
+
     // Semantic bucketing by fixed anchors: every vector assigned to its
     // most-cosine anchor (the 8 lowest-id vectors stand in for a trained
     // concept codebook). Gates the NearestCentroids argmax kernel
@@ -351,6 +358,36 @@ object CorpusQueries {
     // the true top-k (OperatorsSpec asserts both margins on this corpus)
     "s07_quantized_topk" -> bruteTopkOracle,
     "s08_pq_topk" -> bruteTopkOracle,
+    "c04_embedding_diversity" ->
+      """WITH v AS (SELECT label,
+             list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
+         u AS (SELECT label,
+             CASE WHEN sqrt(list_reduce(list_transform(vd, x -> x * x),
+                 (p, q) -> p + q)) = 0.0 THEN vd
+               ELSE list_transform(vd, x -> x /
+                 sqrt(list_reduce(list_transform(vd, y -> y * y),
+                   (p, q) -> p + q))) END AS uv
+           FROM v),
+         rn AS (SELECT label, uv,
+             list_reduce(list_transform(uv, x -> x * x), (p, q) -> p + q)
+               AS rn2 FROM u),
+         comp AS (SELECT label,
+             unnest(list_transform(uv, (x, i) -> {'d': i, 'x': x}),
+               recursive := true) FROM rn),
+         dims AS (SELECT label, d,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS s
+           FROM comp GROUP BY label, d),
+         ss AS (SELECT label,
+             CAST(SUM(CAST(s * s AS DECIMAL(38,6))) AS DOUBLE) AS ss
+           FROM dims GROUP BY label),
+         pg AS (SELECT label, count(*) AS n_vectors,
+             CAST(SUM(CAST(rn2 AS DECIMAL(38,6))) AS DOUBLE) AS un
+           FROM rn GROUP BY label)
+         SELECT pg.label, n_vectors,
+           CASE WHEN n_vectors < 2 THEN 0.0
+             ELSE (ss - un) / CAST(n_vectors * (n_vectors - 1) AS DOUBLE) END
+             AS mean_pairwise_cos
+         FROM pg JOIN ss USING (label)""",
     "s09_anchor_assign" ->
       s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av
              FROM embeddings WHERE vec_id < 8),

@@ -149,6 +149,44 @@ object Similarity {
     cents
   }
 
+  /** Per-group embedding diversity: mean pairwise cosine of the unit
+    * vectors in each group, computed WITHOUT pair expansion via the
+    * moment identity  mean = (‖Σv̂‖² − Σ‖v̂‖²) / (n(n−1))  — one
+    * map-side-combined pass of O(n·d) instead of O(n²·d) pairs; the
+    * way to put a diversity number on a 100 TB corpus slice. All
+    * cross-row sums run through DECIMAL(38,6) ([[graft.functions.decSum]])
+    * so the result is independent of partial-aggregation order and
+    * bit-equal to the engine-independent oracle. Singleton groups score
+    * 0.0 by convention.
+    */
+  def diversityByGroup(df: DataFrame, groupCol: String,
+                       vecCol: String): DataFrame = {
+    import graft.functions.decSum
+    val vD = transform(col(vecCol), x => x.cast("double"))
+    def sumSq(c: Column): Column =
+      aggregate(c, lit(0.0), (a, x) => a + x * x)
+    val norm = sqrt(sumSq(vD))
+    val unit = when(norm === 0.0, vD)
+      .otherwise(transform(vD, x => x / norm))
+    val rows = df.select(col(groupCol), unit.as("__u"))
+      .withColumn("__rn2", sumSq(col("__u")))
+    val perDim = rows
+      .select(col(groupCol), posexplode(col("__u")).as(Seq("__d", "__x")))
+      .groupBy(groupCol, "__d")
+      .agg(decSum(col("__x")).as("__s"))
+    val sumsqOfSums = perDim
+      .select(col(groupCol), (col("__s") * col("__s")).as("__s2"))
+      .groupBy(groupCol).agg(decSum(col("__s2")).as("__ss"))
+    val perGroup = rows.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_vectors"), decSum(col("__rn2")).as("__un"))
+    perGroup.join(sumsqOfSums, Seq(groupCol))
+      .select(col(groupCol), col("n_vectors"),
+        when(col("n_vectors") < 2, lit(0.0))
+          .otherwise((col("__ss") - col("__un")) /
+            (col("n_vectors") * (col("n_vectors") - 1)).cast("double"))
+          .as("mean_pairwise_cos"))
+  }
+
   /** Semantic bucketing by FIXED anchor vectors: every corpus vector is
     * assigned to the anchor with the highest cosine (ties → lower anchor
     * id) — cluster assignment under an externally supplied codebook, the

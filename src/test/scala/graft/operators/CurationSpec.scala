@@ -234,6 +234,19 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq(("ab", 4L), ("ba", 2L)))
   }
 
+  test("diversityByGroup: moment identity matches hand-computed pairs") {
+    val vecs = Seq(
+      (0, Array(1f, 0f)), (0, Array(1f, 0f)),   // identical → mpc 1.0
+      (1, Array(1f, 0f)), (1, Array(0f, 1f)),   // orthogonal → mpc 0.0
+      (2, Array(3f, 4f))                        // singleton → 0.0 by convention
+    ).toDF("label", "embedding")
+    val got = Similarity.diversityByGroup(vecs, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0) == ((2L, 1.0)))
+    assert(got(1) == ((2L, 0.0)))
+    assert(got(2) == ((1L, 0.0)))
+  }
+
   test("PII scrub: redacts email, ip, phone; counts match") {
     val df = Seq((1L,
       "reach me at jane.doe+spam@sub.example.org or 192.168.0.12 tel +44-20-7946-0958 done"))
