@@ -234,6 +234,15 @@ object CurationQueries {
         .select("doc_id", "lang", "n_tokens", "shard_id")
     }),
 
+    // Contamination audit: for each contaminated training doc, how many
+    // 4-grams the bench set contains and how many bench docs it touches.
+    "d11_contamination_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.overlapReport(
+        d.filter(col("doc_id") % 53 =!= 0), d.filter(col("doc_id") % 53 === 0),
+        "doc_id", "text", n = 4)
+    }),
+
     // Benchmark decontamination: bench = docs with id % 53 == 0, training
     // docs sharing any word 4-gram with the bench set are removed. Hashed
     // grams (the broadcast scale path) gated against the string oracle —
@@ -445,6 +454,15 @@ object CurationQueries {
          SELECT doc_id, lang, n_tokens,
            CAST(floor((cum - n_tokens) / 1000.0) AS BIGINT) AS shard_id
          FROM c""",
+    "d11_contamination_report" ->
+      s"""WITH sh AS (SELECT doc_id, ${shingles(4)} AS grams FROM documents),
+         bg AS (SELECT DISTINCT doc_id AS bench_id, unnest(grams) AS g
+                FROM sh WHERE doc_id % 53 = 0),
+         tg AS (SELECT doc_id, unnest(grams) AS g
+                FROM sh WHERE doc_id % 53 != 0)
+         SELECT tg.doc_id, count(DISTINCT tg.g) AS n_shared_grams,
+           count(DISTINCT bg.bench_id) AS n_bench_docs
+         FROM tg JOIN bg USING (g) GROUP BY tg.doc_id""",
     "d09_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, ${shingles(4)} AS grams FROM documents),
          bg AS (SELECT DISTINCT unnest(grams) AS g FROM sh

@@ -24,9 +24,12 @@ object SparkEntry {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full curation intake as one declarative plan: quality gate →
+    * decontamination → dedup → stratified sample → sequence packing.
+    */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.defs("q03_join_topk")(spark, "/root/testdata/sf0.001")
+    CurationQueries.defs("c03_curation_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

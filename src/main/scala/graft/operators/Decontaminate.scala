@@ -44,4 +44,29 @@ object Decontaminate {
       .select(idCol).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** The audit twin of [[decontaminate]]: for every CONTAMINATED training
+    * doc, how many of its n-grams the bench set contains and how many
+    * distinct bench documents it touches — the report a lab reads before
+    * deciding whether the hit is true leakage or a common idiom. Same
+    * shuffle shape as the filter (broadcast bench side, training side
+    * shuffles once on the per-doc aggregate), so auditing costs what
+    * filtering costs.
+    */
+  def overlapReport(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, hashGrams: Boolean = true,
+      broadcastBench: Boolean = true): DataFrame = {
+    val benchGrams = bench
+      .select(col(idCol).as("bench_id"),
+        explode(grams(col(textCol), n, hashGrams)).as("__g"))
+      .distinct()
+    val b = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    train
+      .select(col(idCol), explode(grams(col(textCol), n, hashGrams)).as("__g"))
+      .join(b, "__g")
+      .groupBy(idCol)
+      .agg(countDistinct(col("__g")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
 }

@@ -210,6 +210,18 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(got(12L)._2 - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("overlapReport: planted shared grams and bench-doc counts") {
+    val bench = Seq(
+      (0L, "alpha beta gamma delta x"),
+      (53L, "alpha beta gamma delta y")).toDF("doc_id", "txt")
+    val train = Seq(
+      (1L, "p q alpha beta gamma delta r"),  // 1 shared gram, 2 bench docs
+      (2L, "nothing in common here at all")).toDF("doc_id", "txt")
+    val got = Decontaminate.overlapReport(train, bench, "doc_id", "txt", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 2L))))
+  }
+
   test("bigramFit: planted model hits and zero-scored short docs") {
     val d = Seq(
       (0L, "the cat sat"),       // ref slice (id%7==0): bigrams "the cat","cat sat"
