@@ -19,9 +19,10 @@ object CurationProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val replicas = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt)
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val n0 = base.count()
-    val corpus = (0 until 10).map { i =>
+    val corpus = (0 until replicas).map { i =>
       base.select(
         (col("doc_id") + lit(i * n0)).as("doc_id"),
         (if (i == 0) col("text")
@@ -33,7 +34,7 @@ object CurationProbe {
     def timed(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
-      println(f"[curation10x] $name rows $rows time ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(f"[curation${replicas}x] $name rows $rows time ${(System.nanoTime() - t0) / 1e9}%.1f s")
       spark.catalog.clearCache()
       corpus.persist(); corpus.count()
     }
@@ -80,7 +81,7 @@ object CurationProbe {
       graft.operators.Tokenizer.bpePairCounts(corpus, "text", topK = 20).count()
     }
     val cached = spark.sparkContext.getPersistentRDDs.size
-    println(s"[curation10x] corpus $n residual_cached_rdds $cached")
+    println(s"[curation${replicas}x] corpus $n residual_cached_rdds $cached")
     spark.stop()
   }
 }

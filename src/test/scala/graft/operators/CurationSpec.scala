@@ -210,6 +210,29 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(got(12L)._2 - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("chunkByTokens property: non-overlapping chunks reconstruct every doc") {
+    // stride == chunkSize → chunks tile the token sequence exactly; their
+    // in-order concatenation must equal the tokenized document, corpus-wide
+    val chunks = Chunker.chunkByTokens(docs, "doc_id", "text", 32, 32)
+    val rebuilt = chunks.groupBy("doc_id")
+      .agg(array_join(array_sort(collect_list(
+        struct(col("chunk_start"), col("chunk_text")))).getField("chunk_text"), " ")
+        .as("rebuilt"))
+    val mismatches = docs
+      .select(col("doc_id"), array_join(tokens(col("text")), " ").as("orig"))
+      .join(rebuilt, Seq("doc_id"))
+      .filter(col("orig") =!= col("rebuilt")).count()
+    assert(mismatches == 0)
+  }
+
+  test("bigramFit property: hits bounded by bigrams, counts by hits") {
+    val fit = LmScore.bigramFit(docs, docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text")
+    assert(fit.filter(col("n_hits") > col("n_bigrams") ||
+      col("sum_model_count") < col("n_hits")).count() == 0)
+    assert(fit.count() == docs.count())
+  }
+
   test("overlapReport: planted shared grams and bench-doc counts") {
     val bench = Seq(
       (0L, "alpha beta gamma delta x"),
