@@ -141,6 +141,19 @@ object CorpusQueries {
       Similarity.assignToAnchors(e, e.filter(col("vec_id") < 8L))
     }),
 
+    // Cluster-balanced sampling: anchor assignment (s09) composed with
+    // the per-stratum quota (p02 pattern) — 25 vectors per semantic
+    // bucket by deterministic hash. The "cluster, then work per
+    // cluster" shape of SemDeDup-style curation; one shuffle (the
+    // stratum window), the assignment itself is shuffle-free.
+    "c05_cluster_balanced_sample" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val assigned = Similarity.assignToAnchors(e, e.filter(col("vec_id") < 8L))
+        .select("vec_id", "anchor_id")
+      graft.operators.Sampling.stratifiedSample(assigned, Seq("anchor_id"), "vec_id", 25)
+        .select("vec_id", "anchor_id")
+    }),
+
     // All embedding pairs above a cosine threshold.
     "s03_cosine_pairs" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(embs(s, dir), threshold = 0.45)
@@ -388,6 +401,22 @@ object CorpusQueries {
              ELSE (ss - un) / CAST(n_vectors * (n_vectors - 1) AS DOUBLE) END
              AS mean_pairwise_cos
          FROM pg JOIN ss USING (label)""",
+    "c05_cluster_balanced_sample" ->
+      s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av
+             FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT e.vec_id, a.anchor_id,
+             ${cosSql("e.embedding", "a.av")} AS cos
+           FROM embeddings e CROSS JOIN a),
+         asg AS (SELECT vec_id, anchor_id FROM (
+             SELECT vec_id, anchor_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, anchor_id) AS rn
+             FROM scored)
+           WHERE rn = 1)
+         SELECT vec_id, anchor_id FROM asg
+         QUALIFY row_number() OVER (PARTITION BY anchor_id
+           ORDER BY (vec_id * ${graft.operators.Sampling.KnuthA})
+             % ${graft.operators.Sampling.HashMod}, vec_id) <= 25""",
     "s09_anchor_assign" ->
       s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av
              FROM embeddings WHERE vec_id < 8),
