@@ -125,6 +125,17 @@ object CurationQueries {
         d, d.filter(col("doc_id") % 7 === 0), "doc_id", "text")
     }),
 
+    // Same contract as t13, zero-shuffle broadcast path: the pruned
+    // model collected once and compiled into the plan as a map literal;
+    // scoring is a pure projection (no explode, no join). Shares t13's
+    // exact oracle (s05/s06-vs-s03 precedent).
+    "t15_lm_fit_broadcast" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.operators.LmScore.bigramModel(
+        d.filter(col("doc_id") % 7 === 0), "text")
+      graft.operators.LmScore.bigramFitBroadcast(d, model, "doc_id", "text")
+    }),
+
     // BPE tokenizer-training inner step: frequency-weighted adjacent
     // character-pair counts over the vocabulary, top 20.
     "t14_bpe_pairs" -> ((s, dir) => {
@@ -352,6 +363,18 @@ object CurationQueries {
            CAST(floor((cum - n_tokens) / 1000.0) AS BIGINT) AS shard_id
          FROM c""",
     "t13_lm_fit" ->
+      s"""WITH ref AS (SELECT unnest(${ngramsAll(2)}) AS g FROM documents
+             WHERE doc_id % 7 = 0),
+         model AS (SELECT g, count(*) AS cnt FROM ref GROUP BY g),
+         db AS (SELECT doc_id, unnest(${ngramsAll(2)}) AS g FROM documents),
+         sc AS (SELECT doc_id, count(*) AS n_bigrams, count(cnt) AS n_hits,
+             CAST(sum(coalesce(cnt, 0)) AS BIGINT) AS sum_model_count
+           FROM db LEFT JOIN model USING (g) GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(n_hits, 0) AS n_hits,
+           coalesce(sum_model_count, 0) AS sum_model_count
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+    "t15_lm_fit_broadcast" ->
       s"""WITH ref AS (SELECT unnest(${ngramsAll(2)}) AS g FROM documents
              WHERE doc_id % 7 = 0),
          model AS (SELECT g, count(*) AS cnt FROM ref GROUP BY g),

@@ -44,4 +44,39 @@ object LmScore {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         coalesce(col("sum_model_count"), lit(0L)).as("sum_model_count"))
   }
+
+  /** Collect the bigram model as a driver-side map (hashed gram →
+    * count), pruned to `minCount`. The materialization step of the
+    * broadcast scoring path: train once per reference snapshot, reuse
+    * across batches and streams. Bounded by the pruned vocabulary —
+    * `minCount` is the knob that makes it fit.
+    */
+  def bigramModel(refDocs: DataFrame, textCol: String,
+                  minCount: Long = 1L): Map[Long, Long] =
+    refDocs
+      .select(explode(wordNGramsAll(col(textCol), 2)).as("__g"))
+      .select(xxhash64(col("__g")).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Zero-shuffle scoring: the model rides into the plan as a map
+    * literal (the broadcast-variable pattern), and every score column is
+    * a pure projection over the document's own grams — no explode, no
+    * join, no aggregation shuffle. Identical results to [[bigramFit]]
+    * (spec-asserted); this is the 100 TB path when the pruned model fits
+    * in memory, and — being stateless — the form that lifts directly to
+    * Structured Streaming ([[graft.streaming.Streams.lmScore]]).
+    */
+  def bigramFitBroadcast(docs: DataFrame, model: Map[Long, Long],
+                         idCol: String, textCol: String): DataFrame = {
+    val m = typedlit(model)
+    val hashed = transform(wordNGramsAll(col(textCol), 2),
+      g => xxhash64(g))
+    val counts = transform(hashed, h => coalesce(element_at(m, h), lit(0L)))
+    docs.select(col(idCol),
+      size(hashed).cast("long").as("n_bigrams"),
+      size(filter(counts, c => c > 0L)).cast("long").as("n_hits"),
+      aggregate(counts, lit(0L), (a, x) => a + x).as("sum_model_count"))
+  }
 }

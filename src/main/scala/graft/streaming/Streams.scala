@@ -97,6 +97,16 @@ object Streams {
             chunkSize: Int, stride: Int): DataFrame =
     graft.operators.Chunker.chunkByTokens(docs, idCol, textCol, chunkSize, stride)
 
+  /** Streaming LM-fit scoring: [[graft.operators.LmScore]]'s broadcast
+    * path on a document stream — the model (trained once on a static
+    * reference corpus via `LmScore.bigramModel`) rides into the plan as
+    * a map literal, and scoring is a stateless projection: no join, no
+    * aggregation, no watermark. Batch ≡ stream by construction.
+    */
+  def lmScore(docs: DataFrame, model: Map[Long, Long],
+              idCol: String, textCol: String): DataFrame =
+    graft.operators.LmScore.bigramFitBroadcast(docs, model, idCol, textCol)
+
   /** Continuous ingestion: stream files from `srcPath` into a partitioned
     * parquet sink with exactly-once file tracking via the checkpoint.
     * The streaming E->L step.

@@ -175,6 +175,32 @@ class SurfacesSpec extends SparkSpec {
     assert(streamRows == batchRows && streamRows.size == 4)
   }
 
+  test("streaming LM scoring: broadcast model, stateless, batch ≡ stream") {
+    val dir = Files.createTempDirectory("stream_lm").toString
+    val out = Files.createTempDirectory("stream_lm_out").toString
+    val ckpt = Files.createTempDirectory("stream_lm_ckpt").toString
+    Files.write(java.nio.file.Paths.get(dir, "c1.csv"),
+      "1,the cat sat on the mat\n2,the cat ran\n3,zebra\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val batch = spark.read.schema(schema).csv(dir)
+    val model = graft.operators.LmScore.bigramModel(
+      batch.filter(col("doc_id") === 1L), "text")
+    val scored = Streams.lmScore(
+      Streams.fileMonitor(spark, dir, "csv", schema), model, "doc_id", "text")
+    assert(scored.isStreaming)
+    Streams.runAvailableNow(Streams.ingest(scored, s"$out/data", ckpt))
+    val streamRows = spark.read.parquet(s"$out/data")
+      .collect().map(_.toSeq).toSet
+    val batchRows = graft.operators.LmScore
+      .bigramFitBroadcast(batch, model, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(streamRows == batchRows)
+    // doc 2 shares exactly the "the cat" bigram with the model corpus
+    val d2 = streamRows.find(_.head == 2L).get
+    assert(d2 == Seq(2L, 2L, 1L, 1L))
+  }
+
   test("multimodal: binary schema, batched stub featurization, frame fanout") {
     val bytes1 = Array.fill[Byte](100)(1)
     val bytes2 = Array.fill[Byte](50)(2)

@@ -233,6 +233,16 @@ class CurationSpec extends SparkSpec {
     assert(fit.count() == docs.count())
   }
 
+  test("bigramFitBroadcast ≡ bigramFit corpus-wide (zero-shuffle path)") {
+    val ref = docs.filter(col("doc_id") % 7 === 0)
+    val viaJoin = LmScore.bigramFit(docs, ref, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val model = LmScore.bigramModel(ref, "text")
+    val viaMap = LmScore.bigramFitBroadcast(docs, model, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(viaMap == viaJoin)
+  }
+
   test("overlapReport: planted shared grams and bench-doc counts") {
     val bench = Seq(
       (0L, "alpha beta gamma delta x"),
