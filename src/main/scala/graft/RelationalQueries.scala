@@ -262,6 +262,18 @@ object RelationalQueries {
           count(lit(1)).as("n_total"))
     }),
 
+    // Native pivot operator (q24 is the manual CASE form): explicit
+    // pivot values keep the plan single-pass — no distinct-values
+    // pre-query — and the output a fixed schema; decimal sums make the
+    // per-cell aggregates engine-exact. Absent cells are NULL (sum over
+    // an empty set), matching ANSI.
+    "q39_pivot_native" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(graft.functions.decSum(col("value")))
+    }),
+
     // CUBE aggregation (all grouping-set combinations).
     "q25_cube" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -555,6 +567,15 @@ object RelationalQueries {
           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
           count(*) AS n_total
+        FROM events GROUP BY user_id""",
+    "q39_pivot_native" ->
+      """SELECT user_id,
+          CAST(SUM(CASE WHEN event_type = 'click'
+            THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS click,
+          CAST(SUM(CASE WHEN event_type = 'view'
+            THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS view,
+          CAST(SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS purchase
         FROM events GROUP BY user_id""",
     "q25_cube" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
