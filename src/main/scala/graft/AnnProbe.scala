@@ -18,9 +18,10 @@ object AnnProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val replicas = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt)
     val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
     val n0 = base.count()
-    val corpus = (0 until 10).map { i =>
+    val corpus = (0 until replicas).map { i =>
       base.select((col("vec_id") + lit(i * n0)).as("vec_id"), col("embedding"))
     }.reduce(_ union _).persist()
     val n = corpus.count()
@@ -30,7 +31,7 @@ object AnnProbe {
     def timed(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
-      println(f"[ann10x] $name rows $rows time ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(f"[ann${replicas}x] $name rows $rows time ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     timed("brute_float") {
       Similarity.bruteForceTopK(corpus, queries, k = 5).count()
@@ -47,7 +48,7 @@ object AnnProbe {
       Similarity.pqTopK(corpus, queries, k = 5, rescoreFactor = 8,
         trainedCodebooks = Some(books)).count()
     }
-    println(s"[ann10x] corpus $n")
+    println(s"[ann${replicas}x] corpus $n")
     spark.stop()
   }
 }
