@@ -19,7 +19,13 @@ object AnnProbe {
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val replicas = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt)
-    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    // dim tiling: repeat the 64-dim vector T times (T*64 dims) to probe
+    // the high-dimension regime where float dots grow T-fold but the PQ
+    // ADC scan stays m array reads per pair
+    val tile = math.max(1, sys.env.getOrElse("SPARK_GRAFT_DIM_TILE", "1").toInt)
+    val base0 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val base = if (tile == 1) base0
+      else base0.select(col("vec_id"), flatten(array_repeat(col("embedding"), tile)).as("embedding"))
     val n0 = base.count()
     val corpus = (0 until replicas).map { i =>
       base.select((col("vec_id") + lit(i * n0)).as("vec_id"), col("embedding"))
@@ -31,7 +37,7 @@ object AnnProbe {
     def timed(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
-      println(f"[ann${replicas}x] $name rows $rows time ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(f"[ann${replicas}x.d${tile * 64}] $name rows $rows time ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     timed("brute_float") {
       Similarity.bruteForceTopK(corpus, queries, k = 5).count()
@@ -40,12 +46,12 @@ object AnnProbe {
       Similarity.quantizedTopK(corpus, queries, k = 5, rescoreFactor = 4).count()
     }
     timed("pq_adc_rescore") {
-      Similarity.pqTopK(corpus, queries, k = 5, rescoreFactor = 8).count()
+      Similarity.pqTopK(corpus, queries, k = 5, m = 8 * tile, rescoreFactor = 8).count()
     }
     // amortized shape: codebooks trained once per corpus generation
-    val books = Similarity.pqCodebooks(corpus)
+    val books = Similarity.pqCodebooks(corpus, m = 8 * tile)
     timed("pq_adc_pretrained") {
-      Similarity.pqTopK(corpus, queries, k = 5, rescoreFactor = 8,
+      Similarity.pqTopK(corpus, queries, k = 5, m = 8 * tile, rescoreFactor = 8,
         trainedCodebooks = Some(books)).count()
     }
     println(s"[ann${replicas}x] corpus $n")
