@@ -70,13 +70,17 @@ object LmScore {
     */
   def bigramFitBroadcast(docs: DataFrame, model: Map[Long, Long],
                          idCol: String, textCol: String): DataFrame = {
-    val m = typedlit(model)
-    val hashed = transform(wordNGramsAll(col(textCol), 2),
-      g => xxhash64(g))
-    val counts = transform(hashed, h => coalesce(element_at(m, h), lit(0L)))
-    docs.select(col(idCol),
-      size(hashed).cast("long").as("n_bigrams"),
-      size(filter(counts, c => c > 0L)).cast("long").as("n_hits"),
-      aggregate(counts, lit(0L), (a, x) => a + x).as("sum_model_count"))
+    import graft.expressions.{kernels, LmFitScore}
+    val sorted = model.toArray.sortBy(_._1)
+    val keys = sorted.map(_._1)
+    val counts = sorted.map(_._2)
+    val hashed = transform(wordNGramsAll(col(textCol), 2), g => xxhash64(g))
+    val score = kernels.toCol(
+      LmFitScore(kernels.toExpr(hashed), keys, counts))
+    docs.select(col(idCol), score.as("__s"))
+      .select(col(idCol),
+        col("__s.n_bigrams").as("n_bigrams"),
+        col("__s.n_hits").as("n_hits"),
+        col("__s.sum_model_count").as("sum_model_count"))
   }
 }
