@@ -101,7 +101,9 @@ object Cli {
           schedule = Cron.Schedule(kv.get("mday"), kv.get("hour"),
             kv.get("min"), kv.get("sec"), kv.get("wday"), kv.get("yday")),
           parallelism = kv.getOrElse("parallelism", "N"),
-          timeoutSeconds = kv.get("timeout").map(_.toInt))
+          timeoutSeconds = kv.get("timeout").map(_.toInt),
+          emailList = kv.get("email_list").toSeq.flatMap(_.split(';'))
+            .map(_.trim).filter(_.nonEmpty))
         val id = repo.saveJob(spec)
         out.println(s"created job $id (${spec.name})")
         0

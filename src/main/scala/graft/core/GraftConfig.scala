@@ -35,7 +35,13 @@ final case class GraftConfig(
     rerunEnabled: Boolean = true,
     rerunInterval: Int = 60,
     wakeupEnabled: Boolean = true,
-    wakeupInterval: Int = 60) {
+    wakeupInterval: Int = 60,
+    /** EMAIL.* (config.py:130-138): failure-alarm transport; toggle off
+      * by default like the reference. */
+    emailToggle: Boolean = false,
+    emailHost: Option[String] = None,
+    emailPort: Int = 25,
+    emailAddress: Option[String] = None) {
 
   /** The metadata DB source, when configured. */
   def database(name: String = "graftdb"): Option[DatabaseSource] =
@@ -53,7 +59,7 @@ object GraftConfig {
       .map { case (n, kv) => n.toUpperCase -> kv }.toMap
     def sec(n: String) = sections.getOrElse(n, Map.empty[String, String])
     val g = sec("GENERAL"); val d = sec("DATABASE")
-    val a = sec("API"); val s = sec("SCHEDULER")
+    val a = sec("API"); val s = sec("SCHEDULER"); val e = sec("EMAIL")
     def int(m: Map[String, String], k: String, dflt: Int) =
       m.get(k).filter(_.nonEmpty).map(_.toInt).getOrElse(dflt)
     def bool(m: Map[String, String], k: String, dflt: Boolean) =
@@ -79,7 +85,11 @@ object GraftConfig {
       rerunEnabled = bool(s, "rerun_enabled", default.rerunEnabled),
       rerunInterval = int(s, "rerun_interval", default.rerunInterval),
       wakeupEnabled = bool(s, "wakeup_enabled", default.wakeupEnabled),
-      wakeupInterval = int(s, "wakeup_interval", default.wakeupInterval))
+      wakeupInterval = int(s, "wakeup_interval", default.wakeupInterval),
+      emailToggle = bool(e, "toggle", default.emailToggle),
+      emailHost = e.get("host").filter(_.nonEmpty),
+      emailPort = int(e, "port", default.emailPort),
+      emailAddress = e.get("address").filter(_.nonEmpty))
   }
 
   /** Write the skeleton config the install wizard creates
@@ -115,6 +125,12 @@ object GraftConfig {
          |rerun_interval = ${default.rerunInterval}
          |wakeup_enabled = true
          |wakeup_interval = ${default.wakeupInterval}
+         |
+         |[EMAIL]
+         |toggle = false
+         |host =
+         |port = ${default.emailPort}
+         |address =
          |""".stripMargin
     Files.write(Paths.get(path), text.getBytes(StandardCharsets.UTF_8))
   }
@@ -139,9 +155,16 @@ object GraftConfig {
 
   /** Build a scheduler honoring the config's pool/rerun knobs. */
   def schedulerFrom(cfg: GraftConfig, runner: graft.scheduler.JobRunner,
-                    ledger: Option[JdbcLedger] = None): graft.scheduler.Scheduler =
+                    ledger: Option[JdbcLedger] = None): graft.scheduler.Scheduler = {
+    val alerter: graft.scheduler.Alerter =
+      if (cfg.emailToggle && cfg.emailHost.nonEmpty)
+        new graft.scheduler.SmtpAlerter(cfg.emailHost.get, cfg.emailPort,
+          cfg.emailAddress.getOrElse("graft@localhost"))
+      else graft.scheduler.Alerter.Noop
     new graft.scheduler.Scheduler(runner,
       executorThreads = cfg.executorsNumber,
       ledger = ledger,
-      rerunDelaySeconds = cfg.rerunDelay.toLong)
+      rerunDelaySeconds = cfg.rerunDelay.toLong,
+      alerter = alerter)
+  }
 }

@@ -60,6 +60,7 @@ object JobsRepo {
     "rerun_limit" -> spec.rerunLimit,
     "rerun_days" -> spec.rerunDays,
     "trigger_list" -> spec.triggerList,
+    "email_list" -> spec.emailList,
     "start_date" -> spec.startDate.map(_.toString).orNull,
     "end_date" -> spec.endDate.map(_.toString).orNull))
 
@@ -83,6 +84,8 @@ object JobsRepo {
       rerunDays = int("rerun_days").getOrElse(1),
       triggerList = m.get("trigger_list").toSeq.flatMap(
         _.asInstanceOf[Seq[Any]].map(_.toString.toDouble.toLong)),
+      emailList = m.get("email_list").toSeq.flatMap(
+        _.asInstanceOf[Seq[Any]].map(_.toString)).filter(_.nonEmpty),
       startDate = str("start_date").map(java.time.LocalDateTime.parse),
       endDate = str("end_date").map(java.time.LocalDateTime.parse))
   }

@@ -86,7 +86,9 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
             enabled = p.get("enabled").forall(_.toBoolean),
             schedule = Cron.Schedule(p.get("mday"), p.get("hour"),
               p.get("min"), p.get("sec"), p.get("wday"), p.get("yday")),
-            parallelism = p.getOrElse("parallelism", "N"))
+            parallelism = p.getOrElse("parallelism", "N"),
+            emailList = p.get("email_list").toSeq.flatMap(_.split(';'))
+              .map(_.trim).filter(_.nonEmpty))
           driver.createJob(spec)
           respond(ex, 200, s"""{"created":${spec.id}}""")
         case "/api/enable-job" =>

@@ -31,7 +31,10 @@ final case class JobSpec(
     rerunLimit: Int = 0,
     rerunDays: Int = 1,
     /** jobs launched when this one succeeds (core.py:1765-1826). */
-    triggerList: Seq[Long] = Nil) {
+    triggerList: Seq[Long] = Nil,
+    /** failure-alarm recipients (pd_schedule.email_list,
+      * core.py:1283-1305); empty = no alerts for this job. */
+    emailList: Seq[String] = Nil) {
 
   def isActive(t: LocalDateTime): Boolean =
     enabled &&
@@ -102,7 +105,10 @@ final class Scheduler(runner: JobRunner,
                       /** quarantine before a failed run becomes
                         * rerun-eligible — SCHEDULER.rerun_delay, reference
                         * default 14400 s (config.py:150). */
-                      rerunDelaySeconds: Long = 14400L) {
+                      rerunDelaySeconds: Long = 14400L,
+                      /** failure-alarm sink (core.py:1283-1305); Noop =
+                        * EMAIL_TOGGLE off. */
+                      alerter: Alerter = Alerter.Noop) {
 
   private val jobs = new ConcurrentHashMap[Long, JobSpec]()
   private val runIdGen = new AtomicLong(0L)
@@ -284,6 +290,13 @@ final class Scheduler(runner: JobRunner,
     regain(run.job.id) // freed capacity: release the next parked run now
     history.add((run, status))
     ledger.foreach(_.endRun(run.runId, status, None))
+    // failure alarm (E/T with recipients): transport errors are swallowed
+    // — alerting must never affect scheduling
+    if ((status == Status.Error || status == Status.Timeout) &&
+        run.job.emailList.nonEmpty)
+      try alerter.alert(AlertEvent(run.job.id, run.job.name, run.runId,
+        status, run.job.emailList))
+      catch { case scala.util.control.NonFatal(_) => () }
     if (status == Status.Error && run.job.rerunLimit > 0)
       failed.add((run, run.seqno - 1, lastMoment.get()))
     if (status == Status.Done)

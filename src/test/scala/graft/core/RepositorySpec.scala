@@ -20,7 +20,8 @@ class RepositorySpec extends SparkSpec {
       wakeUpPeriod = Some("30"),
       rerunIntervalSeconds = Some(300),
       rerunLimit = 2, rerunDays = 3,
-      triggerList = Seq(7L, 9L))
+      triggerList = Seq(7L, 9L),
+      emailList = Seq("ops@example.com", "oncall@example.com"))
     val id = repo.saveJob(spec)
     assert(id > 0)
     val loaded = repo.loadJobs().find(_.id == id).get
@@ -34,6 +35,7 @@ class RepositorySpec extends SparkSpec {
       parallelism = "2", timeoutSeconds = Some(60),
       rerunIntervalSeconds = Some(120), rerunLimit = 1,
       triggerList = Seq(3L, 4L),
+      emailList = Seq("ops@example.com"),
       startDate = Some(java.time.LocalDateTime.parse("2023-01-01T00:00:00")))
     val id = repo.saveJob(spec)
 
