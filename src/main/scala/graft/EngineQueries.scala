@@ -79,6 +79,20 @@ object EngineQueries {
           col("s_nationkey").cast("long"), col("s_acctbal").cast("double"))
     }),
 
+    // Sharded parquet sink: maxRecordsPerFile caps output file rows —
+    // the trainer-sized-files layout of a curation landing zone
+    // (file-count/cap invariants asserted in PipelineSpec; the hash
+    // match proves sharding lost nothing).
+    "m11_sharded_write" -> ((s, dir) => {
+      val out = tmp("shard")
+      val p = Pipeline(
+        ParquetModel(s"$dir/documents.parquet"),
+        ParquetModel(s"$out/docs", maxRecordsPerFile = Some(100L)))
+      require(p.run(s, cal).status == Status.Done)
+      ParquetModel(s"$out/docs").extract(StepContext(s, cal))
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // XML roundtrip via Spark 4's built-in xml format.
     "m03_xml_pipeline" -> ((s, dir) => {
       val out = tmp("xml")
@@ -218,6 +232,8 @@ object EngineQueries {
     "m03_xml_pipeline" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""",
+    "m11_sharded_write" ->
+      "SELECT doc_id, lang, n_chars FROM documents",
     "m10_orc_pipeline" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
         CAST(s_nationkey AS BIGINT) AS s_nationkey,

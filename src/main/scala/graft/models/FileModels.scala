@@ -201,6 +201,10 @@ final case class ParquetModel(
     path: String,
     partitionBy: Seq[String] = Nil,
     append: Boolean = false,
+    /** cap rows per output file (spark.sql.files `maxRecordsPerFile`
+      * write option) — output sharding control: a 100 TB curation run
+      * lands trainer-sized files instead of one file per task. */
+    maxRecordsPerFile: Option[Long] = None,
     override val knobs: ModelKnobs = ModelKnobs())
   extends FileModel with Extractable with Loadable {
 
@@ -211,6 +215,7 @@ final case class ParquetModel(
     val p = resolvedPath(ctx)
     var w = df.write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n))
     w.parquet(p)
     val (files, bytes) = writeStats(ctx, p)
     LoadResult(-1L, bytes, files)

@@ -150,6 +150,25 @@ class PipelineSpec extends SparkSpec {
       Seq("a", "b"))
   }
 
+  test("sharded parquet sink: maxRecordsPerFile caps output file size") {
+    val out = tmp() + "/sharded"
+    val docs = ParquetModel(sf("documents").stripSuffix(".parquet") + ".parquet")
+    val p = Pipeline(docs, ParquetModel(out, maxRecordsPerFile = Some(100L)))
+    assert(p.run(spark, Calendar.day("1995-06-15")).status == Status.Done)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    val total = spark.read.parquet(out).count()
+    // every file honors the cap, and the row set is intact
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 100L,
+        s"${f.getName} exceeds maxRecordsPerFile")
+    }
+    assert(total == spark.read.parquet(
+      sf("documents").stripSuffix(".parquet") + ".parquet").count())
+    assert(files.size >= (total / 100L).toInt)
+  }
+
   test("strftime-style file naming from the calendar date") {
     val m = CsvModel("/data/%Y/%m/%d/out")
     val ctx = StepContext(spark, Calendar.day("2023-03-05"))
