@@ -154,6 +154,14 @@ object CorpusQueries {
         .select("vec_id", "anchor_id")
     }),
 
+    // Query-directed range search: all neighbors of the 20-query set
+    // within cos >= 0.30 (result size data-dependent — top-k's sibling;
+    // the threshold filter runs in the scan stage, zero corpus shuffle).
+    "s10_range_search" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.rangeSearch(e, e.filter(col("vec_id") < 20L), threshold = 0.30)
+    }),
+
     // All embedding pairs above a cosine threshold.
     "s03_cosine_pairs" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(embs(s, dir), threshold = 0.45)
@@ -371,6 +379,13 @@ object CorpusQueries {
     // the true top-k (OperatorsSpec asserts both margins on this corpus)
     "s07_quantized_topk" -> bruteTopkOracle,
     "s08_pq_topk" -> bruteTopkOracle,
+    "s10_range_search" ->
+      s"""SELECT query_id, neighbor_id, cos FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${cosSql("q.embedding", "c.embedding")} AS cos
+           FROM embeddings c CROSS JOIN embeddings q
+           WHERE q.vec_id < 20 AND c.vec_id != q.vec_id)
+         WHERE cos >= 0.30""",
     "c04_embedding_diversity" ->
       """WITH v AS (SELECT label,
              list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),

@@ -43,6 +43,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Query-directed range search: every corpus vector within a cosine
+    * radius of each query (the retrieval primitive where the RESULT SIZE
+    * is data-dependent — top-k's sibling). Same scale shape as
+    * [[bruteForceTopK]]: queries broadcast, corpus streams, zero corpus
+    * shuffle and no window at all — the threshold filter runs inside the
+    * scan stage, so the only shuffled rows are actual matches.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, threshold: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    c.crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Approximate top-k via multi-table random-hyperplane LSH with
     * QUERY-DIRECTED MULTI-PROBE (Lv et al., VLDB'07): besides its exact
     * bucket, each query also probes every bucket within hamming radius
