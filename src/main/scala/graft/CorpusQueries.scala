@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Corpus / training-data pipeline queries: text analysis, dedup family,
   * embedding similarity. These exercise the operators in
@@ -16,7 +16,46 @@ object CorpusQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Documents lifted into the canonical media schema (UTF-8 bytes as
+    * the opaque payload) — the gate-side stand-in for a real media
+    * table, so the multimodal mapPartitions plumbing runs under the
+    * DuckDB oracle like every other operator. */
+  private def mediaOf(s: SparkSession, dir: String, modality: String) =
+    docs(s, dir).select(
+      col("doc_id").as("media_id"),
+      lit(modality).as("modality"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(lit("txt").as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")).as("meta"))
+
   val defs: Map[String, Q] = Map(
+    // Multimodal frame sampling: every "video" fans out to n keyed frame
+    // records via the batched mapPartitions path (per-partition codec
+    // init point). The stub's offset arithmetic (i*len/n) is exact
+    // integer math, so the whole fan-out is oracle-checkable even though
+    // the real decoder is stubbed.
+    "v01_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(mediaOf(s, dir, "video"), n = 4)),
+
+    // Multimodal resize: normalize-resolution step; the gate checks the
+    // byte accounting (stub: max(1, min(len, w*h/64))) and the metadata
+    // width/height rewrite through the mediaSchema roundtrip.
+    "v02_media_resize" -> ((s, dir) =>
+      Multimodal.resize(mediaOf(s, dir, "image"), w = 64, h = 48)
+        .select(col("media_id"), col("modality"),
+          length(col("bytes")).cast("long").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"))),
+
+    // Multimodal feature extraction: the gate checks ids/modality/byte
+    // accounting through the batched featurize path; the feature floats
+    // themselves are content-addressed-exactness-tested in SurfacesSpec
+    // (not SQL-expressible — 64-bit splitmix overflow semantics).
+    "v03_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(mediaOf(s, dir, "image"), dim = 8)
+        .select("media_id", "modality", "n_bytes")),
+
     // Token counting + quality signals, one narrow codegen'd projection.
     "t01_token_stats" -> ((s, dir) => {
       docs(s, dir).select(
@@ -284,6 +323,21 @@ object CorpusQueries {
     s"len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "v01_frame_sample" ->
+      """SELECT d.doc_id AS media_id, CAST(g.i AS INTEGER) AS frame_no,
+         (CAST(g.i AS BIGINT) * coalesce(octet_length(encode(d.text)), 0)) // 4
+           AS frame_offset
+         FROM documents d, (SELECT unnest(range(4)) AS i) g""",
+    "v02_media_resize" ->
+      """SELECT doc_id AS media_id, 'image' AS modality,
+         greatest(1, least(coalesce(octet_length(encode(text)), 0), 48))
+           AS n_bytes,
+         CAST(64 AS INTEGER) AS width, CAST(48 AS INTEGER) AS height
+         FROM documents""",
+    "v03_media_features" ->
+      """SELECT doc_id AS media_id, 'image' AS modality,
+         coalesce(octet_length(encode(text)), 0) AS n_bytes
+         FROM documents""",
     "t01_token_stats" ->
       s"""SELECT doc_id,
          CAST(len($toks) AS INTEGER) AS n_tokens,

@@ -91,6 +91,15 @@ object CurationQueries {
       Sampling.hashSample(docs(s, dir), "doc_id", 0.25).select("doc_id")
     }),
 
+    // Quality-weighted Bernoulli sample: keep probability = the doc's
+    // quality score, decided from the id hash — still a pure filter
+    // (zero shuffle), so quality-weighted downsampling of 100 TB also
+    // runs entirely in the scan stage.
+    "p06_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(docs(s, dir), "doc_id",
+        qualityScore(col("text"))).select("doc_id")
+    }),
+
     // Per-language quota: the 40 smallest-hash docs per lang (deterministic
     // stratified downsample; one shuffle on the stratum key).
     "p02_stratified_sample" -> ((s, dir) => {
@@ -339,6 +348,11 @@ object CurationQueries {
     "p01_hash_sample" ->
       s"""SELECT doc_id FROM documents
          WHERE $hashExpr < ${Sampling.fractionThreshold(0.25)}""",
+    "p06_weighted_sample" ->
+      s"""SELECT doc_id FROM documents
+         WHERE $hashExpr <
+           CAST(floor((${CorpusQueries.qualitySqlExpr}) * ${Sampling.HashMod})
+                AS BIGINT)""",
     "p02_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          QUALIFY row_number() OVER (PARTITION BY lang

@@ -370,6 +370,26 @@ object RelationalQueries {
         cume_dist().over(w).as("cd"))
     }),
 
+    // Window VALUE functions over an explicit whole-partition frame:
+    // last_value / nth_value need ROWS BETWEEN UNBOUNDED PRECEDING AND
+    // UNBOUNDED FOLLOWING to mean "of the partition" (the default frame
+    // stops at CURRENT ROW); percent_rank and a 2-step lag round out the
+    // offset-function surface next to q38's first/lead/ntile/cume_dist.
+    "q40_window_values" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_orderkey", "l_linenumber")
+        .agg(decSum(col("l_quantity")).as("qty"))
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val wFull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      base.select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        last("qty").over(wFull).as("last_qty"),
+        nth_value(col("qty"), 2).over(wFull).as("second_qty"),
+        percent_rank().over(w).as("pr"),
+        lag(col("qty"), 2, 0.0).over(w).as("prev2_qty"))
+    }),
+
     // Map-typed scalar functions: build a map linestatus -> count per
     // flag (map_from_entries over a sorted entry list), then look values
     // back up with element_at — scalar output keeps the oracle exact.
@@ -657,6 +677,21 @@ object RelationalQueries {
          cume_dist() OVER w AS cd
          FROM base
          WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber)""",
+    "q40_window_values" ->
+      """WITH base AS (
+           SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+           FROM lineitem GROUP BY 1, 2, 3)
+         SELECT l_partkey, l_orderkey, l_linenumber,
+         last_value(qty) OVER wf AS last_qty,
+         nth_value(qty, 2) OVER wf AS second_qty,
+         percent_rank() OVER w AS pr,
+         lag(qty, 2, 0.0) OVER w AS prev2_qty
+         FROM base
+         WINDOW
+           w AS (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber),
+           wf AS (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     "q37_map_fns" ->
       """SELECT l_returnflag,
          CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_open,

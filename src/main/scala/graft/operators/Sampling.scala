@@ -43,6 +43,18 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(splitHash(col(idCol)) < lit(fractionThreshold(fraction)))
 
+  /** Per-row weighted Bernoulli sample: keep a row with probability
+    * `weight` (a column in [0,1] — e.g. a quality score), decided
+    * deterministically from the id hash. The quality-weighted
+    * downsampling step of corpus curation as a pure filter — zero
+    * shuffle, scan-stage only, reproducible across runs and engines
+    * (threshold arithmetic stays oracle-expressible: hash < floor
+    * (weight·2^32)).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.filter(splitHash(col(idCol)) <
+      floor(weight * lit(HashMod.toDouble)).cast("long"))
+
   /** Per-stratum quota sample: the k docs with the smallest id-hash in
     * each stratum (hash order = a deterministic shuffle of the stratum).
     * One shuffle on the strata key; the sort is per-stratum, not global.

@@ -122,6 +122,7 @@ final class Scheduler(runner: JobRunner,
   private val pool = Executors.newFixedThreadPool(executorThreads)
   private val timeoutPool = Executors.newScheduledThreadPool(1)
   private val alive = new AtomicBoolean(false)
+  private val tickThread = new java.util.concurrent.atomic.AtomicReference[Thread]()
   private val inFlight = new ConcurrentHashMap[Long, CountDownLatch]()
   private val threads = new ConcurrentHashMap[Long, RunSlot]() // runId -> executor
   private val liveRuns = new ConcurrentHashMap[Long, RunRecord]() // runId -> executing run
@@ -370,6 +371,17 @@ final class Scheduler(runner: JobRunner,
   /** Block until all currently queued/running runs finish (test aid). */
   def drain(timeoutSeconds: Int = 60): Boolean = {
     val deadline = System.nanoTime() + timeoutSeconds * 1000000000L
+    // stopTicking() only flips the flag: a tick already in progress can
+    // still charge one more run AFTER this loop first observes empty
+    // queues — the run then executes concurrently with whatever the
+    // caller does post-drain (observed: a fired pipeline overwriting its
+    // output dir while the caller read it back). Join the loop thread
+    // first so no new work can arrive mid-drain. (Skip while ticking is
+    // still on — then drain only means "current queue empty".)
+    if (!alive.get())
+      Option(tickThread.getAndSet(null))
+        .filter(_ != Thread.currentThread())
+        .foreach(_.join(2000))
     while (System.nanoTime() < deadline) {
       if (inFlight.isEmpty && waiting.isEmpty) return true
       Thread.sleep(10)
@@ -390,6 +402,7 @@ final class Scheduler(runner: JobRunner,
       }
     }, "graft-scheduler")
     th.setDaemon(true)
+    tickThread.set(th)
     th.start()
     th
   }
