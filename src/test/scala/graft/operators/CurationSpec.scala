@@ -32,6 +32,27 @@ class CurationSpec extends SparkSpec {
     assert(ids10.subsetOf(ids25))
   }
 
+  test("weightedSample: endpoints, determinism, and weight-nested keeps") {
+    // weight 0 keeps nothing, weight 1 keeps everything (threshold is
+    // floor(w*2^32): 0 -> hash<0 impossible, 1 -> hash<2^32 always)
+    assert(Sampling.weightedSample(docs, "doc_id", lit(0.0)).count() == 0L)
+    assert(Sampling.weightedSample(docs, "doc_id", lit(1.0)).count() ==
+      docs.count())
+    // per-row weight: deterministic on re-run
+    val w = col("n_chars") / (col("n_chars") + lit(500.0))
+    val ids = Sampling.weightedSample(docs, "doc_id", w)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Sampling.weightedSample(docs, "doc_id", w)
+      .select("doc_id").collect().map(_.getLong(0)).sorted))
+    // raising every weight only ADDS rows (same hash, higher threshold) —
+    // staged curation can tighten/loosen the quality bar consistently
+    val loose = Sampling.weightedSample(docs, "doc_id",
+      least(w * 1.5, lit(1.0))).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.toSet.subsetOf(loose))
+    assert(ids.nonEmpty && ids.length < docs.count())
+  }
+
   test("property: split hash is a bijection with calibrated thresholds") {
     // driver-side twin of Sampling.splitHash — the operator is this exact
     // arithmetic as a Column expression
