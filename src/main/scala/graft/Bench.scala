@@ -23,8 +23,16 @@ object Bench {
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = names.map { case (name, fn) =>
-      val times = (1 to passes).map { _ =>
+    // passes are the OUTER loop (whole suite per pass, min per query):
+    // this host shows intermittent multi-minute I/O stalls, and with
+    // back-to-back passes a stall poisons BOTH samples of whichever
+    // query it lands on (observed: t02 at 47.9 s min-of-2 for a trivial
+    // filter; a later run pinned the same stall on m02 instead). With
+    // suite-per-pass the two samples of a query are minutes apart, so a
+    // stall window hits it in at most one pass and min() strips it.
+    val times = Array.fill(names.size)(Double.MaxValue)
+    for (_ <- 1 to passes) {
+      names.zipWithIndex.foreach { case ((name, fn), i) =>
         val t0 = System.nanoTime()
         val sec =
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -33,10 +41,11 @@ object Bench {
         // the queries' caches otherwise accumulate in executor storage
         // and the eviction/spill churn bleeds into later queries' times
         spark.catalog.clearCache()
-        sec
+        if (sec < 0) times(i) = -1.0
+        else if (times(i) >= 0 && sec < times(i)) times(i) = sec
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    val results = names.zipWithIndex.map { case ((name, _), i) => name -> times(i) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
