@@ -262,11 +262,24 @@ object Dedup {
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    // Only nodes that appear in a pair can change label: iterate over the
+    // DUPLICATE SUBGRAPH, not the corpus. At 100 TB with a few percent
+    // duplicates, carrying a corpus-sized label table through every
+    // round (join + agg + join, per round) is the difference between the
+    // loop shuffling |dup subgraph| and shuffling the whole corpus
+    // O(diameter) times; isolated docs join back in ONCE at the end as
+    // their own component. (edges holds both directions, so src alone
+    // covers every paired node.)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
     // the superseded iteration's persisted join — released only AFTER the
     // next one materializes, so at most one generation is ever pinned
     // (the old code leaked one persisted DataFrame per round)
     var prevJoined: DataFrame = null
+    // the live lineage-cut checkpoint; superseded generations unpersist
+    // as soon as the next one materializes (they used to accumulate,
+    // one pinned RDD per 3 rounds)
+    var prevCk: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -276,9 +289,12 @@ object Dedup {
       // probing `nlabel < label` on the persisted join replaces the old
       // updated-vs-labels equality join (a whole join + shuffle less per
       // iteration)
+      val t0 = System.nanoTime()
       val joined = labels.join(neighborMin, col("id") === col("id2"), "left")
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = joined.filter(col("nlabel") < col("label")).limit(1).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round ${i + 1} ${(System.nanoTime() - t0) / 1e9}%.2f s")
       if (prevJoined != null) prevJoined.unpersist(blocking = false)
       prevJoined = joined
       labels = joined.select(col("id"),
@@ -289,7 +305,10 @@ object Dedup {
       // otherwise nests all N-1 prior joins and planning cost grows
       // superlinearly with iteration count
       if (!converged && i % 3 == 0) {
-        labels = labels.localCheckpoint(eager = true)
+        val ck = labels.localCheckpoint(eager = true)
+        if (prevCk != null) prevCk.unpersist(blocking = false)
+        prevCk = ck
+        labels = ck
         prevJoined.unpersist(blocking = false); prevJoined = null
       }
     }
@@ -299,14 +318,20 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds: a " +
         s"component chain is longer than $maxIter hops; raise maxIter")
-    // detach the result from the per-iteration caches before releasing
-    // them — one bounded (id,label) materialization instead of keeping
-    // the whole iteration history pinned for the caller's consumption
-    val out = labels.localCheckpoint(eager = true)
+    // detach the subgraph result from the per-iteration caches before
+    // releasing them — one bounded (id,label) materialization instead of
+    // keeping the whole iteration history pinned
+    val sub = labels.localCheckpoint(eager = true)
     if (prevJoined != null) prevJoined.unpersist(blocking = false)
+    if (prevCk != null) prevCk.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     p0.unpersist(blocking = false)
-    out.select(col("id").as(idCol), col("label").as("component"))
+    // attach the corpus complement ONCE: isolated docs are their own
+    // component. `sub` is duplicate-subgraph-sized, so at scale this is
+    // a broadcast join against the corpus scan, not a corpus shuffle.
+    ids.select(col(idCol))
+      .join(sub.select(col("id"), col("label")), col(idCol) === col("id"), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("component"))
   }
 
   /** Cluster-aware survivors: one doc (min id) per similarity component,
