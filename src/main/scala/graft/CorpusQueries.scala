@@ -276,6 +276,18 @@ object CorpusQueries {
       Dedup.clusteredSurvivors(d,
         Dedup.ngramJaccardPairs(d, "doc_id", "text",
           shingleSize = 3, threshold = 0.8), "doc_id")
+    }),
+
+    // Canonical-doc selection: same components as d07, but the survivor
+    // is the BEST-QUALITY doc per component (ties to min id) — the
+    // curation policy that keeps the clean copy rather than the smallest
+    // id. Window runs on the duplicate subgraph only.
+    "d12_quality_survivor" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.clusteredSurvivorsBy(d,
+        Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          shingleSize = 3, threshold = 0.8), "doc_id",
+        qualityScore(col("text")))
     }))
 
   // ---- DuckDB oracle twins ------------------------------------------------
@@ -397,6 +409,7 @@ object CorpusQueries {
     "d03_minhash_dedup" -> ngramJaccardOracle,
     "d04_ngram_jaccard_dedup" -> ngramJaccardOracle,
     "d07_cluster_dedup" -> clusterDedupOracle,
+    "d12_quality_survivor" -> qualitySurvivorOracle,
     // recompute the 60-bit poly simhash per doc, then brute all-pairs
     // hamming (exact twin of the chunk-bucketed Spark plan: pigeonhole
     // over 4 chunks finds every pair with hamming <= 3)
@@ -568,6 +581,37 @@ object CorpusQueries {
          UNION
          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
        SELECT src AS doc_id FROM reach GROUP BY src HAVING src = min(dst)"""
+
+  /** Best-quality-survivor twin of d12: same recursive-CTE components as
+    * d07, survivor = argmax quality per component (ties to min doc_id).
+    */
+  private lazy val qualitySurvivorOracle: String =
+    s"""WITH RECURSIVE
+       sh AS (SELECT doc_id, $shingles3 AS grams FROM documents),
+       ex AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh),
+       pairs AS (
+         SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter,
+                any_value(a.n) AS na, any_value(b.n) AS nb
+         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       sim AS (SELECT ida, idb FROM pairs
+         WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+       edges AS (
+         SELECT ida AS src, idb AS dst FROM sim
+         UNION ALL SELECT idb, ida FROM sim
+         UNION ALL SELECT doc_id, doc_id FROM documents),
+       reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       comp AS (SELECT src AS doc_id, min(dst) AS component
+                FROM reach GROUP BY src),
+       q AS (SELECT doc_id, $qualitySqlExpr AS quality FROM documents)
+       SELECT doc_id FROM (
+         SELECT c.doc_id, row_number() OVER (PARTITION BY c.component
+           ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+         FROM comp c JOIN q USING (doc_id))
+       WHERE rn = 1"""
 
   /** Shared oracle for d03/d04: survivors of exact 3-gram Jaccard >= 0.8,
     * keep-min-id policy (drop a doc iff a similar smaller-id doc exists).

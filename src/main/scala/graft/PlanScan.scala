@@ -11,7 +11,7 @@ object PlanScan {
     val intendedNlj = Set("s01_brute_topk", "s03_cosine_pairs",
       "s07_quantized_topk", "s08_pq_topk", // quantized scans: crossJoin(broadcast) by design
       "s10_range_search", // radius query: broadcast crossjoin by design
-      "d06_embedding_dedup", "q16_subquery_avg", "q17_cross_join")
+      "q16_subquery_avg", "q17_cross_join")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString

@@ -343,6 +343,32 @@ object Dedup {
       .filter(col(idCol) === col("component"))
       .select(idCol)
 
+  /** Canonical-document selection: keep the BEST-scoring doc (ties to the
+    * smallest id) per similarity component instead of the min id — the
+    * curation policy when duplicates differ in quality (keep the clean
+    * copy, drop the boilerplate-wrapped ones).
+    *
+    * Scale shape: components and the argmax window run on the DUPLICATE
+    * SUBGRAPH only (docs that appear in a pair); the untouched complement
+    * — the overwhelming bulk of a 100 TB corpus — passes through as an
+    * anti-join in the scan stage and never enters the window shuffle.
+    */
+  def clusteredSurvivorsBy(docs: DataFrame, pairs: DataFrame,
+                           idCol: String, score: Column): DataFrame = {
+    val paired = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val comp = connectedComponents(paired, pairs, idCol)
+    val w = Window.partitionBy("component")
+      .orderBy(col("__score").desc, col(idCol).asc)
+    val dupSurvivors = docs.select(col(idCol), score.as("__score"))
+      .join(comp, Seq(idCol)) // inner: paired docs only
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(idCol)
+    docs.select(col(idCol)).join(paired, Seq(idCol), "left_anti")
+      .union(dupSurvivors)
+  }
+
   /** EXACT n-gram Jaccard dedup with prefix filtering (the classic
     * similarity-join pruning of Chaudhuri/Ganti/Kaushik and PPJoin):
     * under a single global shingle order, two sets with J >= t MUST share

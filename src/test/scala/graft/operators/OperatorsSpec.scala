@@ -208,6 +208,18 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(10L))
   }
 
+  test("clusteredSurvivorsBy keeps the best-scoring doc per component") {
+    import spark.implicits._
+    // component {1,2,3}: best score on 2 (NOT the min id); {5,6}: tie on
+    // score -> min id 5; singletons 4,7 keep themselves regardless
+    val docs = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5), (4L, 0.0),
+      (5L, 0.7), (6L, 0.7), (7L, 0.1)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.clusteredSurvivorsBy(docs, pairs, "doc_id", col("q"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L, 7L))
+  }
+
   test("embedding near-dup dedup keeps min-id survivors") {
     val pairs = Similarity.cosineNearDupPairs(embs, 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
