@@ -29,6 +29,15 @@ object D07Probe {
     // persists may remain
     val cached = spark.sparkContext.getPersistentRDDs.size
     println(f"[d07] survivors $n time $sec%.1f s residual_cached_rdds $cached")
+    // d12: same components + per-component argmax window (dup subgraph only)
+    val t1 = System.nanoTime()
+    val best = Dedup.clusteredSurvivorsBy(docs,
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.8), "doc_id",
+      graft.functions.TextFunctions.qualityScore(col("text")))
+    val nb = best.count()
+    val sec2 = (System.nanoTime() - t1) / 1e9
+    println(f"[d12] survivors $nb time $sec2%.1f s")
     spark.stop()
   }
 }

@@ -254,6 +254,23 @@ object Dedup {
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
                           idCol: String, maxIter: Int = 10): DataFrame = {
+    val sub = componentLabels(pairs, idCol, maxIter)
+    // attach the corpus complement ONCE: isolated docs are their own
+    // component. `sub` is duplicate-subgraph-sized, so at scale this is
+    // a broadcast join against the corpus scan, not a corpus shuffle.
+    ids.select(col(idCol)).join(sub, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+  }
+
+  /** Component labels of the DUPLICATE SUBGRAPH only: (idCol, component)
+    * for every node that appears in a pair — the loop never touches the
+    * corpus. The result is materialized (localCheckpoint), so callers
+    * can reference it any number of times without re-running the pair
+    * computation; the pair plan itself is pinned exactly once inside.
+    */
+  def componentLabels(pairs: DataFrame, idCol: String,
+                      maxIter: Int = 10): DataFrame = {
     // Persist the pair list BEFORE fanning it into both edge directions:
     // the union has two references to `pairs`, and without pinning it the
     // (expensive) similarity-pair computation runs twice on first
@@ -326,12 +343,7 @@ object Dedup {
     if (prevCk != null) prevCk.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     p0.unpersist(blocking = false)
-    // attach the corpus complement ONCE: isolated docs are their own
-    // component. `sub` is duplicate-subgraph-sized, so at scale this is
-    // a broadcast join against the corpus scan, not a corpus shuffle.
-    ids.select(col(idCol))
-      .join(sub.select(col("id"), col("label")), col(idCol) === col("id"), "left")
-      .select(col(idCol), coalesce(col("label"), col(idCol)).as("component"))
+    sub.select(col("id").as(idCol), col("label").as("component"))
   }
 
   /** Cluster-aware survivors: one doc (min id) per similarity component,
@@ -355,17 +367,18 @@ object Dedup {
     */
   def clusteredSurvivorsBy(docs: DataFrame, pairs: DataFrame,
                            idCol: String, score: Column): DataFrame = {
-    val paired = pairs.select(col("id_a").as(idCol))
-      .union(pairs.select(col("id_b").as(idCol))).distinct()
-    val comp = connectedComponents(paired, pairs, idCol)
+    // one materialized subgraph-label table feeds BOTH the argmax window
+    // and the complement anti-join — the pair computation runs once (it
+    // used to re-run for every downstream reference of `pairs`)
+    val sub = componentLabels(pairs, idCol)
     val w = Window.partitionBy("component")
       .orderBy(col("__score").desc, col(idCol).asc)
     val dupSurvivors = docs.select(col(idCol), score.as("__score"))
-      .join(comp, Seq(idCol)) // inner: paired docs only
+      .join(sub, Seq(idCol)) // inner: paired docs only
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(idCol)
-    docs.select(col(idCol)).join(paired, Seq(idCol), "left_anti")
+    docs.select(col(idCol)).join(sub.select(idCol), Seq(idCol), "left_anti")
       .union(dupSurvivors)
   }
 
