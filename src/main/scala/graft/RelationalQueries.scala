@@ -187,6 +187,25 @@ object RelationalQueries {
         .select("o_orderkey", "o_totalprice")
     }),
 
+    // User SQL TEXT on the engine — the reference's delegation surface
+    // (§2.9: arbitrary SQL shipped to the source DB) running on Spark
+    // SQL instead. The SAME string is the DuckDB oracle, so the gate
+    // proves dialect-portable text parity, parser included. Correlated
+    // EXISTS / NOT EXISTS decorrelate to semi/anti joins in Catalyst.
+    "q41_sql_exists" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(SqlExistsText)
+    }),
+
+    // Correlated SCALAR subquery via SQL text (becomes an outer-join +
+    // aggregate under decorrelation); same shared-string contract.
+    "q42_sql_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(SqlScalarSubqueryText)
+    }),
+
     // Cross join (small x small).
     "q17_cross_join" -> ((s, dir) => {
       val statuses = t(s, dir, "lineitem").select("l_linestatus").distinct()
@@ -453,7 +472,29 @@ object RelationalQueries {
   private val decS = "CAST(SUM(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
   private def ds(e: String) = decS.format(e)
 
+  /** Dialect-portable SQL text shared verbatim by the Spark query and
+    * its DuckDB oracle — the strongest form of the determinism contract:
+    * one string, two engines, equal hashes.
+    */
+  private val SqlExistsText: String =
+    """SELECT o_orderkey, o_totalprice
+       FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_quantity >= 49)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_returnflag = 'R')"""
+
+  private val SqlScalarSubqueryText: String =
+    """SELECT c_custkey,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS n_orders
+       FROM customer c"""
+
   val oracles: Map[String, String] = Map(
+    "q41_sql_exists" -> SqlExistsText,
+    "q42_sql_scalar_subquery" -> SqlScalarSubqueryText,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${ds("l_quantity")} AS sum_qty,
