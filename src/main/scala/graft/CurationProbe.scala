@@ -80,6 +80,12 @@ object CurationProbe {
     timed("t14_bpe_pairs") {
       graft.operators.Tokenizer.bpePairCounts(corpus, "text", topK = 20).count()
     }
+    timed("d12_quality_survivor") {
+      graft.operators.Dedup.clusteredSurvivorsBy(corpus,
+        graft.operators.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+          shingleSize = 3, threshold = 0.8), "doc_id",
+        qualityScore(col("text"))).count()
+    }
     val cached = spark.sparkContext.getPersistentRDDs.size
     println(s"[curation${replicas}x] corpus $n residual_cached_rdds $cached")
     spark.stop()
