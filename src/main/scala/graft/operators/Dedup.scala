@@ -364,6 +364,13 @@ object Dedup {
     * SUBGRAPH only (docs that appear in a pair); the untouched complement
     * — the overwhelming bulk of a 100 TB corpus — passes through as an
     * anti-join in the scan stage and never enters the window shuffle.
+    *
+    * Density boundary (measured, NOTES.md): any exact-verified pair
+    * family is Ω(|truly-similar pairs|) — no prefix filter can prune a
+    * pair that IS similar. k-dense duplicate clusters emit ~k²/2 pairs
+    * each; at adversarial densities (most of the corpus near-identical),
+    * collapse with banded MinHash (d03) or SimHash buckets (d05) FIRST
+    * and run the exact transitive pass on the survivors.
     */
   def clusteredSurvivorsBy(docs: DataFrame, pairs: DataFrame,
                            idCol: String, score: Column): DataFrame = {
