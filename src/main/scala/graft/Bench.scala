@@ -20,10 +20,11 @@ object Bench {
     // min of N passes: single-run times carry ~25% machine noise on this
     // host; the minimum is the standard stable estimator of a query's
     // actual cost (passes recorded in the metric line)
-    // 3 by default: with suite-per-pass ordering a host I/O stall must
-    // recur in three windows spread minutes apart to survive the min —
-    // two passes still let one ~repeating stall poison a query's total
-    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
+    // 2 by default: suite-per-pass already spreads a query's samples
+    // minutes apart (the real stall fix); a third pass helps marginally
+    // but risks any driver-side wall-clock limit on the whole run —
+    // set SPARK_GRAFT_PASSES=3 for local measurement sessions
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // passes are the OUTER loop (whole suite per pass, min per query):
