@@ -35,12 +35,18 @@ object Bench {
     // suite-per-pass the two samples of a query are minutes apart, so a
     // stall window hits it in at most one pass and min() strips it.
     val times = Array.fill(names.size)(Double.MaxValue)
+    // wall-clock span (start/end epoch ms) of EVERY pass's sample, so a
+    // host I/O stall window is identifiable post-hoc from the record
+    // itself (which queries ran inside it) instead of by inference
+    val spans = Array.fill(names.size)(List.empty[(Long, Long)])
     for (_ <- 1 to passes) {
       names.zipWithIndex.foreach { case ((name, fn), i) =>
+        val w0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val sec =
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 } // failure sentinel, not a time
+        spans(i) = spans(i) :+ (w0, System.currentTimeMillis())
         // drop this query's persisted intermediates before the next run:
         // the queries' caches otherwise accumulate in executor storage
         // and the eviction/spill churn bleeds into later queries' times
@@ -52,8 +58,12 @@ object Bench {
     val results = names.zipWithIndex.map { case ((name, _), i) => name -> times(i) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sp = names.zipWithIndex.map { case ((name, _), i) =>
+      "\"" + name + "\":" +
+        spans(i).map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spans":$sp,"sf":"$sfDir","passes":$passes}""")
     // The per-query map above runs ~3 KB for 66 queries — longer than the
     // driver's tail capture, so both prior rounds recorded "parsed": null.
     // Emit a compact total-only line LAST so a parseable metric line always

@@ -80,11 +80,26 @@ object CurationProbe {
     timed("t14_bpe_pairs") {
       graft.operators.Tokenizer.bpePairCounts(corpus, "text", topK = 20).count()
     }
-    timed("d12_quality_survivor") {
+    // the exact pair family is Ω(|similar pairs|) — at replica densities
+    // past ~10x every cluster emits ~replicas²/2 verified pairs and the
+    // run walls (measured: 100x stopped at 40 min, NOTES.md). That regime
+    // belongs to d13's banded pre-collapse below; keep d12 in its
+    // documented envelope.
+    if (replicas <= 10) timed("d12_quality_survivor") {
       graft.operators.Dedup.clusteredSurvivorsBy(corpus,
         graft.operators.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
           shingleSize = 3, threshold = 0.8), "doc_id",
         qualityScore(col("text"))).count()
+    }
+    else println(s"[curation${replicas}x] d12_quality_survivor SKIPPED " +
+      "(exact-pair family out of envelope at this density; see d13)")
+    // the adversarial-density composition: banded star-edge pre-collapse
+    // (linear per bucket) + exact transitive on the collapsed survivors —
+    // the config that walls d12 must COMPLETE here
+    timed("d13_banded_survivor") {
+      graft.operators.Dedup.bandedSurvivorsBy(corpus, "doc_id", "text",
+        qualityScore(col("text")), shingleSize = 3, preThreshold = 0.9,
+        numHashes = 64, bands = 16, threshold = 0.8).count()
     }
     val cached = spark.sparkContext.getPersistentRDDs.size
     println(s"[curation${replicas}x] corpus $n residual_cached_rdds $cached")
@@ -92,13 +107,15 @@ object CurationProbe {
   }
 }
 
-/** The t08 plan body shared with the probe (same shape as the gate query). */
+/** The t08 plan body shared with the probe (same shape as the gate query:
+  * df via groupBy partial agg + join, skew-splittable — not a term window). */
 private object CurationQueriesProbe {
   import org.apache.spark.sql.expressions.Window
   def tfdf(docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("doc_id")
           .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))))

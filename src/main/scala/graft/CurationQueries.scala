@@ -54,19 +54,23 @@ object CurationQueries {
 
     // Per-document top terms by tf/df ratio (tf-idf with idf ∝ 1/df — the
     // constant corpus-size factor cancels in the ranking, keeping every
-    // number integer-derived and engine-exact). df via a window over the
-    // term partition: measured FASTER at 50k docs (4.7 s) than both the
-    // groupBy+join form (6.2 s: the tf subplan runs twice — AQE does not
-    // reuse the exchange across the broadcast boundary) and persist+join
-    // (5.1 s); at vocab scale the join's broadcast degrades to an SMJ,
-    // i.e. the same term shuffle this window does. Shuffles: tf agg, df
-    // window on term, rank window on doc — rank<=3 runs as
-    // WindowGroupLimit (top-k pushed into the shuffle, no full sort kept).
+    // number integer-derived and engine-exact). df via groupBy("term")
+    // partial agg + join back, NOT count().over(Window.partitionBy("term")):
+    // the window form measured slightly faster at 50k docs (4.7 vs 6.2 s)
+    // but terms are the most skewed key a corpus has (stop words), the
+    // window has NO map-side combine, and AQE can split a skewed join
+    // partition but NOT a window partition — at 100 TB the hot-term window
+    // partitions are unsplittable stragglers. The groupBy collapses hot
+    // terms map-side (partial agg), and the join's tf-side skew is
+    // AQE-splittable (BHJ while vocab fits, skew-split SMJ beyond).
+    // Shuffles: tf agg, df agg on term, join, rank window on doc —
+    // rank<=3 runs as WindowGroupLimit (top-k pushed into the shuffle).
     "t08_tfdf_topterms" -> ((s, dir) => {
       val ex = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(df, Seq("term"))
         .withColumn("rank", row_number().over(
           Window.partitionBy("doc_id")
             .orderBy((col("tf").cast("double") / col("df")).desc, col("term")))

@@ -9,8 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * text analysis). `oracleSql` carries the exact DuckDB twin for every
   * SQL-expressible query — including the recursive-CTE closure twin of
   * the transitive dedup (d07) and the polynomial SimHash twin (d05);
-  * the two inherently engine-specific ANN paths (LSH/IVF top-k) are
-  * rows-only with recall floors asserted in OperatorsSpec instead.
+  * the two inherently engine-specific ANN paths (LSH/IVF top-k) gate a
+  * MEASURED recall-vs-brute floor boolean the oracle pins to true
+  * (plus the same floors asserted in OperatorsSpec).
   */
 object SparkEntry {
 

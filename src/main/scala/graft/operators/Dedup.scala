@@ -389,6 +389,115 @@ object Dedup {
       .union(dupSurvivors)
   }
 
+  /** Release the pinned localCheckpoint behind a [[componentLabels]] (or
+    * any checkpointed) result once the caller has fully consumed it —
+    * long-lived drivers (schedulers, probes, bench loops) otherwise
+    * accumulate one pinned RDD per invocation. `catalog.clearCache()`
+    * does NOT release RDD-level persists, so this walks the plan's
+    * LogicalRDD leaves and unpersists their RDDs directly.
+    */
+  def release(labels: DataFrame): Unit =
+    labels.queryExecution.analyzed.collectLeaves().foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
+  /** Adversarial-density dedup composition (the scale path prescribed by
+    * [[clusteredSurvivorsBy]]'s density note, now an operator): ANY exact
+    * pair family is Ω(|truly-similar pairs|) — a k-dense near-identical
+    * cluster emits ~k²/2 verified pairs, so at boilerplate-heavy web
+    * densities (most of the corpus near-identical) the exact transitive
+    * pass hits a quadratic wall no prefix filter can prune. This operator
+    * first COLLAPSES dense clusters with banded MinHash using verified
+    * STAR edges — per (band, bucket) each member pairs with the bucket's
+    * min-id representative only, O(bucket) edges instead of O(bucket²) —
+    * then runs the exact prefix-filtered transitive pass on the collapsed
+    * survivors, where density is bounded by construction.
+    *
+    * Stage 1 (pre-collapse at `preThreshold`, near-identical copies):
+    * banded MinHash buckets -> star edges -> exact-Jaccard verify of each
+    * edge -> connected components -> keep min id per component. Verified
+    * edges mean NO false merges, ever. Star edges cover a bucket iff its
+    * representative is `preThreshold`-similar to each member — exact for
+    * clique-shaped clusters (replica/boilerplate families, the adversarial
+    * case); a chain A~B~C whose bucket rep A is not similar to C relies
+    * on another band bucketing B,C without A (probability ~1 at d03's
+    * banding). Capture of a true pair in >=1 of the 16 bands is
+    * 1-(1-t^4)^16 ~ 1-4e-8 at t=0.9.
+    *
+    * Stage 2 (exact transitive at `threshold` on stage-1 survivors):
+    * [[ngramJaccardPairs]] + [[clusteredSurvivorsBy]] — best-`score` doc
+    * per component, complement via scan-stage anti-join.
+    *
+    * Semantics note: stage 1 keeps the MIN-ID copy of each near-identical
+    * family, so a higher-`score` copy inside a >= preThreshold family
+    * yields to the min id; at preThreshold ~0.9 the copies differ by a
+    * few tokens and the score difference is noise by construction. The
+    * quality argmax applies at the interesting grain — across the
+    * moderately-similar (threshold..preThreshold) components of stage 2.
+    *
+    * Shuffle profile: signature explode on (band, bucket); rep groupBy
+    * (partial-agg, AQE-splittable join back — NOT a window: hot buckets
+    * are the skewed key here); the star-edge verify joins move 8-byte
+    * shingle hashes; both CC loops shuffle only their dup subgraphs.
+    */
+  def bandedSurvivorsBy(docs: DataFrame, idCol: String, textCol: String,
+                        score: Column, shingleSize: Int = 3,
+                        preThreshold: Double = 0.9, numHashes: Int = 64,
+                        bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val collapsed = bandedPreCollapse(
+      docs, idCol, textCol, shingleSize, preThreshold, numHashes, bands)
+    clusteredSurvivorsBy(collapsed,
+      ngramJaccardPairs(collapsed, idCol, textCol, shingleSize, threshold),
+      idCol, score)
+  }
+
+  /** Stage 1 of [[bandedSurvivorsBy]]: collapse near-identical clusters
+    * (exact Jaccard >= `preThreshold`) to their min-id doc via verified
+    * banded-MinHash star edges + connected components. Returns the
+    * surviving rows of `docs` (all columns). Linear in corpus size for
+    * any cluster density — no pairwise expansion anywhere.
+    */
+  def bandedPreCollapse(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, preThreshold: Double = 0.9,
+                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    val shingled = docs.select(col(idCol),
+      hashedShingles(col(textCol), shingleSize).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // banding + both verify joins
+    val banded = shingled
+      .select(col(idCol), minhashSignatureHashed(col("sh"), numHashes).as("sig"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
+      .toDF(idCol, "band", "bucket")
+    // bucket representative via groupBy + join back (NOT a window: the
+    // hot-bucket skew must stay AQE-splittable; singleton buckets die in
+    // the inner-join filter below). No maxBucket cap — star edges are
+    // linear in bucket size, so degenerate buckets cost O(k), not O(k²).
+    val reps = banded.groupBy("band", "bucket")
+      .agg(min(col(idCol)).as("id_a"), count(lit(1)).as("__bn"))
+      .filter(col("__bn") >= 2)
+      .drop("__bn")
+    val star = banded.join(reps, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("id_a"))
+      .select(col("id_a"), col(idCol).as("id_b"))
+      .distinct() // cross-band repeats collapse BEFORE the array joins
+    val verified = star
+      .join(shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(size(col("sh_a")) >= ceil(lit(preThreshold) * size(col("sh_b"))) &&
+        size(col("sh_b")) >= ceil(lit(preThreshold) * size(col("sh_a"))))
+      .filter(jaccardHashed(col("sh_a"), col("sh_b")) >= preThreshold)
+      .select("id_a", "id_b")
+    // non-survivors = paired docs that are not their component's min id;
+    // the complement never enters the CC loop (subgraph-sized labels)
+    val sub = componentLabels(verified, idCol)
+    val dropped = sub.filter(col(idCol) =!= col("component")).select(idCol)
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** EXACT n-gram Jaccard dedup with prefix filtering (the classic
     * similarity-join pruning of Chaudhuri/Ganti/Kaushik and PPJoin):
     * under a single global shingle order, two sets with J >= t MUST share

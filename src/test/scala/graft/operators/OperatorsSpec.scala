@@ -220,6 +220,39 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(2L, 4L, 5L, 7L))
   }
 
+  test("bandedSurvivorsBy: dense pre-collapse + exact transitive (d13)") {
+    import spark.implicits._
+    // {1,2,3}: near-identical replica family (pairwise J >= 0.93) — stage 1
+    // collapses it to min id 1 even though 2 has the best quality (the
+    // documented semantics: at preThreshold the copies differ by a token,
+    // quality differences inside the family are noise). 10: moderately
+    // similar to the family (J(1,10) = 26/30 = 0.867 — below 0.9, above
+    // 0.8), better quality than 1 — stage 2's argmax must pick it.
+    val base = (0 until 30).map(i => s"a$i").mkString(" ")
+    val mod = ((0 until 28).map(i => s"a$i") ++ Seq("b0", "b1")).mkString(" ")
+    val corpus = Seq(
+      (1L, base, 0.5), (2L, base + " x1", 0.99), (3L, base + " x2", 0.4),
+      (10L, mod, 0.9),
+      (20L, (0 until 30).map(i => s"c$i").mkString(" "), 0.1),
+      (21L, (0 until 30).map(i => s"d$i").mkString(" "), 0.2))
+      .toDF("doc_id", "text", "q")
+    val kept = Dedup.bandedSurvivorsBy(corpus, "doc_id", "text", col("q"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 20L, 21L))
+    // contrast with single-stage d12 on the same corpus: there the whole
+    // {1,2,3,10} component resolves by quality alone and the family's
+    // best copy (2) survives — d13 trades that for pair-linear scaling
+    val d12 = Dedup.clusteredSurvivorsBy(corpus,
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text"), "doc_id", col("q"))
+      .collect().map(_.getLong(0)).toSet
+    assert(d12 == Set(2L, 20L, 21L))
+    // stage 1 alone: the replica family collapses to its min id, the
+    // moderate pair (1,10) must SURVIVE pre-collapse intact
+    val pre = Dedup.bandedPreCollapse(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pre == Set(1L, 10L, 20L, 21L))
+  }
+
   test("embedding near-dup dedup keeps min-id survivors") {
     val pairs = Similarity.cosineNearDupPairs(embs, 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
