@@ -16,8 +16,14 @@ import graft.core._
   *
   * The run tag is the logical date: midnight tags hydrate a Day
   * calendar, intra-day tags an Hour calendar (the reference passes
-  * `run date` the same way, cli.py:286-343). A job without a configured
-  * pipeline fails the run (status E) rather than vanishing silently.
+  * `run date` the same way, cli.py:286-343).
+  *
+  * Execution order mirrors the reference's `_run` (core.py:1640-1649):
+  * the job's registered [[JobScripts]] body runs FIRST (the reference's
+  * `script.py`, the primary job format), then the DB-configured
+  * pipeline if one exists. A job with neither fails the run (status E)
+  * rather than vanishing silently; a script throw fails it before the
+  * pipeline starts, like an exec_module error.
   */
 final class PipelineJobRunner(spark: SparkSession, repo: Repository,
                               sources: SourceRegistry, ledger: Ledger)
@@ -29,6 +35,8 @@ final class PipelineJobRunner(spark: SparkSession, repo: Repository,
     val t = LocalDateTime.ofEpochSecond(tag, 0, ZoneOffset.UTC)
     val cal: CalendarDate =
       if (tag % 86400 == 0) Calendar.Day(t) else Calendar.Hour(t)
+    val script = JobScripts.resolve(job.name)
+    script.foreach(body => body(spark, cal))
     repo.loadPipeline(job.id, sources, ledger) match {
       case Some(pipeline) =>
         val task = pipeline.run(spark, cal, runId)
@@ -36,7 +44,9 @@ final class PipelineJobRunner(spark: SparkSession, repo: Repository,
           throw new IllegalStateException(
             s"pipeline for job ${job.id} finished ${task.status}")
       case None =>
-        throw new IllegalStateException(s"no pipeline configured for job ${job.id}")
+        if (script.isEmpty)
+          throw new IllegalStateException(
+            s"job ${job.id}: no script registered and no pipeline configured")
     }
   }
 }

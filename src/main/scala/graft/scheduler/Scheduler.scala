@@ -377,11 +377,17 @@ final class Scheduler(runner: JobRunner,
     // caller does post-drain (observed: a fired pipeline overwriting its
     // output dir while the caller read it back). Join the loop thread
     // first so no new work can arrive mid-drain. (Skip while ticking is
-    // still on — then drain only means "current queue empty".)
+    // still on — then drain only means "current queue empty".) The
+    // reference is cleared only once the thread is CONFIRMED dead: a
+    // tick outliving the join window used to both leave the race open
+    // and make a retry drain() skip the join entirely.
     if (!alive.get())
-      Option(tickThread.getAndSet(null))
+      Option(tickThread.get())
         .filter(_ != Thread.currentThread())
-        .foreach(_.join(2000))
+        .foreach { th =>
+          while (th.isAlive && System.nanoTime() < deadline) th.join(100)
+          if (!th.isAlive) tickThread.compareAndSet(th, null)
+        }
     while (System.nanoTime() < deadline) {
       if (inFlight.isEmpty && waiting.isEmpty) return true
       Thread.sleep(10)
@@ -389,16 +395,22 @@ final class Scheduler(runner: JobRunner,
     inFlight.isEmpty
   }
 
-  /** Wall-clock loop at 1 Hz (core.py:552-560, 812-833). */
+  /** Wall-clock loop at 1 Hz over a MONOTONIC moment counter
+    * (core.py:552-560, 812-833): each pass ticks `moment` then advances
+    * it via [[Scheduler.resync]] against the wall clock — one fire per
+    * second under jitter, a resync (skip forward, never a replay burst)
+    * when the loop falls behind, and no duplicated fires when the wall
+    * clock steps backwards. */
   def start(): Thread = {
     alive.set(true)
     val th = new Thread(() => {
+      var moment = System.currentTimeMillis() / 1000L
       while (alive.get()) {
-        val moment = System.currentTimeMillis() / 1000L
         try tick(moment) catch { case NonFatal(_) => }
         val next = (moment + 1) * 1000L
         val sleep = next - System.currentTimeMillis()
         if (sleep > 0) Thread.sleep(sleep)
+        moment = Scheduler.resync(moment, System.currentTimeMillis() / 1000L)
       }
     }, "graft-scheduler")
     th.setDaemon(true)
@@ -418,5 +430,28 @@ final class Scheduler(runner: JobRunner,
     alive.set(false)
     pool.shutdown()
     timeoutPool.shutdown()
+  }
+}
+
+object Scheduler {
+
+  /** Next tick moment, given the last ticked moment and the wall clock —
+    * the reference's `_timeshift`/`_synchronize`/`_increment`
+    * (core.py:812-832). Normally the counter just increments, so every
+    * scheduler second fires exactly once under sub-tolerance jitter
+    * (long tick, late wakeup). When the loop has fallen behind the wall
+    * clock by more than `toleranceSeconds` — suspended JVM, multi-second
+    * GC pause, clock stepped forward — it RESYNCs to the wall clock: the
+    * stale seconds are skipped, never replayed as a burst of catch-up
+    * fires (the reference's sleep(1-delay) ValueError -> _synchronize
+    * path). A backwards wall-clock step never rewinds the counter: the
+    * loop idles until real time catches up rather than firing the same
+    * moments twice (the reference sleeps out the positive wait the same
+    * way).
+    */
+  def resync(lastMoment: Long, wallSeconds: Long,
+             toleranceSeconds: Long = 2L): Long = {
+    val expected = lastMoment + 1
+    if (wallSeconds - expected > toleranceSeconds) wallSeconds else expected
   }
 }

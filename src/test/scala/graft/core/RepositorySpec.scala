@@ -1,5 +1,7 @@
 package graft.core
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import graft.scheduler.{Cron, JobSpec}
 
@@ -85,5 +87,57 @@ class RepositorySpec extends SparkSpec {
     assert(p.run(spark, Calendar.day("2023-01-01")).status == Status.Done)
     assert(spark.read.json(s"$out/r").count() == 5)
     assert(repo.loadPipeline(9999L, new SourceRegistry).isEmpty)
+  }
+
+  test("fired job runs its registered script body, then the pipeline (core.py:1640-1649)") {
+    import graft.scheduler._
+    val repo = new Repository(db)
+    val ledger = new JdbcLedger(db)
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sched = new Scheduler(
+      new PipelineJobRunner(spark, repo, new SourceRegistry, ledger),
+      executorThreads = 2, ledger = Some(ledger))
+    // script-ONLY job: user code is the reference's primary job format —
+    // no configured pipeline needed for the run to be D
+    val soId = repo.saveJob(JobSpec(0L, "script-only"))
+    JobScripts.register("script-only") { (s, cal) =>
+      order.add(s"script-only:${cal.getClass.getSimpleName}:${s eq spark}")
+    }
+    // script + pipeline job: the script runs FIRST, then the pipeline
+    val out = java.nio.file.Files.createTempDirectory("scripted").toString
+    val spId = repo.saveJob(JobSpec(0L, "scripted-etl"))
+    repo.savePipeline(spId, "p", Seq(
+      PipelineConfig.NodeConfig("src", "Parquet", 1,
+        Map("path" -> sf("region"))),
+      PipelineConfig.NodeConfig("dst", "JSON", 2,
+        Map("path" -> s"$out/r"))))
+    JobScripts.register("scripted-etl") { (_, _) => order.add("pre-pipeline") }
+    try {
+      val midnight = 1678838400L // 2023-03-15T00:00:00Z -> Day calendar
+      for (id <- Seq(soId, spId))
+        sched.charge(repo.loadJobs().find(_.id == id).get, midnight)
+      assert(sched.drain())
+      assert(sched.history.asScala.forall(_._2 == Status.Done))
+      // ledger run rows written under the scheduler-issued run ids
+      assert(ledger.lastRun(soId).exists { case (_, tag, st) =>
+        tag == midnight && st == Status.Done })
+      assert(ledger.lastRun(spId).exists(_._3 == Status.Done))
+      assert(order.asScala.toSet ==
+        Set("script-only:Day:true", "pre-pipeline"))
+      assert(spark.read.json(s"$out/r").count() == 5) // pipeline ran after
+      // a throwing script fails the run (status E) before the pipeline
+      JobScripts.register("scripted-etl") { (_, _) => sys.error("boom") }
+      sched.charge(repo.loadJobs().find(_.id == spId).get, midnight + 86400L)
+      assert(sched.drain())
+      assert(sched.history.asScala.last._2 == Status.Error)
+      // neither script nor pipeline -> E, not a silent vanish
+      val bare = repo.saveJob(JobSpec(0L, "bare"))
+      sched.charge(repo.loadJobs().find(_.id == bare).get, midnight)
+      assert(sched.drain())
+      assert(sched.history.asScala.last._2 == Status.Error)
+    } finally {
+      JobScripts.clear()
+      sched.stop()
+    }
   }
 }

@@ -131,6 +131,36 @@ class SchedulerSpec extends AnyFunSuite {
     s.stop()
   }
 
+  test("clock resync: jumps skip forward; jitter and backward steps never double-fire") {
+    // the pure advance rule (core.py:812-832 twin)
+    assert(Scheduler.resync(100, 101) == 101) // normal: counter increments
+    assert(Scheduler.resync(100, 103) == 101) // sub-tolerance lag: no skip
+    assert(Scheduler.resync(100, 200) == 200) // suspended JVM: resync forward
+    assert(Scheduler.resync(100, 50) == 101)  // wall stepped back: monotonic
+    // replay a jumped wall-clock series through the loop's advance rule:
+    // ticked moments must be strictly increasing (a backward step or
+    // resync can never re-fire a moment) and a suspension must be
+    // SKIPPED, not replayed as a burst of catch-up fires
+    val walls = Seq(101L, 102L, 103L, 500L, 501L, 499L, 502L)
+    var moment = 100L
+    val ticked = scala.collection.mutable.ListBuffer(moment)
+    walls.foreach { w =>
+      moment = Scheduler.resync(moment, w)
+      ticked += moment
+    }
+    assert(ticked.toList ==
+      List(100L, 101L, 102L, 103L, 500L, 501L, 502L, 503L))
+    assert(ticked.toList == ticked.toList.sorted && ticked.distinct == ticked)
+    // and an every-second job fed those moments fires exactly once each
+    val rec = new Recorder
+    val s = new Scheduler(rec, executorThreads = 2)
+    s.register(JobSpec(1, "every-second"))
+    ticked.foreach(s.tick)
+    assert(s.drain())
+    assert(rec.runs.asScala.map(_._2).toList.sorted == ticked.toList)
+    s.stop()
+  }
+
   test("rerun: failed run retries on the interval, bounded by rerun_limit") {
     val rec = new Recorder
     rec.fail = Set(1L)
