@@ -59,22 +59,36 @@ object CorpusQueries {
     "v01_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(mediaOf(s, dir, "video"), n = 4)),
 
-    // Multimodal resize: normalize-resolution step; the gate checks the
-    // byte accounting (stub: max(1, min(len, w*h/64))) and the metadata
-    // width/height rewrite through the mediaSchema roundtrip.
+    // Multimodal resize on REAL images (ImageIoCodec over JDK imageio):
+    // one 32x24 grayscale PNG per doc with pixel(x,y) = (7x+13y+31id)%256,
+    // nearest-neighbor resized to 16x12, re-encoded, RE-DECODED — the
+    // gate hashes the decoded dimensions and mean luminance, which the
+    // oracle recomputes from the pixel formula. Proves the whole
+    // encode -> decode -> integer-NN-resize -> encode -> decode loop on
+    // real PNG bytes (v01 keeps the stub byte-accounting path for the
+    // video modality, whose decoder is genuinely out of env).
     "v02_media_resize" -> ((s, dir) =>
-      Multimodal.resize(mediaOf(s, dir, "image"), w = 64, h = 48)
-        .select(col("media_id"), col("modality"),
-          length(col("bytes")).cast("long").as("n_bytes"),
-          col("meta.width").as("width"), col("meta.height").as("height"))),
+      Multimodal.decodedStats(
+        Multimodal.resize(
+          Multimodal.syntheticImages(
+            docs(s, dir).select("doc_id"), "doc_id", w = 32, h = 24),
+          w = 16, h = 12, codec = Multimodal.ImageIoCodec))),
 
-    // Multimodal feature extraction: the gate checks ids/modality/byte
-    // accounting through the batched featurize path; the feature floats
-    // themselves are content-addressed-exactness-tested in SurfacesSpec
-    // (not SQL-expressible — 64-bit splitmix overflow semantics).
+    // Multimodal featurization on REAL images: 8 horizontal-band
+    // luminance means of the decoded 32x24 PNG (integer sums, one double
+    // division, float rounding last) — exploded to (media_id, band, f)
+    // so the oracle recomputes every feature value from the pixel
+    // formula. The stub path keeps its content-addressed exactness test
+    // in SurfacesSpec.
     "v03_media_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(mediaOf(s, dir, "image"), dim = 8)
-        .select("media_id", "modality", "n_bytes")),
+      Multimodal.extractFeatures(
+          Multimodal.syntheticImages(
+            docs(s, dir).select("doc_id"), "doc_id", w = 32, h = 24),
+          dim = 8, codec = Multimodal.ImageIoCodec)
+        .select(col("media_id"), posexplode(col("feature")))
+        .toDF("media_id", "band", "f")
+        .select(col("media_id"), col("band"),
+          col("f").cast("double").as("f"))),
 
     // Token counting + quality signals, one narrow codegen'd projection.
     "t01_token_stats" -> ((s, dir) => {
@@ -384,16 +398,30 @@ object CorpusQueries {
          (CAST(g.i AS BIGINT) * coalesce(octet_length(encode(d.text)), 0)) // 4
            AS frame_offset
          FROM documents d, (SELECT unnest(range(4)) AS i) g""",
+    // decoded-roundtrip twin: resized pixel (x,y) = source(2x, 2y) =
+    // (14x + 26y + 31*id) % 256 over the 16x12 target raster
     "v02_media_resize" ->
-      """SELECT doc_id AS media_id, 'image' AS modality,
-         greatest(1, least(coalesce(octet_length(encode(text)), 0), 48))
-           AS n_bytes,
-         CAST(64 AS INTEGER) AS width, CAST(48 AS INTEGER) AS height
-         FROM documents""",
+      """WITH px AS (
+           SELECT d.doc_id, (14*x.x + 26*y.y + 31*d.doc_id) % 256 AS g
+           FROM documents d,
+             (SELECT unnest(generate_series(0, 15)) AS x) x,
+             (SELECT unnest(generate_series(0, 11)) AS y) y)
+         SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS width,
+           CAST(12 AS INTEGER) AS height,
+           CAST(SUM(g) AS DOUBLE) / 192 AS mean_gray
+         FROM px GROUP BY doc_id""",
+    // band-mean twin: band = y // 3 over the 32x24 source raster;
+    // double mean then REAL (float) rounding, matching the codec
     "v03_media_features" ->
-      """SELECT doc_id AS media_id, 'image' AS modality,
-         coalesce(octet_length(encode(text)), 0) AS n_bytes
-         FROM documents""",
+      """WITH px AS (
+           SELECT d.doc_id, y.y // 3 AS band,
+             (7*x.x + 13*y.y + 31*d.doc_id) % 256 AS g
+           FROM documents d,
+             (SELECT unnest(generate_series(0, 31)) AS x) x,
+             (SELECT unnest(generate_series(0, 23)) AS y) y)
+         SELECT doc_id AS media_id, CAST(band AS INTEGER) AS band,
+           CAST(CAST(CAST(SUM(g) AS DOUBLE) / count(*) AS REAL) AS DOUBLE) AS f
+         FROM px GROUP BY doc_id, band""",
     "t01_token_stats" ->
       s"""SELECT doc_id,
          CAST(len($toks) AS INTEGER) AS n_tokens,

@@ -238,6 +238,41 @@ class SurfacesSpec extends SparkSpec {
     assert(rr(1).getAs[Row]("meta").getAs[Long]("duration_ms") == 1000L)
   }
 
+  test("ImageIoCodec: real PNG decode, exact NN resize, band features, fallback") {
+    import Multimodal.ImageIoCodec
+    // a real 4x4 PNG with known pixels
+    val png = Multimodal.syntheticGrayPng(1L, 4, 4)
+    def px(x: Int, y: Int) = ((7 * x + 13 * y + 31) % 256)
+    assert(ImageIoCodec.dimensions(png).contains((4, 4)))
+    // decoded mean is the formula mean — the bytes really decode
+    val (w, h, mean) = ImageIoCodec.stats(png).get
+    val want = (for (y <- 0 until 4; x <- 0 until 4) yield px(x, y)).sum / 16.0
+    assert((w, h) == (4, 4) && mean == want)
+    // NN resize to 2x2 picks sources (0,0),(2,0),(0,2),(2,2), exactly
+    val small = ImageIoCodec.resize(png, 2, 2)
+    assert(ImageIoCodec.dimensions(small).contains((2, 2)))
+    val (_, _, smean) = ImageIoCodec.stats(small).get
+    assert(smean == Seq(px(0, 0), px(2, 0), px(0, 2), px(2, 2)).sum / 4.0)
+    // band features: 2 bands of 2 rows each
+    val f = ImageIoCodec.features(png, 2)
+    assert(f(0) == ((for (y <- 0 to 1; x <- 0 to 3) yield px(x, y)).sum / 8.0).toFloat)
+    assert(f(1) == ((for (y <- 2 to 3; x <- 0 to 3) yield px(x, y)).sum / 8.0).toFloat)
+    // non-image payloads fall back to the stub (same values as StubCodec)
+    val junk = Array.fill[Byte](32)(9)
+    assert(ImageIoCodec.features(junk, 4).toSeq ==
+      Multimodal.StubCodec.features(junk, 4).toSeq)
+    assert(ImageIoCodec.resize(junk, 8, 8).toSeq ==
+      Multimodal.StubCodec.resize(junk, 8, 8).toSeq)
+    assert(ImageIoCodec.dimensions(junk).isEmpty)
+    // end to end through the operator: resized fixture decodes at target
+    val media = Multimodal.syntheticImages(
+      spark.range(3).toDF("id"), "id", 6, 4)
+    val out = Multimodal.resize(media, 3, 2, ImageIoCodec)
+      .orderBy("media_id").collect()
+    assert(out.forall(r => ImageIoCodec.dimensions(
+      r.getAs[Array[Byte]]("bytes")).contains((3, 2))))
+  }
+
   test("multimodal ingestion adapter from binaryFile-shaped rows") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
