@@ -29,8 +29,10 @@ import graft.scheduler._
   * (pd_pipeline_config/pd_node_config) and executes it in-process with
   * run/task/step ledger rows — the reference's `run job <id> date <d>`
   * (cli.py:286-343) without the subprocess hop (SURVEY.md §7.4.5).
-  * Live-run cancellation is a scheduler-process concern: use the REST
-  * surface (`/api/cancel-run`) against a running [[scheduler.RestServer]].
+  * Live-engine verbs (cancel-run/cancel-job/cancel-jobs/
+  * restart-scheduler) reach the running `serve` process over its REST
+  * surface, discovered from the pd_components registry — the same
+  * CLI-drives-API shape as the reference (cli.py:361-397).
   */
 object Cli {
 
@@ -152,6 +154,72 @@ object Cli {
         out.println(s"deactivated run ${rest(0)}")
         0
 
+      // live-engine verbs (cli.py:169-210, 361-397): the reference CLI
+      // drives its RUNNING scheduler through the API server; here the
+      // engine's REST url comes from the pd_components registry that a
+      // `serve` process stamps on startup (or an explicit url=).
+      case "cancel-run" | "cancel-job" | "cancel-jobs" | "restart-scheduler" =>
+        val base = kv.get("url")
+          .orElse(ledger.componentStatus("RESTAPI").flatMap(_._3))
+          .getOrElse {
+            out.println("no running RESTAPI registered in pd_components; " +
+              "pass url=<http://host:port>")
+            return 1
+          }
+        val token = kv.getOrElse("token", "graft")
+        def post(path: String, form: (String, String)*): (Int, String) =
+          restPost(base, token, path, form.toMap)
+        command.head match {
+          case "cancel-run" => // cli.py:379-387
+            val (c, b) = post("/api/cancel-run", "run_id" -> rest(0))
+            out.println(b); if (c == 200) 0 else 1
+          case "cancel-job" => // cli.py:361-369: all running runs of one job
+            val (c, b) = post("/api/cancel-job", "id" -> rest(0))
+            out.println(b); if (c == 200) 0 else 1
+          case "cancel-jobs" => // cli.py:371-377: every running run
+            val (c, b) = post("/api/cancel-jobs")
+            out.println(b); if (c == 200) 0 else 1
+          case _ => // restart-scheduler (cli.py:169-174): stop, then start
+            val (_, b1) = post("/api/stop-scheduler")
+            val (c2, b2) = post("/api/start-scheduler")
+            out.println(s"$b1 $b2"); if (c2 == 200) 0 else 1
+        }
+
+      case "create-config" => // cli.py:399-406: global config skeleton
+        val path = rest.headOption.getOrElse("graft.ini")
+        GraftConfig.writeSkeleton(path, dbUrl = Some(url))
+        out.println(s"global config created ($path)")
+        0
+
+      case "edit-config" => // cli.py:408-426; spawn $EDITOR only on a real
+        // terminal, print the path in headless runs (tests, pipes)
+        val path = rest.headOption.getOrElse("graft.ini")
+        val exists = new java.io.File(path).exists
+        sys.env.get("EDITOR") match {
+          case Some(ed) if exists && System.console() != null =>
+            new ProcessBuilder(ed, path).inheritIO().start().waitFor()
+            out.println(s"edited $path"); 0
+          case _ =>
+            out.println(if (exists) s"edit $path with your editor"
+              else s"$path not found — run create-config first")
+            if (exists) 0 else 1
+        }
+
+      case "edit-script" => // cli.py:212-230: the per-job user script; the
+        // JVM twin is a registered JobScripts body — report its status
+        // and the registration incantation
+        repo.loadJobs().find(_.id == rest(0).toLong) match {
+          case None => out.println(s"no job ${rest(0)}"); 1
+          case Some(j) =>
+            out.println(
+              if (JobScripts.resolve(j.name).isDefined)
+                s"job ${j.id} ('${j.name}') has a registered script body"
+              else s"job ${j.id} ('${j.name}') has no script body; register " +
+                s"""one at startup: JobScripts.register("${j.name}") """ +
+                "{ (spark, date) => ... }")
+            0
+        }
+
       case "serve" =>
         // the engine process (reference: scheduler.py + web.py behind one
         // launch): scheduler ticking, config-driven pipelines executing
@@ -253,6 +321,25 @@ object Cli {
     }
   }
 
+  /** Minimal bearer-token form POST against the engine's REST surface. */
+  private def restPost(base: String, token: String, path: String,
+                       form: Map[String, String]): (Int, String) = {
+    val conn = java.net.URI.create(base + path).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Authorization", s"Bearer $token")
+    val body = form.map { case (k, v) =>
+      k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
+    conn.getOutputStream.write(body.getBytes("UTF-8"))
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = new String(
+      Option(is).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8")
+    conn.disconnect()
+    (code, text)
+  }
+
   private def runOne(jobId: Long, kv: Map[String, String], repo: Repository,
                      ledger: JdbcLedger, out: PrintStream): Int = {
     val cal = kv.get("date").map(Calendar.day).getOrElse(Calendar.today())
@@ -286,6 +373,13 @@ object Cli {
     "run-job" -> "run-job <id> [date=yyyy-MM-dd] — execute the job's pipeline now",
     "run-jobs" -> "run every enabled job [date=yyyy-MM-dd]",
     "deactivate-run" -> "deactivate-run <runId> — exclude a W/E/T run from reruns",
+    "cancel-run" -> "cancel-run <runId> [url=|token=] — interrupt a RUNNING run via the live engine",
+    "cancel-job" -> "cancel-job <id> [url=|token=] — cancel every running run of a job",
+    "cancel-jobs" -> "cancel-jobs [url=|token=] — cancel every running run of every job",
+    "restart-scheduler" -> "restart-scheduler [url=|token=] — stop then start the live tick loop",
+    "create-config" -> "create-config [path] — write the global config skeleton",
+    "edit-config" -> "edit-config [path] — open in $EDITOR (headless: print the path)",
+    "edit-script" -> "edit-script <jobId> — report the job's registered script body",
     "install" -> "install [dir] — write graft.ini/sources.ini skeletons + create schema",
     "serve" -> "serve [config=ini] [port=] [token=] [duration=sec] — scheduler + REST engine process",
     "status" -> "show SCHEDULER/RESTAPI component liveness (pd_components)",
@@ -302,6 +396,8 @@ object Cli {
       |  configure-pipeline <jobId> <nodesJson>
       |  run-job <id> [date=yyyy-MM-dd] | run-jobs [date=yyyy-MM-dd]
       |  deactivate-run <runId> | status
+      |  cancel-run <runId> | cancel-job <id> | cancel-jobs | restart-scheduler   (live engine via REST)
+      |  create-config [path] | edit-config [path] | edit-script <jobId>
       |  create-repo <dir> [remote=<url>] | push-repo <dir> [message=<m>] | pull-repo <dir>
       |  history | help [verb]""".stripMargin
 }

@@ -33,7 +33,13 @@ final case class RemoteStat(path: String, name: String, isDir: Boolean,
   * the loopback test double for protocols whose client libraries are not
   * vendorable here (SFTP needs an SSH implementation; register a
   * jsch/sshj-backed RemoteFs under the "sftp" scheme in one line via
-  * [[RemoteFsRegistry.register]]).
+  * [[RemoteFsRegistry.register]]). The behavioral bar for ANY
+  * registration is executable: `RemoteFsContract` (test sources) runs
+  * the same integration-contract suite — byte-exact streaming, list/stat
+  * semantics, rename/delete behavior, two-handle transfers — against
+  * every shipped endpoint, and `SftpContractSpec` instantiates it over
+  * whatever factory the "sftp" scheme resolves to; a production SFTP
+  * client must pass it unchanged.
   */
 trait RemoteFs extends AutoCloseable {
   /** Endpoint host for metadata rows (reference's fileinfo host field,

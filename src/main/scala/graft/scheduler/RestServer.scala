@@ -20,6 +20,9 @@ import scala.jdk.CollectionConverters._
   *   POST /api/disable-job   - param: id
   *   POST /api/run-job       - params: id, tag (epoch seconds)
   *   POST /api/cancel-run    - param: run_id (interrupt a running run)
+  *   POST /api/cancel-job    - param: id (cancel every running run of a
+  *                             job — api.py:389-404)
+  *   POST /api/cancel-jobs   - cancel every running run of every job
   *   POST /api/deactivate-run - param: run_id (drop a W/E/T run —
   *                             web.py:293-308)
   *   POST /api/start-scheduler - begin the tick loop (web.py:173-183)
@@ -63,7 +66,8 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
 
   private val endpoints = Seq("/api/test", "/api/help", "/api/jobs",
     "/api/create-job", "/api/enable-job", "/api/disable-job",
-    "/api/run-job", "/api/cancel-run", "/api/deactivate-run",
+    "/api/run-job", "/api/cancel-run", "/api/cancel-job",
+    "/api/cancel-jobs", "/api/deactivate-run",
     "/api/start-scheduler", "/api/stop-scheduler",
     "/api/history", "/api/sync-repo")
 
@@ -109,6 +113,12 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
         case "/api/cancel-run" =>
           val ok = driver.scheduler.cancel(params(ex)("run_id").toLong)
           respond(ex, if (ok) 200 else 404, s"""{"canceled":$ok}""")
+        case "/api/cancel-job" => // api.py:389-404
+          val n = driver.cancelJob(params(ex)("id").toLong)
+          respond(ex, 200, s"""{"canceled":$n}""")
+        case "/api/cancel-jobs" =>
+          val n = driver.cancelJobs()
+          respond(ex, 200, s"""{"canceled":$n}""")
         case "/api/deactivate-run" => // web.py:293-308
           val ok = driver.deactivateRun(params(ex)("run_id").toLong)
           respond(ex, if (ok) 200 else 404, s"""{"deactivated":$ok}""")

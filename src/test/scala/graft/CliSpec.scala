@@ -140,6 +140,71 @@ class CliSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("live-engine verbs: cancel-run/-job/-jobs + restart-scheduler over REST; config/script verbs") {
+    import graft.scheduler._
+    val liveUrl = "jdbc:derby:memory:graftcli4;create=true"
+    val db = DatabaseSource("clidb4", liveUrl)
+    val ledger = new JdbcLedger(db)
+    val runner: JobRunner = (_, _) => Thread.sleep(60000) // until canceled
+    val sched = new Scheduler(runner, executorThreads = 4, ledger = Some(ledger))
+    val driver = new Driver(sched)
+    val srv = new RestServer(driver, token = "graft").start() // stamps url
+    val out = new ByteArrayOutputStream()
+    val ps = new PrintStream(out, true, "UTF-8")
+    def text = new String(out.toByteArray, "UTF-8")
+    def waitUntil(cond: => Boolean): Unit = {
+      val dl = System.nanoTime() + 10000000000L
+      while (!cond && System.nanoTime() < dl) Thread.sleep(20)
+      assert(cond)
+    }
+    try {
+      val job = JobSpec(7L, "sleeper", parallelism = "Y")
+      driver.createJob(job)
+      // cancel-run: CLI -> pd_components url -> REST -> thread interrupt
+      val r1 = sched.charge(job, 1700000000L).get
+      waitUntil(sched.runningRunIds(7L).contains(r1.runId))
+      assert(Cli.execute(liveUrl, Seq("cancel-run", r1.runId.toString), ps) == 0)
+      waitUntil(sched.history.size == 1)
+      assert(sched.history.peek()._2 == core.Status.Canceled)
+      // cancel-job: both running runs of job 7 go C
+      sched.charge(job, 1700000001L); sched.charge(job, 1700000002L)
+      waitUntil(sched.runningRunIds(7L).size == 2)
+      assert(Cli.execute(liveUrl, Seq("cancel-job", "7"), ps) == 0)
+      waitUntil(sched.history.size == 3)
+      // cancel-jobs: the bulk sweep
+      sched.charge(job, 1700000003L)
+      waitUntil(sched.runningRunIds(7L).size == 1)
+      assert(Cli.execute(liveUrl, Seq("cancel-jobs"), ps) == 0)
+      waitUntil(sched.history.size == 4)
+      assert(text.contains("\"canceled\""))
+      // restart-scheduler: stop (not ticking -> false) then start -> ticking
+      assert(Cli.execute(liveUrl, Seq("restart-scheduler"), ps) == 0)
+      waitUntil(sched.isAlive)
+      driver.stopScheduler()
+      // an explicit url= override also reaches the engine
+      assert(Cli.execute(liveUrl, Seq("cancel-run", "99999",
+        s"url=http://127.0.0.1:${srv.boundPort}"), ps) // unknown run -> 404
+        == 1)
+    } finally { srv.stop(); sched.stop() }
+
+    // config/script one-shots (headless forms)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg").toString
+    assert(Cli.execute(liveUrl, Seq("create-config", s"$dir/graft.ini"), ps) == 0)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/graft.ini")))
+    assert(Cli.execute(liveUrl, Seq("edit-config", s"$dir/graft.ini"), ps) == 0)
+    assert(Cli.execute(liveUrl, Seq("edit-config", s"$dir/absent.ini"), ps) == 1)
+    val repo = new core.Repository(db)
+    val jid = repo.saveJob(JobSpec(0L, "scripted"))
+    assert(Cli.execute(liveUrl, Seq("edit-script", jid.toString), ps) == 0)
+    assert(text.contains("no script body"))
+    JobScripts.register("scripted") { (_, _) => () }
+    try {
+      assert(Cli.execute(liveUrl, Seq("edit-script", jid.toString), ps) == 0)
+      assert(text.contains("has a registered script body"))
+    } finally JobScripts.clear()
+    assert(Cli.execute(liveUrl, Seq("edit-script", "424242"), ps) == 1)
+  }
+
   test("scheduler/REST lifecycle updates pd_components liveness") {
     import graft.scheduler._
     val db = DatabaseSource("clidb3", "jdbc:derby:memory:graftcli3;create=true")
