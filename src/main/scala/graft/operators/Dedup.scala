@@ -126,14 +126,17 @@ object Dedup {
       // caching the (id, band, bucket) triples avoids recomputing the
       // upstream shingle+signature pipeline per reference
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Bucket-size cap via window count (one shuffle on (band, bucket),
-    // no separate aggregate+join): drop singleton buckets (no pairs) and
-    // pathological ones (boilerplate/empty docs, quadratic blowup).
-    val wb = Window.partitionBy("band", "bucket")
-    val inBucket = banded
-      .withColumn("__bn", count(lit(1)).over(wb))
+    // Bucket-size cap via groupBy + join back, NOT a window count:
+    // buckets are the skewed key here (boilerplate/empty docs) and AQE
+    // can split a skewed join partition but not a window partition — the
+    // t08 lesson. The partial agg collapses hot buckets map-side; the
+    // inner join drops singleton buckets (no pairs) and pathological
+    // ones (quadratic blowup) in one pass.
+    val okBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn").between(2, maxBucket))
-      .drop("__bn")
+      .select("band", "bucket")
+    val inBucket = banded.join(okBuckets, Seq("band", "bucket"))
     inBucket.as("a").join(inBucket.as("b"),
         col(s"a.band") === col(s"b.band") &&
         col(s"a.bucket") === col(s"b.bucket") &&
@@ -222,11 +225,13 @@ object Dedup {
             .bitwiseAND(lit((1L << width) - 1L))): _*)))
       .toDF(idCol, "fp", "chunk", "ckey")
       .persist(StorageLevel.MEMORY_AND_DISK) // 3 references, 32 bytes/row
-    val wb = Window.partitionBy("chunk", "ckey")
-    val inB = chunked
-      .withColumn("__bn", count(lit(1)).over(wb))
+    // bucket cap via groupBy + join (skew-splittable), not a window —
+    // same rationale as lshCandidates
+    val okB = chunked.groupBy("chunk", "ckey")
+      .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn").between(2, maxBucket))
-      .drop("__bn")
+      .select("chunk", "ckey")
+    val inB = chunked.join(okB, Seq("chunk", "ckey"))
     val pairs = inB.as("a").join(inB.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
@@ -531,11 +536,16 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK) // prefix build + verify joins
     val exploded = shingled.select(col(idCol), size(col("sh")).as("n"),
       explode(col("sh")).as("g"))
-    // global canonical order: rare shingles first (fewest candidates)
-    val wdf = Window.partitionBy("g")
+    // global canonical order: rare shingles first (fewest candidates).
+    // Shingle document-frequency via groupBy + join back — shingles are
+    // stop-word-skewed and a count().over(partitionBy(g)) window would
+    // be an unsplittable hot partition at scale (the t08 lesson); the
+    // partial agg collapses hot shingles map-side and the join's skew is
+    // AQE-splittable. The per-doc rank window is fine: its partitions
+    // are document-sized.
     val wdoc = Window.partitionBy(idCol).orderBy(col("__df").asc, col("g").asc)
-    val prefixes = exploded
-      .withColumn("__df", count(lit(1)).over(wdf))
+    val dfreq = exploded.groupBy("g").agg(count(lit(1)).as("__df"))
+    val prefixes = exploded.join(dfreq, Seq("g"))
       .withColumn("__rk", row_number().over(wdoc))
       // prefix length = n - ceil(t*n) + 1
       .filter(col("__rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
