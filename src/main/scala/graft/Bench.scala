@@ -49,8 +49,12 @@ object Bench {
         spans(i) = spans(i) :+ (w0, System.currentTimeMillis())
         // drop this query's persisted intermediates before the next run:
         // the queries' caches otherwise accumulate in executor storage
-        // and the eviction/spill churn bleeds into later queries' times
+        // and the eviction/spill churn bleeds into later queries' times.
+        // clearCache() misses RDD-level persists (localCheckpoint
+        // lineage cuts in the transitive-dedup family) — sweep those too.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         if (sec < 0) times(i) = -1.0
         else if (times(i) >= 0 && sec < times(i)) times(i) = sec
       }

@@ -39,13 +39,16 @@ object CorpusQueries {
     */
   private def annRecallGate(exact: DataFrame, approx: DataFrame,
                             floor: Double): DataFrame = {
-    val e = exact.select("query_id", "neighbor_id")
-    val a = approx.select("query_id", "neighbor_id")
-    a.agg(count_distinct(col("query_id")).as("n_queries"),
-        count(lit(1)).as("n_results"))
-      .crossJoin(a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("__hits")))
-      .crossJoin(e.agg(count(lit(1)).as("__exact")))
+    // ONE full-outer join + one aggregate — every count falls out of the
+    // same plan (no 1-row crossJoins to stitch scalars back together)
+    val e = exact.select(col("query_id"), col("neighbor_id"), lit(1).as("__e"))
+    val a = approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__a"))
+    a.join(e, Seq("query_id", "neighbor_id"), "full")
+      .agg(
+        count_distinct(when(col("__a") === 1, col("query_id"))).as("n_queries"),
+        count(col("__a")).as("n_results"),
+        count(when(col("__a") === 1 && col("__e") === 1, lit(1))).as("__hits"),
+        count(col("__e")).as("__exact"))
       .select(col("n_queries"), col("n_results"),
         (col("__hits") >= ceil(lit(floor) * col("__exact"))).as("floor_met"))
   }

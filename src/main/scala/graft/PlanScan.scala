@@ -11,6 +11,7 @@ object PlanScan {
     val intendedNlj = Set("s01_brute_topk", "s03_cosine_pairs",
       "s07_quantized_topk", "s08_pq_topk", // quantized scans: crossJoin(broadcast) by design
       "s10_range_search", // radius query: broadcast crossjoin by design
+      "s02_lsh_topk", "s04_ivf_topk", // recall gates EMBED the s01 brute reference scan
       "q16_subquery_avg", "q17_cross_join")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -26,9 +26,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop the query's persisted intermediates (64 queries' caches
-      // otherwise accumulate in executor storage)
+      // drop the query's persisted intermediates (the suite's caches
+      // otherwise accumulate in executor storage). clearCache() misses
+      // RDD-level persists (localCheckpoint lineage cuts in the
+      // transitive-dedup family) — sweep those explicitly.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
