@@ -477,6 +477,10 @@ object Dedup {
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .toDF(idCol, "band", "bucket")
+      // referenced by the rep aggregate AND the star join: without the
+      // pin the whole minhash-signature computation runs twice (the
+      // lshCandidates precedent)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // bucket representative via groupBy + join back (NOT a window: the
     // hot-bucket skew must stay AQE-splittable; singleton buckets die in
     // the inner-join filter below). No maxBucket cap — star edges are
@@ -497,8 +501,19 @@ object Dedup {
       .filter(jaccardHashed(col("sh_a"), col("sh_b")) >= preThreshold)
       .select("id_a", "id_b")
     // non-survivors = paired docs that are not their component's min id;
-    // the complement never enters the CC loop (subgraph-sized labels)
+    // the complement never enters the CC loop (subgraph-sized labels).
+    // A rep-graph contraction was tried here and REJECTED by measurement
+    // (NOTES.md round 5): at exactly the density this operator targets,
+    // minhash buckets fragment per band, so the representative set is
+    // corpus-scale — and projecting member edges onto rep-rep edges
+    // multiplies the edge list by member degree (~bands). The plain
+    // subgraph loop converges in 2-3 rounds and was 2-5x faster.
     val sub = componentLabels(verified, idCol)
+    // sub is eagerly materialized — the result plan below depends only
+    // on it, so the signature/shingle caches can release NOW instead of
+    // staying pinned for the operator's lifetime
+    banded.unpersist(blocking = false)
+    shingled.unpersist(blocking = false)
     val dropped = sub.filter(col(idCol) =!= col("component")).select(idCol)
     docs.join(dropped, Seq(idCol), "left_anti")
   }
