@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Decontaminate, Sampling}
+import graft.operators.{Decontaminate, Dedup, Sampling}
 
 /** Corpus-curation queries: the operators a training-data pipeline runs
   * AFTER cleaning/dedup — repetition-quality signals, PII scrubbing,
@@ -116,6 +116,36 @@ object CurationQueries {
     "p03_domain_mix" -> ((s, dir) => {
       Sampling.domainMix(docs(s, dir), "source", "doc_id", MixWeights)
         .select("doc_id", "source")
+    }),
+
+    // Temperature-style (alpha = 1/2) domain rebalancing: keep fractions
+    // DERIVED from per-source counts (min(1, sqrt(n_min/n))) instead of a
+    // hand-written weight map — the p03 complement. One tiny count agg,
+    // broadcast thresholds, pure hash filter.
+    "p07_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMix(docs(s, dir), "source", "doc_id")
+        .select("doc_id", "source")
+    }),
+
+    // Leakage-safe train/val/test split: split decided by the hash of the
+    // doc's SIMILARITY COMPONENT (min id over the d07-family closure), so
+    // near-duplicates never straddle train and a held-out split. 80/10/10.
+    "p08_leakage_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.leakageSafeSplit(d,
+        Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          shingleSize = 3, threshold = 0.8), "doc_id",
+        trainFrac = 0.8, valFrac = 0.1)
+    }),
+
+    // Per-language quality calibration: keep docs at or above their
+    // language's MEDIAN quality, the median taken over a 1000-bin
+    // histogram (a bounded partial aggregate — an exact per-group
+    // percentile would buffer every value of the group, unboundable at
+    // 100 TB). The cut is a bin edge: integer-exact end to end.
+    "t16_calibrated_quality" -> ((s, dir) => {
+      Sampling.calibratedQuantileFilter(docs(s, dir), "lang", "doc_id",
+        qualityScore(col("text")), bins = 1000, qNum = 1, qDen = 2)
     }),
 
     // Sequence packing pre-step: pack docs into ~1000-token shards per
@@ -371,6 +401,60 @@ object CurationQueries {
            $cases
            ELSE ${Sampling.fractionThreshold(1.0)} END)"""
     },
+    "p07_temperature_mix" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents
+             GROUP BY source),
+         m AS (SELECT min(n) AS nmin FROM c),
+         f AS (SELECT source,
+             CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+               sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)))
+               * ${Sampling.HashMod}.0) AS BIGINT) AS thr
+           FROM c, m)
+         SELECT doc_id, source FROM documents JOIN f USING (source)
+         WHERE $hashExpr < thr""",
+    "p08_leakage_safe_split" -> {
+      val compHash =
+        s"(component * ${Sampling.KnuthA}) % ${Sampling.HashMod}"
+      s"""WITH RECURSIVE
+         sh AS (SELECT doc_id, ${shingles(3)} AS grams FROM documents),
+         ex AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh),
+         prs AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sim AS (SELECT ida, idb FROM prs
+           WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+         edges AS (
+           SELECT ida AS src, idb AS dst FROM sim
+           UNION ALL SELECT idb, ida FROM sim
+           UNION ALL SELECT doc_id, doc_id FROM documents),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS doc_id, min(dst) AS component
+                  FROM reach GROUP BY src)
+         SELECT doc_id, component,
+           CASE WHEN $compHash < ${Sampling.fractionThreshold(0.8)}
+                  THEN 'train'
+                WHEN $compHash < ${Sampling.fractionThreshold(0.8 + 0.1)}
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM comp"""
+    },
+    "t16_calibrated_quality" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+           CAST(floor((${CorpusQueries.qualitySqlExpr}) * 1000.0) AS BIGINT)
+             AS bin FROM documents),
+         h AS (SELECT lang, bin, count(*) AS n FROM q GROUP BY 1, 2),
+         c AS (SELECT lang, bin,
+             sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS tot FROM h),
+         thr AS (SELECT lang, min(bin) AS thr_bin FROM c
+                 WHERE cum * 2 >= tot * 1 GROUP BY lang)
+         SELECT q.doc_id, q.lang, q.bin, thr.thr_bin
+         FROM q JOIN thr USING (lang) WHERE q.bin >= thr.thr_bin""",
     "p04_token_packing" ->
       s"""WITH t AS (SELECT doc_id, lang,
            CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),

@@ -394,6 +394,33 @@ object Dedup {
       .union(dupSurvivors)
   }
 
+  /** Leakage-safe train/val/test split: assign every doc a split decided
+    * by the deterministic hash of its similarity COMPONENT (min id), not
+    * its own id — so near-duplicates can never straddle train and a
+    * held-out split (the eval-contamination channel a per-doc hash split
+    * leaves wide open: a doc and its near-copy hash independently, and at
+    * realistic dup rates thousands of pairs land on opposite sides of the
+    * boundary). `pairs` is the verified similar-pair table from any dedup
+    * family (d03-d06); split fractions follow [[Sampling.splitHash]]'s
+    * exact integer thresholds, so the assignment is reproducible across
+    * engines, runs, and retries.
+    *
+    * Scale shape: the component loop runs on the duplicate subgraph only
+    * ([[componentLabels]]); the corpus-sized work is one left join against
+    * that subgraph-sized table (broadcast at realistic dup rates) plus a
+    * pure hash filter — no corpus shuffle beyond the pair family itself.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       trainFrac: Double, valFrac: Double): DataFrame = {
+    val comp = connectedComponents(docs.select(col(idCol)), pairs, idCol)
+    val h = Sampling.splitHash(col("component"))
+    comp.withColumn("split",
+      when(h < lit(Sampling.fractionThreshold(trainFrac)), lit("train"))
+        .when(h < lit(Sampling.fractionThreshold(trainFrac + valFrac)),
+          lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Release the pinned localCheckpoint behind a [[componentLabels]] (or
     * any checkpointed) result once the caller has fully consumed it —
     * long-lived drivers (schedulers, probes, bench loops) otherwise

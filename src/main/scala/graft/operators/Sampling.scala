@@ -111,6 +111,70 @@ object Sampling {
     */
   val EpochSalt = 1000003L
 
+  /** Temperature-style domain rebalancing (the mC4/T5 alpha-sampling
+    * scheme at alpha = 1/2): each group keeps fraction
+    * `min(1, sqrt(n_min / n_group))`, so a group 100x the smallest is
+    * downweighted 10x rather than capped by a hand-written weight map
+    * (the [[domainMix]] complement: rates DERIVED from the data, not
+    * configured). alpha is fixed at 1/2 deliberately — sqrt and division
+    * are correctly-rounded IEEE ops, so the keep threshold is bit-equal
+    * on any engine; a general `pow(x, alpha)` is not correctly rounded
+    * and could disagree in the last ulp across libm implementations.
+    *
+    * Scale shape: one partial-aggregated count shuffle whose output is
+    * |groups| rows, a broadcast of that tiny table back onto the scan,
+    * and a pure hash filter — the corpus itself is never shuffled.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val thresholds = counts.crossJoin(broadcast(nmin))
+      .withColumn("__thr",
+        floor(least(lit(1.0),
+          sqrt(col("__nmin").cast("double") / col("__n").cast("double")))
+          * lit(HashMod.toDouble)).cast("long"))
+      .select(col(groupCol), col("__thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(splitHash(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Per-group quantile-calibrated filter: keep rows whose `score` is at
+    * or above the group's q-quantile, with the quantile taken over a
+    * fixed-width histogram of `bins` buckets on [0, 1) (production
+    * quantiles at corpus scale: an exact sorted percentile per group
+    * buffers every value of the group — unboundable at 100 TB — while a
+    * histogram is a BOUNDED partial aggregate: at most `bins` rows per
+    * group cross the wire regardless of corpus size). The cut is a bin
+    * edge, so the whole computation stays in integer arithmetic any
+    * engine reproduces exactly.
+    *
+    * Returns rows with (idCol, groupCol, bin, thr_bin) where
+    * bin = floor(score * bins) and thr_bin is the group's smallest bin
+    * with cumulative count >= q of the group total.
+    *
+    * Scale shape: one bounded-cardinality aggregation (partial agg
+    * collapses every group to <= bins rows map-side), a window over that
+    * tiny table, a broadcast join back onto the scan, and a filter.
+    */
+  def calibratedQuantileFilter(
+      df: DataFrame, groupCol: String, idCol: String, score: Column,
+      bins: Int, qNum: Int, qDen: Int): DataFrame = {
+    val binned = df.select(col(idCol), col(groupCol),
+      floor(score * lit(bins.toDouble)).cast("long").as("bin"))
+    val hist = binned.groupBy(groupCol, "bin").agg(count(lit(1)).as("__n"))
+    val wCum = Window.partitionBy(groupCol).orderBy("bin")
+    val wTot = Window.partitionBy(groupCol)
+    val thr = hist
+      .withColumn("__cum", sum("__n").over(wCum))
+      .withColumn("__tot", sum("__n").over(wTot))
+      .filter(col("__cum") * qDen >= col("__tot") * qNum)
+      .groupBy(groupCol).agg(min("bin").as("thr_bin"))
+    binned.join(broadcast(thr), Seq(groupCol))
+      .filter(col("bin") >= col("thr_bin"))
+      .select(col(idCol), col(groupCol), col("bin"), col("thr_bin"))
+  }
+
   /** Pack documents into ~`budgetTokens`-sized shards per stratum (the
     * pre-step of sequence packing: a shard is the unit a trainer reads).
     * Shard id = the running token total BEFORE the doc, integer-divided by

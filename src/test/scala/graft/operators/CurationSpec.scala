@@ -313,6 +313,62 @@ class CurationSpec extends SparkSpec {
     assert(got(2) == ((1L, 0.0)))
   }
 
+  test("temperatureMix: smallest group fully kept, big groups ~sqrt-rated") {
+    // groups of known size: a=100, b=400 → keep(a)=1.0 exactly (threshold
+    // is 2^32, every hash qualifies), keep(b)≈sqrt(100/400)=0.5
+    val df = ((0L until 100L).map(i => (i, "a")) ++
+      (100L until 500L).map(i => (i, "b"))).toDF("id", "grp")
+    val kept = Sampling.temperatureMix(df, "grp", "id")
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") == 100L, s"smallest group must be fully kept: $kept")
+    assert(math.abs(kept("b").toDouble / 400.0 - 0.5) < 0.1, s"b: $kept")
+    // deterministic on re-run
+    val ids = Sampling.temperatureMix(df, "grp", "id")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Sampling.temperatureMix(df, "grp", "id")
+      .select("id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("calibratedQuantileFilter: bin-edge median cut per group") {
+    // group x: scores .1..1.0 → bins 100..1000, median bin 500, keep 6;
+    // group y: constant score → everything at the single bin survives
+    val df = ((1L to 10L).map(i => (i, "x", i / 10.0)) ++
+      (11L to 14L).map(i => (i, "y", 0.25))).toDF("id", "grp", "score")
+    val out = Sampling.calibratedQuantileFilter(
+      df, "grp", "id", col("score"), bins = 1000, qNum = 1, qDen = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val x = out.filter(_._2 == "x")
+    assert(x.map(_._1).sorted.toSeq == (5L to 10L), s"kept ${x.toSeq}")
+    assert(x.forall(_._4 == 500L))
+    val y = out.filter(_._2 == "y")
+    assert(y.map(_._1).sorted.toSeq == (11L to 14L) && y.forall(_._4 == 250L))
+  }
+
+  test("leakageSafeSplit: components share one split; fractions honored") {
+    def h(id: Long): Long = (id * Sampling.KnuthA) % Sampling.HashMod
+    def expected(comp: Long): String =
+      if (h(comp) < Sampling.fractionThreshold(0.8)) "train"
+      else if (h(comp) < Sampling.fractionThreshold(0.9)) "val"
+      else "test"
+    val d = (1L to 6L).map(i => (i, s"doc $i")).toDF("id", "txt")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.leakageSafeSplit(d, pairs, "id", 0.8, 0.1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // chain {1,2,3} labels to min id 1; {5,6} to 5; 4 is its own component
+    assert(got(1L) == ((1L, expected(1L))) && got(2L) == ((1L, expected(1L)))
+      && got(3L) == ((1L, expected(1L))))
+    assert(got(5L) == ((5L, expected(5L))) && got(6L) == ((5L, expected(5L))))
+    assert(got(4L) == ((4L, expected(4L))))
+    // corpus-wide invariant: every component maps to exactly one split
+    val corpus = Dedup.leakageSafeSplit(docs,
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8), "doc_id",
+      0.8, 0.1)
+    assert(corpus.groupBy("component")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count() == 0)
+    assert(corpus.count() == docs.count())
+  }
+
   test("PII scrub: redacts email, ip, phone; counts match") {
     val df = Seq((1L,
       "reach me at jane.doe+spam@sub.example.org or 192.168.0.12 tel +44-20-7946-0958 done"))
