@@ -80,6 +80,21 @@ object CurationProbe {
     timed("t14_bpe_pairs") {
       graft.operators.Tokenizer.bpePairCounts(corpus, "text", topK = 20).count()
     }
+    timed("p07_temperature_mix") {
+      Sampling.temperatureMix(corpus, "source", "doc_id").count()
+    }
+    timed("t16_calibrated_quality") {
+      Sampling.calibratedQuantileFilter(corpus, "lang", "doc_id",
+        qualityScore(col("text")), bins = 1000, qNum = 1, qDen = 2).count()
+    }
+    // leakage-safe split shares d12's exact pair family — same density
+    // envelope: past ~10x replica density the pair list itself is the
+    // wall (use a banded pre-collapse pair family there, as in d13)
+    if (replicas <= 10) timed("p08_leakage_safe_split") {
+      graft.operators.Dedup.leakageSafeSplit(corpus,
+        graft.operators.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+          shingleSize = 3, threshold = 0.8), "doc_id", 0.8, 0.1).count()
+    }
     // the exact pair family is Ω(|similar pairs|) — at replica densities
     // past ~10x every cluster emits ~replicas²/2 verified pairs and the
     // run walls (measured: 100x stopped at 40 min, NOTES.md). That regime

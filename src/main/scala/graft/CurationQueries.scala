@@ -288,6 +288,30 @@ object CurationQueries {
         .select("doc_id", "lang", "n_tokens", "shard_id")
     }),
 
+    // Curation intake v2 — the round-5 operators composed as ONE
+    // declarative plan: per-language calibrated quality cut (t16) ->
+    // temperature-style domain rebalancing with rates derived from the
+    // SURVIVING counts (p07) -> leakage-safe component split (p08).
+    // Each stage's statistics are computed on its own input (the
+    // calibration histogram on the full corpus, the mix counts on the
+    // quality survivors, the similarity closure on the mixed set), so
+    // the composition exercises the operators as a real intake would.
+    "c07_curation_v2" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = d.join(
+        Sampling.calibratedQuantileFilter(d, "lang", "doc_id",
+          qualityScore(col("text")), bins = 1000, qNum = 1, qDen = 2)
+          .select("doc_id"),
+        Seq("doc_id"))
+      val mixed = Sampling.temperatureMix(kept, "source", "doc_id")
+      Dedup.leakageSafeSplit(mixed,
+        Dedup.ngramJaccardPairs(mixed, "doc_id", "text",
+          shingleSize = 3, threshold = 0.8), "doc_id",
+        trainFrac = 0.8, valFrac = 0.1)
+        .join(mixed.select("doc_id", "lang", "source"), Seq("doc_id"))
+        .select("doc_id", "lang", "source", "component", "split")
+    }),
+
     // Contamination audit: for each contaminated training doc, how many
     // 4-grams the bench set contains and how many bench docs it touches.
     "d11_contamination_report" -> ((s, dir) => {
@@ -442,6 +466,58 @@ object CurationQueries {
                   THEN 'val'
                 ELSE 'test' END AS split
          FROM comp"""
+    },
+    "c07_curation_v2" -> {
+      val compHash =
+        s"(component * ${Sampling.KnuthA}) % ${Sampling.HashMod}"
+      s"""WITH RECURSIVE
+         qb AS (SELECT doc_id, lang, source, text,
+             CAST(floor((${CorpusQueries.qualitySqlExpr}) * 1000.0) AS BIGINT)
+               AS bin FROM documents),
+         h AS (SELECT lang, bin, count(*) AS n FROM qb GROUP BY 1, 2),
+         c AS (SELECT lang, bin,
+             sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS tot FROM h),
+         thr AS (SELECT lang, min(bin) AS thr_bin FROM c
+                 WHERE cum * 2 >= tot GROUP BY lang),
+         kept AS (SELECT qb.doc_id, qb.lang, qb.source, qb.text
+                  FROM qb JOIN thr USING (lang) WHERE qb.bin >= thr.thr_bin),
+         cnt AS (SELECT source, count(*) AS n FROM kept GROUP BY source),
+         mn AS (SELECT min(n) AS nmin FROM cnt),
+         f AS (SELECT source,
+             CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+               sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)))
+               * ${Sampling.HashMod}.0) AS BIGINT) AS thr
+           FROM cnt, mn),
+         mixed AS (SELECT kept.doc_id, kept.lang, kept.source, kept.text
+           FROM kept JOIN f USING (source)
+           WHERE (doc_id * ${Sampling.KnuthA}) % ${Sampling.HashMod} < f.thr),
+         sh AS (SELECT doc_id, ${shingles(3)} AS grams FROM mixed),
+         ex AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh),
+         prs AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sim AS (SELECT ida, idb FROM prs
+           WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+         edges AS (
+           SELECT ida AS src, idb AS dst FROM sim
+           UNION ALL SELECT idb, ida FROM sim
+           UNION ALL SELECT doc_id, doc_id FROM mixed),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS doc_id, min(dst) AS component
+                  FROM reach GROUP BY src)
+         SELECT comp.doc_id, m2.lang, m2.source, comp.component,
+           CASE WHEN $compHash < ${Sampling.fractionThreshold(0.8)}
+                  THEN 'train'
+                WHEN $compHash < ${Sampling.fractionThreshold(0.8 + 0.1)}
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM comp JOIN mixed m2 ON comp.doc_id = m2.doc_id"""
     },
     "t16_calibrated_quality" ->
       s"""WITH q AS (SELECT doc_id, lang,

@@ -12,7 +12,8 @@ object PlanScan {
       "s07_quantized_topk", "s08_pq_topk", // quantized scans: crossJoin(broadcast) by design
       "s10_range_search", // radius query: broadcast crossjoin by design
       "s02_lsh_topk", "s04_ivf_topk", // recall gates EMBED the s01 brute reference scan
-      "q16_subquery_avg", "q17_cross_join")
+      "q16_subquery_avg", "q17_cross_join",
+      "p07_temperature_mix") // scalar n_min attach: 1-row broadcast crossjoin by design
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
