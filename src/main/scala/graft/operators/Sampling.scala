@@ -162,17 +162,34 @@ object Sampling {
       bins: Int, qNum: Int, qDen: Int): DataFrame = {
     val binned = df.select(col(idCol), col(groupCol),
       floor(score * lit(bins.toDouble)).cast("long").as("bin"))
-    val hist = binned.groupBy(groupCol, "bin").agg(count(lit(1)).as("__n"))
+    val thr = quantileThresholds(df, groupCol, score, bins, qNum, qDen)
+    binned.join(broadcast(thr), Seq(groupCol))
+      .filter(col("bin") >= col("thr_bin"))
+      .select(col(idCol), col(groupCol), col("bin"), col("thr_bin"))
+  }
+
+  /** The calibration half of [[calibratedQuantileFilter]] on its own:
+    * (groupCol, thr_bin) per group. Exposed so the thresholds can be
+    * computed ONCE on a reference corpus and applied elsewhere — to a
+    * later batch, or to a document STREAM (a bounded aggregate is not
+    * streamable per-microbatch with these exact semantics, but a
+    * batch-calibrated threshold applied to the stream is the production
+    * shape: see `Streams.calibratedFilter`).
+    */
+  def quantileThresholds(
+      df: DataFrame, groupCol: String, score: Column,
+      bins: Int, qNum: Int, qDen: Int): DataFrame = {
+    val hist = df
+      .select(col(groupCol),
+        floor(score * lit(bins.toDouble)).cast("long").as("bin"))
+      .groupBy(groupCol, "bin").agg(count(lit(1)).as("__n"))
     val wCum = Window.partitionBy(groupCol).orderBy("bin")
     val wTot = Window.partitionBy(groupCol)
-    val thr = hist
+    hist
       .withColumn("__cum", sum("__n").over(wCum))
       .withColumn("__tot", sum("__n").over(wTot))
       .filter(col("__cum") * qDen >= col("__tot") * qNum)
       .groupBy(groupCol).agg(min("bin").as("thr_bin"))
-    binned.join(broadcast(thr), Seq(groupCol))
-      .filter(col("bin") >= col("thr_bin"))
-      .select(col(idCol), col(groupCol), col("bin"), col("thr_bin"))
   }
 
   /** Pack documents into ~`budgetTokens`-sized shards per stratum (the

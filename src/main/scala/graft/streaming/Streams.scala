@@ -97,6 +97,23 @@ object Streams {
             chunkSize: Int, stride: Int): DataFrame =
     graft.operators.Chunker.chunkByTokens(docs, idCol, textCol, chunkSize, stride)
 
+  /** Streaming calibrated-quality filtering: per-group quantile
+    * thresholds computed ONCE in batch on a reference corpus
+    * (`Sampling.quantileThresholds`) applied to a document stream as a
+    * stream-static broadcast join + filter — stateless on the stream
+    * side, so batch semantics lift exactly (the per-group histogram
+    * itself is deliberately NOT recomputed per microbatch: a quantile
+    * over "the corpus so far" would drift with arrival order, which is
+    * precisely what a calibrated threshold is meant to prevent).
+    */
+  def calibratedFilter(docs: DataFrame, thresholds: DataFrame,
+                       groupCol: String, score: org.apache.spark.sql.Column,
+                       bins: Int): DataFrame =
+    docs
+      .withColumn("bin", floor(score * lit(bins.toDouble)).cast("long"))
+      .join(broadcast(thresholds), Seq(groupCol))
+      .filter(col("bin") >= col("thr_bin"))
+
   /** Streaming LM-fit scoring: [[graft.operators.LmScore]]'s broadcast
     * path on a document stream — the model (trained once on a static
     * reference corpus via `LmScore.bigramModel`) rides into the plan as

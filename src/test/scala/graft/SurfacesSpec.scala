@@ -154,6 +154,37 @@ class SurfacesSpec extends SparkSpec {
       batchKept(0).getString(1) == kept.getAs[String]("text"))
   }
 
+  test("streaming calibrated filter: batch thresholds on a stream, batch ≡ stream") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_cal").toString
+    val out = Files.createTempDirectory("stream_cal_out").toString
+    val ckpt = Files.createTempDirectory("stream_cal_ckpt").toString
+    // calibration corpus: group x scores .1..1.0 → median bin 500
+    val ref = (1L to 10L).map(i => (i, "x", i / 10.0)).toDF("id", "grp", "score")
+    val thr = graft.operators.Sampling.quantileThresholds(
+      ref, "grp", col("score"), bins = 1000, qNum = 1, qDen = 2)
+    // stream: two docs of group x, one above / one below the cut
+    Files.write(java.nio.file.Paths.get(dir, "s1.csv"),
+      "100,x,0.7\n101,x,0.3\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("score", DoubleType)))
+    val filtered = Streams.calibratedFilter(
+      Streams.fileMonitor(spark, dir, "csv", schema), thr, "grp",
+      col("score"), bins = 1000)
+    assert(filtered.isStreaming)
+    Streams.runAvailableNow(Streams.ingest(filtered, s"$out/data", ckpt))
+    val rows = spark.read.parquet(s"$out/data")
+      .select("id", "bin", "thr_bin").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 100L
+      && rows(0).getLong(1) == 700L && rows(0).getLong(2) == 500L)
+    // identical result on the same data as a BATCH frame
+    val batch = Streams.calibratedFilter(
+      spark.read.schema(schema).csv(dir), thr, "grp", col("score"), 1000)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(batch == Seq(100L))
+  }
+
   test("streaming chunking: stateless token windows, batch ≡ stream") {
     val dir = Files.createTempDirectory("stream_chk").toString
     val out = Files.createTempDirectory("stream_chk_out").toString

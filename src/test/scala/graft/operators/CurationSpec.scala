@@ -361,12 +361,24 @@ class CurationSpec extends SparkSpec {
     assert(got(5L) == ((5L, expected(5L))) && got(6L) == ((5L, expected(5L))))
     assert(got(4L) == ((4L, expected(4L))))
     // corpus-wide invariant: every component maps to exactly one split
-    val corpus = Dedup.leakageSafeSplit(docs,
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8), "doc_id",
-      0.8, 0.1)
+    val cPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .persist()
+    val corpus = Dedup.leakageSafeSplit(docs, cPairs, "doc_id", 0.8, 0.1)
     assert(corpus.groupBy("component")
       .agg(countDistinct("split").as("k")).filter(col("k") > 1).count() == 0)
     assert(corpus.count() == docs.count())
+    // the channel this operator closes, measured: a NAIVE per-doc hash
+    // split puts some verified near-dup pairs on opposite sides of the
+    // train/held-out boundary (component split cannot, by construction)
+    def naive(id: org.apache.spark.sql.Column) =
+      when(Sampling.splitHash(id) < Sampling.fractionThreshold(0.8), "train")
+        .when(Sampling.splitHash(id) < Sampling.fractionThreshold(0.9), "val")
+        .otherwise("test")
+    val leaked = cPairs
+      .filter(naive(col("id_a")) =!= naive(col("id_b"))).count()
+    assert(leaked > 0, "corpus has no cross-split near-dup pairs under a " +
+      s"naive split — the leakage scenario isn't exercised (pairs ${cPairs.count()})")
+    cPairs.unpersist()
   }
 
   test("PII scrub: redacts email, ip, phone; counts match") {
