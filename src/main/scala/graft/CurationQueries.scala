@@ -228,6 +228,37 @@ object CurationQueries {
               col("n_windows")).as("dup_passage_frac"))
     }),
 
+    // Cross-document repeated-SPAN REMOVAL (the removal form of exact
+    // substring dedup, Lee et al. 2022 — t11 detects, this rewrites):
+    // docs tiled into non-overlapping 8-token spans (the gated t12
+    // chunker at stride = size); a span appearing in >1 doc survives
+    // only in the min-doc_id owner; docs are reconstructed from their
+    // surviving tiles in order. Shuffle shape: ownership agg on the
+    // 8-byte tile hash (partial agg collapses hot boilerplate tiles
+    // map-side), join back on the hash (tile-side skew AQE-splittable —
+    // the t08 rationale), one reconstruct agg on doc_id. Tile text never
+    // enters the ownership shuffle.
+    "t17_span_dedup" -> ((s, dir) => {
+      val tiles = graft.operators.Chunker.chunkByTokens(
+        docs(s, dir), "doc_id", "text", chunkSize = 8, stride = 8)
+        .withColumn("__h", xxhash64(col("chunk_text")))
+      val own = tiles.groupBy("__h")
+        .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("nd"))
+      val kept = tiles.join(own, Seq("__h"))
+        .filter(col("nd") === 1 || col("doc_id") === col("owner"))
+      val recon = kept.groupBy("doc_id").agg(
+        array_join(array_sort(collect_list(
+          struct(col("chunk_start"), col("chunk_text"))))
+          .getField("chunk_text"), " ").as("clean_text"),
+        count(lit(1)).as("n_tiles_kept"))
+      tiles.groupBy("doc_id").agg(count(lit(1)).as("n_tiles"))
+        .join(recon, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_tiles_kept"), lit(0L)).as("n_tiles_kept"),
+          col("n_tiles"))
+    }),
+
     // Corpus-wide vocabulary: top-100 terms by frequency (the seed list
     // of tokenizer training). One partial-aggregated shuffle on term;
     // the ordered limit compiles to TakeOrderedAndProject — per-partition
@@ -606,6 +637,21 @@ object CurationQueries {
              ELSE CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_windows END
              AS dup_passage_frac
          FROM nw LEFT JOIN sh ON nw.doc_id = sh.doc_id""",
+    "t17_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         sp AS (SELECT doc_id, tk, unnest(range(0, len(tk), 8)) AS cs FROM t),
+         tiles AS (SELECT doc_id, cs,
+             array_to_string(list_slice(tk, cs+1, cs+8), ' ') AS ct FROM sp),
+         own AS (SELECT ct, min(doc_id) AS owner,
+                 count(DISTINCT doc_id) AS nd FROM tiles GROUP BY ct),
+         kept AS (SELECT doc_id, cs, ct FROM tiles JOIN own USING (ct)
+                  WHERE nd = 1 OR doc_id = owner),
+         recon AS (SELECT doc_id, string_agg(ct, ' ' ORDER BY cs) AS clean_text,
+                   count(*) AS n_tiles_kept FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS n_tiles FROM tiles GROUP BY doc_id)
+         SELECT tot.doc_id, coalesce(clean_text, '') AS clean_text,
+           coalesce(n_tiles_kept, 0) AS n_tiles_kept, n_tiles
+         FROM tot LEFT JOIN recon ON tot.doc_id = recon.doc_id""",
     "t10_vocab_topk" ->
       s"""SELECT term, count(*) AS freq
          FROM (SELECT unnest($toks) AS term FROM documents)

@@ -381,6 +381,28 @@ class CurationSpec extends SparkSpec {
     cPairs.unpersist()
   }
 
+  test("span dedup: shared tile survives only in its min-id owner") {
+    // tiles align at multiples of 8 tokens; the b-block is doc 1's second
+    // tile and doc 2's first — doc 1 owns it, doc 2 loses it
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    val d = Seq((1L, s"$a $b"), (2L, s"$b $c")).toDF("doc_id", "text")
+    val tiles = Chunker.chunkByTokens(d, "doc_id", "text", 8, 8)
+      .withColumn("__h", xxhash64(col("chunk_text")))
+    val own = tiles.groupBy("__h")
+      .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("nd"))
+    val kept = tiles.join(own, Seq("__h"))
+      .filter(col("nd") === 1 || col("doc_id") === col("owner"))
+    val recon = kept.groupBy("doc_id").agg(
+      array_join(array_sort(collect_list(
+        struct(col("chunk_start"), col("chunk_text"))))
+        .getField("chunk_text"), " ").as("clean_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(recon(1L) == s"$a $b", "owner keeps the shared span")
+    assert(recon(2L) == c, "non-owner loses the shared span, keeps the rest")
+  }
+
   test("PII scrub: redacts email, ip, phone; counts match") {
     val df = Seq((1L,
       "reach me at jane.doe+spam@sub.example.org or 192.168.0.12 tel +44-20-7946-0958 done"))
