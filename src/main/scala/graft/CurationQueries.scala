@@ -334,6 +334,11 @@ object CurationQueries {
           qualityScore(col("text")), bins = 1000, qNum = 1, qDen = 2)
           .select("doc_id"),
         Seq("doc_id"))
+      // NOT persisted, by measurement: pinning kept/mixed here doubled
+      // the query (isolated A/B at sf0.1: ~60 s pinned vs ~30 s plain) —
+      // the stage boundaries carry full document rows, and InMemory
+      // scans of wide cached rows lose to re-running the pruned parquet
+      // path; the pair family already pins its own narrow shingle table
       val mixed = Sampling.temperatureMix(kept, "source", "doc_id")
       Dedup.leakageSafeSplit(mixed,
         Dedup.ngramJaccardPairs(mixed, "doc_id", "text",

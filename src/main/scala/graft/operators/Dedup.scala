@@ -276,11 +276,18 @@ object Dedup {
     */
   def componentLabels(pairs: DataFrame, idCol: String,
                       maxIter: Int = 10): DataFrame = {
-    // Persist the pair list BEFORE fanning it into both edge directions:
-    // the union has two references to `pairs`, and without pinning it the
-    // (expensive) similarity-pair computation runs twice on first
-    // materialization — measured 2x of the whole pair cost at 50k docs.
-    val p0 = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the pair list AND CUT ITS LINEAGE before iterating.
+    // The persist half: the edge union references `pairs` twice, and
+    // without pinning the (expensive) similarity-pair computation runs
+    // twice on first materialization — measured 2x of the whole pair
+    // cost at 50k docs. The lineage half: every round's plan otherwise
+    // NESTS the caller's whole upstream tree (a deep composition like
+    // c07's quality gate -> mix -> pair family), and Catalyst re-analyzes
+    // that tree each round with depth compounding per iteration —
+    // measured 3.6 s then 13.5 s ROUNDS on a 116-pair subgraph
+    // (planning-bound, zero execution weight). An eager localCheckpoint
+    // gives every round a flat LogicalRDD leaf instead.
+    val p0 = pairs.localCheckpoint(eager = true)
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -347,7 +354,7 @@ object Dedup {
     if (prevJoined != null) prevJoined.unpersist(blocking = false)
     if (prevCk != null) prevCk.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    p0.unpersist(blocking = false)
+    release(p0) // checkpointed input: the pinned RDD is behind a LogicalRDD leaf
     sub.select(col("id").as(idCol), col("label").as("component"))
   }
 
