@@ -67,7 +67,16 @@ object Bench {
         spans(i).map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spans":$sp,"sf":"$sfDir","passes":$passes}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spans":$sp,"sf":"$sfDir","passes":$passes}"""
+    println(fullLine)
+    // stdout tail capture keeps only the last ~2 KB, which truncates the
+    // per-query map before the a-s families — persist the FULL record to
+    // a file so post-run analysis can rank every query, not the last 25
+    val fullPath = java.nio.file.Paths.get("target/bench_full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.write(fullPath,
+      (fullLine + "\n").getBytes("UTF-8"))
     // The per-query map above runs ~3 KB for 66 queries — longer than the
     // driver's tail capture, so both prior rounds recorded "parsed": null.
     // Emit a compact total-only line LAST so a parseable metric line always

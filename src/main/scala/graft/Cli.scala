@@ -159,8 +159,13 @@ object Cli {
       // engine's REST url comes from the pd_components registry that a
       // `serve` process stamps on startup (or an explicit url=).
       case "cancel-run" | "cancel-job" | "cancel-jobs" | "restart-scheduler" =>
+        // the registry url is only trusted while the component is LIVE:
+        // componentStopped() flips status to 'N' but leaves the url
+        // column, so a stale row must not be dialed (api.py:320-335
+        // keeps the same live-only contract via the pid check)
         val base = kv.get("url")
-          .orElse(ledger.componentStatus("RESTAPI").flatMap(_._3))
+          .orElse(ledger.componentStatus("RESTAPI")
+            .filter(_._1 == "Y").flatMap(_._3))
           .getOrElse {
             out.println("no running RESTAPI registered in pd_components; " +
               "pass url=<http://host:port>")
@@ -168,7 +173,11 @@ object Cli {
           }
         val token = kv.getOrElse("token", "graft")
         def post(path: String, form: (String, String)*): (Int, String) =
-          restPost(base, token, path, form.toMap)
+          try restPost(base, token, path, form.toMap)
+          catch { case scala.util.control.NonFatal(e) =>
+            (-1, s"engine unreachable at $base (${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}); pass url=<http://host:port> of a live engine")
+          }
         command.head match {
           case "cancel-run" => // cli.py:379-387
             val (c, b) = post("/api/cancel-run", "run_id" -> rest(0))
@@ -328,6 +337,9 @@ object Cli {
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
+    // bounded waits: a hung engine must fail the one-shot CLI, not wedge it
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(30000)
     conn.setRequestProperty("Authorization", s"Bearer $token")
     val body = form.map { case (k, v) =>
       k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")

@@ -1,29 +1,73 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+
+/** Plan audit over every registered query: cross/non-equi joins must be
+  * STRUCTURALLY justified, not name-allowlisted (an allowlist has to be
+  * re-curated for every composition that embeds an intended-NLJ operator,
+  * and a stale list is how a real cartesian eventually gets ignored).
+  */
 object PlanScan {
+
+  /** Nested-loop joins in `df`'s plan that are NOT provably intended.
+    *
+    * A join that physically executes as CartesianProduct /
+    * BroadcastNestedLoopJoin is justified only when the optimized
+    * logical Join shows the developer proved (or asserted) tininess:
+    *  - a side carries an explicit `broadcast()` hint — the crossjoin-
+    *    by-design pattern (scalar-threshold attach, bounded query sets);
+    *  - a side has a static `maxRows` bound <= 1 — scalar aggregates
+    *    (`agg` without grouping) and single-row limits, including the
+    *    joins Catalyst itself synthesizes for scalar subqueries.
+    * Everything else is a genuine cartesian risk and is returned, one
+    * description per offending join; empty = clean.
+    */
+  def unjustifiedNlj(df: DataFrame): Seq[String] = {
+    val physical = df.queryExecution.executedPlan.toString
+    if (!physical.contains("CartesianProduct") &&
+        !physical.contains("BroadcastNestedLoopJoin")) Nil
+    else df.queryExecution.optimizedPlan.collect {
+      case j: Join if isNestedLoop(j) && !justified(j) =>
+        s"${j.joinType} join without equi keys " +
+          s"(left maxRows=${j.left.maxRows.getOrElse("?")}, " +
+          s"right maxRows=${j.right.maxRows.getOrElse("?")}, no broadcast hint)"
+    }
+  }
+
+  /** No equality conjunct anywhere in the condition -> the planner has
+    * no shuffle/hash keys and must nest-loop the join. */
+  private def isNestedLoop(j: Join): Boolean =
+    !j.condition.exists(_.exists {
+      case _: EqualTo | _: EqualNullSafe => true
+      case _ => false
+    })
+
+  private def justified(j: Join): Boolean = {
+    val hinted = j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+      j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
+    val tiny = j.left.maxRows.exists(_ <= 1L) ||
+      j.right.maxRows.exists(_ <= 1L)
+    hinted || tiny
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkEntry.configure(SparkSession.builder()
       .master("local[4]").config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    // intended broadcast-NLJ users: crossjoin-by-design queries
-    val intendedNlj = Set("s01_brute_topk", "s03_cosine_pairs",
-      "s07_quantized_topk", "s08_pq_topk", // quantized scans: crossJoin(broadcast) by design
-      "s10_range_search", // radius query: broadcast crossjoin by design
-      "s02_lsh_topk", "s04_ivf_topk", // recall gates EMBED the s01 brute reference scan
-      "q16_subquery_avg", "q17_cross_join",
-      "p07_temperature_mix") // scalar n_min attach: 1-row broadcast crossjoin by design
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val df = fn(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
         val nlj = plan.contains("CartesianProduct") ||
           plan.contains("BroadcastNestedLoopJoin")
-        val sort = plan.contains("SortMergeJoin")
+        val bad = if (nlj) unjustifiedNlj(df) else Nil
         val flags = Seq(
-          if (nlj && !intendedNlj.contains(name)) Some("UNEXPECTED-NLJ") else None,
-          if (nlj && intendedNlj.contains(name)) Some("nlj-intended") else None,
-          if (sort) Some("smj") else None).flatten
+          if (bad.nonEmpty) Some(s"UNEXPECTED-NLJ[${bad.mkString("; ")}]") else None,
+          if (nlj && bad.isEmpty) Some("nlj-intended") else None,
+          if (plan.contains("SortMergeJoin")) Some("smj") else None).flatten
         if (flags.nonEmpty) println(f"SCAN $name%-28s ${flags.mkString(",")}")
       } catch { case e: Throwable => println(s"SCAN $name ERROR ${e.getMessage.take(60)}") }
     }

@@ -408,8 +408,17 @@ final class Scheduler(runner: JobRunner,
       while (alive.get()) {
         try tick(moment) catch { case NonFatal(_) => }
         val next = (moment + 1) * 1000L
-        val sleep = next - System.currentTimeMillis()
-        if (sleep > 0) Thread.sleep(sleep)
+        // sleep in bounded slices: a BACKWARD wall-clock step makes the
+        // wait arbitrarily long (the counter never rewinds, so the loop
+        // idles until real time catches up — correct), but stopTicking()
+        // and stop() only flip the alive flag, so one monolithic sleep
+        // would pin the tick thread for the whole step and time out
+        // drain()'s join. Slices keep shutdown latency <= 500 ms.
+        var remaining = next - System.currentTimeMillis()
+        while (alive.get() && remaining > 0) {
+          Thread.sleep(math.min(remaining, 500L))
+          remaining = next - System.currentTimeMillis()
+        }
         moment = Scheduler.resync(moment, System.currentTimeMillis() / 1000L)
       }
     }, "graft-scheduler")
