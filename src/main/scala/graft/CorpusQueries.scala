@@ -93,6 +93,27 @@ object CorpusQueries {
         .select(col("media_id"), col("band"),
           col("f").cast("double").as("f"))),
 
+    // Image near-duplicate dedup over REAL decoded pixels: every 4
+    // consecutive ids render as a near-identical PNG family (one 4x4
+    // cell perturbed per variant), dHash = decode -> gray -> integer
+    // nearest-neighbor 9x8 downsample -> 64-bit gradient fingerprint,
+    // then the d05 pigeonhole machinery (4x16-bit chunk buckets, exact
+    // for hamming <= 3) with keep-min-id. Output pins BOTH the dedup
+    // decision and the full fingerprint of each survivor (as four 16-bit
+    // chunks — DuckDB BIGINT cannot build bit 63 by shifting); the
+    // oracle recomputes every gradient bit from the cell formula and
+    // brute-forces the hamming pairs.
+    "v04_image_dhash_dedup" -> ((s, dir) => {
+      val fp = Multimodal.dHashFingerprints(
+        Multimodal.syntheticCellImages(
+          docs(s, dir).select("doc_id"), "doc_id", w = 36, h = 32, cell = 4))
+      Dedup.fingerprintDedup(fp, "media_id", "fp", maxHamming = 3)
+        .join(fp, Seq("media_id"))
+        .select(col("media_id") +: (0 until 4).map(c =>
+          shiftrightunsigned(col("fp"), c * 16)
+            .bitwiseAND(lit(0xFFFFL)).as(s"c$c")): _*)
+    }),
+
     // Token counting + quality signals, one narrow codegen'd projection.
     "t01_token_stats" -> ((s, dir) => {
       docs(s, dir).select(
@@ -425,6 +446,49 @@ object CorpusQueries {
          SELECT doc_id AS media_id, CAST(band AS INTEGER) AS band,
            CAST(CAST(CAST(SUM(g) AS DOUBLE) / count(*) AS REAL) AS DOUBLE) AS f
          FROM px GROUP BY doc_id, band""",
+    // dHash twin: the 9x8 downsample lands on cell corners, so gradient
+    // bit (cy*8+cx) = [cell(cx+1,cy) > cell(cx,cy)] straight from the
+    // integer cell formula; hamming via pairwise differing-bit counts
+    // (no 64-bit build-up needed), chunks via <=15-bit shifts.
+    "v04_image_dhash_dedup" ->
+      """WITH cell AS (
+           SELECT d.doc_id, cx.cx, cy.cy,
+             CASE WHEN (d.doc_id % 4) >= 1 AND cy.cy = 0
+                    AND cx.cx = (d.doc_id % 4) - 1
+               THEN ((cx.cx*31 + cy.cy*17 + (d.doc_id // 4)*97
+                      + cx.cx*cy.cy*(((d.doc_id // 4) % 7) + 1)) % 256
+                     + 128) % 256
+               ELSE (cx.cx*31 + cy.cy*17 + (d.doc_id // 4)*97
+                     + cx.cx*cy.cy*(((d.doc_id // 4) % 7) + 1)) % 256 END AS g
+           FROM documents d,
+             (SELECT unnest(generate_series(0, 8)) AS cx) cx,
+             (SELECT unnest(generate_series(0, 7)) AS cy) cy),
+         bits AS (
+           SELECT l.doc_id, l.cy, l.cx,
+             CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS b
+           FROM cell l JOIN cell r
+             ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+           WHERE l.cx < 8),
+         ham AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb,
+             SUM(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) AS h
+           FROM bits a JOIN bits b
+             ON a.cy = b.cy AND a.cx = b.cx AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         dups AS (SELECT DISTINCT idb FROM ham WHERE h <= 3),
+         fp AS (
+           SELECT doc_id,
+             CAST(coalesce(SUM(CASE WHEN (cy*8+cx) // 16 = 0
+               THEN b * (1 << ((cy*8+cx) % 16)) END), 0) AS BIGINT) AS c0,
+             CAST(coalesce(SUM(CASE WHEN (cy*8+cx) // 16 = 1
+               THEN b * (1 << ((cy*8+cx) % 16)) END), 0) AS BIGINT) AS c1,
+             CAST(coalesce(SUM(CASE WHEN (cy*8+cx) // 16 = 2
+               THEN b * (1 << ((cy*8+cx) % 16)) END), 0) AS BIGINT) AS c2,
+             CAST(coalesce(SUM(CASE WHEN (cy*8+cx) // 16 = 3
+               THEN b * (1 << ((cy*8+cx) % 16)) END), 0) AS BIGINT) AS c3
+           FROM bits GROUP BY doc_id)
+         SELECT doc_id AS media_id, c0, c1, c2, c3 FROM fp
+         WHERE doc_id NOT IN (SELECT idb FROM dups)""",
     "t01_token_stats" ->
       s"""SELECT doc_id,
          CAST(len($toks) AS INTEGER) AS n_tokens,

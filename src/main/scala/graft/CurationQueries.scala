@@ -348,6 +348,36 @@ object CurationQueries {
         .select("doc_id", "lang", "source", "component", "split")
     }),
 
+    // Adversarial-density intake — c08 is c07 with d13's stage-1 ahead of
+    // the exact pair family. Any exact-verified pair family is
+    // Ω(|truly-similar pairs|): a k-dense near-identical cluster emits
+    // ~k²/2 pairs, so at boilerplate-heavy web density c07's pair input
+    // hits a quadratic wall no prefix filter can prune (measured: the
+    // exact family stopped at 40 min on the 100x dup-dense config the
+    // banded form finishes in ~21 s — NOTES.md round 5, re-measured by
+    // C08Probe for the intake). Here the banded pre-collapse drops
+    // near-identical copies FIRST (verified star edges, O(bucket) per
+    // bucket — linear at any density), and the exact closure + the
+    // leakage-safe split run on the bounded-density survivors. This is
+    // the intake form to copy for web-scale corpora.
+    "c08_curation_adversarial" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = d.join(
+        Sampling.calibratedQuantileFilter(d, "lang", "doc_id",
+          qualityScore(col("text")), bins = 1000, qNum = 1, qDen = 2)
+          .select("doc_id"),
+        Seq("doc_id"))
+      val mixed = Sampling.temperatureMix(kept, "source", "doc_id")
+      val collapsed = Dedup.bandedPreCollapse(mixed, "doc_id", "text",
+        shingleSize = 3, preThreshold = 0.9, numHashes = 64, bands = 16)
+      Dedup.leakageSafeSplit(collapsed,
+        Dedup.ngramJaccardPairs(collapsed, "doc_id", "text",
+          shingleSize = 3, threshold = 0.8), "doc_id",
+        trainFrac = 0.8, valFrac = 0.1)
+        .join(mixed.select("doc_id", "lang", "source"), Seq("doc_id"))
+        .select("doc_id", "lang", "source", "component", "split")
+    }),
+
     // Contamination audit: for each contaminated training doc, how many
     // 4-grams the bench set contains and how many bench docs it touches.
     "d11_contamination_report" -> ((s, dir) => {
@@ -387,6 +417,34 @@ object CurationQueries {
               for i in generate_series(1, len($toks)-${n - 1})]) END"""
 
   private val hashExpr = s"(doc_id * ${Sampling.KnuthA}) % ${Sampling.HashMod}"
+
+  /** Shared CTE prefix of the c07/c08 intake oracles (one definition, no
+    * drift): per-language calibrated median-quality cut (t16) ->
+    * temperature-style source rebalancing with rates derived from the
+    * surviving counts (p07), ending at `mixed`.
+    */
+  private lazy val intakeMixedCtes: String =
+    s"""qb AS (SELECT doc_id, lang, source, text,
+             CAST(floor((${CorpusQueries.qualitySqlExpr}) * 1000.0) AS BIGINT)
+               AS bin FROM documents),
+         h AS (SELECT lang, bin, count(*) AS n FROM qb GROUP BY 1, 2),
+         c AS (SELECT lang, bin,
+             sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS tot FROM h),
+         thr AS (SELECT lang, min(bin) AS thr_bin FROM c
+                 WHERE cum * 2 >= tot GROUP BY lang),
+         kept AS (SELECT qb.doc_id, qb.lang, qb.source, qb.text
+                  FROM qb JOIN thr USING (lang) WHERE qb.bin >= thr.thr_bin),
+         cnt AS (SELECT source, count(*) AS n FROM kept GROUP BY source),
+         mn AS (SELECT min(n) AS nmin FROM cnt),
+         f AS (SELECT source,
+             CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+               sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)))
+               * ${Sampling.HashMod}.0) AS BIGINT) AS thr
+           FROM cnt, mn),
+         mixed AS (SELECT kept.doc_id, kept.lang, kept.source, kept.text
+           FROM kept JOIN f USING (source)
+           WHERE (doc_id * ${Sampling.KnuthA}) % ${Sampling.HashMod} < f.thr)"""
 
   private val augText =
     """text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -507,27 +565,7 @@ object CurationQueries {
       val compHash =
         s"(component * ${Sampling.KnuthA}) % ${Sampling.HashMod}"
       s"""WITH RECURSIVE
-         qb AS (SELECT doc_id, lang, source, text,
-             CAST(floor((${CorpusQueries.qualitySqlExpr}) * 1000.0) AS BIGINT)
-               AS bin FROM documents),
-         h AS (SELECT lang, bin, count(*) AS n FROM qb GROUP BY 1, 2),
-         c AS (SELECT lang, bin,
-             sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
-             sum(n) OVER (PARTITION BY lang) AS tot FROM h),
-         thr AS (SELECT lang, min(bin) AS thr_bin FROM c
-                 WHERE cum * 2 >= tot GROUP BY lang),
-         kept AS (SELECT qb.doc_id, qb.lang, qb.source, qb.text
-                  FROM qb JOIN thr USING (lang) WHERE qb.bin >= thr.thr_bin),
-         cnt AS (SELECT source, count(*) AS n FROM kept GROUP BY source),
-         mn AS (SELECT min(n) AS nmin FROM cnt),
-         f AS (SELECT source,
-             CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
-               sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)))
-               * ${Sampling.HashMod}.0) AS BIGINT) AS thr
-           FROM cnt, mn),
-         mixed AS (SELECT kept.doc_id, kept.lang, kept.source, kept.text
-           FROM kept JOIN f USING (source)
-           WHERE (doc_id * ${Sampling.KnuthA}) % ${Sampling.HashMod} < f.thr),
+         $intakeMixedCtes,
          sh AS (SELECT doc_id, ${shingles(3)} AS grams FROM mixed),
          ex AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh),
          prs AS (
@@ -547,6 +585,60 @@ object CurationQueries {
            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
          comp AS (SELECT src AS doc_id, min(dst) AS component
                   FROM reach GROUP BY src)
+         SELECT comp.doc_id, m2.lang, m2.source, comp.component,
+           CASE WHEN $compHash < ${Sampling.fractionThreshold(0.8)}
+                  THEN 'train'
+                WHEN $compHash < ${Sampling.fractionThreshold(0.8 + 0.1)}
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM comp JOIN mixed m2 ON comp.doc_id = m2.doc_id"""
+    },
+    // c08 twin: the same intake prefix, then the d13 two-stage closure —
+    // stage 1 collapses each exact J>=0.9 transitive component of `mixed`
+    // to its min doc_id (bandedPreCollapse's contract), stage 2 re-closes
+    // the survivors at J>=0.8 and splits by component hash (p08's rule).
+    "c08_curation_adversarial" -> {
+      val compHash =
+        s"(component * ${Sampling.KnuthA}) % ${Sampling.HashMod}"
+      s"""WITH RECURSIVE
+         $intakeMixedCtes,
+         sh AS (SELECT doc_id, ${shingles(3)} AS grams FROM mixed),
+         ex AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh),
+         p1 AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sim1 AS (SELECT ida, idb FROM p1
+           WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9),
+         e1 AS (
+           SELECT ida AS src, idb AS dst FROM sim1
+           UNION ALL SELECT idb, ida FROM sim1
+           UNION ALL SELECT doc_id, doc_id FROM mixed),
+         r1(src, dst) AS (
+           SELECT src, dst FROM e1
+           UNION
+           SELECT r.src, e.dst FROM r1 r JOIN e1 e ON r.dst = e.src),
+         surv1 AS (SELECT src AS doc_id FROM r1 GROUP BY src
+                   HAVING src = min(dst)),
+         ex2 AS (SELECT ex.* FROM ex JOIN surv1 USING (doc_id)),
+         p2 AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter,
+                  any_value(a.n) AS na, any_value(b.n) AS nb
+           FROM ex2 a JOIN ex2 b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sim2 AS (SELECT ida, idb FROM p2
+           WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+         e2 AS (
+           SELECT ida AS src, idb AS dst FROM sim2
+           UNION ALL SELECT idb, ida FROM sim2
+           UNION ALL SELECT doc_id, doc_id FROM surv1),
+         r2(src, dst) AS (
+           SELECT src, dst FROM e2
+           UNION
+           SELECT r.src, e.dst FROM r2 r JOIN e2 e ON r.dst = e.src),
+         comp AS (SELECT src AS doc_id, min(dst) AS component
+                  FROM r2 GROUP BY src)
          SELECT comp.doc_id, m2.lang, m2.source, comp.component,
            CASE WHEN $compHash < ${Sampling.fractionThreshold(0.8)}
                   THEN 'train'

@@ -215,11 +215,31 @@ object Dedup {
   def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000,
                    fingerprint: Column => Column = simhash,
-                   fpBits: Int = 64): DataFrame = {
+                   fpBits: Int = 64): DataFrame =
+    fingerprintDedup(
+      docs.select(col(idCol), fingerprint(col(textCol)).as("fp")),
+      idCol, "fp", maxHamming, maxBucket, fpBits)
+
+  /** Pigeonhole near-dup survivors over ANY 64-bit-or-less fingerprint
+    * column (SimHash text prints, image dHash prints, …): rows sharing
+    * any of 4 fingerprint chunks land in the same bucket — pigeonhole
+    * guarantees every pair with hamming <= 3 shares a chunk — verified
+    * by full hamming <= `maxHamming`, keep-min-id policy. Exact versus a
+    * brute all-pairs scan as long as no bucket exceeds `maxBucket`
+    * (size the cap above the worst expected duplicate-family size).
+    *
+    * Shuffle profile: one 4x chunk explode (32 bytes/row), bucket sizes
+    * via groupBy + join back (skew-splittable, not a window), the bucket
+    * self-join, one anti-join. The corpus text/bytes never shuffle —
+    * only (id, fp) pairs.
+    */
+  def fingerprintDedup(fp: DataFrame, idCol: String, fpCol: String,
+                       maxHamming: Int = 3, maxBucket: Int = 1000,
+                       fpBits: Int = 64): DataFrame = {
     require(fpBits % 4 == 0, "chunking assumes 4 equal chunks")
     val width = fpBits / 4
-    val fp = docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
-    val chunked = fp.select(col(idCol), col("fp"), posexplode(
+    val chunked = fp.select(col(idCol), col(fpCol).as("fp")).select(
+        col(idCol), col("fp"), posexplode(
         array((0 until 4).map(c =>
           shiftrightunsigned(col("fp"), c * width)
             .bitwiseAND(lit((1L << width) - 1L))): _*)))
@@ -238,7 +258,7 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .filter(hamming(col("fp_a"), col("fp_b")) <= maxHamming)
-    docs.select(col(idCol))
+    fp.select(col(idCol))
       .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 

@@ -162,6 +162,33 @@ object Multimodal {
     def sampleFrames(bytes: Array[Byte], n: Int): Array[Long] =
       StubCodec.sampleFrames(bytes, n)
 
+    /** 64-bit dHash (difference hash) perceptual fingerprint: decode ->
+      * gray -> nearest-neighbor 9x8 downsample (same integer source
+      * mapping as [[resize]]: src x = floor(x*srcW/9), src y =
+      * floor(y*srcH/8)) -> gradient bits. Bit (y*8+x) is set iff
+      * g(x+1, y) > g(x, y). Near-identical images (re-encodes, small
+      * edits, watermarks) differ in a few bits; unrelated images differ
+      * in ~32. None when the payload does not decode as an image.
+      */
+    def dHash(bytes: Array[Byte]): Option[Long] =
+      decode(bytes).map { im =>
+        val g = Array.tabulate(8, 9) { (y, x) =>
+          gray(im, (x.toLong * im.getWidth / 9).toInt,
+            (y.toLong * im.getHeight / 8).toInt)
+        }
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (g(y)(x + 1) > g(y)(x)) h |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        h
+      }
+
     /** Nearest-neighbor resize to (w, h), single-channel PNG out:
       * dst(x, y) = luminance(src(floor(x*srcW/w), floor(y*srcH/h))). */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
@@ -207,6 +234,76 @@ object Multimodal {
     javax.imageio.ImageIO.write(im, "png", bos)
     bos.toByteArray
   }
+
+  /** Cell value of the dup-family fixture pattern at cell (cx, cy) for
+    * image `id`: family f = id/4 draws a pseudo-varied base raster, and
+    * variant v = id%4 >= 1 perturbs ONE cell (row 0, column v-1) by +128
+    * — so the four images of a family are near-identical (each perturbed
+    * cell moves at most 2 dHash gradient bits) while different families
+    * fingerprint independently. Pure integer arithmetic; the v04 oracle
+    * recomputes it verbatim in SQL.
+    */
+  private[graft] def cellVal(cx: Long, cy: Long, id: Long): Int = {
+    val f = id / 4
+    val v = id % 4
+    val base = (cx * 31 + cy * 17 + f * 97 + cx * cy * ((f % 7) + 1)) % 256
+    (if (v >= 1 && cy == 0 && cx == v - 1) (base + 128) % 256 else base).toInt
+  }
+
+  /** Deterministic grayscale PNG with 4x4-pixel constant cells following
+    * [[cellVal]]: pixel(sx, sy) = cellVal(sx/4, sy/4, id). A 36x32 image
+    * has a 9x8 cell grid, and the dHash 9x8 downsample lands exactly on
+    * cell corners (floor(x*36/9) = 4x), so the fingerprint is integer-
+    * reproducible from the cell formula alone. */
+  def syntheticCellPng(id: Long, w: Int, h: Int, cell: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = im.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, cellVal(x / cell, y / cell, id))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Dup-family image fixtures in the media schema: one [[syntheticCellPng]]
+    * per id row (every 4 consecutive ids form a near-identical family). */
+  def syntheticCellImages(ids: DataFrame, idCol: String,
+                          w: Int = 36, h: Int = 32, cell: Int = 4): DataFrame =
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, "image", syntheticCellPng(id, w, h, cell),
+            Row("png", w, h, null))
+        }
+      }(Encoders.row(mediaSchema))
+
+  /** dHash fingerprints of an image column: (media_id, fp) via the
+    * batched mapPartitions path; rows whose payload does not decode are
+    * dropped (no fingerprint to compare). Feed the result to
+    * [[graft.operators.Dedup.fingerprintDedup]] for perceptual
+    * near-duplicate removal — the image analogue of text SimHash.
+    */
+  val dHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("fp", LongType)))
+
+  def dHashFingerprints(media: DataFrame): DataFrame =
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes =
+          Option(r.get(1)).map(_.asInstanceOf[Array[Byte]]).getOrElse(Array.empty)
+        ImageIoCodec.dHash(bytes).map(fp => Row(r.getLong(0), fp))
+      }
+    }(Encoders.row(dHashSchema))
 
   /** Image-fixture table in the media schema: one PNG per id row. */
   def syntheticImages(ids: DataFrame, idCol: String,
