@@ -125,18 +125,28 @@ object Sampling {
     * |groups| rows, a broadcast of that tiny table back onto the scan,
     * and a pure hash filter — the corpus itself is never shuffled.
     */
-  def temperatureMix(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String): DataFrame =
+    df.join(broadcast(temperatureThresholds(df, groupCol)), Seq(groupCol))
+      .filter(splitHash(col(idCol)) < col("__thr"))
+      .drop("__thr")
+
+  /** The rate-derivation half of [[temperatureMix]] on its own:
+    * (groupCol, __thr) — the per-group keep threshold as the exact
+    * integer the hash filter compares against. Exposed so the rates can
+    * be computed ONCE on a reference corpus and applied elsewhere — to a
+    * later batch, or to a document STREAM (per-microbatch counts would
+    * drift with arrival order; batch-derived rates applied stream-static
+    * are the production shape: see `Streams.temperatureMix`).
+    */
+  def temperatureThresholds(df: DataFrame, groupCol: String): DataFrame = {
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
-    val thresholds = counts.crossJoin(broadcast(nmin))
+    counts.crossJoin(broadcast(nmin))
       .withColumn("__thr",
         floor(least(lit(1.0),
           sqrt(col("__nmin").cast("double") / col("__n").cast("double")))
           * lit(HashMod.toDouble)).cast("long"))
       .select(col(groupCol), col("__thr"))
-    df.join(broadcast(thresholds), Seq(groupCol))
-      .filter(splitHash(col(idCol)) < col("__thr"))
-      .drop("__thr")
   }
 
   /** Per-group quantile-calibrated filter: keep rows whose `score` is at

@@ -114,6 +114,24 @@ object Streams {
       .join(broadcast(thresholds), Seq(groupCol))
       .filter(col("bin") >= col("thr_bin"))
 
+  /** Streaming temperature-style domain rebalancing: per-group keep
+    * rates derived ONCE in batch from a reference corpus
+    * (`Sampling.temperatureThresholds`) applied to a document stream as
+    * a stream-static broadcast join + deterministic hash filter —
+    * stateless on the stream side, so batch semantics lift exactly.
+    * The rates are deliberately NOT recomputed per microbatch: a
+    * min(1, sqrt(n_min/n)) over "the groups seen so far" would drift
+    * with arrival order and early microbatches would see wildly wrong
+    * minima — the [[calibratedFilter]] rationale verbatim.
+    */
+  def temperatureMix(docs: DataFrame, rates: DataFrame,
+                     groupCol: String, idCol: String): DataFrame = {
+    import graft.operators.Sampling
+    docs.join(broadcast(rates), Seq(groupCol))
+      .filter(Sampling.splitHash(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Streaming LM-fit scoring: [[graft.operators.LmScore]]'s broadcast
     * path on a document stream — the model (trained once on a static
     * reference corpus via `LmScore.bigramModel`) rides into the plan as

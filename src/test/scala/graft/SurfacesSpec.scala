@@ -185,6 +185,38 @@ class SurfacesSpec extends SparkSpec {
     assert(batch == Seq(100L))
   }
 
+  test("streaming temperature mix: batch rates on a stream, batch ≡ stream") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_tmix").toString
+    val out = Files.createTempDirectory("stream_tmix_out").toString
+    val ckpt = Files.createTempDirectory("stream_tmix_ckpt").toString
+    // reference corpus: "big" 100 docs, "small" 1 doc ->
+    // thr(big) = floor(sqrt(1/100) * 2^32) (keep ~10%), thr(small) = 2^32
+    val ref = ((1L to 100L).map(i => (i, "big")) :+ (200L, "small"))
+      .toDF("id", "src")
+    val rates = graft.operators.Sampling.temperatureThresholds(ref, "src")
+    Files.write(java.nio.file.Paths.get(dir, "s1.csv"),
+      (1L to 100L).map(i => s"$i,big").mkString("", "\n", "\n200,small\n")
+        .getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("src", StringType)))
+    val mixed = Streams.temperatureMix(
+      Streams.fileMonitor(spark, dir, "csv", schema), rates, "src", "id")
+    assert(mixed.isStreaming)
+    Streams.runAvailableNow(Streams.ingest(mixed, s"$out/data", ckpt))
+    val streamIds = spark.read.parquet(s"$out/data")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // identical result on the same data via the one-shot BATCH operator
+    val batchIds = graft.operators.Sampling.temperatureMix(
+      spark.read.schema(schema).csv(dir), "src", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(streamIds == batchIds)
+    // the rebalance really engaged: small survives, big is downsampled
+    assert(streamIds.contains(200L))
+    val nBig = streamIds.count(_ <= 100L)
+    assert(nBig > 0 && nBig < 30, s"expected ~10 of 100 big docs, got $nBig")
+  }
+
   test("streaming chunking: stateless token windows, batch ≡ stream") {
     val dir = Files.createTempDirectory("stream_chk").toString
     val out = Files.createTempDirectory("stream_chk_out").toString
