@@ -366,6 +366,14 @@ object CorpusQueries {
     // the exact prefix-filtered transitive pass at J>=0.8 with the d12
     // best-quality survivor policy on the collapsed set. Oracle: the same
     // recursive-CTE closure family, staged twice.
+    //
+    // RESIDUAL-MISS DIAGNOSTIC: the oracle computes the EXACT J>=0.9
+    // closure, while stage 1 covers chain-shaped (non-clique) components
+    // probabilistically (~1-(1-t^4)^16 per true pair at t=0.9 — see
+    // bandedPreCollapse's Scaladoc). If this gate ever hash-diverges at a
+    // new SF or corpus with no code change, suspect a banding miss on a
+    // chain component FIRST: raise `bands`/`numHashes` (capture odds rise
+    // steeply) and re-run before debugging the operator logic.
     "d13_banded_survivor" -> ((s, dir) => {
       Dedup.bandedSurvivorsBy(docs(s, dir), "doc_id", "text",
         qualityScore(col("text")), shingleSize = 3, preThreshold = 0.9,

@@ -92,7 +92,10 @@ final class Driver(val scheduler: Scheduler) {
   def cancelJob(id: Long): Int =
     scheduler.runningRunIds(id).count(scheduler.cancel)
 
-  /** Cancel all running runs of all jobs (api.py:405-417). */
+  /** Cancel all running runs of all jobs (api.py:405-417). Sweeps the
+    * scheduler's live slot map (the source of truth), NOT the registered
+    * job list — a run whose job was deleted mid-run is still executing
+    * and must be cancelled too. */
   def cancelJobs(): Int =
-    listJobs().map(j => cancelJob(j.id)).sum
+    scheduler.liveRunIds.count(scheduler.cancel)
 }

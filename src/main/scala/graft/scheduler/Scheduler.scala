@@ -365,6 +365,12 @@ final class Scheduler(runner: JobRunner,
       case (runId, rec) if rec.job.id == jobId => runId
     }.toSeq
 
+  /** ALL currently executing run ids, regardless of job — the
+    * cancel-everything sweep must enumerate the live slot map directly:
+    * a run can outlive its job's registration (job deleted mid-run), so
+    * sweeping the job list would never reach it. */
+  def liveRunIds: Seq[Long] = liveRuns.asScala.keys.toSeq
+
   /** Run ids awaiting rerun after failure (test/console aid). */
   def failedRunIds: Seq[Long] = failed.asScala.map(_._1.runId).toSeq
 

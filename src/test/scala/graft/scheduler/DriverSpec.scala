@@ -44,4 +44,27 @@ class DriverSpec extends AnyFunSuite {
     assert(d.listJobs().map(_.id) == Seq(1L))
     s.stop()
   }
+
+  test("cancelJobs reaches a run whose job was deleted mid-run") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val blocker = new JobRunner {
+      def run(job: JobSpec, tag: Long): Unit = {
+        started.countDown()
+        gate.await() // parks until cancelled (interrupt) or released
+      }
+    }
+    val s = new Scheduler(blocker)
+    val d = new Driver(s)
+    d.createJob(JobSpec(7, "orphan"))
+    d.runJob(7, tag = 1672531200L)
+    assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    // the job disappears from the registry while its run still executes —
+    // the live slot map, not the job list, must drive the sweep
+    d.deleteJob(7)
+    assert(d.listJobs().isEmpty)
+    assert(d.cancelJobs() == 1)
+    assert(s.drain())
+    s.stop()
+  }
 }
