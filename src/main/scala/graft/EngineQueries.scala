@@ -185,6 +185,45 @@ object EngineQueries {
       s.read.parquet(s"$out/w")
     }),
 
+    // Scheduler -> user script -> ledger -> data, end to end: a
+    // script-backed job (JobScripts registry, the reference's script.py
+    // twin) is charged through the REAL scheduler with a logical-date
+    // tag; the fired run resolves the script via PipelineJobRunner,
+    // the script runs a Pipeline stamping the run's calendar date into
+    // the output, the ledger records the run Done, and the hash match
+    // proves the whole loop delivered the data exactly (the tag ->
+    // calendar handoff included: run_date comes from the firing tag).
+    "m12_scripted_job" -> ((s, dir) => {
+      import graft.scheduler._
+      val out = tmp("scripted")
+      JobScripts.register("m12-script") { (spark, cal) =>
+        val p = Pipeline(
+          ParquetModel(s"$dir/region.parquet"),
+          Mapper(df => df.select(col("r_regionkey"), col("r_name"))
+            .withColumn("run_date",
+              lit(cal.start.toLocalDate.toString))),
+          ParquetModel(s"$out/r"))
+        require(p.run(spark, cal).status == Status.Done)
+      }
+      val db = DatabaseSource("m12db", "jdbc:derby:memory:graftm12;create=true")
+      val ledger = new JdbcLedger(db)
+      val runner = new PipelineJobRunner(s, new Repository(db),
+        new SourceRegistry, ledger)
+      val sched = new Scheduler(runner, ledger = Some(ledger))
+      try {
+        val job = JobSpec(12L, "m12-script")
+        sched.register(job)
+        // 1995-06-15T00:00:00Z — midnight tag hydrates a Day calendar
+        val tag = java.time.LocalDateTime.of(1995, 6, 15, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        require(sched.charge(job, tag).isDefined)
+        require(sched.drain(), "m12 run did not finish")
+        require(sched.history.peek()._2 == Status.Done,
+          s"m12 run finished ${sched.history.peek()._2}")
+      } finally sched.stop()
+      s.read.parquet(s"$out/r")
+    }),
+
     // File listing as a DataFrame; oracle twin stats the same files via
     // DuckDB read_blob (name/size — mtimes excluded, not reproducible).
     "m08_filenames" -> ((s, dir) => {
@@ -265,5 +304,7 @@ object EngineQueries {
     "m08_filenames" ->
       """SELECT regexp_extract(filename, '[^/]+$') AS file,
         true AS is_file, size
-        FROM read_blob('{SF_DIR}/*.parquet')""")
+        FROM read_blob('{SF_DIR}/*.parquet')""",
+    "m12_scripted_job" ->
+      """SELECT r_regionkey, r_name, '1995-06-15' AS run_date FROM region""")
 }
