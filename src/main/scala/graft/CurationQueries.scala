@@ -238,26 +238,9 @@ object CurationQueries {
     // map-side), join back on the hash (tile-side skew AQE-splittable —
     // the t08 rationale), one reconstruct agg on doc_id. Tile text never
     // enters the ownership shuffle.
-    "t17_span_dedup" -> ((s, dir) => {
-      val tiles = graft.operators.Chunker.chunkByTokens(
-        docs(s, dir), "doc_id", "text", chunkSize = 8, stride = 8)
-        .withColumn("__h", xxhash64(col("chunk_text")))
-      val own = tiles.groupBy("__h")
-        .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("nd"))
-      val kept = tiles.join(own, Seq("__h"))
-        .filter(col("nd") === 1 || col("doc_id") === col("owner"))
-      val recon = kept.groupBy("doc_id").agg(
-        array_join(array_sort(collect_list(
-          struct(col("chunk_start"), col("chunk_text"))))
-          .getField("chunk_text"), " ").as("clean_text"),
-        count(lit(1)).as("n_tiles_kept"))
-      tiles.groupBy("doc_id").agg(count(lit(1)).as("n_tiles"))
-        .join(recon, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"),
-          coalesce(col("n_tiles_kept"), lit(0L)).as("n_tiles_kept"),
-          col("n_tiles"))
-    }),
+    "t17_span_dedup" -> ((s, dir) =>
+      graft.operators.Chunker.removeRepeatedSpans(
+        docs(s, dir), "doc_id", "text", tileTokens = 8)),
 
     // Corpus-wide vocabulary: top-100 terms by frequency (the seed list
     // of tokenizer training). One partial-aggregated shuffle on term;

@@ -38,4 +38,41 @@ object Chunker {
         size(col("__c")).cast("long").as("n_chunk_tokens"),
         array_join(col("__c"), " ").as("chunk_text"))
   }
+
+  /** Cross-document repeated-SPAN removal (the removal form of exact
+    * substring dedup, Lee et al. 2022): docs are tiled into
+    * non-overlapping `tileTokens`-token spans ([[chunkByTokens]] at
+    * stride = size); a tile appearing in more than one document survives
+    * only in the min-`idCol` owner; each document is reconstructed from
+    * its surviving tiles in order. Returns `(idCol, clean_text,
+    * n_tiles_kept, n_tiles)` — a fully-deduplicated doc keeps
+    * clean_text = "".
+    *
+    * Shuffle shape: ownership agg on the 8-byte tile hash (partial agg
+    * collapses hot boilerplate tiles map-side), join back on the hash
+    * (tile-side skew is AQE-splittable — the t08 rationale; see
+    * T17Probe for the measured skew-split evidence), one reconstruct
+    * agg on doc id. Tile TEXT never enters the ownership shuffle.
+    */
+  def removeRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      tileTokens: Int = 8): DataFrame = {
+    val tiles = chunkByTokens(df, idCol, textCol, tileTokens, tileTokens)
+      .withColumn("__h", xxhash64(col("chunk_text")))
+    val own = tiles.groupBy("__h")
+      .agg(min(idCol).as("owner"), countDistinct(idCol).as("nd"))
+    val kept = tiles.join(own, Seq("__h"))
+      .filter(col("nd") === 1 || col(idCol) === col("owner"))
+    val recon = kept.groupBy(idCol).agg(
+      array_join(array_sort(collect_list(
+        struct(col("chunk_start"), col("chunk_text"))))
+        .getField("chunk_text"), " ").as("clean_text"),
+      count(lit(1)).as("n_tiles_kept"))
+    tiles.groupBy(idCol).agg(count(lit(1)).as("n_tiles"))
+      .join(recon, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tiles_kept"), lit(0L)).as("n_tiles_kept"),
+        col("n_tiles"))
+  }
 }
