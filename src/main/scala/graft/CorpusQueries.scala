@@ -93,6 +93,40 @@ object CorpusQueries {
         .select(col("media_id"), col("band"),
           col("f").cast("double").as("f"))),
 
+    // Audio featurization on REAL decoded samples (AudioWavCodec over
+    // the JDK's javax.sound.sampled): one 2048-sample 16-bit mono WAV
+    // per doc with sample(t) = ((t*(id%7+3) + id*13) % 2001) - 1000,
+    // decoded for real (RIFF parse + frame extraction), then 8
+    // temporal-band mean-|amplitude| features — integer sums, one
+    // double division, float rounding last (the v03 discipline on the
+    // time axis). The oracle recomputes every value from the sample
+    // formula.
+    "v05_audio_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.syntheticAudio(
+            docs(s, dir).select("doc_id"), "doc_id",
+            nSamples = 2048, sampleRate = 8000),
+          dim = 8, codec = Multimodal.AudioWavCodec)
+        .select(col("media_id"), posexplode(col("feature")))
+        .toDF("media_id", "band", "f")
+        .select(col("media_id"), col("band"),
+          col("f").cast("double").as("f"))),
+
+    // Audio resample roundtrip (the v02 shape on the time axis):
+    // 2048-sample tone -> integer nearest-neighbor resample to 512
+    // samples (dst(i) = src(4i)) -> WAV re-encode -> RE-DECODE; the
+    // gate hashes decoded length, rate and mean |amplitude|, which the
+    // oracle recomputes from the sample formula. Proves the whole
+    // encode -> decode -> resample -> encode -> decode loop on real
+    // PCM bytes.
+    "v06_audio_resample" -> ((s, dir) =>
+      Multimodal.decodedAudioStats(
+        Multimodal.resampleAudio(
+          Multimodal.syntheticAudio(
+            docs(s, dir).select("doc_id"), "doc_id",
+            nSamples = 2048, sampleRate = 8000),
+          targetSamples = 512, codec = Multimodal.AudioWavCodec))),
+
     // Image near-duplicate dedup over REAL decoded pixels: every 4
     // consecutive ids render as a near-identical PNG family (one 4x4
     // cell perturbed per variant), dHash = decode -> gray -> integer
@@ -454,6 +488,29 @@ object CorpusQueries {
          SELECT doc_id AS media_id, CAST(band AS INTEGER) AS band,
            CAST(CAST(CAST(SUM(g) AS DOUBLE) / count(*) AS REAL) AS DOUBLE) AS f
          FROM px GROUP BY doc_id, band""",
+    // temporal-band twin of v05: band = t // 256 over 2048 samples
+    "v05_audio_features" ->
+      """WITH s AS (
+           SELECT d.doc_id, t.t // 256 AS band,
+             ABS(((t.t * (d.doc_id % 7 + 3) + d.doc_id * 13) % 2001) - 1000)
+               AS a
+           FROM documents d,
+             (SELECT unnest(generate_series(0, 2047)) AS t) t)
+         SELECT doc_id AS media_id, CAST(band AS INTEGER) AS band,
+           CAST(CAST(CAST(SUM(a) AS DOUBLE) / count(*) AS REAL) AS DOUBLE) AS f
+         FROM s GROUP BY doc_id, band""",
+    // resample twin of v06: dst(i) = src(4i) over the 512-sample target
+    "v06_audio_resample" ->
+      """WITH s AS (
+           SELECT d.doc_id,
+             ABS((((4*i.i) * (d.doc_id % 7 + 3) + d.doc_id * 13) % 2001)
+                 - 1000) AS a
+           FROM documents d,
+             (SELECT unnest(generate_series(0, 511)) AS i) i)
+         SELECT doc_id AS media_id, CAST(512 AS INTEGER) AS n_samples,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(SUM(a) AS DOUBLE) / 512 AS mean_abs
+         FROM s GROUP BY doc_id""",
     // dHash twin: the 9x8 downsample lands on cell corners, so gradient
     // bit (cy*8+cx) = [cell(cx+1,cy) > cell(cx,cy)] straight from the
     // integer cell formula; hamming via pairwise differing-bit counts

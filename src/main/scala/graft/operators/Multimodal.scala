@@ -13,9 +13,11 @@ import org.apache.spark.sql.types._
   * library/model initialization over its whole partition — the Scala
   * analogue of the batched pandas-UDF pattern. Codecs plug in behind
   * [[MediaCodec]]: [[ImageIoCodec]] REALLY decodes PNG/JPEG/BMP via the
-  * JDK's built-in javax.imageio (no external jars needed);
+  * JDK's built-in javax.imageio, and [[AudioWavCodec]] REALLY decodes
+  * WAV/AIFF/AU PCM via javax.sound.sampled (no external jars needed);
   * [[StubCodec]] remains the clearly-marked deterministic stand-in for
-  * modalities whose libraries are not in this environment (video/audio).
+  * the modalities with no in-JDK decoder (video containers, compressed
+  * audio codecs).
   */
 object Multimodal {
 
@@ -52,8 +54,9 @@ object Multimodal {
   /** STUB decode: a real implementation would decode the media and run a
     * feature extractor; this derives a deterministic pseudo-feature from
     * the bytes (content-addressed, so tests are exact). Kept for
-    * modalities without an in-JVM decoder (video/audio); images have the
-    * real [[ImageIoCodec]].
+    * modalities without an in-JVM decoder (video containers, compressed
+    * audio); images have the real [[ImageIoCodec]] and PCM audio the
+    * real [[AudioWavCodec]].
     */
   object StubCodec extends MediaCodec {
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -234,6 +237,183 @@ object Multimodal {
     javax.imageio.ImageIO.write(im, "png", bos)
     bos.toByteArray
   }
+
+  /** REAL audio codec over the JDK's built-in `javax.sound.sampled`
+    * (WAV/AIFF/AU containers, PCM payloads — no external jars): the
+    * audio analogue of [[ImageIoCodec]]. Decodes the container for
+    * real (RIFF header parse + frame extraction via AudioSystem),
+    * yields signed 16-bit samples, and computes temporal-band
+    * mean-absolute-amplitude features with the same integer-sums /
+    * one-double-division / float-rounding-last discipline as the image
+    * band means, so an external engine reproduces every value exactly.
+    * Payloads that do not decode as audio fall back to [[StubCodec]].
+    * Compressed codecs (MP3/AAC/Opus) have no in-JDK decoder and stay
+    * env-blocked.
+    */
+  object AudioWavCodec extends MediaCodec {
+    import javax.sound.sampled.AudioSystem
+
+    /** Signed 16-bit mono samples of a decodable PCM payload. */
+    def samples(bytes: Array[Byte]): Option[Array[Int]] =
+      if (bytes == null || bytes.isEmpty) None
+      else try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val raw = in.readAllBytes()
+          val le = !fmt.isBigEndian
+          val out = new Array[Int](raw.length / 2)
+          var i = 0
+          while (i < out.length) {
+            val lo = raw(2 * i) & 0xFF
+            val hi = raw(2 * i + 1) & 0xFF
+            out(i) = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+            i += 1
+          }
+          Some(out)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** (n_samples, sample_rate_hz, mean |amplitude|) — the decode-proof
+      * stats triple (the audio twin of [[ImageIoCodec.stats]]). */
+    def stats(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val rate = in.getFormat.getSampleRate.toInt
+        samples(bytes).map { s =>
+          var sum = 0L
+          var i = 0
+          while (i < s.length) { sum += math.abs(s(i)); i += 1 }
+          (s.length, rate,
+            if (s.isEmpty) 0.0 else sum.toDouble / s.length)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** dim temporal-band mean-absolute amplitudes: band j covers samples
+      * [j*n/dim, (j+1)*n/dim) — integer |sample| sums, one double
+      * division, float rounding last (the [[ImageIoCodec.features]]
+      * discipline on the time axis). */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      samples(bytes) match {
+        case None => StubCodec.features(bytes, dim)
+        case Some(s) =>
+          val n = s.length
+          Array.tabulate(dim) { j =>
+            val i0 = (j.toLong * n / dim).toInt
+            val i1 = ((j + 1).toLong * n / dim).toInt
+            var sum = 0L
+            var i = i0
+            while (i < i1) { sum += math.abs(s(i)); i += 1 }
+            if (i1 == i0) 0f else (sum.toDouble / (i1 - i0)).toFloat
+          }
+      }
+
+    /** `n` evenly-spaced SAMPLE offsets (the audio frame-sampling
+      * analogue: where a real pipeline would cut analysis windows). */
+    def sampleFrames(bytes: Array[Byte], n: Int): Array[Long] =
+      samples(bytes) match {
+        case None => StubCodec.sampleFrames(bytes, n)
+        case Some(s) => Array.tabulate(n)(i => (i.toLong * s.length) / n)
+      }
+
+    /** Nearest-neighbor resample to w*h samples at the source rate,
+      * re-encoded as 16-bit mono little-endian WAV:
+      * dst(i) = src(floor(i*n/target)) — the exact integer source
+      * mapping of [[ImageIoCodec.resize]] on the time axis. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = w * h
+      (samples(bytes), stats(bytes)) match {
+        case (Some(s), Some((_, rate, _))) if s.nonEmpty && target > 0 =>
+          val out = Array.tabulate(target)(i =>
+            s((i.toLong * s.length / target).toInt))
+          pcm16Wav(out, rate)
+        case _ => StubCodec.resize(bytes, w, h)
+      }
+    }
+  }
+
+  /** Minimal RIFF/WAVE container around signed 16-bit mono little-endian
+    * PCM — byte-deterministic (no encoder variance), decodable by any
+    * WAV reader including the JDK's own. */
+  def pcm16Wav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(1.toShort) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2.toShort) // block align
+      .putShort(16.toShort) // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  /** Deterministic test tone: sample(t) = ((t*(id%7+3) + id*13) mod
+    * 2001) - 1000 — a REAL encoded WAV whose decoded samples are pure
+    * integer arithmetic, so audio decode-path gates have an exact SQL
+    * oracle (the [[syntheticGrayPng]] pattern on the time axis). */
+  def syntheticToneWav(id: Long, nSamples: Int, sampleRate: Int): Array[Byte] =
+    pcm16Wav(Array.tabulate(nSamples)(t =>
+      (((t.toLong * (id % 7 + 3) + id * 13) % 2001L) - 1000L).toInt),
+      sampleRate)
+
+  /** Audio-fixture table in the media schema: one tone WAV per id row. */
+  def syntheticAudio(ids: DataFrame, idCol: String,
+                     nSamples: Int = 2048, sampleRate: Int = 8000): DataFrame =
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, "audio", syntheticToneWav(id, nSamples, sampleRate),
+            Row("wav", null, null,
+              nSamples.toLong * 1000L / sampleRate))
+        }
+      }(Encoders.row(mediaSchema))
+
+  /** Decoded roundtrip stats of an audio column: (media_id, n_samples,
+    * sample_rate, mean_abs) — the audio twin of [[decodedStats]]. */
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_samples", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("mean_abs", DoubleType)))
+
+  /** Nearest-neighbor resample of the audio rows to `targetSamples`
+    * samples (re-encoded WAV; [[resize]] deliberately passes audio rows
+    * through untouched, so time-axis normalization is its own step —
+    * the fixed-length windows a training batcher wants). */
+  def resampleAudio(media: DataFrame, targetSamples: Int,
+                    codec: MediaCodec = AudioWavCodec): DataFrame =
+    media.filter(col("modality") === "audio")
+      .select("media_id", "modality", "bytes", "meta").mapPartitions { rows =>
+        // per-partition init point for a real resampler
+        rows.map { r =>
+          val bytes =
+            Option(r.get(2)).map(_.asInstanceOf[Array[Byte]]).getOrElse(Array.empty)
+          Row(r.getLong(0), "audio", codec.resize(bytes, targetSamples, 1),
+            Row("wav", null, null, null))
+        }
+      }(Encoders.row(mediaSchema))
+
+  def decodedAudioStats(media: DataFrame): DataFrame =
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes =
+          Option(r.get(1)).map(_.asInstanceOf[Array[Byte]]).getOrElse(Array.empty)
+        AudioWavCodec.stats(bytes) match {
+          case Some((n, rate, mean)) => Row(r.getLong(0), n, rate, mean)
+          case None => Row(r.getLong(0), null, null, null)
+        }
+      }
+    }(Encoders.row(audioStatsSchema))
 
   /** Cell value of the dup-family fixture pattern at cell (cx, cy) for
     * image `id`: family f = id/4 draws a pseudo-varied base raster, and
