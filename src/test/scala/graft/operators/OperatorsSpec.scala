@@ -253,6 +253,78 @@ class OperatorsSpec extends SparkSpec {
     assert(pre == Set(1L, 10L, 20L, 21L))
   }
 
+  test("fingerprintDedup equals brute all-pairs hamming on random prints") {
+    import spark.implicits._
+    // deterministic pseudo-random 64-bit prints with planted near-dups:
+    // every 5th id is its predecessor with 2 bits flipped (hamming 2)
+    def splitmix(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val prints = (0L until 200L).map { i =>
+      val base = splitmix(i - (i % 5))
+      (i, if (i % 5 == 0) base else base ^ (1L << (i % 63)) ^ (1L << 7))
+    }
+    val fp = prints.toDF("id", "fp")
+    val got = Dedup.fingerprintDedup(fp, "id", "fp", maxHamming = 3)
+      .collect().map(_.getLong(0)).toSet
+    val brute = prints.map(_._1).filterNot { b =>
+      prints.exists { case (a, fpa) =>
+        a < b && java.lang.Long.bitCount(
+          fpa ^ prints(b.toInt)._2) <= 3
+      }
+    }.toSet
+    assert(got == brute && got.size < 200)
+  }
+
+  test("image dHash: identical images collide, variants land within hamming 2") {
+    val a0 = Multimodal.syntheticCellPng(0L, 36, 32, 4)
+    val a1 = Multimodal.syntheticCellPng(1L, 36, 32, 4) // variant of family 0
+    val b0 = Multimodal.syntheticCellPng(40L, 36, 32, 4) // other family
+    val h0 = Multimodal.ImageIoCodec.dHash(a0).get
+    val h1 = Multimodal.ImageIoCodec.dHash(a1).get
+    val hb = Multimodal.ImageIoCodec.dHash(b0).get
+    assert(Multimodal.ImageIoCodec.dHash(a0).get == h0) // deterministic
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 2) // one perturbed cell
+    assert(java.lang.Long.bitCount(h0 ^ hb) > 3) // families differ
+    assert(Multimodal.ImageIoCodec.dHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("AudioWavCodec: encode -> decode roundtrip is sample-exact") {
+    val samples = Array.tabulate(2048)(t =>
+      (((t.toLong * 5 + 3 * 13) % 2001L) - 1000L).toInt)
+    val wav = Multimodal.pcm16Wav(samples, 8000)
+    assert(Multimodal.AudioWavCodec.samples(wav).get.sameElements(samples))
+    val (n, rate, mean) = Multimodal.AudioWavCodec.stats(wav).get
+    assert(n == 2048 && rate == 8000)
+    assert(mean == samples.map(s => math.abs(s).toLong).sum.toDouble / 2048)
+    // resample picks src(floor(i*n/target)) — exact integer mapping
+    val res = Multimodal.AudioWavCodec.resize(wav, 32, 16)
+    val rs = Multimodal.AudioWavCodec.samples(res).get
+    assert(rs.length == 512 && rs.indices.forall(i => rs(i) == samples(4 * i)))
+    // non-audio payloads are rejected, not mis-decoded
+    assert(Multimodal.AudioWavCodec.samples(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
+  test("removeRepeatedSpans: shared tile survives only in the min-id owner") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h unique one text here now ok yes"),
+      (2L, "a b c d e f g h other two text goes right here why"),
+      (3L, "totally distinct document with its very own words here")
+    ).toDF("doc_id", "text")
+    val out = Chunker.removeRepeatedSpans(d, "doc_id", "text", tileTokens = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 keeps both tiles; doc 2 loses the shared first tile
+    assert(out(1L).getAs[Long]("n_tiles_kept") == 2L)
+    assert(out(2L).getAs[Long]("n_tiles_kept") == 1L)
+    assert(out(2L).getAs[String]("clean_text") ==
+      "other two text goes right here why")
+    assert(out(3L).getAs[Long]("n_tiles_kept") == out(3L).getAs[Long]("n_tiles"))
+  }
+
   test("embedding near-dup dedup keeps min-id survivors") {
     val pairs = Similarity.cosineNearDupPairs(embs, 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
