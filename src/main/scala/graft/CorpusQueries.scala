@@ -93,6 +93,21 @@ object CorpusQueries {
         .select(col("media_id"), col("band"),
           col("f").cast("double").as("f"))),
 
+    // Video frame sampling on a REAL demuxed container (AviCodec walks
+    // the RIFF LIST tree of an uncompressed AVI — the Spark-side half
+    // of 100 TB video handling; compressed-codec decode stays behind
+    // the MediaCodec seam): one 8-frame 16x12 gray AVI per doc with
+    // frame k pixel (x,y) = (7x+13y+31id+17k) % 256, demuxed for real,
+    // 4 evenly-spaced frames kept, per-frame mean gray from the raw
+    // BGR payload. The oracle recomputes everything from the pixel
+    // formula (v01 keeps the stub byte-offset path for non-demuxable
+    // payloads).
+    "v07_video_demux" -> ((s, dir) =>
+      Multimodal.sampleFrameStats(
+        Multimodal.syntheticVideos(
+          docs(s, dir).select("doc_id"), "doc_id",
+          w = 16, h = 12, nFrames = 8), n = 4)),
+
     // Audio featurization on REAL decoded samples (AudioWavCodec over
     // the JDK's javax.sound.sampled): one 2048-sample 16-bit mono WAV
     // per doc with sample(t) = ((t*(id%7+3) + id*13) % 2001) - 1000,
@@ -488,6 +503,20 @@ object CorpusQueries {
          SELECT doc_id AS media_id, CAST(band AS INTEGER) AS band,
            CAST(CAST(CAST(SUM(g) AS DOUBLE) / count(*) AS REAL) AS DOUBLE) AS f
          FROM px GROUP BY doc_id, band""",
+    // demux twin of v07: kept frame i maps to source frame 2i
+    "v07_video_demux" ->
+      """WITH px AS (
+           SELECT d.doc_id, i.i,
+             (7*x.x + 13*y.y + 31*d.doc_id + 17*(2*i.i)) % 256 AS g
+           FROM documents d,
+             (SELECT unnest(generate_series(0, 3)) AS i) i,
+             (SELECT unnest(generate_series(0, 15)) AS x) x,
+             (SELECT unnest(generate_series(0, 11)) AS y) y)
+         SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_no,
+           CAST(2*i AS INTEGER) AS frame_index,
+           CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+           CAST(SUM(g) AS DOUBLE) / 192 AS mean_gray
+         FROM px GROUP BY doc_id, i""",
     // temporal-band twin of v05: band = t // 256 over 2048 samples
     "v05_audio_features" ->
       """WITH s AS (

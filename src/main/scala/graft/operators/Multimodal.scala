@@ -13,11 +13,11 @@ import org.apache.spark.sql.types._
   * library/model initialization over its whole partition — the Scala
   * analogue of the batched pandas-UDF pattern. Codecs plug in behind
   * [[MediaCodec]]: [[ImageIoCodec]] REALLY decodes PNG/JPEG/BMP via the
-  * JDK's built-in javax.imageio, and [[AudioWavCodec]] REALLY decodes
-  * WAV/AIFF/AU PCM via javax.sound.sampled (no external jars needed);
+  * JDK's built-in javax.imageio, [[AudioWavCodec]] REALLY decodes
+  * WAV/AIFF/AU PCM via javax.sound.sampled, and [[AviCodec]] REALLY
+  * demuxes RIFF/AVI containers (no external jars needed anywhere);
   * [[StubCodec]] remains the clearly-marked deterministic stand-in for
-  * the modalities with no in-JDK decoder (video containers, compressed
-  * audio codecs).
+  * the paths with no in-JDK decoder (compressed video/audio codecs).
   */
 object Multimodal {
 
@@ -334,6 +334,190 @@ object Multimodal {
       }
     }
   }
+
+  /** REAL video container demux over hand-parsed RIFF/AVI (uncompressed
+    * BI_RGB payloads — no codec needed, and none exists in the JDK):
+    * the Spark-side half of video handling at 100 TB. Demuxing (walking
+    * the container to cut frame payloads) is cheap integer parsing that
+    * belongs in the batched executor pass; actual compressed-codec
+    * decode stays behind the [[MediaCodec]] seam for an external
+    * library. Frames come back as raw bottom-up BGR rows exactly as
+    * stored, so frame statistics are pure integer arithmetic an oracle
+    * reproduces.
+    */
+  object AviCodec {
+
+    /** Parse an AVI container: (width, height, frame payloads in stream
+      * order). Walks the RIFF LIST tree for real — `avih` for the
+      * dimensions, `00db`/`00dc` chunks for the frames. None when the
+      * payload is not a RIFF/AVI file.
+      */
+    def demux(bytes: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] =
+      try {
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(): String = {
+          val a = new Array[Byte](4)
+          buf.get(a)
+          new String(a, "US-ASCII")
+        }
+        if (buf.remaining() < 12 || fourcc() != "RIFF") None
+        else {
+          buf.getInt // riff payload size
+          if (fourcc() != "AVI ") None
+          else {
+            var w, h = 0
+            var frames = Vector.empty[Array[Byte]]
+            def walk(end: Int): Unit =
+              while (buf.position() < end) {
+                val id = fourcc()
+                val sz = buf.getInt
+                val next = buf.position() + sz + (sz & 1) // chunks pad to even
+                if (id == "LIST") { fourcc(); walk(next) } // descend
+                else {
+                  if (id == "avih") { // MainAVIHeader: dwWidth @32, dwHeight @36
+                    val base = buf.position()
+                    w = buf.getInt(base + 32)
+                    h = buf.getInt(base + 36)
+                  } else if (id == "00db" || id == "00dc") {
+                    val payload = new Array[Byte](sz)
+                    buf.get(payload)
+                    frames :+= payload
+                  }
+                  buf.position(next)
+                }
+              }
+            walk(buf.limit())
+            if (w > 0 && h > 0 && frames.nonEmpty) Some((w, h, frames)) else None
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Mean gray value of a raw bottom-up BGR frame (gray content stores
+      * B = G = R, so the blue channel is the value): integer sum, one
+      * double division. */
+    def frameMeanGray(frame: Array[Byte], w: Int, h: Int): Double = {
+      var sum = 0L
+      var p = 0
+      val n = w * h
+      while (p < n) { sum += frame(3 * p) & 0xFF; p += 1 }
+      if (n == 0) 0.0 else sum.toDouble / n
+    }
+  }
+
+  /** Minimal RIFF/AVI container around uncompressed BI_RGB frames —
+    * byte-deterministic, structurally valid (hdrl with avih/strl, movi
+    * with 00db chunks), demuxable by [[AviCodec]] or any AVI reader.
+    * `frames` are raw bottom-up BGR rows (w*3 bytes per row — callers
+    * should keep w*3 a multiple of 4 to avoid row padding).
+    */
+  def bgrAvi(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put(kind.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val frameBytes = w * h * 3
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(1000000 / fps).putInt(frameBytes * fps).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(w).putInt(h).array()
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0).putInt(1).putInt(fps)
+      .putInt(0).putInt(frames.length).putInt(frameBytes)
+      .putInt(-1).putInt(0).putShort(0.toShort).putShort(0.toShort)
+      .putShort(w.toShort).putShort(h.toShort).array()
+    val strf = java.nio.ByteBuffer.allocate(40) // BITMAPINFOHEADER, BI_RGB
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+      .putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00db", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Deterministic gray test video: frame k pixel (x, y) =
+    * (7x + 13y + 31*id + 17*k) mod 256 ([[syntheticGrayPng]]'s formula
+    * plus a frame term), stored as raw bottom-up BGR. A REAL demuxable
+    * AVI whose frame content is pure integer arithmetic. */
+  def syntheticGrayAvi(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map { k =>
+      val f = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = ((7L * x + 13L * y + 31L * id + 17L * k) % 256L).toByte
+          val p = 3 * ((h - 1 - y) * w + x) // bottom-up row order
+          f(p) = g; f(p + 1) = g; f(p + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+      f
+    }
+    bgrAvi(frames, w, h, fps = 10)
+  }
+
+  /** Video-fixture table in the media schema: one gray AVI per id row. */
+  def syntheticVideos(ids: DataFrame, idCol: String, w: Int = 16, h: Int = 12,
+                      nFrames: Int = 8): DataFrame =
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, "video", syntheticGrayAvi(id, w, h, nFrames),
+            Row("avi", w, h, nFrames * 100L))
+        }
+      }(Encoders.row(mediaSchema))
+
+  /** REAL frame sampling: demux the container, keep `n` evenly-spaced
+    * frames (index i -> source frame floor(i*nFrames/n)), return per-
+    * frame decode-proof stats — the upgrade of [[sampleFrames]]'s stub
+    * byte-offset path for demuxable containers. Rows that do not demux
+    * are dropped.
+    */
+  val frameStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("frame_index", IntegerType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_gray", DoubleType)))
+
+  def sampleFrameStats(media: DataFrame, n: Int): DataFrame =
+    media.filter(col("modality") === "video")
+      .select("media_id", "bytes").mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes =
+            Option(r.get(1)).map(_.asInstanceOf[Array[Byte]]).getOrElse(Array.empty)
+          AviCodec.demux(bytes).toSeq.flatMap { case (w, h, frames) =>
+            (0 until n).map { i =>
+              val k = ((i.toLong * frames.length) / n).toInt
+              Row(r.getLong(0), i, k, w, h,
+                AviCodec.frameMeanGray(frames(k), w, h))
+            }
+          }
+        }
+      }(Encoders.row(frameStatsSchema))
 
   /** Minimal RIFF/WAVE container around signed 16-bit mono little-endian
     * PCM — byte-deterministic (no encoder variance), decodable by any

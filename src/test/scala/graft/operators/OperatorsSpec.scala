@@ -308,6 +308,21 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.AudioWavCodec.samples(Array[Byte](9, 9, 9)).isEmpty)
   }
 
+  test("AviCodec: container roundtrip demuxes the exact frame payloads") {
+    val frames = (0 until 3).map(k =>
+      Array.tabulate(16 * 12 * 3)(i => ((i + 7 * k) % 251).toByte))
+    val avi = Multimodal.bgrAvi(frames, w = 16, h = 12, fps = 10)
+    val (w, h, got) = Multimodal.AviCodec.demux(avi).get
+    assert(w == 16 && h == 12 && got.length == 3)
+    assert(got.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // mean gray reads the blue channel of the bottom-up raster
+    val flat = Array.fill(16 * 12 * 3)(100.toByte)
+    assert(Multimodal.AviCodec.frameMeanGray(flat, 16, 12) == 100.0)
+    // non-AVI payloads are rejected, not mis-parsed
+    assert(Multimodal.AviCodec.demux("RIFFxxxx".getBytes).isEmpty)
+    assert(Multimodal.AviCodec.demux(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("removeRepeatedSpans: shared tile survives only in the min-id owner") {
     import spark.implicits._
     val d = Seq(
