@@ -21,6 +21,14 @@ object TextFunctions {
     */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** Driver/executor-side twin of [[tokens]] for kernels that tokenize
+    * inside typed transformations (same trim -> lower -> \s+ split;
+    * blank input yields no tokens). */
+  def tokenize(text: String): Array[String] = {
+    val t = if (text == null) "" else text.trim.toLowerCase
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Ratio of ASCII punctuation characters to total characters.

@@ -340,6 +340,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_tiles_kept") == out(3L).getAs[Long]("n_tiles"))
   }
 
+  test("BPE trainer learns the hand-computed merges and the applier agrees") {
+    import spark.implicits._
+    // classic shape: "aaab" x3, "aab" x2 -> pair counts round 1:
+    // (a,a) = 2*3 + 1*2 = 8, (a,b) = 3+2 = 5 -> merge (a,a)
+    // round 2 over {aa a b x3, aa b x2}: (aa,a)=3, (aa,b)=2, (a,b)=3
+    // -> tie 3 between (a,b) and (aa,a); lexicographic: (a,b)
+    val d = Seq.fill(3)((1L, "aaab")).zipWithIndex.map { case ((_, t), i) => (i.toLong, t) } ++
+      Seq((10L, "aab"), (11L, "aab"))
+    val df = d.toDF("doc_id", "text")
+    val merges = Tokenizer.trainBpeMerges(df, "text", numMerges = 3)
+    // round 3 then merges the merged symbols themselves: (aa, ab) x3
+    assert(merges.map(m => (m._2, m._3, m._4)) ==
+      Seq(("a", "a", 8L), ("a", "b", 3L), ("aa", "ab", 3L)))
+    // with the first two merges: aaab -> [aa, ab]; aab -> [aa, b]
+    val merges2 = Tokenizer.trainBpeMerges(df, "text", numMerges = 2)
+    val ranks2 = merges2.map { case (r, a, b, _) => ((a, b), r) }.toMap
+    assert(Tokenizer.segment("aaab", ranks2).toSeq == Seq("aa", "ab"))
+    assert(Tokenizer.segment("aab", ranks2).toSeq == Seq("aa", "b"))
+    // all three merges collapse the training word completely
+    val ranks3 = merges.map { case (r, a, b, _) => ((a, b), r) }.toMap
+    assert(Tokenizer.segment("aaab", ranks3).toSeq == Seq("aaab"))
+    // distributed applier agrees with the driver-side segmenter
+    val seg = Tokenizer.segmentTokens(df, "doc_id", "text", merges2)
+      .filter(col("doc_id") === 0L).select("segments").collect()
+    assert(seg(0).getSeq[String](0) == Seq("aa", "ab"))
+    // more merges never increase the segment count of any token
+    assert(Tokenizer.segment("aaab", ranks3).length <=
+      Tokenizer.segment("aaab", ranks2).length)
+    // determinism
+    assert(Tokenizer.trainBpeMerges(df, "text", numMerges = 3) == merges)
+  }
+
   test("embedding near-dup dedup keeps min-id survivors") {
     val pairs = Similarity.cosineNearDupPairs(embs, 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
