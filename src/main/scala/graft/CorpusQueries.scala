@@ -427,6 +427,19 @@ object CorpusQueries {
       Dedup.bandedSurvivorsBy(docs(s, dir), "doc_id", "text",
         qualityScore(col("text")), shingleSize = 3, preThreshold = 0.9,
         numHashes = 64, bands = 16, threshold = 0.8)
+    }),
+
+    // Incremental NEAR-dup — d10's daily-ingest shape at J>=0.8: the
+    // new batch (ids >= 250) dedups within itself AND against the
+    // already-ingested index (ids < 250); the stored copy always wins.
+    // Index fixture ids all precede batch ids, so the oracle's
+    // "similar smaller-id doc exists" rule is exactly the operator's
+    // index-wins + earlier-in-batch rule on this data.
+    "d14_incremental_minhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalMinhashDedup(
+        d.filter(col("doc_id") >= 250L), d.filter(col("doc_id") < 250L),
+        "doc_id", "text", shingleSize = 3, threshold = 0.8)
     }))
 
   // ---- DuckDB oracle twins ------------------------------------------------
@@ -765,6 +778,7 @@ object CorpusQueries {
     "d06_embedding_dedup" -> embeddingDedupOracle,
     "d08_lsh_embedding_dedup" -> embeddingDedupOracle,
     "d13_banded_survivor" -> bandedSurvivorOracle,
+    "d14_incremental_minhash" -> incrementalMinhashOracle,
     // measured-recall gates: the structural fields come from the data
     // (so they scale with SF); floor_met is the pinned measurement —
     // DuckDB cannot rerun the seeded LSH/IVF paths, but it CAN demand
@@ -913,6 +927,22 @@ object CorpusQueries {
            ORDER BY q.quality DESC, c.doc_id ASC) AS rn
          FROM comp2 c JOIN q USING (doc_id))
        WHERE rn = 1"""
+
+  /** d14 twin: batch docs (ids >= 250) dropped iff an exact-Jaccard
+    * similar doc with a smaller id exists anywhere (index ids are all
+    * smaller, so index-wins and earlier-in-batch coincide here). */
+  private lazy val incrementalMinhashOracle: String =
+    s"""WITH sh AS (SELECT doc_id, $shingles3 AS grams FROM documents),
+       ex AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh),
+       pairs AS (
+         SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter,
+                any_value(a.n) AS na, any_value(b.n) AS nb
+         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       dups AS (SELECT DISTINCT idb FROM pairs
+         WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8)
+       SELECT doc_id FROM documents
+       WHERE doc_id >= 250 AND doc_id NOT IN (SELECT idb FROM dups)"""
 
   /** Shared oracle for d03/d04: survivors of exact 3-gram Jaccard >= 0.8,
     * keep-min-id policy (drop a doc iff a similar smaller-id doc exists).

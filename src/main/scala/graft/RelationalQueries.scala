@@ -335,6 +335,20 @@ object RelationalQueries {
         t(s, dir, "events"), Seq("event_type"), "value", salt = 16)
     }),
 
+    // Skew-salted equi-join; result identical to the plain join (the
+    // oracle), each key's rows spread over 8 reducers. The manual fix
+    // for hot keys whose compressed bytes evade AQE's skew detection
+    // (the T17Probe finding) when their decompressed row count is the
+    // real bottleneck.
+    "q43_salted_join" -> ((s, dir) => {
+      graft.operators.Relational.saltedJoin(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+          .withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), salt = 8)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+    }),
+
     // As-of join: latest purchase at-or-before each click, per user.
     "q30_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -495,6 +509,9 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q41_sql_exists" -> SqlExistsText,
     "q42_sql_scalar_subquery" -> SqlScalarSubqueryText,
+    "q43_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${ds("l_quantity")} AS sum_qty,

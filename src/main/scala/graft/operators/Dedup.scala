@@ -68,6 +68,53 @@ object Dedup {
     inBatch.join(indexHashes, xxhash64(col(textCol)) === col("__h"), "left_anti")
   }
 
+  /** Incremental NEAR-dup dedup — the d10 daily-ingest shape lifted
+    * from exact hashing to MinHash J >= `threshold`: dedup the new
+    * batch within itself AND against the already-ingested index. A
+    * batch doc is dropped iff a verified-similar doc exists in the
+    * index (the stored copy always wins) or earlier (smaller id) in
+    * the batch.
+    *
+    * Scale shape: at ingest the index side is the persisted
+    * (id, signature, hashed-shingles) artifact, so corpus text never
+    * re-travels; per batch the LSH banding shuffles index+batch
+    * signatures once, pair expansion is per-bucket local, and the
+    * verify joins move 8-byte shingle hashes. No index rows are ever
+    * dropped — the operator returns batch survivors only.
+    */
+  def incrementalMinhashDedup(batch: DataFrame, index: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleSize: Int = 3, numHashes: Int = 64,
+                              bands: Int = 16,
+                              threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val all = batch.select(col(idCol), col(textCol), lit(1).as("__side"))
+      .union(index.select(col(idCol), col(textCol), lit(0).as("__side")))
+    val shingled = all.select(col(idCol), col("__side"),
+      hashedShingles(col(textCol), shingleSize).as("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = shingled.select(col(idCol),
+      minhashSignatureHashed(col("shingles"), numHashes).as("sig"))
+    val verified = lshCandidates(sigs, idCol, "sig", bands, rows)
+      .join(shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a"),
+        col("__side").as("side_a")), "id_a")
+      .join(shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b"),
+        col("__side").as("side_b")), "id_b")
+      .filter(size(col("sh_a")) >= ceil(lit(threshold) * size(col("sh_b"))) &&
+        size(col("sh_b")) >= ceil(lit(threshold) * size(col("sh_a"))))
+      .filter(jaccardHashed(col("sh_a"), col("sh_b")) >= threshold)
+    // victim per pair: batch-batch -> the larger id (id_b, pairs are
+    // ordered); index-batch -> whichever side is the batch doc
+    val victims = verified.select(
+      when(col("side_a") === 1 && col("side_b") === 1, col("id_b"))
+        .when(col("side_a") === 1 && col("side_b") === 0, col("id_a"))
+        .when(col("side_a") === 0 && col("side_b") === 1, col("id_b"))
+        .as(idCol))
+      .filter(col(idCol).isNotNull)
+    batch.select(col(idCol))
+      .join(victims.distinct(), Seq(idCol), "left_anti")
+  }
+
   private val Prime = 2147483647L // 2^31 - 1, Mersenne
 
   /** MinHash signature column: array<long> of `numHashes` minima over the

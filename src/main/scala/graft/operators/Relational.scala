@@ -47,6 +47,35 @@ object Relational {
       Seq("sum_value" -> sum(col("__psum")).cast("double"),
         "n" -> sum(col("__pcnt"))))
 
+  /** Hot-key-safe equi-join via salting: the big side gets a per-row
+    * salt, the small side is replicated `salt` times, and the join runs
+    * on (keys, __salt) — spreading each hot key's rows over `salt`
+    * reducers. Result identical to the plain join: every big row
+    * carries exactly ONE salt value and meets exactly the one matching
+    * replica of its key's small rows, so multiplicities are unchanged
+    * for inner and left-outer alike.
+    *
+    * When to reach for this instead of trusting AQE (measured,
+    * T17Probe/NOTES round 6): AQE's skew detection watches COMPRESSED
+    * shuffle-block sizes, so a hot key whose rows compress well
+    * (identical boilerplate tiles, stop-word terms) sails past
+    * byte-based detection while still funneling its entire row count
+    * into one reducer. When that decompressed row count is the real
+    * bottleneck — wide probe payloads, expensive residual predicates —
+    * salt deliberately; the cost is `salt` small-side copies, the win
+    * is a `salt`-way spread no detector has to notice.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salt: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val b = big.withColumn("__salt",
+      pmod(spark_partition_id().cast("long") + monotonically_increasing_id(),
+        lit(salt.toLong)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1L))))
+    b.join(s, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** As-of join: for each left row, attach the single most recent right
     * row with `rightTs <= leftTs` (inclusive) sharing the equi-keys —
     * the time-series point-in-time lookup Spark lacks as a built-in.

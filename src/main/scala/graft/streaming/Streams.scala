@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
 
 import org.apache.spark.sql.Row
 
@@ -113,6 +113,27 @@ object Streams {
       .withColumn("bin", floor(score * lit(bins.toDouble)).cast("long"))
       .join(broadcast(thresholds), Seq(groupCol))
       .filter(col("bin") >= col("thr_bin"))
+
+  /** Monitor a directory for new MEDIA files (images, audio, video):
+    * `binaryFile` is a regular file format, so it streams through the
+    * same checkpoint-tracked discovery as any file source; payloads
+    * land in the canonical media schema via
+    * [[graft.operators.Multimodal.fromBinaryFiles]], and every decode /
+    * featurize / stats operator is a stateless batched projection, so
+    * batch semantics lift to the stream unchanged — ingest-time media
+    * processing at whatever rate files arrive.
+    */
+  def mediaMonitor(spark: SparkSession, path: String,
+                   modality: String): DataFrame =
+    graft.operators.Multimodal.fromBinaryFiles(
+      spark.readStream.format("binaryFile")
+        .schema(StructType(Seq(
+          StructField("path", StringType),
+          StructField("modificationTime", TimestampType),
+          StructField("length", LongType),
+          StructField("content", BinaryType))))
+        .load(path),
+      modality)
 
   /** Streaming temperature-style domain rebalancing: per-group keep
     * rates derived ONCE in batch from a reference corpus

@@ -217,6 +217,37 @@ class SurfacesSpec extends SparkSpec {
     assert(nBig > 0 && nBig < 30, s"expected ~10 of 100 big docs, got $nBig")
   }
 
+  test("streaming media ingest: binaryFile monitor + real decode, batch ≡ stream") {
+    import graft.operators.Multimodal
+    val dir = Files.createTempDirectory("stream_media").toString
+    val out = Files.createTempDirectory("stream_media_out").toString
+    val ckpt = Files.createTempDirectory("stream_media_ckpt").toString
+    // two REAL PNGs whose decoded stats are known from the pixel formula
+    Files.write(java.nio.file.Paths.get(dir, "a.png"),
+      Multimodal.syntheticGrayPng(1L, 8, 6))
+    Files.write(java.nio.file.Paths.get(dir, "b.png"),
+      Multimodal.syntheticGrayPng(2L, 8, 6))
+    val stats = Multimodal.decodedStats(
+      Streams.mediaMonitor(spark, dir, "image"))
+    assert(stats.isStreaming)
+    Streams.runAvailableNow(Streams.ingest(stats, s"$out/data", ckpt))
+    val streamRows = spark.read.parquet(s"$out/data")
+      .collect().map(_.toSeq).toSet
+    // identical result on the same files as a BATCH frame
+    val batchRows = Multimodal.decodedStats(
+      Multimodal.fromBinaryFiles(
+        spark.read.format("binaryFile").load(dir), "image"))
+      .collect().map(_.toSeq).toSet
+    assert(streamRows == batchRows && streamRows.size == 2)
+    // the decode was real: dims survive, mean matches the pixel formula
+    val byW = spark.read.parquet(s"$out/data").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(byW.forall { case (w, h, _) => w == 8 && h == 6 })
+    val expected = (for (y <- 0 until 6; x <- 0 until 8)
+      yield (7L * x + 13L * y + 31L * 1L) % 256L).sum.toDouble / 48
+    assert(byW.map(_._3).contains(expected))
+  }
+
   test("streaming chunking: stateless token windows, batch ≡ stream") {
     val dir = Files.createTempDirectory("stream_chk").toString
     val out = Files.createTempDirectory("stream_chk_out").toString
