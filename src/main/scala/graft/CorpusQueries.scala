@@ -163,6 +163,20 @@ object CorpusQueries {
             .bitwiseAND(lit(0xFFFFL)).as(s"c$c")): _*)
     }),
 
+    // Image similarity COMPONENTS — the d07 transitive closure over
+    // dHash hamming pairs (a re-encode chain A~B~C must collapse even
+    // when A and C differ by > 3 bits): the full image-family toolkit —
+    // min-id canonical copy, or feed the same pairs to leakageSafeSplit
+    // so visual near-dups never straddle train/held-out.
+    "v08_image_components" -> ((s, dir) => {
+      val fp = Multimodal.dHashFingerprints(
+        Multimodal.syntheticCellImages(
+          docs(s, dir).select("doc_id"), "doc_id", w = 36, h = 32, cell = 4))
+      Dedup.connectedComponents(fp.select("media_id"),
+        Dedup.fingerprintPairs(fp, "media_id", "fp", maxHamming = 3),
+        "media_id")
+    }),
+
     // Token counting + quality signals, one narrow codegen'd projection.
     "t01_token_stats" -> ((s, dir) => {
       docs(s, dir).select(
@@ -558,24 +572,7 @@ object CorpusQueries {
     // integer cell formula; hamming via pairwise differing-bit counts
     // (no 64-bit build-up needed), chunks via <=15-bit shifts.
     "v04_image_dhash_dedup" ->
-      """WITH cell AS (
-           SELECT d.doc_id, cx.cx, cy.cy,
-             CASE WHEN (d.doc_id % 4) >= 1 AND cy.cy = 0
-                    AND cx.cx = (d.doc_id % 4) - 1
-               THEN ((cx.cx*31 + cy.cy*17 + (d.doc_id // 4)*97
-                      + cx.cx*cy.cy*(((d.doc_id // 4) % 7) + 1)) % 256
-                     + 128) % 256
-               ELSE (cx.cx*31 + cy.cy*17 + (d.doc_id // 4)*97
-                     + cx.cx*cy.cy*(((d.doc_id // 4) % 7) + 1)) % 256 END AS g
-           FROM documents d,
-             (SELECT unnest(generate_series(0, 8)) AS cx) cx,
-             (SELECT unnest(generate_series(0, 7)) AS cy) cy),
-         bits AS (
-           SELECT l.doc_id, l.cy, l.cx,
-             CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS b
-           FROM cell l JOIN cell r
-             ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
-           WHERE l.cx < 8),
+      s"""WITH $dhashBitsCtes,
          ham AS (
            SELECT a.doc_id AS ida, b.doc_id AS idb,
              SUM(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) AS h
@@ -779,6 +776,7 @@ object CorpusQueries {
     "d08_lsh_embedding_dedup" -> embeddingDedupOracle,
     "d13_banded_survivor" -> bandedSurvivorOracle,
     "d14_incremental_minhash" -> incrementalMinhashOracle,
+    "v08_image_components" -> imageComponentsOracle,
     // measured-recall gates: the structural fields come from the data
     // (so they scale with SF); floor_met is the pinned measurement —
     // DuckDB cannot rerun the seeded LSH/IVF paths, but it CAN demand
@@ -927,6 +925,51 @@ object CorpusQueries {
            ORDER BY q.quality DESC, c.doc_id ASC) AS rn
          FROM comp2 c JOIN q USING (doc_id))
        WHERE rn = 1"""
+
+  /** Shared CTE prefix of the v04/v08 oracles: the dHash gradient bit
+    * table recomputed from the fixture's integer cell formula (the 9x8
+    * downsample lands on cell corners). */
+  private lazy val dhashBitsCtes: String =
+    """cell AS (
+           SELECT d.doc_id, cx.cx, cy.cy,
+             CASE WHEN (d.doc_id % 4) >= 1 AND cy.cy = 0
+                    AND cx.cx = (d.doc_id % 4) - 1
+               THEN ((cx.cx*31 + cy.cy*17 + (d.doc_id // 4)*97
+                      + cx.cx*cy.cy*(((d.doc_id // 4) % 7) + 1)) % 256
+                     + 128) % 256
+               ELSE (cx.cx*31 + cy.cy*17 + (d.doc_id // 4)*97
+                     + cx.cx*cy.cy*(((d.doc_id // 4) % 7) + 1)) % 256 END AS g
+           FROM documents d,
+             (SELECT unnest(generate_series(0, 8)) AS cx) cx,
+             (SELECT unnest(generate_series(0, 7)) AS cy) cy),
+         bits AS (
+           SELECT l.doc_id, l.cy, l.cx,
+             CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS b
+           FROM cell l JOIN cell r
+             ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+           WHERE l.cx < 8)"""
+
+  /** v08 twin: connected components of the hamming <= 3 graph, component
+    * = min id (the d07 closure over fingerprint pairs). */
+  private lazy val imageComponentsOracle: String =
+    s"""WITH RECURSIVE $dhashBitsCtes,
+       ham AS (
+         SELECT a.doc_id AS ida, b.doc_id AS idb,
+           SUM(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) AS h
+         FROM bits a JOIN bits b
+           ON a.cy = b.cy AND a.cx = b.cx AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       sim AS (SELECT ida, idb FROM ham WHERE h <= 3),
+       edges AS (
+         SELECT ida AS src, idb AS dst FROM sim
+         UNION ALL SELECT idb, ida FROM sim
+         UNION ALL SELECT doc_id, doc_id FROM documents),
+       reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       SELECT src AS media_id, min(dst) AS component
+       FROM reach GROUP BY src"""
 
   /** d14 twin: batch docs (ids >= 250) dropped iff an exact-Jaccard
     * similar doc with a smaller id exists anywhere (index ids are all

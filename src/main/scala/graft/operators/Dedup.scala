@@ -283,6 +283,19 @@ object Dedup {
   def fingerprintDedup(fp: DataFrame, idCol: String, fpCol: String,
                        maxHamming: Int = 3, maxBucket: Int = 1000,
                        fpBits: Int = 64): DataFrame = {
+    val pairs = fingerprintPairs(fp, idCol, fpCol, maxHamming, maxBucket, fpBits)
+    fp.select(col(idCol))
+      .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** The VERIFIED near-dup pairs (id_a < id_b, hamming <= `maxHamming`)
+    * behind [[fingerprintDedup]] — also the edge list for
+    * [[connectedComponents]]/[[leakageSafeSplit]] when the similarity
+    * signal is a fingerprint (image dHash, SimHash) instead of shingle
+    * Jaccard. */
+  def fingerprintPairs(fp: DataFrame, idCol: String, fpCol: String,
+                       maxHamming: Int = 3, maxBucket: Int = 1000,
+                       fpBits: Int = 64): DataFrame = {
     require(fpBits % 4 == 0, "chunking assumes 4 equal chunks")
     val width = fpBits / 4
     val chunked = fp.select(col(idCol), col(fpCol).as("fp")).select(
@@ -299,14 +312,14 @@ object Dedup {
       .filter(col("__bn").between(2, maxBucket))
       .select("chunk", "ckey")
     val inB = chunked.join(okB, Seq("chunk", "ckey"))
-    val pairs = inB.as("a").join(inB.as("b"),
+    inB.as("a").join(inB.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .filter(hamming(col("fp_a"), col("fp_b")) <= maxHamming)
-    fp.select(col(idCol))
-      .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .select("id_a", "id_b")
+      .distinct() // cross-chunk repeats collapse before any CC loop
   }
 
   /** Transitive-closure dedup: treat verified similar pairs as edges of
