@@ -288,17 +288,39 @@ object Dedup {
       .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
-  /** The VERIFIED near-dup pairs (id_a < id_b, hamming <= `maxHamming`)
-    * behind [[fingerprintDedup]] — also the edge list for
+  /** A COMPLETE near-dup edge set (id_a < id_b) behind
+    * [[fingerprintDedup]] — also the edge list for
     * [[connectedComponents]]/[[leakageSafeSplit]] when the similarity
     * signal is a fingerprint (image dHash, SimHash) instead of shingle
-    * Jaccard. */
+    * Jaccard.
+    *
+    * Density-proof by construction (the d13 pre-collapse lesson applied
+    * to fingerprints): identical fingerprints collapse FIRST via an
+    * exact groupBy to their min-id representative (star edges rep ->
+    * member, linear at any copy count), and the pigeonhole buckets then
+    * hold DISTINCT fingerprints only — a million exact copies of one
+    * image contribute ONE row to the bucket self-join instead of
+    * overwhelming (or worse, silently overflowing) `maxBucket`. The
+    * returned set is not every similar pair, but its transitive closure
+    * and its min-id victim rule are EXACTLY those of the full pair
+    * graph: any similar (a, b) implies rep_a <= a with the same
+    * fingerprint distance, so rep-level edges plus identical-copy stars
+    * reach the same components and the same survivors.
+    */
   def fingerprintPairs(fp: DataFrame, idCol: String, fpCol: String,
                        maxHamming: Int = 3, maxBucket: Int = 1000,
                        fpBits: Int = 64): DataFrame = {
     require(fpBits % 4 == 0, "chunking assumes 4 equal chunks")
     val width = fpBits / 4
-    val chunked = fp.select(col(idCol), col(fpCol).as("fp")).select(
+    val base = fp.select(col(idCol), col(fpCol).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // rep agg + star join
+    // identical-fingerprint star edges: rep = min id per fingerprint
+    val reps = base.groupBy("fp").agg(min(col(idCol)).as("__rep"))
+    val stars = base.join(reps, Seq("fp"))
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+    // pigeonhole over DISTINCT fingerprints only
+    val chunked = reps.select(col("__rep").as(idCol), col("fp")).select(
         col(idCol), col("fp"), posexplode(
         array((0 until 4).map(c =>
           shiftrightunsigned(col("fp"), c * width)
@@ -306,13 +328,13 @@ object Dedup {
       .toDF(idCol, "fp", "chunk", "ckey")
       .persist(StorageLevel.MEMORY_AND_DISK) // 3 references, 32 bytes/row
     // bucket cap via groupBy + join (skew-splittable), not a window —
-    // same rationale as lshCandidates
+    // same rationale as lshCandidates; buckets are distinct-fp-sized
     val okB = chunked.groupBy("chunk", "ckey")
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn").between(2, maxBucket))
       .select("chunk", "ckey")
     val inB = chunked.join(okB, Seq("chunk", "ckey"))
-    inB.as("a").join(inB.as("b"),
+    val repPairs = inB.as("a").join(inB.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
@@ -320,6 +342,7 @@ object Dedup {
       .filter(hamming(col("fp_a"), col("fp_b")) <= maxHamming)
       .select("id_a", "id_b")
       .distinct() // cross-chunk repeats collapse before any CC loop
+    repPairs.union(stars)
   }
 
   /** Transitive-closure dedup: treat verified similar pairs as edges of

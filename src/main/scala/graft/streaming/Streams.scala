@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
@@ -134,6 +134,36 @@ object Streams {
           StructField("content", BinaryType))))
         .load(path),
       modality)
+
+  /** Streaming near-duplicate filter against a PERSISTED fingerprint
+    * index — the ingest-time image/SimHash analogue of
+    * [[calibratedFilter]]: drop stream rows whose 64-bit fingerprint is
+    * within `maxHamming` of any index fingerprint. Stateless on the
+    * stream side via the pigeonhole property: a hamming <= 3 match
+    * shares at least one of the 4 fingerprint chunks, so four
+    * equi-keyed stream-static anti-joins (one per chunk, hamming
+    * verified in the join condition) are exact — no stream state, no
+    * watermark, and the index side is the persisted artifact
+    * `Multimodal.dHashFingerprints`/`Dedup` maintain in batch.
+    * In-stream (new vs new) dedup composes via [[streamingDedup]] on
+    * the exact fingerprint column.
+    */
+  def nearDupIndexFilter(stream: DataFrame, indexFp: DataFrame,
+                         fpCol: String = "fp", maxHamming: Int = 3,
+                         fpBits: Int = 64): DataFrame = {
+    require(fpBits % 4 == 0, "chunking assumes 4 equal chunks")
+    val width = fpBits / 4
+    def chunk(c: Column, i: Int): Column =
+      shiftrightunsigned(c, i * width).bitwiseAND(lit((1L << width) - 1L))
+    (0 until 4).foldLeft(stream) { (df, i) =>
+      val idx = indexFp.select(chunk(col(fpCol), i).as("__ickey"),
+        col(fpCol).as("__ifp"))
+      df.join(idx,
+        chunk(col(fpCol), i) === col("__ickey") &&
+          bit_count(col(fpCol).bitwiseXOR(col("__ifp"))) <= maxHamming,
+        "left_anti")
+    }
+  }
 
   /** Streaming temperature-style domain rebalancing: per-group keep
     * rates derived ONCE in batch from a reference corpus

@@ -248,6 +248,44 @@ class SurfacesSpec extends SparkSpec {
     assert(byW.map(_._3).contains(expected))
   }
 
+  test("streaming near-dup index filter: persisted dHash index, batch ≡ stream") {
+    import graft.operators.{Dedup, Multimodal}
+    val dir = Files.createTempDirectory("stream_ndx").toString
+    val out = Files.createTempDirectory("stream_ndx_out").toString
+    val ckpt = Files.createTempDirectory("stream_ndx_ckpt").toString
+    import spark.implicits._
+    // persisted index: the family-0 base image (id 0)
+    val indexFp = Multimodal.dHashFingerprints(
+      Multimodal.syntheticCellImages(Seq(0L).toDF("id"), "id"))
+    // stream: two near-dup variants of family 0 + one distinct family
+    Files.write(java.nio.file.Paths.get(dir, "v1.png"),
+      Multimodal.syntheticCellPng(1L, 36, 32, 4))
+    Files.write(java.nio.file.Paths.get(dir, "v2.png"),
+      Multimodal.syntheticCellPng(2L, 36, 32, 4))
+    Files.write(java.nio.file.Paths.get(dir, "other.png"),
+      Multimodal.syntheticCellPng(40L, 36, 32, 4))
+    val kept = Streams.nearDupIndexFilter(
+      Multimodal.dHashFingerprints(Streams.mediaMonitor(spark, dir, "image")),
+      indexFp)
+    assert(kept.isStreaming)
+    Streams.runAvailableNow(Streams.ingest(kept, s"$out/data", ckpt))
+    val streamFps = spark.read.parquet(s"$out/data")
+      .select("fp").collect().map(_.getLong(0)).toSet
+    // only the distinct-family image survives (variants are within
+    // hamming 2 of the indexed base — OperatorsSpec pins the distances)
+    val otherFp = Multimodal.ImageIoCodec.dHash(
+      Multimodal.syntheticCellPng(40L, 36, 32, 4)).get
+    assert(streamFps == Set(otherFp))
+    // identical result on the same files as a BATCH frame
+    val batchFps = Streams.nearDupIndexFilter(
+      Multimodal.dHashFingerprints(
+        Multimodal.fromBinaryFiles(
+          spark.read.format("binaryFile").load(dir), "image")),
+      indexFp)
+      .select("fp").collect().map(_.getLong(0)).toSet
+    assert(batchFps == streamFps)
+  }
+
   test("streaming chunking: stateless token windows, batch ≡ stream") {
     val dir = Files.createTempDirectory("stream_chk").toString
     val out = Files.createTempDirectory("stream_chk_out").toString
