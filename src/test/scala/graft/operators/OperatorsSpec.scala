@@ -279,6 +279,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got == brute && got.size < 200)
   }
 
+  test("fingerprintDedup survives dense identical copies past maxBucket") {
+    import spark.implicits._
+    // 5000 copies of ONE fingerprint with maxBucket = 10: the capped
+    // form would silently drop every pair (bucket size 5000 >> 10) and
+    // report 5000 survivors; the rep-collapse form must report 1
+    val fp = (0L until 5000L).map(i => (i, 0x0F0F0F0F0F0F0F0FL)).toDF("id", "fp")
+    val surv = Dedup.fingerprintDedup(fp, "id", "fp",
+      maxHamming = 3, maxBucket = 10).collect().map(_.getLong(0))
+    assert(surv.toSeq == Seq(0L))
+    // and the closure over the star edges is one component rooted at 0
+    val comp = Dedup.connectedComponents(fp.select("id"),
+      Dedup.fingerprintPairs(fp, "id", "fp", maxBucket = 10), "id")
+      .select("component").distinct().collect().map(_.getLong(0))
+    assert(comp.toSeq == Seq(0L))
+  }
+
   test("image dHash: identical images collide, variants land within hamming 2") {
     val a0 = Multimodal.syntheticCellPng(0L, 36, 32, 4)
     val a1 = Multimodal.syntheticCellPng(1L, 36, 32, 4) // variant of family 0

@@ -20,6 +20,25 @@ class RelationalSpec extends SparkSpec {
     assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("saltedJoin preserves multiplicities for inner and left-outer") {
+    import spark.implicits._
+    // big side: duplicate keys and an unmatched key; small side: one key
+    // with TWO rows (each big row must meet both, exactly once each)
+    val big = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (3L, "e"))
+      .toDF("k", "bv")
+    val small = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "sv")
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt)
+        .select("k", "bv", "sv").collect().map(_.toSeq).toSeq
+        .sortBy(_.toString)
+      val salted = graft.operators.Relational.saltedJoin(
+        big, small, Seq("k"), salt = 4, joinType = jt)
+        .select("k", "bv", "sv").collect().map(_.toSeq).toSeq
+        .sortBy(_.toString)
+      assert(salted == plain, s"joinType=$jt")
+    }
+  }
+
   test("asof join picks the latest right row at-or-before, inclusive") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
