@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The bench harness must FAIL LOUDLY (round-7 verdict #3): a crashing
+  * query becomes a named entry in the failed list and a nonzero exit, not
+  * a silent -1.0 sentinel inside an exit-0 "clean" run.
+  */
+class BenchSpec extends SparkSpec {
+  private val ok: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(10).toDF("id")
+  // analysis-time failure — the exact shape of the round-7 fixture break
+  // (DATATYPE_MISMATCH at plan analysis, before any task runs)
+  private val boom: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(1).selectExpr("no_such_column + 1")
+  // execution-time failure — must survive count()'s projection pruning,
+  // so the failing expression sits in a filter, not a pruned select
+  private val boomExec: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(1).toDF("id")
+      .filter("assert_true(id > 0, 'deliberately broken') IS NULL")
+
+  test("a deliberately broken query fails the run with exit code 1") {
+    val outcomes = Bench.run(spark, "unused",
+      Seq("good" -> ok, "broken" -> boom, "brokenExec" -> boomExec), passes = 1)
+    val byName = outcomes.map(o => o.name -> o).toMap
+    assert(byName("good").minSec.exists(_ >= 0))
+    assert(byName("good").err.isEmpty)
+    assert(byName("broken").minSec.isEmpty, "analysis failure must not report a time")
+    assert(byName("broken").err.isDefined, "analysis failure must carry its error")
+    assert(byName("brokenExec").minSec.isEmpty, "runtime failure must not report a time")
+    assert(Bench.exitCode(outcomes) == 1)
+  }
+
+  test("an all-green run exits 0 with an empty failed list") {
+    val outcomes = Bench.run(spark, "unused", Seq("a" -> ok, "b" -> ok), passes = 2)
+    assert(outcomes.forall(_.minSec.isDefined))
+    assert(outcomes.forall(_.spans.size == 2), "every pass records a span")
+    assert(Bench.exitCode(outcomes) == 0)
+  }
+
+  test("a query that fails in only one pass still counts as failed") {
+    // failure is sticky across passes: a flaky crash must not be masked by
+    // a later lucky pass (min() is for noise, not for exceptions)
+    var calls = 0
+    val flaky: (SparkSession, String) => DataFrame = (s, _) => {
+      calls += 1
+      if (calls == 1) throw new RuntimeException("first-pass crash")
+      s.range(10).toDF("id")
+    }
+    val outcomes = Bench.run(spark, "unused", Seq("flaky" -> flaky), passes = 2)
+    assert(outcomes.head.minSec.isEmpty)
+    assert(Bench.exitCode(outcomes) == 1)
+  }
+}
