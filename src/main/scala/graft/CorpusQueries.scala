@@ -172,13 +172,13 @@ object CorpusQueries {
       val fp = Multimodal.dHashFingerprints(
         Multimodal.syntheticCellImages(
           docs(s, dir).select("doc_id"), "doc_id", w = 36, h = 32, cell = 4))
-      // maxIter raised over the default: fingerprintPairs returns the
-      // SPARSIFIED rep-star edge set (exactly the same closure, far
-      // fewer edges), so min-label propagation walks real chain
-      // diameters instead of riding dense-pair shortcuts
+      // default maxIter: fingerprintPairs returns the SPARSIFIED
+      // rep-star edge set (same closure, far fewer edges), so the loop
+      // walks real chain diameters — with pointer jumping those close
+      // in O(log d) rounds, so the default covers ~2^10-hop chains
       Dedup.connectedComponents(fp.select("media_id"),
         Dedup.fingerprintPairs(fp, "media_id", "fp", maxHamming = 3),
-        "media_id", maxIter = 50)
+        "media_id")
     }),
 
     // Token counting + quality signals, one narrow codegen'd projection.

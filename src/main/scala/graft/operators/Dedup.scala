@@ -350,11 +350,14 @@ object Dedup {
     * component — the upgrade over single-pass keep-min-id when duplicate
     * chains matter (a~b, b~c, a!~c must still collapse to {a}).
     *
-    * Iterative min-label propagation: every node adopts the smallest
-    * label among itself and its neighbors until fixpoint; O(diameter)
-    * rounds, each one join + aggregate (both shuffling on node id).
-    * Duplicate chains in real corpora are shallow, so 3-6 rounds
-    * typically converge; `maxIter` bounds pathological chains.
+    * Hash-min label propagation WITH pointer jumping (path halving):
+    * every round each node (1) adopts the smallest label among itself
+    * and its neighbors, then (2) jumps to its label's label. The jump
+    * roughly doubles the distance a component minimum has travelled per
+    * round, so convergence is O(log diameter) rounds instead of
+    * O(diameter) — a 1000-hop re-encode chain closes in ~9 rounds, and
+    * `maxIter = 10` covers chains of ~2^10 hops. Each round is two
+    * joins + one aggregate, all shuffling on subgraph-node id.
     *
     * `pairs` must have columns (id_a, id_b); returns (id, component)
     * with component = min id of the connected component. Docs absent
@@ -370,6 +373,12 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("component"))
   }
+
+  /** Rounds the most recent [[componentLabels]] loop took to converge —
+    * a probe/spec observability hook (the round count is the whole
+    * point of the log-round design), not part of the operator contract.
+    */
+  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Component labels of the DUPLICATE SUBGRAPH only: (idCol, component)
     * for every node that appears in a pair — the loop never touches the
@@ -404,10 +413,10 @@ object Dedup {
     // covers every paired node.)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-    // the superseded iteration's persisted join — released only AFTER the
-    // next one materializes, so at most one generation is ever pinned
+    // the superseded round's persisted frames — released only AFTER the
+    // next round materializes, so at most one generation is ever pinned
     // (the old code leaked one persisted DataFrame per round)
-    var prevJoined: DataFrame = null
+    var prevGen: List[DataFrame] = Nil
     // the live lineage-cut checkpoint; superseded generations unpersist
     // as soon as the next one materializes (they used to accumulate,
     // one pinned RDD per 3 rounds)
@@ -415,22 +424,35 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val t0 = System.nanoTime()
+      // hook: adopt the min label among self and neighbors
       val neighborMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src").as("id2")).agg(min("label").as("nlabel"))
-      // one join feeds BOTH the convergence probe and the next labels;
-      // probing `nlabel < label` on the persisted join replaces the old
-      // updated-vs-labels equality join (a whole join + shuffle less per
-      // iteration)
-      val t0 = System.nanoTime()
-      val joined = labels.join(neighborMin, col("id") === col("id2"), "left")
+      val hooked = labels.join(neighborMin, col("id") === col("id2"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the jump join
+      // jump (path halving): label <- label's label, using THIS round's
+      // post-hook labels on the lookup side. Every label is a subgraph
+      // node id by construction, so the left join always matches; the
+      // coalesce is pure safety. This is the O(d) -> O(log d) step.
+      val joined = hooked.as("x").join(
+          hooked.select(col("id").as("__jid"), col("l1").as("__jl")).as("y"),
+          col("x.l1") === col("y.__jid"), "left")
+        .select(col("x.id").as("id"), col("x.label").as("label"),
+          coalesce(col("y.__jl"), col("x.l1")).as("nlabel"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // the persisted join feeds BOTH the convergence probe and the next
+      // labels; labels only ever decrease, so `nlabel < label` anywhere
+      // means another round is needed and `changed == 0` is a fixpoint
+      // of hook AND jump — at which point every label is its component
+      // minimum (any edge crossing two labels would still hook).
       val changed = joined.filter(col("nlabel") < col("label")).limit(1).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] round ${i + 1} ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      if (prevJoined != null) prevJoined.unpersist(blocking = false)
-      prevJoined = joined
-      labels = joined.select(col("id"),
-        least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      prevGen.foreach(_.unpersist(blocking = false))
+      prevGen = List(hooked, joined)
+      labels = joined.select(col("id"), col("nlabel").as("label"))
       converged = changed == 0
       i += 1
       // every few rounds, cut the compounding lineage: round N's plan
@@ -441,20 +463,21 @@ object Dedup {
         if (prevCk != null) prevCk.unpersist(blocking = false)
         prevCk = ck
         labels = ck
-        prevJoined.unpersist(blocking = false); prevJoined = null
+        prevGen.foreach(_.unpersist(blocking = false)); prevGen = Nil
       }
     }
+    lastRounds.set(i)
     // a silently non-converged result is WRONG (labels are not yet
     // component minima) — fail loudly rather than keep extra survivors
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds: a " +
-        s"component chain is longer than $maxIter hops; raise maxIter")
+        s"component chain is longer than ~2^$maxIter hops; raise maxIter")
     // detach the subgraph result from the per-iteration caches before
     // releasing them — one bounded (id,label) materialization instead of
     // keeping the whole iteration history pinned
     val sub = labels.localCheckpoint(eager = true)
-    if (prevJoined != null) prevJoined.unpersist(blocking = false)
+    prevGen.foreach(_.unpersist(blocking = false))
     if (prevCk != null) prevCk.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     release(p0) // checkpointed input: the pinned RDD is behind a LogicalRDD leaf
@@ -604,6 +627,36 @@ object Dedup {
   def bandedPreCollapse(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, preThreshold: Double = 0.9,
                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val verified = bandedVerifiedEdges(docs, idCol, textCol, shingleSize,
+      preThreshold, numHashes, bands)
+    if (sys.env.contains("GRAFT_BANDING_DEBUG"))
+      System.err.println("[banding] coverage gap vs exact closure: " +
+        bandingCoverageGap(docs, idCol, textCol, shingleSize, preThreshold,
+          numHashes, bands))
+    // non-survivors = paired docs that are not their component's min id;
+    // the complement never enters the CC loop (subgraph-sized labels).
+    // A rep-graph contraction was tried here and REJECTED by measurement
+    // (NOTES.md round 5): at exactly the density this operator targets,
+    // minhash buckets fragment per band, so the representative set is
+    // corpus-scale — and projecting member edges onto rep-rep edges
+    // multiplies the edge list by member degree (~bands). The plain
+    // subgraph loop converges in 2-3 rounds and was 2-5x faster.
+    val sub = componentLabels(verified, idCol)
+    release(verified) // checkpointed edge list, consumed by the loop
+    val dropped = sub.filter(col(idCol) =!= col("component")).select(idCol)
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** The star-verified banded-MinHash edge set behind
+    * [[bandedPreCollapse]]: per (band, bucket) each member pairs with
+    * the bucket's min-id representative (O(bucket) edges), each edge
+    * verified by exact Jaccard >= `preThreshold`. Returned MATERIALIZED
+    * (localCheckpoint) with all intermediate caches released — call
+    * [[release]] when done.
+    */
+  def bandedVerifiedEdges(docs: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int = 3, preThreshold: Double = 0.9,
+                          numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
     val shingled = docs.select(col(idCol),
       hashedShingles(col(textCol), shingleSize).as("sh"))
@@ -637,22 +690,47 @@ object Dedup {
         size(col("sh_b")) >= ceil(lit(preThreshold) * size(col("sh_a"))))
       .filter(jaccardHashed(col("sh_a"), col("sh_b")) >= preThreshold)
       .select("id_a", "id_b")
-    // non-survivors = paired docs that are not their component's min id;
-    // the complement never enters the CC loop (subgraph-sized labels).
-    // A rep-graph contraction was tried here and REJECTED by measurement
-    // (NOTES.md round 5): at exactly the density this operator targets,
-    // minhash buckets fragment per band, so the representative set is
-    // corpus-scale — and projecting member edges onto rep-rep edges
-    // multiplies the edge list by member degree (~bands). The plain
-    // subgraph loop converges in 2-3 rounds and was 2-5x faster.
-    val sub = componentLabels(verified, idCol)
-    // sub is eagerly materialized — the result plan below depends only
-    // on it, so the signature/shingle caches can release NOW instead of
-    // staying pinned for the operator's lifetime
+    // materialize the subgraph-sized edge list, then drop the
+    // corpus-sized signature/shingle caches immediately — they must not
+    // stay pinned for the caller's lifetime
+    val out = verified.localCheckpoint(eager = true)
     banded.unpersist(blocking = false)
     shingled.unpersist(blocking = false)
-    val dropped = sub.filter(col(idCol) =!= col("component")).select(idCol)
-    docs.join(dropped, Seq(idCol), "left_anti")
+    out
+  }
+
+  /** Banding-coverage diagnostic for [[bandedPreCollapse]] /
+    * [[bandedSurvivorsBy]]: number of docs whose similarity COMPONENT
+    * under the banded star-verified edge set differs from the component
+    * under the exact prefix-filtered pair set at the same threshold.
+    * 0 means the banding captured the full closure; a nonzero count
+    * points a data-dependent banding miss at bands/numHashes directly,
+    * instead of letting a new scale factor fail a downstream hash gate
+    * mutely.
+    *
+    * DIAGNOSTIC, not a production pass: the exact side is Ω(|true
+    * pairs|) — the very cost banding exists to avoid — so run it on a
+    * SAMPLE at a new scale factor / corpus family, never in the hot
+    * path. (Set GRAFT_BANDING_DEBUG to have [[bandedPreCollapse]] print
+    * it inline.)
+    */
+  def bandingCoverageGap(docs: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3, preThreshold: Double = 0.9,
+                         numHashes: Int = 64, bands: Int = 16): Long = {
+    val banded = componentLabels(
+      bandedVerifiedEdges(docs, idCol, textCol, shingleSize, preThreshold,
+        numHashes, bands), idCol)
+      .withColumnRenamed("component", "__cb")
+    val exact = componentLabels(
+      ngramJaccardPairs(docs, idCol, textCol, shingleSize, preThreshold),
+      idCol)
+      .withColumnRenamed("component", "__ce")
+    // full outer: a doc paired under one edge set but isolated under the
+    // other is a coverage difference too (nulls never equal a label)
+    val gap = banded.join(exact, Seq(idCol), "full_outer")
+      .filter(not(col("__cb") <=> col("__ce"))).count()
+    release(banded); release(exact)
+    gap
   }
 
   /** EXACT n-gram Jaccard dedup with prefix filtering (the classic

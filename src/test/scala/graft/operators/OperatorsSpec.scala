@@ -208,6 +208,23 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(10L))
   }
 
+  test("connected components close a 300-hop chain in O(log d) rounds") {
+    import spark.implicits._
+    // a pure path graph 0-1-2-...-300 — the worst case for plain
+    // hash-min propagation (O(diameter) rounds: 300 here, far past the
+    // default maxIter) and exactly the re-encode-chain shape the v08
+    // image-components gate builds. Pointer jumping must close it
+    // within the DEFAULT round budget.
+    val n = 300L
+    val ids = (0L to n).toDF("id")
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(ids, chain, "id")
+      .select("component").distinct().collect().map(_.getLong(0))
+    assert(comp.toSeq == Seq(0L))
+    val rounds = Dedup.lastRounds.get()
+    assert(rounds <= 10, s"expected O(log d) rounds for d=300, got $rounds")
+  }
+
   test("clusteredSurvivorsBy keeps the best-scoring doc per component") {
     import spark.implicits._
     // component {1,2,3}: best score on 2 (NOT the min id); {5,6}: tie on
@@ -251,6 +268,41 @@ class OperatorsSpec extends SparkSpec {
     val pre = Dedup.bandedPreCollapse(corpus, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(pre == Set(1L, 10L, 20L, 21L))
+  }
+
+  test("bandingCoverageGap is 0 at d13 defaults, nonzero when banding starves") {
+    import spark.implicits._
+    // replica family {1,2,3} + a distinct pair {20,21}: at the d13
+    // defaults (16 bands of 4) every >= 0.9-similar pair is captured
+    // with probability ~1-4e-8, so the banded closure must equal the
+    // exact closure
+    val base = (0 until 30).map(i => s"a$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base), (2L, base + " x1"), (3L, base + " x2"),
+      (20L, (0 until 30).map(i => s"c$i").mkString(" ")),
+      (21L, (0 until 30).map(i => s"d$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.bandingCoverageGap(corpus, "doc_id", "text") == 0L)
+    // starved banding (1 band of 64 rows) on a single pair at J = 55/61
+    // ~ 0.902 — just past the threshold, so the one band captures it
+    // with probability 0.902^64 ~ 0.1%: the realized (seed-fixed)
+    // signatures all but surely miss it, and the diagnostic must SEE
+    // that instead of the downstream gate failing mutely. (The replica
+    // family above sits at J ~ 0.97 where even one band captures with
+    // ~11% per pair — too similar to starve reliably.)
+    val longBase = (0 until 60).map(i => s"a$i")
+    val marginal = Seq(
+      (1L, longBase.mkString(" ")),
+      (2L, (longBase.take(57) ++ Seq("b0", "b1", "b2")).mkString(" ")),
+      (20L, (0 until 60).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val gap = Dedup.bandingCoverageGap(marginal, "doc_id", "text",
+      numHashes = 64, bands = 1)
+    assert(gap > 0L,
+      "1-band LSH should miss the marginal J~0.902 pair")
+    // sanity: the d13 defaults capture that same pair (16 bands of 4:
+    // miss probability (1 - 0.902^4)^16 ~ 0.3%)
+    assert(Dedup.bandingCoverageGap(marginal, "doc_id", "text") == 0L)
   }
 
   test("fingerprintDedup equals brute all-pairs hamming on random prints") {
