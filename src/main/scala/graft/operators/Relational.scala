@@ -76,6 +76,60 @@ object Relational {
     b.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** The salt [[autoSaltedJoin]] last decided on (1 = no salting) — an
+    * observability hook for probes/specs, not part of the contract.
+    */
+  private[graft] val lastAutoSalt = new java.util.concurrent.atomic.AtomicInteger(1)
+
+  /** Row share of the most frequent key in a bounded sample of `df` —
+    * the hot-key detector behind [[autoSaltedJoin]]. The probe scans a
+    * NARROW projection (key columns only, so parquet prunes to those
+    * columns) of a `sampleFraction` sample and aggregates to two
+    * scalars; the driver sees one row. Deterministic (fixed seed).
+    */
+  private[graft] def topKeyShare(df: DataFrame, keys: Seq[String],
+                                 sampleFraction: Double): Double = {
+    val row = df.select(keys.map(col): _*)
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).cast("double").as("__top"),
+        sum(col("__n")).cast("double").as("__tot"))
+      .head()
+    if (row.isNullAt(1) || row.getDouble(1) == 0.0) 0.0
+    else row.getDouble(0) / row.getDouble(1)
+  }
+
+  /** [[saltedJoin]] with the salt decided FROM THE DATA: a sampled
+    * key-frequency probe measures the big side's top-key row share, and
+    * when it exceeds `hotShare` the join routes through salting sized to
+    * spread that key across reducers (share x shuffle partitions, capped
+    * at `maxSalt`); otherwise a plain join, zero overhead beyond the
+    * bounded sample scan.
+    *
+    * This closes the usability gap the T17Probe finding left open: AQE's
+    * skew detector watches COMPRESSED shuffle bytes, so a well-compressing
+    * hot key (boilerplate text, repeated tiles) never trips it — and with
+    * only the manual [[saltedJoin]], the caller had to KNOW their key
+    * compresses well. Row COUNTS don't compress: this probe sees exactly
+    * the skew AQE is blind to. At 100 TB the probe costs one narrow
+    * column-pruned sample scan of the key columns — noise against the
+    * join itself — and salting decisions stay deterministic (fixed
+    * sample seed) across retries.
+    */
+  def autoSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                     hotShare: Double = 0.2, maxSalt: Int = 64,
+                     sampleFraction: Double = 0.01,
+                     joinType: String = "inner"): DataFrame = {
+    val share = topKeyShare(big, keys, sampleFraction)
+    val parts = big.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val salt =
+      if (share < hotShare) 1
+      else math.min(maxSalt, math.max(2, math.ceil(share * parts).toInt))
+    lastAutoSalt.set(salt)
+    if (salt <= 1) big.join(small, keys, joinType)
+    else saltedJoin(big, small, keys, salt, joinType)
+  }
+
   /** As-of join: for each left row, attach the single most recent right
     * row with `rightTs <= leftTs` (inclusive) sharing the equi-keys —
     * the time-series point-in-time lookup Spark lacks as a built-in.

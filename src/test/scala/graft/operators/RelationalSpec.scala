@@ -39,6 +39,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("autoSaltedJoin salts a planted hot key without the caller naming it") {
+    import spark.implicits._
+    // 90% of the big side lands on key 1 — the compressible-hot-key
+    // shape AQE's byte-based detector misses; the row-count probe must
+    // catch it and route through salting unprompted
+    val big = (0L until 2000L)
+      .map(i => (if (i % 10 == 0) i % 5 + 2 else 1L, s"v$i")).toDF("k", "bv")
+    val small = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "sv")
+    val plain = big.join(small, Seq("k"), "inner")
+      .select("k", "bv", "sv").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val auto = Relational.autoSaltedJoin(big, small, Seq("k"),
+      sampleFraction = 0.5)
+      .select("k", "bv", "sv").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(auto == plain)
+    assert(Relational.lastAutoSalt.get() > 1,
+      s"hot key must trigger salting, got salt ${Relational.lastAutoSalt.get()}")
+    // uniform keys: the probe must conclude NO salting (salt stays 1)
+    val uniform = (0L until 2000L).map(i => (i % 100, s"v$i")).toDF("k", "bv")
+    val smallU = (0L until 100L).map(i => (i, s"s$i")).toDF("k", "sv")
+    val plainU = uniform.join(smallU, Seq("k"), "inner")
+      .select("k", "bv", "sv").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val autoU = Relational.autoSaltedJoin(uniform, smallU, Seq("k"),
+      sampleFraction = 0.5)
+      .select("k", "bv", "sv").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(autoU == plainU)
+    assert(Relational.lastAutoSalt.get() == 1,
+      "uniform keys must not pay the salting overhead")
+  }
+
   test("asof join picks the latest right row at-or-before, inclusive") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
