@@ -356,15 +356,21 @@ object Dedup {
     * roughly doubles the distance a component minimum has travelled per
     * round, so convergence is O(log diameter) rounds instead of
     * O(diameter) — a 1000-hop re-encode chain closes in ~9 rounds, and
-    * `maxIter = 10` covers chains of ~2^10 hops. Each round is two
-    * joins + one aggregate, all shuffling on subgraph-node id.
+    * the default `maxIter = 32` covers chains of ~2^33 hops — beyond
+    * any physical subgraph — while converged loops still exit early, so
+    * the headroom costs nothing. (Measured: V08Probe's 10x image
+    * fixture converged in 20 rounds — a real >2^10-hop chain, so a
+    * tight cap WAS reachable; the 100k-hop synthetic chain took 17
+    * rounds, matching the 2^(r+1)-2 doubling recurrence exactly.) Each
+    * round is two joins + one aggregate, all shuffling on subgraph-node
+    * id.
     *
     * `pairs` must have columns (id_a, id_b); returns (id, component)
     * with component = min id of the connected component. Docs absent
     * from `pairs` are their own component.
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-                          idCol: String, maxIter: Int = 10): DataFrame = {
+                          idCol: String, maxIter: Int = 32): DataFrame = {
     val sub = componentLabels(pairs, idCol, maxIter)
     // attach the corpus complement ONCE: isolated docs are their own
     // component. `sub` is duplicate-subgraph-sized, so at scale this is
@@ -387,7 +393,7 @@ object Dedup {
     * computation; the pair plan itself is pinned exactly once inside.
     */
   def componentLabels(pairs: DataFrame, idCol: String,
-                      maxIter: Int = 10): DataFrame = {
+                      maxIter: Int = 32): DataFrame = {
     // Materialize the pair list AND CUT ITS LINEAGE before iterating.
     // The persist half: the edge union references `pairs` twice, and
     // without pinning the (expensive) similarity-pair computation runs
