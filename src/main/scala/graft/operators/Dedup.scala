@@ -81,6 +81,16 @@ object Dedup {
     * signatures once, pair expansion is per-bucket local, and the
     * verify joins move 8-byte shingle hashes. No index rows are ever
     * dropped — the operator returns batch survivors only.
+    *
+    * Density contract (measured, D14Probe): the index must be
+    * INTERNALLY deduped — which production guarantees by construction,
+    * because the index is exactly the accumulated survivor set. Then
+    * bucket sizes are bounded by (batch-local dups + 1 index witness)
+    * and the pair expansion stays linear in index size. An index with
+    * k mutual near-dups per doc makes every bucket ~k wide and the
+    * expansion quadratic — that corpus needs one [[bandedPreCollapse]]
+    * pass BEFORE it becomes an index. A dup-dense BATCH is likewise
+    * pre-collapsed first (the d13/c08 composition).
     */
   def incrementalMinhashDedup(batch: DataFrame, index: DataFrame,
                               idCol: String, textCol: String,
