@@ -57,12 +57,15 @@ object V08Probe {
     val chainIds = spark.range(0L, chainLen + 1L).toDF("id")
     val chain = spark.range(0L, chainLen.toLong)
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    // localEdgeThreshold = 0: the point is stressing the DISTRIBUTED
+    // loop (the adaptive default would close 100k edges on the driver)
     val t2 = System.nanoTime()
-    val roots = Dedup.connectedComponents(chainIds, chain, "id", maxIter = 32)
+    val roots = Dedup.connectedComponents(chainIds, chain, "id",
+      maxIter = 32, localEdgeThreshold = 0L)
       .select("component").distinct().count()
     val tChain = (System.nanoTime() - t2) / 1e9
     println(f"[v08probe-chain$chainLen] components $roots " +
-      f"time ${tChain}%.1f s rounds ${Dedup.lastRounds.get()}")
+      f"time ${tChain}%.1f s rounds ${Dedup.lastRounds.get()} (distributed)")
     spark.stop()
   }
 }

@@ -360,28 +360,29 @@ object Dedup {
     * component — the upgrade over single-pass keep-min-id when duplicate
     * chains matter (a~b, b~c, a!~c must still collapse to {a}).
     *
-    * Hash-min label propagation WITH pointer jumping (path halving):
-    * every round each node (1) adopts the smallest label among itself
-    * and its neighbors, then (2) jumps to its label's label. The jump
-    * roughly doubles the distance a component minimum has travelled per
-    * round, so convergence is O(log diameter) rounds instead of
-    * O(diameter) — a 1000-hop re-encode chain closes in ~9 rounds, and
-    * the default `maxIter = 32` covers chains of ~2^33 hops — beyond
-    * any physical subgraph — while converged loops still exit early, so
-    * the headroom costs nothing. (Measured: V08Probe's 10x image
-    * fixture converged in 20 rounds — a real >2^10-hop chain, so a
-    * tight cap WAS reachable; the 100k-hop synthetic chain took 17
-    * rounds, matching the 2^(r+1)-2 doubling recurrence exactly.) Each
-    * round is two joins + one aggregate, all shuffling on subgraph-node
-    * id.
+    * Adaptive two-path design:
+    *  - pair lists that fit the driver (see `localEdgeThreshold` on
+    *    [[componentLabels]]) close as exact union-find locally —
+    *    the broadcast-threshold philosophy applied to graph closure;
+    *  - larger subgraphs run a Shiloach-Vishkin-style distributed loop
+    *    (tree-level hook + pointer shortcut per round): O(log n) rounds
+    *    regardless of how ids are placed along duplicate chains. A
+    *    node-level hash-min hook with a jump step was measured decaying
+    *    to ~O(diameter) on randomly-permuted chain ids — the jump only
+    *    doubles when parent chains are deep, and node-level hooking
+    *    keeps them shallow. Tree hooking links whole trees per round;
+    *    the shortcut then halves real chain depth. The default
+    *    `maxIter = 32` bounds the loop far above any reachable round
+    *    count; converged loops exit early.
     *
     * `pairs` must have columns (id_a, id_b); returns (id, component)
     * with component = min id of the connected component. Docs absent
     * from `pairs` are their own component.
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
-                          idCol: String, maxIter: Int = 32): DataFrame = {
-    val sub = componentLabels(pairs, idCol, maxIter)
+                          idCol: String, maxIter: Int = 32,
+                          localEdgeThreshold: Long = 4000000L): DataFrame = {
+    val sub = componentLabels(pairs, idCol, maxIter, localEdgeThreshold)
     // attach the corpus complement ONCE: isolated docs are their own
     // component. `sub` is duplicate-subgraph-sized, so at scale this is
     // a broadcast join against the corpus scan, not a corpus shuffle.
@@ -401,9 +402,22 @@ object Dedup {
     * corpus. The result is materialized (localCheckpoint), so callers
     * can reference it any number of times without re-running the pair
     * computation; the pair plan itself is pinned exactly once inside.
+    *
+    * Adaptive execution (the broadcast-threshold philosophy applied to
+    * graph closure): the pair list is materialized and counted anyway,
+    * so when it fits the driver comfortably (`localEdgeThreshold` edges,
+    * 64-bit ids — default 4M edges ~ 64 MB) the closure runs as exact
+    * driver-side union-find in milliseconds instead of O(log d)
+    * distributed rounds that each pay fixed job overhead. Measured on
+    * the v08 subgraph (sf0.1, ~5k edges): 24 rounds x ~0.55 s of pure
+    * scheduling became ~0 — and a 100 TB dup subgraph with billions of
+    * edges exceeds the threshold and takes the distributed loop, whose
+    * round count is log-bounded by the jump step. Identical labels
+    * either way (both compute min-id per component, deterministically).
     */
   def componentLabels(pairs: DataFrame, idCol: String,
-                      maxIter: Int = 32): DataFrame = {
+                      maxIter: Int = 32,
+                      localEdgeThreshold: Long = 4000000L): DataFrame = {
     // Materialize the pair list AND CUT ITS LINEAGE before iterating.
     // The persist half: the edge union references `pairs` twice, and
     // without pinning the (expensive) similarity-pair computation runs
@@ -416,6 +430,41 @@ object Dedup {
     // (planning-bound, zero execution weight). An eager localCheckpoint
     // gives every round a flat LogicalRDD leaf instead.
     val p0 = pairs.localCheckpoint(eager = true)
+    // driver-bounded subgraphs close locally: exact min-id union-find
+    // over the collected edge list (64-bit ids only; anything else or
+    // anything bigger takes the distributed loop below)
+    val longIds = p0.schema.fields.take(2)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && p0.count() <= localEdgeThreshold) {
+      val spark = p0.sparkSession
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = { // iterative, with full path compression
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      p0.select(col("id_a"), col("id_b")).collect().foreach { row =>
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          // self-register BOTH endpoints: the contract is a label for
+          // every paired node, and a component's min-id root would
+          // otherwise never appear in the map (double-keep hazard in
+          // clusteredSurvivorsBy's complement anti-join)
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+      }
+      val labels = parent.keySet().toArray(Array.empty[java.lang.Long])
+        .map(id => (id.toLong, find(id)))
+      lastRounds.set(0)
+      release(p0)
+      return labels.toSeq.toDF(idCol, "component")
+    }
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -441,33 +490,53 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIter) {
       val t0 = System.nanoTime()
-      // hook: adopt the min label among self and neighbors
-      val neighborMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src").as("id2")).agg(min("label").as("nlabel"))
-      val hooked = labels.join(neighborMin, col("id") === col("id2"), "left")
+      // Shiloach-Vishkin-style round: TREE hook, then shortcut.
+      //
+      // A node-level hook (label <- min of neighbors' labels) keeps the
+      // pointer structure shallow, so a jump step has nothing to double
+      // and adversarial id placement (random ids along a chain) decays
+      // to ~O(diameter) rounds — measured: a permuted 300-hop chain
+      // blew past 32 rounds. Hooking at TREE granularity fixes it: the
+      // best outside link seen by ANY member of tree r applies at the
+      // tree-name node r itself, so chains of entire trees link up in
+      // one round and the shortcut then genuinely halves chain depth —
+      // O(log n) rounds regardless of id placement.
+      //
+      // 1. nm(v): min neighbor label visible at v
+      val nm = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src").as("vid")).agg(min("label").as("nm"))
+      // 2. hook(r): best link seen by any member of the tree NAMED r
+      val treeMin = labels.join(nm, col("id") === col("vid"), "left")
+        .select(col("label").as("root"),
+          least(col("label"), coalesce(col("nm"), col("label"))).as("m"))
+        .groupBy("root").agg(min("m").as("hook"))
+      // 3. apply the hook AT node r (r absorbs links destined for its
+      // tree even if r's own label already moved on — that is what
+      // composes parent chains across rounds)
+      val p1 = labels.join(treeMin, col("id") === col("root"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the jump join
-      // jump (path halving): label <- label's label, using THIS round's
-      // post-hook labels on the lookup side. Every label is a subgraph
-      // node id by construction, so the left join always matches; the
-      // coalesce is pure safety. This is the O(d) -> O(log d) step.
-      val joined = hooked.as("x").join(
-          hooked.select(col("id").as("__jid"), col("l1").as("__jl")).as("y"),
-          col("x.l1") === col("y.__jid"), "left")
+          least(col("label"), coalesce(col("hook"), col("label"))).as("p1"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the shortcut
+      // 4. shortcut: p1(p1(v)) — halves parent-chain depth. Every p1
+      // value is a subgraph node id, so the left join always matches.
+      val joined = p1.as("x").join(
+          p1.select(col("id").as("__jid"), col("p1").as("__jp")).as("y"),
+          col("x.p1") === col("y.__jid"), "left")
         .select(col("x.id").as("id"), col("x.label").as("label"),
-          coalesce(col("y.__jl"), col("x.l1")).as("nlabel"))
+          coalesce(col("y.__jp"), col("x.p1")).as("nlabel"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // the persisted join feeds BOTH the convergence probe and the next
       // labels; labels only ever decrease, so `nlabel < label` anywhere
-      // means another round is needed and `changed == 0` is a fixpoint
-      // of hook AND jump — at which point every label is its component
-      // minimum (any edge crossing two labels would still hook).
-      val changed = joined.filter(col("nlabel") < col("label")).limit(1).count()
+      // means another round is needed, and `changed == 0` is a fixpoint
+      // of hook AND shortcut — which forces every label to its component
+      // minimum (a cross-label edge would still hook: the tree named by
+      // the larger label would see the smaller one and its name-node
+      // would change).
+      val changed = joined.filter(col("nlabel") < col("label")).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(f"[cc] round ${i + 1} ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        System.err.println(f"[cc] round ${i + 1} ${(System.nanoTime() - t0) / 1e9}%.2f s changed $changed")
       prevGen.foreach(_.unpersist(blocking = false))
-      prevGen = List(hooked, joined)
+      prevGen = List(p1, joined)
       labels = joined.select(col("id"), col("nlabel").as("label"))
       converged = changed == 0
       i += 1

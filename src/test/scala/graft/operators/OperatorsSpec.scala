@@ -218,11 +218,38 @@ class OperatorsSpec extends SparkSpec {
     val n = 300L
     val ids = (0L to n).toDF("id")
     val chain = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(ids, chain, "id")
+    // localEdgeThreshold = 0 forces the DISTRIBUTED loop (the default
+    // adaptive path would close 300 edges with driver union-find)
+    val comp = Dedup.connectedComponents(ids, chain, "id",
+      localEdgeThreshold = 0L)
       .select("component").distinct().collect().map(_.getLong(0))
     assert(comp.toSeq == Seq(0L))
     val rounds = Dedup.lastRounds.get()
-    assert(rounds <= 10, s"expected O(log d) rounds for d=300, got $rounds")
+    assert(rounds > 0 && rounds <= 10,
+      s"expected O(log d) distributed rounds for d=300, got $rounds")
+    // the driver union-find path must produce IDENTICAL labels — and a
+    // shuffled id placement (worst case for the jump heuristic) must
+    // not change either answer
+    val perm = { // deterministic pseudo-shuffle of ids along the chain
+      val xs = (0L to n).toArray
+      var s = 12345L
+      for (i <- xs.indices.reverse.dropRight(1)) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val j = ((s >>> 33) % (i + 1)).toInt
+        val t = xs(i); xs(i) = xs(j); xs(j) = t
+      }
+      xs
+    }
+    val chainP = (0 until n.toInt)
+      .map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(ids, chainP, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.lastRounds.get() == 0, "expected the driver union-find path")
+    val dist = Dedup.connectedComponents(ids, chainP, "id",
+      localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local.values.toSet == Set(0L))
   }
 
   test("clusteredSurvivorsBy keeps the best-scoring doc per component") {
