@@ -130,6 +130,32 @@ object Relational {
     else saltedJoin(big, small, keys, salt, joinType)
   }
 
+  /** [[saltedSumCount]] with the salt decided FROM THE DATA — the
+    * aggregation twin of [[autoSaltedJoin]]. Spark's partial aggregation
+    * already combines map-side, but a hot key still funnels its combined
+    * partials into ONE reducer; when the reduce side is the bottleneck
+    * the two-stage salted form spreads it. The same sampled row-share
+    * probe decides: uniform keys take the plain one-shuffle aggregate
+    * (the salted form costs an extra shuffle, never free), a hot key
+    * routes through [[saltedAgg]]. Result columns and values are
+    * identical either way (algebraic sum/count, decimal-exact).
+    */
+  def autoSaltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                         hotShare: Double = 0.2, maxSalt: Int = 64,
+                         sampleFraction: Double = 0.01): DataFrame = {
+    val share = topKeyShare(df, keys, sampleFraction)
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val salt =
+      if (share < hotShare) 1
+      else math.min(maxSalt, math.max(2, math.ceil(share * parts).toInt))
+    lastAutoSalt.set(salt)
+    if (salt <= 1)
+      df.groupBy(keys.map(col): _*)
+        .agg(sum(col(valueCol).cast("decimal(38,6)")).cast("double")
+          .as("sum_value"), count(lit(1)).as("n"))
+    else saltedSumCount(df, keys, valueCol, salt)
+  }
+
   /** As-of join: for each left row, attach the single most recent right
     * row with `rightTs <= leftTs` (inclusive) sharing the equi-keys —
     * the time-series point-in-time lookup Spark lacks as a built-in.

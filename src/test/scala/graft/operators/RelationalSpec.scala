@@ -68,6 +68,28 @@ class RelationalSpec extends SparkSpec {
       "uniform keys must not pay the salting overhead")
   }
 
+  test("autoSaltedSumCount matches plain aggregation in both regimes") {
+    import spark.implicits._
+    // hot: 90% of rows on key 1 -> must salt; uniform -> must not
+    val hot = (0L until 2000L)
+      .map(i => (if (i % 10 == 0) i % 5 + 2 else 1L, (i % 7).toDouble))
+      .toDF("k", "v")
+    val uniform = (0L until 2000L).map(i => (i % 100, (i % 7).toDouble))
+      .toDF("k", "v")
+    for ((df, expectSalt) <- Seq(hot -> true, uniform -> false)) {
+      val plain = df.groupBy("k")
+        .agg(sum(col("v").cast("decimal(38,6)")).cast("double").as("sum_value"),
+          count(lit(1)).as("n"))
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      val auto = Relational.autoSaltedSumCount(df, Seq("k"), "v",
+        sampleFraction = 0.5)
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      assert(auto == plain)
+      assert((Relational.lastAutoSalt.get() > 1) == expectSalt,
+        s"salt=${Relational.lastAutoSalt.get()} expectSalt=$expectSalt")
+    }
+  }
+
   test("asof join picks the latest right row at-or-before, inclusive") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
