@@ -478,13 +478,9 @@ object Dedup {
     // covers every paired node.)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-    // the superseded round's persisted frames — released only AFTER the
-    // next round materializes, so at most one generation is ever pinned
-    // (the old code leaked one persisted DataFrame per round)
-    var prevGen: List[DataFrame] = Nil
-    // the live lineage-cut checkpoint; superseded generations unpersist
-    // as soon as the next one materializes (they used to accumulate,
-    // one pinned RDD per 3 rounds)
+    // the live per-round lineage-cut checkpoint; the superseded one
+    // releases as soon as the next materializes, so exactly one label
+    // generation is ever pinned
     var prevCk: DataFrame = null
     var converged = false
     var i = 0
@@ -502,28 +498,49 @@ object Dedup {
       // one round and the shortcut then genuinely halves chain depth —
       // O(log n) rounds regardless of id placement.
       //
+      // Every join in the loop is SHUFFLE_HASH-hinted: left to itself
+      // the planner broadcasts the (small) label table, and a fresh
+      // TorrentBroadcast per join per round outruns the async
+      // ContextCleaner — measured driver OOM on the 100k-chain probe.
+      // Shuffle joins keep the loop's memory footprint flat.
+      //
       // 1. nm(v): min neighbor label visible at v
-      val nm = edges.join(labels, col("dst") === col("id"))
+      val nm = edges.join(labels.hint("shuffle_hash"),
+          col("dst") === col("id"))
         .groupBy(col("src").as("vid")).agg(min("label").as("nm"))
       // 2. hook(r): best link seen by any member of the tree NAMED r
-      val treeMin = labels.join(nm, col("id") === col("vid"), "left")
+      val treeMin = labels.join(nm.hint("shuffle_hash"),
+          col("id") === col("vid"), "left")
         .select(col("label").as("root"),
           least(col("label"), coalesce(col("nm"), col("label"))).as("m"))
         .groupBy("root").agg(min("m").as("hook"))
       // 3. apply the hook AT node r (r absorbs links destined for its
       // tree even if r's own label already moved on — that is what
       // composes parent chains across rounds)
-      val p1 = labels.join(treeMin, col("id") === col("root"), "left")
+      val p1 = labels.join(treeMin.hint("shuffle_hash"),
+          col("id") === col("root"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("hook"), col("label"))).as("p1"))
         .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the shortcut
-      // 4. shortcut: p1(p1(v)) — halves parent-chain depth. Every p1
-      // value is a subgraph node id, so the left join always matches.
-      val joined = p1.as("x").join(
-          p1.select(col("id").as("__jid"), col("p1").as("__jp")).as("y"),
+      // 4. shortcut twice: s1 = p1(p1(v)), then s2 = s1(s1(v)) — chain
+      // depth divides by 4 per round for one extra small join, so the
+      // worst-case round count halves (a 1M-hop chain needs ~10 rounds,
+      // not ~21). Every pointer value is a subgraph node id, so the
+      // left joins always match. This loop only runs for subgraphs past
+      // localEdgeThreshold, where rounds are the dominant cost.
+      val s1 = p1.as("x").join(
+          p1.select(col("id").as("__jid"), col("p1").as("__jp"))
+            .hint("shuffle_hash").as("y"),
           col("x.p1") === col("y.__jid"), "left")
         .select(col("x.id").as("id"), col("x.label").as("label"),
-          coalesce(col("y.__jp"), col("x.p1")).as("nlabel"))
+          coalesce(col("y.__jp"), col("x.p1")).as("s1"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // both sides of shortcut 2
+      val joined = s1.as("x").join(
+          s1.select(col("id").as("__jid"), col("s1").as("__jp"))
+            .hint("shuffle_hash").as("y"),
+          col("x.s1") === col("y.__jid"), "left")
+        .select(col("x.id").as("id"), col("x.label").as("label"),
+          coalesce(col("y.__jp"), col("x.s1")).as("nlabel"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // the persisted join feeds BOTH the convergence probe and the next
       // labels; labels only ever decrease, so `nlabel < label` anywhere
@@ -535,21 +552,25 @@ object Dedup {
       val changed = joined.filter(col("nlabel") < col("label")).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] round ${i + 1} ${(System.nanoTime() - t0) / 1e9}%.2f s changed $changed")
-      prevGen.foreach(_.unpersist(blocking = false))
-      prevGen = List(p1, joined)
-      labels = joined.select(col("id"), col("nlabel").as("label"))
+      // Cut lineage EVERY round: the two self-joins reference their
+      // left subtree twice each, so an uncut plan multiplies ~4x per
+      // round — at 3 rounds between cuts that was a ~64x plan-tree
+      // blowup, and generating its explain string OOMed the driver.
+      // A per-round eager checkpoint bounds every round's plan to a
+      // flat LogicalRDD leaf plus this round's joins, and lets ALL
+      // intra-round frames release immediately (keeping them pinned
+      // across rounds ran the driver out of memory on the 100k-chain
+      // probe).
+      val ck = joined.select(col("id"), col("nlabel").as("label"))
+        .localCheckpoint(eager = true)
+      p1.unpersist(blocking = false)
+      s1.unpersist(blocking = false)
+      joined.unpersist(blocking = false)
+      if (prevCk != null) release(prevCk)
+      prevCk = ck
+      labels = ck
       converged = changed == 0
       i += 1
-      // every few rounds, cut the compounding lineage: round N's plan
-      // otherwise nests all N-1 prior joins and planning cost grows
-      // superlinearly with iteration count
-      if (!converged && i % 3 == 0) {
-        val ck = labels.localCheckpoint(eager = true)
-        if (prevCk != null) prevCk.unpersist(blocking = false)
-        prevCk = ck
-        labels = ck
-        prevGen.foreach(_.unpersist(blocking = false)); prevGen = Nil
-      }
     }
     lastRounds.set(i)
     // a silently non-converged result is WRONG (labels are not yet
@@ -558,15 +579,11 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds: a " +
         s"component chain is longer than ~2^$maxIter hops; raise maxIter")
-    // detach the subgraph result from the per-iteration caches before
-    // releasing them — one bounded (id,label) materialization instead of
-    // keeping the whole iteration history pinned
-    val sub = labels.localCheckpoint(eager = true)
-    prevGen.foreach(_.unpersist(blocking = false))
-    if (prevCk != null) prevCk.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     release(p0) // checkpointed input: the pinned RDD is behind a LogicalRDD leaf
-    sub.select(col("id").as(idCol), col("label").as("component"))
+    // labels is already an eagerly-materialized checkpoint (or, for an
+    // empty edge set, the trivial initial frame)
+    labels.select(col("id").as(idCol), col("label").as("component"))
   }
 
   /** Cluster-aware survivors: one doc (min id) per similarity component,
