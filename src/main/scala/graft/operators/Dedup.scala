@@ -446,7 +446,10 @@ object Dedup {
         while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
         r
       }
-      p0.select(col("id_a"), col("id_b")).collect().foreach { row =>
+      // toLocalIterator, not collect(): one partition of boxed rows on
+      // the driver at a time, so the transient footprint stays ~1/32 of
+      // the edge list even at the 4M-edge threshold
+      p0.select(col("id_a"), col("id_b")).toLocalIterator().forEachRemaining { row =>
         if (!row.isNullAt(0) && !row.isNullAt(1)) {
           val (a, b) = (row.getLong(0), row.getLong(1))
           // self-register BOTH endpoints: the contract is a label for
