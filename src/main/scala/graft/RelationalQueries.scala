@@ -349,6 +349,27 @@ object RelationalQueries {
         .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
     }),
 
+    // AUTO-salted equi-join: the sampled key-frequency probe detects the
+    // events table's type skew (~5 event types, top share > 0.1) and
+    // routes through salting WITHOUT the caller naming the hot key;
+    // result identical to the plain join (the oracle).
+    "q44_auto_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val typeDim = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("type_n"))
+      graft.operators.Relational.autoSaltedJoin(
+        ev.select("event_id", "event_type", "value"), typeDim,
+        Seq("event_type"), hotShare = 0.1)
+        .select("event_id", "event_type", "value", "type_n")
+    }),
+
+    // AUTO-salted aggregation: same detection, aggregation form; result
+    // identical to q29's plain-groupBy oracle.
+    "q45_auto_salted_agg" -> ((s, dir) => {
+      graft.operators.Relational.autoSaltedSumCount(
+        t(s, dir, "events"), Seq("event_type"), "value", hotShare = 0.1)
+    }),
+
     // As-of join: latest purchase at-or-before each click, per user.
     "q30_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -512,6 +533,13 @@ object RelationalQueries {
     "q43_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    "q44_auto_salted_join" ->
+      """SELECT e.event_id, e.event_type, e.value, d.type_n
+        FROM events e JOIN (SELECT event_type, count(*) AS type_n
+          FROM events GROUP BY event_type) d USING (event_type)""",
+    "q45_auto_salted_agg" ->
+      s"""SELECT event_type, ${ds("value")} AS sum_value, count(*) AS n
+         FROM events GROUP BY event_type""",
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${ds("l_quantity")} AS sum_qty,
