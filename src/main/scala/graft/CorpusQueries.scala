@@ -415,6 +415,21 @@ object CorpusQueries {
           shingleSize = 3, threshold = 0.8), "doc_id")
     }),
 
+    // d07's closure with the DISTRIBUTED Shiloach-Vishkin loop forced
+    // (localEdgeThreshold = 0): the adaptive default would close this
+    // subgraph with driver union-find, so without this gate the
+    // at-scale loop would be spec/probe-covered only. Same survivor
+    // semantics, same recursive-CTE oracle as d07.
+    "d15_distributed_closure" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.connectedComponents(d.select(col("doc_id")),
+        Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          shingleSize = 3, threshold = 0.8), "doc_id",
+        localEdgeThreshold = 0L)
+        .filter(col("doc_id") === col("component"))
+        .select("doc_id")
+    }),
+
     // Canonical-doc selection: same components as d07, but the survivor
     // is the BEST-QUALITY doc per component (ties to min id) — the
     // curation policy that keeps the clean copy rather than the smallest
@@ -656,6 +671,7 @@ object CorpusQueries {
     "d03_minhash_dedup" -> ngramJaccardOracle,
     "d04_ngram_jaccard_dedup" -> ngramJaccardOracle,
     "d07_cluster_dedup" -> clusterDedupOracle,
+    "d15_distributed_closure" -> clusterDedupOracle,
     "d12_quality_survivor" -> qualitySurvivorOracle,
     // recompute the 60-bit poly simhash per doc, then brute all-pairs
     // hamming (exact twin of the chunk-bucketed Spark plan: pigeonhole
