@@ -394,6 +394,9 @@ object Dedup {
   /** Rounds the most recent [[componentLabels]] loop took to converge —
     * a probe/spec observability hook (the round count is the whole
     * point of the log-round design), not part of the operator contract.
+    * Process-global: concurrent invocations on one driver interleave
+    * writes, so specs/probes that assert on it must run their loop
+    * serially (the suites do; a future parallel runner must not).
     */
   private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -433,8 +436,12 @@ object Dedup {
     // driver-bounded subgraphs close locally: exact min-id union-find
     // over the collected edge list (64-bit ids only; anything else or
     // anything bigger takes the distributed loop below)
-    val longIds = p0.schema.fields.take(2)
-      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    // check the NAMED columns' types (the local path reads id_a/id_b by
+    // name below) — a positional check on the first two fields could
+    // pass on a reordered frame and then ClassCastException in getLong
+    val longIds = Seq("id_a", "id_b").forall(c =>
+      p0.schema.find(_.name == c)
+        .exists(_.dataType == org.apache.spark.sql.types.LongType))
     if (longIds && p0.count() <= localEdgeThreshold) {
       val spark = p0.sparkSession
       import spark.implicits._
@@ -580,8 +587,9 @@ object Dedup {
     // component minima) — fail loudly rather than keep extra survivors
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds: a " +
-        s"component chain is longer than ~2^$maxIter hops; raise maxIter")
+        s"connectedComponents did not converge in $maxIter rounds (tree " +
+        s"hook + double shortcut bounds reachable chains at ~4^$maxIter " +
+        s"hops); raise maxIter")
     edges.unpersist(blocking = false)
     release(p0) // checkpointed input: the pinned RDD is behind a LogicalRDD leaf
     // labels is already an eagerly-materialized checkpoint (or, for an
@@ -822,14 +830,20 @@ object Dedup {
   def bandingCoverageGap(docs: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 3, preThreshold: Double = 0.9,
                          numHashes: Int = 64, bands: Int = 16): Long = {
-    val banded = componentLabels(
-      bandedVerifiedEdges(docs, idCol, textCol, shingleSize, preThreshold,
-        numHashes, bands), idCol)
+    // componentLabels materializes its input eagerly, so each edge list
+    // can release as soon as the labels exist — without this, every
+    // diagnostic call (e.g. via GRAFT_BANDING_DEBUG) pinned one
+    // checkpointed RDD per side for the session lifetime
+    val bandedEdges = bandedVerifiedEdges(docs, idCol, textCol, shingleSize,
+      preThreshold, numHashes, bands)
+    val banded = componentLabels(bandedEdges, idCol)
       .withColumnRenamed("component", "__cb")
-    val exact = componentLabels(
-      ngramJaccardPairs(docs, idCol, textCol, shingleSize, preThreshold),
-      idCol)
+    release(bandedEdges)
+    val exactPairs = ngramJaccardPairs(docs, idCol, textCol, shingleSize,
+      preThreshold)
+    val exact = componentLabels(exactPairs, idCol)
       .withColumnRenamed("component", "__ce")
+    release(exactPairs)
     // full outer: a doc paired under one edge set but isolated under the
     // other is a coverage difference too (nulls never equal a label)
     val gap = banded.join(exact, Seq(idCol), "full_outer")

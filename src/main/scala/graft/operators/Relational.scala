@@ -68,6 +68,10 @@ object Relational {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salt: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
+    require(isSaltable(joinType),
+      s"saltedJoin supports inner/left-preserving join types only " +
+      s"(got '$joinType'): right/full outer would emit each unmatched " +
+      s"small-side row once per salt replica")
     val b = big.withColumn("__salt",
       pmod(spark_partition_id().cast("long") + monotonically_increasing_id(),
         lit(salt.toLong)))
@@ -78,6 +82,8 @@ object Relational {
 
   /** The salt [[autoSaltedJoin]] last decided on (1 = no salting) — an
     * observability hook for probes/specs, not part of the contract.
+    * Process-global: concurrent invocations interleave writes, so specs
+    * asserting on it must run their probe serially (the suites do).
     */
   private[graft] val lastAutoSalt = new java.util.concurrent.atomic.AtomicInteger(1)
 
@@ -86,18 +92,48 @@ object Relational {
     * NARROW projection (key columns only, so parquet prunes to those
     * columns) of a `sampleFraction` sample and aggregates to two
     * scalars; the driver sees one row. Deterministic (fixed seed).
+    *
+    * Small-input floor: a 1% sample of a small frame can be tens of
+    * rows, making the share estimate noisy near the `hotShare`
+    * boundary. When the sample lands under `minSampleRows` the probe
+    * re-runs unsampled — by construction that only ever happens on
+    * inputs around `minSampleRows / sampleFraction` rows, where a full
+    * key-column scan costs microseconds; at scale the sampled pass is
+    * always big enough and the floor never triggers.
     */
   private[graft] def topKeyShare(df: DataFrame, keys: Seq[String],
-                                 sampleFraction: Double): Double = {
-    val row = df.select(keys.map(col): _*)
-      .sample(withReplacement = false, sampleFraction, seed = 42L)
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n")).cast("double").as("__top"),
-        sum(col("__n")).cast("double").as("__tot"))
-      .head()
-    if (row.isNullAt(1) || row.getDouble(1) == 0.0) 0.0
-    else row.getDouble(0) / row.getDouble(1)
+                                 sampleFraction: Double,
+                                 minSampleRows: Long = 1000L): Double = {
+    def probe(fraction: Double): (Double, Double) = {
+      val base = df.select(keys.map(col): _*)
+      val sampled = if (fraction >= 1.0) base
+        else base.sample(withReplacement = false, fraction, seed = 42L)
+      val row = sampled
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(max(col("__n")).cast("double").as("__top"),
+          sum(col("__n")).cast("double").as("__tot"))
+        .head()
+      if (row.isNullAt(1)) (0.0, 0.0) else (row.getDouble(0), row.getDouble(1))
+    }
+    val (top, tot) = probe(sampleFraction)
+    val (top2, tot2) =
+      if (tot < minSampleRows && sampleFraction < 1.0) probe(1.0)
+      else (top, tot)
+    if (tot2 == 0.0) 0.0 else top2 / tot2
   }
+
+  /** Join types whose multiplicities survive salting: the big side keeps
+    * exactly one salt per row and meets exactly one replica of its
+    * matching small rows, which is correct for inner and every
+    * left-preserving type — but a right/full outer would emit each
+    * UNMATCHED small-side row once per replica (`salt` times).
+    */
+  private val saltableJoinTypes = Set(
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+
+  private def isSaltable(joinType: String): Boolean =
+    saltableJoinTypes.contains(joinType.toLowerCase.replace(" ", "_"))
 
   /** [[saltedJoin]] with the salt decided FROM THE DATA: a sampled
     * key-frequency probe measures the big side's top-key row share, and
@@ -120,6 +156,12 @@ object Relational {
                      hotShare: Double = 0.2, maxSalt: Int = 64,
                      sampleFraction: Double = 0.01,
                      joinType: String = "inner"): DataFrame = {
+    // non-left-preserving types can't salt correctly (see saltedJoin's
+    // guard) — take the plain join and let AQE do what it can
+    if (!isSaltable(joinType)) {
+      lastAutoSalt.set(1)
+      return big.join(small, keys, joinType)
+    }
     val share = topKeyShare(big, keys, sampleFraction)
     val parts = big.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val salt =

@@ -68,6 +68,51 @@ class RelationalSpec extends SparkSpec {
       "uniform keys must not pay the salting overhead")
   }
 
+  test("saltedJoin rejects join types salting would corrupt") {
+    import spark.implicits._
+    val big = Seq((1L, "a")).toDF("k", "bv")
+    val small = Seq((1L, "x"), (2L, "y")).toDF("k", "sv")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer"))
+      intercept[IllegalArgumentException] {
+        Relational.saltedJoin(big, small, Seq("k"), salt = 4, joinType = jt)
+      }
+    // left-preserving types all pass the guard and match the plain join
+    for (jt <- Seq("inner", "left", "left_outer", "left_semi", "left_anti")) {
+      val plain = big.join(small, Seq("k"), jt)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val salted = Relational.saltedJoin(big, small, Seq("k"), 4, jt)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(salted == plain, s"joinType=$jt")
+    }
+  }
+
+  test("autoSaltedJoin falls back to the plain join for outer-preserving-right types") {
+    import spark.implicits._
+    val big = (0L until 200L).map(i => (1L, s"v$i")).toDF("k", "bv") // all-hot
+    val small = Seq((1L, "x"), (2L, "unmatched")).toDF("k", "sv")
+    val plain = big.join(small, Seq("k"), "full_outer")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val auto = Relational.autoSaltedJoin(big, small, Seq("k"),
+      sampleFraction = 0.5, joinType = "full_outer")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    // identical — including exactly ONE unmatched small-side row
+    assert(auto == plain)
+    assert(Relational.lastAutoSalt.get() == 1,
+      "non-saltable join type must not route through salting")
+  }
+
+  test("topKeyShare floors tiny samples to an exact scan") {
+    import spark.implicits._
+    // 50 rows, half on one key: a 1% sample would see ~0 rows and the
+    // estimate would be noise — the minSampleRows floor re-probes
+    // unsampled, so the share comes back exact
+    val df = (0L until 50L).map(i => (if (i < 25) 1L else i, "v")).toDF("k", "v")
+    val share = Relational.topKeyShare(df, Seq("k"), sampleFraction = 0.01)
+    assert(math.abs(share - 0.5) < 1e-9, s"expected exact 0.5, got $share")
+    // empty input: share 0, no division blow-up
+    assert(Relational.topKeyShare(df.filter(lit(false)), Seq("k"), 0.01) == 0.0)
+  }
+
   test("autoSaltedSumCount matches plain aggregation in both regimes") {
     import spark.implicits._
     // hot: 90% of rows on key 1 -> must salt; uniform -> must not
