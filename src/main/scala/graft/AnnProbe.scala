@@ -54,6 +54,23 @@ object AnnProbe {
       Similarity.pqTopK(corpus, queries, k = 5, m = 8 * tile, rescoreFactor = 8,
         trainedCodebooks = Some(books)).count()
     }
+    // the PERSISTED artifact: training + encode paid once at build, every
+    // query batch after that reads the encoded corpus from disk — the
+    // s11/s12 production posture (query cost should sit near
+    // pq_adc_pretrained minus the per-call encode, and the nprobe-pruned
+    // variant reads only its probed list directories)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ann_probe").toString
+    timed("index_build_once") {
+      graft.operators.AnnIndex.build(corpus, idxPath, nlist = 64, m = 8 * tile)
+      n
+    }
+    val idx = graft.operators.AnnIndex.load(spark, idxPath)
+    timed("index_query_full") {
+      idx.topK(queries, k = 5, nprobe = 0, rescoreFactor = 8).count()
+    }
+    timed("index_query_nprobe16") {
+      idx.topK(queries, k = 5, nprobe = 16, rescoreFactor = 8).count()
+    }
     println(s"[ann${replicas}x] corpus $n")
     spark.stop()
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{AnnIndex, Dedup, Multimodal, Similarity}
 
 /** Corpus / training-data pipeline queries: text analysis, dedup family,
   * embedding similarity. These exercise the operators in
@@ -332,6 +332,41 @@ object CorpusQueries {
     "s10_range_search" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.rangeSearch(e, e.filter(col("vec_id") < 20L), threshold = 0.30)
+    }),
+
+    // PERSISTED ANN index artifact: train + encode once, write to disk,
+    // and answer queries from the LOADED artifact (AnnIndex.load reads
+    // quantizers + the cid-partitioned encoded corpus — query-time never
+    // retrains, the 100 TB amortization the per-call s08 path lacks).
+    // Full-list ADC scan + exact rescore ⇒ the result hash-matches the
+    // retrain-in-place s08 form and, by the rescore margin, the brute
+    // float oracle.
+    "s11_ann_index_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_s11_${Integer.toHexString(dir.hashCode)}"
+      AnnIndex.build(e, path, nlist = 32, m = 8)
+      AnnIndex.load(s, path)
+        .topK(e.filter(col("vec_id") < 20L), k = 5, nprobe = 0, rescoreFactor = 8)
+    }),
+
+    // Incremental index ingest: build on 80% of the corpus, APPEND the
+    // rest encoded with the persisted (now stale) quantizers — the
+    // d10/d14 daily-ingest posture applied to the s-family. Appended
+    // vectors carry systematically larger ADC distortion (quantizers
+    // never saw them), so exact equality is data-dependent; the gate is
+    // the measured-recall shape (s02/s04 posture) with the floor pinned
+    // true by the oracle, at a widened rescore margin.
+    "s12_ann_index_ingest" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_s12_${Integer.toHexString(dir.hashCode)}"
+      AnnIndex.build(e.filter(pmod(col("vec_id"), lit(5)) =!= 0), path,
+        nlist = 32, m = 8)
+      val idx = AnnIndex.add(s, path, e.filter(pmod(col("vec_id"), lit(5)) === 0))
+      val q = e.filter(col("vec_id") < 20L)
+      annRecallGate(
+        Similarity.bruteForceTopK(e, q, k = 5),
+        idx.topK(q, k = 5, nprobe = 0, rescoreFactor = 16),
+        floor = 0.95)
     }),
 
     // All embedding pairs above a cosine threshold.
@@ -709,6 +744,10 @@ object CorpusQueries {
     // the true top-k (OperatorsSpec asserts both margins on this corpus)
     "s07_quantized_topk" -> bruteTopkOracle,
     "s08_pq_topk" -> bruteTopkOracle,
+    // the persisted-index query equals the retrain-in-place s08 form,
+    // so it shares the exact brute oracle
+    "s11_ann_index_topk" -> bruteTopkOracle,
+    "s12_ann_index_ingest" -> annRecallOracle,
     "s10_range_search" ->
       s"""SELECT query_id, neighbor_id, cos FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1,0 +1,118 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val embs = spark.read.parquet(sf("embeddings"))
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_annidx_$tag").toString
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+  test("persisted index query hash-matches the retrain-in-place PQ form") {
+    val dir = tmpDir("roundtrip")
+    val queries = embs.filter(col("vec_id") < 20L)
+    val idx = AnnIndex.build(embs, dir, nlist = 16, m = 8)
+    val persisted = rows(idx.topK(queries, k = 5, nprobe = 0, rescoreFactor = 8))
+    val retrained = rows(Similarity.pqTopK(embs, queries, k = 5,
+      m = 8, rescoreFactor = 8))
+    assert(persisted == retrained)
+    // and by the rescore margin, both equal the brute float scan
+    val brute = rows(Similarity.bruteForceTopK(embs, queries, k = 5))
+    assert(persisted == brute)
+  }
+
+  test("loading in a fresh call sees the same index (no retraining)") {
+    val dir = tmpDir("reload")
+    AnnIndex.build(embs, dir, nlist = 16, m = 8)
+    val reloaded = AnnIndex.load(spark, dir)
+    assert(reloaded.nlist == 16 && reloaded.dim == 64)
+    val queries = embs.filter(col("vec_id") < 10L)
+    assert(rows(reloaded.topK(queries, k = 3)) ==
+      rows(Similarity.bruteForceTopK(embs, queries, k = 3)))
+  }
+
+  test("incremental add: appended vectors are queried without retraining") {
+    val dir = tmpDir("add")
+    // build on 80% of the corpus, append the rest with the OLD quantizers
+    val base = embs.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val late = embs.filter(pmod(col("vec_id"), lit(5)) === 0)
+    AnnIndex.build(base, dir, nlist = 16, m = 8)
+    val idx = AnnIndex.add(spark, dir, late)
+    assert(idx.vectors.count() == embs.count())
+    // appended vectors are scored through quantizers that never saw
+    // them, so their ADC distortion is systematically larger than the
+    // in-sample corpus's (measured: factor 8 missed 8/100 results,
+    // factor 16 still 2/100 — all appended ids). Exactness after an add
+    // is data-dependent; the honest contract is the recall floor, with
+    // retraining per corpus generation the cure for drift.
+    val queries = embs.filter(col("vec_id") < 20L)
+    val got = rows(idx.topK(queries, k = 5, rescoreFactor = 16))
+      .map(r => (r(0), r(1))).toSet
+    val brute = rows(Similarity.bruteForceTopK(embs, queries, k = 5))
+      .map(r => (r(0), r(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.95, s"recall $recall after incremental add")
+    // appended ids must actually be findable (the add is live)
+    assert(got.exists { case (_, n) => n.asInstanceOf[Long] % 5 == 0 },
+      "no appended vector ever surfaced as a neighbor")
+  }
+
+  test("nprobe-pruned query prunes partitions and meets the recall floor") {
+    val dir = tmpDir("probe")
+    val idx = AnnIndex.build(embs, dir, nlist = 16, m = 8)
+    val queries = embs.filter(col("vec_id") < 20L)
+    // recall vs brute at half the lists probed (the s04 posture:
+    // data-dependent on this cluster-free corpus, floor-asserted)
+    val prunedRows = rows(idx.topK(queries, k = 5, nprobe = 8, rescoreFactor = 8))
+    val brute = rows(Similarity.bruteForceTopK(embs, queries, k = 5))
+    val hit = prunedRows.map(r => (r(0), r(1))).toSet
+      .intersect(brute.map(r => (r(0), r(1))).toSet).size
+    val recall = hit.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+    // the encoded-corpus scan must be PARTITION-pruned, not
+    // post-filtered: a 2-query, 2-probe batch touches <= 4 of the 16
+    // list directories, and the scan's own metrics must show it read
+    // fewer files than the index holds
+    val tiny = idx.topK(embs.filter(col("vec_id") < 2L), k = 3,
+      nprobe = 2, rescoreFactor = 4)
+    tiny.collect()
+    // descend through AQE wrappers: query stages are LEAF nodes holding
+    // their sub-plan, so a plain collect never reaches the scans
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allScans(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(tiny.queryExecution.executedPlan)
+    val prunedScan = scans.filter(_.partitionFilters.nonEmpty)
+    assert(prunedScan.nonEmpty, "no partition-filtered scan in the plan")
+    val totalFiles = idx.vectors.inputFiles.length
+    val readFiles = prunedScan.map(_.metrics("numFiles").value).min
+    assert(readFiles < totalFiles,
+      s"scan read all $totalFiles files; partition pruning is not happening")
+  }
+
+  test("load refuses an unknown format version") {
+    val dir = tmpDir("version")
+    AnnIndex.build(embs.limit(200), dir, nlist = 4, m = 8)
+    import spark.implicits._
+    Seq((99, 64, 4, 8, 256, "vec_id", "embedding"))
+      .toDF("format_version", "dim", "nlist", "m", "codebook_size",
+        "id_col", "vec_col")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    intercept[IllegalArgumentException] { AnnIndex.load(spark, dir) }
+  }
+}
