@@ -442,7 +442,8 @@ object Dedup {
     val longIds = Seq("id_a", "id_b").forall(c =>
       p0.schema.find(_.name == c)
         .exists(_.dataType == org.apache.spark.sql.types.LongType))
-    if (longIds && p0.count() <= localEdgeThreshold) {
+    val pairCount = p0.count()
+    if (longIds && pairCount <= localEdgeThreshold) {
       val spark = p0.sparkSession
       import spark.implicits._
       val parent = new java.util.HashMap[Long, Long]()
@@ -492,6 +493,20 @@ object Dedup {
     // releases as soon as the next materializes, so exactly one label
     // generation is ever pinned
     var prevCk: DataFrame = null
+    // the live (contracted) edge set — starts as the full both-direction
+    // frame, shrinks per round (see the contraction step below)
+    var curEdges: DataFrame = edges
+    var prevEdgeCk: DataFrame = null
+    var edgesEmpty = false
+    // adaptive contraction cadence: dup-star families collapse their
+    // edges in the first contraction (keep contracting every round);
+    // chain-shaped graphs barely shrink until the very end, so paying
+    // 2 joins + a distinct every round is dead weight there — after a
+    // low-shrink contraction, contract every OTHER round until shrink
+    // resumes
+    var lastEdgeCount = 2L * pairCount
+    var contractEvery = 1
+    var sinceContract = 0
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -514,24 +529,32 @@ object Dedup {
       // ContextCleaner — measured driver OOM on the 100k-chain probe.
       // Shuffle joins keep the loop's memory footprint flat.
       //
-      // 1. nm(v): min neighbor label visible at v
-      val nm = edges.join(labels.hint("shuffle_hash"),
-          col("dst") === col("id"))
-        .groupBy(col("src").as("vid")).agg(min("label").as("nm"))
-      // 2. hook(r): best link seen by any member of the tree NAMED r
-      val treeMin = labels.join(nm.hint("shuffle_hash"),
-          col("id") === col("vid"), "left")
-        .select(col("label").as("root"),
-          least(col("label"), coalesce(col("nm"), col("label"))).as("m"))
-        .groupBy("root").agg(min("m").as("hook"))
-      // 3. apply the hook AT node r (r absorbs links destined for its
-      // tree even if r's own label already moved on — that is what
-      // composes parent chains across rounds)
-      val p1 = labels.join(treeMin.hint("shuffle_hash"),
-          col("id") === col("root"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("hook"), col("label"))).as("p1"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the shortcut
+      // 1.-3. hook phase — skipped once the contracted edge set is
+      // empty (no hook can ever fire again; the remaining rounds are
+      // pure pointer flattening, so paying the nm/treeMin/hook joins
+      // for them would be dead weight):
+      val p1 = (if (edgesEmpty)
+        labels.select(col("id"), col("label"), col("label").as("p1"))
+      else {
+        // 1. nm(v): min neighbor label visible at v (over the CONTRACTED
+        // edge set — see the contraction step at the end of the round)
+        val nm = curEdges.join(labels.hint("shuffle_hash"),
+            col("dst") === col("id"))
+          .groupBy(col("src").as("vid")).agg(min("label").as("nm"))
+        // 2. hook(r): best link seen by any member of the tree NAMED r
+        val treeMin = labels.join(nm.hint("shuffle_hash"),
+            col("id") === col("vid"), "left")
+          .select(col("label").as("root"),
+            least(col("label"), coalesce(col("nm"), col("label"))).as("m"))
+          .groupBy("root").agg(min("m").as("hook"))
+        // 3. apply the hook AT node r (r absorbs links destined for its
+        // tree even if r's own label already moved on — that is what
+        // composes parent chains across rounds)
+        labels.join(treeMin.hint("shuffle_hash"),
+            col("id") === col("root"), "left")
+          .select(col("id"), col("label"),
+            least(col("label"), coalesce(col("hook"), col("label"))).as("p1"))
+      }).persist(StorageLevel.MEMORY_AND_DISK) // both sides of the shortcut
       // 4. shortcut twice: s1 = p1(p1(v)), then s2 = s1(s1(v)) — chain
       // depth divides by 4 per round for one extra small join, so the
       // worst-case round count halves (a 1M-hop chain needs ~10 rounds,
@@ -551,35 +574,98 @@ object Dedup {
           col("x.s1") === col("y.__jid"), "left")
         .select(col("x.id").as("id"), col("x.label").as("label"),
           coalesce(col("y.__jp"), col("x.s1")).as("nlabel"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // the persisted join feeds BOTH the convergence probe and the next
-      // labels; labels only ever decrease, so `nlabel < label` anywhere
-      // means another round is needed, and `changed == 0` is a fixpoint
-      // of hook AND shortcut — which forces every label to its component
-      // minimum (a cross-label edge would still hook: the tree named by
-      // the larger label would see the smaller one and its name-node
-      // would change).
-      val changed = joined.filter(col("nlabel") < col("label")).count()
+      // Convergence probe folded into the checkpoint materialization via
+      // observe(): the eager localCheckpoint is the round's ONE action,
+      // and CollectMetrics counts label changes as the rows stream into
+      // the checkpoint — the separate count() job (and the persist that
+      // existed only to feed it) measured ~1/3 of the per-round wall on
+      // the 100k-chain probe. Labels only ever decrease, so
+      // `nlabel < label` anywhere means another round is needed, and
+      // `changed == 0` is a fixpoint of hook AND shortcut — which forces
+      // every label to its component minimum (a cross-label edge would
+      // still hook: the tree named by the larger label would see the
+      // smaller one and its name-node would change).
+      //
+      // The checkpoint itself also cuts lineage EVERY round: the two
+      // self-joins reference their left subtree twice each, so an uncut
+      // plan multiplies ~4x per round — at 3 rounds between cuts that
+      // was a ~64x plan-tree blowup, and generating its explain string
+      // alone OOMed the driver. Each round's plan stays a flat
+      // LogicalRDD leaf plus this round's joins, and all intra-round
+      // frames release immediately (keeping them pinned across rounds
+      // ran the driver out of memory on the 100k-chain probe).
+      // read the metric from the action's own queryExecution (accumulator
+      //-backed, synchronous) — Observation.get waits on the async
+      // listener bus, which lags seconds behind a 32-core shuffle's task
+      // events (measured: +3 s/round on the 100k-chain probe)
+      val obsDf = joined
+        .observe("cc_changed", count(when(col("nlabel") < col("label"), 1)).as("changed"))
+        .select(col("id"), col("nlabel").as("label"))
+      // flat checkpoint, NOT Dataset.localCheckpoint: the built-in
+      // carries the source plan's sizeInBytes onto the new leaf, and in
+      // a loop that carried stat COMPOUNDS multiplicatively per round
+      // until stats computation itself wedges in BigInteger arithmetic
+      // (measured: 100k-chain probe stuck >10 min inside
+      // Dataset.checkpoint's rewriteStatsAndConstraints). See
+      // GraftSqlBridge.flatLocalCheckpoint.
+      val ck = org.apache.spark.sql.graftbridge.GraftSqlBridge.flatLocalCheckpoint(obsDf)
+      val changed = obsDf.queryExecution.observedMetrics("cc_changed")
+        .getAs[Long]("changed")
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] round ${i + 1} ${(System.nanoTime() - t0) / 1e9}%.2f s changed $changed")
-      // Cut lineage EVERY round: the two self-joins reference their
-      // left subtree twice each, so an uncut plan multiplies ~4x per
-      // round — at 3 rounds between cuts that was a ~64x plan-tree
-      // blowup, and generating its explain string OOMed the driver.
-      // A per-round eager checkpoint bounds every round's plan to a
-      // flat LogicalRDD leaf plus this round's joins, and lets ALL
-      // intra-round frames release immediately (keeping them pinned
-      // across rounds ran the driver out of memory on the 100k-chain
-      // probe).
-      val ck = joined.select(col("id"), col("nlabel").as("label"))
-        .localCheckpoint(eager = true)
       p1.unpersist(blocking = false)
       s1.unpersist(blocking = false)
-      joined.unpersist(blocking = false)
       if (prevCk != null) release(prevCk)
       prevCk = ck
       labels = ck
       converged = changed == 0
+      // 5. EDGE CONTRACTION — the step that makes total closure work
+      // ~O(E) instead of O(E x rounds): map both endpoints to their new
+      // labels, drop edges now internal to one tree, and collapse the
+      // multi-edges that contraction creates (the distinct IS the
+      // shrink: a bucket of member edges becomes one supernode edge).
+      // A chain shrinks ~4x per round under the double shortcut; a
+      // dup-star family collapses after round 1 — so the per-round nm
+      // join runs over a geometrically shrinking frame while the label
+      // frame (which must keep every node's final label) stays n rows.
+      // Connectivity is preserved: a relabeled edge joins the same two
+      // trees its member edge joined, and an edge dropped as internal
+      // can never contribute a future hook (labels within a tree only
+      // merge further). Once the contracted set is EMPTY the remaining
+      // rounds are pure shortcut flattening with an empty nm — cheap.
+      sinceContract += 1
+      if (!converged && !edgesEmpty && sinceContract >= contractEvery) {
+        val neObs = curEdges
+          .join(ck.select(col("id").as("src"), col("label").as("__ls"))
+            .hint("shuffle_hash"), "src")
+          .join(ck.select(col("id").as("dst"), col("label").as("__ld"))
+            .hint("shuffle_hash"), "dst")
+          .filter(col("__ls") =!= col("__ld"))
+          .select(col("__ls").as("src"), col("__ld").as("dst"))
+          .distinct()
+          .observe("cc_edges", count(lit(1)).as("n"))
+        val ne = org.apache.spark.sql.graftbridge.GraftSqlBridge.flatLocalCheckpoint(neObs)
+        val nEdges = neObs.queryExecution.observedMetrics("cc_edges")
+          .getAs[Long]("n")
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc]   contracted edges $nEdges")
+        if (prevEdgeCk != null) release(prevEdgeCk)
+        else edges.unpersist(blocking = false) // first contraction supersedes the input frame
+        prevEdgeCk = ne
+        curEdges = ne
+        contractEvery =
+          if (nEdges.toDouble > 0.8 * lastEdgeCount) 2 else 1
+        lastEdgeCount = nEdges
+        sinceContract = 0
+        // an EMPTY contracted set does NOT mean converged: it witnesses
+        // the SUPERNODE graph, and member labels can still be stale
+        // (pointing at a tree name whose own label moved on) — the
+        // OperatorsSpec 300-hop chain catches exactly that. It does mean
+        // no hook can ever fire again, so the remaining rounds are pure
+        // double-shortcut flattening over empty nm joins (cheap), and
+        // there is nothing left to contract.
+        edgesEmpty = nEdges == 0
+      }
       i += 1
     }
     lastRounds.set(i)
@@ -591,6 +677,7 @@ object Dedup {
         s"hook + double shortcut bounds reachable chains at ~4^$maxIter " +
         s"hops); raise maxIter")
     edges.unpersist(blocking = false)
+    if (prevEdgeCk != null) release(prevEdgeCk)
     release(p0) // checkpointed input: the pinned RDD is behind a LogicalRDD leaf
     // labels is already an eagerly-materialized checkpoint (or, for an
     // empty edge set, the trivial initial frame)

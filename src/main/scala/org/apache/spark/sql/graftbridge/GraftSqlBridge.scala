@@ -17,4 +17,27 @@ object GraftSqlBridge {
     * QueryExecutionListener-based metric collection deterministic. */
   def waitListenerBus(spark: org.apache.spark.sql.SparkSession, timeoutMs: Long = 10000): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
+  /** Materialized local checkpoint WITHOUT the stats carry-over of
+    * `Dataset.localCheckpoint`: the built-in calls
+    * `LogicalRDD.rewriteStatsAndConstraints`, which computes the SOURCE
+    * plan's `sizeInBytes` and stamps it onto the new leaf. Inside an
+    * iterative loop that compounds: round t's plan multiplies the carried
+    * sizes of round t-1's leaves across every join, so the carried
+    * BigInteger doubles (or worse) in bit-length per round — by round
+    * ~10 the stats computation itself takes minutes (measured: the CC
+    * loop's 100k-chain probe wedged inside BigInteger.multiplyToomCook3
+    * under `Dataset.checkpoint`). This variant executes the plan,
+    * local-checkpoints the raw row RDD, and wraps it in a FRESH
+    * LogicalRDD with default leaf stats — constant-size stats no matter
+    * how many rounds compound. Trade-off: output partitioning/ordering
+    * metadata is dropped (fine for loops that re-shuffle every round).
+    */
+  def flatLocalCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = cds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    cds.sparkSession.internalCreateDataFrame(rdd, cds.schema)
+  }
 }
