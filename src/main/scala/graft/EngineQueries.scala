@@ -260,9 +260,45 @@ object EngineQueries {
         .agg(max(col("o_totalprice")).as("o_totalprice"),
           graft.functions.decSum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n"))
+    }),
+
+    // STREAMING lift gated through the batch oracle: the events parquet
+    // streams through the file monitor (AvailableNow), the hourly
+    // window aggregate runs as a Structured Streaming query with the
+    // SAME decimal-sum contract as batch q22, and the memory sink's
+    // content must hash-match q22's DuckDB oracle — batch ≡ stream as a
+    // driver-checked gate, not just a spec assertion. Complete output
+    // mode emits every window (append mode would withhold windows the
+    // final watermark hasn't passed, which a finite drain never does
+    // for the last hour of data).
+    "m13_streaming_hourly" -> ((s, dir) => {
+      import graft.streaming.Streams
+      // the file-stream source wants a directory or glob, and the
+      // fixture is a single file — the glob form covers both layouts
+      val path = s"$dir/events.parquet*"
+      // stream with the PHYSICAL schema, then normalize ts exactly as
+      // Tables.load does for batch (the events ts dtype has drifted
+      // across fixture generations)
+      val phys = s.read.parquet(s"$dir/events.parquet").schema
+      val src = Streams.fileMonitor(s, path, "parquet", phys)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val agg = Streams.windowedStats(src, "ts", "1 hour",
+        watermark = "1 hour", valueCol = "value",
+        keyCols = Seq("event_type"), sumAgg = graft.functions.decSum)
+      val name = s"m13_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(col("window_start").as("hour_ts"),
+        col("event_type"), col("n"), col("sum_value"))
     }))
 
   val oracles: Map[String, String] = Map(
+    // the streaming hourly lift shares batch q22's oracle verbatim —
+    // that sharing IS the gate's claim (batch ≡ stream)
+    "m13_streaming_hourly" -> RelationalQueries.oracles("q22_events_hourly"),
     "m01_csv_pipeline" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem""",

@@ -38,13 +38,16 @@ object Streams {
     */
   def windowedStats(events: DataFrame, tsCol: String, window: String,
                     watermark: String, valueCol: String,
-                    keyCols: Seq[String] = Nil): DataFrame = {
+                    keyCols: Seq[String] = Nil,
+                    sumAgg: Column => Column = sum): DataFrame = {
     val keys = col(s"window") +: keyCols.map(col)
     events
       .withWatermark(tsCol, watermark)
       .groupBy((org.apache.spark.sql.functions.window(col(tsCol), window) +:
         keyCols.map(col)): _*)
-      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      // sumAgg is pluggable so an oracle-gated lift can use the decimal
+      // sum contract (graft.functions.decSum) for order-independence
+      .agg(count(lit(1)).as("n"), sumAgg(col(valueCol)).as("sum_value"))
       .select((col("window.start").as("window_start") +:
         col("window.end").as("window_end") +:
         keyCols.map(col)) :+ col("n") :+ col("sum_value"): _*)
