@@ -730,13 +730,14 @@ object Multimodal {
     StructField("frame_no", IntegerType, nullable = false),
     StructField("frame_offset", LongType)))
 
-  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+  def sampleFrames(media: DataFrame, n: Int,
+                   codec: MediaCodec = StubCodec): DataFrame = {
     media.filter(col("modality") === "video")
       .select("media_id", "bytes").mapPartitions { rows =>
         rows.flatMap { r =>
           val bytes =
             Option(r.get(1)).map(_.asInstanceOf[Array[Byte]]).getOrElse(Array.empty)
-          StubCodec.sampleFrames(bytes, n).zipWithIndex.map {
+          codec.sampleFrames(bytes, n).zipWithIndex.map {
             case (off, i) => Row(r.getLong(0), i, off)
           }
         }
