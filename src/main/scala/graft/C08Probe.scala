@@ -37,15 +37,17 @@ object C08Probe {
     }.reduce(_ union _).persist()
     corpus.count()
 
-    def intake(banded: Boolean): Long = {
+    def intake(banded: Boolean, sizePrefilter: Boolean = true): Long = {
       val kept = corpus.join(
         Sampling.calibratedQuantileFilter(corpus, "lang", "doc_id",
           qualityScore(col("text")), bins = 1000, qNum = 1, qDen = 2)
           .select("doc_id"),
         Seq("doc_id"))
       val mixed = Sampling.temperatureMix(kept, "source", "doc_id")
-      val pairInput = if (banded) Dedup.bandedPreCollapse(mixed, "doc_id", "text")
-                      else mixed
+      val pairInput =
+        if (banded) Dedup.bandedPreCollapse(mixed, "doc_id", "text",
+          sizePrefilter = sizePrefilter)
+        else mixed
       Dedup.leakageSafeSplit(pairInput,
         Dedup.ngramJaccardPairs(pairInput, "doc_id", "text",
           shingleSize = 3, threshold = 0.8), "doc_id",
@@ -57,6 +59,19 @@ object C08Probe {
       val nBanded = intake(banded = true)
       println(f"[c08probe-${replicas}x] banded_intake rows $nBanded " +
         f"time ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    // A/B the star-edge size prefilter in ONE JVM (host noise swamps
+    // cross-run comparison): alternate off/on passes
+    if (sys.env.get("SPARK_GRAFT_AB_PREFILTER").contains("1")) {
+      for (pass <- 1 to 2; pre <- Seq(false, true)) {
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        corpus.persist(); corpus.count()
+        val t = System.nanoTime()
+        val n = intake(banded = true, sizePrefilter = pre)
+        println(f"[c08probe-${replicas}x] banded_prefilter_${pre}_p$pass rows $n " +
+          f"time ${(System.nanoTime() - t) / 1e9}%.1f s")
+      }
     }
 
     if (sys.env.get("SPARK_GRAFT_EXACT").contains("1")) {

@@ -826,9 +826,10 @@ object Dedup {
     */
   def bandedPreCollapse(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, preThreshold: Double = 0.9,
-                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                        numHashes: Int = 64, bands: Int = 16,
+                        sizePrefilter: Boolean = true): DataFrame = {
     val verified = bandedVerifiedEdges(docs, idCol, textCol, shingleSize,
-      preThreshold, numHashes, bands)
+      preThreshold, numHashes, bands, sizePrefilter)
     if (sys.env.contains("GRAFT_BANDING_DEBUG"))
       System.err.println("[banding] coverage gap vs exact closure: " +
         bandingCoverageGap(docs, idCol, textCol, shingleSize, preThreshold,
@@ -856,17 +857,23 @@ object Dedup {
     */
   def bandedVerifiedEdges(docs: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 3, preThreshold: Double = 0.9,
-                          numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                          numHashes: Int = 64, bands: Int = 16,
+                          sizePrefilter: Boolean = true): DataFrame = {
     val rows = numHashes / bands
     val shingled = docs.select(col(idCol),
       hashedShingles(col(textCol), shingleSize).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK) // banding + both verify joins
+    // the banding rows carry the shingle COUNT (+8 bytes/row through the
+    // explode shuffle) so size-incompatible star edges — which J >=
+    // preThreshold already excludes — can be pruned BEFORE the distinct
+    // and the array-shipping verify joins (`sizePrefilter`)
     val banded = shingled
-      .select(col(idCol), minhashSignatureHashed(col("sh"), numHashes).as("sig"))
-      .select(col(idCol), posexplode(
+      .select(col(idCol), size(col("sh")).as("__sz"),
+        minhashSignatureHashed(col("sh"), numHashes).as("sig"))
+      .select(col(idCol), col("__sz"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
-      .toDF(idCol, "band", "bucket")
+      .toDF(idCol, "__sz", "band", "bucket")
       // referenced by the rep aggregate AND the star join: without the
       // pin the whole minhash-signature computation runs twice (the
       // lshCandidates precedent)
@@ -875,12 +882,19 @@ object Dedup {
     // hot-bucket skew must stay AQE-splittable; singleton buckets die in
     // the inner-join filter below). No maxBucket cap — star edges are
     // linear in bucket size, so degenerate buckets cost O(k), not O(k²).
+    // min(struct) keeps the rep's size alongside its id in one pass.
     val reps = banded.groupBy("band", "bucket")
-      .agg(min(col(idCol)).as("id_a"), count(lit(1)).as("__bn"))
+      .agg(min(struct(col(idCol), col("__sz"))).as("__rep"),
+        count(lit(1)).as("__bn"))
       .filter(col("__bn") >= 2)
-      .drop("__bn")
+      .select(col("band"), col("bucket"),
+        col("__rep")(idCol).as("id_a"), col("__rep")("__sz").as("sz_a"))
     val star = banded.join(reps, Seq("band", "bucket"))
       .filter(col(idCol) =!= col("id_a"))
+      .filter(if (sizePrefilter)
+          col("__sz") >= ceil(lit(preThreshold) * col("sz_a")) &&
+          col("sz_a") >= ceil(lit(preThreshold) * col("__sz"))
+        else lit(true))
       .select(col("id_a"), col(idCol).as("id_b"))
       .distinct() // cross-band repeats collapse BEFORE the array joins
     val verified = star
