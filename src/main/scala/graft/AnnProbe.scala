@@ -71,6 +71,24 @@ object AnnProbe {
     timed("index_query_nprobe16") {
       idx.topK(queries, k = 5, nprobe = 16, rescoreFactor = 8).count()
     }
+    // maintenance posture: 4 ingest appends fragment the list dirs, one
+    // compaction generation restores them; queries unchanged either way
+    for (r <- 0 until 4)
+      graft.operators.AnnIndex.add(spark, idxPath,
+        corpus.filter(pmod(col("vec_id"), lit(97)) === r)
+          .select((col("vec_id") + lit(replicas * n0 * (r + 1))).as("vec_id"),
+            col("embedding")))
+    val filesBefore = graft.operators.AnnIndex.vectorFileCount(spark, idxPath)
+    timed("index_compact") {
+      graft.operators.AnnIndex.compact(spark, idxPath)
+      graft.operators.AnnIndex.cleanup(spark, idxPath).size
+    }
+    val filesAfter = graft.operators.AnnIndex.vectorFileCount(spark, idxPath)
+    println(s"[ann${replicas}x] vector_files_before_compact $filesBefore after $filesAfter")
+    timed("index_query_post_compact") {
+      graft.operators.AnnIndex.load(spark, idxPath)
+        .topK(queries, k = 5, nprobe = 16, rescoreFactor = 8).count()
+    }
     println(s"[ann${replicas}x] corpus $n")
     spark.stop()
   }

@@ -345,6 +345,7 @@ object CorpusQueries {
       val e = embs(s, dir)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_s11_${Integer.toHexString(dir.hashCode)}"
       AnnIndex.build(e, path, nlist = 32, m = 8)
+      AnnIndex.cleanup(s, path) // this run's build supersedes any prior generation
       AnnIndex.load(s, path)
         .topK(e.filter(col("vec_id") < 20L), k = 5, nprobe = 0, rescoreFactor = 8)
     }),
@@ -361,6 +362,7 @@ object CorpusQueries {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_s12_${Integer.toHexString(dir.hashCode)}"
       AnnIndex.build(e.filter(pmod(col("vec_id"), lit(5)) =!= 0), path,
         nlist = 32, m = 8)
+      AnnIndex.cleanup(s, path) // this run's build supersedes any prior generation
       val idx = AnnIndex.add(s, path, e.filter(pmod(col("vec_id"), lit(5)) === 0))
       val q = e.filter(col("vec_id") < 20L)
       annRecallGate(

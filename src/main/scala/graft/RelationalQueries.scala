@@ -370,6 +370,30 @@ object RelationalQueries {
         t(s, dir, "events"), Seq("event_type"), "value", hotShare = 0.1)
     }),
 
+    // Binned range join: lineitems shipped within 3 days of an urgent
+    // order's date (inclusive ends), aggregated per order — the
+    // interval-overlap join a raw BETWEEN predicate would plan as a
+    // nested loop. Epochs are exact longs (dates are midnights).
+    "q46_range_join" -> ((s, dir) => {
+      // NTZ timestamps carry no zone; the UTC session (SparkEntry) makes
+      // the ltz hop equal DuckDB's epoch() on the same values
+      def ep(c: org.apache.spark.sql.Column) =
+        c.cast("timestamp_ltz").cast("long")
+      val items = t(s, dir, "lineitem")
+        .select(ep(col("l_shipdate")).as("ship_ep"),
+          col("l_extendedprice"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          ep(col("o_orderdate")).as("win_start"),
+          (ep(col("o_orderdate")) + lit(259200L)).as("win_end"))
+      graft.operators.Relational.rangeJoin(items, urgent,
+        "ship_ep", "win_start", "win_end")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          decSum(col("l_extendedprice")).as("sum_price"))
+    }),
+
     // As-of join: latest purchase at-or-before each click, per user.
     "q30_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -540,6 +564,15 @@ object RelationalQueries {
     "q45_auto_salted_agg" ->
       s"""SELECT event_type, ${ds("value")} AS sum_value, count(*) AS n
          FROM events GROUP BY event_type""",
+    "q46_range_join" ->
+      s"""SELECT o.o_orderkey, count(*) AS n_items,
+         ${ds("l.l_extendedprice")} AS sum_price
+         FROM orders o JOIN lineitem l
+           ON CAST(epoch(l.l_shipdate) AS BIGINT)
+                BETWEEN CAST(epoch(o.o_orderdate) AS BIGINT)
+                    AND CAST(epoch(o.o_orderdate) AS BIGINT) + 259200
+         WHERE o.o_orderpriority = '1-URGENT'
+         GROUP BY o.o_orderkey""",
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${ds("l_quantity")} AS sum_qty,

@@ -198,6 +198,75 @@ object Relational {
     else saltedSumCount(df, keys, valueCol, salt)
   }
 
+  /** Binned range join: every fact row joins every interval row with
+    * `start <= point <= end` (inclusive ends), without the cartesian /
+    * BroadcastNestedLoopJoin plan Spark produces for a raw BETWEEN
+    * predicate — the other time-series join Spark lacks as a built-in
+    * (alongside [[asofJoin]]'s point-in-time lookup).
+    *
+    * Implementation: bucket the number line into `binWidth`-sized bins;
+    * each fact lands in exactly ONE bin, each interval explodes into the
+    * bins it overlaps, and the join becomes a plain equi-join on the bin
+    * id plus a residual BETWEEN filter. Because a fact has one bin and
+    * an interval covers each of its bins once, every qualifying pair
+    * meets exactly once — no post-join dedup shuffle. Cost model: one
+    * hash shuffle on the bin id (AQE-skew-splittable like any equi-join,
+    * unlike a nested loop) and an interval replication factor of
+    * `len/binWidth + 1`, which auto-sizing keeps ~2 for typical rows.
+    *
+    * At 100 TB this is the events-to-campaign / reading-to-session join:
+    * both sides shuffle once on a salt-able integer key; the nested-loop
+    * form either needs the interval side to fit a broadcast or walls in
+    * a cartesian. [[graft.PlanScan.unjustifiedNlj]] flags the latter;
+    * this operator is the fix it points at.
+    *
+    * `pointCol` / `startCol` / `endCol` must be integral (cast
+    * timestamps to epoch seconds/micros first — the gate does). Rows
+    * with `start > end` (empty interval) and null bounds/points drop, as
+    * in the SQL BETWEEN form. `binWidth <= 0` auto-sizes from the
+    * interval side: the p75 interval length (one bounded agg over the
+    * interval side — the dimension side by assumption), clamped so the
+    * LONGEST interval explodes into at most `maxBinsPerInterval` rows.
+    */
+  def rangeJoin(facts: DataFrame, intervals: DataFrame,
+                pointCol: String, startCol: String, endCol: String,
+                binWidth: Long = 0L,
+                maxBinsPerInterval: Int = 4096): DataFrame = {
+    val iv = intervals.filter(col(startCol).isNotNull &&
+      col(endCol).isNotNull && col(startCol) <= col(endCol))
+    val w: Long =
+      if (binWidth > 0) binWidth
+      else {
+        // one narrow agg over the interval side (two scalars): p75
+        // length sets the bin so ~75% of intervals span <= 2 bins; the
+        // max length clamps the worst row's explosion. approx_percentile
+        // is deterministic for a fixed dataset (GK sketch, no RNG).
+        val row = iv.select(
+            approx_percentile(col(endCol) - col(startCol), lit(0.75), lit(1000))
+              .cast("long").as("p75"),
+            max(col(endCol) - col(startCol)).cast("long").as("mx"))
+          .head()
+        if (row.isNullAt(1)) 1L // empty interval side: any width works
+        else {
+          val p75 = math.max(1L, row.getLong(0))
+          val mx = row.getLong(1)
+          math.max(p75, mx / maxBinsPerInterval + 1L)
+        }
+      }
+    // exact floor-division (negatives too). NOT `c / w`: long division
+    // in Spark SQL is DOUBLE division, inexact past 2^53 — epoch-micros
+    // points would bin wrong. Decimal division is exact at any long.
+    def bin(c: Column): Column =
+      floor(c.cast("decimal(38,0)") / lit(w)).cast("long")
+    val f = facts.filter(col(pointCol).isNotNull)
+      .withColumn("__bin", bin(col(pointCol)))
+    val i = iv.withColumn("__bin",
+      explode(sequence(bin(col(startCol)), bin(col(endCol)))))
+    f.join(i, Seq("__bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+
   /** As-of join: for each left row, attach the single most recent right
     * row with `rightTs <= leftTs` (inclusive) sharing the equi-keys —
     * the time-series point-in-time lookup Spark lacks as a built-in.

@@ -107,12 +107,44 @@ class AnnIndexSpec extends SparkSpec {
 
   test("load refuses an unknown format version") {
     val dir = tmpDir("version")
-    AnnIndex.build(embs.limit(200), dir, nlist = 4, m = 8)
+    val built = AnnIndex.build(embs.limit(200), dir, nlist = 4, m = 8)
     import spark.implicits._
     Seq((99, 64, 4, 8, 256, "vec_id", "embedding"))
       .toDF("format_version", "dim", "nlist", "m", "codebook_size",
         "id_col", "vec_col")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+      .write.mode("overwrite").parquet(s"${built.genPath}/meta")
     intercept[IllegalArgumentException] { AnnIndex.load(spark, dir) }
+  }
+
+  test("compact collapses ingest small-files; results, snapshots, cleanup") {
+    val dir = tmpDir("compact")
+    val built = AnnIndex.build(embs.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      dir, nlist = 16, m = 8)
+    assert(built.generation == 1)
+    // four daily-ingest batches: every append drops a fresh file per
+    // touched list directory
+    for (r <- Seq(0, 5, 10, 15))
+      AnnIndex.add(spark, dir,
+        embs.filter(pmod(col("vec_id"), lit(20)) === r))
+    val before = AnnIndex.vectorFileCount(spark, dir)
+    val preIdx = AnnIndex.load(spark, dir)
+    val queries = embs.filter(col("vec_id") < 20L)
+    val preRows = rows(preIdx.topK(queries, k = 5, rescoreFactor = 16))
+
+    val compacted = AnnIndex.compact(spark, dir)
+    assert(compacted.generation == preIdx.generation + 1)
+    val after = AnnIndex.vectorFileCount(spark, dir)
+    assert(after < before, s"compaction did not shrink: $before -> $after")
+    assert(compacted.vectors.count() == embs.count())
+    // codes carried over verbatim -> ADC scores identical -> same rows
+    assert(rows(compacted.topK(queries, k = 5, rescoreFactor = 16)) == preRows)
+    // the reader loaded BEFORE the swap keeps its pinned generation
+    assert(preIdx.vectors.count() == embs.count())
+    assert(rows(preIdx.topK(queries, k = 5, rescoreFactor = 16)) == preRows)
+    // cleanup deletes exactly the superseded generation
+    assert(AnnIndex.cleanup(spark, dir) == Seq(preIdx.generation))
+    val fresh = AnnIndex.load(spark, dir)
+    assert(fresh.generation == compacted.generation)
+    assert(rows(fresh.topK(queries, k = 5, rescoreFactor = 16)) == preRows)
   }
 }

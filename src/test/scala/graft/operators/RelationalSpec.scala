@@ -135,6 +135,51 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("range join equals the naive BETWEEN join, exactly once per pair") {
+    import spark.implicits._
+    // negatives, an empty interval (dropped), nulls, duplicate facts
+    // (multiplicity must be preserved), and a long interval that spans
+    // many bins at every tested width
+    val facts = Seq(
+      Some(-5L), Some(-5L), Some(0L), Some(3L), Some(7L), Some(100L), None
+    ).zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("fid", "p")
+      .select(col("fid"), col("p").as("p"))
+    val intervals = Seq(
+      (1L, Some(-10L), Some(-1L)),  // negative range
+      (2L, Some(0L), Some(0L)),     // single point
+      (3L, Some(2L), Some(90L)),    // long span
+      (4L, Some(5L), Some(4L)),     // empty: start > end -> drops
+      (5L, None, Some(9L))          // null bound -> drops
+    ).toDF("iid", "s", "e")
+    val expected = facts.join(intervals,
+        col("p") >= col("s") && col("p") <= col("e"))
+      .select("fid", "iid").orderBy("fid", "iid")
+      .collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty)
+    for (w <- Seq(0L, 1L, 3L, 1000L)) { // 0 = auto-sized
+      val got = Relational.rangeJoin(facts, intervals, "p", "s", "e",
+          binWidth = w)
+        .select("fid", "iid").orderBy("fid", "iid")
+        .collect().map(_.toSeq).toSeq
+      assert(got == expected, s"binWidth=$w")
+    }
+  }
+
+  test("range join bins exactly past 2^53 (epoch-micros regime)") {
+    import spark.implicits._
+    // two adjacent points around a bin edge at a magnitude where double
+    // division is off by one bin: 2^60 is representable but 2^60 +- 1 is
+    // not a double, so a float-division bin would misplace the point
+    val base = 1L << 60
+    val facts = Seq((1L, base - 1L), (2L, base), (3L, base + 1L))
+      .toDF("fid", "p")
+    val intervals = Seq((10L, base, base + 10L)).toDF("iid", "s", "e")
+    val got = Relational.rangeJoin(facts, intervals, "p", "s", "e",
+        binWidth = 7L)
+      .select("fid").orderBy("fid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L))
+  }
+
   test("asof join picks the latest right row at-or-before, inclusive") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
