@@ -44,4 +44,21 @@ class PlanScanSpec extends SparkSpec {
     assert(PlanScan.unjustifiedNlj(
       SparkEntry.queries("c07_curation_v2")(spark, dir)).isEmpty)
   }
+
+  test("full board: no registered gate plans an unjustified nested loop") {
+    // every SparkEntry gate, audited structurally at sf0.001 — the
+    // regression net for the class of bug where a refactor silently
+    // turns an equi-join into a cartesian (it would still pass its
+    // oracle at sf0.01 and wall at scale)
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val bad =
+          try PlanScan.unjustifiedNlj(fn(spark, dir))
+          catch { case e: Throwable =>
+            Seq(s"failed to plan: ${e.getMessage}") }
+        bad.map(b => s"$name: $b")
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
