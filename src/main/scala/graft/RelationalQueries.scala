@@ -379,19 +379,26 @@ object RelationalQueries {
       // the ltz hop equal DuckDB's epoch() on the same values
       def ep(c: org.apache.spark.sql.Column) =
         c.cast("timestamp_ltz").cast("long")
-      val items = t(s, dir, "lineitem")
-        .select(ep(col("l_shipdate")).as("ship_ep"),
-          col("l_extendedprice"))
+      // aggregate BELOW the range join: the point column is date-grained
+      // (~2.4k distinct values vs 600k fact rows at sf0.1), so partial
+      // per-point aggregates collapse the fact side BEFORE the bin
+      // explode-join — at 100 TB this is the difference between joining
+      // every fact row and joining one row per point key. Partial sums
+      // stay DECIMAL until the final combine (the decSum contract).
+      val byDay = t(s, dir, "lineitem")
+        .groupBy(ep(col("l_shipdate")).as("ship_ep"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("l_extendedprice").cast("decimal(38,6)")).as("__s"))
       val urgent = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"),
           ep(col("o_orderdate")).as("win_start"),
           (ep(col("o_orderdate")) + lit(259200L)).as("win_end"))
-      graft.operators.Relational.rangeJoin(items, urgent,
+      graft.operators.Relational.rangeJoin(byDay, urgent,
         "ship_ep", "win_start", "win_end")
         .groupBy("o_orderkey")
-        .agg(count(lit(1)).as("n_items"),
-          decSum(col("l_extendedprice")).as("sum_price"))
+        .agg(sum(col("__n")).as("n_items"),
+          sum(col("__s")).cast("double").as("sum_price"))
     }),
 
     // As-of join: latest purchase at-or-before each click, per user.
