@@ -293,12 +293,35 @@ object EngineQueries {
       q.awaitTermination()
       s.table(name).select(col("window_start").as("hour_ts"),
         col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // Ingest-then-compact maintenance roundtrip: five micro-batch
+    // appends fragment a partitioned parquet sink (one file per task
+    // per touched partition dir — the daily-ingest shape), then
+    // Layout.compact rewrites it clustered behind the rename swap. The
+    // read-back must hash-match the source table: the oracle proves
+    // the maintenance pass is row-exact end to end, not just smaller.
+    "m14_compacted_sink" -> ((s, dir) => {
+      val out = s"${tmp("compact")}/li"
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      for (b <- 0 until 5)
+        li.filter(pmod(col("l_orderkey"), lit(5)) === b)
+          .write.mode("append").partitionBy("l_returnflag").parquet(out)
+      val (before, after) =
+        graft.operators.Layout.compact(s, out, Seq("l_returnflag"))
+      require(after < before, s"compaction did not shrink: $before -> $after")
+      s.read.parquet(out).select("l_orderkey", "l_linenumber",
+        "l_returnflag", "l_quantity")
     }))
 
   val oracles: Map[String, String] = Map(
     // the streaming hourly lift shares batch q22's oracle verbatim —
     // that sharing IS the gate's claim (batch ≡ stream)
     "m13_streaming_hourly" -> RelationalQueries.oracles("q22_events_hourly"),
+    "m14_compacted_sink" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        FROM lineitem""",
     "m01_csv_pipeline" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem""",
