@@ -221,17 +221,39 @@ object Relational {
     * this operator is the fix it points at.
     *
     * `pointCol` / `startCol` / `endCol` must be integral (cast
-    * timestamps to epoch seconds/micros first — the gate does). Rows
-    * with `start > end` (empty interval) and null bounds/points drop, as
-    * in the SQL BETWEEN form. `binWidth <= 0` auto-sizes from the
+    * timestamps to epoch seconds/micros first — the gate does), with
+    * distinct names across the two sides. Rows with `start > end`
+    * (empty interval) and null bounds drop as in the SQL BETWEEN form;
+    * null points drop for inner, and are kept as unmatched facts by the
+    * left-preserving forms. `binWidth <= 0` auto-sizes from the
     * interval side: the p75 interval length (one bounded agg over the
     * interval side — the dimension side by assumption), clamped so the
     * LONGEST interval explodes into at most `maxBinsPerInterval` rows.
+    *
+    * `joinType`: `inner` (default), `left_outer` (facts-preserving
+    * enrich, null interval columns when no window matches),
+    * `left_semi` (facts inside ANY window), `left_anti` (facts outside
+    * EVERY window — the decontamination shape on time ranges). All four
+    * are safe because a fact owns exactly one bin: inner pairs meet
+    * exactly once, and the left forms see every qualifying interval in
+    * that one bin.
     */
   def rangeJoin(facts: DataFrame, intervals: DataFrame,
                 pointCol: String, startCol: String, endCol: String,
                 binWidth: Long = 0L,
-                maxBinsPerInterval: Int = 4096): DataFrame = {
+                maxBinsPerInterval: Int = 4096,
+                joinType: String = "inner"): DataFrame = {
+    // each fact owns exactly ONE bin, so bin-equality + residual BETWEEN
+    // inside one join condition preserves every join type's semantics:
+    // inner multiplicities are exactly-once per qualifying pair,
+    // left_outer keeps unmatched facts (null interval columns),
+    // left_semi/left_anti are the in-any-window / outside-every-window
+    // filters (anti = the decontamination shape on time ranges)
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti")
+      .contains(joinType.toLowerCase.replace("-", "_")),
+      s"rangeJoin supports inner/left_outer/left_semi/left_anti (got '$joinType'): " +
+      "right/full-outer would need interval-side complement tracking across bins")
     val iv = intervals.filter(col(startCol).isNotNull &&
       col(endCol).isNotNull && col(startCol) <= col(endCol))
     val w: Long =
@@ -258,13 +280,16 @@ object Relational {
     // points would bin wrong. Decimal division is exact at any long.
     def bin(c: Column): Column =
       floor(c.cast("decimal(38,0)") / lit(w)).cast("long")
-    val f = facts.filter(col(pointCol).isNotNull)
-      .withColumn("__bin", bin(col(pointCol)))
-    val i = iv.withColumn("__bin",
+    val inner = joinType.toLowerCase == "inner"
+    // inner may pre-drop null points (they can never match); the
+    // left-preserving forms must keep them as unmatched facts
+    val f = (if (inner) facts.filter(col(pointCol).isNotNull) else facts)
+      .withColumn("__fbin", bin(col(pointCol)))
+    val i = iv.withColumn("__ibin",
       explode(sequence(bin(col(startCol)), bin(col(endCol)))))
-    f.join(i, Seq("__bin"))
-      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
-      .drop("__bin")
+    val cond = col("__fbin") === col("__ibin") &&
+      col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)
+    f.join(i, cond, joinType).drop("__fbin", "__ibin")
   }
 
   /** As-of join: for each left row, attach the single most recent right

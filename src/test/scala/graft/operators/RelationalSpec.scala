@@ -165,6 +165,37 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("range join left/semi/anti equal their naive forms, nulls kept") {
+    import spark.implicits._
+    val facts = Seq(
+      (1L, Some(-5L)), (2L, Some(0L)), (3L, Some(3L)), (4L, Some(7L)),
+      (5L, Some(100L)), (6L, Some(100L)), (7L, None)
+    ).toDF("fid", "p")
+    val intervals = Seq(
+      (1L, -10L, -1L), (2L, 0L, 0L), (3L, 2L, 90L), (4L, 3L, 8L)
+    ).toDF("iid", "s", "e")
+    val cond = col("p") >= col("s") && col("p") <= col("e")
+    for (jt <- Seq("left_outer", "left_semi", "left_anti")) {
+      val naive = facts.join(intervals, cond, jt)
+        .collect().map(_.mkString("|")).toSeq.sorted
+      val got = Relational.rangeJoin(facts, intervals, "p", "s", "e",
+          binWidth = 3L, joinType = jt)
+        .collect().map(_.mkString("|")).toSeq.sorted
+      assert(got == naive, s"joinType=$jt")
+    }
+    // the null-point fact must be KEPT by outer and anti, dropped by semi
+    val outer = Relational.rangeJoin(facts, intervals, "p", "s", "e",
+      binWidth = 3L, joinType = "left_outer")
+    assert(outer.filter(col("fid") === 7L).count() == 1)
+    val anti = Relational.rangeJoin(facts, intervals, "p", "s", "e",
+      binWidth = 3L, joinType = "left_anti")
+    assert(anti.filter(col("fid") === 7L).count() == 1)
+    intercept[IllegalArgumentException] {
+      Relational.rangeJoin(facts, intervals, "p", "s", "e",
+        joinType = "full_outer")
+    }
+  }
+
   test("range join bins exactly past 2^53 (epoch-micros regime)") {
     import spark.implicits._
     // two adjacent points around a bin edge at a magnitude where double
