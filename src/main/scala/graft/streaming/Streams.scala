@@ -186,6 +186,22 @@ object Streams {
       .drop("__thr")
   }
 
+  /** Streaming interval enrich: [[graft.operators.Relational.rangeJoin]]
+    * stream-static — the static interval table explodes over its bins at
+    * plan-build time (including the auto-width probe, an action on the
+    * STATIC side only), and the stream side is a stateless bin
+    * projection into a stream-static equi-join, which Structured
+    * Streaming supports for inner and left-preserving types. Batch ≡
+    * stream by construction: no state, no watermark, no per-microbatch
+    * statistics. The events-to-campaign attach as a continuous pipeline.
+    */
+  def rangeEnrich(stream: DataFrame, intervals: DataFrame,
+                  pointCol: String, startCol: String, endCol: String,
+                  binWidth: Long = 0L,
+                  joinType: String = "inner"): DataFrame =
+    graft.operators.Relational.rangeJoin(stream, intervals,
+      pointCol, startCol, endCol, binWidth, joinType = joinType)
+
   /** Streaming LM-fit scoring: [[graft.operators.LmScore]]'s broadcast
     * path on a document stream — the model (trained once on a static
     * reference corpus via `LmScore.bigramModel`) rides into the plan as

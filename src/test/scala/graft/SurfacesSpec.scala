@@ -217,6 +217,38 @@ class SurfacesSpec extends SparkSpec {
     assert(nBig > 0 && nBig < 30, s"expected ~10 of 100 big docs, got $nBig")
   }
 
+  test("streaming range enrich: stream-static binned windows, batch ≡ stream") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_range").toString
+    val out = Files.createTempDirectory("stream_range_out").toString
+    val ckpt = Files.createTempDirectory("stream_range_ckpt").toString
+    // static campaign windows; streamed points, one outside every window
+    val intervals = Seq((10L, 0L, 9L), (20L, 5L, 14L), (30L, 100L, 109L))
+      .toDF("iid", "s", "e")
+    Files.write(java.nio.file.Paths.get(dir, "p1.csv"),
+      "1,3\n2,7\n3,50\n4,105\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("pid", LongType), StructField("p", LongType)))
+    val enriched = Streams.rangeEnrich(
+      Streams.fileMonitor(spark, dir, "csv", schema), intervals,
+      "p", "s", "e", joinType = "left_outer")
+    assert(enriched.isStreaming)
+    Streams.runAvailableNow(Streams.ingest(enriched, s"$out/data", ckpt))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select("pid", "p", "iid", "s", "e")
+      .collect().map(_.mkString("|")).toSeq.sorted
+    val streamed = canon(spark.read.parquet(s"$out/data"))
+    // identical result from the one-shot BATCH operator on the same rows
+    val batch = canon(graft.operators.Relational.rangeJoin(
+      spark.read.schema(schema).csv(dir), intervals,
+      "p", "s", "e", joinType = "left_outer"))
+    assert(streamed == batch)
+    // the enrich really engaged: point 7 matched two windows, 50 none
+    assert(streamed.count(_.startsWith("2|")) == 2)
+    assert(streamed.count(_.startsWith("3|")) == 1 &&
+      streamed.exists(r => r.startsWith("3|") && r.contains("null")))
+  }
+
   test("streaming media ingest: binaryFile monitor + real decode, batch ≡ stream") {
     import graft.operators.Multimodal
     val dir = Files.createTempDirectory("stream_media").toString
