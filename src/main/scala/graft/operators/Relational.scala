@@ -237,12 +237,18 @@ object Relational {
     * are safe because a fact owns exactly one bin: inner pairs meet
     * exactly once, and the left forms see every qualifying interval in
     * that one bin.
+    *
+    * `keyCols`: equi-key columns present ON BOTH sides under the same
+    * names ("this user's events in this user's windows") — the shuffle
+    * clusters on (keys, bin) and the join only meets same-key rows; the
+    * interval-side key copies drop from the result.
     */
   def rangeJoin(facts: DataFrame, intervals: DataFrame,
                 pointCol: String, startCol: String, endCol: String,
                 binWidth: Long = 0L,
                 maxBinsPerInterval: Int = 4096,
-                joinType: String = "inner"): DataFrame = {
+                joinType: String = "inner",
+                keyCols: Seq[String] = Nil): DataFrame = {
     // each fact owns exactly ONE bin, so bin-equality + residual BETWEEN
     // inside one join condition preserves every join type's semantics:
     // inner multiplicities are exactly-once per qualifying pair,
@@ -285,11 +291,21 @@ object Relational {
     // left-preserving forms must keep them as unmatched facts
     val f = (if (inner) facts.filter(col(pointCol).isNotNull) else facts)
       .withColumn("__fbin", bin(col(pointCol)))
-    val i = iv.withColumn("__ibin",
+    // equi-keys (the "this user's events in this user's windows" shape)
+    // rename on the interval side so the join condition is unambiguous;
+    // the shuffle then clusters on (keys, bin) and the bin join only
+    // ever meets same-key rows. Renamed copies drop from the result —
+    // matched rows carry the identical fact-side key, unmatched
+    // left_outer rows keep the fact-side key with null window columns.
+    val iKeyed = keyCols.foldLeft(iv) { (df, k) =>
+      df.withColumnRenamed(k, s"__ik_$k") }
+    val i = iKeyed.withColumn("__ibin",
       explode(sequence(bin(col(startCol)), bin(col(endCol)))))
-    val cond = col("__fbin") === col("__ibin") &&
-      col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)
-    f.join(i, cond, joinType).drop("__fbin", "__ibin")
+    val cond = (col("__fbin") === col("__ibin") &&
+      col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)) +:
+      keyCols.map(k => col(k) === col(s"__ik_$k"))
+    f.join(i, cond.reduce(_ && _), joinType)
+      .drop("__fbin" +: "__ibin" +: keyCols.map(k => s"__ik_$k"): _*)
   }
 
   /** As-of join: for each left row, attach the single most recent right

@@ -196,6 +196,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("range join with equi-keys matches only same-key windows") {
+    import spark.implicits._
+    val facts = Seq(
+      (1L, "u1", 5L), (2L, "u2", 5L), (3L, "u1", 50L), (4L, "u3", 5L)
+    ).toDF("fid", "user", "p")
+    val intervals = Seq(
+      (10L, "u1", 0L, 9L), (20L, "u2", 0L, 9L), (30L, "u1", 40L, 60L)
+    ).toDF("iid", "user", "s", "e")
+    val naive = facts.as("f").join(intervals.as("i"),
+        col("f.user") === col("i.user") &&
+          col("p") >= col("s") && col("p") <= col("e"))
+      .select(col("fid"), col("iid"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    for (w <- Seq(0L, 4L)) {
+      val got = Relational.rangeJoin(facts, intervals, "p", "s", "e",
+          binWidth = w, keyCols = Seq("user"))
+        .select(col("fid"), col("iid"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(got == naive, s"binWidth=$w")
+    }
+    // left_anti with keys: u3's point has no u3 window -> kept
+    val anti = Relational.rangeJoin(facts, intervals, "p", "s", "e",
+      joinType = "left_anti", keyCols = Seq("user"))
+    assert(anti.select("fid").collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
   test("range join bins exactly past 2^53 (epoch-micros regime)") {
     import spark.implicits._
     // two adjacent points around a bin edge at a magnitude where double
