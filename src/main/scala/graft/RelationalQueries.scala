@@ -401,6 +401,25 @@ object RelationalQueries {
           sum(col("__s")).cast("double").as("sum_price"))
     }),
 
+    // KEYED range join: clicks within one hour AFTER a purchase by the
+    // SAME user (attribution windows) — the per-key interval shape; the
+    // shuffle clusters on (user_id, bin). Epochs floored to seconds on
+    // both sides (Spark's timestamp->long cast is a floor; the oracle
+    // floors explicitly to match).
+    "q47_keyed_range_join" -> ((s, dir) => {
+      def ep(c: org.apache.spark.sql.Column) =
+        c.cast("timestamp_ltz").cast("long")
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), ep(col("ts")).as("p"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), ep(col("ts")).as("win_s"),
+          (ep(col("ts")) + lit(3600L)).as("win_e"))
+      graft.operators.Relational.rangeJoin(clicks, windows,
+        "p", "win_s", "win_e", keyCols = Seq("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_attributed"))
+    }),
+
     // As-of join: latest purchase at-or-before each click, per user.
     "q30_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -580,6 +599,15 @@ object RelationalQueries {
                     AND CAST(epoch(o.o_orderdate) AS BIGINT) + 259200
          WHERE o.o_orderpriority = '1-URGENT'
          GROUP BY o.o_orderkey""",
+    "q47_keyed_range_join" ->
+      """SELECT c.user_id, count(*) AS n_attributed
+        FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p
+              FROM events WHERE event_type = 'click') c
+        JOIN (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ws,
+                     CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS we
+              FROM events WHERE event_type = 'purchase') w
+          ON c.user_id = w.user_id AND c.p BETWEEN w.ws AND w.we
+        GROUP BY c.user_id""",
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${ds("l_quantity")} AS sum_qty,
