@@ -313,6 +313,46 @@ object EngineQueries {
       require(after < before, s"compaction did not shrink: $before -> $after")
       s.read.parquet(out).select("l_orderkey", "l_linenumber",
         "l_returnflag", "l_quantity")
+    }),
+
+    // Keyed latest-wins upsert (Layout.merge): base table at version 1,
+    // one update batch at version 2 that rewrites every 10th key and
+    // inserts shifted new keys. The oracle recomputes the merge as a
+    // window over base UNION ALL batch — a hash match proves the
+    // partition-pruned copy-on-write rewrite is row-exact MERGE INTO.
+    "m15_merge_upsert" -> ((s, dir) => {
+      val out = s"${tmp("merge")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      orders.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(1L).as("ver"))
+        .write.partitionBy("o_orderstatus").parquet(out)
+      val batch = orders
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 100).as("o_totalprice"), lit(2L).as("ver"))
+        .unionByName(orders
+          .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"), lit(2L).as("ver")))
+      graft.operators.Layout.merge(s, out, batch, Seq("o_orderkey"), "ver",
+        partitionCols = Seq("o_orderstatus"))
+      s.read.parquet(out).select(col("o_orderkey"),
+        col("o_orderstatus").cast("string").as("o_orderstatus"),
+        col("o_totalprice"), col("ver"))
+    }),
+
+    // Z-order clustered rewrite (Layout.zorderWrite): lineitem written
+    // Z-clustered on (l_orderkey, l_partkey); the read-back hash match
+    // proves the curve rewrite is row-exact (the skipping behavior is
+    // measured in LayoutSpec — the gate's claim is losslessness).
+    "m16_zorder_sink" -> ((s, dir) => {
+      val out = s"${tmp("zorder")}/li"
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      graft.operators.Layout.zorderWrite(li, out,
+        Seq("l_orderkey", "l_partkey"), numFiles = 16)
+      s.read.parquet(out)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -322,6 +362,27 @@ object EngineQueries {
     "m14_compacted_sink" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         FROM lineitem""",
+    // the merge recomputed as SQL: latest version per key over
+    // base(ver 1) UNION ALL batch(ver 2), ties impossible by version
+    "m15_merge_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(1 AS BIGINT) AS ver
+           FROM orders),
+         batch AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 100 AS o_totalprice,
+                  CAST(2 AS BIGINT) AS ver
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus,
+                  o_totalprice, CAST(2 AS BIGINT) AS ver
+           FROM orders WHERE o_orderkey % 7 = 0),
+         all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM batch)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY ver DESC) AS rn FROM all_rows)
+         WHERE rn = 1""",
+    "m16_zorder_sink" ->
+      "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
     "m01_csv_pipeline" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem""",

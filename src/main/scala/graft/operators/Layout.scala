@@ -77,6 +77,106 @@ object Layout {
     (filesBefore, filesAfter)
   }
 
+  /** Latest-wins keyed upsert (the MERGE INTO of a plain-parquet table):
+    * apply `updates` to the keyed table at `path`. Rows pair on `keys`;
+    * among all versions of a key (base + update batch) the row with the
+    * greatest `versionCol` survives, ties broken toward the update side
+    * — so re-applying the same batch is idempotent. Unmatched update
+    * keys insert; unmatched base keys carry over untouched.
+    *
+    * Scale posture: with `partitionCols` the merge is copy-on-write at
+    * PARTITION granularity — only partition values present in the
+    * update batch are read (partition-pruned scan) and rewritten; the
+    * rest of the 100 TB table is never opened. The touched-value list
+    * is a driver-side collect bounded by the partition count of the
+    * BATCH (capped at `maxTouchedPartitions`, not corpus-scale). The
+    * merge itself is one hash shuffle on `keys` (the dedup window),
+    * swapped in via the same rename-aside discipline as [[compact]].
+    *
+    * Reference behavior: pydin's `Insert`/HWM ingest appends by window
+    * (models.py:1330-1420); merge is the upsert completion of that
+    * posture for mutable keys, per the Delta/Hudi/Iceberg upsert model
+    * (public lakehouse practice), re-expressed over plain parquet.
+    */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+            keys: Seq[String], versionCol: String,
+            partitionCols: Seq[String] = Nil,
+            maxTouchedPartitions: Int = 10000): Unit = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(!keys.contains(versionCol), "versionCol cannot be a key")
+    val base = spark.read.parquet(path)
+    require(partitionCols.forall(updates.columns.contains),
+      "update batch must carry the partition columns")
+    // latest-wins: version desc, then update-side-wins on ties. The
+    // window partitions on the full key, so this is ONE shuffle that
+    // also co-locates everything the rewrite needs.
+    def latestWins(b: DataFrame, u: DataFrame): DataFrame = {
+      val cols = b.columns
+      val tagged = b.select(cols.map(col): _*).withColumn("__src", lit(0))
+        .unionByName(u.select(cols.map(col): _*).withColumn("__src", lit(1)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col(versionCol).desc, col("__src").desc)
+      tagged.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "__src")
+    }
+    val fc = FileContext.getFileContext(new Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    if (partitionCols.isEmpty) {
+      val tmpDir = s"$path.__merge_tmp"
+      latestWins(base, updates)
+        .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+      val aside = new Path(s"$path.__merge_old")
+      if (fc.util.exists(aside)) fc.delete(aside, true)
+      fc.rename(new Path(path), aside)
+      fc.rename(new Path(tmpDir), new Path(path))
+      fc.delete(aside, true)
+    } else {
+      // touched partition values: bounded by the BATCH's partitions
+      val touched = updates.select(partitionCols.map(col): _*)
+        .distinct().limit(maxTouchedPartitions + 1).collect()
+      require(touched.length <= maxTouchedPartitions,
+        s"update batch touches > $maxTouchedPartitions partitions; " +
+        "run an unpartitioned full-table merge instead")
+      // prune the base scan to the touched partitions only — this
+      // predicate hits the partition directories, not the data
+      val touchedPred = touched.map { r =>
+        partitionCols.zipWithIndex.map { case (c, i) =>
+          if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+        }.reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      val tmpDir = s"$path.__merge_tmp"
+      latestWins(base.filter(touchedPred), updates)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(tmpDir)
+      // swap each touched partition dir; untouched dirs are never read
+      // or written. New-in-batch partition values rename straight in.
+      val tmpPath = new Path(tmpDir)
+      val statuses = fc.util.listStatus(tmpPath)
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+      statuses.foreach { st =>
+        val rel = st.getPath.getName // e.g. "p_col=value" (nested below)
+        def swapRec(src: Path, dst: Path): Unit = {
+          val kids = fc.util.listStatus(src)
+            .filter(s0 => s0.isDirectory && s0.getPath.getName.contains("="))
+          if (kids.nonEmpty && fc.util.exists(dst))
+            kids.foreach(k => swapRec(k.getPath, new Path(dst, k.getPath.getName)))
+          else {
+            val aside = new Path(dst.getParent, s".${dst.getName}.__merge_old")
+            if (fc.util.exists(aside)) fc.delete(aside, true)
+            if (fc.util.exists(dst)) fc.rename(dst, aside)
+            fc.mkdir(dst.getParent,
+              org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+            fc.rename(src, dst)
+            if (fc.util.exists(aside)) fc.delete(aside, true)
+          }
+        }
+        swapRec(st.getPath, new Path(path, rel))
+      }
+      fc.delete(tmpPath, true)
+    }
+  }
+
   /** Write `df` to `path` range-clustered and sorted by `sortCols`:
     * `repartitionByRange` gives disjoint per-file key ranges,
     * `sortWithinPartitions` makes every parquet row group's min/max
@@ -91,6 +191,59 @@ object Layout {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     df.repartitionByRange(parts, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Write `df` Z-ORDER clustered on 2-4 numeric columns: a linear sort
+    * clusters only its leading column (a predicate on the second reads
+    * every row group); the Z-curve interleaves the columns' bits so
+    * locality — and therefore parquet min/max row-group skipping —
+    * holds on EVERY Z-column at once (public Z-order/space-filling-
+    * curve practice, as in Delta OPTIMIZE ZORDER BY).
+    *
+    * Mechanics: one `approxQuantile` pass computes equi-depth bucket
+    * boundaries for all columns together (equi-depth, so skewed value
+    * distributions still spread across the curve); each row's per-column
+    * bucket ids (0..2^bits-1, found by a bounded scan over the literal
+    * boundary array — ≤ 2^bits comparisons/row, 255 at the default)
+    * bit-interleave into a single z value; the write range-partitions +
+    * sorts on z. Pure Column expressions, no UDF (the boundary scan is
+    * an `aggregate` HOF — interpreted, but bounded and write-path-only;
+    * the interleave itself is codegen'd bit math). Nulls map to bucket
+    * 0 (cluster together at the curve origin).
+    */
+  def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
+                  bits: Int = 8, numFiles: Int = 0,
+                  quantileError: Double = 0.001): Unit = {
+    require(zCols.size >= 2 && zCols.size <= 4,
+      "zorderWrite wants 2-4 columns (1 -> sortedWrite; >4 dilutes the curve)")
+    require(bits >= 2 && bits <= 10, "bits per dimension must be in [2,10]")
+    val d = zCols.size
+    val nb = (1 << bits) - 1 // internal boundary count
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    // one pass, all columns: equi-depth cut points per dimension
+    val asDouble = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+    val bounds: Seq[Array[Double]] =
+      asDouble.stat.approxQuantile(zCols.toArray, probs, quantileError).toSeq
+    // bucket_c = #boundaries <= value : a codegen'd linear scan over the
+    // (≤ 32k-element) literal array — cheap, branch-free, no UDF
+    def bucket(c: String, bs: Array[Double]): org.apache.spark.sql.Column =
+      aggregate(typedlit(bs.toSeq), lit(0),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+    val zcol = (0 until bits).flatMap { b =>
+      zCols.indices.map { i =>
+        shiftleft(shiftright(col(s"__bk$i"), b).bitwiseAND(lit(1)), b * d + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    val parts =
+      if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val withZ = zCols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      acc.withColumn(s"__bk$i", bucket(c, bounds(i)))
+    }.withColumn("__z", zcol)
+    withZ.repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop((zCols.indices.map(i => s"__bk$i") :+ "__z"): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

@@ -71,6 +71,107 @@ class LayoutSpec extends SparkSpec {
     scans(df.queryExecution.executedPlan)
       .map(_.metrics("numFiles").value).sum
 
+  test("merge: latest-wins upsert, unpartitioned — update, insert, carry-over") {
+    val dir = tmpDir("merge")
+    val base = spark.read.parquet(sf("orders"))
+      .select(col("o_orderkey"), col("o_totalprice"), lit(1L).as("ver"))
+    base.write.parquet(dir)
+    val updates = spark.read.parquet(sf("orders"))
+      .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 100).as("o_totalprice"),
+        lit(2L).as("ver"))
+      .unionByName(spark.read.parquet(sf("orders"))
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_totalprice"), lit(2L).as("ver")))
+    Layout.merge(spark, dir, updates, Seq("o_orderkey"), "ver")
+    val got = spark.read.parquet(dir)
+    // reference result: latest version per key over base ∪ updates
+    val expect = base.unionByName(updates)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderkey").orderBy(col("ver").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    assert(got.count() == expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // idempotence: same batch again (ver ties) — update side wins ties,
+    // so the surviving rows are unchanged
+    Layout.merge(spark, dir, updates, Seq("o_orderkey"), "ver")
+    val again = spark.read.parquet(dir)
+    assert(again.exceptAll(expect).isEmpty && expect.exceptAll(again).isEmpty)
+  }
+
+  test("merge: partitioned copy-on-write touches ONLY the batch's partitions") {
+    val dir = tmpDir("merge_part")
+    val base = spark.read.parquet(sf("orders"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit(1L).as("ver"))
+    base.write.partitionBy("o_orderstatus").parquet(dir)
+    def partFiles(status: String): Set[String] = {
+      val d = new java.io.File(s"$dir/o_orderstatus=$status")
+      if (!d.exists) Set.empty
+      else d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getName}:${f.lastModified}").toSet
+    }
+    val untouchedBefore = partFiles("F")
+    assert(untouchedBefore.nonEmpty)
+    // batch touches only status O, plus a brand-new partition value X
+    val updates = spark.read.parquet(sf("orders"))
+      .filter(col("o_orderstatus") === "O" &&
+        pmod(col("o_orderkey"), lit(5)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"), lit(2L).as("ver"))
+      .unionByName(spark.range(1).select(
+        lit(999999999L).as("o_orderkey"), lit("X").as("o_orderstatus"),
+        lit(1.0).as("o_totalprice"), lit(2L).as("ver")))
+    Layout.merge(spark, dir, updates, Seq("o_orderkey"), "ver",
+      partitionCols = Seq("o_orderstatus"))
+    // untouched partition: byte-identical file listing (never rewritten)
+    assert(partFiles("F") == untouchedBefore)
+    // new partition landed
+    assert(partFiles("X").nonEmpty)
+    val got = spark.read.parquet(dir)
+    val expect = base.unionByName(updates.select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("ver")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderkey").orderBy(col("ver").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    assert(got.select("o_orderkey", "o_totalprice", "ver", "o_orderstatus")
+      .exceptAll(expect.select("o_orderkey", "o_totalprice", "ver", "o_orderstatus"))
+      .isEmpty)
+    assert(got.count() == expect.count())
+  }
+
+  test("zorderWrite preserves rows and skips on BOTH z-columns") {
+    val zdir = tmpDir("zorder")
+    val ldir = tmpDir("linear")
+    val ev = spark.read.parquet(sf("events"))
+      .select("event_id", "user_id", "value")
+    Layout.zorderWrite(ev, zdir, Seq("user_id", "value"), numFiles = 8)
+    Layout.sortedWrite(ev, ldir, Seq("user_id"), numFiles = 8)
+    // row-identical
+    def allRows(df: DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq.sorted
+    assert(allRows(spark.read.parquet(zdir)) == allRows(ev))
+    val total = ev.count()
+    val vHi = ev.stat.approxQuantile("value", Array(0.99), 0.001)(0)
+    // value predicate: the user_id-sorted layout carries the full value
+    // range in every file (zero skipping); the z layout localizes value
+    // into curve quadrants, so file min/max stats prune
+    def scanned(p: String, c: String, pred: org.apache.spark.sql.Column): Long =
+      scanOutputRows(spark.read.parquet(p).filter(pred))
+    val zValRows = scanned(zdir, "value", col("value") >= vHi)
+    val lValRows = scanned(ldir, "value", col("value") >= vHi)
+    assert(zValRows < lValRows,
+      s"z-order read $zValRows rows for a value predicate vs linear $lValRows")
+    // and the other dimension still skips too (vs reading everything)
+    val uLo = ev.select(min("user_id")).head().getLong(0)
+    val zUserRows = scanned(zdir, "user_id", col("user_id") === uLo)
+    assert(zUserRows < total,
+      s"z-order user_id predicate read the whole table ($zUserRows of $total)")
+  }
+
   test("sortedWrite clusters row groups so key predicates skip them") {
     val shuffled = tmpDir("shuffled")
     val sorted = tmpDir("sorted")
