@@ -491,6 +491,37 @@ object RelationalQueries {
       per.unionByName(ub)
     }),
 
+    // Sketch CUBE: per-(type, day) KMV sketches built once and PERSISTED
+    // to parquet (8 KB arrays); the per-type answer comes from merging
+    // the stored sketches — the raw events are never rescanned at query
+    // time. merge_lossless pins the algebraic claim (merged sketch ==
+    // sketch built directly from raw, array-equal); est_ok bounds the
+    // estimate vs exact. At 100 TB this is the pre-aggregated cube:
+    // ingest writes a sketch per partition, any slice query is a merge
+    // over kilobytes.
+    "q50_sketch_cube" -> ((s, dir) => {
+      import graft.expressions.Kmv
+      val k = 1024
+      val cubeDir = java.nio.file.Files
+        .createTempDirectory("graft_kmvcube").resolve("c").toString
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          date_trunc("day", col("ts")).as("d"))
+      ev.groupBy("event_type", "d")
+        .agg(Kmv.sketch(xxhash64(col("user_id")), k).as("sk"))
+        .write.parquet(cubeDir)
+      val merged = s.read.parquet(cubeDir)
+        .groupBy("event_type").agg(Kmv.merge(col("sk"), k).as("msk"))
+      val direct = ev.groupBy("event_type")
+        .agg(Kmv.sketch(xxhash64(col("user_id")), k).as("dsk"),
+          countDistinct(col("user_id")).as("exact_n"))
+      merged.join(direct, "event_type")
+        .select(col("event_type"), col("exact_n"),
+          (col("msk") === col("dsk")).as("merge_lossless"),
+          ((abs(Kmv.estimate(col("msk"), k) - col("exact_n").cast("double")) /
+            col("exact_n").cast("double")) <= 0.10).as("est_ok"))
+    }),
+
     // As-of join: latest purchase at-or-before each click, per user.
     "q30_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -711,6 +742,10 @@ object RelationalQueries {
            SELECT user_id, d FROM ud WHERE event_type = 'click'
            INTERSECT
            SELECT user_id, d FROM ud WHERE event_type = 'purchase')""",
+    "q50_sketch_cube" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_n,
+           TRUE AS merge_lossless, TRUE AS est_ok
+         FROM events GROUP BY event_type""",
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${ds("l_quantity")} AS sum_qty,

@@ -60,6 +60,27 @@ class KmvSketchSpec extends SparkSpec {
     assert(math.abs(i - 20000) / 20000.0 < 0.40, s"intersect est $i")
   }
 
+  test("merge of partial sketches is LOSSLESS vs direct sketch of the raw data") {
+    // per-group sketches (the persisted-cube shape), merged back, must
+    // equal the sketch built in one pass over everything
+    val df = spark.range(200000)
+      .select(col("id"), (col("id") % 37).as("g"),
+        xxhash64(col("id") % 70000).as("h"))
+    val partials = df.groupBy("g").agg(Kmv.sketch(col("h"), k).as("sk"))
+    val merged = partials.agg(Kmv.merge(col("sk"), k)).head().getSeq[Long](0)
+    val direct = df.agg(Kmv.sketch(col("h"), k)).head().getSeq[Long](0)
+    assert(merged == direct)
+  }
+
+  test("non-sketch input to merge is rejected at analysis") {
+    val df = spark.range(10).select(col("id"))
+    val e = intercept[Exception] {
+      df.agg(Kmv.merge(col("id"), k)).head()
+    }
+    assert(e.getMessage.toLowerCase.contains("kmv") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   test("non-long input is rejected at analysis") {
     val df = spark.range(10).select(col("id").cast("string").as("s"))
     val e = intercept[Exception] {
