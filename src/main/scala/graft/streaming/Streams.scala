@@ -202,6 +202,28 @@ object Streams {
     graft.operators.Relational.rangeJoin(stream, intervals,
       pointCol, startCol, endCol, binWidth, joinType = joinType)
 
+  /** Streaming per-window KMV distinct sketch — the ingest half of the
+    * q50 sketch cube run CONTINUOUSLY: each event-time window's sketch
+    * flushes once the watermark closes it (append mode), ready to land
+    * in the persisted cube table that `Kmv.merge` queries. Per-window
+    * state is the BOUNDED k-min buffer (≤ 8 KB at k=1024), not the key
+    * set — streaming distinct over unbounded key cardinality with flat
+    * state, where a streaming `dropDuplicates` would grow state with
+    * every new key. Batch ≡ stream: the flushed sketch array-equals the
+    * batch sketch of the same window's rows (SurfacesSpec).
+    */
+  def sketchByWindow(events: DataFrame, tsCol: String, window: String,
+                     watermark: String, hashCol: Column,
+                     keyCols: Seq[String] = Nil, k: Int = 1024): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy((org.apache.spark.sql.functions.window(col(tsCol), window) +:
+        keyCols.map(col)): _*)
+      .agg(graft.expressions.Kmv.sketch(hashCol, k).as("sk"))
+      .select((col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        keyCols.map(col)) :+ col("sk"): _*)
+
   /** Streaming LM-fit scoring: [[graft.operators.LmScore]]'s broadcast
     * path on a document stream — the model (trained once on a static
     * reference corpus via `LmScore.bigramModel`) rides into the plan as

@@ -100,6 +100,47 @@ class SurfacesSpec extends SparkSpec {
     assert(first.getAs[Long]("n") == 2L)
   }
 
+  test("streaming KMV sketch per window: flushed sketch equals batch sketch") {
+    val dir = Files.createTempDirectory("stream_kmv").toString
+    val out = Files.createTempDirectory("stream_kmv_out").toString
+    val ckpt = Files.createTempDirectory("stream_kmv_ckpt").toString
+    // the 10:00 window sees users u1, u2, u1 (a duplicate); the 11:10
+    // event advances the watermark past the window end so it flushes
+    Files.write(java.nio.file.Paths.get(dir, "e1.csv"),
+      ("2023-01-01T10:05:00,u1\n" +
+       "2023-01-01T10:20:00,u2\n" +
+       "2023-01-01T10:25:00,u1\n").getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "e2.csv"),
+      "2023-01-01T11:10:00,u3\n".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "e3.csv"),
+      "2023-01-01T12:30:00,u4\n".getBytes)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user", StringType)))
+    val sk = Streams.sketchByWindow(
+      Streams.fileMonitor(spark, dir, "csv", schema,
+        options = Map("maxFilesPerTrigger" -> "1")),
+      tsCol = "ts", window = "1 hour", watermark = "30 minutes",
+      hashCol = xxhash64(col("user")), k = 64)
+    val q = sk.writeStream.format("parquet")
+      .option("path", s"$out/w").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = spark.read.parquet(s"$out/w").orderBy("window_start").collect()
+    assert(res.nonEmpty)
+    val first = res(0)
+    assert(first.getAs[java.sql.Timestamp]("window_start").toString
+      .startsWith("2023-01-01 10:00:00"))
+    // batch twin over the same rows, same window grouping
+    val batch = spark.read.schema(schema).csv(s"$dir/e1.csv")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.expressions.Kmv.sketch(xxhash64(col("user")), 64).as("sk"))
+      .head().getSeq[Long](1)
+    assert(first.getSeq[Long](first.fieldIndex("sk")) == batch)
+    // two distinct users -> sketch holds exactly 2 values (exact regime)
+    assert(batch.size == 2)
+  }
+
   test("streaming dedup drops within-watermark duplicate keys, bounded state") {
     val dir = Files.createTempDirectory("stream_dd").toString
     val out = Files.createTempDirectory("stream_dd_out").toString
