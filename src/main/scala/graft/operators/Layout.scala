@@ -204,13 +204,13 @@ object Layout {
     * Mechanics: one `approxQuantile` pass computes equi-depth bucket
     * boundaries for all columns together (equi-depth, so skewed value
     * distributions still spread across the curve); each row's per-column
-    * bucket ids (0..2^bits-1, found by a bounded scan over the literal
-    * boundary array — ≤ 2^bits comparisons/row, 255 at the default)
-    * bit-interleave into a single z value; the write range-partitions +
-    * sorts on z. Pure Column expressions, no UDF (the boundary scan is
-    * an `aggregate` HOF — interpreted, but bounded and write-path-only;
-    * the interleave itself is codegen'd bit math). Nulls map to bucket
-    * 0 (cluster together at the curve origin).
+    * bucket ids (0..2^bits-1, via the codegen'd binary-search kernel
+    * [[graft.expressions.BucketIndex]] — log2(2^bits) comparisons/row;
+    * the interpreted `aggregate`-HOF formulation it replaced measured
+    * 32x slower than a linear sort write at 6M rows) bit-interleave
+    * into a single z value; the write range-partitions + sorts on z.
+    * No UDF, whole-stage codegen throughout. Nulls map to bucket 0
+    * (cluster together at the curve origin).
     */
   def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
                   bits: Int = 8, numFiles: Int = 0,
@@ -225,11 +225,10 @@ object Layout {
     val asDouble = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
     val bounds: Seq[Array[Double]] =
       asDouble.stat.approxQuantile(zCols.toArray, probs, quantileError).toSeq
-    // bucket_c = #boundaries <= value : a codegen'd linear scan over the
-    // (≤ 32k-element) literal array — cheap, branch-free, no UDF
+    // bucket_c = #boundaries <= value, binary-searched in codegen
     def bucket(c: String, bs: Array[Double]): org.apache.spark.sql.Column =
-      aggregate(typedlit(bs.toSeq), lit(0),
-        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+      graft.expressions.kernels.toCol(graft.expressions.BucketIndex(
+        graft.expressions.kernels.toExpr(col(c).cast("double")), bs))
     val zcol = (0 until bits).flatMap { b =>
       zCols.indices.map { i =>
         shiftleft(shiftright(col(s"__bk$i"), b).bitwiseAND(lit(1)), b * d + i)
