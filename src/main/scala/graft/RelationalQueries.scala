@@ -522,6 +522,20 @@ object RelationalQueries {
             col("exact_n").cast("double")) <= 0.10).as("est_ok"))
     }),
 
+    // SpaceSaving heavy hitters: top-10 most active users in ONE pass
+    // with bounded (capacity-entry) state — the exact groupBy it
+    // replaces at 100 TB shuffles the full key space. Capacity 2048
+    // exceeds the fixture's key cardinality, so counts are exact and
+    // deterministic (the regime a hash gate can pin); the eviction-
+    // regime guarantees are spec-tested on constructed skew.
+    "q51_heavy_hitters" -> ((s, dir) => {
+      import graft.expressions.TopKeys
+      t(s, dir, "events")
+        .agg(TopKeys.agg(col("user_id").cast("string"), 2048).as("tk"))
+        .select(explode(slice(col("tk"), 1, 10)).as("t"))
+        .select(col("t.key"), col("t.count_hi"), col("t.count_lo"))
+    }),
+
     // As-of join: latest purchase at-or-before each click, per user.
     "q30_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -746,6 +760,11 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_n,
            TRUE AS merge_lossless, TRUE AS est_ok
          FROM events GROUP BY event_type""",
+    "q51_heavy_hitters" ->
+      """SELECT key, cnt AS count_hi, cnt AS count_lo FROM (
+           SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+           FROM events GROUP BY 1
+           ORDER BY cnt DESC, key ASC LIMIT 10) t""",
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${ds("l_quantity")} AS sum_qty,
