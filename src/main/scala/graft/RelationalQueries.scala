@@ -536,6 +536,26 @@ object RelationalQueries {
         .select(col("t.key"), col("t.count_hi"), col("t.count_lo"))
     }),
 
+    // Bloom semi-join reduction: the urgent-orders key set (dim too big
+    // to broadcast at scale, but its keys fit a few MB of bloom bits)
+    // prefilters lineitem IN THE SCAN STAGE before the join shuffle.
+    // False positives die in the real join, so the result — and the
+    // oracle — is EXACTLY the plain join; the pruned fraction is the
+    // at-scale win (measured in RelationalSpec / NOTES).
+    "q52_bloom_semi_reduce" -> ((s, dir) => {
+      import graft.functions.decSum
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val reduced = graft.operators.Relational.bloomSemiJoinReduce(
+        t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey",
+        expectedItems = 200000L)
+      reduced.join(urgent, reduced("l_orderkey") === urgent("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          decSum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // As-of join: latest purchase at-or-before each click, per user.
     "q30_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -765,6 +785,12 @@ object RelationalQueries {
            SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
            FROM events GROUP BY 1
            ORDER BY cnt DESC, key ASC LIMIT 10) t""",
+    "q52_bloom_semi_reduce" ->
+      s"""SELECT o_orderkey, count(*) AS n_items,
+         ${"CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)"} AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderkey""",
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${ds("l_quantity")} AS sum_qty,

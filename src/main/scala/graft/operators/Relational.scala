@@ -243,6 +243,42 @@ object Relational {
     * clusters on (keys, bin) and the join only meets same-key rows; the
     * interval-side key copies drop from the result.
     */
+  /** Semi-join REDUCTION via a bloom filter — for the join regime where
+    * the dim side is too big to broadcast but its KEY SET compresses
+    * into a few megabytes of bloom bits: build the filter distributed
+    * over the dim keys (`df.stat.bloomFilter`, a treeAggregate; only
+    * the final bitset reaches the driver — the bounded-summary
+    * discipline), embed it in a codegen'd probe, and filter the fact
+    * side BEFORE the exchange. A false positive just means a fact row
+    * travels the shuffle and dies in the real join, so the subsequent
+    * join's result is EXACTLY the plain join's (the oracle-gate claim);
+    * the win is the non-matching fact fraction that never shuffles —
+    * at 100 TB, the difference between exchanging the whole fact table
+    * and exchanging the ~selectivity that can match. The filter sits in
+    * the scan stage, so column pruning and pushdown still apply.
+    *
+    * This is the classic semi-join reduction / runtime-filter technique
+    * (public practice in every warehouse engine; Spark's own runtime
+    * row-level filtering applies it only in limited DPP/AQE shapes —
+    * this form is explicit and composable with any downstream join).
+    */
+  def bloomSemiJoinReduce(fact: DataFrame, factKey: String,
+                          dim: DataFrame, dimKey: String,
+                          expectedItems: Long,
+                          fpp: Double = 0.01): DataFrame = {
+    require(fact.schema(factKey).dataType ==
+      org.apache.spark.sql.types.LongType &&
+      dim.schema(dimKey).dataType == org.apache.spark.sql.types.LongType,
+      "bloomSemiJoinReduce joins on LongType keys")
+    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val probe = graft.expressions.kernels.toCol(
+      graft.expressions.BloomMightContain(
+        graft.expressions.kernels.toExpr(col(factKey)), bos.toByteArray))
+    fact.filter(probe)
+  }
+
   def rangeJoin(facts: DataFrame, intervals: DataFrame,
                 pointCol: String, startCol: String, endCol: String,
                 binWidth: Long = 0L,

@@ -9,6 +9,35 @@ import graft.SparkSpec
 
 class RelationalSpec extends SparkSpec {
 
+  test("bloom semi-join reduction: exact result, measured pruning") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dim = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val reduced = Relational.bloomSemiJoinReduce(
+      li, "l_orderkey", dim, "o_orderkey", expectedItems = 10000L)
+    // 1. the downstream join result is EXACTLY the plain join's
+    val viaBloom = reduced.join(dim,
+      reduced("l_orderkey") === dim("o_orderkey")).drop("o_orderkey")
+    val plain = li.join(dim, li("l_orderkey") === dim("o_orderkey"))
+      .drop("o_orderkey")
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
+    // 2. the reduction actually prunes: surviving rows ~ matching rows
+    // (+ fpp of the rest), far below the full fact table
+    val total = li.count()
+    val matching = plain.count()
+    val surviving = reduced.count()
+    assert(surviving < total,
+      s"bloom pruned nothing: $surviving of $total")
+    assert(surviving < matching + (total * 0.05).toLong,
+      s"bloom too leaky: $surviving survivors for $matching matches of $total")
+    // 3. null keys never pass the probe
+    val withNulls = li.select(
+      when(col("l_orderkey") % 2 === 0, col("l_orderkey")).as("l_orderkey"))
+    val rn = Relational.bloomSemiJoinReduce(
+      withNulls, "l_orderkey", dim, "o_orderkey", 10000L)
+    assert(rn.filter(col("l_orderkey").isNull).count() == 0)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val salted = Relational.saltedSumCount(ev, Seq("event_type"), "value")
