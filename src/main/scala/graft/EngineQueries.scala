@@ -341,6 +341,35 @@ object EngineQueries {
         col("o_totalprice"), col("ver"))
     }),
 
+    // CDC apply (Layout.merge with deleteCol): one batch carrying
+    // updates, inserts AND tombstones against a keyed base table; the
+    // oracle recomputes the full change application in SQL. Delete and
+    // update key sets are disjoint by construction (same key twice at
+    // one version would be tie-ambiguous in any engine).
+    "m17_cdc_apply" -> ((s, dir) => {
+      val out = s"${tmp("cdc")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      orders.select(col("o_orderkey"), col("o_totalprice"), lit(1L).as("ver"))
+        .write.parquet(out)
+      val batch = orders
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 100).as("o_totalprice"),
+          lit(2L).as("ver"), lit(false).as("del"))
+        .unionByName(orders
+          .filter(pmod(col("o_orderkey"), lit(13)) === 0 &&
+            pmod(col("o_orderkey"), lit(10)) =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            lit(2L).as("ver"), lit(true).as("del")))
+        .unionByName(orders
+          .filter(pmod(col("o_orderkey"), lit(11)) === 0)
+          .select((col("o_orderkey") + 2000000000L).as("o_orderkey"),
+            col("o_totalprice"), lit(2L).as("ver"), lit(false).as("del")))
+      graft.operators.Layout.merge(s, out, batch, Seq("o_orderkey"), "ver",
+        deleteCol = Some("del"))
+      s.read.parquet(out)
+    }),
+
     // Z-order clustered rewrite (Layout.zorderWrite): lineitem written
     // Z-clustered on (l_orderkey, l_partkey); the read-back hash match
     // proves the curve rewrite is row-exact (the skipping behavior is
@@ -383,6 +412,26 @@ object EngineQueries {
          WHERE rn = 1""",
     "m16_zorder_sink" ->
       "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
+    "m17_cdc_apply" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS ver,
+                  FALSE AS del FROM orders),
+         batch AS (
+           SELECT o_orderkey, o_totalprice + 100 AS o_totalprice,
+                  CAST(2 AS BIGINT) AS ver, FALSE AS del
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, CAST(2 AS BIGINT), TRUE
+           FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0
+           UNION ALL
+           SELECT o_orderkey + 2000000000, o_totalprice,
+                  CAST(2 AS BIGINT), FALSE
+           FROM orders WHERE o_orderkey % 11 = 0),
+         all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM batch)
+         SELECT o_orderkey, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY ver DESC) AS rn FROM all_rows)
+         WHERE rn = 1 AND NOT del""",
     "m01_csv_pipeline" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem""",

@@ -82,7 +82,15 @@ object Layout {
     * among all versions of a key (base + update batch) the row with the
     * greatest `versionCol` survives, ties broken toward the update side
     * — so re-applying the same batch is idempotent. Unmatched update
-    * keys insert; unmatched base keys carry over untouched.
+    * keys insert; unmatched base keys carry over untouched. With
+    * `deleteCol`, a winning update row whose flag is true removes the
+    * key (CDC apply — upsert + delete is the full change-data-capture
+    * contract). Within one batch the version decides delete-vs-update;
+    * ACROSS batches, deletes are physically dropped (plain parquet
+    * keeps no tombstones), so replaying an OLDER batch after a delete
+    * re-inserts the key — apply CDC batches in version order, or front
+    * with a table format that retains tombstones (spec documents the
+    * exact semantics).
     *
     * Scale posture: with `partitionCols` the merge is copy-on-write at
     * PARTITION granularity — only partition values present in the
@@ -101,24 +109,33 @@ object Layout {
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keys: Seq[String], versionCol: String,
             partitionCols: Seq[String] = Nil,
-            maxTouchedPartitions: Int = 10000): Unit = {
+            maxTouchedPartitions: Int = 10000,
+            deleteCol: Option[String] = None): Unit = {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(!keys.contains(versionCol), "versionCol cannot be a key")
     val base = spark.read.parquet(path)
     require(partitionCols.forall(updates.columns.contains),
       "update batch must carry the partition columns")
+    deleteCol.foreach(d => require(updates.columns.contains(d),
+      s"update batch must carry the delete flag column '$d'"))
     // latest-wins: version desc, then update-side-wins on ties. The
     // window partitions on the full key, so this is ONE shuffle that
-    // also co-locates everything the rewrite needs.
+    // also co-locates everything the rewrite needs. With `deleteCol`
+    // (CDC apply): a winning row whose flag is true REMOVES the key.
     def latestWins(b: DataFrame, u: DataFrame): DataFrame = {
-      val cols = b.columns
-      val tagged = b.select(cols.map(col): _*).withColumn("__src", lit(0))
-        .unionByName(u.select(cols.map(col): _*).withColumn("__src", lit(1)))
+      val cols = b.columns.filterNot(deleteCol.contains)
+      val del = deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false))
+      val tagged = b.select(cols.map(col): _*)
+          .withColumn("__src", lit(0)).withColumn("__del", lit(false))
+        .unionByName(u.withColumn("__del", coalesce(del, lit(false)))
+          .select((cols.map(col) :+ col("__del")): _*)
+          .withColumn("__src", lit(1)))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*)
         .orderBy(col(versionCol).desc, col("__src").desc)
       tagged.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn", "__src")
+        .filter(col("__rn") === 1 && !col("__del"))
+        .drop("__rn", "__src", "__del")
     }
     val fc = FileContext.getFileContext(new Path(path).toUri,
       spark.sessionState.newHadoopConf())
@@ -218,6 +235,16 @@ object Layout {
     require(zCols.size >= 2 && zCols.size <= 4,
       "zorderWrite wants 2-4 columns (1 -> sortedWrite; >4 dilutes the curve)")
     require(bits >= 2 && bits <= 10, "bits per dimension must be in [2,10]")
+    // a non-numeric z column would cast to null -> every row in bucket
+    // 0 -> a degenerate curve that silently clusters NOTHING on that
+    // dimension; fail loudly instead
+    zCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.TimestampType,
+        s"zorderWrite needs numeric/timestamp columns; '$c' is " +
+        s"${dt.catalogString}")
+    }
     val d = zCols.size
     val nb = (1 << bits) - 1 // internal boundary count
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray

