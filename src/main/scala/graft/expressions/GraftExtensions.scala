@@ -55,5 +55,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HyperplaneSignatures(args(0), intArg(args(1), "bits"),
           intArg(args(2), "tables"), longArg(args(3), "seed"))
       }))
+    // the sketch aggregates: GROUP BY-able from SQL text like any
+    // built-in aggregate (SELECT k, kmv_sketch(xxhash64(u), 1024) ...)
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_sketch(hash_long, k)")
+        KmvSketchAgg(args(0), intArg(args(1), "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_merge"),
+      new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_merge(sketch, k)")
+        KmvMergeAgg(args(0), intArg(args(1), "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_keys"),
+      new ExpressionInfo(classOf[TopKeysAgg].getName, "top_keys"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "top_keys(key_string, capacity)")
+        TopKeysAgg(args(0), intArg(args(1), "capacity"))
+      }))
   }
 }

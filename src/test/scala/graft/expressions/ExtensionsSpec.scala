@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SQL-surface registration of the native expressions (installed on the
@@ -30,6 +31,24 @@ class ExtensionsSpec extends graft.SparkSpec {
         array(lit(1.0), lit(0.0)), array(lit(1.0), lit(0.0))).as("c"))
       .collect()(0).getDouble(0)
     assert(viaApi == r.getAs[Double]("c1"))
+  }
+
+  test("sketch aggregates from SQL text: kmv_sketch / kmv_merge / top_keys") {
+    spark.range(1000).select((col("id") % 40).as("g"),
+      concat(lit("u"), col("id") % 25).as("u"))
+      .createOrReplaceTempView("ext_ev")
+    // group sketches in SQL, merged in SQL — estimate equals the exact
+    // distinct (below-k regime)
+    val est = spark.sql(
+      """SELECT kmv_merge(sk, 256) AS m FROM (
+           SELECT g, kmv_sketch(xxhash64(u), 256) AS sk
+           FROM ext_ev GROUP BY g)""")
+      .select(org.apache.spark.sql.functions.size(col("m"))).head().getInt(0)
+    assert(est == 25)
+    val tk = spark.sql(
+      "SELECT top_keys(u, 64) AS t FROM ext_ev")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.size == 25 && tk.map(_.getLong(1)).sum == 1000)
   }
 
   test("sorted-long intersect and hashed minhash kernels: edge cases") {
