@@ -224,6 +224,22 @@ object Streams {
         col("window.end").as("window_end") +:
         keyCols.map(col)) :+ col("sk"): _*)
 
+  /** Streaming per-window heavy hitters — [[sketchByWindow]]'s
+    * frequency twin: each closed event-time window emits its
+    * SpaceSaving top-keys summary (capacity-bounded state per open
+    * window, same guarantees as the batch aggregate). "Hottest keys
+    * per hour, continuously" without keeping the key space in state.
+    */
+  def topKeysByWindow(events: DataFrame, tsCol: String, window: String,
+                      watermark: String, keyCol: Column,
+                      capacity: Int = 1024): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(graft.expressions.TopKeys.agg(keyCol, capacity).as("top"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("top"))
+
   /** Streaming LM-fit scoring: [[graft.operators.LmScore]]'s broadcast
     * path on a document stream — the model (trained once on a static
     * reference corpus via `LmScore.bigramModel`) rides into the plan as

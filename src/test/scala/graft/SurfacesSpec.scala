@@ -141,6 +141,37 @@ class SurfacesSpec extends SparkSpec {
     assert(batch.size == 2)
   }
 
+  test("streaming heavy hitters per window equal the batch summary") {
+    val dir = Files.createTempDirectory("stream_tk").toString
+    val out = Files.createTempDirectory("stream_tk_out").toString
+    val ckpt = Files.createTempDirectory("stream_tk_ckpt").toString
+    Files.write(java.nio.file.Paths.get(dir, "e1.csv"),
+      ("2023-01-01T10:05:00,a\n2023-01-01T10:10:00,a\n" +
+       "2023-01-01T10:15:00,b\n2023-01-01T10:20:00,a\n").getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "e2.csv"),
+      "2023-01-01T11:10:00,c\n".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "e3.csv"),
+      "2023-01-01T12:30:00,d\n".getBytes)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("k", StringType)))
+    val tk = Streams.topKeysByWindow(
+      Streams.fileMonitor(spark, dir, "csv", schema,
+        options = Map("maxFilesPerTrigger" -> "1")),
+      tsCol = "ts", window = "1 hour", watermark = "30 minutes",
+      keyCol = col("k"), capacity = 16)
+    val q = tk.writeStream.format("parquet")
+      .option("path", s"$out/w").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = spark.read.parquet(s"$out/w").orderBy("window_start").collect()
+    assert(res.nonEmpty)
+    val first = res(0).getSeq[Row](res(0).fieldIndex("top"))
+      .map(r => (r.getString(0), r.getLong(1)))
+    // exact regime: (a,3) then (b,1), count-desc deterministic
+    assert(first == Seq(("a", 3L), ("b", 1L)))
+  }
+
   test("streaming dedup drops within-watermark duplicate keys, bounded state") {
     val dir = Files.createTempDirectory("stream_dd").toString
     val out = Files.createTempDirectory("stream_dd_out").toString
