@@ -264,6 +264,18 @@ object CurationQueries {
         "doc_id", "text").select("doc_id")
     }),
 
+    // d10's bloom-ROUTED form: batch rows failing the index bloom are
+    // definitely-new (no false negatives) and skip the anti-join
+    // shuffle; only the bloom-positive sliver takes the exact path.
+    // Same result, same oracle — the routing is invisible to
+    // correctness, which is the point.
+    "d16_incremental_dedup_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Dedup.incrementalDedupBloom(
+        d.filter(col("doc_id") >= 250L), d.filter(col("doc_id") < 250L),
+        "doc_id", "text", expectedIndexItems = 10000L).select("doc_id")
+    }),
+
     // One-row corpus report: the numbers a training run's data card
     // quotes. Exact distinct counts here (the sketch variant is q32);
     // double aggregation through DECIMAL(38,6) for engine-exactness.
@@ -737,6 +749,14 @@ object CurationQueries {
          FROM (SELECT unnest($toks) AS term FROM documents)
          GROUP BY term ORDER BY freq DESC, term LIMIT 100""",
     "d10_incremental_dedup" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+         idx AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
+         surv AS (SELECT doc_id, text FROM batch
+           QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+         SELECT doc_id FROM surv
+         WHERE text NOT IN (SELECT text FROM idx)""",
+    // identical semantics to d10 — the bloom is pure routing
+    "d16_incremental_dedup_bloom" ->
       """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
          idx AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
          surv AS (SELECT doc_id, text FROM batch

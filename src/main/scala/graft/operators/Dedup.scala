@@ -68,6 +68,79 @@ object Dedup {
     inBatch.join(indexHashes, xxhash64(col(textCol)) === col("__h"), "left_anti")
   }
 
+  /** Build the index-side content bloom ONCE per index generation —
+    * the persisted-artifact posture of [[incrementalDedupBloom]] (the
+    * d14 signature-index precedent): builds distributed over the
+    * index's 8-byte hash projection (treeAggregate, no shuffle; only
+    * the bitset reaches the driver), returns serialized bits to store
+    * next to the index. Size the driver for ~1.2 GB per billion index
+    * keys at 1% fpp, or shard the index by hash range beyond that.
+    */
+  def indexBloom(index: DataFrame, textCol: String,
+                 expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val bloom = index.select(xxhash64(col(textCol)).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** [[incrementalDedup]] with bloom ROUTING on both sides — the
+    * mostly-new daily-batch shape where the index dwarfs every batch:
+    *
+    *  1. A batch row whose hash fails the PERSISTED index bloom
+    *     (`indexBloomBytes`, built once per index generation by
+    *     [[indexBloom]]) is DEFINITELY new (no false negatives) and
+    *     never touches the index at all.
+    *  2. The bloom-positive sliver (~actual dups + fpp x batch) builds
+    *     its own small bloom, which prunes the INDEX's hash projection
+    *     in the scan stage — so the exact anti-join exchanges
+    *     ~|sliver|-scale rows on BOTH sides instead of shuffling every
+    *     index hash per batch.
+    *
+    * Result is EXACT either way: false positives merely route a new
+    * row through the exact path (which keeps it); index-side pruning
+    * only drops index hashes that cannot match any sliver row.
+    */
+  def incrementalDedupBloom(batch: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String,
+                            indexBloomBytes: Array[Byte],
+                            expectedBatchItems: Long,
+                            fpp: Double = 0.01): DataFrame = {
+    def probeOf(bytes: Array[Byte], c: org.apache.spark.sql.Column) =
+      graft.expressions.kernels.toCol(
+        graft.expressions.BloomMightContain(
+          graft.expressions.kernels.toExpr(c), bytes))
+    val inBatch = exactByHash(batch, textCol, idCol)
+      .withColumn("__bh", xxhash64(col(textCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK) // routed twice + sliver bloom
+    val idxProbe = probeOf(indexBloomBytes, col("__bh"))
+    val definitelyNew = inBatch.filter(!idxProbe)
+    val sliver = inBatch.filter(idxProbe)
+    // the sliver's own bloom prunes the index scan symmetrically
+    val sliverBloom = sliver.stat.bloomFilter("__bh", expectedBatchItems, fpp)
+    val sbos = new java.io.ByteArrayOutputStream()
+    sliverBloom.writeTo(sbos)
+    val idxPruned = index.select(xxhash64(col(textCol)).as("__h"))
+      .filter(probeOf(sbos.toByteArray, col("__h")))
+    val candidates = sliver
+      .join(idxPruned.distinct(), col("__bh") === col("__h"), "left_anti")
+    val out = definitelyNew.unionByName(candidates).drop("__bh")
+      .localCheckpoint(eager = true)
+    inBatch.unpersist(blocking = false)
+    out
+  }
+
+  /** Convenience form building the index bloom inline — correct but
+    * pays the index-bloom build per call; persist via [[indexBloom]]
+    * in production. */
+  def incrementalDedupBloom(batch: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String,
+                            expectedIndexItems: Long): DataFrame =
+    incrementalDedupBloom(batch, index, idCol, textCol,
+      indexBloom(index, textCol, expectedIndexItems),
+      expectedBatchItems = math.max(1000L, expectedIndexItems / 10))
+
   /** Incremental NEAR-dup dedup — the d10 daily-ingest shape lifted
     * from exact hashing to MinHash J >= `threshold`: dedup the new
     * batch within itself AND against the already-ingested index. A
