@@ -83,8 +83,7 @@ object BloomProbe {
     val (idxBloom, tIdxBloom) = time(
       graft.operators.Dedup.indexBloom(index, "text", idxN))
     val (p1, tBloomDedup) = time(graft.operators.Dedup.incrementalDedupBloom(
-      batchB, index, "doc_id", "text", idxBloom,
-      expectedBatchItems = bn2).count())
+      batchB, index, "doc_id", "text", idxBloom).count())
     require(p0 == p1, s"routing changed the result: $p0 vs $p1")
     // the at-scale predictor (local[32] walls hide it in page cache):
     // rows entering the anti-join exchange, both sides

@@ -267,12 +267,18 @@ object CurationQueries {
     // d10's bloom-ROUTED form: batch rows failing the index bloom are
     // definitely-new (no false negatives) and skip the anti-join
     // shuffle; only the bloom-positive sliver takes the exact path.
-    // Same result, same oracle — the routing is invisible to
+    // The batch re-ingests 50 indexed texts under new ids so BOTH
+    // routes carry rows (the fixture's natural batch has zero cross
+    // dups, which would gate only the definitely-new path). Same
+    // latest-wins oracle shape as d10 — routing is invisible to
     // correctness, which is the point.
     "d16_incremental_dedup_bloom" -> ((s, dir) => {
       val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") >= 250L)
+        .unionByName(d.filter(col("doc_id") < 50L)
+          .withColumn("doc_id", col("doc_id") + 10000L))
       graft.operators.Dedup.incrementalDedupBloom(
-        d.filter(col("doc_id") >= 250L), d.filter(col("doc_id") < 250L),
+        batch, d.filter(col("doc_id") < 250L),
         "doc_id", "text", expectedIndexItems = 10000L).select("doc_id")
     }),
 
@@ -755,9 +761,12 @@ object CurationQueries {
            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
          SELECT doc_id FROM surv
          WHERE text NOT IN (SELECT text FROM idx)""",
-    // identical semantics to d10 — the bloom is pure routing
+    // identical semantics to d10 — the bloom is pure routing; the
+    // re-ingested block (ids+10000) must vanish against the index
     "d16_incremental_dedup_bloom" ->
-      """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+      """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+           UNION ALL
+           SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
          idx AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
          surv AS (SELECT doc_id, text FROM batch
            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)

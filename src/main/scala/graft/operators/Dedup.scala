@@ -105,7 +105,6 @@ object Dedup {
   def incrementalDedupBloom(batch: DataFrame, index: DataFrame,
                             idCol: String, textCol: String,
                             indexBloomBytes: Array[Byte],
-                            expectedBatchItems: Long,
                             fpp: Double = 0.01): DataFrame = {
     def probeOf(bytes: Array[Byte], c: org.apache.spark.sql.Column) =
       graft.expressions.kernels.toCol(
@@ -117,16 +116,24 @@ object Dedup {
     val idxProbe = probeOf(indexBloomBytes, col("__bh"))
     val definitelyNew = inBatch.filter(!idxProbe)
     val sliver = inBatch.filter(idxProbe)
-    // the sliver's own bloom prunes the index scan symmetrically
-    val sliverBloom = sliver.stat.bloomFilter("__bh", expectedBatchItems, fpp)
-    val sbos = new java.io.ByteArrayOutputStream()
-    sliverBloom.writeTo(sbos)
-    val idxPruned = index.select(xxhash64(col(textCol)).as("__h"))
-      .filter(probeOf(sbos.toByteArray, col("__h")))
-    val candidates = sliver
-      .join(idxPruned.distinct(), col("__bh") === col("__h"), "left_anti")
-    val out = definitelyNew.unionByName(candidates).drop("__bh")
-      .localCheckpoint(eager = true)
+    // the sliver bloom needs a size anyway, and `stat.bloomFilter`
+    // NPEs on EMPTY input (the fully-new batch — common in practice),
+    // so count it: one cheap action on the persisted batch
+    val sliverN = sliver.count()
+    val out = (if (sliverN == 0) {
+      inBatch.drop("__bh") // nothing can match the index; all survive
+    } else {
+      // the sliver's own bloom prunes the index scan symmetrically
+      val sliverBloom = sliver.stat.bloomFilter("__bh",
+        math.max(1000L, sliverN), fpp)
+      val sbos = new java.io.ByteArrayOutputStream()
+      sliverBloom.writeTo(sbos)
+      val idxPruned = index.select(xxhash64(col(textCol)).as("__h"))
+        .filter(probeOf(sbos.toByteArray, col("__h")))
+      val candidates = sliver
+        .join(idxPruned.distinct(), col("__bh") === col("__h"), "left_anti")
+      definitelyNew.unionByName(candidates).drop("__bh")
+    }).localCheckpoint(eager = true)
     inBatch.unpersist(blocking = false)
     out
   }
@@ -138,8 +145,7 @@ object Dedup {
                             idCol: String, textCol: String,
                             expectedIndexItems: Long): DataFrame =
     incrementalDedupBloom(batch, index, idCol, textCol,
-      indexBloom(index, textCol, expectedIndexItems),
-      expectedBatchItems = math.max(1000L, expectedIndexItems / 10))
+      indexBloom(index, textCol, expectedIndexItems))
 
   /** Incremental NEAR-dup dedup — the d10 daily-ingest shape lifted
     * from exact hashing to MinHash J >= `threshold`: dedup the new
