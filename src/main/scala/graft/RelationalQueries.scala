@@ -556,6 +556,18 @@ object RelationalQueries {
           decSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Time-series resample + forward fill: per-user 6-hour activity
+    // grid with gaps carried forward — the gap-filling member of the
+    // time-series family. DuckDB's IGNORE NULLS window is the oracle.
+    "q53_resample_ffill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          col("ts").cast("timestamp_ltz").cast("long").as("ep"),
+          col("value"))
+      graft.operators.Relational.resampleFfill(
+        ev, Seq("user_id"), "ep", stepSeconds = 21600L, valueCol = "value")
+    }),
+
     // As-of join: latest purchase at-or-before each click, per user.
     "q30_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -785,6 +797,32 @@ object RelationalQueries {
            SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
            FROM events GROUP BY 1
            ORDER BY cnt DESC, key ASC LIMIT 10) t""",
+    "q53_resample_ffill" ->
+      """WITH b AS (
+           SELECT user_id,
+             e - e % 21600 AS bucket_start,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / count(value) AS v,
+             count(*) AS n_obs
+           FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                        value FROM events)
+           GROUP BY 1, 2),
+         bounds AS (SELECT user_id, min(bucket_start) AS mn,
+                           max(bucket_start) AS mx FROM b GROUP BY 1),
+         grid AS (SELECT user_id,
+                    unnest(generate_series(mn, mx, 21600)) AS bucket_start
+                  FROM bounds),
+         j AS (SELECT g.user_id, g.bucket_start, b.v,
+                      coalesce(b.n_obs, 0) AS n_obs
+               FROM grid g LEFT JOIN b
+                 ON g.user_id = b.user_id
+                AND g.bucket_start = b.bucket_start)
+         SELECT user_id, bucket_start, n_obs,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_ffill
+         FROM j""",
     "q52_bloom_semi_reduce" ->
       s"""SELECT o_orderkey, count(*) AS n_items,
          ${"CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)"} AS sum_qty

@@ -279,6 +279,49 @@ object Relational {
     fact.filter(probe)
   }
 
+  /** Time-series resample + forward fill — the gap-filling member of
+    * the time-series family (asofJoin = point lookup, rangeJoin =
+    * interval attach, sessionize = gap split): bucket observations to a
+    * fixed `stepSeconds` grid (deterministic decimal-mean per bucket),
+    * generate each key's full grid from its first to last bucket, and
+    * carry the last observed value forward across empty buckets.
+    *
+    * Scale shape: one aggregation shuffle on (keys, bucket); the grid
+    * explode is bounded by span/step per key; the fill is a
+    * key-partitioned running window — no global sort, no driver loop.
+    * Bucketing is integer arithmetic (`ts - ts % step`), exact at any
+    * epoch magnitude (the rangeJoin 2^53 lesson).
+    *
+    * `tsCol` must be LongType epoch seconds (cast timestamps with
+    * `ts.cast("timestamp_ltz").cast("long")` — a floor, matching the
+    * oracle's `CAST(floor(epoch(ts)) AS BIGINT)`).
+    */
+  def resampleFfill(df: DataFrame, keys: Seq[String], tsCol: String,
+                    stepSeconds: Long, valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "resampleFfill needs at least one key")
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    require(df.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$tsCol must be LongType epoch seconds")
+    val bucket = (col(tsCol) - pmod(col(tsCol), lit(stepSeconds)))
+      .as("bucket_start")
+    val b = df.select((keys.map(col) :+ bucket :+ col(valueCol)): _*)
+      .groupBy((keys.map(col) :+ col("bucket_start")): _*)
+      .agg(graft.functions.decAvg(col(valueCol)).as("__v"),
+        count(lit(1)).as("n_obs"))
+    val bounds = b.groupBy(keys.map(col): _*)
+      .agg(min("bucket_start").as("__mn"), max("bucket_start").as("__mx"))
+    val grid = bounds.select((keys.map(col) :+
+      explode(sequence(col("__mn"), col("__mx"), lit(stepSeconds)))
+        .as("bucket_start")): _*)
+    val joined = grid.join(b, keys :+ "bucket_start", "left")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("bucket_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select((keys.map(col) :+ col("bucket_start") :+
+      coalesce(col("n_obs"), lit(0L)).as("n_obs") :+
+      last(col("__v"), ignoreNulls = true).over(w).as("value_ffill")): _*)
+  }
+
   def rangeJoin(facts: DataFrame, intervals: DataFrame,
                 pointCol: String, startCol: String, endCol: String,
                 binWidth: Long = 0L,

@@ -38,6 +38,24 @@ class RelationalSpec extends SparkSpec {
     assert(rn.filter(col("l_orderkey").isNull).count() == 0)
   }
 
+  test("resampleFfill: empty buckets carry the last observation forward") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 3L, 3.0),   // bucket 0: mean 2.0
+      ("a", 25L, 5.0),                  // bucket 20; bucket 10 is a GAP
+      ("b", 5L, 7.0)                    // single bucket, no grid gaps
+    ).toDF("k", "ep", "v")
+    val got = Relational.resampleFfill(df, Seq("k"), "ep", 10L, "v")
+      .orderBy("k", "bucket_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("a", 0L, 2L, 2.0),   // observed mean
+      ("a", 10L, 0L, 2.0),  // gap: carried forward, n_obs 0
+      ("a", 20L, 1L, 5.0),
+      ("b", 0L, 1L, 7.0)))
+  }
+
   test("salted aggregation equals plain aggregation") {
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val salted = Relational.saltedSumCount(ev, Seq("event_type"), "value")
