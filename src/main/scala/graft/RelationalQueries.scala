@@ -568,6 +568,19 @@ object RelationalQueries {
         ev, Seq("user_id"), "ep", stepSeconds = 21600L, valueCol = "value")
     }),
 
+    // Interval-union coverage: each event opens a 30-minute activity
+    // window; overlaps collapse, and the per-user sum is true active
+    // time. The sweep is ONE key-partitioned window pass (no
+    // self-join); the oracle runs the identical window logic.
+    "q54_interval_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          col("ts").cast("timestamp_ltz").cast("long").as("s"))
+        .withColumn("e", col("s") + 1800L)
+      graft.operators.Relational.intervalUnionLength(
+        ev, Seq("user_id"), "s", "e")
+    }),
+
     // As-of join: latest purchase at-or-before each click, per user.
     "q30_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -797,6 +810,21 @@ object RelationalQueries {
            SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
            FROM events GROUP BY 1
            ORDER BY cnt DESC, key ASC LIMIT 10) t""",
+    "q54_interval_union" ->
+      """WITH iv AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                  CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+           FROM events),
+         sw AS (
+           SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM iv)
+         SELECT user_id,
+           CAST(sum(greatest(e - greatest(s, coalesce(pm, s)), 0))
+             AS BIGINT) AS covered,
+           count(*) AS n_intervals
+         FROM sw GROUP BY user_id""",
     "q53_resample_ffill" ->
       """WITH b AS (
            SELECT user_id,

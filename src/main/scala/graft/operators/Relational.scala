@@ -322,6 +322,31 @@ object Relational {
       last(col("__v"), ignoreNulls = true).over(w).as("value_ffill")): _*)
   }
 
+  /** Per-key total length of the UNION of (possibly overlapping)
+    * [start, end) intervals — "how much time was this user actually
+    * active" from session rows that overlap. The classic sweep-line
+    * becomes one key-partitioned window pass: each interval contributes
+    * `end - max(start, latest end seen so far)` clamped at 0, and the
+    * per-key sum is the union length. Long arithmetic throughout
+    * (exact); the tie order of identical intervals cannot change the
+    * sum. One window sort + one aggregation, both on the key — no
+    * pair expansion, no self-join.
+    */
+  def intervalUnionLength(df: DataFrame, keys: Seq[String],
+                          startCol: String, endCol: String): DataFrame = {
+    require(keys.nonEmpty, "intervalUnionLength needs at least one key")
+    val before = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevMax = max(col(endCol)).over(before)
+    df.withColumn("__ns",
+        greatest(col(startCol), coalesce(prevMax, col(startCol))))
+      .withColumn("__c", greatest(col(endCol) - col("__ns"), lit(0L)))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__c")).as("covered"),
+        count(lit(1)).as("n_intervals"))
+  }
+
   def rangeJoin(facts: DataFrame, intervals: DataFrame,
                 pointCol: String, startCol: String, endCol: String,
                 binWidth: Long = 0L,

@@ -56,6 +56,20 @@ class RelationalSpec extends SparkSpec {
       ("b", 0L, 1L, 7.0)))
   }
 
+  test("intervalUnionLength: overlaps collapse, gaps don't count, containment") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0L, 10L), ("a", 5L, 15L),   // overlap -> [0,15) = 15
+      ("a", 20L, 30L),                  // gap -> +10
+      ("a", 22L, 25L),                  // contained -> +0
+      ("b", 0L, 5L), ("b", 0L, 5L)      // identical dup -> 5
+    ).toDF("k", "s", "e")
+    val got = Relational.intervalUnionLength(df, Seq("k"), "s", "e")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 25L, 4L), ("b", 5L, 2L)))
+  }
+
   test("salted aggregation equals plain aggregation") {
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val salted = Relational.saltedSumCount(ev, Seq("event_type"), "value")
