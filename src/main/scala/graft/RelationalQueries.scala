@@ -581,6 +581,46 @@ object RelationalQueries {
         ev, Seq("user_id"), "s", "e")
     }),
 
+    // KLL quantile sketch cube: per-(type, day) sketches persisted to
+    // parquet, merged per type at query time. k=4096 exceeds the
+    // fixture's per-type row count, so the sketch is in its EXACT
+    // regime: its lower quantile equals the true discrete order
+    // statistic (computed via a rank window) and the merged sketch
+    // array-equals the direct one — both pinned as booleans the oracle
+    // sets true, plus the exact per-type counts.
+    "q55_quantile_sketch" -> ((s, dir) => {
+      import graft.expressions.Kll
+      val k = 4096
+      val cubeDir = java.nio.file.Files
+        .createTempDirectory("graft_kllcube").resolve("c").toString
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          date_trunc("day", col("ts")).as("d"))
+      ev.groupBy("event_type", "d")
+        .agg(Kll.sketch(col("value"), k).as("sk"))
+        .write.parquet(cubeDir)
+      val merged = s.read.parquet(cubeDir)
+        .groupBy("event_type").agg(Kll.merge(col("sk"), k).as("msk"))
+      val direct = ev.groupBy("event_type")
+        .agg(Kll.sketch(col("value"), k).as("dsk"),
+          count(lit(1)).as("n"))
+      // exact lower quantiles via a rank window (gate-scale reference)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("value")
+      val ranked = ev.join(direct.select("event_type", "n"), "event_type")
+        .withColumn("rn", row_number().over(w))
+      def exactQ(q: Double, as: String) = ranked
+        .filter(col("rn") === ceil(lit(q) * col("n")).cast("long"))
+        .select(col("event_type"), col("value").as(as))
+      merged.join(direct, "event_type")
+        .join(exactQ(0.5, "ex50"), "event_type")
+        .join(exactQ(0.95, "ex95"), "event_type")
+        .select(col("event_type"), col("n"),
+          (Kll.quantile(col("msk"), 0.5) === col("ex50")).as("p50_exact"),
+          (Kll.quantile(col("msk"), 0.95) === col("ex95")).as("p95_exact"),
+          (col("msk") === col("dsk")).as("merge_lossless"))
+    }),
+
     // As-of join: latest purchase at-or-before each click, per user.
     "q30_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -810,6 +850,10 @@ object RelationalQueries {
            SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
            FROM events GROUP BY 1
            ORDER BY cnt DESC, key ASC LIMIT 10) t""",
+    "q55_quantile_sketch" ->
+      """SELECT event_type, count(*) AS n, TRUE AS p50_exact,
+           TRUE AS p95_exact, TRUE AS merge_lossless
+         FROM events GROUP BY event_type""",
     "q54_interval_union" ->
       """WITH iv AS (
            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,

@@ -23,6 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$what must be a long literal, got $other")
   }
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -77,6 +85,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "top_keys(key_string, capacity)")
         TopKeysAgg(args(0), intArg(args(1), "capacity"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kll_sketch(value_double, k)")
+        KllSketchAgg(args(0), intArg(args(1), "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_merge"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kll_merge(sketch, k)")
+        KllMergeAgg(args(0), intArg(args(1), "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[WeightedQuantile].getName, "kll_quantile"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kll_quantile(sketch, q)")
+        WeightedQuantile(args(0), doubleArg(args(1), "q"))
       }))
   }
 }

@@ -49,6 +49,14 @@ class ExtensionsSpec extends graft.SparkSpec {
       "SELECT top_keys(u, 64) AS t FROM ext_ev")
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(tk.size == 25 && tk.map(_.getLong(1)).sum == 1000)
+    // KLL from SQL: group sketches merged, median of 0..999 (exact regime)
+    val med = spark.sql(
+      """SELECT kll_quantile(kll_merge(sk, 2048), 0.5) AS m FROM (
+           SELECT g, kll_sketch(CAST(id0 AS DOUBLE), 2048) AS sk
+           FROM (SELECT g, u, row_number() OVER (ORDER BY g, u) - 1 AS id0
+                 FROM ext_ev) GROUP BY g)""")
+      .head().getDouble(0)
+    assert(med == 499.0, s"median $med")
   }
 
   test("sorted-long intersect and hashed minhash kernels: edge cases") {
