@@ -224,6 +224,22 @@ object Streams {
         col("window.end").as("window_end") +:
         keyCols.map(col)) :+ col("sk"): _*)
 
+  /** Streaming per-window quantile sketch — the KLL member of the
+    * windowed-sketch family: closed event-time windows emit their
+    * mergeable quantile summary (per-window state is the O(k log n)
+    * KLL buffer). Landed windows form the persisted quantile cube
+    * `Kll.merge` queries over any range.
+    */
+  def quantilesByWindow(events: DataFrame, tsCol: String, window: String,
+                        watermark: String, valueCol: Column,
+                        k: Int = 256): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(graft.expressions.Kll.sketch(valueCol, k).as("sk"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("sk"))
+
   /** Streaming per-window heavy hitters — [[sketchByWindow]]'s
     * frequency twin: each closed event-time window emits its
     * SpaceSaving top-keys summary (capacity-bounded state per open

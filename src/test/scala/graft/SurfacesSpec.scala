@@ -172,6 +172,38 @@ class SurfacesSpec extends SparkSpec {
     assert(first == Seq(("a", 3L), ("b", 1L)))
   }
 
+  test("streaming quantile sketch per window equals the batch sketch") {
+    val dir = Files.createTempDirectory("stream_kll").toString
+    val out = Files.createTempDirectory("stream_kll_out").toString
+    val ckpt = Files.createTempDirectory("stream_kll_ckpt").toString
+    Files.write(java.nio.file.Paths.get(dir, "e1.csv"),
+      ("2023-01-01T10:05:00,3.0\n2023-01-01T10:10:00,1.0\n" +
+       "2023-01-01T10:15:00,2.0\n").getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "e2.csv"),
+      "2023-01-01T11:10:00,9.0\n".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "e3.csv"),
+      "2023-01-01T12:30:00,9.0\n".getBytes)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    val q = Streams.quantilesByWindow(
+      Streams.fileMonitor(spark, dir, "csv", schema,
+        options = Map("maxFilesPerTrigger" -> "1")),
+      tsCol = "ts", window = "1 hour", watermark = "30 minutes",
+      valueCol = col("v"), k = 64)
+      .writeStream.format("parquet")
+      .option("path", s"$out/w").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = spark.read.parquet(s"$out/w").orderBy("window_start")
+      .select(graft.expressions.Kll.quantile(col("sk"), 0.5).as("p50"),
+        size(col("sk.values")).as("sz"))
+      .collect()
+    assert(res.nonEmpty)
+    // the 10:00 window held {3,1,2}: exact-regime median 2, 3 points
+    assert(res(0).getDouble(0) == 2.0 && res(0).getInt(1) == 3)
+  }
+
   test("streaming dedup drops within-watermark duplicate keys, bounded state") {
     val dir = Files.createTempDirectory("stream_dd").toString
     val out = Files.createTempDirectory("stream_dd_out").toString
