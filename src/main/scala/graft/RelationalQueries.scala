@@ -568,6 +568,19 @@ object RelationalQueries {
         ev, Seq("user_id"), "ep", stepSeconds = 21600L, valueCol = "value")
     }),
 
+    // Linear-interpolation resample: the same 6-hour grid as q53, but
+    // interior gaps get the lerp between the neighbouring observed
+    // buckets instead of a carried-forward value. The oracle spells the
+    // identical double expression, so values hash-match bit-for-bit.
+    "q56_resample_interp" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          col("ts").cast("timestamp_ltz").cast("long").as("ep"),
+          col("value"))
+      graft.operators.Relational.resampleInterp(
+        ev, Seq("user_id"), "ep", stepSeconds = 21600L, valueCol = "value")
+    }),
+
     // Interval-union coverage: each event opens a 30-minute activity
     // window; overlaps collapse, and the per-user sum is true active
     // time. The sweep is ONE key-partitioned window pass (no
@@ -895,6 +908,48 @@ object RelationalQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS value_ffill
          FROM j""",
+    "q56_resample_interp" ->
+      """WITH b AS (
+           SELECT user_id,
+             e - e % 21600 AS bucket_start,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / count(value) AS v,
+             count(*) AS n_obs
+           FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                        value FROM events)
+           GROUP BY 1, 2),
+         bounds AS (SELECT user_id, min(bucket_start) AS mn,
+                           max(bucket_start) AS mx FROM b GROUP BY 1),
+         grid AS (SELECT user_id,
+                    unnest(generate_series(mn, mx, 21600)) AS bucket_start
+                  FROM bounds),
+         j AS (SELECT g.user_id, g.bucket_start, b.v,
+                      coalesce(b.n_obs, 0) AS n_obs
+               FROM grid g LEFT JOIN b
+                 ON g.user_id = b.user_id
+                AND g.bucket_start = b.bucket_start),
+         f AS (SELECT user_id, bucket_start, v, n_obs,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN bucket_start END
+             IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY bucket_start
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN bucket_start END
+             IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY bucket_start
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           FROM j)
+         SELECT user_id, bucket_start, n_obs,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) *
+                  (CAST(bucket_start - pt AS DOUBLE)
+                    / CAST(nt - pt AS DOUBLE)) END AS value_interp
+         FROM f""",
     "q52_bloom_semi_reduce" ->
       s"""SELECT o_orderkey, count(*) AS n_items,
          ${"CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)"} AS sum_qty

@@ -322,6 +322,59 @@ object Relational {
       last(col("__v"), ignoreNulls = true).over(w).as("value_ffill")): _*)
   }
 
+  /** Fixed-grid resample with LINEAR interpolation across interior
+    * gaps — the numeric sibling of [[resampleFfill]] for metrics where
+    * carrying the last value forward biases the series (rates, sensor
+    * readings): an empty bucket between two observed ones gets
+    * `v0 + (v1 - v0) * (t - t0) / (t1 - t0)`.
+    *
+    * Same scale shape as ffill: one aggregation shuffle on
+    * (keys, bucket), grid explode bounded by span/step per key. The
+    * fill adds ONE more window pass (previous-known via the running
+    * frame, next-known via the mirrored following frame — both reuse
+    * the same partitioning + sort, so still a single exchange), then a
+    * pure rowwise lerp. The grid spans each key's observed [min, max]
+    * bucket, so every empty bucket has both neighbours and the lerp is
+    * total; observed buckets keep their exact decimal-summed mean. The
+    * lerp itself is double arithmetic in a fixed operation order — the
+    * oracle spells the identical expression, so results hash-match.
+    */
+  def resampleInterp(df: DataFrame, keys: Seq[String], tsCol: String,
+                     stepSeconds: Long, valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "resampleInterp needs at least one key")
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    require(df.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$tsCol must be LongType epoch seconds")
+    val bucket = (col(tsCol) - pmod(col(tsCol), lit(stepSeconds)))
+      .as("bucket_start")
+    val b = df.select((keys.map(col) :+ bucket :+ col(valueCol)): _*)
+      .groupBy((keys.map(col) :+ col("bucket_start")): _*)
+      .agg(graft.functions.decAvg(col(valueCol)).as("__v"),
+        count(lit(1)).as("n_obs"))
+    val bounds = b.groupBy(keys.map(col): _*)
+      .agg(min("bucket_start").as("__mn"), max("bucket_start").as("__mx"))
+    val grid = bounds.select((keys.map(col) :+
+      explode(sequence(col("__mn"), col("__mx"), lit(stepSeconds)))
+        .as("bucket_start")): _*)
+    val joined = grid.join(b, keys :+ "bucket_start", "left")
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy("bucket_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*).orderBy("bucket_start")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val knownT = when(col("__v").isNotNull, col("bucket_start"))
+    val prevV = last(col("__v"), ignoreNulls = true).over(wb)
+    val prevT = last(knownT, ignoreNulls = true).over(wb)
+    val nextV = first(col("__v"), ignoreNulls = true).over(wf)
+    val nextT = first(knownT, ignoreNulls = true).over(wf)
+    val frac = (col("bucket_start") - prevT).cast("double") /
+      (nextT - prevT).cast("double")
+    joined.select((keys.map(col) :+ col("bucket_start") :+
+      coalesce(col("n_obs"), lit(0L)).as("n_obs") :+
+      when(col("__v").isNotNull, col("__v"))
+        .otherwise(prevV + (nextV - prevV) * frac).as("value_interp")): _*)
+  }
+
   /** Per-key total length of the UNION of (possibly overlapping)
     * [start, end) intervals — "how much time was this user actually
     * active" from session rows that overlap. The classic sweep-line

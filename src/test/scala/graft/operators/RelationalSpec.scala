@@ -56,6 +56,35 @@ class RelationalSpec extends SparkSpec {
       ("b", 0L, 1L, 7.0)))
   }
 
+  test("resampleInterp: interior gaps lerp between neighbours") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0L, 1.0),                   // bucket 0: 1.0
+      ("a", 31L, 7.0), ("a", 35L, 9.0), // bucket 30: mean 8.0; 10,20 GAPS
+      ("a", 45L, 2.0),                  // bucket 40 (adjacent, no gap)
+      ("b", 5L, 7.0)                    // single bucket
+    ).toDF("k", "ep", "v")
+    val got = Relational.resampleInterp(df, Seq("k"), "ep", 10L, "v")
+      .orderBy("k", "bucket_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("a", 0L, 1L, 1.0),
+      ("a", 10L, 0L, 1.0 + 7.0 * (10.0 / 30.0)),  // lerp 1 -> 8 over 3 steps
+      ("a", 20L, 0L, 1.0 + 7.0 * (20.0 / 30.0)),
+      ("a", 30L, 2L, 8.0),
+      ("a", 40L, 1L, 2.0),
+      ("b", 0L, 1L, 7.0)))
+    // the second (following-frame) window pass reuses the first one's
+    // partitioning + sort: interp costs ZERO extra exchanges over ffill
+    def nShuffles(p: org.apache.spark.sql.DataFrame): Int =
+      p.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike => e
+      }.size
+    assert(nShuffles(Relational.resampleInterp(df, Seq("k"), "ep", 10L, "v"))
+      == nShuffles(Relational.resampleFfill(df, Seq("k"), "ep", 10L, "v")))
+  }
+
   test("intervalUnionLength: overlaps collapse, gaps don't count, containment") {
     import spark.implicits._
     val df = Seq(
