@@ -3,9 +3,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object Bench {
   /** One query's outcome across passes: min time (sec) or None if any pass
-    * failed, plus the wall-clock span of every sample. */
+    * failed, every per-pass sample (sec), plus the wall-clock span of every
+    * sample. min is the cost estimator (strips host-stall noise); the full
+    * sample list is kept so a later reader can compute mean / pass-to-pass
+    * variance and tell "query got slower" from "one pass hit a stall". */
   final case class Outcome(name: String, minSec: Option[Double],
-                           spans: List[(Long, Long)], err: Option[String])
+                           samples: List[Double],
+                           spans: List[(Long, Long)], err: Option[String]) {
+    def meanSec: Option[Double] =
+      if (samples.isEmpty || minSec.isEmpty) None
+      else Some(samples.sum / samples.size)
+  }
 
   /** Measure `queries` over `passes` suite-wide passes (min per query).
     * Failures are first-class: a query that throws in any pass reports
@@ -22,6 +30,7 @@ object Bench {
           queries: Seq[(String, (SparkSession, String) => DataFrame)],
           passes: Int): Seq[Outcome] = {
     val times = Array.fill(queries.size)(Double.MaxValue)
+    val samples = Array.fill(queries.size)(List.empty[Double])
     val spans = Array.fill(queries.size)(List.empty[(Long, Long)])
     val errs = Array.fill(queries.size)(Option.empty[String])
     for (_ <- 1 to passes) {
@@ -30,6 +39,7 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count();
           val sec = (System.nanoTime() - t0) / 1e9
+          samples(i) = samples(i) :+ sec
           if (errs(i).isEmpty && sec < times(i)) times(i) = sec
         } catch { case e: Throwable =>
           errs(i) = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -48,8 +58,42 @@ object Bench {
     }
     queries.zipWithIndex.map { case ((name, _), i) =>
       Outcome(name, if (errs(i).isDefined) None else Some(times(i)),
-        spans(i), errs(i))
+        samples(i), spans(i), errs(i))
     }
+  }
+
+  /** Regression comparator: every query whose min-of-N grew >= `threshold`×
+    * vs a previous record, annotated with THIS run's pass-to-pass spread so
+    * a reader can tell a real regression (tight samples, all slow) from a
+    * stall-poisoned pass (wide spread). `prev` maps name -> previous minSec. */
+  def movers(outcomes: Seq[Outcome], prev: Map[String, Double],
+             threshold: Double = 1.5): Seq[String] =
+    outcomes.flatMap { o =>
+      for {
+        now <- o.minSec
+        before <- prev.get(o.name)
+        if before > 0 && now / before >= threshold
+      } yield {
+        val spread =
+          if (o.samples.size < 2) "single-sample"
+          else f"samples=[${o.samples.map(s => f"$s%.2f").mkString(",")}] spread=${o.samples.max / o.samples.min}%.2fx"
+        f"[bench] MOVER ${o.name}: $before%.2f -> $now%.2f s (${now / before}%.2fx) $spread"
+      }
+    }
+
+  /** Parse the `"queries":{...}` per-query map out of a prior bench record
+    * (target/bench_full.json line format). Hand-rolled: the values are flat
+    * `"name":1.23` pairs, no JSON lib on the classpath needed. */
+  def parsePrevQueries(json: String): Map[String, Double] = {
+    val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(json)
+    m.map(_.group(1).split(",").flatMap { kv =>
+      kv.split(":") match {
+        case Array(k, v) =>
+          try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
   }
 
   /** 1 when any query failed — the process exit code for `main`. */
@@ -73,25 +117,43 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // min of N passes: single-run times carry ~25% machine noise on this
     // host; the minimum is the standard stable estimator of a query's
-    // actual cost (passes recorded in the metric line).
-    // 2 by default: suite-per-pass already spreads a query's samples
-    // minutes apart; set SPARK_GRAFT_PASSES=3 for local measurement.
-    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    // actual cost (passes recorded in the metric line). 3 by default
+    // (round-9 verdict: min-of-N with N>=3 alongside the mean) —
+    // suite-per-pass spreads a query's samples minutes apart, so a host
+    // stall window poisons at most one of the three.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // read the PREVIOUS full record before this run overwrites it — the
+    // regression comparator below diffs against it (>=1.5x movers).
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV", "target/bench_full.json")
+    val prev: Map[String, Double] =
+      try parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), "UTF-8"))
+      catch { case _: Throwable => Map.empty }
     val outcomes = run(spark, sfDir, names, passes)
     val failed = outcomes.collect { case o if o.minSec.isEmpty => o.name }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = outcomes.map(o => "\"" + o.name + "\":" + o.minSec.getOrElse(-1.0))
       .mkString("{", ",", "}")
+    val means = outcomes.map(o => "\"" + o.name + "\":" + o.meanSec.getOrElse(-1.0))
+      .mkString("{", ",", "}")
+    val smp = outcomes.map { o =>
+      "\"" + o.name + "\":" +
+        o.samples.map(s => f"$s%.4f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val sp = outcomes.map { o =>
       "\"" + o.name + "\":" +
         o.spans.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = outcomes.flatMap(_.minSec).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spans":$sp,"failed":$failedJson,"sf":"$sfDir","passes":$passes}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mean":$means,"samples":$smp,"spans":$sp,"failed":$failedJson,"sf":"$sfDir","passes":$passes}"""
     println(fullLine)
+    // regression guard: print every >=1.5x mover vs the previous record with
+    // this run's pass-to-pass spread — tight spread + slow = real regression;
+    // wide spread = a stall-poisoned pass (min already strips it).
+    movers(outcomes, prev).foreach(System.err.println)
     outcomes.filter(_.err.isDefined).foreach { o =>
       System.err.println(s"[bench] FAILED ${o.name}: ${o.err.get}") }
     // stdout tail capture keeps only the last ~2 KB, which truncates the

@@ -38,6 +38,34 @@ class BenchSpec extends SparkSpec {
     assert(Bench.exitCode(outcomes) == 0)
   }
 
+  test("per-pass samples and mean are recorded alongside the min") {
+    val outcomes = Bench.run(spark, "unused", Seq("a" -> ok), passes = 3)
+    val o = outcomes.head
+    assert(o.samples.size == 3, "one sample per pass")
+    assert(o.minSec.contains(o.samples.min))
+    assert(o.meanSec.exists(m => math.abs(m - o.samples.sum / 3) < 1e-12))
+  }
+
+  test("movers flags >=1.5x regressions vs a previous record, with spread") {
+    val outcomes = Seq(
+      Bench.Outcome("slow", Some(3.0), List(3.0, 3.1), Nil, None),
+      Bench.Outcome("same", Some(1.0), List(1.0, 1.05), Nil, None),
+      Bench.Outcome("new_query", Some(2.0), List(2.0), Nil, None),
+      Bench.Outcome("failed", None, Nil, Nil, Some("x")))
+    val prev = Map("slow" -> 1.0, "same" -> 0.9, "failed" -> 1.0)
+    val lines = Bench.movers(outcomes, prev)
+    assert(lines.size == 1, s"only the 3x mover is flagged: $lines")
+    assert(lines.head.contains("slow") && lines.head.contains("3.00x"))
+    assert(lines.head.contains("spread="), "spread annotation present")
+  }
+
+  test("parsePrevQueries reads the queries map out of a bench record line") {
+    val line = """{"metric":"total","value":5.0,"queries":{"q1":1.25,"q2":3.75},"mean":{"q1":1.3},"failed":[],"sf":"x","passes":3}"""
+    val m = Bench.parsePrevQueries(line)
+    assert(m == Map("q1" -> 1.25, "q2" -> 3.75))
+    assert(Bench.parsePrevQueries("not json").isEmpty)
+  }
+
   test("a query that fails in only one pass still counts as failed") {
     // failure is sticky across passes: a flaky crash must not be masked by
     // a later lucky pass (min() is for noise, not for exceptions)
