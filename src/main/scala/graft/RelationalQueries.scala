@@ -885,7 +885,7 @@ object RelationalQueries {
     "q53_resample_ffill" ->
       """WITH b AS (
            SELECT user_id,
-             e - e % 21600 AS bucket_start,
+             e - ((e % 21600) + 21600) % 21600 AS bucket_start,
              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
                / count(value) AS v,
              count(*) AS n_obs
@@ -911,7 +911,7 @@ object RelationalQueries {
     "q56_resample_interp" ->
       """WITH b AS (
            SELECT user_id,
-             e - e % 21600 AS bucket_start,
+             e - ((e % 21600) + 21600) % 21600 AS bucket_start,
              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
                / count(value) AS v,
              count(*) AS n_obs

@@ -473,11 +473,12 @@ object Dedup {
   /** Rounds the most recent [[componentLabels]] loop took to converge —
     * a probe/spec observability hook (the round count is the whole
     * point of the log-round design), not part of the operator contract.
-    * Process-global: concurrent invocations on one driver interleave
-    * writes, so specs/probes that assert on it must run their loop
-    * serially (the suites do; a future parallel runner must not).
+    * Thread-local: the round loop runs synchronously on the calling
+    * thread, so a spec reads its own invocation's count even if suites
+    * ever run in parallel.
     */
-  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val lastRounds: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
 
   /** Component labels of the DUPLICATE SUBGRAPH only: (idCol, component)
     * for every node that appears in a pair — the loop never touches the

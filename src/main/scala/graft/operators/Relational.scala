@@ -82,10 +82,12 @@ object Relational {
 
   /** The salt [[autoSaltedJoin]] last decided on (1 = no salting) — an
     * observability hook for probes/specs, not part of the contract.
-    * Process-global: concurrent invocations interleave writes, so specs
-    * asserting on it must run their probe serially (the suites do).
+    * Thread-local: the decision is made eagerly on the calling thread
+    * (the hot-key probe is a blocking action), so a spec reads its own
+    * invocation's value even if suites ever run in parallel.
     */
-  private[graft] val lastAutoSalt = new java.util.concurrent.atomic.AtomicInteger(1)
+  private[graft] val lastAutoSalt: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(1))
 
   /** Row share of the most frequent key in a bounded sample of `df` —
     * the hot-key detector behind [[autoSaltedJoin]]. The probe scans a
@@ -296,10 +298,24 @@ object Relational {
     * `ts.cast("timestamp_ltz").cast("long")` — a floor, matching the
     * oracle's `CAST(floor(epoch(ts)) AS BIGINT)`).
     */
-  def resampleFfill(df: DataFrame, keys: Seq[String], tsCol: String,
-                    stepSeconds: Long, valueCol: String): DataFrame = {
-    require(keys.nonEmpty, "resampleFfill needs at least one key")
+  /** Shared bucket/bounds/grid/join stage of [[resampleFfill]] and
+    * [[resampleInterp]]: decimal-exact per-bucket means, per-key
+    * [min, max] bounds, grid explode, left join of observations onto
+    * the grid. The grid explode is the family's only unbounded blow-up
+    * (one key with a decade span at 1-second step is 315M rows), so the
+    * span/step ratio is guarded IN the plan: the sequence() upper bound
+    * routes through a raise_error branch when a key's bucket count
+    * exceeds `maxBucketsPerKey` — on the consumed path, so column
+    * pruning cannot drop the check, and it costs one comparison per KEY
+    * (the bounds row), not per row. Callers with a genuinely huge grid
+    * raise the cap explicitly; nothing silently truncates.
+    */
+  private def resampleGrid(df: DataFrame, keys: Seq[String], tsCol: String,
+                           stepSeconds: Long, valueCol: String,
+                           maxBucketsPerKey: Long, op: String): DataFrame = {
+    require(keys.nonEmpty, s"$op needs at least one key")
     require(stepSeconds > 0, "stepSeconds must be positive")
+    require(maxBucketsPerKey > 0, "maxBucketsPerKey must be positive")
     require(df.schema(tsCol).dataType ==
       org.apache.spark.sql.types.LongType,
       s"$tsCol must be LongType epoch seconds")
@@ -311,10 +327,24 @@ object Relational {
         count(lit(1)).as("n_obs"))
     val bounds = b.groupBy(keys.map(col): _*)
       .agg(min("bucket_start").as("__mn"), max("bucket_start").as("__mx"))
+    val nBuckets = (col("__mx") - col("__mn")) / lit(stepSeconds) + lit(1L)
+    val guardedMx = when(nBuckets <= lit(maxBucketsPerKey), col("__mx"))
+      .otherwise(raise_error(concat(
+        lit(s"$op: key ("), concat_ws(",", keys.map(c => col(c).cast("string")): _*),
+        lit(") spans "), nBuckets.cast("string"),
+        lit(s" buckets at step=${stepSeconds}s > maxBucketsPerKey=" +
+          s"$maxBucketsPerKey; raise maxBucketsPerKey or coarsen the step"))))
     val grid = bounds.select((keys.map(col) :+
-      explode(sequence(col("__mn"), col("__mx"), lit(stepSeconds)))
+      explode(sequence(col("__mn"), guardedMx, lit(stepSeconds)))
         .as("bucket_start")): _*)
-    val joined = grid.join(b, keys :+ "bucket_start", "left")
+    grid.join(b, keys :+ "bucket_start", "left")
+  }
+
+  def resampleFfill(df: DataFrame, keys: Seq[String], tsCol: String,
+                    stepSeconds: Long, valueCol: String,
+                    maxBucketsPerKey: Long = 1000000L): DataFrame = {
+    val joined = resampleGrid(df, keys, tsCol, stepSeconds, valueCol,
+      maxBucketsPerKey, "resampleFfill")
     val w = Window.partitionBy(keys.map(col): _*).orderBy("bucket_start")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined.select((keys.map(col) :+ col("bucket_start") :+
@@ -340,24 +370,10 @@ object Relational {
     * oracle spells the identical expression, so results hash-match.
     */
   def resampleInterp(df: DataFrame, keys: Seq[String], tsCol: String,
-                     stepSeconds: Long, valueCol: String): DataFrame = {
-    require(keys.nonEmpty, "resampleInterp needs at least one key")
-    require(stepSeconds > 0, "stepSeconds must be positive")
-    require(df.schema(tsCol).dataType ==
-      org.apache.spark.sql.types.LongType,
-      s"$tsCol must be LongType epoch seconds")
-    val bucket = (col(tsCol) - pmod(col(tsCol), lit(stepSeconds)))
-      .as("bucket_start")
-    val b = df.select((keys.map(col) :+ bucket :+ col(valueCol)): _*)
-      .groupBy((keys.map(col) :+ col("bucket_start")): _*)
-      .agg(graft.functions.decAvg(col(valueCol)).as("__v"),
-        count(lit(1)).as("n_obs"))
-    val bounds = b.groupBy(keys.map(col): _*)
-      .agg(min("bucket_start").as("__mn"), max("bucket_start").as("__mx"))
-    val grid = bounds.select((keys.map(col) :+
-      explode(sequence(col("__mn"), col("__mx"), lit(stepSeconds)))
-        .as("bucket_start")): _*)
-    val joined = grid.join(b, keys :+ "bucket_start", "left")
+                     stepSeconds: Long, valueCol: String,
+                     maxBucketsPerKey: Long = 1000000L): DataFrame = {
+    val joined = resampleGrid(df, keys, tsCol, stepSeconds, valueCol,
+      maxBucketsPerKey, "resampleInterp")
     val wb = Window.partitionBy(keys.map(col): _*).orderBy("bucket_start")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(keys.map(col): _*).orderBy("bucket_start")

@@ -85,6 +85,35 @@ class RelationalSpec extends SparkSpec {
       == nShuffles(Relational.resampleFfill(df, Seq("k"), "ep", 10L, "v")))
   }
 
+  test("resample: a pathological span/step grid fails loudly, not OOM") {
+    import spark.implicits._
+    // one long-lived key: decade span at 1-second step = ~315M buckets.
+    // With the guard the plan must RAISE (naming the key and the cap),
+    // not silently attempt a 315M-element sequence().
+    val df = Seq(("hot", 0L, 1.0), ("hot", 315360000L, 2.0),
+      ("cold", 0L, 3.0)).toDF("k", "ep", "v")
+    val e = intercept[Exception] {
+      Relational.resampleFfill(df, Seq("k"), "ep", 1L, "v").count()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msg.contains("maxBucketsPerKey"), s"guard message, got: $msg")
+    assert(msg.contains("hot"), s"offending key named, got: $msg")
+    // interp shares the guard
+    intercept[Exception] {
+      Relational.resampleInterp(df, Seq("k"), "ep", 1L, "v").count()
+    }
+    // the cap is a parameter, not a hard limit: an explicit raise unblocks
+    // (11-bucket span, cap 5 -> fails; cap 20 -> full grid materializes)
+    val small = Seq(("x", 0L, 1.0), ("x", 100L, 2.0)).toDF("k", "ep", "v")
+    intercept[Exception] {
+      Relational.resampleFfill(small, Seq("k"), "ep", 10L, "v",
+        maxBucketsPerKey = 5L).count()
+    }
+    assert(Relational.resampleFfill(small, Seq("k"), "ep", 10L, "v",
+      maxBucketsPerKey = 20L).count() == 11)
+  }
+
   test("intervalUnionLength: overlaps collapse, gaps don't count, containment") {
     import spark.implicits._
     val df = Seq(
