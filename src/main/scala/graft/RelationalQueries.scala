@@ -536,6 +536,76 @@ object RelationalQueries {
         .select(col("t.key"), col("t.count_hi"), col("t.count_lo"))
     }),
 
+    // SpaceSaving EVICTION regime (round-9 verdict item 3): the q51
+    // gate pins only the exact regime (capacity > cardinality). Here a
+    // data-derived skewed key space (3 hot keys ~470-540 rows each +
+    // ~8.5k singleton cold keys) overflows capacity 256, so eviction
+    // runs constantly — and the sketch's ICDT'05 guarantees become the
+    // gated output: every key with true count > N/capacity is PRESENT,
+    // and its true count sits inside [count_lo, count_hi]. The heavy
+    // set is computed from EXACT counts (deterministic under any merge
+    // order), the sketch contributes only the booleans the guarantees
+    // say must be true; the oracle pins them TRUE with DuckDB's exact
+    // counts. A broken eviction/merge path flips them false.
+    "q57_heavy_hitters_eviction" -> ((s, dir) => {
+      import graft.expressions.TopKeys
+      val capacity = 256
+      val keyed = t(s, dir, "events").select(
+        when(col("user_id") % 7 === 0,
+          concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+          .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+          .as("key"))
+      val sketch = keyed
+        .agg(TopKeys.agg(col("key"), capacity).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.key").as("skey"), col("e.count_hi"),
+          col("e.count_lo"))
+      val exact = keyed.groupBy("key").agg(count(lit(1)).as("true_cnt"))
+      val tot = keyed.agg(count(lit(1)).as("n"))
+      // integer-exact threshold: cnt > N/capacity <=> cnt*capacity > N
+      val heavy = exact.crossJoin(tot)
+        .filter(col("true_cnt") * capacity > col("n"))
+      heavy.join(sketch, heavy("key") === sketch("skey"), "left")
+        .select(col("key"), col("true_cnt"),
+          col("skey").isNotNull.as("present"),
+          (col("skey").isNotNull && col("count_lo") <= col("true_cnt") &&
+            col("true_cnt") <= col("count_hi")).as("bounds_ok"))
+    }),
+
+    // KLL COMPACTED regime (round-9 verdict item 3): q55 pins the
+    // exact regime (n <= k, no compaction). Here k=128 against ~2000
+    // values per event_type forces level promotion, and the gate pins
+    // the sketch's defining guarantee — estimated quantiles land
+    // within O(1/k) of the true rank (bound spelled 16/k = 12.5%,
+    // generous vs the ~3-6% the spec measures, but any broken
+    // compaction/merge path lands ~uniform-random and blows it). The
+    // estimate's TRUE rank is computed against the raw data (count of
+    // values <= estimate), so the booleans are exact statements the
+    // oracle pins TRUE alongside exact per-type counts.
+    "q58_kll_compacted_rank" -> ((s, dir) => {
+      import graft.expressions.Kll
+      val k = 128
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val est = ev.groupBy("event_type")
+        .agg(Kll.sketch(col("value"), k).as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          Kll.quantile(col("sk"), 0.5).as("e50"),
+          Kll.quantile(col("sk"), 0.95).as("e95"))
+      val tol = 16.0 / k
+      ev.join(est, "event_type")
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          sum(when(col("value") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= col("e95"), 1L).otherwise(0L)).as("r95"))
+        .select(col("event_type"), col("n"),
+          (col("n") > k).as("compacted"),
+          (abs(col("r50") - lit(0.5) * col("n")) <= lit(tol) * col("n"))
+            .as("p50_rank_ok"),
+          (abs(col("r95") - lit(0.95) * col("n")) <= lit(tol) * col("n"))
+            .as("p95_rank_ok"))
+    }),
+
     // Bloom semi-join reduction: the urgent-orders key set (dim too big
     // to broadcast at scale, but its keys fit a few MB of bloom bits)
     // prefilters lineitem IN THE SCAN STAGE before the join shuffle.
@@ -866,6 +936,20 @@ object RelationalQueries {
     "q55_quantile_sketch" ->
       """SELECT event_type, count(*) AS n, TRUE AS p50_exact,
            TRUE AS p95_exact, TRUE AS merge_lossless
+         FROM events GROUP BY event_type""",
+    "q57_heavy_hitters_eviction" ->
+      """WITH keyed AS (
+           SELECT CASE WHEN user_id % 7 = 0
+                  THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+                  ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
+           FROM events),
+         exact AS (SELECT key, count(*) AS true_cnt FROM keyed GROUP BY 1),
+         tot AS (SELECT count(*) AS n FROM keyed)
+         SELECT key, true_cnt, TRUE AS present, TRUE AS bounds_ok
+         FROM exact, tot WHERE true_cnt * 256 > n""",
+    "q58_kll_compacted_rank" ->
+      """SELECT event_type, count(*) AS n, TRUE AS compacted,
+           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
          FROM events GROUP BY event_type""",
     "q54_interval_union" ->
       """WITH iv AS (
