@@ -426,22 +426,29 @@ object RelationalQueries {
     // fixed data); exact counts ride along so the oracle pins them.
     "q48_profile_stats" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val cols = Seq("l_orderkey", "l_partkey", "l_quantity")
+      // numeric + string + timestamp columns: min_d/max_d populate for
+      // the numerics only (schema-decided), min_s/max_s for ALL types —
+      // the full data-card surface in the profiler's single scan.
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+        "l_returnflag", "l_shipdate")
       val prof = graft.operators.Profile.profile(li, cols)
+      // NOTE (gate shape, not operator usage): the N countDistincts
+      // below exist only to pin the profiler's HLL estimates against
+      // exact values at gate scale — they cost an Expand the operator
+      // itself deliberately avoids; don't copy this shape as usage.
       val ex = li.agg(
-        countDistinct(col(cols(0))).as("e0"),
-        countDistinct(col(cols(1))).as("e1"),
-        countDistinct(col(cols(2))).as("e2"))
-        .select(explode(array(
-          struct(lit(cols(0)).as("col_name"), col("e0").as("exact_distinct")),
-          struct(lit(cols(1)).as("col_name"), col("e1").as("exact_distinct")),
-          struct(lit(cols(2)).as("col_name"), col("e2").as("exact_distinct"))))
-          .as("e"))
+        countDistinct(col(cols.head)).as("e0"),
+        cols.tail.zipWithIndex.map { case (c, i) =>
+          countDistinct(col(c)).as(s"e${i + 1}") }: _*)
+        .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+          struct(lit(c).as("col_name"), col(s"e$i").as("exact_distinct"))
+        }: _*)).as("e"))
         .select(col("e.col_name"), col("e.exact_distinct"))
       prof.withColumnRenamed("column", "col_name")
         .join(ex, "col_name")
         .select(col("col_name"), col("n_rows"), col("n_nulls"),
-          col("min_d"), col("max_d"), col("exact_distinct"),
+          col("min_d"), col("max_d"), col("min_s"), col("max_s"),
+          col("exact_distinct"),
           (abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
             col("exact_distinct").cast("double") <= 0.06).as("distinct_ok"))
     }),
@@ -897,18 +904,34 @@ object RelationalQueries {
            count(*) - count(l_orderkey) AS n_nulls,
            CAST(min(l_orderkey) AS DOUBLE) AS min_d,
            CAST(max(l_orderkey) AS DOUBLE) AS max_d,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_s,
            count(DISTINCT l_orderkey) AS exact_distinct,
            TRUE AS distinct_ok
          FROM lineitem
          UNION ALL
          SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
            CAST(min(l_partkey) AS DOUBLE), CAST(max(l_partkey) AS DOUBLE),
+           CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR),
            count(DISTINCT l_partkey), TRUE
          FROM lineitem
          UNION ALL
          SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
            CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+           CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR),
            count(DISTINCT l_quantity), TRUE
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(l_returnflag), max(l_returnflag),
+           count(DISTINCT l_returnflag), TRUE
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR),
+           count(DISTINCT l_shipdate), TRUE
          FROM lineitem""",
     "q49_kmv_distinct_sets" ->
       """WITH ud AS (

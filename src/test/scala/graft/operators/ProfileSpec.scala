@@ -26,6 +26,9 @@ class ProfileSpec extends SparkSpec {
     val s = p("s")
     assert(s.isNullAt(4) && s.isNullAt(5))
     assert(s.getLong(3) == 3)
+    // typed min/max as strings populate for EVERY column type
+    assert(idRow.getString(6) == "0" && idRow.getString(7) == "999")
+    assert(s.getString(6) == "v0" && s.getString(7) == "v2")
   }
 
   test("profile is ONE scan: a single leaf in the executed plan") {
