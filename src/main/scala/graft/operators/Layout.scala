@@ -118,30 +118,11 @@ object Layout {
       "update batch must carry the partition columns")
     deleteCol.foreach(d => require(updates.columns.contains(d),
       s"update batch must carry the delete flag column '$d'"))
-    // latest-wins: version desc, then update-side-wins on ties. The
-    // window partitions on the full key, so this is ONE shuffle that
-    // also co-locates everything the rewrite needs. With `deleteCol`
-    // (CDC apply): a winning row whose flag is true REMOVES the key.
-    def latestWins(b: DataFrame, u: DataFrame): DataFrame = {
-      val cols = b.columns.filterNot(deleteCol.contains)
-      val del = deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false))
-      val tagged = b.select(cols.map(col): _*)
-          .withColumn("__src", lit(0)).withColumn("__del", lit(false))
-        .unionByName(u.withColumn("__del", coalesce(del, lit(false)))
-          .select((cols.map(col) :+ col("__del")): _*)
-          .withColumn("__src", lit(1)))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*)
-        .orderBy(col(versionCol).desc, col("__src").desc)
-      tagged.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1 && !col("__del"))
-        .drop("__rn", "__src", "__del")
-    }
     val fc = FileContext.getFileContext(new Path(path).toUri,
       spark.sessionState.newHadoopConf())
     if (partitionCols.isEmpty) {
       val tmpDir = s"$path.__merge_tmp"
-      latestWins(base, updates)
+      latestWins(base, updates, keys, versionCol, deleteCol)
         .write.mode(SaveMode.Overwrite).parquet(tmpDir)
       val aside = new Path(s"$path.__merge_old")
       if (fc.util.exists(aside)) fc.delete(aside, true)
@@ -163,7 +144,8 @@ object Layout {
         }.reduce(_ && _)
       }.reduceOption(_ || _).getOrElse(lit(false))
       val tmpDir = s"$path.__merge_tmp"
-      latestWins(base.filter(touchedPred), updates)
+      latestWins(base.filter(touchedPred), updates, keys, versionCol,
+          deleteCol)
         .write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(tmpDir)
       // swap each touched partition dir; untouched dirs are never read
@@ -192,6 +174,190 @@ object Layout {
       }
       fc.delete(tmpPath, true)
     }
+  }
+
+  /** Latest-wins key resolution shared by [[merge]] and [[mergeGen]]:
+    * version desc, then update-side-wins on ties. The window partitions
+    * on the full key, so this is ONE shuffle that also co-locates
+    * everything the rewrite needs. With `deleteCol` (CDC apply): a
+    * winning row whose flag is true REMOVES the key.
+    */
+  private def latestWins(b: DataFrame, u: DataFrame, keys: Seq[String],
+                         versionCol: String,
+                         deleteCol: Option[String]): DataFrame = {
+    val cols = b.columns.filterNot(deleteCol.contains)
+    val del = deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false))
+    val tagged = b.select(cols.map(col): _*)
+        .withColumn("__src", lit(0)).withColumn("__del", lit(false))
+      .unionByName(u.withColumn("__del", coalesce(del, lit(false)))
+        .select((cols.map(col) :+ col("__del")): _*)
+        .withColumn("__src", lit(1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("__del"))
+      .drop("__rn", "__src", "__del")
+  }
+
+  // ---- Generational tables: _CURRENT pointer + gen-N directories ----
+  //
+  // The cure for the between-renames window [[compact]]/[[merge]]
+  // document: maintenance writes the NEXT immutable generation
+  // directory and atomically swaps a one-line `_CURRENT` pointer file
+  // (write `_CURRENT.tmp`, rename with OVERWRITE) — so a reader
+  // resolves either the old table or the new one, never a half-renamed
+  // directory. Readers pin the generation once ([[readCurrent]]) and
+  // keep a consistent file listing for their whole query lifetime;
+  // superseded generations stay on disk for in-flight readers until
+  // [[reapGenerations]] deletes them after drain. The discipline is
+  // [[AnnIndex]]'s artifact layout generalized to any parquet table.
+  //
+  // A flat legacy directory (no `_CURRENT`) reads as generation 0 at
+  // `path` itself; its first generational maintenance writes `gen-1`
+  // beside the flat files and creates the pointer. After that, bare
+  // `spark.read.parquet(path)` fails loudly on the mixed listing —
+  // generational tables are read through [[readCurrent]]. Migrate
+  // during a maintenance window, then reap the flat files.
+
+  private def fileContext(spark: SparkSession, path: String): FileContext =
+    FileContext.getFileContext(new Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+
+  private def generationPath(path: String, g: Int): String =
+    if (g == 0) path else s"$path/gen-$g"
+
+  /** The live generation id, or None for a flat/missing table. */
+  def currentGeneration(spark: SparkSession, path: String): Option[Int] = {
+    val fc = fileContext(spark, path)
+    val cur = new Path(path, "_CURRENT")
+    if (!fc.util.exists(cur)) None
+    else {
+      val in = fc.open(cur)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Point `_CURRENT` at `gen` atomically (tmp write + rename OVERWRITE). */
+  private def swapCurrent(spark: SparkSession, path: String, gen: Int): Unit = {
+    val fc = fileContext(spark, path)
+    val tmp = new Path(path, "_CURRENT.tmp")
+    val cur = new Path(path, "_CURRENT")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(gen.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Read the LIVE generation of the table at `path` — the pointer is
+    * resolved once, here; the returned DataFrame's file listing stays
+    * pinned to that generation for its whole lifetime, so a concurrent
+    * [[compactGen]]/[[mergeGen]] never changes a running query's input.
+    */
+  def readCurrent(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(
+      generationPath(path, currentGeneration(spark, path).getOrElse(0)))
+
+  /** Delete any gen-N leftovers ABOVE the live generation — a crashed
+    * maintenance run's partial output (never pointed at, so never read). */
+  private def dropOrphanGenerations(spark: SparkSession, path: String,
+                                    current: Int): Unit = {
+    val fc = fileContext(spark, path)
+    val p = new Path(path)
+    if (fc.util.exists(p)) fc.util.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("gen-") &&
+          n.drop(4).forall(_.isDigit) && n.drop(4).toInt > current)
+        fc.delete(st.getPath, true)
+    }
+  }
+
+  /** [[compact]] with the generational discipline: rewrite the live
+    * generation partition-clustered as gen-(N+1), count-verify, swap
+    * `_CURRENT`. No reader ever observes a between-renames window;
+    * in-flight readers of gen-N keep it until reaped.
+    * Returns (files before, files after).
+    */
+  def compactGen(spark: SparkSession, path: String,
+                 partitionCols: Seq[String] = Nil): (Long, Long) = {
+    val cur = currentGeneration(spark, path).getOrElse(0)
+    dropOrphanGenerations(spark, path, cur)
+    val before = spark.read.parquet(generationPath(path, cur))
+    val filesBefore = before.inputFiles.length.toLong
+    val next = generationPath(path, cur + 1)
+    val writer = (if (partitionCols.nonEmpty)
+        before.repartition(partitionCols.map(col): _*)
+      else before.coalesce(math.max(1,
+        spark.sessionState.conf.numShufflePartitions)))
+      .write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(next)
+    val n0 = before.count()
+    val n1 = spark.read.parquet(next).count()
+    require(n1 == n0, s"compaction would lose rows: $n0 -> $n1; aborting")
+    swapCurrent(spark, path, cur + 1)
+    (filesBefore, spark.read.parquet(next).inputFiles.length.toLong)
+  }
+
+  /** [[merge]] with the generational discipline (unpartitioned form):
+    * latest-wins apply of `updates` onto the live generation, written
+    * as gen-(N+1) and swapped live. For partition-granular copy-on-write
+    * at scale use [[merge]] with `partitionCols` (partition-dir swap
+    * semantics) — a full new generation would rewrite untouched
+    * partitions, defeating the pruned-merge posture.
+    */
+  def mergeGen(spark: SparkSession, path: String, updates: DataFrame,
+               keys: Seq[String], versionCol: String,
+               deleteCol: Option[String] = None): Unit = {
+    require(keys.nonEmpty, "mergeGen needs at least one key column")
+    require(!keys.contains(versionCol), "versionCol cannot be a key")
+    deleteCol.foreach(d => require(updates.columns.contains(d),
+      s"update batch must carry the delete flag column '$d'"))
+    val cur = currentGeneration(spark, path).getOrElse(0)
+    dropOrphanGenerations(spark, path, cur)
+    val base = spark.read.parquet(generationPath(path, cur))
+    latestWins(base, updates, keys, versionCol, deleteCol)
+      .write.mode(SaveMode.Overwrite).parquet(generationPath(path, cur + 1))
+    swapCurrent(spark, path, cur + 1)
+  }
+
+  /** Delete superseded generations after in-flight readers drain:
+    * every gen-N below the live one, plus — once the table is
+    * generational — any flat legacy data files left in the root from
+    * the pre-migration layout. Returns the deleted generation ids
+    * (0 = the flat legacy files). Call this on YOUR drain schedule;
+    * the library cannot know when the last old-generation reader
+    * finished.
+    */
+  def reapGenerations(spark: SparkSession, path: String): Seq[Int] =
+    currentGeneration(spark, path) match {
+      case None => Seq.empty // flat table: nothing generational to reap
+      case Some(cur) => reapBelow(spark, path, cur)
+    }
+
+  private def reapBelow(spark: SparkSession, path: String,
+                        cur: Int): Seq[Int] = {
+    val fc = fileContext(spark, path)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[Int]
+    fc.util.listStatus(new Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("gen-") &&
+          n.drop(4).forall(_.isDigit) && n.drop(4).toInt < cur) {
+        fc.delete(st.getPath, true); deleted += n.drop(4).toInt
+      } else if (!st.isDirectory && n != "_CURRENT" &&
+          !n.startsWith("_CURRENT.")) {
+        // flat legacy data file (generation 0) superseded by gen-N
+        fc.delete(st.getPath, false)
+        if (!deleted.contains(0)) deleted += 0
+      }
+    }
+    deleted.toSeq.sorted
   }
 
   /** Write `df` to `path` range-clustered and sorted by `sortCols`:

@@ -170,6 +170,50 @@ class LayoutSpec extends SparkSpec {
     assert(got5.count() == 1 && got5.head().getDouble(1) == 99.0)
   }
 
+  test("generational: pinned reader survives concurrent compact; reap after drain") {
+    val dir = tmpDir("gen")
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")
+    for (b <- 0 until 4)
+      li.filter(pmod(col("l_orderkey"), lit(4)) === b)
+        .repartition(3).write.mode("append").parquet(dir)
+    val n = li.count()
+    // flat legacy dir migrates: first compactGen writes gen-1 + _CURRENT
+    assert(Layout.currentGeneration(spark, dir).isEmpty)
+    Layout.compactGen(spark, dir)
+    assert(Layout.currentGeneration(spark, dir).contains(1))
+    // pin a reader to gen-1 (its file listing resolves now)
+    val pinned = Layout.readCurrent(spark, dir)
+    assert(pinned.count() == n)
+    // concurrent maintenance: merge an update batch -> gen-2 swaps live
+    import spark.implicits._
+    val minKey = pinned.agg(min("l_orderkey")).as[Long].head()
+    val updates = Seq((minKey, -1.0, 1L)).toDF("l_orderkey", "l_quantity", "v")
+    val versioned = Layout.readCurrent(spark, dir).withColumn("v", lit(0L))
+    val vdir = tmpDir("genv")
+    versioned.write.parquet(vdir)            // flat
+    Layout.compactGen(spark, vdir)           // migrate -> gen-1
+    val pinnedV = Layout.readCurrent(spark, vdir)
+    Layout.mergeGen(spark, vdir, updates, Seq("l_orderkey"), "v")
+    assert(Layout.currentGeneration(spark, vdir).contains(2))
+    // the pinned reader STILL sees its generation — no torn window, no
+    // changed rows (old gen files are untouched on disk)
+    assert(pinnedV.filter(col("l_quantity") === -1.0).count() == 0)
+    assert(pinnedV.count() == n)
+    // new readers resolve the new generation: the merge landed
+    val live = Layout.readCurrent(spark, vdir)
+    assert(live.filter(col("l_quantity") === -1.0).count() == 1)
+    // reap after drain: gen-1 deleted, live generation intact
+    val reaped = Layout.reapGenerations(spark, vdir)
+    assert(reaped.contains(1), s"gen-1 reaped, got $reaped")
+    assert(!new java.io.File(vdir + "/gen-1").exists())
+    assert(Layout.readCurrent(spark, vdir)
+      .filter(col("l_quantity") === -1.0).count() == 1)
+    // back on the migrated flat table: reap deletes the flat legacy files
+    val reapedFlat = Layout.reapGenerations(spark, dir)
+    assert(reapedFlat.contains(0), s"flat legacy reaped, got $reapedFlat")
+    assert(Layout.readCurrent(spark, dir).count() == n)
+  }
+
   test("zorderWrite preserves rows and skips on BOTH z-columns") {
     val zdir = tmpDir("zorder")
     val ldir = tmpDir("linear")
