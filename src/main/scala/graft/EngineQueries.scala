@@ -370,6 +370,62 @@ object EngineQueries {
       s.read.parquet(out)
     }),
 
+    // STREAMING resample+ffill gated through batch q53's oracle (the
+    // m13 pattern): events restage as ONE data file plus two sentinel
+    // files (key -1, far-future ts) that advance the watermark across
+    // two extra micro-batches, so every real per-key grid bucket closes
+    // and emits before the finite AvailableNow drain ends — the emitted
+    // closed subset is then the ENTIRE q53 row set, and the memory sink
+    // must hash-match the same DuckDB oracle as batch. The sentinels'
+    // own buckets never close (nothing later advances past them) and
+    // their key is filtered out.
+    "m18_streaming_resample" -> ((s, dir) => {
+      import graft.streaming.{Resample, Streams}
+      val stage = tmp("m18")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select("user_id", "ts", "value")
+      // one ordered file per micro-batch (maxFilesPerTrigger=1): real
+      // data first, then the two watermark-advancing sentinels
+      val t0 = System.currentTimeMillis()
+      def stageFile(df: org.apache.spark.sql.DataFrame, n: String,
+                    mtimeOffsetMs: Long): Unit = {
+        val d = s"$stage/w_$n"
+        df.coalesce(1).write.parquet(d)
+        val part = new java.io.File(d).listFiles()
+          .filter(f => f.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(s"$stage/in/$n.parquet")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(part.toPath, dst)
+        // strictly increasing mtimes pin the file-source batch order
+        dst.toFile.setLastModified(t0 + mtimeOffsetMs)
+        ()
+      }
+      stageFile(ev, "00_data", 0L)
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      def sentinel(plusDays: Int) = {
+        import s.implicits._
+        Seq((-1L, new java.sql.Timestamp(
+          maxTs.getTime + plusDays * 86400000L), 0.0))
+          .toDF("user_id", "ts", "value")
+      }
+      stageFile(sentinel(2), "01_s1", 60000L)
+      stageFile(sentinel(4), "02_s2", 120000L)
+      val schema = s.read.parquet(s"$stage/in/00_data.parquet").schema
+      val src = Streams.fileMonitor(s, s"$stage/in", "parquet", schema,
+          options = Map("maxFilesPerTrigger" -> "1"))
+        .withWatermark("ts", "0 seconds")
+      val name = s"m18_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val q = Resample.ffill(src, 21600L)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("bucket_start"), col("n_obs"),
+          col("value_ffill"))
+    }),
+
     // Z-order clustered rewrite (Layout.zorderWrite): lineitem written
     // Z-clustered on (l_orderkey, l_partkey); the read-back hash match
     // proves the curve rewrite is row-exact (the skipping behavior is
@@ -412,6 +468,10 @@ object EngineQueries {
          WHERE rn = 1""",
     "m16_zorder_sink" ->
       "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
+    // the streaming resample lift shares batch q53's oracle verbatim —
+    // that sharing IS the gate's claim (batch ≡ stream on the closed
+    // grid, which the sentinel drain makes the WHOLE grid)
+    "m18_streaming_resample" -> RelationalQueries.oracles("q53_resample_ffill"),
     "m17_cdc_apply" ->
       """WITH base AS (
            SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS ver,

@@ -172,6 +172,49 @@ class SurfacesSpec extends SparkSpec {
     assert(first == Seq(("a", 3L), ("b", 1L)))
   }
 
+  test("streaming resample+ffill: closed-grid emission equals the batch operator") {
+    val dir = Files.createTempDirectory("stream_rsf").toString
+    // user 1: bucket 0 (two obs), GAP at 10, bucket 20, GAP at 30,
+    // bucket 40; user 2: single bucket. Step 10 s, base 2023-01-01T10Z.
+    Files.write(java.nio.file.Paths.get(dir, "e1.csv"),
+      ("2023-01-01T10:00:00,1,1.0\n2023-01-01T10:00:03,1,3.0\n" +
+       "2023-01-01T10:00:25,1,5.0\n2023-01-01T10:00:45,1,7.0\n" +
+       "2023-01-01T10:00:05,2,7.5\n").getBytes)
+    // sentinel key -1 advances the watermark in two later batches so
+    // every real bucket closes and emits before the finite drain ends;
+    // the sentinels' own buckets never close and are filtered out
+    Files.write(java.nio.file.Paths.get(dir, "e2.csv"),
+      "2023-01-02T10:00:00,-1,0.0\n".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "e3.csv"),
+      "2023-01-03T10:00:00,-1,0.0\n".getBytes)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val src = Streams.fileMonitor(spark, dir, "csv", schema,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .withWatermark("ts", "0 seconds")
+    val name = s"rsf_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = graft.streaming.Resample.ffill(src, 10L)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(name).filter(col("user_id") >= 0)
+      .orderBy("user_id", "bucket_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val batch = graft.operators.Relational.resampleFfill(
+        spark.read.schema(schema).csv(s"$dir/e1.csv")
+          .select(col("user_id"), col("ts").cast("long").as("ep"),
+            col("value")),
+        Seq("user_id"), "ep", 10L, "value")
+      .orderBy("user_id", "bucket_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got.size == 6) // 5 grid rows for user 1 (2 gaps) + 1 for user 2
+    assert(got.count(_._3 == 0L) == 2, "two gap buckets carried forward")
+  }
+
   test("streaming quantile sketch per window equals the batch sketch") {
     val dir = Files.createTempDirectory("stream_kll").toString
     val out = Files.createTempDirectory("stream_kll_out").toString
