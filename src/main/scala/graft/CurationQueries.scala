@@ -330,22 +330,38 @@ object CurationQueries {
     // the composition exercises the operators as a real intake would.
     "c07_curation_v2" -> ((s, dir) => {
       val d = docs(s, dir)
-      val kept = d.join(
-        Sampling.calibratedQuantileFilter(d, "lang", "doc_id",
-          qualityScore(col("text")), bins = 1000, qNum = 1, qDen = 2)
-          .select("doc_id"),
-        Seq("doc_id"))
-      // NOT persisted, by measurement: pinning kept/mixed here doubled
-      // the query (isolated A/B at sf0.1: ~60 s pinned vs ~30 s plain) —
-      // the stage boundaries carry full document rows, and InMemory
-      // scans of wide cached rows lose to re-running the pruned parquet
-      // path; the pair family already pins its own narrow shingle table
-      val mixed = Sampling.temperatureMix(kept, "source", "doc_id")
+      // ONE wide text scan scores every doc into a NARROW pinned
+      // (doc_id, lang, source, bin) table; calibration, temperature
+      // rates, the mix filter, and the final label join all read those
+      // pinned narrow rows instead of re-deriving the intake (which
+      // re-scanned + re-scored the wide text column per consumer —
+      // C07Probe attribution). Wide rows stay UNPINNED, by measurement:
+      // the round-8 A/B showed caching full document rows doubled the
+      // query (InMemory scans of wide cached rows lose to the pruned
+      // parquet path); a 4-column bin table is the opposite case. The
+      // threshold/rate/filter arithmetic is byte-identical to
+      // calibratedQuantileFilter + temperatureMix, so the oracle —
+      // and the result hash — are unchanged.
+      val scored = d.select(col("doc_id"), col("lang"), col("source"),
+          floor(qualityScore(col("text")) * lit(1000.0)).cast("long")
+            .as("bin"))
+        .persist()
+      val thr = Sampling.binnedQuantileThresholds(
+        scored.select(col("lang"), col("bin")), "lang", qNum = 1, qDen = 2)
+      val keptIds = scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("bin") >= col("thr_bin"))
+        .select("doc_id", "lang", "source")
+      val rates = Sampling.temperatureThresholds(keptIds, "source")
+      val mixedIds = keptIds.join(broadcast(rates), Seq("source"))
+        .filter(Sampling.splitHash(col("doc_id")) < col("__thr"))
+        .select("doc_id", "lang", "source")
+      // the pair family needs text: ONE more wide scan, joined once
+      val mixed = d.join(mixedIds.select("doc_id"), Seq("doc_id"))
       Dedup.leakageSafeSplit(mixed,
         Dedup.ngramJaccardPairs(mixed, "doc_id", "text",
           shingleSize = 3, threshold = 0.8), "doc_id",
         trainFrac = 0.8, valFrac = 0.1)
-        .join(mixed.select("doc_id", "lang", "source"), Seq("doc_id"))
+        .join(mixedIds, Seq("doc_id"))
         .select("doc_id", "lang", "source", "component", "split")
     }),
 
@@ -363,19 +379,29 @@ object CurationQueries {
     // the intake form to copy for web-scale corpora.
     "c08_curation_adversarial" -> ((s, dir) => {
       val d = docs(s, dir)
-      val kept = d.join(
-        Sampling.calibratedQuantileFilter(d, "lang", "doc_id",
-          qualityScore(col("text")), bins = 1000, qNum = 1, qDen = 2)
-          .select("doc_id"),
-        Seq("doc_id"))
-      val mixed = Sampling.temperatureMix(kept, "source", "doc_id")
+      // same one-scored-scan intake as c07 (see there); the banded
+      // pre-collapse sits between the mix and the exact pair family
+      val scored = d.select(col("doc_id"), col("lang"), col("source"),
+          floor(qualityScore(col("text")) * lit(1000.0)).cast("long")
+            .as("bin"))
+        .persist()
+      val thr = Sampling.binnedQuantileThresholds(
+        scored.select(col("lang"), col("bin")), "lang", qNum = 1, qDen = 2)
+      val keptIds = scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("bin") >= col("thr_bin"))
+        .select("doc_id", "lang", "source")
+      val rates = Sampling.temperatureThresholds(keptIds, "source")
+      val mixedIds = keptIds.join(broadcast(rates), Seq("source"))
+        .filter(Sampling.splitHash(col("doc_id")) < col("__thr"))
+        .select("doc_id", "lang", "source")
+      val mixed = d.join(mixedIds.select("doc_id"), Seq("doc_id"))
       val collapsed = Dedup.bandedPreCollapse(mixed, "doc_id", "text",
         shingleSize = 3, preThreshold = 0.9, numHashes = 64, bands = 16)
       Dedup.leakageSafeSplit(collapsed,
         Dedup.ngramJaccardPairs(collapsed, "doc_id", "text",
           shingleSize = 3, threshold = 0.8), "doc_id",
         trainFrac = 0.8, valFrac = 0.1)
-        .join(mixed.select("doc_id", "lang", "source"), Seq("doc_id"))
+        .join(mixedIds, Seq("doc_id"))
         .select("doc_id", "lang", "source", "component", "split")
     }),
 

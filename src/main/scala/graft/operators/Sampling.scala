@@ -188,11 +188,21 @@ object Sampling {
     */
   def quantileThresholds(
       df: DataFrame, groupCol: String, score: Column,
-      bins: Int, qNum: Int, qDen: Int): DataFrame = {
-    val hist = df
-      .select(col(groupCol),
-        floor(score * lit(bins.toDouble)).cast("long").as("bin"))
-      .groupBy(groupCol, "bin").agg(count(lit(1)).as("__n"))
+      bins: Int, qNum: Int, qDen: Int): DataFrame =
+    binnedQuantileThresholds(
+      df.select(col(groupCol),
+        floor(score * lit(bins.toDouble)).cast("long").as("bin")),
+      groupCol, qNum, qDen)
+
+  /** [[quantileThresholds]] over an ALREADY-binned table (groupCol,
+    * "bin"): identical arithmetic, no score recomputation. Exposed so a
+    * composition that scores documents once into a narrow cached table
+    * (the c07/c08 intake shape) can calibrate from it instead of
+    * re-scanning and re-scoring the wide text column per stage.
+    */
+  def binnedQuantileThresholds(binned: DataFrame, groupCol: String,
+                               qNum: Int, qDen: Int): DataFrame = {
+    val hist = binned.groupBy(groupCol, "bin").agg(count(lit(1)).as("__n"))
     val wCum = Window.partitionBy(groupCol).orderBy("bin")
     val wTot = Window.partitionBy(groupCol)
     hist
