@@ -30,6 +30,62 @@ object EngineQueries {
     catch { case _: java.sql.SQLException => } finally c.close()
   }
 
+  /** Shared harness of the m18/m19 streaming-resample gates (the m13
+    * pattern): events restage as ONE data file plus two sentinel files
+    * (key -1, far-future ts) that advance the watermark across two
+    * extra micro-batches (maxFilesPerTrigger=1, strictly increasing
+    * mtimes pin the order), so every real per-key grid bucket closes
+    * and emits before the finite AvailableNow drain ends — the emitted
+    * closed subset is then the ENTIRE batch-operator row set and the
+    * memory sink hash-matches the batch oracle. The sentinels' own
+    * buckets never close (nothing later advances past them) and their
+    * key is filtered out.
+    */
+  private def streamingResampleGate(s: SparkSession, dir: String,
+      tag: String, op: DataFrame => DataFrame,
+      valueCol: String): DataFrame = {
+    import graft.streaming.Streams
+    val stage = tmp(tag)
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("user_id", "ts", "value")
+    val t0 = System.currentTimeMillis()
+    def stageFile(df: DataFrame, n: String, mtimeOffsetMs: Long): Unit = {
+      val d = s"$stage/w_$n"
+      df.coalesce(1).write.parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(s"$stage/in/$n.parquet")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(t0 + mtimeOffsetMs)
+      ()
+    }
+    stageFile(ev, "00_data", 0L)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    def sentinel(plusDays: Int) = {
+      import s.implicits._
+      Seq((-1L, new java.sql.Timestamp(
+        maxTs.getTime + plusDays * 86400000L), 0.0))
+        .toDF("user_id", "ts", "value")
+    }
+    stageFile(sentinel(2), "01_s1", 60000L)
+    stageFile(sentinel(4), "02_s2", 120000L)
+    val schema = s.read.parquet(s"$stage/in/00_data.parquet").schema
+    val src = Streams.fileMonitor(s, s"$stage/in", "parquet", schema,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .withWatermark("ts", "0 seconds")
+    val name = s"${tag}_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = op(src)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("bucket_start"), col("n_obs"),
+        col(valueCol))
+  }
+
   val defs: Map[String, Q] = Map(
     // CSV sink+source roundtrip through an E->T->L pipeline (dialect:
     // pipe-delimited, headered). Oracle reads the parquet directly.
@@ -379,52 +435,19 @@ object EngineQueries {
     // must hash-match the same DuckDB oracle as batch. The sentinels'
     // own buckets never close (nothing later advances past them) and
     // their key is filtered out.
-    "m18_streaming_resample" -> ((s, dir) => {
-      import graft.streaming.{Resample, Streams}
-      val stage = tmp("m18")
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", col("ts").cast("timestamp"))
-        .select("user_id", "ts", "value")
-      // one ordered file per micro-batch (maxFilesPerTrigger=1): real
-      // data first, then the two watermark-advancing sentinels
-      val t0 = System.currentTimeMillis()
-      def stageFile(df: org.apache.spark.sql.DataFrame, n: String,
-                    mtimeOffsetMs: Long): Unit = {
-        val d = s"$stage/w_$n"
-        df.coalesce(1).write.parquet(d)
-        val part = new java.io.File(d).listFiles()
-          .filter(f => f.getName.endsWith(".parquet")).head
-        val dst = java.nio.file.Paths.get(s"$stage/in/$n.parquet")
-        java.nio.file.Files.createDirectories(dst.getParent)
-        java.nio.file.Files.move(part.toPath, dst)
-        // strictly increasing mtimes pin the file-source batch order
-        dst.toFile.setLastModified(t0 + mtimeOffsetMs)
-        ()
-      }
-      stageFile(ev, "00_data", 0L)
-      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-      def sentinel(plusDays: Int) = {
-        import s.implicits._
-        Seq((-1L, new java.sql.Timestamp(
-          maxTs.getTime + plusDays * 86400000L), 0.0))
-          .toDF("user_id", "ts", "value")
-      }
-      stageFile(sentinel(2), "01_s1", 60000L)
-      stageFile(sentinel(4), "02_s2", 120000L)
-      val schema = s.read.parquet(s"$stage/in/00_data.parquet").schema
-      val src = Streams.fileMonitor(s, s"$stage/in", "parquet", schema,
-          options = Map("maxFilesPerTrigger" -> "1"))
-        .withWatermark("ts", "0 seconds")
-      val name = s"m18_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-      val q = Resample.ffill(src, 21600L)
-        .writeStream.format("memory").queryName(name).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(name).filter(col("user_id") >= 0)
-        .select(col("user_id"), col("bucket_start"), col("n_obs"),
-          col("value_ffill"))
-    }),
+    "m18_streaming_resample" -> ((s, dir) =>
+      streamingResampleGate(s, dir, "m18",
+        src => graft.streaming.Resample.ffill(src, 21600L).toDF(),
+        "value_ffill")),
+
+    // The linear-interpolation sibling (q56's streaming lift): same
+    // drain, same state machine — gaps lerp toward the bucket that
+    // closes them instead of carrying the last value. Shares q56's
+    // oracle verbatim.
+    "m19_streaming_resample_interp" -> ((s, dir) =>
+      streamingResampleGate(s, dir, "m19",
+        src => graft.streaming.Resample.interp(src, 21600L),
+        "value_interp")),
 
     // Z-order clustered rewrite (Layout.zorderWrite): lineitem written
     // Z-clustered on (l_orderkey, l_partkey); the read-back hash match
@@ -472,6 +495,8 @@ object EngineQueries {
     // that sharing IS the gate's claim (batch ≡ stream on the closed
     // grid, which the sentinel drain makes the WHOLE grid)
     "m18_streaming_resample" -> RelationalQueries.oracles("q53_resample_ffill"),
+    "m19_streaming_resample_interp" ->
+      RelationalQueries.oracles("q56_resample_interp"),
     "m17_cdc_apply" ->
       """WITH base AS (
            SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS ver,

@@ -54,7 +54,26 @@ object Resample {
   /** `events` must carry (user_id castable-to-long, ts timestamp WITH a
     * watermark, value castable-to-double); `stepSeconds` is the grid.
     */
-  def ffill(events: DataFrame, stepSeconds: Long): Dataset[Filled] = {
+  def ffill(events: DataFrame, stepSeconds: Long): Dataset[Filled] =
+    grid(events, stepSeconds, lerp = false)
+
+  /** Streaming linear-interpolation resample — the continuous
+    * counterpart of batch [[graft.operators.Relational.resampleInterp]]
+    * (q56). Identical state machine to [[ffill]]: because a gap bucket
+    * only ever emits at the moment the NEXT observed bucket finalizes,
+    * both lerp endpoints are in hand at emission time — streaming
+    * interpolation costs nothing over forward fill (the batch plan's
+    * zero-extra-exchange property, mirrored in state). The lerp spells
+    * the batch operator's exact double arithmetic
+    * (`v0 + (v1-v0) * (t-t0)/(t1-t0)`), so batch and stream hash-match.
+    * Output column is `value_interp`.
+    */
+  def interp(events: DataFrame, stepSeconds: Long): DataFrame =
+    grid(events, stepSeconds, lerp = true)
+      .toDF().withColumnRenamed("value_ffill", "value_interp")
+
+  private def grid(events: DataFrame, stepSeconds: Long,
+                   lerp: Boolean): Dataset[Filled] = {
     require(stepSeconds > 0, "stepSeconds must be positive")
     implicit val pointEnc = Encoders.product[Point]
     implicit val stateEnc = Encoders.product[FillState]
@@ -89,15 +108,22 @@ object Resample {
           st.pending.keys.toArray.sorted
             .takeWhile(b => (b + stepSeconds) * 1000L <= wmMs)
             .foreach { b =>
+              val (s, n) = st.pending(b)
+              val v = new java.math.BigDecimal(s).doubleValue() / n
               if (st.hasLast) {
                 var g = st.lastBucket + stepSeconds
                 while (g < b) {
-                  out += Filled(user, g, 0L, st.lastValue)
+                  // gap: carry forward, or lerp toward the bucket that
+                  // is closing right now (batch q56's exact arithmetic)
+                  val gv =
+                    if (!lerp) st.lastValue
+                    else st.lastValue + (v - st.lastValue) *
+                      ((g - st.lastBucket).toDouble /
+                        (b - st.lastBucket).toDouble)
+                  out += Filled(user, g, 0L, gv)
                   g += stepSeconds
                 }
               }
-              val (s, n) = st.pending(b)
-              val v = new java.math.BigDecimal(s).doubleValue() / n
               out += Filled(user, b, n, v)
               st = FillState(st.pending - b, b, v, hasLast = true)
             }

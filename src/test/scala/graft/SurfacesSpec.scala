@@ -213,6 +213,31 @@ class SurfacesSpec extends SparkSpec {
     assert(got == batch, s"stream $got vs batch $batch")
     assert(got.size == 6) // 5 grid rows for user 1 (2 gaps) + 1 for user 2
     assert(got.count(_._3 == 0L) == 2, "two gap buckets carried forward")
+    // the interp sibling over the same drain equals batch resampleInterp
+    val name2 = s"rsi_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val src2 = Streams.fileMonitor(spark, dir, "csv", schema,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .withWatermark("ts", "0 seconds")
+    val q2 = graft.streaming.Resample.interp(src2, 10L)
+      .writeStream.format("memory").queryName(name2).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val gotI = spark.table(name2).filter(col("user_id") >= 0)
+      .orderBy("user_id", "bucket_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val batchI = graft.operators.Relational.resampleInterp(
+        spark.read.schema(schema).csv(s"$dir/e1.csv")
+          .select(col("user_id"), col("ts").cast("long").as("ep"),
+            col("value")),
+        Seq("user_id"), "ep", 10L, "value")
+      .orderBy("user_id", "bucket_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(gotI == batchI, s"stream $gotI vs batch $batchI")
+    // gaps are true lerps, not carries (differ from the ffill values)
+    assert(gotI.map(_._4) != got.map(_._4))
   }
 
   test("streaming quantile sketch per window equals the batch sketch") {
