@@ -449,6 +449,28 @@ object EngineQueries {
         src => graft.streaming.Resample.interp(src, 21600L),
         "value_interp")),
 
+    // Single-FILE sink fidelity (reference models.py:1366-1374): two
+    // halves of lineitem land in ONE CSV file via singleFile append —
+    // header exactly once, driver-stitched part bytes — and the read-
+    // back must hash-match the whole source table. SingleFileSpec pins
+    // the JSON/XML document shapes; this gates the append roundtrip
+    // end-to-end against DuckDB.
+    "m20_singlefile_append" -> ((s, dir) => {
+      val p = s"${tmp("single")}/li.csv"
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "l_orderkey long, l_linenumber int, l_quantity double, " +
+          "l_returnflag string")
+      val ctx = StepContext(s, cal)
+      CsvModel(p, delimiter = "|", singleFile = true)
+        .load(ctx, li.filter(pmod(col("l_orderkey"), lit(2)) === 0))
+      CsvModel(p, delimiter = "|", singleFile = true, append = true)
+        .load(ctx, li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0))
+      require(new java.io.File(p).isFile, "singleFile sink must be a FILE")
+      CsvModel(p, delimiter = "|", schema = Some(schema)).extract(ctx)
+    }),
+
     // Z-order clustered rewrite (Layout.zorderWrite): lineitem written
     // Z-clustered on (l_orderkey, l_partkey); the read-back hash match
     // proves the curve rewrite is row-exact (the skipping behavior is
@@ -497,6 +519,9 @@ object EngineQueries {
     "m18_streaming_resample" -> RelationalQueries.oracles("q53_resample_ffill"),
     "m19_streaming_resample_interp" ->
       RelationalQueries.oracles("q56_resample_interp"),
+    "m20_singlefile_append" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem""",
     "m17_cdc_apply" ->
       """WITH base AS (
            SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS ver,

@@ -53,8 +53,66 @@ abstract class FileModel extends PdModel {
     if (f.exists(new Path(p))) f.delete(new Path(p), true)
   }
 
+  /** Strict ONE-FILE sink layout (reference fidelity: the CSV/JSON/XML
+    * models write a single file at `path`, and append is read-modify-
+    * write — models.py:1366-1374, 1405-1409, 1441-1454). When true,
+    * the distributed write lands in a tmp directory and the DRIVER
+    * streams the part bytes into the single destination file, with
+    * format-aware stitching (CSV header once, JSON one top-level
+    * array, XML one root element). Append rewrites the destination
+    * (exactly the reference's semantics — there is no distributed
+    * append into one file). This is the small-export escape hatch the
+    * reference's users rely on, NOT the 100 TB path: partitioned
+    * directories are.
+    */
+  def singleFile: Boolean = false
+
   protected def maybeCoalesce(df: DataFrame): DataFrame =
     if (coalesce1) df.coalesce(1) else df
+
+  /** Run `writeTmp` into a tmp dir, then stitch its part files into the
+    * single file at `p` via `merge(parts, oldFile, out)`; `oldFile` is
+    * the pre-existing destination moved aside (append mode only). The
+    * destination is swapped via the rename-aside discipline so a crash
+    * leaves either the old file or the new one, never a torn half.
+    */
+  protected def materializeSingle(
+      ctx: StepContext, p: String, appendMode: Boolean,
+      writeTmp: String => Unit,
+      merge: (Seq[Path], Option[Path], java.io.OutputStream,
+        FileSystem) => Unit): LoadResult = {
+    val f = fs(ctx, p)
+    val tmpDir = new Path(p + ".__single_tmp")
+    f.delete(tmpDir, true)
+    writeTmp(tmpDir.toString)
+    val parts = f.listStatus(tmpDir)
+      .filter(s => s.isFile && s.getLen > 0 &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath).sortBy(_.getName).toSeq
+    val dest = new Path(p)
+    require(!f.exists(dest) || f.getFileStatus(dest).isFile,
+      s"single-file sink target $p exists and is a directory")
+    val aside = new Path(p + ".__single_old")
+    f.delete(aside, true)
+    val old = if (appendMode && f.exists(dest)) {
+      f.rename(dest, aside); Some(aside)
+    } else None
+    val out = f.create(dest, true)
+    try merge(parts, old, out, f) finally out.close()
+    old.foreach(a => f.delete(a, false))
+    f.delete(tmpDir, true)
+    LoadResult(-1L, f.getFileStatus(dest).getLen, 1L)
+  }
+
+  /** Whole-file read — single-file stitching is a driver-side export
+    * path and the reference's own append is a full read-modify-write. */
+  protected def readFully(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
 
   protected def writeStats(ctx: StepContext, p: String): (Long, Long) = {
     val f = fs(ctx, p)
@@ -91,6 +149,7 @@ final case class CsvModel(
     stringType: Boolean = false,
     append: Boolean = false,
     override val coalesce1: Boolean = false,
+    override val singleFile: Boolean = false,
     override val knobs: ModelKnobs = ModelKnobs())
   extends FileModel with Extractable with Loadable {
 
@@ -113,6 +172,7 @@ final case class CsvModel(
 
   protected def write(ctx: StepContext, df: DataFrame): LoadResult = {
     val p = resolvedPath(ctx)
+    if (singleFile) return writeSingle(ctx, p, df)
     maybeCoalesce(df).write
       .mode(if (append) SaveMode.Append else SaveMode.Overwrite)
       .options(commonOpts)
@@ -123,13 +183,47 @@ final case class CsvModel(
     LoadResult(-1L, bytes, files) // rows filled by the step's metrics listener
   }
 
+  /** One CSV file at `p` (models.py:1366-1374): header written exactly
+    * once (creation only — an append never repeats it, like the
+    * reference's writeheader-on-create), part bytes streamed after it.
+    */
+  private def writeSingle(ctx: StepContext, p: String,
+                          df: DataFrame): LoadResult =
+    materializeSingle(ctx, p, append,
+      tmp => df.write.mode(SaveMode.Overwrite).options(commonOpts)
+        .option("header", head)
+        .option("quoteAll", enclosure.isDefined)
+        .csv(tmp),
+      (parts, old, out, f) => {
+        var headerDone = false
+        old.foreach { o =>
+          val in = f.open(o)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          finally in.close()
+          headerDone = true
+        }
+        parts.foreach { part =>
+          val in = f.open(part)
+          try {
+            if (head && headerDone) {
+              // skip this part's header line (bytewise to first \n)
+              var b = in.read()
+              while (b != -1 && b != '\n') b = in.read()
+            }
+            org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          } finally in.close()
+          headerDone = true
+        }
+      })
+
   override def clean(ctx: StepContext): Unit = delete(ctx)
 }
 
 /** JSON source + sink (models.py:1379-1411). The reference holds ONE file
-  * with a top-level array; `multiline=true` reads that layout. Writes are
-  * JSON-lines part files (the distributed-native layout — the reference's
-  * read-modify-write append has no distributed analogue, SURVEY.md §7.4.2).
+  * with a top-level array; `multiline=true` reads that layout. Default
+  * writes are JSON-lines part files (the distributed-native layout,
+  * SURVEY.md §7.4.2); `singleFile=true` reproduces the reference's exact
+  * one-file top-level-array document, including read-modify-write append.
   */
 final case class JsonModel(
     path: String,
@@ -137,6 +231,7 @@ final case class JsonModel(
     encoding: String = "UTF-8",
     append: Boolean = false,
     override val coalesce1: Boolean = false,
+    override val singleFile: Boolean = false,
     override val knobs: ModelKnobs = ModelKnobs())
   extends FileModel with Extractable with Loadable {
 
@@ -148,12 +243,46 @@ final case class JsonModel(
 
   protected def write(ctx: StepContext, df: DataFrame): LoadResult = {
     val p = resolvedPath(ctx)
+    if (singleFile) return writeSingle(ctx, p, df)
     maybeCoalesce(df).write
       .mode(if (append) SaveMode.Append else SaveMode.Overwrite)
       .json(p)
     val (files, bytes) = writeStats(ctx, p)
     LoadResult(-1L, bytes, files)
   }
+
+  /** One JSON file holding a TOP-LEVEL ARRAY — the reference's exact
+    * layout (models.py:1379-1411, json.load/json.dump of a list);
+    * readable back with the default `multiline=true`. Append splices
+    * the new objects before the old file's closing bracket (the
+    * reference's read-modify-write, performed once on the driver).
+    */
+  private def writeSingle(ctx: StepContext, p: String,
+                          df: DataFrame): LoadResult =
+    materializeSingle(ctx, p, append,
+      tmp => df.write.mode(SaveMode.Overwrite).json(tmp),
+      (parts, old, out, f) => {
+        val w = new java.io.OutputStreamWriter(out,
+          java.nio.charset.StandardCharsets.UTF_8)
+        var first = true
+        old.foreach { o =>
+          // old array minus its closing bracket (and trailing space)
+          val body = readFully(f, o).trim.stripSuffix("]").trim
+            .stripSuffix(",")
+          w.write(body)
+          first = body.trim == "[" // old array was empty
+        }
+        if (old.isEmpty) w.write("[")
+        parts.foreach { part =>
+          readFully(f, part).linesIterator
+            .filter(_.nonEmpty).foreach { line =>
+              if (!first) w.write(",\n") else first = false
+              w.write(line)
+            }
+        }
+        w.write("]\n")
+        w.flush()
+      })
 
   override def clean(ctx: StepContext): Unit = delete(ctx)
 }
@@ -169,6 +298,7 @@ final case class XmlModel(
     encoding: String = "UTF-8",
     append: Boolean = false,
     override val coalesce1: Boolean = false,
+    override val singleFile: Boolean = false,
     override val knobs: ModelKnobs = ModelKnobs())
   extends FileModel with Extractable with Loadable {
 
@@ -180,6 +310,7 @@ final case class XmlModel(
 
   protected def write(ctx: StepContext, df: DataFrame): LoadResult = {
     val p = resolvedPath(ctx)
+    if (singleFile) return writeSingle(ctx, p, df)
     maybeCoalesce(df).write
       .mode(if (append) SaveMode.Append else SaveMode.Overwrite)
       .format("xml")
@@ -188,6 +319,51 @@ final case class XmlModel(
       .save(p)
     val (files, bytes) = writeStats(ctx, p)
     LoadResult(-1L, bytes, files)
+  }
+
+  /** One XML file: declaration + a single `rootTag` element wrapping
+    * every record (models.py:1414-1456's exact document shape). Each
+    * part file carries its own declaration + root, so the stitch keeps
+    * the first part's preamble, splices later parts' row content, and
+    * closes the root once; append splices before the old file's
+    * closing root tag (the reference's read-modify-write).
+    */
+  private def writeSingle(ctx: StepContext, p: String,
+                          df: DataFrame): LoadResult = {
+    val rootClose = s"</$rootTag>"
+    def rowsOf(xml: String): String = {
+      // content strictly inside the root element (handles both
+      // <root>...</root> and an empty self-closing/absent body)
+      val open = xml.indexOf(s"<$rootTag")
+      if (open < 0) "" else {
+        val bodyStart = xml.indexOf('>', open) + 1
+        val close = xml.lastIndexOf(rootClose)
+        if (close <= bodyStart) "" else xml.substring(bodyStart, close)
+      }
+    }
+    materializeSingle(ctx, p, append,
+      tmp => df.write.mode(SaveMode.Overwrite).format("xml")
+        .option("rowTag", rowTag).option("rootTag", rootTag)
+        .option("declaration", s"""version="1.0" encoding="$encoding"""")
+        .save(tmp),
+      (parts, old, out, f) => {
+        val w = new java.io.OutputStreamWriter(out,
+          java.nio.charset.StandardCharsets.UTF_8)
+        old match {
+          case Some(o) =>
+            val oldXml = readFully(f, o)
+            val close = oldXml.lastIndexOf(rootClose)
+            require(close >= 0,
+              s"append target $p is not a $rootTag-rooted XML document")
+            w.write(oldXml.substring(0, close))
+          case None =>
+            w.write("<?xml version=\"1.0\" encoding=\"" + encoding +
+              "\"?>\n" + s"<$rootTag>")
+        }
+        parts.foreach(part => w.write(rowsOf(readFully(f, part))))
+        w.write(s"\n$rootClose\n")
+        w.flush()
+      })
   }
 
   override def clean(ctx: StepContext): Unit = delete(ctx)
