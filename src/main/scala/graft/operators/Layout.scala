@@ -49,15 +49,20 @@ object Layout {
     val before = spark.read.parquet(path)
     val filesBefore = before.inputFiles.length.toLong
     val tmp = s"$path.__compact_tmp"
+    // source row count observed DURING the rewrite scan (Observation
+    // metric) — no second source pass; the landed count cross-checks
+    // against it from parquet footers only
+    val obs = org.apache.spark.sql.Observation()
+    val observed = before.observe(obs, count(lit(1)).as("n"))
     val writer = (if (partitionCols.nonEmpty)
-        before.repartition(partitionCols.map(col): _*)
-      else before.coalesce(math.max(1,
+        observed.repartition(partitionCols.map(col): _*)
+      else observed.coalesce(math.max(1,
         spark.sessionState.conf.numShufflePartitions)))
       .write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(tmp)
     // verify BEFORE the swap: a lost-rows compaction must never land
-    val n0 = before.count()
+    val n0 = obs.get("n").asInstanceOf[Long]
     val n1 = spark.read.parquet(tmp).count()
     require(n1 == n0, s"compaction would lose rows: $n0 -> $n1; aborting")
     // dir-over-dir rename cannot OVERWRITE a non-empty target, so swap
@@ -291,14 +296,17 @@ object Layout {
     val before = spark.read.parquet(generationPath(path, cur))
     val filesBefore = before.inputFiles.length.toLong
     val next = generationPath(path, cur + 1)
+    // one source pass: row count observed during the rewrite scan
+    val obs = org.apache.spark.sql.Observation()
+    val observed = before.observe(obs, count(lit(1)).as("n"))
     val writer = (if (partitionCols.nonEmpty)
-        before.repartition(partitionCols.map(col): _*)
-      else before.coalesce(math.max(1,
+        observed.repartition(partitionCols.map(col): _*)
+      else observed.coalesce(math.max(1,
         spark.sessionState.conf.numShufflePartitions)))
       .write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(next)
-    val n0 = before.count()
+    val n0 = obs.get("n").asInstanceOf[Long]
     val n1 = spark.read.parquet(next).count()
     require(n1 == n0, s"compaction would lose rows: $n0 -> $n1; aborting")
     swapCurrent(spark, path, cur + 1)
