@@ -143,6 +143,23 @@ object CurationQueries {
     // histogram (a bounded partial aggregate — an exact per-group
     // percentile would buffer every value of the group, unboundable at
     // 100 TB). The cut is a bin edge: integer-exact end to end.
+    // BM25 lexical top-k retrieval (rational-idf mode — every op in the
+    // score is +,-,*,/ over exactly-representable inputs, so DuckDB
+    // reproduces it bit-exact; the standard log-idf ranking is the
+    // operator default, spec-tested, and kept out of hash gates per the
+    // repo's no-transcendentals oracle discipline). Three fixture-vocab
+    // queries, top-10 docs each by (score desc, doc asc).
+    "t18_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark join window"),
+        (2L, "fast hash merge batch"),
+        (3L, "slow scan filter vector")).toDF("query_id", "qtext")
+      graft.operators.Retrieval.bm25(
+        docs(s, dir), "doc_id", "text", queries, "query_id", "qtext",
+        topK = 10, logIdf = false)
+    }),
+
     "t16_calibrated_quality" -> ((s, dir) => {
       Sampling.calibratedQuantileFilter(docs(s, dir), "lang", "doc_id",
         qualityScore(col("text")), bins = 1000, qNum = 1, qDen = 2)
@@ -674,6 +691,47 @@ object CurationQueries {
                 ELSE 'test' END AS split
          FROM comp JOIN mixed m2 ON comp.doc_id = m2.doc_id"""
     },
+    // oracle spells the identical IEEE op order as the Scala plan
+    // (idf * (num / den), (1.2 + 1.0) computed, avgdl = S/N inline) so
+    // every double is bit-equal; per-(query,doc) term scores sum via
+    // DECIMAL(38,6) on both sides
+    "t18_bm25_topk" ->
+      """WITH q(query_id, qtext) AS (VALUES
+           (CAST(1 AS BIGINT), 'spark join window'),
+           (CAST(2 AS BIGINT), 'fast hash merge batch'),
+           (CAST(3 AS BIGINT), 'slow scan filter vector')),
+         qt AS (SELECT query_id AS qid,
+                  unnest(list_distinct(regexp_split_to_array(
+                    lower(trim(qtext)), '\s+'))) AS term FROM q),
+         dlen AS (SELECT doc_id AS doc,
+                    len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                      AS len FROM documents),
+         stats AS (SELECT count(*) AS n, sum(len) AS s FROM dlen),
+         dtok AS (SELECT doc_id AS doc,
+                    unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                      AS term FROM documents),
+         tf AS (SELECT doc, term, count(*) AS tf FROM dtok
+                WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         w AS (SELECT qt.qid, tf.doc,
+                 ((CAST(stats.n AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+                    / (CAST(dft.df AS DOUBLE) + 0.5))
+                 * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+                       * (CAST(dlen.len AS DOUBLE)
+                          / (CAST(stats.s AS DOUBLE)
+                             / CAST(stats.n AS DOUBLE)))))) AS w
+               FROM qt JOIN tf USING (term) JOIN dft USING (term)
+                 JOIN dlen ON dlen.doc = tf.doc, stats),
+         sc AS (SELECT qid, doc,
+                  CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS score,
+                  count(*) AS n_terms
+                FROM w GROUP BY 1, 2)
+         SELECT qid, doc AS doc_id, CAST(rn AS INTEGER) AS rank, score,
+                n_terms
+         FROM (SELECT sc.*, row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc ASC) AS rn FROM sc)
+         WHERE rn <= 10""",
     "t16_calibrated_quality" ->
       s"""WITH q AS (SELECT doc_id, lang,
            CAST(floor((${CorpusQueries.qualitySqlExpr}) * 1000.0) AS BIGINT)

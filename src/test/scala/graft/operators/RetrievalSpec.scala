@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "apple banana apple cherry"),     // both query terms, tf(apple)=2
+      (2L, "apple date date date date date"),// one query term, longer doc
+      (3L, "banana banana"),                 // one query term, short doc
+      (4L, "date cherry fig")                // no query terms
+    ).toDF("doc_id", "text")
+  }
+
+  private def query = {
+    import spark.implicits._
+    Seq((7L, "apple banana")).toDF("query_id", "qtext")
+  }
+
+  test("bm25 (log idf): matching docs only, sane ranking, exact score") {
+    val got = Retrieval.bm25(corpus, "doc_id", "text",
+        query, "query_id", "qtext", topK = 10)
+      .orderBy("rank").collect()
+    // doc 4 has no query terms: absent
+    assert(got.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+    // doc 1 matches BOTH terms (one at tf=2): must rank first
+    assert(got.head.getLong(1) == 1L)
+    assert(got.head.getLong(4) == 2L, "doc 1 matched both terms")
+    // exact score check for doc 3 (single term, closed form):
+    // N=4, S=4+6+2+3=15, avgdl=15/4; banana: df=2, tf=2, len=2
+    val n = 4.0; val avgdl = 15.0 / 4.0
+    val idf = math.log((n - 2.0 + 0.5) / (2.0 + 0.5) + 1.0)
+    val w = idf * ((2.0 * (1.2 + 1.0)) /
+      (2.0 + 1.2 * ((1.0 - 0.75) + 0.75 * (2.0 / avgdl))))
+    val expected = new java.math.BigDecimal(w)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val doc3 = got.find(_.getLong(1) == 3L).get
+    assert(doc3.getDouble(3) == expected,
+      s"got ${doc3.getDouble(3)}, expected $expected")
+  }
+
+  test("bm25: tf saturates (k1) and length normalizes (b)") {
+    import spark.implicits._
+    // same tf, different lengths: shorter doc scores higher
+    val c = Seq((1L, "x x filler filler filler filler filler filler"),
+      (2L, "x x")).toDF("doc_id", "text")
+    val q = Seq((1L, "x")).toDF("query_id", "qtext")
+    val r = Retrieval.bm25(c, "doc_id", "text", q, "query_id", "qtext")
+      .orderBy("rank").collect()
+    assert(r.head.getLong(1) == 2L, "shorter doc ranks first at equal tf")
+    // saturation: tf 100 vs tf 1 is far less than 100x the score
+    val c2 = Seq((1L, ("x " * 100).trim), (2L, "x"))
+      .toDF("doc_id", "text")
+    val r2 = Retrieval.bm25(c2, "doc_id", "text", q, "query_id", "qtext")
+      .collect().map(row => row.getLong(1) -> row.getDouble(3)).toMap
+    assert(r2(1L) < r2(2L) * 25.0, s"tf must saturate, got $r2")
+  }
+
+  test("bm25 rational mode: same candidate set, deterministic reruns") {
+    val a = Retrieval.bm25(corpus, "doc_id", "text", query,
+      "query_id", "qtext", logIdf = false).collect()
+    val b = Retrieval.bm25(corpus, "doc_id", "text", query,
+      "query_id", "qtext", logIdf = false).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    assert(a.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("bm25 topK truncates per query with deterministic tie-break") {
+    import spark.implicits._
+    // 5 identical docs: identical scores, rank by doc_id asc
+    val c = (1L to 5L).map(i => (i, "x y")).toDF("doc_id", "text")
+    val q = Seq((1L, "x")).toDF("query_id", "qtext")
+    val r = Retrieval.bm25(c, "doc_id", "text", q, "query_id", "qtext",
+      topK = 3).orderBy("rank").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+  }
+}
