@@ -449,6 +449,34 @@ object EngineQueries {
         src => graft.streaming.Resample.interp(src, 21600L),
         "value_interp")),
 
+    // STREAMING BM25 scoring gated through the batch oracle: the model
+    // (per-query term idfs + corpus length stats, rational-idf mode) is
+    // calibrated on the BATCH documents table, then the same documents
+    // stream through the file monitor and score STATELESSLY (HOF
+    // projection, no state, no watermark — batch ≡ stream by
+    // construction, so no sentinel drain is needed). The memory sink
+    // must hash-match the all-pairs scoring CTE of t18's oracle.
+    "m21_streaming_bm25" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark join window"),
+        (2L, "fast hash merge batch"),
+        (3L, "slow scan filter vector")).toDF("query_id", "qtext")
+      val docsBatch = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.Retrieval.bm25Model(docsBatch,
+        "doc_id", "text", queries, "query_id", "qtext", logIdf = false)
+      val src = Streams.fileMonitor(s, s"$dir/documents.parquet*",
+        "parquet", docsBatch.schema)
+      val name = s"m21_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val q = Streams.bm25Score(src, model, "doc_id", "text")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // Single-FILE sink fidelity (reference models.py:1366-1374): two
     // halves of lineitem land in ONE CSV file via singleFile append —
     // header exactly once, driver-stitched part bytes — and the read-
@@ -522,6 +550,41 @@ object EngineQueries {
     "m20_singlefile_append" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
          FROM lineitem""",
+    // the all-pairs scoring half of t18's oracle (no top-k: ranking a
+    // stream is a bounded aggregation done downstream of the sink) —
+    // sharing the arithmetic IS the gate's batch ≡ stream claim
+    "m21_streaming_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+           (CAST(1 AS BIGINT), 'spark join window'),
+           (CAST(2 AS BIGINT), 'fast hash merge batch'),
+           (CAST(3 AS BIGINT), 'slow scan filter vector')),
+         qt AS (SELECT query_id AS qid,
+                  unnest(list_distinct(regexp_split_to_array(
+                    lower(trim(qtext)), '\s+'))) AS term FROM q),
+         dlen AS (SELECT doc_id AS doc,
+                    len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                      AS len FROM documents),
+         stats AS (SELECT count(*) AS n, sum(len) AS s FROM dlen),
+         dtok AS (SELECT doc_id AS doc,
+                    unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                      AS term FROM documents),
+         tf AS (SELECT doc, term, count(*) AS tf FROM dtok
+                WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         w AS (SELECT qt.qid, tf.doc,
+                 ((CAST(stats.n AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+                    / (CAST(dft.df AS DOUBLE) + 0.5))
+                 * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+                       * (CAST(dlen.len AS DOUBLE)
+                          / (CAST(stats.s AS DOUBLE)
+                             / CAST(stats.n AS DOUBLE)))))) AS w
+               FROM qt JOIN tf USING (term) JOIN dft USING (term)
+                 JOIN dlen ON dlen.doc = tf.doc, stats)
+         SELECT qid, doc AS doc_id,
+           CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS score,
+           count(*) AS n_terms
+         FROM w GROUP BY 1, 2""",
     "m17_cdc_apply" ->
       """WITH base AS (
            SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS ver,

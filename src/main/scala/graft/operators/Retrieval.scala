@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -88,5 +88,101 @@ object Retrieval {
       .filter(col("rank") <= topK)
       .select(col("qid"), col("doc").as("doc_id"), col("rank"),
         col("score"), col("n_terms"))
+  }
+
+  /** A calibrated BM25 scoring model: per-query (term, idf) weight
+    * lists plus the corpus length stats — computed ONCE on a reference
+    * corpus (the same df/idf/avgdl arithmetic as [[bm25]]) and applied
+    * elsewhere: to a later batch or to a document STREAM. The
+    * quantileThresholds / temperatureThresholds posture: per-microbatch
+    * corpus statistics would drift with arrival order, so the stats are
+    * batch-derived and ride into the stream as literals.
+    */
+  final case class Bm25Model(queries: Seq[(Long, Seq[(String, Double)])],
+                             avgdl: Double, k1: Double, b: Double)
+
+  /** Calibrate a [[Bm25Model]] from a reference corpus. Bounded driver
+    * collect: |query terms| rows (the query side is small by contract).
+    */
+  def bm25Model(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, qIdCol: String, qTextCol: String,
+                k1: Double = 1.2, b: Double = 0.75,
+                logIdf: Boolean = true): Bm25Model = {
+    import graft.functions.TextFunctions.tokens
+    val qTerms = queries.select(col(qIdCol).as("qid"),
+      explode(array_distinct(tokens(col(qTextCol)))).as("term"))
+    val statsRow = docs
+      .select(size(tokens(col(textCol))).as("__len"))
+      .agg(count(lit(1)).as("n"), sum("__len").as("s")).head()
+    val n = statsRow.getLong(0)
+    val s = statsRow.getLong(1)
+    require(n > 0, "bm25Model needs a non-empty corpus")
+    val termSet = broadcast(qTerms.select("term").distinct())
+    val dft = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .join(termSet, Seq("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf =
+      if (logIdf)
+        log((lit(n).cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      else
+        (lit(n).cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))
+    val weights = qTerms.join(dft, Seq("term"))
+      .select(col("qid"), col("term"), idf.as("idf"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    Bm25Model(
+      weights.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq
+        .sortBy(_._1)).toSeq.sortBy(_._1)
+        .map { case (q, ts) => (q, ts) },
+      s.toDouble / n.toDouble, k1, b)
+  }
+
+  /** STATELESS BM25 scoring of a document batch OR STREAM against a
+    * broadcast [[Bm25Model]]: per row, each query's score is an
+    * `aggregate` higher-order function over the literal (term, idf)
+    * list — tf via `size(filter(tokens, _ == term))`, the same weight
+    * arithmetic as [[bm25]], accumulated in DECIMAL(38,6) so the result
+    * equals the batch decSum bit for bit. No join, no aggregation, no
+    * watermark: batch ≡ stream by construction (the lmScore /
+    * calibratedFilter lift shape). Emits (qid, doc_id, score, n_terms)
+    * for every doc matching ≥ 1 term of the query.
+    *
+    * Global top-k is inherently a bounded aggregation — rank the
+    * sink/output table downstream; the scoring itself is the
+    * corpus-scale stateless part.
+    */
+  def bm25ScoreBroadcast(docs: DataFrame, idCol: String, textCol: String,
+                         model: Bm25Model): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    require(model.queries.nonEmpty, "model has no queries")
+    val toks = tokens(col(textCol))
+    val len = size(toks).cast("double")
+    def tfOf(term: Column): Column =
+      size(filter(toks, x => x === term)).cast("double")
+    val perQuery: Seq[Column] = model.queries.map { case (qid, terms) =>
+      val termLit = typedlit(terms)
+      val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)")
+      val score = aggregate(termLit, zero, (acc, t) => {
+        val tf = tfOf(t.getField("_1"))
+        val w = t.getField("_2") * ((tf * lit(model.k1 + 1.0)) /
+          (tf + lit(model.k1) * (lit(1.0 - model.b) +
+            lit(model.b) * (len / lit(model.avgdl)))))
+        acc + when(tf > lit(0.0), w.cast("decimal(38,6)"))
+          .otherwise(zero)
+      }).cast("double")
+      val nTerms = size(filter(termLit,
+        t => tfOf(t.getField("_1")) > lit(0.0))).cast("long")
+      struct(lit(qid).as("qid"), score.as("score"), nTerms.as("n_terms"))
+    }
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(array(perQuery: _*)).as("q"))
+      .select(col("q.qid").as("qid"), col("doc_id"),
+        col("q.score").as("score"), col("q.n_terms").as("n_terms"))
+      .filter(col("n_terms") > 0)
   }
 }

@@ -266,6 +266,21 @@ object Streams {
               idCol: String, textCol: String): DataFrame =
     graft.operators.LmScore.bigramFitBroadcast(docs, model, idCol, textCol)
 
+  /** Streaming BM25 scoring: a batch-calibrated
+    * [[graft.operators.Retrieval.Bm25Model]] (per-query term idf
+    * weights + corpus length stats) rides into the stream as literals,
+    * and scoring is a stateless higher-order-function projection — no
+    * join, no aggregation, no watermark. Batch ≡ stream by
+    * construction; per-microbatch df/avgdl would drift with arrival
+    * order, so the stats are reference-corpus-derived (the
+    * calibratedFilter / temperatureMix posture). Rank the scored sink
+    * downstream for top-k.
+    */
+  def bm25Score(docs: DataFrame,
+                model: graft.operators.Retrieval.Bm25Model,
+                idCol: String, textCol: String): DataFrame =
+    graft.operators.Retrieval.bm25ScoreBroadcast(docs, idCol, textCol, model)
+
   /** Continuous ingestion: stream files from `srcPath` into a partitioned
     * parquet sink with exactly-once file tracking via the checkpoint.
     * The streaming E->L step.

@@ -69,6 +69,21 @@ class RetrievalSpec extends SparkSpec {
     assert(a.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
   }
 
+  test("bm25ScoreBroadcast equals the batch scores bit for bit") {
+    val model = Retrieval.bm25Model(corpus, "doc_id", "text",
+      query, "query_id", "qtext")
+    val broadcastScores = Retrieval
+      .bm25ScoreBroadcast(corpus, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val batch = Retrieval.bm25(corpus, "doc_id", "text",
+        query, "query_id", "qtext", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getLong(4))).toMap
+    assert(broadcastScores == batch,
+      s"broadcast $broadcastScores vs batch $batch")
+  }
+
   test("bm25 topK truncates per query with deterministic tie-break") {
     import spark.implicits._
     // 5 identical docs: identical scores, rank by doc_id asc
