@@ -41,36 +41,48 @@ object EngineQueries {
     * buckets never close (nothing later advances past them) and their
     * key is filtered out.
     */
+  /** m18/m19 share one staged input per source dir: the staged files
+    * ARE the gate's input (deterministic restage of events + two
+    * sentinels), so re-staging per gate and per bench pass would only
+    * re-pay the coalesce(1) write — memoized per process. Each RUN
+    * still gets its own stream (fresh checkpoint, fresh memory sink).
+    */
+  private val resampleStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def streamingResampleGate(s: SparkSession, dir: String,
       tag: String, op: DataFrame => DataFrame,
       valueCol: String): DataFrame = {
     import graft.streaming.Streams
-    val stage = tmp(tag)
-    val ev = s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .select("user_id", "ts", "value")
-    val t0 = System.currentTimeMillis()
-    def stageFile(df: DataFrame, n: String, mtimeOffsetMs: Long): Unit = {
-      val d = s"$stage/w_$n"
-      df.coalesce(1).write.parquet(d)
-      val part = new java.io.File(d).listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head
-      val dst = java.nio.file.Paths.get(s"$stage/in/$n.parquet")
-      java.nio.file.Files.createDirectories(dst.getParent)
-      java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(t0 + mtimeOffsetMs)
-      ()
-    }
-    stageFile(ev, "00_data", 0L)
-    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-    def sentinel(plusDays: Int) = {
-      import s.implicits._
-      Seq((-1L, new java.sql.Timestamp(
-        maxTs.getTime + plusDays * 86400000L), 0.0))
-        .toDF("user_id", "ts", "value")
-    }
-    stageFile(sentinel(2), "01_s1", 60000L)
-    stageFile(sentinel(4), "02_s2", 120000L)
+    val stage = resampleStageCache.computeIfAbsent(dir, _ => {
+      val st = tmp("resample_stage")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select("user_id", "ts", "value")
+      val t0 = System.currentTimeMillis()
+      def stageFile(df: DataFrame, n: String, mtimeOffsetMs: Long): Unit = {
+        val d = s"$st/w_$n"
+        df.coalesce(1).write.parquet(d)
+        val part = new java.io.File(d).listFiles()
+          .filter(f => f.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(s"$st/in/$n.parquet")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(t0 + mtimeOffsetMs)
+        ()
+      }
+      stageFile(ev, "00_data", 0L)
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      def sentinel(plusDays: Int) = {
+        import s.implicits._
+        Seq((-1L, new java.sql.Timestamp(
+          maxTs.getTime + plusDays * 86400000L), 0.0))
+          .toDF("user_id", "ts", "value")
+      }
+      stageFile(sentinel(2), "01_s1", 60000L)
+      stageFile(sentinel(4), "02_s2", 120000L)
+      st
+    })
     val schema = s.read.parquet(s"$stage/in/00_data.parquet").schema
     val src = Streams.fileMonitor(s, s"$stage/in", "parquet", schema,
         options = Map("maxFilesPerTrigger" -> "1"))
