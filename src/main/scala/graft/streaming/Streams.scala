@@ -281,6 +281,29 @@ object Streams {
                 idCol: String, textCol: String): DataFrame =
     graft.operators.Retrieval.bm25ScoreBroadcast(docs, idCol, textCol, model)
 
+  /** Continuous embedding ingest into the persisted generational ANN
+    * index ([[graft.operators.AnnIndex]]): every micro-batch of
+    * (vec_id, embedding) rows encodes with the index's PERSISTED
+    * quantizers (`AnnIndex.add` — no retraining, the daily-ingest
+    * posture) and appends to the live generation's partitioned corpus.
+    * The checkpoint gives exactly-once batch tracking; readers loaded
+    * before an append see their pinned snapshot (generational
+    * discipline), after it the new vectors are queryable. Run
+    * `AnnIndex.compact` on a maintenance schedule to fold the
+    * append small-files into a fresh generation.
+    *
+    * Returns the configured writer — caller sets checkpoint/trigger
+    * and starts it (the [[ingest]] shape).
+    */
+  def annIngest(stream: DataFrame,
+                indexPath: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        graft.operators.AnnIndex.add(batch.sparkSession, indexPath, batch)
+        ()
+      }
+    }
+
   /** Continuous ingestion: stream files from `srcPath` into a partitioned
     * parquet sink with exactly-once file tracking via the checkpoint.
     * The streaming E->L step.

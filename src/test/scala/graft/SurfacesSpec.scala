@@ -240,6 +240,40 @@ class SurfacesSpec extends SparkSpec {
     assert(gotI.map(_._4) != got.map(_._4))
   }
 
+  test("streaming ANN ingest: micro-batches land in the live generation, queryable") {
+    import graft.operators.AnnIndex
+    val idxDir = Files.createTempDirectory("stream_ann_idx").toString
+    val inDir = Files.createTempDirectory("stream_ann_in").toString
+    val ckpt = Files.createTempDirectory("stream_ann_ckpt").toString
+    val embs = spark.read.parquet(sf("embeddings"))
+    // base index: everything except the two vectors we'll stream in
+    AnnIndex.build(embs.filter(col("vec_id") >= 20L), idxDir,
+      nlist = 16, m = 8)
+    val before = AnnIndex.load(spark, idxDir).vectors.count()
+    // two "new" vectors arrive as two files -> two micro-batches
+    val fresh = embs.filter(col("vec_id") < 2L)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    fresh.filter(col("vec_id") === 100000L).coalesce(1)
+      .write.parquet(s"$inDir/f0")
+    fresh.filter(col("vec_id") === 100001L).coalesce(1)
+      .write.parquet(s"$inDir/f1")
+    val src = Streams.fileMonitor(spark, s"$inDir/f*", "parquet",
+      fresh.schema, options = Map("maxFilesPerTrigger" -> "1"))
+    val q = Streams.annIngest(src, idxDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val idx = AnnIndex.load(spark, idxDir)
+    assert(idx.vectors.count() == before + 2, "both micro-batches landed")
+    // the ingested vectors are queryable: each is its own best match
+    val got = idx.topK(fresh, k = 1, excludeSelf = false)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((100000L, 100000L), (100001L, 100001L)),
+      s"self-retrieval after streaming ingest, got $got")
+  }
+
   test("streaming quantile sketch per window equals the batch sketch") {
     val dir = Files.createTempDirectory("stream_kll").toString
     val out = Files.createTempDirectory("stream_kll_out").toString
