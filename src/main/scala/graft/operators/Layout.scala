@@ -269,6 +269,40 @@ object Layout {
     spark.read.parquet(
       generationPath(path, currentGeneration(spark, path).getOrElse(0)))
 
+  /** Generation ids present on disk, ascending — the live one plus any
+    * not-yet-reaped predecessors (0 = flat legacy files in the root). */
+  def generations(spark: SparkSession, path: String): Seq[Int] = {
+    val fc = fileContext(spark, path)
+    val p = new Path(path)
+    if (!fc.util.exists(p)) Seq.empty
+    else {
+      val sts = fc.util.listStatus(p)
+      val gens = sts.collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("gen-") &&
+          st.getPath.getName.drop(4).forall(_.isDigit) =>
+          st.getPath.getName.drop(4).toInt
+      }
+      val flat = sts.exists(st => !st.isDirectory &&
+        st.getPath.getName != "_CURRENT" &&
+        !st.getPath.getName.startsWith("_CURRENT.") &&
+        !st.getPath.getName.startsWith("."))
+      ((if (flat) Seq(0) else Seq.empty) ++ gens).sorted
+    }
+  }
+
+  /** Time-travel read of a RETAINED generation (any id from
+    * [[generations]] that [[reapGenerations]] hasn't deleted) — "what
+    * did this table say before the last merge". Fails loudly on a
+    * reaped or never-written generation.
+    */
+  def readGeneration(spark: SparkSession, path: String,
+                     gen: Int): DataFrame = {
+    require(generations(spark, path).contains(gen),
+      s"generation $gen of $path is not on disk (reaped or never " +
+        s"written); retained: ${generations(spark, path).mkString(",")}")
+    spark.read.parquet(generationPath(path, gen))
+  }
+
   /** Delete any gen-N leftovers ABOVE the live generation — a crashed
     * maintenance run's partial output (never pointed at, so never read). */
   private def dropOrphanGenerations(spark: SparkSession, path: String,

@@ -202,6 +202,14 @@ class LayoutSpec extends SparkSpec {
     // new readers resolve the new generation: the merge landed
     val live = Layout.readCurrent(spark, vdir)
     assert(live.filter(col("l_quantity") === -1.0).count() == 1)
+    // time-travel: the retained pre-merge generation is readable by id
+    assert(Layout.generations(spark, vdir) == Seq(0, 1, 2))
+    assert(Layout.readGeneration(spark, vdir, 1)
+      .filter(col("l_quantity") === -1.0).count() == 0,
+      "gen-1 predates the merge")
+    intercept[IllegalArgumentException] {
+      Layout.readGeneration(spark, vdir, 9)
+    }
     // reap after drain: gen-1 deleted, live generation intact
     val reaped = Layout.reapGenerations(spark, vdir)
     assert(reaped.contains(1), s"gen-1 reaped, got $reaped")
