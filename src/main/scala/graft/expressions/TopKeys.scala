@@ -12,6 +12,64 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** SpaceSaving buffer: the (key -> [count, err]) summary map plus a
+  * LAZY min-heap over (count, key) for O(log capacity) eviction — the
+  * stream-summary discipline of the original ICDT'05 structure. Every
+  * count change pushes a fresh heap entry; eviction pops entries until
+  * the top matches the live map (stale entries — superseded counts or
+  * removed keys — discard on contact). The heap is REBUILT from the map
+  * when it outgrows 8x capacity (amortized O(1) per op) and after
+  * deserialization (only the map travels). Eviction choice is
+  * identical to a full min scan: smallest count, then smallest key —
+  * the heap comparator IS that order, so results are bit-identical to
+  * the previous linear-scan form (SketchProbe measured the scan form
+  * ~4x slower than the exact groupBy it replaces at 2M cold keys —
+  * 2M evictions x a 4096-entry scan; the heap removes that wall).
+  */
+final class SsBuffer {
+  val map = new java.util.HashMap[String, Array[Long]]()
+  /** entries (count, key); stale allowed — validated against map on pop */
+  var heap = new java.util.PriorityQueue[(Long, String)](64,
+    SsBuffer.ord)
+
+  def push(cnt: Long, key: String, capacity: Int): Unit = {
+    heap.add((cnt, key))
+    if (heap.size > 8 * capacity) rebuild()
+  }
+
+  def rebuild(): Unit = {
+    heap = new java.util.PriorityQueue[(Long, String)](
+      math.max(64, map.size + 1), SsBuffer.ord)
+    val it = map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      heap.add((e.getValue()(0), e.getKey))
+    }
+  }
+
+  /** The live minimum (count, key) — pops stale entries on the way. */
+  def min(): (Long, String) = {
+    while (true) {
+      val top = heap.peek()
+      if (top == null) { rebuild(); return min() }
+      val cur = map.get(top._2)
+      if (cur != null && cur(0) == top._1) return top
+      heap.poll() // stale: superseded count or evicted key
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+object SsBuffer {
+  val ord: java.util.Comparator[(Long, String)] =
+    new java.util.Comparator[(Long, String)] {
+      override def compare(a: (Long, String), b: (Long, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else a._2.compareTo(b._2)
+      }
+    }
+}
+
 /** SpaceSaving heavy-hitters sketch (Metwally et al., "Efficient
   * Computation of Frequent and Top-k Elements in Data Streams",
   * ICDT'05; merge rule per Agarwal et al., "Mergeable Summaries",
@@ -38,7 +96,7 @@ case class TopKeysAgg(
     capacity: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]] {
+  extends TypedImperativeAggregate[SsBuffer] {
 
   require(capacity >= 4 && capacity <= 65536,
     "top-keys capacity must be in [4, 65536]")
@@ -56,44 +114,36 @@ case class TopKeysAgg(
     containsNull = false)
   override def prettyName: String = "top_keys"
 
-  // value = Array(count, err)
-  override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
-    new java.util.HashMap[String, Array[Long]]()
+  override def createAggregationBuffer(): SsBuffer = new SsBuffer
 
-  private def offer(buf: java.util.HashMap[String, Array[Long]],
-                    key: String, cnt: Long, err: Long): Unit = {
-    val cur = buf.get(key)
-    if (cur != null) { cur(0) += cnt; cur(1) += err; () }
-    else if (buf.size < capacity) { buf.put(key, Array(cnt, err)); () }
-    else {
-      // evict the min-count entry; the newcomer inherits its count as
-      // error (SpaceSaving's pessimistic replacement)
-      var minKey: String = null
-      var minCnt = Long.MaxValue
-      val it = buf.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue()(0) < minCnt ||
-            (e.getValue()(0) == minCnt &&
-              (minKey == null || e.getKey < minKey))) {
-          minCnt = e.getValue()(0); minKey = e.getKey
-        }
-      }
-      buf.remove(minKey)
-      buf.put(key, Array(minCnt + cnt, minCnt + err))
+  private def offer(buf: SsBuffer, key: String, cnt: Long,
+                    err: Long): Unit = {
+    val cur = buf.map.get(key)
+    if (cur != null) {
+      cur(0) += cnt; cur(1) += err
+      buf.push(cur(0), key, capacity)
+    } else if (buf.map.size < capacity) {
+      buf.map.put(key, Array(cnt, err))
+      buf.push(cnt, key, capacity)
+    } else {
+      // evict the (min count, min key) entry; the newcomer inherits its
+      // count as error (SpaceSaving's pessimistic replacement)
+      val (minCnt, minKey) = buf.min()
+      buf.heap.poll()
+      buf.map.remove(minKey)
+      buf.map.put(key, Array(minCnt + cnt, minCnt + err))
+      buf.push(minCnt + cnt, key, capacity)
     }
   }
 
-  override def update(buf: java.util.HashMap[String, Array[Long]],
-                      input: InternalRow): java.util.HashMap[String, Array[Long]] = {
+  override def update(buf: SsBuffer, input: InternalRow): SsBuffer = {
     val v = child.eval(input)
     if (v != null) offer(buf, v.asInstanceOf[UTF8String].toString, 1L, 0L)
     buf
   }
 
-  override def merge(buf: java.util.HashMap[String, Array[Long]],
-                     other: java.util.HashMap[String, Array[Long]]): java.util.HashMap[String, Array[Long]] = {
-    val it = other.entrySet().iterator()
+  override def merge(buf: SsBuffer, other: SsBuffer): SsBuffer = {
+    val it = other.map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       offer(buf, e.getKey, e.getValue()(0), e.getValue()(1))
@@ -101,10 +151,10 @@ case class TopKeysAgg(
     buf
   }
 
-  override def eval(buf: java.util.HashMap[String, Array[Long]]): Any = {
+  override def eval(buf: SsBuffer): Any = {
     // deterministic order: count desc, then key asc
-    val entries = new Array[(String, Long, Long)](buf.size)
-    val it = buf.entrySet().iterator()
+    val entries = new Array[(String, Long, Long)](buf.map.size)
+    val it = buf.map.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
       val e = it.next()
@@ -117,16 +167,16 @@ case class TopKeysAgg(
     }.toArray[Any])
   }
 
-  override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+  override def serialize(buf: SsBuffer): Array[Byte] = {
     var bytes = 4
-    val it0 = buf.entrySet().iterator()
+    val it0 = buf.map.entrySet().iterator()
     while (it0.hasNext) {
       bytes += 4 + 16 +
         it0.next().getKey.getBytes(StandardCharsets.UTF_8).length
     }
     val bb = ByteBuffer.allocate(bytes)
-    bb.putInt(buf.size)
-    val it = buf.entrySet().iterator()
+    bb.putInt(buf.map.size)
+    val it = buf.map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val kb = e.getKey.getBytes(StandardCharsets.UTF_8)
@@ -136,19 +186,20 @@ case class TopKeysAgg(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Array[Long]] = {
+  override def deserialize(bytes: Array[Byte]): SsBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val m = new java.util.HashMap[String, Array[Long]]()
+    val buf = new SsBuffer
     var i = 0
     while (i < n) {
       val kb = new Array[Byte](bb.getInt)
       bb.get(kb)
-      m.put(new String(kb, StandardCharsets.UTF_8),
+      buf.map.put(new String(kb, StandardCharsets.UTF_8),
         Array(bb.getLong, bb.getLong))
       i += 1
     }
-    m
+    buf.rebuild()
+    buf
   }
 
   override def withNewMutableAggBufferOffset(o: Int): TopKeysAgg =
