@@ -43,6 +43,28 @@ object SketchProbe {
         .select(col("t.key")).collect().map(_.getString(0)).toSeq
     }
     println(s"[sketchprobe] top10 sets equal: ${exact.toSet == sketch.toSet}")
+
+    // KMV distinct: ~2,000,050 true distinct keys
+    import graft.expressions.{Kll, Kmv}
+    val trueDistinct = timed("exact_count_distinct") {
+      keyed.agg(countDistinct(col("key"))).head().getLong(0)
+    }
+    val kmvEst = timed("kmv_estimate (k=1024)") {
+      keyed.select(xxhash64(col("key")).as("h"))
+        .agg(Kmv.estimate(Kmv.sketch(col("h"), 1024), 1024).as("est"))
+        .head().getDouble(0)
+    }
+    println(f"[sketchprobe] distinct exact $trueDistinct vs kmv $kmvEst%.0f " +
+      f"(err ${100.0 * math.abs(kmvEst - trueDistinct) / trueDistinct}%.1f%%)")
+
+    // KLL median of 20M uniform values vs the true order statistic
+    val vals = spark.range(n).select(
+      (col("id") * 2654435761L % 1000000L).cast("double").as("v"))
+    val kllMed = timed("kll_median (k=256)") {
+      vals.agg(Kll.quantile(Kll.sketch(col("v"), 256), 0.5)).head().getDouble(0)
+    }
+    println(f"[sketchprobe] kll p50 $kllMed%.0f vs uniform-true ~500000 " +
+      f"(rank err ${100.0 * math.abs(kllMed - 500000.0) / 1000000.0}%.2f%%)")
     spark.stop()
   }
 }
