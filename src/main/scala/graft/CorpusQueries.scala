@@ -253,6 +253,38 @@ object CorpusQueries {
         fingerprint = Dedup.simhashPoly, fpBits = 60)
     }),
 
+    // HYBRID retrieval (the production contamination-finder shape):
+    // query-by-example — BM25 lexical recall (rational-idf mode, top-50
+    // candidates per probe doc) then exact cosine rerank over the
+    // candidates' embeddings, top-10 by (cos desc, id asc). Lexical
+    // recall touches term statistics only (the t18 broadcast-term
+    // plan); the vector read is candidate-driven — 150 embeddings, not
+    // the corpus. Composition of t18 ∘ s09's kernel, every stage
+    // deterministic, so the whole two-stage pipeline hash-matches.
+    "c09_hybrid_retrieval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val queries = d.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val lex = graft.operators.Retrieval.bm25(d, "doc_id", "text",
+        queries, "query_id", "qtext", topK = 50, logIdf = false)
+        .withColumnRenamed("qid", "query_id")
+      val e = embs(s, dir)
+      val eq = e.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv"))
+      val ec = e.select(col("vec_id").as("doc_id"),
+        col("embedding").as("__cv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      lex.join(broadcast(eq), Seq("query_id"))
+        .join(ec, Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"), col("score").as("bm25"),
+          graft.functions.VectorFunctions.cosine(col("__qv"), col("__cv"))
+            .as("cos"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 10)
+    }),
+
     // Exact cosine top-k neighbors for the first 20 vectors.
     "s01_brute_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -803,6 +835,48 @@ object CorpusQueries {
          QUALIFY row_number() OVER (PARTITION BY anchor_id
            ORDER BY (vec_id * ${graft.operators.Sampling.KnuthA})
              % ${graft.operators.Sampling.HashMod}, vec_id) <= 25""",
+    "c09_hybrid_retrieval" ->
+      s"""WITH q AS (SELECT doc_id AS query_id, text AS qtext
+             FROM documents WHERE doc_id < 3),
+         qt AS (SELECT query_id AS qid,
+                  unnest(list_distinct(regexp_split_to_array(
+                    lower(trim(qtext)), '\\s+'))) AS term FROM q),
+         dlen AS (SELECT doc_id AS doc,
+                    len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                      AS len FROM documents),
+         stats AS (SELECT count(*) AS n, sum(len) AS s FROM dlen),
+         dtok AS (SELECT doc_id AS doc,
+                    unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                      AS term FROM documents),
+         tf AS (SELECT doc, term, count(*) AS tf FROM dtok
+                WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         tw AS (SELECT qt.qid, tf.doc,
+                 ((CAST(stats.n AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+                    / (CAST(dft.df AS DOUBLE) + 0.5))
+                 * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+                       * (CAST(dlen.len AS DOUBLE)
+                          / (CAST(stats.s AS DOUBLE)
+                             / CAST(stats.n AS DOUBLE)))))) AS w
+               FROM qt JOIN tf USING (term) JOIN dft USING (term)
+                 JOIN dlen ON dlen.doc = tf.doc, stats),
+         sc AS (SELECT qid, doc,
+                  CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS score
+                FROM tw GROUP BY 1, 2),
+         lex AS (SELECT qid, doc, score FROM (
+                  SELECT sc.*, row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, doc ASC) AS rn FROM sc)
+                 WHERE rn <= 50),
+         rer AS (SELECT lex.qid AS query_id, lex.doc AS doc_id,
+                   lex.score AS bm25,
+                   ${cosSql("eq.embedding", "ec.embedding")} AS cos
+                 FROM lex JOIN embeddings eq ON eq.vec_id = lex.qid
+                   JOIN embeddings ec ON ec.vec_id = lex.doc)
+         SELECT query_id, doc_id, bm25, cos, CAST(rn AS INTEGER) AS rank
+         FROM (SELECT rer.*, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, doc_id ASC) AS rn FROM rer)
+         WHERE rn <= 10""",
     "s09_anchor_assign" ->
       s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av
              FROM embeddings WHERE vec_id < 8),
