@@ -240,6 +240,43 @@ class SurfacesSpec extends SparkSpec {
     assert(gotI.map(_._4) != got.map(_._4))
   }
 
+  test("streaming resample: late rows for emitted buckets drop, open buckets absorb") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val src = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+    val name = s"rsl_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = graft.streaming.Resample.ffill(src, 10L)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      def ts(sec: Long) = new Timestamp(sec * 1000L)
+      // batch 1: buckets 0 and 20 observed (watermark lands at 25 s)
+      input.addData((1L, ts(2), 4.0), (1L, ts(25), 6.0))
+      q.processAllAvailable()
+      // batch 2 (wm 25): bucket 0 closes and EMITS with mean 4.0
+      input.addData((1L, ts(100), 8.0))
+      q.processAllAvailable()
+      // batch 3 (wm 100): a LATE row for the already-emitted bucket 0
+      // must DROP — while bucket 20 (still open until now) finalizes
+      input.addData((1L, ts(3), 100.0))
+      q.processAllAvailable()
+      // close bucket 100 (wm must pass 110)
+      input.addData((1L, ts(300), 9.0))
+      q.processAllAvailable()
+      val got = spark.table(name).orderBy("bucket_start")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(got.head == (0L, 1L, 4.0), s"late row must not reopen: $got")
+      assert(got.count(_._1 == 0L) == 1, s"bucket 0 emitted once: $got")
+      assert(got.contains((10L, 0L, 4.0)) && got.contains((20L, 1L, 6.0)))
+      assert(got.contains((30L, 0L, 6.0)) && got.contains((100L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("streaming ANN ingest: micro-batches land in the live generation, queryable") {
     import graft.operators.AnnIndex
     val idxDir = Files.createTempDirectory("stream_ann_idx").toString
