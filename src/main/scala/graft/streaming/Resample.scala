@@ -54,8 +54,9 @@ object Resample {
   /** `events` must carry (user_id castable-to-long, ts timestamp WITH a
     * watermark, value castable-to-double); `stepSeconds` is the grid.
     */
-  def ffill(events: DataFrame, stepSeconds: Long): Dataset[Filled] =
-    grid(events, stepSeconds, lerp = false)
+  def ffill(events: DataFrame, stepSeconds: Long,
+            maxGapBuckets: Long = 1000000L): Dataset[Filled] =
+    grid(events, stepSeconds, lerp = false, maxGapBuckets)
 
   /** Streaming linear-interpolation resample — the continuous
     * counterpart of batch [[graft.operators.Relational.resampleInterp]]
@@ -68,13 +69,15 @@ object Resample {
     * (`v0 + (v1-v0) * (t-t0)/(t1-t0)`), so batch and stream hash-match.
     * Output column is `value_interp`.
     */
-  def interp(events: DataFrame, stepSeconds: Long): DataFrame =
-    grid(events, stepSeconds, lerp = true)
+  def interp(events: DataFrame, stepSeconds: Long,
+             maxGapBuckets: Long = 1000000L): DataFrame =
+    grid(events, stepSeconds, lerp = true, maxGapBuckets)
       .toDF().withColumnRenamed("value_ffill", "value_interp")
 
-  private def grid(events: DataFrame, stepSeconds: Long,
-                   lerp: Boolean): Dataset[Filled] = {
+  private def grid(events: DataFrame, stepSeconds: Long, lerp: Boolean,
+                   maxGapBuckets: Long): Dataset[Filled] = {
     require(stepSeconds > 0, "stepSeconds must be positive")
+    require(maxGapBuckets > 0, "maxGapBuckets must be positive")
     implicit val pointEnc = Encoders.product[Point]
     implicit val stateEnc = Encoders.product[FillState]
     implicit val outEnc = Encoders.product[Filled]
@@ -110,6 +113,17 @@ object Resample {
             .foreach { b =>
               val (s, n) = st.pending(b)
               val v = new java.math.BigDecimal(s).doubleValue() / n
+              // the batch operator's maxBucketsPerKey guard, streamed:
+              // a key silent for a decade then reappearing at a fine
+              // step would emit the whole gap in ONE invocation — fail
+              // loudly naming the key instead of materializing it
+              if (st.hasLast &&
+                  (b - st.lastBucket) / stepSeconds > maxGapBuckets)
+                throw new IllegalStateException(
+                  s"streaming resample: key $user gap of " +
+                  s"${(b - st.lastBucket) / stepSeconds} buckets at " +
+                  s"step=${stepSeconds}s > maxGapBuckets=$maxGapBuckets; " +
+                  "raise maxGapBuckets or coarsen the step")
               if (st.hasLast) {
                 var g = st.lastBucket + stepSeconds
                 while (g < b) {

@@ -277,6 +277,43 @@ class SurfacesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming resample: pathological gap fails loudly (maxGapBuckets)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val src = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+    val name = s"rsg_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = graft.streaming.Resample.ffill(src, 1L, maxGapBuckets = 100L)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      def ts(sec: Long) = new Timestamp(sec * 1000L)
+      input.addData((7L, ts(0), 1.0))
+      q.processAllAvailable()
+      input.addData((7L, ts(10000), 2.0))
+      q.processAllAvailable()
+      // the watermark now closes bucket 0 and then bucket 10000 — whose
+      // 10,000-bucket gap at 1 s step must THROW (naming key and cap),
+      // not materialize (two more batches: one advances the watermark
+      // past bucket 10000's close, the next applies it)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        input.addData((7L, ts(20000), 3.0))
+        q.processAllAvailable()
+        input.addData((7L, ts(30000), 4.0))
+        q.processAllAvailable()
+        q.awaitTermination(20000)
+      }
+      val msg = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+      assert(msg.contains("maxGapBuckets"), s"guard message, got: $msg")
+      assert(msg.contains("key 7"), s"offending key named, got: $msg")
+    } finally q.stop()
+  }
+
   test("streaming ANN ingest: micro-batches land in the live generation, queryable") {
     import graft.operators.AnnIndex
     val idxDir = Files.createTempDirectory("stream_ann_idx").toString
