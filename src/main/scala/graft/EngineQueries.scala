@@ -489,6 +489,71 @@ object EngineQueries {
       s.table(name)
     }),
 
+    // Single-FILE JSON: both halves of orders land in ONE top-level
+    // array document (the reference's exact layout incl. splice
+    // append); read back with the default multiline reader.
+    "m22_singlefile_json" -> ((s, dir) => {
+      val p = s"${tmp("sjson")}/orders.json"
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val ctx = StepContext(s, cal)
+      JsonModel(p, singleFile = true)
+        .load(ctx, o.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      JsonModel(p, singleFile = true, append = true)
+        .load(ctx, o.filter(pmod(col("o_orderkey"), lit(2)) =!= 0))
+      require(new java.io.File(p).isFile, "singleFile sink must be a FILE")
+      JsonModel(p).extract(ctx)
+        .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
+          col("o_totalprice").cast("double"))
+    }),
+
+    // Single-FILE XML: one declaration + one root document with splice
+    // append (models.py:1441-1454's read-modify-write shape).
+    "m23_singlefile_xml" -> ((s, dir) => {
+      val p = s"${tmp("sxml")}/nation.xml"
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val ctx = StepContext(s, cal)
+      XmlModel(p, singleFile = true)
+        .load(ctx, n.filter(pmod(col("n_nationkey"), lit(2)) === 0))
+      XmlModel(p, singleFile = true, append = true)
+        .load(ctx, n.filter(pmod(col("n_nationkey"), lit(2)) =!= 0))
+      require(new java.io.File(p).isFile, "singleFile sink must be a FILE")
+      XmlModel(p).extract(ctx)
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+    }),
+
+    // GENERATIONAL merge roundtrip: flat seed migrates via compactGen
+    // (gen-1 + _CURRENT), the m15 update batch applies via mergeGen
+    // (gen-2 swapped live), and readCurrent must hash-match the same
+    // latest-wins SQL as m15 — the pointer-swap path is now driver-
+    // checked end to end, not just spec-covered. The gate also pins
+    // time-travel: gen-1 (pre-merge) still equals the seed.
+    "m24_generational_merge" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("genmerge")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      orders.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(1L).as("ver"))
+        .write.parquet(out)
+      Layout.compactGen(s, out)
+      require(Layout.currentGeneration(s, out).contains(1))
+      val batch = orders
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 100).as("o_totalprice"), lit(2L).as("ver"))
+        .unionByName(orders
+          .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"), lit(2L).as("ver")))
+      Layout.mergeGen(s, out, batch, Seq("o_orderkey"), "ver")
+      require(Layout.currentGeneration(s, out).contains(2))
+      require(Layout.readGeneration(s, out, 1).count() == orders.count(),
+        "time-travel: gen-1 must still be the pre-merge seed")
+      Layout.readCurrent(s, out)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "ver")
+    }),
+
     // Single-FILE sink fidelity (reference models.py:1366-1374): two
     // halves of lineitem land in ONE CSV file via singleFile append —
     // header exactly once, driver-stitched part bytes — and the read-
@@ -553,6 +618,27 @@ object EngineQueries {
          WHERE rn = 1""",
     "m16_zorder_sink" ->
       "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
+    // the generational merge applies the same latest-wins batch as m15,
+    // so it shares the same oracle — the gate's claim is that the
+    // pointer-swap read path returns exactly what the rename-swap path
+    // does
+    "m24_generational_merge" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(1 AS BIGINT) AS ver
+           FROM orders),
+         batch AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice + 100 AS o_totalprice,
+                  CAST(2 AS BIGINT) AS ver
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus,
+                  o_totalprice, CAST(2 AS BIGINT) AS ver
+           FROM orders WHERE o_orderkey % 7 = 0),
+         all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM batch)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY ver DESC) AS rn FROM all_rows)
+         WHERE rn = 1""",
     // the streaming resample lift shares batch q53's oracle verbatim —
     // that sharing IS the gate's claim (batch ≡ stream on the closed
     // grid, which the sentinel drain makes the WHOLE grid)
@@ -562,6 +648,11 @@ object EngineQueries {
     "m20_singlefile_append" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
          FROM lineitem""",
+    "m22_singlefile_json" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "m23_singlefile_xml" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""",
     // the all-pairs scoring half of t18's oracle (no top-k: ranking a
     // stream is a bounded aggregation done downstream of the sink) —
     // sharing the arithmetic IS the gate's batch ≡ stream claim
