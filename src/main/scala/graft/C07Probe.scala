@@ -23,14 +23,27 @@ object C07Probe {
       println(f"[c07probe] $name rows $rows time ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     val d = Tables.load(spark, dir, "documents")
-    val kept = d.join(
-      Sampling.calibratedQuantileFilter(d, "lang", "doc_id",
-        qualityScore(col("text")), bins = 1000, qNum = 1, qDen = 2)
-        .select("doc_id"),
-      Seq("doc_id"))
-    timed("kept")(kept.count())
-    val mixed = Sampling.temperatureMix(kept, "source", "doc_id")
-    timed("mixed")(mixed.count())
+    // the round-10 intake: ONE wide scan scores into a pinned narrow
+    // bin table; thresholds/rates/mix read the pinned rows (the stage
+    // shapes below mirror CurationQueries.c07 exactly)
+    val scored = d.select(col("doc_id"), col("lang"), col("source"),
+        floor(qualityScore(col("text")) * lit(1000.0)).cast("long")
+          .as("bin"))
+      .persist()
+    timed("scored(pinned)")(scored.count())
+    val thr = Sampling.binnedQuantileThresholds(
+      scored.select(col("lang"), col("bin")), "lang", qNum = 1, qDen = 2)
+    val keptIds = scored.join(broadcast(thr), Seq("lang"))
+      .filter(col("bin") >= col("thr_bin"))
+      .select("doc_id", "lang", "source")
+    timed("keptIds")(keptIds.count())
+    val rates = Sampling.temperatureThresholds(keptIds, "source")
+    val mixedIds = keptIds.join(broadcast(rates), Seq("source"))
+      .filter(Sampling.splitHash(col("doc_id")) < col("__thr"))
+      .select("doc_id", "lang", "source")
+    timed("mixedIds")(mixedIds.count())
+    val mixed = d.join(mixedIds.select("doc_id"), Seq("doc_id"))
+    timed("mixed(text join)")(mixed.count())
     val pairs = Dedup.ngramJaccardPairs(mixed, "doc_id", "text",
       shingleSize = 3, threshold = 0.8)
     timed("pairs")(pairs.count())
