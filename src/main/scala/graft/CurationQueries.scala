@@ -160,6 +160,15 @@ object CurationQueries {
         topK = 10, logIdf = false)
     }),
 
+    // Gopher quality-rule battery (the published web-corpus filter
+    // heuristics): per-doc integer counts + fixed-order double ratios
+    // + the conjunctive pass flag — the whole battery hash-exact vs
+    // DuckDB spelling the identical arithmetic.
+    "t19_gopher_rules" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.*"))),
+
     "t16_calibrated_quality" -> ((s, dir) => {
       Sampling.calibratedQuantileFilter(docs(s, dir), "lang", "doc_id",
         qualityScore(col("text")), bins = 1000, qNum = 1, qDen = 2)
@@ -447,6 +456,8 @@ object CurationQueries {
 
   private val toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
 
+  private val stopList = StopwordsEn.map(w => s"'$w'").mkString(", ")
+
   /** ALL (non-distinct) word n-gram list twin of wordNGramsAll(_, n). */
   private def ngramsAll(n: Int) =
     s"""CASE WHEN len($toks) < $n THEN []
@@ -691,6 +702,41 @@ object CurationQueries {
                 ELSE 'test' END AS split
          FROM comp JOIN mixed m2 ON comp.doc_id = m2.doc_id"""
     },
+    "t19_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines FROM documents)
+         SELECT doc_id,
+           CAST(len($toks) AS BIGINT) AS n_words,
+           CASE WHEN len($toks) = 0 THEN 0.0
+             ELSE CAST(list_reduce(list_transform($toks,
+                    w -> CAST(len(w) AS BIGINT)), (p, q) -> p + q) AS DOUBLE)
+                  / CAST(CAST(len($toks) AS BIGINT) AS DOUBLE)
+           END AS mean_word_len,
+           CAST(CAST(len(lines) AS BIGINT)
+                - CAST(len(list_distinct(lines)) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(len(lines) AS BIGINT) AS DOUBLE) AS dup_line_frac,
+           CAST(len(list_filter(lines,
+                l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+             / CAST(CAST(len(lines) AS BIGINT) AS DOUBLE)
+             AS bullet_line_frac,
+           CAST(len(list_filter(lines,
+                l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+             / CAST(CAST(len(lines) AS BIGINT) AS DOUBLE)
+             AS ellipsis_line_frac,
+           CAST(len(list_filter($toks, t -> t IN ($stopList))) AS BIGINT)
+             AS stopword_count,
+           CASE WHEN len($toks) = 0 THEN 0.0
+             ELSE CAST(len(list_filter($toks,
+                    w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                  / CAST(CAST(len($toks) AS BIGINT) AS DOUBLE)
+           END AS alpha_word_frac,
+           (n_words >= 50 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND dup_line_frac <= 0.3 AND bullet_line_frac <= 0.9
+             AND ellipsis_line_frac <= 0.3 AND stopword_count >= 2
+             AND alpha_word_frac >= 0.8) AS gopher_pass
+         FROM d""",
+
     // oracle spells the identical IEEE op order as the Scala plan
     // (idf * (num / den), (1.2 + 1.0) computed, avgdl = S/N inline) so
     // every double is bit-equal; per-(query,doc) term scores sum via

@@ -66,6 +66,50 @@ object TextFunctions {
     * moderate length, penalizes punctuation soup. Deliberately simple —
     * the value is having SOME deterministic quality axis to filter on.
     */
+  /** Gopher-style quality-rule battery (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446 §A1.1 — public filtering heuristics, the battery
+    * behind most published web-corpus pipelines): per-document metrics
+    * plus the conjunctive pass flag. Every metric is integer counts and
+    * one double division in a fixed op order — no transcendentals — so
+    * the whole battery is oracle-exact on any IEEE engine (the repo's
+    * determinism discipline). Thresholds are the published ones:
+    * 50 <= words <= 100k, mean word length in [3,10], duplicate-line
+    * fraction <= 0.30, bullet-start lines <= 0.90, ellipsis-end lines
+    * <= 0.30, >= 2 stopwords, >= 80% words with an alphabetic char.
+    * Returns a struct; select `.getField`s or `col("g.*")`.
+    */
+  def gopherRules(text: Column): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val lenSum = aggregate(
+      transform(toks, w => length(w).cast("long")), lit(0L), (a, x) => a + x)
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(lenSum.cast("double") / nWords.cast("double"))
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletFrac = size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
+      .cast("double") / nLines.cast("double")
+    val ellipsisFrac =
+      size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / nLines.cast("double")
+    val dupLineFrac = (nLines - size(array_distinct(lines)).cast("long"))
+      .cast("double") / nLines.cast("double")
+    val stopCount =
+      size(filter(toks, t => t.isin(StopwordsEn: _*))).cast("long")
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(size(filter(toks, w => w.rlike("[a-zA-Z]")))
+        .cast("double") / nWords.cast("double"))
+    val pass = nWords >= 50 && nWords <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      dupLineFrac <= 0.3 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      stopCount >= 2 && alphaFrac >= 0.8
+    struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
+      dupLineFrac.as("dup_line_frac"), bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"), stopCount.as("stopword_count"),
+      alphaFrac.as("alpha_word_frac"), pass.as("gopher_pass"))
+  }
+
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
     val sw = least(stopwordRatio(text) * 4.0, lit(1.0))
