@@ -62,6 +62,11 @@ object Bench {
     }
   }
 
+  /** Locale-independent fixed-point rendering — the record is JSON and
+    * must not pick up a comma decimal separator from the JVM locale. */
+  private[graft] def num(d: Double, prec: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
+
   /** Regression comparator: every query whose min-of-N grew >= `threshold`×
     * vs a previous record, annotated with THIS run's pass-to-pass spread so
     * a reader can tell a real regression (tight samples, all slow) from a
@@ -76,8 +81,10 @@ object Bench {
       } yield {
         val spread =
           if (o.samples.size < 2) "single-sample"
-          else f"samples=[${o.samples.map(s => f"$s%.2f").mkString(",")}] spread=${o.samples.max / o.samples.min}%.2fx"
-        f"[bench] MOVER ${o.name}: $before%.2f -> $now%.2f s (${now / before}%.2fx) $spread"
+          else s"samples=[${o.samples.map(num(_, 2)).mkString(",")}] " +
+            s"spread=${num(o.samples.max / o.samples.min, 2)}x"
+        s"[bench] MOVER ${o.name}: ${num(before, 2)} -> ${num(now, 2)} s " +
+          s"(${num(now / before, 2)}x) $spread"
       }
     }
 
@@ -140,7 +147,7 @@ object Bench {
       .mkString("{", ",", "}")
     val smp = outcomes.map { o =>
       "\"" + o.name + "\":" +
-        o.samples.map(s => f"$s%.4f").mkString("[", ",", "]")
+        o.samples.map(num(_, 4)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val sp = outcomes.map { o =>
       "\"" + o.name + "\":" +

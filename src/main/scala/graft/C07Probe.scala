@@ -24,8 +24,11 @@ object C07Probe {
     }
     val d = Tables.load(spark, dir, "documents")
     // the round-10 intake: ONE wide scan scores into a pinned narrow
-    // bin table; thresholds/rates/mix read the pinned rows (the stage
-    // shapes below mirror CurationQueries.c07 exactly)
+    // bin table; thresholds/rates/mix read the pinned rows. The stage
+    // copies below mirror CurationQueries.intakeMixedIds (the single
+    // shared definition the gates use) — duplicated HERE only so each
+    // stage can be timed separately; drift affects probe attribution
+    // numbers, never gate results.
     val scored = d.select(col("doc_id"), col("lang"), col("source"),
         floor(qualityScore(col("text")) * lit(1000.0)).cast("long")
           .as("bin"))

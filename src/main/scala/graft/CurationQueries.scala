@@ -356,31 +356,7 @@ object CurationQueries {
     // the composition exercises the operators as a real intake would.
     "c07_curation_v2" -> ((s, dir) => {
       val d = docs(s, dir)
-      // ONE wide text scan scores every doc into a NARROW pinned
-      // (doc_id, lang, source, bin) table; calibration, temperature
-      // rates, the mix filter, and the final label join all read those
-      // pinned narrow rows instead of re-deriving the intake (which
-      // re-scanned + re-scored the wide text column per consumer —
-      // C07Probe attribution). Wide rows stay UNPINNED, by measurement:
-      // the round-8 A/B showed caching full document rows doubled the
-      // query (InMemory scans of wide cached rows lose to the pruned
-      // parquet path); a 4-column bin table is the opposite case. The
-      // threshold/rate/filter arithmetic is byte-identical to
-      // calibratedQuantileFilter + temperatureMix, so the oracle —
-      // and the result hash — are unchanged.
-      val scored = d.select(col("doc_id"), col("lang"), col("source"),
-          floor(qualityScore(col("text")) * lit(1000.0)).cast("long")
-            .as("bin"))
-        .persist()
-      val thr = Sampling.binnedQuantileThresholds(
-        scored.select(col("lang"), col("bin")), "lang", qNum = 1, qDen = 2)
-      val keptIds = scored.join(broadcast(thr), Seq("lang"))
-        .filter(col("bin") >= col("thr_bin"))
-        .select("doc_id", "lang", "source")
-      val rates = Sampling.temperatureThresholds(keptIds, "source")
-      val mixedIds = keptIds.join(broadcast(rates), Seq("source"))
-        .filter(Sampling.splitHash(col("doc_id")) < col("__thr"))
-        .select("doc_id", "lang", "source")
+      val mixedIds = intakeMixedIds(s, dir)
       // the pair family needs text: ONE more wide scan, joined once
       val mixed = d.join(mixedIds.select("doc_id"), Seq("doc_id"))
       Dedup.leakageSafeSplit(mixed,
@@ -405,21 +381,9 @@ object CurationQueries {
     // the intake form to copy for web-scale corpora.
     "c08_curation_adversarial" -> ((s, dir) => {
       val d = docs(s, dir)
-      // same one-scored-scan intake as c07 (see there); the banded
-      // pre-collapse sits between the mix and the exact pair family
-      val scored = d.select(col("doc_id"), col("lang"), col("source"),
-          floor(qualityScore(col("text")) * lit(1000.0)).cast("long")
-            .as("bin"))
-        .persist()
-      val thr = Sampling.binnedQuantileThresholds(
-        scored.select(col("lang"), col("bin")), "lang", qNum = 1, qDen = 2)
-      val keptIds = scored.join(broadcast(thr), Seq("lang"))
-        .filter(col("bin") >= col("thr_bin"))
-        .select("doc_id", "lang", "source")
-      val rates = Sampling.temperatureThresholds(keptIds, "source")
-      val mixedIds = keptIds.join(broadcast(rates), Seq("source"))
-        .filter(Sampling.splitHash(col("doc_id")) < col("__thr"))
-        .select("doc_id", "lang", "source")
+      // same one-scored-scan intake as c07; the banded pre-collapse
+      // sits between the mix and the exact pair family
+      val mixedIds = intakeMixedIds(s, dir)
       val mixed = d.join(mixedIds.select("doc_id"), Seq("doc_id"))
       val collapsed = Dedup.bandedPreCollapse(mixed, "doc_id", "text",
         shingleSize = 3, preThreshold = 0.9, numHashes = 64, bands = 16)
@@ -453,6 +417,38 @@ object CurationQueries {
     }))
 
   // ---- DuckDB oracle twins ------------------------------------------------
+
+  /** The c07/c08 intake, ONE definition (the oracle hash depends on
+    * this arithmetic staying byte-identical between the two gates):
+    * one wide text scan scores every doc into a NARROW pinned
+    * (doc_id, lang, source, bin) table; calibration thresholds,
+    * temperature rates, and the mix filter all read those pinned rows
+    * instead of re-deriving the intake (which re-scanned + re-scored
+    * the wide text column per consumer — C07Probe attribution). Wide
+    * rows stay UNPINNED, by measurement: the round-8 A/B showed
+    * caching full document rows doubled the query; a 4-column bin
+    * table is the opposite case. Arithmetic is byte-identical to
+    * calibratedQuantileFilter + temperatureMix, so the oracles — and
+    * result hashes — are those operators'. The pin is per invocation
+    * (tiny, and the bench clears caches between queries).
+    * Returns the mix survivors as (doc_id, lang, source).
+    */
+  private[graft] def intakeMixedIds(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val scored = d.select(col("doc_id"), col("lang"), col("source"),
+        floor(qualityScore(col("text")) * lit(1000.0)).cast("long")
+          .as("bin"))
+      .persist()
+    val thr = Sampling.binnedQuantileThresholds(
+      scored.select(col("lang"), col("bin")), "lang", qNum = 1, qDen = 2)
+    val keptIds = scored.join(broadcast(thr), Seq("lang"))
+      .filter(col("bin") >= col("thr_bin"))
+      .select("doc_id", "lang", "source")
+    val rates = Sampling.temperatureThresholds(keptIds, "source")
+    keptIds.join(broadcast(rates), Seq("source"))
+      .filter(Sampling.splitHash(col("doc_id")) < col("__thr"))
+      .select("doc_id", "lang", "source")
+  }
 
   private val toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
 

@@ -72,9 +72,14 @@ abstract class FileModel extends PdModel {
 
   /** Run `writeTmp` into a tmp dir, then stitch its part files into the
     * single file at `p` via `merge(parts, oldFile, out)`; `oldFile` is
-    * the pre-existing destination moved aside (append mode only). The
-    * destination is swapped via the rename-aside discipline so a crash
-    * leaves either the old file or the new one, never a torn half.
+    * the pre-existing destination (append mode only), read IN PLACE —
+    * the stitched output lands in a sibling `.__single_new` file and
+    * only swaps over the destination once complete (rename-aside, the
+    * compact discipline), so a crash at any point leaves either the
+    * old complete file or the new complete file reachable, never a
+    * torn half: before the swap the destination is untouched; between
+    * the two renames the old copy sits at `.__single_old` and the next
+    * run's crash-recovery step restores it.
     */
   protected def materializeSingle(
       ctx: StepContext, p: String, appendMode: Boolean,
@@ -82,6 +87,13 @@ abstract class FileModel extends PdModel {
       merge: (Seq[Path], Option[Path], java.io.OutputStream,
         FileSystem) => Unit): LoadResult = {
     val f = fs(ctx, p)
+    val dest = new Path(p)
+    val aside = new Path(p + ".__single_old")
+    // crash recovery: a previous run died between its two renames —
+    // the aside IS the only complete copy; restore it before anything
+    if (!f.exists(dest) && f.exists(aside)) f.rename(aside, dest)
+    require(!f.exists(dest) || f.getFileStatus(dest).isFile,
+      s"single-file sink target $p exists and is a directory")
     val tmpDir = new Path(p + ".__single_tmp")
     f.delete(tmpDir, true)
     writeTmp(tmpDir.toString)
@@ -90,27 +102,27 @@ abstract class FileModel extends PdModel {
         !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map(_.getPath).sortBy(_.getName).toSeq
-    val dest = new Path(p)
-    require(!f.exists(dest) || f.getFileStatus(dest).isFile,
-      s"single-file sink target $p exists and is a directory")
-    val aside = new Path(p + ".__single_old")
-    f.delete(aside, true)
-    val old = if (appendMode && f.exists(dest)) {
-      f.rename(dest, aside); Some(aside)
-    } else None
-    val out = f.create(dest, true)
+    val old = if (appendMode && f.exists(dest) &&
+      f.getFileStatus(dest).getLen > 0) Some(dest) else None
+    val tmpNew = new Path(p + ".__single_new")
+    f.delete(tmpNew, false)
+    val out = f.create(tmpNew, true)
     try merge(parts, old, out, f) finally out.close()
-    old.foreach(a => f.delete(a, false))
+    // swap: old moves aside (atomic), new moves in (atomic), aside goes
+    f.delete(aside, false)
+    if (f.exists(dest)) f.rename(dest, aside)
+    f.rename(tmpNew, dest)
+    f.delete(aside, false)
     f.delete(tmpDir, true)
     LoadResult(-1L, f.getFileStatus(dest).getLen, 1L)
   }
 
   /** Whole-file read — single-file stitching is a driver-side export
     * path and the reference's own append is a full read-modify-write. */
-  protected def readFully(f: FileSystem, p: Path): String = {
+  protected def readFully(f: FileSystem, p: Path,
+                          charset: String = "UTF-8"): String = {
     val in = f.open(p)
-    try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
+    try new String(in.readAllBytes(), charset)
     finally in.close()
   }
 
@@ -206,7 +218,9 @@ final case class CsvModel(
           val in = f.open(part)
           try {
             if (head && headerDone) {
-              // skip this part's header line (bytewise to first \n)
+              // skip this part's header line (bytewise to first \n —
+              // valid for any ASCII-compatible charset, which is what
+              // Spark's csv writer supports for lineSep-delimited text)
               var b = in.read()
               while (b != -1 && b != '\n') b = in.read()
             }
@@ -260,21 +274,21 @@ final case class JsonModel(
   private def writeSingle(ctx: StepContext, p: String,
                           df: DataFrame): LoadResult =
     materializeSingle(ctx, p, append,
-      tmp => df.write.mode(SaveMode.Overwrite).json(tmp),
+      tmp => df.write.mode(SaveMode.Overwrite)
+        .option("encoding", encoding).json(tmp),
       (parts, old, out, f) => {
-        val w = new java.io.OutputStreamWriter(out,
-          java.nio.charset.StandardCharsets.UTF_8)
+        val w = new java.io.OutputStreamWriter(out, encoding)
         var first = true
         old.foreach { o =>
           // old array minus its closing bracket (and trailing space)
-          val body = readFully(f, o).trim.stripSuffix("]").trim
+          val body = readFully(f, o, encoding).trim.stripSuffix("]").trim
             .stripSuffix(",")
           w.write(body)
           first = body.trim == "[" // old array was empty
         }
         if (old.isEmpty) w.write("[")
         parts.foreach { part =>
-          readFully(f, part).linesIterator
+          readFully(f, part, encoding).linesIterator
             .filter(_.nonEmpty).foreach { line =>
               if (!first) w.write(",\n") else first = false
               w.write(line)
@@ -344,14 +358,14 @@ final case class XmlModel(
     materializeSingle(ctx, p, append,
       tmp => df.write.mode(SaveMode.Overwrite).format("xml")
         .option("rowTag", rowTag).option("rootTag", rootTag)
+        .option("charset", encoding)
         .option("declaration", s"""version="1.0" encoding="$encoding"""")
         .save(tmp),
       (parts, old, out, f) => {
-        val w = new java.io.OutputStreamWriter(out,
-          java.nio.charset.StandardCharsets.UTF_8)
+        val w = new java.io.OutputStreamWriter(out, encoding)
         old match {
           case Some(o) =>
-            val oldXml = readFully(f, o)
+            val oldXml = readFully(f, o, encoding)
             val close = oldXml.lastIndexOf(rootClose)
             require(close >= 0,
               s"append target $p is not a $rootTag-rooted XML document")
@@ -360,7 +374,7 @@ final case class XmlModel(
             w.write("<?xml version=\"1.0\" encoding=\"" + encoding +
               "\"?>\n" + s"<$rootTag>")
         }
-        parts.foreach(part => w.write(rowsOf(readFully(f, part))))
+        parts.foreach(part => w.write(rowsOf(readFully(f, part, encoding))))
         w.write(s"\n$rootClose\n")
         w.flush()
       })
