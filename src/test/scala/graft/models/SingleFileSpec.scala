@@ -46,6 +46,33 @@ class SingleFileSpec extends SparkSpec {
     assert(text(p).linesIterator.size == 3) // header + 2 rows
   }
 
+  test("CSV singleFile append onto an empty file still writes the header") {
+    val p = s"${dir()}/h.csv"
+    val m0 = CsvModel(p, delimiter = ",", singleFile = true)
+    m0.load(ctx, spark.range(0).toDF("id")) // empty: header-only or 0-byte
+    CsvModel(p, delimiter = ",", singleFile = true, append = true)
+      .load(ctx, spark.range(2).toDF("id"))
+    val lines = text(p).linesIterator.toSeq
+    assert(lines.head == "\"id\"", s"header present after append: $lines")
+    assert(lines.count(_ == "\"id\"") == 1, s"header exactly once: $lines")
+  }
+
+  test("crash recovery: a stranded .__single_old restores before the write") {
+    val p = s"${dir()}/r.csv"
+    val m = CsvModel(p, delimiter = ",", singleFile = true)
+    m.load(ctx, spark.range(3).toDF("id"))
+    // simulate a crash between the two renames: dest gone, aside holds
+    // the only complete copy
+    Files.move(Paths.get(p), Paths.get(p + ".__single_old"))
+    CsvModel(p, delimiter = ",", singleFile = true, append = true)
+      .load(ctx, spark.range(3, 5).toDF("id"))
+    assert(!Files.exists(Paths.get(p + ".__single_old")), "aside reaped")
+    val back = CsvModel(p, delimiter = ",",
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL("id long")))
+      .extract(ctx)
+    assert(back.count() == 5, "recovered rows + appended rows")
+  }
+
   test("JSON singleFile: one top-level array document, splice append") {
     val p = s"${dir()}/out.json"
     JsonModel(p, singleFile = true)
