@@ -266,6 +266,19 @@ object Streams {
               idCol: String, textCol: String): DataFrame =
     graft.operators.LmScore.bigramFitBroadcast(docs, model, idCol, textCol)
 
+  /** Streaming Gopher-rule quality filter: the published web-corpus
+    * heuristic battery ([[graft.functions.TextFunctions.gopherRules]])
+    * on a document stream — pure codegen'd column expressions, no
+    * state, no watermark, batch ≡ stream by construction. Returns the
+    * passing documents with the metric struct attached (drop it or
+    * keep it for the data card).
+    */
+  def gopherFilter(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("gopher",
+        graft.functions.TextFunctions.gopherRules(col(textCol)))
+      .filter(col("gopher.gopher_pass"))
+
   /** Streaming BM25 scoring: a batch-calibrated
     * [[graft.operators.Retrieval.Bm25Model]] (per-query term idf
     * weights + corpus length stats) rides into the stream as literals,

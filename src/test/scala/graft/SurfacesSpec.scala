@@ -314,6 +314,28 @@ class SurfacesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gopher filter: stateless battery, batch ≡ stream") {
+    val dir = Files.createTempDirectory("stream_gopher").toString
+    val good = (Seq("the", "a") ++ (1 to 60).map(i => s"word$i")).mkString(" ")
+    Files.write(java.nio.file.Paths.get(dir, "d.csv"),
+      (s"1,$good\n2,too short\n3,$good extra\n").getBytes)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val name = s"gf_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = Streams.gopherFilter(
+        Streams.fileMonitor(spark, dir, "csv", schema))
+      .select("id")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(name).collect().map(_.getLong(0)).toSet
+    val batch = Streams.gopherFilter(
+        spark.read.schema(schema).csv(s"$dir/d.csv"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == batch && got == Set(1L, 3L), s"stream $got batch $batch")
+  }
+
   test("streaming ANN ingest: micro-batches land in the live generation, queryable") {
     import graft.operators.AnnIndex
     val idxDir = Files.createTempDirectory("stream_ann_idx").toString

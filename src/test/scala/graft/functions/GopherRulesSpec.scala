@@ -56,6 +56,17 @@ class GopherRulesSpec extends SparkSpec {
     assert(!metrics(shortWords).getAs[Boolean]("gopher_pass"))
   }
 
+  test("the battery is a pure projection: zero exchanges in the plan") {
+    val df = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), gopherRules(col("text")).as("g"))
+      .filter(col("g.gopher_pass"))
+    df.collect()
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, "corpus-wide quality filtering must not shuffle")
+  }
+
   test("empty text degenerates safely (no division blow-up, fails the filter)") {
     // split('', '\s+') is [""] on BOTH Spark and DuckDB — one empty
     // token, length 0 (the engine-consistent degenerate the oracle
