@@ -277,6 +277,56 @@ class SurfacesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming resample: randomized out-of-order arrival still equals batch") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 200 events over 5 keys inside a 1-hour window, delivered in a
+    // seeded-random order across 4 micro-batches; the 1-day watermark
+    // delay absorbs ALL the disorder, and two far sentinels close every
+    // real bucket — so the stream must equal the batch operator exactly
+    val rnd = new scala.util.Random(7)
+    val events = (1 to 200).map { i =>
+      (rnd.nextInt(5).toLong, new Timestamp(1700000000000L +
+        rnd.nextInt(3600) * 1000L), rnd.nextInt(1000) / 10.0)
+    }
+    val shuffled = rnd.shuffle(events)
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val src = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 day")
+    val name = s"rsr_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = graft.streaming.Resample.ffill(src, 120L)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      shuffled.grouped(50).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+      }
+      // sentinels: advance the watermark across two batches so every
+      // real bucket (all within the hour) closes and emits
+      input.addData((-1L, new Timestamp(1700000000000L + 10L * 86400000L), 0.0))
+      q.processAllAvailable()
+      input.addData((-1L, new Timestamp(1700000000000L + 20L * 86400000L), 0.0))
+      q.processAllAvailable()
+      val got = spark.table(name).filter(col("user_id") >= 0)
+        .orderBy("user_id", "bucket_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      val batchRes = graft.operators.Relational.resampleFfill(
+          events.toDF("user_id", "ts", "value")
+            .select(col("user_id"), col("ts").cast("long").as("ep"),
+              col("value")),
+          Seq("user_id"), "ep", 120L, "value")
+        .orderBy("user_id", "bucket_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got == batchRes,
+        s"stream (${got.size} rows) != batch (${batchRes.size} rows)")
+      assert(got.size > 50, "non-trivial grid")
+    } finally q.stop()
+  }
+
   test("streaming resample: pathological gap fails loudly (maxGapBuckets)") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
