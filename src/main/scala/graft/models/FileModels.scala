@@ -218,11 +218,19 @@ final case class CsvModel(
           val in = f.open(part)
           try {
             if (head && headerDone) {
-              // skip this part's header line (bytewise to first \n —
-              // valid for any ASCII-compatible charset, which is what
-              // Spark's csv writer supports for lineSep-delimited text)
+              // skip this part's header line: bytewise scan for the
+              // TERMINATOR sequence (custom lineSep or \n) — valid for
+              // any ASCII-compatible charset, which is what Spark's
+              // csv writer supports for lineSep-delimited text
+              val term = terminator.getOrElse("\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              var matched = 0
               var b = in.read()
-              while (b != -1 && b != '\n') b = in.read()
+              while (b != -1 && matched < term.length) {
+                matched = if (b == (term(matched) & 0xff)) matched + 1
+                          else if (b == (term(0) & 0xff)) 1 else 0
+                if (matched < term.length) b = in.read()
+              }
             }
             org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
           } finally in.close()
@@ -234,10 +242,14 @@ final case class CsvModel(
 }
 
 /** JSON source + sink (models.py:1379-1411). The reference holds ONE file
-  * with a top-level array; `multiline=true` reads that layout. Default
-  * writes are JSON-lines part files (the distributed-native layout,
-  * SURVEY.md §7.4.2); `singleFile=true` reproduces the reference's exact
-  * one-file top-level-array document, including read-modify-write append.
+  * with a top-level array; `multiline=true` (the default) reads that
+  * layout — and the `singleFile=true` sink writes it, including
+  * read-modify-write append. Default writes are JSON-lines part files
+  * (the distributed-native layout, SURVEY.md §7.4.2): read THOSE back
+  * with `multiline=false` (the m02 gate's shape) — a multiline read of
+  * a JSON-lines directory parses each part as one document. Pick the
+  * pair that matches your layout: (singleFile write, default read) or
+  * (default write, multiline=false read).
   */
 final case class JsonModel(
     path: String,
@@ -329,6 +341,7 @@ final case class XmlModel(
       .mode(if (append) SaveMode.Append else SaveMode.Overwrite)
       .format("xml")
       .option("rowTag", rowTag).option("rootTag", rootTag)
+      .option("charset", encoding)
       .option("declaration", s"""version="1.0" encoding="$encoding"""")
       .save(p)
     val (files, bytes) = writeStats(ctx, p)

@@ -100,7 +100,12 @@ object Layout {
     * Scale posture: with `partitionCols` the merge is copy-on-write at
     * PARTITION granularity — only partition values present in the
     * update batch are read (partition-pruned scan) and rewritten; the
-    * rest of the 100 TB table is never opened. The touched-value list
+    * rest of the 100 TB table is never opened. CONTRACT: an update row
+    * must not change an existing key's partition value — the pruned
+    * scan cannot see (and so cannot retire) the key's old row in an
+    * untouched partition, and the key would duplicate (the same
+    * non-global-index constraint as Hudi/Delta partial merges). For
+    * partition-moving updates use the unpartitioned full-table merge. The touched-value list
     * is a driver-side collect bounded by the partition count of the
     * BATCH (capped at `maxTouchedPartitions`, not corpus-scale). The
     * merge itself is one hash shuffle on `keys` (the dedup window),
@@ -156,26 +161,47 @@ object Layout {
       // swap each touched partition dir; untouched dirs are never read
       // or written. New-in-batch partition values rename straight in.
       val tmpPath = new Path(tmpDir)
+      def swapRec(src: Path, dst: Path): Unit = {
+        val kids = fc.util.listStatus(src)
+          .filter(s0 => s0.isDirectory && s0.getPath.getName.contains("="))
+        if (kids.nonEmpty && fc.util.exists(dst))
+          kids.foreach(k => swapRec(k.getPath, new Path(dst, k.getPath.getName)))
+        else {
+          val aside = new Path(dst.getParent, s".${dst.getName}.__merge_old")
+          // crash recovery: a prior run died between its two renames —
+          // the aside is the only copy of this partition; restore it
+          // before treating it as stale
+          if (fc.util.exists(aside) && !fc.util.exists(dst))
+            fc.rename(aside, dst)
+          if (fc.util.exists(aside)) fc.delete(aside, true)
+          if (fc.util.exists(dst)) fc.rename(dst, aside)
+          fc.mkdir(dst.getParent,
+            org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+          fc.rename(src, dst)
+          if (fc.util.exists(aside)) fc.delete(aside, true)
+        }
+      }
       val statuses = fc.util.listStatus(tmpPath)
         .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
       statuses.foreach { st =>
-        val rel = st.getPath.getName // e.g. "p_col=value" (nested below)
-        def swapRec(src: Path, dst: Path): Unit = {
-          val kids = fc.util.listStatus(src)
-            .filter(s0 => s0.isDirectory && s0.getPath.getName.contains("="))
-          if (kids.nonEmpty && fc.util.exists(dst))
-            kids.foreach(k => swapRec(k.getPath, new Path(dst, k.getPath.getName)))
-          else {
-            val aside = new Path(dst.getParent, s".${dst.getName}.__merge_old")
-            if (fc.util.exists(aside)) fc.delete(aside, true)
-            if (fc.util.exists(dst)) fc.rename(dst, aside)
-            fc.mkdir(dst.getParent,
-              org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
-            fc.rename(src, dst)
-            if (fc.util.exists(aside)) fc.delete(aside, true)
-          }
+        swapRec(st.getPath, new Path(path, st.getPath.getName))
+      }
+      // a touched partition whose rows were ALL deleted produces no tmp
+      // dir — its OLD dir must still go, or the deletes silently
+      // survive. Resolve each touched value to its Spark partition-dir
+      // name (same escaping the writer used) and drop leftovers.
+      if (deleteCol.isDefined) {
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        touched.foreach { r =>
+          val rel = partitionCols.zipWithIndex.map { case (c, i) =>
+            val v = if (r.isNullAt(i)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+              else ExternalCatalogUtils.escapePathName(String.valueOf(r.get(i)))
+            s"${ExternalCatalogUtils.escapePathName(c)}=$v"
+          }.mkString("/")
+          val dst = new Path(path, rel)
+          if (!fc.util.exists(new Path(tmpPath, rel)) && fc.util.exists(dst))
+            fc.delete(dst, true)
         }
-        swapRec(st.getPath, new Path(path, rel))
       }
       fc.delete(tmpPath, true)
     }
@@ -466,7 +492,11 @@ object Layout {
         graft.expressions.kernels.toExpr(col(c).cast("double")), bs))
     val zcol = (0 until bits).flatMap { b =>
       zCols.indices.map { i =>
-        shiftleft(shiftright(col(s"__bk$i"), b).bitwiseAND(lit(1)), b * d + i)
+        // LONG arithmetic: bit positions reach bits*d-1 (31 already at
+        // 4 cols x 8 bits) — int shifts would push into the sign bit /
+        // wrap mod 32 and silently corrupt the curve ordering
+        shiftleft(shiftright(col(s"__bk$i").cast("long"), b)
+          .bitwiseAND(lit(1L)), b * d + i)
       }
     }.reduce(_ bitwiseOR _)
     val parts =

@@ -109,7 +109,14 @@ object Retrieval {
                 k1: Double = 1.2, b: Double = 0.75,
                 logIdf: Boolean = true): Bm25Model = {
     import graft.functions.TextFunctions.tokens
-    val qTerms = queries.select(col(qIdCol).as("qid"),
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(queries.schema(qIdCol).dataType),
+      s"bm25Model needs an integral query id column; '$qIdCol' is " +
+        queries.schema(qIdCol).dataType.catalogString)
+    val qTerms = queries.select(col(qIdCol).cast("long").as("qid"),
       explode(array_distinct(tokens(col(qTextCol)))).as("term"))
     val statsRow = docs
       .select(size(tokens(col(textCol))).as("__len"))
@@ -159,7 +166,11 @@ object Retrieval {
                          model: Bm25Model): DataFrame = {
     import graft.functions.TextFunctions.tokens
     require(model.queries.nonEmpty, "model has no queries")
-    val toks = tokens(col(textCol))
+    // tokenize ONCE per row into a materialized column — HOF lambda
+    // bodies don't participate in common-subexpression elimination, so
+    // an inline tokens(text) would re-run trim/lower/regex-split
+    // ~2*|terms| times per document on the streaming hot path
+    val toks = col("__toks")
     val len = size(toks).cast("double")
     def tfOf(term: Column): Column =
       size(filter(toks, x => x === term)).cast("double")
@@ -179,6 +190,7 @@ object Retrieval {
       struct(lit(qid).as("qid"), score.as("score"), nTerms.as("n_terms"))
     }
     docs
+      .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol).as("doc_id"),
         explode(array(perQuery: _*)).as("q"))
       .select(col("q.qid").as("qid"), col("doc_id"),

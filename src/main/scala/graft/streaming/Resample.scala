@@ -84,7 +84,15 @@ object Resample {
     implicit val keyEnc = Encoders.scalaLong
 
     events.select(col("user_id").cast("long"), col("ts"),
-        col("value").cast("double")).as[Point]
+        col("value").cast("double"))
+      // null key/ts/value rows would kill the continuous query at
+      // Encoder time (primitive fields) — drop them in the scan stage.
+      // Documented divergence from batch: batch counts a null-VALUE row
+      // in n_obs (not in the mean); the stream excludes it entirely —
+      // one bad sensor row must not take down the pipeline
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .as[Point]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FillState, Filled](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

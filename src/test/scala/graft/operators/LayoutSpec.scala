@@ -170,6 +170,25 @@ class LayoutSpec extends SparkSpec {
     assert(got5.count() == 1 && got5.head().getDouble(1) == 99.0)
   }
 
+  test("partitioned CDC: a fully-deleted partition's directory goes too") {
+    import spark.implicits._
+    val dir = tmpDir("cdcpart")
+    Seq((1L, "A", 1.0, 1L), (2L, "A", 2.0, 1L), (3L, "B", 3.0, 1L))
+      .toDF("k", "p", "v", "ver")
+      .write.partitionBy("p").parquet(dir)
+    // delete BOTH keys of partition A: the batch's write produces no
+    // p=A output, so the old dir must be dropped explicitly or the
+    // deletes silently survive
+    val batch = Seq((1L, "A", 1.0, 2L, true), (2L, "A", 2.0, 2L, true))
+      .toDF("k", "p", "v", "ver", "del")
+    Layout.merge(spark, dir, batch, Seq("k"), "ver",
+      partitionCols = Seq("p"), deleteCol = Some("del"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1, "only partition B's row survives")
+    assert(back.select("k").head().getLong(0) == 3L)
+    assert(!new java.io.File(s"$dir/p=A").exists(), "emptied dir removed")
+  }
+
   test("generational: pinned reader survives concurrent compact; reap after drain") {
     val dir = tmpDir("gen")
     val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")
