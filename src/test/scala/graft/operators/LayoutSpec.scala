@@ -270,6 +270,30 @@ class LayoutSpec extends SparkSpec {
       s"z-order user_id predicate read the whole table ($zUserRows of $total)")
   }
 
+  test("zorderWrite 4 columns x 8 bits: bit 31 stays out of the sign bit") {
+    // the int-shift form pushed rows with the 4th column's top bucket
+    // bit into NEGATIVE z (range-partitioning them to the curve front);
+    // with long arithmetic the write round-trips and clusters sanely
+    val dir = tmpDir("z4")
+    val li = spark.read.parquet(sf("lineitem"))
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    Layout.zorderWrite(li, dir,
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+      bits = 8, numFiles = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    // top-bucket rows of the LAST z column (highest interleave
+    // positions) must not cluster at the curve origin: the first file
+    // in curve order should hold low-key rows, not max-quantity ones
+    val perFile = back.groupBy(input_file_name().as("f"))
+      .agg(avg("l_quantity").as("q"), avg("l_orderkey").as("k"))
+      .collect()
+    assert(perFile.length > 1)
+    val qs = perFile.map(_.getDouble(1))
+    assert(qs.max - qs.min > 1.0,
+      "files differentiate on the 4th z column (clustering happened)")
+  }
+
   test("sortedWrite clusters row groups so key predicates skip them") {
     val shuffled = tmpDir("shuffled")
     val sorted = tmpDir("sorted")
