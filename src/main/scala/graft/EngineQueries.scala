@@ -523,6 +523,38 @@ object EngineQueries {
           col("n_regionkey").cast("long"))
     }),
 
+    // PARTITIONED CDC apply: copy-on-write at partition granularity
+    // with tombstones — including a partition whose keys are ALL
+    // deleted (its directory must go; the write produces no output for
+    // it, so the old dir would otherwise silently survive — the
+    // round-10 review fix, now driver-checked). Updates keep their
+    // partition value (the documented non-global-index contract).
+    "m25_cdc_partitioned" -> ((s, dir) => {
+      val out = s"${tmp("cdcpart")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      orders.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(1L).as("ver"))
+        .write.partitionBy("o_orderstatus").parquet(out)
+      // delete EVERY key of status 'P' (the fixture's smallest status)
+      // + update every 10th key elsewhere
+      val batch = orders.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(2L).as("ver"), lit(true).as("del"))
+        .unionByName(orders
+          .filter(col("o_orderstatus") =!= "P" &&
+            pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 100).as("o_totalprice"),
+            lit(2L).as("ver"), lit(false).as("del")))
+      graft.operators.Layout.merge(s, out, batch, Seq("o_orderkey"), "ver",
+        partitionCols = Seq("o_orderstatus"), deleteCol = Some("del"))
+      require(!new java.io.File(s"$out/o_orderstatus=P").exists(),
+        "fully-deleted partition directory must be removed")
+      s.read.parquet(out).select(col("o_orderkey"),
+        col("o_orderstatus").cast("string").as("o_orderstatus"),
+        col("o_totalprice"), col("ver"))
+    }),
+
     // GENERATIONAL merge roundtrip: flat seed migrates via compactGen
     // (gen-1 + _CURRENT), the m15 update batch applies via mergeGen
     // (gen-2 swapped live), and readCurrent must hash-match the same
@@ -618,6 +650,14 @@ object EngineQueries {
          WHERE rn = 1""",
     "m16_zorder_sink" ->
       "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
+    "m25_cdc_partitioned" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                      ELSE o_totalprice END AS o_totalprice
+               FROM orders WHERE o_orderstatus <> 'P')""",
     // the generational merge applies the same latest-wins batch as m15,
     // so it shares the same oracle — the gate's claim is that the
     // pointer-swap read path returns exactly what the rename-swap path

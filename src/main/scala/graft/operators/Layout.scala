@@ -181,6 +181,17 @@ object Layout {
           if (fc.util.exists(aside)) fc.delete(aside, true)
         }
       }
+      // capture which partition rel-paths the write produced BEFORE the
+      // swap renames them out of tmp (the post-swap tmp is empty)
+      def partitionRels(p: Path, prefix: String): Seq[String] = {
+        val kids = fc.util.listStatus(p)
+          .filter(s0 => s0.isDirectory && s0.getPath.getName.contains("="))
+        if (kids.isEmpty) Seq(prefix).filter(_.nonEmpty)
+        else kids.toSeq.flatMap(k => partitionRels(k.getPath,
+          if (prefix.isEmpty) k.getPath.getName
+          else s"$prefix/${k.getPath.getName}"))
+      }
+      val tmpRels = partitionRels(tmpPath, "").toSet
       val statuses = fc.util.listStatus(tmpPath)
         .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
       statuses.foreach { st =>
@@ -199,7 +210,7 @@ object Layout {
             s"${ExternalCatalogUtils.escapePathName(c)}=$v"
           }.mkString("/")
           val dst = new Path(path, rel)
-          if (!fc.util.exists(new Path(tmpPath, rel)) && fc.util.exists(dst))
+          if (!tmpRels.contains(rel) && fc.util.exists(dst))
             fc.delete(dst, true)
         }
       }

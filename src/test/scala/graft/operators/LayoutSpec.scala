@@ -187,6 +187,20 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() == 1, "only partition B's row survives")
     assert(back.select("k").head().getLong(0) == 3L)
     assert(!new java.io.File(s"$dir/p=A").exists(), "emptied dir removed")
+    // MIXED batch: delete all of B while updating C — the surviving
+    // touched partition must NOT be swept by the emptied-dir cleanup
+    // (regression: the tmp listing must be captured before the swap)
+    Seq((4L, "C", 4.0, 1L)).toDF("k", "p", "v", "ver")
+      .write.mode("append").partitionBy("p").parquet(dir)
+    val batch2 = Seq((3L, "B", 3.0, 2L, true), (4L, "C", 44.0, 2L, false))
+      .toDF("k", "p", "v", "ver", "del")
+    Layout.merge(spark, dir, batch2, Seq("k"), "ver",
+      partitionCols = Seq("p"), deleteCol = Some("del"))
+    val back2 = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(back2 == Seq((4L, 44.0)), s"got $back2")
+    assert(!new java.io.File(s"$dir/p=B").exists())
+    assert(new java.io.File(s"$dir/p=C").exists(), "updated dir survives")
   }
 
   test("generational: pinned reader survives concurrent compact; reap after drain") {
