@@ -294,6 +294,30 @@ object Streams {
                 idCol: String, textCol: String): DataFrame =
     graft.operators.Retrieval.bm25ScoreBroadcast(docs, idCol, textCol, model)
 
+  /** Continuous CDC apply: every micro-batch of change rows (full rows
+    * + version + optional tombstone flag) merges into the keyed parquet
+    * table via [[graft.operators.Layout.merge]] — latest-wins upsert +
+    * delete, partition-pruned copy-on-write when `partitionCols` is
+    * set. The checkpoint gives exactly-once batch tracking, and
+    * re-applying a batch is idempotent by merge's contract, so a
+    * replayed micro-batch after a crash converges to the same table.
+    * Apply batches in version order (the no-tombstone-retention replay
+    * semantics documented on merge).
+    *
+    * Returns the configured writer — caller sets checkpoint/trigger
+    * and starts it (the [[ingest]]/[[annIngest]] shape).
+    */
+  def cdcApply(stream: DataFrame, path: String, keys: Seq[String],
+               versionCol: String, partitionCols: Seq[String] = Nil,
+               deleteCol: Option[String] = None): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        graft.operators.Layout.merge(batch.sparkSession, path, batch,
+          keys, versionCol, partitionCols, deleteCol = deleteCol)
+        ()
+      }
+    }
+
   /** Continuous embedding ingest into the persisted generational ANN
     * index ([[graft.operators.AnnIndex]]): every micro-batch of
     * (vec_id, embedding) rows encodes with the index's PERSISTED

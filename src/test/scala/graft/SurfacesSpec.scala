@@ -386,6 +386,34 @@ class SurfacesSpec extends SparkSpec {
     assert(got == batch && got == Set(1L, 3L), s"stream $got batch $batch")
   }
 
+  test("streaming CDC apply: micro-batches merge latest-wins with tombstones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_cdc").resolve("t").toString
+    Seq((1L, 10.0, 1L, false), (2L, 20.0, 1L, false), (3L, 30.0, 1L, false))
+      .toDF("k", "v", "ver", "del").drop("del")
+      .write.parquet(dir)
+    val input = MemoryStream[(Long, Double, Long, Boolean)]
+    val q = Streams.cdcApply(
+        input.toDF().toDF("k", "v", "ver", "del"),
+        dir, Seq("k"), "ver", deleteCol = Some("del"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("stream_cdc_ckpt").toString)
+      .start()
+    try {
+      // batch 1: update k=1, insert k=4
+      input.addData((1L, 11.0, 2L, false), (4L, 40.0, 2L, false))
+      q.processAllAvailable()
+      // batch 2: delete k=2, update k=4 again
+      input.addData((2L, 0.0, 3L, true), (4L, 44.0, 3L, false))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 11.0, 3L -> 30.0, 4L -> 44.0), s"got $got")
+  }
+
   test("streaming ANN ingest: micro-batches land in the live generation, queryable") {
     import graft.operators.AnnIndex
     val idxDir = Files.createTempDirectory("stream_ann_idx").toString
