@@ -445,9 +445,17 @@ object CurationQueries {
       .filter(col("bin") >= col("thr_bin"))
       .select("doc_id", "lang", "source")
     val rates = Sampling.temperatureThresholds(keptIds, "source")
-    keptIds.join(broadcast(rates), Seq("source"))
+    val survivors = keptIds.join(broadcast(rates), Seq("source"))
       .filter(Sampling.splitHash(col("doc_id")) < col("__thr"))
       .select("doc_id", "lang", "source")
+      // materialize the (small) survivor set off the pinned bin table
+      // so the pin can release DETERMINISTICALLY here — without this,
+      // each invocation in a long-lived session left the cached bin
+      // table behind until RDD GC (the bench clears caches; a user
+      // pipeline may not)
+      .localCheckpoint(true)
+    scored.unpersist()
+    survivors
   }
 
   private val toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""

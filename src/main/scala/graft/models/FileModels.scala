@@ -218,18 +218,28 @@ final case class CsvModel(
           val in = f.open(part)
           try {
             if (head && headerDone) {
-              // skip this part's header line: bytewise scan for the
-              // TERMINATOR sequence (custom lineSep or \n) — valid for
+              // skip this part's header line: consume bytes until the
+              // read-so-far suffix equals the TERMINATOR sequence
+              // (custom lineSep or \n) — an ends-with test over a ring
+              // of the last |term| bytes, correct for ANY terminator
+              // including multi-char values with internal repeats
+              // (the single-byte mismatch-reset state machine this
+              // replaces could over- or under-skip those). Valid for
               // any ASCII-compatible charset, which is what Spark's
-              // csv writer supports for lineSep-delimited text
+              // csv writer supports for lineSep-delimited text.
               val term = terminator.getOrElse("\n")
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              var matched = 0
+              val ring = new Array[Byte](term.length)
+              var seen = 0L
               var b = in.read()
-              while (b != -1 && matched < term.length) {
-                matched = if (b == (term(matched) & 0xff)) matched + 1
-                          else if (b == (term(0) & 0xff)) 1 else 0
-                if (matched < term.length) b = in.read()
+              var done = false
+              while (b != -1 && !done) {
+                ring((seen % term.length).toInt) = b.toByte
+                seen += 1
+                done = seen >= term.length && term.indices.forall { i =>
+                  ring(((seen - term.length + i) % term.length).toInt) == term(i)
+                }
+                if (!done) b = in.read()
               }
             }
             org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)

@@ -34,6 +34,42 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Single-writer lease for table maintenance: every mutating entry
+    * point ([[compact]], [[merge]], [[compactGen]], [[mergeGen]],
+    * [[mergeManifest]], the reaps) runs under an atomically-created
+    * sibling lock file `<path>.__maint.lock` — two concurrent writers
+    * on the same table (say a scheduled compaction landing mid
+    * CDC-apply micro-batch) fail LOUDLY at acquisition instead of
+    * racing on tmp dirs and swaps. The lock is a sibling, not a child,
+    * so the unpartitioned rename-aside swap (which moves `path` itself)
+    * cannot move the lease out from under its holder. A writer that
+    * dies hard leaves the lock behind; the error message names the file
+    * and the remedy (readers are never blocked — the lease coordinates
+    * WRITERS only).
+    */
+  private def withMaintenanceLock[T](spark: SparkSession, path: String)
+                                    (body: => T): T = {
+    val fc = FileContext.getFileContext(new Path(path).toUri,
+      spark.sessionState.newHadoopConf())
+    val lock = new Path(s"$path.__maint.lock")
+    val out =
+      try fc.create(lock,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+        org.apache.hadoop.fs.Options.CreateOpts.createParent())
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"another maintenance writer holds $lock for table $path " +
+          "(merge/compact/reap are single-writer); if that writer " +
+          "crashed, delete the lock file and re-run")
+      }
+    try out.write(
+      s"pid=${ProcessHandle.current().pid()} thread=${Thread.currentThread().getName}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try body
+    finally { if (fc.util.exists(lock)) fc.delete(lock, false); () }
+  }
+
   /** Rewrite the parquet directory at `path` with its data clustered by
     * `partitionCols` (the existing `partitionBy` layout, preserved) so
     * each partition directory holds one task's contiguous files instead
@@ -45,7 +81,8 @@ object Layout {
     * Returns (files before, files after).
     */
   def compact(spark: SparkSession, path: String,
-              partitionCols: Seq[String] = Nil): (Long, Long) = {
+              partitionCols: Seq[String] = Nil): (Long, Long) =
+      withMaintenanceLock(spark, path) {
     val before = spark.read.parquet(path)
     val filesBefore = before.inputFiles.length.toLong
     val tmp = s"$path.__compact_tmp"
@@ -120,7 +157,8 @@ object Layout {
             keys: Seq[String], versionCol: String,
             partitionCols: Seq[String] = Nil,
             maxTouchedPartitions: Int = 10000,
-            deleteCol: Option[String] = None): Unit = {
+            deleteCol: Option[String] = None): Unit =
+      withMaintenanceLock(spark, path) {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(!keys.contains(versionCol), "versionCol cannot be a key")
     val base = spark.read.parquet(path)
@@ -140,8 +178,18 @@ object Layout {
       fc.rename(new Path(tmpDir), new Path(path))
       fc.delete(aside, true)
     } else {
-      // touched partition values: bounded by the BATCH's partitions
-      val touched = updates.select(partitionCols.map(col): _*)
+      // touched partition values: bounded by the BATCH's partitions.
+      // Each value is collected twice — natively (for the pruning
+      // predicate) and through Spark's OWN Cast-to-string (columns
+      // n..2n-1), because that Cast is exactly how the parquet writer
+      // renders partition directory names (timestamps drop the
+      // java.sql '.0' suffix, session timezone applies, etc.); deriving
+      // the dir name from String.valueOf would miss stale dirs for
+      // those types and let tombstoned rows silently survive.
+      val nPc = partitionCols.size
+      val touched = updates.select(
+          (partitionCols.map(col) ++
+            partitionCols.map(c => col(c).cast("string").as(s"__pstr_$c"))): _*)
         .distinct().limit(maxTouchedPartitions + 1).collect()
       require(touched.length <= maxTouchedPartitions,
         s"update batch touches > $maxTouchedPartitions partitions; " +
@@ -204,10 +252,11 @@ object Layout {
       if (deleteCol.isDefined) {
         import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         touched.foreach { r =>
+          // writer-exact fragment: Spark's Cast rendering (collected
+          // above) + the same escaping/null handling the writer uses
           val rel = partitionCols.zipWithIndex.map { case (c, i) =>
-            val v = if (r.isNullAt(i)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-              else ExternalCatalogUtils.escapePathName(String.valueOf(r.get(i)))
-            s"${ExternalCatalogUtils.escapePathName(c)}=$v"
+            ExternalCatalogUtils.getPartitionPathString(c,
+              if (r.isNullAt(nPc + i)) null else r.getString(nPc + i))
           }.mkString("/")
           val dst = new Path(path, rel)
           if (!tmpRels.contains(rel) && fc.util.exists(dst))
@@ -227,6 +276,26 @@ object Layout {
   private def latestWins(b: DataFrame, u: DataFrame, keys: Seq[String],
                          versionCol: String,
                          deleteCol: Option[String]): DataFrame = {
+    // loud schema contract (CDC pipelines hit schema drift constantly):
+    // the update batch must carry EVERY base column — a missing one
+    // would otherwise surface as a raw resolver error — and must not
+    // carry columns the base lacks (beyond the delete flag): silently
+    // projecting them away would LOSE data on an evolved/typo'd batch.
+    // Schema evolution is an explicit base-table migration, not an
+    // implicit merge side effect.
+    val missing = b.columns.filterNot(deleteCol.contains)
+      .filterNot(u.columns.contains)
+    require(missing.isEmpty,
+      s"merge: update batch is missing base column(s) " +
+      s"${missing.mkString("[", ", ", "]")}; the batch must carry every " +
+      "base column (plus the optional delete flag)")
+    val extra = u.columns.filterNot(b.columns.contains)
+      .filterNot(deleteCol.contains)
+    require(extra.isEmpty,
+      s"merge: update batch carries column(s) " +
+      s"${extra.mkString("[", ", ", "]")} absent from the base table — " +
+      "refusing to silently drop them; evolve the base schema first or " +
+      "project the batch explicitly")
     val cols = b.columns.filterNot(deleteCol.contains)
     val del = deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false))
     val tagged = b.select(cols.map(col): _*)
@@ -320,9 +389,7 @@ object Layout {
           st.getPath.getName.drop(4).toInt
       }
       val flat = sts.exists(st => !st.isDirectory &&
-        st.getPath.getName != "_CURRENT" &&
-        !st.getPath.getName.startsWith("_CURRENT.") &&
-        !st.getPath.getName.startsWith("."))
+        isWriteArtifact(st.getPath.getName))
       ((if (flat) Seq(0) else Seq.empty) ++ gens).sorted
     }
   }
@@ -361,7 +428,8 @@ object Layout {
     * Returns (files before, files after).
     */
   def compactGen(spark: SparkSession, path: String,
-                 partitionCols: Seq[String] = Nil): (Long, Long) = {
+                 partitionCols: Seq[String] = Nil): (Long, Long) =
+      withMaintenanceLock(spark, path) {
     val cur = currentGeneration(spark, path).getOrElse(0)
     dropOrphanGenerations(spark, path, cur)
     val before = spark.read.parquet(generationPath(path, cur))
@@ -393,7 +461,8 @@ object Layout {
     */
   def mergeGen(spark: SparkSession, path: String, updates: DataFrame,
                keys: Seq[String], versionCol: String,
-               deleteCol: Option[String] = None): Unit = {
+               deleteCol: Option[String] = None): Unit =
+      withMaintenanceLock(spark, path) {
     require(keys.nonEmpty, "mergeGen needs at least one key column")
     require(!keys.contains(versionCol), "versionCol cannot be a key")
     deleteCol.foreach(d => require(updates.columns.contains(d),
@@ -415,10 +484,21 @@ object Layout {
     * finished.
     */
   def reapGenerations(spark: SparkSession, path: String): Seq[Int] =
-    currentGeneration(spark, path) match {
-      case None => Seq.empty // flat table: nothing generational to reap
-      case Some(cur) => reapBelow(spark, path, cur)
+    withMaintenanceLock(spark, path) {
+      currentGeneration(spark, path) match {
+        case None => Seq.empty // flat table: nothing generational to reap
+        case Some(cur) => reapBelow(spark, path, cur)
+      }
     }
+
+  /** Files the framework's own writers produce — the ONLY flat root
+    * files a reap may delete. A user's stray notes, external tool
+    * markers, and anything else unrecognized is left alone (and never
+    * counted as flat generation-0 data by [[generations]] either).
+    */
+  private def isWriteArtifact(name: String): Boolean =
+    name.startsWith("part-") || name == "_SUCCESS" ||
+      name.endsWith(".crc") && name.startsWith(".")
 
   private def reapBelow(spark: SparkSession, path: String,
                         cur: Int): Seq[Int] = {
@@ -429,11 +509,10 @@ object Layout {
       if (st.isDirectory && n.startsWith("gen-") &&
           n.drop(4).forall(_.isDigit) && n.drop(4).toInt < cur) {
         fc.delete(st.getPath, true); deleted += n.drop(4).toInt
-      } else if (!st.isDirectory && n != "_CURRENT" &&
-          !n.startsWith("_CURRENT.")) {
+      } else if (!st.isDirectory && isWriteArtifact(n)) {
         // flat legacy data file (generation 0) superseded by gen-N
         fc.delete(st.getPath, false)
-        if (!deleted.contains(0)) deleted += 0
+        if (n.startsWith("part-") && !deleted.contains(0)) deleted += 0
       }
     }
     deleted.toSeq.sorted

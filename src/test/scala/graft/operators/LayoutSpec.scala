@@ -333,4 +333,96 @@ class LayoutSpec extends SparkSpec {
     assert(rowsSorted < rowsShuffled,
       s"sorted scan read $rowsSorted rows vs shuffled $rowsShuffled")
   }
+
+  test("merge schema contract: extra and missing update columns fail loudly") {
+    val dir = tmpDir("contract")
+    import spark.implicits._
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
+      .write.parquet(dir)
+    // extra column: silent projection would LOSE the new column's data
+    val extra = intercept[IllegalArgumentException] {
+      Layout.merge(spark, dir,
+        Seq((1L, "a2", 2L, "oops")).toDF("k", "v", "ver", "v_new"),
+        Seq("k"), "ver")
+    }
+    assert(extra.getMessage.contains("v_new"), extra.getMessage)
+    assert(extra.getMessage.contains("absent from the base"), extra.getMessage)
+    // missing column: must be a named contract error, not a resolver one
+    val missing = intercept[IllegalArgumentException] {
+      Layout.merge(spark, dir, Seq((1L, 2L)).toDF("k", "ver"),
+        Seq("k"), "ver")
+    }
+    assert(missing.getMessage.contains("missing base column"), missing.getMessage)
+    assert(missing.getMessage.contains("v"), missing.getMessage)
+    // base unchanged after both refusals
+    assert(spark.read.parquet(dir).count() == 2)
+    // the delete flag is exempt from the extra-column check
+    Layout.merge(spark, dir, Seq((2L, "b", 2L, true)).toDF("k", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("maintenance is single-writer: a held lock fails the second writer loudly") {
+    val dir = tmpDir("lock")
+    import spark.implicits._
+    Seq((1L, "a", 1L)).toDF("k", "v", "ver").write.parquet(dir)
+    val lock = new java.io.File(s"$dir.__maint.lock")
+    assert(lock.createNewFile(), "simulated concurrent writer's lock")
+    val e = intercept[IllegalStateException] {
+      Layout.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("maintenance writer"), e.getMessage)
+    assert(e.getMessage.contains(lock.getName), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Layout.merge(spark, dir, Seq((1L, "a2", 2L)).toDF("k", "v", "ver"),
+        Seq("k"), "ver")
+    }
+    assert(e2.getMessage.contains("delete the lock file"), e2.getMessage)
+    // table untouched by either refused writer
+    assert(spark.read.parquet(dir).collect().map(_.getString(1)).toSeq == Seq("a"))
+    // crashed-writer remedy: delete the lock, maintenance proceeds and
+    // releases its own lease on completion
+    assert(lock.delete())
+    Layout.merge(spark, dir, Seq((1L, "a2", 2L)).toDF("k", "v", "ver"),
+      Seq("k"), "ver")
+    assert(spark.read.parquet(dir).head().getString(1) == "a2")
+    assert(!lock.exists(), "lease released after completion")
+  }
+
+  test("partitioned CDC delete removes the stale dir for TIMESTAMP partitions") {
+    // the partition dir name must come from Spark's own Cast rendering:
+    // java.sql.Timestamp.toString would yield '... 00:00:00.0' (trailing
+    // .0), never match the writer's dir, and leave tombstoned rows alive
+    val dir = tmpDir("tspart")
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    Seq((1L, t0, 1L), (2L, t1, 1L)).toDF("k", "day", "ver")
+      .write.partitionBy("day").parquet(dir)
+    val dirs0 = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("day=")).toSeq
+    assert(dirs0.size == 2, dirs0.mkString(","))
+    // tombstone EVERY key of the t0 partition
+    Layout.merge(spark, dir, Seq((1L, t0, 2L, true)).toDF("k", "day", "ver", "del"),
+      Seq("k"), "ver", partitionCols = Seq("day"), deleteCol = Some("del"))
+    val dirs1 = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("day=")).toSeq
+    assert(dirs1.size == 1, s"stale timestamp partition dir survived: $dirs1")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1 && back.select("k").head().getLong(0) == 2L)
+  }
+
+  test("reap deletes only recognizable write artifacts, never user files") {
+    val dir = tmpDir("reapsafe")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir)
+    Layout.compactGen(spark, dir) // migrates flat -> gen-1
+    // a stray user file the framework never wrote, dropped in the root
+    val notes = new java.io.File(dir, "NOTES-from-a-human.txt")
+    java.nio.file.Files.writeString(notes.toPath, "do not delete")
+    val reaped = Layout.reapGenerations(spark, dir)
+    assert(reaped.contains(0), s"flat part files reaped: $reaped")
+    assert(notes.exists(), "user file must survive the reap")
+    assert(Layout.readCurrent(spark, dir).count() == 1)
+  }
 }
