@@ -608,6 +608,59 @@ object EngineQueries {
       CsvModel(p, delimiter = "|", schema = Some(schema)).extract(ctx)
     }),
 
+    // MANIFEST-table CDC apply (the partitioned-merge reader-window
+    // cure, driver-checked): the m25 change batch — every key of one
+    // partition tombstoned + updates elsewhere — applies through
+    // Layout.mergeManifest, which publishes the new partition-granular
+    // snapshot with ONE atomic pointer rename. The gate pins the whole
+    // concurrency contract in-line: a reader PINNED before the apply
+    // still checksums to the seed afterwards (no missing-partition
+    // window, no torn listing), time-travel to manifest v1 still
+    // equals the seed, reap drops the superseded generation dirs, and
+    // the post-apply snapshot must hash-match m25's oracle.
+    "m26_manifest_cdc" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("manifest")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      def chk(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(col("o_orderkey"),
+            col("o_orderstatus").cast("string"), col("o_totalprice"),
+            col("ver")))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val seedChk = chk(seed)
+      Layout.writeManifestTable(s, out, seed, Seq("o_orderstatus"))
+      // pin a reader BEFORE the concurrent apply
+      val pinned = Layout.readManifest(s, out)
+      val batch = orders.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(2L).as("ver"), lit(true).as("del"))
+        .unionByName(orders
+          .filter(col("o_orderstatus") =!= "P" &&
+            pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 100).as("o_totalprice"),
+            lit(2L).as("ver"), lit(false).as("del")))
+      Layout.mergeManifest(s, out, batch, Seq("o_orderkey"), "ver",
+        deleteCol = Some("del"))
+      require(chk(pinned) == seedChk,
+        "reader pinned before a concurrent manifest CDC apply must " +
+          "keep its snapshot bit-for-bit")
+      require(Layout.manifestVersion(s, out).contains(2))
+      require(chk(Layout.readManifestVersion(s, out, 1)) == seedChk,
+        "time travel: manifest v1 must still be the seed")
+      val reaped = Layout.reapManifest(s, out)
+      require(reaped.exists(_.contains("gen=1")) &&
+        reaped.exists(_.startsWith("o_orderstatus=P")),
+        s"reap must drop superseded gens + the deleted partition: $reaped")
+      Layout.readManifest(s, out).select(col("o_orderkey"),
+        col("o_orderstatus").cast("string").as("o_orderstatus"),
+        col("o_totalprice"), col("ver"))
+    }),
+
     // Z-order clustered rewrite (Layout.zorderWrite): lineitem written
     // Z-clustered on (l_orderkey, l_partkey); the read-back hash match
     // proves the curve rewrite is row-exact (the skipping behavior is
@@ -650,6 +703,18 @@ object EngineQueries {
          WHERE rn = 1""",
     "m16_zorder_sink" ->
       "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
+    // the manifest CDC apply applies the same change batch as m25, so
+    // it shares the oracle — the gate's claim is that the atomic-
+    // pointer snapshot path returns exactly what the rename-swap path
+    // does, while a concurrently pinned reader keeps the seed
+    "m26_manifest_cdc" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                      ELSE o_totalprice END AS o_totalprice
+               FROM orders WHERE o_orderstatus <> 'P')""",
     "m25_cdc_partitioned" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
            CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)

@@ -518,6 +518,369 @@ object Layout {
     deleted.toSeq.sorted
   }
 
+  // ---- Manifest tables: partition-granular generational snapshots ----
+  //
+  // [[merge]] with `partitionCols` swaps each touched partition dir via
+  // rename-aside, so a concurrent reader can observe a MISSING partition
+  // between the two renames — fine inside a maintenance window, wrong
+  // under continuous partitioned CDC. The cure is m24's `_CURRENT`
+  // discipline generalized to partition granularity: data lives in
+  // immutable per-partition generation directories
+  // (`<rel>/gen=<g>/part-*.parquet`), and ONE manifest file maps every
+  // partition to its live generation:
+  //
+  //   path/
+  //     _MANIFEST.v1, _MANIFEST.v2, ...   immutable JSON snapshots
+  //     _MANIFEST_CURRENT                 live manifest version (atomic swap)
+  //     o_orderstatus=F/gen=1/part-*.parquet
+  //     o_orderstatus=F/gen=2/part-*.parquet   <- after one merge of F
+  //
+  // A merge writes NEW generation dirs for the touched partitions only
+  // (copy-on-write pruned to the batch, exactly like [[merge]]), then
+  // publishes ONE new manifest with ONE atomic pointer rename — so a
+  // reader resolves either the old snapshot or the new one, never a
+  // half-swapped mix, and never a missing partition. Superseded
+  // generation dirs stay on disk for in-flight readers until
+  // [[reapManifest]] deletes them after drain. Fully-deleted partitions
+  // simply leave the manifest (their dirs reap later); new partitions
+  // enter at gen 1. Crash anywhere before the pointer rename leaves
+  // orphan gen dirs above the live manifest — cleaned by the next merge
+  // or reap, never read (nothing points at them).
+  //
+  // Reads pass the per-partition generation dirs as explicit roots with
+  // `basePath = path`, so Spark's partition discovery recovers the
+  // partition columns (plus a synthetic `gen` column, dropped) and
+  // partition pruning is directory-level BY CONSTRUCTION — only the
+  // manifest's live dirs are ever listed. Old manifest versions remain
+  // readable ([[readManifestVersion]]) until reaped: partition-granular
+  // time travel.
+
+  private val ManifestPointer = "_MANIFEST_CURRENT"
+
+  private final case class ManifestMeta(
+      version: Int,
+      schemaDdl: String,
+      partitionCols: Seq[String],
+      entries: Map[String, Int])
+
+  private lazy val manifestJson = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  /** Live manifest version of the table at `path`, or None if `path` is
+    * not a manifest table. */
+  def manifestVersion(spark: SparkSession, path: String): Option[Int] = {
+    val fc = fileContext(spark, path)
+    val cur = new Path(path, ManifestPointer)
+    if (!fc.util.exists(cur)) None
+    else {
+      val in = fc.open(cur)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def readManifestMeta(spark: SparkSession, path: String,
+                               version: Int): ManifestMeta = {
+    val fc = fileContext(spark, path)
+    val p = new Path(path, s"_MANIFEST.v$version")
+    require(fc.util.exists(p),
+      s"manifest version $version of $path is not on disk (reaped or " +
+        "never written)")
+    val in = fc.open(p)
+    val raw = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val node = manifestJson.readTree(raw)
+    import scala.jdk.CollectionConverters._
+    ManifestMeta(
+      version = node.get("version").asInt(),
+      schemaDdl = node.get("schema").asText(),
+      partitionCols = node.get("partitionCols").elements().asScala
+        .map(_.asText()).toSeq,
+      entries = node.get("entries").fields().asScala
+        .map(e => e.getKey -> e.getValue.asInt()).toMap)
+  }
+
+  private def writeManifestMeta(spark: SparkSession, path: String,
+                                m: ManifestMeta): Unit = {
+    val fc = fileContext(spark, path)
+    val root = manifestJson.createObjectNode()
+    root.put("version", m.version)
+    root.put("schema", m.schemaDdl)
+    val pc = root.putArray("partitionCols")
+    m.partitionCols.foreach(pc.add)
+    val en = root.putObject("entries")
+    m.entries.toSeq.sortBy(_._1).foreach { case (k, v) => en.put(k, v) }
+    val p = new Path(path, s"_MANIFEST.v${m.version}")
+    val out = fc.create(p,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(manifestJson.writeValueAsBytes(root)) finally out.close()
+    // atomic publish: tmp write + rename OVERWRITE, the swapCurrent
+    // discipline — readers resolve either the old version or the new
+    val tmp = new Path(path, s"$ManifestPointer.tmp")
+    val cur = new Path(path, ManifestPointer)
+    val pOut = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try pOut.write(m.version.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally pOut.close()
+    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Leaf partition rel-paths (`a=1/b=2`) under `p`. */
+  private def listPartitionRels(fc: FileContext, p: Path): Seq[String] = {
+    def rec(q: Path, prefix: String): Seq[String] = {
+      val kids = fc.util.listStatus(q)
+        .filter(s0 => s0.isDirectory && s0.getPath.getName.contains("=") &&
+          !s0.getPath.getName.startsWith("gen="))
+      if (kids.isEmpty) Seq(prefix).filter(_.nonEmpty)
+      else kids.toSeq.flatMap(k => rec(k.getPath,
+        if (prefix.isEmpty) k.getPath.getName
+        else s"$prefix/${k.getPath.getName}"))
+    }
+    rec(p, "")
+  }
+
+  /** Render the writer-exact partition fragment for one row of
+    * partition values ALREADY cast to string by Spark's own Cast (the
+    * only rendering guaranteed to match the directories the writer
+    * produced — see [[merge]]'s delete-cleanup note). */
+  private def relOf(partitionCols: Seq[String],
+                    r: org.apache.spark.sql.Row): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    partitionCols.zipWithIndex.map { case (c, i) =>
+      ExternalCatalogUtils.getPartitionPathString(c,
+        if (r.isNullAt(i)) null else r.getString(i))
+    }.mkString("/")
+  }
+
+  /** Schema a manifest read reconstructs: data columns first, partition
+    * columns appended — the same order a partitioned parquet read
+    * produces. */
+  private def manifestSchema(m: ManifestMeta):
+      org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+
+  /** Seed a MANIFEST table at `path` from `df`, partitioned by
+    * `partitionCols`: every partition lands at generation 1 and
+    * manifest v1 publishes the snapshot. One-time — a table is either
+    * manifest-disciplined or rename-swap ([[merge]]), never both.
+    */
+  def writeManifestTable(spark: SparkSession, path: String, df: DataFrame,
+                         partitionCols: Seq[String]): Unit =
+      withMaintenanceLock(spark, path) {
+    require(partitionCols.nonEmpty,
+      "manifest tables are partition-granular; for an unpartitioned " +
+        "table use compactGen/mergeGen (_CURRENT discipline)")
+    require(partitionCols.forall(df.columns.contains),
+      s"df must carry the partition columns ${partitionCols.mkString(",")}")
+    require(!df.columns.contains("gen"),
+      "'gen' is the manifest's generation directory name; rename the column")
+    require(manifestVersion(spark, path).isEmpty,
+      s"$path is already a manifest table; use mergeManifest")
+    val fc = fileContext(spark, path)
+    val tmpDir = s"$path.__manifest_tmp"
+    fc.delete(new Path(tmpDir), true)
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(tmpDir)
+    val rels = listPartitionRels(fc, new Path(tmpDir))
+    rels.foreach { rel =>
+      val dst = new Path(s"$path/$rel/gen=1")
+      fc.mkdir(dst.getParent,
+        org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+      if (fc.util.exists(dst)) fc.delete(dst, true) // crashed prior seed
+      fc.rename(new Path(s"$tmpDir/$rel"), dst)
+    }
+    val dataCols = df.schema.fields.filterNot(f =>
+      partitionCols.contains(f.name))
+    val parts = partitionCols.map(c => df.schema(c))
+    val ddl = org.apache.spark.sql.types.StructType(dataCols ++ parts).toDDL
+    writeManifestMeta(spark, path, ManifestMeta(1, ddl, partitionCols,
+      rels.map(_ -> 1).toMap))
+    fc.delete(new Path(tmpDir), true)
+  }
+
+  /** Read the LIVE snapshot of the manifest table at `path`: the
+    * pointer and manifest resolve once, here; the returned DataFrame
+    * reads exactly the per-partition generation dirs that manifest
+    * names, so a concurrent [[mergeManifest]] — which only ever ADDS
+    * new generation dirs and swaps the pointer — can never change,
+    * tear, or hide a running query's input. THE read path for
+    * continuous-CDC tables ([[graft.streaming.Streams.cdcApply]] with
+    * `manifest = true`).
+    */
+  def readManifest(spark: SparkSession, path: String): DataFrame =
+    readManifestVersion(spark, path,
+      manifestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path is not a manifest table (no $ManifestPointer); " +
+            "seed it with writeManifestTable")))
+
+  /** Time-travel read of a RETAINED manifest version (any not yet
+    * reaped) — "what did this table say before the last N merges", at
+    * partition granularity. Fails loudly on a reaped version. */
+  def readManifestVersion(spark: SparkSession, path: String,
+                          version: Int): DataFrame = {
+    val m = readManifestMeta(spark, path, version)
+    if (m.entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        manifestSchema(m))
+    val fc = fileContext(spark, path)
+    val roots = m.entries.toSeq.sortBy(_._1).map { case (rel, g) =>
+      val p = new Path(s"$path/$rel/gen=$g")
+      require(fc.util.exists(p),
+        s"manifest v$version of $path references $rel/gen=$g which is " +
+          "not on disk (reaped?); time travel only reaches retained " +
+          "generations")
+      p.toString
+    }
+    spark.read.option("basePath", path).parquet(roots: _*).drop("gen")
+  }
+
+  /** [[merge]] re-expressed under the manifest discipline: latest-wins
+    * keyed upsert (+ CDC tombstones via `deleteCol`) onto the manifest
+    * table at `path`, copy-on-write at PARTITION granularity — only the
+    * batch's partitions are read (their live gen dirs, no predicate
+    * needed: pruning is directory-level by construction) and rewritten
+    * as next-generation dirs, then ONE atomic pointer rename publishes
+    * the new snapshot. Concurrent readers keep whichever snapshot they
+    * resolved — the rename-aside reader window of partitioned [[merge]]
+    * does not exist here. Same contracts as [[merge]]: update rows must
+    * not move keys across partitions; apply batches in version order
+    * (deletes keep no tombstones); schema drift fails loudly.
+    */
+  def mergeManifest(spark: SparkSession, path: String, updates: DataFrame,
+                    keys: Seq[String], versionCol: String,
+                    maxTouchedPartitions: Int = 10000,
+                    deleteCol: Option[String] = None): Unit =
+      withMaintenanceLock(spark, path) {
+    require(keys.nonEmpty, "mergeManifest needs at least one key column")
+    require(!keys.contains(versionCol), "versionCol cannot be a key")
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    val m = readManifestMeta(spark, path, v)
+    val pcols = m.partitionCols
+    require(pcols.forall(updates.columns.contains),
+      "update batch must carry the partition columns " +
+        pcols.mkString(","))
+    deleteCol.foreach(d => require(updates.columns.contains(d),
+      s"update batch must carry the delete flag column '$d'"))
+    val fc = fileContext(spark, path)
+    // touched partitions, rendered through Spark's own Cast (writer-
+    // exact dir fragments); bounded by the BATCH's partition count
+    val touchedRows = updates
+      .select(pcols.map(c => col(c).cast("string").as(c)): _*)
+      .distinct().limit(maxTouchedPartitions + 1).collect()
+    require(touchedRows.length <= maxTouchedPartitions,
+      s"update batch touches > $maxTouchedPartitions partitions; " +
+        "split the batch or raise maxTouchedPartitions")
+    val touchedRels = touchedRows.map(relOf(pcols, _)).toSet
+    val baseRels = touchedRels.filter(m.entries.contains).toSeq.sorted
+    val base =
+      if (baseRels.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          manifestSchema(m))
+      else spark.read.option("basePath", path)
+        .parquet(baseRels.map(rel =>
+          s"$path/$rel/gen=${m.entries(rel)}"): _*)
+        .drop("gen")
+    val tmpDir = s"$path.__manifest_tmp"
+    fc.delete(new Path(tmpDir), true) // crashed prior run's leftover
+    latestWins(base, updates, keys, versionCol, deleteCol)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(pcols: _*).parquet(tmpDir)
+    val produced = listPartitionRels(fc, new Path(tmpDir))
+    // a produced rel outside the touched set means the Cast rendering
+    // and the writer disagreed — fail BEFORE publishing anything
+    val unexpected = produced.filterNot(touchedRels.contains)
+    require(unexpected.isEmpty,
+      s"mergeManifest: writer produced partition dirs " +
+        s"${unexpected.mkString(",")} outside the touched set " +
+        s"${touchedRels.mkString(",")} — partition rendering mismatch")
+    val newGens = produced.map { rel =>
+      val g = m.entries.getOrElse(rel, 0) + 1
+      val partDir = new Path(s"$path/$rel")
+      // crashed prior merges may have left orphan gens above the live
+      // one — never published, safe to clear before landing ours
+      if (fc.util.exists(partDir))
+        fc.util.listStatus(partDir).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("gen=") &&
+              n.drop(4).forall(_.isDigit) && n.drop(4).toInt >= g)
+            fc.delete(st.getPath, true)
+        }
+      val dst = new Path(s"$path/$rel/gen=$g")
+      fc.mkdir(dst.getParent,
+        org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+      fc.rename(new Path(s"$tmpDir/$rel"), dst)
+      rel -> g
+    }.toMap
+    // touched partitions that produced no output were fully deleted:
+    // they leave the manifest (dirs reap after readers drain)
+    val removed = baseRels.filterNot(newGens.contains)
+    writeManifestMeta(spark, path, ManifestMeta(v + 1, m.schemaDdl, pcols,
+      m.entries -- removed ++ newGens))
+    fc.delete(new Path(tmpDir), true)
+  }
+
+  /** Delete everything the LIVE manifest does not reference — superseded
+    * and orphaned generation dirs, fully-deleted partitions' remains,
+    * and manifest versions below the live one — after in-flight readers
+    * of older snapshots drain (your schedule; the library cannot know
+    * when the last one finished). Returns the deleted rel-paths.
+    */
+  def reapManifest(spark: SparkSession, path: String): Seq[String] =
+      withMaintenanceLock(spark, path) {
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"$path is not a manifest table"))
+    val m = readManifestMeta(spark, path, v)
+    val fc = fileContext(spark, path)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: Path, rel: String): Unit = {
+      val kids = fc.util.listStatus(p).filter(_.isDirectory)
+      val genKids = kids.filter(_.getPath.getName.startsWith("gen="))
+      val partKids = kids.filter(k => k.getPath.getName.contains("=") &&
+        !k.getPath.getName.startsWith("gen="))
+      if (genKids.nonEmpty) m.entries.get(rel) match {
+        case Some(g) =>
+          genKids.filter(_.getPath.getName != s"gen=$g").foreach { st =>
+            fc.delete(st.getPath, true)
+            deleted += s"$rel/${st.getPath.getName}"
+          }
+        case None =>
+          // partition absent from the live manifest (fully deleted or
+          // never published): the whole chain goes
+          fc.delete(p, true)
+          deleted += rel
+      }
+      else partKids.foreach(k =>
+        walk(k.getPath, if (rel.isEmpty) k.getPath.getName
+          else s"$rel/${k.getPath.getName}"))
+    }
+    fc.util.listStatus(new Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .foreach(st => walk(st.getPath, st.getPath.getName))
+    fc.util.listStatus(new Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory && n.startsWith("_MANIFEST.v") &&
+          n.drop(11).forall(_.isDigit) && n.drop(11).toInt < v) {
+        fc.delete(st.getPath, false)
+        deleted += n
+      }
+    }
+    deleted.toSeq.sorted
+  }
+
   /** Write `df` to `path` range-clustered and sorted by `sortCols`:
     * `repartitionByRange` gives disjoint per-file key ranges,
     * `sortWithinPartitions` makes every parquet row group's min/max

@@ -304,16 +304,30 @@ object Streams {
     * Apply batches in version order (the no-tombstone-retention replay
     * semantics documented on merge).
     *
+    * With `manifest = true` the target is a MANIFEST table
+    * ([[graft.operators.Layout.writeManifestTable]] seeds it;
+    * `partitionCols` comes from the manifest and the argument is
+    * ignored): each micro-batch publishes one new partition-granular
+    * snapshot via [[graft.operators.Layout.mergeManifest]], so
+    * concurrent readers NEVER observe the rename-aside missing-
+    * partition window partitioned `merge` documents — the required
+    * mode when readers run continuously against the table under CDC.
+    *
     * Returns the configured writer — caller sets checkpoint/trigger
     * and starts it (the [[ingest]]/[[annIngest]] shape).
     */
   def cdcApply(stream: DataFrame, path: String, keys: Seq[String],
                versionCol: String, partitionCols: Seq[String] = Nil,
-               deleteCol: Option[String] = None): DataStreamWriter[Row] =
+               deleteCol: Option[String] = None,
+               manifest: Boolean = false): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        graft.operators.Layout.merge(batch.sparkSession, path, batch,
-          keys, versionCol, partitionCols, deleteCol = deleteCol)
+        if (manifest)
+          graft.operators.Layout.mergeManifest(batch.sparkSession, path,
+            batch, keys, versionCol, deleteCol = deleteCol)
+        else
+          graft.operators.Layout.merge(batch.sparkSession, path, batch,
+            keys, versionCol, partitionCols, deleteCol = deleteCol)
         ()
       }
     }

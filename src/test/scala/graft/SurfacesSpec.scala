@@ -414,6 +414,43 @@ class SurfacesSpec extends SparkSpec {
     assert(got == Map(1L -> 11.0, 3L -> 30.0, 4L -> 44.0), s"got $got")
   }
 
+  test("streaming CDC apply, manifest mode: snapshot isolation across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Layout
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_cdcman").resolve("t").toString
+    Layout.writeManifestTable(spark,
+      dir, Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    // a reader pinned BEFORE the stream starts — must keep its snapshot
+    // through every micro-batch apply (the rename-aside window cure)
+    val pinned = Layout.readManifest(spark, dir)
+    val input = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val q = Streams.cdcApply(
+        input.toDF().toDF("k", "part", "v", "ver", "del"),
+        dir, Seq("k"), "ver", deleteCol = Some("del"), manifest = true)
+      .option("checkpointLocation",
+        Files.createTempDirectory("stream_cdcman_ckpt").toString)
+      .start()
+    try {
+      // batch 1: update k=1, insert k=3 into a new partition
+      input.addData((1L, "a", 11.0, 2L, false), (3L, "c", 30.0, 2L, false))
+      q.processAllAvailable()
+      // batch 2: delete the ENTIRE b partition, bump k=3
+      input.addData((2L, "b", 0.0, 3L, true), (3L, "c", 33.0, 3L, false))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(snap(Layout.readManifest(spark, dir)) ==
+      Map(1L -> 11.0, 3L -> 33.0))
+    // one manifest version per micro-batch, seed + 2
+    assert(Layout.manifestVersion(spark, dir).contains(3))
+    // the pinned reader saw none of it
+    assert(snap(pinned) == Map(1L -> 10.0, 2L -> 20.0))
+  }
+
   test("streaming ANN ingest: micro-batches land in the live generation, queryable") {
     import graft.operators.AnnIndex
     val idxDir = Files.createTempDirectory("stream_ann_idx").toString

@@ -412,6 +412,79 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() == 1 && back.select("k").head().getLong(0) == 2L)
   }
 
+  test("manifest table: snapshot isolation, idempotent replay, crash recovery") {
+    val dir = tmpDir("manifest")
+    import spark.implicits._
+    val seed = Seq((1L, "a", 10.0, 1L), (2L, "a", 20.0, 1L),
+      (3L, "b", 30.0, 1L), (4L, "c", 40.0, 1L))
+      .toDF("k", "part", "v", "ver")
+    Layout.writeManifestTable(spark, dir, seed, Seq("part"))
+    assert(Layout.manifestVersion(spark, dir).contains(1))
+    val pinned = Layout.readManifest(spark, dir)
+    // batch: update k=1, insert k=5 into a NEW partition, delete ALL of b
+    val batch = Seq((1L, "a", 11.0, 2L, false), (5L, "d", 50.0, 2L, false),
+      (3L, "b", 0.0, 2L, true)).toDF("k", "part", "v", "ver", "del")
+    Layout.mergeManifest(spark, dir, batch, Seq("k"), "ver",
+      deleteCol = Some("del"))
+    def snap(df: DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    // pinned reader: still the seed, including the fully-deleted partition
+    assert(snap(pinned) == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0))
+    val want = Map(1L -> 11.0, 2L -> 20.0, 4L -> 40.0, 5L -> 50.0)
+    assert(snap(Layout.readManifest(spark, dir)) == want)
+    // time travel: v1 is the seed
+    assert(snap(Layout.readManifestVersion(spark, dir, 1)) == snap(pinned))
+    // idempotent replay of the SAME batch -> same table, version bumps
+    Layout.mergeManifest(spark, dir, batch, Seq("k"), "ver",
+      deleteCol = Some("del"))
+    assert(Layout.manifestVersion(spark, dir).contains(3))
+    assert(snap(Layout.readManifest(spark, dir)) == want)
+    // crash simulation: orphan gen dir above live + leftover tmp dir
+    val orphan = new java.io.File(s"$dir/part=a/gen=99")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(orphan, "part-junk.parquet").toPath, "junk")
+    val tmpLeft = new java.io.File(s"$dir.__manifest_tmp")
+    assert(tmpLeft.mkdirs())
+    Layout.mergeManifest(spark, dir,
+      Seq((2L, "a", 22.0, 3L, false)).toDF("k", "part", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))
+    assert(!orphan.exists(), "orphan generation cleared by the next merge")
+    assert(snap(Layout.readManifest(spark, dir)) == want + (2L -> 22.0))
+    // reap: superseded gens + the deleted partition's remains go; the
+    // live snapshot is untouched
+    val reaped = Layout.reapManifest(spark, dir)
+    assert(reaped.exists(_.startsWith("part=b")), reaped.mkString(","))
+    assert(reaped.exists(_.contains("gen=1")), reaped.mkString(","))
+    assert(snap(Layout.readManifest(spark, dir)) == want + (2L -> 22.0))
+    // time travel below the live version is gone after reap
+    intercept[IllegalArgumentException] {
+      Layout.readManifestVersion(spark, dir, 1)
+    }
+    // the maintenance lease wraps manifest merges too
+    val lock = new java.io.File(s"$dir.__maint.lock")
+    assert(lock.createNewFile())
+    intercept[IllegalStateException] {
+      Layout.mergeManifest(spark, dir,
+        Seq((9L, "a", 9.0, 9L, false)).toDF("k", "part", "v", "ver", "del"),
+        Seq("k"), "ver", deleteCol = Some("del"))
+    }
+    assert(lock.delete())
+  }
+
+  test("manifest table: all partitions deleted reads back empty with schema") {
+    val dir = tmpDir("manifest_empty")
+    import spark.implicits._
+    Layout.writeManifestTable(spark,
+      dir, Seq((1L, "a", 1L)).toDF("k", "part", "ver"), Seq("part"))
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 2L, true)).toDF("k", "part", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))
+    val empty = Layout.readManifest(spark, dir)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("k", "ver", "part"))
+  }
+
   test("reap deletes only recognizable write artifacts, never user files") {
     val dir = tmpDir("reapsafe")
     import spark.implicits._
