@@ -240,6 +240,72 @@ class SurfacesSpec extends SparkSpec {
     assert(gotI.map(_._4) != got.map(_._4))
   }
 
+  test("streaming resample: null-VALUE rows match batch n_obs and fill semantics") {
+    // batch counts null-value rows in n_obs (count(*)) while excluding
+    // them from the mean (count(value) divisor); all-null buckets are
+    // fill-transparent (ffill carries through, interp lerps across) and
+    // leading ones emit null. The stream must reproduce ALL of it.
+    val dir = Files.createTempDirectory("stream_rsn").toString
+    Files.write(java.nio.file.Paths.get(dir, "e1.csv"),
+      ("2023-01-01T10:00:00,1,\n" +        // bucket 0: all-null (leading)
+       "2023-01-01T10:00:05,1,\n" +        // bucket 0 again (n_obs 2)
+       "2023-01-01T10:00:22,1,4.0\n" +     // bucket 20: anchor
+       "2023-01-01T10:00:31,1,\n" +        // bucket 30: mixed null
+       "2023-01-01T10:00:35,1,6.0\n" +     //   ... n_obs 2, mean 6.0
+       "2023-01-01T10:00:45,1,\n" +        // bucket 40: interior all-null
+       "2023-01-01T10:01:05,1,8.0\n").getBytes)  // bucket 60 (gap at 50)
+    Files.write(java.nio.file.Paths.get(dir, "e2.csv"),
+      "2023-01-02T10:00:00,-1,0.0\n".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "e3.csv"),
+      "2023-01-03T10:00:00,-1,0.0\n".getBytes)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    def stream(op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+               valCol: String): Seq[(Long, Long, Long, Option[Double])] = {
+      val src = Streams.fileMonitor(spark, dir, "csv", schema,
+          options = Map("maxFilesPerTrigger" -> "1"))
+        .withWatermark("ts", "0 seconds")
+      val name = s"rsn_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val q = op(src)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).filter(col("user_id") >= 0)
+        .orderBy("user_id", "bucket_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    }
+    def batch(op: (org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Long, Option[Double])] =
+      op(spark.read.schema(schema).csv(s"$dir/e1.csv")
+          .select(col("user_id"), col("ts").cast("long").as("ep"),
+            col("value")))
+        .orderBy("user_id", "bucket_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    val gotF = stream(df => graft.streaming.Resample.ffill(df, 10L).toDF(),
+      "value_ffill")
+    val batchF = batch(df => graft.operators.Relational.resampleFfill(
+      df, Seq("user_id"), "ep", 10L, "value"))
+    assert(gotF == batchF, s"ffill stream $gotF vs batch $batchF")
+    // the null rows ARE in n_obs: bucket 0 has two, bucket 30 has two
+    val base = gotF.map(_._2).min
+    assert(gotF.map(t => (t._2 - base) -> t._3).toMap ==
+      Map(0L -> 2L, 10L -> 0L, 20L -> 1L, 30L -> 2L, 40L -> 1L,
+        50L -> 0L, 60L -> 1L))
+    // leading all-null buckets emit null, the carry resumes after
+    assert(gotF.take(2).forall(_._4.isEmpty) && gotF.drop(2).forall(_._4.nonEmpty))
+    val gotI = stream(df => graft.streaming.Resample.interp(df, 10L),
+      "value_interp")
+    val batchI = batch(df => graft.operators.Relational.resampleInterp(
+      df, Seq("user_id"), "ep", 10L, "value"))
+    assert(gotI == batchI, s"interp stream $gotI vs batch $batchI")
+    // the interior all-null bucket is lerped ACROSS, not carried
+    val at40 = gotI.find(_._2 == base + 40L).get._4.get
+    assert(at40 > 6.0 && at40 < 8.0, s"lerped across the null bucket: $at40")
+  }
+
   test("streaming resample: late rows for emitted buckets drop, open buckets absorb") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
