@@ -41,24 +41,28 @@ object EngineQueries {
     * buckets never close (nothing later advances past them) and their
     * key is filtered out.
     */
-  /** m18/m19 share one staged input per source dir: the staged files
-    * ARE the gate's input (deterministic restage of events + two
-    * sentinels), so re-staging per gate and per bench pass would only
-    * re-pay the coalesce(1) write — memoized per process. Each RUN
-    * still gets its own stream (fresh checkpoint, fresh memory sink).
+  /** The sentinel-drain gates (m18/m19 resample, m27-m29 windowed
+    * sketches) share one staged input per source dir: the staged files
+    * ARE each gate's input (deterministic restage of events + two
+    * sentinels whose far-future timestamps advance the watermark across
+    * two extra micro-batches, so every real window/bucket closes and
+    * emits before the finite AvailableNow drain ends), so re-staging
+    * per gate and per bench pass would only re-pay the coalesce(1)
+    * write — memoized per process. Each RUN still gets its own stream
+    * (fresh checkpoint, fresh memory sink). Sentinel rows carry
+    * user_id -1 / event_type '__sentinel'; their own windows never
+    * close and every gate filters them out.
     */
-  private val resampleStageCache =
+  private val eventsStageCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def streamingResampleGate(s: SparkSession, dir: String,
-      tag: String, op: DataFrame => DataFrame,
-      valueCol: String): DataFrame = {
+  private def stagedEventsSource(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.Streams
-    val stage = resampleStageCache.computeIfAbsent(dir, _ => {
-      val st = tmp("resample_stage")
+    val stage = eventsStageCache.computeIfAbsent(dir, _ => {
+      val st = tmp("events_stage")
       val ev = s.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", col("ts").cast("timestamp"))
-        .select("user_id", "ts", "value")
+        .select("user_id", "event_type", "ts", "value")
       val t0 = System.currentTimeMillis()
       def stageFile(df: DataFrame, n: String, mtimeOffsetMs: Long): Unit = {
         val d = s"$st/w_$n"
@@ -75,25 +79,37 @@ object EngineQueries {
       val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
       def sentinel(plusDays: Int) = {
         import s.implicits._
-        Seq((-1L, new java.sql.Timestamp(
+        Seq((-1L, "__sentinel", new java.sql.Timestamp(
           maxTs.getTime + plusDays * 86400000L), 0.0))
-          .toDF("user_id", "ts", "value")
+          .toDF("user_id", "event_type", "ts", "value")
       }
       stageFile(sentinel(2), "01_s1", 60000L)
       stageFile(sentinel(4), "02_s2", 120000L)
       st
     })
     val schema = s.read.parquet(s"$stage/in/00_data.parquet").schema
-    val src = Streams.fileMonitor(s, s"$stage/in", "parquet", schema,
-        options = Map("maxFilesPerTrigger" -> "1"))
-      .withWatermark("ts", "0 seconds")
+    Streams.fileMonitor(s, s"$stage/in", "parquet", schema,
+      options = Map("maxFilesPerTrigger" -> "1"))
+  }
+
+  /** Drain a streaming DataFrame through an AvailableNow memory sink
+    * (append mode) and return the sink's table. */
+  private def drainAppend(s: SparkSession, df: DataFrame,
+                          tag: String): DataFrame = {
     val name = s"${tag}_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = op(src)
-      .writeStream.format("memory").queryName(name).outputMode("append")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).filter(col("user_id") >= 0)
+    s.table(name)
+  }
+
+  private def streamingResampleGate(s: SparkSession, dir: String,
+      tag: String, op: DataFrame => DataFrame,
+      valueCol: String): DataFrame = {
+    val src = stagedEventsSource(s, dir).withWatermark("ts", "0 seconds")
+    drainAppend(s, op(src), tag).filter(col("user_id") >= 0)
       .select(col("user_id"), col("bucket_start"), col("n_obs"),
         col(valueCol))
   }
@@ -461,6 +477,95 @@ object EngineQueries {
         src => graft.streaming.Resample.interp(src, 21600L),
         "value_interp")),
 
+    // STREAMING windowed KMV sketches gated through batch q50's oracle:
+    // events stream through the sentinel drain, each closed (day,
+    // event_type) window emits its bounded KMV distinct sketch, and the
+    // landed windows MERGE per type into exactly the sketch a direct
+    // batch pass builds (merge_lossless) with the estimate inside 10%
+    // of the exact count (est_ok) — the continuously-ingested sketch
+    // cube returns what the batch cube returns, driver-checked.
+    "m27_streaming_sketch_window" -> ((s, dir) => {
+      import graft.expressions.Kmv
+      import graft.streaming.Streams
+      val k = 1024
+      val win = Streams.sketchByWindow(stagedEventsSource(s, dir),
+        "ts", "1 day", "0 seconds", xxhash64(col("user_id")),
+        keyCols = Seq("event_type"), k = k)
+      val merged = drainAppend(s, win, "m27")
+        .filter(col("event_type") =!= "__sentinel")
+        .groupBy("event_type").agg(Kmv.merge(col("sk"), k).as("msk"))
+      val direct = s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(Kmv.sketch(xxhash64(col("user_id")), k).as("dsk"),
+          countDistinct(col("user_id")).as("exact_n"))
+      merged.join(direct, "event_type")
+        .select(col("event_type"), col("exact_n"),
+          (col("msk") === col("dsk")).as("merge_lossless"),
+          ((abs(Kmv.estimate(col("msk"), k) - col("exact_n").cast("double")) /
+            col("exact_n").cast("double")) <= 0.10).as("est_ok"))
+    }),
+
+    // STREAMING windowed heavy hitters gated through batch q51's
+    // oracle: per-day SpaceSaving summaries stream out as windows
+    // close; capacity 2048 exceeds every window's key cardinality, so
+    // each summary is EXACT and the per-key sum across landed windows
+    // is the exact global count — the streamed top-10 must hash-match
+    // the exact groupBy oracle.
+    "m28_streaming_topkeys_window" -> ((s, dir) => {
+      import graft.expressions.TopKeys
+      import graft.streaming.Streams
+      val src = stagedEventsSource(s, dir)
+        .withColumn("key", col("user_id").cast("string"))
+      val win = Streams.topKeysByWindow(src, "ts", "1 day", "0 seconds",
+        col("key"), capacity = 2048)
+      drainAppend(s, win, "m28")
+        .select(explode(col("top")).as("t"))
+        .select(col("t.key").as("key"), col("t.count_lo").as("c"))
+        .filter(col("key") =!= "-1")
+        .groupBy("key").agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("key").asc).limit(10)
+        .select(col("key"), col("cnt").as("count_hi"),
+          col("cnt").as("count_lo"))
+    }),
+
+    // STREAMING windowed KLL quantile sketches gated through batch
+    // q55's oracle: per-(day, event_type) sketches land as windows
+    // close, merge per type into exactly the direct batch sketch
+    // (exact regime, k=4096 > per-type count), and the merged sketch's
+    // p50/p95 equal the true discrete order statistics computed from
+    // raw data — with n summed from the STREAM's own window counts.
+    "m29_streaming_quantile_window" -> ((s, dir) => {
+      import graft.expressions.Kll
+      import graft.streaming.Streams
+      val k = 4096
+      val win = Streams.quantilesByWindow(stagedEventsSource(s, dir),
+        "ts", "1 day", "0 seconds", col("value"),
+        keyCols = Seq("event_type"), k = k)
+      val merged = drainAppend(s, win, "m29")
+        .filter(col("event_type") =!= "__sentinel")
+        .groupBy("event_type")
+        .agg(Kll.merge(col("sk"), k).as("msk"), sum(col("n")).as("n"))
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("value"))
+      val direct = ev.groupBy("event_type")
+        .agg(Kll.sketch(col("value"), k).as("dsk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("value")
+      val ranked = ev.join(merged.select("event_type", "n"), "event_type")
+        .withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(w))
+      def exactQ(q: Double, as: String) = ranked
+        .filter(col("rn") === ceil(lit(q) * col("n")).cast("long"))
+        .select(col("event_type"), col("value").as(as))
+      merged.join(direct, "event_type")
+        .join(exactQ(0.5, "ex50"), "event_type")
+        .join(exactQ(0.95, "ex95"), "event_type")
+        .select(col("event_type"), col("n"),
+          (Kll.quantile(col("msk"), 0.5) === col("ex50")).as("p50_exact"),
+          (Kll.quantile(col("msk"), 0.95) === col("ex95")).as("p95_exact"),
+          (col("msk") === col("dsk")).as("merge_lossless"))
+    }),
+
     // STREAMING BM25 scoring gated through the batch oracle: the model
     // (per-query term idfs + corpus length stats, rational-idf mode) is
     // calibrated on the BATCH documents table, then the same documents
@@ -625,10 +730,12 @@ object EngineQueries {
       val seed = orders.select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"), lit(1L).as("ver"))
       def chk(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)),
-          sum(xxhash64(col("o_orderkey"),
+        // xor-fold of row hashes: order-independent and overflow-free
+        // (a SUM of 64-bit hashes would trip ANSI overflow checks)
+        val r = df.select(xxhash64(col("o_orderkey"),
             col("o_orderstatus").cast("string"), col("o_totalprice"),
-            col("ver")))).head()
+            col("ver")).as("h"))
+          .agg(count(lit(1)), expr("bit_xor(h)")).head()
         (r.getLong(0), r.getLong(1))
       }
       val seedChk = chk(seed)
@@ -744,6 +851,16 @@ object EngineQueries {
            SELECT *, row_number() OVER (PARTITION BY o_orderkey
              ORDER BY ver DESC) AS rn FROM all_rows)
          WHERE rn = 1""",
+    // the windowed-sketch streaming lifts share their batch twins'
+    // oracles verbatim — that sharing IS each gate's claim: the
+    // continuously-landed per-window sketches reconstruct exactly what
+    // one batch pass over the same rows computes
+    "m27_streaming_sketch_window" ->
+      RelationalQueries.oracles("q50_sketch_cube"),
+    "m28_streaming_topkeys_window" ->
+      RelationalQueries.oracles("q51_heavy_hitters"),
+    "m29_streaming_quantile_window" ->
+      RelationalQueries.oracles("q55_quantile_sketch"),
     // the streaming resample lift shares batch q53's oracle verbatim —
     // that sharing IS the gate's claim (batch ≡ stream on the closed
     // grid, which the sentinel drain makes the WHOLE grid)

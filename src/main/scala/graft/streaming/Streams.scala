@@ -232,13 +232,17 @@ object Streams {
     */
   def quantilesByWindow(events: DataFrame, tsCol: String, window: String,
                         watermark: String, valueCol: Column,
+                        keyCols: Seq[String] = Nil,
                         k: Int = 256): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
-      .agg(graft.expressions.Kll.sketch(valueCol, k).as("sk"))
-      .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"), col("sk"))
+      .groupBy((org.apache.spark.sql.functions.window(col(tsCol), window) +:
+        keyCols.map(col)): _*)
+      .agg(graft.expressions.Kll.sketch(valueCol, k).as("sk"),
+        count(lit(1)).as("n"))
+      .select((col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        keyCols.map(col)) :+ col("sk") :+ col("n"): _*)
 
   /** Streaming per-window heavy hitters — [[sketchByWindow]]'s
     * frequency twin: each closed event-time window emits its
