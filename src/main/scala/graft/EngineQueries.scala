@@ -772,6 +772,21 @@ object EngineQueries {
     // Z-clustered on (l_orderkey, l_partkey); the read-back hash match
     // proves the curve rewrite is row-exact (the skipping behavior is
     // measured in LayoutSpec — the gate's claim is losslessness).
+    // Z-order on a STRING dimension (real layout keys are
+    // (domain, day)-shaped, not all-numeric): documents written
+    // Z-clustered on (lang, doc_id) via the 6-byte-prefix order-
+    // preserving string key; the read-back hash match proves the curve
+    // rewrite is row-exact (LayoutSpec measures the string-predicate
+    // skipping).
+    "m30_zorder_string" -> ((s, dir) => {
+      val out = s"${tmp("zorderstr")}/docs"
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.operators.Layout.zorderWrite(d, out,
+        Seq("lang", "doc_id"), numFiles = 16)
+      s.read.parquet(out).select("doc_id", "lang", "source", "n_chars")
+    }),
+
     "m16_zorder_sink" -> ((s, dir) => {
       val out = s"${tmp("zorder")}/li"
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -810,6 +825,8 @@ object EngineQueries {
          WHERE rn = 1""",
     "m16_zorder_sink" ->
       "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
+    "m30_zorder_string" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
     // the manifest CDC apply applies the same change batch as m25, so
     // it shares the oracle — the gate's claim is that the atomic-
     // pointer snapshot path returns exactly what the rename-swap path

@@ -898,7 +898,8 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
-  /** Write `df` Z-ORDER clustered on 2-4 numeric columns: a linear sort
+  /** Write `df` Z-ORDER clustered on 2-4 numeric/timestamp/date/string
+    * columns: a linear sort
     * clusters only its leading column (a predicate on the second reads
     * every row group); the Z-curve interleaves the columns' bits so
     * locality — and therefore parquet min/max row-group skipping —
@@ -922,27 +923,45 @@ object Layout {
     require(zCols.size >= 2 && zCols.size <= 4,
       "zorderWrite wants 2-4 columns (1 -> sortedWrite; >4 dilutes the curve)")
     require(bits >= 2 && bits <= 10, "bits per dimension must be in [2,10]")
-    // a non-numeric z column would cast to null -> every row in bucket
-    // 0 -> a degenerate curve that silently clusters NOTHING on that
-    // dimension; fail loudly instead
-    zCols.foreach { c =>
-      val dt = df.schema(c).dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-        dt == org.apache.spark.sql.types.TimestampType,
-        s"zorderWrite needs numeric/timestamp columns; '$c' is " +
-        s"${dt.catalogString}")
-    }
+    import org.apache.spark.sql.types._
+    // every z column maps to an ORDER-PRESERVING double key the
+    // equi-depth boundaries and the codegen'd bucket kernel operate on:
+    //  - numeric/timestamp: plain cast (exact enough for boundaries);
+    //  - date: through timestamp (days -> epoch seconds);
+    //  - string: the first 6 UTF-8 bytes zero-padded and read as a
+    //    48-bit big-endian integer — lexicographic order preserved at
+    //    6-byte-prefix resolution, exact in a double (< 2^53). Real
+    //    layout keys (domain, lang, country) differentiate in their
+    //    prefix; values sharing a full 6-byte prefix collapse into one
+    //    bucket, exactly like equal values, and equi-depth cuts still
+    //    spread the REST of the key space evenly. Row-group min/max on
+    //    the string column stays tight per bucket, so parquet skipping
+    //    works on the natural string predicate.
+    // An unsupported type would cast to null -> every row in bucket 0
+    // -> a degenerate curve that silently clusters NOTHING on that
+    // dimension; fail loudly instead.
+    def zkey(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case _: NumericType | TimestampType => col(c).cast("double")
+        case DateType => col(c).cast("timestamp").cast("double")
+        case StringType =>
+          conv(hex(rpad(col(c).cast("binary"), 6, Array[Byte](0))),
+            16, 10).cast("double")
+        case dt => throw new IllegalArgumentException(
+          s"zorderWrite needs numeric/timestamp/date/string columns; " +
+          s"'$c' is ${dt.catalogString}")
+      }
     val d = zCols.size
     val nb = (1 << bits) - 1 // internal boundary count
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
     // one pass, all columns: equi-depth cut points per dimension
-    val asDouble = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+    val asDouble = df.select(zCols.map(c => zkey(c).as(c)): _*)
     val bounds: Seq[Array[Double]] =
       asDouble.stat.approxQuantile(zCols.toArray, probs, quantileError).toSeq
     // bucket_c = #boundaries <= value, binary-searched in codegen
     def bucket(c: String, bs: Array[Double]): org.apache.spark.sql.Column =
       graft.expressions.kernels.toCol(graft.expressions.BucketIndex(
-        graft.expressions.kernels.toExpr(col(c).cast("double")), bs))
+        graft.expressions.kernels.toExpr(zkey(c)), bs))
     val zcol = (0 until bits).flatMap { b =>
       zCols.indices.map { i =>
         // LONG arithmetic: bit positions reach bits*d-1 (31 already at
