@@ -163,6 +163,35 @@ object CorpusQueries {
             .bitwiseAND(lit(0xFFFFL)).as(s"c$c")): _*)
     }),
 
+    // STREAMING near-duplicate index filter gated through the v04
+    // arithmetic: the fixture's images form families of four variants
+    // within hamming <= 3 of each other (doc_id // 4 picks the family).
+    // EVEN families' fingerprints form the PERSISTED batch index; the
+    // odd-id fingerprints of ALL families STREAM through the
+    // four-chunk pigeonhole anti-join (Streams.nearDupIndexFilter —
+    // stateless, stream-static): odd ids in even families hit the index
+    // and drop, odd ids in odd families have no index neighbour and
+    // survive — both outcomes exercised, and the survivor set must
+    // hash-match the brute-force hamming filter the oracle computes.
+    "m31_streaming_neardup_filter" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val fp = Multimodal.dHashFingerprints(
+        Multimodal.syntheticCellImages(
+          docs(s, dir).select("doc_id"), "doc_id", w = 36, h = 32, cell = 4))
+      // (id // 4) % 2 == 0  <=>  id % 8 < 4 for the fixture's ids
+      val index = fp.filter(pmod(col("media_id"), lit(8)) < 4)
+      val odd = fp.filter(col("media_id") % 2 === 1)
+      val st = java.nio.file.Files
+        .createTempDirectory("graft_m31").toString
+      odd.coalesce(1).write.parquet(s"$st/in")
+      val src = Streams.fileMonitor(s, s"$st/in", "parquet", odd.schema)
+      val kept = Streams.nearDupIndexFilter(src, index, "fp", maxHamming = 3)
+      Streams.drainAppendToTable(s, kept, "m31")
+        .select(col("media_id") +: (0 until 4).map(c =>
+          shiftrightunsigned(col("fp"), c * 16)
+            .bitwiseAND(lit(0xFFFFL)).as(s"c$c")): _*)
+    }),
+
     // Image similarity COMPONENTS — the d07 transitive closure over
     // dHash hamming pairs (a re-encode chain A~B~C must collapse even
     // when A and C differ by > 3 bits): the full image-family toolkit —
@@ -681,6 +710,34 @@ object CorpusQueries {
            FROM bits GROUP BY doc_id)
          SELECT doc_id AS media_id, c0, c1, c2, c3 FROM fp
          WHERE doc_id NOT IN (SELECT idb FROM dups)""",
+    // the streaming index filter's oracle: an odd-id doc survives iff
+    // NO even-family doc sits within hamming 3 — the same gradient-bit
+    // CTEs as v04, with the pair set restricted to (odd-id stream,
+    // even-family index)
+    "m31_streaming_neardup_filter" ->
+      s"""WITH $dhashBitsCtes,
+         ham AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb,
+             SUM(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) AS h
+           FROM bits a JOIN bits b
+             ON a.cy = b.cy AND a.cx = b.cx
+            AND a.doc_id % 2 = 1 AND b.doc_id % 8 < 4
+           GROUP BY 1, 2),
+         dropped AS (SELECT DISTINCT ida FROM ham WHERE h <= 3),
+         fp AS (
+           SELECT doc_id,
+             CAST(coalesce(SUM(CASE WHEN (cy*8+cx) // 16 = 0
+               THEN b * (1 << ((cy*8+cx) % 16)) END), 0) AS BIGINT) AS c0,
+             CAST(coalesce(SUM(CASE WHEN (cy*8+cx) // 16 = 1
+               THEN b * (1 << ((cy*8+cx) % 16)) END), 0) AS BIGINT) AS c1,
+             CAST(coalesce(SUM(CASE WHEN (cy*8+cx) // 16 = 2
+               THEN b * (1 << ((cy*8+cx) % 16)) END), 0) AS BIGINT) AS c2,
+             CAST(coalesce(SUM(CASE WHEN (cy*8+cx) // 16 = 3
+               THEN b * (1 << ((cy*8+cx) % 16)) END), 0) AS BIGINT) AS c3
+           FROM bits GROUP BY doc_id)
+         SELECT doc_id AS media_id, c0, c1, c2, c3 FROM fp
+         WHERE doc_id % 2 = 1
+           AND doc_id NOT IN (SELECT ida FROM dropped)""",
     "t01_token_stats" ->
       s"""SELECT doc_id,
          CAST(len($toks) AS INTEGER) AS n_tokens,

@@ -92,18 +92,9 @@ object EngineQueries {
       options = Map("maxFilesPerTrigger" -> "1"))
   }
 
-  /** Drain a streaming DataFrame through an AvailableNow memory sink
-    * (append mode) and return the sink's table. */
   private def drainAppend(s: SparkSession, df: DataFrame,
-                          tag: String): DataFrame = {
-    val name = s"${tag}_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
-  }
+                          tag: String): DataFrame =
+    graft.streaming.Streams.drainAppendToTable(s, df, tag)
 
   private def streamingResampleGate(s: SparkSession, dir: String,
       tag: String, op: DataFrame => DataFrame,
@@ -566,6 +557,46 @@ object EngineQueries {
           (col("msk") === col("dsk")).as("merge_lossless"))
     }),
 
+    // STREAMING range enrich gated through batch q46's arithmetic:
+    // lineitems STREAM through the stream-static binned interval join
+    // (Streams.rangeEnrich — stateless; the bin-width probe runs on
+    // the static side only) against urgent-order attribution windows,
+    // the enriched rows land in a parquet sink (the scale-honest drain:
+    // at 100 TB the joined stream is not a driver-side table), and the
+    // post-drain aggregation must hash-match the batch BETWEEN-join
+    // oracle. The window set is subsampled (every 20th urgent order) to
+    // keep the gate's joined volume bounded — semantics, not scale, is
+    // what the gate pins.
+    "m32_streaming_range_enrich" -> ((s, dir) => {
+      import graft.streaming.Streams
+      def ep(c: org.apache.spark.sql.Column) =
+        c.cast("timestamp_ltz").cast("long")
+      val liBatch = s.read.parquet(s"$dir/lineitem.parquet")
+      val urgent = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          pmod(col("o_orderkey"), lit(20)) === 0)
+        .select(col("o_orderkey"),
+          ep(col("o_orderdate")).as("win_start"),
+          (ep(col("o_orderdate")) + lit(259200L)).as("win_end"))
+      val src = Streams.fileMonitor(s, s"$dir/lineitem.parquet*",
+          "parquet", liBatch.schema)
+        .select(col("l_extendedprice"), ep(col("l_shipdate")).as("ship_ep"))
+      val enriched = Streams.rangeEnrich(src, urgent,
+        "ship_ep", "win_start", "win_end")
+      val out = tmp("m32_sink")
+      val q = enriched.writeStream.format("parquet")
+        .option("path", s"$out/p")
+        .option("checkpointLocation", s"$out/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/p")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double").as("sum_price"))
+    }),
+
     // STREAMING BM25 scoring gated through the batch oracle: the model
     // (per-query term idfs + corpus length stats, rational-idf mode) is
     // calibrated on the BATCH documents table, then the same documents
@@ -872,6 +903,19 @@ object EngineQueries {
     // oracles verbatim — that sharing IS each gate's claim: the
     // continuously-landed per-window sketches reconstruct exactly what
     // one batch pass over the same rows computes
+    // q46's BETWEEN-join arithmetic over the subsampled window set —
+    // the stream-static binned join must enrich exactly the rows the
+    // batch range predicate selects
+    "m32_streaming_range_enrich" ->
+      """SELECT o.o_orderkey, count(*) AS n_items,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS sum_price
+         FROM orders o JOIN lineitem l
+           ON CAST(epoch(l.l_shipdate) AS BIGINT)
+                BETWEEN CAST(epoch(o.o_orderdate) AS BIGINT)
+                    AND CAST(epoch(o.o_orderdate) AS BIGINT) + 259200
+         WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 20 = 0
+         GROUP BY o.o_orderkey""",
     "m27_streaming_sketch_window" ->
       RelationalQueries.oracles("q50_sketch_cube"),
     "m28_streaming_topkeys_window" ->

@@ -374,6 +374,22 @@ object Streams {
     w
   }
 
+  /** Drain a streaming DataFrame through an AvailableNow APPEND-mode
+    * memory sink and return the sink's table — the test/gate harness
+    * for finite stream-equals-batch checks (pair with the sentinel
+    * staging pattern when windows must close first).
+    */
+  def drainAppendToTable(spark: SparkSession, df: DataFrame,
+                         tag: String): DataFrame = {
+    val name = s"${tag}_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Run an AvailableNow streaming query to completion (drains whatever
     * is currently in the source, then stops — the batch-boundary pattern
     * for testable streaming pipelines).
