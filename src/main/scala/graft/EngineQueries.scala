@@ -299,6 +299,54 @@ object EngineQueries {
       s.read.parquet(s"$out/r")
     }),
 
+    // Scheduler -> scripted job -> CONFIG-DRIVEN pipeline -> MERGE
+    // node, end to end (the m12 loop around the maintenance DSL): the
+    // update batch stages as parquet, a node-config JSON hydrates a
+    // pipeline whose single node is the Merge action
+    // (PipelineConfig registry -> MergeModel -> Layout.merge), the REAL
+    // scheduler charges and drains the run, the ledger records it Done
+    // — and the merged table must hash-match the latest-wins SQL. This
+    // is the reference's posture: table maintenance as a SCHEDULED
+    // declarative job, not a hand-written library call.
+    "m33_dsl_merge_job" -> ((s, dir) => {
+      import graft.scheduler._
+      val out = tmp("dslmerge")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      orders.select(col("o_orderkey"), col("o_totalprice"), lit(1L).as("ver"))
+        .write.parquet(s"$out/t")
+      orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 100).as("o_totalprice"), lit(2L).as("ver"))
+        .unionByName(orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_totalprice"), lit(2L).as("ver")))
+        .write.parquet(s"$out/u")
+      val cfg =
+        s"""[{"node_name":"maint","node_type":"Merge","node_seqno":1,
+           |  "config":{"path":"$out/t","updates_path":"$out/u",
+           |    "keys":"o_orderkey","version_col":"ver"}}]""".stripMargin
+      JobScripts.register("m33-script") { (spark, cal) =>
+        val p = PipelineConfig.fromJson("m33-merge", cfg, new SourceRegistry)
+        require(p.run(spark, cal).status == Status.Done)
+      }
+      val db = DatabaseSource("m33db", "jdbc:derby:memory:graftm33;create=true")
+      val ledger = new JdbcLedger(db)
+      val runner = new PipelineJobRunner(s, new Repository(db),
+        new SourceRegistry, ledger)
+      val sched = new Scheduler(runner, ledger = Some(ledger))
+      try {
+        val job = JobSpec(33L, "m33-script")
+        sched.register(job)
+        val tag = java.time.LocalDateTime.of(1995, 6, 15, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        require(sched.charge(job, tag).isDefined)
+        require(sched.drain(), "m33 run did not finish")
+        require(sched.history.peek()._2 == Status.Done,
+          s"m33 run finished ${sched.history.peek()._2}")
+      } finally sched.stop()
+      s.read.parquet(s"$out/t")
+    }),
+
     // File listing as a DataFrame; oracle twin stats the same files via
     // DuckDB read_blob (name/size — mtimes excluded, not reproducible).
     "m08_filenames" -> ((s, dir) => {
@@ -1034,5 +1082,24 @@ object EngineQueries {
         true AS is_file, size
         FROM read_blob('{SF_DIR}/*.parquet')""",
     "m12_scripted_job" ->
-      """SELECT r_regionkey, r_name, '1995-06-15' AS run_date FROM region""")
+      """SELECT r_regionkey, r_name, '1995-06-15' AS run_date FROM region""",
+    // the m15 latest-wins recomputation without the partition column —
+    // the DSL node must apply exactly what the library call applies
+    "m33_dsl_merge_job" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS ver
+           FROM orders),
+         batch AS (
+           SELECT o_orderkey, o_totalprice + 100 AS o_totalprice,
+                  CAST(2 AS BIGINT) AS ver
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey + 1000000000 AS o_orderkey, o_totalprice,
+                  CAST(2 AS BIGINT) AS ver
+           FROM orders WHERE o_orderkey % 7 = 0),
+         all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM batch)
+         SELECT o_orderkey, o_totalprice, ver FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY ver DESC) AS rn FROM all_rows)
+         WHERE rn = 1""")
 }

@@ -77,7 +77,22 @@ object PipelineConfig {
       destinations = c.get("destination").toSeq,
       mask = c.get("mask"),
       zip = c.get("zip").exists(_.toBoolean),
-      unzip = c.get("unzip").exists(_.toBoolean))))
+      unzip = c.get("unzip").exists(_.toBoolean))),
+    // table-maintenance action nodes (MaintenanceModels): a scheduled
+    // config-driven job can MERGE a staged CDC batch or COMPACT a table
+    // declaratively; list-valued keys are comma-separated
+    "Merge" -> ((c, _) => MergeModel(get(c, "path"),
+      updatesPath = get(c, "updates_path"),
+      keys = get(c, "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      versionCol = get(c, "version_col"),
+      partitionCols = c.get("partition_cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      deleteCol = c.get("delete_col"),
+      manifest = c.get("manifest").exists(_.toBoolean))),
+    "Compact" -> ((c, _) => CompactModel(get(c, "path"),
+      partitionCols = c.get("partition_cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      generational = c.get("generational").exists(_.toBoolean))))
 
   def buildNode(nc: NodeConfig, sources: SourceRegistry): PdModel =
     registry.getOrElse(nc.nodeType,

@@ -1,0 +1,68 @@
+package graft.models
+
+import graft.core._
+import graft.operators.Layout
+
+/** Table-maintenance actions as PIPELINE NODES: the [[Layout]]
+  * operators (latest-wins merge / CDC apply, compaction — rename-swap,
+  * generational, or manifest discipline) exposed through the
+  * reference's one-shot action role (`Executable`, models.py:392-422)
+  * so the config-driven DSL (`PipelineConfig`, pydin core.py:1418-1504)
+  * and therefore any SCHEDULED job can run table maintenance
+  * declaratively — compact nightly, apply a staged CDC batch on a
+  * calendar window — instead of as hand-written library calls.
+  */
+
+/** Latest-wins keyed upsert / CDC apply of a staged parquet batch at
+  * `updatesPath` onto the keyed table at `path` (the MERGE INTO node).
+  * `manifest = true` targets a manifest table
+  * ([[Layout.mergeManifest]] — partition-granular snapshot publish,
+  * the continuous-readers mode); otherwise [[Layout.merge]]
+  * (rename-swap, maintenance-window semantics), partition-pruned when
+  * `partitionCols` is set. Returns the applied batch's row count.
+  */
+final case class MergeModel(
+    path: String,
+    updatesPath: String,
+    keys: Seq[String],
+    versionCol: String,
+    partitionCols: Seq[String] = Nil,
+    deleteCol: Option[String] = None,
+    manifest: Boolean = false,
+    override val knobs: ModelKnobs = ModelKnobs())
+  extends PdModel with Executable {
+
+  def execute(ctx: StepContext): ExecResult = {
+    val updates = ctx.spark.read.parquet(ctx.render(updatesPath))
+    val target = ctx.render(path)
+    if (manifest)
+      Layout.mergeManifest(ctx.spark, target, updates, keys, versionCol,
+        deleteCol = deleteCol)
+    else
+      Layout.merge(ctx.spark, target, updates, keys, versionCol,
+        partitionCols, deleteCol = deleteCol)
+    ExecResult(resultValue = Some(updates.count()))
+  }
+}
+
+/** Small-file compaction of the parquet table at `path` (the OPTIMIZE
+  * node): [[Layout.compactGen]] under the generational `_CURRENT`
+  * discipline when `generational = true` (no reader window), plain
+  * rename-swap [[Layout.compact]] otherwise. Returns the file-count
+  * reduction.
+  */
+final case class CompactModel(
+    path: String,
+    partitionCols: Seq[String] = Nil,
+    generational: Boolean = false,
+    override val knobs: ModelKnobs = ModelKnobs())
+  extends PdModel with Executable {
+
+  def execute(ctx: StepContext): ExecResult = {
+    val target = ctx.render(path)
+    val (before, after) =
+      if (generational) Layout.compactGen(ctx.spark, target, partitionCols)
+      else Layout.compact(ctx.spark, target, partitionCols)
+    ExecResult(resultValue = Some(before - after))
+  }
+}

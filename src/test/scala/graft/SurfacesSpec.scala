@@ -35,8 +35,28 @@ class SurfacesSpec extends SparkSpec {
 
   test("config registry covers the reference model surface") {
     assert(Seq("Table", "Select", "Insert", "SQL", "CSV", "JSON", "XML",
-      "Parquet", "Filenames", "FileManager")
+      "Parquet", "Filenames", "FileManager", "Merge", "Compact")
       .forall(PipelineConfig.registry.contains))
+  }
+
+  test("config-driven Compact node runs table maintenance as an EX pipeline") {
+    val dir = Files.createTempDirectory("cfg_compact").resolve("t").toString
+    val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")
+    for (b <- 0 until 4)
+      li.filter(pmod(col("l_orderkey"), lit(4)) === b)
+        .repartition(3).write.mode("append").parquet(dir)
+    val before = spark.read.parquet(dir).inputFiles.length
+    val json =
+      s"""[{"node_name": "opt", "node_type": "Compact", "node_seqno": 1,
+           "config": {"path": "$dir", "generational": "true"}}]"""
+    val p = PipelineConfig.fromJson("cfg_compact", json, new SourceRegistry)
+    assert(p.steps.map(_.stepType) == Seq(StepType.EX))
+    val task = p.run(spark, Calendar.day("2023-01-01"))
+    assert(task.status == Status.Done)
+    assert(graft.operators.Layout.currentGeneration(spark, dir).contains(1))
+    val cur = graft.operators.Layout.readCurrent(spark, dir)
+    assert(cur.inputFiles.length < before)
+    assert(cur.count() == li.count())
   }
 
   test("streaming file monitor ingests incrementally with checkpointed state") {
