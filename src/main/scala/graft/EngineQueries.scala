@@ -645,6 +645,34 @@ object EngineQueries {
             .cast("double").as("sum_price"))
     }),
 
+    // STREAM-STREAM keyed interval join gated through batch q47's
+    // oracle: clicks and purchases arrive as TWO independent unbounded
+    // streams (two file monitors over the staged events), and
+    // Streams.intervalJoin pairs each click with the same user's
+    // purchase windows ([p, p+3600], both ends inclusive) — the
+    // attribution query run CONTINUOUSLY, state bounded by the
+    // time-range condition, inner matches emitting as both sides land.
+    // The post-drain per-user count must hash-match the batch
+    // BETWEEN-join oracle. Timestamps floor to epoch seconds on both
+    // sides first (q47's epoch arithmetic, spelled identically).
+    "m34_stream_stream_attribution" -> ((s, dir) => {
+      import graft.streaming.Streams
+      def floored(df: DataFrame) = df
+        .withColumn("tsf", col("ts").cast("long").cast("timestamp"))
+      val clicks = floored(stagedEventsSource(s, dir))
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsf").as("click_ts"))
+      val purchases = floored(stagedEventsSource(s, dir))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsf").as("purchase_ts"))
+      val joined = Streams.intervalJoin(clicks, purchases,
+        keyCols = Seq("user_id"), pointTsCol = "click_ts",
+        intervalTsCol = "purchase_ts", spanSeconds = 3600L,
+        pointWatermark = "0 seconds", intervalWatermark = "0 seconds")
+      drainAppend(s, joined, "m34")
+        .groupBy("user_id").agg(count(lit(1)).as("n_attributed"))
+    }),
+
     // STREAMING BM25 scoring gated through the batch oracle: the model
     // (per-query term idfs + corpus length stats, rational-idf mode) is
     // calibrated on the BATCH documents table, then the same documents
@@ -964,6 +992,11 @@ object EngineQueries {
                     AND CAST(epoch(o.o_orderdate) AS BIGINT) + 259200
          WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 20 = 0
          GROUP BY o.o_orderkey""",
+    // the stream-stream attribution join shares batch q47's oracle
+    // verbatim — the continuous two-stream join must produce exactly
+    // the batch BETWEEN-join's multiplicities
+    "m34_stream_stream_attribution" ->
+      RelationalQueries.oracles("q47_keyed_range_join"),
     "m27_streaming_sketch_window" ->
       RelationalQueries.oracles("q50_sketch_cube"),
     "m28_streaming_topkeys_window" ->

@@ -202,6 +202,51 @@ object Streams {
     graft.operators.Relational.rangeJoin(stream, intervals,
       pointCol, startCol, endCol, binWidth, joinType = joinType)
 
+  /** STREAM-STREAM keyed interval join — the continuous twin of the
+    * keyed range join (q47's attribution shape: clicks within a span
+    * AFTER a purchase by the same user), and the one lift here where
+    * BOTH sides are unbounded. Points pair with interval-opening rows
+    * on `keyCols` equality plus the event-time range
+    * `point.ts in [interval.ts, interval.ts + spanSeconds]` (both ends
+    * inclusive, the BETWEEN contract). Structured Streaming's
+    * stream-stream inner join buffers each side in state only as long
+    * as the OTHER side's watermark says a match could still arrive —
+    * the explicit time-range condition is what lets the engine compute
+    * those state watermarks, so state stays bounded at
+    * (watermark lag + span) x arrival rate, not history size; inner
+    * matches emit as soon as both rows are present. Late rows beyond
+    * the watermarks drop (the same rows the batch operator would keep:
+    * run [[graft.operators.Relational.rangeJoin]] on the landed data
+    * when exact late handling matters more than latency).
+    *
+    * Column-name contract: the two inputs share ONLY `keyCols`; the
+    * joined row carries each key once plus both sides' payloads.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   keyCols: Seq[String], pointTsCol: String,
+                   intervalTsCol: String, spanSeconds: Long,
+                   pointWatermark: String,
+                   intervalWatermark: String): DataFrame = {
+    require(keyCols.nonEmpty, "intervalJoin needs at least one key column")
+    require(spanSeconds >= 0, "spanSeconds must be non-negative")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet) --
+      keyCols
+    require(overlap.isEmpty,
+      s"point and interval streams share non-key columns " +
+        s"${overlap.mkString(",")}; rename one side")
+    val p = points.withWatermark(pointTsCol, pointWatermark).alias("p")
+    val iv = intervals.withWatermark(intervalTsCol, intervalWatermark)
+      .alias("iv")
+    val cond = keyCols.map(c => col(s"p.$c") === col(s"iv.$c"))
+      .reduce(_ && _) &&
+      col(s"p.$pointTsCol") >= col(s"iv.$intervalTsCol") &&
+      col(s"p.$pointTsCol") <= col(s"iv.$intervalTsCol") +
+        expr(s"INTERVAL $spanSeconds SECONDS")
+    keyCols.foldLeft(p.join(iv, cond, "inner")) { (df, c) =>
+      df.drop(iv(c))
+    }
+  }
+
   /** Streaming per-window KMV distinct sketch — the ingest half of the
     * q50 sketch cube run CONTINUOUSLY: each event-time window's sketch
     * flushes once the watermark closes it (append mode), ready to land

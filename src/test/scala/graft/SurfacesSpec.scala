@@ -472,6 +472,58 @@ class SurfacesSpec extends SparkSpec {
     assert(got == batch && got == Set(1L, 3L), s"stream $got batch $batch")
   }
 
+  test("stream-stream interval join: inclusive bounds, key equality, both sides unbounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(sec: Long) = new Timestamp(1672567200000L + sec * 1000L)
+    val points = MemoryStream[(Long, Timestamp)]
+    val windows = MemoryStream[(Long, Timestamp)]
+    val joined = Streams.intervalJoin(
+      points.toDF().toDF("user_id", "p_ts"),
+      windows.toDF().toDF("user_id", "w_ts"),
+      keyCols = Seq("user_id"), pointTsCol = "p_ts",
+      intervalTsCol = "w_ts", spanSeconds = 10L,
+      pointWatermark = "0 seconds", intervalWatermark = "0 seconds")
+    val name = s"ssj_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+    // window [100, 110] for user 1; same-batch points at 100 (in,
+      // boundary), 110 (in, boundary), 99 (below), user 2 at 105
+      // (wrong key)
+      windows.addData((1L, ts(100)))
+      points.addData((1L, ts(110)), (1L, ts(100)), (1L, ts(99)),
+        (2L, ts(105)))
+      q.processAllAvailable()
+      // the point watermark is now past 110 (0 s delay): a straggler
+      // at 100 is LATE and must drop — the documented contract
+      points.addData((1L, ts(100)), (1L, ts(111)))
+      q.processAllAvailable()
+      // a SECOND window arriving later still matches points already in
+      // state (both sides genuinely unbounded): [105, 115] catches the
+      // buffered 110 and the fresh 111
+      windows.addData((1L, ts(105)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name)
+      .collect().map(r => (r.getLong(0),
+        (r.getTimestamp(1).getTime - 1672567200000L) / 1000,
+        (r.getTimestamp(2).getTime - 1672567200000L) / 1000)).toSet
+    // window@100: points 100, 110 (inclusive ends; 99 below, late 100
+    // dropped); window@105: points 110 and 111
+    assert(got == Set((1L, 100L, 100L), (1L, 110L, 100L),
+      (1L, 110L, 105L), (1L, 111L, 105L)), s"got $got")
+    // shared non-key columns are rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Streams.intervalJoin(points.toDF().toDF("user_id", "ts"),
+        windows.toDF().toDF("user_id", "ts"), Seq("user_id"),
+        "ts", "ts", 10L, "0 seconds", "0 seconds")
+    }
+    assert(e.getMessage.contains("rename one side"), e.getMessage)
+  }
+
   test("streaming CDC apply: micro-batches merge latest-wins with tombstones") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -504,6 +504,22 @@ class LayoutSpec extends SparkSpec {
     assert(lock.delete())
   }
 
+  test("manifest read prunes on the partition column (directory-level)") {
+    val dir = tmpDir("manifest_prune")
+    import spark.implicits._
+    val seed = (1 to 40).map(i => (i.toLong, s"p${i % 4}", i * 1.0, 1L))
+      .toDF("k", "part", "v", "ver")
+    Layout.writeManifestTable(spark, dir, seed, Seq("part"))
+    val all = Layout.readManifest(spark, dir)
+    all.collect()
+    val allFiles = scanFiles(all)
+    val one = Layout.readManifest(spark, dir).filter(col("part") === "p1")
+    assert(one.collect().length == 10)
+    val oneFiles = scanFiles(one)
+    assert(oneFiles < allFiles,
+      s"partition predicate must prune manifest dirs: $oneFiles of $allFiles")
+  }
+
   test("manifest table: all partitions deleted reads back empty with schema") {
     val dir = tmpDir("manifest_empty")
     import spark.implicits._
