@@ -314,6 +314,43 @@ object CorpusQueries {
         .filter(col("rank") <= 10)
     }),
 
+    // Reciprocal-rank FUSION of the lexical and vector rankings (the
+    // peer-signal composition next to c09's cascade): BM25 top-50 and
+    // brute-cosine top-50 fuse by 1/(60+rank) sums over the candidate
+    // UNION — rank-only, so the two incomparable score scales need no
+    // calibration. Both input rankings are deterministic (decimal-sum
+    // BM25 score / exact cosine, doc-id tiebreak), and the fusion
+    // arithmetic is one division + one addition per list in a fixed
+    // order — the oracle recomputes all of it and the top-10 must
+    // hash-match.
+    "c10_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val queries = d.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val lex = graft.operators.Retrieval.bm25(d, "doc_id", "text",
+          queries, "query_id", "qtext", topK = 50, logIdf = false)
+        .withColumnRenamed("qid", "query_id")
+        .select("query_id", "doc_id", "rank")
+      val e = embs(s, dir)
+      val eq = e.select(col("vec_id").as("query_id"),
+          col("embedding").as("__qv"))
+        .join(queries.select("query_id"), Seq("query_id"))
+      val ec = e.select(col("vec_id").as("doc_id"),
+        col("embedding").as("__cv"))
+      val wv = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      val vec = broadcast(eq).crossJoin(ec)
+        .select(col("query_id"), col("doc_id"),
+          graft.functions.VectorFunctions.cosine(col("__qv"), col("__cv"))
+            .as("cos"))
+        .withColumn("rank", row_number().over(wv).cast("int"))
+        .filter(col("rank") <= 50)
+        .select("query_id", "doc_id", "rank")
+      graft.operators.Retrieval.rrfFuse(Seq(lex, vec),
+        "query_id", "doc_id")
+    }),
+
     // Exact cosine top-k neighbors for the first 20 vectors.
     "s01_brute_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -933,6 +970,62 @@ object CorpusQueries {
          SELECT query_id, doc_id, bm25, cos, CAST(rn AS INTEGER) AS rank
          FROM (SELECT rer.*, row_number() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, doc_id ASC) AS rn FROM rer)
+         WHERE rn <= 10""",
+    // the fusion recomputed end to end: the c09 lexical CTE prefix
+    // (rational-idf BM25, decimal term sums) ranks top-50, the brute
+    // cosine ranks top-50, and RRF fuses over the full-outer candidate
+    // union with the identical 1/(60+rank) op order
+    "c10_rrf_fusion" ->
+      s"""WITH q AS (SELECT doc_id AS query_id, text AS qtext
+             FROM documents WHERE doc_id < 3),
+         qt AS (SELECT query_id AS qid,
+                  unnest(list_distinct(regexp_split_to_array(
+                    lower(trim(qtext)), '\\s+'))) AS term FROM q),
+         dlen AS (SELECT doc_id AS doc,
+                    len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                      AS len FROM documents),
+         stats AS (SELECT count(*) AS n, sum(len) AS s FROM dlen),
+         dtok AS (SELECT doc_id AS doc,
+                    unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                      AS term FROM documents),
+         tf AS (SELECT doc, term, count(*) AS tf FROM dtok
+                WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         tw AS (SELECT qt.qid, tf.doc,
+                 ((CAST(stats.n AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+                    / (CAST(dft.df AS DOUBLE) + 0.5))
+                 * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+                       * (CAST(dlen.len AS DOUBLE)
+                          / (CAST(stats.s AS DOUBLE)
+                             / CAST(stats.n AS DOUBLE)))))) AS w
+               FROM qt JOIN tf USING (term) JOIN dft USING (term)
+                 JOIN dlen ON dlen.doc = tf.doc, stats),
+         sc AS (SELECT qid, doc,
+                  CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS score
+                FROM tw GROUP BY 1, 2),
+         lexr AS (SELECT qid AS query_id, doc AS doc_id, rn AS ra FROM (
+                  SELECT sc.*, row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, doc ASC) AS rn FROM sc)
+                 WHERE rn <= 50),
+         vscore AS (SELECT q.query_id, ec.vec_id AS doc_id,
+                      ${cosSql("eq.embedding", "ec.embedding")} AS cos
+                    FROM q JOIN embeddings eq ON eq.vec_id = q.query_id
+                    CROSS JOIN embeddings ec),
+         vecr AS (SELECT query_id, doc_id, rn AS rb FROM (
+                  SELECT vscore.*, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, doc_id ASC) AS rn FROM vscore)
+                 WHERE rn <= 50),
+         fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                     coalesce(l.doc_id, v.doc_id) AS doc_id,
+                     coalesce(1.0 / (60.0 + CAST(l.ra AS DOUBLE)), 0.0)
+                     + coalesce(1.0 / (60.0 + CAST(v.rb AS DOUBLE)), 0.0)
+                       AS rrf
+                   FROM lexr l FULL OUTER JOIN vecr v
+                     ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         SELECT query_id, doc_id, rrf, CAST(rn AS INTEGER) AS rank FROM (
+           SELECT fused.*, row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused)
          WHERE rn <= 10""",
     "s09_anchor_assign" ->
       s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av

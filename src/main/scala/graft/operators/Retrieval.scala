@@ -90,6 +90,45 @@ object Retrieval {
         col("score"), col("n_terms"))
   }
 
+  /** Reciprocal-rank fusion of N ranked candidate lists (public RRF,
+    * Cormack/Clarke/Buettcher SIGIR'09): fused(q, d) = Σ_i 1/(k + rank_i(q, d)),
+    * summing only over the lists that contain d. Rank-only, so
+    * heterogeneous score scales — BM25 vs cosine vs recency — fuse
+    * WITHOUT calibration; k (default 60, the published constant)
+    * damps the head so one list's #1 can't dominate alone. The third
+    * member of the retrieval-composition family: c09's cascade rerank
+    * when one signal gates another, rrfFuse when signals are peers.
+    *
+    * Inputs each carry (queryCol, docCol, `rank`) — [[bm25]]'s output
+    * shape, or any row_number'd ranking. Already top-K-bounded per
+    * query by contract, so the (query, doc) full-outer join chain and
+    * the final per-query window touch ≤ Σ topK_i rows per query —
+    * nothing corpus-scale. Arithmetic is one division + additions per
+    * list (correctly-rounded IEEE ops in a fixed order), so a DuckDB
+    * oracle spelling the same expression hash-matches.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, docCol: String,
+              k: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse wants at least two rankings")
+    require(k >= 1, "k must be >= 1")
+    require(topK > 0, "topK must be positive")
+    val contribs = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(queryCol), col(docCol),
+        (lit(1.0) / (lit(k.toDouble) + col("rank").cast("double")))
+          .as(s"__c$i"))
+    }
+    val joined = contribs.reduce((a, b) =>
+      a.join(b, Seq(queryCol, docCol), "full_outer"))
+    val fused = contribs.indices.map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduce(_ + _)
+    val w = Window.partitionBy(queryCol)
+      .orderBy(col("rrf").desc, col(docCol).asc)
+    joined.withColumn("rrf", fused)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col(queryCol), col(docCol), col("rrf"), col("rank"))
+  }
+
   /** A calibrated BM25 scoring model: per-query (term, idf) weight
     * lists plus the corpus length stats — computed ONCE on a reference
     * corpus (the same df/idf/avgdl arithmetic as [[bm25]]) and applied

@@ -93,4 +93,32 @@ class RetrievalSpec extends SparkSpec {
       topK = 3).orderBy("rank").collect()
     assert(r.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("rrfFuse: union of candidates, single-list docs damped, exact arithmetic") {
+    import spark.implicits._
+    // list A ranks docs 10, 11, 12; list B ranks 11, 13 — doc 11 is the
+    // only double-ranked candidate and must win despite being #2 in A
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), "query_id", "doc_id", k = 60,
+        topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L), got.mkString(","))
+    // exact arithmetic: doc 11 = 1/62 + 1/61; doc 10 = 1/61 (A only)
+    assert(got(0)._2 == 1.0 / 62 + 1.0 / 61)
+    assert(got(1)._2 == 1.0 / 61 && got(2)._2 == 1.0 / 62)
+    // rank ties (same rrf) break by doc_id: two docs ranked #1 in
+    // exactly one list each
+    val c1 = Seq((1L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val c2 = Seq((1L, 19L, 1)).toDF("query_id", "doc_id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(c1, c2), "query_id", "doc_id")
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(tied == Seq(19L, 20L))
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(a), "query_id", "doc_id")
+    }
+  }
 }
