@@ -70,6 +70,17 @@ object Layout {
     finally { if (fc.util.exists(lock)) fc.delete(lock, false); () }
   }
 
+  /** A table is either manifest-disciplined or rename-swap — never
+    * both: a rename-swap maintenance pass on a manifest table would
+    * move generation directories out from under the manifest (silent
+    * corruption). Every non-manifest entry point checks. */
+  private def requireNotManifest(spark: SparkSession, path: String,
+                                 op: String): Unit =
+    require(manifestVersion(spark, path).isEmpty,
+      s"$path is a MANIFEST table (has $ManifestPointer); use " +
+        s"mergeManifest/reapManifest instead of $op — mixing the " +
+        "rename-swap and manifest disciplines corrupts the table")
+
   /** Rewrite the parquet directory at `path` with its data clustered by
     * `partitionCols` (the existing `partitionBy` layout, preserved) so
     * each partition directory holds one task's contiguous files instead
@@ -83,6 +94,7 @@ object Layout {
   def compact(spark: SparkSession, path: String,
               partitionCols: Seq[String] = Nil): (Long, Long) =
       withMaintenanceLock(spark, path) {
+    requireNotManifest(spark, path, "compact")
     val before = spark.read.parquet(path)
     val filesBefore = before.inputFiles.length.toLong
     val tmp = s"$path.__compact_tmp"
@@ -159,6 +171,7 @@ object Layout {
             maxTouchedPartitions: Int = 10000,
             deleteCol: Option[String] = None): Unit =
       withMaintenanceLock(spark, path) {
+    requireNotManifest(spark, path, "merge")
     require(keys.nonEmpty, "merge needs at least one key column")
     require(!keys.contains(versionCol), "versionCol cannot be a key")
     val base = spark.read.parquet(path)
@@ -430,6 +443,7 @@ object Layout {
   def compactGen(spark: SparkSession, path: String,
                  partitionCols: Seq[String] = Nil): (Long, Long) =
       withMaintenanceLock(spark, path) {
+    requireNotManifest(spark, path, "compactGen")
     val cur = currentGeneration(spark, path).getOrElse(0)
     dropOrphanGenerations(spark, path, cur)
     val before = spark.read.parquet(generationPath(path, cur))
@@ -463,6 +477,7 @@ object Layout {
                keys: Seq[String], versionCol: String,
                deleteCol: Option[String] = None): Unit =
       withMaintenanceLock(spark, path) {
+    requireNotManifest(spark, path, "mergeGen")
     require(keys.nonEmpty, "mergeGen needs at least one key column")
     require(!keys.contains(versionCol), "versionCol cannot be a key")
     deleteCol.foreach(d => require(updates.columns.contains(d),
@@ -554,6 +569,15 @@ object Layout {
   // manifest's live dirs are ever listed. Old manifest versions remain
   // readable ([[readManifestVersion]]) until reaped: partition-granular
   // time travel.
+  //
+  // Scale envelope, stated honestly: the manifest is ONE flat JSON over
+  // ALL partitions, rewritten per publish — O(|partitions|) driver work
+  // and bytes per merge (~50 B/partition: ~5 MB at 100k partitions,
+  // fine; ~50 MB at 1M). Under continuous CDC that cost recurs per
+  // micro-batch, so at >~10^5 partitions prefer coarser partitioning or
+  // front with a hierarchical/manifest-list format (the Iceberg
+  // posture); the touched-partition WORK is already batch-bounded —
+  // only the manifest serialization is table-wide.
 
   private val ManifestPointer = "_MANIFEST_CURRENT"
 

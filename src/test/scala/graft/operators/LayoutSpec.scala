@@ -520,6 +520,46 @@ class LayoutSpec extends SparkSpec {
       s"partition predicate must prune manifest dirs: $oneFiles of $allFiles")
   }
 
+  test("rename-swap maintenance refuses a manifest table (mixed disciplines)") {
+    val dir = tmpDir("mixed")
+    import spark.implicits._
+    Layout.writeManifestTable(spark,
+      dir, Seq((1L, "a", 1L)).toDF("k", "part", "ver"), Seq("part"))
+    val batch = Seq((1L, "a", 2L)).toDF("k", "part", "ver")
+    for ((name, op) <- Seq[(String, () => Any)](
+        "compact" -> (() => Layout.compact(spark, dir)),
+        "merge" -> (() => Layout.merge(spark, dir, batch, Seq("k"), "ver")),
+        "compactGen" -> (() => Layout.compactGen(spark, dir)),
+        "mergeGen" -> (() => Layout.mergeGen(spark, dir, batch, Seq("k"), "ver")))) {
+      val e = intercept[IllegalArgumentException] { op() }
+      assert(e.getMessage.contains("MANIFEST table"), s"$name: ${e.getMessage}")
+      assert(!new java.io.File(s"$dir.__maint.lock").exists(),
+        s"$name must release the lease after refusing")
+    }
+    // the manifest path still works and the table is intact
+    Layout.mergeManifest(spark, dir, batch, Seq("k"), "ver")
+    assert(Layout.readManifest(spark, dir).select("ver").head().getLong(0) == 2L)
+  }
+
+  test("zorderWrite on a DATE dimension is row-exact and clusters") {
+    val dir = tmpDir("zdate")
+    import spark.implicits._
+    val df = spark.read.parquet(sf("orders"))
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice"))
+    Layout.zorderWrite(df, dir, Seq("d", "o_orderkey"), numFiles = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == df.count())
+    assert(back.schema("d").dataType ==
+      org.apache.spark.sql.types.DateType)
+    // date clustering: per-file min/max date spans are narrower than
+    // the full range for at least one file (the curve separated time)
+    val span = back.groupBy(input_file_name()).agg(
+      datediff(max("d"), min("d")).as("s")).collect().map(_.getInt(1))
+    val full = df.agg(datediff(max("d"), min("d"))).head().getInt(0)
+    assert(span.min < full, s"some file must span less than $full days")
+  }
+
   test("manifest table: all partitions deleted reads back empty with schema") {
     val dir = tmpDir("manifest_empty")
     import spark.implicits._
