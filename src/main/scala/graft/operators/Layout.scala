@@ -577,7 +577,12 @@ object Layout {
   // micro-batch, so at >~10^5 partitions prefer coarser partitioning or
   // front with a hierarchical/manifest-list format (the Iceberg
   // posture); the touched-partition WORK is already batch-bounded —
-  // only the manifest serialization is table-wide.
+  // only the manifest serialization is table-wide. Measured
+  // (ManifestProbe, sf0.1, 200 partitions, batch touching 5):
+  // mergeManifest 1.3 s vs rename-swap merge 3.8 s — the explicit-root
+  // base read skips the table-wide listing the pruned predicate scan
+  // pays — with reads at parity (0.77 vs 0.80 s) and ~13 B/partition
+  // of manifest.
 
   private val ManifestPointer = "_MANIFEST_CURRENT"
 
