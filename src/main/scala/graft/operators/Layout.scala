@@ -771,7 +771,16 @@ object Layout {
           "generations")
       p.toString
     }
-    spark.read.option("basePath", path).parquet(roots: _*).drop("gen")
+    val raw = spark.read.option("basePath", path)
+      .parquet(roots: _*).drop("gen")
+    // align with the SEED schema: partition-value inference re-derives
+    // types from directory strings (`part=5` comes back INT even when
+    // the table wrote LONG) — cast every column to its stored type and
+    // restore the stored column order, so empty and non-empty reads,
+    // and every manifest version, agree. No-op casts fold away.
+    val sch = manifestSchema(m)
+    raw.select(sch.fields.toSeq
+      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
   /** [[merge]] re-expressed under the manifest discipline: latest-wins
@@ -819,10 +828,18 @@ object Layout {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           manifestSchema(m))
-      else spark.read.option("basePath", path)
-        .parquet(baseRels.map(rel =>
-          s"$path/$rel/gen=${m.entries(rel)}"): _*)
-        .drop("gen")
+      else {
+        // same stored-schema alignment as readManifestVersion: the
+        // merge window must see the seed's column types, not what
+        // partition-value inference re-derives from dir strings
+        val sch = manifestSchema(m)
+        spark.read.option("basePath", path)
+          .parquet(baseRels.map(rel =>
+            s"$path/$rel/gen=${m.entries(rel)}"): _*)
+          .drop("gen")
+          .select(sch.fields.toSeq
+            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      }
     val tmpDir = s"$path.__manifest_tmp"
     fc.delete(new Path(tmpDir), true) // crashed prior run's leftover
     latestWins(base, updates, keys, versionCol, deleteCol)

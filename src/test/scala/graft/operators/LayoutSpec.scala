@@ -560,6 +560,28 @@ class LayoutSpec extends SparkSpec {
     assert(span.min < full, s"some file must span less than $full days")
   }
 
+  test("manifest table: numeric partition values keep their SEED types") {
+    // partition-value inference re-derives types from dir strings
+    // ('part=5' -> INT); the manifest read must restore the seed's LONG
+    val dir = tmpDir("manifest_types")
+    import spark.implicits._
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, 5L, "a", 1L), (2L, 6L, "b", 1L))
+        .toDF("k", "part", "v", "ver"),
+      Seq("part"))
+    val back = Layout.readManifest(spark, dir)
+    assert(back.schema("part").dataType ==
+      org.apache.spark.sql.types.LongType, back.schema.toDDL)
+    assert(back.columns.toSeq == Seq("k", "v", "ver", "part"))
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, 5L, "a2", 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    val after = Layout.readManifest(spark, dir)
+    assert(after.schema("part").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(after.filter(col("k") === 1L).head().getAs[String]("v") == "a2")
+  }
+
   test("manifest table: all partitions deleted reads back empty with schema") {
     val dir = tmpDir("manifest_empty")
     import spark.implicits._
