@@ -221,14 +221,25 @@ object Streams {
     *
     * Column-name contract: the two inputs share ONLY `keyCols`; the
     * joined row carries each key once plus both sides' payloads.
+    *
+    * `joinType` `left_outer` preserves unmatched POINTS (the
+    * attribution-GAP shape: clicks no purchase explains): the engine
+    * emits them with null interval columns only once the watermark
+    * proves no matching interval can still arrive, so outer results
+    * trail the inner ones by the watermark lag — correct, not late.
     */
   def intervalJoin(points: DataFrame, intervals: DataFrame,
                    keyCols: Seq[String], pointTsCol: String,
                    intervalTsCol: String, spanSeconds: Long,
                    pointWatermark: String,
-                   intervalWatermark: String): DataFrame = {
+                   intervalWatermark: String,
+                   joinType: String = "inner"): DataFrame = {
     require(keyCols.nonEmpty, "intervalJoin needs at least one key column")
     require(spanSeconds >= 0, "spanSeconds must be non-negative")
+    val jt = joinType.toLowerCase.replace("-", "_")
+    require(Set("inner", "left", "left_outer", "leftouter").contains(jt),
+      s"intervalJoin supports inner/left_outer (got '$joinType'): " +
+        "right/full outer would need interval-side completeness tracking")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet) --
       keyCols
     require(overlap.isEmpty,
@@ -242,7 +253,8 @@ object Streams {
       col(s"p.$pointTsCol") >= col(s"iv.$intervalTsCol") &&
       col(s"p.$pointTsCol") <= col(s"iv.$intervalTsCol") +
         expr(s"INTERVAL $spanSeconds SECONDS")
-    keyCols.foldLeft(p.join(iv, cond, "inner")) { (df, c) =>
+    keyCols.foldLeft(p.join(iv, cond,
+        if (jt == "inner") "inner" else "left_outer")) { (df, c) =>
       df.drop(iv(c))
     }
   }

@@ -524,6 +524,51 @@ class SurfacesSpec extends SparkSpec {
     assert(e.getMessage.contains("rename one side"), e.getMessage)
   }
 
+  test("stream-stream interval join, left_outer: unmatched points emit nulls after watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(sec: Long) = new Timestamp(1672567200000L + sec * 1000L)
+    val points = MemoryStream[(Long, Timestamp)]
+    val windows = MemoryStream[(Long, Timestamp)]
+    val joined = Streams.intervalJoin(
+      points.toDF().toDF("user_id", "p_ts"),
+      windows.toDF().toDF("user_id", "w_ts"),
+      keyCols = Seq("user_id"), pointTsCol = "p_ts",
+      intervalTsCol = "w_ts", spanSeconds = 10L,
+      pointWatermark = "0 seconds", intervalWatermark = "0 seconds",
+      joinType = "left_outer")
+    val name = s"ssl_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // point@100 for user 1 has no window on its key (user 2's window
+      // at 95 would match the TIME range but not the key)
+      points.addData((1L, ts(100)))
+      windows.addData((2L, ts(95)))
+      q.processAllAvailable()
+      // later traffic advances BOTH watermarks far past the point at
+      // 100 (+span): its no-match is now provable and the outer row
+      // must emit with a null window timestamp
+      points.addData((1L, ts(400)))
+      windows.addData((2L, ts(400)))
+      q.processAllAvailable()
+      points.addData((1L, ts(800)))
+      windows.addData((2L, ts(800)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).collect()
+    val unmatched = rows.filter(_.isNullAt(2))
+      .map(r => (r.getLong(0),
+        (r.getTimestamp(1).getTime - 1672567200000L) / 1000)).toSet
+    assert(unmatched.contains((1L, 100L)), s"got ${unmatched.mkString(",")}")
+    // no false inner matches across keys
+    assert(rows.forall(r => r.isNullAt(2) || !r.isNullAt(1)))
+    assert(!rows.exists(r => !r.isNullAt(2) && r.getLong(0) == 1L),
+      "user 1 has no matching window; every user-1 row must be outer")
+  }
+
   test("streaming CDC apply: micro-batches merge latest-wins with tombstones") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
