@@ -89,6 +89,8 @@ object PipelineConfig {
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       deleteCol = c.get("delete_col"),
       manifest = c.get("manifest").exists(_.toBoolean))),
+    "Manifest" -> ((c, _) => ManifestModel(get(c, "path"),
+      version = c.get("version").map(_.toInt), knobs = knobsOf(c))),
     "Compact" -> ((c, _) => CompactModel(get(c, "path"),
       partitionCols = c.get("partition_cols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),

@@ -45,6 +45,26 @@ final case class MergeModel(
   }
 }
 
+/** Snapshot source over a MANIFEST table (the read half of the
+  * maintenance DSL): extract resolves the live manifest — or a pinned
+  * `version` for time travel — once, so the pipeline's whole run sees
+  * one consistent snapshot even while a CDC stream publishes new ones.
+  */
+final case class ManifestModel(
+    path: String,
+    version: Option[Int] = None,
+    override val knobs: ModelKnobs = ModelKnobs())
+  extends PdModel with Extractable {
+
+  protected def read(ctx: StepContext): org.apache.spark.sql.DataFrame = {
+    val target = ctx.render(path)
+    version match {
+      case Some(v) => Layout.readManifestVersion(ctx.spark, target, v)
+      case None => Layout.readManifest(ctx.spark, target)
+    }
+  }
+}
+
 /** Small-file compaction of the parquet table at `path` (the OPTIMIZE
   * node): [[Layout.compactGen]] under the generational `_CURRENT`
   * discipline when `generational = true` (no reader window), plain

@@ -39,6 +39,32 @@ class SurfacesSpec extends SparkSpec {
       .forall(PipelineConfig.registry.contains))
   }
 
+  test("config-driven Manifest source extracts a pinned snapshot") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cfg_manifest").resolve("t").toString
+    val out = Files.createTempDirectory("cfg_manifest_out").toString
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "part", "ver"),
+      Seq("part"))
+    Layout.mergeManifest(spark, dir,
+      Seq((3L, "c", 2L)).toDF("k", "part", "ver"), Seq("k"), "ver")
+    val json =
+      s"""[
+        {"node_name": "src", "node_type": "Manifest", "node_seqno": 1,
+         "config": {"path": "$dir"}},
+        {"node_name": "dst", "node_type": "Parquet", "node_seqno": 2,
+         "config": {"path": "$out/p"}}
+      ]"""
+    val p = PipelineConfig.fromJson("cfg_manifest", json, new SourceRegistry)
+    assert(p.run(spark, Calendar.day("2023-01-01")).status == Status.Done)
+    assert(spark.read.parquet(s"$out/p").count() == 3)
+    // time-travel variant: version 1 is the seed
+    val m1 = graft.models.ManifestModel(dir, version = Some(1))
+    assert(m1.extract(StepContext(spark, Calendar.day("2023-01-01")))
+      .count() == 2)
+  }
+
   test("config-driven Compact node runs table maintenance as an EX pipeline") {
     val dir = Files.createTempDirectory("cfg_compact").resolve("t").toString
     val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")
