@@ -654,15 +654,21 @@ object EngineQueries {
     // time-range condition, inner matches emitting as both sides land.
     // The post-drain per-user count must hash-match the batch
     // BETWEEN-join oracle. Timestamps floor to epoch seconds on both
-    // sides first (q47's epoch arithmetic, spelled identically).
+    // sides first (q47's epoch arithmetic, spelled identically). No
+    // sentinel staging: INNER stream-stream matches emit eagerly as
+    // both sides land — the watermark only bounds state, so the plain
+    // single-file monitors drain in one micro-batch per side.
     "m34_stream_stream_attribution" -> ((s, dir) => {
       import graft.streaming.Streams
-      def floored(df: DataFrame) = df
-        .withColumn("tsf", col("ts").cast("long").cast("timestamp"))
-      val clicks = floored(stagedEventsSource(s, dir))
+      val phys = s.read.parquet(s"$dir/events.parquet").schema
+      def side() = Streams
+        .fileMonitor(s, s"$dir/events.parquet*", "parquet", phys)
+        .withColumn("tsf",
+          col("ts").cast("timestamp").cast("long").cast("timestamp"))
+      val clicks = side()
         .filter(col("event_type") === "click")
         .select(col("user_id"), col("tsf").as("click_ts"))
-      val purchases = floored(stagedEventsSource(s, dir))
+      val purchases = side()
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("tsf").as("purchase_ts"))
       val joined = Streams.intervalJoin(clicks, purchases,
