@@ -210,6 +210,23 @@ object CorpusQueries {
         "media_id")
     }),
 
+    // Cross-document LINE boilerplate removal (the C4 repeated-line
+    // rule): the fixture's texts are single-line, so the gate STAGES a
+    // deterministic multi-line corpus — each doc gains a per-source
+    // copyright footer (repeats across the source's docs -> removed at
+    // minDocs=5) and a unique trailer (never removed); heavily
+    // duplicated original texts cross the threshold too, exactly as
+    // the oracle recomputes. Line order and the rest of each document
+    // survive byte-identically.
+    "t20_line_boilerplate" -> ((s, dir) => {
+      val staged = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          concat(lit("copyright footer "), col("source")),
+          concat(lit("unique "), col("doc_id").cast("string"))).as("text"))
+      graft.operators.Boilerplate.removeFrequentLines(staged,
+        "doc_id", "text", minDocs = 5)
+    }),
+
     // Token counting + quality signals, one narrow codegen'd projection.
     "t01_token_stats" -> ((s, dir) => {
       docs(s, dir).select(
@@ -775,6 +792,26 @@ object CorpusQueries {
          SELECT doc_id AS media_id, c0, c1, c2, c3 FROM fp
          WHERE doc_id % 2 = 1
            AND doc_id NOT IN (SELECT ida FROM dropped)""",
+    // the staged corpus, line explosion, frequency threshold, and
+    // ordered rebuild recomputed verbatim
+    "t20_line_boilerplate" ->
+      """WITH staged AS (
+           SELECT doc_id, text || chr(10) || 'copyright footer ' || source
+             || chr(10) || 'unique ' || CAST(doc_id AS VARCHAR) AS text
+           FROM documents),
+         lines AS (
+           SELECT doc_id, u.i AS pos, u.t AS line FROM (
+             SELECT doc_id, unnest(list_transform(
+               string_split(text, chr(10)),
+               (s, i) -> {'i': i, 't': s})) AS u
+             FROM staged)),
+         bp AS (SELECT line FROM (
+             SELECT line, count(DISTINCT doc_id) AS nd FROM lines
+             WHERE trim(line) <> '' GROUP BY 1)
+           WHERE nd >= 5)
+         SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+         FROM lines WHERE line NOT IN (SELECT line FROM bp)
+         GROUP BY doc_id""",
     "t01_token_stats" ->
       s"""SELECT doc_id,
          CAST(len($toks) AS INTEGER) AS n_tokens,

@@ -679,6 +679,29 @@ object EngineQueries {
         .groupBy("user_id").agg(count(lit(1)).as("n_attributed"))
     }),
 
+    // STREAMING line-boilerplate removal gated through t20's oracle:
+    // the frequent-line set calibrates on the BATCH staged corpus
+    // (bounded collect), the same staged docs stream through the file
+    // monitor, and the stateless split/filter/rejoin projection must
+    // reproduce the batch rebuild byte for byte (every staged doc
+    // keeps its unique trailer, so the batch path's drop-empty-docs
+    // difference cannot bite). The m21 stateless-lift pattern — no
+    // sentinels needed.
+    "m35_streaming_boilerplate" -> ((s, dir) => {
+      import graft.streaming.Streams
+      def staged(df: DataFrame) = df.select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          concat(lit("copyright footer "), col("source")),
+          concat(lit("unique "), col("doc_id").cast("string"))).as("text"))
+      val batchDocs = s.read.parquet(s"$dir/documents.parquet")
+      val bp = graft.operators.Boilerplate.frequentLines(
+        staged(batchDocs), "doc_id", "text", minDocs = 5)
+      val src = staged(Streams.fileMonitor(s, s"$dir/documents.parquet*",
+        "parquet", batchDocs.schema))
+      drainAppend(s, Streams.boilerplateFilter(src, "text", bp), "m35")
+        .select("doc_id", "text")
+    }),
+
     // STREAMING BM25 scoring gated through the batch oracle: the model
     // (per-query term idfs + corpus length stats, rational-idf mode) is
     // calibrated on the BATCH documents table, then the same documents
@@ -998,6 +1021,11 @@ object EngineQueries {
                     AND CAST(epoch(o.o_orderdate) AS BIGINT) + 259200
          WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 20 = 0
          GROUP BY o.o_orderkey""",
+    // the streaming boilerplate filter shares batch t20's oracle
+    // verbatim — the calibrated-set HOF projection must equal the
+    // batch explode/count/rebuild
+    "m35_streaming_boilerplate" ->
+      CorpusQueries.oracles("t20_line_boilerplate"),
     // the stream-stream attribution join shares batch q47's oracle
     // verbatim — the continuous two-stream join must produce exactly
     // the batch BETWEEN-join's multiplicities

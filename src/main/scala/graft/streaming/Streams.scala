@@ -340,6 +340,21 @@ object Streams {
         graft.functions.TextFunctions.gopherRules(col(textCol)))
       .filter(col("gopher.gopher_pass"))
 
+  /** Streaming line-boilerplate removal: a frequent-line set
+    * calibrated ONCE on a reference corpus
+    * ([[graft.operators.Boilerplate.frequentLines]]) applied to a
+    * document stream as one stateless split/filter/rejoin projection —
+    * no explode, no aggregation, no watermark, batch ≡ stream by
+    * construction (per-microbatch line frequencies would drift with
+    * arrival order; the calibratedFilter/bm25 posture). The C4
+    * repeated-line rule at ingest rate.
+    */
+  def boilerplateFilter(docs: DataFrame, textCol: String,
+                        lines: Seq[String],
+                        delimiter: String = "\n"): DataFrame =
+    graft.operators.Boilerplate.removeLinesBroadcast(docs, textCol,
+      lines, delimiter)
+
   /** Streaming BM25 scoring: a batch-calibrated
     * [[graft.operators.Retrieval.Bm25Model]] (per-query term idf
     * weights + corpus length stats) rides into the stream as literals,

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BoilerplateSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha\nSHARED FOOTER\nbody one"),
+      (2L, "beta\nSHARED FOOTER\n\nbody two"),
+      (3L, "SHARED FOOTER\ngamma"),
+      (4L, "delta only"),
+      (5L, "SHARED FOOTER")) // nothing but boilerplate
+      .toDF("doc_id", "text")
+  }
+
+  test("removeFrequentLines drops cross-doc lines, keeps order and blanks") {
+    val out = Boilerplate.removeFrequentLines(corpus, "doc_id", "text",
+        minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "alpha\nbody one",
+      2L -> "beta\n\nbody two", // the blank line is kept, not counted
+      3L -> "gamma",
+      4L -> "delta only"))
+    // doc 5 was nothing but boilerplate: dropped entirely
+    assert(!out.contains(5L))
+  }
+
+  test("blank lines never count as boilerplate even when universal") {
+    import spark.implicits._
+    val d = Seq((1L, "a\n\nx"), (2L, "b\n\ny"), (3L, "c\n\nz"))
+      .toDF("doc_id", "text")
+    val out = Boilerplate.removeFrequentLines(d, "doc_id", "text", 2)
+      .collect().map(_.getString(1)).toSet
+    assert(out == Set("a\n\nx", "b\n\ny", "c\n\nz"))
+  }
+
+  test("delimiter is literal, not regex") {
+    import spark.implicits._
+    val d = Seq((1L, "keep.AD.keep2"), (2L, "other.AD.more"),
+      (3L, "third.AD.third2")).toDF("doc_id", "text")
+    val out = Boilerplate.removeFrequentLines(d, "doc_id", "text",
+        minDocs = 3, delimiter = ".")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "keep.keep2", out(1L))
+  }
+
+  test("calibrated broadcast path equals the batch rebuild on surviving docs") {
+    val bp = Boilerplate.frequentLines(corpus, "doc_id", "text", minDocs = 3)
+    assert(bp == Seq("SHARED FOOTER"))
+    val viaSet = Boilerplate.removeLinesBroadcast(corpus, "text", bp)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = Boilerplate.removeFrequentLines(corpus, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    batch.foreach { case (k, v) => assert(viaSet(k) == v, s"doc $k") }
+    // the one documented divergence: a fully-boilerplate doc stays as
+    // an empty string in the stateless projection
+    assert(viaSet(5L) == "")
+    // empty calibrated set = identity
+    val id = Boilerplate.removeLinesBroadcast(corpus, "text", Nil)
+      .collect().map(_.getString(1)).toSet
+    assert(id == corpus.collect().map(_.getString(1)).toSet)
+    // the bounded-collect contract fails loudly
+    intercept[IllegalArgumentException] {
+      Boilerplate.frequentLines(corpus, "doc_id", "text", minDocs = 2,
+        maxLines = 0)
+    }
+  }
+}
