@@ -368,6 +368,21 @@ object CorpusQueries {
         "query_id", "doc_id")
     }),
 
+    // SEMANTIC decontamination (the embedding-space cousin of d09's
+    // n-gram filter): bench = vectors with id % 53 == 0; training
+    // vectors within cosine 0.45 of ANY bench vector are removed —
+    // the paraphrased leakage exact n-grams cannot see. One broadcast
+    // nested-loop anti-join in the training scan stage; the oracle
+    // recomputes every cross cosine exactly.
+    "d17_semantic_decontaminate" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.operators.Decontaminate.semantic(
+        e.filter(col("vec_id") % 53 =!= 0),
+        e.filter(col("vec_id") % 53 === 0),
+        "embedding", 0.45)
+        .select("vec_id")
+    }),
+
     // Exact cosine top-k neighbors for the first 20 vectors.
     "s01_brute_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -1064,6 +1079,15 @@ object CorpusQueries {
            SELECT fused.*, row_number() OVER (PARTITION BY query_id
              ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused)
          WHERE rn <= 10""",
+    "d17_semantic_decontaminate" ->
+      s"""WITH hit AS (
+           SELECT DISTINCT t.vec_id
+           FROM embeddings t JOIN embeddings b
+             ON t.vec_id % 53 <> 0 AND b.vec_id % 53 = 0
+           WHERE ${cosSql("t.embedding", "b.embedding")} >= 0.45)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id % 53 <> 0
+           AND vec_id NOT IN (SELECT vec_id FROM hit)""",
     "s09_anchor_assign" ->
       s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS av
              FROM embeddings WHERE vec_id < 8),

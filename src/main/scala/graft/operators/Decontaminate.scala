@@ -45,6 +45,33 @@ object Decontaminate {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * family: remove every training row whose embedding sits within
+    * `cosine >= threshold` of ANY benchmark embedding. Catches the
+    * leakage the n-gram filter cannot see (paraphrases, translations,
+    * templated rewrites of eval items — public embedding-similarity
+    * decontamination practice). Same scale posture as
+    * [[decontaminate]]: the bench side is small by contract and
+    * BROADCASTS, so the check is one BroadcastNestedLoopJoin LeftAnti
+    * in the training scan stage — the 100 TB side never shuffles and
+    * never expands (each train row tests against the in-memory bench
+    * vectors and passes or dies). For a bench set too large to
+    * broadcast, pre-bucket both sides with [[Similarity]]'s LSH and
+    * anti-join on the matched ids instead.
+    */
+  def semantic(train: DataFrame, bench: DataFrame, embCol: String,
+               threshold: Double,
+               broadcastBench: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val b0 = bench.select(col(embCol).as("__bv"))
+    val b = if (broadcastBench) broadcast(b0) else b0
+    train.join(b,
+      graft.functions.VectorFunctions.cosine(col(embCol), col("__bv")) >=
+        threshold,
+      "left_anti")
+  }
+
   /** The audit twin of [[decontaminate]]: for every CONTAMINATED training
     * doc, how many of its n-grams the bench set contains and how many
     * distinct bench documents it touches — the report a lab reads before
