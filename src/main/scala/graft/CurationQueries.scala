@@ -174,6 +174,39 @@ object CurationQueries {
         qualityScore(col("text")), bins = 1000, qNum = 1, qDen = 2)
     }),
 
+    // Model-based quality scoring (the fastText-style classifier step):
+    // logistic regression DISTILLS the gopher rule battery's weak
+    // labels into a soft probability — trained via MLlib on the
+    // battery's own metric columns, scored by a pure codegen'd column
+    // (coefficients as literals, no MLlib in the corpus path). Scores
+    // carry a transcendental (sigmoid), so the gate pins what the
+    // distillation GUARANTEES with margin instead of hashing floats:
+    // exact doc/label counts, >= 80% label agreement at the 0.5 cut,
+    // and >= 0.2 mean-probability separation between the classes.
+    "c11_quality_classifier" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      val feats = Seq("n_words", "mean_word_len", "dup_line_frac",
+        "bullet_line_frac", "ellipsis_line_frac", "stopword_count",
+        "alpha_word_frac")
+      val labeled = docs(s, dir)
+        .select(col("doc_id"), gopherRules(col("text")).as("g"))
+        .select(col("doc_id") +: col("g.gopher_pass").as("label") +:
+          feats.map(f => col(s"g.$f")): _*)
+      val model = QualityClassifier.train(labeled, feats, "label")
+      labeled
+        .select(col("label"),
+          QualityClassifier.scoreColumn(model).as("p"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pass"),
+          avg(when((col("p") >= 0.5) === col("label"), 1.0)
+            .otherwise(0.0)).as("__agree"),
+          avg(when(col("label"), col("p"))).as("__p1"),
+          avg(when(!col("label"), col("p"))).as("__p0"))
+        .select(col("n_docs"), col("n_pass"),
+          (col("__agree") >= 0.80).as("agreement_ok"),
+          ((col("__p1") - col("__p0")) >= 0.2).as("separation_ok"))
+    }),
+
     // Sequence packing pre-step: pack docs into ~1000-token shards per
     // language, in id order (shard = the unit a trainer reads).
     "p04_token_packing" -> ((s, dir) => {
@@ -515,6 +548,43 @@ object CurationQueries {
   private val ipRe = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
   private val phoneRe = """\+?[0-9][0-9-]{6,}[0-9]"""
 
+  /** t19's SQL twin of the full gopher battery — shared with the
+    * c11 distillation oracle (one definition, no drift). */
+  private lazy val gopherRulesOracle: String =
+    s"""WITH d AS (SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines FROM documents)
+         SELECT doc_id,
+           CAST(len($toks) AS BIGINT) AS n_words,
+           CASE WHEN len($toks) = 0 THEN 0.0
+             ELSE CAST(list_reduce(list_transform($toks,
+                    w -> CAST(len(w) AS BIGINT)), (p, q) -> p + q) AS DOUBLE)
+                  / CAST(CAST(len($toks) AS BIGINT) AS DOUBLE)
+           END AS mean_word_len,
+           CAST(CAST(len(lines) AS BIGINT)
+                - CAST(len(list_distinct(lines)) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(len(lines) AS BIGINT) AS DOUBLE) AS dup_line_frac,
+           CAST(len(list_filter(lines,
+                l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+             / CAST(CAST(len(lines) AS BIGINT) AS DOUBLE)
+             AS bullet_line_frac,
+           CAST(len(list_filter(lines,
+                l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+             / CAST(CAST(len(lines) AS BIGINT) AS DOUBLE)
+             AS ellipsis_line_frac,
+           CAST(len(list_filter($toks, t -> t IN ($stopList))) AS BIGINT)
+             AS stopword_count,
+           CASE WHEN len($toks) = 0 THEN 0.0
+             ELSE CAST(len(list_filter($toks,
+                    w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                  / CAST(CAST(len($toks) AS BIGINT) AS DOUBLE)
+           END AS alpha_word_frac,
+           (n_words >= 50 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND dup_line_frac <= 0.3 AND bullet_line_frac <= 0.9
+             AND ellipsis_line_frac <= 0.3 AND stopword_count >= 2
+             AND alpha_word_frac >= 0.8) AS gopher_pass
+         FROM d"""
+
   val oracles: Map[String, String] = Map(
     "t06_repetition" ->
       s"""WITH g AS (SELECT doc_id, $toks AS tk,
@@ -707,39 +777,7 @@ object CurationQueries {
          FROM comp JOIN mixed m2 ON comp.doc_id = m2.doc_id"""
     },
     "t19_gopher_rules" ->
-      s"""WITH d AS (SELECT doc_id, text,
-             string_split(text, chr(10)) AS lines FROM documents)
-         SELECT doc_id,
-           CAST(len($toks) AS BIGINT) AS n_words,
-           CASE WHEN len($toks) = 0 THEN 0.0
-             ELSE CAST(list_reduce(list_transform($toks,
-                    w -> CAST(len(w) AS BIGINT)), (p, q) -> p + q) AS DOUBLE)
-                  / CAST(CAST(len($toks) AS BIGINT) AS DOUBLE)
-           END AS mean_word_len,
-           CAST(CAST(len(lines) AS BIGINT)
-                - CAST(len(list_distinct(lines)) AS BIGINT) AS DOUBLE)
-             / CAST(CAST(len(lines) AS BIGINT) AS DOUBLE) AS dup_line_frac,
-           CAST(len(list_filter(lines,
-                l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
-             / CAST(CAST(len(lines) AS BIGINT) AS DOUBLE)
-             AS bullet_line_frac,
-           CAST(len(list_filter(lines,
-                l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
-             / CAST(CAST(len(lines) AS BIGINT) AS DOUBLE)
-             AS ellipsis_line_frac,
-           CAST(len(list_filter($toks, t -> t IN ($stopList))) AS BIGINT)
-             AS stopword_count,
-           CASE WHEN len($toks) = 0 THEN 0.0
-             ELSE CAST(len(list_filter($toks,
-                    w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
-                  / CAST(CAST(len($toks) AS BIGINT) AS DOUBLE)
-           END AS alpha_word_frac,
-           (n_words >= 50 AND n_words <= 100000
-             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-             AND dup_line_frac <= 0.3 AND bullet_line_frac <= 0.9
-             AND ellipsis_line_frac <= 0.3 AND stopword_count >= 2
-             AND alpha_word_frac >= 0.8) AS gopher_pass
-         FROM d""",
+      gopherRulesOracle,
 
     // oracle spells the identical IEEE op order as the Scala plan
     // (idf * (num / den), (1.2 + 1.0) computed, avgdl = S/N inline) so
@@ -782,6 +820,15 @@ object CurationQueries {
          FROM (SELECT sc.*, row_number() OVER (PARTITION BY qid
                  ORDER BY score DESC, doc ASC) AS rn FROM sc)
          WHERE rn <= 10""",
+    // exact counts from the rule battery's own SQL twin; the two
+    // distillation booleans are pinned TRUE (a broken trainer or a
+    // broken scoring expression collapses agreement/separation)
+    "c11_quality_classifier" ->
+      s"""SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           TRUE AS agreement_ok, TRUE AS separation_ok
+         FROM ($gopherRulesOracle)""",
     "t16_calibrated_quality" ->
       s"""WITH q AS (SELECT doc_id, lang,
            CAST(floor((${CorpusQueries.qualitySqlExpr}) * 1000.0) AS BIGINT)
