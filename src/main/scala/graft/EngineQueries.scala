@@ -702,6 +702,41 @@ object EngineQueries {
         .select("doc_id", "text")
     }),
 
+    // STREAMING quality-classifier scoring gated through c11's oracle:
+    // the model trains once on the BATCH corpus (weak gopher labels),
+    // its coefficients ride into the stream as literals, and scoring is
+    // one stateless codegen'd projection (no MLlib, no state, no
+    // watermark — the m21/m35 pattern). The drained scored stream must
+    // reproduce the batch distillation aggregate: same exact counts,
+    // same margin booleans.
+    "m36_streaming_quality_score" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import graft.operators.QualityClassifier
+      import graft.functions.TextFunctions.gopherRules
+      val feats = Seq("n_words", "mean_word_len", "dup_line_frac",
+        "bullet_line_frac", "ellipsis_line_frac", "stopword_count",
+        "alpha_word_frac")
+      def labeled(df: DataFrame) = df
+        .select(col("doc_id"), gopherRules(col("text")).as("g"))
+        .select(col("doc_id") +: col("g.gopher_pass").as("label") +:
+          feats.map(f => col(s"g.$f")): _*)
+      val batchDocs = s.read.parquet(s"$dir/documents.parquet")
+      val model = QualityClassifier.train(labeled(batchDocs), feats, "label")
+      val src = labeled(Streams.fileMonitor(s,
+          s"$dir/documents.parquet*", "parquet", batchDocs.schema))
+        .select(col("label"), QualityClassifier.scoreColumn(model).as("p"))
+      drainAppend(s, src, "m36")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pass"),
+          avg(when((col("p") >= 0.5) === col("label"), 1.0)
+            .otherwise(0.0)).as("__agree"),
+          avg(when(col("label"), col("p"))).as("__p1"),
+          avg(when(!col("label"), col("p"))).as("__p0"))
+        .select(col("n_docs"), col("n_pass"),
+          (col("__agree") >= 0.80).as("agreement_ok"),
+          ((col("__p1") - col("__p0")) >= 0.2).as("separation_ok"))
+    }),
+
     // STREAMING BM25 scoring gated through the batch oracle: the model
     // (per-query term idfs + corpus length stats, rational-idf mode) is
     // calibrated on the BATCH documents table, then the same documents
@@ -1021,6 +1056,11 @@ object EngineQueries {
                     AND CAST(epoch(o.o_orderdate) AS BIGINT) + 259200
          WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 20 = 0
          GROUP BY o.o_orderkey""",
+    // the streaming classifier lift shares batch c11's oracle verbatim
+    // — coefficients-as-literals scoring must distill identically on
+    // the stream
+    "m36_streaming_quality_score" ->
+      CurationQueries.oracles("c11_quality_classifier"),
     // the streaming boilerplate filter shares batch t20's oracle
     // verbatim — the calibrated-set HOF projection must equal the
     // batch explode/count/rebuild
