@@ -737,6 +737,110 @@ object EngineQueries {
           ((col("__p1") - col("__p0")) >= 0.2).as("separation_ok"))
     }),
 
+    // Manifest-table small-file compaction (Layout.compactManifest):
+    // the maintenance compact of manifest-disciplined tables. A CDC
+    // merge leaves every touched partition's live generation with one
+    // file per shuffle task (32 here); compaction rewrites those
+    // partitions single-file into next generations and publishes ONE
+    // new manifest. The gate pins all four claims: a reader pinned
+    // BEFORE the compaction keeps its snapshot bit-for-bit (atomic
+    // publish), every compacted live generation is exactly one data
+    // file (the small-file cure), re-compaction is a no-op (selection
+    // respects maxFiles), and the final read hash-matches the DuckDB
+    // merge oracle (row-identical rewrite).
+    "m37_manifest_compact" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("mancompact")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out, seed, Seq("o_orderstatus"))
+      // the CDC batch touches every status partition; AQE's partition
+      // coalescing is scope-disabled for the merge so the rewrite lands
+      // one file per shuffle task — the at-scale file layout (at sf0.01
+      // AQE collapses the tiny shuffle to one task, hiding exactly the
+      // small-file condition this operator exists to cure)
+      val batch = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 100).as("o_totalprice"),
+          lit(2L).as("ver"))
+      val coalKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val coalPrev = s.conf.get(coalKey, "true")
+      s.conf.set(coalKey, "false")
+      try Layout.mergeManifest(s, out, batch, Seq("o_orderkey"), "ver")
+      finally s.conf.set(coalKey, coalPrev)
+      def chk(df: DataFrame): (Long, Long) = {
+        val r = df.select(xxhash64(col("o_orderkey"),
+            col("o_orderstatus").cast("string"), col("o_totalprice"),
+            col("ver")).as("h"))
+          .agg(count(lit(1)), expr("bit_xor(h)")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val pinned = Layout.readManifest(s, out)
+      val pinnedChk = chk(pinned)
+      val compacted = Layout.compactManifest(s, out, maxFiles = 1)
+      require(compacted.nonEmpty,
+        "the merged partitions must have been multi-file")
+      require(chk(pinned) == pinnedChk,
+        "reader pinned before a concurrent manifest compaction must " +
+          "keep its snapshot bit-for-bit")
+      val live = Layout.readManifest(s, out)
+      val perDir = live.inputFiles.groupBy(f =>
+        f.substring(0, f.lastIndexOf('/')))
+      compacted.foreach { rel =>
+        val n = perDir.collectFirst {
+          case (d, fs) if d.contains(s"/$rel/") => fs.length }
+        require(n.contains(1),
+          s"compacted partition $rel must be exactly one data file, got $n")
+      }
+      require(Layout.compactManifest(s, out, maxFiles = 1).isEmpty,
+        "re-compaction must be a no-op")
+      require(chk(live) == chk(pinned),
+        "compaction must be row-identical")
+      live.select(col("o_orderkey"),
+        col("o_orderstatus").cast("string").as("o_orderstatus"),
+        col("o_totalprice"), col("ver"))
+    }),
+
+    // STREAMING gap-sessionization gated through batch q23's oracle:
+    // the custom-state operator (flatMapGroupsWithState + event-time
+    // timeout, graft.streaming.Sessionize) runs over the sentinel
+    // drain — closed sessions emit as later events split them, the
+    // trailing open session per user emits when the sentinel-advanced
+    // watermark passes its end + gap — and the per-user rollup of the
+    // emitted sessions must hash-match the batch lag/gap-split oracle
+    // (q23's SQL verbatim): every event counted once, every 30-minute
+    // gap a session boundary.
+    "m38_streaming_sessionize" -> ((s, dir) => {
+      val src = stagedEventsSource(s, dir).withWatermark("ts", "0 seconds")
+      val sessions = graft.streaming.Sessionize.sessions(src, gapMinutes = 30)
+      drainAppend(s, sessions.toDF(), "m38")
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(sum(col("n_events")).as("n_events"),
+          count(lit(1)).as("n_sessions"))
+    }),
+
+    // STREAMING ingest dedup (dropDuplicatesWithinWatermark) gated
+    // through a DISTINCT oracle: the stream projects to its dedup key
+    // columns so the survivor row is the key itself (first-wins
+    // arbitrariness cannot show), and the watermark horizon (10 days)
+    // exceeds the staged data's span, so nothing evicts mid-drain and
+    // the streamed output is exactly the batch DISTINCT — the bounded-
+    // state contract (keys older than the horizon WOULD evict and
+    // readmit) is the operator's documented at-scale semantics, pinned
+    // separately in SurfacesSpec.
+    "m39_streaming_dedup" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val src = stagedEventsSource(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val deduped = Streams.streamingDedup(src,
+        Seq("user_id", "event_type"), "ts", "10 days")
+      drainAppend(s, deduped, "m39")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "event_type")
+    }),
+
     // STREAMING BM25 scoring gated through the batch oracle: the model
     // (per-query term idfs + corpus length stats, rational-idf mode) is
     // calibrated on the BATCH documents table, then the same documents
@@ -1010,6 +1114,27 @@ object EngineQueries {
                  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
                       ELSE o_totalprice END AS o_totalprice
                FROM orders WHERE o_orderstatus <> 'P')""",
+    // the manifest compaction is row-identical by contract, so the
+    // oracle is simply the merged table (seed latest-wins the +100
+    // batch) — the gate's in-plan requires pin the compaction-specific
+    // claims (pinned snapshot, single-file gens, no-op re-run)
+    "m37_manifest_compact" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                      ELSE o_totalprice END AS o_totalprice
+               FROM orders)""",
+    // the streaming gap-sessionizer shares batch q23's oracle verbatim
+    // — the flatMapGroupsWithState session stream, rolled up per user,
+    // must equal the batch lag/gap-split
+    "m38_streaming_sessionize" ->
+      RelationalQueries.oracles("q23_sessionize"),
+    // streamed dropDuplicatesWithinWatermark over the dedup key itself,
+    // horizon wider than the data span -> exactly batch DISTINCT
+    "m39_streaming_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "m25_cdc_partitioned" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
            CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)

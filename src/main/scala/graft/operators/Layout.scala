@@ -927,6 +927,101 @@ object Layout {
     deleted.toSeq.sorted
   }
 
+  /** Small-file compaction under the MANIFEST discipline — the
+    * maintenance [[compact]] of manifest tables ([[compact]] itself
+    * refuses them: a rename-swap would move generation dirs out from
+    * under the manifest). Continuous CDC writes each touched
+    * partition's next generation with one file per shuffle task that
+    * held rows for it, so a hot partition's live generation carries up
+    * to `shuffle.partitions` small files per merge; this rewrites every
+    * partition whose live generation holds more than `maxFiles` data
+    * files into a single-file next generation (rows hash-cluster onto
+    * their partition key before the write, so each rewritten dir is one
+    * task's contiguous output) and publishes ONE new manifest — the
+    * [[mergeManifest]] atomic-snapshot contract: concurrent readers
+    * keep whichever snapshot they resolved, superseded generations reap
+    * after drain ([[reapManifest]]), and a crash before the pointer
+    * rename leaves only orphan gen dirs nothing reads. Row-identical by
+    * construction and count-verified BEFORE publish (the [[compact]]
+    * Observation pattern — no second source pass).
+    *
+    * Scale notes: the selection listing is O(live files) driver-side
+    * RPCs — the same order as the scan's own listing, and only gen dirs
+    * above `maxFiles` pay the rewrite. One file per partition is the
+    * small-file cure, not a size target: a partition whose compacted
+    * file would exceed a row-group-friendly size (say > 1-2 GB) is
+    * under-partitioned — repartition the TABLE rather than tune the
+    * compactor. Untouched partitions keep their generation; their dirs
+    * are not read, listed beyond the file count, or rewritten.
+    *
+    * Returns the compacted partition rel-paths.
+    */
+  def compactManifest(spark: SparkSession, path: String,
+                      maxFiles: Int = 4): Seq[String] =
+      withMaintenanceLock(spark, path) {
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; compact plain parquet " +
+          "directories with compact"))
+    val m = readManifestMeta(spark, path, v)
+    val fc = fileContext(spark, path)
+    def dataFiles(rel: String, g: Int): Int =
+      fc.util.listStatus(new Path(s"$path/$rel/gen=$g"))
+        .count(st => !st.isDirectory &&
+          st.getPath.getName.startsWith("part-"))
+    val selected = m.entries.toSeq.sortBy(_._1)
+      .filter { case (rel, g) => dataFiles(rel, g) > maxFiles }
+      .map(_._1)
+    if (selected.isEmpty) Nil
+    else {
+      // stored-schema alignment, as in readManifestVersion: the rewrite
+      // must see (and re-write) the seed's column types
+      val sch = manifestSchema(m)
+      val base = spark.read.option("basePath", path)
+        .parquet(selected.map(rel =>
+          s"$path/$rel/gen=${m.entries(rel)}"): _*)
+        .drop("gen")
+        .select(sch.fields.toSeq
+          .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      val tmpDir = s"$path.__manifest_tmp"
+      fc.delete(new Path(tmpDir), true) // crashed prior run's leftover
+      val obs = org.apache.spark.sql.Observation()
+      base.observe(obs, count(lit(1)).as("n"))
+        .repartition(m.partitionCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(m.partitionCols: _*).parquet(tmpDir)
+      val n0 = obs.get("n").asInstanceOf[Long]
+      val n1 = spark.read.parquet(tmpDir).count()
+      require(n1 == n0,
+        s"manifest compaction would lose rows: $n0 -> $n1; aborting")
+      val produced = listPartitionRels(fc, new Path(tmpDir))
+      val unexpected = produced.filterNot(selected.toSet)
+      require(unexpected.isEmpty,
+        s"compactManifest: writer produced partition dirs " +
+          s"${unexpected.mkString(",")} outside the selected set — " +
+          "partition rendering mismatch")
+      val newGens = produced.map { rel =>
+        val g = m.entries(rel) + 1
+        val partDir = new Path(s"$path/$rel")
+        // orphan gens at-or-above ours (crashed prior maintenance):
+        // never published, safe to clear before landing
+        fc.util.listStatus(partDir).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("gen=") &&
+              n.drop(4).forall(_.isDigit) && n.drop(4).toInt >= g)
+            fc.delete(st.getPath, true)
+        }
+        fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
+        rel -> g
+      }.toMap
+      writeManifestMeta(spark, path, ManifestMeta(v + 1, m.schemaDdl,
+        m.partitionCols, m.entries ++ newGens))
+      fc.delete(new Path(tmpDir), true)
+      produced.sorted
+    }
+  }
+
   /** Write `df` to `path` range-clustered and sorted by `sortCols`:
     * `repartitionByRange` gives disjoint per-file key ranges,
     * `sortWithinPartitions` makes every parquet row group's min/max

@@ -608,4 +608,50 @@ class LayoutSpec extends SparkSpec {
     assert(notes.exists(), "user file must survive the reap")
     assert(Layout.readCurrent(spark, dir).count() == 1)
   }
+
+  test("compactManifest: single-file gens, pinned snapshot, no-op rerun, " +
+      "crash recovery") {
+    val dir = tmpDir("mancompact")
+    import spark.implicits._
+    // repartition(4) round-robin -> up to 4 part files per partition
+    // dir: the continuous-CDC small-file condition, created directly
+    val seed = (1 to 40).map(i => (i.toLong, s"p${i % 3}", i * 1.0, 1L))
+      .toDF("k", "part", "v", "ver").repartition(4)
+    Layout.writeManifestTable(spark, dir, seed, Seq("part"))
+    def liveFiles(rel: String): Int =
+      Layout.readManifest(spark, dir).inputFiles.count(_.contains(s"/$rel/"))
+    assert(liveFiles("part=p0") > 1, "seed gens must start multi-file")
+    val pinned = Layout.readManifest(spark, dir)
+    def snap(df: DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    val want = snap(pinned)
+    // crash leftover from a prior maintenance run: must be cleared
+    assert(new java.io.File(s"$dir.__manifest_tmp").mkdirs())
+    val compacted = Layout.compactManifest(spark, dir, maxFiles = 1)
+    assert(compacted.sorted == Seq("part=p0", "part=p1", "part=p2"))
+    assert(!new java.io.File(s"$dir.__manifest_tmp").exists())
+    // pinned reader keeps its snapshot; live read is row-identical,
+    // one data file per partition, manifest version bumped
+    assert(snap(pinned) == want)
+    assert(snap(Layout.readManifest(spark, dir)) == want)
+    Seq("part=p0", "part=p1", "part=p2").foreach(rel =>
+      assert(liveFiles(rel) == 1, s"$rel not single-file after compact"))
+    assert(Layout.manifestVersion(spark, dir).contains(2))
+    // re-compaction is a no-op: everything is at or under maxFiles
+    assert(Layout.compactManifest(spark, dir, maxFiles = 1).isEmpty)
+    assert(Layout.manifestVersion(spark, dir).contains(2))
+    // refuses a plain parquet directory
+    val flat = tmpDir("mancompact_flat")
+    Seq((1L, 1.0)).toDF("k", "v").write.parquet(flat)
+    intercept[IllegalArgumentException] {
+      Layout.compactManifest(spark, flat)
+    }
+    // the maintenance lease wraps compaction too
+    val lock = new java.io.File(s"$dir.__maint.lock")
+    assert(lock.createNewFile())
+    intercept[IllegalStateException] {
+      Layout.compactManifest(spark, dir, maxFiles = 1)
+    }
+    assert(lock.delete())
+  }
 }
