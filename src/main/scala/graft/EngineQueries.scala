@@ -841,6 +841,39 @@ object EngineQueries {
         .select("user_id", "event_type")
     }),
 
+    // Manifest data-skipping stats (Layout.readManifestBetween): the
+    // table is partitioned by a COARSE time bucket (order year) but the
+    // manifest stores per-partition min/max of the exact timestamp, so
+    // a three-month window prunes every other year's generation from
+    // the read — file-level stats beating partition values, kept
+    // current through the merge (every touched partition's stats
+    // recompute from its rewritten generation). The gate pins pruning
+    // (every scanned file is under o_year=1996) AND exactness (the
+    // in-plan residual filter hash-matches the DuckDB window oracle
+    // over the merged table).
+    "m40_manifest_dataskip" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("manskip")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        col("o_orderdate"), col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out, seed, Seq("o_year"),
+        statsCols = Seq("o_orderdate"))
+      val batch = seed.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("ver", lit(2L))
+      Layout.mergeManifest(s, out, batch, Seq("o_orderkey"), "ver")
+      val res = Layout.readManifestBetween(s, out, "o_orderdate",
+        "1996-02-01 00:00:00", "1996-04-30 23:59:59")
+      val offYear = res.inputFiles.filterNot(_.contains("/o_year=1996/"))
+      require(res.inputFiles.nonEmpty && offYear.isEmpty,
+        s"stats must prune every non-1996 generation, scanned: " +
+          offYear.take(3).mkString(","))
+      res.select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+        col("o_orderdate"), col("o_totalprice"), col("ver"))
+    }),
+
     // STREAMING BM25 scoring gated through the batch oracle: the model
     // (per-query term idfs + corpus length stats, rational-idf mode) is
     // calibrated on the BATCH documents table, then the same documents
@@ -1135,6 +1168,19 @@ object EngineQueries {
     // horizon wider than the data span -> exactly batch DISTINCT
     "m39_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // the pruned read must be EXACT: the merged table restricted to
+    // the timestamp window (pruning is an optimization the gate's
+    // in-plan require pins separately)
+    "m40_manifest_dataskip" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_orderdate,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1996-02-01 00:00:00'
+           AND TIMESTAMP '1996-04-30 23:59:59'""",
     "m25_cdc_partitioned" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
            CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)

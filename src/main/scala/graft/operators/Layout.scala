@@ -590,7 +590,15 @@ object Layout {
       version: Int,
       schemaDdl: String,
       partitionCols: Seq[String],
-      entries: Map[String, Int])
+      entries: Map[String, Int],
+      // data-skipping stats: per-partition min/max of `statsCols`,
+      // rendered via Spark's own Cast-to-string (the only rendering
+      // that round-trips through the same Cast back to the column
+      // type). None = the partition holds no non-null value — which a
+      // range predicate can never match, so it prunes.
+      statsCols: Seq[String] = Nil,
+      stats: Map[String, Map[String, (Option[String], Option[String])]] =
+        Map.empty)
 
   private lazy val manifestJson = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -624,13 +632,28 @@ object Layout {
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
     val node = manifestJson.readTree(raw)
     import scala.jdk.CollectionConverters._
+    def optText(n: com.fasterxml.jackson.databind.JsonNode,
+                f: String): Option[String] = {
+      val v = n.get(f)
+      if (v == null || v.isNull) None else Some(v.asText())
+    }
     ManifestMeta(
       version = node.get("version").asInt(),
       schemaDdl = node.get("schema").asText(),
       partitionCols = node.get("partitionCols").elements().asScala
         .map(_.asText()).toSeq,
       entries = node.get("entries").fields().asScala
-        .map(e => e.getKey -> e.getValue.asInt()).toMap)
+        .map(e => e.getKey -> e.getValue.asInt()).toMap,
+      statsCols =
+        if (!node.has("statsCols")) Nil
+        else node.get("statsCols").elements().asScala.map(_.asText()).toSeq,
+      stats =
+        if (!node.has("stats")) Map.empty
+        else node.get("stats").fields().asScala.map { rel =>
+          rel.getKey -> rel.getValue.fields().asScala.map { c =>
+            c.getKey -> (optText(c.getValue, "min"), optText(c.getValue, "max"))
+          }.toMap
+        }.toMap)
   }
 
   private def writeManifestMeta(spark: SparkSession, path: String,
@@ -643,6 +666,19 @@ object Layout {
     m.partitionCols.foreach(pc.add)
     val en = root.putObject("entries")
     m.entries.toSeq.sortBy(_._1).foreach { case (k, v) => en.put(k, v) }
+    if (m.statsCols.nonEmpty) {
+      val sc = root.putArray("statsCols")
+      m.statsCols.foreach(sc.add)
+      val st = root.putObject("stats")
+      m.stats.toSeq.sortBy(_._1).foreach { case (rel, cols) =>
+        val rn = st.putObject(rel)
+        cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val cn = rn.putObject(c)
+          mn.fold { cn.putNull("min"); () }(v => { cn.put("min", v); () })
+          mx.fold { cn.putNull("max"); () }(v => { cn.put("max", v); () })
+        }
+      }
+    }
     val p = new Path(path, s"_MANIFEST.v${m.version}")
     val out = fc.create(p,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
@@ -697,14 +733,103 @@ object Layout {
       org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
 
+  /** Per-partition min/max of `statsCols` over the given generation
+    * dirs — ONE distributed aggregate over exactly the rels' gen roots
+    * (the data just written: merge/seed stats never re-scan the rest
+    * of the table). The driver-side result is bounded by the touched
+    * partition count, the same bound [[mergeManifest]] already
+    * enforces. min/max render through Spark's Cast-to-string so
+    * [[readManifestBetween]] can Cast them back losslessly. */
+  private def statsFor(spark: SparkSession, path: String, m: ManifestMeta,
+                       gens: Map[String, Int]):
+      Map[String, Map[String, (Option[String], Option[String])]] = {
+    if (m.statsCols.isEmpty || gens.isEmpty) Map.empty
+    else {
+      val df = spark.read.option("basePath", path)
+        .parquet(gens.toSeq.sortBy(_._1).map { case (rel, g) =>
+          s"$path/$rel/gen=$g" }: _*)
+      val pc = m.partitionCols
+      val aggs = m.statsCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c")))
+      df.groupBy(pc.map(c => col(c).cast("string").as(c)): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          relOf(pc, r) -> m.statsCols.map(c => c ->
+            (Option(r.getAs[String](s"__mn_$c")),
+             Option(r.getAs[String](s"__mx_$c")))).toMap
+        }.toMap
+    }
+  }
+
+  /** Data-skipping read: the rows of the LIVE manifest snapshot with
+    * `column BETWEEN lo AND hi` (inclusive), reading ONLY the partition
+    * generations whose stored [min, max] stats intersect the window —
+    * file-level min/max pruning beyond what partition VALUES give (a
+    * table partitioned by a coarse time bucket prunes to the exact
+    * sub-bucket window). The table must have been seeded with `column`
+    * in `statsCols`; every merge keeps touched partitions' stats
+    * current, so pruning is always sound: generations are immutable and
+    * stats are recomputed from each rewrite. Partitions with no
+    * non-null value (stats None) prune — a range predicate cannot
+    * match NULL. The residual predicate is applied in-plan, so the
+    * result is exact, not stats-approximate. `lo`/`hi` take anything
+    * `lit` accepts and are Cast to the column's stored type.
+    */
+  def readManifestBetween(spark: SparkSession, path: String,
+                          column: String, lo: Any, hi: Any): DataFrame = {
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    val m = readManifestMeta(spark, path, v)
+    require(m.statsCols.contains(column),
+      s"manifest table $path keeps no stats for '$column' " +
+        s"(statsCols: ${m.statsCols.mkString(",")}); reseed with it " +
+        "in statsCols to enable data-skipping reads")
+    val dt = manifestSchema(m)(column).dataType
+    val bounds = m.entries.keys.toSeq.sorted.map { rel =>
+      val st = m.stats.getOrElse(rel, Map.empty)
+        .getOrElse(column, (None, None))
+      (rel, st._1.orNull, st._2.orNull)
+    }
+    import spark.implicits._
+    // the overlap test runs through Spark's own Cast + ordering — the
+    // exact semantics the residual filter uses, so pruning can never
+    // disagree with it; a tiny local job, bounded by |partitions|
+    val kept = bounds.toDF("rel", "__mn", "__mx")
+      .filter(col("__mn").isNotNull && col("__mx").isNotNull &&
+        col("__mx").cast(dt) >= lit(lo).cast(dt) &&
+        col("__mn").cast(dt) <= lit(hi).cast(dt))
+      .select("rel").collect().map(_.getString(0)).toSet
+    val sch = manifestSchema(m)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      else
+        spark.read.option("basePath", path)
+          .parquet(kept.toSeq.sorted.map(rel =>
+            s"$path/$rel/gen=${m.entries(rel)}"): _*)
+          .drop("gen")
+          .select(sch.fields.toSeq
+            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    base.filter(col(column) >= lit(lo).cast(dt) &&
+      col(column) <= lit(hi).cast(dt))
+  }
+
   /** Seed a MANIFEST table at `path` from `df`, partitioned by
     * `partitionCols`: every partition lands at generation 1 and
     * manifest v1 publishes the snapshot. One-time — a table is either
     * manifest-disciplined or rename-swap ([[merge]]), never both.
     */
   def writeManifestTable(spark: SparkSession, path: String, df: DataFrame,
-                         partitionCols: Seq[String]): Unit =
+                         partitionCols: Seq[String],
+                         statsCols: Seq[String] = Nil): Unit =
       withMaintenanceLock(spark, path) {
+    require(statsCols.forall(df.columns.contains),
+      s"statsCols ${statsCols.filterNot(df.columns.contains).mkString(",")} " +
+        "are not columns of df")
     require(partitionCols.nonEmpty,
       "manifest tables are partition-granular; for an unpartitioned " +
         "table use compactGen/mergeGen (_CURRENT discipline)")
@@ -731,8 +856,11 @@ object Layout {
       partitionCols.contains(f.name))
     val parts = partitionCols.map(c => df.schema(c))
     val ddl = org.apache.spark.sql.types.StructType(dataCols ++ parts).toDDL
-    writeManifestMeta(spark, path, ManifestMeta(1, ddl, partitionCols,
-      rels.map(_ -> 1).toMap))
+    val gens = rels.map(_ -> 1).toMap
+    val meta0 = ManifestMeta(1, ddl, partitionCols, gens,
+      statsCols = statsCols)
+    writeManifestMeta(spark, path,
+      meta0.copy(stats = statsFor(spark, path, meta0, gens)))
     fc.delete(new Path(tmpDir), true)
   }
 
@@ -875,7 +1003,9 @@ object Layout {
     // they leave the manifest (dirs reap after readers drain)
     val removed = baseRels.filterNot(newGens.contains)
     writeManifestMeta(spark, path, ManifestMeta(v + 1, m.schemaDdl, pcols,
-      m.entries -- removed ++ newGens))
+      m.entries -- removed ++ newGens,
+      statsCols = m.statsCols,
+      stats = m.stats -- removed ++ statsFor(spark, path, m, newGens)))
     fc.delete(new Path(tmpDir), true)
   }
 
@@ -1015,8 +1145,10 @@ object Layout {
         fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
         rel -> g
       }.toMap
+      // row-identical rewrite: stats carry forward unchanged
       writeManifestMeta(spark, path, ManifestMeta(v + 1, m.schemaDdl,
-        m.partitionCols, m.entries ++ newGens))
+        m.partitionCols, m.entries ++ newGens,
+        statsCols = m.statsCols, stats = m.stats))
       fc.delete(new Path(tmpDir), true)
       produced.sorted
     }

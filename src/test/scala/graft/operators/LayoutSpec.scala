@@ -654,4 +654,43 @@ class LayoutSpec extends SparkSpec {
     }
     assert(lock.delete())
   }
+
+  test("manifest data-skipping: stats follow merges, nulls prune, " +
+      "missing stats fail loudly") {
+    val dir = tmpDir("manstats")
+    import spark.implicits._
+    // part p9 holds ONLY null stats values: no range window matches it
+    val seed = (Seq((1L, "p0", 5.0, 1L), (2L, "p0", 9.0, 1L),
+      (3L, "p1", 100.0, 1L), (4L, "p1", 110.0, 1L)) ++
+      Seq((9L, "p9", Double.NaN, 1L))).map {
+        case (k, p, v, ver) => (k, p, if (v.isNaN) None else Some(v), ver) }
+      .toDF("k", "part", "v", "ver")
+    Layout.writeManifestTable(spark, dir, seed, Seq("part"),
+      statsCols = Seq("v"))
+    def keysIn(lo: Double, hi: Double): Set[Long] =
+      Layout.readManifestBetween(spark, dir, "v", lo, hi)
+        .collect().map(_.getAs[Long]("k")).toSet
+    assert(keysIn(0.0, 10.0) == Set(1L, 2L))
+    // pruning: a window inside p1's range never lists p0's or p9's dir
+    val p1Only = Layout.readManifestBetween(spark, dir, "v", 99.0, 120.0)
+    assert(p1Only.inputFiles.nonEmpty &&
+      p1Only.inputFiles.forall(_.contains("/part=p1/")))
+    // a merge moving p0's max to 50 must widen the window's reach
+    Layout.mergeManifest(spark, dir,
+      Seq((2L, "p0", Some(50.0), 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    assert(keysIn(40.0, 60.0) == Set(2L))
+    assert(keysIn(8.0, 10.0) == Set.empty[Long], "stale max would match")
+    // empty window: empty result, full stored schema
+    val none = Layout.readManifestBetween(spark, dir, "v", 1e6, 2e6)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("k", "v", "ver", "part"))
+    // compaction carries stats forward (row-identical rewrite)
+    if (Layout.compactManifest(spark, dir, maxFiles = 1).nonEmpty)
+      assert(keysIn(40.0, 60.0) == Set(2L))
+    // a column without stored stats fails loudly
+    intercept[IllegalArgumentException] {
+      Layout.readManifestBetween(spark, dir, "k", 1L, 2L)
+    }
+  }
 }
