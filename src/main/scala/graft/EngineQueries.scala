@@ -874,6 +874,54 @@ object EngineQueries {
         col("o_orderdate"), col("o_totalprice"), col("ver"))
     }),
 
+    // Incremental view maintenance (Ivm.applyDelta): the events rollup
+    // maintained by folding three row-level delta batches — split by a
+    // row hash, so every key's rows scatter ACROSS deltas and the fold
+    // is genuinely exercised — into a persisted summary, never
+    // re-aggregating the base table. Decimal partials make any split
+    // bit-identical to the one-shot GROUP BY (the oracle); the replay
+    // of an already-applied batch id must be a loud no-op (delta
+    // addition is not idempotent — this is the exactly-once guard).
+    "m41_incremental_agg" -> ((s, dir) => {
+      import graft.operators.Ivm
+      val out = s"${tmp("ivm")}/summary"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type"), col("value"),
+          pmod(xxhash64(col("user_id"), col("event_type"), col("ts"),
+            col("value")), lit(3)).as("__slice"))
+      for (b <- 0 until 3)
+        require(Ivm.applyDelta(s, out, ev.filter(col("__slice") === b),
+          Seq("user_id", "event_type"), Seq("value"), batchId = b),
+          s"delta batch $b must apply")
+      require(!Ivm.applyDelta(s, out, ev.filter(col("__slice") === 1),
+        Seq("user_id", "event_type"), Seq("value"), batchId = 1),
+        "replaying an applied batch id must be a no-op")
+      require(Ivm.lastAppliedBatch(s, out).contains(2L))
+      Ivm.read(s, out).select(col("user_id"), col("event_type"),
+        col("n_rows"), col("sum_value").cast("double").as("sum_value"))
+    }),
+
+    // STREAMING incremental aggregate (Streams.incrementalAgg): the
+    // same rollup maintained from the staged events STREAM — one fold
+    // per micro-batch (three here: the data file + two sentinels,
+    // maxFilesPerTrigger=1), micro-batch ids riding into the Ivm
+    // marker so a checkpoint replay cannot double-count. The summary
+    // read after the drain must hash-match the batch GROUP BY oracle.
+    "m42_streaming_incremental_agg" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val out = s"${tmp("ivmstream")}/summary"
+      val src = stagedEventsSource(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+      Streams.runAvailableNow(Streams.incrementalAgg(src, out,
+        Seq("user_id", "event_type"), Seq("value"))
+        .option("checkpointLocation", tmp("ivmstream_ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      graft.operators.Ivm.read(s, out)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("event_type"),
+          col("n_rows"), col("sum_value").cast("double").as("sum_value"))
+    }),
+
     // STREAMING BM25 scoring gated through the batch oracle: the model
     // (per-query term idfs + corpus length stats, rational-idf mode) is
     // calibrated on the BATCH documents table, then the same documents
@@ -1181,6 +1229,18 @@ object EngineQueries {
          FROM orders
          WHERE o_orderdate BETWEEN TIMESTAMP '1996-02-01 00:00:00'
            AND TIMESTAMP '1996-04-30 23:59:59'""",
+    // any delta split folds bit-identical to the one-shot GROUP BY:
+    // decimal partials are exact integer arithmetic (batch m41 and the
+    // streaming lift m42 share the oracle verbatim — that sharing IS
+    // the claim)
+    "m41_incremental_agg" ->
+      """SELECT user_id, event_type, count(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY user_id, event_type""",
+    "m42_streaming_incremental_agg" ->
+      """SELECT user_id, event_type, count(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY user_id, event_type""",
     "m25_cdc_partitioned" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
            CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance for keyed additive aggregates: a
+  * persisted summary table (count + exact decimal sums per key) kept
+  * current by folding in DELTA batches, never recomputing over the
+  * base table — at 100 TB the difference between a per-batch shuffle
+  * of the delta (plus the summary, which is |distinct keys|-sized) and
+  * a full-table aggregation per refresh.
+  *
+  * Reference posture: the reference maintains summary tables by
+  * re-running scheduled INSERT-SELECT jobs over a date window
+  * (models.py Insert, jobs re-run per period); this is the engine-side
+  * incremental form of the same contract.
+  *
+  * Design:
+  *  - State is `keys..., n_rows BIGINT, sum_<c> DECIMAL(38,6)` per
+  *    requested sum column. Decimal partials make the fold exact
+  *    integer arithmetic — order- and batching-independent, so ANY
+  *    split of the input into deltas lands bit-identical to the
+  *    one-shot aggregate ([[graft.functions.decSum]]'s contract).
+  *  - Each apply is one shuffle on the group keys: delta partials
+  *    union the live summary generation and re-aggregate; the result
+  *    lands as the next `gen-N` directory and ONE atomic `_CURRENT`
+  *    pointer rename publishes it ([[Layout]]'s generational
+  *    discipline: pinned readers keep their snapshot, a crash before
+  *    the swap leaves only an orphan gen dir nothing reads).
+  *  - Delta application is NOT idempotent (unlike latest-wins
+  *    [[Layout.merge]]), so exactly-once needs batch tracking: the
+  *    applied batch id is written INSIDE the new generation dir
+  *    (`_IVM_BATCH`, underscore-prefixed so scans ignore it) before
+  *    the pointer swap — replaying an already-applied batch id is a
+  *    loud no-op. [[graft.streaming.Streams.incrementalAgg]] feeds
+  *    Structured Streaming's monotone micro-batch ids straight in.
+  *  - Retractions: `weightCol` (+1 insert / -1 retract) subtracts a
+  *    row's contribution; keys whose count reaches zero leave the
+  *    summary. An upstream CDC update = retract old row + insert new.
+  *
+  * No separate compaction path: every apply rewrites the (keys-sized)
+  * summary in full, so the live generation never accumulates
+  * small-file history; [[Layout.reapGenerations]] clears superseded
+  * generations after readers drain.
+  */
+object Ivm {
+
+  private val BatchMarker = "_IVM_BATCH"
+
+  private def sumCol(c: String) = s"sum_$c"
+
+  /** Additive partial of one delta batch. */
+  private def partials(delta: DataFrame, keys: Seq[String],
+                       sumCols: Seq[String],
+                       weightCol: Option[String]): DataFrame = {
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val aggs = sum(w).as("n_rows") +: sumCols.map(c =>
+      sum((col(c).cast("decimal(38,6)") * w).cast("decimal(38,6)"))
+        .cast("decimal(38,6)").as(sumCol(c)))
+    delta.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Batch id recorded in the LIVE generation, or None (fresh table /
+    * unmanaged applies only). */
+  def lastAppliedBatch(spark: SparkSession, path: String): Option[Long] =
+    Layout.currentGeneration(spark, path).flatMap { g =>
+      val fc = Layout.fileContext(spark, path)
+      val p = new Path(s"${Layout.generationPath(path, g)}/$BatchMarker")
+      if (!fc.util.exists(p)) None
+      else {
+        val in = fc.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    }
+
+  /** Fold one delta batch into the summary at `path`; returns false
+    * (and changes nothing) when `batchId` is at or below the recorded
+    * one — the exactly-once replay guard. `batchId = -1` applies
+    * unconditionally (caller manages dedup), carrying the previous
+    * marker forward. */
+  def applyDelta(spark: SparkSession, path: String, delta: DataFrame,
+                 keys: Seq[String], sumCols: Seq[String],
+                 batchId: Long = -1L,
+                 weightCol: Option[String] = None): Boolean =
+      Layout.withMaintenanceLock(spark, path) {
+    require(keys.nonEmpty, "incrementalAgg needs at least one key column")
+    require((keys ++ sumCols ++ weightCol).forall(delta.columns.contains),
+      "delta is missing column(s) " +
+        (keys ++ sumCols ++ weightCol).filterNot(delta.columns.contains)
+          .mkString("[", ", ", "]"))
+    val applied = lastAppliedBatch(spark, path)
+    if (batchId >= 0 && applied.exists(_ >= batchId)) false
+    else {
+      val part = partials(delta, keys, sumCols, weightCol)
+      val curGen = Layout.currentGeneration(spark, path)
+      val combined = curGen match {
+        case None => part
+        case Some(g) =>
+          val cur = spark.read.parquet(Layout.generationPath(path, g))
+          val aggs = sum(col("n_rows")).as("n_rows") +: sumCols.map(c =>
+            sum(col(sumCol(c))).cast("decimal(38,6)").as(sumCol(c)))
+          cur.unionByName(part).groupBy(keys.map(col): _*)
+            .agg(aggs.head, aggs.tail: _*)
+      }
+      val next = curGen.getOrElse(0) + 1
+      val genDir = Layout.generationPath(path, next)
+      // retracted-to-zero keys leave the summary entirely
+      combined.filter(col("n_rows") =!= 0L)
+        .write.mode(SaveMode.Overwrite).parquet(genDir)
+      val marker = (if (batchId >= 0) Some(batchId) else applied)
+      marker.foreach { id =>
+        val fc = Layout.fileContext(spark, path)
+        val out = fc.create(new Path(s"$genDir/$BatchMarker"),
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+            org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+          org.apache.hadoop.fs.Options.CreateOpts.createParent())
+        try out.write(id.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      Layout.swapCurrent(spark, path, next)
+      true
+    }
+  }
+
+  /** The live summary snapshot (pinned: a concurrent apply never
+    * changes a running query's input). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    Layout.readCurrent(spark, path)
+}

@@ -47,7 +47,7 @@ object Layout {
     * and the remedy (readers are never blocked — the lease coordinates
     * WRITERS only).
     */
-  private def withMaintenanceLock[T](spark: SparkSession, path: String)
+  private[operators] def withMaintenanceLock[T](spark: SparkSession, path: String)
                                     (body: => T): T = {
     val fc = FileContext.getFileContext(new Path(path).toUri,
       spark.sessionState.newHadoopConf())
@@ -344,11 +344,11 @@ object Layout {
   // generational tables are read through [[readCurrent]]. Migrate
   // during a maintenance window, then reap the flat files.
 
-  private def fileContext(spark: SparkSession, path: String): FileContext =
+  private[operators] def fileContext(spark: SparkSession, path: String): FileContext =
     FileContext.getFileContext(new Path(path).toUri,
       spark.sessionState.newHadoopConf())
 
-  private def generationPath(path: String, g: Int): String =
+  private[operators] def generationPath(path: String, g: Int): String =
     if (g == 0) path else s"$path/gen-$g"
 
   /** The live generation id, or None for a flat/missing table. */
@@ -365,7 +365,7 @@ object Layout {
   }
 
   /** Point `_CURRENT` at `gen` atomically (tmp write + rename OVERWRITE). */
-  private def swapCurrent(spark: SparkSession, path: String, gen: Int): Unit = {
+  private[operators] def swapCurrent(spark: SparkSession, path: String, gen: Int): Unit = {
     val fc = fileContext(spark, path)
     val tmp = new Path(path, "_CURRENT.tmp")
     val cur = new Path(path, "_CURRENT")

@@ -431,6 +431,32 @@ object Streams {
       }
     }
 
+  /** Continuous incremental aggregate maintenance
+    * ([[graft.operators.Ivm]]): each micro-batch of raw delta rows
+    * folds into the persisted keyed summary (count + exact decimal
+    * sums) — a standing GROUP BY over an unbounded stream with the
+    * state OUTSIDE the stream (a queryable table, not a state store),
+    * so readers see atomically-published snapshots and the query
+    * restarts stateless. Unlike [[cdcApply]] (latest-wins merge,
+    * naturally idempotent), delta addition is not — so the micro-batch
+    * id rides into [[graft.operators.Ivm.applyDelta]]'s marker and a
+    * checkpoint-replayed batch is a no-op, keeping the fold
+    * exactly-once end to end.
+    *
+    * Returns the configured writer — caller sets checkpoint/trigger
+    * and starts it (the [[ingest]] shape).
+    */
+  def incrementalAgg(stream: DataFrame, path: String, keys: Seq[String],
+                     sumCols: Seq[String],
+                     weightCol: Option[String] = None): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        graft.operators.Ivm.applyDelta(batch.sparkSession, path, batch,
+          keys, sumCols, batchId = id, weightCol = weightCol)
+        ()
+      }
+    }
+
   /** Continuous ingestion: stream files from `srcPath` into a partitioned
     * parquet sink with exactly-once file tracking via the checkpoint.
     * The streaming E->L step.
