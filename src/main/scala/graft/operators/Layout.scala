@@ -733,6 +733,29 @@ object Layout {
       org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
 
+  /** Read the given (rel → gen) dirs aligned to the STORED schema. The
+    * schema is passed explicitly, so (a) partition values parse to
+    * their stored types instead of what directory-string inference
+    * re-derives, and (b) generations written BEFORE a schema evolution
+    * ([[evolveManifest]]) resolve per file: columns a file lacks read
+    * as typed NULLs, columns it has keep their values — the only read
+    * shape that is correct over mixed-schema generations (first-footer
+    * inference would silently null a column for every file). */
+  private def readManifestRels(spark: SparkSession, path: String,
+                               m: ManifestMeta,
+                               gens: Map[String, Int]): DataFrame = {
+    val sch = manifestSchema(m)
+    if (gens.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    else
+      spark.read.option("basePath", path).schema(sch)
+        .parquet(gens.toSeq.sortBy(_._1).map { case (rel, g) =>
+          s"$path/$rel/gen=$g" }: _*)
+        .drop("gen") // discovered partition col, appended past the schema
+        .select(sch.fields.toSeq.map(f => col(f.name)): _*)
+  }
+
   /** Per-partition min/max of `statsCols` over the given generation
     * dirs — ONE distributed aggregate over exactly the rels' gen roots
     * (the data just written: merge/seed stats never re-scan the rest
@@ -745,9 +768,7 @@ object Layout {
       Map[String, Map[String, (Option[String], Option[String])]] = {
     if (m.statsCols.isEmpty || gens.isEmpty) Map.empty
     else {
-      val df = spark.read.option("basePath", path)
-        .parquet(gens.toSeq.sortBy(_._1).map { case (rel, g) =>
-          s"$path/$rel/gen=$g" }: _*)
+      val df = readManifestRels(spark, path, m, gens)
       val pc = m.partitionCols
       val aggs = m.statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__mn_$c"),
@@ -802,18 +823,8 @@ object Layout {
         col("__mx").cast(dt) >= lit(lo).cast(dt) &&
         col("__mn").cast(dt) <= lit(hi).cast(dt))
       .select("rel").collect().map(_.getString(0)).toSet
-    val sch = manifestSchema(m)
-    val base =
-      if (kept.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-      else
-        spark.read.option("basePath", path)
-          .parquet(kept.toSeq.sorted.map(rel =>
-            s"$path/$rel/gen=${m.entries(rel)}"): _*)
-          .drop("gen")
-          .select(sch.fields.toSeq
-            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val base = readManifestRels(spark, path, m,
+      kept.toSeq.sorted.map(rel => rel -> m.entries(rel)).toMap)
     base.filter(col(column) >= lit(lo).cast(dt) &&
       col(column) <= lit(hi).cast(dt))
   }
@@ -886,29 +897,14 @@ object Layout {
   def readManifestVersion(spark: SparkSession, path: String,
                           version: Int): DataFrame = {
     val m = readManifestMeta(spark, path, version)
-    if (m.entries.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        manifestSchema(m))
     val fc = fileContext(spark, path)
-    val roots = m.entries.toSeq.sortBy(_._1).map { case (rel, g) =>
-      val p = new Path(s"$path/$rel/gen=$g")
-      require(fc.util.exists(p),
+    m.entries.foreach { case (rel, g) =>
+      require(fc.util.exists(new Path(s"$path/$rel/gen=$g")),
         s"manifest v$version of $path references $rel/gen=$g which is " +
           "not on disk (reaped?); time travel only reaches retained " +
           "generations")
-      p.toString
     }
-    val raw = spark.read.option("basePath", path)
-      .parquet(roots: _*).drop("gen")
-    // align with the SEED schema: partition-value inference re-derives
-    // types from directory strings (`part=5` comes back INT even when
-    // the table wrote LONG) — cast every column to its stored type and
-    // restore the stored column order, so empty and non-empty reads,
-    // and every manifest version, agree. No-op casts fold away.
-    val sch = manifestSchema(m)
-    raw.select(sch.fields.toSeq
-      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    readManifestRels(spark, path, m, m.entries)
   }
 
   /** [[merge]] re-expressed under the manifest discipline: latest-wins
@@ -951,23 +947,11 @@ object Layout {
         "split the batch or raise maxTouchedPartitions")
     val touchedRels = touchedRows.map(relOf(pcols, _)).toSet
     val baseRels = touchedRels.filter(m.entries.contains).toSeq.sorted
-    val base =
-      if (baseRels.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          manifestSchema(m))
-      else {
-        // same stored-schema alignment as readManifestVersion: the
-        // merge window must see the seed's column types, not what
-        // partition-value inference re-derives from dir strings
-        val sch = manifestSchema(m)
-        spark.read.option("basePath", path)
-          .parquet(baseRels.map(rel =>
-            s"$path/$rel/gen=${m.entries(rel)}"): _*)
-          .drop("gen")
-          .select(sch.fields.toSeq
-            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      }
+    // stored-schema-aligned window read (readManifestRels): the merge
+    // must see the seed's column types, with evolved columns null-
+    // filled per file for pre-evolution generations
+    val base = readManifestRels(spark, path, m,
+      baseRels.map(rel => rel -> m.entries(rel)).toMap)
     val tmpDir = s"$path.__manifest_tmp"
     fc.delete(new Path(tmpDir), true) // crashed prior run's leftover
     latestWins(base, updates, keys, versionCol, deleteCol)
@@ -1007,6 +991,47 @@ object Layout {
       statsCols = m.statsCols,
       stats = m.stats -- removed ++ statsFor(spark, path, m, newGens)))
     fc.delete(new Path(tmpDir), true)
+  }
+
+  /** Explicit schema evolution for manifest tables: append the columns
+    * in `addDdl` (e.g. `"score DOUBLE, note STRING"`) to the stored
+    * schema as NULLABLE data columns, publishing a new manifest version
+    * over the SAME generations — a metadata-only migration, no data
+    * rewrite. Every read (snapshot, time-travel forward of this
+    * version, merge windows, compaction rewrites) resolves columns per
+    * file: pre-evolution generations surface typed NULLs for the new
+    * columns; generations merged afterwards carry real values — so
+    * evolution is one atomic pointer swap, and old snapshots
+    * (time-travel to a pre-evolution version) keep their old schema.
+    *
+    * This is the explicit migration [[mergeManifest]]'s schema contract
+    * points at: merges still refuse update batches whose columns don't
+    * match the (now evolved) base exactly — evolution is a deliberate
+    * DDL step, never an implicit merge side effect.
+    */
+  def evolveManifest(spark: SparkSession, path: String,
+                     addDdl: String): Unit =
+      withMaintenanceLock(spark, path) {
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    val m = readManifestMeta(spark, path, v)
+    val add = org.apache.spark.sql.types.StructType.fromDDL(addDdl)
+    require(add.nonEmpty, "evolveManifest: no columns to add")
+    val sch = manifestSchema(m)
+    val dup = add.fieldNames.filter(sch.fieldNames.contains)
+    require(dup.isEmpty,
+      s"evolveManifest: column(s) ${dup.mkString(", ")} already exist")
+    require(!add.fieldNames.contains("gen"),
+      "'gen' is the manifest's generation directory name")
+    // new data columns slot BEFORE the partition columns, preserving
+    // the stored order contract (data cols first, partition cols last)
+    val dataCols = sch.fields.filterNot(f => m.partitionCols.contains(f.name))
+    val parts = m.partitionCols.map(sch(_))
+    val ddl = org.apache.spark.sql.types.StructType(
+      (dataCols ++ add.fields.map(_.copy(nullable = true)) ++ parts).toSeq
+    ).toDDL
+    writeManifestMeta(spark, path, m.copy(version = v + 1, schemaDdl = ddl))
   }
 
   /** Delete everything the LIVE manifest does not reference — superseded
@@ -1105,15 +1130,10 @@ object Layout {
       .map(_._1)
     if (selected.isEmpty) Nil
     else {
-      // stored-schema alignment, as in readManifestVersion: the rewrite
-      // must see (and re-write) the seed's column types
-      val sch = manifestSchema(m)
-      val base = spark.read.option("basePath", path)
-        .parquet(selected.map(rel =>
-          s"$path/$rel/gen=${m.entries(rel)}"): _*)
-        .drop("gen")
-        .select(sch.fields.toSeq
-          .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      // stored-schema-aligned rewrite (readManifestRels): re-writes the
+      // seed's column types, null-filling evolved columns per file
+      val base = readManifestRels(spark, path, m,
+        selected.map(rel => rel -> m.entries(rel)).toMap)
       val tmpDir = s"$path.__manifest_tmp"
       fc.delete(new Path(tmpDir), true) // crashed prior run's leftover
       val obs = org.apache.spark.sql.Observation()

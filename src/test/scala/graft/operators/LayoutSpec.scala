@@ -693,4 +693,51 @@ class LayoutSpec extends SparkSpec {
       Layout.readManifestBetween(spark, dir, "k", 1L, 2L)
     }
   }
+
+  test("evolveManifest: metadata-only column add; old gens read typed " +
+      "NULLs; old snapshots keep their schema") {
+    val dir = tmpDir("manevolve")
+    import spark.implicits._
+    val seed = Seq((1L, "p0", 1.0, 1L), (2L, "p1", 2.0, 1L))
+      .toDF("k", "part", "v", "ver")
+    Layout.writeManifestTable(spark, dir, seed, Seq("part"))
+    Layout.evolveManifest(spark, dir, "score DOUBLE")
+    assert(Layout.manifestVersion(spark, dir).contains(2))
+    val evolved = Layout.readManifest(spark, dir)
+    assert(evolved.columns.toSeq == Seq("k", "v", "ver", "score", "part"))
+    assert(evolved.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(evolved.filter(col("score").isNotNull).count() == 0,
+      "pre-evolution generations surface typed NULLs")
+    // time travel below the evolution keeps the OLD schema
+    assert(Layout.readManifestVersion(spark, dir, 1).columns.toSeq ==
+      Seq("k", "v", "ver", "part"))
+    // a merge now REQUIRES the new column (the schema contract)...
+    intercept[IllegalArgumentException] {
+      Layout.mergeManifest(spark, dir,
+        Seq((1L, "p0", 10.0, 2L)).toDF("k", "part", "v", "ver"),
+        Seq("k"), "ver")
+    }
+    // ...and a batch carrying it lands real values in ITS partition
+    // while the untouched partition keeps reading NULLs per file
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, "p0", 10.0, 2L, 0.9)).toDF("k", "part", "v", "ver", "score"),
+      Seq("k"), "ver")
+    val after = Layout.readManifest(spark, dir)
+      .select("k", "score").collect()
+      .map(r => r.getAs[Long]("k") ->
+        Option(r.getAs[java.lang.Double]("score"))).toMap
+    assert(after == Map(1L -> Some(0.9), 2L -> None))
+    // compaction rewrites mixed-schema gens without losing values
+    if (Layout.compactManifest(spark, dir, maxFiles = 1).nonEmpty)
+      assert(Layout.readManifest(spark, dir)
+        .filter(col("k") === 1L && col("score") === 0.9).count() == 1)
+    // duplicates and the reserved name are rejected
+    intercept[IllegalArgumentException] {
+      Layout.evolveManifest(spark, dir, "v DOUBLE")
+    }
+    intercept[IllegalArgumentException] {
+      Layout.evolveManifest(spark, dir, "gen INT")
+    }
+  }
 }
