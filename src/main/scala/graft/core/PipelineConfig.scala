@@ -94,7 +94,16 @@ object PipelineConfig {
     "Compact" -> ((c, _) => CompactModel(get(c, "path"),
       partitionCols = c.get("partition_cols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-      generational = c.get("generational").exists(_.toBoolean))))
+      generational = c.get("generational").exists(_.toBoolean),
+      manifest = c.get("manifest").exists(_.toBoolean),
+      maxFiles = c.get("max_files").map(_.toInt).getOrElse(4))),
+    "IvmApply" -> ((c, _) => IvmApplyModel(get(c, "path"),
+      deltaPath = get(c, "delta_path"),
+      keys = get(c, "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      sumCols = get(c, "sum_cols").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq,
+      batchId = c.get("batch_id"),
+      weightCol = c.get("weight_col"))))
 
   def buildNode(nc: NodeConfig, sources: SourceRegistry): PdModel =
     registry.getOrElse(nc.nodeType,

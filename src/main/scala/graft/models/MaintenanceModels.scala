@@ -66,23 +66,61 @@ final case class ManifestModel(
 }
 
 /** Small-file compaction of the parquet table at `path` (the OPTIMIZE
-  * node): [[Layout.compactGen]] under the generational `_CURRENT`
-  * discipline when `generational = true` (no reader window), plain
-  * rename-swap [[Layout.compact]] otherwise. Returns the file-count
-  * reduction.
+  * node): [[Layout.compactManifest]] when `manifest = true` (partition-
+  * granular snapshot publish; `maxFiles` is its selection threshold,
+  * returns compacted-partition count), [[Layout.compactGen]] under the
+  * generational `_CURRENT` discipline when `generational = true` (no
+  * reader window), plain rename-swap [[Layout.compact]] otherwise
+  * (both return the file-count reduction).
   */
 final case class CompactModel(
     path: String,
     partitionCols: Seq[String] = Nil,
     generational: Boolean = false,
+    manifest: Boolean = false,
+    maxFiles: Int = 4,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
 
   def execute(ctx: StepContext): ExecResult = {
     val target = ctx.render(path)
-    val (before, after) =
-      if (generational) Layout.compactGen(ctx.spark, target, partitionCols)
-      else Layout.compact(ctx.spark, target, partitionCols)
-    ExecResult(resultValue = Some(before - after))
+    if (manifest)
+      ExecResult(resultValue = Some(
+        Layout.compactManifest(ctx.spark, target, maxFiles).length.toLong))
+    else {
+      val (before, after) =
+        if (generational) Layout.compactGen(ctx.spark, target, partitionCols)
+        else Layout.compact(ctx.spark, target, partitionCols)
+      ExecResult(resultValue = Some(before - after))
+    }
+  }
+}
+
+/** Incremental-aggregate fold (the REFRESH MATERIALIZED VIEW ...
+  * INCREMENTALLY node): fold the staged delta batch at `deltaPath`
+  * into the [[graft.operators.Ivm]] summary at `path`. `batchId`
+  * (calendar-rendered, so a scheduled job can pass its window tag)
+  * rides into the exactly-once marker: re-running the same job window
+  * is a no-op, which makes the node safely re-runnable — the
+  * scheduler's rerun daemon can retry it blindly. Returns 1 when the
+  * batch applied, 0 when the replay guard skipped it.
+  */
+final case class IvmApplyModel(
+    path: String,
+    deltaPath: String,
+    keys: Seq[String],
+    sumCols: Seq[String],
+    batchId: Option[String] = None,
+    weightCol: Option[String] = None,
+    override val knobs: ModelKnobs = ModelKnobs())
+  extends PdModel with Executable {
+
+  def execute(ctx: StepContext): ExecResult = {
+    val delta = ctx.spark.read.parquet(ctx.render(deltaPath))
+    val applied = graft.operators.Ivm.applyDelta(ctx.spark,
+      ctx.render(path), delta, keys, sumCols,
+      batchId = batchId.map(b => ctx.render(b).toLong).getOrElse(-1L),
+      weightCol = weightCol)
+    ExecResult(resultValue = Some(if (applied) 1L else 0L))
   }
 }

@@ -35,8 +35,56 @@ class SurfacesSpec extends SparkSpec {
 
   test("config registry covers the reference model surface") {
     assert(Seq("Table", "Select", "Insert", "SQL", "CSV", "JSON", "XML",
-      "Parquet", "Filenames", "FileManager", "Merge", "Compact")
+      "Parquet", "Filenames", "FileManager", "Merge", "Compact",
+      "Manifest", "IvmApply")
       .forall(PipelineConfig.registry.contains))
+  }
+
+  test("config-driven IvmApply folds a staged delta; replayed run_id " +
+      "is a no-op") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cfg_ivm").toString
+    Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
+      .write.parquet(s"$root/delta")
+    val json =
+      s"""[{"node_name": "refresh", "node_type": "IvmApply",
+           "node_seqno": 1,
+           "config": {"path": "$root/sum", "delta_path": "$root/delta",
+             "keys": "k", "sum_cols": "v", "batch_id": "{run_id}"}}]"""
+    def runWith(runId: Long): Unit = {
+      val p = PipelineConfig.fromJson("cfg_ivm", json, new SourceRegistry)
+      assert(p.steps.map(_.stepType) == Seq(StepType.EX))
+      assert(p.run(spark, Calendar.day("2023-01-01"), runId = runId)
+        .status == Status.Done)
+    }
+    runWith(7L)
+    def total: Double = graft.operators.Ivm.read(spark, s"$root/sum")
+      .agg(org.apache.spark.sql.functions.sum(col("sum_v").cast("double")))
+      .head().getDouble(0)
+    assert(total == 8.0)
+    runWith(7L) // same run id replayed: the fold must not double-count
+    assert(total == 8.0)
+    runWith(8L) // a NEW run id folds again
+    assert(total == 16.0)
+  }
+
+  test("config-driven Compact node compacts a MANIFEST table") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cfg_mancompact").resolve("t").toString
+    Layout.writeManifestTable(spark, dir,
+      (1 to 20).map(i => (i.toLong, s"p${i % 2}", 1L))
+        .toDF("k", "part", "ver").repartition(4),
+      Seq("part"))
+    val json =
+      s"""[{"node_name": "opt", "node_type": "Compact", "node_seqno": 1,
+           "config": {"path": "$dir", "manifest": "true",
+             "max_files": "1"}}]"""
+    val p = PipelineConfig.fromJson("cfg_mc", json, new SourceRegistry)
+    val task = p.run(spark, Calendar.day("2023-01-01"))
+    assert(task.status == Status.Done)
+    assert(Layout.manifestVersion(spark, dir).contains(2))
+    assert(Layout.readManifest(spark, dir).count() == 20)
   }
 
   test("config-driven Manifest source extracts a pinned snapshot") {
