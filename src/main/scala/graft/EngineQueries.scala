@@ -922,6 +922,71 @@ object EngineQueries {
           col("n_rows"), col("sum_value").cast("double").as("sum_value"))
     }),
 
+    // STREAMING token-window chunking gated through batch t12's oracle:
+    // the chunker is a pure flatMap projection (tokenize -> slice), so
+    // batch semantics lift with no state and no watermark — documents
+    // stream in, training-ready windows stream out (the m21 stateless
+    // pattern: no sentinels needed).
+    "m43_streaming_chunk" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val docsBatch = s.read.parquet(s"$dir/documents.parquet")
+      val src = Streams.fileMonitor(s, s"$dir/documents.parquet*",
+        "parquet", docsBatch.schema)
+      drainAppend(s, Streams.chunk(src, "doc_id", "text",
+        chunkSize = 64, stride = 48), "m43")
+    }),
+
+    // STREAMING calibrated-quality filter gated through batch t16's
+    // oracle: the per-language median-quality thresholds calibrate ONCE
+    // on the BATCH corpus (recomputing them per micro-batch would drift
+    // with arrival order — the exact failure the calibration exists to
+    // prevent), then apply to the document stream as a stream-static
+    // broadcast join + filter. Stateless -> batch ≡ stream verbatim.
+    "m44_streaming_calibrated" -> ((s, dir) => {
+      import graft.functions.TextFunctions.qualityScore
+      import graft.streaming.Streams
+      val docsBatch = s.read.parquet(s"$dir/documents.parquet")
+      val thr = graft.operators.Sampling.quantileThresholds(
+        docsBatch, "lang", qualityScore(col("text")),
+        bins = 1000, qNum = 1, qDen = 2)
+      val src = Streams.fileMonitor(s, s"$dir/documents.parquet*",
+        "parquet", docsBatch.schema)
+      drainAppend(s, Streams.calibratedFilter(src, thr, "lang",
+        qualityScore(col("text")), bins = 1000), "m44")
+        .select("doc_id", "lang", "bin", "thr_bin")
+    }),
+
+    // STREAMING temperature-mix rebalancing gated through batch p07's
+    // oracle: per-source keep rates derived ONCE in batch (sqrt
+    // temperature over the reference corpus), applied to the stream as
+    // a broadcast join + deterministic hash filter — the same
+    // stream-static rationale as m44.
+    "m45_streaming_temperature" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val docsBatch = s.read.parquet(s"$dir/documents.parquet")
+      val rates = graft.operators.Sampling.temperatureThresholds(
+        docsBatch, "source")
+      val src = Streams.fileMonitor(s, s"$dir/documents.parquet*",
+        "parquet", docsBatch.schema)
+      drainAppend(s, Streams.temperatureMix(src, rates,
+        "source", "doc_id"), "m45")
+        .select("doc_id", "source")
+    }),
+
+    // STREAMING bigram-LM corpus-fit scoring gated through batch t13's
+    // oracle: the model counts over the BATCH reference slice, compiled
+    // into the plan as a broadcast map literal (the t15 zero-shuffle
+    // path), scoring the stream as a pure projection.
+    "m46_streaming_lm_fit" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val docsBatch = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.LmScore.bigramModel(
+        docsBatch.filter(col("doc_id") % 7 === 0), "text")
+      val src = Streams.fileMonitor(s, s"$dir/documents.parquet*",
+        "parquet", docsBatch.schema)
+      drainAppend(s, Streams.lmScore(src, model, "doc_id", "text"), "m46")
+    }),
+
     // STREAMING BM25 scoring gated through the batch oracle: the model
     // (per-query term idfs + corpus length stats, rational-idf mode) is
     // calibrated on the BATCH documents table, then the same documents
@@ -1241,6 +1306,15 @@ object EngineQueries {
       """SELECT user_id, event_type, count(*) AS n_rows,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY user_id, event_type""",
+    // the stateless streaming lifts share their batch twins' oracles
+    // verbatim — that sharing IS each gate's claim (pure projections /
+    // stream-static broadcast filters: batch ≡ stream by construction)
+    "m43_streaming_chunk" -> CurationQueries.oracles("t12_chunking"),
+    "m44_streaming_calibrated" ->
+      CurationQueries.oracles("t16_calibrated_quality"),
+    "m45_streaming_temperature" ->
+      CurationQueries.oracles("p07_temperature_mix"),
+    "m46_streaming_lm_fit" -> CurationQueries.oracles("t13_lm_fit"),
     "m25_cdc_partitioned" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
            CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
