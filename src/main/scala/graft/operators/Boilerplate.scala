@@ -29,7 +29,12 @@ object Boilerplate {
   /** Remove every line occurring in >= `minDocs` DISTINCT documents.
     * Returns (idCol, textCol) with the cleaned text; documents whose
     * every line was boilerplate drop out entirely (nothing left to
-    * train on). `delimiter` is a literal string, not a regex.
+    * train on). NULL-text documents pass through with NULL text —
+    * `posexplode_outer` keeps a null marker row for them, so the batch
+    * rebuild agrees with [[removeLinesBroadcast]]'s NULL-in/NULL-out
+    * (the only remaining batch/stream divergence is the documented
+    * fully-boilerplate case: dropped here, empty string there).
+    * `delimiter` is a literal string, not a regex.
     */
   def removeFrequentLines(docs: DataFrame, idCol: String, textCol: String,
                           minDocs: Int,
@@ -38,20 +43,26 @@ object Boilerplate {
     require(delimiter.nonEmpty, "delimiter must be non-empty")
     val pat = java.util.regex.Pattern.quote(delimiter)
     val lines = docs.select(col(idCol).as("__id"),
-      posexplode(split(col(textCol), pat)).as(Seq("__pos", "__line")))
+      posexplode_outer(split(col(textCol), pat)).as(Seq("__pos", "__line")))
     val frequent = lines.filter(trim(col("__line")) =!= "")
       .groupBy("__line")
       .agg(countDistinct(col("__id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__line"), lit(true).as("__bp"))
+    // null __line joins nothing (null key) so the marker row survives
+    // the __bp filter; collect_list skips the null struct, and the
+    // count-gated when() turns the empty rebuild back into NULL.
     lines.join(frequent, Seq("__line"), "left")
       .filter(col("__bp").isNull)
       .groupBy(col("__id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("__pos").as("p"),
-          col("__line").as("l")))),
-        x => x.getField("l")), delimiter).as(textCol))
-      .select(col("__id").as(idCol), col(textCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__line").isNotNull,
+            struct(col("__pos").as("p"), col("__line").as("l"))))),
+          x => x.getField("l")), delimiter).as("__joined"),
+        (count(col("__line")) > 0L).as("__nonnull"))
+      .select(col("__id").as(idCol),
+        when(col("__nonnull"), col("__joined")).as(textCol))
   }
 
   /** The frequent-line set itself, for calibrate-once reuse: compute on

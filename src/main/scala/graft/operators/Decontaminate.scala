@@ -58,15 +58,38 @@ object Decontaminate {
     * vectors and passes or dies). For a bench set too large to
     * broadcast, pre-bucket both sides with [[Similarity]]'s LSH and
     * anti-join on the matched ids instead.
+    *
+    * NULL embeddings are UNVERIFIABLE: the cosine condition evaluates
+    * to NULL, so the anti-join would silently pass the row — the wrong
+    * default for a safety filter. `nullPolicy` decides: `"fail"`
+    * (default) raises in-plan at the first NULL training embedding
+    * (the check rides the scan projection — zero extra passes over the
+    * 100 TB side); `"drop"` quarantines null-embedding rows out of the
+    * output; `"keep"` restores the pass-through for corpora where null
+    * embeddings are known-clean by contract. NULL BENCH embeddings are
+    * always ignored (they can match nothing).
     */
   def semantic(train: DataFrame, bench: DataFrame, embCol: String,
                threshold: Double,
-               broadcastBench: Boolean = true): DataFrame = {
+               broadcastBench: Boolean = true,
+               nullPolicy: String = "fail"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
+    require(Set("fail", "drop", "keep")(nullPolicy),
+      s"nullPolicy must be fail|drop|keep, got '$nullPolicy'")
+    val checked = nullPolicy match {
+      case "fail" => train.withColumn(embCol,
+        when(col(embCol).isNull, raise_error(lit(
+          s"semantic decontamination: NULL $embCol row is unverifiable " +
+            "— drop nulls upstream or pass nullPolicy=drop/keep")))
+          .otherwise(col(embCol)))
+      case "drop" => train.filter(col(embCol).isNotNull)
+      case "keep" => train
+    }
     val b0 = bench.select(col(embCol).as("__bv"))
+      .filter(col("__bv").isNotNull)
     val b = if (broadcastBench) broadcast(b0) else b0
-    train.join(b,
+    checked.join(b,
       graft.functions.VectorFunctions.cosine(col(embCol), col("__bv")) >=
         threshold,
       "left_anti")

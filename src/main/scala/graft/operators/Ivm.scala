@@ -38,6 +38,9 @@ import org.apache.spark.sql.functions._
   *  - Retractions: `weightCol` (+1 insert / -1 retract) subtracts a
   *    row's contribution; keys whose count reaches zero leave the
   *    summary. An upstream CDC update = retract old row + insert new.
+  *    A retract that would drive a key's count NEGATIVE (no matching
+  *    prior insert) fails LOUDLY and discards the apply — negative
+  *    counts are corruption, never pending state.
   *
   * No separate compaction path: every apply rewrites the (keys-sized)
   * summary in full, so the live generation never accumulates
@@ -107,9 +110,34 @@ object Ivm {
       }
       val next = curGen.getOrElse(0) + 1
       val genDir = Layout.generationPath(path, next)
-      // retracted-to-zero keys leave the summary entirely
+      // retracted-to-zero keys leave the summary entirely; a retraction
+      // that would drive a key NEGATIVE (a retract with no matching
+      // prior insert — mis-ordered or duplicated delta) fails LOUDLY
+      // before the pointer swap: the written generation is discarded
+      // and the live summary + batch marker stay untouched, instead of
+      // a negative-count key silently inverting every later read. The
+      // check rides the write pass (Observation — zero extra scans).
+      val obs = org.apache.spark.sql.Observation()
       combined.filter(col("n_rows") =!= 0L)
+        .observe(obs,
+          sum(when(col("n_rows") < 0L, 1L).otherwise(0L)).as("neg"))
         .write.mode(SaveMode.Overwrite).parquet(genDir)
+      val negKeys = obs.get("neg") match {
+        case n: java.lang.Long => n.longValue; case _ => 0L
+      }
+      if (negKeys > 0) {
+        val sample = spark.read.parquet(genDir)
+          .filter(col("n_rows") < 0L)
+          .select(keys.map(col): _*).limit(5).collect()
+          .map(_.toSeq.mkString("(", ",", ")")).mkString(", ")
+        Layout.fileContext(spark, path).delete(new Path(genDir), true)
+        throw new IllegalStateException(
+          s"IVM retraction below zero: $negKeys key(s) would land with " +
+            s"negative n_rows (sample keys: $sample) — a retract arrived " +
+            "without its prior insert. The apply was discarded; the live " +
+            "summary and batch marker are unchanged. Re-order or drop " +
+            "the offending delta and re-apply.")
+      }
       val marker = (if (batchId >= 0) Some(batchId) else applied)
       marker.foreach { id =>
         val fc = Layout.fileContext(spark, path)

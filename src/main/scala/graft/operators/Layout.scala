@@ -62,12 +62,17 @@ object Layout {
           "(merge/compact/reap are single-writer); if that writer " +
           "crashed, delete the lock file and re-run")
       }
-    try out.write(
-      s"pid=${ProcessHandle.current().pid()} thread=${Thread.currentThread().getName}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    try body
-    finally { if (fc.util.exists(lock)) fc.delete(lock, false); () }
+    // Everything after the atomic create runs under the same finally
+    // that releases the lease: an IO error writing the owner info (a
+    // best-effort debugging aid — the create alone IS the lease) must
+    // not leak the lock file and wedge all maintenance on the table.
+    try {
+      try out.write(
+        s"pid=${ProcessHandle.current().pid()} thread=${Thread.currentThread().getName}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      body
+    } finally { if (fc.util.exists(lock)) fc.delete(lock, false); () }
   }
 
   /** A table is either manifest-disciplined or rename-swap — never

@@ -395,7 +395,12 @@ object Streams {
   def cdcApply(stream: DataFrame, path: String, keys: Seq[String],
                versionCol: String, partitionCols: Seq[String] = Nil,
                deleteCol: Option[String] = None,
-               manifest: Boolean = false): DataStreamWriter[Row] =
+               manifest: Boolean = false): DataStreamWriter[Row] = {
+    require(partitionCols.isEmpty || !manifest,
+      "cdcApply(manifest = true): the table's partitioning comes from " +
+        "its manifest (seeded by writeManifestTable) and the " +
+        s"partitionCols argument (${partitionCols.mkString(",")}) is " +
+        "not consulted — pass partitionCols = Nil")
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
         if (manifest)
@@ -407,6 +412,7 @@ object Streams {
         ()
       }
     }
+  }
 
   /** Continuous embedding ingest into the persisted generational ANN
     * index ([[graft.operators.AnnIndex]]): every micro-batch of

@@ -49,6 +49,23 @@ class BoilerplateSpec extends SparkSpec {
     assert(out(1L) == "keep.keep2", out(1L))
   }
 
+  test("null-text docs pass through as NULL in batch AND broadcast paths") {
+    import spark.implicits._
+    val withNull = corpus.unionByName(
+      Seq((6L, null: String)).toDF("doc_id", "text"))
+    val batch = Boilerplate.removeFrequentLines(withNull, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(batch.contains(6L) && batch(6L).isEmpty,
+      s"null-text doc must survive with NULL text, got $batch")
+    // non-null docs unaffected by the null-preserving rebuild
+    assert(batch(1L).contains("alpha\nbody one"))
+    assert(!batch.contains(5L), "fully-boilerplate doc still drops")
+    val bc = Boilerplate.removeLinesBroadcast(withNull, "text",
+        Seq("SHARED FOOTER"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(bc(6L).isEmpty, "broadcast path keeps NULL as NULL")
+  }
+
   test("calibrated broadcast path equals the batch rebuild on surviving docs") {
     val bp = Boilerplate.frequentLines(corpus, "doc_id", "text", minDocs = 3)
     assert(bp == Seq("SHARED FOOTER"))

@@ -149,6 +149,37 @@ class CurationSpec extends SparkSpec {
     assert(hashed == strings)
   }
 
+  test("semantic decontamination null policy: fail loud, drop, keep") {
+    val bench = Seq((Seq(1.0f, 0.0f), 1L)).toDF("emb", "id")
+    val train = Seq(
+      (Seq(1.0f, 0.0f), 10L),       // contaminated (cos = 1)
+      (Seq(0.0f, 1.0f), 11L),       // clean (cos = 0)
+      (null: Seq[Float], 12L))      // unverifiable
+      .toDF("emb", "id")
+    // default: a NULL training embedding fails the whole run loudly
+    val e = intercept[Exception] {
+      Decontaminate.semantic(train, bench, "emb", 0.9).collect()
+    }
+    assert(e.getMessage.contains("unverifiable"), e.getMessage)
+    // drop: nulls quarantined out, clean row survives, contaminated dies
+    val dropped = Decontaminate.semantic(train, bench, "emb", 0.9,
+      nullPolicy = "drop").select("id").collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(11L))
+    // keep: the documented pass-through
+    val kept = Decontaminate.semantic(train, bench, "emb", 0.9,
+      nullPolicy = "keep").select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L))
+    // null BENCH embeddings are ignored, never contaminate
+    val nb = Seq((null: Seq[Float], 2L)).toDF("emb", "id")
+    val vsNullBench = Decontaminate.semantic(train, bench.unionByName(nb),
+      "emb", 0.9, nullPolicy = "drop")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(vsNullBench == Set(11L))
+    intercept[IllegalArgumentException] {
+      Decontaminate.semantic(train, bench, "emb", 0.9, nullPolicy = "bogus")
+    }
+  }
+
   test("incrementalDedup: in-batch min-id wins, index content blocks") {
     val index = Seq((10L, "already ingested content"), (11L, "old news"))
       .toDF("id", "txt")

@@ -61,6 +61,29 @@ class IvmSpec extends SparkSpec {
     assert(lock.delete())
   }
 
+  test("retraction below zero fails loudly and leaves the table untouched") {
+    val dir = tmpDir("neg")
+    import spark.implicits._
+    assert(Ivm.applyDelta(spark, dir, Seq(("a", 1.0)).toDF("k", "v"),
+      Seq("k"), Seq("v"), batchId = 0))
+    // a retract for a key with no prior insert must NOT land as a
+    // negative-count key — the apply is rejected wholesale
+    val bad = Seq(("zz", 5.0, -1L), ("a", 1.0, 1L)).toDF("k", "v", "w")
+    val e = intercept[IllegalStateException] {
+      Ivm.applyDelta(spark, dir, bad, Seq("k"), Seq("v"),
+        batchId = 1, weightCol = Some("w"))
+    }
+    assert(e.getMessage.contains("negative n_rows"))
+    assert(e.getMessage.contains("zz"), s"sample keys named: ${e.getMessage}")
+    // live summary and exactly-once marker unchanged — the delta can be
+    // fixed and re-applied under the same batch id
+    assert(Ivm.lastAppliedBatch(spark, dir).contains(0L))
+    assert(snap(Ivm.read(spark, dir)) == Map("a" -> (1L, BigDecimal(1.0))))
+    assert(Ivm.applyDelta(spark, dir, Seq(("a", 1.0, 1L)).toDF("k", "v", "w"),
+      Seq("k"), Seq("v"), batchId = 1, weightCol = Some("w")))
+    assert(snap(Ivm.read(spark, dir)) == Map("a" -> (2L, BigDecimal(2.0))))
+  }
+
   test("crashed apply (orphan gen, no pointer swap) is invisible and " +
       "recovered by the next apply") {
     val dir = tmpDir("crash")
