@@ -94,21 +94,29 @@ object Boilerplate {
 
   /** Apply a calibrated frequent-line set as ONE stateless projection
     * (no explode, no aggregation, no shuffle): split, higher-order
-    * filter against the broadcast set, rejoin. Batch ≡ stream by
-    * construction — the streaming lift of [[removeFrequentLines]]
+    * filter against the set, rejoin. Batch ≡ stream by construction —
+    * the streaming lift of [[removeFrequentLines]]
     * ([[graft.streaming.Streams.boilerplateFilter]] wraps this).
     * Unlike the batch rebuild, a fully-boilerplate document survives
     * here as an empty string (a stream cannot drop rows mid-
-    * projection); filter on the result where that matters.
+    * projection); filter on the result where that matters. NULL text
+    * stays NULL.
+    *
+    * The set travels as a TRUE broadcast variable probed by a codegen'd
+    * expression ([[graft.expressions.BroadcastSetContains]]), not a
+    * plan literal: at the 100k-line cap a literal map is multi-MB of
+    * plan serialized per task (and per micro-batch on a stream); the
+    * broadcast ships once per executor and the plan carries only the
+    * handle (BoilerplateSpec pins the plan-size bound).
     */
   def removeLinesBroadcast(docs: DataFrame, textCol: String,
                            lines: Seq[String],
                            delimiter: String = "\n"): DataFrame = {
     val pat = java.util.regex.Pattern.quote(delimiter)
-    val bp = map_from_arrays(
-      lit(lines.toArray), lit(Array.fill(lines.size)(true)))
+    val isBp = graft.expressions.BroadcastSetContains.probe(
+      docs.sparkSession, lines)
     docs.withColumn(textCol,
       array_join(filter(split(col(textCol), pat),
-        l => not(coalesce(element_at(bp, l), lit(false)))), delimiter))
+        l => not(isBp(l))), delimiter))
   }
 }

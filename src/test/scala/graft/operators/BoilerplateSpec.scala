@@ -49,6 +49,23 @@ class BoilerplateSpec extends SparkSpec {
     assert(out(1L) == "keep.keep2", out(1L))
   }
 
+  test("broadcast path: plan stays handle-sized at the 100k-line cap") {
+    import spark.implicits._
+    // the calibrated set travels as a broadcast variable, not a plan
+    // literal: with 100k distinct lines (~2 MB of strings) the executed
+    // plan must stay small — a literal-map implementation would embed
+    // every line in the plan string and codegen input
+    val big = (0 until 100000).map(i => s"boilerplate line number $i")
+    val docs = Seq((1L, s"keep me\nboilerplate line number 7\nand me"))
+      .toDF("doc_id", "text")
+    val out = Boilerplate.removeLinesBroadcast(docs, "text", big)
+    val planChars = out.queryExecution.executedPlan.toString.length
+    assert(planChars < 100000,
+      s"plan carries the vocabulary ($planChars chars) — must be a " +
+        "broadcast handle, not a literal")
+    assert(out.collect().map(_.getString(1)).toSeq == Seq("keep me\nand me"))
+  }
+
   test("null-text docs pass through as NULL in batch AND broadcast paths") {
     import spark.implicits._
     val withNull = corpus.unionByName(
