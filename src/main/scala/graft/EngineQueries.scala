@@ -96,6 +96,84 @@ object EngineQueries {
                           tag: String): DataFrame =
     graft.streaming.Streams.drainAppendToTable(s, df, tag)
 
+  /** m38's OUT-OF-ORDER drain staging: per user, the SECOND-LATEST
+    * event is withheld from the main file and delivered in a later
+    * micro-batch (maxFilesPerTrigger=1, mtime-ordered), so the
+    * sessionizer must handle watermark-admitted events that PRECEDE its
+    * open session — the backward paths the 0-second single-file drain
+    * could never reach: within a gap of the open span → extend
+    * session_start backward; more than a gap before it → an earlier
+    * separate session. Withholding is restricted to users where the
+    * removal cannot change a decision already emitted from the main
+    * file (dropping e_{n-1} must not alter the e_{n-2}→e_n boundary:
+    * kept iff n == 2, or t1 − t3 ≤ gap, or t2 − t3 > gap — t_k = the
+    * k-th latest timestamp), so the drained stream must equal the FULL
+    * batch gap-split, session boundaries included. The 35-day
+    * watermark delay exceeds the fixture's 30-day span (no event is
+    * late-dropped mid-drain); sentinels sit at maxTs + delay + {2,4}
+    * days so the watermark still closes every real session before the
+    * finite drain ends.
+    */
+  private val oooStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedEventsOutOfOrder(s: SparkSession,
+                                     dir: String): DataFrame = {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.expressions.Window
+    val stage = oooStageCache.computeIfAbsent(dir, _ => {
+      val st = tmp("events_ooo")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select("user_id", "event_id", "ts")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val ranked = ev.withColumn("__rn", row_number().over(w))
+      val gap = expr("INTERVAL 30 MINUTE")
+      val safe = ranked.groupBy("user_id").agg(
+          max(when(col("__rn") === 1, col("ts"))).as("t1"),
+          max(when(col("__rn") === 2, col("ts"))).as("t2"),
+          max(when(col("__rn") === 3, col("ts"))).as("t3"),
+          count(lit(1)).as("n"))
+        .filter(col("n") >= 2 && (col("t3").isNull ||
+          col("t1") <= col("t3") + gap || col("t2") > col("t3") + gap))
+        .select(col("user_id"), lit(true).as("__late"))
+      val tagged = ranked.join(safe, Seq("user_id"), "left")
+        .withColumn("__hold",
+          coalesce(col("__late"), lit(false)) && col("__rn") === 2)
+      val t0 = System.currentTimeMillis()
+      def stageFile(df: DataFrame, n: String, mtimeOffsetMs: Long): Unit = {
+        val d = s"$st/w_$n"
+        df.coalesce(1).write.parquet(d)
+        val part = new java.io.File(d).listFiles()
+          .filter(f => f.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(s"$st/in/$n.parquet")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(t0 + mtimeOffsetMs)
+        ()
+      }
+      stageFile(tagged.filter(!col("__hold")).select("user_id", "ts"),
+        "00_data", 0L)
+      stageFile(tagged.filter(col("__hold")).select("user_id", "ts"),
+        "01_late", 60000L)
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val delayMs = 35L * 86400000L
+      def sentinel(plusDays: Int) = {
+        import s.implicits._
+        Seq((-1L, new java.sql.Timestamp(
+          maxTs.getTime + delayMs + plusDays * 86400000L)))
+          .toDF("user_id", "ts")
+      }
+      stageFile(sentinel(2), "02_s1", 120000L)
+      stageFile(sentinel(4), "03_s2", 180000L)
+      st
+    })
+    val schema = s.read.parquet(s"$stage/in/00_data.parquet").schema
+    Streams.fileMonitor(s, s"$stage/in", "parquet", schema,
+      options = Map("maxFilesPerTrigger" -> "1"))
+  }
+
   private def streamingResampleGate(s: SparkSession, dir: String,
       tag: String, op: DataFrame => DataFrame,
       valueCol: String): DataFrame = {
@@ -802,23 +880,25 @@ object EngineQueries {
         col("o_totalprice"), col("ver"))
     }),
 
-    // STREAMING gap-sessionization gated through batch q23's oracle:
-    // the custom-state operator (flatMapGroupsWithState + event-time
-    // timeout, graft.streaming.Sessionize) runs over the sentinel
-    // drain — closed sessions emit as later events split them, the
-    // trailing open session per user emits when the sentinel-advanced
-    // watermark passes its end + gap — and the per-user rollup of the
-    // emitted sessions must hash-match the batch lag/gap-split oracle
-    // (q23's SQL verbatim): every event counted once, every 30-minute
-    // gap a session boundary.
+    // STREAMING gap-sessionization, gated BOUNDARY-EXACT against the
+    // batch gap-split: the custom-state operator
+    // (flatMapGroupsWithState + event-time timeout,
+    // graft.streaming.Sessionize) runs over an OUT-OF-ORDER
+    // multi-micro-batch drain at a nonzero (35-day) watermark delay —
+    // each user's second-latest event arrives one micro-batch LATE, so
+    // the backward paths (extend session_start within gap; split an
+    // earlier session beyond it) are genuinely exercised — and every
+    // emitted (user, session_start, session_end, n_events) row must
+    // hash-match the batch lag/gap-split oracle over the full events
+    // table. A boundary-shifting bug that preserves per-user rollups
+    // (the weakness of the old per-user-sum oracle) now flips the gate.
     "m38_streaming_sessionize" -> ((s, dir) => {
-      val src = stagedEventsSource(s, dir).withWatermark("ts", "0 seconds")
+      val src = stagedEventsOutOfOrder(s, dir)
+        .withWatermark("ts", "35 days")
       val sessions = graft.streaming.Sessionize.sessions(src, gapMinutes = 30)
       drainAppend(s, sessions.toDF(), "m38")
         .filter(col("user_id") >= 0)
-        .groupBy("user_id")
-        .agg(sum(col("n_events")).as("n_events"),
-          count(lit(1)).as("n_sessions"))
+        .select("user_id", "session_start", "session_end", "n_events")
     }),
 
     // STREAMING ingest dedup (dropDuplicatesWithinWatermark) gated
@@ -1272,11 +1352,28 @@ object EngineQueries {
                  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
                       ELSE o_totalprice END AS o_totalprice
                FROM orders)""",
-    // the streaming gap-sessionizer shares batch q23's oracle verbatim
-    // — the flatMapGroupsWithState session stream, rolled up per user,
-    // must equal the batch lag/gap-split
+    // the streaming gap-sessionizer is gated on EXACT session
+    // boundaries: every emitted (user, start, end, n) row must equal
+    // the batch lag/gap-split's sessions — q23's split rule, rolled up
+    // per (user, session id) instead of per user
     "m38_streaming_sessionize" ->
-      RelationalQueries.oracles("q23_sessionize"),
+      """SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+         FROM (
+           SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM (
+             SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+           ) marked
+         ) numbered
+         GROUP BY user_id, sid""",
     // streamed dropDuplicatesWithinWatermark over the dedup key itself,
     // horizon wider than the data span -> exactly batch DISTINCT
     "m39_streaming_dedup" ->

@@ -61,4 +61,89 @@ class SessionizeSpec extends SparkSpec {
         s"user 2 session should time out; got $got")
     } finally q.stop()
   }
+
+  test("backward out-of-order across micro-batches: within-gap extends " +
+      "session_start, beyond-gap splits an earlier session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    // nonzero watermark delay so a later micro-batch may legally carry
+    // events EARLIER than everything already seen (3h keeps the 10:00
+    // backfill strictly above batch-1's watermark, not at it)
+    val events = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "3 hours")
+    val out = Sessionize.sessions(events, gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: both users open a session at 12:00
+      input.addData(
+        (1L, ts("2023-01-01 12:00:00")),
+        (2L, ts("2023-01-01 12:00:00")))
+      q.processAllAvailable()
+      // batch 2, all within the 2h watermark:
+      //  user 1: 11:45 — within gap BEFORE the open session's start →
+      //    must extend session_start backward (not glue with start
+      //    pinned at 12:00, the pre-fix bug)
+      //  user 2: 10:00 — more than a gap before the open session →
+      //    must form its own earlier session and close it immediately
+      //    (the pre-fix bug glued it in, spanning 10:00..12:00)
+      input.addData(
+        (1L, ts("2023-01-01 11:45:00")),
+        (2L, ts("2023-01-01 10:00:00")))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sessions_ooo").collect().map(r =>
+        (r.getLong(0), r.getAs[Timestamp](1).toString,
+          r.getAs[Timestamp](2).toString, r.getLong(3))).toSet
+      assert(afterB2 == Set(
+        (2L, "2023-01-01 10:00:00.0", "2023-01-01 10:00:00.0", 1L)),
+        s"only user 2's earlier split session closes in-batch; got $afterB2")
+      // drain: advance the watermark (minus 2h delay) past end+gap,
+      // then one more batch so timeouts fire
+      input.addData((9L, ts("2023-01-01 18:00:00")))
+      q.processAllAvailable()
+      input.addData((9L, ts("2023-01-01 18:00:01")))
+      q.processAllAvailable()
+      val all = spark.table("sessions_ooo").collect().map(r =>
+        (r.getLong(0), r.getAs[Timestamp](1).toString,
+          r.getAs[Timestamp](2).toString, r.getLong(3))).toSet
+      assert(all.contains(
+        (1L, "2023-01-01 11:45:00.0", "2023-01-01 12:00:00.0", 2L)),
+        s"user 1's session must start at the backfilled 11:45; got $all")
+      assert(all.contains(
+        (2L, "2023-01-01 12:00:00.0", "2023-01-01 12:00:00.0", 1L)),
+        s"user 2's open session stays separate from the 10:00 one; got $all")
+    } finally q.stop()
+  }
+
+  test("backward event inside the open session's span is absorbed " +
+      "without moving its boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "2 hours")
+    val out = Sessionize.sessions(events, gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("sessions_mid")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, ts("2023-01-01 12:00:00")),
+        (1L, ts("2023-01-01 12:20:00")))
+      q.processAllAvailable()
+      // a late event BETWEEN the open session's endpoints
+      input.addData((1L, ts("2023-01-01 12:10:00")))
+      q.processAllAvailable()
+      input.addData((9L, ts("2023-01-01 18:00:00")))
+      q.processAllAvailable()
+      input.addData((9L, ts("2023-01-01 18:00:01")))
+      q.processAllAvailable()
+      val all = spark.table("sessions_mid").collect().map(r =>
+        (r.getLong(0), r.getAs[Timestamp](1).toString,
+          r.getAs[Timestamp](2).toString, r.getLong(3))).toSet
+      assert(all.contains(
+        (1L, "2023-01-01 12:00:00.0", "2023-01-01 12:20:00.0", 3L)),
+        s"absorbed event must count without shifting boundaries; got $all")
+    } finally q.stop()
+  }
 }
