@@ -1002,6 +1002,60 @@ object EngineQueries {
           col("n_rows"), col("sum_value").cast("double").as("sum_value"))
     }),
 
+    // SKETCH-VALUED incremental view maintenance: the persisted summary
+    // also carries mergeable KMV (distinct users) and KLL (value
+    // quantiles) sketches, folded across three row-level delta batches
+    // — fold = sketch MERGE under the same exactly-once batch marker,
+    // so the standing summary answers distinct-count and percentile
+    // queries incrementally, never rescanning the base. The gate pins
+    // the algebraic claim EXACTLY: the folded sketch must equal the
+    // sketch built in one shot over the full table (KMV: the k-min set
+    // of a union is order/batching-independent; KLL: lossless below
+    // the compaction threshold — q50/q55's merge precedents), the KMV
+    // estimate must equal the exact distinct count (distinct < k), and
+    // the folded KLL's p50/p95 must equal the exact rank quantiles.
+    "m47_sketch_ivm" -> ((s, dir) => {
+      import graft.operators.Ivm
+      import graft.expressions.{Kll, Kmv}
+      val k = 4096
+      val out = s"${tmp("ivmsk")}/summary"
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type"), col("value"),
+          pmod(xxhash64(col("user_id"), col("event_type"), col("ts"),
+            col("value")), lit(3)).as("__slice"))
+      for (b <- 0 until 3)
+        require(Ivm.applyDelta(s, out, ev.filter(col("__slice") === b),
+          Seq("event_type"), Seq("value"), batchId = b,
+          kmvCols = Seq("user_id"), kllCols = Seq("value"), sketchK = k),
+          s"delta batch $b must apply")
+      val folded = Ivm.read(s, out)
+      val oneShot = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n2"),
+        countDistinct(col("user_id")).as("distinct_users"),
+        Kmv.sketch(xxhash64(col("user_id")), k).as("dsk"),
+        Kll.sketch(col("value").cast("double"), k).as("dkll"))
+      // exact rank quantiles (gate-scale reference, q55's pattern)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value"))
+      val ranked = ev.join(oneShot.select("event_type", "n2"), "event_type")
+        .withColumn("rn", row_number().over(w))
+      def exactQ(q: Double, as: String) = ranked
+        .filter(col("rn") === ceil(lit(q) * col("n2")).cast("long"))
+        .select(col("event_type"), col("value").as(as))
+      folded.join(oneShot, "event_type")
+        .join(exactQ(0.5, "ex50"), "event_type")
+        .join(exactQ(0.95, "ex95"), "event_type")
+        .select(col("event_type"), col("n_rows"), col("distinct_users"),
+          (col("kmv_user_id") === col("dsk")).as("kmv_lossless"),
+          (Kmv.estimate(col("kmv_user_id"), k) ===
+            col("distinct_users").cast("double")).as("kmv_exact"),
+          (col("kll_value") === col("dkll")).as("kll_lossless"),
+          (Kll.quantile(col("kll_value"), 0.5) === col("ex50"))
+            .as("p50_exact"),
+          (Kll.quantile(col("kll_value"), 0.95) === col("ex95"))
+            .as("p95_exact"))
+    }),
+
     // STREAMING token-window chunking gated through batch t12's oracle:
     // the chunker is a pure flatMap projection (tokenize -> slice), so
     // batch semantics lift with no state and no watermark — documents
@@ -1403,6 +1457,15 @@ object EngineQueries {
       """SELECT user_id, event_type, count(*) AS n_rows,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY user_id, event_type""",
+    // the sketch-IVM booleans are guarantees the fold must make TRUE
+    // (lossless merge + exact estimates in the below-k regime); the
+    // exact columns come straight from the raw table
+    "m47_sketch_ivm" ->
+      """SELECT event_type, count(*) AS n_rows,
+           count(DISTINCT user_id) AS distinct_users,
+           TRUE AS kmv_lossless, TRUE AS kmv_exact, TRUE AS kll_lossless,
+           TRUE AS p50_exact, TRUE AS p95_exact
+         FROM events GROUP BY event_type""",
     // the stateless streaming lifts share their batch twins' oracles
     // verbatim — that sharing IS each gate's claim (pure projections /
     // stream-static broadcast filters: batch ≡ stream by construction)

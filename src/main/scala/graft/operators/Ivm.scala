@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   *    integer arithmetic — order- and batching-independent, so ANY
   *    split of the input into deltas lands bit-identical to the
   *    one-shot aggregate ([[graft.functions.decSum]]'s contract).
+  *  - SKETCH-valued summaries (`kmvCols`/`kllCols`): the summary also
+  *    carries mergeable sketches — `kmv_<c>` (KMV distinct-count,
+  *    `array<long>` of k min hashes) and `kll_<c>` (KLL quantiles,
+  *    sorted weighted point set) — and the fold per refresh is a
+  *    sketch MERGE, so the standing summary answers distinct-count
+  *    and percentile queries incrementally, never rescanning the
+  *    base. KMV's fold is order-independent by construction (k-min of
+  *    a union); below k distinct values it is LOSSLESS and the
+  *    estimate is exact. KLL is lossless below its compaction
+  *    threshold (q55's merge precedent) and rank-error-bounded above
+  *    it (q58's regime). Sketches are INSERT-ONLY: combining them
+  *    with `weightCol` retractions is rejected loudly.
   *  - Each apply is one shuffle on the group keys: delta partials
   *    union the live summary generation and re-aggregate; the result
   *    lands as the next `gen-N` directory and ONE atomic `_CURRENT`
@@ -52,15 +64,23 @@ object Ivm {
   private val BatchMarker = "_IVM_BATCH"
 
   private def sumCol(c: String) = s"sum_$c"
+  private def kmvCol(c: String) = s"kmv_$c"
+  private def kllCol(c: String) = s"kll_$c"
 
-  /** Additive partial of one delta batch. */
+  /** Additive/mergeable partial of one delta batch. */
   private def partials(delta: DataFrame, keys: Seq[String],
                        sumCols: Seq[String],
-                       weightCol: Option[String]): DataFrame = {
+                       weightCol: Option[String],
+                       kmvCols: Seq[String], kllCols: Seq[String],
+                       sketchK: Int): DataFrame = {
+    import graft.expressions.{Kll, Kmv}
     val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
-    val aggs = sum(w).as("n_rows") +: sumCols.map(c =>
+    val aggs = (sum(w).as("n_rows") +: sumCols.map(c =>
       sum((col(c).cast("decimal(38,6)") * w).cast("decimal(38,6)"))
-        .cast("decimal(38,6)").as(sumCol(c)))
+        .cast("decimal(38,6)").as(sumCol(c)))) ++
+      kmvCols.map(c => Kmv.sketch(xxhash64(col(c)), sketchK).as(kmvCol(c))) ++
+      kllCols.map(c =>
+        Kll.sketch(col(c).cast("double"), sketchK).as(kllCol(c)))
     delta.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -87,24 +107,36 @@ object Ivm {
   def applyDelta(spark: SparkSession, path: String, delta: DataFrame,
                  keys: Seq[String], sumCols: Seq[String],
                  batchId: Long = -1L,
-                 weightCol: Option[String] = None): Boolean =
+                 weightCol: Option[String] = None,
+                 kmvCols: Seq[String] = Nil,
+                 kllCols: Seq[String] = Nil,
+                 sketchK: Int = 4096): Boolean =
       Layout.withMaintenanceLock(spark, path) {
+    import graft.expressions.{Kll, Kmv}
     require(keys.nonEmpty, "incrementalAgg needs at least one key column")
-    require((keys ++ sumCols ++ weightCol).forall(delta.columns.contains),
+    require(weightCol.isEmpty || (kmvCols.isEmpty && kllCols.isEmpty),
+      "sketch summary columns are INSERT-ONLY (a KMV/KLL sketch cannot " +
+        "retract a value); weightCol composes with sum columns only")
+    val needed = keys ++ sumCols ++ weightCol ++ kmvCols ++ kllCols
+    require(needed.forall(delta.columns.contains),
       "delta is missing column(s) " +
-        (keys ++ sumCols ++ weightCol).filterNot(delta.columns.contains)
-          .mkString("[", ", ", "]"))
+        needed.filterNot(delta.columns.contains).mkString("[", ", ", "]"))
     val applied = lastAppliedBatch(spark, path)
     if (batchId >= 0 && applied.exists(_ >= batchId)) false
     else {
-      val part = partials(delta, keys, sumCols, weightCol)
+      val part = partials(delta, keys, sumCols, weightCol,
+        kmvCols, kllCols, sketchK)
       val curGen = Layout.currentGeneration(spark, path)
       val combined = curGen match {
         case None => part
         case Some(g) =>
           val cur = spark.read.parquet(Layout.generationPath(path, g))
-          val aggs = sum(col("n_rows")).as("n_rows") +: sumCols.map(c =>
-            sum(col(sumCol(c))).cast("decimal(38,6)").as(sumCol(c)))
+          val aggs = (sum(col("n_rows")).as("n_rows") +: sumCols.map(c =>
+            sum(col(sumCol(c))).cast("decimal(38,6)").as(sumCol(c)))) ++
+            kmvCols.map(c =>
+              Kmv.merge(col(kmvCol(c)), sketchK).as(kmvCol(c))) ++
+            kllCols.map(c =>
+              Kll.merge(col(kllCol(c)), sketchK).as(kllCol(c)))
           cur.unionByName(part).groupBy(keys.map(col): _*)
             .agg(aggs.head, aggs.tail: _*)
       }

@@ -454,11 +454,15 @@ object Streams {
     */
   def incrementalAgg(stream: DataFrame, path: String, keys: Seq[String],
                      sumCols: Seq[String],
-                     weightCol: Option[String] = None): DataStreamWriter[Row] =
+                     weightCol: Option[String] = None,
+                     kmvCols: Seq[String] = Nil,
+                     kllCols: Seq[String] = Nil,
+                     sketchK: Int = 4096): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       if (!batch.isEmpty) {
         graft.operators.Ivm.applyDelta(batch.sparkSession, path, batch,
-          keys, sumCols, batchId = id, weightCol = weightCol)
+          keys, sumCols, batchId = id, weightCol = weightCol,
+          kmvCols = kmvCols, kllCols = kllCols, sketchK = sketchK)
         ()
       }
     }

@@ -84,6 +84,40 @@ class IvmSpec extends SparkSpec {
     assert(snap(Ivm.read(spark, dir)) == Map("a" -> (2L, BigDecimal(2.0))))
   }
 
+  test("sketch-valued summaries: fold = lossless merge, insert-only") {
+    val dir = tmpDir("sk")
+    import spark.implicits._
+    import graft.expressions.{Kll, Kmv}
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val all = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 2L, 3.0),
+      ("a", 3L, 4.0), ("b", 1L, 10.0)).toDF("k", "u", "v")
+    // two deltas splitting every key's rows
+    assert(Ivm.applyDelta(spark, dir, all.limit(2), Seq("k"), Nil,
+      batchId = 0, kmvCols = Seq("u"), kllCols = Seq("v"), sketchK = 16))
+    assert(Ivm.applyDelta(spark, dir, all.offset(2), Seq("k"), Nil,
+      batchId = 1, kmvCols = Seq("u"), kllCols = Seq("v"), sketchK = 16))
+    val folded = Ivm.read(spark, dir)
+    val oneShot = all.groupBy("k").agg(
+      Kmv.sketch(xxhash64(col("u")), 16).as("dsk"),
+      Kll.sketch(col("v"), 16).as("dkll"))
+    val cmp = folded.join(oneShot, "k")
+      .select(col("k"), (col("kmv_u") === col("dsk")).as("kmv_eq"),
+        (col("kll_v") === col("dkll")).as("kll_eq"),
+        Kmv.estimate(col("kmv_u"), 16).as("est"),
+        Kll.quantile(col("kll_v"), 0.5).as("p50"))
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(cmp("a") == ((true, true, 3.0, 2.0)), cmp("a").toString)
+    assert(cmp("b") == ((true, true, 1.0, 10.0)), cmp("b").toString)
+    // sketches cannot retract: combining with weightCol fails loudly
+    intercept[IllegalArgumentException] {
+      Ivm.applyDelta(spark, dir, all.withColumn("w", lit(1L)),
+        Seq("k"), Nil, batchId = 2, weightCol = Some("w"),
+        kmvCols = Seq("u"))
+    }
+  }
+
   test("crashed apply (orphan gen, no pointer swap) is invisible and " +
       "recovered by the next apply") {
     val dir = tmpDir("crash")
