@@ -954,6 +954,51 @@ object EngineQueries {
         col("o_orderdate"), col("o_totalprice"), col("ver"))
     }),
 
+    // MULTI-COLUMN manifest data-skipping (Layout.readManifestPruned):
+    // real queries AND ranges — here a three-month date window × an
+    // order-key band — and a partition generation is read only when
+    // its stats intersect EVERY window, so each extra predicate
+    // shrinks the scan. The table partitions by (year, key band) and
+    // keeps min/max of BOTH the exact timestamp and the key, so the
+    // gate can pin pruning on both dimensions structurally (every
+    // scanned file under o_year=1996 AND an overlapping band) plus the
+    // conjunction's strictness (fewer files than the date-only read),
+    // while the in-plan residual keeps the result hash-exact against
+    // the merged-table oracle.
+    "m48_manifest_multiskip" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("manskip2")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        floor(col("o_orderkey") / 2000.0).cast("long").as("o_band"),
+        col("o_orderdate"), col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out, seed, Seq("o_year", "o_band"),
+        statsCols = Seq("o_orderdate", "o_orderkey"))
+      val batch = seed.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("ver", lit(2L))
+      Layout.mergeManifest(s, out, batch, Seq("o_orderkey"), "ver")
+      val res = Layout.readManifestPruned(s, out, Seq(
+        ("o_orderdate", "1996-02-01 00:00:00", "1996-04-30 23:59:59"),
+        ("o_orderkey", 1000L, 5000L)))
+      // keys 1000..5000 can only live in bands 0..2 (band = key/2000)
+      val offDim = res.inputFiles.filterNot(f =>
+        f.contains("/o_year=1996/") &&
+          (0 to 2).exists(b => f.contains(s"/o_band=$b/")))
+      require(res.inputFiles.nonEmpty && offDim.isEmpty,
+        "both dimensions must prune, scanned: " +
+          offDim.take(3).mkString(","))
+      val dateOnly = Layout.readManifestBetween(s, out, "o_orderdate",
+        "1996-02-01 00:00:00", "1996-04-30 23:59:59")
+      require(res.inputFiles.length < dateOnly.inputFiles.length,
+        "the key conjunct must prune beyond the date window " +
+          s"(${res.inputFiles.length} vs ${dateOnly.inputFiles.length})")
+      res.select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+        col("o_band").cast("long").as("o_band"),
+        col("o_orderdate"), col("o_totalprice"), col("ver"))
+    }),
+
     // Incremental view maintenance (Ivm.applyDelta): the events rollup
     // maintained by folding three row-level delta batches — split by a
     // row hash, so every key's rows scatter ACROSS deltas and the fold
@@ -1445,6 +1490,21 @@ object EngineQueries {
          FROM orders
          WHERE o_orderdate BETWEEN TIMESTAMP '1996-02-01 00:00:00'
            AND TIMESTAMP '1996-04-30 23:59:59'""",
+    // the conjunction-pruned read must be EXACT: the merged table
+    // restricted to the date window AND the key band (pruning is an
+    // optimization the gate's in-plan requires pin separately)
+    "m48_manifest_multiskip" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(floor(o_orderkey / 2000.0) AS BIGINT) AS o_band,
+           o_orderdate,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1996-02-01 00:00:00'
+             AND TIMESTAMP '1996-04-30 23:59:59'
+           AND o_orderkey BETWEEN 1000 AND 5000""",
     // any delta split folds bit-identical to the one-shot GROUP BY:
     // decimal partials are exact integer arithmetic (batch m41 and the
     // streaming lift m42 share the oracle verbatim — that sharing IS

@@ -804,34 +804,76 @@ object Layout {
     * `lit` accepts and are Cast to the column's stored type.
     */
   def readManifestBetween(spark: SparkSession, path: String,
-                          column: String, lo: Any, hi: Any): DataFrame = {
+                          column: String, lo: Any, hi: Any): DataFrame =
+    readManifestPruned(spark, path, Seq((column, lo, hi)))
+
+  /** Data-skipping read over a CONJUNCTION of range predicates —
+    * `c1 BETWEEN lo1 AND hi1 AND c2 BETWEEN lo2 AND hi2 AND ...`
+    * (real queries AND ranges: a date window × a key band). A
+    * partition generation is read only if its stored [min, max]
+    * intersects EVERY window — each extra predicate can only shrink
+    * the scan set. Same soundness argument as the single-column form
+    * (each column's stats are independently exact over the immutable
+    * generation, and a conjunction holds only where all conjuncts do);
+    * the overlap test and the in-plan residual filter both run through
+    * Spark's own Cast + ordering, so pruning can never disagree with
+    * the result.
+    */
+  def readManifestPruned(spark: SparkSession, path: String,
+                         ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "readManifestPruned needs >= 1 range")
+    require(ranges.map(_._1).distinct.size == ranges.size,
+      "one range per column; AND two windows on the same column into " +
+        "their intersection first")
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not a manifest table; seed it with writeManifestTable"))
     val m = readManifestMeta(spark, path, v)
-    require(m.statsCols.contains(column),
-      s"manifest table $path keeps no stats for '$column' " +
-        s"(statsCols: ${m.statsCols.mkString(",")}); reseed with it " +
-        "in statsCols to enable data-skipping reads")
-    val dt = manifestSchema(m)(column).dataType
-    val bounds = m.entries.keys.toSeq.sorted.map { rel =>
-      val st = m.stats.getOrElse(rel, Map.empty)
-        .getOrElse(column, (None, None))
-      (rel, st._1.orNull, st._2.orNull)
+    ranges.foreach { case (c, _, _) =>
+      require(m.statsCols.contains(c),
+        s"manifest table $path keeps no stats for '$c' " +
+          s"(statsCols: ${m.statsCols.mkString(",")}); reseed with it " +
+          "in statsCols to enable data-skipping reads")
     }
-    import spark.implicits._
+    val schema = manifestSchema(m)
+    val boundRows = m.entries.keys.toSeq.sorted.map { rel =>
+      org.apache.spark.sql.Row.fromSeq(rel +: ranges.flatMap {
+        case (c, _, _) =>
+          val st = m.stats.getOrElse(rel, Map.empty)
+            .getOrElse(c, (None, None))
+          Seq(st._1.orNull, st._2.orNull)
+      })
+    }
+    val boundSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("rel",
+        org.apache.spark.sql.types.StringType) +:
+        ranges.zipWithIndex.flatMap { case (_, i) => Seq(
+          org.apache.spark.sql.types.StructField(s"__mn_$i",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(s"__mx_$i",
+            org.apache.spark.sql.types.StringType)) })
     // the overlap test runs through Spark's own Cast + ordering — the
     // exact semantics the residual filter uses, so pruning can never
     // disagree with it; a tiny local job, bounded by |partitions|
-    val kept = bounds.toDF("rel", "__mn", "__mx")
-      .filter(col("__mn").isNotNull && col("__mx").isNotNull &&
-        col("__mx").cast(dt) >= lit(lo).cast(dt) &&
-        col("__mn").cast(dt) <= lit(hi).cast(dt))
+    val overlap = ranges.zipWithIndex.map { case ((c, lo, hi), i) =>
+      val dt = schema(c).dataType
+      col(s"__mn_$i").isNotNull && col(s"__mx_$i").isNotNull &&
+        col(s"__mx_$i").cast(dt) >= lit(lo).cast(dt) &&
+        col(s"__mn_$i").cast(dt) <= lit(hi).cast(dt)
+    }.reduce(_ && _)
+    val kept = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(boundRows).asJava),
+        boundSchema)
+      .filter(overlap)
       .select("rel").collect().map(_.getString(0)).toSet
     val base = readManifestRels(spark, path, m,
       kept.toSeq.sorted.map(rel => rel -> m.entries(rel)).toMap)
-    base.filter(col(column) >= lit(lo).cast(dt) &&
-      col(column) <= lit(hi).cast(dt))
+    val residual = ranges.map { case (c, lo, hi) =>
+      val dt = schema(c).dataType
+      col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
+    }.reduce(_ && _)
+    base.filter(residual)
   }
 
   /** Seed a MANIFEST table at `path` from `df`, partitioned by

@@ -694,6 +694,38 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("readManifestPruned: conjunction prunes on every dimension and " +
+      "stays exact") {
+    val dir = tmpDir("manconj")
+    import spark.implicits._
+    // two stats dims (v, d); partitions arranged so only the (v AND d)
+    // conjunction isolates p1: p0 matches the v-window, p2 the d-window
+    val seed = Seq(
+      (1L, "p0", 5.0, 100L, 1L), (2L, "p0", 9.0, 110L, 1L),
+      (3L, "p1", 7.0, 200L, 1L), (4L, "p1", 8.0, 210L, 1L),
+      (5L, "p2", 50.0, 205L, 1L))
+      .toDF("k", "part", "v", "d", "ver")
+    Layout.writeManifestTable(spark, dir, seed, Seq("part"),
+      statsCols = Seq("v", "d"))
+    val both = Layout.readManifestPruned(spark, dir,
+      Seq(("v", 0.0, 10.0), ("d", 150L, 250L)))
+    assert(both.collect().map(_.getAs[Long]("k")).toSet == Set(3L, 4L))
+    assert(both.inputFiles.nonEmpty &&
+      both.inputFiles.forall(_.contains("/part=p1/")),
+      s"conjunction must scan only p1: ${both.inputFiles.toSeq}")
+    // each single predicate scans MORE than the conjunction
+    assert(Layout.readManifestBetween(spark, dir, "v", 0.0, 10.0)
+      .inputFiles.length > both.inputFiles.length)
+    // duplicate column and empty ranges fail loudly
+    intercept[IllegalArgumentException] {
+      Layout.readManifestPruned(spark, dir,
+        Seq(("v", 0.0, 1.0), ("v", 2.0, 3.0)))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.readManifestPruned(spark, dir, Nil)
+    }
+  }
+
   test("evolveManifest: metadata-only column add; old gens read typed " +
       "NULLs; old snapshots keep their schema") {
     val dir = tmpDir("manevolve")
