@@ -425,6 +425,51 @@ object EngineQueries {
       s.read.parquet(s"$out/t")
     }),
 
+    // Z-ORDER RE-CLUSTER AS A SCHEDULED JOB (the m33 pattern for
+    // layout maintenance): a config-DSL Zorder node — driven through
+    // the real scheduler, Derby ledger and pipeline runner — rewrites
+    // the seeded lineitem table clustered on (l_orderkey, l_partkey)
+    // via Layout.clusterRewrite (single-writer lease, count-verified
+    // rename-aside swap). The gate pins the job's Done status, the
+    // requested file layout, and row-identity of the rewritten table
+    // against the raw lineitem oracle — OPTIMIZE ZORDER as a nightly
+    // declarative job, not a hand-written library call.
+    "m49_dsl_zorder_job" -> ((s, dir) => {
+      import graft.scheduler._
+      val out = tmp("dslz")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .write.parquet(s"$out/t")
+      val cfg =
+        s"""[{"node_name":"recluster","node_type":"Zorder","node_seqno":1,
+           |  "config":{"path":"$out/t","z_cols":"l_orderkey,l_partkey",
+           |    "num_files":"8"}}]""".stripMargin
+      JobScripts.register("m49-script") { (spark, cal) =>
+        val p = PipelineConfig.fromJson("m49-zorder", cfg, new SourceRegistry)
+        require(p.run(spark, cal).status == Status.Done)
+      }
+      val db = DatabaseSource("m49db", "jdbc:derby:memory:graftm49;create=true")
+      val ledger = new JdbcLedger(db)
+      val runner = new PipelineJobRunner(s, new Repository(db),
+        new SourceRegistry, ledger)
+      val sched = new Scheduler(runner, ledger = Some(ledger))
+      try {
+        val job = JobSpec(49L, "m49-script")
+        sched.register(job)
+        val tag = java.time.LocalDateTime.of(1995, 6, 15, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        require(sched.charge(job, tag).isDefined)
+        require(sched.drain(), "m49 run did not finish")
+        require(sched.history.peek()._2 == Status.Done,
+          s"m49 run finished ${sched.history.peek()._2}")
+      } finally sched.stop()
+      val res = s.read.parquet(s"$out/t")
+      require(res.inputFiles.length == 8,
+        s"re-cluster must land the requested 8 files, " +
+          s"got ${res.inputFiles.length}")
+      res.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    }),
+
     // File listing as a DataFrame; oracle twin stats the same files via
     // DuckDB read_blob (name/size — mtimes excluded, not reproducible).
     "m08_filenames" -> ((s, dir) => {
@@ -1424,6 +1469,11 @@ object EngineQueries {
              ORDER BY ver DESC) AS rn FROM all_rows)
          WHERE rn = 1""",
     "m16_zorder_sink" ->
+      "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
+    // the scheduled Zorder node's rewrite must be row-identical — the
+    // clustering itself is layout, pinned by the gate's in-plan
+    // requires and the spec
+    "m49_dsl_zorder_job" ->
       "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem",
     "m30_zorder_string" ->
       "SELECT doc_id, lang, source, n_chars FROM documents",

@@ -97,6 +97,15 @@ object PipelineConfig {
       generational = c.get("generational").exists(_.toBoolean),
       manifest = c.get("manifest").exists(_.toBoolean),
       maxFiles = c.get("max_files").map(_.toInt).getOrElse(4))),
+    "Zorder" -> ((c, _) => ZorderModel(get(c, "path"),
+      zCols = get(c, "z_cols").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq,
+      bits = c.get("bits").map(_.toInt).getOrElse(8),
+      numFiles = c.get("num_files").map(_.toInt).getOrElse(0))),
+    "SortedWrite" -> ((c, _) => SortedWriteModel(get(c, "path"),
+      sortCols = get(c, "sort_cols").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq,
+      numFiles = c.get("num_files").map(_.toInt).getOrElse(0))),
     "IvmApply" -> ((c, _) => IvmApplyModel(get(c, "path"),
       deltaPath = get(c, "delta_path"),
       keys = get(c, "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq,

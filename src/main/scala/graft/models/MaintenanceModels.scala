@@ -96,6 +96,47 @@ final case class CompactModel(
   }
 }
 
+/** Scheduled Z-order re-cluster of a parquet table (the
+  * `OPTIMIZE ... ZORDER BY` node): rewrite the table at `path`
+  * clustered on 2-4 `zCols` via [[Layout.clusterRewrite]] —
+  * count-verified before the rename-aside swap, single-writer leased,
+  * row-identical. A nightly job keeps multi-dimension scan locality
+  * (and therefore parquet row-group skipping on EVERY z column)
+  * current as CDC appends decluster the layout. Returns the verified
+  * row count.
+  */
+final case class ZorderModel(
+    path: String,
+    zCols: Seq[String],
+    bits: Int = 8,
+    numFiles: Int = 0,
+    override val knobs: ModelKnobs = ModelKnobs())
+  extends PdModel with Executable {
+
+  def execute(ctx: StepContext): ExecResult =
+    ExecResult(resultValue = Some(Layout.clusterRewrite(ctx.spark,
+      ctx.render(path), zCols, zorder = true, bits = bits,
+      numFiles = numFiles)))
+}
+
+/** Scheduled linear re-cluster (the single-dimension OPTIMIZE node):
+  * rewrite the table at `path` range-clustered + sorted on `sortCols`
+  * via [[Layout.clusterRewrite]] — disjoint per-file key ranges and
+  * tight row-group min/max on the leading sort key. Returns the
+  * verified row count.
+  */
+final case class SortedWriteModel(
+    path: String,
+    sortCols: Seq[String],
+    numFiles: Int = 0,
+    override val knobs: ModelKnobs = ModelKnobs())
+  extends PdModel with Executable {
+
+  def execute(ctx: StepContext): ExecResult =
+    ExecResult(resultValue = Some(Layout.clusterRewrite(ctx.spark,
+      ctx.render(path), sortCols, zorder = false, numFiles = numFiles)))
+}
+
 /** Incremental-aggregate fold (the REFRESH MATERIALIZED VIEW ...
   * INCREMENTALLY node): fold the staged delta batch at `deltaPath`
   * into the [[graft.operators.Ivm]] summary at `path`. `batchId`

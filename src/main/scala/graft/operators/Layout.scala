@@ -1322,4 +1322,43 @@ object Layout {
       .drop((zCols.indices.map(i => s"__bk$i") :+ "__z"): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Re-cluster the EXISTING parquet table at `path` in place — the
+    * scheduled `OPTIMIZE ... ZORDER BY` maintenance action behind the
+    * Zorder/SortedWrite DSL nodes. `zorder = true` rewrites through
+    * [[zorderWrite]] (2-4 dims); otherwise [[sortedWrite]] (linear
+    * range-cluster + sortWithinPartitions). Same discipline as
+    * [[compact]]: single-writer lease, source row count observed
+    * during the rewrite scan and verified against the landed parquet
+    * BEFORE the swap, rename-aside swap (maintenance-window
+    * semantics — manifest tables refuse, their generations must move
+    * through the manifest). Row-identical by construction. Returns
+    * the verified row count.
+    */
+  def clusterRewrite(spark: SparkSession, path: String, cols: Seq[String],
+                     zorder: Boolean, bits: Int = 8,
+                     numFiles: Int = 0): Long =
+      withMaintenanceLock(spark, path) {
+    requireNotManifest(spark, path, "clusterRewrite")
+    require(cols.nonEmpty, "clusterRewrite needs cluster column(s)")
+    val before = spark.read.parquet(path)
+    // counted up front, NOT via an Observation riding the rewrite:
+    // repartitionByRange's sampling pass re-scans the source inside the
+    // same write action and would double the observed metric. A bare
+    // parquet count() is a row-group-metadata scan — no columns read.
+    val n0 = before.count()
+    val tmp = s"$path.__cluster_tmp"
+    if (zorder) zorderWrite(before, tmp, cols, bits = bits,
+      numFiles = numFiles)
+    else sortedWrite(before, tmp, cols, numFiles = numFiles)
+    val n1 = spark.read.parquet(tmp).count()
+    require(n1 == n0, s"re-cluster would lose rows: $n0 -> $n1; aborting")
+    val fc = fileContext(spark, path)
+    val aside = new Path(s"$path.__cluster_old")
+    if (fc.util.exists(aside)) fc.delete(aside, true) // crashed prior run
+    fc.rename(new Path(path), aside)
+    fc.rename(new Path(tmp), new Path(path))
+    fc.delete(aside, true)
+    n1
+  }
 }

@@ -36,7 +36,7 @@ class SurfacesSpec extends SparkSpec {
   test("config registry covers the reference model surface") {
     assert(Seq("Table", "Select", "Insert", "SQL", "CSV", "JSON", "XML",
       "Parquet", "Filenames", "FileManager", "Merge", "Compact",
-      "Manifest", "IvmApply")
+      "Manifest", "IvmApply", "Zorder", "SortedWrite")
       .forall(PipelineConfig.registry.contains))
   }
 

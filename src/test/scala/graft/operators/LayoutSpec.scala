@@ -694,6 +694,43 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("clusterRewrite: row-identical in-place re-cluster, disjoint " +
+      "sorted ranges, manifest refusal") {
+    val dir = tmpDir("recluster")
+    import spark.implicits._
+    val rows = (1 to 1000).map(i => ((i * 7919) % 1000, i.toLong))
+    rows.toDF("k", "v").repartition(6).write.parquet(dir)
+    val n = Layout.clusterRewrite(spark, dir, Seq("k"), zorder = false,
+      numFiles = 4)
+    assert(n == 1000L)
+    val back = spark.read.parquet(dir)
+    assert(back.inputFiles.length == 4)
+    assert(back.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      rows.toSet, "rewrite must be row-identical")
+    // linear sort: per-file key ranges are disjoint
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+      .collect().map(r => (r.getAs[Int]("mn"), r.getAs[Int]("mx")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping file ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+    // z-order path is row-identical too
+    assert(Layout.clusterRewrite(spark, dir, Seq("k", "v"),
+      zorder = true, numFiles = 4) == 1000L)
+    assert(spark.read.parquet(dir).count() == 1000L)
+    // a manifest table refuses the rename-swap discipline
+    val mdir = tmpDir("reclusterman")
+    Layout.writeManifestTable(spark, mdir,
+      Seq((1L, "p0", 1L)).toDF("k", "part", "ver"), Seq("part"))
+    intercept[IllegalArgumentException] {
+      Layout.clusterRewrite(spark, mdir, Seq("k"), zorder = false)
+    }
+  }
+
   test("readManifestPruned: conjunction prunes on every dimension and " +
       "stays exact") {
     val dir = tmpDir("manconj")
