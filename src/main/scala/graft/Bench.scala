@@ -13,6 +13,13 @@ object Bench {
     def meanSec: Option[Double] =
       if (samples.isEmpty || minSec.isEmpty) None
       else Some(samples.sum / samples.size)
+
+    /** Upper median — the stall-robust central estimate: one poisoned
+      * pass moves the mean a lot and the median not at all, so
+      * min ≈ median says "stable", median >> min says "noisy run". */
+    def medianSec: Option[Double] =
+      if (samples.isEmpty || minSec.isEmpty) None
+      else Some(samples.sorted.apply(samples.size / 2))
   }
 
   /** Measure `queries` over `passes` suite-wide passes (min per query).
@@ -28,7 +35,18 @@ object Bench {
     */
   def run(spark: SparkSession, sfDir: String,
           queries: Seq[(String, (SparkSession, String) => DataFrame)],
-          passes: Int): Seq[Outcome] = {
+          passes: Int, warmupPasses: Int = 0): Seq[Outcome] = {
+    // unrecorded warmup: the first execution of a streaming gate pays
+    // one-time staging (memoized restage writes, checkpoint dirs) and
+    // is the sample most exposed to this host's IO-stall bands — run
+    // the suite once unmeasured so every RECORDED sample is steady
+    // state. Errors surface in the measured passes, not here.
+    for (_ <- 1 to warmupPasses) queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val times = Array.fill(queries.size)(Double.MaxValue)
     val samples = Array.fill(queries.size)(List.empty[Double])
     val spans = Array.fill(queries.size)(List.empty[(Long, Long)])
@@ -83,8 +101,15 @@ object Bench {
           if (o.samples.size < 2) "single-sample"
           else s"samples=[${o.samples.map(num(_, 2)).mkString(",")}] " +
             s"spread=${num(o.samples.max / o.samples.min, 2)}x"
+        // median/min disagreement is the stall signature: a genuine
+        // regression moves every sample, a stall-poisoned run moves
+        // the max (and maybe the median) while min stays put
+        val stability = o.medianSec.map { med =>
+          if (o.minSec.exists(mn => med <= mn * 1.25)) " median-stable"
+          else s" median=${num(med, 2)}s (noisy run — re-pin isolated)"
+        }.getOrElse("")
         s"[bench] MOVER ${o.name}: ${num(before, 2)} -> ${num(now, 2)} s " +
-          s"(${num(now / before, 2)}x) $spread"
+          s"(${num(now / before, 2)}x) $spread$stability"
       }
     }
 
@@ -129,6 +154,12 @@ object Bench {
     // suite-per-pass spreads a query's samples minutes apart, so a host
     // stall window poisons at most one of the three.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
+    // one unrecorded suite pass by default (SPARK_GRAFT_WARMUP=0 to
+    // skip): first executions pay memoized staging + checkpoint setup
+    // and sit in the host's IO-stall band most often — warming keeps
+    // recorded samples steady-state and cuts false mover flags
+    val warmup = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // read the PREVIOUS full record before this run overwrites it — the
@@ -138,12 +169,15 @@ object Bench {
       try parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(prevPath)), "UTF-8"))
       catch { case _: Throwable => Map.empty }
-    val outcomes = run(spark, sfDir, names, passes)
+    val outcomes = run(spark, sfDir, names, passes, warmupPasses = warmup)
     val failed = outcomes.collect { case o if o.minSec.isEmpty => o.name }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = outcomes.map(o => "\"" + o.name + "\":" + o.minSec.getOrElse(-1.0))
       .mkString("{", ",", "}")
     val means = outcomes.map(o => "\"" + o.name + "\":" + o.meanSec.getOrElse(-1.0))
+      .mkString("{", ",", "}")
+    val medians = outcomes.map(o =>
+      "\"" + o.name + "\":" + o.medianSec.getOrElse(-1.0))
       .mkString("{", ",", "}")
     val smp = outcomes.map { o =>
       "\"" + o.name + "\":" +
@@ -155,7 +189,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = outcomes.flatMap(_.minSec).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mean":$means,"samples":$smp,"spans":$sp,"failed":$failedJson,"sf":"$sfDir","passes":$passes}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mean":$means,"median":$medians,"samples":$smp,"spans":$sp,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"warmup":$warmup}"""
     println(fullLine)
     // regression guard: print every >=1.5x mover vs the previous record with
     // this run's pass-to-pass spread — tight spread + slow = real regression;

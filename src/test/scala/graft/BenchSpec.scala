@@ -38,6 +38,21 @@ class BenchSpec extends SparkSpec {
     assert(Bench.exitCode(outcomes) == 0)
   }
 
+  test("warmup passes execute but leave no recorded samples") {
+    var calls = 0
+    val counting: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame =
+      (s, _) => { calls += 1; s.range(1).toDF() }
+    val outcomes = Bench.run(spark, "unused", Seq("a" -> counting),
+      passes = 2, warmupPasses = 1)
+    assert(calls == 3, s"1 warmup + 2 measured, got $calls")
+    assert(outcomes.head.samples.size == 2,
+      "warmup must not contribute a sample")
+    // median: upper median of the recorded samples only
+    assert(outcomes.head.medianSec.contains(outcomes.head.samples.sorted
+      .apply(1)))
+  }
+
   test("per-pass samples and mean are recorded alongside the min") {
     val outcomes = Bench.run(spark, "unused", Seq("a" -> ok), passes = 3)
     val o = outcomes.head
