@@ -88,7 +88,9 @@ object PipelineConfig {
       partitionCols = c.get("partition_cols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       deleteCol = c.get("delete_col"),
-      manifest = c.get("manifest").exists(_.toBoolean))),
+      manifest = c.get("manifest").exists(_.toBoolean),
+      strategy = c.getOrElse("strategy", "cow"))),
+    "FoldDeltas" -> ((c, _) => FoldDeltasModel(get(c, "path"))),
     "Manifest" -> ((c, _) => ManifestModel(get(c, "path"),
       version = c.get("version").map(_.toInt), knobs = knobsOf(c))),
     "Compact" -> ((c, _) => CompactModel(get(c, "path"),
@@ -112,7 +114,12 @@ object PipelineConfig {
       sumCols = get(c, "sum_cols").split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq,
       batchId = c.get("batch_id"),
-      weightCol = c.get("weight_col"))))
+      weightCol = c.get("weight_col"),
+      kmvCols = c.get("kmv_cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      kllCols = c.get("kll_cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      sketchK = c.get("sketch_k").map(_.toInt).getOrElse(4096))))
 
   def buildNode(nc: NodeConfig, sources: SourceRegistry): PdModel =
     registry.getOrElse(nc.nodeType,

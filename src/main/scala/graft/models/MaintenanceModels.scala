@@ -17,9 +17,13 @@ import graft.operators.Layout
   * `updatesPath` onto the keyed table at `path` (the MERGE INTO node).
   * `manifest = true` targets a manifest table
   * ([[Layout.mergeManifest]] — partition-granular snapshot publish,
-  * the continuous-readers mode); otherwise [[Layout.merge]]
-  * (rename-swap, maintenance-window semantics), partition-pruned when
-  * `partitionCols` is set. Returns the applied batch's row count.
+  * the continuous-readers mode); `strategy = "mor"` (manifest only)
+  * appends the batch as pending merge-on-read delta generations
+  * ([[Layout.mergeManifestDelta]] — O(|batch|), the base is never
+  * read; schedule a [[FoldDeltasModel]] to fold); otherwise
+  * [[Layout.merge]] (rename-swap, maintenance-window semantics),
+  * partition-pruned when `partitionCols` is set. Returns the applied
+  * batch's row count.
   */
 final case class MergeModel(
     path: String,
@@ -29,13 +33,23 @@ final case class MergeModel(
     partitionCols: Seq[String] = Nil,
     deleteCol: Option[String] = None,
     manifest: Boolean = false,
+    strategy: String = "cow",
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
+
+  require(strategy == "cow" || strategy == "mor",
+    s"Merge strategy must be 'cow' or 'mor', got '$strategy'")
+  require(strategy == "cow" || manifest,
+    "strategy = 'mor' needs manifest = true (merge-on-read deltas are " +
+      "a manifest-table discipline)")
 
   def execute(ctx: StepContext): ExecResult = {
     val updates = ctx.spark.read.parquet(ctx.render(updatesPath))
     val target = ctx.render(path)
-    if (manifest)
+    if (manifest && strategy == "mor")
+      Layout.mergeManifestDelta(ctx.spark, target, updates, keys,
+        versionCol, deleteCol = deleteCol)
+    else if (manifest)
       Layout.mergeManifest(ctx.spark, target, updates, keys, versionCol,
         deleteCol = deleteCol)
     else
@@ -43,6 +57,22 @@ final case class MergeModel(
         partitionCols, deleteCol = deleteCol)
     ExecResult(resultValue = Some(updates.count()))
   }
+}
+
+/** Fold pending merge-on-read deltas back into single base generations
+  * (the OPTIMIZE half of the delta-merge discipline,
+  * [[Layout.foldManifestDeltas]]): a scheduled fold bounds the read
+  * tax that accumulating deltas impose. Safely re-runnable — with no
+  * pending deltas it is a no-op. Returns the folded partition count.
+  */
+final case class FoldDeltasModel(
+    path: String,
+    override val knobs: ModelKnobs = ModelKnobs())
+  extends PdModel with Executable {
+
+  def execute(ctx: StepContext): ExecResult =
+    ExecResult(resultValue = Some(
+      Layout.foldManifestDeltas(ctx.spark, ctx.render(path)).length.toLong))
 }
 
 /** Snapshot source over a MANIFEST table (the read half of the
@@ -153,6 +183,9 @@ final case class IvmApplyModel(
     sumCols: Seq[String],
     batchId: Option[String] = None,
     weightCol: Option[String] = None,
+    kmvCols: Seq[String] = Nil,
+    kllCols: Seq[String] = Nil,
+    sketchK: Int = 4096,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
 
@@ -161,7 +194,8 @@ final case class IvmApplyModel(
     val applied = graft.operators.Ivm.applyDelta(ctx.spark,
       ctx.render(path), delta, keys, sumCols,
       batchId = batchId.map(b => ctx.render(b).toLong).getOrElse(-1L),
-      weightCol = weightCol)
+      weightCol = weightCol, kmvCols = kmvCols, kllCols = kllCols,
+      sketchK = sketchK)
     ExecResult(resultValue = Some(if (applied) 1L else 0L))
   }
 }
