@@ -1036,7 +1036,13 @@ object EngineQueries {
           offDim.take(3).mkString(","))
       val dateOnly = Layout.readManifestBetween(s, out, "o_orderdate",
         "1996-02-01 00:00:00", "1996-04-30 23:59:59")
-      require(res.inputFiles.length < dateOnly.inputFiles.length,
+      // strict shrink is only guaranteed when the date-only scan even
+      // HAS files outside bands 0..2 to prune (at tiny scale factors
+      // every key lives in-band and equality is the correct outcome)
+      val prunable = dateOnly.inputFiles.exists(f =>
+        !(0 to 2).exists(b => f.contains(s"/o_band=$b/")))
+      require(!prunable ||
+        res.inputFiles.length < dateOnly.inputFiles.length,
         "the key conjunct must prune beyond the date window " +
           s"(${res.inputFiles.length} vs ${dateOnly.inputFiles.length})")
       res.select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
@@ -1413,6 +1419,76 @@ object EngineQueries {
         col("o_totalprice"), col("ver"))
     }),
 
+    // MERGE-ON-READ manifest CDC (Layout.mergeManifestDelta /
+    // foldManifestDeltas): two delta batches — updates, inserts, and a
+    // partition-wide delete — land as pending delta generations with
+    // the base NEVER rewritten (every seed data file must still be on
+    // disk and still part of the resolved read: the O(|batch|) merge
+    // cost shape copy-on-write can't give), readers resolve
+    // latest-wins in-plan, a pinned reader keeps the seed snapshot,
+    // and the fold rewrites delta-bearing partitions to single
+    // generations WITHOUT changing a row (pre-fold xor-hash == post-
+    // fold xor-hash, and the post-fold read is the gate output, so
+    // both the resolution and the fold are oracle-exact).
+    "m50_manifest_mor" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("mor")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      def chk(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.select(xxhash64(col("o_orderkey"),
+            col("o_orderstatus").cast("string"), col("o_totalprice"),
+            col("ver")).as("h"))
+          .agg(count(lit(1)), expr("bit_xor(h)")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      Layout.writeManifestTable(s, out, seed, Seq("o_orderstatus"))
+      val seedChk = chk(Layout.readManifest(s, out))
+      val baseFiles = Layout.readManifest(s, out).inputFiles.toSet
+      val pinned = Layout.readManifest(s, out)
+      // delta 1 (ver 2): +100 on keys %10==0; brand-new keys for %13==0
+      val d1 = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 100).as("o_totalprice"),
+          lit(2L).as("ver"), lit(false).as("del"))
+        .unionByName(orders.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            lit(2L).as("ver"), lit(false).as("del")))
+      Layout.mergeManifestDelta(s, out, d1, Seq("o_orderkey"), "ver",
+        deleteCol = Some("del"))
+      // delta 2 (ver 3): delete every original status-P order; +7 on
+      // %7==0 outside P (no intra-batch key conflicts by construction)
+      val d2 = orders.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(3L).as("ver"), lit(true).as("del"))
+        .unionByName(orders.filter(col("o_orderstatus") =!= "P" &&
+            pmod(col("o_orderkey"), lit(7)) === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 7).as("o_totalprice"),
+            lit(3L).as("ver"), lit(false).as("del")))
+      Layout.mergeManifestDelta(s, out, d2, Seq("o_orderkey"), "ver",
+        deleteCol = Some("del"))
+      // the base was never rewritten: every seed file still read
+      val resolvedFiles = Layout.readManifest(s, out).inputFiles.toSet
+      require(baseFiles.subsetOf(resolvedFiles) &&
+        resolvedFiles != baseFiles,
+        "delta merges must append generations, never rewrite the base")
+      require(chk(pinned) == seedChk,
+        "reader pinned before merge-on-read deltas must keep its snapshot")
+      val preFold = chk(Layout.readManifest(s, out))
+      val folded = Layout.foldManifestDeltas(s, out)
+      require(folded.nonEmpty, "fold must rewrite delta-bearing partitions")
+      require(chk(Layout.readManifest(s, out)) == preFold,
+        "fold must not change a single resolved row")
+      require(Layout.foldManifestDeltas(s, out).isEmpty,
+        "a second fold must be a no-op")
+      Layout.readManifest(s, out).select(col("o_orderkey"),
+        col("o_orderstatus").cast("string").as("o_orderstatus"),
+        col("o_totalprice"), col("ver"))
+    }),
+
     // Z-order clustered rewrite (Layout.zorderWrite): lineitem written
     // Z-clustered on (l_orderkey, l_partkey); the read-back hash match
     // proves the curve rewrite is row-exact (the skipping behavior is
@@ -1489,6 +1565,23 @@ object EngineQueries {
                  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
                       ELSE o_totalprice END AS o_totalprice
                FROM orders WHERE o_orderstatus <> 'P')""",
+    // merge-on-read resolution recomputed as SQL: ver-3 deletes drop
+    // status P, ver-3 +7 wins over ver-2 +100 on keys that are both
+    // %7==0 and %10==0, ver-2 inserts ride along untouched
+    "m50_manifest_mor" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, ver FROM (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 7
+                  WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 7 = 0 THEN CAST(3 AS BIGINT)
+                  WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS ver
+           FROM orders WHERE o_orderstatus <> 'P'
+           UNION ALL
+           SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus,
+                  o_totalprice, CAST(2 AS BIGINT) AS ver
+           FROM orders WHERE o_orderkey % 13 = 0)""",
     // the manifest compaction is row-identical by contract, so the
     // oracle is simply the merged table (seed latest-wins the +100
     // batch) — the gate's in-plan requires pin the compaction-specific

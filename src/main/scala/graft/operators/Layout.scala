@@ -603,7 +603,25 @@ object Layout {
       // range predicate can never match, so it prunes.
       statsCols: Seq[String] = Nil,
       stats: Map[String, Map[String, (Option[String], Option[String])]] =
-        Map.empty)
+        Map.empty,
+      // merge-on-read state: per-partition PENDING delta generations
+      // (applied over the base generation at read time, in gen order)
+      // and the table-level resolution spec fixed by the first
+      // [[mergeManifestDelta]] — stored so every reader resolves
+      // identically with no caller input.
+      deltas: Map[String, Seq[Int]] = Map.empty,
+      morKeys: Seq[String] = Nil,
+      morVersionCol: Option[String] = None,
+      morDeleteCol: Option[String] = None) {
+    /** Every generation number the manifest references for `rel` —
+      * base (if present) plus pending deltas. */
+    def liveGens(rel: String): Seq[Int] =
+      entries.get(rel).toSeq ++ deltas.getOrElse(rel, Nil)
+    /** Next unused generation number for `rel` — above base AND every
+      * pending delta, so maintenance writes can never land on (and the
+      * orphan sweep can never delete) a published delta dir. */
+    def nextGen(rel: String): Int = (0 +: liveGens(rel)).max + 1
+  }
 
   private lazy val manifestJson = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -658,7 +676,18 @@ object Layout {
           rel.getKey -> rel.getValue.fields().asScala.map { c =>
             c.getKey -> (optText(c.getValue, "min"), optText(c.getValue, "max"))
           }.toMap
-        }.toMap)
+        }.toMap,
+      deltas =
+        if (!node.has("deltas")) Map.empty
+        else node.get("deltas").fields().asScala.map { rel =>
+          rel.getKey -> rel.getValue.elements().asScala
+            .map(_.asInt()).toSeq
+        }.toMap,
+      morKeys =
+        if (!node.has("morKeys")) Nil
+        else node.get("morKeys").elements().asScala.map(_.asText()).toSeq,
+      morVersionCol = optText(node, "morVersionCol"),
+      morDeleteCol = optText(node, "morDeleteCol"))
   }
 
   private def writeManifestMeta(spark: SparkSession, path: String,
@@ -683,6 +712,19 @@ object Layout {
           mx.fold { cn.putNull("max"); () }(v => { cn.put("max", v); () })
         }
       }
+    }
+    if (m.deltas.nonEmpty) {
+      val dn = root.putObject("deltas")
+      m.deltas.toSeq.sortBy(_._1).foreach { case (rel, gens) =>
+        val arr = dn.putArray(rel)
+        gens.foreach(arr.add)
+      }
+    }
+    if (m.morKeys.nonEmpty) {
+      val mk = root.putArray("morKeys")
+      m.morKeys.foreach(mk.add)
+      m.morVersionCol.foreach(root.put("morVersionCol", _))
+      m.morDeleteCol.foreach(root.put("morDeleteCol", _))
     }
     val p = new Path(path, s"_MANIFEST.v${m.version}")
     val out = fc.create(p,
@@ -761,6 +803,79 @@ object Layout {
         .select(sch.fields.toSeq.map(f => col(f.name)): _*)
   }
 
+  private val MorDel = "__mor_del"
+  private val MorSeq = "__mor_seq"
+
+  /** Read the given pending-DELTA generation dirs: stored schema plus
+    * the persisted `__mor_del` tombstone flag, with the generation
+    * number surfaced as `__mor_seq` (the within-version tie-break —
+    * later delta batches win ties, matching "apply batches in version
+    * order"). Schema is explicit, so deltas written before a schema
+    * evolution resolve per file like base generations do. */
+  private def readDeltaRels(spark: SparkSession, path: String,
+                            m: ManifestMeta,
+                            gens: Seq[(String, Int)]): DataFrame = {
+    val sch = manifestSchema(m)
+    val dataCols = sch.fields.filterNot(f =>
+      m.partitionCols.contains(f.name))
+    val parts = m.partitionCols.map(sch(_))
+    val readSch = org.apache.spark.sql.types.StructType(
+      (dataCols :+ org.apache.spark.sql.types.StructField(MorDel,
+        org.apache.spark.sql.types.BooleanType)) ++ parts)
+    spark.read.option("basePath", path).schema(readSch)
+      .parquet(gens.sorted.map { case (rel, g) =>
+        s"$path/$rel/gen=$g" }: _*)
+      .withColumn(MorSeq, col("gen").cast("int"))
+      .drop("gen")
+      .select((sch.fields.map(f => col(f.name)) ++
+        Seq(col(MorDel), col(MorSeq))).toSeq: _*)
+  }
+
+  /** Latest-wins resolution of a base snapshot against its pending
+    * delta rows — the merge-on-read READ path. One window over
+    * (partition cols, stored merge keys): highest `versionCol` wins,
+    * ties go to the later delta batch (base rows carry seq 0),
+    * tombstone winners drop. Keys never move across partitions
+    * ([[mergeManifestDelta]] contract), so partitioning the window by
+    * the partition columns too is semantics-preserving and keeps the
+    * shuffle spread across (partition × key), not just key. */
+  private def resolveMor(m: ManifestMeta, base: DataFrame,
+                         delta: DataFrame): DataFrame = {
+    val sch = manifestSchema(m)
+    val tagged = base
+      .withColumn(MorDel, lit(false)).withColumn(MorSeq, lit(0))
+      .unionByName(delta)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((m.partitionCols ++ m.morKeys).distinct.map(col): _*)
+      .orderBy(col(m.morVersionCol.get).desc, col(MorSeq).desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col(MorDel))
+      .select(sch.fields.toSeq.map(f => col(f.name)): _*)
+  }
+
+  /** The rows of manifest `m` restricted to partitions `rels`, with
+    * any pending merge-on-read deltas applied in-plan. Partitions
+    * WITHOUT pending deltas stream through untouched (no shuffle) —
+    * only delta-bearing partitions pay the resolution window, so the
+    * merge-on-read read tax is bounded by the partitions a fold
+    * hasn't yet caught up with, not the table. With no pending deltas
+    * anywhere this is exactly the base read. */
+  private def readResolved(spark: SparkSession, path: String,
+                           m: ManifestMeta,
+                           rels: Seq[String]): DataFrame = {
+    val (deltaRels, plainRels) = rels.sorted.partition(m.deltas.contains)
+    val plain = readManifestRels(spark, path, m,
+      plainRels.flatMap(r => m.entries.get(r).map(r -> _)).toMap)
+    if (deltaRels.isEmpty) plain
+    else {
+      val dBase = readManifestRels(spark, path, m,
+        deltaRels.flatMap(r => m.entries.get(r).map(r -> _)).toMap)
+      val dGens = deltaRels.flatMap(r => m.deltas(r).map(r -> _))
+      plain.unionByName(
+        resolveMor(m, dBase, readDeltaRels(spark, path, m, dGens)))
+    }
+  }
+
   /** Per-partition min/max of `statsCols` over the given generation
     * dirs — ONE distributed aggregate over exactly the rels' gen roots
     * (the data just written: merge/seed stats never re-scan the rest
@@ -836,7 +951,8 @@ object Layout {
           "in statsCols to enable data-skipping reads")
     }
     val schema = manifestSchema(m)
-    val boundRows = m.entries.keys.toSeq.sorted.map { rel =>
+    val boundRows = (m.entries.keySet ++ m.deltas.keySet)
+      .toSeq.sorted.map { rel =>
       org.apache.spark.sql.Row.fromSeq(rel +: ranges.flatMap {
         case (c, _, _) =>
           val st = m.stats.getOrElse(rel, Map.empty)
@@ -867,8 +983,11 @@ object Layout {
         boundSchema)
       .filter(overlap)
       .select("rel").collect().map(_.getString(0)).toSet
-    val base = readManifestRels(spark, path, m,
-      kept.toSeq.sorted.map(rel => rel -> m.entries(rel)).toMap)
+    // resolution BEFORE the residual: a pending delta may have moved a
+    // row's stats-column value, and the filter must see the resolved
+    // row. Pruning stays sound because delta merges WIDEN stats
+    // monotonically (see mergeManifestDelta) until a fold re-tightens.
+    val base = readResolved(spark, path, m, kept.toSeq.sorted)
     val residual = ranges.map { case (c, lo, hi) =>
       val dt = schema(c).dataType
       col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
@@ -945,13 +1064,16 @@ object Layout {
                           version: Int): DataFrame = {
     val m = readManifestMeta(spark, path, version)
     val fc = fileContext(spark, path)
-    m.entries.foreach { case (rel, g) =>
-      require(fc.util.exists(new Path(s"$path/$rel/gen=$g")),
-        s"manifest v$version of $path references $rel/gen=$g which is " +
-          "not on disk (reaped?); time travel only reaches retained " +
-          "generations")
+    val allRels = (m.entries.keySet ++ m.deltas.keySet).toSeq.sorted
+    allRels.foreach { rel =>
+      m.liveGens(rel).foreach { g =>
+        require(fc.util.exists(new Path(s"$path/$rel/gen=$g")),
+          s"manifest v$version of $path references $rel/gen=$g which is " +
+            "not on disk (reaped?); time travel only reaches retained " +
+            "generations")
+      }
     }
-    readManifestRels(spark, path, m, m.entries)
+    readResolved(spark, path, m, allRels)
   }
 
   /** [[merge]] re-expressed under the manifest discipline: latest-wins
@@ -993,12 +1115,19 @@ object Layout {
       s"update batch touches > $maxTouchedPartitions partitions; " +
         "split the batch or raise maxTouchedPartitions")
     val touchedRels = touchedRows.map(relOf(pcols, _)).toSet
-    val baseRels = touchedRels.filter(m.entries.contains).toSeq.sorted
-    // stored-schema-aligned window read (readManifestRels): the merge
-    // must see the seed's column types, with evolved columns null-
-    // filled per file for pre-evolution generations
-    val base = readManifestRels(spark, path, m,
-      baseRels.map(rel => rel -> m.entries(rel)).toMap)
+    if (m.morKeys.nonEmpty)
+      require(m.morKeys == keys && m.morVersionCol.contains(versionCol),
+        s"merge spec mismatch: this table resolves merge-on-read deltas " +
+          s"by keys=${m.morKeys.mkString(",")} / version=" +
+          s"${m.morVersionCol.getOrElse("")}; a merge with " +
+          s"keys=${keys.mkString(",")} / version=$versionCol would apply " +
+          "different semantics to the same table")
+    val baseRels = touchedRels.filter(r =>
+      m.entries.contains(r) || m.deltas.contains(r)).toSeq.sorted
+    // stored-schema-aligned window read with any pending merge-on-read
+    // deltas resolved in-plan — a copy-on-write merge FOLDS the
+    // touched partitions' deltas into the generation it writes
+    val base = readResolved(spark, path, m, baseRels)
     val tmpDir = s"$path.__manifest_tmp"
     fc.delete(new Path(tmpDir), true) // crashed prior run's leftover
     latestWins(base, updates, keys, versionCol, deleteCol)
@@ -1013,7 +1142,9 @@ object Layout {
         s"${unexpected.mkString(",")} outside the touched set " +
         s"${touchedRels.mkString(",")} — partition rendering mismatch")
     val newGens = produced.map { rel =>
-      val g = m.entries.getOrElse(rel, 0) + 1
+      // above base AND pending deltas — the orphan sweep below must
+      // never touch a published delta dir
+      val g = m.nextGen(rel)
       val partDir = new Path(s"$path/$rel")
       // crashed prior merges may have left orphan gens above the live
       // one — never published, safe to clear before landing ours
@@ -1031,13 +1162,244 @@ object Layout {
       rel -> g
     }.toMap
     // touched partitions that produced no output were fully deleted:
-    // they leave the manifest (dirs reap after readers drain)
+    // they leave the manifest (dirs reap after readers drain); touched
+    // partitions' pending deltas were folded into the written gens
     val removed = baseRels.filterNot(newGens.contains)
-    writeManifestMeta(spark, path, ManifestMeta(v + 1, m.schemaDdl, pcols,
-      m.entries -- removed ++ newGens,
-      statsCols = m.statsCols,
-      stats = m.stats -- removed ++ statsFor(spark, path, m, newGens)))
+    writeManifestMeta(spark, path, m.copy(version = v + 1,
+      entries = m.entries -- removed ++ newGens,
+      stats = m.stats -- removed ++ statsFor(spark, path, m, newGens),
+      deltas = m.deltas -- baseRels))
     fc.delete(new Path(tmpDir), true)
+  }
+
+  /** Widen existing per-partition stats with `add` (the stats of a
+    * just-written delta generation) MONOTONICALLY: new min/max covers
+    * both the old generation set and the delta, so data-skipping
+    * pruning stays sound while the base is never read. Deletes can
+    * leave the widened bounds looser than the live rows until
+    * [[foldManifestDeltas]] recomputes them exactly — looser bounds
+    * only ever read more, never less. The min/max comparison runs
+    * through Spark's own Cast + least/greatest (null-skipping — a
+    * None side yields the other side's bound), one tiny local job
+    * bounded by the touched partition count. */
+  private def widenStats(spark: SparkSession, m: ManifestMeta,
+      add: Map[String, Map[String, (Option[String], Option[String])]]):
+      Map[String, Map[String, (Option[String], Option[String])]] = {
+    if (m.statsCols.isEmpty || add.isEmpty) m.stats
+    else {
+      val sch = manifestSchema(m)
+      val rows = add.keys.toSeq.sorted.map { rel =>
+        val old = m.stats.getOrElse(rel, Map.empty)
+        val nw = add(rel)
+        org.apache.spark.sql.Row.fromSeq(rel +: m.statsCols.flatMap { c =>
+          val (omn, omx) = old.getOrElse(c, (None, None))
+          val (amn, amx) = nw.getOrElse(c, (None, None))
+          Seq(omn.orNull, omx.orNull, amn.orNull, amx.orNull)
+        })
+      }
+      val fields = org.apache.spark.sql.types.StructField("rel",
+        org.apache.spark.sql.types.StringType) +:
+        m.statsCols.zipWithIndex.flatMap { case (_, i) =>
+          Seq("omn", "omx", "amn", "amx").map(p =>
+            org.apache.spark.sql.types.StructField(s"__${p}_$i",
+              org.apache.spark.sql.types.StringType))
+        }
+      val sel = col("rel") +: m.statsCols.zipWithIndex.flatMap {
+        case (c, i) =>
+          val dt = sch(c).dataType
+          Seq(
+            least(col(s"__omn_$i").cast(dt), col(s"__amn_$i").cast(dt))
+              .cast("string").as(s"__mn_$i"),
+            greatest(col(s"__omx_$i").cast(dt), col(s"__amx_$i").cast(dt))
+              .cast("string").as(s"__mx_$i"))
+      }
+      val widened = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          org.apache.spark.sql.types.StructType(fields))
+        .select(sel: _*).collect()
+      m.stats ++ widened.map { r =>
+        r.getString(0) -> m.statsCols.zipWithIndex.map { case (c, i) =>
+          c -> (Option(r.getString(1 + 2 * i)),
+                Option(r.getString(2 + 2 * i)))
+        }.toMap
+      }.toMap
+    }
+  }
+
+  /** MERGE-ON-READ variant of [[mergeManifest]]: the CDC batch is
+    * appended as a pending DELTA generation for each touched partition
+    * — the base is NEVER read, so a merge costs O(|batch|) regardless
+    * of how many partitions it scatters across (copy-on-write pays a
+    * full read + rewrite of every touched partition: the wrong cost
+    * shape for small scattered updates on a 100 TB table). Every read
+    * path ([[readManifest]], time travel, [[readManifestPruned]])
+    * resolves base + pending deltas latest-wins in-plan, paying one
+    * window shuffle over ONLY the delta-bearing partitions;
+    * [[foldManifestDeltas]] folds deltas back into single base
+    * generations on a maintenance schedule, bounding the read tax.
+    *
+    * The resolution spec (keys, versionCol) is fixed by the first
+    * delta merge and stored in the manifest — readers resolve with no
+    * caller input, and later merges (delta or copy-on-write) must
+    * match it. Same contracts as [[mergeManifest]]: update rows must
+    * not move keys across partitions; apply batches in version order
+    * (within a version, the later delta batch wins ties); schema
+    * drift fails loudly; tombstones via `deleteCol` (persisted
+    * normalized, so batches may pass different flag columns). Stats
+    * widen monotonically (see [[widenStats]]) — pruning stays sound,
+    * a fold re-tightens.
+    */
+  def mergeManifestDelta(spark: SparkSession, path: String,
+                         updates: DataFrame, keys: Seq[String],
+                         versionCol: String,
+                         maxTouchedPartitions: Int = 10000,
+                         deleteCol: Option[String] = None): Unit =
+      withMaintenanceLock(spark, path) {
+    require(keys.nonEmpty, "mergeManifestDelta needs at least one key")
+    require(!keys.contains(versionCol), "versionCol cannot be a key")
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    val m = readManifestMeta(spark, path, v)
+    if (m.morKeys.nonEmpty)
+      require(m.morKeys == keys && m.morVersionCol.contains(versionCol),
+        s"merge spec mismatch: this table resolves merge-on-read deltas " +
+          s"by keys=${m.morKeys.mkString(",")} / version=" +
+          s"${m.morVersionCol.getOrElse("")}; refusing " +
+          s"keys=${keys.mkString(",")} / version=$versionCol")
+    val pcols = m.partitionCols
+    require(pcols.forall(updates.columns.contains),
+      "update batch must carry the partition columns " + pcols.mkString(","))
+    deleteCol.foreach(d => require(updates.columns.contains(d),
+      s"update batch must carry the delete flag column '$d'"))
+    Seq("gen", MorDel, MorSeq).foreach(c =>
+      require(!updates.columns.contains(c),
+        s"'$c' is reserved by the manifest layout; rename the column"))
+    // the same loud schema contract as latestWins: every base column
+    // present, nothing extra beyond the delete flag
+    val baseCols = manifestSchema(m).fieldNames.toSeq
+    val missing = baseCols.filterNot(deleteCol.contains)
+      .filterNot(updates.columns.contains)
+    require(missing.isEmpty,
+      s"mergeManifestDelta: update batch is missing base column(s) " +
+        s"${missing.mkString("[", ", ", "]")}")
+    val extra = updates.columns.filterNot(baseCols.contains)
+      .filterNot(deleteCol.contains)
+    require(extra.isEmpty,
+      s"mergeManifestDelta: update batch carries column(s) " +
+        s"${extra.mkString("[", ", ", "]")} absent from the base table — " +
+        "evolve the base schema first or project the batch explicitly")
+    require(keys.forall(baseCols.contains) && baseCols.contains(versionCol),
+      "keys and versionCol must be base table columns")
+    val fc = fileContext(spark, path)
+    val touchedRows = updates
+      .select(pcols.map(c => col(c).cast("string").as(c)): _*)
+      .distinct().limit(maxTouchedPartitions + 1).collect()
+    require(touchedRows.length <= maxTouchedPartitions,
+      s"update batch touches > $maxTouchedPartitions partitions; " +
+        "split the batch or raise maxTouchedPartitions")
+    val touchedRels = touchedRows.map(relOf(pcols, _)).toSet
+    val tmpDir = s"$path.__manifest_tmp"
+    fc.delete(new Path(tmpDir), true)
+    val del = deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false))
+    val sch = manifestSchema(m)
+    updates.withColumn(MorDel, coalesce(del, lit(false)))
+      .select((sch.fields.map(f => col(f.name)) :+ col(MorDel)).toSeq: _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(pcols: _*).parquet(tmpDir)
+    val produced = listPartitionRels(fc, new Path(tmpDir))
+    val unexpected = produced.filterNot(touchedRels.contains)
+    require(unexpected.isEmpty,
+      s"mergeManifestDelta: writer produced partition dirs " +
+        s"${unexpected.mkString(",")} outside the touched set — " +
+        "partition rendering mismatch")
+    val newDeltaGens = produced.map { rel =>
+      val g = m.nextGen(rel)
+      val partDir = new Path(s"$path/$rel")
+      if (fc.util.exists(partDir))
+        fc.util.listStatus(partDir).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("gen=") &&
+              n.drop(4).forall(_.isDigit) && n.drop(4).toInt >= g)
+            fc.delete(st.getPath, true)
+        }
+      val dst = new Path(s"$path/$rel/gen=$g")
+      fc.mkdir(dst.getParent,
+        org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+      fc.rename(new Path(s"$tmpDir/$rel"), dst)
+      rel -> g
+    }.toMap
+    // delta stats: one aggregate over the just-written delta dirs only
+    val deltaStats = statsFor(spark, path, m, newDeltaGens)
+    writeManifestMeta(spark, path, m.copy(version = v + 1,
+      deltas = m.deltas ++ newDeltaGens.map { case (rel, g) =>
+        rel -> (m.deltas.getOrElse(rel, Nil) :+ g) },
+      stats = widenStats(spark, m, deltaStats),
+      morKeys = keys, morVersionCol = Some(versionCol),
+      morDeleteCol = m.morDeleteCol.orElse(deleteCol)))
+    fc.delete(new Path(tmpDir), true)
+  }
+
+  /** Fold every pending merge-on-read delta into its partition's base:
+    * the delta-bearing partitions resolve latest-wins (exactly the
+    * read path's semantics — fold can never disagree with what readers
+    * already saw) and rewrite as single next-generation dirs behind
+    * ONE manifest publish; their delta lists clear and their stats
+    * recompute EXACTLY (re-tightening [[widenStats]]' monotonic
+    * bounds). Untouched partitions keep their generations. Pinned
+    * readers keep their snapshot; superseded base + delta dirs reap
+    * after drain. Count-verified before publish. Returns the folded
+    * partition rel-paths. */
+  def foldManifestDeltas(spark: SparkSession, path: String): Seq[String] =
+      withMaintenanceLock(spark, path) {
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table"))
+    val m = readManifestMeta(spark, path, v)
+    val rels = m.deltas.keys.toSeq.sorted
+    if (rels.isEmpty) Nil
+    else {
+      val fc = fileContext(spark, path)
+      val resolved = readResolved(spark, path, m, rels)
+      val tmpDir = s"$path.__manifest_tmp"
+      fc.delete(new Path(tmpDir), true)
+      val obs = org.apache.spark.sql.Observation()
+      resolved.observe(obs, count(lit(1)).as("n"))
+        .repartition(m.partitionCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(m.partitionCols: _*).parquet(tmpDir)
+      val n0 = obs.get("n").asInstanceOf[Long]
+      val n1 = spark.read.parquet(tmpDir).count()
+      require(n1 == n0,
+        s"delta fold would lose rows: $n0 -> $n1; aborting")
+      val produced = listPartitionRels(fc, new Path(tmpDir))
+      val unexpected = produced.filterNot(rels.toSet)
+      require(unexpected.isEmpty,
+        s"foldManifestDeltas: writer produced partition dirs " +
+          s"${unexpected.mkString(",")} outside the delta-bearing set — " +
+          "partition rendering mismatch")
+      val newGens = produced.map { rel =>
+        val g = m.nextGen(rel)
+        val partDir = new Path(s"$path/$rel")
+        fc.util.listStatus(partDir).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("gen=") &&
+              n.drop(4).forall(_.isDigit) && n.drop(4).toInt >= g)
+            fc.delete(st.getPath, true)
+        }
+        fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
+        rel -> g
+      }.toMap
+      // tombstone-only outcomes: the partition leaves the manifest
+      val removed = rels.filterNot(newGens.contains)
+      writeManifestMeta(spark, path, m.copy(version = v + 1,
+        entries = m.entries -- removed ++ newGens,
+        deltas = m.deltas -- rels,
+        stats = m.stats -- removed ++ statsFor(spark, path, m, newGens)))
+      fc.delete(new Path(tmpDir), true)
+      produced.sorted
+    }
   }
 
   /** Explicit schema evolution for manifest tables: append the columns
@@ -1099,17 +1461,20 @@ object Layout {
       val genKids = kids.filter(_.getPath.getName.startsWith("gen="))
       val partKids = kids.filter(k => k.getPath.getName.contains("=") &&
         !k.getPath.getName.startsWith("gen="))
-      if (genKids.nonEmpty) m.entries.get(rel) match {
-        case Some(g) =>
-          genKids.filter(_.getPath.getName != s"gen=$g").foreach { st =>
-            fc.delete(st.getPath, true)
-            deleted += s"$rel/${st.getPath.getName}"
-          }
-        case None =>
+      if (genKids.nonEmpty) {
+        val live = m.liveGens(rel).map(g => s"gen=$g").toSet
+        if (live.nonEmpty)
+          genKids.filterNot(k => live.contains(k.getPath.getName))
+            .foreach { st =>
+              fc.delete(st.getPath, true)
+              deleted += s"$rel/${st.getPath.getName}"
+            }
+        else {
           // partition absent from the live manifest (fully deleted or
           // never published): the whole chain goes
           fc.delete(p, true)
           deleted += rel
+        }
       }
       else partKids.foreach(k =>
         walk(k.getPath, if (rel.isEmpty) k.getPath.getName
@@ -1199,7 +1564,9 @@ object Layout {
           s"${unexpected.mkString(",")} outside the selected set — " +
           "partition rendering mismatch")
       val newGens = produced.map { rel =>
-        val g = m.entries(rel) + 1
+        // above base AND pending deltas (they stay pending on top of
+        // the compacted base — base rows keep resolution seq 0)
+        val g = m.nextGen(rel)
         val partDir = new Path(s"$path/$rel")
         // orphan gens at-or-above ours (crashed prior maintenance):
         // never published, safe to clear before landing
@@ -1213,9 +1580,8 @@ object Layout {
         rel -> g
       }.toMap
       // row-identical rewrite: stats carry forward unchanged
-      writeManifestMeta(spark, path, ManifestMeta(v + 1, m.schemaDdl,
-        m.partitionCols, m.entries ++ newGens,
-        statsCols = m.statsCols, stats = m.stats))
+      writeManifestMeta(spark, path, m.copy(version = v + 1,
+        entries = m.entries ++ newGens))
       fc.delete(new Path(tmpDir), true)
       produced.sorted
     }

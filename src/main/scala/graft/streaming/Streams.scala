@@ -389,21 +389,42 @@ object Streams {
     * partition window partitioned `merge` documents — the required
     * mode when readers run continuously against the table under CDC.
     *
+    * With `mor = true` (manifest only) each micro-batch lands as a
+    * pending MERGE-ON-READ delta generation
+    * ([[graft.operators.Layout.mergeManifestDelta]]): per batch the
+    * base is never read — the right cost shape when micro-batches are
+    * small and scatter across many partitions — and readers resolve
+    * latest-wins in-plan. Schedule
+    * [[graft.operators.Layout.foldManifestDeltas]] (or a `FoldDeltas`
+    * DSL node) to bound the accumulated read tax. NOTE idempotence:
+    * unlike the copy-on-write modes, re-APPENDING a replayed
+    * micro-batch adds a duplicate delta generation — harmless to
+    * resolution (identical rows at identical versions: whichever copy
+    * wins the deterministic tie-break yields the same row) and swept
+    * away by the next fold.
+    *
     * Returns the configured writer — caller sets checkpoint/trigger
     * and starts it (the [[ingest]]/[[annIngest]] shape).
     */
   def cdcApply(stream: DataFrame, path: String, keys: Seq[String],
                versionCol: String, partitionCols: Seq[String] = Nil,
                deleteCol: Option[String] = None,
-               manifest: Boolean = false): DataStreamWriter[Row] = {
+               manifest: Boolean = false,
+               mor: Boolean = false): DataStreamWriter[Row] = {
     require(partitionCols.isEmpty || !manifest,
       "cdcApply(manifest = true): the table's partitioning comes from " +
         "its manifest (seeded by writeManifestTable) and the " +
         s"partitionCols argument (${partitionCols.mkString(",")}) is " +
         "not consulted — pass partitionCols = Nil")
+    require(!mor || manifest,
+      "cdcApply(mor = true) needs manifest = true: merge-on-read " +
+        "deltas are a manifest-table discipline")
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        if (manifest)
+        if (mor)
+          graft.operators.Layout.mergeManifestDelta(batch.sparkSession,
+            path, batch, keys, versionCol, deleteCol = deleteCol)
+        else if (manifest)
           graft.operators.Layout.mergeManifest(batch.sparkSession, path,
             batch, keys, versionCol, deleteCol = deleteCol)
         else

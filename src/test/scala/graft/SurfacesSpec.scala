@@ -708,6 +708,49 @@ class SurfacesSpec extends SparkSpec {
     assert(snap(pinned) == Map(1L -> 10.0, 2L -> 20.0))
   }
 
+  test("streaming CDC apply, merge-on-read mode: delta-only micro-batches, " +
+      "fold catches up") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Layout
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_cdcmor").resolve("t").toString
+    Layout.writeManifestTable(spark,
+      dir, Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    val baseFiles = Layout.readManifest(spark, dir).inputFiles.toSet
+    val input = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val q = Streams.cdcApply(
+        input.toDF().toDF("k", "part", "v", "ver", "del"),
+        dir, Seq("k"), "ver", deleteCol = Some("del"), manifest = true,
+        mor = true)
+      .option("checkpointLocation",
+        Files.createTempDirectory("stream_cdcmor_ckpt").toString)
+      .start()
+    try {
+      input.addData((1L, "a", 11.0, 2L, false), (3L, "c", 30.0, 2L, false))
+      q.processAllAvailable()
+      input.addData((2L, "b", 0.0, 3L, true), (3L, "c", 33.0, 3L, false))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    val want = Map(1L -> 11.0, 3L -> 33.0)
+    assert(snap(Layout.readManifest(spark, dir)) == want)
+    // every micro-batch was delta-only: the seed's files never rewrote
+    val readFiles = Layout.readManifest(spark, dir).inputFiles.toSet
+    assert(baseFiles.subsetOf(readFiles) && readFiles != baseFiles,
+      "micro-batches must append delta generations, never rewrite base")
+    // the scheduled fold catches up without changing a row
+    assert(Layout.foldManifestDeltas(spark, dir).nonEmpty)
+    assert(snap(Layout.readManifest(spark, dir)) == want)
+    // the mor flag demands a manifest table
+    intercept[IllegalArgumentException] {
+      Streams.cdcApply(input.toDF().toDF("k", "part", "v", "ver", "del"),
+        dir, Seq("k"), "ver", mor = true)
+    }
+  }
+
   test("streaming ANN ingest: micro-batches land in the live generation, queryable") {
     import graft.operators.AnnIndex
     val idxDir = Files.createTempDirectory("stream_ann_idx").toString

@@ -809,4 +809,162 @@ class LayoutSpec extends SparkSpec {
       Layout.evolveManifest(spark, dir, "gen INT")
     }
   }
+
+  private def morSnap(df: DataFrame): Map[Long, (String, Double, Long)] =
+    df.collect().map(r => r.getAs[Long]("k") ->
+      ((r.getAs[String]("part"), r.getAs[Double]("v"),
+        r.getAs[Long]("ver")))).toMap
+
+  test("merge-on-read: delta merges never rewrite the base; reads " +
+      "resolve latest-wins; fold re-tightens to single generations") {
+    val dir = tmpDir("mor")
+    import spark.implicits._
+    val seed = Seq((1L, "a", 10.0, 1L), (2L, "a", 20.0, 1L),
+      (3L, "b", 30.0, 1L), (4L, "c", 40.0, 1L))
+      .toDF("k", "part", "v", "ver")
+    Layout.writeManifestTable(spark, dir, seed, Seq("part"))
+    val baseFiles = Layout.readManifest(spark, dir).inputFiles.toSet
+    val baseMtimes = baseFiles.map(f =>
+      f -> new java.io.File(new java.net.URI(f)).lastModified).toMap
+    val pinned = Layout.readManifest(spark, dir)
+    // delta 1: update k=1, insert k=5 into a NEW partition d
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((1L, "a", 11.0, 2L, false), (5L, "d", 50.0, 2L, false))
+        .toDF("k", "part", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))
+    val afterD1 = morSnap(Layout.readManifest(spark, dir))
+    // delta 2: update k=1 again, delete ALL of partition b
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((1L, "a", 12.0, 3L, false), (3L, "b", 0.0, 3L, true))
+        .toDF("k", "part", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))
+    // the base generation was never read or rewritten: every seed file
+    // still on disk, byte-stable, and still part of the resolved read
+    baseMtimes.foreach { case (f, t) =>
+      val jf = new java.io.File(new java.net.URI(f))
+      assert(jf.exists && jf.lastModified == t, s"base file touched: $f")
+    }
+    val readFiles = Layout.readManifest(spark, dir).inputFiles.toSet
+    assert(baseFiles.subsetOf(readFiles) && readFiles != baseFiles,
+      "resolved read must cover base + delta files")
+    // resolution: latest version wins, tombstone winners drop
+    val want = Map(1L -> (("a", 12.0, 3L)), 2L -> (("a", 20.0, 1L)),
+      4L -> (("c", 40.0, 1L)), 5L -> (("d", 50.0, 2L)))
+    assert(morSnap(Layout.readManifest(spark, dir)) == want)
+    // snapshot isolation: the pinned reader still sees the seed; time
+    // travel reaches both the seed and the intermediate delta state
+    assert(morSnap(pinned) == morSnap(
+      Layout.readManifestVersion(spark, dir, 1)))
+    assert(morSnap(Layout.readManifestVersion(spark, dir, 2)) == afterD1)
+    assert(afterD1(1L) == (("a", 11.0, 2L)) && afterD1.contains(3L))
+    // reap with PENDING deltas keeps every referenced gen dir — only
+    // superseded manifest JSONs go
+    assert(Layout.reapManifest(spark, dir).forall(_.startsWith("_MANIFEST")))
+    assert(morSnap(Layout.readManifest(spark, dir)) == want)
+    // fold: delta-bearing partitions rewrite to single gens, the
+    // resolved rows are unchanged; partition b resolves to zero rows
+    // (tombstone-only) so it produces nothing and leaves the manifest
+    val folded = Layout.foldManifestDeltas(spark, dir)
+    assert(folded.toSet == Set("part=a", "part=d"), folded.mkString(","))
+    assert(morSnap(Layout.readManifest(spark, dir)) == want)
+    val perGen = Layout.readManifest(spark, dir).inputFiles
+      .map(_.replaceAll("(/gen=\\d+)/.*", "$1")).distinct
+    assert(perGen.length == 3, // a, c, d — one generation each
+      s"each partition must read exactly one generation: " +
+        perGen.mkString(","))
+    // a second fold is a no-op
+    assert(Layout.foldManifestDeltas(spark, dir).isEmpty)
+    // reap after fold drops superseded base + delta dirs and b's chain
+    val reaped = Layout.reapManifest(spark, dir)
+    assert(reaped.exists(_.startsWith("part=b")), reaped.mkString(","))
+    assert(morSnap(Layout.readManifest(spark, dir)) == want)
+  }
+
+  test("merge-on-read: spec and schema drift fail loudly; copy-on-write " +
+      "merge folds pending deltas it touches") {
+    val dir = tmpDir("mor_contract")
+    import spark.implicits._
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((1L, "a", 11.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    // a different resolution spec is refused — delta and copy-on-write
+    intercept[IllegalArgumentException] {
+      Layout.mergeManifestDelta(spark, dir,
+        Seq((1L, "a", 0.0, 3L)).toDF("k", "part", "v", "ver"),
+        Seq("k", "part"), "ver")
+    }
+    intercept[IllegalArgumentException] {
+      Layout.mergeManifest(spark, dir,
+        Seq((1L, "a", 0.0, 3L)).toDF("k", "part", "v", "ver"),
+        Seq("k"), "v")
+    }
+    // schema drift: extra and missing columns named in the failure
+    val extra = intercept[IllegalArgumentException] {
+      Layout.mergeManifestDelta(spark, dir,
+        Seq((1L, "a", 0.0, 3L, "x")).toDF("k", "part", "v", "ver", "note"),
+        Seq("k"), "ver")
+    }
+    assert(extra.getMessage.contains("note"))
+    val missing = intercept[IllegalArgumentException] {
+      Layout.mergeManifestDelta(spark, dir,
+        Seq((1L, "a", 3L)).toDF("k", "part", "ver"), Seq("k"), "ver")
+    }
+    assert(missing.getMessage.contains("[v]"))
+    // a copy-on-write merge with the SAME spec folds partition a's
+    // pending delta into the generation it writes
+    Layout.mergeManifest(spark, dir,
+      Seq((3L, "a", 30.0, 3L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    assert(morSnap(Layout.readManifest(spark, dir)) ==
+      Map(1L -> (("a", 11.0, 2L)), 2L -> (("b", 20.0, 1L)),
+        3L -> (("a", 30.0, 3L))))
+    // ...and partition a now reads from exactly one generation dir
+    val aGens = Layout.readManifest(spark, dir).inputFiles
+      .filter(_.contains("/part=a/"))
+      .map(_.replaceAll("(/gen=\\d+)/.*", "$1")).distinct
+    assert(aGens.length == 1, aGens.mkString(","))
+  }
+
+  test("merge-on-read: stats widen soundly so pruned reads find delta " +
+      "rows; fold re-tightens; compactManifest never collides") {
+    val dir = tmpDir("mor_stats")
+    import spark.implicits._
+    val seed = (1 to 20).map(i => (i.toLong, s"p${i % 2}", i * 1.0, 1L))
+      .toDF("k", "part", "v", "ver").repartition(4)
+    Layout.writeManifestTable(spark, dir, seed, Seq("part"),
+      statsCols = Seq("v"))
+    // delta moves k=2's v WAY outside the seeded [min,max] of p0
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((2L, "p0", 1000.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    // pruned read over the NEW value's range: widened stats must keep
+    // p0 in the scan set, and resolution must surface the delta row
+    val hit = Layout.readManifestBetween(spark, dir, "v", 999.0, 1001.0)
+    assert(morSnap(hit) == Map(2L -> (("p0", 1000.0, 2L))))
+    // ...and the pre-delta value is gone from its old range (p0 is
+    // still SCANNED — widened bounds [2,1000] admit it — but the
+    // resolved rows no longer carry v=2)
+    val preCold = Layout.readManifestBetween(spark, dir, "v", 2.2, 2.8)
+    assert(preCold.collect().isEmpty)
+    assert(preCold.inputFiles.exists(_.contains("/part=p0/")),
+      "widened stats keep the delta-bearing partition in the scan set")
+    // compactManifest on the delta-bearing table: base rewrite lands
+    // ABOVE the delta gens (no collision), resolution still correct
+    Layout.compactManifest(spark, dir, maxFiles = 1)
+    assert(morSnap(Layout.readManifest(spark, dir))(2L) ==
+      (("p0", 1000.0, 2L)))
+    // fold re-tightens: p0's exact min is now 4.0, so the same window
+    // prunes p0 from the scan entirely
+    Layout.foldManifestDeltas(spark, dir)
+    val postCold = Layout.readManifestBetween(spark, dir, "v", 2.2, 2.8)
+    assert(postCold.collect().isEmpty)
+    assert(!postCold.inputFiles.exists(_.contains("/part=p0/")),
+      s"re-tightened stats must prune p0: " +
+        postCold.inputFiles.mkString(","))
+    val hot = Layout.readManifestBetween(spark, dir, "v", 999.0, 1001.0)
+    assert(morSnap(hot) == Map(2L -> (("p0", 1000.0, 2L))))
+  }
 }
