@@ -1419,6 +1419,52 @@ object EngineQueries {
         col("o_totalprice"), col("ver"))
     }),
 
+    // EQUALITY data-skipping via per-partition BLOOM filters
+    // (Layout.readManifestEq): the table partitions by order YEAR but
+    // the lookups are point probes on o_orderkey — a high-cardinality
+    // column whose per-partition [min,max] spans ~the whole key space
+    // (keys scatter uniformly across years), so RANGE stats can never
+    // prune a point lookup; the manifest's per-partition blooms must.
+    // Blooms are kept current through a copy-on-write merge, each
+    // probed key must scan at most 3 of the year partitions
+    // (structural pin; the expected scan is exactly 1, the slack
+    // covers deterministic bloom false positives), and the union of
+    // the lookups hash-matches the merged-table oracle restricted to
+    // the probed keys — pruning never costs a row.
+    "m51_manifest_bloomskip" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("bloomskip")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"), col("o_totalprice"),
+        lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out, seed, Seq("o_year"),
+        bloomCols = Seq("o_orderkey"), bloomItems = 4096)
+      val batch = seed.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("ver", lit(2L))
+      Layout.mergeManifest(s, out, batch, Seq("o_orderkey"), "ver")
+      def yearsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.inputFiles
+          .map(_.replaceAll(".*/(o_year=[^/]+)/gen=\\d+/.*", "$1"))
+          .distinct.toSeq
+      val total = yearsOf(Layout.readManifest(s, out)).length
+      require(total >= 5, s"fixture should span >=5 years, got $total")
+      val keys = orders.select("o_orderkey").orderBy("o_orderkey")
+        .limit(5).collect().map(_.getLong(0))
+      val lookups = keys.map { k =>
+        val r = Layout.readManifestEq(s, out, Seq(("o_orderkey", k)))
+        val scanned = yearsOf(r)
+        require(scanned.nonEmpty && scanned.length <= 3,
+          s"bloom lookup of $k must prune to <=3 of $total year " +
+            s"partitions, scanned ${scanned.mkString(",")}")
+        r
+      }
+      lookups.reduce(_.unionByName(_)).select(col("o_orderkey"),
+        col("o_year").cast("int").as("o_year"),
+        col("o_totalprice"), col("ver"))
+    }),
+
     // MERGE-ON-READ manifest CDC (Layout.mergeManifestDelta /
     // foldManifestDeltas): two delta batches — updates, inserts, and a
     // partition-wide delete — land as pending delta generations with
@@ -1565,6 +1611,18 @@ object EngineQueries {
                  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
                       ELSE o_totalprice END AS o_totalprice
                FROM orders WHERE o_orderstatus <> 'P')""",
+    // the bloom-pruned point lookups must return exactly the merged
+    // table's rows for the 5 smallest order keys
+    "m51_manifest_bloomskip" ->
+      """SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders
+         WHERE o_orderkey IN
+           (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)""",
     // merge-on-read resolution recomputed as SQL: ver-3 deletes drop
     // status P, ver-3 +7 wins over ver-2 +100 on keys that are both
     // %7==0 and %10==0, ver-2 inserts ride along untouched

@@ -604,6 +604,16 @@ object Layout {
       statsCols: Seq[String] = Nil,
       stats: Map[String, Map[String, (Option[String], Option[String])]] =
         Map.empty,
+      // equality data-skipping: per-partition bloom filters of
+      // `bloomCols` (base64 of the public Spark BloomFilter format) —
+      // point lookups on high-cardinality UNSORTED columns, where
+      // min/max can never prune (every partition's range covers every
+      // value). (items, fpp) are table-wide so delta-merge unions stay
+      // merge-compatible.
+      bloomCols: Seq[String] = Nil,
+      bloomItems: Long = 10000,
+      bloomFpp: Double = 0.01,
+      blooms: Map[String, Map[String, String]] = Map.empty,
       // merge-on-read state: per-partition PENDING delta generations
       // (applied over the base generation at read time, in gen order)
       // and the table-level resolution spec fixed by the first
@@ -677,6 +687,21 @@ object Layout {
             c.getKey -> (optText(c.getValue, "min"), optText(c.getValue, "max"))
           }.toMap
         }.toMap,
+      bloomCols =
+        if (!node.has("bloomCols")) Nil
+        else node.get("bloomCols").elements().asScala.map(_.asText()).toSeq,
+      bloomItems =
+        if (!node.has("bloomItems")) 10000L
+        else node.get("bloomItems").asLong(),
+      bloomFpp =
+        if (!node.has("bloomFpp")) 0.01 else node.get("bloomFpp").asDouble(),
+      blooms =
+        if (!node.has("blooms")) Map.empty
+        else node.get("blooms").fields().asScala.map { rel =>
+          rel.getKey -> rel.getValue.fields().asScala.map { c =>
+            c.getKey -> c.getValue.asText()
+          }.toMap
+        }.toMap,
       deltas =
         if (!node.has("deltas")) Map.empty
         else node.get("deltas").fields().asScala.map { rel =>
@@ -711,6 +736,17 @@ object Layout {
           mn.fold { cn.putNull("min"); () }(v => { cn.put("min", v); () })
           mx.fold { cn.putNull("max"); () }(v => { cn.put("max", v); () })
         }
+      }
+    }
+    if (m.bloomCols.nonEmpty) {
+      val bc = root.putArray("bloomCols")
+      m.bloomCols.foreach(bc.add)
+      root.put("bloomItems", m.bloomItems)
+      root.put("bloomFpp", m.bloomFpp)
+      val bl = root.putObject("blooms")
+      m.blooms.toSeq.sortBy(_._1).foreach { case (rel, cols) =>
+        val rn = bl.putObject(rel)
+        cols.toSeq.sortBy(_._1).foreach { case (c, b64) => rn.put(c, b64) }
       }
     }
     if (m.deltas.nonEmpty) {
@@ -904,6 +940,118 @@ object Layout {
     }
   }
 
+  /** Per-partition bloom filters of `bloomCols` over the given
+    * generation dirs — ONE distributed aggregate (groupBy partition
+    * values, [[graft.expressions.BloomSketchAgg]] per column), the
+    * [[statsFor]] shape. Values hash through Spark's own
+    * Cast-to-string + xxhash64 — the exact pipeline [[readManifestEq]]
+    * probes with, so build and probe can never disagree. Driver bytes
+    * bounded by touched partitions x ~1.2 x bloomItems per column. */
+  private def bloomsFor(spark: SparkSession, path: String, m: ManifestMeta,
+                        gens: Map[String, Int]):
+      Map[String, Map[String, String]] = {
+    if (m.bloomCols.isEmpty || gens.isEmpty) Map.empty
+    else {
+      val df = readManifestRels(spark, path, m, gens)
+      val pc = m.partitionCols
+      val aggs = m.bloomCols.map(c =>
+        graft.expressions.BloomSketch.agg(
+          xxhash64(col(c).cast("string")), m.bloomItems, m.bloomFpp)
+          .as(s"__bl_$c"))
+      val enc = java.util.Base64.getEncoder
+      df.groupBy(pc.map(c => col(c).cast("string").as(c)): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          relOf(pc, r) -> m.bloomCols.map(c => c ->
+            enc.encodeToString(r.getAs[Array[Byte]](s"__bl_$c"))).toMap
+        }.toMap
+    }
+  }
+
+  /** Union `add` into the existing per-partition blooms (delta merges:
+    * the union covers base + delta values — monotone widening, the
+    * bloom analogue of [[widenStats]]; a fold recomputes exactly). */
+  private def widenBlooms(old: Map[String, Map[String, String]],
+                          add: Map[String, Map[String, String]]):
+      Map[String, Map[String, String]] = {
+    val enc = java.util.Base64.getEncoder
+    val dec = java.util.Base64.getDecoder
+    old ++ add.map { case (rel, cols) =>
+      rel -> (old.get(rel) match {
+        case None => cols
+        case Some(prev) => cols.map { case (c, b64) =>
+          c -> (prev.get(c) match {
+            case None => b64
+            case Some(p) => enc.encodeToString(
+              graft.expressions.BloomSketch.union(
+                dec.decode(p), dec.decode(b64)))
+          })
+        }
+      })
+    }
+  }
+
+  /** The probe-side hash of `value` for column type `dt`: rendered and
+    * hashed by SPARK (one row-local job), so it is bit-identical to
+    * what [[bloomsFor]]'s build side computed for equal values. */
+  private def renderedHash(spark: SparkSession,
+                           dt: org.apache.spark.sql.types.DataType,
+                           value: Any): Long =
+    spark.range(1)
+      .select(xxhash64(lit(value).cast(dt).cast("string")).as("h"))
+      .head().getLong(0)
+
+  /** EQUALITY data-skipping read: the rows of the LIVE snapshot with
+    * `c1 = v1 AND c2 = v2 AND ...`, scanning ONLY the partitions whose
+    * bloom filters might contain every value — the point-lookup
+    * complement of [[readManifestPruned]]'s range stats, for
+    * high-cardinality UNSORTED columns where every partition's
+    * [min, max] covers every probe (an order id against a
+    * date-partitioned table: range stats prune nothing, the bloom
+    * prunes to the one partition holding it). False positives only
+    * scan more; the in-plan residual keeps the result exact. Pending
+    * merge-on-read deltas resolve in-plan (their values are unioned
+    * into the blooms, so pruning stays sound). The table must have
+    * been seeded with the columns in `bloomCols`. */
+  def readManifestEq(spark: SparkSession, path: String,
+                     eqs: Seq[(String, Any)]): DataFrame = {
+    require(eqs.nonEmpty, "readManifestEq needs >= 1 equality")
+    require(eqs.forall(_._2 != null),
+      "readManifestEq probes non-null values (x = NULL matches nothing)")
+    require(eqs.map(_._1).distinct.size == eqs.size,
+      "one value per column (two different values on one column can " +
+        "never both hold)")
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    val m = readManifestMeta(spark, path, v)
+    eqs.foreach { case (c, _) =>
+      require(m.bloomCols.contains(c),
+        s"manifest table $path keeps no bloom for '$c' " +
+          s"(bloomCols: ${m.bloomCols.mkString(",")}); reseed with it " +
+          "in bloomCols to enable equality-skipping reads")
+    }
+    val schema = manifestSchema(m)
+    val hashes = eqs.map { case (c, value) =>
+      c -> renderedHash(spark, schema(c).dataType, value)
+    }
+    val dec = java.util.Base64.getDecoder
+    val kept = (m.entries.keySet ++ m.deltas.keySet).toSeq.sorted
+      .filter { rel =>
+        val bl = m.blooms.getOrElse(rel, Map.empty)
+        hashes.forall { case (c, h) =>
+          // a partition with no bloom recorded must stay (soundness)
+          bl.get(c).forall(b64 =>
+            graft.expressions.BloomSketch.mightContain(dec.decode(b64), h))
+        }
+      }
+    val residual = eqs.map { case (c, value) =>
+      col(c) === lit(value).cast(schema(c).dataType)
+    }.reduce(_ && _)
+    readResolved(spark, path, m, kept).filter(residual)
+  }
+
   /** Data-skipping read: the rows of the LIVE manifest snapshot with
     * `column BETWEEN lo AND hi` (inclusive), reading ONLY the partition
     * generations whose stored [min, max] stats intersect the window —
@@ -1002,10 +1150,16 @@ object Layout {
     */
   def writeManifestTable(spark: SparkSession, path: String, df: DataFrame,
                          partitionCols: Seq[String],
-                         statsCols: Seq[String] = Nil): Unit =
+                         statsCols: Seq[String] = Nil,
+                         bloomCols: Seq[String] = Nil,
+                         bloomItems: Long = 10000,
+                         bloomFpp: Double = 0.01): Unit =
       withMaintenanceLock(spark, path) {
     require(statsCols.forall(df.columns.contains),
       s"statsCols ${statsCols.filterNot(df.columns.contains).mkString(",")} " +
+        "are not columns of df")
+    require(bloomCols.forall(df.columns.contains),
+      s"bloomCols ${bloomCols.filterNot(df.columns.contains).mkString(",")} " +
         "are not columns of df")
     require(partitionCols.nonEmpty,
       "manifest tables are partition-granular; for an unpartitioned " +
@@ -1035,9 +1189,11 @@ object Layout {
     val ddl = org.apache.spark.sql.types.StructType(dataCols ++ parts).toDDL
     val gens = rels.map(_ -> 1).toMap
     val meta0 = ManifestMeta(1, ddl, partitionCols, gens,
-      statsCols = statsCols)
+      statsCols = statsCols, bloomCols = bloomCols,
+      bloomItems = bloomItems, bloomFpp = bloomFpp)
     writeManifestMeta(spark, path,
-      meta0.copy(stats = statsFor(spark, path, meta0, gens)))
+      meta0.copy(stats = statsFor(spark, path, meta0, gens),
+        blooms = bloomsFor(spark, path, meta0, gens)))
     fc.delete(new Path(tmpDir), true)
   }
 
@@ -1168,6 +1324,7 @@ object Layout {
     writeManifestMeta(spark, path, m.copy(version = v + 1,
       entries = m.entries -- removed ++ newGens,
       stats = m.stats -- removed ++ statsFor(spark, path, m, newGens),
+      blooms = m.blooms -- removed ++ bloomsFor(spark, path, m, newGens),
       deltas = m.deltas -- baseRels))
     fc.delete(new Path(tmpDir), true)
   }
@@ -1330,12 +1487,15 @@ object Layout {
       fc.rename(new Path(s"$tmpDir/$rel"), dst)
       rel -> g
     }.toMap
-    // delta stats: one aggregate over the just-written delta dirs only
+    // delta stats/blooms: one aggregate each over the just-written
+    // delta dirs only — widened monotonically into the standing ones
     val deltaStats = statsFor(spark, path, m, newDeltaGens)
     writeManifestMeta(spark, path, m.copy(version = v + 1,
       deltas = m.deltas ++ newDeltaGens.map { case (rel, g) =>
         rel -> (m.deltas.getOrElse(rel, Nil) :+ g) },
       stats = widenStats(spark, m, deltaStats),
+      blooms = widenBlooms(m.blooms,
+        bloomsFor(spark, path, m, newDeltaGens)),
       morKeys = keys, morVersionCol = Some(versionCol),
       morDeleteCol = m.morDeleteCol.orElse(deleteCol)))
     fc.delete(new Path(tmpDir), true)
@@ -1396,7 +1556,9 @@ object Layout {
       writeManifestMeta(spark, path, m.copy(version = v + 1,
         entries = m.entries -- removed ++ newGens,
         deltas = m.deltas -- rels,
-        stats = m.stats -- removed ++ statsFor(spark, path, m, newGens)))
+        stats = m.stats -- removed ++ statsFor(spark, path, m, newGens),
+        blooms = m.blooms -- removed ++
+          bloomsFor(spark, path, m, newGens)))
       fc.delete(new Path(tmpDir), true)
       produced.sorted
     }

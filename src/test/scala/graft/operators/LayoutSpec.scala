@@ -967,4 +967,61 @@ class LayoutSpec extends SparkSpec {
     val hot = Layout.readManifestBetween(spark, dir, "v", 999.0, 1001.0)
     assert(morSnap(hot) == Map(2L -> (("p0", 1000.0, 2L))))
   }
+
+  test("manifest bloom skipping: point lookups prune to the holding " +
+      "partition; blooms follow merges, deltas, and folds") {
+    val dir = tmpDir("bloom")
+    import spark.implicits._
+    // keys 1..400 land in partitions by k % 4 — every partition's
+    // [min,max] of k spans ~the whole key space, so RANGE stats can
+    // never prune a point lookup; the bloom must
+    val seed = (1 to 400).map(i =>
+      (i.toLong, s"p${i % 4}", i * 1.0, 1L)).toDF("k", "part", "v", "ver")
+    Layout.writeManifestTable(spark, dir, seed, Seq("part"),
+      bloomCols = Seq("k", "v"), bloomItems = 1024)
+    def gensOf(df: DataFrame): Seq[String] = df.inputFiles
+      .map(_.replaceAll(".*/(part=[^/]+)/gen=\\d+/.*", "$1")).distinct.toSeq
+    val one = Layout.readManifestEq(spark, dir, Seq(("k", 7L)))
+    assert(one.collect().map(r => (r.getAs[Long]("k"),
+      r.getAs[Double]("v"))).toSeq == Seq((7L, 7.0)))
+    assert(gensOf(one) == Seq("part=p3"),
+      s"lookup of k=7 must scan only its partition: ${gensOf(one)}")
+    // a missing key scans nothing (no bloom admits it) at 1024 items
+    // over 100 keys/partition the fp odds are ~0 and deterministic
+    val miss = Layout.readManifestEq(spark, dir, Seq(("k", 99999L)))
+    assert(miss.collect().isEmpty && miss.inputFiles.isEmpty)
+    // copy-on-write merge moves k=7's value; blooms recompute
+    Layout.mergeManifest(spark, dir,
+      Seq((7L, "p3", 700.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    assert(Layout.readManifestEq(spark, dir, Seq(("k", 7L)))
+      .head().getAs[Double]("v") == 700.0)
+    // merge-on-read delta INSERTS a brand-new key: the union-widened
+    // bloom must admit it, and resolution must surface it
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((1001L, "p1", 1001.0, 3L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    val fresh = Layout.readManifestEq(spark, dir, Seq(("k", 1001L)))
+    assert(fresh.head().getAs[Double]("v") == 1001.0)
+    assert(gensOf(fresh) == Seq("part=p1"), gensOf(fresh).mkString(","))
+    // conjunction: the merge recomputed p3's v-bloom, so the STALE
+    // (k=7, v=7.0) pair is excluded by the v conjunct before any scan
+    val stale = Layout.readManifestEq(spark, dir,
+      Seq(("k", 7L), ("v", 7.0)))
+    assert(stale.collect().isEmpty && stale.inputFiles.isEmpty,
+      "recomputed blooms must exclude the pre-merge value")
+    assert(Layout.readManifestEq(spark, dir,
+      Seq(("k", 7L), ("v", 700.0))).count() == 1)
+    // fold keeps lookups exact
+    Layout.foldManifestDeltas(spark, dir)
+    assert(Layout.readManifestEq(spark, dir, Seq(("k", 1001L)))
+      .head().getAs[Double]("v") == 1001.0)
+    // contract failures are loud
+    intercept[IllegalArgumentException] {
+      Layout.readManifestEq(spark, dir, Seq(("ver", 1L)))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.readManifestEq(spark, dir, Seq(("k", null)))
+    }
+  }
 }
