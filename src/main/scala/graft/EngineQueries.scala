@@ -1465,6 +1465,76 @@ object EngineQueries {
         col("o_totalprice"), col("ver"))
     }),
 
+    // CHANGE FEED (Layout.manifestChanges): the row-level diff between
+    // two manifest versions — updates as delete+insert pairs, deletes
+    // as deletes — recomputed as SQL from the batch definition. Work
+    // is bounded by the partitions whose generation set changed
+    // (pinned structurally in LayoutSpec); this is the downstream-
+    // incremental-consumption primitive m53 builds on.
+    "m52_manifest_changes" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("chfeed")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out, seed, Seq("o_orderstatus"))
+      // the m26 batch shape: delete every status-P order, +100 on
+      // %10==0 outside P
+      val batch = orders.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(2L).as("ver"), lit(true).as("del"))
+        .unionByName(orders.filter(col("o_orderstatus") =!= "P" &&
+            pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 100).as("o_totalprice"),
+            lit(2L).as("ver"), lit(false).as("del")))
+      Layout.mergeManifest(s, out, batch, Seq("o_orderkey"), "ver",
+        deleteCol = Some("del"))
+      Layout.manifestChanges(s, out, 1, 2)
+        .select(col("o_orderkey"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("o_totalprice"), col("ver"), col("_change_type"))
+    }),
+
+    // Change feed FEEDING incremental view maintenance — the end-to-
+    // end incremental pipeline: a standing per-status rollup seeded
+    // from snapshot v1, then kept in step by folding ONLY the v1->v2
+    // diff (insert = +1, delete = -1 weight) through Ivm's exactly-
+    // once marker. The summary must equal the GROUP BY over the
+    // post-merge table — the base is never re-aggregated.
+    "m53_changes_ivm" -> ((s, dir) => {
+      import graft.operators.{Ivm, Layout}
+      val out = s"${tmp("chivm")}/ord"
+      val sum = s"${tmp("chivm")}/summary"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out, seed, Seq("o_orderstatus"))
+      require(Ivm.applyDelta(s, sum, Layout.readManifestVersion(s, out, 1),
+        Seq("o_orderstatus"), Seq("o_totalprice"), batchId = 1),
+        "seeding from snapshot v1 must apply")
+      val batch = orders.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(2L).as("ver"), lit(true).as("del"))
+        .unionByName(orders.filter(col("o_orderstatus") =!= "P" &&
+            pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 100).as("o_totalprice"),
+            lit(2L).as("ver"), lit(false).as("del")))
+      Layout.mergeManifest(s, out, batch, Seq("o_orderkey"), "ver",
+        deleteCol = Some("del"))
+      val feed = Layout.manifestChanges(s, out, 1, 2)
+        .withColumn("w", when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L))
+      require(Ivm.applyDelta(s, sum, feed, Seq("o_orderstatus"),
+        Seq("o_totalprice"), batchId = 2, weightCol = Some("w")),
+        "folding the change feed must apply")
+      Ivm.read(s, sum).select(
+        col("o_orderstatus").cast("string").as("o_orderstatus"),
+        col("n_rows"),
+        col("sum_o_totalprice").cast("double").as("sum_o_totalprice"))
+    }),
+
     // MERGE-ON-READ manifest CDC (Layout.mergeManifestDelta /
     // foldManifestDeltas): two delta batches — updates, inserts, and a
     // partition-wide delete — land as pending delta generations with
@@ -1623,6 +1693,29 @@ object EngineQueries {
          FROM orders
          WHERE o_orderkey IN
            (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)""",
+    // the change feed recomputed from the batch definition: updated
+    // keys contribute a delete(old)+insert(new) pair, deleted keys one
+    // delete; a key both status-P and %10==0 was tombstoned, not
+    // updated (the update branch excludes P), so it appears once
+    "m52_manifest_changes" ->
+      """SELECT o_orderkey, o_orderstatus,
+           o_totalprice + 100 AS o_totalprice,
+           CAST(2 AS BIGINT) AS ver, 'insert' AS _change_type
+         FROM orders WHERE o_orderstatus <> 'P' AND o_orderkey % 10 = 0
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(1 AS BIGINT) AS ver, 'delete' AS _change_type
+         FROM orders WHERE o_orderstatus = 'P' OR o_orderkey % 10 = 0""",
+    // the incrementally-maintained rollup must equal the GROUP BY over
+    // the post-merge table (decimal partials make the fold exact)
+    "m53_changes_ivm" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0
+                              THEN o_totalprice + 100
+                              ELSE o_totalprice END
+                    AS DECIMAL(38,6))) AS DOUBLE) AS sum_o_totalprice
+         FROM orders WHERE o_orderstatus <> 'P'
+         GROUP BY o_orderstatus""",
     // merge-on-read resolution recomputed as SQL: ver-3 deletes drop
     // status P, ver-3 +7 wins over ver-2 +100 on keys that are both
     // %7==0 and %10==0, ver-2 inserts ride along untouched

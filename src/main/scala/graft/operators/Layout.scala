@@ -1564,6 +1564,61 @@ object Layout {
     }
   }
 
+  /** CHANGE FEED: the row-level difference between two RETAINED
+    * manifest versions — every row added and removed between the
+    * snapshots, tagged `_change_type` `insert` / `delete` (an update =
+    * one delete + one insert). The downstream-incremental-consumption
+    * primitive: a consumer remembers the last version it processed and
+    * folds only what changed — feeding [[Ivm.applyDelta]] with a
+    * `+1/-1` weight keeps a standing aggregate exactly in step with
+    * the table (gate m53) without ever rescanning it.
+    *
+    * Cost shape: only partitions whose generation set CHANGED between
+    * the versions are read — both sides resolve (merge-on-read deltas
+    * included) and diff with one `exceptAll` each, so the work is
+    * bounded by the touched partitions, never the table. A row-
+    * identical rewrite (compaction, fold) changes generations but no
+    * rows: its partitions scan and diff to nothing — correct, just
+    * not free; consume the feed before heavy re-layout when that
+    * matters. Schema evolution between the versions aligns the FROM
+    * side to the TO schema (evolved columns read as typed NULLs).
+    * Both versions must still be retained ([[reapManifest]] keeps
+    * only the live one — run the feed before the reap). */
+  def manifestChanges(spark: SparkSession, path: String,
+                      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion < toVersion,
+      s"change feed needs fromVersion < toVersion " +
+        s"(got $fromVersion >= $toVersion)")
+    val mFrom = readManifestMeta(spark, path, fromVersion)
+    val mTo = readManifestMeta(spark, path, toVersion)
+    def state(m: ManifestMeta, rel: String): Seq[Int] = m.liveGens(rel)
+    val allRels = (mFrom.entries.keySet ++ mFrom.deltas.keySet ++
+      mTo.entries.keySet ++ mTo.deltas.keySet).toSeq.sorted
+    val changed = allRels.filter(r => state(mFrom, r) != state(mTo, r))
+    val fc = fileContext(spark, path)
+    for (m <- Seq(mFrom, mTo); rel <- changed; g <- m.liveGens(rel))
+      require(fc.util.exists(new Path(s"$path/$rel/gen=$g")),
+        s"change feed over v$fromVersion..v$toVersion of $path needs " +
+          s"$rel/gen=$g which is not on disk (reaped?); feeds only " +
+          "reach retained generations")
+    val toSchema = manifestSchema(mTo)
+    def side(m: ManifestMeta): DataFrame = {
+      val df = readResolved(spark, path, m,
+        changed.filter(r => state(m, r).nonEmpty))
+      // align to the TO schema: evolved columns null-fill on the FROM
+      // side; a column the TO side dropped cannot exist (evolution is
+      // add-only), so select is total
+      df.select(toSchema.fields.toSeq.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)): _*)
+    }
+    val before = side(mFrom)
+    val after = side(mTo)
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
   /** Explicit schema evolution for manifest tables: append the columns
     * in `addDdl` (e.g. `"score DOUBLE, note STRING"`) to the stored
     * schema as NULLABLE data columns, publishing a new manifest version

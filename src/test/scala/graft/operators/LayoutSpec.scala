@@ -1024,4 +1024,52 @@ class LayoutSpec extends SparkSpec {
       Layout.readManifestEq(spark, dir, Seq(("k", null)))
     }
   }
+
+  test("manifestChanges: delete+insert pairs, changed-partitions-only " +
+      "scan, merge-on-read and evolution covered") {
+    val dir = tmpDir("changes")
+    import spark.implicits._
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "a", 20.0, 1L), (3L, "b", 30.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    // merge touches ONLY partition a: update k=1, insert k=4
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 11.0, 2L), (4L, "a", 40.0, 2L))
+        .toDF("k", "part", "v", "ver"), Seq("k"), "ver")
+    val feed = Layout.manifestChanges(spark, dir, 1, 2)
+    def rows(df: DataFrame): Set[(Long, Double, String)] =
+      df.collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(rows(feed) == Set((1L, 10.0, "delete"), (1L, 11.0, "insert"),
+      (4L, 40.0, "insert")))
+    // untouched partition b is never scanned
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.forall(_.contains("/part=a/")),
+      feed.inputFiles.mkString(","))
+    // merge-on-read deltas are part of the diff: a delta delete of k=3
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((3L, "b", 0.0, 3L, true)).toDF("k", "part", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))
+    assert(rows(Layout.manifestChanges(spark, dir, 2, 3)) ==
+      Set((3L, 30.0, "delete")))
+    // cumulative window spans both merges
+    assert(rows(Layout.manifestChanges(spark, dir, 1, 3)) ==
+      Set((1L, 10.0, "delete"), (1L, 11.0, "insert"),
+        (4L, 40.0, "insert"), (3L, 30.0, "delete")))
+    // schema evolution mid-window: FROM side null-fills the new column
+    Layout.evolveManifest(spark, dir, "score DOUBLE") // v4
+    Layout.mergeManifest(spark, dir,
+      Seq((2L, "a", 20.0, 4L, 0.9)).toDF("k", "part", "v", "ver", "score"),
+      Seq("k"), "ver") // v5
+    val evolved = Layout.manifestChanges(spark, dir, 3, 5).collect()
+      .map(r => (r.getAs[Long]("k"),
+        Option(r.getAs[java.lang.Double]("score")),
+        r.getAs[String]("_change_type"))).toSet
+    assert(evolved == Set((2L, None, "delete"), (2L, Some(0.9), "insert")))
+    // a reaped FROM version fails loudly
+    Layout.reapManifest(spark, dir)
+    intercept[IllegalArgumentException] {
+      Layout.manifestChanges(spark, dir, 1, 5)
+    }
+  }
 }
