@@ -90,7 +90,9 @@ object PipelineConfig {
       deleteCol = c.get("delete_col"),
       manifest = c.get("manifest").exists(_.toBoolean),
       strategy = c.getOrElse("strategy", "cow"))),
-    "FoldDeltas" -> ((c, _) => FoldDeltasModel(get(c, "path"))),
+    "FoldDeltas" -> ((c, _) => FoldDeltasModel(get(c, "path"),
+      sortCols = c.get("sort_cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))),
     "Manifest" -> ((c, _) => ManifestModel(get(c, "path"),
       version = c.get("version").map(_.toInt), knobs = knobsOf(c))),
     "Compact" -> ((c, _) => CompactModel(get(c, "path"),
@@ -98,7 +100,9 @@ object PipelineConfig {
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       generational = c.get("generational").exists(_.toBoolean),
       manifest = c.get("manifest").exists(_.toBoolean),
-      maxFiles = c.get("max_files").map(_.toInt).getOrElse(4))),
+      maxFiles = c.get("max_files").map(_.toInt).getOrElse(4),
+      sortCols = c.get("sort_cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))),
     "Zorder" -> ((c, _) => ZorderModel(get(c, "path"),
       zCols = get(c, "z_cols").split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq,

@@ -67,12 +67,13 @@ final case class MergeModel(
   */
 final case class FoldDeltasModel(
     path: String,
+    sortCols: Seq[String] = Nil,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
 
   def execute(ctx: StepContext): ExecResult =
-    ExecResult(resultValue = Some(
-      Layout.foldManifestDeltas(ctx.spark, ctx.render(path)).length.toLong))
+    ExecResult(resultValue = Some(Layout.foldManifestDeltas(ctx.spark,
+      ctx.render(path), sortCols).length.toLong))
 }
 
 /** Snapshot source over a MANIFEST table (the read half of the
@@ -109,14 +110,20 @@ final case class CompactModel(
     generational: Boolean = false,
     manifest: Boolean = false,
     maxFiles: Int = 4,
+    sortCols: Seq[String] = Nil,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
+
+  require(sortCols.isEmpty || manifest,
+    "sortCols is the manifest sorted-compaction knob; plain/" +
+      "generational compaction keeps arrival order (use SortedWrite/" +
+      "Zorder nodes for whole-table re-clustering)")
 
   def execute(ctx: StepContext): ExecResult = {
     val target = ctx.render(path)
     if (manifest)
-      ExecResult(resultValue = Some(
-        Layout.compactManifest(ctx.spark, target, maxFiles).length.toLong))
+      ExecResult(resultValue = Some(Layout.compactManifest(ctx.spark,
+        target, maxFiles, sortCols).length.toLong))
     else {
       val (before, after) =
         if (generational) Layout.compactGen(ctx.spark, target, partitionCols)

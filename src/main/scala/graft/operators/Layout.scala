@@ -1509,14 +1509,19 @@ object Layout {
     * recompute EXACTLY (re-tightening [[widenStats]]' monotonic
     * bounds). Untouched partitions keep their generations. Pinned
     * readers keep their snapshot; superseded base + delta dirs reap
-    * after drain. Count-verified before publish. Returns the folded
-    * partition rel-paths. */
-  def foldManifestDeltas(spark: SparkSession, path: String): Seq[String] =
+    * after drain. Count-verified before publish. `sortCols` sorts each
+    * folded partition's file (the [[compactManifest]] sorted-rewrite
+    * discipline — fold is the natural place to re-tighten row-group
+    * stats too). Returns the folded partition rel-paths. */
+  def foldManifestDeltas(spark: SparkSession, path: String,
+                         sortCols: Seq[String] = Nil): Seq[String] =
       withMaintenanceLock(spark, path) {
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not a manifest table"))
     val m = readManifestMeta(spark, path, v)
+    require(sortCols.forall(manifestSchema(m).fieldNames.contains),
+      s"sortCols ${sortCols.mkString(",")} must be table columns")
     val rels = m.deltas.keys.toSeq.sorted
     if (rels.isEmpty) Nil
     else {
@@ -1525,8 +1530,11 @@ object Layout {
       val tmpDir = s"$path.__manifest_tmp"
       fc.delete(new Path(tmpDir), true)
       val obs = org.apache.spark.sql.Observation()
-      resolved.observe(obs, count(lit(1)).as("n"))
+      val clustered = resolved.observe(obs, count(lit(1)).as("n"))
         .repartition(m.partitionCols.map(col): _*)
+      (if (sortCols.isEmpty) clustered
+       else clustered.sortWithinPartitions(
+         (m.partitionCols ++ sortCols).map(col): _*))
         .write.mode(SaveMode.Overwrite)
         .partitionBy(m.partitionCols: _*).parquet(tmpDir)
       val n0 = obs.get("n").asInstanceOf[Long]
@@ -1660,18 +1668,34 @@ object Layout {
     writeManifestMeta(spark, path, m.copy(version = v + 1, schemaDdl = ddl))
   }
 
-  /** Delete everything the LIVE manifest does not reference — superseded
-    * and orphaned generation dirs, fully-deleted partitions' remains,
-    * and manifest versions below the live one — after in-flight readers
-    * of older snapshots drain (your schedule; the library cannot know
-    * when the last one finished). Returns the deleted rel-paths.
+  /** Delete everything the RETAINED manifest versions do not reference
+    * — superseded and orphaned generation dirs, fully-deleted
+    * partitions' remains, and manifest versions below the retention
+    * window — after in-flight readers of older snapshots drain (your
+    * schedule; the library cannot know when the last one finished).
+    *
+    * `keepVersions` is the RETENTION window: the newest N manifest
+    * versions stay readable, so time travel reaches back N-1 merges
+    * and a [[manifestChanges]] consumer lagging up to N-1 versions
+    * never loses its window to a reap (the operational reason to run
+    * with N > 1 under continuous CDC — size it to the consumer's
+    * maximum lag). Default 1 = only the live snapshot survives.
+    * Returns the deleted rel-paths.
     */
-  def reapManifest(spark: SparkSession, path: String): Seq[String] =
+  def reapManifest(spark: SparkSession, path: String,
+                   keepVersions: Int = 1): Seq[String] =
       withMaintenanceLock(spark, path) {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"$path is not a manifest table"))
-    val m = readManifestMeta(spark, path, v)
     val fc = fileContext(spark, path)
+    val floor = math.max(1, v - keepVersions + 1)
+    // union of every retained version's referenced generations; a
+    // version may already be gone (reaped earlier) — skip it
+    val retained = (floor to v).flatMap { ver =>
+      if (!fc.util.exists(new Path(path, s"_MANIFEST.v$ver"))) None
+      else Some(readManifestMeta(spark, path, ver))
+    }
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(p: Path, rel: String): Unit = {
       val kids = fc.util.listStatus(p).filter(_.isDirectory)
@@ -1679,7 +1703,8 @@ object Layout {
       val partKids = kids.filter(k => k.getPath.getName.contains("=") &&
         !k.getPath.getName.startsWith("gen="))
       if (genKids.nonEmpty) {
-        val live = m.liveGens(rel).map(g => s"gen=$g").toSet
+        val live = retained.flatMap(_.liveGens(rel))
+          .map(g => s"gen=$g").toSet
         if (live.nonEmpty)
           genKids.filterNot(k => live.contains(k.getPath.getName))
             .foreach { st =>
@@ -1687,8 +1712,8 @@ object Layout {
               deleted += s"$rel/${st.getPath.getName}"
             }
         else {
-          // partition absent from the live manifest (fully deleted or
-          // never published): the whole chain goes
+          // partition absent from every retained version (fully
+          // deleted or never published): the whole chain goes
           fc.delete(p, true)
           deleted += rel
         }
@@ -1703,7 +1728,7 @@ object Layout {
     fc.util.listStatus(new Path(path)).foreach { st =>
       val n = st.getPath.getName
       if (!st.isDirectory && n.startsWith("_MANIFEST.v") &&
-          n.drop(11).forall(_.isDigit) && n.drop(11).toInt < v) {
+          n.drop(11).forall(_.isDigit) && n.drop(11).toInt < floor) {
         fc.delete(st.getPath, false)
         deleted += n
       }
@@ -1738,17 +1763,29 @@ object Layout {
     * compactor. Untouched partitions keep their generation; their dirs
     * are not read, listed beyond the file count, or rewritten.
     *
+    * `sortCols` makes the rewrite a SORTED compaction: each rewritten
+    * partition's file is sorted on them, so parquet row-group min/max
+    * stats on the sort key stay tight under continuous CDC (the
+    * [[sortedWrite]] discipline at partition granularity — CDC merges
+    * decluster the layout, the scheduled compactor re-clusters it).
+    * `maxFiles = 0` selects EVERY partition — the full OPTIMIZE-sort
+    * re-cluster; with the default threshold only small-file partitions
+    * pay the rewrite.
+    *
     * Returns the compacted partition rel-paths.
     */
   def compactManifest(spark: SparkSession, path: String,
-                      maxFiles: Int = 4): Seq[String] =
+                      maxFiles: Int = 4,
+                      sortCols: Seq[String] = Nil): Seq[String] =
       withMaintenanceLock(spark, path) {
-    require(maxFiles >= 1, "maxFiles must be >= 1")
+    require(maxFiles >= 0, "maxFiles must be >= 0 (0 = rewrite all)")
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not a manifest table; compact plain parquet " +
           "directories with compact"))
     val m = readManifestMeta(spark, path, v)
+    require(sortCols.forall(manifestSchema(m).fieldNames.contains),
+      s"sortCols ${sortCols.mkString(",")} must be table columns")
     val fc = fileContext(spark, path)
     def dataFiles(rel: String, g: Int): Int =
       fc.util.listStatus(new Path(s"$path/$rel/gen=$g"))
@@ -1766,8 +1803,13 @@ object Layout {
       val tmpDir = s"$path.__manifest_tmp"
       fc.delete(new Path(tmpDir), true) // crashed prior run's leftover
       val obs = org.apache.spark.sql.Observation()
-      base.observe(obs, count(lit(1)).as("n"))
+      val clustered = base.observe(obs, count(lit(1)).as("n"))
         .repartition(m.partitionCols.map(col): _*)
+      // partition cols lead the sort so each task's rows stay grouped
+      // by output dir; within a dir the file is sortCols-ordered
+      (if (sortCols.isEmpty) clustered
+       else clustered.sortWithinPartitions(
+         (m.partitionCols ++ sortCols).map(col): _*))
         .write.mode(SaveMode.Overwrite)
         .partitionBy(m.partitionCols: _*).parquet(tmpDir)
       val n0 = obs.get("n").asInstanceOf[Long]

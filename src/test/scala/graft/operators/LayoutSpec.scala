@@ -1072,4 +1072,81 @@ class LayoutSpec extends SparkSpec {
       Layout.manifestChanges(spark, dir, 1, 5)
     }
   }
+
+  test("reapManifest retention window: lagging feed consumers and time " +
+      "travel survive a keepVersions reap") {
+    val dir = tmpDir("retention")
+    import spark.implicits._
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L)).toDF("k", "part", "v", "ver"), Seq("part"))
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 11.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver") // v2
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 12.0, 3L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver") // v3
+    val reaped = Layout.reapManifest(spark, dir, keepVersions = 2)
+    // v2 and its generations survive; v1's go
+    assert(reaped.contains("_MANIFEST.v1") &&
+      !reaped.contains("_MANIFEST.v2"), reaped.mkString(","))
+    assert(Layout.readManifestVersion(spark, dir, 2)
+      .head().getAs[Double]("v") == 11.0)
+    // the v2->v3 feed window is intact after the reap
+    assert(Layout.manifestChanges(spark, dir, 2, 3).count() == 2)
+    intercept[IllegalArgumentException] {
+      Layout.readManifestVersion(spark, dir, 1)
+    }
+    // tightening to keepVersions=1 drops v2
+    Layout.reapManifest(spark, dir)
+    intercept[IllegalArgumentException] {
+      Layout.readManifestVersion(spark, dir, 2)
+    }
+    assert(Layout.readManifest(spark, dir)
+      .head().getAs[Double]("v") == 12.0)
+  }
+
+  test("sorted manifest compaction: maxFiles=0 re-clusters every " +
+      "partition; row groups skip on the sort key") {
+    val dir = tmpDir("sortcompact")
+    // small row groups make the skipping observable at test scale (the
+    // production default is 128 MB groups inside each compacted file)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 8 * 1024)
+    hc.setInt("parquet.page.size", 4 * 1024)
+    try {
+      // value column arrives shuffled: a sort-key range scan must read
+      // ~everything before, a couple of tight row groups after
+      val li = spark.read.parquet(sf("lineitem"))
+        .select(col("l_orderkey").as("k"),
+          pmod(col("l_orderkey"), lit(3)).as("part"),
+          col("l_extendedprice").as("v"), lit(1L).as("ver"))
+        .repartition(8) // shuffled arrival, several files per partition
+      Layout.writeManifestTable(spark, dir, li, Seq("part"))
+      // a mid-range band: every unsorted row group's [min,max] straddles
+      // it, so the baseline cannot prune by accident
+      def rangeRows(): Long = scanOutputRows(
+        Layout.readManifest(spark, dir)
+          .filter(col("v") >= 30000.0 && col("v") <= 32000.0))
+      val before = rangeRows()
+      val expected = Layout.readManifest(spark, dir).collect()
+        .map(_.mkString("|")).sorted.toSeq
+      val compacted = Layout.compactManifest(spark, dir, maxFiles = 0,
+        sortCols = Seq("v"))
+      assert(compacted.toSet == Set("part=0", "part=1", "part=2"))
+      // row-identical, single file per partition
+      assert(Layout.readManifest(spark, dir).collect()
+        .map(_.mkString("|")).sorted.toSeq == expected)
+      val after = rangeRows()
+      assert(after < before / 2,
+        s"sorted compaction must tighten row-group skipping: " +
+          s"$before -> $after rows read")
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size")
+      else hc.set("parquet.page.size", oldPage)
+    }
+  }
 }
