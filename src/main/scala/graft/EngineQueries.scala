@@ -1419,6 +1419,50 @@ object EngineQueries {
         col("o_totalprice"), col("ver"))
     }),
 
+    // HIERARCHICAL manifest (manifestBuckets > 0): per-rel state
+    // shards into content-addressed bucket children; the root carries
+    // per-bucket stats/bloom rollups so pruned reads never load
+    // non-matching children. The gate proves that STRUCTURALLY: after
+    // the merge it DELETES the child holding the latest years, and
+    // the 1996 window read (which must prune that bucket from the
+    // root rollup alone) still hash-matches the merged-table oracle,
+    // while an unpruned full read fails loudly on the missing child.
+    "m54_manifest_hierarchical" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("hier")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        col("o_orderdate"), col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out, seed, Seq("o_year"),
+        statsCols = Seq("o_orderdate"), manifestBuckets = 3)
+      val batch = seed.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("ver", lit(2L))
+      Layout.mergeManifest(s, out, batch, Seq("o_orderkey"), "ver")
+      // reap superseded children (the merge rewrote every bucket), then
+      // remove the LIVE child holding the latest years (the fixture
+      // spans 1995-2001; the rel-sorted thirds put 1996 in the first
+      // bucket): the 1996 pruned read below must never ask for it
+      require(Layout.reapManifest(s, out).exists(_.startsWith("_MBUCKET")),
+        "reap must drop the superseded bucket children")
+      val victims = new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("_MBUCKET.") &&
+          new String(java.nio.file.Files.readAllBytes(f.toPath))
+            .contains("o_year=2001"))
+      require(victims.length == 1 && victims.head.delete(),
+        s"expected one 2001-bearing bucket child, got ${victims.length}")
+      var failed = false
+      try Layout.readManifest(s, out).count()
+      catch { case e: IllegalArgumentException =>
+        failed = e.getMessage.contains("bucket file") }
+      require(failed, "the FULL read must fail loudly on the missing child")
+      val res = Layout.readManifestBetween(s, out, "o_orderdate",
+        "1996-02-01 00:00:00", "1996-04-30 23:59:59")
+      res.select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+        col("o_orderdate"), col("o_totalprice"), col("ver"))
+    }),
+
     // EQUALITY data-skipping via per-partition BLOOM filters
     // (Layout.readManifestEq): the table partitions by order YEAR but
     // the lookups are point probes on o_orderkey — a high-cardinality
@@ -1681,6 +1725,19 @@ object EngineQueries {
                  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
                       ELSE o_totalprice END AS o_totalprice
                FROM orders WHERE o_orderstatus <> 'P')""",
+    // the hierarchical pruned read shares m40's oracle — same window,
+    // same merge; the hierarchy is a metadata layout change that must
+    // not cost a row
+    "m54_manifest_hierarchical" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_orderdate,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1996-02-01 00:00:00'
+           AND TIMESTAMP '1996-04-30 23:59:59'""",
     // the bloom-pruned point lookups must return exactly the merged
     // table's rows for the 5 smallest order keys
     "m51_manifest_bloomskip" ->

@@ -622,7 +622,13 @@ object Layout {
       deltas: Map[String, Seq[Int]] = Map.empty,
       morKeys: Seq[String] = Nil,
       morVersionCol: Option[String] = None,
-      morDeleteCol: Option[String] = None) {
+      morDeleteCol: Option[String] = None,
+      // HIERARCHICAL layout (empty = flat): rel-name split points fixed
+      // at seed time. Bucket i holds the rels in [bounds(i-1),
+      // bounds(i)); per-rel state serializes into content-addressed
+      // child files, the root keeps per-bucket rollups — see
+      // [[writeManifestMeta]].
+      bucketBounds: Seq[String] = Nil) {
     /** Every generation number the manifest references for `rel` —
       * base (if present) plus pending deltas. */
     def liveGens(rel: String): Seq[Int] =
@@ -631,7 +637,22 @@ object Layout {
       * pending delta, so maintenance writes can never land on (and the
       * orphan sweep can never delete) a published delta dir. */
     def nextGen(rel: String): Int = (0 +: liveGens(rel)).max + 1
+    /** Bucket index of `rel` under the fixed bounds (hierarchical). */
+    def bucketOf(rel: String): Int = bucketBounds.count(_ <= rel)
+    /** All rels this meta knows about (base or delta-bearing). */
+    def allRels: Seq[String] =
+      (entries.keySet ++ deltas.keySet).toSeq.sorted
   }
+
+  /** Root-level reference to one hierarchical-manifest bucket: the
+    * content-addressed child file plus the bucket's stats/bloom
+    * ROLLUPS (union over its rels), which let readers prune whole
+    * buckets before loading any child. */
+  private final case class BucketRef(
+      idx: Int,
+      file: String,
+      statsRollup: Map[String, (Option[String], Option[String])],
+      bloomRollup: Map[String, String])
 
   private lazy val manifestJson = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -653,40 +674,115 @@ object Layout {
     }
   }
 
-  private def readManifestMeta(spark: SparkSession, path: String,
-                               version: Int): ManifestMeta = {
+  import com.fasterxml.jackson.databind.JsonNode
+  import com.fasterxml.jackson.databind.node.ObjectNode
+
+  private def optText(n: JsonNode, f: String): Option[String] = {
+    val v = n.get(f)
+    if (v == null || v.isNull) None else Some(v.asText())
+  }
+
+  /** Parse the four per-rel maps out of a (root or bucket-child) node
+    * and merge them into `m`. */
+  private def parseRelMaps(m: ManifestMeta, node: JsonNode): ManifestMeta = {
+    import scala.jdk.CollectionConverters._
+    m.copy(
+      entries = m.entries ++ (
+        if (!node.has("entries")) Map.empty[String, Int]
+        else node.get("entries").fields().asScala
+          .map(e => e.getKey -> e.getValue.asInt()).toMap),
+      stats = m.stats ++ (
+        if (!node.has("stats"))
+          Map.empty[String, Map[String, (Option[String], Option[String])]]
+        else node.get("stats").fields().asScala.map { rel =>
+          rel.getKey -> rel.getValue.fields().asScala.map { c =>
+            c.getKey -> (optText(c.getValue, "min"), optText(c.getValue, "max"))
+          }.toMap
+        }.toMap),
+      blooms = m.blooms ++ (
+        if (!node.has("blooms")) Map.empty[String, Map[String, String]]
+        else node.get("blooms").fields().asScala.map { rel =>
+          rel.getKey -> rel.getValue.fields().asScala.map { c =>
+            c.getKey -> c.getValue.asText()
+          }.toMap
+        }.toMap),
+      deltas = m.deltas ++ (
+        if (!node.has("deltas")) Map.empty[String, Seq[Int]]
+        else node.get("deltas").fields().asScala.map { rel =>
+          rel.getKey -> rel.getValue.elements().asScala
+            .map(_.asInt()).toSeq
+        }.toMap))
+  }
+
+  /** Serialize the four per-rel maps RESTRICTED to `rels` onto `node`
+    * (sorted throughout — bucket children must serialize canonically
+    * so identical content yields identical bytes and therefore the
+    * same content address). */
+  private def putRelMaps(m: ManifestMeta, rels: Set[String],
+                         node: ObjectNode): Unit = {
+    val en = node.putObject("entries")
+    m.entries.view.filterKeys(rels).toSeq.sortBy(_._1)
+      .foreach { case (k, v) => en.put(k, v) }
+    if (m.statsCols.nonEmpty) {
+      val st = node.putObject("stats")
+      m.stats.view.filterKeys(rels).toSeq.sortBy(_._1)
+        .foreach { case (rel, cols) =>
+          val rn = st.putObject(rel)
+          cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+            val cn = rn.putObject(c)
+            mn.fold { cn.putNull("min"); () }(v => { cn.put("min", v); () })
+            mx.fold { cn.putNull("max"); () }(v => { cn.put("max", v); () })
+          }
+        }
+    }
+    if (m.bloomCols.nonEmpty) {
+      val bl = node.putObject("blooms")
+      m.blooms.view.filterKeys(rels).toSeq.sortBy(_._1)
+        .foreach { case (rel, cols) =>
+          val rn = bl.putObject(rel)
+          cols.toSeq.sortBy(_._1).foreach { case (c, b64) =>
+            rn.put(c, b64)
+          }
+        }
+    }
+    if (m.deltas.nonEmpty) {
+      val dn = node.putObject("deltas")
+      m.deltas.view.filterKeys(rels).toSeq.sortBy(_._1)
+        .foreach { case (rel, gens) =>
+          val arr = dn.putArray(rel)
+          gens.foreach(arr.add)
+        }
+    }
+  }
+
+  private def readBytes(fc: FileContext, p: Path): Array[Byte] = {
+    val in = fc.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Parse the root of manifest `version`: the HEADER meta (schema,
+    * partition cols, specs, bucket bounds — per-rel maps populated
+    * only for FLAT manifests) plus the bucket references of a
+    * hierarchical one (empty for flat). */
+  private def readManifestRoot(spark: SparkSession, path: String,
+                               version: Int): (ManifestMeta, Seq[BucketRef]) = {
     val fc = fileContext(spark, path)
     val p = new Path(path, s"_MANIFEST.v$version")
     require(fc.util.exists(p),
       s"manifest version $version of $path is not on disk (reaped or " +
         "never written)")
-    val in = fc.open(p)
-    val raw = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    val node = manifestJson.readTree(raw)
+    val node = manifestJson.readTree(new String(readBytes(fc, p),
+      java.nio.charset.StandardCharsets.UTF_8))
     import scala.jdk.CollectionConverters._
-    def optText(n: com.fasterxml.jackson.databind.JsonNode,
-                f: String): Option[String] = {
-      val v = n.get(f)
-      if (v == null || v.isNull) None else Some(v.asText())
-    }
-    ManifestMeta(
+    val header = ManifestMeta(
       version = node.get("version").asInt(),
       schemaDdl = node.get("schema").asText(),
       partitionCols = node.get("partitionCols").elements().asScala
         .map(_.asText()).toSeq,
-      entries = node.get("entries").fields().asScala
-        .map(e => e.getKey -> e.getValue.asInt()).toMap,
+      entries = Map.empty,
       statsCols =
         if (!node.has("statsCols")) Nil
         else node.get("statsCols").elements().asScala.map(_.asText()).toSeq,
-      stats =
-        if (!node.has("stats")) Map.empty
-        else node.get("stats").fields().asScala.map { rel =>
-          rel.getKey -> rel.getValue.fields().asScala.map { c =>
-            c.getKey -> (optText(c.getValue, "min"), optText(c.getValue, "max"))
-          }.toMap
-        }.toMap,
       bloomCols =
         if (!node.has("bloomCols")) Nil
         else node.get("bloomCols").elements().asScala.map(_.asText()).toSeq,
@@ -695,24 +791,130 @@ object Layout {
         else node.get("bloomItems").asLong(),
       bloomFpp =
         if (!node.has("bloomFpp")) 0.01 else node.get("bloomFpp").asDouble(),
-      blooms =
-        if (!node.has("blooms")) Map.empty
-        else node.get("blooms").fields().asScala.map { rel =>
-          rel.getKey -> rel.getValue.fields().asScala.map { c =>
-            c.getKey -> c.getValue.asText()
-          }.toMap
-        }.toMap,
-      deltas =
-        if (!node.has("deltas")) Map.empty
-        else node.get("deltas").fields().asScala.map { rel =>
-          rel.getKey -> rel.getValue.elements().asScala
-            .map(_.asInt()).toSeq
-        }.toMap,
       morKeys =
         if (!node.has("morKeys")) Nil
         else node.get("morKeys").elements().asScala.map(_.asText()).toSeq,
       morVersionCol = optText(node, "morVersionCol"),
-      morDeleteCol = optText(node, "morDeleteCol"))
+      morDeleteCol = optText(node, "morDeleteCol"),
+      bucketBounds =
+        if (!node.has("bucketBounds")) Nil
+        else node.get("bucketBounds").elements().asScala
+          .map(_.asText()).toSeq)
+    if (!node.has("buckets")) (parseRelMaps(header, node), Nil)
+    else {
+      val refs = node.get("buckets").elements().asScala.zipWithIndex
+        .map { case (b, i) =>
+          BucketRef(i, b.get("file").asText(),
+            statsRollup =
+              if (!b.has("stats")) Map.empty
+              else b.get("stats").fields().asScala.map { c =>
+                c.getKey -> (optText(c.getValue, "min"),
+                  optText(c.getValue, "max"))
+              }.toMap,
+            bloomRollup =
+              if (!b.has("blooms")) Map.empty
+              else b.get("blooms").fields().asScala.map { c =>
+                c.getKey -> c.getValue.asText()
+              }.toMap)
+        }.toSeq
+      (header, refs)
+    }
+  }
+
+  /** Load the given bucket children into `header`. The full meta is
+    * `readBuckets(header, refs)`; a PRUNED read passes only the refs
+    * whose rollups can match — the hierarchical win: meta bytes read
+    * scale with matching buckets, not the table. */
+  private def readBuckets(spark: SparkSession, path: String,
+                          header: ManifestMeta,
+                          refs: Seq[BucketRef]): ManifestMeta = {
+    val fc = fileContext(spark, path)
+    refs.foldLeft(header) { (m, r) =>
+      val p = new Path(path, r.file)
+      require(fc.util.exists(p),
+        s"manifest v${header.version} of $path references bucket file " +
+          s"${r.file} which is not on disk (reaped?)")
+      parseRelMaps(m, manifestJson.readTree(new String(readBytes(fc, p),
+        java.nio.charset.StandardCharsets.UTF_8)))
+    }
+  }
+
+  private def readManifestMeta(spark: SparkSession, path: String,
+                               version: Int): ManifestMeta = {
+    val (header, refs) = readManifestRoot(spark, path, version)
+    if (refs.isEmpty) header else readBuckets(spark, path, header, refs)
+  }
+
+  private def writeFile(fc: FileContext, p: Path,
+                        bytes: Array[Byte]): Unit = {
+    val out = fc.create(p,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Per-bucket stats rollup (min of mins / max of maxes across the
+    * bucket's rels, through Spark's Cast + ordering — one tiny local
+    * job for ALL buckets) and bloom rollup (driver-side union). */
+  private def bucketRollups(spark: SparkSession, m: ManifestMeta,
+                            byBucket: Map[Int, Seq[String]]):
+      Map[Int, (Map[String, (Option[String], Option[String])],
+                Map[String, String])] = {
+    val sch = manifestSchema(m)
+    val statsRollup: Map[Int, Map[String, (Option[String], Option[String])]] =
+      if (m.statsCols.isEmpty) Map.empty
+      else {
+        val rows = byBucket.toSeq.sortBy(_._1).flatMap { case (b, rels) =>
+          rels.map { rel =>
+            val st = m.stats.getOrElse(rel, Map.empty)
+            org.apache.spark.sql.Row.fromSeq(b +: m.statsCols.flatMap { c =>
+              val (mn, mx) = st.getOrElse(c, (None, None))
+              Seq(mn.orNull, mx.orNull)
+            })
+          }
+        }
+        val fields = org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.IntegerType) +:
+          m.statsCols.zipWithIndex.flatMap { case (_, i) =>
+            Seq(org.apache.spark.sql.types.StructField(s"__mn_$i",
+              org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField(s"__mx_$i",
+                org.apache.spark.sql.types.StringType))
+          }
+        val aggs = m.statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val dt = sch(c).dataType
+          Seq(min(col(s"__mn_$i").cast(dt)).cast("string").as(s"__mn_$i"),
+            max(col(s"__mx_$i").cast(dt)).cast("string").as(s"__mx_$i"))
+        }
+        spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            org.apache.spark.sql.types.StructType(fields))
+          .groupBy(col("b")).agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            r.getInt(0) -> m.statsCols.zipWithIndex.map { case (c, i) =>
+              c -> (Option(r.getAs[String](s"__mn_$i")),
+                Option(r.getAs[String](s"__mx_$i")))
+            }.toMap
+          }.toMap
+      }
+    val dec = java.util.Base64.getDecoder
+    val enc = java.util.Base64.getEncoder
+    val bloomRollup: Map[Int, Map[String, String]] =
+      if (m.bloomCols.isEmpty) Map.empty
+      else byBucket.map { case (b, rels) =>
+        b -> m.bloomCols.flatMap { c =>
+          val parts = rels.flatMap(rel =>
+            m.blooms.getOrElse(rel, Map.empty).get(c))
+          if (parts.isEmpty) None
+          else Some(c -> enc.encodeToString(parts.map(dec.decode(_))
+            .reduce(graft.expressions.BloomSketch.union)))
+        }.toMap
+      }
+    byBucket.keys.map(b => b -> (
+      statsRollup.getOrElse(b, Map.empty),
+      bloomRollup.getOrElse(b, Map.empty))).toMap
   }
 
   private def writeManifestMeta(spark: SparkSession, path: String,
@@ -723,38 +925,15 @@ object Layout {
     root.put("schema", m.schemaDdl)
     val pc = root.putArray("partitionCols")
     m.partitionCols.foreach(pc.add)
-    val en = root.putObject("entries")
-    m.entries.toSeq.sortBy(_._1).foreach { case (k, v) => en.put(k, v) }
     if (m.statsCols.nonEmpty) {
       val sc = root.putArray("statsCols")
       m.statsCols.foreach(sc.add)
-      val st = root.putObject("stats")
-      m.stats.toSeq.sortBy(_._1).foreach { case (rel, cols) =>
-        val rn = st.putObject(rel)
-        cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
-          val cn = rn.putObject(c)
-          mn.fold { cn.putNull("min"); () }(v => { cn.put("min", v); () })
-          mx.fold { cn.putNull("max"); () }(v => { cn.put("max", v); () })
-        }
-      }
     }
     if (m.bloomCols.nonEmpty) {
       val bc = root.putArray("bloomCols")
       m.bloomCols.foreach(bc.add)
       root.put("bloomItems", m.bloomItems)
       root.put("bloomFpp", m.bloomFpp)
-      val bl = root.putObject("blooms")
-      m.blooms.toSeq.sortBy(_._1).foreach { case (rel, cols) =>
-        val rn = bl.putObject(rel)
-        cols.toSeq.sortBy(_._1).foreach { case (c, b64) => rn.put(c, b64) }
-      }
-    }
-    if (m.deltas.nonEmpty) {
-      val dn = root.putObject("deltas")
-      m.deltas.toSeq.sortBy(_._1).foreach { case (rel, gens) =>
-        val arr = dn.putArray(rel)
-        gens.foreach(arr.add)
-      }
     }
     if (m.morKeys.nonEmpty) {
       val mk = root.putArray("morKeys")
@@ -762,23 +941,60 @@ object Layout {
       m.morVersionCol.foreach(root.put("morVersionCol", _))
       m.morDeleteCol.foreach(root.put("morDeleteCol", _))
     }
-    val p = new Path(path, s"_MANIFEST.v${m.version}")
-    val out = fc.create(p,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-      org.apache.hadoop.fs.Options.CreateOpts.createParent())
-    try out.write(manifestJson.writeValueAsBytes(root)) finally out.close()
+    if (m.bucketBounds.isEmpty) {
+      // FLAT: all per-rel maps inline in the root
+      putRelMaps(m, m.allRels.toSet, root)
+    } else {
+      // HIERARCHICAL: per-rel maps shard into content-addressed child
+      // files by the fixed rel-name bounds. A child whose content did
+      // not change hashes to the SAME address — already on disk, not
+      // rewritten — so a merge's publish writes only the touched
+      // buckets plus this root. The root carries per-bucket stats and
+      // bloom ROLLUPS, letting pruned reads skip whole buckets before
+      // loading any child.
+      val bb = root.putArray("bucketBounds")
+      m.bucketBounds.foreach(bb.add)
+      val grouped = m.allRels.groupBy(m.bucketOf)
+      val byBucket = (0 to m.bucketBounds.size)
+        .map(b => b -> grouped.getOrElse(b, Nil)).toMap
+      val rollups = bucketRollups(spark, m, byBucket)
+      val arr = root.putArray("buckets")
+      (0 to m.bucketBounds.size).foreach { b =>
+        val child = manifestJson.createObjectNode()
+        putRelMaps(m, byBucket(b).toSet, child)
+        val bytes = manifestJson.writeValueAsBytes(child)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(bytes).take(16).map("%02x".format(_)).mkString
+        val name = s"_MBUCKET.$sha.json"
+        val p = new Path(path, name)
+        if (!fc.util.exists(p)) writeFile(fc, p, bytes)
+        val bn = arr.addObject()
+        bn.put("file", name)
+        val (stR, blR) = rollups(b)
+        if (stR.nonEmpty) {
+          val sn = bn.putObject("stats")
+          stR.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+            val cn = sn.putObject(c)
+            mn.fold { cn.putNull("min"); () }(v => { cn.put("min", v); () })
+            mx.fold { cn.putNull("max"); () }(v => { cn.put("max", v); () })
+          }
+        }
+        if (blR.nonEmpty) {
+          val bln = bn.putObject("blooms")
+          blR.toSeq.sortBy(_._1).foreach { case (c, b64) =>
+            bln.put(c, b64)
+          }
+        }
+      }
+    }
+    writeFile(fc, new Path(path, s"_MANIFEST.v${m.version}"),
+      manifestJson.writeValueAsBytes(root))
     // atomic publish: tmp write + rename OVERWRITE, the swapCurrent
     // discipline — readers resolve either the old version or the new
     val tmp = new Path(path, s"$ManifestPointer.tmp")
     val cur = new Path(path, ManifestPointer)
-    val pOut = fc.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-      org.apache.hadoop.fs.Options.CreateOpts.createParent())
-    try pOut.write(m.version.toString.getBytes(
+    writeFile(fc, tmp, m.version.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
-    finally pOut.close()
     fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
@@ -1025,19 +1241,29 @@ object Layout {
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not a manifest table; seed it with writeManifestTable"))
-    val m = readManifestMeta(spark, path, v)
+    val (header, refs) = readManifestRoot(spark, path, v)
     eqs.foreach { case (c, _) =>
-      require(m.bloomCols.contains(c),
+      require(header.bloomCols.contains(c),
         s"manifest table $path keeps no bloom for '$c' " +
-          s"(bloomCols: ${m.bloomCols.mkString(",")}); reseed with it " +
-          "in bloomCols to enable equality-skipping reads")
+          s"(bloomCols: ${header.bloomCols.mkString(",")}); reseed with " +
+          "it in bloomCols to enable equality-skipping reads")
     }
-    val schema = manifestSchema(m)
+    val schema = manifestSchema(header)
     val hashes = eqs.map { case (c, value) =>
       c -> renderedHash(spark, schema(c).dataType, value)
     }
     val dec = java.util.Base64.getDecoder
-    val kept = (m.entries.keySet ++ m.deltas.keySet).toSeq.sorted
+    // hierarchical: the root's per-bucket UNION blooms prune whole
+    // buckets driver-side before any child file is read
+    val m =
+      if (refs.isEmpty) header
+      else readBuckets(spark, path, header, refs.filter { r =>
+        hashes.forall { case (c, h) =>
+          r.bloomRollup.get(c).forall(b64 =>
+            graft.expressions.BloomSketch.mightContain(dec.decode(b64), h))
+        }
+      })
+    val kept = m.allRels
       .filter { rel =>
         val bl = m.blooms.getOrElse(rel, Map.empty)
         hashes.forall { case (c, h) =>
@@ -1082,6 +1308,46 @@ object Layout {
     * Spark's own Cast + ordering, so pruning can never disagree with
     * the result.
     */
+  /** Ids from `items` whose [min, max] stats intersect EVERY range —
+    * the overlap test runs through Spark's own Cast + ordering (the
+    * exact semantics the residual filter uses, so pruning can never
+    * disagree with it); one tiny local job bounded by `items.size`.
+    * A missing/None bound means no non-null value — which a range can
+    * never match, so it prunes. */
+  private def statsOverlap(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      ranges: Seq[(String, Any, Any)],
+      items: Seq[(String, Map[String, (Option[String], Option[String])])]):
+      Set[String] = {
+    val boundRows = items.map { case (id, st) =>
+      org.apache.spark.sql.Row.fromSeq(id +: ranges.flatMap {
+        case (c, _, _) =>
+          val b = st.getOrElse(c, (None, None))
+          Seq(b._1.orNull, b._2.orNull)
+      })
+    }
+    val boundSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType) +:
+        ranges.zipWithIndex.flatMap { case (_, i) => Seq(
+          org.apache.spark.sql.types.StructField(s"__mn_$i",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(s"__mx_$i",
+            org.apache.spark.sql.types.StringType)) })
+    val overlap = ranges.zipWithIndex.map { case ((c, lo, hi), i) =>
+      val dt = schema(c).dataType
+      col(s"__mn_$i").isNotNull && col(s"__mx_$i").isNotNull &&
+        col(s"__mx_$i").cast(dt) >= lit(lo).cast(dt) &&
+        col(s"__mn_$i").cast(dt) <= lit(hi).cast(dt)
+    }.reduce(_ && _)
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(boundRows).asJava),
+        boundSchema)
+      .filter(overlap)
+      .select("id").collect().map(_.getString(0)).toSet
+  }
+
   def readManifestPruned(spark: SparkSession, path: String,
                          ranges: Seq[(String, Any, Any)]): DataFrame = {
     require(ranges.nonEmpty, "readManifestPruned needs >= 1 range")
@@ -1091,46 +1357,27 @@ object Layout {
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not a manifest table; seed it with writeManifestTable"))
-    val m = readManifestMeta(spark, path, v)
+    val (header, refs) = readManifestRoot(spark, path, v)
     ranges.foreach { case (c, _, _) =>
-      require(m.statsCols.contains(c),
+      require(header.statsCols.contains(c),
         s"manifest table $path keeps no stats for '$c' " +
-          s"(statsCols: ${m.statsCols.mkString(",")}); reseed with it " +
-          "in statsCols to enable data-skipping reads")
+          s"(statsCols: ${header.statsCols.mkString(",")}); reseed with " +
+          "it in statsCols to enable data-skipping reads")
     }
-    val schema = manifestSchema(m)
-    val boundRows = (m.entries.keySet ++ m.deltas.keySet)
-      .toSeq.sorted.map { rel =>
-      org.apache.spark.sql.Row.fromSeq(rel +: ranges.flatMap {
-        case (c, _, _) =>
-          val st = m.stats.getOrElse(rel, Map.empty)
-            .getOrElse(c, (None, None))
-          Seq(st._1.orNull, st._2.orNull)
-      })
-    }
-    val boundSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("rel",
-        org.apache.spark.sql.types.StringType) +:
-        ranges.zipWithIndex.flatMap { case (_, i) => Seq(
-          org.apache.spark.sql.types.StructField(s"__mn_$i",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField(s"__mx_$i",
-            org.apache.spark.sql.types.StringType)) })
-    // the overlap test runs through Spark's own Cast + ordering — the
-    // exact semantics the residual filter uses, so pruning can never
-    // disagree with it; a tiny local job, bounded by |partitions|
-    val overlap = ranges.zipWithIndex.map { case ((c, lo, hi), i) =>
-      val dt = schema(c).dataType
-      col(s"__mn_$i").isNotNull && col(s"__mx_$i").isNotNull &&
-        col(s"__mx_$i").cast(dt) >= lit(lo).cast(dt) &&
-        col(s"__mn_$i").cast(dt) <= lit(hi).cast(dt)
-    }.reduce(_ && _)
-    val kept = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(boundRows).asJava),
-        boundSchema)
-      .filter(overlap)
-      .select("rel").collect().map(_.getString(0)).toSet
+    val schema = manifestSchema(header)
+    // hierarchical: prune whole BUCKETS by their stats rollups first —
+    // only matching children are ever read (meta bytes scale with the
+    // match, not the table), then rels prune within them
+    val m =
+      if (refs.isEmpty) header
+      else {
+        val keptIdx = statsOverlap(spark, schema, ranges,
+          refs.map(r => r.idx.toString -> r.statsRollup))
+        readBuckets(spark, path, header,
+          refs.filter(r => keptIdx.contains(r.idx.toString)))
+      }
+    val kept = statsOverlap(spark, schema, ranges,
+      m.allRels.map(rel => rel -> m.stats.getOrElse(rel, Map.empty)))
     // resolution BEFORE the residual: a pending delta may have moved a
     // row's stats-column value, and the filter must see the resolved
     // row. Pruning stays sound because delta merges WIDEN stats
@@ -1153,8 +1400,11 @@ object Layout {
                          statsCols: Seq[String] = Nil,
                          bloomCols: Seq[String] = Nil,
                          bloomItems: Long = 10000,
-                         bloomFpp: Double = 0.01): Unit =
+                         bloomFpp: Double = 0.01,
+                         manifestBuckets: Int = 0): Unit =
       withMaintenanceLock(spark, path) {
+    require(manifestBuckets >= 0 && manifestBuckets <= 4096,
+      "manifestBuckets must be in [0, 4096] (0 = flat manifest)")
     require(statsCols.forall(df.columns.contains),
       s"statsCols ${statsCols.filterNot(df.columns.contains).mkString(",")} " +
         "are not columns of df")
@@ -1188,9 +1438,20 @@ object Layout {
     val parts = partitionCols.map(c => df.schema(c))
     val ddl = org.apache.spark.sql.types.StructType(dataCols ++ parts).toDDL
     val gens = rels.map(_ -> 1).toMap
+    // hierarchical bounds: even rel-name split points, FIXED for the
+    // table's lifetime (future rels join their name-ordered bucket; a
+    // value distribution that grows one-sided skews bucket sizes —
+    // acceptable: correctness never depends on balance)
+    val sortedRels = rels.sorted
+    val nB = math.min(manifestBuckets, sortedRels.size)
+    val bounds =
+      if (nB <= 1) Nil
+      else (1 until nB).map(i => sortedRels(i * sortedRels.size / nB))
+        .distinct
     val meta0 = ManifestMeta(1, ddl, partitionCols, gens,
       statsCols = statsCols, bloomCols = bloomCols,
-      bloomItems = bloomItems, bloomFpp = bloomFpp)
+      bloomItems = bloomItems, bloomFpp = bloomFpp,
+      bucketBounds = bounds)
     writeManifestMeta(spark, path,
       meta0.copy(stats = statsFor(spark, path, meta0, gens),
         blooms = bloomsFor(spark, path, meta0, gens)))
@@ -1692,10 +1953,14 @@ object Layout {
     val floor = math.max(1, v - keepVersions + 1)
     // union of every retained version's referenced generations; a
     // version may already be gone (reaped earlier) — skip it
-    val retained = (floor to v).flatMap { ver =>
+    val roots = (floor to v).flatMap { ver =>
       if (!fc.util.exists(new Path(path, s"_MANIFEST.v$ver"))) None
-      else Some(readManifestMeta(spark, path, ver))
+      else Some(readManifestRoot(spark, path, ver))
     }
+    val retained = roots.map { case (h, refs) =>
+      if (refs.isEmpty) h else readBuckets(spark, path, h, refs) }
+    // bucket children any retained root still points at (hierarchical)
+    val liveBucketFiles = roots.flatMap(_._2.map(_.file)).toSet
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(p: Path, rel: String): Unit = {
       val kids = fc.util.listStatus(p).filter(_.isDirectory)
@@ -1729,6 +1994,14 @@ object Layout {
       val n = st.getPath.getName
       if (!st.isDirectory && n.startsWith("_MANIFEST.v") &&
           n.drop(11).forall(_.isDigit) && n.drop(11).toInt < floor) {
+        fc.delete(st.getPath, false)
+        deleted += n
+      }
+      // content-addressed bucket children are shared across versions:
+      // delete only those no retained root references (orphans from
+      // crashed publishes included)
+      if (!st.isDirectory && n.startsWith("_MBUCKET.") &&
+          n.endsWith(".json") && !liveBucketFiles.contains(n)) {
         fc.delete(st.getPath, false)
         deleted += n
       }

@@ -1073,6 +1073,80 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical manifest: content-addressed buckets, publish " +
+      "touches only changed children, rollups prune unread buckets") {
+    val dir = tmpDir("hier")
+    import spark.implicits._
+    // 8 partitions, values clustered per partition: bucket rollups are
+    // tight ranges, so bucket-level pruning is decisive
+    val seed = (0 until 800).map(i =>
+      (i.toLong, s"p${i / 100}", i.toDouble, 1L)).toDF("k", "part", "v", "ver")
+    Layout.writeManifestTable(spark, dir, seed, Seq("part"),
+      statsCols = Seq("v"), bloomCols = Seq("k"), bloomItems = 1024,
+      manifestBuckets = 4)
+    def buckets(): Map[String, Long] = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("_MBUCKET."))
+      .map(f => f.getName -> f.lastModified).toMap
+    val b1 = buckets()
+    assert(b1.size == 4, s"expected 4 bucket children, got ${b1.keys}")
+    def snapAll(): Map[Long, Double] = Layout.readManifest(spark, dir)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    val want0 = (0 until 800).map(i => i.toLong -> i.toDouble).toMap
+    assert(snapAll() == want0)
+    // merge touching ONE partition: exactly one NEW child appears and
+    // every pre-existing child file is byte-stable (content addressing
+    // shares unchanged buckets across versions)
+    Layout.mergeManifest(spark, dir,
+      Seq((250L, "p2", 250.5, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    val b2 = buckets()
+    assert((b2.keySet -- b1.keySet).size == 1,
+      s"one changed bucket must publish one new child: ${b2.keySet -- b1.keySet}")
+    b1.foreach { case (n, t) =>
+      assert(b2.contains(n) && b2(n) == t, s"pre-existing child touched: $n")
+    }
+    assert(snapAll() == want0 + (250L -> 250.5))
+    // time travel still resolves through the shared children
+    assert(Layout.readManifestVersion(spark, dir, 1)
+      .filter(col("k") === 250L).head().getAs[Double]("v") == 250.0)
+    // merge-on-read + fold work hierarchically too
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((10L, "p0", -5.0, 3L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    assert(snapAll() == want0 + (250L -> 250.5) + (10L -> -5.0))
+    assert(Layout.foldManifestDeltas(spark, dir) == Seq("part=p0"))
+    assert(snapAll() == want0 + (250L -> 250.5) + (10L -> -5.0))
+    // reap to the live version: superseded children go, shared stay
+    val reaped = Layout.reapManifest(spark, dir)
+    assert(reaped.exists(_.startsWith("_MBUCKET.")), reaped.mkString(","))
+    assert(snapAll() == want0 + (250L -> 250.5) + (10L -> -5.0))
+    // the rollup-pruning proof: a range matching only bucket 3's value
+    // span ([600,799]) and a lookup of a bucket-3 key must both work
+    // even after bucket 1's child file is DELETED from disk — the
+    // pruned readers never load it; the full reader fails loudly
+    val probeRange = Layout.readManifestPruned(spark, dir,
+      Seq(("v", 650.0, 660.0)))
+    assert(probeRange.count() == 11)
+    val probeEq = Layout.readManifestEq(spark, dir, Seq(("k", 700L)))
+    assert(probeEq.head().getAs[Double]("v") == 700.0)
+    val victim = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_MBUCKET.")).minBy { f =>
+        // bucket 1 holds p2/p3 (v in [200,399] plus the 9999 update):
+        // find its child by content
+        if (new String(java.nio.file.Files.readAllBytes(f.toPath))
+          .contains("part=p2")) 0 else 1
+      }
+    assert(victim.delete())
+    assert(Layout.readManifestPruned(spark, dir,
+      Seq(("v", 650.0, 660.0))).count() == 11)
+    assert(Layout.readManifestEq(spark, dir, Seq(("k", 700L)))
+      .head().getAs[Double]("v") == 700.0)
+    val e = intercept[IllegalArgumentException] {
+      Layout.readManifest(spark, dir).count()
+    }
+    assert(e.getMessage.contains("bucket file"), e.getMessage)
+  }
+
   test("reapManifest retention window: lagging feed consumers and time " +
       "travel survive a keepVersions reap") {
     val dir = tmpDir("retention")
