@@ -93,6 +93,9 @@ object PipelineConfig {
     "FoldDeltas" -> ((c, _) => FoldDeltasModel(get(c, "path"),
       sortCols = c.get("sort_cols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))),
+    "Reap" -> ((c, _) => ReapModel(get(c, "path"),
+      keepVersions = c.get("keep_versions").map(_.toInt).getOrElse(1),
+      generational = c.get("generational").exists(_.toBoolean))),
     "Manifest" -> ((c, _) => ManifestModel(get(c, "path"),
       version = c.get("version").map(_.toInt), knobs = knobsOf(c))),
     "Compact" -> ((c, _) => CompactModel(get(c, "path"),

@@ -133,6 +133,30 @@ final case class CompactModel(
   }
 }
 
+/** Scheduled retention sweep (the VACUUM node): delete manifest
+  * generations/versions beyond the newest `keepVersions`
+  * ([[Layout.reapManifest]]) or, with `generational = true`,
+  * superseded `_CURRENT` generations ([[Layout.reapGenerations]]).
+  * Schedule it AFTER the longest reader/feed-consumer lag the table
+  * serves — the library cannot know when the last pinned snapshot
+  * drains. Returns the deleted entry count.
+  */
+final case class ReapModel(
+    path: String,
+    keepVersions: Int = 1,
+    generational: Boolean = false,
+    override val knobs: ModelKnobs = ModelKnobs())
+  extends PdModel with Executable {
+
+  def execute(ctx: StepContext): ExecResult = {
+    val target = ctx.render(path)
+    val n =
+      if (generational) Layout.reapGenerations(ctx.spark, target).length
+      else Layout.reapManifest(ctx.spark, target, keepVersions).length
+    ExecResult(resultValue = Some(n.toLong))
+  }
+}
+
 /** Scheduled Z-order re-cluster of a parquet table (the
   * `OPTIMIZE ... ZORDER BY` node): rewrite the table at `path`
   * clustered on 2-4 `zCols` via [[Layout.clusterRewrite]] —

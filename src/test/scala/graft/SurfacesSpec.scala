@@ -36,8 +36,46 @@ class SurfacesSpec extends SparkSpec {
   test("config registry covers the reference model surface") {
     assert(Seq("Table", "Select", "Insert", "SQL", "CSV", "JSON", "XML",
       "Parquet", "Filenames", "FileManager", "Merge", "Compact",
-      "Manifest", "IvmApply", "Zorder", "SortedWrite")
-      .forall(PipelineConfig.registry.contains))
+      "Manifest", "IvmApply", "Zorder", "SortedWrite", "FoldDeltas",
+      "Reap").forall(PipelineConfig.registry.contains))
+  }
+
+  test("config-driven merge-on-read lifecycle: mor Merge, FoldDeltas, " +
+      "Reap as one scheduled pipeline") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val root = Files.createTempDirectory("cfg_mor").toString
+    val dir = s"$root/t"
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    Seq((1L, "a", 11.0, 2L), (3L, "c", 30.0, 2L))
+      .toDF("k", "part", "v", "ver").write.parquet(s"$root/batch")
+    val json =
+      s"""[
+        {"node_name": "apply", "node_type": "Merge", "node_seqno": 1,
+         "config": {"path": "$dir", "updates_path": "$root/batch",
+           "keys": "k", "version_col": "ver", "manifest": "true",
+           "strategy": "mor"}},
+        {"node_name": "fold", "node_type": "FoldDeltas", "node_seqno": 2,
+         "config": {"path": "$dir"}},
+        {"node_name": "vacuum", "node_type": "Reap", "node_seqno": 3,
+         "config": {"path": "$dir", "keep_versions": "1"}}
+      ]"""
+    val p = PipelineConfig.fromJson("cfg_mor", json, new SourceRegistry)
+    assert(p.run(spark, Calendar.day("2023-01-01")).status == Status.Done)
+    val got = Layout.readManifest(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(got == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+    // folded + reaped: one generation per partition remains on disk
+    assert(Layout.readManifest(spark, dir).inputFiles
+      .map(_.replaceAll("(/gen=\\d+)/.*", "$1")).distinct.length == 3)
+    // a cow-strategy merge with mismatched spec would fail loudly
+    intercept[IllegalArgumentException] {
+      graft.models.MergeModel(dir, s"$root/batch", Seq("k", "part"),
+        "ver", manifest = true)
+        .execute(StepContext(spark, Calendar.day("2023-01-01")))
+    }
   }
 
   test("config-driven IvmApply folds a staged delta; replayed run_id " +
