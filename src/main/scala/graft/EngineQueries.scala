@@ -1419,6 +1419,48 @@ object EngineQueries {
         col("o_totalprice"), col("ver"))
     }),
 
+    // SELF-DRIVING materialized view (Ivm.syncFromManifest): the
+    // summary's exactly-once batch marker doubles as the last manifest
+    // version it reflects — one idempotent call seeds from the live
+    // snapshot, folds only the change feed when behind, and no-ops
+    // when current. Two merges, three syncs (the third must report
+    // already-current), then the summary must equal the GROUP BY over
+    // the final table — the base is aggregated exactly once, at seed.
+    "m55_ivm_sync" -> ((s, dir) => {
+      import graft.operators.{Ivm, Layout}
+      val out = s"${tmp("ivmsync")}/ord"
+      val sum = s"${tmp("ivmsync")}/summary"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out, seed, Seq("o_orderstatus"))
+      require(Ivm.syncFromManifest(s, sum, out,
+        Seq("o_orderstatus"), Seq("o_totalprice")), "first sync seeds")
+      // merge 1 (ver 2): +100 on %10==0
+      Layout.mergeManifest(s, out,
+        seed.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("ver", lit(2L)),
+        Seq("o_orderkey"), "ver")
+      require(Ivm.syncFromManifest(s, sum, out,
+        Seq("o_orderstatus"), Seq("o_totalprice")), "sync after merge 1")
+      // merge 2 (ver 3): delete every status-P order
+      Layout.mergeManifest(s, out,
+        orders.filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), lit(3L).as("ver"), lit(true).as("del")),
+        Seq("o_orderkey"), "ver", deleteCol = Some("del"))
+      require(Ivm.syncFromManifest(s, sum, out,
+        Seq("o_orderstatus"), Seq("o_totalprice")), "sync after merge 2")
+      require(!Ivm.syncFromManifest(s, sum, out,
+        Seq("o_orderstatus"), Seq("o_totalprice")),
+        "an already-current sync must be a no-op")
+      Ivm.read(s, sum).select(
+        col("o_orderstatus").cast("string").as("o_orderstatus"),
+        col("n_rows"),
+        col("sum_o_totalprice").cast("double").as("sum_o_totalprice"))
+    }),
+
     // HIERARCHICAL manifest (manifestBuckets > 0): per-rel state
     // shards into content-addressed bucket children; the root carries
     // per-bucket stats/bloom rollups so pruned reads never load
@@ -1725,6 +1767,16 @@ object EngineQueries {
                  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
                       ELSE o_totalprice END AS o_totalprice
                FROM orders WHERE o_orderstatus <> 'P')""",
+    // after both merges the table is exactly m53's final state, so the
+    // synced summary shares its rollup oracle
+    "m55_ivm_sync" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0
+                              THEN o_totalprice + 100
+                              ELSE o_totalprice END
+                    AS DECIMAL(38,6))) AS DOUBLE) AS sum_o_totalprice
+         FROM orders WHERE o_orderstatus <> 'P'
+         GROUP BY o_orderstatus""",
     // the hierarchical pruned read shares m40's oracle — same window,
     // same merge; the hierarchy is a metadata layout change that must
     // not cost a row

@@ -93,6 +93,11 @@ object PipelineConfig {
     "FoldDeltas" -> ((c, _) => FoldDeltasModel(get(c, "path"),
       sortCols = c.get("sort_cols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))),
+    "IvmSync" -> ((c, _) => IvmSyncModel(get(c, "path"),
+      tablePath = get(c, "table_path"),
+      keys = get(c, "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      sumCols = get(c, "sum_cols").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)),
     "Reap" -> ((c, _) => ReapModel(get(c, "path"),
       keepVersions = c.get("keep_versions").map(_.toInt).getOrElse(1),
       generational = c.get("generational").exists(_.toBoolean))),

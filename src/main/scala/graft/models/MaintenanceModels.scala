@@ -133,6 +133,28 @@ final case class CompactModel(
   }
 }
 
+/** Self-driving materialized-view refresh (the scheduled
+  * [[graft.operators.Ivm.syncFromManifest]] node): catch the summary
+  * at `path` up to the manifest table at `tablePath` — seeds on first
+  * run, folds only the change feed when behind, no-ops when current.
+  * Blindly re-runnable on any schedule. Returns 1 when the summary
+  * advanced, 0 when it was already current.
+  */
+final case class IvmSyncModel(
+    path: String,
+    tablePath: String,
+    keys: Seq[String],
+    sumCols: Seq[String],
+    override val knobs: ModelKnobs = ModelKnobs())
+  extends PdModel with Executable {
+
+  def execute(ctx: StepContext): ExecResult =
+    ExecResult(resultValue = Some(
+      if (graft.operators.Ivm.syncFromManifest(ctx.spark,
+        ctx.render(path), ctx.render(tablePath), keys, sumCols)) 1L
+      else 0L))
+}
+
 /** Scheduled retention sweep (the VACUUM node): delete manifest
   * generations/versions beyond the newest `keepVersions`
   * ([[Layout.reapManifest]]) or, with `generational = true`,

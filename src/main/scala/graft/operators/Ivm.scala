@@ -190,4 +190,43 @@ object Ivm {
     * changes a running query's input). */
   def read(spark: SparkSession, path: String): DataFrame =
     Layout.readCurrent(spark, path)
+
+  /** Catch a STANDING summary up to a manifest table's live snapshot —
+    * the self-driving materialized view: the summary's batch marker IS
+    * the last manifest version it reflects, so one call (a) seeds from
+    * the live snapshot on first contact, (b) folds ONLY the
+    * [[Layout.manifestChanges]] feed (insert = +1, delete = -1 weight)
+    * when behind, (c) no-ops when already current — run it on any
+    * schedule, rerun it blindly after a crash; exactly-once falls out
+    * of [[applyDelta]]'s marker because the manifest version is the
+    * batch id. The base table is never re-aggregated after the seed;
+    * per sync the work is |summary| + |changed partitions' diff|.
+    *
+    * Retention contract: the table must still retain the summary's
+    * last-synced version ([[Layout.reapManifest]] `keepVersions` sized
+    * to the sync schedule's maximum lag) — a reaped-away window fails
+    * loudly rather than silently skipping changes. Returns true when
+    * the summary advanced, false when it was already current.
+    */
+  def syncFromManifest(spark: SparkSession, summaryPath: String,
+                       tablePath: String, keys: Seq[String],
+                       sumCols: Seq[String]): Boolean = {
+    val live = Layout.manifestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tablePath is not a manifest table; seed it with " +
+          "writeManifestTable"))
+    lastAppliedBatch(spark, summaryPath) match {
+      case None =>
+        applyDelta(spark, summaryPath,
+          Layout.readManifestVersion(spark, tablePath, live),
+          keys, sumCols, batchId = live)
+      case Some(v) if v >= live => false
+      case Some(v) =>
+        val feed = Layout.manifestChanges(spark, tablePath, v.toInt, live)
+          .withColumn("__w",
+            when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        applyDelta(spark, summaryPath, feed, keys, sumCols,
+          batchId = live, weightCol = Some("__w"))
+    }
+  }
 }

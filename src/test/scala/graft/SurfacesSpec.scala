@@ -37,7 +37,7 @@ class SurfacesSpec extends SparkSpec {
     assert(Seq("Table", "Select", "Insert", "SQL", "CSV", "JSON", "XML",
       "Parquet", "Filenames", "FileManager", "Merge", "Compact",
       "Manifest", "IvmApply", "Zorder", "SortedWrite", "FoldDeltas",
-      "Reap").forall(PipelineConfig.registry.contains))
+      "Reap", "IvmSync").forall(PipelineConfig.registry.contains))
   }
 
   test("config-driven merge-on-read lifecycle: mor Merge, FoldDeltas, " +
