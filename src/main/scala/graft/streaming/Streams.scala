@@ -401,7 +401,11 @@ object Streams {
     * micro-batch adds a duplicate delta generation — harmless to
     * resolution (identical rows at identical versions: whichever copy
     * wins the deterministic tie-break yields the same row) and swept
-    * away by the next fold.
+    * away by the next fold. `foldEvery = N` folds the pending deltas
+    * back into single base generations after every Nth micro-batch —
+    * the self-contained cadence that bounds the read tax without an
+    * external maintenance schedule (the fold keys off the checkpoint's
+    * batch id, so a restart keeps the cadence).
     *
     * Returns the configured writer — caller sets checkpoint/trigger
     * and starts it (the [[ingest]]/[[annIngest]] shape).
@@ -410,7 +414,8 @@ object Streams {
                versionCol: String, partitionCols: Seq[String] = Nil,
                deleteCol: Option[String] = None,
                manifest: Boolean = false,
-               mor: Boolean = false): DataStreamWriter[Row] = {
+               mor: Boolean = false,
+               foldEvery: Int = 0): DataStreamWriter[Row] = {
     require(partitionCols.isEmpty || !manifest,
       "cdcApply(manifest = true): the table's partitioning comes from " +
         "its manifest (seeded by writeManifestTable) and the " +
@@ -419,11 +424,19 @@ object Streams {
     require(!mor || manifest,
       "cdcApply(mor = true) needs manifest = true: merge-on-read " +
         "deltas are a manifest-table discipline")
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    require(foldEvery == 0 || mor,
+      "foldEvery is the merge-on-read fold cadence; it needs mor = true")
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       if (!batch.isEmpty) {
-        if (mor)
+        if (mor) {
           graft.operators.Layout.mergeManifestDelta(batch.sparkSession,
             path, batch, keys, versionCol, deleteCol = deleteCol)
+          if (foldEvery > 0 && (id + 1) % foldEvery == 0) {
+            graft.operators.Layout.foldManifestDeltas(
+              batch.sparkSession, path)
+            ()
+          }
+        }
         else if (manifest)
           graft.operators.Layout.mergeManifest(batch.sparkSession, path,
             batch, keys, versionCol, deleteCol = deleteCol)

@@ -789,6 +789,42 @@ class SurfacesSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC apply, merge-on-read foldEvery: the cadence folds " +
+      "pending deltas in-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Layout
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_cdcfold").resolve("t").toString
+    Layout.writeManifestTable(spark,
+      dir, Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    val input = MemoryStream[(Long, String, Double, Long)]
+    val q = Streams.cdcApply(input.toDF().toDF("k", "part", "v", "ver"),
+        dir, Seq("k"), "ver", manifest = true, mor = true, foldEvery = 2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("stream_cdcfold_ckpt").toString)
+      .start()
+    try {
+      input.addData((1L, "a", 11.0, 2L))   // batch 0: delta, no fold yet
+      q.processAllAvailable()
+      input.addData((3L, "c", 30.0, 3L))   // batch 1: delta, then fold
+      q.processAllAvailable()
+    } finally q.stop()
+    // the in-stream fold already caught up: a manual fold finds nothing
+    assert(Layout.foldManifestDeltas(spark, dir).isEmpty,
+      "foldEvery = 2 must have folded the two delta batches in-stream")
+    def snap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(snap(Layout.readManifest(spark, dir)) ==
+      Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+    // the cadence is a merge-on-read discipline
+    intercept[IllegalArgumentException] {
+      Streams.cdcApply(input.toDF().toDF("k", "part", "v", "ver"),
+        dir, Seq("k"), "ver", manifest = true, foldEvery = 2)
+    }
+  }
+
   test("streaming ANN ingest: micro-batches land in the live generation, queryable") {
     import graft.operators.AnnIndex
     val idxDir = Files.createTempDirectory("stream_ann_idx").toString
