@@ -102,7 +102,24 @@ object PipelineConfig {
       keepVersions = c.get("keep_versions").map(_.toInt).getOrElse(1),
       generational = c.get("generational").exists(_.toBoolean))),
     "Manifest" -> ((c, _) => ManifestModel(get(c, "path"),
-      version = c.get("version").map(_.toInt), knobs = knobsOf(c))),
+      version = c.get("version").map(_.toInt),
+      // "col:lo..hi;col2:lo..hi" — first ':' splits the column (bounds
+      // may contain ':' in timestamps), '..' splits the window
+      ranges = c.get("ranges").toSeq.flatMap(_.split(";"))
+        .map(_.trim).filter(_.nonEmpty).map { s =>
+          val Array(col, w) = s.split(":", 2)
+          val b = w.split("\\.\\.", 2)
+          require(b.length == 2,
+            s"Manifest ranges entry '$s' must be col:lo..hi")
+          (col.trim, b(0).trim, b(1).trim)
+        },
+      // "col:value;col2:value2"
+      eqs = c.get("eqs").toSeq.flatMap(_.split(";"))
+        .map(_.trim).filter(_.nonEmpty).map { s =>
+          val Array(col, v) = s.split(":", 2)
+          (col.trim, v.trim)
+        },
+      knobs = knobsOf(c))),
     "Compact" -> ((c, _) => CompactModel(get(c, "path"),
       partitionCols = c.get("partition_cols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),

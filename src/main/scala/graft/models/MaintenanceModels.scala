@@ -80,18 +80,48 @@ final case class FoldDeltasModel(
   * maintenance DSL): extract resolves the live manifest — or a pinned
   * `version` for time travel — once, so the pipeline's whole run sees
   * one consistent snapshot even while a CDC stream publishes new ones.
+  *
+  * Data-skipping: `ranges` (col, lo, hi) triples route through
+  * [[Layout.readManifestPruned]] — only partition generations whose
+  * stored [min, max] intersects EVERY window are scanned; `eqs`
+  * (col, value) pairs route through [[Layout.readManifestEq]]'s bloom
+  * point-lookup. Bounds/values are config STRINGS: both paths Cast
+  * them to the column's stored type in-plan (the same Cast the
+  * residual filter uses), so "1996-03-01" against a date column means
+  * the date, not a string compare. The two prune on different stats
+  * (range mins/maxes vs blooms) and serve the LIVE snapshot only —
+  * at most one may be set, and neither composes with a pinned
+  * `version` (read the pinned snapshot and filter in-plan instead).
   */
 final case class ManifestModel(
     path: String,
     version: Option[Int] = None,
+    ranges: Seq[(String, String, String)] = Nil,
+    eqs: Seq[(String, String)] = Nil,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Extractable {
+
+  require(ranges.isEmpty || eqs.isEmpty,
+    "ranges (min/max stats pruning) and eqs (bloom point lookup) are " +
+      "separate skipping reads; set at most one")
+  require(version.isEmpty || (ranges.isEmpty && eqs.isEmpty),
+    "data-skipping reads serve the LIVE snapshot; a pinned version " +
+      "cannot compose with ranges/eqs — read the version and filter")
 
   protected def read(ctx: StepContext): org.apache.spark.sql.DataFrame = {
     val target = ctx.render(path)
     version match {
       case Some(v) => Layout.readManifestVersion(ctx.spark, target, v)
-      case None => Layout.readManifest(ctx.spark, target)
+      case None =>
+        if (ranges.nonEmpty)
+          Layout.readManifestPruned(ctx.spark, target,
+            ranges.map { case (c, lo, hi) =>
+              (c, ctx.render(lo): Any, ctx.render(hi): Any)
+            })
+        else if (eqs.nonEmpty)
+          Layout.readManifestEq(ctx.spark, target,
+            eqs.map { case (c, v) => (c, ctx.render(v): Any) })
+        else Layout.readManifest(ctx.spark, target)
     }
   }
 }

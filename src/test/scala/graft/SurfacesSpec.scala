@@ -151,6 +151,41 @@ class SurfacesSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("config-driven Manifest source prunes via ranges and eqs") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cfg_manprune").resolve("t").toString
+    // 4 partitions with disjoint v windows and disjoint key sets
+    Layout.writeManifestTable(spark,
+      dir, (0 until 40).map(i => (i.toLong, s"p${i / 10}", (i / 10) * 100 + i))
+        .toDF("k", "part", "v"), Seq("part"),
+      statsCols = Seq("v"), bloomCols = Seq("k"))
+    val full = Layout.readManifest(spark, dir).inputFiles.length
+    val ctx = StepContext(spark, Calendar.day("2023-01-01"))
+    // range window covering only p1's v values (100..119)
+    val ranged = PipelineConfig.registry("Manifest")(
+      Map("path" -> dir, "ranges" -> "v:100..119"), new SourceRegistry)
+      .asInstanceOf[graft.models.ManifestModel].extract(ctx)
+    assert(ranged.inputFiles.length < full, "range stats must prune files")
+    assert(ranged.select("k").as[Long].collect().sorted.toSeq ==
+      (10L until 20L))
+    // bloom point lookup on one key
+    val pointed = PipelineConfig.registry("Manifest")(
+      Map("path" -> dir, "eqs" -> "k:25"), new SourceRegistry)
+      .asInstanceOf[graft.models.ManifestModel].extract(ctx)
+    assert(pointed.inputFiles.length < full, "blooms must prune files")
+    assert(pointed.select("k").as[Long].collect().toSeq == Seq(25L))
+    // guards: version pins and double-skipping reject loudly
+    intercept[IllegalArgumentException] {
+      graft.models.ManifestModel(dir, version = Some(1),
+        ranges = Seq(("v", "0", "1")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.models.ManifestModel(dir, ranges = Seq(("v", "0", "1")),
+        eqs = Seq(("k", "1")))
+    }
+  }
+
   test("config-driven Compact node runs table maintenance as an EX pipeline") {
     val dir = Files.createTempDirectory("cfg_compact").resolve("t").toString
     val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")
