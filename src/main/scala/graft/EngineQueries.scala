@@ -1050,6 +1050,54 @@ object EngineQueries {
         col("o_orderdate"), col("o_totalprice"), col("ver"))
     }),
 
+    // Planner-integrated auto-skipping (Layout.manifestTable +
+    // graft.plans.ManifestFileIndex): the manifest table registered as
+    // a plain SQL view — Spark's own scan planning hands the pushed
+    // filters to the index, partition predicates prune exactly, stats
+    // predicates prune generations via the manifest's min/max, and the
+    // unrecognized o_totalprice conjunct falls through to the in-plan
+    // residual. The two require pins prove BOTH pruning layers fired
+    // (scan metrics, since inputFiles lists the pre-pruning index);
+    // the oracle pins that pruning never changed a row.
+    "m56_manifest_sql_autoskip" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("mansql")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        col("o_orderdate"), col("o_totalprice"), col("o_custkey"))
+      Layout.writeManifestTable(s, out, seed, Seq("o_year"),
+        statsCols = Seq("o_orderdate"))
+      Layout.manifestTable(s, out).createOrReplaceTempView("m56_t")
+      def scanned(q: org.apache.spark.sql.DataFrame): Long = {
+        q.collect()
+        q.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.sum
+      }
+      val total = Layout.manifestTable(s, out).inputFiles.length.toLong
+      // partition pruning: the year predicate narrows the scan
+      val p1 = scanned(s.sql(
+        "SELECT o_orderkey FROM m56_t WHERE o_year = 1996"))
+      require(p1 > 0 && p1 < total,
+        s"partition pruning must fire ($p1 of $total files)")
+      // stats pruning WITHOUT the partition conjunct: a mid-1996 date
+      // window can only intersect o_year=1996's [min, max], so the
+      // manifest stats alone must prune every other year
+      val p2 = scanned(s.sql("SELECT o_orderkey FROM m56_t WHERE " +
+        "o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' AND " +
+        "o_orderdate <= TIMESTAMP '1996-09-30 23:59:59'"))
+      require(p2 > 0 && p2 <= p1,
+        s"stats pruning must match the partition bound ($p2 vs $p1)")
+      s.sql("""SELECT o_orderkey, o_year, o_orderdate, o_totalprice,
+                      o_custkey
+               FROM m56_t
+               WHERE o_year = 1996
+                 AND o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+                 AND o_totalprice > 1000.0""")
+    }),
+
     // Incremental view maintenance (Ivm.applyDelta): the events rollup
     // maintained by folding three row-level delta batches — split by a
     // row hash, so every key's rows scatter ACROSS deltas and the fold
@@ -1908,6 +1956,16 @@ object EngineQueries {
          WHERE o_orderdate BETWEEN TIMESTAMP '1996-02-01 00:00:00'
              AND TIMESTAMP '1996-04-30 23:59:59'
            AND o_orderkey BETWEEN 1000 AND 5000""",
+    // auto-skipping is an optimization, never a semantics change: the
+    // SQL-view read over the manifest (partition + stats pruning both
+    // pinned in-gate) must equal the plain filtered scan
+    "m56_manifest_sql_autoskip" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_orderdate, o_totalprice, o_custkey
+         FROM orders
+         WHERE year(o_orderdate) = 1996
+           AND o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+           AND o_totalprice > 1000.0""",
     // any delta split folds bit-identical to the one-shot GROUP BY:
     // decimal partials are exact integer arithmetic (batch m41 and the
     // streaming lift m42 share the oracle verbatim — that sharing IS

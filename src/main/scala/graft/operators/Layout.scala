@@ -591,7 +591,7 @@ object Layout {
 
   private val ManifestPointer = "_MANIFEST_CURRENT"
 
-  private final case class ManifestMeta(
+  private[graft] final case class ManifestMeta(
       version: Int,
       schemaDdl: String,
       partitionCols: Seq[String],
@@ -839,7 +839,7 @@ object Layout {
     }
   }
 
-  private def readManifestMeta(spark: SparkSession, path: String,
+  private[graft] def readManifestMeta(spark: SparkSession, path: String,
                                version: Int): ManifestMeta = {
     val (header, refs) = readManifestRoot(spark, path, version)
     if (refs.isEmpty) header else readBuckets(spark, path, header, refs)
@@ -1028,7 +1028,7 @@ object Layout {
   /** Schema a manifest read reconstructs: data columns first, partition
     * columns appended — the same order a partitioned parquet read
     * produces. */
-  private def manifestSchema(m: ManifestMeta):
+  private[graft] def manifestSchema(m: ManifestMeta):
       org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
 
@@ -1211,7 +1211,7 @@ object Layout {
   /** The probe-side hash of `value` for column type `dt`: rendered and
     * hashed by SPARK (one row-local job), so it is bit-identical to
     * what [[bloomsFor]]'s build side computed for equal values. */
-  private def renderedHash(spark: SparkSession,
+  private[graft] def renderedHash(spark: SparkSession,
                            dt: org.apache.spark.sql.types.DataType,
                            value: Any): Long =
     spark.range(1)
@@ -1318,6 +1318,21 @@ object Layout {
       schema: org.apache.spark.sql.types.StructType,
       ranges: Seq[(String, Any, Any)],
       items: Seq[(String, Map[String, (Option[String], Option[String])])]):
+      Set[String] =
+    statsOverlapOpt(spark, schema,
+      ranges.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) }, items)
+
+  /** [[statsOverlap]] with OPTIONAL bounds — `None` leaves that side
+    * open (`x >= lo` alone, `x <= hi` alone), so pushed-down one-sided
+    * comparisons can prune too ([[graft.plans.ManifestFileIndex]]).
+    * A column may repeat (each window tests independently; the
+    * conjunction of all windows keeps). An item survives a window only
+    * if its stats exist (a partition with no non-null value can never
+    * match a comparison) and every given bound intersects. */
+  private[graft] def statsOverlapOpt(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      ranges: Seq[(String, Option[Any], Option[Any])],
+      items: Seq[(String, Map[String, (Option[String], Option[String])])]):
       Set[String] = {
     val boundRows = items.map { case (id, st) =>
       org.apache.spark.sql.Row.fromSeq(id +: ranges.flatMap {
@@ -1336,9 +1351,10 @@ object Layout {
             org.apache.spark.sql.types.StringType)) })
     val overlap = ranges.zipWithIndex.map { case ((c, lo, hi), i) =>
       val dt = schema(c).dataType
-      col(s"__mn_$i").isNotNull && col(s"__mx_$i").isNotNull &&
-        col(s"__mx_$i").cast(dt) >= lit(lo).cast(dt) &&
-        col(s"__mn_$i").cast(dt) <= lit(hi).cast(dt)
+      (Seq(col(s"__mn_$i").isNotNull && col(s"__mx_$i").isNotNull) ++
+        lo.map(v => col(s"__mx_$i").cast(dt) >= lit(v).cast(dt)) ++
+        hi.map(v => col(s"__mn_$i").cast(dt) <= lit(v).cast(dt)))
+        .reduce(_ && _)
     }.reduce(_ && _)
     spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -1473,6 +1489,30 @@ object Layout {
         throw new IllegalArgumentException(
           s"$path is not a manifest table (no $ManifestPointer); " +
             "seed it with writeManifestTable")))
+
+  /** The manifest table as a PLANNER-INTEGRATED relation
+    * ([[graft.plans.ManifestFileIndex]]): register it as a view and
+    * every plain `spark.sql` / DataFrame filter auto-prunes — partition
+    * filters exactly, statsCols/bloomCols predicates via the
+    * manifest's min/max stats and blooms — with Catalyst's column
+    * pruning and parquet row-group skipping still applying underneath.
+    * Use this for the ad-hoc SQL surface; [[readManifest]] /
+    * [[readManifestPruned]] stay the explicit-API reads (and the only
+    * ones that resolve pending merge-on-read deltas — this one fails
+    * loudly on them). Snapshot-pinned at creation like every other
+    * manifest read. */
+  def manifestTable(spark: SparkSession, path: String): DataFrame = {
+    val idx = new graft.plans.ManifestFileIndex(spark, path)
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      idx, idx.partitionSchema, idx.dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat,
+      Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
+      // present the STORED column order (the relation's physical order
+      // is data cols first, partition cols appended)
+      .select(idx.fullSchema.fields.toSeq.map(f => col(f.name)): _*)
+  }
 
   /** Time-travel read of a RETAINED manifest version (any not yet
     * reaped) — "what did this table say before the last N merges", at

@@ -1,0 +1,252 @@
+package graft.plans
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Layout
+
+/** Automatic data skipping through Spark's OWN scan planning: a
+  * [[FileIndex]] over a manifest table (the seam Spark hands every
+  * file-based table — `listFiles` receives the pushed-down partition
+  * and data filters at planning time, before any file is opened).
+  * Register the table once ([[Layout.manifestTable]] +
+  * `createOrReplaceTempView`) and every plain `spark.sql` / DataFrame
+  * filter prunes by itself:
+  *
+  *  - partition filters are applied EXACTLY (Spark drops them from the
+  *    post-scan residual, so the index must be precise): each
+  *    generation's partition values — parsed from the writer's own
+  *    Cast-rendered directory fragments — run through an interpreted
+  *    [[Predicate]] over the ARBITRARY pushed expression, not just
+  *    recognized shapes;
+  *  - data filters prune BEST-EFFORT (Spark re-applies them in-plan,
+  *    so skipping only has to be sound): recognized conjuncts —
+  *    `=`, `<`, `<=`, `>`, `>=`, `IN`, `IS NOT NULL` on a bare
+  *    column — consult the manifest's per-partition min/max stats
+  *    (`statsCols`) and bloom filters (`bloomCols`) through the same
+  *    Cast + ordering the residual uses; anything unrecognized is
+  *    ignored. Strict bounds prune with their closed window (at most
+  *    one extra generation scanned — sound, never wrong);
+  *  - what survives is a real parquet scan, so Catalyst's column
+  *    pruning and parquet's own row-group min/max skipping still
+  *    apply below the generation-level pruning (PushedFilters in
+  *    `.explain` shows both layers working).
+  *
+  * The index pins the LIVE manifest version at construction — the
+  * query-consistent snapshot discipline every other manifest read
+  * follows; a new publish is picked up by re-creating the frame (cheap:
+  * one JSON read + one listing per partition). Pending merge-on-read
+  * deltas REQUIRE resolution (a file-level scan would surface stale and
+  * tombstoned rows), which a file index cannot express — construction
+  * fails loudly pointing at `foldManifestDeltas` / `readManifest`.
+  *
+  * Design echo of the reference's storage split (pydin `models.py`
+  * delegates table scans to the backing database wholesale): here the
+  * "database" is Spark itself, so skipping lives in the planner seam
+  * rather than a remote engine.
+  */
+final class ManifestFileIndex(spark: SparkSession, tablePath: String)
+    extends FileIndex {
+
+  private val meta = {
+    val v = Layout.manifestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tablePath is not a manifest table; seed it with " +
+          "writeManifestTable"))
+    Layout.readManifestMeta(spark, tablePath, v)
+  }
+  require(meta.deltas.isEmpty,
+    s"manifest table $tablePath has pending merge-on-read deltas in " +
+      s"partitions [${meta.deltas.keys.toSeq.sorted.take(5).mkString(", ")}" +
+      s"${if (meta.deltas.size > 5) ", …" else ""}]: a file-level scan " +
+      "cannot resolve latest-wins — run Layout.foldManifestDeltas (or " +
+      "schedule a FoldDeltas node) first, or read via Layout.readManifest")
+
+  /** The STORED schema, in stored column order (the order every other
+    * manifest read presents). */
+  val fullSchema: StructType = Layout.manifestSchema(meta)
+
+  /** Partition columns, in the writer's directory order. */
+  override val partitionSchema: StructType =
+    StructType(meta.partitionCols.map(c => fullSchema(c)))
+
+  /** Everything else, in stored order (what the parquet files hold). */
+  val dataSchema: StructType =
+    StructType(fullSchema.fields.filterNot(f =>
+      meta.partitionCols.contains(f.name)))
+
+  private val zone = spark.sessionState.conf.sessionLocalTimeZone
+
+  private def castString(s: String, dt: DataType): Any =
+    if (s == null) null
+    else org.apache.spark.sql.catalyst.expressions.Cast(
+      Literal(UTF8String.fromString(s), StringType), dt, Some(zone)).eval()
+
+  /** One live generation: its rel fragment, typed partition values,
+    * stats/bloom lookups, and listed data files. */
+  private case class Gen(rel: String, values: InternalRow,
+                         files: Seq[FileStatus])
+
+  private val gens: Seq[Gen] = {
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    meta.entries.toSeq.sortBy(_._1).map { case (rel, g) =>
+      // reverse relOf: unescape each writer-rendered `col=value`
+      // fragment, then Cast back through the column's stored type —
+      // the round-trip the manifest's Cast-exact discipline guarantees
+      val segs = rel.split("/")
+      require(segs.length == meta.partitionCols.length,
+        s"partition dir '$rel' of $tablePath does not match " +
+          s"partitionCols ${meta.partitionCols.mkString(",")}")
+      val vals = meta.partitionCols.zip(segs).map { case (c, seg) =>
+        require(seg.startsWith(s"$c="),
+          s"partition dir segment '$seg' does not belong to column '$c'")
+        val raw = ExternalCatalogUtils.unescapePathName(
+          seg.substring(c.length + 1))
+        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+        else castString(raw, fullSchema(c).dataType)
+      }
+      val dir = new Path(tablePath, s"$rel/gen=$g")
+      val files = fs.listStatus(dir).toSeq.filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      Gen(rel, InternalRow.fromSeq(vals), files)
+    }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
+  override def inputFiles: Array[String] =
+    gens.flatMap(_.files.map(_.getPath.toString)).toArray
+  override def sizeInBytes: Long = gens.flatMap(_.files.map(_.getLen)).sum
+  /** Snapshot-pinned (the manifest discipline): refresh is a no-op —
+    * re-create the frame to move to a newer published version. */
+  override def refresh(): Unit = ()
+
+  private def fieldIdx(schema: StructType, name: String): Option[Int] = {
+    val i = schema.fieldNames.indexWhere(_ == name)
+    if (i >= 0) Some(i)
+    else { // analyzer may hand case-variant names under caseInsensitive
+      val j = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      if (j >= 0) Some(j) else None
+    }
+  }
+
+  /** Render a pushed literal through Spark's Cast-to-string — the only
+    * form the stored stats/bloom hashes round-trip with. */
+  private def rendered(l: Literal): Option[String] =
+    Option(org.apache.spark.sql.catalyst.expressions.Cast(
+      l, StringType, Some(zone)).eval()).map(_.toString)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]):
+      Seq[PartitionDirectory] = {
+    // 1. partition filters: exact interpreted evaluation per generation
+    val afterPart =
+      if (partitionFilters.isEmpty) gens
+      else {
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = fieldIdx(partitionSchema, a.name).getOrElse(
+              throw new IllegalStateException(
+                s"partition filter references unknown column ${a.name}"))
+            BoundReference(i, partitionSchema(i).dataType, nullable = true)
+        }
+        val pred = Predicate.createInterpreted(bound)
+        pred.initialize(0)
+        gens.filter(g => pred.eval(g.values))
+      }
+    if (afterPart.isEmpty) return Nil
+
+    // 2. data filters: sound best-effort skipping on recognized
+    //    conjuncts (Spark re-applies dataFilters in-plan, so ignoring
+    //    a shape can only over-scan, never mis-answer)
+    def statCol(e: Expression): Option[String] = e match {
+      case a: AttributeReference if meta.statsCols.contains(a.name) =>
+        Some(a.name)
+      case _ => None
+    }
+    def bloomCol(e: Expression): Option[String] = e match {
+      case a: AttributeReference if meta.bloomCols.contains(a.name) =>
+        Some(a.name)
+      case _ => None
+    }
+    // (col, lo, hi) windows against min/max stats; None = open side
+    val windows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[Any], Option[Any])]
+    // (col, renderedValues): keep a gen if its bloom might contain ANY
+    val probes = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[String])]
+    // stats-backed IS NOT NULL: a gen whose stats are (None, None)
+    // holds no non-null value at all
+    val notNulls = scala.collection.mutable.ArrayBuffer.empty[String]
+    dataFilters.foreach {
+      case EqualTo(e, l: Literal) =>
+        statCol(e).foreach(c => rendered(l).foreach(s =>
+          windows += ((c, Some(s), Some(s)))))
+        bloomCol(e).foreach(c => rendered(l).foreach(s =>
+          probes += ((c, Seq(s)))))
+      case EqualTo(l: Literal, e) =>
+        statCol(e).foreach(c => rendered(l).foreach(s =>
+          windows += ((c, Some(s), Some(s)))))
+        bloomCol(e).foreach(c => rendered(l).foreach(s =>
+          probes += ((c, Seq(s)))))
+      case GreaterThan(e, l: Literal) =>
+        statCol(e).foreach(c => windows += ((c, rendered(l), None)))
+      case GreaterThanOrEqual(e, l: Literal) =>
+        statCol(e).foreach(c => windows += ((c, rendered(l), None)))
+      case LessThan(e, l: Literal) =>
+        statCol(e).foreach(c => windows += ((c, None, rendered(l))))
+      case LessThanOrEqual(e, l: Literal) =>
+        statCol(e).foreach(c => windows += ((c, None, rendered(l))))
+      case GreaterThan(l: Literal, e) => // lit > x  ==  x < lit
+        statCol(e).foreach(c => windows += ((c, None, rendered(l))))
+      case GreaterThanOrEqual(l: Literal, e) =>
+        statCol(e).foreach(c => windows += ((c, None, rendered(l))))
+      case LessThan(l: Literal, e) =>
+        statCol(e).foreach(c => windows += ((c, rendered(l), None)))
+      case LessThanOrEqual(l: Literal, e) =>
+        statCol(e).foreach(c => windows += ((c, rendered(l), None)))
+      case In(e, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val rs = vs.collect { case l: Literal => rendered(l) }.flatten
+        if (rs.nonEmpty)
+          bloomCol(e).foreach(c => probes += ((c, rs)))
+      case IsNotNull(e) => statCol(e).foreach(c => notNulls += c)
+      case _ => () // unrecognized: residual handles it
+    }
+
+    var kept = afterPart
+    if (notNulls.nonEmpty)
+      kept = kept.filter(g => notNulls.forall(c =>
+        meta.stats.getOrElse(g.rel, Map.empty)
+          .getOrElse(c, (None, None))._1.isDefined))
+    if (windows.nonEmpty) {
+      val ids = Layout.statsOverlapOpt(spark, fullSchema, windows.toSeq,
+        kept.map(g => g.rel -> meta.stats.getOrElse(g.rel, Map.empty)))
+      kept = kept.filter(g => ids.contains(g.rel))
+    }
+    if (probes.nonEmpty) {
+      val dec = java.util.Base64.getDecoder
+      val hashed = probes.toSeq.map { case (c, vs) =>
+        c -> vs.map(v =>
+          Layout.renderedHash(spark, fullSchema(c).dataType, v))
+      }
+      kept = kept.filter { g =>
+        val bl = meta.blooms.getOrElse(g.rel, Map.empty)
+        hashed.forall { case (c, hs) =>
+          // absent bloom must stay (soundness); present must hit ≥ 1
+          bl.get(c).forall(b64 => hs.exists(h =>
+            graft.expressions.BloomSketch.mightContain(dec.decode(b64), h)))
+        }
+      }
+    }
+    kept.map(g => PartitionDirectory(g.values,
+      g.files.toArray))
+  }
+}

@@ -1223,4 +1223,97 @@ class LayoutSpec extends SparkSpec {
       else hc.set("parquet.page.size", oldPage)
     }
   }
+
+  test("manifestTable: planner-integrated scan auto-prunes on partition, " +
+      "stats and bloom predicates; arbitrary partition filters stay exact") {
+    import spark.implicits._
+    val dir = tmpDir("mfidx")
+    // 4 string partitions (incl. one null) with disjoint v windows and
+    // disjoint key sets
+    val rows = (0 until 40).map { i =>
+      val part = if (i / 10 == 3) null else s"p${i / 10}"
+      (i.toLong, part, (i / 10) * 100 + i, s"u$i", 1L)
+    }
+    Layout.writeManifestTable(spark, dir,
+      rows.toDF("k", "part", "v", "u", "ver"),
+      Seq("part"), statsCols = Seq("v"), bloomCols = Seq("k"))
+    val t = Layout.manifestTable(spark, dir)
+    // column order and full content match the explicit read
+    assert(t.columns.toSeq == Layout.readManifest(spark, dir).columns.toSeq)
+    assert(t.collect().map(_.mkString("|")).sorted.toSeq ==
+      Layout.readManifest(spark, dir).collect().map(_.mkString("|"))
+        .sorted.toSeq)
+    // numFiles is a driver metric posted when the scan's lazy partition
+    // listing first materializes — observe it on a FRESH frame, one
+    // execution each (re-running a collected Dataset resets metrics
+    // without re-listing)
+    val full = {
+      val d = Layout.manifestTable(spark, dir); d.collect(); scanFiles(d)
+    }
+    assert(full > 0)
+
+    // partition equality prunes to one generation dir's files
+    val pf = t.filter(col("part") === "p1")
+    pf.collect()
+    assert(scanFiles(pf) < full, "partition filter must prune")
+    assert(pf.select("k").as[Long].collect().sorted.toSeq == (10L to 19L))
+    // an ARBITRARY partition predicate (no simple range shape) must be
+    // EXACT — Spark drops partition filters from the residual
+    val like = t.filter(col("part").endsWith("2") || col("part").isNull)
+    assert(like.select("k").as[Long].collect().sorted.toSeq ==
+      ((20L to 29L) ++ (30L to 39L)))
+
+    // stats range on a non-partition column prunes generations
+    val sf1 = t.filter(col("v") >= 100 && col("v") < 120)
+    sf1.collect()
+    assert(scanFiles(sf1) < full, "stats window must prune")
+    assert(sf1.select("k").as[Long].collect().sorted.toSeq == (10L to 19L))
+    // bloom point lookup on a high-cardinality column prunes
+    val bf = t.filter(col("k") === 25L)
+    bf.collect()
+    assert(scanFiles(bf) < full, "bloom probe must prune")
+    assert(bf.select("u").as[String].collect().toSeq == Seq("u25"))
+
+    // the SQL surface prunes the same way
+    t.createOrReplaceTempView("mfidx_t")
+    val sq = spark.sql(
+      "SELECT k FROM mfidx_t WHERE v BETWEEN 220 AND 225 AND part = 'p2'")
+    sq.collect()
+    assert(scanFiles(sq) < full)
+    assert(sq.as[Long].collect().sorted.toSeq == (20L to 25L))
+
+    // unrecognized data predicates fall through to the residual, exact
+    assert(t.filter(pmod(col("k"), lit(10)) === 3).count() == 4)
+
+    // pending merge-on-read deltas refuse the file-level surface
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((5L, "p0", 1000, "u5x", 2L)).toDF("k", "part", "v", "u", "ver"),
+      Seq("k"), "ver")
+    val e = intercept[IllegalArgumentException] {
+      Layout.manifestTable(spark, dir)
+    }
+    assert(e.getMessage.contains("foldManifestDeltas"))
+    Layout.foldManifestDeltas(spark, dir)
+    // post-fold the surface returns, with the delta applied
+    assert(Layout.manifestTable(spark, dir).filter(col("k") === 5L)
+      .select("u").as[String].collect().toSeq == Seq("u5x"))
+  }
+
+  test("manifestTable reads mixed-schema generations after evolution") {
+    import spark.implicits._
+    val dir = tmpDir("mfidx_evo")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "part", "ver"),
+      Seq("part"))
+    Layout.evolveManifest(spark, dir, "score DOUBLE")
+    Layout.mergeManifest(spark, dir,
+      Seq((3L, "b", 2L, 0.5)).toDF("k", "part", "ver", "score"),
+      Seq("k"), "ver")
+    val t = Layout.manifestTable(spark, dir)
+    // pre-evolution generation (part=a) null-fills the added column
+    assert(t.filter(col("k") === 1L).select("score")
+      .collect().head.isNullAt(0))
+    assert(t.filter(col("k") === 3L).select("score").as[Double]
+      .collect().toSeq == Seq(0.5))
+  }
 }
