@@ -119,6 +119,7 @@ object PipelineConfig {
           val Array(col, v) = s.split(":", 2)
           (col.trim, v.trim)
         },
+      planner = c.get("planner").exists(_.toBoolean),
       knobs = knobsOf(c))),
     "Compact" -> ((c, _) => CompactModel(get(c, "path"),
       partitionCols = c.get("partition_cols").toSeq

@@ -98,6 +98,7 @@ final case class ManifestModel(
     version: Option[Int] = None,
     ranges: Seq[(String, String, String)] = Nil,
     eqs: Seq[(String, String)] = Nil,
+    planner: Boolean = false,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Extractable {
 
@@ -107,10 +108,15 @@ final case class ManifestModel(
   require(version.isEmpty || (ranges.isEmpty && eqs.isEmpty),
     "data-skipping reads serve the LIVE snapshot; a pinned version " +
       "cannot compose with ranges/eqs — read the version and filter")
+  require(!planner || (ranges.isEmpty && eqs.isEmpty),
+    "planner = true prunes from the pipeline's OWN pushed-down " +
+      "filters (Layout.manifestTable); explicit ranges/eqs are the " +
+      "non-planner knobs — drop them")
 
   protected def read(ctx: StepContext): org.apache.spark.sql.DataFrame = {
     val target = ctx.render(path)
-    version match {
+    if (planner) Layout.manifestTable(ctx.spark, target, version)
+    else version match {
       case Some(v) => Layout.readManifestVersion(ctx.spark, target, v)
       case None =>
         if (ranges.nonEmpty)

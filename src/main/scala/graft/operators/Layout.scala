@@ -1500,9 +1500,10 @@ object Layout {
     * [[readManifestPruned]] stay the explicit-API reads (and the only
     * ones that resolve pending merge-on-read deltas — this one fails
     * loudly on them). Snapshot-pinned at creation like every other
-    * manifest read. */
-  def manifestTable(spark: SparkSession, path: String): DataFrame = {
-    val idx = new graft.plans.ManifestFileIndex(spark, path)
+    * manifest read; `version` time-travels to any retained snapshot. */
+  def manifestTable(spark: SparkSession, path: String,
+                    version: Option[Int] = None): DataFrame = {
+    val idx = new graft.plans.ManifestFileIndex(spark, path, version)
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx, idx.partitionSchema, idx.dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet

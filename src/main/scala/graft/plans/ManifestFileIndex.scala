@@ -51,12 +51,13 @@ import graft.operators.Layout
   * "database" is Spark itself, so skipping lives in the planner seam
   * rather than a remote engine.
   */
-final class ManifestFileIndex(spark: SparkSession, tablePath: String)
+final class ManifestFileIndex(spark: SparkSession, tablePath: String,
+                              version: Option[Int] = None)
     extends FileIndex {
 
   private val meta = {
-    val v = Layout.manifestVersion(spark, tablePath).getOrElse(
-      throw new IllegalArgumentException(
+    val v = version.orElse(Layout.manifestVersion(spark, tablePath))
+      .getOrElse(throw new IllegalArgumentException(
         s"$tablePath is not a manifest table; seed it with " +
           "writeManifestTable"))
     Layout.readManifestMeta(spark, tablePath, v)

@@ -175,13 +175,25 @@ class SurfacesSpec extends SparkSpec {
       .asInstanceOf[graft.models.ManifestModel].extract(ctx)
     assert(pointed.inputFiles.length < full, "blooms must prune files")
     assert(pointed.select("k").as[Long].collect().toSeq == Seq(25L))
-    // guards: version pins and double-skipping reject loudly
+    // planner mode: downstream filters prune by themselves (the
+    // ManifestFileIndex surface behind the same node type)
+    val auto = PipelineConfig.registry("Manifest")(
+      Map("path" -> dir, "planner" -> "true"), new SourceRegistry)
+      .asInstanceOf[graft.models.ManifestModel].extract(ctx)
+      .filter(col("v") >= 100 && col("v") <= 119)
+    assert(auto.select("k").as[Long].collect().sorted.toSeq ==
+      (10L until 20L))
+    // guards: version pins, double-skipping, planner+explicit knobs
     intercept[IllegalArgumentException] {
       graft.models.ManifestModel(dir, version = Some(1),
         ranges = Seq(("v", "0", "1")))
     }
     intercept[IllegalArgumentException] {
       graft.models.ManifestModel(dir, ranges = Seq(("v", "0", "1")),
+        eqs = Seq(("k", "1")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.models.ManifestModel(dir, planner = true,
         eqs = Seq(("k", "1")))
     }
   }

@@ -1299,6 +1299,33 @@ class LayoutSpec extends SparkSpec {
       .select("u").as[String].collect().toSeq == Seq("u5x"))
   }
 
+  test("manifestTable: time travel and broadcast-join sizing") {
+    import spark.implicits._
+    val dir = tmpDir("mfidx_tt")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 11.0, 2L), (3L, "c", 30.0, 2L))
+        .toDF("k", "part", "v", "ver"), Seq("k"), "ver")
+    // pinned version 1 sees the seed only
+    assert(Layout.manifestTable(spark, dir, Some(1))
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(Layout.manifestTable(spark, dir)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // sizeInBytes is the real file footprint, so joining the small
+    // manifest table auto-broadcasts (the 100 TB dim-join posture:
+    // no shuffle of the big side)
+    val big = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 2).as("x"))
+    val joined = big.join(Layout.manifestTable(spark, dir), "k")
+    joined.collect()
+    val bcast = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(bcast, "small manifest table must broadcast:\n" +
+      joined.queryExecution.executedPlan.toString.take(1500))
+  }
+
   test("manifestTable reads mixed-schema generations after evolution") {
     import spark.implicits._
     val dir = tmpDir("mfidx_evo")
