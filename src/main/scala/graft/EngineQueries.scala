@@ -1098,6 +1098,40 @@ object EngineQueries {
                  AND o_totalprice > 1000.0""")
     }),
 
+    // Durable change-feed consumption (Layout.feedSince + the
+    // ManifestFeed DSL source): consumer c1 takes the initial snapshot,
+    // acks, a merge publishes v2, and the next pull ships EXACTLY the
+    // net changes — old rows of rewritten keys as deletes, their new
+    // versions as inserts — while a caught-up consumer gets an empty
+    // frame. The gate returns snapshot ∪ increment; the oracle spells
+    // the same three row sets from the source table, so a cursor bug
+    // (skipped or replayed increment) breaks the hash.
+    "m57_manifest_feed" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("manfeed")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out, seed, Seq("o_year"))
+      val (snap, a1) = Layout.feedSince(s, out, "c1")
+      require(a1 == 1, s"snapshot must ack the seed version (got $a1)")
+      Layout.writeFeedCursor(s, out, "c1", a1)
+      val batch = seed.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("ver", lit(2L))
+      Layout.mergeManifest(s, out, batch, Seq("o_orderkey"), "ver")
+      val (inc, a2) = Layout.feedSince(s, out, "c1")
+      require(a2 == 2, s"increment must ack the merge version (got $a2)")
+      Layout.writeFeedCursor(s, out, "c1", a2)
+      val (drained, _) = Layout.feedSince(s, out, "c1")
+      require(drained.isEmpty,
+        "a caught-up consumer must get an empty increment")
+      snap.unionByName(inc).select(col("o_orderkey"),
+        col("o_year").cast("int").as("o_year"), col("o_totalprice"),
+        col("ver"), col("_change_type"))
+    }),
+
     // Incremental view maintenance (Ivm.applyDelta): the events rollup
     // maintained by folding three row-level delta batches — split by a
     // row hash, so every key's rows scatter ACROSS deltas and the fold
@@ -1966,6 +2000,22 @@ object EngineQueries {
          WHERE year(o_orderdate) = 1996
            AND o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
            AND o_totalprice > 1000.0""",
+    // the consumed feed is exactly snapshot + net changes: initial
+    // rows as inserts, rewritten keys' old rows as deletes and their
+    // new versions as inserts (same +100 arithmetic on both engines)
+    "m57_manifest_feed" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice, CAST(1 AS BIGINT) AS ver,
+           'insert' AS _change_type
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey, CAST(year(o_orderdate) AS INT),
+           o_totalprice, CAST(1 AS BIGINT), 'delete'
+         FROM orders WHERE o_orderkey % 10 = 0
+         UNION ALL
+         SELECT o_orderkey, CAST(year(o_orderdate) AS INT),
+           o_totalprice + 100, CAST(2 AS BIGINT), 'insert'
+         FROM orders WHERE o_orderkey % 10 = 0""",
     // any delta split folds bit-identical to the one-shot GROUP BY:
     // decimal partials are exact integer arithmetic (batch m41 and the
     // streaming lift m42 share the oracle verbatim — that sharing IS

@@ -66,7 +66,12 @@ object PipelineConfig {
     "XML" -> ((c, _) => XmlModel(get(c, "path"),
       rowTag = c.getOrElse("row_tag", "record"),
       rootTag = c.getOrElse("root_tag", "data"), knobs = knobsOf(c))),
-    "Parquet" -> ((c, _) => ParquetModel(get(c, "path"), knobs = knobsOf(c))),
+    "Parquet" -> ((c, _) => ParquetModel(get(c, "path"),
+      partitionBy = c.get("partition_by").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      append = c.get("append").exists(_.toBoolean),
+      maxRecordsPerFile = c.get("max_records_per_file").map(_.toLong),
+      knobs = knobsOf(c))),
     "Filenames" -> ((c, _) => FilenamesModel(get(c, "path"),
       mask = c.get("mask"),
       recursive = c.get("recursive").forall(_.toBoolean),
@@ -121,6 +126,8 @@ object PipelineConfig {
         },
       planner = c.get("planner").exists(_.toBoolean),
       knobs = knobsOf(c))),
+    "ManifestFeed" -> ((c, _) => ManifestFeedModel(get(c, "path"),
+      consumer = get(c, "consumer"), knobs = knobsOf(c))),
     "Compact" -> ((c, _) => CompactModel(get(c, "path"),
       partitionCols = c.get("partition_cols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),

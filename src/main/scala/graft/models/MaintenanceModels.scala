@@ -132,6 +132,43 @@ final case class ManifestModel(
   }
 }
 
+/** Incremental change-feed source over a MANIFEST table
+  * ([[Layout.feedSince]]): each scheduled run extracts exactly the
+  * increment this `consumer` has not yet acknowledged — the full
+  * snapshot as inserts on the first run, the net `_change_type`
+  * insert/delete rows since the acked version after that, an empty
+  * frame when caught up. The cursor advances in `release`, which the
+  * pipeline invokes only AFTER the downstream load succeeded — a
+  * failed run replays the same increment on the next tick
+  * (at-least-once; pair with an idempotent sink such as a Merge or
+  * IvmApply node for exactly-once effect). This is the manifest-table
+  * analogue of the reference's high-water-mark incremental extract
+  * (models.py:136-144): the HWM is the manifest version, probed and
+  * advanced here instead of `max(value_field)` on the sink.
+  */
+final case class ManifestFeedModel(
+    path: String,
+    consumer: String,
+    override val knobs: ModelKnobs = ModelKnobs())
+  extends PdModel with Extractable {
+
+  @transient private var pendingAck: Option[(String, Int)] = None
+
+  protected def read(ctx: StepContext): org.apache.spark.sql.DataFrame = {
+    val target = ctx.render(path)
+    val (df, ack) = Layout.feedSince(ctx.spark, target, consumer)
+    pendingAck = Some((target, ack))
+    df
+  }
+
+  override def release(ctx: StepContext): Unit = {
+    pendingAck.foreach { case (target, v) =>
+      Layout.writeFeedCursor(ctx.spark, target, consumer, v)
+    }
+    pendingAck = None
+  }
+}
+
 /** Small-file compaction of the parquet table at `path` (the OPTIMIZE
   * node): [[Layout.compactManifest]] when `manifest = true` (partition-
   * granular snapshot publish; `maxFiles` is its selection threshold,

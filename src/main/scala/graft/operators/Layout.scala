@@ -1929,6 +1929,78 @@ object Layout {
         before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
 
+  private def feedCursorPath(path: String, consumer: String): Path = {
+    require(consumer.nonEmpty && consumer.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"feed consumer name '$consumer' must be [A-Za-z0-9._-]+ " +
+        "(it becomes a cursor file name)")
+    new Path(path, s"_FEED.$consumer")
+  }
+
+  /** The durable change-feed cursor of `consumer` on the table at
+    * `path`: the manifest version up to which that consumer has
+    * ACKNOWLEDGED the feed. None = never consumed. */
+  def readFeedCursor(spark: SparkSession, path: String,
+                     consumer: String): Option[Int] = {
+    val fc = fileContext(spark, path)
+    val p = feedCursorPath(path, consumer)
+    if (!fc.util.exists(p)) None
+    else Some(new String(readBytes(fc, p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+  }
+
+  /** Acknowledge the feed up to `version` for `consumer` — atomic
+    * tmp-write + rename, the pointer-swap discipline, so a crash mid-ack
+    * leaves the OLD cursor (the consumer re-reads the increment rather
+    * than losing it). Idempotent; refuses to move backwards. */
+  def writeFeedCursor(spark: SparkSession, path: String,
+                      consumer: String, version: Int): Unit = {
+    val prev = readFeedCursor(spark, path, consumer)
+    require(prev.forall(_ <= version),
+      s"feed cursor of '$consumer' on $path is at v${prev.get}; " +
+        s"acking v$version would move it backwards")
+    val fc = fileContext(spark, path)
+    val cur = feedCursorPath(path, consumer)
+    val tmp = new Path(path, s"_FEED.$consumer.tmp")
+    writeFile(fc, tmp, version.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The next feed increment for `consumer`: `(frame, ackVersion)` —
+    * the at-least-once consumption loop over [[manifestChanges]].
+    * First call (no cursor) returns the FULL live snapshot as
+    * `_change_type = 'insert'` rows (the initial-load every downstream
+    * needs before deltas mean anything); later calls return the net
+    * changes since the acked version; a caught-up consumer gets an
+    * EMPTY frame in the same shape (cheap scheduled no-op). The caller
+    * acks with [[writeFeedCursor]]`(ackVersion)` only AFTER its
+    * downstream write succeeds — crash before the ack replays the same
+    * increment, so pair the feed with an idempotent sink (merge, IVM
+    * batch marker) for exactly-once effect. Retention contract: the
+    * acked version must still be on disk — [[reapManifest]]'s
+    * `keepVersions` must cover the slowest consumer's lag, and the
+    * change feed fails loudly naming the reaped generation otherwise. */
+  def feedSince(spark: SparkSession, path: String,
+                consumer: String): (DataFrame, Int) = {
+    val live = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    readFeedCursor(spark, path, consumer) match {
+      case None =>
+        (readManifest(spark, path)
+          .withColumn("_change_type", lit("insert")), live)
+      case Some(v) if v >= live =>
+        val m = readManifestMeta(spark, path, live)
+        val sch = manifestSchema(m).add("_change_type",
+          org.apache.spark.sql.types.StringType)
+        (spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch), live)
+      case Some(v) =>
+        (manifestChanges(spark, path, v, live), live)
+    }
+  }
+
   /** Explicit schema evolution for manifest tables: append the columns
     * in `addDdl` (e.g. `"score DOUBLE, note STRING"`) to the stored
     * schema as NULLABLE data columns, publishing a new manifest version

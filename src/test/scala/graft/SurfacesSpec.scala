@@ -37,7 +37,8 @@ class SurfacesSpec extends SparkSpec {
     assert(Seq("Table", "Select", "Insert", "SQL", "CSV", "JSON", "XML",
       "Parquet", "Filenames", "FileManager", "Merge", "Compact",
       "Manifest", "IvmApply", "Zorder", "SortedWrite", "FoldDeltas",
-      "Reap", "IvmSync").forall(PipelineConfig.registry.contains))
+      "Reap", "IvmSync", "ManifestFeed")
+      .forall(PipelineConfig.registry.contains))
   }
 
   test("config-driven merge-on-read lifecycle: mor Merge, FoldDeltas, " +
@@ -196,6 +197,64 @@ class SurfacesSpec extends SparkSpec {
       graft.models.ManifestModel(dir, planner = true,
         eqs = Seq(("k", "1")))
     }
+  }
+
+  test("ManifestFeed source: snapshot then increments, cursor acks only " +
+      "after a successful load") {
+    import graft.operators.Layout
+    import graft.models.{ManifestFeedModel, ParquetModel}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cfg_feed").resolve("t").toString
+    val out = Files.createTempDirectory("cfg_feed_out").toString
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    val cal = Calendar.day("2023-01-01")
+    def runFeed(): Long = {
+      val json =
+        s"""[
+          {"node_name": "src", "node_type": "ManifestFeed", "node_seqno": 1,
+           "config": {"path": "$dir", "consumer": "sink1"}},
+          {"node_name": "dst", "node_type": "Parquet", "node_seqno": 2,
+           "config": {"path": "$out/p", "append": "true"}}
+        ]"""
+      val p = PipelineConfig.fromJson("cfg_feed", json, new SourceRegistry)
+      assert(p.run(spark, cal).status == Status.Done)
+      spark.read.parquet(s"$out/p").count()
+    }
+    // run 1: the initial snapshot lands as inserts, cursor at v1
+    assert(runFeed() == 2)
+    assert(Layout.readFeedCursor(spark, dir, "sink1").contains(1))
+    // run 2 with no table change: empty increment, nothing appended
+    assert(runFeed() == 2)
+    // a merge publishes v2; run 3 ships exactly its net changes
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 11.0, 2L), (3L, "c", 30.0, 2L))
+        .toDF("k", "part", "v", "ver"), Seq("k"), "ver")
+    assert(runFeed() == 5) // +1 delete (k=1 old) +2 inserts (k=1', k=3)
+    assert(Layout.readFeedCursor(spark, dir, "sink1").contains(2))
+    val changes = spark.read.parquet(s"$out/p")
+      .filter(col("_change_type") === "delete")
+      .select("k", "v").as[(Long, Double)].collect().toSeq
+    assert(changes == Seq((1L, 10.0)))
+    // a FAILED load must not ack: extract without release leaves the
+    // cursor where it was, so the increment replays
+    Layout.mergeManifest(spark, dir,
+      Seq((4L, "d", 40.0, 3L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    val m = ManifestFeedModel(dir, "sink1")
+    assert(m.extract(StepContext(spark, cal)).count() == 1)
+    assert(Layout.readFeedCursor(spark, dir, "sink1").contains(2),
+      "cursor must not advance before release")
+    m.release(StepContext(spark, cal))
+    assert(Layout.readFeedCursor(spark, dir, "sink1").contains(3))
+    // backwards ack refuses loudly
+    intercept[IllegalArgumentException] {
+      Layout.writeFeedCursor(spark, dir, "sink1", 1)
+    }
+    // a second consumer starts from its own snapshot independently
+    val (snap2, ack2) = Layout.feedSince(spark, dir, "sink2")
+    assert(ack2 == 3 && snap2.count() == 4)
   }
 
   test("config-driven Compact node runs table maintenance as an EX pipeline") {
