@@ -1234,6 +1234,72 @@ object EngineQueries {
             .as("p95_exact"))
     }),
 
+    // SELF-DRIVING sketch summary (Ivm.syncFromManifest with
+    // kmv/kll columns): an append-only manifest table grows in three
+    // merges of NEW keys; each scheduled sync folds only the change
+    // feed's inserts into the standing per-status sketches (KMV
+    // sketches cannot retract, so sketch sync is an append-only
+    // contract — delete-bearing feeds refuse loudly, spec-pinned).
+    // The folded sketches must equal the one-shot aggregates over the
+    // live table array-exactly, the KMV estimate the exact distinct
+    // count, and the KLL quantiles the exact rank statistics (m47's
+    // claims, reproduced through the cursor-driven path).
+    "m58_sketch_ivm_sync" -> ((s, dir) => {
+      import graft.operators.{Ivm, Layout}
+      import graft.expressions.{Kll, Kmv}
+      // k above the biggest per-status row count at the gate's scale
+      // factor keeps KLL in its below-capacity EXACT regime (no
+      // compaction -> merge order cannot matter and quantiles are the
+      // exact rank statistics); beyond it only the 16/k rank bound is
+      // guaranteed (q58's stress regime)
+      val k = 16384
+      val out = s"${tmp("sksync")}/ord"
+      val sum = s"${tmp("sksync")}/summary"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_custkey"), col("o_totalprice").cast("double").as("price"))
+      def slice(r: Int) = rows
+        .filter(pmod(col("o_orderkey"), lit(3)) === r)
+        .withColumn("ver", lit((r + 1).toLong))
+      Layout.writeManifestTable(s, out, slice(0), Seq("o_orderstatus"))
+      def sync(): Boolean = Ivm.syncFromManifest(s, sum, out,
+        Seq("o_orderstatus"), Nil, kmvCols = Seq("o_custkey"),
+        kllCols = Seq("price"), sketchK = k)
+      require(sync(), "seed sync must apply")
+      for (r <- 1 to 2) {
+        Layout.mergeManifest(s, out, slice(r), Seq("o_orderkey"), "ver")
+        require(sync(), s"sync after append $r must apply")
+      }
+      require(!sync(), "a caught-up sketch sync must be a no-op")
+      val folded = Ivm.read(s, sum)
+      val oneShot = rows.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n2"),
+        countDistinct(col("o_custkey")).as("distinct_cust"),
+        Kmv.sketch(xxhash64(col("o_custkey")), k).as("dsk"),
+        Kll.sketch(col("price"), k).as("dkll"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy(col("price"))
+      val ranked = rows
+        .join(oneShot.select("o_orderstatus", "n2"), "o_orderstatus")
+        .withColumn("rn", row_number().over(w))
+      def exactQ(q: Double, as: String) = ranked
+        .filter(col("rn") === ceil(lit(q) * col("n2")).cast("long"))
+        .select(col("o_orderstatus"), col("price").as(as))
+      folded.join(oneShot, "o_orderstatus")
+        .join(exactQ(0.5, "ex50"), "o_orderstatus")
+        .join(exactQ(0.95, "ex95"), "o_orderstatus")
+        .select(col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("n_rows"), col("distinct_cust"),
+          (col("kmv_o_custkey") === col("dsk")).as("kmv_lossless"),
+          (Kmv.estimate(col("kmv_o_custkey"), k) ===
+            col("distinct_cust").cast("double")).as("kmv_exact"),
+          (col("kll_price") === col("dkll")).as("kll_lossless"),
+          (Kll.quantile(col("kll_price"), 0.5) === col("ex50"))
+            .as("p50_exact"),
+          (Kll.quantile(col("kll_price"), 0.95) === col("ex95"))
+            .as("p95_exact"))
+    }),
+
     // STREAMING token-window chunking gated through batch t12's oracle:
     // the chunker is a pure flatMap projection (tokenize -> slice), so
     // batch semantics lift with no state and no watermark — documents
@@ -2037,6 +2103,15 @@ object EngineQueries {
            TRUE AS kmv_lossless, TRUE AS kmv_exact, TRUE AS kll_lossless,
            TRUE AS p50_exact, TRUE AS p95_exact
          FROM events GROUP BY event_type""",
+    // the cursor-driven sketch sync reproduces m47's claims over the
+    // append-only table: counts and distincts exact, every boolean
+    // guaranteed by the lossless-merge / exact-regime math
+    "m58_sketch_ivm_sync" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS distinct_cust,
+           TRUE AS kmv_lossless, TRUE AS kmv_exact, TRUE AS kll_lossless,
+           TRUE AS p50_exact, TRUE AS p95_exact
+         FROM orders GROUP BY o_orderstatus""",
     // the stateless streaming lifts share their batch twins' oracles
     // verbatim — that sharing IS each gate's claim (pure projections /
     // stream-static broadcast filters: batch ≡ stream by construction)

@@ -102,7 +102,12 @@ object PipelineConfig {
       tablePath = get(c, "table_path"),
       keys = get(c, "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
       sumCols = get(c, "sum_cols").split(",").map(_.trim)
-        .filter(_.nonEmpty).toSeq)),
+        .filter(_.nonEmpty).toSeq,
+      kmvCols = c.get("kmv_cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      kllCols = c.get("kll_cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      sketchK = c.get("sketch_k").map(_.toInt).getOrElse(4096))),
     "Reap" -> ((c, _) => ReapModel(get(c, "path"),
       keepVersions = c.get("keep_versions").map(_.toInt).getOrElse(1),
       generational = c.get("generational").exists(_.toBoolean))),

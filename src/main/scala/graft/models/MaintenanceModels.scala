@@ -218,13 +218,17 @@ final case class IvmSyncModel(
     tablePath: String,
     keys: Seq[String],
     sumCols: Seq[String],
+    kmvCols: Seq[String] = Nil,
+    kllCols: Seq[String] = Nil,
+    sketchK: Int = 4096,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
 
   def execute(ctx: StepContext): ExecResult =
     ExecResult(resultValue = Some(
       if (graft.operators.Ivm.syncFromManifest(ctx.spark,
-        ctx.render(path), ctx.render(tablePath), keys, sumCols)) 1L
+        ctx.render(path), ctx.render(tablePath), keys, sumCols,
+        kmvCols = kmvCols, kllCols = kllCols, sketchK = sketchK)) 1L
       else 0L))
 }
 

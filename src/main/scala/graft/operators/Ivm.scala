@@ -210,23 +210,48 @@ object Ivm {
     */
   def syncFromManifest(spark: SparkSession, summaryPath: String,
                        tablePath: String, keys: Seq[String],
-                       sumCols: Seq[String]): Boolean = {
+                       sumCols: Seq[String],
+                       kmvCols: Seq[String] = Nil,
+                       kllCols: Seq[String] = Nil,
+                       sketchK: Int = 4096): Boolean = {
     val live = Layout.manifestVersion(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"$tablePath is not a manifest table; seed it with " +
           "writeManifestTable"))
+    val sketched = kmvCols.nonEmpty || kllCols.nonEmpty
     lastAppliedBatch(spark, summaryPath) match {
       case None =>
         applyDelta(spark, summaryPath,
           Layout.readManifestVersion(spark, tablePath, live),
-          keys, sumCols, batchId = live)
+          keys, sumCols, batchId = live,
+          kmvCols = kmvCols, kllCols = kllCols, sketchK = sketchK)
       case Some(v) if v >= live => false
       case Some(v) =>
         val feed = Layout.manifestChanges(spark, tablePath, v.toInt, live)
-          .withColumn("__w",
-            when(col("_change_type") === "insert", 1L).otherwise(-1L))
-        applyDelta(spark, summaryPath, feed, keys, sumCols,
-          batchId = live, weightCol = Some("__w"))
+        if (!sketched)
+          applyDelta(spark, summaryPath,
+            feed.withColumn("__w",
+              when(col("_change_type") === "insert", 1L).otherwise(-1L)),
+            keys, sumCols, batchId = live, weightCol = Some("__w"))
+        else {
+          // KMV/KLL sketches are not subtractable, so sketch-valued
+          // summaries can follow INSERT-ONLY feeds only: any delete in
+          // the window (a real delete OR the delete half of a key
+          // rewrite) fails loudly before anything folds — the summary
+          // and marker stay consistent, the remedy is named
+          val feedC = feed.localCheckpoint() // count + fold: one compute
+          val dels = feedC.filter(col("_change_type") === "delete").count()
+          require(dels == 0L,
+            s"syncFromManifest with sketch columns: the change feed of " +
+              s"$tablePath v$v..v$live carries $dels delete row(s), and " +
+              "KMV/KLL sketches cannot retract — sketch-valued sync " +
+              "follows APPEND-ONLY tables (new keys only); for CDC " +
+              "tables keep sum columns incremental and recompute " +
+              "sketches on a schedule")
+          applyDelta(spark, summaryPath, feedC, keys, sumCols,
+            batchId = live, kmvCols = kmvCols, kllCols = kllCols,
+            sketchK = sketchK)
+        }
     }
   }
 }

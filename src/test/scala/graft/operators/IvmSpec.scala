@@ -118,6 +118,56 @@ class IvmSpec extends SparkSpec {
     }
   }
 
+  test("sketch-valued syncFromManifest follows append-only tables and " +
+      "refuses delete-bearing feeds loudly") {
+    val dir = tmpDir("sksync")
+    val tab = tmpDir("sksync_tab")
+    import spark.implicits._
+    import graft.expressions.{Kll, Kmv}
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    Layout.writeManifestTable(spark, tab,
+      Seq((1L, "a", 1L, 1.0, 1L), (2L, "a", 2L, 2.0, 1L),
+        (3L, "b", 1L, 10.0, 1L)).toDF("id", "k", "u", "v", "ver"),
+      Seq("k"))
+    // seed sync: the full snapshot sketches in
+    assert(Ivm.syncFromManifest(spark, dir, tab, Seq("k"), Nil,
+      kmvCols = Seq("u"), kllCols = Seq("v"), sketchK = 16))
+    // append-only merge (NEW ids only) -> the feed is pure inserts
+    Layout.mergeManifest(spark, tab,
+      Seq((4L, "a", 3L, 4.0, 2L), (5L, "b", 2L, 20.0, 2L))
+        .toDF("id", "k", "u", "v", "ver"), Seq("id"), "ver")
+    assert(Ivm.syncFromManifest(spark, dir, tab, Seq("k"), Nil,
+      kmvCols = Seq("u"), kllCols = Seq("v"), sketchK = 16))
+    assert(!Ivm.syncFromManifest(spark, dir, tab, Seq("k"), Nil,
+      kmvCols = Seq("u"), kllCols = Seq("v"), sketchK = 16),
+      "caught-up sync must no-op")
+    // incrementally folded sketches == one-shot over the live table
+    val oneShot = Layout.readManifest(spark, tab).groupBy("k").agg(
+      Kmv.sketch(xxhash64(col("u")), 16).as("dsk"),
+      Kll.sketch(col("v"), 16).as("dkll"))
+    val cmp = Ivm.read(spark, dir).join(oneShot, "k")
+      .select(col("k"), (col("kmv_u") === col("dsk")).as("kmv_eq"),
+        (col("kll_v") === col("dkll")).as("kll_eq"))
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(cmp == Map("a" -> ((true, true)), "b" -> ((true, true))), cmp)
+    // a key REWRITE puts a delete in the feed: the sketched sync must
+    // refuse loudly and leave summary + marker untouched
+    Layout.mergeManifest(spark, tab,
+      Seq((1L, "a", 1L, 99.0, 3L)).toDF("id", "k", "u", "v", "ver"),
+      Seq("id"), "ver")
+    val e = intercept[IllegalArgumentException] {
+      Ivm.syncFromManifest(spark, dir, tab, Seq("k"), Nil,
+        kmvCols = Seq("u"), kllCols = Seq("v"), sketchK = 16)
+    }
+    assert(e.getMessage.contains("APPEND-ONLY"), e.getMessage)
+    assert(Ivm.lastAppliedBatch(spark, dir).contains(2L),
+      "marker must stay at the last good sync")
+    // sum-only sync still follows the same CDC feed fine
+    assert(Ivm.syncFromManifest(spark, dir + "_sums", tab,
+      Seq("k"), Seq("v")))
+  }
+
   test("crashed apply (orphan gen, no pointer swap) is invisible and " +
       "recovered by the next apply") {
     val dir = tmpDir("crash")

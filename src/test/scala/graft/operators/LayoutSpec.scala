@@ -1326,6 +1326,28 @@ class LayoutSpec extends SparkSpec {
       joined.queryExecution.executedPlan.toString.take(1500))
   }
 
+  test("manifestTable serves hierarchical manifests with the same pruning") {
+    import spark.implicits._
+    val dir = tmpDir("mfidx_hier")
+    val rows = (0 until 40).map(i =>
+      (i.toLong, s"p${i / 10}", (i / 10) * 100 + i, 1L))
+    Layout.writeManifestTable(spark, dir,
+      rows.toDF("k", "part", "v", "ver"), Seq("part"),
+      statsCols = Seq("v"), manifestBuckets = 4)
+    val t = Layout.manifestTable(spark, dir)
+    assert(t.select("k").as[Long].collect().sorted.toSeq ==
+      (0L until 40L))
+    val full = {
+      val d = Layout.manifestTable(spark, dir); d.collect(); scanFiles(d)
+    }
+    val pruned = t.filter(col("v") >= 100 && col("v") <= 119)
+    pruned.collect()
+    assert(scanFiles(pruned) < full,
+      "stats pruning must reach through the bucketed meta")
+    assert(pruned.select("k").as[Long].collect().sorted.toSeq ==
+      (10L until 20L))
+  }
+
   test("manifestTable reads mixed-schema generations after evolution") {
     import spark.implicits._
     val dir = tmpDir("mfidx_evo")
