@@ -614,6 +614,13 @@ object Layout {
       bloomItems: Long = 10000,
       bloomFpp: Double = 0.01,
       blooms: Map[String, Map[String, String]] = Map.empty,
+      // per-partition BYTES of the live base generation's data files,
+      // recorded by every writer at publish time — so planner-facing
+      // reads (ManifestFileIndex.sizeInBytes, join-side broadcast
+      // decisions) need ZERO filesystem calls; empty on manifests
+      // written before this field existed (readers fall back to
+      // listing)
+      bytes: Map[String, Long] = Map.empty,
       // merge-on-read state: per-partition PENDING delta generations
       // (applied over the base generation at read time, in gen order)
       // and the table-level resolution spec fixed by the first
@@ -691,6 +698,10 @@ object Layout {
         if (!node.has("entries")) Map.empty[String, Int]
         else node.get("entries").fields().asScala
           .map(e => e.getKey -> e.getValue.asInt()).toMap),
+      bytes = m.bytes ++ (
+        if (!node.has("bytes")) Map.empty[String, Long]
+        else node.get("bytes").fields().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap),
       stats = m.stats ++ (
         if (!node.has("stats"))
           Map.empty[String, Map[String, (Option[String], Option[String])]]
@@ -744,6 +755,11 @@ object Layout {
             rn.put(c, b64)
           }
         }
+    }
+    if (m.bytes.nonEmpty) {
+      val bn = node.putObject("bytes")
+      m.bytes.view.filterKeys(rels).toSeq.sortBy(_._1)
+        .foreach { case (rel, n) => bn.put(rel, n) }
     }
     if (m.deltas.nonEmpty) {
       val dn = node.putObject("deltas")
@@ -1135,6 +1151,20 @@ object Layout {
     * partition count, the same bound [[mergeManifest]] already
     * enforces. min/max render through Spark's Cast-to-string so
     * [[readManifestBetween]] can Cast them back losslessly. */
+  /** Data-file bytes of each just-written generation dir — one
+    * filesystem listing per TOUCHED partition (the statsFor bound), so
+    * planner reads never have to list the table themselves. */
+  private def bytesFor(spark: SparkSession, path: String,
+                       gens: Map[String, Int]): Map[String, Long] = {
+    val fc = fileContext(spark, path)
+    gens.map { case (rel, g) =>
+      rel -> fc.util.listStatus(new Path(s"$path/$rel/gen=$g"))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getLen).sum
+    }
+  }
+
   private def statsFor(spark: SparkSession, path: String, m: ManifestMeta,
                        gens: Map[String, Int]):
       Map[String, Map[String, (Option[String], Option[String])]] = {
@@ -1470,7 +1500,8 @@ object Layout {
       bucketBounds = bounds)
     writeManifestMeta(spark, path,
       meta0.copy(stats = statsFor(spark, path, meta0, gens),
-        blooms = bloomsFor(spark, path, meta0, gens)))
+        blooms = bloomsFor(spark, path, meta0, gens),
+        bytes = bytesFor(spark, path, gens)))
     fc.delete(new Path(tmpDir), true)
   }
 
@@ -1627,6 +1658,7 @@ object Layout {
       entries = m.entries -- removed ++ newGens,
       stats = m.stats -- removed ++ statsFor(spark, path, m, newGens),
       blooms = m.blooms -- removed ++ bloomsFor(spark, path, m, newGens),
+      bytes = m.bytes -- removed ++ bytesFor(spark, path, newGens),
       deltas = m.deltas -- baseRels))
     fc.delete(new Path(tmpDir), true)
   }
@@ -1868,7 +1900,8 @@ object Layout {
         deltas = m.deltas -- rels,
         stats = m.stats -- removed ++ statsFor(spark, path, m, newGens),
         blooms = m.blooms -- removed ++
-          bloomsFor(spark, path, m, newGens)))
+          bloomsFor(spark, path, m, newGens),
+        bytes = m.bytes -- removed ++ bytesFor(spark, path, newGens)))
       fc.delete(new Path(tmpDir), true)
       produced.sorted
     }
@@ -2224,9 +2257,11 @@ object Layout {
         fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
         rel -> g
       }.toMap
-      // row-identical rewrite: stats carry forward unchanged
+      // row-identical rewrite: stats carry forward unchanged, but the
+      // FILES changed — bytes recompute for the rewritten partitions
       writeManifestMeta(spark, path, m.copy(version = v + 1,
-        entries = m.entries ++ newGens))
+        entries = m.entries ++ newGens,
+        bytes = m.bytes ++ bytesFor(spark, path, newGens)))
       fc.delete(new Path(tmpDir), true)
       produced.sorted
     }

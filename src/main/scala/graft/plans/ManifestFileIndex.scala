@@ -89,14 +89,15 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
     else org.apache.spark.sql.catalyst.expressions.Cast(
       Literal(UTF8String.fromString(s), StringType), dt, Some(zone)).eval()
 
-  /** One live generation: its rel fragment, typed partition values,
-    * stats/bloom lookups, and listed data files. */
-  private case class Gen(rel: String, values: InternalRow,
-                         files: Seq[FileStatus])
+  /** One live generation: its rel fragment, generation number and
+    * typed partition values. Files are NOT listed here — construction
+    * reads only the manifest JSON, and [[listFiles]] lists exactly the
+    * generations that survive pruning (so a query that prunes a
+    * partition never touches its directory at all; at 10⁵ partitions
+    * that is the difference between one JSON read and 10⁵ RPCs). */
+  private case class Gen(rel: String, gen: Int, values: InternalRow)
 
-  private val gens: Seq[Gen] = {
-    val fs = new Path(tablePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val gens: Seq[Gen] =
     meta.entries.toSeq.sortBy(_._1).map { case (rel, g) =>
       // reverse relOf: unescape each writer-rendered `col=value`
       // fragment, then Cast back through the column's stored type —
@@ -113,19 +114,35 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
         if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
         else castString(raw, fullSchema(c).dataType)
       }
-      val dir = new Path(tablePath, s"$rel/gen=$g")
-      val files = fs.listStatus(dir).toSeq.filter(st => st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
-      Gen(rel, InternalRow.fromSeq(vals), files)
+      Gen(rel, g, InternalRow.fromSeq(vals))
     }
-  }
+
+  @transient private lazy val fs = new Path(tablePath)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  @transient private lazy val listed =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileStatus]]()
+
+  private def filesOf(g: Gen): Seq[FileStatus] =
+    listed.computeIfAbsent(g.rel, _ =>
+      fs.listStatus(new Path(tablePath, s"${g.rel}/gen=${g.gen}")).toSeq
+        .filter(st => st.isFile && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }))
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
+  /** Diagnostics surface: forces a full listing (bounded by partition
+    * count; queries themselves never need it). */
   override def inputFiles: Array[String] =
-    gens.flatMap(_.files.map(_.getPath.toString)).toArray
-  override def sizeInBytes: Long = gens.flatMap(_.files.map(_.getLen)).sum
+    gens.flatMap(filesOf(_).map(_.getPath.toString)).toArray
+  /** Join-sizing statistic, served from the BYTES the manifest records
+    * at publish time — zero filesystem calls on the planner's hot
+    * path. Manifests written before the field existed fall back to a
+    * one-time full listing. */
+  override def sizeInBytes: Long =
+    if (meta.entries.keySet.forall(meta.bytes.contains))
+      meta.entries.keySet.iterator.map(meta.bytes).sum
+    else gens.flatMap(filesOf(_).map(_.getLen)).sum
   /** Snapshot-pinned (the manifest discipline): refresh is a no-op —
     * re-create the frame to move to a newer published version. */
   override def refresh(): Unit = ()
@@ -247,7 +264,7 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
         }
       }
     }
-    kept.map(g => PartitionDirectory(g.values,
-      g.files.toArray))
+    // only what SURVIVED pruning is ever listed
+    kept.map(g => PartitionDirectory(g.values, filesOf(g).toArray))
   }
 }

@@ -1326,6 +1326,45 @@ class LayoutSpec extends SparkSpec {
       joined.queryExecution.executedPlan.toString.take(1500))
   }
 
+  test("manifestTable lists lazily: pruned partitions are never touched, " +
+      "sizeInBytes serves from manifest-recorded bytes") {
+    import spark.implicits._
+    val dir = tmpDir("mfidx_lazy")
+    Layout.writeManifestTable(spark, dir,
+      (0 until 40).map(i => (i.toLong, s"p${i / 10}", (i / 10) * 100 + i))
+        .toDF("k", "part", "v"), Seq("part"), statsCols = Seq("v"))
+    // destroy one partition's data ENTIRELY: lazy listing means neither
+    // construction nor a query that prunes it ever notices
+    val victim = new java.io.File(s"$dir/part=p3")
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRec)); f.delete(); ()
+    }
+    rmRec(victim)
+    assert(!victim.exists)
+    val t = Layout.manifestTable(spark, dir) // no listing at construction
+    // stats window excludes p3 -> its missing directory is never listed
+    assert(t.filter(col("v") >= 100 && col("v") <= 119)
+      .select("k").as[Long].collect().sorted.toSeq == (10L until 20L))
+    // partition filter likewise
+    assert(t.filter(col("part") === "p0")
+      .select("k").as[Long].collect().sorted.toSeq == (0L until 10L))
+    // a full scan DOES need p3 and fails loudly on the missing dir
+    intercept[Exception] { Layout.manifestTable(spark, dir).collect() }
+    // sizeInBytes comes from the manifest's recorded bytes: the three
+    // intact partitions' file lengths, available with p3 gone
+    val idx = new graft.plans.ManifestFileIndex(spark, dir)
+    val intact = (0 to 2).flatMap { i =>
+      val d = new java.io.File(s"$dir/part=p$i/gen=1")
+      d.listFiles().filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.length)
+    }.sum
+    val recorded = idx.sizeInBytes
+    assert(recorded > intact,
+      s"recorded $recorded must still include the destroyed p3")
+    assert(recorded < intact * 2, s"recorded $recorded vs intact $intact")
+  }
+
   test("manifestTable serves hierarchical manifests with the same pruning") {
     import spark.implicits._
     val dir = tmpDir("mfidx_hier")
