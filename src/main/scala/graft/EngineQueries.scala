@@ -1234,6 +1234,64 @@ object EngineQueries {
             .as("p95_exact"))
     }),
 
+    // SCHEDULED incremental consumer (the m33 pattern for the change
+    // feed): a config-DSL ManifestFeed→Parquet pipeline runs TWICE
+    // through the real scheduler, Derby ledger and pipeline runner —
+    // the first scheduled run lands the snapshot and acks, a merge
+    // publishes v2, the second run lands exactly the increment. The
+    // sink equals m57's library-path result, so the two gates share
+    // the oracle verbatim — that sharing IS the claim: the scheduled
+    // consumer job consumes exactly what the cursor API defines.
+    "m59_dsl_feed_job" -> ((s, dir) => {
+      import graft.operators.Layout
+      import graft.scheduler._
+      val out = tmp("dslfeed")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, s"$out/t", seed, Seq("o_year"))
+      val cfg =
+        s"""[{"node_name":"src","node_type":"ManifestFeed","node_seqno":1,
+           |  "config":{"path":"$out/t","consumer":"m59"}},
+           | {"node_name":"dst","node_type":"Parquet","node_seqno":2,
+           |  "config":{"path":"$out/p","append":"true"}}]""".stripMargin
+      JobScripts.register("m59-script") { (spark, cal) =>
+        val p = PipelineConfig.fromJson("m59-feed", cfg, new SourceRegistry)
+        require(p.run(spark, cal).status == Status.Done)
+      }
+      val db = DatabaseSource("m59db", "jdbc:derby:memory:graftm59;create=true")
+      val ledger = new JdbcLedger(db)
+      val runner = new PipelineJobRunner(s, new Repository(db),
+        new SourceRegistry, ledger)
+      val sched = new Scheduler(runner, ledger = Some(ledger))
+      try {
+        val job = JobSpec(59L, "m59-script")
+        sched.register(job)
+        def runOnce(day: Int): Unit = {
+          val tag = java.time.LocalDateTime.of(1995, 6, day, 0, 0)
+            .toEpochSecond(java.time.ZoneOffset.UTC)
+          require(sched.charge(job, tag).isDefined)
+          require(sched.drain(), s"m59 run (day $day) did not finish")
+          require(sched.history.peek()._2 == Status.Done,
+            s"m59 run (day $day) finished ${sched.history.peek()._2}")
+        }
+        runOnce(15) // snapshot + ack v1
+        require(Layout.readFeedCursor(s, s"$out/t", "m59").contains(1),
+          "the scheduled run must have acked the snapshot")
+        Layout.mergeManifest(s, s"$out/t",
+          seed.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 100)
+            .withColumn("ver", lit(2L)),
+          Seq("o_orderkey"), "ver")
+        runOnce(16) // the increment
+        require(Layout.readFeedCursor(s, s"$out/t", "m59").contains(2))
+      } finally sched.stop()
+      s.read.parquet(s"$out/p").select(col("o_orderkey"),
+        col("o_year").cast("int").as("o_year"), col("o_totalprice"),
+        col("ver"), col("_change_type"))
+    }),
+
     // SELF-DRIVING sketch summary (Ivm.syncFromManifest with
     // kmv/kll columns): an append-only manifest table grows in three
     // merges of NEW keys; each scheduled sync folds only the change
@@ -1868,6 +1926,23 @@ object EngineQueries {
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
     }))
 
+  // shared by m57 (library-path cursor consumption) and m59 (the same
+  // consumption driven as a scheduled DSL job) — the sharing IS m59's
+  // claim
+  private val feedOracle =
+    """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice, CAST(1 AS BIGINT) AS ver,
+           'insert' AS _change_type
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey, CAST(year(o_orderdate) AS INT),
+           o_totalprice, CAST(1 AS BIGINT), 'delete'
+         FROM orders WHERE o_orderkey % 10 = 0
+         UNION ALL
+         SELECT o_orderkey, CAST(year(o_orderdate) AS INT),
+           o_totalprice + 100, CAST(2 AS BIGINT), 'insert'
+         FROM orders WHERE o_orderkey % 10 = 0"""
+
   val oracles: Map[String, String] = Map(
     // the streaming hourly lift shares batch q22's oracle verbatim —
     // that sharing IS the gate's claim (batch ≡ stream)
@@ -2069,19 +2144,7 @@ object EngineQueries {
     // the consumed feed is exactly snapshot + net changes: initial
     // rows as inserts, rewritten keys' old rows as deletes and their
     // new versions as inserts (same +100 arithmetic on both engines)
-    "m57_manifest_feed" ->
-      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
-           o_totalprice, CAST(1 AS BIGINT) AS ver,
-           'insert' AS _change_type
-         FROM orders
-         UNION ALL
-         SELECT o_orderkey, CAST(year(o_orderdate) AS INT),
-           o_totalprice, CAST(1 AS BIGINT), 'delete'
-         FROM orders WHERE o_orderkey % 10 = 0
-         UNION ALL
-         SELECT o_orderkey, CAST(year(o_orderdate) AS INT),
-           o_totalprice + 100, CAST(2 AS BIGINT), 'insert'
-         FROM orders WHERE o_orderkey % 10 = 0""",
+    "m57_manifest_feed" -> feedOracle,
     // any delta split folds bit-identical to the one-shot GROUP BY:
     // decimal partials are exact integer arithmetic (batch m41 and the
     // streaming lift m42 share the oracle verbatim — that sharing IS
@@ -2103,6 +2166,10 @@ object EngineQueries {
            TRUE AS kmv_lossless, TRUE AS kmv_exact, TRUE AS kll_lossless,
            TRUE AS p50_exact, TRUE AS p95_exact
          FROM events GROUP BY event_type""",
+    // the scheduled consumer job lands exactly what the library-path
+    // cursor consumption defines (m57's oracle verbatim — the sharing
+    // IS the claim)
+    "m59_dsl_feed_job" -> feedOracle,
     // the cursor-driven sketch sync reproduces m47's claims over the
     // append-only table: counts and distincts exact, every boolean
     // guaranteed by the lossless-merge / exact-regime math
