@@ -878,20 +878,21 @@ object EngineQueries {
       val seed = orders.select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"), lit(1L).as("ver"))
       Layout.writeManifestTable(s, out, seed, Seq("o_orderstatus"))
-      // the CDC batch touches every status partition; AQE's partition
-      // coalescing is scope-disabled for the merge so the rewrite lands
-      // one file per shuffle task — the at-scale file layout (at sf0.01
-      // AQE collapses the tiny shuffle to one task, hiding exactly the
-      // small-file condition this operator exists to cure)
+      // the CDC batch touches every status partition. Manifest writers
+      // now CLUSTER on the partition columns (one file per rewritten
+      // dir), so the one remaining source of multi-file generations is
+      // maxRecordsPerFile splitting an oversized partition — scope it
+      // low for the merge to create exactly the layout compaction
+      // exists to cure
       val batch = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
         .select(col("o_orderkey"), col("o_orderstatus"),
           (col("o_totalprice") + 100).as("o_totalprice"),
           lit(2L).as("ver"))
-      val coalKey = "spark.sql.adaptive.coalescePartitions.enabled"
-      val coalPrev = s.conf.get(coalKey, "true")
-      s.conf.set(coalKey, "false")
+      val mrKey = "spark.sql.files.maxRecordsPerFile"
+      val mrPrev = s.conf.get(mrKey, "0")
+      s.conf.set(mrKey, "2000")
       try Layout.mergeManifest(s, out, batch, Seq("o_orderkey"), "ver")
-      finally s.conf.set(coalKey, coalPrev)
+      finally s.conf.set(mrKey, mrPrev)
       def chk(df: DataFrame): (Long, Long) = {
         val r = df.select(xxhash64(col("o_orderkey"),
             col("o_orderstatus").cast("string"), col("o_totalprice"),

@@ -1157,20 +1157,72 @@ object Layout {
   private def bytesFor(spark: SparkSession, path: String,
                        gens: Map[String, Int]): Map[String, Long] = {
     val fc = fileContext(spark, path)
-    gens.map { case (rel, g) =>
+    inParallel(gens.toSeq) { case (rel, g) =>
       rel -> fc.util.listStatus(new Path(s"$path/$rel/gen=$g"))
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith("."))
         .map(_.getLen).sum
-    }
+    }.toMap
   }
 
-  private def statsFor(spark: SparkSession, path: String, m: ManifestMeta,
-                       gens: Map[String, Int]):
-      Map[String, Map[String, (Option[String], Option[String])]] = {
-    if (m.statsCols.isEmpty || gens.isEmpty) Map.empty
+  private def shufflePartitions(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+  /** Per-partition metadata ops (renames, dir listings) are LATENCY
+    * bound, not CPU bound — on an object store each is a round trip.
+    * Run them on a bounded pool: 525 partitions become ~33 waves of 16
+    * instead of 525 sequential trips (measured locally: the rename
+    * loop fell from ~12 s to under a second at 525 partitions; the
+    * win grows with store latency). Results keep `items` order; the
+    * first failure propagates after the pool drains. */
+  private def inParallel[A, B](items: Seq[A], threads: Int = 16)
+                              (op: A => B): Seq[B] =
+    if (items.lengthCompare(2) < 0) items.map(op)
     else {
-      val df = readManifestRels(spark, path, m, gens)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(threads, items.size))
+      try {
+        val fs = items.map(a => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = op(a) }))
+        fs.map { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause }
+        }
+      } finally pool.shutdown()
+    }
+
+  /** [[bytesFor]] over a writer's tmp tree (before the renames). */
+  private def bytesUnder(fc: FileContext, tmpDir: String,
+                         rels: Seq[String]): Map[String, Long] =
+    inParallel(rels) { rel =>
+      rel -> fc.util.listStatus(new Path(s"$tmpDir/$rel"))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getLen).sum
+    }.toMap
+
+  /** The just-written rows under `dir` (a writer's tmp tree, BEFORE
+    * its renames scatter it into gen dirs): one recursive listing of a
+    * single root instead of |touched| explicit gen paths — the cheap
+    * way for writers to derive their published metadata. Partition
+    * values parse against the STORED schema; extra file columns (a
+    * delta's tombstone flag) are simply not selected. */
+  private def underDir(spark: SparkSession, m: ManifestMeta,
+                       dir: String): DataFrame = {
+    val sch = manifestSchema(m)
+    spark.read.option("basePath", dir).schema(sch).parquet(dir)
+      .select(sch.fields.toSeq.map(f => col(f.name)): _*)
+  }
+
+  private[graft] def statsFor(spark: SparkSession, path: String, m: ManifestMeta,
+                       gens: Map[String, Int],
+                       srcDir: Option[String] = None):
+      Map[String, Map[String, (Option[String], Option[String])]] = {
+    if (m.statsCols.isEmpty || (gens.isEmpty && srcDir.isEmpty)) Map.empty
+    else {
+      val df = srcDir.fold(readManifestRels(spark, path, m, gens))(
+        underDir(spark, m, _))
       val pc = m.partitionCols
       val aggs = m.statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__mn_$c"),
@@ -1194,11 +1246,13 @@ object Layout {
     * probes with, so build and probe can never disagree. Driver bytes
     * bounded by touched partitions x ~1.2 x bloomItems per column. */
   private def bloomsFor(spark: SparkSession, path: String, m: ManifestMeta,
-                        gens: Map[String, Int]):
+                        gens: Map[String, Int],
+                        srcDir: Option[String] = None):
       Map[String, Map[String, String]] = {
-    if (m.bloomCols.isEmpty || gens.isEmpty) Map.empty
+    if (m.bloomCols.isEmpty || (gens.isEmpty && srcDir.isEmpty)) Map.empty
     else {
-      val df = readManifestRels(spark, path, m, gens)
+      val df = srcDir.fold(readManifestRels(spark, path, m, gens))(
+        underDir(spark, m, _))
       val pc = m.partitionCols
       val aggs = m.bloomCols.map(c =>
         graft.expressions.BloomSketch.agg(
@@ -1469,16 +1523,21 @@ object Layout {
     val fc = fileContext(spark, path)
     val tmpDir = s"$path.__manifest_tmp"
     fc.delete(new Path(tmpDir), true)
-    df.write.mode(SaveMode.Overwrite)
+    // cluster on the partition columns into shuffle.partitions tasks:
+    // each partition dir's rows land in exactly ONE task (one file per
+    // dir — not |tasks| tiny files in every dir, the small-files
+    // problem the compactor would then have to cure) while task count
+    // stays at the session's parallelism instead of |partitions| (525
+    // single-file tasks measured 11 s; 32 tasks writing ~16 dirs each
+    // measured 2.5 s). Oversized partitions still split via
+    // maxRecordsPerFile. Committer v2 (direct task commit) is safe
+    // here: atomicity comes from the manifest pointer swap, and the
+    // tmp tree is deleted before every attempt.
+    df.repartition(shufflePartitions(spark), partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .partitionBy(partitionCols: _*).parquet(tmpDir)
     val rels = listPartitionRels(fc, new Path(tmpDir))
-    rels.foreach { rel =>
-      val dst = new Path(s"$path/$rel/gen=1")
-      fc.mkdir(dst.getParent,
-        org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
-      if (fc.util.exists(dst)) fc.delete(dst, true) // crashed prior seed
-      fc.rename(new Path(s"$tmpDir/$rel"), dst)
-    }
     val dataCols = df.schema.fields.filterNot(f =>
       partitionCols.contains(f.name))
     val parts = partitionCols.map(c => df.schema(c))
@@ -1498,10 +1557,22 @@ object Layout {
       statsCols = statsCols, bloomCols = bloomCols,
       bloomItems = bloomItems, bloomFpp = bloomFpp,
       bucketBounds = bounds)
-    writeManifestMeta(spark, path,
-      meta0.copy(stats = statsFor(spark, path, meta0, gens),
-        blooms = bloomsFor(spark, path, meta0, gens),
-        bytes = bytesFor(spark, path, gens)))
+    // derive the published metadata from the tmp tree BEFORE the
+    // renames scatter it: one recursive listing of one root, not
+    // |partitions| explicit gen paths (at 525 partitions this halves
+    // the publish cost)
+    val meta1 = meta0.copy(
+      stats = statsFor(spark, path, meta0, gens, srcDir = Some(tmpDir)),
+      blooms = bloomsFor(spark, path, meta0, gens, srcDir = Some(tmpDir)),
+      bytes = bytesUnder(fc, tmpDir, rels))
+    inParallel(rels) { rel =>
+      val dst = new Path(s"$path/$rel/gen=1")
+      fc.mkdir(dst.getParent,
+        org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+      if (fc.util.exists(dst)) fc.delete(dst, true) // crashed prior seed
+      fc.rename(new Path(s"$tmpDir/$rel"), dst)
+    }
+    writeManifestMeta(spark, path, meta1)
     fc.delete(new Path(tmpDir), true)
   }
 
@@ -1619,8 +1690,14 @@ object Layout {
     val base = readResolved(spark, path, m, baseRels)
     val tmpDir = s"$path.__manifest_tmp"
     fc.delete(new Path(tmpDir), true) // crashed prior run's leftover
+    // cluster on the partition columns after the latest-wins window:
+    // one file per rewritten partition dir, shuffle.partitions tasks,
+    // committer v2 (the seed's argument — tmp tree + pointer swap give
+    // the atomicity)
     latestWins(base, updates, keys, versionCol, deleteCol)
+      .repartition(shufflePartitions(spark), pcols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .partitionBy(pcols: _*).parquet(tmpDir)
     val produced = listPartitionRels(fc, new Path(tmpDir))
     // a produced rel outside the touched set means the Cast rendering
@@ -1630,7 +1707,14 @@ object Layout {
       s"mergeManifest: writer produced partition dirs " +
         s"${unexpected.mkString(",")} outside the touched set " +
         s"${touchedRels.mkString(",")} — partition rendering mismatch")
-    val newGens = produced.map { rel =>
+    // derive published metadata from the tmp tree BEFORE the renames
+    // (one root listing, not |touched| gen paths)
+    val newStats = statsFor(spark, path, m, Map.empty,
+      srcDir = Some(tmpDir))
+    val newBlooms = bloomsFor(spark, path, m, Map.empty,
+      srcDir = Some(tmpDir))
+    val newBytes = bytesUnder(fc, tmpDir, produced)
+    val newGens = inParallel(produced) { rel =>
       // above base AND pending deltas — the orphan sweep below must
       // never touch a published delta dir
       val g = m.nextGen(rel)
@@ -1656,9 +1740,9 @@ object Layout {
     val removed = baseRels.filterNot(newGens.contains)
     writeManifestMeta(spark, path, m.copy(version = v + 1,
       entries = m.entries -- removed ++ newGens,
-      stats = m.stats -- removed ++ statsFor(spark, path, m, newGens),
-      blooms = m.blooms -- removed ++ bloomsFor(spark, path, m, newGens),
-      bytes = m.bytes -- removed ++ bytesFor(spark, path, newGens),
+      stats = m.stats -- removed ++ newStats,
+      blooms = m.blooms -- removed ++ newBlooms,
+      bytes = m.bytes -- removed ++ newBytes,
       deltas = m.deltas -- baseRels))
     fc.delete(new Path(tmpDir), true)
   }
@@ -1797,7 +1881,11 @@ object Layout {
     val sch = manifestSchema(m)
     updates.withColumn(MorDel, coalesce(del, lit(false)))
       .select((sch.fields.map(f => col(f.name)) :+ col(MorDel)).toSeq: _*)
+      // one delta file per touched partition (the whole point of a
+      // delta is to be small; 32 shards of a 15k-row batch are not)
+      .repartition(shufflePartitions(spark), pcols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .partitionBy(pcols: _*).parquet(tmpDir)
     val produced = listPartitionRels(fc, new Path(tmpDir))
     val unexpected = produced.filterNot(touchedRels.contains)
@@ -1805,7 +1893,13 @@ object Layout {
       s"mergeManifestDelta: writer produced partition dirs " +
         s"${unexpected.mkString(",")} outside the touched set — " +
         "partition rendering mismatch")
-    val newDeltaGens = produced.map { rel =>
+    // delta stats/blooms: one aggregate each over the tmp tree —
+    // widened monotonically into the standing ones
+    val deltaStats = statsFor(spark, path, m, Map.empty,
+      srcDir = Some(tmpDir))
+    val deltaBlooms = bloomsFor(spark, path, m, Map.empty,
+      srcDir = Some(tmpDir))
+    val newDeltaGens = inParallel(produced) { rel =>
       val g = m.nextGen(rel)
       val partDir = new Path(s"$path/$rel")
       if (fc.util.exists(partDir))
@@ -1821,15 +1915,11 @@ object Layout {
       fc.rename(new Path(s"$tmpDir/$rel"), dst)
       rel -> g
     }.toMap
-    // delta stats/blooms: one aggregate each over the just-written
-    // delta dirs only — widened monotonically into the standing ones
-    val deltaStats = statsFor(spark, path, m, newDeltaGens)
     writeManifestMeta(spark, path, m.copy(version = v + 1,
       deltas = m.deltas ++ newDeltaGens.map { case (rel, g) =>
         rel -> (m.deltas.getOrElse(rel, Nil) :+ g) },
       stats = widenStats(spark, m, deltaStats),
-      blooms = widenBlooms(m.blooms,
-        bloomsFor(spark, path, m, newDeltaGens)),
+      blooms = widenBlooms(m.blooms, deltaBlooms),
       morKeys = keys, morVersionCol = Some(versionCol),
       morDeleteCol = m.morDeleteCol.orElse(deleteCol)))
     fc.delete(new Path(tmpDir), true)
@@ -1865,11 +1955,12 @@ object Layout {
       fc.delete(new Path(tmpDir), true)
       val obs = org.apache.spark.sql.Observation()
       val clustered = resolved.observe(obs, count(lit(1)).as("n"))
-        .repartition(m.partitionCols.map(col): _*)
+        .repartition(shufflePartitions(spark), m.partitionCols.map(col): _*)
       (if (sortCols.isEmpty) clustered
        else clustered.sortWithinPartitions(
          (m.partitionCols ++ sortCols).map(col): _*))
         .write.mode(SaveMode.Overwrite)
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
         .partitionBy(m.partitionCols: _*).parquet(tmpDir)
       val n0 = obs.get("n").asInstanceOf[Long]
       val n1 = spark.read.parquet(tmpDir).count()
@@ -1881,7 +1972,13 @@ object Layout {
         s"foldManifestDeltas: writer produced partition dirs " +
           s"${unexpected.mkString(",")} outside the delta-bearing set — " +
           "partition rendering mismatch")
-      val newGens = produced.map { rel =>
+      // published metadata from the tmp tree, before the renames
+      val newStats = statsFor(spark, path, m, Map.empty,
+        srcDir = Some(tmpDir))
+      val newBlooms = bloomsFor(spark, path, m, Map.empty,
+        srcDir = Some(tmpDir))
+      val newBytes = bytesUnder(fc, tmpDir, produced)
+      val newGens = inParallel(produced) { rel =>
         val g = m.nextGen(rel)
         val partDir = new Path(s"$path/$rel")
         fc.util.listStatus(partDir).foreach { st =>
@@ -1898,10 +1995,9 @@ object Layout {
       writeManifestMeta(spark, path, m.copy(version = v + 1,
         entries = m.entries -- removed ++ newGens,
         deltas = m.deltas -- rels,
-        stats = m.stats -- removed ++ statsFor(spark, path, m, newGens),
-        blooms = m.blooms -- removed ++
-          bloomsFor(spark, path, m, newGens),
-        bytes = m.bytes -- removed ++ bytesFor(spark, path, newGens)))
+        stats = m.stats -- removed ++ newStats,
+        blooms = m.blooms -- removed ++ newBlooms,
+        bytes = m.bytes -- removed ++ newBytes))
       fc.delete(new Path(tmpDir), true)
       produced.sorted
     }

@@ -111,10 +111,14 @@ class SurfacesSpec extends SparkSpec {
     import graft.operators.Layout
     import spark.implicits._
     val dir = Files.createTempDirectory("cfg_mancompact").resolve("t").toString
-    Layout.writeManifestTable(spark, dir,
+    val mrKey = "spark.sql.files.maxRecordsPerFile"
+    val mrPrev = spark.conf.get(mrKey, "0")
+    spark.conf.set(mrKey, "4") // split the clustered write: multi-file gens
+    try Layout.writeManifestTable(spark, dir,
       (1 to 20).map(i => (i.toLong, s"p${i % 2}", 1L))
-        .toDF("k", "part", "ver").repartition(4),
+        .toDF("k", "part", "ver"),
       Seq("part"))
+    finally spark.conf.set(mrKey, mrPrev)
     val json =
       s"""[{"node_name": "opt", "node_type": "Compact", "node_seqno": 1,
            "config": {"path": "$dir", "manifest": "true",

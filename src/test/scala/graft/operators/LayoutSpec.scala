@@ -613,11 +613,16 @@ class LayoutSpec extends SparkSpec {
       "crash recovery") {
     val dir = tmpDir("mancompact")
     import spark.implicits._
-    // repartition(4) round-robin -> up to 4 part files per partition
-    // dir: the continuous-CDC small-file condition, created directly
+    // manifest writers cluster one file per dir, so the remaining
+    // multi-file source is maxRecordsPerFile splitting an oversized
+    // partition — scope it low to create the small-file condition
     val seed = (1 to 40).map(i => (i.toLong, s"p${i % 3}", i * 1.0, 1L))
-      .toDF("k", "part", "v", "ver").repartition(4)
-    Layout.writeManifestTable(spark, dir, seed, Seq("part"))
+      .toDF("k", "part", "v", "ver")
+    val mrKey = "spark.sql.files.maxRecordsPerFile"
+    val mrPrev = spark.conf.get(mrKey, "0")
+    spark.conf.set(mrKey, "5")
+    try Layout.writeManifestTable(spark, dir, seed, Seq("part"))
+    finally spark.conf.set(mrKey, mrPrev)
     def liveFiles(rel: String): Int =
       Layout.readManifest(spark, dir).inputFiles.count(_.contains(s"/$rel/"))
     assert(liveFiles("part=p0") > 1, "seed gens must start multi-file")
