@@ -1731,8 +1731,14 @@ object EngineQueries {
       val seed = orders.select(col("o_orderkey"),
         year(col("o_orderdate")).as("o_year"), col("o_totalprice"),
         lit(1L).as("ver"))
+      // size blooms to the per-partition cardinality: a saturated
+      // bloom admits everything and prunes NOTHING — the sizing is
+      // computed from the data (rows / ~4 ≈ 2x the largest year
+      // partition) so the pruning claim below holds at every scale
+      // factor, exactly how production would size it
+      val bloomItems = math.max(4096L, orders.count() / 4)
       Layout.writeManifestTable(s, out, seed, Seq("o_year"),
-        bloomCols = Seq("o_orderkey"), bloomItems = 4096)
+        bloomCols = Seq("o_orderkey"), bloomItems = bloomItems)
       val batch = seed.filter(pmod(col("o_orderkey"), lit(10)) === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 100)
         .withColumn("ver", lit(2L))
