@@ -239,21 +239,54 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
       case _ => () // unrecognized: residual handles it
     }
 
+    // all pruning below evaluates ON THE DRIVER — listFiles runs in
+    // every query's planning, so it must not launch Spark jobs. The
+    // comparisons go through the SAME Cast the stats were rendered
+    // with and the SAME interpreted ordering BinaryComparison uses, so
+    // pruning can never disagree with the in-plan residual.
     var kept = afterPart
     if (notNulls.nonEmpty)
       kept = kept.filter(g => notNulls.forall(c =>
         meta.stats.getOrElse(g.rel, Map.empty)
           .getOrElse(c, (None, None))._1.isDefined))
     if (windows.nonEmpty) {
-      val ids = Layout.statsOverlapOpt(spark, fullSchema, windows.toSeq,
-        kept.map(g => g.rel -> meta.stats.getOrElse(g.rel, Map.empty)))
-      kept = kept.filter(g => ids.contains(g.rel))
+      val evals = windows.toSeq.map { case (c, lo, hi) =>
+        val dt = fullSchema(c).dataType
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(dt)
+        (c, dt, ord, lo.map(v => castString(v.toString, dt)),
+          hi.map(v => castString(v.toString, dt)))
+      }
+      kept = kept.filter { g =>
+        val st = meta.stats.getOrElse(g.rel, Map.empty)
+        evals.forall { case (c, dt, ord, lo, hi) =>
+          st.getOrElse(c, (None, None)) match {
+            case (Some(mn), Some(mx)) =>
+              val mnV = castString(mn, dt)
+              val mxV = castString(mx, dt)
+              lo.forall(l => ord.gteq(mxV, l)) &&
+                hi.forall(h => ord.lteq(mnV, h))
+            case _ => false // no non-null value: a comparison can't match
+          }
+        }
+      }
     }
     if (probes.nonEmpty) {
       val dec = java.util.Base64.getDecoder
+      // the build side hashed xxhash64(Cast(v, dt) cast string); probe
+      // identically, evaluated locally (foldable expression tree)
+      def localHash(c: String, rendered: String): Long = {
+        val dt = fullSchema(c).dataType
+        val e = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              Literal(UTF8String.fromString(rendered), StringType),
+              dt, Some(zone)),
+            StringType, Some(zone))), 42L) // xxhash64()'s default seed
+        e.eval(InternalRow.empty).asInstanceOf[Long]
+      }
       val hashed = probes.toSeq.map { case (c, vs) =>
-        c -> vs.map(v =>
-          Layout.renderedHash(spark, fullSchema(c).dataType, v))
+        c -> vs.map(v => localHash(c, v))
       }
       kept = kept.filter { g =>
         val bl = meta.blooms.getOrElse(g.rel, Map.empty)
