@@ -890,7 +890,11 @@ object EngineQueries {
           lit(2L).as("ver"))
       val mrKey = "spark.sql.files.maxRecordsPerFile"
       val mrPrev = s.conf.get(mrKey, "0")
-      s.conf.set(mrKey, "2000")
+      // scale the split size from the data (~10 files per status
+      // partition at ANY scale factor) — a fixed threshold stops
+      // splitting at small fixtures and the multi-file precondition
+      // silently vanishes
+      s.conf.set(mrKey, math.max(1L, orders.count() / 30).toString)
       try Layout.mergeManifest(s, out, batch, Seq("o_orderkey"), "ver")
       finally s.conf.set(mrKey, mrPrev)
       def chk(df: DataFrame): (Long, Long) = {

@@ -14,7 +14,9 @@ import graft.operators.Layout
 /** Automatic data skipping through Spark's OWN scan planning: a
   * [[FileIndex]] over a manifest table (the seam Spark hands every
   * file-based table — `listFiles` receives the pushed-down partition
-  * and data filters at planning time, before any file is opened).
+  * and data filters at planning time, before any file is opened; the
+  * same public integration seam lakehouse formats use, e.g. Delta
+  * Lake's TahoeFileIndex).
   * Register the table once ([[Layout.manifestTable]] +
   * `createOrReplaceTempView`) and every plain `spark.sql` / DataFrame
   * filter prunes by itself:
