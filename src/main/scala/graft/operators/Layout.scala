@@ -2254,10 +2254,10 @@ object Layout {
   /** Small-file compaction under the MANIFEST discipline — the
     * maintenance [[compact]] of manifest tables ([[compact]] itself
     * refuses them: a rename-swap would move generation dirs out from
-    * under the manifest). Continuous CDC writes each touched
-    * partition's next generation with one file per shuffle task that
-    * held rows for it, so a hot partition's live generation carries up
-    * to `shuffle.partitions` small files per merge; this rewrites every
+    * under the manifest). Merge writes cluster one file per
+    * partition dir, so the remaining multi-file sources are
+    * `maxRecordsPerFile` splits of oversized partitions and externally
+    * appended layouts; this rewrites every
     * partition whose live generation holds more than `maxFiles` data
     * files into a single-file next generation (rows hash-cluster onto
     * their partition key before the write, so each rewritten dir is one
@@ -2306,9 +2306,11 @@ object Layout {
       fc.util.listStatus(new Path(s"$path/$rel/gen=$g"))
         .count(st => !st.isDirectory &&
           st.getPath.getName.startsWith("part-"))
-    val selected = m.entries.toSeq.sortBy(_._1)
-      .filter { case (rel, g) => dataFiles(rel, g) > maxFiles }
-      .map(_._1)
+    // selection listing on the bounded pool — O(partitions) latency-
+    // bound round trips, the publish-path discipline
+    val selected = inParallel(m.entries.toSeq.sortBy(_._1)) {
+      case (rel, g) => rel -> (dataFiles(rel, g) > maxFiles)
+    }.collect { case (rel, true) => rel }
     if (selected.isEmpty) Nil
     else {
       // stored-schema-aligned rewrite (readManifestRels): re-writes the
@@ -2319,13 +2321,14 @@ object Layout {
       fc.delete(new Path(tmpDir), true) // crashed prior run's leftover
       val obs = org.apache.spark.sql.Observation()
       val clustered = base.observe(obs, count(lit(1)).as("n"))
-        .repartition(m.partitionCols.map(col): _*)
+        .repartition(shufflePartitions(spark), m.partitionCols.map(col): _*)
       // partition cols lead the sort so each task's rows stay grouped
       // by output dir; within a dir the file is sortCols-ordered
       (if (sortCols.isEmpty) clustered
        else clustered.sortWithinPartitions(
          (m.partitionCols ++ sortCols).map(col): _*))
         .write.mode(SaveMode.Overwrite)
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
         .partitionBy(m.partitionCols: _*).parquet(tmpDir)
       val n0 = obs.get("n").asInstanceOf[Long]
       val n1 = spark.read.parquet(tmpDir).count()
@@ -2337,7 +2340,7 @@ object Layout {
         s"compactManifest: writer produced partition dirs " +
           s"${unexpected.mkString(",")} outside the selected set — " +
           "partition rendering mismatch")
-      val newGens = produced.map { rel =>
+      val newGens = inParallel(produced) { rel =>
         // above base AND pending deltas (they stay pending on top of
         // the compacted base — base rows keep resolution seq 0)
         val g = m.nextGen(rel)
@@ -2356,8 +2359,8 @@ object Layout {
       // row-identical rewrite: stats carry forward unchanged, but the
       // FILES changed — bytes recompute for the rewritten partitions
       writeManifestMeta(spark, path, m.copy(version = v + 1,
-        entries = m.entries ++ newGens,
-        bytes = m.bytes ++ bytesFor(spark, path, newGens)))
+        entries = m.entries ++ newGens.toMap,
+        bytes = m.bytes ++ bytesFor(spark, path, newGens.toMap)))
       fc.delete(new Path(tmpDir), true)
       produced.sorted
     }
