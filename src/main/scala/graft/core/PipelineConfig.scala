@@ -110,7 +110,9 @@ object PipelineConfig {
       sketchK = c.get("sketch_k").map(_.toInt).getOrElse(4096))),
     "Reap" -> ((c, _) => ReapModel(get(c, "path"),
       keepVersions = c.get("keep_versions").map(_.toInt).getOrElse(1),
-      generational = c.get("generational").exists(_.toBoolean))),
+      generational = c.get("generational").exists(_.toBoolean),
+      ignoreConsumers = c.get("ignore_consumers").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet)),
     "Manifest" -> ((c, _) => ManifestModel(get(c, "path"),
       version = c.get("version").map(_.toInt),
       // "col:lo..hi;col2:lo..hi" — first ':' splits the column (bounds

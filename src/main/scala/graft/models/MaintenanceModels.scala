@@ -244,6 +244,7 @@ final case class ReapModel(
     path: String,
     keepVersions: Int = 1,
     generational: Boolean = false,
+    ignoreConsumers: Set[String] = Set.empty,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
 
@@ -251,7 +252,8 @@ final case class ReapModel(
     val target = ctx.render(path)
     val n =
       if (generational) Layout.reapGenerations(ctx.spark, target).length
-      else Layout.reapManifest(ctx.spark, target, keepVersions).length
+      else Layout.reapManifest(ctx.spark, target, keepVersions,
+        ignoreConsumers).length
     ExecResult(resultValue = Some(n.toLong))
   }
 }

@@ -2078,6 +2078,22 @@ object Layout {
       java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
   }
 
+  /** Every change-feed consumer of the table and its acked version
+    * (the `_FEED.<name>` cursor files) — what [[reapManifest]] checks
+    * before shrinking the retention window. */
+  def feedConsumers(spark: SparkSession, path: String): Map[String, Int] = {
+    val fc = fileContext(spark, path)
+    fc.util.listStatus(new Path(path))
+      .filter(st => !st.isDirectory &&
+        st.getPath.getName.startsWith("_FEED.") &&
+        !st.getPath.getName.endsWith(".tmp"))
+      .map { st =>
+        st.getPath.getName.stripPrefix("_FEED.") ->
+          new String(readBytes(fc, st.getPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      }.toMap
+  }
+
   /** Acknowledge the feed up to `version` for `consumer` — atomic
     * tmp-write + rename, the pointer-swap discipline, so a crash mid-ack
     * leaves the OLD cursor (the consumer re-reads the increment rather
@@ -2186,13 +2202,28 @@ object Layout {
     * Returns the deleted rel-paths.
     */
   def reapManifest(spark: SparkSession, path: String,
-                   keepVersions: Int = 1): Seq[String] =
+                   keepVersions: Int = 1,
+                   ignoreConsumers: Set[String] = Set.empty): Seq[String] =
       withMaintenanceLock(spark, path) {
     require(keepVersions >= 1, "keepVersions must be >= 1")
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"$path is not a manifest table"))
     val fc = fileContext(spark, path)
     val floor = math.max(1, v - keepVersions + 1)
+    // a change-feed consumer whose acked cursor falls BELOW the floor
+    // would lose its increment to this reap (its next feedSince needs
+    // the acked version's generations) — refuse loudly instead of
+    // silently breaking it; abandoned cursors are skipped explicitly
+    val stranded = feedConsumers(spark, path)
+      .filterNot { case (name, _) => ignoreConsumers.contains(name) }
+      .filter { case (_, c) => c < floor && c < v }
+    require(stranded.isEmpty,
+      s"reapManifest(keepVersions = $keepVersions) would strand " +
+        s"change-feed consumer(s) ${stranded.toSeq.sorted.map {
+          case (n, c) => s"$n (acked v$c)" }.mkString(", ")} of $path " +
+        s"behind the retention floor v$floor: raise keepVersions to >= " +
+        s"${v - stranded.values.min + 1}, let the consumer catch up, or " +
+        "pass its name in ignoreConsumers if it is abandoned")
     // union of every retained version's referenced generations; a
     // version may already be gone (reaped earlier) — skip it
     val roots = (floor to v).flatMap { ver =>

@@ -259,6 +259,25 @@ class SurfacesSpec extends SparkSpec {
     // a second consumer starts from its own snapshot independently
     val (snap2, ack2) = Layout.feedSince(spark, dir, "sink2")
     assert(ack2 == 3 && snap2.count() == 4)
+    // retention guards the cursors: sink2 never acked, so a reap that
+    // would drop everything below the live version refuses loudly
+    assert(Layout.feedConsumers(spark, dir) == Map("sink1" -> 3))
+    Layout.writeFeedCursor(spark, dir, "sink2", 1)
+    val e = intercept[IllegalArgumentException] {
+      Layout.reapManifest(spark, dir, keepVersions = 1)
+    }
+    assert(e.getMessage.contains("sink2") &&
+      e.getMessage.contains("keepVersions"), e.getMessage)
+    // wide-enough window: fine; abandoned consumer: skippable
+    assert(Layout.reapManifest(spark, dir, keepVersions = 3).isEmpty ||
+      true) // any outcome — the call must simply not refuse
+    Layout.reapManifest(spark, dir, keepVersions = 1,
+      ignoreConsumers = Set("sink2"))
+    // post-reap, the stranded cursor's feed fails loudly on the
+    // missing generations rather than returning wrong increments
+    intercept[Exception] {
+      Layout.feedSince(spark, dir, "sink2")._1.collect()
+    }
   }
 
   test("config-driven Compact node runs table maintenance as an EX pipeline") {
