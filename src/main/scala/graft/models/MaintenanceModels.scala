@@ -221,6 +221,7 @@ final case class IvmSyncModel(
     kmvCols: Seq[String] = Nil,
     kllCols: Seq[String] = Nil,
     sketchK: Int = 4096,
+    consumer: Option[String] = None,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
 
@@ -228,7 +229,8 @@ final case class IvmSyncModel(
     ExecResult(resultValue = Some(
       if (graft.operators.Ivm.syncFromManifest(ctx.spark,
         ctx.render(path), ctx.render(tablePath), keys, sumCols,
-        kmvCols = kmvCols, kllCols = kllCols, sketchK = sketchK)) 1L
+        kmvCols = kmvCols, kllCols = kllCols, sketchK = sketchK,
+        consumer = consumer)) 1L
       else 0L))
 }
 

@@ -213,13 +213,20 @@ object Ivm {
                        sumCols: Seq[String],
                        kmvCols: Seq[String] = Nil,
                        kllCols: Seq[String] = Nil,
-                       sketchK: Int = 4096): Boolean = {
+                       sketchK: Int = 4096,
+                       consumer: Option[String] = None): Boolean = {
     val live = Layout.manifestVersion(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"$tablePath is not a manifest table; seed it with " +
           "writeManifestTable"))
     val sketched = kmvCols.nonEmpty || kllCols.nonEmpty
-    lastAppliedBatch(spark, summaryPath) match {
+    // a summary is an implicit change-feed consumer: registering a
+    // named cursor makes [[Layout.reapManifest]] refuse retention
+    // windows that would strand THIS view's next refresh — acked only
+    // after the fold landed (the ManifestFeed release discipline)
+    def ack(): Unit =
+      consumer.foreach(Layout.writeFeedCursor(spark, tablePath, _, live))
+    val applied = lastAppliedBatch(spark, summaryPath) match {
       case None =>
         applyDelta(spark, summaryPath,
           Layout.readManifestVersion(spark, tablePath, live),
@@ -253,5 +260,9 @@ object Ivm {
             sketchK = sketchK)
         }
     }
+    // current through v`live` — even a no-op sync advances the cursor
+    // (the summary provably needs nothing older than the live version)
+    ack()
+    applied
   }
 }

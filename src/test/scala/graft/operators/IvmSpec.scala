@@ -163,9 +163,24 @@ class IvmSpec extends SparkSpec {
     assert(e.getMessage.contains("APPEND-ONLY"), e.getMessage)
     assert(Ivm.lastAppliedBatch(spark, dir).contains(2L),
       "marker must stay at the last good sync")
-    // sum-only sync still follows the same CDC feed fine
+    // sum-only sync still follows the same CDC feed fine, and a NAMED
+    // sync registers itself as a change-feed consumer: retention then
+    // refuses to strand the materialized view
     assert(Ivm.syncFromManifest(spark, dir + "_sums", tab,
-      Seq("k"), Seq("v")))
+      Seq("k"), Seq("v"), consumer = Some("mv_sums")))
+    assert(Layout.feedConsumers(spark, tab) == Map("mv_sums" -> 3))
+    Layout.mergeManifest(spark, tab,
+      Seq((6L, "b", 3L, 30.0, 4L)).toDF("id", "k", "u", "v", "ver"),
+      Seq("id"), "ver")
+    val re = intercept[IllegalArgumentException] {
+      Layout.reapManifest(spark, tab, keepVersions = 1)
+    }
+    assert(re.getMessage.contains("mv_sums"), re.getMessage)
+    // the next sync catches up and advances the cursor; reap proceeds
+    assert(Ivm.syncFromManifest(spark, dir + "_sums", tab,
+      Seq("k"), Seq("v"), consumer = Some("mv_sums")))
+    Layout.reapManifest(spark, tab, keepVersions = 1)
+    assert(Ivm.read(spark, dir + "_sums").count() == 2)
   }
 
   test("crashed apply (orphan gen, no pointer swap) is invisible and " +
