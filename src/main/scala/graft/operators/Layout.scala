@@ -635,7 +635,22 @@ object Layout {
       // bounds(i)); per-rel state serializes into content-addressed
       // child files, the root keeps per-bucket rollups — see
       // [[writeManifestMeta]].
-      bucketBounds: Seq[String] = Nil) {
+      bucketBounds: Seq[String] = Nil,
+      // provenance of THIS version's publish — "seed" | "merge" |
+      // "delta" | "fold" | "compact" | "evolve". Lets incremental
+      // consumers (the manifest-feed streaming source) tell apart an
+      // APPEND (new delta/partition gens carry new rows) from a
+      // row-identical re-layout (fold/compact: emit nothing) or a
+      // row-rewriting copy-on-write merge (not streamable) without
+      // diffing file contents. "" on manifests written before the
+      // field existed — consumers fail loudly on those versions.
+      op: String = "",
+      // true iff THIS version is a "delta" publish whose batch carried
+      // at least one delete=true row — recorded from an Observation on
+      // the delta write itself (zero extra passes), so append-only
+      // consumers can refuse delete-bearing versions structurally,
+      // without re-scanning any file.
+      opDeletes: Boolean = false) {
     /** Every generation number the manifest references for `rel` —
       * base (if present) plus pending deltas. */
     def liveGens(rel: String): Seq[Int] =
@@ -815,7 +830,9 @@ object Layout {
       bucketBounds =
         if (!node.has("bucketBounds")) Nil
         else node.get("bucketBounds").elements().asScala
-          .map(_.asText()).toSeq)
+          .map(_.asText()).toSeq,
+      op = if (!node.has("op")) "" else node.get("op").asText(),
+      opDeletes = node.has("opDeletes") && node.get("opDeletes").asBoolean())
     if (!node.has("buckets")) (parseRelMaps(header, node), Nil)
     else {
       val refs = node.get("buckets").elements().asScala.zipWithIndex
@@ -938,6 +955,8 @@ object Layout {
     val fc = fileContext(spark, path)
     val root = manifestJson.createObjectNode()
     root.put("version", m.version)
+    if (m.op.nonEmpty) root.put("op", m.op)
+    if (m.opDeletes) root.put("opDeletes", true)
     root.put("schema", m.schemaDdl)
     val pc = root.putArray("partitionCols")
     m.partitionCols.foreach(pc.add)
@@ -1564,7 +1583,8 @@ object Layout {
     val meta1 = meta0.copy(
       stats = statsFor(spark, path, meta0, gens, srcDir = Some(tmpDir)),
       blooms = bloomsFor(spark, path, meta0, gens, srcDir = Some(tmpDir)),
-      bytes = bytesUnder(fc, tmpDir, rels))
+      bytes = bytesUnder(fc, tmpDir, rels),
+      op = "seed")
     inParallel(rels) { rel =>
       val dst = new Path(s"$path/$rel/gen=1")
       fc.mkdir(dst.getParent,
@@ -1743,7 +1763,8 @@ object Layout {
       stats = m.stats -- removed ++ newStats,
       blooms = m.blooms -- removed ++ newBlooms,
       bytes = m.bytes -- removed ++ newBytes,
-      deltas = m.deltas -- baseRels))
+      deltas = m.deltas -- baseRels,
+      op = "merge", opDeletes = false))
     fc.delete(new Path(tmpDir), true)
   }
 
@@ -1879,14 +1900,23 @@ object Layout {
     fc.delete(new Path(tmpDir), true)
     val del = deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false))
     val sch = manifestSchema(m)
-    updates.withColumn(MorDel, coalesce(del, lit(false)))
+    // record whether this batch carries ANY delete row — observed on
+    // the write job itself (zero extra passes), published as the
+    // version's `opDeletes` flag so append-only feed consumers can
+    // refuse delete-bearing versions without re-reading the files
+    val delObs = org.apache.spark.sql.Observation()
+    val flagged = updates.withColumn(MorDel, coalesce(del, lit(false)))
       .select((sch.fields.map(f => col(f.name)) :+ col(MorDel)).toSeq: _*)
+    (if (deleteCol.isEmpty) flagged
+     else flagged.observe(delObs, max(col(MorDel)).as("anydel")))
       // one delta file per touched partition (the whole point of a
       // delta is to be small; 32 shards of a 15k-row batch are not)
       .repartition(shufflePartitions(spark), pcols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .partitionBy(pcols: _*).parquet(tmpDir)
+    val hasDeletes = deleteCol.nonEmpty &&
+      Option(delObs.get("anydel")).contains(true)
     val produced = listPartitionRels(fc, new Path(tmpDir))
     val unexpected = produced.filterNot(touchedRels.contains)
     require(unexpected.isEmpty,
@@ -1921,7 +1951,8 @@ object Layout {
       stats = widenStats(spark, m, deltaStats),
       blooms = widenBlooms(m.blooms, deltaBlooms),
       morKeys = keys, morVersionCol = Some(versionCol),
-      morDeleteCol = m.morDeleteCol.orElse(deleteCol)))
+      morDeleteCol = m.morDeleteCol.orElse(deleteCol),
+      op = "delta", opDeletes = hasDeletes))
     fc.delete(new Path(tmpDir), true)
   }
 
@@ -1997,7 +2028,8 @@ object Layout {
         deltas = m.deltas -- rels,
         stats = m.stats -- removed ++ newStats,
         blooms = m.blooms -- removed ++ newBlooms,
-        bytes = m.bytes -- removed ++ newBytes))
+        bytes = m.bytes -- removed ++ newBytes,
+        op = "fold", opDeletes = false))
       fc.delete(new Path(tmpDir), true)
       produced.sorted
     }
@@ -2056,6 +2088,108 @@ object Layout {
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .unionByName(
         before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
+  /** The rows APPENDED to the manifest table in versions
+    * `(fromVersion, toVersion]` — the INCREMENTAL read under the
+    * append-only contract, and the batch body of the `manifest-feed`
+    * streaming source ([[graft.streaming.ManifestFeedSource]]).
+    *
+    * Unlike [[manifestChanges]] (which resolves BOTH snapshots and
+    * pays two `exceptAll` diffs to express arbitrary rewrites), this
+    * read opens ONLY the generation dirs the window's versions ADDED —
+    * O(|appended rows|) however large the table — which is exactly the
+    * cost shape a standing ingest consumer needs at 100 TB. The price
+    * is a contract, checked structurally per version from the
+    * manifest's own provenance (`op` / `opDeletes`, no file reads):
+    *
+    *  - "delta" versions stream their added delta generations; a
+    *    version whose batch carried delete rows fails loudly (a
+    *    file-level read would surface tombstones as inserts). A delta
+    *    that UPDATES an existing key re-emits the key's latest row
+    *    without retracting the old one — run genuinely append-only
+    *    feeds (fresh keys), or consume [[manifestChanges]] instead;
+    *  - "merge" versions pass ONLY if every touched partition is NEW
+    *    (pure partition-append); a copy-on-write rewrite of existing
+    *    partitions fails loudly pointing at the full change feed;
+    *  - "seed" emits the initial snapshot (reached only when
+    *    `fromVersion = 0`);
+    *  - "fold" / "compact" are row-identical re-layouts and "evolve"
+    *    is metadata-only: they emit nothing. A fold CAN remove rows
+    *    only if some pending delta carried deletes — and every
+    *    delete-bearing delta version inside any feed window already
+    *    fails above, while deletes wholly before `fromVersion` concern
+    *    rows this window never emitted;
+    *  - versions published before provenance existed (`op = ""`) fail
+    *    loudly — there is nothing sound to assume about them.
+    *
+    * All emitted rows align to `toVersion`'s schema (evolved columns
+    * null-fill on older files). Versions must still be retained — size
+    * [[reapManifest]]'s `keepVersions` to the consumer's lag, or ack a
+    * `_FEED` cursor so retention refuses to strand you. */
+  def appendsBetween(spark: SparkSession, path: String,
+                     fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"appendsBetween needs 0 <= fromVersion <= toVersion " +
+        s"(got $fromVersion..$toVersion)")
+    val mTo = readManifestMeta(spark, path, toVersion)
+    val toSchema = manifestSchema(mTo)
+    def aligned(df: DataFrame): DataFrame =
+      df.select(toSchema.fields.toSeq.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)): _*)
+    val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val m = readManifestMeta(spark, path, v)
+      val mAligned = m.copy(schemaDdl = mTo.schemaDdl)
+      m.op match {
+        case "seed" =>
+          Some(aligned(readManifestRels(spark, path, mAligned, m.entries)))
+        case "delta" =>
+          require(!m.opDeletes,
+            s"manifest feed of $path: version $v is a delta batch " +
+              "carrying delete rows — the append-only feed cannot " +
+              "represent them; consume manifestChanges/feedSince instead")
+          val prev = readManifestMeta(spark, path, v - 1)
+          val added = m.deltas.toSeq.sortBy(_._1).flatMap {
+            case (rel, gens) =>
+              val old = prev.deltas.getOrElse(rel, Nil).toSet
+              gens.filterNot(old).map(rel -> _)
+          }
+          if (added.isEmpty) None
+          else Some(aligned(
+            readDeltaRels(spark, path, mAligned, added).drop(MorDel, MorSeq)))
+        case "merge" =>
+          val prev = readManifestMeta(spark, path, v - 1)
+          val before = prev.entries.keySet ++ prev.deltas.keySet
+          // a pre-existing partition was rewritten iff its STATE
+          // changed — entry gen bumped, delta list folded/cleared, or
+          // the partition removed outright; untouched partitions (even
+          // ones still carrying pending deltas) are not rewrites
+          val rewritten = before.toSeq.sorted.filter(r =>
+            prev.entries.get(r) != m.entries.get(r) ||
+              prev.deltas.getOrElse(r, Nil) != m.deltas.getOrElse(r, Nil))
+          require(rewritten.isEmpty,
+            s"manifest feed of $path: version $v is a copy-on-write " +
+              s"merge that rewrote existing partition(s) " +
+              s"${rewritten.take(5).mkString(", ")} — the " +
+              "append-only feed cannot represent rewrites; consume " +
+              "manifestChanges/feedSince instead")
+          val newRels = m.entries.view.filterKeys(!before.contains(_)).toMap
+          if (newRels.isEmpty) None
+          else Some(aligned(readManifestRels(spark, path, mAligned, newRels)))
+        case "fold" | "compact" | "evolve" => None
+        case "" => throw new IllegalArgumentException(
+          s"manifest feed of $path: version $v predates publish " +
+            "provenance (no 'op' recorded) — appendsBetween cannot " +
+            "prove it was an append; start the feed at a newer version")
+        case other => throw new IllegalArgumentException(
+          s"manifest feed of $path: version $v has unknown op '$other'")
+      }
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], toSchema)
+    else frames.reduce(_ unionByName _)
   }
 
   private def feedCursorPath(path: String, consumer: String): Path = {
@@ -2184,7 +2318,8 @@ object Layout {
     val ddl = org.apache.spark.sql.types.StructType(
       (dataCols ++ add.fields.map(_.copy(nullable = true)) ++ parts).toSeq
     ).toDDL
-    writeManifestMeta(spark, path, m.copy(version = v + 1, schemaDdl = ddl))
+    writeManifestMeta(spark, path, m.copy(version = v + 1, schemaDdl = ddl,
+      op = "evolve", opDeletes = false))
   }
 
   /** Delete everything the RETAINED manifest versions do not reference
@@ -2391,7 +2526,8 @@ object Layout {
       // FILES changed — bytes recompute for the rewritten partitions
       writeManifestMeta(spark, path, m.copy(version = v + 1,
         entries = m.entries ++ newGens.toMap,
-        bytes = m.bytes ++ bytesFor(spark, path, newGens.toMap)))
+        bytes = m.bytes ++ bytesFor(spark, path, newGens.toMap),
+        op = "compact", opDeletes = false))
       fc.delete(new Path(tmpDir), true)
       produced.sorted
     }

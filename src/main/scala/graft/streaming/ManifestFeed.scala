@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Layout
+
+/** `spark.readStream.format("manifest-feed")` — a Structured Streaming
+  * SOURCE over a manifest table's append feed, the `readStream`
+  * surface a lakehouse table needs (the pattern of Delta Lake's
+  * streaming source, re-expressed over the graft manifest):
+  *
+  *  - OFFSETS ARE MANIFEST VERSIONS. Each micro-batch covers the
+  *    versions published since the last batch; the checkpoint's offset
+  *    log replays exactly the same version window after a restart, so
+  *    the feed is exactly-once end-to-end with any idempotent/
+  *    transactional sink (the same replay guarantee every file-backed
+  *    source gives).
+  *  - BATCHES READ ONLY WHAT THE VERSIONS ADDED.
+  *    [[graft.operators.Layout.appendsBetween]] opens just the
+  *    generation dirs the window's publishes appended — O(|new rows|)
+  *    per batch however large the table, the only viable shape for a
+  *    standing consumer of a 100 TB table. Its append-only contract is
+  *    checked structurally per version from the manifest's own
+  *    provenance: delete-bearing deltas and copy-on-write rewrites
+  *    fail the query loudly (consume [[graft.operators.Layout
+  *    .manifestChanges]] batchwise for full CDC); folds/compactions
+  *    pass silently because they are row-identical re-layouts.
+  *  - RETENTION INTEGRATES. With `.option("consumer", name)` the
+  *    source acks the table's durable `_FEED.name` cursor as batches
+  *    COMMIT, so [[graft.operators.Layout.reapManifest]] refuses any
+  *    retention floor that would strand this stream. Without it, size
+  *    `keepVersions` to the stream's maximum lag.
+  *
+  * Options: `path` (required); `startingVersion` — an integer version,
+  * `"earliest"` (= 0: emit the seed snapshot, then follow), or absent
+  * (= the live version when the query starts: new appends only);
+  * `consumer` — ack a feed cursor on batch commit.
+  *
+  * Two deliberate asymmetries, both on the safe side:
+  *  - absent `startingVersion` RE-ANCHORS at the live version on every
+  *    fresh start until a first batch lands in the checkpoint (the
+  *    same semantics as Kafka's `latest`) — pass an explicit version
+  *    for a deterministic anchor;
+  *  - the `consumer` cursor ack trails by up to one batch: the engine
+  *    commits a source offset only after the SINK's commit log records
+  *    the batch, so a crash-replay always still finds its versions
+  *    retained. The cursor is never ahead of what durably drained.
+  */
+final class ManifestFeedSource(sqlContext: SQLContext, path: String,
+                               startingVersion: Int,
+                               consumer: Option[String]) extends Source {
+
+  private val spark = sqlContext.sparkSession
+
+  override val schema: StructType = ManifestFeedSource.liveSchema(spark, path)
+
+  private def versionOf(o: Offset): Int = o match {
+    case l: LongOffset => l.offset.toInt
+    case s: SerializedOffset => s.json.trim.toInt
+    case other => other.json.trim.toInt
+  }
+
+  override def getOffset: Option[Offset] = {
+    val live = Layout.manifestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$path stopped being a manifest table mid-stream"))
+    if (live > startingVersion) Some(LongOffset(live.toLong)) else None
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startingVersion)
+    val batch = Layout.appendsBetween(spark, path, from, versionOf(end))
+      // the source's declared schema is pinned at query start; columns
+      // a mid-stream evolution added stay out until the query restarts
+      .select(schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+    org.apache.spark.sql.graftshim.StreamingShim.streamingFrame(
+      spark, batch.queryExecution.toRdd, schema)
+  }
+
+  /** Batch committed: advance the durable feed cursor (idempotent; a
+    * crash before this ack replays the increment — at-least-once into
+    * the cursor, exactly-once through the checkpoint's offset log). */
+  override def commit(end: Offset): Unit =
+    consumer.foreach(c =>
+      Layout.writeFeedCursor(spark, path, c, versionOf(end)))
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"ManifestFeedSource[$path]"
+}
+
+object ManifestFeedSource {
+  private[streaming] def liveSchema(
+      spark: org.apache.spark.sql.SparkSession, path: String): StructType = {
+    val v = Layout.manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    Layout.manifestSchema(Layout.readManifestMeta(spark, path, v))
+  }
+}
+
+/** Registration seam for the `manifest-feed` source (wired through
+  * `META-INF/services/org.apache.spark.sql.sources.DataSourceRegister`,
+  * so `.format("manifest-feed")` resolves with no class name). */
+final class ManifestFeedProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "manifest-feed"
+
+  private def opt(parameters: Map[String, String], key: String):
+      Option[String] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  private def pathOf(parameters: Map[String, String]): String =
+    opt(parameters, "path").getOrElse(throw new IllegalArgumentException(
+      "manifest-feed needs .option(\"path\", <manifest table dir>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]):
+      (String, StructType) = {
+    require(schema.isEmpty,
+      "manifest-feed is self-describing: drop the .schema(...) call " +
+        "(the manifest stores the table schema)")
+    (shortName(),
+      ManifestFeedSource.liveSchema(sqlContext.sparkSession,
+        pathOf(parameters)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters)
+    val starting = opt(parameters, "startingVersion") match {
+      case Some("earliest") => 0
+      case Some(v) =>
+        require(v.forall(_.isDigit),
+          s"startingVersion must be an integer version or 'earliest' " +
+            s"(got '$v')")
+        v.toInt
+      case None => Layout.manifestVersion(sqlContext.sparkSession, path)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path is not a manifest table; seed it with writeManifestTable"))
+    }
+    new ManifestFeedSource(sqlContext, path, starting,
+      opt(parameters, "consumer"))
+  }
+}

@@ -1,0 +1,199 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Layout
+
+/** The manifest append feed: Layout.appendsBetween (the batch body)
+  * and the `manifest-feed` Structured Streaming source built on it —
+  * version-window batches, restart replay from the checkpoint's offset
+  * log, fold/compact transparency, loud refusal of rewrites, and the
+  * retention-cursor integration. */
+class ManifestFeedSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_feed_$tag").resolve("t").toString
+
+  import org.apache.spark.sql.functions._
+
+  private def seedTable(dir: String): Unit = {
+    import spark.implicits._
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "a", 20.0, 1L),
+        (3L, "b", 30.0, 1L), (4L, "c", 40.0, 1L))
+        .toDF("k", "part", "v", "ver"),
+      Seq("part"))
+  }
+
+  private def delta(dir: String, rows: Seq[(Long, String, Double, Long)],
+                    del: Option[Seq[Boolean]] = None): Unit = {
+    import spark.implicits._
+    val base = rows.toDF("k", "part", "v", "ver")
+    del match {
+      case None =>
+        Layout.mergeManifestDelta(spark, dir, base, Seq("k"), "ver")
+      case Some(flags) =>
+        val flagged = rows.zip(flags).map { case ((k, p, v, ver), d) =>
+          (k, p, v, ver, d) }.toDF("k", "part", "v", "ver", "del")
+        Layout.mergeManifestDelta(spark, dir, flagged, Seq("k"), "ver",
+          deleteCol = Some("del"))
+    }
+  }
+
+  private def keys(df: DataFrame): Set[Long] =
+    df.select("k").collect().map(_.getLong(0)).toSet
+
+  test("appendsBetween: seed + deltas emit, fold/compact/evolve are " +
+      "transparent, windows compose") {
+    val dir = tmpDir("appends")
+    seedTable(dir)                                        // v1 seed
+    delta(dir, Seq((5L, "a", 50.0, 2L), (6L, "d", 60.0, 2L))) // v2 delta
+    Layout.foldManifestDeltas(spark, dir)                 // v3 fold
+    delta(dir, Seq((7L, "b", 70.0, 3L)))                  // v4 delta
+    Layout.compactManifest(spark, dir, maxFiles = 0)      // v5 compact
+    Layout.evolveManifest(spark, dir, "note STRING")      // v6 evolve
+    // post-evolution deltas carry the evolved schema (loud contract)
+    import spark.implicits._
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((8L, "c", 80.0, 4L, null.asInstanceOf[String]))
+        .toDF("k", "part", "v", "ver", "note"),
+      Seq("k"), "ver")                                    // v7 delta
+    assert(keys(Layout.appendsBetween(spark, dir, 0, 7)) ==
+      Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    assert(keys(Layout.appendsBetween(spark, dir, 1, 7)) ==
+      Set(5L, 6L, 7L, 8L))
+    assert(Layout.appendsBetween(spark, dir, 2, 3).isEmpty) // fold only
+    assert(keys(Layout.appendsBetween(spark, dir, 3, 6)) == Set(7L))
+    assert(Layout.appendsBetween(spark, dir, 7, 7).isEmpty)
+    // rows align to the END version's schema (evolved column null-fills)
+    val evolved = Layout.appendsBetween(spark, dir, 1, 7)
+    assert(evolved.columns.contains("note") &&
+      evolved.select("note").collect().forall(_.isNullAt(0)))
+    // pre-evolution window carries the old schema
+    assert(!Layout.appendsBetween(spark, dir, 1, 4).columns.contains("note"))
+  }
+
+  test("appendsBetween: delete-bearing deltas and copy-on-write " +
+      "rewrites refuse loudly; partition-append merges pass") {
+    import spark.implicits._
+    val dir = tmpDir("refuse")
+    seedTable(dir)                                        // v1
+    delta(dir, Seq((5L, "a", 50.0, 2L), (3L, "b", 0.0, 2L)),
+      del = Some(Seq(false, true)))                       // v2: has delete
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.appendsBetween(spark, dir, 1, 2).collect()
+    }
+    assert(e1.getMessage.contains("delete rows"), e1.getMessage)
+    // the flag is PER VERSION: a later clean delta window still streams
+    delta(dir, Seq((6L, "d", 60.0, 3L)))                  // v3: clean
+    assert(keys(Layout.appendsBetween(spark, dir, 2, 3)) == Set(6L))
+    // copy-on-write rewrite of an existing partition refuses
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 11.0, 4L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")                                    // v4: rewrite
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.appendsBetween(spark, dir, 3, 4).collect()
+    }
+    assert(e2.getMessage.contains("copy-on-write"), e2.getMessage)
+    // a merge that only CREATES a partition is a pure append
+    Layout.mergeManifest(spark, dir,
+      Seq((9L, "z", 90.0, 5L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")                                    // v5: new part z
+    assert(keys(Layout.appendsBetween(spark, dir, 4, 5)) == Set(9L))
+  }
+
+  test("manifest-feed streaming source: drains appends exactly once, " +
+      "replays across restart from the checkpoint, acks the retention " +
+      "cursor, and fails loudly on a rewrite") {
+    val dir = tmpDir("stream")
+    val sink = tmpDir("sink")
+    val ckpt = tmpDir("ckpt")
+    seedTable(dir)                                        // v1
+    def drain(): Unit = {
+      val q = spark.readStream.format("manifest-feed")
+        .option("path", dir)
+        .option("startingVersion", "earliest")
+        .option("consumer", "s1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // batch 1: the seed snapshot
+    assert(keys(spark.read.parquet(sink)) == Set(1L, 2L, 3L, 4L))
+    val cursorAfter1 = Layout.readFeedCursor(spark, dir, "s1")
+    delta(dir, Seq((5L, "a", 50.0, 2L), (6L, "d", 60.0, 2L))) // v2
+    delta(dir, Seq((7L, "b", 70.0, 3L)))                  // v3
+    Layout.foldManifestDeltas(spark, dir)                 // v4 (skipped)
+    delta(dir, Seq((8L, "c", 80.0, 4L)))                  // v5
+    drain() // restart from checkpoint: only v2..v5, fold transparent
+    val rows = spark.read.parquet(sink).collect()
+    assert(rows.length == 8, s"exactly-once drain, got ${rows.length}")
+    assert(keys(spark.read.parquet(sink)) == (1L to 8L).toSet)
+    // the ack is LAZY BY DESIGN: committing an offset before the
+    // sink's commit log records the batch would let a reap delete
+    // versions a crash-replay still needs, so the cursor trails by up
+    // to one batch — it must never be AHEAD of what drained
+    val cursor2 = Layout.readFeedCursor(spark, dir, "s1")
+    assert(cursor2.exists(v => v >= cursorAfter1.getOrElse(0) && v <= 5),
+      s"cursor must trail the drain, never lead it ($cursor2)")
+    // the acked cursor guards retention: a reap that would strand the
+    // stream's next replay refuses, naming the consumer
+    val e0 = intercept[IllegalArgumentException] {
+      Layout.reapManifest(spark, dir, keepVersions = 1)
+    }
+    assert(e0.getMessage.contains("s1"), e0.getMessage)
+    // a rewrite mid-feed fails the QUERY (not silently skipped)
+    import spark.implicits._
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 11.0, 5L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")                                    // v6: rewrite
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("copy-on-write"))),
+      s"want the append-only refusal, got: ${e.getMessage}")
+  }
+
+  test("manifest-feed: an explicit startingVersion excludes prior " +
+      "versions; self-describing schema refuses .schema()") {
+    val dir = tmpDir("fromnow")
+    val sink = tmpDir("sink2")
+    val ckpt = tmpDir("ckpt2")
+    seedTable(dir)                                        // v1
+    delta(dir, Seq((5L, "a", 50.0, 2L)))                  // v2 (pre-start)
+    def drain(): Unit = {
+      val q = spark.readStream.format("manifest-feed")
+        .option("path", dir).option("startingVersion", "2").load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // nothing new since query start
+    def dataFiles: Seq[java.io.File] =
+      Option(new java.io.File(sink).listFiles).toSeq.flatten
+        .filter(_.getName.startsWith("part-"))
+    assert(dataFiles.isEmpty, s"pre-start versions must not stream: " +
+      dataFiles.map(_.getName).mkString(","))
+    delta(dir, Seq((6L, "d", 60.0, 3L)))                  // v3
+    drain()
+    assert(keys(spark.read.parquet(sink)) == Set(6L))
+    val e = intercept[Exception] {
+      spark.readStream.format("manifest-feed")
+        .schema(org.apache.spark.sql.types.StructType(Nil))
+        .option("path", dir).load()
+    }
+    assert(e.getMessage.contains("self-describing"), e.getMessage)
+  }
+}
