@@ -1297,6 +1297,99 @@ object EngineQueries {
         col("ver"), col("_change_type"))
     }),
 
+    // DYNAMIC partition pruning through the manifest planner index:
+    // the selective predicate lives on the DIMENSION of a star join —
+    // the 100 TB shape where no static filter touches the fact table
+    // at all — and Spark's own PartitionPruning rule turns the dim's
+    // filter result into a runtime filter on the fact's partition
+    // column, evaluated against ManifestFileIndex's partition values
+    // before any fact file is read. The gate pins (a) the optimizer
+    // inserted the dynamicpruning filter, (b) the fact scan's file
+    // metric shows fewer files than the table holds, (c) pruning never
+    // changed a row (the oracle's year arithmetic).
+    "m60_manifest_dpp" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("mandpp")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"), col("o_custkey"))
+      Layout.writeManifestTable(s, out, seed, Seq("o_year"))
+      val fact = Layout.manifestTable(s, out)
+      // dim: one row per year, tagged; the filter selects a strict
+      // subset of years and lives ONLY on the dim side
+      val dim = seed.select(col("o_year").as("d_year")).distinct()
+        .withColumn("d_tag", pmod(col("d_year"), lit(3)))
+      val joined = fact.join(dim.filter(col("d_tag") === 0),
+        col("o_year") === col("d_year"))
+        .select(col("o_orderkey"), col("o_year"), col("o_totalprice"),
+          col("o_custkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan
+      require(plan.toString.toLowerCase.contains("dynamicpruning"),
+        "the fact scan must carry a runtime dim-driven pruning filter:\n" +
+          plan.toString.take(2000))
+      // walk THROUGH adaptive wrappers/stages (their `children` is
+      // empty) to reach the fact scan's metrics
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => scansOf(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scansOf)
+      }
+      val factFiles = scansOf(plan).filter(_.relation.location
+          .isInstanceOf[graft.plans.ManifestFileIndex])
+        .map(_.metrics("numFiles").value).sum
+      val total = Layout.manifestTable(s, out).inputFiles.length.toLong
+      require(factFiles > 0 && factFiles < total,
+        s"dynamic pruning must skip fact files ($factFiles of $total)")
+      joined
+    }),
+
+    // The manifest table as a STRUCTURED STREAMING source
+    // (spark.readStream.format("manifest-feed")): offsets are manifest
+    // versions from the checkpoint's offset log, each batch reads ONLY
+    // the generation dirs its version window appended
+    // (Layout.appendsBetween — O(|new rows|) per batch however large
+    // the table), a mid-feed fold is transparent (row-identical
+    // re-layout), and the drained sink must hold exactly the table —
+    // seed snapshot plus every delta batch, no fold double-counts. The
+    // drain also acks the m61 retention cursor via the source's
+    // consumer option.
+    "m61_streaming_manifest_feed" -> ((s, dir) => {
+      import graft.operators.Layout
+      val base = tmp("manstream")
+      val out = s"$base/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"), col("o_totalprice"),
+        (pmod(col("o_orderkey"), lit(4)) + 1).as("ver"))
+      def slice(r: Int) =
+        rows.filter(pmod(col("o_orderkey"), lit(4)) === r)
+      Layout.writeManifestTable(s, out, slice(0), Seq("o_year"))    // v1
+      Layout.mergeManifestDelta(s, out, slice(1),
+        Seq("o_orderkey"), "ver")                                   // v2
+      Layout.mergeManifestDelta(s, out, slice(2),
+        Seq("o_orderkey"), "ver")                                   // v3
+      Layout.foldManifestDeltas(s, out)                             // v4
+      Layout.mergeManifestDelta(s, out, slice(3),
+        Seq("o_orderkey"), "ver")                                   // v5
+      val q = s.readStream.format("manifest-feed")
+        .option("path", out).option("startingVersion", "earliest")
+        .option("consumer", "m61").load()
+        .writeStream.format("parquet").option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/sink").select(col("o_orderkey"),
+        col("o_year").cast("int").as("o_year"), col("o_totalprice"),
+        col("ver"))
+    }),
+
     // SELF-DRIVING sketch summary (Ivm.syncFromManifest with
     // kmv/kll columns): an append-only manifest table grows in three
     // merges of NEW keys; each scheduled sync folds only the change
@@ -2181,6 +2274,20 @@ object EngineQueries {
     // cursor consumption defines (m57's oracle verbatim — the sharing
     // IS the claim)
     "m59_dsl_feed_job" -> feedOracle,
+    // runtime join-driven pruning is an optimization, never a
+    // semantics change: the star join reduces to the dim filter's
+    // year arithmetic (both pruning pins live in-gate)
+    "m60_manifest_dpp" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice, o_custkey
+         FROM orders WHERE year(o_orderdate) % 3 = 0""",
+    // the drained stream is exactly the table: seed slice + three
+    // delta slices partition the key space, the mid-feed fold adds
+    // nothing (same ver arithmetic on both engines)
+    "m61_streaming_manifest_feed" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice, CAST(o_orderkey % 4 + 1 AS BIGINT) AS ver
+         FROM orders""",
     // the cursor-driven sketch sync reproduces m47's claims over the
     // append-only table: counts and distincts exact, every boolean
     // guaranteed by the lossless-merge / exact-regime math

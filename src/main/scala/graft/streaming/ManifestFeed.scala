@@ -41,10 +41,11 @@ import graft.operators.Layout
   * `consumer` — ack a feed cursor on batch commit.
   *
   * Two deliberate asymmetries, both on the safe side:
-  *  - absent `startingVersion` RE-ANCHORS at the live version on every
-  *    fresh start until a first batch lands in the checkpoint (the
-  *    same semantics as Kafka's `latest`) — pass an explicit version
-  *    for a deterministic anchor;
+  *  - absent `startingVersion` anchors at the live version when the
+  *    query FIRST runs a batch (the semantics of Kafka's `latest`);
+  *    the source runs an empty anchor batch if nothing is pending, so
+  *    one drain suffices to pin the position durably in the
+  *    checkpoint — pass an explicit version to anchor without running;
   *  - the `consumer` cursor ack trails by up to one batch: the engine
   *    commits a source offset only after the SINK's commit log records
   *    the batch, so a crash-replay always still finds its versions
@@ -52,7 +53,9 @@ import graft.operators.Layout
   */
 final class ManifestFeedSource(sqlContext: SQLContext, path: String,
                                startingVersion: Int,
-                               consumer: Option[String]) extends Source {
+                               consumer: Option[String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
 
@@ -64,12 +67,40 @@ final class ManifestFeedSource(sqlContext: SQLContext, path: String,
     case other => other.json.trim.toInt
   }
 
-  override def getOffset: Option[Offset] = {
-    val live = Layout.manifestVersion(spark, path).getOrElse(
+  private def liveVersion: Int =
+    Layout.manifestVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"$path stopped being a manifest table mid-stream"))
+
+  override def getOffset: Option[Offset] = {
+    val live = liveVersion
     if (live > startingVersion) Some(LongOffset(live.toLong)) else None
   }
+
+  // --- admission control (the FileStreamSource pattern): the engine
+  // drives batch boundaries through latestOffset, and AvailableNow
+  // pins the drain target at prepare time — versions published while
+  // the drain runs wait for the next trigger, exactly the wrapper
+  // semantics Spark applies to its own file source.
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(liveVersion)
+
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(availableNowTarget.getOrElse(liveVersion)
+      .max(startingVersion).toLong)
+
+  override def reportLatestOffset():
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(liveVersion.toLong)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)

@@ -180,12 +180,11 @@ class ManifestFeedSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    drain() // nothing new since query start
-    def dataFiles: Seq[java.io.File] =
-      Option(new java.io.File(sink).listFiles).toSeq.flatten
-        .filter(_.getName.startsWith("part-"))
-    assert(dataFiles.isEmpty, s"pre-start versions must not stream: " +
-      dataFiles.map(_.getName).mkString(","))
+    drain() // the first batch is an empty ANCHOR (nothing newer than
+            // startingVersion): zero rows, but the checkpoint now pins
+            // the stream's position durably
+    assert(spark.read.parquet(sink).isEmpty,
+      "pre-start versions must not stream")
     delta(dir, Seq((6L, "d", 60.0, 3L)))                  // v3
     drain()
     assert(keys(spark.read.parquet(sink)) == Set(6L))
