@@ -143,7 +143,10 @@ object PipelineConfig {
       manifest = c.get("manifest").exists(_.toBoolean),
       maxFiles = c.get("max_files").map(_.toInt).getOrElse(4),
       sortCols = c.get("sort_cols").toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))),
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      zorderCols = c.get("zorder_cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      zorderBits = c.get("zorder_bits").map(_.toInt).getOrElse(8))),
     "Zorder" -> ((c, _) => ZorderModel(get(c, "path"),
       zCols = get(c, "z_cols").split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq,

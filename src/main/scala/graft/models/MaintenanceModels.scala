@@ -184,11 +184,13 @@ final case class CompactModel(
     manifest: Boolean = false,
     maxFiles: Int = 4,
     sortCols: Seq[String] = Nil,
+    zorderCols: Seq[String] = Nil,
+    zorderBits: Int = 8,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
 
-  require(sortCols.isEmpty || manifest,
-    "sortCols is the manifest sorted-compaction knob; plain/" +
+  require((sortCols.isEmpty && zorderCols.isEmpty) || manifest,
+    "sortCols/zorderCols are manifest compaction knobs; plain/" +
       "generational compaction keeps arrival order (use SortedWrite/" +
       "Zorder nodes for whole-table re-clustering)")
 
@@ -196,7 +198,8 @@ final case class CompactModel(
     val target = ctx.render(path)
     if (manifest)
       ExecResult(resultValue = Some(Layout.compactManifest(ctx.spark,
-        target, maxFiles, sortCols).length.toLong))
+        target, maxFiles, sortCols, zorderCols,
+        zorderBits).length.toLong))
     else {
       val (before, after) =
         if (generational) Layout.compactGen(ctx.spark, target, partitionCols)

@@ -2453,20 +2453,34 @@ object Layout {
     * re-cluster; with the default threshold only small-file partitions
     * pay the rewrite.
     *
+    * `zorderCols` (2-4 columns, exclusive with `sortCols`) makes it an
+    * OPTIMIZE ZORDER instead: within each rewritten partition the file
+    * is ordered by the interleaved Z-curve of the given columns
+    * ([[zorderWrite]]'s key at partition granularity, one equi-depth
+    * boundary pass over the selected partitions' rows), so row-group
+    * min/max stats stay tight on EVERY z column at once — the layout
+    * for tables queried by more than one predicate dimension.
+    *
     * Returns the compacted partition rel-paths.
     */
   def compactManifest(spark: SparkSession, path: String,
                       maxFiles: Int = 4,
-                      sortCols: Seq[String] = Nil): Seq[String] =
+                      sortCols: Seq[String] = Nil,
+                      zorderCols: Seq[String] = Nil,
+                      zorderBits: Int = 8): Seq[String] =
       withMaintenanceLock(spark, path) {
     require(maxFiles >= 0, "maxFiles must be >= 0 (0 = rewrite all)")
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      "sortCols and zorderCols are exclusive: linear sort or Z-curve")
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not a manifest table; compact plain parquet " +
           "directories with compact"))
     val m = readManifestMeta(spark, path, v)
-    require(sortCols.forall(manifestSchema(m).fieldNames.contains),
-      s"sortCols ${sortCols.mkString(",")} must be table columns")
+    require((sortCols ++ zorderCols).forall(
+        manifestSchema(m).fieldNames.contains),
+      s"sort/zorder columns ${(sortCols ++ zorderCols).mkString(",")} " +
+        "must be table columns")
     val fc = fileContext(spark, path)
     def dataFiles(rel: String, g: Int): Int =
       fc.util.listStatus(new Path(s"$path/$rel/gen=$g"))
@@ -2486,13 +2500,22 @@ object Layout {
       val tmpDir = s"$path.__manifest_tmp"
       fc.delete(new Path(tmpDir), true) // crashed prior run's leftover
       val obs = org.apache.spark.sql.Observation()
-      val clustered = base.observe(obs, count(lit(1)).as("n"))
+      // the z key is computed BEFORE the observation/shuffle (per-row,
+      // one boundary pass over the selected partitions only) and
+      // dropped after the in-task sort, never written
+      val keyed =
+        if (zorderCols.isEmpty) base
+        else withZ(base, zorderCols, zorderBits, 0.001)
+      val clustered = keyed.observe(obs, count(lit(1)).as("n"))
         .repartition(shufflePartitions(spark), m.partitionCols.map(col): _*)
       // partition cols lead the sort so each task's rows stay grouped
-      // by output dir; within a dir the file is sortCols-ordered
-      (if (sortCols.isEmpty) clustered
-       else clustered.sortWithinPartitions(
-         (m.partitionCols ++ sortCols).map(col): _*))
+      // by output dir; within a dir the file is sortCols- or z-ordered
+      val inTaskOrder =
+        if (zorderCols.nonEmpty) m.partitionCols.map(col) :+ col("__z")
+        else (m.partitionCols ++ sortCols).map(col)
+      (if (sortCols.isEmpty && zorderCols.isEmpty) clustered
+       else clustered.sortWithinPartitions(inTaskOrder: _*))
+        .drop("__z")
         .write.mode(SaveMode.Overwrite)
         .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
         .partitionBy(m.partitionCols: _*).parquet(tmpDir)
@@ -2572,8 +2595,28 @@ object Layout {
   def zorderWrite(df: DataFrame, path: String, zCols: Seq[String],
                   bits: Int = 8, numFiles: Int = 0,
                   quantileError: Double = 0.001): Unit = {
+    val parts =
+      if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    withZ(df, zCols, bits, quantileError)
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Append the interleaved Z-curve value of `zCols` as `__z` — the
+    * key construction behind [[zorderWrite]], factored out so z-order
+    * re-clustering composes into other writers ([[compactManifest]]'s
+    * `zorderCols`). One `approxQuantile` pass over `df` computes the
+    * equi-depth boundaries; the per-row bucket ids go through the
+    * codegen'd [[graft.expressions.BucketIndex]] kernel and LONG bit
+    * interleaving (see [[zorderWrite]]'s scaladoc for the full design
+    * record). */
+  private def withZ(df: DataFrame, zCols: Seq[String],
+                    bits: Int, quantileError: Double): DataFrame = {
     require(zCols.size >= 2 && zCols.size <= 4,
-      "zorderWrite wants 2-4 columns (1 -> sortedWrite; >4 dilutes the curve)")
+      "z-order wants 2-4 columns (1 -> sorted write; >4 dilutes the curve)")
     require(bits >= 2 && bits <= 10, "bits per dimension must be in [2,10]")
     import org.apache.spark.sql.types._
     // every z column maps to an ORDER-PRESERVING double key the
@@ -2600,7 +2643,7 @@ object Layout {
           conv(hex(rpad(col(c).cast("binary"), 6, Array[Byte](0))),
             16, 10).cast("double")
         case dt => throw new IllegalArgumentException(
-          s"zorderWrite needs numeric/timestamp/date/string columns; " +
+          s"z-order needs numeric/timestamp/date/string columns; " +
           s"'$c' is ${dt.catalogString}")
       }
     val d = zCols.size
@@ -2623,16 +2666,10 @@ object Layout {
           .bitwiseAND(lit(1L)), b * d + i)
       }
     }.reduce(_ bitwiseOR _)
-    val parts =
-      if (numFiles > 0) numFiles
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    val withZ = zCols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+    zCols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
       acc.withColumn(s"__bk$i", bucket(c, bounds(i)))
     }.withColumn("__z", zcol)
-    withZ.repartitionByRange(parts, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop((zCols.indices.map(i => s"__bk$i") :+ "__z"): _*)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .drop(zCols.indices.map(i => s"__bk$i"): _*)
   }
 
   /** Re-cluster the EXISTING parquet table at `path` in place — the

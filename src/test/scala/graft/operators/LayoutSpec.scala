@@ -1229,6 +1229,56 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order manifest compaction: row-identical, __z never lands, " +
+      "row groups skip on BOTH z dimensions") {
+    val dir = tmpDir("zcompact")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 8 * 1024)
+    hc.setInt("parquet.page.size", 4 * 1024)
+    try {
+      // two independent predicate dimensions arriving shuffled: a
+      // LINEAR sort can tighten one of them, the Z-curve both
+      val li = spark.read.parquet(sf("lineitem"))
+        .select(col("l_orderkey").as("k"),
+          pmod(col("l_orderkey"), lit(3)).as("part"),
+          col("l_extendedprice").as("v"),
+          col("l_quantity").cast("double").as("q"), lit(1L).as("ver"))
+        .repartition(8)
+      Layout.writeManifestTable(spark, dir, li, Seq("part"))
+      def bandRows(c: String, lo: Double, hi: Double): Long =
+        scanOutputRows(Layout.readManifest(spark, dir)
+          .filter(col(c) >= lo && col(c) <= hi))
+      val beforeV = bandRows("v", 30000.0, 32000.0)
+      val beforeQ = bandRows("q", 10.0, 12.0)
+      val expected = Layout.readManifest(spark, dir).collect()
+        .map(_.mkString("|")).sorted.toSeq
+      val compacted = Layout.compactManifest(spark, dir, maxFiles = 0,
+        zorderCols = Seq("v", "q"))
+      assert(compacted.toSet == Set("part=0", "part=1", "part=2"))
+      // row-identical and the curve key never reaches the files
+      val back = Layout.readManifest(spark, dir)
+      assert(!back.columns.contains("__z"))
+      assert(back.collect().map(_.mkString("|")).sorted.toSeq == expected)
+      val afterV = bandRows("v", 30000.0, 32000.0)
+      val afterQ = bandRows("q", 10.0, 12.0)
+      assert(afterV < beforeV && afterQ < beforeQ,
+        s"z-compaction must tighten BOTH dims: v $beforeV->$afterV, " +
+          s"q $beforeQ->$afterQ")
+      // exclusivity contract
+      intercept[IllegalArgumentException] {
+        Layout.compactManifest(spark, dir, maxFiles = 0,
+          sortCols = Seq("v"), zorderCols = Seq("v", "q"))
+      }
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size")
+      else hc.set("parquet.page.size", oldPage)
+    }
+  }
+
   test("manifestTable: planner-integrated scan auto-prunes on partition, " +
       "stats and bloom predicates; arbitrary partition filters stay exact") {
     import spark.implicits._
