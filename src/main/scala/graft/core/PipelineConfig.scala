@@ -135,7 +135,8 @@ object PipelineConfig {
       planner = c.get("planner").exists(_.toBoolean),
       knobs = knobsOf(c))),
     "ManifestFeed" -> ((c, _) => ManifestFeedModel(get(c, "path"),
-      consumer = get(c, "consumer"), knobs = knobsOf(c))),
+      consumer = get(c, "consumer"),
+      mode = c.get("mode").getOrElse("changes"), knobs = knobsOf(c))),
     "Compact" -> ((c, _) => CompactModel(get(c, "path"),
       partitionCols = c.get("partition_cols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),

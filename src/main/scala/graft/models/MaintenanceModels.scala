@@ -149,16 +149,39 @@ final case class ManifestModel(
 final case class ManifestFeedModel(
     path: String,
     consumer: String,
+    mode: String = "changes",
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Extractable {
+
+  require(mode == "changes" || mode == "appends",
+    s"ManifestFeed mode must be 'changes' (full CDC, _change_type " +
+      s"rows via exceptAll diffs) or 'appends' (append-only contract, " +
+      s"O(|new rows|) via Layout.appendsBetween); got '$mode'")
 
   @transient private var pendingAck: Option[(String, Int)] = None
 
   protected def read(ctx: StepContext): org.apache.spark.sql.DataFrame = {
     val target = ctx.render(path)
-    val (df, ack) = Layout.feedSince(ctx.spark, target, consumer)
-    pendingAck = Some((target, ack))
-    df
+    if (mode == "appends") {
+      // the cheap path for append-only tables: reads ONLY the
+      // generation dirs published since the acked cursor (no snapshot
+      // diffing), failing loudly on rewrites — the same contract the
+      // manifest-feed streaming source enforces
+      val live = Layout.manifestVersion(ctx.spark, target).getOrElse(
+        throw new IllegalArgumentException(
+          s"$target is not a manifest table"))
+      val from = Layout.readFeedCursor(ctx.spark, target, consumer)
+        .getOrElse(0)
+      // appendsBetween validates the window's provenance eagerly —
+      // stage the ack only once it accepted the window
+      val df = Layout.appendsBetween(ctx.spark, target, from, live)
+      pendingAck = Some((target, live))
+      df
+    } else {
+      val (df, ack) = Layout.feedSince(ctx.spark, target, consumer)
+      pendingAck = Some((target, ack))
+      df
+    }
   }
 
   override def release(ctx: StepContext): Unit = {

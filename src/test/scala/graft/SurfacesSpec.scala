@@ -280,6 +280,65 @@ class SurfacesSpec extends SparkSpec {
     }
   }
 
+  test("ManifestFeed mode=appends: cursor-driven O(|new rows|) " +
+      "consumption for append-only tables") {
+    import graft.operators.Layout
+    import graft.models.ManifestFeedModel
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cfg_feed_app").resolve("t").toString
+    val out = Files.createTempDirectory("cfg_feed_app_out").toString
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    val cal = Calendar.day("2023-01-01")
+    def runFeed(): Long = {
+      val json =
+        s"""[
+          {"node_name": "src", "node_type": "ManifestFeed", "node_seqno": 1,
+           "config": {"path": "$dir", "consumer": "app1",
+                      "mode": "appends"}},
+          {"node_name": "dst", "node_type": "Parquet", "node_seqno": 2,
+           "config": {"path": "$out/p", "append": "true"}}
+        ]"""
+      val p = PipelineConfig.fromJson("cfg_feed_app", json,
+        new SourceRegistry)
+      assert(p.run(spark, cal).status == Status.Done)
+      spark.read.parquet(s"$out/p").count()
+    }
+    // run 1: the seed snapshot (no _change_type column in appends mode)
+    assert(runFeed() == 2)
+    assert(Layout.readFeedCursor(spark, dir, "app1").contains(1))
+    assert(!spark.read.parquet(s"$out/p").columns.contains("_change_type"))
+    // caught up: empty increment
+    assert(runFeed() == 2)
+    // two delta appends + a fold; the next run ships exactly the new
+    // rows, the fold transparently skipped
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((3L, "a", 30.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((4L, "c", 40.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    Layout.foldManifestDeltas(spark, dir)
+    assert(runFeed() == 4)
+    assert(Layout.readFeedCursor(spark, dir, "app1").contains(4))
+    // a copy-on-write rewrite fails the RUN (no silent skips), and the
+    // failed run must not ack
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 11.0, 3L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    val m = ManifestFeedModel(dir, "app1", mode = "appends")
+    intercept[IllegalArgumentException] {
+      m.extract(StepContext(spark, cal)).collect()
+    }
+    assert(Layout.readFeedCursor(spark, dir, "app1").contains(4),
+      "a failed appends run must not advance the cursor")
+    // mode typo fails at construction
+    intercept[IllegalArgumentException] {
+      ManifestFeedModel(dir, "app1", mode = "cdc")
+    }
+  }
+
   test("config-driven Compact node runs table maintenance as an EX pipeline") {
     val dir = Files.createTempDirectory("cfg_compact").resolve("t").toString
     val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")
