@@ -2128,7 +2128,24 @@ object Layout {
     * [[reapManifest]]'s `keepVersions` to the consumer's lag, or ack a
     * `_FEED` cursor so retention refuses to strand you. */
   def appendsBetween(spark: SparkSession, path: String,
-                     fromVersion: Int, toVersion: Int): DataFrame = {
+                     fromVersion: Int, toVersion: Int): DataFrame =
+    classifyAppends(spark, path, fromVersion, toVersion).fold(
+      reason => throw new IllegalArgumentException(reason), identity)
+
+  /** [[appendsBetween]] that REPORTS instead of throwing when the
+    * window is not append-only: None when some version in it rewrote
+    * or deleted rows (or predates provenance), so callers with a
+    * fallback — [[Ivm.syncFromManifest]] routes to the
+    * [[manifestChanges]] diff — can take the cheap path exactly when
+    * it is sound. */
+  def appendsBetweenOpt(spark: SparkSession, path: String,
+                        fromVersion: Int, toVersion: Int):
+      Option[DataFrame] =
+    classifyAppends(spark, path, fromVersion, toVersion).toOption
+
+  private def classifyAppends(spark: SparkSession, path: String,
+                              fromVersion: Int, toVersion: Int):
+      Either[String, DataFrame] = {
     require(fromVersion >= 0 && fromVersion <= toVersion,
       s"appendsBetween needs 0 <= fromVersion <= toVersion " +
         s"(got $fromVersion..$toVersion)")
@@ -2138,58 +2155,73 @@ object Layout {
       df.select(toSchema.fields.toSeq.map(f =>
         (if (df.columns.contains(f.name)) col(f.name)
          else lit(null).cast(f.dataType)).as(f.name)): _*)
-    val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val m = readManifestMeta(spark, path, v)
-      val mAligned = m.copy(schemaDdl = mTo.schemaDdl)
-      m.op match {
-        case "seed" =>
-          Some(aligned(readManifestRels(spark, path, mAligned, m.entries)))
-        case "delta" =>
-          require(!m.opDeletes,
-            s"manifest feed of $path: version $v is a delta batch " +
+    val perVersion: Seq[Either[String, Option[DataFrame]]] =
+      ((fromVersion + 1) to toVersion).map { v =>
+        val m = readManifestMeta(spark, path, v)
+        val mAligned = m.copy(schemaDdl = mTo.schemaDdl)
+        m.op match {
+          case "seed" =>
+            Right(Some(aligned(
+              readManifestRels(spark, path, mAligned, m.entries))))
+          case "delta" if m.opDeletes =>
+            Left(s"manifest feed of $path: version $v is a delta batch " +
               "carrying delete rows — the append-only feed cannot " +
               "represent them; consume manifestChanges/feedSince instead")
-          val prev = readManifestMeta(spark, path, v - 1)
-          val added = m.deltas.toSeq.sortBy(_._1).flatMap {
-            case (rel, gens) =>
-              val old = prev.deltas.getOrElse(rel, Nil).toSet
-              gens.filterNot(old).map(rel -> _)
-          }
-          if (added.isEmpty) None
-          else Some(aligned(
-            readDeltaRels(spark, path, mAligned, added).drop(MorDel, MorSeq)))
-        case "merge" =>
-          val prev = readManifestMeta(spark, path, v - 1)
-          val before = prev.entries.keySet ++ prev.deltas.keySet
-          // a pre-existing partition was rewritten iff its STATE
-          // changed — entry gen bumped, delta list folded/cleared, or
-          // the partition removed outright; untouched partitions (even
-          // ones still carrying pending deltas) are not rewrites
-          val rewritten = before.toSeq.sorted.filter(r =>
-            prev.entries.get(r) != m.entries.get(r) ||
-              prev.deltas.getOrElse(r, Nil) != m.deltas.getOrElse(r, Nil))
-          require(rewritten.isEmpty,
-            s"manifest feed of $path: version $v is a copy-on-write " +
-              s"merge that rewrote existing partition(s) " +
-              s"${rewritten.take(5).mkString(", ")} — the " +
-              "append-only feed cannot represent rewrites; consume " +
-              "manifestChanges/feedSince instead")
-          val newRels = m.entries.view.filterKeys(!before.contains(_)).toMap
-          if (newRels.isEmpty) None
-          else Some(aligned(readManifestRels(spark, path, mAligned, newRels)))
-        case "fold" | "compact" | "evolve" => None
-        case "" => throw new IllegalArgumentException(
-          s"manifest feed of $path: version $v predates publish " +
-            "provenance (no 'op' recorded) — appendsBetween cannot " +
-            "prove it was an append; start the feed at a newer version")
-        case other => throw new IllegalArgumentException(
-          s"manifest feed of $path: version $v has unknown op '$other'")
+          case "delta" =>
+            val prev = readManifestMeta(spark, path, v - 1)
+            val added = m.deltas.toSeq.sortBy(_._1).flatMap {
+              case (rel, gens) =>
+                val old = prev.deltas.getOrElse(rel, Nil).toSet
+                gens.filterNot(old).map(rel -> _)
+            }
+            Right(if (added.isEmpty) None
+            else Some(aligned(readDeltaRels(spark, path, mAligned, added)
+              .drop(MorDel, MorSeq))))
+          case "merge" =>
+            val prev = readManifestMeta(spark, path, v - 1)
+            val before = prev.entries.keySet ++ prev.deltas.keySet
+            // a pre-existing partition was rewritten iff its STATE
+            // changed — entry gen bumped, delta list folded/cleared, or
+            // the partition removed outright; untouched partitions
+            // (even ones still carrying pending deltas) are not
+            // rewrites
+            val rewritten = before.toSeq.sorted.filter(r =>
+              prev.entries.get(r) != m.entries.get(r) ||
+                prev.deltas.getOrElse(r, Nil) != m.deltas.getOrElse(r, Nil))
+            if (rewritten.nonEmpty)
+              Left(s"manifest feed of $path: version $v is a " +
+                s"copy-on-write merge that rewrote existing partition(s) " +
+                s"${rewritten.take(5).mkString(", ")} — the " +
+                "append-only feed cannot represent rewrites; consume " +
+                "manifestChanges/feedSince instead")
+            else {
+              val newRels =
+                m.entries.view.filterKeys(!before.contains(_)).toMap
+              Right(if (newRels.isEmpty) None
+              else Some(aligned(
+                readManifestRels(spark, path, mAligned, newRels))))
+            }
+          case "fold" | "compact" | "evolve" => Right(None)
+          case "" =>
+            Left(s"manifest feed of $path: version $v predates publish " +
+              "provenance (no 'op' recorded) — appendsBetween cannot " +
+              "prove it was an append; start the feed at a newer version")
+          case other =>
+            Left(s"manifest feed of $path: version $v has unknown op " +
+              s"'$other'")
+        }
       }
+    perVersion.collectFirst { case Left(reason) => reason } match {
+      case Some(reason) => Left(reason)
+      case None =>
+        val frames = perVersion.collect { case Right(Some(df)) => df }
+        Right(
+          if (frames.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              toSchema)
+          else frames.reduce(_ unionByName _))
     }
-    if (frames.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], toSchema)
-    else frames.reduce(_ unionByName _)
   }
 
   private def feedCursorPath(path: String, consumer: String): Path = {

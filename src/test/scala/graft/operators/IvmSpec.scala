@@ -183,6 +183,53 @@ class IvmSpec extends SparkSpec {
     assert(Ivm.read(spark, dir + "_sums").count() == 2)
   }
 
+  test("syncFromManifest routes provably append-only windows through " +
+      "the appends feed: base generations are never touched") {
+    val dir = tmpDir("appsync")
+    val tab = tmpDir("appsync_tab")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Layout.writeManifestTable(spark, tab,
+      Seq((1L, "a", 1.0, 1L), (2L, "b", 2.0, 1L))
+        .toDF("id", "k", "v", "ver"), Seq("k"))
+    assert(Ivm.syncFromManifest(spark, dir, tab, Seq("k"), Seq("v"),
+      kmvCols = Seq("id"), sketchK = 16))                     // seed @ v1
+    // two delta appends (fresh keys) + a fold-free window
+    Layout.mergeManifestDelta(spark, tab,
+      Seq((3L, "a", 3.0, 2L)).toDF("id", "k", "v", "ver"), Seq("id"), "ver")
+    Layout.mergeManifestDelta(spark, tab,
+      Seq((4L, "b", 4.0, 2L)).toDF("id", "k", "v", "ver"), Seq("id"), "ver")
+    // STRUCTURAL route pin: hide every BASE generation — the appends
+    // path reads only the new delta gen dirs, while the changes path
+    // would have to resolve both snapshots and fail on the missing
+    // bases. The sync must succeed anyway.
+    val root = new java.io.File(tab)
+    val hidden = Seq("k=a", "k=b").map { p =>
+      val from = new java.io.File(root, s"$p/gen=1")
+      val to = new java.io.File(root, s"$p/hidden_gen1")
+      assert(from.renameTo(to), s"fixture rename failed for $p")
+      (from, to)
+    }
+    try {
+      assert(Ivm.syncFromManifest(spark, dir, tab, Seq("k"), Seq("v"),
+        kmvCols = Seq("id"), sketchK = 16))
+    } finally hidden.foreach { case (from, to) =>
+      assert(to.renameTo(from), "fixture restore failed")
+    }
+    // the folded summary equals the one-shot aggregate over the table
+    val got = Ivm.read(spark, dir).select("k", "n_rows", "sum_v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue)).toMap
+    assert(got == Map("a" -> ((2L, 4.0)), "b" -> ((2L, 6.0))), got)
+    // and the KMV distinct estimate stays exact (sketches fold on the
+    // appends path too — an append-only window cannot retract)
+    import graft.expressions.Kmv
+    val est = Ivm.read(spark, dir)
+      .select(col("k"), Kmv.estimate(col("kmv_id"), 16).as("d"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est == Map("a" -> 2.0, "b" -> 2.0), est)
+  }
+
   test("crashed apply (orphan gen, no pointer swap) is invisible and " +
       "recovered by the next apply") {
     val dir = tmpDir("crash")
