@@ -650,7 +650,16 @@ object Layout {
       // the delta write itself (zero extra passes), so append-only
       // consumers can refuse delete-bearing versions structurally,
       // without re-scanning any file.
-      opDeletes: Boolean = false) {
+      opDeletes: Boolean = false,
+      // highest STREAMING-SINK micro-batch id applied to this table
+      // (-1 = none): mergeManifest/mergeManifestDelta with a batchId
+      // refuse an id at or below it, so a checkpoint-replayed
+      // foreachBatch is a loud no-op instead of a duplicate delta
+      // generation that a feed consumer would re-emit (the Ivm
+      // _IVM_BATCH discipline at the table level). Carried forward by
+      // unmanaged publishes (fold/compact/evolve and batchId-less
+      // merges).
+      sinkBatch: Long = -1L) {
     /** Every generation number the manifest references for `rel` —
       * base (if present) plus pending deltas. */
     def liveGens(rel: String): Seq[Int] =
@@ -832,7 +841,9 @@ object Layout {
         else node.get("bucketBounds").elements().asScala
           .map(_.asText()).toSeq,
       op = if (!node.has("op")) "" else node.get("op").asText(),
-      opDeletes = node.has("opDeletes") && node.get("opDeletes").asBoolean())
+      opDeletes = node.has("opDeletes") && node.get("opDeletes").asBoolean(),
+      sinkBatch =
+        if (!node.has("sinkBatch")) -1L else node.get("sinkBatch").asLong())
     if (!node.has("buckets")) (parseRelMaps(header, node), Nil)
     else {
       val refs = node.get("buckets").elements().asScala.zipWithIndex
@@ -957,6 +968,7 @@ object Layout {
     root.put("version", m.version)
     if (m.op.nonEmpty) root.put("op", m.op)
     if (m.opDeletes) root.put("opDeletes", true)
+    if (m.sinkBatch >= 0) root.put("sinkBatch", m.sinkBatch)
     root.put("schema", m.schemaDdl)
     val pc = root.putArray("partitionCols")
     m.partitionCols.foreach(pc.add)
@@ -1667,11 +1679,18 @@ object Layout {
     * does not exist here. Same contracts as [[merge]]: update rows must
     * not move keys across partitions; apply batches in version order
     * (deletes keep no tombstones); schema drift fails loudly.
+    *
+    * `batchId` (>= 0) is the streaming-sink exactly-once guard: the id
+    * records in the published manifest and an id at or below the
+    * recorded one returns false without touching the table — a
+    * checkpoint-replayed micro-batch is a no-op instead of a duplicate
+    * publish. Returns true when the merge applied.
     */
   def mergeManifest(spark: SparkSession, path: String, updates: DataFrame,
                     keys: Seq[String], versionCol: String,
                     maxTouchedPartitions: Int = 10000,
-                    deleteCol: Option[String] = None): Unit =
+                    deleteCol: Option[String] = None,
+                    batchId: Long = -1L): Boolean =
       withMaintenanceLock(spark, path) {
     require(keys.nonEmpty, "mergeManifest needs at least one key column")
     require(!keys.contains(versionCol), "versionCol cannot be a key")
@@ -1679,6 +1698,7 @@ object Layout {
       throw new IllegalArgumentException(
         s"$path is not a manifest table; seed it with writeManifestTable"))
     val m = readManifestMeta(spark, path, v)
+    if (batchId >= 0 && m.sinkBatch >= batchId) false else {
     val pcols = m.partitionCols
     require(pcols.forall(updates.columns.contains),
       "update batch must carry the partition columns " +
@@ -1764,9 +1784,11 @@ object Layout {
       blooms = m.blooms -- removed ++ newBlooms,
       bytes = m.bytes -- removed ++ newBytes,
       deltas = m.deltas -- baseRels,
-      op = "merge", opDeletes = false))
+      op = "merge", opDeletes = false,
+      sinkBatch = if (batchId >= 0) batchId else m.sinkBatch))
     fc.delete(new Path(tmpDir), true)
-  }
+    true
+  }}
 
   /** Widen existing per-partition stats with `add` (the stats of a
     * just-written delta generation) MONOTONICALLY: new min/max covers
@@ -1844,13 +1866,17 @@ object Layout {
     * drift fails loudly; tombstones via `deleteCol` (persisted
     * normalized, so batches may pass different flag columns). Stats
     * widen monotonically (see [[widenStats]]) — pruning stays sound,
-    * a fold re-tightens.
+    * a fold re-tightens. `batchId` (>= 0) is the streaming-sink
+    * exactly-once guard (see [[mergeManifest]]): a replayed id returns
+    * false and publishes nothing, so feed consumers never see a
+    * duplicate delta generation. Returns true when the delta applied.
     */
   def mergeManifestDelta(spark: SparkSession, path: String,
                          updates: DataFrame, keys: Seq[String],
                          versionCol: String,
                          maxTouchedPartitions: Int = 10000,
-                         deleteCol: Option[String] = None): Unit =
+                         deleteCol: Option[String] = None,
+                         batchId: Long = -1L): Boolean =
       withMaintenanceLock(spark, path) {
     require(keys.nonEmpty, "mergeManifestDelta needs at least one key")
     require(!keys.contains(versionCol), "versionCol cannot be a key")
@@ -1858,6 +1884,7 @@ object Layout {
       throw new IllegalArgumentException(
         s"$path is not a manifest table; seed it with writeManifestTable"))
     val m = readManifestMeta(spark, path, v)
+    if (batchId >= 0 && m.sinkBatch >= batchId) false else {
     if (m.morKeys.nonEmpty)
       require(m.morKeys == keys && m.morVersionCol.contains(versionCol),
         s"merge spec mismatch: this table resolves merge-on-read deltas " +
@@ -1952,9 +1979,11 @@ object Layout {
       blooms = widenBlooms(m.blooms, deltaBlooms),
       morKeys = keys, morVersionCol = Some(versionCol),
       morDeleteCol = m.morDeleteCol.orElse(deleteCol),
-      op = "delta", opDeletes = hasDeletes))
+      op = "delta", opDeletes = hasDeletes,
+      sinkBatch = if (batchId >= 0) batchId else m.sinkBatch))
     fc.delete(new Path(tmpDir), true)
-  }
+    true
+  }}
 
   /** Fold every pending merge-on-read delta into its partition's base:
     * the delta-bearing partitions resolve latest-wins (exactly the

@@ -396,12 +396,12 @@ object Streams {
     * small and scatter across many partitions — and readers resolve
     * latest-wins in-plan. Schedule
     * [[graft.operators.Layout.foldManifestDeltas]] (or a `FoldDeltas`
-    * DSL node) to bound the accumulated read tax. NOTE idempotence:
-    * unlike the copy-on-write modes, re-APPENDING a replayed
-    * micro-batch adds a duplicate delta generation — harmless to
-    * resolution (identical rows at identical versions: whichever copy
-    * wins the deterministic tie-break yields the same row) and swept
-    * away by the next fold. `foldEvery = N` folds the pending deltas
+    * DSL node) to bound the accumulated read tax. Exactly-once: the
+    * checkpoint's micro-batch id rides into the merge as the
+    * manifest's `sinkBatch` marker, so a checkpoint-replayed batch is
+    * a loud no-op in BOTH manifest modes — no duplicate publish, no
+    * duplicate delta generation for a downstream `manifest-feed`
+    * consumer to re-emit. `foldEvery = N` folds the pending deltas
     * back into single base generations after every Nth micro-batch —
     * the self-contained cadence that bounds the read tax without an
     * external maintenance schedule (the fold keys off the checkpoint's
@@ -430,7 +430,8 @@ object Streams {
       if (!batch.isEmpty) {
         if (mor) {
           graft.operators.Layout.mergeManifestDelta(batch.sparkSession,
-            path, batch, keys, versionCol, deleteCol = deleteCol)
+            path, batch, keys, versionCol, deleteCol = deleteCol,
+            batchId = id)
           if (foldEvery > 0 && (id + 1) % foldEvery == 0) {
             graft.operators.Layout.foldManifestDeltas(
               batch.sparkSession, path)
@@ -439,7 +440,7 @@ object Streams {
         }
         else if (manifest)
           graft.operators.Layout.mergeManifest(batch.sparkSession, path,
-            batch, keys, versionCol, deleteCol = deleteCol)
+            batch, keys, versionCol, deleteCol = deleteCol, batchId = id)
         else
           graft.operators.Layout.merge(batch.sparkSession, path, batch,
             keys, versionCol, partitionCols, deleteCol = deleteCol)

@@ -165,6 +165,41 @@ class ManifestFeedSpec extends SparkSpec {
       s"want the append-only refusal, got: ${e.getMessage}")
   }
 
+  test("sinkBatch guard: a replayed micro-batch id is a no-op publish, " +
+      "so feed consumers never see duplicate rows") {
+    import spark.implicits._
+    val dir = tmpDir("sinkbatch")
+    seedTable(dir)                                        // v1
+    def d(k: Long, id: Long): Boolean =
+      Layout.mergeManifestDelta(spark, dir,
+        Seq((k, "a", k.toDouble, 2L)).toDF("k", "part", "v", "ver"),
+        Seq("k"), "ver", batchId = id)
+    assert(d(10L, 0L))                                    // v2, batch 0
+    // the crash-replay: same id must publish NOTHING
+    assert(!d(10L, 0L))
+    assert(Layout.manifestVersion(spark, dir).contains(2),
+      "a replayed batch must not bump the version")
+    assert(d(11L, 1L))                                    // v3, batch 1
+    // an out-of-order older id is also refused
+    assert(!d(12L, 0L))
+    // the feed sees each appended row exactly once
+    assert(keys(Layout.appendsBetween(spark, dir, 1, 3)) == Set(10L, 11L))
+    // an unmanaged publish (fold) CARRIES the marker forward
+    Layout.foldManifestDeltas(spark, dir)                 // v4
+    assert(!d(13L, 1L), "the marker must survive a fold")
+    assert(d(14L, 2L))
+    // the copy-on-write path guards identically
+    assert(Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 99.0, 3L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver", batchId = 3L))
+    assert(!Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 77.0, 4L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver", batchId = 3L))
+    assert(Layout.readManifest(spark, dir).filter(col("k") === 1L)
+      .select("v").head().getDouble(0) == 99.0,
+      "the replayed CoW merge must not have applied")
+  }
+
   test("manifest-feed: an explicit startingVersion excludes prior " +
       "versions; self-describing schema refuses .schema()") {
     val dir = tmpDir("fromnow")
