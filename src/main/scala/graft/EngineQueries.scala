@@ -1349,6 +1349,57 @@ object EngineQueries {
       joined
     }),
 
+    // Pure-SQL DDL over the manifest (CREATE TEMPORARY VIEW ... USING
+    // manifest): the registered data source mounts the planner index
+    // with no Scala API in sight — a merge publishes v2, the live view
+    // reads it with partition pruning (pinned via scan metrics), and a
+    // versionAsOf view still reads the seed (in-gate require). The
+    // oracle pins the post-merge arithmetic row-for-row.
+    "m62_manifest_ddl" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("manddl")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out, seed, Seq("o_year"))
+      Layout.mergeManifest(s, out,
+        seed.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("ver", lit(2L)),
+        Seq("o_orderkey"), "ver")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW m62_live " +
+        s"USING manifest OPTIONS (path '$out')")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW m62_v1 " +
+        s"USING manifest OPTIONS (path '$out', versionAsOf '1')")
+      // time travel: the v1 view must still see every pre-merge price
+      val drifted = s.sql(
+        """SELECT count(*) AS n FROM m62_v1 a JOIN m62_live b
+           ON a.o_orderkey = b.o_orderkey
+           WHERE a.o_totalprice <> b.o_totalprice""").head().getLong(0)
+      val expectDrift = s.sql(
+        "SELECT count(*) FROM m62_v1 WHERE o_orderkey % 10 = 0")
+        .head().getLong(0)
+      require(drifted == expectDrift,
+        s"versionAsOf must pin the seed snapshot ($drifted vs " +
+          s"$expectDrift rewritten keys)")
+      // partition pruning works through the DDL view
+      val pruned = s.sql("SELECT o_orderkey FROM m62_live " +
+        "WHERE o_year = 1996")
+      pruned.collect()
+      val scanned = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+      val total = Layout.manifestTable(s, out).inputFiles.length.toLong
+      require(scanned > 0 && scanned < total,
+        s"DDL-view partition pruning must fire ($scanned of $total)")
+      s.sql("""SELECT o_orderkey, o_year, o_totalprice, ver
+               FROM m62_live""")
+        .select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+          col("o_totalprice"), col("ver"))
+    }),
+
     // The manifest table as a STRUCTURED STREAMING source
     // (spark.readStream.format("manifest-feed")): offsets are manifest
     // versions from the checkpoint's offset log, each batch reads ONLY
@@ -2274,6 +2325,15 @@ object EngineQueries {
     // cursor consumption defines (m57's oracle verbatim — the sharing
     // IS the claim)
     "m59_dsl_feed_job" -> feedOracle,
+    // the DDL-mounted live view is exactly the post-merge table (time
+    // travel and pruning pins live in-gate)
+    "m62_manifest_ddl" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders""",
     // runtime join-driven pruning is an optimization, never a
     // semantics change: the star join reduces to the dim filter's
     // year arithmetic (both pruning pins live in-gate)

@@ -1354,6 +1354,43 @@ class LayoutSpec extends SparkSpec {
       .select("u").as[String].collect().toSeq == Seq("u5x"))
   }
 
+  test("USING manifest: the pure-SQL DDL surface mounts the planner " +
+      "index — pruning, time travel, loud MoR refusal") {
+    import spark.implicits._
+    val dir = tmpDir("mfddl")
+    Layout.writeManifestTable(spark, dir,
+      (0 until 40).map(i => (i.toLong, s"p${i / 10}", (i / 10) * 100 + i))
+        .toDF("k", "part", "v"), Seq("part"), statsCols = Seq("v"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW mfddl_live " +
+      s"USING manifest OPTIONS (path '$dir')")
+    // stored column order, full content
+    val live = spark.sql("SELECT * FROM mfddl_live")
+    assert(live.columns.toSeq == Seq("k", "v", "part"))
+    assert(live.count() == 40)
+    // the partition predicate prunes through the index
+    val pf = spark.sql("SELECT k FROM mfddl_live WHERE part = 'p1'")
+    pf.collect()
+    assert(scanFiles(pf) < scanFiles { live.collect(); live },
+      "the DDL view must prune like manifestTable does")
+    // a merge publishes v2; versionAsOf pins the old snapshot
+    Layout.mergeManifest(spark, dir,
+      Seq((99L, "p9", 900)).toDF("k", "part", "v"), Seq("k"), "v")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW mfddl_v1 " +
+      s"USING manifest OPTIONS (path '$dir', versionAsOf '1')")
+    assert(spark.sql("SELECT count(*) FROM mfddl_v1").head().getLong(0)
+      == 40)
+    assert(spark.read.format("manifest").option("path", dir).load()
+      .count() == 41)
+    // pending merge-on-read deltas refuse the file-level surface
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((100L, "p9", 901)).toDF("k", "part", "v"), Seq("k"), "v")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW mfddl_bad " +
+        s"USING manifest OPTIONS (path '$dir')")
+    }
+    assert(e.getMessage.contains("foldManifestDeltas"), e.getMessage)
+  }
+
   test("manifestTable: time travel and broadcast-join sizing") {
     import spark.implicits._
     val dir = tmpDir("mfidx_tt")
