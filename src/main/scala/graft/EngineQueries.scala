@@ -1349,6 +1349,49 @@ object EngineQueries {
       joined
     }),
 
+    // The full lakehouse loop, composed end-to-end: a manifest table
+    // grows by delta merges (the CDC write side), the manifest-feed
+    // STREAMING source tails its append feed, and the stream folds
+    // into a standing incremental summary (Ivm) — each stage
+    // exactly-once (sinkBatch marker on the writes, checkpoint offset
+    // log on the feed, _IVM_BATCH marker on the folds). Drained TWICE
+    // around a late append so the restart path runs; the summary must
+    // hash-match the one-shot GROUP BY over the full source table.
+    "m63_feed_ivm_loop" -> ((s, dir) => {
+      import graft.operators.{Ivm, Layout}
+      import graft.streaming.Streams
+      val base = tmp("feedloop")
+      val tab = s"$base/tab"
+      val sum = s"$base/summary"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"), col("o_totalprice"),
+        (pmod(col("o_orderkey"), lit(4)) + 1).as("ver"))
+      def slice(r: Int) =
+        rows.filter(pmod(col("o_orderkey"), lit(4)) === r)
+      Layout.writeManifestTable(s, tab, slice(0), Seq("o_year"))   // v1
+      Layout.mergeManifestDelta(s, tab, slice(1),
+        Seq("o_orderkey"), "ver")                                  // v2
+      Layout.mergeManifestDelta(s, tab, slice(2),
+        Seq("o_orderkey"), "ver")                                  // v3
+      def drain(): Unit = Streams.runAvailableNow(
+        Streams.incrementalAgg(
+          s.readStream.format("manifest-feed")
+            .option("path", tab).option("startingVersion", "earliest")
+            .load()
+            .select(col("o_year"), col("o_totalprice")),
+          sum, Seq("o_year"), Seq("o_totalprice"))
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      drain() // seed + v2 + v3
+      Layout.mergeManifestDelta(s, tab, slice(3),
+        Seq("o_orderkey"), "ver")                                  // v4
+      drain() // restart from the checkpoint: only v4's rows fold
+      Ivm.read(s, sum).select(col("o_year").cast("int").as("o_year"),
+        col("n_rows"),
+        col("sum_o_totalprice").cast("double").as("sum_totalprice"))
+    }),
+
     // Pure-SQL DDL over the manifest (CREATE TEMPORARY VIEW ... USING
     // manifest): the registered data source mounts the planner index
     // with no Scala API in sight — a merge publishes v2, the live view
@@ -2325,6 +2368,16 @@ object EngineQueries {
     // cursor consumption defines (m57's oracle verbatim — the sharing
     // IS the claim)
     "m59_dsl_feed_job" -> feedOracle,
+    // the standing summary at the end of the loop equals the one-shot
+    // GROUP BY over the full source table — every stage's exactly-once
+    // marker is load-bearing (a replayed fold or re-emitted feed row
+    // breaks the hash)
+    "m63_feed_ivm_loop" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_totalprice
+         FROM orders GROUP BY 1""",
     // the DDL-mounted live view is exactly the post-merge table (time
     // travel and pruning pins live in-gate)
     "m62_manifest_ddl" ->
