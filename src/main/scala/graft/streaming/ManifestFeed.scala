@@ -38,7 +38,10 @@ import graft.operators.Layout
   * Options: `path` (required); `startingVersion` — an integer version,
   * `"earliest"` (= 0: emit the seed snapshot, then follow), or absent
   * (= the live version when the query starts: new appends only);
-  * `consumer` — ack a feed cursor on batch commit.
+  * `consumer` — ack a feed cursor on batch commit;
+  * `maxVersionsPerTrigger` — cap each micro-batch's version window so
+  * a backfill over a long history replays as bounded batches (each
+  * its own checkpoint entry) instead of one giant batch.
   *
   * Two deliberate asymmetries, both on the safe side:
   *  - absent `startingVersion` anchors at the live version when the
@@ -53,9 +56,14 @@ import graft.operators.Layout
   */
 final class ManifestFeedSource(sqlContext: SQLContext, path: String,
                                startingVersion: Int,
-                               consumer: Option[String]) extends Source
+                               consumer: Option[String],
+                               maxVersionsPerTrigger: Option[Int] = None)
+    extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
+
+  maxVersionsPerTrigger.foreach(n => require(n > 0,
+    s"maxVersionsPerTrigger must be positive (got $n)"))
 
   private val spark = sqlContext.sparkSession
 
@@ -94,20 +102,43 @@ final class ManifestFeedSource(sqlContext: SQLContext, path: String,
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
-      org.apache.spark.sql.connector.read.streaming.Offset =
-    LongOffset(availableNowTarget.getOrElse(liveVersion)
-      .max(startingVersion).toLong)
+      org.apache.spark.sql.connector.read.streaming.Offset = {
+    val target = availableNowTarget.getOrElse(liveVersion)
+      .max(startingVersion)
+    // admission control: cap each micro-batch's version window so a
+    // backfill from `earliest` on a long-history table replays as
+    // bounded batches (each its own checkpoint entry and sink commit)
+    // instead of one giant batch a mid-flight failure would redo
+    // wholesale. AvailableNow still drains to the prepared target —
+    // just across several batches.
+    val from = Option(start) match {
+      case Some(l: LongOffset) => l.offset.toInt
+      case Some(other) => other.json.trim.toInt
+      case None => startingVersion
+    }
+    val capped = maxVersionsPerTrigger
+      .fold(target)(n => target.min(from + n))
+    LongOffset(capped.max(from).toLong)
+  }
 
   override def reportLatestOffset():
       org.apache.spark.sql.connector.read.streaming.Offset =
     LongOffset(liveVersion.toLong)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val from = start.map(versionOf).getOrElse(startingVersion)
-    val batch = Layout.appendsBetween(spark, path, from, versionOf(end))
-      // the source's declared schema is pinned at query start; columns
-      // a mid-stream evolution added stay out until the query restarts
-      .select(schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+    val raw = Layout.appendsBetween(spark, path, from, versionOf(end))
+    // align every window to the source's declared schema (pinned at
+    // query start): columns a mid-stream evolution added stay out
+    // until the query restarts, and — after a restart with an EVOLVED
+    // schema — a replayed pre-evolution window null-fills the new
+    // columns (the engine re-issues the last committed window's
+    // getBatch on recovery, so this path always runs across an
+    // evolution boundary)
+    val batch = raw.select(schema.fields.toSeq.map(f =>
+      (if (raw.columns.contains(f.name)) col(f.name)
+       else lit(null).cast(f.dataType)).as(f.name)): _*)
     org.apache.spark.sql.graftshim.StreamingShim.streamingFrame(
       spark, batch.queryExecution.toRdd, schema)
   }
@@ -181,6 +212,7 @@ final class ManifestFeedProvider extends StreamSourceProvider
           s"$path is not a manifest table; seed it with writeManifestTable"))
     }
     new ManifestFeedSource(sqlContext, path, starting,
-      opt(parameters, "consumer"))
+      opt(parameters, "consumer"),
+      opt(parameters, "maxVersionsPerTrigger").map(_.toInt))
   }
 }

@@ -165,6 +165,50 @@ class ManifestFeedSpec extends SparkSpec {
       s"want the append-only refusal, got: ${e.getMessage}")
   }
 
+  test("maxVersionsPerTrigger paces a backfill into bounded batches; " +
+      "mid-stream schema evolution keeps the pinned shape until restart") {
+    val dir = tmpDir("paced")
+    val sink = tmpDir("paced_sink")
+    val ckpt = tmpDir("paced_ckpt")
+    seedTable(dir)                                        // v1
+    delta(dir, Seq((5L, "a", 50.0, 2L)))                  // v2
+    delta(dir, Seq((6L, "d", 60.0, 2L)))                  // v3
+    delta(dir, Seq((7L, "b", 70.0, 3L)))                  // v4
+    def drain(): Unit = {
+      val q = spark.readStream.format("manifest-feed")
+        .option("path", dir).option("startingVersion", "earliest")
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(keys(spark.read.parquet(sink)) == (1L to 7L).toSet)
+    // one checkpointed batch PER VERSION, not one giant batch
+    val offsets = Option(new java.io.File(s"$ckpt/offsets").listFiles)
+      .toSeq.flatten.map(_.getName).filterNot(_.startsWith("."))
+      .filter(_.forall(_.isDigit)).map(_.toInt).sorted
+    assert(offsets.size == 4, s"4 paced batches expected, got $offsets")
+    // schema evolution ACROSS a restart: the resumed query picks up
+    // the evolved schema, the recovery replay of the last committed
+    // (pre-evolution) window null-fills the new column, and the new
+    // append's value comes through — no crash, exact rows
+    import spark.implicits._
+    Layout.evolveManifest(spark, dir, "note STRING")      // v5
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((8L, "c", 80.0, 4L, "n8")).toDF("k", "part", "v", "ver", "note"),
+      Seq("k"), "ver")                                    // v6
+    drain()
+    val back = spark.read.option("mergeSchema", "true").parquet(sink)
+    assert(keys(back) == (1L to 8L).toSet)
+    val notes = back.select("k", "note").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(notes(8L).contains("n8") &&
+      (1L to 7L).forall(notes(_).isEmpty),
+      s"evolved column must carry only the post-evolution value: $notes")
+  }
+
   test("sinkBatch guard: a replayed micro-batch id is a no-op publish, " +
       "so feed consumers never see duplicate rows") {
     import spark.implicits._
