@@ -1349,6 +1349,49 @@ object EngineQueries {
       joined
     }),
 
+    // Partition-spec change (Layout.repartitionManifest): the orders
+    // manifest re-partitions from year to key band behind ONE snapshot
+    // publish — a pending merge-on-read delta folds into the rewrite,
+    // the planner index prunes on the NEW column afterwards (scan
+    // metrics), version 1 still time-travels under the old layout (all
+    // pinned in-gate) — and the rows never change (the oracle).
+    "m64_manifest_repartition" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("repart")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        floor(col("o_orderkey") / 2000.0).as("o_band"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out,
+        rows.filter(pmod(col("o_orderkey"), lit(7)) =!= 0), Seq("o_year"))
+      Layout.mergeManifestDelta(s, out,
+        rows.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("ver", lit(2L)),
+        Seq("o_orderkey"), "ver") // pending delta folds into the rewrite
+      val nParts = Layout.repartitionManifest(s, out, Seq("o_band"))
+      require(nParts > 1, s"banding must produce partitions ($nParts)")
+      // the planner index prunes on the NEW partition column
+      val t = Layout.manifestTable(s, out)
+      val pf = t.filter(col("o_band") === 2L)
+      pf.collect()
+      def files(q: org.apache.spark.sql.DataFrame): Long =
+        q.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.sum
+      val total = Layout.manifestTable(s, out).inputFiles.length.toLong
+      require(files(pf) > 0 && files(pf) < total,
+        s"new-scheme pruning must fire (${files(pf)} of $total)")
+      // v1 still time-travels under the old (year) layout
+      require(Layout.readManifestVersion(s, out, 1)
+        .inputFiles.forall(_.contains("/o_year=")),
+        "old versions must keep the old layout")
+      Layout.readManifest(s, out).select(col("o_orderkey"),
+        col("o_year"), col("o_band").cast("long").as("o_band"),
+        col("o_totalprice"), col("ver"))
+    }),
+
     // The full lakehouse loop, composed end-to-end: a manifest table
     // grows by delta merges (the CDC write side), the manifest-feed
     // STREAMING source tails its append feed, and the stream folds
@@ -2368,6 +2411,17 @@ object EngineQueries {
     // cursor consumption defines (m57's oracle verbatim — the sharing
     // IS the claim)
     "m59_dsl_feed_job" -> feedOracle,
+    // a partition-spec change is a re-layout, never a semantics
+    // change: the re-partitioned table is exactly the source rows
+    // (delta fold included); the pruning and time-travel pins live
+    // in-gate
+    "m64_manifest_repartition" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(floor(o_orderkey / 2000.0) AS BIGINT) AS o_band,
+           o_totalprice,
+           CASE WHEN o_orderkey % 7 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders""",
     // the standing summary at the end of the loop equals the one-shot
     // GROUP BY over the full source table — every stage's exactly-once
     // marker is load-bearing (a replayed fold or re-emitted feed row

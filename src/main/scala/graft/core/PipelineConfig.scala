@@ -148,6 +148,11 @@ object PipelineConfig {
       zorderCols = c.get("zorder_cols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       zorderBits = c.get("zorder_bits").map(_.toInt).getOrElse(8))),
+    "Repartition" -> ((c, _) => RepartitionModel(get(c, "path"),
+      partitionCols = get(c, "partition_cols").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq,
+      sortCols = c.get("sort_cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))),
     "Zorder" -> ((c, _) => ZorderModel(get(c, "path"),
       zCols = get(c, "z_cols").split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq,

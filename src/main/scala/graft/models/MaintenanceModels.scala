@@ -232,6 +232,24 @@ final case class CompactModel(
   }
 }
 
+/** Partition-spec change for a manifest table (the scheduled
+  * re-partitioning rewrite): [[Layout.repartitionManifest]] — the
+  * whole table rewrites under `partitionCols` behind one snapshot
+  * publish, pending merge-on-read deltas folded in, old versions still
+  * time-traveling under the old layout until retention drops them.
+  * Returns the new partition count. */
+final case class RepartitionModel(
+    path: String,
+    partitionCols: Seq[String],
+    sortCols: Seq[String] = Nil,
+    override val knobs: ModelKnobs = ModelKnobs())
+  extends PdModel with Executable {
+
+  def execute(ctx: StepContext): ExecResult =
+    ExecResult(resultValue = Some(Layout.repartitionManifest(ctx.spark,
+      ctx.render(path), partitionCols, sortCols).toLong))
+}
+
 /** Self-driving materialized-view refresh (the scheduled
   * [[graft.operators.Ivm.syncFromManifest]] node): catch the summary
   * at `path` up to the manifest table at `tablePath` — seeds on first

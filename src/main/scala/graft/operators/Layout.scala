@@ -2143,8 +2143,9 @@ object Layout {
     *    partitions fails loudly pointing at the full change feed;
     *  - "seed" emits the initial snapshot (reached only when
     *    `fromVersion = 0`);
-    *  - "fold" / "compact" are row-identical re-layouts and "evolve"
-    *    is metadata-only: they emit nothing. A fold CAN remove rows
+    *  - "fold" / "compact" / "repartition" are row-identical
+    *    re-layouts and "evolve" is metadata-only: they emit nothing.
+    *    A fold CAN remove rows
     *    only if some pending delta carried deletes — and every
     *    delete-bearing delta version inside any feed window already
     *    fails above, while deletes wholly before `fromVersion` concern
@@ -2230,7 +2231,7 @@ object Layout {
               else Some(aligned(
                 readManifestRels(spark, path, mAligned, newRels))))
             }
-          case "fold" | "compact" | "evolve" => Right(None)
+          case "fold" | "compact" | "evolve" | "repartition" => Right(None)
           case "" =>
             Left(s"manifest feed of $path: version $v predates publish " +
               "provenance (no 'op' recorded) — appendsBetween cannot " +
@@ -2615,6 +2616,106 @@ object Layout {
       fc.delete(new Path(tmpDir), true)
       produced.sorted
     }
+  }
+
+  /** Change the PARTITIONING of a manifest table — the maintenance
+    * answer to "we partitioned by day, queries filter by tenant": the
+    * whole table rewrites (pending merge-on-read deltas folded in)
+    * under the new partition columns and publishes as ONE new manifest
+    * version, with the usual snapshot contract — pinned readers keep
+    * the old layout, RETAINED old versions still time-travel under the
+    * old partitioning (their directories survive until
+    * [[reapManifest]] drops their versions), and a crash before the
+    * pointer rename leaves nothing visible.
+    *
+    * Honest envelope vs. metadata-only partition-spec evolution
+    * (Iceberg's approach): this is a FULL REWRITE — O(table) once,
+    * after which every read and merge runs at the new granularity.
+    * Metadata-only evolution would need per-generation partition specs
+    * on the read path; a rewrite keeps the manifest's single-spec
+    * reads, stats and pruning exactly as they are. The stored column
+    * order re-derives (data columns first, new partition columns
+    * last); readers of old snapshots keep the old order, and
+    * name-based feed alignment is unaffected. Row-identical by
+    * construction and count-verified before publish; the change feed
+    * diffs it to nothing; the append feed treats it like a fold
+    * (emits nothing). `sortCols` sorts each new partition's file (the
+    * sorted-compaction discipline). Returns the new partition count.
+    */
+  def repartitionManifest(spark: SparkSession, path: String,
+                          newPartitionCols: Seq[String],
+                          sortCols: Seq[String] = Nil): Int =
+      withMaintenanceLock(spark, path) {
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    val m = readManifestMeta(spark, path, v)
+    val sch = manifestSchema(m)
+    require(newPartitionCols.nonEmpty,
+      "repartitionManifest needs at least one partition column")
+    require(newPartitionCols.forall(sch.fieldNames.contains),
+      s"partition columns ${newPartitionCols.mkString(",")} must be " +
+        "table columns")
+    require(newPartitionCols != m.partitionCols,
+      s"table is already partitioned by ${m.partitionCols.mkString(",")}")
+    require(sortCols.forall(sch.fieldNames.contains),
+      s"sortCols ${sortCols.mkString(",")} must be table columns")
+    val fc = fileContext(spark, path)
+    // the full resolved snapshot — a repartition is a whole-table
+    // rewrite by definition, so pending deltas fold in for free
+    val all = readResolved(spark, path, m, m.allRels)
+    val dataCols = sch.fields.filterNot(f =>
+      newPartitionCols.contains(f.name))
+    val ddl = org.apache.spark.sql.types.StructType(
+      dataCols ++ newPartitionCols.map(sch(_))).toDDL
+    val tmpDir = s"$path.__manifest_tmp"
+    fc.delete(new Path(tmpDir), true)
+    val obs = org.apache.spark.sql.Observation()
+    val clustered = all.observe(obs, count(lit(1)).as("n"))
+      .repartition(shufflePartitions(spark), newPartitionCols.map(col): _*)
+    (if (sortCols.isEmpty) clustered
+     else clustered.sortWithinPartitions(
+       (newPartitionCols ++ sortCols).map(col): _*))
+      .write.mode(SaveMode.Overwrite)
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .partitionBy(newPartitionCols: _*).parquet(tmpDir)
+    val n0 = obs.get("n").asInstanceOf[Long]
+    val n1 = spark.read.parquet(tmpDir).count()
+    require(n1 == n0,
+      s"repartition would lose rows: $n0 -> $n1; aborting")
+    val produced = listPartitionRels(fc, new Path(tmpDir))
+    val m2 = m.copy(schemaDdl = ddl, partitionCols = newPartitionCols)
+    val newStats = statsFor(spark, path, m2, Map.empty,
+      srcDir = Some(tmpDir))
+    val newBlooms = bloomsFor(spark, path, m2, Map.empty,
+      srcDir = Some(tmpDir))
+    val newBytes = bytesUnder(fc, tmpDir, produced)
+    val newGens = inParallel(produced) { rel =>
+      // a new-scheme rel can collide with an existing dir only after a
+      // repartition BACK to a previous scheme — gen numbering and the
+      // orphan sweep handle it like any other writer
+      val g = m.nextGen(rel)
+      val partDir = new Path(s"$path/$rel")
+      fc.mkdir(partDir,
+        org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+      fc.util.listStatus(partDir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("gen=") &&
+            n.drop(4).forall(_.isDigit) && n.drop(4).toInt >= g)
+          fc.delete(st.getPath, true)
+      }
+      fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
+      rel -> g
+    }.toMap
+    // the new manifest references ONLY the new-scheme generations; old
+    // snapshots keep referencing theirs until retention drops them
+    writeManifestMeta(spark, path, m2.copy(version = v + 1,
+      entries = newGens,
+      stats = newStats, blooms = newBlooms, bytes = newBytes,
+      deltas = Map.empty,
+      op = "repartition", opDeletes = false))
+    fc.delete(new Path(tmpDir), true)
+    newGens.size
   }
 
   /** Write `df` to `path` range-clustered and sorted by `sortCols`:

@@ -37,7 +37,7 @@ class SurfacesSpec extends SparkSpec {
     assert(Seq("Table", "Select", "Insert", "SQL", "CSV", "JSON", "XML",
       "Parquet", "Filenames", "FileManager", "Merge", "Compact",
       "Manifest", "IvmApply", "Zorder", "SortedWrite", "FoldDeltas",
-      "Reap", "IvmSync", "ManifestFeed")
+      "Reap", "IvmSync", "ManifestFeed", "Repartition")
       .forall(PipelineConfig.registry.contains))
   }
 

@@ -1354,6 +1354,66 @@ class LayoutSpec extends SparkSpec {
       .select("u").as[String].collect().toSeq == Seq("u5x"))
   }
 
+  test("repartitionManifest: whole-table partition change behind one " +
+      "snapshot — rows identical, deltas folded, old versions intact, " +
+      "feed transparent, retention clears the old layout") {
+    import spark.implicits._
+    val dir = tmpDir("repart")
+    val rows = (0 until 40).map(i =>
+      (i.toLong, s"p${i / 10}", (i % 4).toLong, i.toDouble, 1L))
+    Layout.writeManifestTable(spark, dir,
+      rows.toDF("k", "part", "band", "v", "ver"), Seq("part"))  // v1
+    // a pending merge-on-read delta must FOLD into the rewrite
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((100L, "p0", 0L, 100.0, 2L), (0L, "p0", 0L, 0.5, 2L))
+        .toDF("k", "part", "band", "v", "ver"),
+      Seq("k"), "ver")                                          // v2
+    val expected = Layout.readManifest(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("part"),
+        r.getAs[Long]("band"), r.getAs[Double]("v"))).sorted.toSeq
+    val pinnedV2 = Layout.readManifest(spark, dir)
+    assert(Layout.repartitionManifest(spark, dir, Seq("band")) == 4) // v3
+    // content identical; the new stored order derives from the OLD
+    // stored order (data cols as stored — the old partition col joins
+    // them at its stored slot — then the new partition cols)
+    val after = Layout.readManifest(spark, dir)
+    assert(after.columns.toSeq == Seq("k", "v", "ver", "part", "band"))
+    assert(after.collect().map(r => (r.getAs[Long]("k"),
+      r.getAs[String]("part"), r.getAs[Long]("band"),
+      r.getAs[Double]("v"))).sorted.toSeq == expected)
+    // pruning now runs on the NEW column through the planner index
+    val t = Layout.manifestTable(spark, dir)
+    val pf = t.filter(col("band") === 2L)
+    pf.collect()
+    val full = { val d = Layout.manifestTable(spark, dir)
+      d.collect(); scanFiles(d) }
+    assert(scanFiles(pf) < full, "new-scheme partition pruning must fire")
+    // pinned reader + time travel keep the OLD layout and order
+    // (stored order: data cols first, old partition col last)
+    assert(pinnedV2.columns.toSeq == Seq("k", "band", "v", "ver", "part"))
+    assert(pinnedV2.count() == 41)
+    assert(Layout.readManifestVersion(spark, dir, 1).count() == 40)
+    // the append feed treats the rewrite as transparent
+    assert(Layout.appendsBetween(spark, dir, 2, 3).isEmpty)
+    // the change feed diffs it to nothing
+    assert(Layout.manifestChanges(spark, dir, 2, 3).isEmpty)
+    // retention to the live version clears the old-scheme directories
+    Layout.reapManifest(spark, dir, keepVersions = 1)
+    val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.forall(_.startsWith("band=")), s"old layout remains: $dirs")
+    intercept[IllegalArgumentException] {
+      Layout.readManifestVersion(spark, dir, 2)
+    }
+    // contracts: same spec and unknown columns refuse
+    intercept[IllegalArgumentException] {
+      Layout.repartitionManifest(spark, dir, Seq("band"))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.repartitionManifest(spark, dir, Seq("nope"))
+    }
+  }
+
   test("USING manifest: the pure-SQL DDL surface mounts the planner " +
       "index — pruning, time travel, loud MoR refusal") {
     import spark.implicits._
