@@ -1359,9 +1359,13 @@ object EngineQueries {
       import graft.operators.Layout
       val out = s"${tmp("repart")}/ord"
       val orders = s.read.parquet(s"$dir/orders.parquet")
+      // band via modulo, not key ranges: scale-INVARIANT partition
+      // count (a range band collapses to one partition at smoke scale
+      // factors — the m48/m51 lesson: structural pins must derive from
+      // the data's shape, not absolute values)
       val rows = orders.select(col("o_orderkey"),
         year(col("o_orderdate")).as("o_year"),
-        floor(col("o_orderkey") / 2000.0).as("o_band"),
+        pmod(col("o_orderkey"), lit(8)).as("o_band"),
         col("o_totalprice"), lit(1L).as("ver"))
       Layout.writeManifestTable(s, out,
         rows.filter(pmod(col("o_orderkey"), lit(7)) =!= 0), Seq("o_year"))
@@ -2417,7 +2421,7 @@ object EngineQueries {
     // in-gate
     "m64_manifest_repartition" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
-           CAST(floor(o_orderkey / 2000.0) AS BIGINT) AS o_band,
+           CAST(o_orderkey % 8 AS BIGINT) AS o_band,
            o_totalprice,
            CASE WHEN o_orderkey % 7 = 0 THEN CAST(2 AS BIGINT)
                 ELSE CAST(1 AS BIGINT) END AS ver
