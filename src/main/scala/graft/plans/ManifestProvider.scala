@@ -3,7 +3,11 @@ package graft.plans
 import org.apache.spark.sql.SQLContext
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.Layout
 
 /** The manifest table as a plain Spark SQL data source — the DDL
   * surface on top of [[ManifestFileIndex]]:
@@ -25,7 +29,7 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   * merge-on-read deltas refuse loudly (the index's contract).
   */
 final class ManifestProvider extends RelationProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "manifest"
 
@@ -51,5 +55,76 @@ final class ManifestProvider extends RelationProvider
     // order — manifest tables store data columns first by construction
     HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
+  }
+
+  /** The WRITE side: `df.writeStream.format("manifest")` — each
+    * micro-batch applies as a keyed latest-wins merge onto a
+    * PRE-SEEDED manifest table (seed with
+    * [[graft.operators.Layout.writeManifestTable]]; the seed fixes the
+    * partitioning, so auto-seeding from an arbitrary first batch would
+    * silently decide the table's layout). Options: `path`, `keys`
+    * (comma-separated), `versionCol` (required); `deleteCol` for CDC
+    * tombstones; `mor` (default true — merge-on-read delta appends,
+    * the right cost shape for trickle batches; false = copy-on-write);
+    * `foldEvery` (N — fold pending deltas after every Nth batch). The
+    * checkpoint's micro-batch id rides into the manifest's `sinkBatch`
+    * marker, so a crash-replayed batch is a no-op publish:
+    * exactly-once end to end. The declarative twin of
+    * [[graft.streaming.Streams.cdcApply]].
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "manifest sink: the table's partitioning comes from its seed " +
+        "(writeManifestTable); drop .partitionBy(...)")
+    require(outputMode != OutputMode.Complete(),
+      "manifest sink applies incremental batches (append/update); " +
+        "Complete mode would re-merge the whole result every trigger")
+    val path = opt(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "manifest sink needs .option(\"path\", <manifest table dir>)"))
+    val keys = opt(parameters, "keys").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    require(keys.nonEmpty,
+      "manifest sink needs .option(\"keys\", \"k1,k2\")")
+    val versionCol = opt(parameters, "versionCol").getOrElse(
+      throw new IllegalArgumentException(
+        "manifest sink needs .option(\"versionCol\", <col>)"))
+    val deleteCol = opt(parameters, "deleteCol")
+    val mor = opt(parameters, "mor").forall(_.toBoolean)
+    val foldEvery = opt(parameters, "foldEvery").map(_.toInt).getOrElse(0)
+    require(foldEvery == 0 || mor,
+      "foldEvery is the merge-on-read fold cadence; it needs mor=true")
+    new Sink {
+      override def addBatch(batchId: Long,
+                            data: org.apache.spark.sql.DataFrame): Unit = {
+        val spark = data.sparkSession
+        require(Layout.manifestVersion(spark, path).isDefined,
+          s"$path is not a manifest table — seed it with " +
+            "Layout.writeManifestTable before starting the sink (the " +
+            "seed fixes the partitioning)")
+        // re-wrap: addBatch's frame supports one action, a merge needs
+        // several (see StreamingShim.batchFrame)
+        val batch = org.apache.spark.sql.graftshim.StreamingShim
+          .batchFrame(spark, data.queryExecution.toRdd, data.schema)
+        if (!batch.isEmpty) {
+          if (mor) {
+            Layout.mergeManifestDelta(spark, path, batch, keys,
+              versionCol, deleteCol = deleteCol, batchId = batchId)
+            if (foldEvery > 0 && (batchId + 1) % foldEvery == 0) {
+              Layout.foldManifestDeltas(spark, path)
+              ()
+            }
+          } else {
+            Layout.mergeManifest(spark, path, batch, keys, versionCol,
+              deleteCol = deleteCol, batchId = batchId)
+            ()
+          }
+        }
+      }
+      override def toString: String = s"ManifestSink[$path]"
+    }
   }
 }

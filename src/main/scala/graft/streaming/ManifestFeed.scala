@@ -45,10 +45,10 @@ import graft.operators.Layout
   *
   * Two deliberate asymmetries, both on the safe side:
   *  - absent `startingVersion` anchors at the live version when the
-  *    query FIRST runs a batch (the semantics of Kafka's `latest`);
-  *    the source runs an empty anchor batch if nothing is pending, so
-  *    one drain suffices to pin the position durably in the
-  *    checkpoint — pass an explicit version to anchor without running;
+  *    query is FIRST created, and the anchor persists under the
+  *    query's checkpoint metadata (the Kafka-source discipline) — so
+  *    restarts never re-anchor, and recovery replays of the first
+  *    batch see the original window;
   *  - the `consumer` cursor ack trails by up to one batch: the engine
   *    commits a source offset only after the SINK's commit log records
   *    the batch, so a crash-replay always still finds its versions
@@ -200,17 +200,41 @@ final class ManifestFeedProvider extends StreamSourceProvider
                             providerName: String,
                             parameters: Map[String, String]): Source = {
     val path = pathOf(parameters)
-    val starting = opt(parameters, "startingVersion") match {
-      case Some("earliest") => 0
-      case Some(v) =>
-        require(v.forall(_.isDigit),
-          s"startingVersion must be an integer version or 'earliest' " +
-            s"(got '$v')")
-        v.toInt
-      case None => Layout.manifestVersion(sqlContext.sparkSession, path)
-        .getOrElse(throw new IllegalArgumentException(
-          s"$path is not a manifest table; seed it with writeManifestTable"))
-    }
+    // the anchor version PERSISTS under the query's own metadata dir
+    // (the Kafka-source discipline): a restarted query re-creates the
+    // source, and re-deriving "live version now" would both re-anchor
+    // an idle stream and hand recovery replays of batch 0 a `from`
+    // NEWER than their checkpointed end. First creation computes and
+    // writes it; every restart reads it back.
+    val spark = sqlContext.sparkSession
+    val hc = spark.sparkContext.hadoopConfiguration
+    val anchor = new org.apache.hadoop.fs.Path(metadataPath, "anchor")
+    val fs = anchor.getFileSystem(hc)
+    val starting =
+      if (fs.exists(anchor)) {
+        val in = fs.open(anchor)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      } else {
+        val v = opt(parameters, "startingVersion") match {
+          case Some("earliest") => 0
+          case Some(s) =>
+            require(s.forall(_.isDigit),
+              s"startingVersion must be an integer version or " +
+                s"'earliest' (got '$s')")
+            s.toInt
+          case None => Layout.manifestVersion(spark, path)
+            .getOrElse(throw new IllegalArgumentException(
+              s"$path is not a manifest table; seed it with " +
+                "writeManifestTable"))
+        }
+        val out = fs.create(anchor, true)
+        try out.write(v.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        v
+      }
     new ManifestFeedSource(sqlContext, path, starting,
       opt(parameters, "consumer"),
       opt(parameters, "maxVersionsPerTrigger").map(_.toInt))

@@ -25,4 +25,16 @@ object StreamingShim {
                      schema: StructType): org.apache.spark.sql.DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The mirror for a streaming SINK: `Sink.addBatch` hands a frame
+    * tied to the micro-batch's incremental execution, which supports
+    * exactly one action — re-wrap its planned RDD as a plain batch
+    * frame so a multi-action consumer (a manifest merge runs a
+    * touched-partition probe, the write, and a stats pass) can run.
+    * Re-executions replay the same deterministic batch RDD. */
+  def batchFrame(spark: org.apache.spark.sql.SparkSession,
+                 rdd: RDD[InternalRow],
+                 schema: StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

@@ -244,6 +244,57 @@ class ManifestFeedSpec extends SparkSpec {
       "the replayed CoW merge must not have applied")
   }
 
+  test("manifest sink: declarative table-to-table replication — " +
+      "readStream manifest-feed into writeStream manifest, exactly-once") {
+    import spark.implicits._
+    val src = tmpDir("repl_src")
+    val dst = tmpDir("repl_dst")
+    val ckpt = tmpDir("repl_ckpt")
+    seedTable(src)                                        // src v1
+    // the sink table seeds with the same snapshot (fixes partitioning)
+    Layout.writeManifestTable(spark, dst,
+      Layout.readManifest(spark, src), Seq("part"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("manifest-feed")
+        .option("path", src).load()
+        .writeStream.format("manifest")
+        .option("path", dst)
+        .option("keys", "k").option("versionCol", "ver")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // anchor (nothing new since src's seed)
+    delta(src, Seq((5L, "a", 50.0, 2L), (6L, "d", 60.0, 2L))) // src v2
+    delta(src, Seq((7L, "b", 70.0, 3L)))                      // src v3
+    drain()
+    def table(p: String): Set[(Long, Double)] =
+      Layout.readManifest(spark, p).select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(table(dst) == table(src), "replica must equal the source")
+    // exactly-once: a re-drain with nothing new changes NOTHING
+    val vBefore = Layout.manifestVersion(spark, dst)
+    drain()
+    assert(Layout.manifestVersion(spark, dst) == vBefore,
+      "an empty re-drain must not publish")
+    // contracts: unseeded sink and Complete mode refuse
+    val e1 = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+      val q = spark.readStream.format("manifest-feed")
+        .option("path", src).load()
+        .writeStream.format("manifest")
+        .option("path", tmpDir("repl_unseeded"))
+        .option("keys", "k").option("versionCol", "ver")
+        .option("checkpointLocation", tmpDir("repl_ck2"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e1).exists(c => Option(c.getMessage)
+      .exists(_.contains("writeManifestTable"))), e1.getMessage)
+  }
+
   test("manifest-feed: an explicit startingVersion excludes prior " +
       "versions; self-describing schema refuses .schema()") {
     val dir = tmpDir("fromnow")
