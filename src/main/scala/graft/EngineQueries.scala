@@ -1349,6 +1349,50 @@ object EngineQueries {
       joined
     }),
 
+    // Declarative table-to-table replication: readStream
+    // .format("manifest-feed") from the source table straight into
+    // writeStream.format("manifest") on the replica — no user code
+    // between the format strings. Drained twice around a late append
+    // (the restart path); the replica must hash-match the source
+    // arithmetic, so a duplicate publish (sinkBatch regression) or a
+    // re-emitted feed row breaks the gate.
+    "m65_manifest_replication" -> ((s, dir) => {
+      import graft.operators.Layout
+      val base = tmp("repl")
+      val src = s"$base/src"
+      val dst = s"$base/dst"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"), col("o_totalprice"),
+        (pmod(col("o_orderkey"), lit(3)) + 1).as("ver"))
+      def slice(r: Int) =
+        rows.filter(pmod(col("o_orderkey"), lit(3)) === r)
+      Layout.writeManifestTable(s, src, slice(0), Seq("o_year"))   // v1
+      Layout.writeManifestTable(s, dst, slice(0), Seq("o_year"))
+      Layout.mergeManifestDelta(s, src, slice(1),
+        Seq("o_orderkey"), "ver")                                  // v2
+      def drain(): Unit = {
+        val q = s.readStream.format("manifest-feed")
+          // anchor at the seed version: the replica already holds the
+          // seed, the feed ships everything after it
+          .option("path", src).option("startingVersion", "1").load()
+          .writeStream.format("manifest")
+          .option("path", dst)
+          .option("keys", "o_orderkey").option("versionCol", "ver")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      Layout.mergeManifestDelta(s, src, slice(2),
+        Seq("o_orderkey"), "ver")                                  // v3
+      drain() // restart: only v3 replicates
+      Layout.readManifest(s, dst).select(col("o_orderkey"),
+        col("o_year").cast("int").as("o_year"), col("o_totalprice"),
+        col("ver"))
+    }),
+
     // Partition-spec change (Layout.repartitionManifest): the orders
     // manifest re-partitions from year to key band behind ONE snapshot
     // publish — a pending merge-on-read delta folds into the rewrite,
@@ -2415,6 +2459,13 @@ object EngineQueries {
     // cursor consumption defines (m57's oracle verbatim — the sharing
     // IS the claim)
     "m59_dsl_feed_job" -> feedOracle,
+    // the replica is exactly the source table (seed slice + two
+    // streamed delta slices partition the key space; same arithmetic
+    // on both engines)
+    "m65_manifest_replication" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice, CAST(o_orderkey % 3 + 1 AS BIGINT) AS ver
+         FROM orders""",
     // a partition-spec change is a re-layout, never a semantics
     // change: the re-partitioned table is exactly the source rows
     // (delta fold included); the pruning and time-travel pins live
