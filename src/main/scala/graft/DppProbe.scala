@@ -54,25 +54,13 @@ object DppProbe {
       val joined = f.join(dim.filter(col("d_tag") === 7),
         col("part") === col("d_part"))
       val (n, t) = time(joined.count())
-      def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
-          Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-        case a: org.apache.spark.sql.execution.adaptive
-            .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive
-            .QueryStageExec => scansOf(q.plan)
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-        case other => other.children.flatMap(scansOf)
-      }
       // count() plans its own query; re-execute via collect on a fresh
       // frame to read the scan metrics of an executed plan
       val j2 = Layout.manifestTable(spark, tdir)
         .join(dim.filter(col("d_tag") === 7), col("part") === col("d_part"))
         .select("o_orderkey")
       j2.collect()
-      val files = scansOf(j2.queryExecution.executedPlan)
-        .filter(_.relation.location.isInstanceOf[
-          graft.plans.ManifestFileIndex])
-        .map(_.metrics("numFiles").value).sum
+      val files = PlanScan.scannedFiles(j2, manifestOnly = true)
       (n, files, t)
     }
 

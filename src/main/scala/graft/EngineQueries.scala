@@ -1329,20 +1329,7 @@ object EngineQueries {
       require(plan.toString.toLowerCase.contains("dynamicpruning"),
         "the fact scan must carry a runtime dim-driven pruning filter:\n" +
           plan.toString.take(2000))
-      // walk THROUGH adaptive wrappers/stages (their `children` is
-      // empty) to reach the fact scan's metrics
-      def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
-          Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-        case a: org.apache.spark.sql.execution.adaptive
-            .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive
-            .QueryStageExec => scansOf(q.plan)
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(scansOf)
-      }
-      val factFiles = scansOf(plan).filter(_.relation.location
-          .isInstanceOf[graft.plans.ManifestFileIndex])
-        .map(_.metrics("numFiles").value).sum
+      val factFiles = PlanScan.scannedFiles(joined, manifestOnly = true)
       val total = Layout.manifestTable(s, out).inputFiles.length.toLong
       require(factFiles > 0 && factFiles < total,
         s"dynamic pruning must skip fact files ($factFiles of $total)")
@@ -1423,14 +1410,10 @@ object EngineQueries {
       val t = Layout.manifestTable(s, out)
       val pf = t.filter(col("o_band") === 2L)
       pf.collect()
-      def files(q: org.apache.spark.sql.DataFrame): Long =
-        q.queryExecution.executedPlan.collect {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-            f.metrics("numFiles").value
-        }.sum
+      val scanned = PlanScan.scannedFiles(pf)
       val total = Layout.manifestTable(s, out).inputFiles.length.toLong
-      require(files(pf) > 0 && files(pf) < total,
-        s"new-scheme pruning must fire (${files(pf)} of $total)")
+      require(scanned > 0 && scanned < total,
+        s"new-scheme pruning must fire ($scanned of $total)")
       // v1 still time-travels under the old (year) layout
       require(Layout.readManifestVersion(s, out, 1)
         .inputFiles.forall(_.contains("/o_year=")),
@@ -1521,10 +1504,7 @@ object EngineQueries {
       val pruned = s.sql("SELECT o_orderkey FROM m62_live " +
         "WHERE o_year = 1996")
       pruned.collect()
-      val scanned = pruned.queryExecution.executedPlan.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.metrics("numFiles").value
-      }.sum
+      val scanned = PlanScan.scannedFiles(pruned)
       val total = Layout.manifestTable(s, out).inputFiles.length.toLong
       require(scanned > 0 && scanned < total,
         s"DDL-view partition pruning must fire ($scanned of $total)")

@@ -23,6 +23,28 @@ object PlanScan {
     * Everything else is a genuine cartesian risk and is returned, one
     * description per offending join; empty = clean.
     */
+  /** Every FileSourceScanExec in an EXECUTED plan, walking THROUGH the
+    * adaptive wrappers (AdaptiveSparkPlanExec / QueryStageExec report
+    * no children) — the one traversal every scan-metric assertion
+    * (gates m60/m62/m64, DppProbe) shares. */
+  def fileScans(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(q.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(fileScans)
+  }
+
+  /** Total `numFiles` metric across the (executed) plan's file scans,
+    * optionally restricted to manifest-index-backed scans. */
+  def scannedFiles(df: DataFrame, manifestOnly: Boolean = false): Long =
+    fileScans(df.queryExecution.executedPlan)
+      .filter(f => !manifestOnly || f.relation.location
+        .isInstanceOf[graft.plans.ManifestFileIndex])
+      .map(_.metrics("numFiles").value).sum
+
   def unjustifiedNlj(df: DataFrame): Seq[String] = {
     val physical = df.queryExecution.executedPlan.toString
     if (!physical.contains("CartesianProduct") &&

@@ -108,7 +108,8 @@ object PipelineConfig {
       kllCols = c.get("kll_cols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       sketchK = c.get("sketch_k").map(_.toInt).getOrElse(4096),
-      consumer = c.get("consumer"))),
+      consumer = c.get("consumer"),
+      appendOnly = c.get("append_only").exists(_.toBoolean))),
     "Reap" -> ((c, _) => ReapModel(get(c, "path"),
       keepVersions = c.get("keep_versions").map(_.toInt).getOrElse(1),
       generational = c.get("generational").exists(_.toBoolean),

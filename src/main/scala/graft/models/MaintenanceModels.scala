@@ -170,13 +170,22 @@ final case class ManifestFeedModel(
       val live = Layout.manifestVersion(ctx.spark, target).getOrElse(
         throw new IllegalArgumentException(
           s"$target is not a manifest table"))
-      val from = Layout.readFeedCursor(ctx.spark, target, consumer)
-        .getOrElse(0)
-      // appendsBetween validates the window's provenance eagerly —
-      // stage the ack only once it accepted the window
-      val df = Layout.appendsBetween(ctx.spark, target, from, live)
-      pendingAck = Some((target, live))
-      df
+      Layout.readFeedCursor(ctx.spark, target, consumer) match {
+        case Some(from) =>
+          // appendsBetween validates the window's provenance eagerly —
+          // stage the ack only once it accepted the window
+          val df = Layout.appendsBetween(ctx.spark, target, from, live)
+          pendingAck = Some((target, live))
+          df
+        case None =>
+          // a NEW consumer starts from the live snapshot (feedSince's
+          // first-pull semantics) — anchoring at version 0 would walk
+          // every historical version's metadata and permanently fail
+          // on any table whose early versions were already reaped
+          val df = Layout.readManifest(ctx.spark, target)
+          pendingAck = Some((target, live))
+          df
+      }
     } else {
       val (df, ack) = Layout.feedSince(ctx.spark, target, consumer)
       pendingAck = Some((target, ack))
@@ -266,6 +275,7 @@ final case class IvmSyncModel(
     kllCols: Seq[String] = Nil,
     sketchK: Int = 4096,
     consumer: Option[String] = None,
+    appendOnly: Boolean = false,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
 
@@ -274,7 +284,7 @@ final case class IvmSyncModel(
       if (graft.operators.Ivm.syncFromManifest(ctx.spark,
         ctx.render(path), ctx.render(tablePath), keys, sumCols,
         kmvCols = kmvCols, kllCols = kllCols, sketchK = sketchK,
-        consumer = consumer)) 1L
+        consumer = consumer, appendOnly = appendOnly)) 1L
       else 0L))
 }
 

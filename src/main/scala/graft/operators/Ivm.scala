@@ -207,6 +207,19 @@ object Ivm {
     * to the sync schedule's maximum lag) — a reaped-away window fails
     * loudly rather than silently skipping changes. Returns true when
     * the summary advanced, false when it was already current.
+    *
+    * `appendOnly = true` is the CALLER'S assertion that delta merges
+    * on this table never rewrite an existing key (fresh keys only).
+    * Under it, windows the manifest provenance proves delete- and
+    * rewrite-free fold through [[Layout.appendsBetween]] — reading
+    * only the appended generation dirs, ~10x cheaper per sync than the
+    * snapshot diff, widening with table size (FeedProbe) — while
+    * rewrite-bearing windows still take the always-correct
+    * [[Layout.manifestChanges]] diff. The assertion is required
+    * because a delta that UPDATES a key is indistinguishable from a
+    * fresh insert at the file level, and folding it as one would
+    * silently double-count; leave the default (false) for general CDC
+    * tables.
     */
   def syncFromManifest(spark: SparkSession, summaryPath: String,
                        tablePath: String, keys: Seq[String],
@@ -214,7 +227,8 @@ object Ivm {
                        kmvCols: Seq[String] = Nil,
                        kllCols: Seq[String] = Nil,
                        sketchK: Int = 4096,
-                       consumer: Option[String] = None): Boolean = {
+                       consumer: Option[String] = None,
+                       appendOnly: Boolean = false): Boolean = {
     val live = Layout.manifestVersion(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"$tablePath is not a manifest table; seed it with " +
@@ -233,21 +247,44 @@ object Ivm {
           keys, sumCols, batchId = live,
           kmvCols = kmvCols, kllCols = kllCols, sketchK = sketchK)
       case Some(v) if v >= live => false
-      // window provably APPEND-ONLY (each version's stored provenance,
-      // appendsBetweenOpt): fold just the appended rows — reads only
-      // the delta generation dirs, never resolving or diffing
-      // snapshots (FeedProbe: ~10x cheaper per increment than the
-      // changes diff, and the gap grows with the table). Sketch
-      // columns are safe here by construction: an append-only window
-      // carries no deletes to retract.
-      case Some(v) if Layout.appendsBetweenOpt(spark, tablePath,
-          v.toInt, live).isDefined =>
-        applyDelta(spark, summaryPath,
-          Layout.appendsBetween(spark, tablePath, v.toInt, live),
-          keys, sumCols, batchId = live,
-          kmvCols = kmvCols, kllCols = kllCols, sketchK = sketchK)
       case Some(v) =>
-        val feed = Layout.manifestChanges(spark, tablePath, v.toInt, live)
+        // the cheap appends route needs the CALLER'S `appendOnly`
+        // assertion on top of the structural check: provenance can
+        // prove a window delete-free and rewrite-free, but a delta
+        // that UPDATES an existing key looks identical to a fresh
+        // insert at the file level — folding it as one would
+        // double-count the key (the changes diff retracts the old row;
+        // raw delta files cannot). With the assertion AND a provably
+        // clean window, the fold reads only the appended generation
+        // dirs — never resolving or diffing snapshots (FeedProbe: ~10x
+        // per increment, widening with table size); sketch columns are
+        // safe there by construction (nothing to retract). Windows
+        // with rewrites fall back to the changes diff regardless.
+        val appends =
+          if (appendOnly)
+            Layout.appendsBetweenOpt(spark, tablePath, v.toInt, live)
+          else None
+        appends match {
+          case Some(appended) =>
+            applyDelta(spark, summaryPath, appended, keys, sumCols,
+              batchId = live, kmvCols = kmvCols, kllCols = kllCols,
+              sketchK = sketchK)
+          case None => foldChanges(spark, summaryPath, tablePath, keys,
+            sumCols, kmvCols, kllCols, sketchK, sketched, v.toInt, live)
+        }
+    }
+    // current through v`live` — even a no-op sync advances the cursor
+    // (the summary provably needs nothing older than the live version)
+    ack()
+    applied
+  }
+
+  private def foldChanges(spark: SparkSession, summaryPath: String,
+                          tablePath: String, keys: Seq[String],
+                          sumCols: Seq[String], kmvCols: Seq[String],
+                          kllCols: Seq[String], sketchK: Int,
+                          sketched: Boolean, v: Int, live: Int): Boolean = {
+        val feed = Layout.manifestChanges(spark, tablePath, v, live)
         if (!sketched)
           applyDelta(spark, summaryPath,
             feed.withColumn("__w",
@@ -272,10 +309,5 @@ object Ivm {
             batchId = live, kmvCols = kmvCols, kllCols = kllCols,
             sketchK = sketchK)
         }
-    }
-    // current through v`live` — even a no-op sync advances the cursor
-    // (the summary provably needs nothing older than the live version)
-    ack()
-    applied
   }
 }

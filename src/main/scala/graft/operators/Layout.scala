@@ -2185,9 +2185,18 @@ object Layout {
       df.select(toSchema.fields.toSeq.map(f =>
         (if (df.columns.contains(f.name)) col(f.name)
          else lit(null).cast(f.dataType)).as(f.name)): _*)
+    // each version's meta is read ONCE and threaded to the next
+    // iteration as its `prev` — 2N remote JSON reads would otherwise
+    // double the metadata round trips on every paced backfill batch
+    var prevMeta: Option[ManifestMeta] = None
     val perVersion: Seq[Either[String, Option[DataFrame]]] =
       ((fromVersion + 1) to toVersion).map { v =>
-        val m = readManifestMeta(spark, path, v)
+        val m =
+          if (v == toVersion) mTo else readManifestMeta(spark, path, v)
+        val prevOf = prevMeta // the (v-1) meta, read last iteration
+        prevMeta = Some(m)
+        def prev: ManifestMeta = prevOf.getOrElse(
+          readManifestMeta(spark, path, v - 1))
         val mAligned = m.copy(schemaDdl = mTo.schemaDdl)
         m.op match {
           case "seed" =>
@@ -2198,26 +2207,26 @@ object Layout {
               "carrying delete rows — the append-only feed cannot " +
               "represent them; consume manifestChanges/feedSince instead")
           case "delta" =>
-            val prev = readManifestMeta(spark, path, v - 1)
+            val p = prev
             val added = m.deltas.toSeq.sortBy(_._1).flatMap {
               case (rel, gens) =>
-                val old = prev.deltas.getOrElse(rel, Nil).toSet
+                val old = p.deltas.getOrElse(rel, Nil).toSet
                 gens.filterNot(old).map(rel -> _)
             }
             Right(if (added.isEmpty) None
             else Some(aligned(readDeltaRels(spark, path, mAligned, added)
               .drop(MorDel, MorSeq))))
           case "merge" =>
-            val prev = readManifestMeta(spark, path, v - 1)
-            val before = prev.entries.keySet ++ prev.deltas.keySet
+            val p = prev
+            val before = p.entries.keySet ++ p.deltas.keySet
             // a pre-existing partition was rewritten iff its STATE
             // changed — entry gen bumped, delta list folded/cleared, or
             // the partition removed outright; untouched partitions
             // (even ones still carrying pending deltas) are not
             // rewrites
             val rewritten = before.toSeq.sorted.filter(r =>
-              prev.entries.get(r) != m.entries.get(r) ||
-                prev.deltas.getOrElse(r, Nil) != m.deltas.getOrElse(r, Nil))
+              p.entries.get(r) != m.entries.get(r) ||
+                p.deltas.getOrElse(r, Nil) != m.deltas.getOrElse(r, Nil))
             if (rewritten.nonEmpty)
               Left(s"manifest feed of $path: version $v is a " +
                 s"copy-on-write merge that rewrote existing partition(s) " +
@@ -2691,19 +2700,25 @@ object Layout {
       srcDir = Some(tmpDir))
     val newBytes = bytesUnder(fc, tmpDir, produced)
     val newGens = inParallel(produced) { rel =>
-      // a new-scheme rel can collide with an existing dir only after a
-      // repartition BACK to a previous scheme — gen numbering and the
-      // orphan sweep handle it like any other writer
-      val g = m.nextGen(rel)
+      // a new-scheme rel can collide with an existing dir after a
+      // repartition BACK to a previous scheme — and those dirs may be
+      // REFERENCED by retained old versions (the live manifest's
+      // nextGen knows nothing about them), so deleting "orphans" here
+      // would corrupt time travel and pinned readers. Number ABOVE
+      // everything on disk instead and delete nothing: true orphans
+      // from crashed runs stay until reapManifest (which removes only
+      // unreferenced dirs, with retention consent).
       val partDir = new Path(s"$path/$rel")
       fc.mkdir(partDir,
         org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
-      fc.util.listStatus(partDir).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith("gen=") &&
-            n.drop(4).forall(_.isDigit) && n.drop(4).toInt >= g)
-          fc.delete(st.getPath, true)
+      val onDisk = fc.util.listStatus(partDir).collect {
+        case st if st.isDirectory &&
+            st.getPath.getName.startsWith("gen=") &&
+            st.getPath.getName.drop(4).forall(_.isDigit) =>
+          st.getPath.getName.drop(4).toInt
       }
+      val g = math.max(m.nextGen(rel),
+        (0 +: onDisk.toSeq).max + 1)
       fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
       rel -> g
     }.toMap

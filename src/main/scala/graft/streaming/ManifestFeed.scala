@@ -229,10 +229,17 @@ final class ManifestFeedProvider extends StreamSourceProvider
               s"$path is not a manifest table; seed it with " +
                 "writeManifestTable"))
         }
-        val out = fs.create(anchor, true)
+        // tmp + rename: a crash mid-write must leave NO anchor file
+        // (next start recomputes), never a truncated one a restart
+        // would misparse (the HDFSMetadataLog discipline)
+        val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+          "anchor.tmp")
+        val out = fs.create(tmp, true)
         try out.write(v.toString.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        require(fs.rename(tmp, anchor) || fs.exists(anchor),
+          s"could not publish the feed anchor at $anchor")
         v
       }
     new ManifestFeedSource(sqlContext, path, starting,

@@ -183,6 +183,28 @@ class IvmSpec extends SparkSpec {
     assert(Ivm.read(spark, dir + "_sums").count() == 2)
   }
 
+  test("syncFromManifest stays exact on update-bearing deltas: without " +
+      "the appendOnly assertion the changes diff retracts the old row") {
+    val dir = tmpDir("updsync")
+    val tab = tmpDir("updsync_tab")
+    import spark.implicits._
+    Layout.writeManifestTable(spark, tab,
+      Seq((1L, "a", 10.0, 1L)).toDF("id", "k", "v", "ver"), Seq("k"))
+    assert(Ivm.syncFromManifest(spark, dir, tab, Seq("k"), Seq("v")))
+    // a delta that UPDATES the existing key — structurally identical
+    // to a fresh insert (op=delta, no deletes), which is exactly why
+    // the cheap appends route needs the caller's assertion
+    Layout.mergeManifestDelta(spark, tab,
+      Seq((1L, "a", 20.0, 2L)).toDF("id", "k", "v", "ver"),
+      Seq("id"), "ver")
+    assert(Ivm.syncFromManifest(spark, dir, tab, Seq("k"), Seq("v")))
+    val got = Ivm.read(spark, dir).select("k", "n_rows", "sum_v")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).toSeq
+    assert(got == Seq(("a", 1L, 20.0)),
+      s"the update must retract the old row, not double-count: $got")
+  }
+
   test("syncFromManifest routes provably append-only windows through " +
       "the appends feed: base generations are never touched") {
     val dir = tmpDir("appsync")
@@ -193,7 +215,8 @@ class IvmSpec extends SparkSpec {
       Seq((1L, "a", 1.0, 1L), (2L, "b", 2.0, 1L))
         .toDF("id", "k", "v", "ver"), Seq("k"))
     assert(Ivm.syncFromManifest(spark, dir, tab, Seq("k"), Seq("v"),
-      kmvCols = Seq("id"), sketchK = 16))                     // seed @ v1
+      kmvCols = Seq("id"), sketchK = 16,
+      appendOnly = true))                                     // seed @ v1
     // two delta appends (fresh keys) + a fold-free window
     Layout.mergeManifestDelta(spark, tab,
       Seq((3L, "a", 3.0, 2L)).toDF("id", "k", "v", "ver"), Seq("id"), "ver")
@@ -212,7 +235,7 @@ class IvmSpec extends SparkSpec {
     }
     try {
       assert(Ivm.syncFromManifest(spark, dir, tab, Seq("k"), Seq("v"),
-        kmvCols = Seq("id"), sketchK = 16))
+        kmvCols = Seq("id"), sketchK = 16, appendOnly = true))
     } finally hidden.foreach { case (from, to) =>
       assert(to.renameTo(from), "fixture restore failed")
     }
