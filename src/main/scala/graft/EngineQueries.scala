@@ -1380,6 +1380,61 @@ object EngineQueries {
         col("ver"))
     }),
 
+    // Full-CDC streaming replication (manifest-feed mode=changes →
+    // manifest sink with changeTypeCol): the source table takes
+    // UPDATES and DELETES via copy-on-write merges — the shapes the
+    // append feed refuses by contract — and the replica follows them
+    // as net _change_type rows, with nothing but format strings
+    // between the tables. Drained twice around the second merge (the
+    // restart path); the replica must hash-match the post-CDC
+    // arithmetic with deleted keys gone.
+    "m66_manifest_cdc_replication" -> ((s, dir) => {
+      import graft.operators.Layout
+      val base = tmp("cdcrepl")
+      val src = s"$base/src"
+      val dst = s"$base/dst"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, src, seed, Seq("o_year"))
+      Layout.writeManifestTable(s, dst, seed, Seq("o_year"))
+      def drain(): Unit = {
+        val q = s.readStream.format("manifest-feed")
+          .option("path", src).option("mode", "changes")
+          .option("startingVersion", "1").load()
+          .writeStream.format("manifest")
+          .option("path", dst)
+          .option("keys", "o_orderkey").option("versionCol", "ver")
+          .option("changeTypeCol", "_change_type")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // v2: update keys %10 (+100) AND delete keys %13 — one batch
+      Layout.mergeManifest(s, src,
+        seed.filter(pmod(col("o_orderkey"), lit(10)) === 0 ||
+            pmod(col("o_orderkey"), lit(13)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("ver", lit(2L))
+          .withColumn("del", pmod(col("o_orderkey"), lit(13)) === 0),
+        Seq("o_orderkey"), "ver", deleteCol = Some("del"))
+      drain()
+      // v3: update the surviving %17 keys (+7), applied on the CURRENT
+      // table so deleted keys stay deleted
+      Layout.mergeManifest(s, src,
+        Layout.readManifest(s, src)
+          .filter(pmod(col("o_orderkey"), lit(17)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 7)
+          .withColumn("ver", lit(3L)),
+        Seq("o_orderkey"), "ver")
+      drain() // restart from the checkpoint
+      Layout.readManifest(s, dst).select(col("o_orderkey"),
+        col("o_year").cast("int").as("o_year"), col("o_totalprice"),
+        col("ver"))
+    }),
+
     // Partition-spec change (Layout.repartitionManifest): the orders
     // manifest re-partitions from year to key band behind ONE snapshot
     // publish — a pending merge-on-read delta folds into the rewrite,
@@ -2439,6 +2494,19 @@ object EngineQueries {
     // cursor consumption defines (m57's oracle verbatim — the sharing
     // IS the claim)
     "m59_dsl_feed_job" -> feedOracle,
+    // the CDC replica equals the post-merge source: updates applied in
+    // order, deleted keys gone (same arithmetic on both engines — a
+    // missed delete or a double-applied update breaks the hash)
+    "m66_manifest_cdc_replication" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice
+             + CASE WHEN o_orderkey % 10 = 0 THEN 100 ELSE 0 END
+             + CASE WHEN o_orderkey % 17 = 0 THEN 7 ELSE 0 END
+             AS o_totalprice,
+           CASE WHEN o_orderkey % 17 = 0 THEN CAST(3 AS BIGINT)
+                WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders WHERE o_orderkey % 13 <> 0""",
     // the replica is exactly the source table (seed slice + two
     // streamed delta slices partition the key space; same arithmetic
     // on both engines)

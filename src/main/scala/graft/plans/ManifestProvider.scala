@@ -64,7 +64,12 @@ final class ManifestProvider extends RelationProvider
     * partitioning, so auto-seeding from an arbitrary first batch would
     * silently decide the table's layout). Options: `path`, `keys`
     * (comma-separated), `versionCol` (required); `deleteCol` for CDC
-    * tombstones; `mor` (default true — merge-on-read delta appends,
+    * tombstones, or `changeTypeCol` when the stream carries
+    * `_change_type` insert/delete tags (the `manifest-feed
+    * mode=changes` shape — the sink derives the delete flag and drops
+    * the tag, so full-CDC table-to-table replication needs no code
+    * between the format strings); `mor` (default true — merge-on-read
+    * delta appends,
     * the right cost shape for trickle batches; false = copy-on-write);
     * `foldEvery` (N — fold pending deltas after every Nth batch). The
     * checkpoint's micro-batch id rides into the manifest's `sinkBatch`
@@ -93,6 +98,14 @@ final class ManifestProvider extends RelationProvider
       throw new IllegalArgumentException(
         "manifest sink needs .option(\"versionCol\", <col>)"))
     val deleteCol = opt(parameters, "deleteCol")
+    // a CDC stream (manifest-feed mode=changes) tags rows with
+    // _change_type instead of a boolean flag: changeTypeCol derives
+    // the delete flag in the sink, so full-CDC replication stays a
+    // pure format-string pipeline
+    val changeTypeCol = opt(parameters, "changeTypeCol")
+    require(deleteCol.isEmpty || changeTypeCol.isEmpty,
+      "deleteCol and changeTypeCol are exclusive (a boolean flag " +
+        "column vs a _change_type insert/delete tag)")
     val mor = opt(parameters, "mor").forall(_.toBoolean)
     val foldEvery = opt(parameters, "foldEvery").map(_.toInt).getOrElse(0)
     require(foldEvery == 0 || mor,
@@ -107,19 +120,29 @@ final class ManifestProvider extends RelationProvider
             "seed fixes the partitioning)")
         // re-wrap: addBatch's frame supports one action, a merge needs
         // several (see StreamingShim.batchFrame)
-        val batch = org.apache.spark.sql.graftshim.StreamingShim
+        val raw = org.apache.spark.sql.graftshim.StreamingShim
           .batchFrame(spark, data.queryExecution.toRdd, data.schema)
+        // _change_type -> boolean delete flag, tag column dropped (it
+        // is not a table column and the merge's schema contract would
+        // reject it)
+        val (batch, delCol) = changeTypeCol match {
+          case Some(ct) =>
+            (raw.withColumn("__ct_del",
+              org.apache.spark.sql.functions.col(ct) === "delete")
+              .drop(ct), Some("__ct_del"))
+          case None => (raw, deleteCol)
+        }
         if (!batch.isEmpty) {
           if (mor) {
             Layout.mergeManifestDelta(spark, path, batch, keys,
-              versionCol, deleteCol = deleteCol, batchId = batchId)
+              versionCol, deleteCol = delCol, batchId = batchId)
             if (foldEvery > 0 && (batchId + 1) % foldEvery == 0) {
               Layout.foldManifestDeltas(spark, path)
               ()
             }
           } else {
             Layout.mergeManifest(spark, path, batch, keys, versionCol,
-              deleteCol = deleteCol, batchId = batchId)
+              deleteCol = delCol, batchId = batchId)
             ()
           }
         }

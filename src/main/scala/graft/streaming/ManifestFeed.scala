@@ -35,9 +35,15 @@ import graft.operators.Layout
   *    retention floor that would strand this stream. Without it, size
   *    `keepVersions` to the stream's maximum lag.
   *
-  * Options: `path` (required); `startingVersion` — an integer version,
-  * `"earliest"` (= 0: emit the seed snapshot, then follow), or absent
-  * (= the live version when the query starts: new appends only);
+  * Options: `path` (required); `mode` — `"appends"` (default: the
+  * O(|new rows|) append-only contract above) or `"changes"` (full
+  * CDC: each batch is the NET `_change_type` insert/delete rows
+  * between its endpoint snapshots via [[graft.operators.Layout
+  * .manifestChanges]] — rewrites, updates and deletes are first-class,
+  * at snapshot-diff cost bounded by the changed partitions; a window
+  * anchored at `earliest` ships the snapshot as inserts first);
+  * `startingVersion` — an integer version, `"earliest"` (= 0), or
+  * absent (= the live version when the query starts);
   * `consumer` — ack a feed cursor on batch commit;
   * `maxVersionsPerTrigger` — cap each micro-batch's version window so
   * a backfill over a long history replays as bounded batches (each
@@ -57,17 +63,28 @@ import graft.operators.Layout
 final class ManifestFeedSource(sqlContext: SQLContext, path: String,
                                startingVersion: Int,
                                consumer: Option[String],
-                               maxVersionsPerTrigger: Option[Int] = None)
+                               maxVersionsPerTrigger: Option[Int] = None,
+                               mode: String = "appends")
     extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
   maxVersionsPerTrigger.foreach(n => require(n > 0,
     s"maxVersionsPerTrigger must be positive (got $n)"))
+  require(mode == "appends" || mode == "changes",
+    s"manifest-feed mode must be 'appends' (append-only contract, " +
+      s"O(|new rows|) per batch) or 'changes' (full CDC: net " +
+      s"_change_type insert/delete rows via snapshot diffs); got '$mode'")
 
   private val spark = sqlContext.sparkSession
 
-  override val schema: StructType = ManifestFeedSource.liveSchema(spark, path)
+  override val schema: StructType = {
+    val base = ManifestFeedSource.liveSchema(spark, path)
+    if (mode == "changes")
+      StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+        "_change_type", org.apache.spark.sql.types.StringType))
+    else base
+  }
 
   private def versionOf(o: Offset): Int = o match {
     case l: LongOffset => l.offset.toInt
@@ -128,7 +145,22 @@ final class ManifestFeedSource(sqlContext: SQLContext, path: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val from = start.map(versionOf).getOrElse(startingVersion)
-    val raw = Layout.appendsBetween(spark, path, from, versionOf(end))
+    val to = versionOf(end)
+    val raw =
+      if (mode == "changes") {
+        // full CDC: net insert/delete rows between the window's
+        // endpoint snapshots — rewrites and deletes are first-class
+        // here (the appends contract does not apply). A window
+        // anchored at 0 ships the end snapshot as inserts
+        // (snapshot-then-follow).
+        if (from >= to)
+          Layout.readManifestVersion(spark, path, to).limit(0)
+            .withColumn("_change_type", lit("insert"))
+        else if (from == 0)
+          Layout.readManifestVersion(spark, path, to)
+            .withColumn("_change_type", lit("insert"))
+        else Layout.manifestChanges(spark, path, from, to)
+      } else Layout.appendsBetween(spark, path, from, to)
     // align every window to the source's declared schema (pinned at
     // query start): columns a mid-stream evolution added stay out
     // until the query restarts, and — after a restart with an EVOLVED
@@ -190,9 +222,13 @@ final class ManifestFeedProvider extends StreamSourceProvider
     require(schema.isEmpty,
       "manifest-feed is self-describing: drop the .schema(...) call " +
         "(the manifest stores the table schema)")
+    val base = ManifestFeedSource.liveSchema(sqlContext.sparkSession,
+      pathOf(parameters))
     (shortName(),
-      ManifestFeedSource.liveSchema(sqlContext.sparkSession,
-        pathOf(parameters)))
+      if (opt(parameters, "mode").contains("changes"))
+        StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType))
+      else base)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -244,6 +280,7 @@ final class ManifestFeedProvider extends StreamSourceProvider
       }
     new ManifestFeedSource(sqlContext, path, starting,
       opt(parameters, "consumer"),
-      opt(parameters, "maxVersionsPerTrigger").map(_.toInt))
+      opt(parameters, "maxVersionsPerTrigger").map(_.toInt),
+      opt(parameters, "mode").getOrElse("appends"))
   }
 }

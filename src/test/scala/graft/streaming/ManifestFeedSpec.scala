@@ -295,6 +295,62 @@ class ManifestFeedSpec extends SparkSpec {
       .exists(_.contains("writeManifestTable"))), e1.getMessage)
   }
 
+  test("mode=changes + changeTypeCol: full-CDC replication with " +
+      "updates and deletes, pure format strings") {
+    import spark.implicits._
+    val src = tmpDir("cdc_src")
+    val dst = tmpDir("cdc_dst")
+    val ckpt = tmpDir("cdc_ckpt")
+    seedTable(src)   // k=1..4, v = 10/20/30/40, ver 1
+    Layout.writeManifestTable(spark, dst,
+      Layout.readManifest(spark, src), Seq("part"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("manifest-feed")
+        .option("path", src).option("mode", "changes")
+        .option("startingVersion", "1").load()
+        .writeStream.format("manifest")
+        .option("path", dst)
+        .option("keys", "k").option("versionCol", "ver")
+        .option("changeTypeCol", "_change_type")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // UPDATE k=1, DELETE k=3, INSERT k=5 — a copy-on-write merge the
+    // appends mode would refuse; the changes mode is built for it
+    Layout.mergeManifest(spark, src,
+      Seq((1L, "a", 11.0, 2L, false), (3L, "b", 0.0, 2L, true),
+        (5L, "d", 50.0, 2L, false))
+        .toDF("k", "part", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))
+    drain()
+    def table(p: String): Map[Long, Double] =
+      Layout.readManifest(spark, p).select("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(table(dst) == Map(1L -> 11.0, 2L -> 20.0, 4L -> 40.0,
+      5L -> 50.0), table(dst))
+    // a second round across a restart: pure delete + pure update
+    Layout.mergeManifest(spark, src,
+      Seq((2L, "a", 0.0, 3L, true), (4L, "c", 44.0, 3L, false))
+        .toDF("k", "part", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))
+    drain()
+    assert(table(dst) == table(src) &&
+      table(dst) == Map(1L -> 11.0, 4L -> 44.0, 5L -> 50.0), table(dst))
+    // deleteCol and changeTypeCol refuse to combine
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("manifest-feed")
+        .option("path", src).option("mode", "changes").load()
+        .writeStream.format("manifest")
+        .option("path", dst).option("keys", "k")
+        .option("versionCol", "ver")
+        .option("changeTypeCol", "_change_type")
+        .option("deleteCol", "x")
+        .option("checkpointLocation", tmpDir("cdc_ck2"))
+        .trigger(Trigger.AvailableNow()).start()
+    }
+  }
+
   test("manifest-feed: an explicit startingVersion excludes prior " +
       "versions; self-describing schema refuses .schema()") {
     val dir = tmpDir("fromnow")
