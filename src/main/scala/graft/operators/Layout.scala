@@ -1045,6 +1045,31 @@ object Layout {
     fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Next generation number for `rel` that collides with NOTHING:
+    * above the live manifest's references AND every `gen=` dir on
+    * disk. The on-disk bound is load-bearing — a dir the LIVE manifest
+    * no longer references may still belong to a RETAINED version (a
+    * fully-deleted partition that re-appears, a partition scheme
+    * repartitioned back to), and sweeping or reusing its number
+    * silently corrupts time travel and pinned readers (caught live:
+    * a delete-then-reinsert of a partition's last key rewrote the old
+    * snapshot's data in place). Crashed-run orphans are simply
+    * numbered past; [[reapManifest]] removes them with retention
+    * consent. */
+  private def nextGenOnDisk(fc: FileContext, path: String,
+                            m: ManifestMeta, rel: String): Int = {
+    val partDir = new Path(s"$path/$rel")
+    val onDisk =
+      if (!fc.util.exists(partDir)) Nil
+      else fc.util.listStatus(partDir).toSeq.collect {
+        case st if st.isDirectory &&
+            st.getPath.getName.startsWith("gen=") &&
+            st.getPath.getName.drop(4).forall(_.isDigit) =>
+          st.getPath.getName.drop(4).toInt
+      }
+    math.max(m.nextGen(rel), (0 +: onDisk).max + 1)
+  }
+
   /** Leaf partition rel-paths (`a=1/b=2`) under `p`. */
   private def listPartitionRels(fc: FileContext, p: Path): Seq[String] = {
     def rec(q: Path, prefix: String): Seq[String] = {
@@ -1755,19 +1780,11 @@ object Layout {
       srcDir = Some(tmpDir))
     val newBytes = bytesUnder(fc, tmpDir, produced)
     val newGens = inParallel(produced) { rel =>
-      // above base AND pending deltas — the orphan sweep below must
-      // never touch a published delta dir
-      val g = m.nextGen(rel)
-      val partDir = new Path(s"$path/$rel")
-      // crashed prior merges may have left orphan gens above the live
-      // one — never published, safe to clear before landing ours
-      if (fc.util.exists(partDir))
-        fc.util.listStatus(partDir).foreach { st =>
-          val n = st.getPath.getName
-          if (st.isDirectory && n.startsWith("gen=") &&
-              n.drop(4).forall(_.isDigit) && n.drop(4).toInt >= g)
-            fc.delete(st.getPath, true)
-        }
+      // collision-free above the manifest AND the disk (see
+      // nextGenOnDisk — a rel absent from the LIVE manifest may still
+      // have dirs retained versions reference; never sweep, never
+      // reuse); crashed-run orphans are numbered past and reaped later
+      val g = nextGenOnDisk(fc, path, m, rel)
       val dst = new Path(s"$path/$rel/gen=$g")
       fc.mkdir(dst.getParent,
         org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
@@ -1957,15 +1974,7 @@ object Layout {
     val deltaBlooms = bloomsFor(spark, path, m, Map.empty,
       srcDir = Some(tmpDir))
     val newDeltaGens = inParallel(produced) { rel =>
-      val g = m.nextGen(rel)
-      val partDir = new Path(s"$path/$rel")
-      if (fc.util.exists(partDir))
-        fc.util.listStatus(partDir).foreach { st =>
-          val n = st.getPath.getName
-          if (st.isDirectory && n.startsWith("gen=") &&
-              n.drop(4).forall(_.isDigit) && n.drop(4).toInt >= g)
-            fc.delete(st.getPath, true)
-        }
+      val g = nextGenOnDisk(fc, path, m, rel)
       val dst = new Path(s"$path/$rel/gen=$g")
       fc.mkdir(dst.getParent,
         org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
@@ -2039,14 +2048,7 @@ object Layout {
         srcDir = Some(tmpDir))
       val newBytes = bytesUnder(fc, tmpDir, produced)
       val newGens = inParallel(produced) { rel =>
-        val g = m.nextGen(rel)
-        val partDir = new Path(s"$path/$rel")
-        fc.util.listStatus(partDir).foreach { st =>
-          val n = st.getPath.getName
-          if (st.isDirectory && n.startsWith("gen=") &&
-              n.drop(4).forall(_.isDigit) && n.drop(4).toInt >= g)
-            fc.delete(st.getPath, true)
-        }
+        val g = nextGenOnDisk(fc, path, m, rel)
         fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
         rel -> g
       }.toMap
@@ -2601,18 +2603,10 @@ object Layout {
           s"${unexpected.mkString(",")} outside the selected set — " +
           "partition rendering mismatch")
       val newGens = inParallel(produced) { rel =>
-        // above base AND pending deltas (they stay pending on top of
-        // the compacted base — base rows keep resolution seq 0)
-        val g = m.nextGen(rel)
-        val partDir = new Path(s"$path/$rel")
-        // orphan gens at-or-above ours (crashed prior maintenance):
-        // never published, safe to clear before landing
-        fc.util.listStatus(partDir).foreach { st =>
-          val n = st.getPath.getName
-          if (st.isDirectory && n.startsWith("gen=") &&
-              n.drop(4).forall(_.isDigit) && n.drop(4).toInt >= g)
-            fc.delete(st.getPath, true)
-        }
+        // collision-free above manifest and disk (pending deltas stay
+        // pending on top of the compacted base — base rows keep
+        // resolution seq 0)
+        val g = nextGenOnDisk(fc, path, m, rel)
         fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
         rel -> g
       }.toMap
@@ -2700,25 +2694,12 @@ object Layout {
       srcDir = Some(tmpDir))
     val newBytes = bytesUnder(fc, tmpDir, produced)
     val newGens = inParallel(produced) { rel =>
-      // a new-scheme rel can collide with an existing dir after a
-      // repartition BACK to a previous scheme — and those dirs may be
-      // REFERENCED by retained old versions (the live manifest's
-      // nextGen knows nothing about them), so deleting "orphans" here
-      // would corrupt time travel and pinned readers. Number ABOVE
-      // everything on disk instead and delete nothing: true orphans
-      // from crashed runs stay until reapManifest (which removes only
-      // unreferenced dirs, with retention consent).
-      val partDir = new Path(s"$path/$rel")
-      fc.mkdir(partDir,
+      // collision-free above manifest and disk (nextGenOnDisk): a
+      // repartition BACK to a previous scheme lands beside dirs that
+      // retained old versions still reference — never sweep them
+      val g = nextGenOnDisk(fc, path, m, rel)
+      fc.mkdir(new Path(s"$path/$rel"),
         org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
-      val onDisk = fc.util.listStatus(partDir).collect {
-        case st if st.isDirectory &&
-            st.getPath.getName.startsWith("gen=") &&
-            st.getPath.getName.drop(4).forall(_.isDigit) =>
-          st.getPath.getName.drop(4).toInt
-      }
-      val g = math.max(m.nextGen(rel),
-        (0 +: onDisk.toSeq).max + 1)
       fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
       rel -> g
     }.toMap

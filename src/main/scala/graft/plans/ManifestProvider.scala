@@ -106,7 +106,18 @@ final class ManifestProvider extends RelationProvider
     require(deleteCol.isEmpty || changeTypeCol.isEmpty,
       "deleteCol and changeTypeCol are exclusive (a boolean flag " +
         "column vs a _change_type insert/delete tag)")
-    val mor = opt(parameters, "mor").forall(_.toBoolean)
+    // net-diff application (changeTypeCol) must be COPY-ON-WRITE: the
+    // sequenced delete-then-insert halves only sequence when the first
+    // MATERIALIZES before the second reads — merge-on-read resolution
+    // is version-ordered across all pending deltas, so a re-inserted
+    // key with a lower version would lose to its own before-image
+    require(changeTypeCol.isEmpty ||
+        !opt(parameters, "mor").exists(_.toBoolean),
+      "changeTypeCol batches apply as sequenced copy-on-write merges " +
+        "(merge-on-read cannot order a net diff's delete-then-" +
+        "reinsert); drop mor=true")
+    val mor = changeTypeCol.isEmpty &&
+      opt(parameters, "mor").forall(_.toBoolean)
     val foldEvery = opt(parameters, "foldEvery").map(_.toInt).getOrElse(0)
     require(foldEvery == 0 || mor,
       "foldEvery is the merge-on-read fold cadence; it needs mor=true")
@@ -122,29 +133,54 @@ final class ManifestProvider extends RelationProvider
         // several (see StreamingShim.batchFrame)
         val raw = org.apache.spark.sql.graftshim.StreamingShim
           .batchFrame(spark, data.queryExecution.toRdd, data.schema)
-        // _change_type -> boolean delete flag, tag column dropped (it
-        // is not a table column and the merge's schema contract would
-        // reject it)
-        val (batch, delCol) = changeTypeCol match {
-          case Some(ct) =>
-            (raw.withColumn("__ct_del",
-              org.apache.spark.sql.functions.col(ct) === "delete")
-              .drop(ct), Some("__ct_del"))
-          case None => (raw, deleteCol)
-        }
-        if (!batch.isEmpty) {
+        def merge(b: org.apache.spark.sql.DataFrame,
+                  dCol: Option[String], id: Long): Unit =
           if (mor) {
-            Layout.mergeManifestDelta(spark, path, batch, keys,
-              versionCol, deleteCol = delCol, batchId = batchId)
-            if (foldEvery > 0 && (batchId + 1) % foldEvery == 0) {
-              Layout.foldManifestDeltas(spark, path)
-              ()
-            }
+            Layout.mergeManifestDelta(spark, path, b, keys,
+              versionCol, deleteCol = dCol, batchId = id)
+            ()
           } else {
-            Layout.mergeManifest(spark, path, batch, keys, versionCol,
-              deleteCol = delCol, batchId = batchId)
+            Layout.mergeManifest(spark, path, b, keys, versionCol,
+              deleteCol = dCol, batchId = id)
             ()
           }
+        changeTypeCol match {
+          case Some(ct) =>
+            // net-diff application is SEQUENCED: deletes (the window's
+            // before-images) first, then inserts (its after-images) —
+            // the only order under which delete+re-insert of a key
+            // lands as REPLACE. A single version-ordered merge cannot
+            // express it: the diff's per-key sequencing is not encoded
+            // in versionCol, so a re-insert carrying a LOWER version
+            // than the row it replaces would lose to both the batch's
+            // delete row and the replica's existing row. Each half
+            // carries its own monotone sink id (2i, 2i+1), so a crash
+            // between the halves replays exactly the missing one.
+            // Tags outside insert|delete (a foreign CDF's
+            // update_pre/postimage, a typo, a null) fail loudly
+            // in-plan instead of applying as upserts.
+            import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
+            val checked = raw.withColumn(ct,
+              when(col(ct).isin("insert", "delete"), col(ct))
+                .otherwise(raise_error(concat(
+                  lit("manifest sink changeTypeCol: unknown tag '"),
+                  col(ct),
+                  lit("' — expected insert|delete (net-diff feeds " +
+                    "only; pre/post-image CDF shapes need reduction " +
+                    "upstream)")))))
+            val dels = checked.filter(col(ct) === "delete").drop(ct)
+              .withColumn("__ct_del", lit(true))
+            val ins = checked.filter(col(ct) === "insert").drop(ct)
+            if (!dels.isEmpty)
+              merge(dels, Some("__ct_del"), 2 * batchId)
+            if (!ins.isEmpty)
+              merge(ins, None, 2 * batchId + 1)
+          case None =>
+            if (!raw.isEmpty) merge(raw, deleteCol, batchId)
+        }
+        if (mor && foldEvery > 0 && (batchId + 1) % foldEvery == 0) {
+          Layout.foldManifestDeltas(spark, path)
+          ()
         }
       }
       override def toString: String = s"ManifestSink[$path]"

@@ -80,9 +80,7 @@ final class ManifestFeedSource(sqlContext: SQLContext, path: String,
 
   override val schema: StructType = {
     val base = ManifestFeedSource.liveSchema(spark, path)
-    if (mode == "changes")
-      StructType(base.fields :+ org.apache.spark.sql.types.StructField(
-        "_change_type", org.apache.spark.sql.types.StringType))
+    if (mode == "changes") ManifestFeedSource.withChangeType(base)
     else base
   }
 
@@ -152,10 +150,12 @@ final class ManifestFeedSource(sqlContext: SQLContext, path: String,
         // endpoint snapshots — rewrites and deletes are first-class
         // here (the appends contract does not apply). A window
         // anchored at 0 ships the end snapshot as inserts
-        // (snapshot-then-follow).
+        // (snapshot-then-follow). An empty replay window builds its
+        // zero-row frame from the PINNED schema — no meta read, no
+        // existence checks, and retention cannot fail it.
         if (from >= to)
-          Layout.readManifestVersion(spark, path, to).limit(0)
-            .withColumn("_change_type", lit("insert"))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else if (from == 0)
           Layout.readManifestVersion(spark, path, to)
             .withColumn("_change_type", lit("insert"))
@@ -195,6 +195,13 @@ object ManifestFeedSource {
         s"$path is not a manifest table; seed it with writeManifestTable"))
     Layout.manifestSchema(Layout.readManifestMeta(spark, path, v))
   }
+
+  /** The `mode=changes` schema: the table's columns plus the
+    * `_change_type` tag — ONE definition, shared by the provider's
+    * sourceSchema and the source's own schema so they cannot drift. */
+  private[streaming] def withChangeType(base: StructType): StructType =
+    StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+      "_change_type", org.apache.spark.sql.types.StringType))
 }
 
 /** Registration seam for the `manifest-feed` source (wired through
@@ -226,8 +233,7 @@ final class ManifestFeedProvider extends StreamSourceProvider
       pathOf(parameters))
     (shortName(),
       if (opt(parameters, "mode").contains("changes"))
-        StructType(base.fields :+ org.apache.spark.sql.types.StructField(
-          "_change_type", org.apache.spark.sql.types.StringType))
+        ManifestFeedSource.withChangeType(base)
       else base)
   }
 

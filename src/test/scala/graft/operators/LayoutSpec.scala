@@ -481,13 +481,21 @@ class LayoutSpec extends SparkSpec {
     Layout.mergeManifest(spark, dir,
       Seq((2L, "a", 22.0, 3L, false)).toDF("k", "part", "v", "ver", "del"),
       Seq("k"), "ver", deleteCol = Some("del"))
-    assert(!orphan.exists(), "orphan generation cleared by the next merge")
+    // the orphan is NUMBERED PAST, never swept by a writer: a dir the
+    // live manifest doesn't reference can belong to a retained version
+    // (the fully-deleted-partition re-insert corruption) — only
+    // reapManifest, with retention consent, may delete it. It stays
+    // invisible to every read meanwhile.
+    assert(orphan.exists(),
+      "writers must not sweep unreferenced dirs (retained versions " +
+        "may own them); reap handles orphans")
     assert(snap(Layout.readManifest(spark, dir)) == want + (2L -> 22.0))
-    // reap: superseded gens + the deleted partition's remains go; the
-    // live snapshot is untouched
+    // reap: superseded gens, the deleted partition's remains AND the
+    // crash orphan go; the live snapshot is untouched
     val reaped = Layout.reapManifest(spark, dir)
     assert(reaped.exists(_.startsWith("part=b")), reaped.mkString(","))
     assert(reaped.exists(_.contains("gen=1")), reaped.mkString(","))
+    assert(!orphan.exists(), "reap clears the crash orphan")
     assert(snap(Layout.readManifest(spark, dir)) == want + (2L -> 22.0))
     // time travel below the live version is gone after reap
     intercept[IllegalArgumentException] {
@@ -502,6 +510,38 @@ class LayoutSpec extends SparkSpec {
         Seq("k"), "ver", deleteCol = Some("del"))
     }
     assert(lock.delete())
+  }
+
+  test("re-creating a fully-deleted partition never touches the " +
+      "generations retained versions reference") {
+    import spark.implicits._
+    val dir = tmpDir("reinsert")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))          // v1
+    Layout.mergeManifest(spark, dir,
+      Seq((2L, "b", 0.0, 2L, true)).toDF("k", "part", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))               // v2: b gone
+    // re-insert into b: the live manifest has no entry for part=b, so
+    // a reference-blind nextGen would land on gen=1 and (before the
+    // fix) SWEEP the dir v1 still references — silently rewriting v1's
+    // snapshot in place
+    Layout.mergeManifest(spark, dir,
+      Seq((3L, "b", 33.0, 3L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")                                        // v3
+    def rows(v: Int): Set[(Long, Double)] =
+      Layout.readManifestVersion(spark, dir, v)
+        .filter(col("part") === "b").select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows(1) == Set((2L, 20.0)),
+      s"v1's snapshot must survive the partition re-insert: ${rows(1)}")
+    assert(rows(2) == Set.empty[(Long, Double)])
+    assert(rows(3) == Set((3L, 33.0)))
+    // the change feed across the window stays exact
+    val feed = Layout.manifestChanges(spark, dir, 1, 3).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type")))
+      .toSet
+    assert(feed == Set((2L, "delete"), (3L, "insert")), feed.toString)
   }
 
   test("manifest read prunes on the partition column (directory-level)") {

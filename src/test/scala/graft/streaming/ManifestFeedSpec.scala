@@ -337,6 +337,22 @@ class ManifestFeedSpec extends SparkSpec {
     drain()
     assert(table(dst) == table(src) &&
       table(dst) == Map(1L -> 11.0, 4L -> 44.0, 5L -> 50.0), table(dst))
+    // the NET-DIFF invariant: delete k=5 (ver 2) then RE-INSERT it
+    // with a LOWER version in the same window — the diff emits
+    // delete(ver=2) + insert(ver=1), and a version-ordered merge alone
+    // would let the delete win; the sink must keep the key because the
+    // batch contains an insert for it
+    Layout.mergeManifest(spark, src,
+      Seq((5L, "d", 0.0, 4L, true)).toDF("k", "part", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))
+    Layout.mergeManifest(spark, src,
+      Seq((5L, "d", 55.0, 1L, false))
+        .toDF("k", "part", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))
+    drain()
+    assert(table(dst) == table(src) &&
+      table(dst).get(5L).contains(55.0),
+      s"re-inserted key must survive its own before-image: ${table(dst)}")
     // deleteCol and changeTypeCol refuse to combine
     intercept[IllegalArgumentException] {
       spark.readStream.format("manifest-feed")
