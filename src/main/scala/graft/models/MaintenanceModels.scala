@@ -181,8 +181,13 @@ final case class ManifestFeedModel(
           // a NEW consumer starts from the live snapshot (feedSince's
           // first-pull semantics) — anchoring at version 0 would walk
           // every historical version's metadata and permanently fail
-          // on any table whose early versions were already reaped
-          val df = Layout.readManifest(ctx.spark, target)
+          // on any table whose early versions were already reaped.
+          // Pin the read to the CAPTURED version: readManifest would
+          // re-resolve the live pointer, and a publish racing between
+          // the two reads would make the emitted snapshot newer than
+          // the staged ack — the next run would re-emit those rows as
+          // duplicates into an append-only sink.
+          val df = Layout.readManifestVersion(ctx.spark, target, live)
           pendingAck = Some((target, live))
           df
       }

@@ -293,7 +293,8 @@ object Layout {
     */
   private def latestWins(b: DataFrame, u: DataFrame, keys: Seq[String],
                          versionCol: String,
-                         deleteCol: Option[String]): DataFrame = {
+                         deleteCol: Option[String],
+                         forceWins: Boolean = false): DataFrame = {
     // loud schema contract (CDC pipelines hit schema drift constantly):
     // the update batch must carry EVERY base column — a missing one
     // would otherwise surface as a raw resolver error — and must not
@@ -321,9 +322,15 @@ object Layout {
       .unionByName(u.withColumn("__del", coalesce(del, lit(false)))
         .select((cols.map(col) :+ col("__del")): _*)
         .withColumn("__src", lit(1)))
+    // forceWins: the batch is AUTHORITATIVE — its rows outrank the
+    // base regardless of versionCol (a net snapshot diff re-creating a
+    // key with a LOWER version must still replace the base row); within
+    // the batch versionCol still breaks ties. Default: versionCol
+    // dominates, update wins ties (idempotent CDC latest-wins).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__src").desc)
+      .orderBy((if (forceWins) Seq(col("__src").desc, col(versionCol).desc)
+                else Seq(col(versionCol).desc, col("__src").desc)): _*)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col("__del"))
       .drop("__rn", "__src", "__del")
@@ -651,15 +658,22 @@ object Layout {
       // consumers can refuse delete-bearing versions structurally,
       // without re-scanning any file.
       opDeletes: Boolean = false,
-      // highest STREAMING-SINK micro-batch id applied to this table
-      // (-1 = none): mergeManifest/mergeManifestDelta with a batchId
-      // refuse an id at or below it, so a checkpoint-replayed
-      // foreachBatch is a loud no-op instead of a duplicate delta
-      // generation that a feed consumer would re-emit (the Ivm
-      // _IVM_BATCH discipline at the table level). Carried forward by
-      // unmanaged publishes (fold/compact/evolve and batchId-less
-      // merges).
-      sinkBatch: Long = -1L) {
+      // highest STREAMING-SINK micro-batch id applied to this table,
+      // per sink NAMESPACE ("" = the default): mergeManifest/
+      // mergeManifestDelta with a batchId treat an id EQUAL to its
+      // namespace's marker as a checkpoint replay (quiet no-op) and an
+      // id BELOW it as an id-scheme regression — a fresh checkpoint
+      // pointed at an existing table, a second writer sharing the
+      // namespace, a reconfigured query — which FAILS loudly instead
+      // of silently dropping the batch (the Ivm _IVM_BATCH discipline
+      // at the table level). Independent writers set distinct sinkIds
+      // so their id sequences never suppress each other. Carried
+      // forward by unmanaged publishes (fold/compact/evolve and
+      // batchId-less merges).
+      sinkBatches: Map[String, Long] = Map.empty) {
+    /** The recorded sink marker of namespace `ns` (-1 = none). */
+    def sinkBatch(ns: String = ""): Long =
+      sinkBatches.getOrElse(ns, -1L)
     /** Every generation number the manifest references for `rel` —
       * base (if present) plus pending deltas. */
     def liveGens(rel: String): Seq[Int] =
@@ -842,8 +856,14 @@ object Layout {
           .map(_.asText()).toSeq,
       op = if (!node.has("op")) "" else node.get("op").asText(),
       opDeletes = node.has("opDeletes") && node.get("opDeletes").asBoolean(),
-      sinkBatch =
-        if (!node.has("sinkBatch")) -1L else node.get("sinkBatch").asLong())
+      sinkBatches =
+        // legacy single marker reads as the "" namespace; named
+        // namespaces live in the `sinkBatches` object
+        (if (!node.has("sinkBatch")) Map.empty[String, Long]
+         else Map("" -> node.get("sinkBatch").asLong())) ++
+        (if (!node.has("sinkBatches")) Map.empty[String, Long]
+         else node.get("sinkBatches").fields().asScala
+           .map(e => e.getKey -> e.getValue.asLong()).toMap))
     if (!node.has("buckets")) (parseRelMaps(header, node), Nil)
     else {
       val refs = node.get("buckets").elements().asScala.zipWithIndex
@@ -968,7 +988,12 @@ object Layout {
     root.put("version", m.version)
     if (m.op.nonEmpty) root.put("op", m.op)
     if (m.opDeletes) root.put("opDeletes", true)
-    if (m.sinkBatch >= 0) root.put("sinkBatch", m.sinkBatch)
+    if (m.sinkBatch() >= 0) root.put("sinkBatch", m.sinkBatch())
+    val named = m.sinkBatches.view.filterKeys(_.nonEmpty).toMap
+    if (named.nonEmpty) {
+      val sb = root.putObject("sinkBatches")
+      named.toSeq.sortBy(_._1).foreach { case (k, v) => sb.put(k, v) }
+    }
     root.put("schema", m.schemaDdl)
     val pc = root.putArray("partitionCols")
     m.partitionCols.foreach(pc.add)
@@ -1693,6 +1718,32 @@ object Layout {
     readResolved(spark, path, m, allRels)
   }
 
+  /** The streaming-sink exactly-once guard shared by [[mergeManifest]]
+    * and [[mergeManifestDelta]]: true = this batch id equals the
+    * recorded marker of its `sinkId` namespace — a checkpoint replay,
+    * skip quietly. An id BELOW the marker is not a replay (the engine
+    * only ever re-issues the last uncommitted batch): it means a fresh
+    * checkpoint was pointed at this table, a second writer shares the
+    * namespace, or the query's id scheme changed — silently dropping
+    * the batch would be data loss, so it fails loudly instead. */
+  private def replayedSinkBatch(path: String, m: ManifestMeta,
+                                batchId: Long, sinkId: String): Boolean = {
+    if (batchId < 0) false
+    else {
+      val marker = m.sinkBatch(sinkId)
+      if (batchId < marker) throw new IllegalStateException(
+        s"manifest sink on $path: batch id $batchId is BEHIND the " +
+          s"recorded marker $marker of sink namespace '$sinkId' — more " +
+          "than a checkpoint replay (the engine only re-issues the last " +
+          "batch). This happens when a fresh checkpoint is pointed at " +
+          "an existing table, a second writer shares the namespace, or " +
+          "the query's id scheme changed; refusing to silently drop " +
+          "the batch. Use a distinct sinkId per independent writer, or " +
+          "seed a fresh table for a fresh checkpoint")
+      batchId == marker
+    }
+  }
+
   /** [[merge]] re-expressed under the manifest discipline: latest-wins
     * keyed upsert (+ CDC tombstones via `deleteCol`) onto the manifest
     * table at `path`, copy-on-write at PARTITION granularity — only the
@@ -1706,16 +1757,25 @@ object Layout {
     * (deletes keep no tombstones); schema drift fails loudly.
     *
     * `batchId` (>= 0) is the streaming-sink exactly-once guard: the id
-    * records in the published manifest and an id at or below the
-    * recorded one returns false without touching the table — a
-    * checkpoint-replayed micro-batch is a no-op instead of a duplicate
-    * publish. Returns true when the merge applied.
+    * records in the published manifest under the `sinkId` namespace; an
+    * id EQUAL to the recorded one returns false without touching the
+    * table (a checkpoint-replayed micro-batch is a no-op instead of a
+    * duplicate publish), an id BELOW it throws — an id sequence can
+    * only regress when a FRESH checkpoint was pointed at an existing
+    * table, a second writer shares the namespace, or the query's id
+    * scheme changed; silently dropping such a batch would be data
+    * loss. Independent writers pass distinct `sinkId`s. `forceWins`
+    * makes the batch authoritative over the base regardless of
+    * versionCol (net snapshot diffs — see [[latestWins]]). Returns
+    * true when the merge applied.
     */
   def mergeManifest(spark: SparkSession, path: String, updates: DataFrame,
                     keys: Seq[String], versionCol: String,
                     maxTouchedPartitions: Int = 10000,
                     deleteCol: Option[String] = None,
-                    batchId: Long = -1L): Boolean =
+                    batchId: Long = -1L,
+                    sinkId: String = "",
+                    forceWins: Boolean = false): Boolean =
       withMaintenanceLock(spark, path) {
     require(keys.nonEmpty, "mergeManifest needs at least one key column")
     require(!keys.contains(versionCol), "versionCol cannot be a key")
@@ -1723,7 +1783,7 @@ object Layout {
       throw new IllegalArgumentException(
         s"$path is not a manifest table; seed it with writeManifestTable"))
     val m = readManifestMeta(spark, path, v)
-    if (batchId >= 0 && m.sinkBatch >= batchId) false else {
+    if (replayedSinkBatch(path, m, batchId, sinkId)) false else {
     val pcols = m.partitionCols
     require(pcols.forall(updates.columns.contains),
       "update batch must carry the partition columns " +
@@ -1759,7 +1819,7 @@ object Layout {
     // one file per rewritten partition dir, shuffle.partitions tasks,
     // committer v2 (the seed's argument — tmp tree + pointer swap give
     // the atomicity)
-    latestWins(base, updates, keys, versionCol, deleteCol)
+    latestWins(base, updates, keys, versionCol, deleteCol, forceWins)
       .repartition(shufflePartitions(spark), pcols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
@@ -1802,7 +1862,9 @@ object Layout {
       bytes = m.bytes -- removed ++ newBytes,
       deltas = m.deltas -- baseRels,
       op = "merge", opDeletes = false,
-      sinkBatch = if (batchId >= 0) batchId else m.sinkBatch))
+      sinkBatches =
+        if (batchId >= 0) m.sinkBatches + (sinkId -> batchId)
+        else m.sinkBatches))
     fc.delete(new Path(tmpDir), true)
     true
   }}
@@ -1893,7 +1955,8 @@ object Layout {
                          versionCol: String,
                          maxTouchedPartitions: Int = 10000,
                          deleteCol: Option[String] = None,
-                         batchId: Long = -1L): Boolean =
+                         batchId: Long = -1L,
+                         sinkId: String = ""): Boolean =
       withMaintenanceLock(spark, path) {
     require(keys.nonEmpty, "mergeManifestDelta needs at least one key")
     require(!keys.contains(versionCol), "versionCol cannot be a key")
@@ -1901,7 +1964,7 @@ object Layout {
       throw new IllegalArgumentException(
         s"$path is not a manifest table; seed it with writeManifestTable"))
     val m = readManifestMeta(spark, path, v)
-    if (batchId >= 0 && m.sinkBatch >= batchId) false else {
+    if (replayedSinkBatch(path, m, batchId, sinkId)) false else {
     if (m.morKeys.nonEmpty)
       require(m.morKeys == keys && m.morVersionCol.contains(versionCol),
         s"merge spec mismatch: this table resolves merge-on-read deltas " +
@@ -1989,7 +2052,9 @@ object Layout {
       morKeys = keys, morVersionCol = Some(versionCol),
       morDeleteCol = m.morDeleteCol.orElse(deleteCol),
       op = "delta", opDeletes = hasDeletes,
-      sinkBatch = if (batchId >= 0) batchId else m.sinkBatch))
+      sinkBatches =
+        if (batchId >= 0) m.sinkBatches + (sinkId -> batchId)
+        else m.sinkBatches))
     fc.delete(new Path(tmpDir), true)
     true
   }}

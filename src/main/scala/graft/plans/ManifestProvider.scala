@@ -66,15 +66,21 @@ final class ManifestProvider extends RelationProvider
     * (comma-separated), `versionCol` (required); `deleteCol` for CDC
     * tombstones, or `changeTypeCol` when the stream carries
     * `_change_type` insert/delete tags (the `manifest-feed
-    * mode=changes` shape — the sink derives the delete flag and drops
-    * the tag, so full-CDC table-to-table replication needs no code
-    * between the format strings); `mor` (default true — merge-on-read
+    * mode=changes` shape — the sink reduces each batch to its per-key
+    * NET outcome and applies it as ONE force-wins copy-on-write
+    * publish, so full-CDC table-to-table replication needs no code
+    * between the format strings and readers never observe a
+    * half-applied batch); `mor` (default true — merge-on-read
     * delta appends,
     * the right cost shape for trickle batches; false = copy-on-write);
-    * `foldEvery` (N — fold pending deltas after every Nth batch). The
-    * checkpoint's micro-batch id rides into the manifest's `sinkBatch`
-    * marker, so a crash-replayed batch is a no-op publish:
-    * exactly-once end to end. The declarative twin of
+    * `foldEvery` (N — fold pending deltas after every Nth batch);
+    * `sinkId` — the exactly-once marker namespace (set distinct ids
+    * when several queries write the same table). The checkpoint's
+    * micro-batch id rides into the manifest's `sinkBatch` marker, so a
+    * crash-replayed batch is a no-op publish and an id REGRESSION (a
+    * fresh checkpoint against an existing table, a second writer on
+    * the same namespace) fails loudly instead of silently dropping
+    * batches: exactly-once end to end. The declarative twin of
     * [[graft.streaming.Streams.cdcApply]].
     */
   override def createSink(sqlContext: SQLContext,
@@ -107,20 +113,27 @@ final class ManifestProvider extends RelationProvider
       "deleteCol and changeTypeCol are exclusive (a boolean flag " +
         "column vs a _change_type insert/delete tag)")
     // net-diff application (changeTypeCol) must be COPY-ON-WRITE: the
-    // sequenced delete-then-insert halves only sequence when the first
-    // MATERIALIZES before the second reads — merge-on-read resolution
-    // is version-ordered across all pending deltas, so a re-inserted
-    // key with a lower version would lose to its own before-image
+    // diff's per-key precedence (batch over base, regardless of
+    // versionCol) is applied with a force-wins merge — merge-on-read
+    // resolution is version-ordered across all pending deltas, so a
+    // re-inserted key with a lower version would lose to its own
+    // before-image
     require(changeTypeCol.isEmpty ||
         !opt(parameters, "mor").exists(_.toBoolean),
-      "changeTypeCol batches apply as sequenced copy-on-write merges " +
-        "(merge-on-read cannot order a net diff's delete-then-" +
-        "reinsert); drop mor=true")
+      "changeTypeCol batches apply as force-wins copy-on-write merges " +
+        "(merge-on-read resolution is version-ordered and cannot give " +
+        "a net diff absolute precedence); drop mor=true")
     val mor = changeTypeCol.isEmpty &&
       opt(parameters, "mor").forall(_.toBoolean)
     val foldEvery = opt(parameters, "foldEvery").map(_.toInt).getOrElse(0)
     require(foldEvery == 0 || mor,
       "foldEvery is the merge-on-read fold cadence; it needs mor=true")
+    // independent writers on the same table namespace their
+    // exactly-once markers: without distinct sinkIds, two queries'
+    // checkpoint id sequences would collide on one marker and the
+    // merge guard would refuse the slower one's batches (loudly — see
+    // Layout.replayedSinkBatch — never silently)
+    val sinkId = opt(parameters, "sinkId").getOrElse("")
     new Sink {
       override def addBatch(batchId: Long,
                             data: org.apache.spark.sql.DataFrame): Unit = {
@@ -133,29 +146,19 @@ final class ManifestProvider extends RelationProvider
         // several (see StreamingShim.batchFrame)
         val raw = org.apache.spark.sql.graftshim.StreamingShim
           .batchFrame(spark, data.queryExecution.toRdd, data.schema)
-        def merge(b: org.apache.spark.sql.DataFrame,
-                  dCol: Option[String], id: Long): Unit =
-          if (mor) {
-            Layout.mergeManifestDelta(spark, path, b, keys,
-              versionCol, deleteCol = dCol, batchId = id)
-            ()
-          } else {
-            Layout.mergeManifest(spark, path, b, keys, versionCol,
-              deleteCol = dCol, batchId = id)
-            ()
-          }
         changeTypeCol match {
           case Some(ct) =>
-            // net-diff application is SEQUENCED: deletes (the window's
-            // before-images) first, then inserts (its after-images) —
-            // the only order under which delete+re-insert of a key
-            // lands as REPLACE. A single version-ordered merge cannot
-            // express it: the diff's per-key sequencing is not encoded
-            // in versionCol, so a re-insert carrying a LOWER version
-            // than the row it replaces would lose to both the batch's
-            // delete row and the replica's existing row. Each half
-            // carries its own monotone sink id (2i, 2i+1), so a crash
-            // between the halves replays exactly the missing one.
+            // ONE atomic publish per batch: the insert/delete tags
+            // reduce to the per-key NET outcome — the after-image row
+            // when the window inserted the key (an update's delete
+            // half is subsumed), the delete-flagged before-image only
+            // when it did not — and the whole net frame applies as a
+            // single FORCE-WINS copy-on-write merge: batch rows
+            // outrank base rows regardless of versionCol, so a key
+            // re-created with a LOWER version still replaces the
+            // replica's row, and no reader ever observes the
+            // deleted-but-not-yet-reinserted half-state two sequenced
+            // publishes would expose (nor can a crash persist it).
             // Tags outside insert|delete (a foreign CDF's
             // update_pre/postimage, a typo, a null) fail loudly
             // in-plan instead of applying as upserts.
@@ -168,15 +171,33 @@ final class ManifestProvider extends RelationProvider
                   lit("' — expected insert|delete (net-diff feeds " +
                     "only; pre/post-image CDF shapes need reduction " +
                     "upstream)")))))
-            val dels = checked.filter(col(ct) === "delete").drop(ct)
-              .withColumn("__ct_del", lit(true))
             val ins = checked.filter(col(ct) === "insert").drop(ct)
-            if (!dels.isEmpty)
-              merge(dels, Some("__ct_del"), 2 * batchId)
-            if (!ins.isEmpty)
-              merge(ins, None, 2 * batchId + 1)
+            val dels = checked.filter(col(ct) === "delete").drop(ct)
+              // a delete whose key the same window re-inserted is the
+              // before-image of an update: the insert row IS the net
+              // outcome, the delete half must not survive beside it
+              .join(ins.select(keys.map(col): _*).distinct(),
+                keys, "left_anti")
+            val net = ins.withColumn("__ct_del", lit(false))
+              .unionByName(dels.withColumn("__ct_del", lit(true)))
+            if (!net.isEmpty) {
+              Layout.mergeManifest(spark, path, net, keys, versionCol,
+                deleteCol = Some("__ct_del"), batchId = batchId,
+                sinkId = sinkId, forceWins = true)
+              ()
+            }
           case None =>
-            if (!raw.isEmpty) merge(raw, deleteCol, batchId)
+            if (!raw.isEmpty) {
+              if (mor)
+                Layout.mergeManifestDelta(spark, path, raw, keys,
+                  versionCol, deleteCol = deleteCol, batchId = batchId,
+                  sinkId = sinkId)
+              else
+                Layout.mergeManifest(spark, path, raw, keys, versionCol,
+                  deleteCol = deleteCol, batchId = batchId,
+                  sinkId = sinkId)
+              ()
+            }
         }
         if (mor && foldEvery > 0 && (batchId + 1) % foldEvery == 0) {
           Layout.foldManifestDeltas(spark, path)

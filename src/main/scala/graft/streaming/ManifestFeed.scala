@@ -144,19 +144,21 @@ final class ManifestFeedSource(sqlContext: SQLContext, path: String,
     import org.apache.spark.sql.functions.{col, lit}
     val from = start.map(versionOf).getOrElse(startingVersion)
     val to = versionOf(end)
+    // an empty replay window (recovery re-issuing the anchor batch)
+    // builds its zero-row frame from the PINNED schema in BOTH modes —
+    // no meta read, no existence checks, and retention having reaped
+    // the anchor version cannot fail it
     val raw =
-      if (mode == "changes") {
+      if (from >= to)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else if (mode == "changes") {
         // full CDC: net insert/delete rows between the window's
         // endpoint snapshots — rewrites and deletes are first-class
         // here (the appends contract does not apply). A window
         // anchored at 0 ships the end snapshot as inserts
-        // (snapshot-then-follow). An empty replay window builds its
-        // zero-row frame from the PINNED schema — no meta read, no
-        // existence checks, and retention cannot fail it.
-        if (from >= to)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else if (from == 0)
+        // (snapshot-then-follow).
+        if (from == 0)
           Layout.readManifestVersion(spark, path, to)
             .withColumn("_change_type", lit("insert"))
         else Layout.manifestChanges(spark, path, from, to)

@@ -224,8 +224,12 @@ class ManifestFeedSpec extends SparkSpec {
     assert(Layout.manifestVersion(spark, dir).contains(2),
       "a replayed batch must not bump the version")
     assert(d(11L, 1L))                                    // v3, batch 1
-    // an out-of-order older id is also refused
-    assert(!d(12L, 0L))
+    // an id BEHIND the marker is MORE than a replay (the engine only
+    // re-issues the last batch): fresh checkpoint / second writer /
+    // changed id scheme — silent drop would be data loss, so it throws
+    val reg = intercept[IllegalStateException] { d(12L, 0L) }
+    assert(reg.getMessage.contains("BEHIND the recorded marker"),
+      reg.getMessage)
     // the feed sees each appended row exactly once
     assert(keys(Layout.appendsBetween(spark, dir, 1, 3)) == Set(10L, 11L))
     // an unmanaged publish (fold) CARRIES the marker forward
@@ -242,6 +246,82 @@ class ManifestFeedSpec extends SparkSpec {
     assert(Layout.readManifest(spark, dir).filter(col("k") === 1L)
       .select("v").head().getDouble(0) == 99.0,
       "the replayed CoW merge must not have applied")
+  }
+
+  test("sinkBatch namespaces: independent writers with distinct sinkIds " +
+      "keep independent id sequences — neither suppresses the other") {
+    import spark.implicits._
+    val dir = tmpDir("sinkns")
+    seedTable(dir)                                        // v1
+    def d(k: Long, id: Long, ns: String): Boolean =
+      Layout.mergeManifestDelta(spark, dir,
+        Seq((k, "a", k.toDouble, 2L)).toDF("k", "part", "v", "ver"),
+        Seq("k"), "ver", batchId = id, sinkId = ns)
+    assert(d(10L, 5L, "qA"))      // writer A is at batch 5
+    // writer B starts at 0 — under ONE shared marker this would be an
+    // id regression; with its own namespace it applies
+    assert(d(11L, 0L, "qB"))
+    assert(d(12L, 6L, "qA"))
+    assert(d(13L, 1L, "qB"))
+    // replays stay per-namespace
+    assert(!d(14L, 6L, "qA"))
+    assert(!d(14L, 1L, "qB"))
+    // and regressions stay per-namespace too
+    intercept[IllegalStateException] { d(15L, 4L, "qA") }
+    assert(keys(Layout.readManifest(spark, dir)) ==
+      Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L))
+    // markers survive an unmanaged publish (fold) per namespace
+    Layout.foldManifestDeltas(spark, dir)
+    assert(!d(16L, 6L, "qA") && !d(16L, 1L, "qB"))
+    assert(d(17L, 7L, "qA") && d(18L, 2L, "qB"))
+  }
+
+  test("changeTypeCol net diff applies as ONE publish per batch: no " +
+      "reader-visible half-state, force-wins over the base version") {
+    import spark.implicits._
+    val src = tmpDir("net_src")
+    val dst = tmpDir("net_dst")
+    val ckpt = tmpDir("net_ckpt")
+    seedTable(src)
+    Layout.writeManifestTable(spark, dst,
+      Layout.readManifest(spark, src), Seq("part"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("manifest-feed")
+        .option("path", src).option("mode", "changes")
+        .option("startingVersion", "1").load()
+        .writeStream.format("manifest")
+        .option("path", dst)
+        .option("keys", "k").option("versionCol", "ver")
+        .option("changeTypeCol", "_change_type")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // one source publish with an update (delete+insert pair in the
+    // diff), a pure delete, and a pure insert
+    Layout.mergeManifest(spark, src,
+      Seq((1L, "a", 11.0, 2L, false), (3L, "b", 0.0, 2L, true),
+        (5L, "d", 50.0, 2L, false))
+        .toDF("k", "part", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))
+    val vBefore = Layout.manifestVersion(spark, dst).get
+    drain()
+    val vAfter = Layout.manifestVersion(spark, dst).get
+    // ONE publish for the whole batch — the sequenced-halves scheme
+    // would publish twice and expose a deleted-updated-keys half-state
+    assert(vAfter == vBefore + 1,
+      s"net-diff batch must publish exactly once (v$vBefore -> v$vAfter)")
+    val got = Layout.readManifest(spark, dst).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 11.0, 2L -> 20.0, 4L -> 40.0, 5L -> 50.0), got)
+    // EVERY retained dst version is a state the source actually had —
+    // none shows k=1 missing (the half-state the two-publish scheme
+    // persisted on a crash between halves)
+    (1 to vAfter).foreach { v =>
+      val snap = keys(Layout.readManifestVersion(spark, dst, v))
+      assert(snap.contains(1L),
+        s"dst v$v lost key 1 — a half-applied update is visible: $snap")
+    }
   }
 
   test("manifest sink: declarative table-to-table replication — " +
