@@ -1569,6 +1569,47 @@ object EngineQueries {
           col("o_totalprice"), col("ver"))
     }),
 
+    // Pure-SQL DML over the manifest: seed through the registered
+    // writer (df.write.format("manifest") — no Layout call in sight),
+    // then the incremental load is ONE `INSERT INTO <view> SELECT …
+    // FROM parquet.<file>` statement. The injected ManifestInsertRule
+    // rewrites it to a keyed copy-on-write merge publishing ONE new
+    // snapshot — never a raw parquet write into the table root — so
+    // time travel still reaches the seed (in-gate require) and the
+    // update half of the batch upserts rather than duplicates. The
+    // oracle pins the post-merge arithmetic row-for-row (m62's family).
+    "m67_manifest_sql_dml" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("mandml")}/ord"
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+          col("o_totalprice"), lit(1L).as("ver"))
+        .write.format("manifest").option("path", out)
+        .option("partitionCols", "o_year").mode("overwrite").save()
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW m67_t USING manifest " +
+        s"OPTIONS (path '$out', keys 'o_orderkey', versionCol 'ver')")
+      // the incremental load: every 10th key re-arrives with a bumped
+      // price — positional INSERT in the VIEW's stored column order
+      // (data columns first, partition column last)
+      s.sql(s"""INSERT INTO m67_t
+        SELECT o_orderkey, o_totalprice + 100 AS o_totalprice,
+               CAST(2 AS BIGINT) AS ver,
+               year(o_orderdate) AS o_year
+        FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 10 = 0""")
+      require(Layout.manifestVersion(s, out).contains(2),
+        "the INSERT must land as exactly ONE manifest publish")
+      // the INSERT was a snapshot publish: v1 still serves the seed
+      val seedMax = Layout.readManifestVersion(s, out, 1)
+        .agg(max(col("ver"))).head().getLong(0)
+      require(seedMax == 1L,
+        s"time travel to the seed must predate the INSERT (ver $seedMax)")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW m67_live USING manifest " +
+        s"OPTIONS (path '$out')")
+      s.sql("SELECT o_orderkey, o_year, o_totalprice, ver FROM m67_live")
+        .select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+          col("o_totalprice"), col("ver"))
+    }),
+
     // The manifest table as a STRUCTURED STREAMING source
     // (spark.readStream.format("manifest-feed")): offsets are manifest
     // versions from the checkpoint's offset log, each batch reads ONLY
@@ -2535,6 +2576,16 @@ object EngineQueries {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
              AS sum_totalprice
          FROM orders GROUP BY 1""",
+    // the SQL INSERT landed as ONE keyed merge: every 10th key carries
+    // the re-arrived price/version, everything else the seed's (the
+    // single-publish + time-travel pins live in-gate)
+    "m67_manifest_sql_dml" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders""",
     // the DDL-mounted live view is exactly the post-merge table (time
     // travel and pruning pins live in-gate)
     "m62_manifest_ddl" ->

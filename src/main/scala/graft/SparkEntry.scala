@@ -26,6 +26,10 @@ object SparkEntry {
     val base = b
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // graft's SQL functions + the manifest INSERT rewrite rule —
+      // config-level so every entry point (Verify, Bench, user
+      // sessions built through configure) gets the same SQL surface
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
     if (sys.env.get("SPARK_GRAFT_ANSI").contains("1")) base
     else base.config("spark.sql.ansi.enabled", "false")
   }

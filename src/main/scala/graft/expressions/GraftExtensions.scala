@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // pure-SQL DML on manifest tables: INSERT INTO a `USING manifest`
+    // view rewrites to a keyed merge BEFORE the post-hoc
+    // HadoopFsRelation conversion could turn it into a raw parquet
+    // write into the table root (see ManifestInsertRule)
+    ext.injectResolutionRule(session =>
+      new graft.plans.ManifestInsertRule(session))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -47,24 +47,41 @@ object Layout {
     * and the remedy (readers are never blocked — the lease coordinates
     * WRITERS only).
     */
-  private[operators] def withMaintenanceLock[T](spark: SparkSession, path: String)
+  private[operators] def withMaintenanceLock[T](spark: SparkSession, path: String,
+                                                waitMs: Long = 0)
                                     (body: => T): T = {
     val fc = FileContext.getFileContext(new Path(path).toUri,
       spark.sessionState.newHadoopConf())
     val lock = new Path(s"$path.__maint.lock")
-    val out =
-      try fc.create(lock,
+    val isLocal = Option(new Path(path).toUri.getScheme)
+      .forall(s => s == "file" || s.isEmpty)
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    var out: org.apache.hadoop.fs.FSDataOutputStream = null
+    while (out == null) {
+      try out = fc.create(lock,
         java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
         org.apache.hadoop.fs.Options.CreateOpts.createParent())
       catch { case _: java.io.IOException =>
-        throw new IllegalStateException(
+        // LIVENESS: on a local filesystem the lock records its owner's
+        // pid — a lock whose owner is provably dead (crashed writer)
+        // breaks automatically instead of demanding a manual delete.
+        // The break is single-winner (an atomic `.break` claim file),
+        // so two waiters cannot each delete what the other just
+        // re-created. A reused pid or a remote filesystem stays on the
+        // safe side: wait, then fail with the manual remedy.
+        if (isLocal && breakDeadOwnerLock(fc, lock)) ()
+        else if (System.nanoTime() < deadline) Thread.sleep(100)
+        else throw new IllegalStateException(
           s"another maintenance writer holds $lock for table $path " +
-          "(merge/compact/reap are single-writer); if that writer " +
-          "crashed, delete the lock file and re-run")
+          "(merge/compact/reap commits are single-writer" +
+          (if (waitMs > 0) s"; waited ${waitMs}ms" else "") +
+          "); if that writer crashed on another host, delete the " +
+          "lock file and re-run (same-host crashes break automatically)")
       }
+    }
     // Everything after the atomic create runs under the same finally
-    // that releases the lease: an IO error writing the owner info (a
-    // best-effort debugging aid — the create alone IS the lease) must
+    // that releases the lease: an IO error writing the owner info (the
+    // liveness probe's input — the create alone IS the lease) must
     // not leak the lock file and wedge all maintenance on the table.
     try {
       try out.write(
@@ -74,6 +91,50 @@ object Layout {
       body
     } finally { if (fc.util.exists(lock)) fc.delete(lock, false); () }
   }
+
+  /** True iff `lock` named a provably-dead owner and THIS caller won
+    * the break (deleted it). Owner liveness = the recorded pid has a
+    * live process on this host (ProcessHandle probe — sound only for
+    * local filesystems, the caller's check). An unreadable/empty lock
+    * (owner mid-create) or a live/unknown pid is never broken. */
+  private def breakDeadOwnerLock(fc: FileContext, lock: Path): Boolean = {
+    val pid =
+      try {
+        val in = fc.open(lock)
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        "pid=(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      } catch { case _: java.io.IOException => None }
+    val ownerDead = pid.exists { p =>
+      val h = ProcessHandle.of(p)
+      !h.isPresent || !h.get.isAlive
+    }
+    if (!ownerDead) false
+    else {
+      val claim = new Path(lock.getParent, lock.getName + ".break")
+      val won =
+        try {
+          fc.create(claim,
+            java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+            org.apache.hadoop.fs.Options.CreateOpts.createParent()).close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (won) {
+        // single breaker: delete the stale lock, release the claim
+        try { if (fc.util.exists(lock)) fc.delete(lock, false) }
+        finally fc.delete(claim, false)
+        true
+      } else false
+    }
+  }
+
+  /** How long a manifest COMMIT (the short critical section of an
+    * optimistic publish) queues behind another writer's in-flight
+    * commit before failing loudly. Commits are metadata-fast — renames
+    * plus one JSON write — so contention clears in milliseconds unless
+    * a whole-table operation (repartition/reap) holds the lease. */
+  private def lockWaitMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.manifest.lockWaitMs", "15000").toLong
 
   /** A table is either manifest-disciplined or rename-swap — never
     * both: a rename-swap maintenance pass on a manifest table would
@@ -1583,7 +1644,7 @@ object Layout {
                          bloomItems: Long = 10000,
                          bloomFpp: Double = 0.01,
                          manifestBuckets: Int = 0): Unit =
-      withMaintenanceLock(spark, path) {
+      withMaintenanceLock(spark, path, lockWaitMs(spark)) {
     require(manifestBuckets >= 0 && manifestBuckets <= 4096,
       "manifestBuckets must be in [0, 4096] (0 = flat manifest)")
     require(statsCols.forall(df.columns.contains),
@@ -1718,6 +1779,74 @@ object Layout {
     readResolved(spark, path, m, allRels)
   }
 
+  // ---- Optimistic concurrent commits ----------------------------------
+  //
+  // Partition-scoped publishes (mergeManifest, mergeManifestDelta,
+  // foldManifestDeltas, compactManifest) do their expensive work — the
+  // data write into a writer-unique tmp tree — WITHOUT the maintenance
+  // lease, against a snapshot of the manifest (m0). Only the COMMIT
+  // (gen-numbering, renames, one JSON publish — metadata-fast) takes
+  // the lease, re-reads the live manifest (m1), and either
+  //   - publishes directly (nothing moved),
+  //   - REBASES onto m1 when the concurrently-published versions did
+  //     not touch what this writer depends on (delta merges depend only
+  //     on table invariants; CoW merges also on their touched
+  //     partitions' state; folds/compactions skip just the partitions
+  //     that moved), or
+  //   - signals a CONFLICT, and the operation retries from a fresh
+  //     snapshot a bounded number of times before failing loudly.
+  // The net effect: CDC ingest and compaction overlap instead of
+  // serializing on one lease — at 100 TB a compaction runs long enough
+  // that ingest cannot stop for it — with the final state always equal
+  // to SOME sequential order of the committed operations (the manifest
+  // version is the linearization point; Delta Lake's
+  // OptimisticTransaction check-and-retry discipline).
+
+  private def uniqueTmpDir(path: String): String =
+    s"$path.__manifest_tmp.${java.util.UUID.randomUUID().toString.take(12)}"
+
+  /** Table-level facts a publish validated against its snapshot that a
+    * concurrent commit may have changed — schema, partitioning, stats/
+    * bloom config, hierarchy bounds, merge-on-read resolution spec. Any
+    * difference sends the writer back to re-validate from a fresh
+    * snapshot (Some(reason)); None = rebase-safe at the table level. */
+  private def invariantsChanged(a: ManifestMeta, b: ManifestMeta,
+                                checkMorSpec: Boolean = true):
+      Option[String] = {
+    def diff[V](name: String, av: V, bv: V): Option[String] =
+      if (av == bv) None else Some(name)
+    val changed = Seq(
+      diff("schema", a.schemaDdl, b.schemaDdl),
+      diff("partitionCols", a.partitionCols, b.partitionCols),
+      diff("statsCols", a.statsCols, b.statsCols),
+      diff("bloomCols", a.bloomCols, b.bloomCols),
+      diff("bloomItems", a.bloomItems, b.bloomItems),
+      diff("bloomFpp", a.bloomFpp, b.bloomFpp),
+      diff("bucketBounds", a.bucketBounds, b.bucketBounds)) ++
+      // the merge-on-read resolution spec matters only to writers that
+      // RESOLVE (merges must re-check theirs against a concurrently
+      // fixed spec); row-identical rewrites (compact) don't care, and
+      // the only possible transition — the FIRST delta fixing the spec
+      // — is exactly the concurrent publish they must tolerate
+      (if (checkMorSpec) Seq(
+        diff("morKeys", a.morKeys, b.morKeys),
+        diff("morVersionCol", a.morVersionCol, b.morVersionCol))
+       else Nil)
+    val hit = changed.flatten
+    if (hit.isEmpty) None
+    else Some(s"table-level change between v${a.version} and " +
+      s"v${b.version}: ${hit.mkString(", ")}")
+  }
+
+  /** The rels whose state (base generation or pending-delta list)
+    * differs between two manifest snapshots — a CoW merge conflicts on
+    * any of its touched rels appearing here. */
+  private def relStateChanged(a: ManifestMeta, b: ManifestMeta,
+                              rels: Iterable[String]): Seq[String] =
+    rels.toSeq.sorted.filter(r =>
+      a.entries.get(r) != b.entries.get(r) ||
+        a.deltas.getOrElse(r, Nil) != b.deltas.getOrElse(r, Nil))
+
   /** The streaming-sink exactly-once guard shared by [[mergeManifest]]
     * and [[mergeManifestDelta]]: true = this batch id equals the
     * recorded marker of its `sinkId` namespace — a checkpoint replay,
@@ -1768,6 +1897,13 @@ object Layout {
     * makes the batch authoritative over the base regardless of
     * versionCol (net snapshot diffs — see [[latestWins]]). Returns
     * true when the merge applied.
+    *
+    * CONCURRENCY: optimistic — the read + rewrite runs without the
+    * maintenance lease; the commit re-reads the live manifest and
+    * rebases onto concurrent publishes that did not move this merge's
+    * touched partitions, retrying from a fresh snapshot (bounded)
+    * when they did. CDC ingest and maintenance overlap instead of
+    * serializing (see the optimistic-commit section above).
     */
   def mergeManifest(spark: SparkSession, path: String, updates: DataFrame,
                     keys: Seq[String], versionCol: String,
@@ -1775,99 +1911,136 @@ object Layout {
                     deleteCol: Option[String] = None,
                     batchId: Long = -1L,
                     sinkId: String = "",
-                    forceWins: Boolean = false): Boolean =
-      withMaintenanceLock(spark, path) {
+                    forceWins: Boolean = false): Boolean = {
     require(keys.nonEmpty, "mergeManifest needs at least one key column")
     require(!keys.contains(versionCol), "versionCol cannot be a key")
-    val v = manifestVersion(spark, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path is not a manifest table; seed it with writeManifestTable"))
-    val m = readManifestMeta(spark, path, v)
-    if (replayedSinkBatch(path, m, batchId, sinkId)) false else {
-    val pcols = m.partitionCols
-    require(pcols.forall(updates.columns.contains),
-      "update batch must carry the partition columns " +
-        pcols.mkString(","))
-    deleteCol.foreach(d => require(updates.columns.contains(d),
-      s"update batch must carry the delete flag column '$d'"))
     val fc = fileContext(spark, path)
-    // touched partitions, rendered through Spark's own Cast (writer-
-    // exact dir fragments); bounded by the BATCH's partition count
-    val touchedRows = updates
-      .select(pcols.map(c => col(c).cast("string").as(c)): _*)
-      .distinct().limit(maxTouchedPartitions + 1).collect()
-    require(touchedRows.length <= maxTouchedPartitions,
-      s"update batch touches > $maxTouchedPartitions partitions; " +
-        "split the batch or raise maxTouchedPartitions")
-    val touchedRels = touchedRows.map(relOf(pcols, _)).toSet
-    if (m.morKeys.nonEmpty)
-      require(m.morKeys == keys && m.morVersionCol.contains(versionCol),
-        s"merge spec mismatch: this table resolves merge-on-read deltas " +
-          s"by keys=${m.morKeys.mkString(",")} / version=" +
-          s"${m.morVersionCol.getOrElse("")}; a merge with " +
-          s"keys=${keys.mkString(",")} / version=$versionCol would apply " +
-          "different semantics to the same table")
-    val baseRels = touchedRels.filter(r =>
-      m.entries.contains(r) || m.deltas.contains(r)).toSeq.sorted
-    // stored-schema-aligned window read with any pending merge-on-read
-    // deltas resolved in-plan — a copy-on-write merge FOLDS the
-    // touched partitions' deltas into the generation it writes
-    val base = readResolved(spark, path, m, baseRels)
-    val tmpDir = s"$path.__manifest_tmp"
-    fc.delete(new Path(tmpDir), true) // crashed prior run's leftover
-    // cluster on the partition columns after the latest-wins window:
-    // one file per rewritten partition dir, shuffle.partitions tasks,
-    // committer v2 (the seed's argument — tmp tree + pointer swap give
-    // the atomicity)
-    latestWins(base, updates, keys, versionCol, deleteCol, forceWins)
-      .repartition(shufflePartitions(spark), pcols.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .partitionBy(pcols: _*).parquet(tmpDir)
-    val produced = listPartitionRels(fc, new Path(tmpDir))
-    // a produced rel outside the touched set means the Cast rendering
-    // and the writer disagreed — fail BEFORE publishing anything
-    val unexpected = produced.filterNot(touchedRels.contains)
-    require(unexpected.isEmpty,
-      s"mergeManifest: writer produced partition dirs " +
-        s"${unexpected.mkString(",")} outside the touched set " +
-        s"${touchedRels.mkString(",")} — partition rendering mismatch")
-    // derive published metadata from the tmp tree BEFORE the renames
-    // (one root listing, not |touched| gen paths)
-    val newStats = statsFor(spark, path, m, Map.empty,
-      srcDir = Some(tmpDir))
-    val newBlooms = bloomsFor(spark, path, m, Map.empty,
-      srcDir = Some(tmpDir))
-    val newBytes = bytesUnder(fc, tmpDir, produced)
-    val newGens = inParallel(produced) { rel =>
-      // collision-free above the manifest AND the disk (see
-      // nextGenOnDisk — a rel absent from the LIVE manifest may still
-      // have dirs retained versions reference; never sweep, never
-      // reuse); crashed-run orphans are numbered past and reaped later
-      val g = nextGenOnDisk(fc, path, m, rel)
-      val dst = new Path(s"$path/$rel/gen=$g")
-      fc.mkdir(dst.getParent,
-        org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
-      fc.rename(new Path(s"$tmpDir/$rel"), dst)
-      rel -> g
-    }.toMap
-    // touched partitions that produced no output were fully deleted:
-    // they leave the manifest (dirs reap after readers drain); touched
-    // partitions' pending deltas were folded into the written gens
-    val removed = baseRels.filterNot(newGens.contains)
-    writeManifestMeta(spark, path, m.copy(version = v + 1,
-      entries = m.entries -- removed ++ newGens,
-      stats = m.stats -- removed ++ newStats,
-      blooms = m.blooms -- removed ++ newBlooms,
-      bytes = m.bytes -- removed ++ newBytes,
-      deltas = m.deltas -- baseRels,
-      op = "merge", opDeletes = false,
-      sinkBatches =
-        if (batchId >= 0) m.sinkBatches + (sinkId -> batchId)
-        else m.sinkBatches))
-    fc.delete(new Path(tmpDir), true)
-    true
-  }}
+    val maxAttempts = 3
+    var attempt = 0
+    var lastConflict = ""
+    while (attempt < maxAttempts) {
+      attempt += 1
+      // OPTIMISTIC: all reads, validation and the data write run
+      // against snapshot m0 WITHOUT the lease; only the commit takes it
+      val v0 = manifestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path is not a manifest table; seed it with writeManifestTable"))
+      val m0 = readManifestMeta(spark, path, v0)
+      if (replayedSinkBatch(path, m0, batchId, sinkId)) return false
+      val pcols = m0.partitionCols
+      require(pcols.forall(updates.columns.contains),
+        "update batch must carry the partition columns " +
+          pcols.mkString(","))
+      deleteCol.foreach(d => require(updates.columns.contains(d),
+        s"update batch must carry the delete flag column '$d'"))
+      // touched partitions, rendered through Spark's own Cast (writer-
+      // exact dir fragments); bounded by the BATCH's partition count
+      val touchedRows = updates
+        .select(pcols.map(c => col(c).cast("string").as(c)): _*)
+        .distinct().limit(maxTouchedPartitions + 1).collect()
+      require(touchedRows.length <= maxTouchedPartitions,
+        s"update batch touches > $maxTouchedPartitions partitions; " +
+          "split the batch or raise maxTouchedPartitions")
+      val touchedRels = touchedRows.map(relOf(pcols, _)).toSet
+      if (m0.morKeys.nonEmpty)
+        require(m0.morKeys == keys && m0.morVersionCol.contains(versionCol),
+          s"merge spec mismatch: this table resolves merge-on-read deltas " +
+            s"by keys=${m0.morKeys.mkString(",")} / version=" +
+            s"${m0.morVersionCol.getOrElse("")}; a merge with " +
+            s"keys=${keys.mkString(",")} / version=$versionCol would apply " +
+            "different semantics to the same table")
+      val baseRels = touchedRels.filter(r =>
+        m0.entries.contains(r) || m0.deltas.contains(r)).toSeq.sorted
+      // stored-schema-aligned window read with any pending merge-on-read
+      // deltas resolved in-plan — a copy-on-write merge FOLDS the
+      // touched partitions' deltas into the generation it writes
+      val base = readResolved(spark, path, m0, baseRels)
+      val tmpDir = uniqueTmpDir(path)
+      try {
+        // cluster on the partition columns after the latest-wins window:
+        // one file per rewritten partition dir, shuffle.partitions
+        // tasks, committer v2 (the seed's argument — tmp tree + pointer
+        // swap give the atomicity)
+        latestWins(base, updates, keys, versionCol, deleteCol, forceWins)
+          .repartition(shufflePartitions(spark), pcols.map(col): _*)
+          .write.mode(SaveMode.Overwrite)
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          .partitionBy(pcols: _*).parquet(tmpDir)
+        val produced = listPartitionRels(fc, new Path(tmpDir))
+        // a produced rel outside the touched set means the Cast
+        // rendering and the writer disagreed — fail BEFORE publishing
+        val unexpected = produced.filterNot(touchedRels.contains)
+        require(unexpected.isEmpty,
+          s"mergeManifest: writer produced partition dirs " +
+            s"${unexpected.mkString(",")} outside the touched set " +
+            s"${touchedRels.mkString(",")} — partition rendering mismatch")
+        // derive published metadata from the tmp tree BEFORE the commit
+        // (one root listing, not |touched| gen paths — and outside the
+        // lease, so the critical section stays renames + one JSON)
+        val newStats = statsFor(spark, path, m0, Map.empty,
+          srcDir = Some(tmpDir))
+        val newBlooms = bloomsFor(spark, path, m0, Map.empty,
+          srcDir = Some(tmpDir))
+        val newBytes = bytesUnder(fc, tmpDir, produced)
+        // COMMIT: short lease — re-read the live manifest, rebase or
+        // conflict, rename the tmp tree into gen dirs, one publish
+        val outcome: Either[String, Boolean] =
+          withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+            val v1 = manifestVersion(spark, path).get
+            val m1 = if (v1 == v0) m0 else readManifestMeta(spark, path, v1)
+            lazy val touchedMoved = relStateChanged(m0, m1, touchedRels)
+            if (v1 != v0 && replayedSinkBatch(path, m1, batchId, sinkId))
+              Right(false)
+            else if (v1 != v0 && invariantsChanged(m0, m1).isDefined)
+              Left(invariantsChanged(m0, m1).get)
+            else if (v1 != v0 && touchedMoved.nonEmpty)
+              // a concurrent commit rewrote a partition this merge read:
+              // the latest-wins result is stale — retry from fresh
+              Left(s"concurrent commit moved touched partition(s) " +
+                touchedMoved.take(5).mkString(", "))
+            else {
+              val newGens = inParallel(produced) { rel =>
+                // collision-free above the LIVE manifest AND the disk
+                // (see nextGenOnDisk); numbering runs under the lease,
+                // so two writers can never pick the same gen
+                val g = nextGenOnDisk(fc, path, m1, rel)
+                val dst = new Path(s"$path/$rel/gen=$g")
+                fc.mkdir(dst.getParent,
+                  org.apache.hadoop.fs.permission.FsPermission
+                    .getDirDefault, true)
+                fc.rename(new Path(s"$tmpDir/$rel"), dst)
+                rel -> g
+              }.toMap
+              // touched partitions that produced no output were fully
+              // deleted: they leave the manifest (dirs reap after
+              // readers drain); touched partitions' pending deltas were
+              // folded into the written gens
+              val removed = baseRels.filterNot(newGens.contains)
+              writeManifestMeta(spark, path, m1.copy(version = v1 + 1,
+                entries = m1.entries -- removed ++ newGens,
+                stats = m1.stats -- removed ++ newStats,
+                blooms = m1.blooms -- removed ++ newBlooms,
+                bytes = m1.bytes -- removed ++ newBytes,
+                deltas = m1.deltas -- baseRels,
+                op = "merge", opDeletes = false,
+                sinkBatches =
+                  if (batchId >= 0) m1.sinkBatches + (sinkId -> batchId)
+                  else m1.sinkBatches))
+              Right(true)
+            }
+          }
+        outcome match {
+          case Right(applied) => return applied
+          case Left(reason) => lastConflict = reason // retry fresh
+        }
+      } finally { fc.delete(new Path(tmpDir), true); () }
+    }
+    throw new IllegalStateException(
+      s"mergeManifest on $path: commit conflicted $maxAttempts times " +
+        s"(last: $lastConflict) — a concurrent writer keeps touching " +
+        "the same partitions; serialize these writers or split the " +
+        "batch by partition")
+  }
 
   /** Widen existing per-partition stats with `add` (the stats of a
     * just-written delta generation) MONOTONICALLY: new min/max covers
@@ -1956,108 +2129,141 @@ object Layout {
                          maxTouchedPartitions: Int = 10000,
                          deleteCol: Option[String] = None,
                          batchId: Long = -1L,
-                         sinkId: String = ""): Boolean =
-      withMaintenanceLock(spark, path) {
+                         sinkId: String = ""): Boolean = {
     require(keys.nonEmpty, "mergeManifestDelta needs at least one key")
     require(!keys.contains(versionCol), "versionCol cannot be a key")
-    val v = manifestVersion(spark, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path is not a manifest table; seed it with writeManifestTable"))
-    val m = readManifestMeta(spark, path, v)
-    if (replayedSinkBatch(path, m, batchId, sinkId)) false else {
-    if (m.morKeys.nonEmpty)
-      require(m.morKeys == keys && m.morVersionCol.contains(versionCol),
-        s"merge spec mismatch: this table resolves merge-on-read deltas " +
-          s"by keys=${m.morKeys.mkString(",")} / version=" +
-          s"${m.morVersionCol.getOrElse("")}; refusing " +
-          s"keys=${keys.mkString(",")} / version=$versionCol")
-    val pcols = m.partitionCols
-    require(pcols.forall(updates.columns.contains),
-      "update batch must carry the partition columns " + pcols.mkString(","))
-    deleteCol.foreach(d => require(updates.columns.contains(d),
-      s"update batch must carry the delete flag column '$d'"))
-    Seq("gen", MorDel, MorSeq).foreach(c =>
-      require(!updates.columns.contains(c),
-        s"'$c' is reserved by the manifest layout; rename the column"))
-    // the same loud schema contract as latestWins: every base column
-    // present, nothing extra beyond the delete flag
-    val baseCols = manifestSchema(m).fieldNames.toSeq
-    val missing = baseCols.filterNot(deleteCol.contains)
-      .filterNot(updates.columns.contains)
-    require(missing.isEmpty,
-      s"mergeManifestDelta: update batch is missing base column(s) " +
-        s"${missing.mkString("[", ", ", "]")}")
-    val extra = updates.columns.filterNot(baseCols.contains)
-      .filterNot(deleteCol.contains)
-    require(extra.isEmpty,
-      s"mergeManifestDelta: update batch carries column(s) " +
-        s"${extra.mkString("[", ", ", "]")} absent from the base table — " +
-        "evolve the base schema first or project the batch explicitly")
-    require(keys.forall(baseCols.contains) && baseCols.contains(versionCol),
-      "keys and versionCol must be base table columns")
     val fc = fileContext(spark, path)
-    val touchedRows = updates
-      .select(pcols.map(c => col(c).cast("string").as(c)): _*)
-      .distinct().limit(maxTouchedPartitions + 1).collect()
-    require(touchedRows.length <= maxTouchedPartitions,
-      s"update batch touches > $maxTouchedPartitions partitions; " +
-        "split the batch or raise maxTouchedPartitions")
-    val touchedRels = touchedRows.map(relOf(pcols, _)).toSet
-    val tmpDir = s"$path.__manifest_tmp"
-    fc.delete(new Path(tmpDir), true)
-    val del = deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false))
-    val sch = manifestSchema(m)
-    // record whether this batch carries ANY delete row — observed on
-    // the write job itself (zero extra passes), published as the
-    // version's `opDeletes` flag so append-only feed consumers can
-    // refuse delete-bearing versions without re-reading the files
-    val delObs = org.apache.spark.sql.Observation()
-    val flagged = updates.withColumn(MorDel, coalesce(del, lit(false)))
-      .select((sch.fields.map(f => col(f.name)) :+ col(MorDel)).toSeq: _*)
-    (if (deleteCol.isEmpty) flagged
-     else flagged.observe(delObs, max(col(MorDel)).as("anydel")))
-      // one delta file per touched partition (the whole point of a
-      // delta is to be small; 32 shards of a 15k-row batch are not)
-      .repartition(shufflePartitions(spark), pcols.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .partitionBy(pcols: _*).parquet(tmpDir)
-    val hasDeletes = deleteCol.nonEmpty &&
-      Option(delObs.get("anydel")).contains(true)
-    val produced = listPartitionRels(fc, new Path(tmpDir))
-    val unexpected = produced.filterNot(touchedRels.contains)
-    require(unexpected.isEmpty,
-      s"mergeManifestDelta: writer produced partition dirs " +
-        s"${unexpected.mkString(",")} outside the touched set — " +
-        "partition rendering mismatch")
-    // delta stats/blooms: one aggregate each over the tmp tree —
-    // widened monotonically into the standing ones
-    val deltaStats = statsFor(spark, path, m, Map.empty,
-      srcDir = Some(tmpDir))
-    val deltaBlooms = bloomsFor(spark, path, m, Map.empty,
-      srcDir = Some(tmpDir))
-    val newDeltaGens = inParallel(produced) { rel =>
-      val g = nextGenOnDisk(fc, path, m, rel)
-      val dst = new Path(s"$path/$rel/gen=$g")
-      fc.mkdir(dst.getParent,
-        org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
-      fc.rename(new Path(s"$tmpDir/$rel"), dst)
-      rel -> g
-    }.toMap
-    writeManifestMeta(spark, path, m.copy(version = v + 1,
-      deltas = m.deltas ++ newDeltaGens.map { case (rel, g) =>
-        rel -> (m.deltas.getOrElse(rel, Nil) :+ g) },
-      stats = widenStats(spark, m, deltaStats),
-      blooms = widenBlooms(m.blooms, deltaBlooms),
-      morKeys = keys, morVersionCol = Some(versionCol),
-      morDeleteCol = m.morDeleteCol.orElse(deleteCol),
-      op = "delta", opDeletes = hasDeletes,
-      sinkBatches =
-        if (batchId >= 0) m.sinkBatches + (sinkId -> batchId)
-        else m.sinkBatches))
-    fc.delete(new Path(tmpDir), true)
-    true
-  }}
+    val maxAttempts = 3
+    var attempt = 0
+    var lastConflict = ""
+    while (attempt < maxAttempts) {
+      attempt += 1
+      // OPTIMISTIC, and maximally rebase-friendly: a delta publish
+      // depends only on TABLE invariants (schema, partitioning, the
+      // resolution spec) — its data never reads the base, so commits
+      // that landed concurrently on the SAME partitions rebase cleanly
+      // (our delta gens simply append to the live delta lists)
+      val v0 = manifestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path is not a manifest table; seed it with writeManifestTable"))
+      val m0 = readManifestMeta(spark, path, v0)
+      if (replayedSinkBatch(path, m0, batchId, sinkId)) return false
+      if (m0.morKeys.nonEmpty)
+        require(m0.morKeys == keys && m0.morVersionCol.contains(versionCol),
+          s"merge spec mismatch: this table resolves merge-on-read deltas " +
+            s"by keys=${m0.morKeys.mkString(",")} / version=" +
+            s"${m0.morVersionCol.getOrElse("")}; refusing " +
+            s"keys=${keys.mkString(",")} / version=$versionCol")
+      val pcols = m0.partitionCols
+      require(pcols.forall(updates.columns.contains),
+        "update batch must carry the partition columns " + pcols.mkString(","))
+      deleteCol.foreach(d => require(updates.columns.contains(d),
+        s"update batch must carry the delete flag column '$d'"))
+      Seq("gen", MorDel, MorSeq).foreach(c =>
+        require(!updates.columns.contains(c),
+          s"'$c' is reserved by the manifest layout; rename the column"))
+      // the same loud schema contract as latestWins: every base column
+      // present, nothing extra beyond the delete flag
+      val baseCols = manifestSchema(m0).fieldNames.toSeq
+      val missing = baseCols.filterNot(deleteCol.contains)
+        .filterNot(updates.columns.contains)
+      require(missing.isEmpty,
+        s"mergeManifestDelta: update batch is missing base column(s) " +
+          s"${missing.mkString("[", ", ", "]")}")
+      val extra = updates.columns.filterNot(baseCols.contains)
+        .filterNot(deleteCol.contains)
+      require(extra.isEmpty,
+        s"mergeManifestDelta: update batch carries column(s) " +
+          s"${extra.mkString("[", ", ", "]")} absent from the base table — " +
+          "evolve the base schema first or project the batch explicitly")
+      require(keys.forall(baseCols.contains) && baseCols.contains(versionCol),
+        "keys and versionCol must be base table columns")
+      val touchedRows = updates
+        .select(pcols.map(c => col(c).cast("string").as(c)): _*)
+        .distinct().limit(maxTouchedPartitions + 1).collect()
+      require(touchedRows.length <= maxTouchedPartitions,
+        s"update batch touches > $maxTouchedPartitions partitions; " +
+          "split the batch or raise maxTouchedPartitions")
+      val touchedRels = touchedRows.map(relOf(pcols, _)).toSet
+      val tmpDir = uniqueTmpDir(path)
+      try {
+        val del = deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false))
+        val sch = manifestSchema(m0)
+        // record whether this batch carries ANY delete row — observed on
+        // the write job itself (zero extra passes), published as the
+        // version's `opDeletes` flag so append-only feed consumers can
+        // refuse delete-bearing versions without re-reading the files
+        val delObs = org.apache.spark.sql.Observation()
+        val flagged = updates.withColumn(MorDel, coalesce(del, lit(false)))
+          .select((sch.fields.map(f => col(f.name)) :+ col(MorDel)).toSeq: _*)
+        (if (deleteCol.isEmpty) flagged
+         else flagged.observe(delObs, max(col(MorDel)).as("anydel")))
+          // one delta file per touched partition (the whole point of a
+          // delta is to be small; 32 shards of a 15k-row batch are not)
+          .repartition(shufflePartitions(spark), pcols.map(col): _*)
+          .write.mode(SaveMode.Overwrite)
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          .partitionBy(pcols: _*).parquet(tmpDir)
+        val hasDeletes = deleteCol.nonEmpty &&
+          Option(delObs.get("anydel")).contains(true)
+        val produced = listPartitionRels(fc, new Path(tmpDir))
+        val unexpected = produced.filterNot(touchedRels.contains)
+        require(unexpected.isEmpty,
+          s"mergeManifestDelta: writer produced partition dirs " +
+            s"${unexpected.mkString(",")} outside the touched set — " +
+            "partition rendering mismatch")
+        // delta stats/blooms: one aggregate each over the tmp tree —
+        // widened monotonically into the standing ones at commit time
+        val deltaStats = statsFor(spark, path, m0, Map.empty,
+          srcDir = Some(tmpDir))
+        val deltaBlooms = bloomsFor(spark, path, m0, Map.empty,
+          srcDir = Some(tmpDir))
+        val outcome: Either[String, Boolean] =
+          withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+            val v1 = manifestVersion(spark, path).get
+            val m1 = if (v1 == v0) m0 else readManifestMeta(spark, path, v1)
+            if (v1 != v0 && replayedSinkBatch(path, m1, batchId, sinkId))
+              Right(false)
+            else if (v1 != v0 && invariantsChanged(m0, m1).isDefined)
+              Left(invariantsChanged(m0, m1).get)
+            else {
+              val newDeltaGens = inParallel(produced) { rel =>
+                val g = nextGenOnDisk(fc, path, m1, rel)
+                val dst = new Path(s"$path/$rel/gen=$g")
+                fc.mkdir(dst.getParent,
+                  org.apache.hadoop.fs.permission.FsPermission
+                    .getDirDefault, true)
+                fc.rename(new Path(s"$tmpDir/$rel"), dst)
+                rel -> g
+              }.toMap
+              // widen against the LIVE stats (which already cover any
+              // concurrently-landed deltas); the tiny local widen job
+              // is bounded by the touched partition count
+              writeManifestMeta(spark, path, m1.copy(version = v1 + 1,
+                deltas = m1.deltas ++ newDeltaGens.map { case (rel, g) =>
+                  rel -> (m1.deltas.getOrElse(rel, Nil) :+ g) },
+                stats = widenStats(spark, m1, deltaStats),
+                blooms = widenBlooms(m1.blooms, deltaBlooms),
+                morKeys = keys, morVersionCol = Some(versionCol),
+                morDeleteCol = m1.morDeleteCol.orElse(deleteCol),
+                op = "delta", opDeletes = hasDeletes,
+                sinkBatches =
+                  if (batchId >= 0) m1.sinkBatches + (sinkId -> batchId)
+                  else m1.sinkBatches))
+              Right(true)
+            }
+          }
+        outcome match {
+          case Right(applied) => return applied
+          case Left(reason) => lastConflict = reason // retry fresh
+        }
+      } finally { fc.delete(new Path(tmpDir), true); () }
+    }
+    throw new IllegalStateException(
+      s"mergeManifestDelta on $path: commit conflicted $maxAttempts " +
+        s"times (last: $lastConflict) — concurrent table-level changes " +
+        "(schema/partitioning/spec) keep landing; quiesce them")
+  }
 
   /** Fold every pending merge-on-read delta into its partition's base:
     * the delta-bearing partitions resolve latest-wins (exactly the
@@ -2070,10 +2276,19 @@ object Layout {
     * after drain. Count-verified before publish. `sortCols` sorts each
     * folded partition's file (the [[compactManifest]] sorted-rewrite
     * discipline — fold is the natural place to re-tighten row-group
-    * stats too). Returns the folded partition rel-paths. */
+    * stats too).
+    *
+    * CONCURRENCY: the fold is optimistic — the rewrite runs without the
+    * maintenance lease, and at commit each partition whose state a
+    * concurrent writer moved is simply SKIPPED (a fold is a
+    * row-identical optimization; skipping is always sound, the next
+    * fold catches up). Deltas that landed on a folding partition
+    * mid-rewrite survive the commit as still-pending (the folded base
+    * covers exactly the deltas it read); such a partition keeps its
+    * widened stats until a later fold re-tightens them. Returns the
+    * folded-and-committed partition rel-paths. */
   def foldManifestDeltas(spark: SparkSession, path: String,
-                         sortCols: Seq[String] = Nil): Seq[String] =
-      withMaintenanceLock(spark, path) {
+                         sortCols: Seq[String] = Nil): Seq[String] = {
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not a manifest table"))
@@ -2085,49 +2300,89 @@ object Layout {
     else {
       val fc = fileContext(spark, path)
       val resolved = readResolved(spark, path, m, rels)
-      val tmpDir = s"$path.__manifest_tmp"
-      fc.delete(new Path(tmpDir), true)
-      val obs = org.apache.spark.sql.Observation()
-      val clustered = resolved.observe(obs, count(lit(1)).as("n"))
-        .repartition(shufflePartitions(spark), m.partitionCols.map(col): _*)
-      (if (sortCols.isEmpty) clustered
-       else clustered.sortWithinPartitions(
-         (m.partitionCols ++ sortCols).map(col): _*))
-        .write.mode(SaveMode.Overwrite)
-        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-        .partitionBy(m.partitionCols: _*).parquet(tmpDir)
-      val n0 = obs.get("n").asInstanceOf[Long]
-      val n1 = spark.read.parquet(tmpDir).count()
-      require(n1 == n0,
-        s"delta fold would lose rows: $n0 -> $n1; aborting")
-      val produced = listPartitionRels(fc, new Path(tmpDir))
-      val unexpected = produced.filterNot(rels.toSet)
-      require(unexpected.isEmpty,
-        s"foldManifestDeltas: writer produced partition dirs " +
-          s"${unexpected.mkString(",")} outside the delta-bearing set — " +
-          "partition rendering mismatch")
-      // published metadata from the tmp tree, before the renames
-      val newStats = statsFor(spark, path, m, Map.empty,
-        srcDir = Some(tmpDir))
-      val newBlooms = bloomsFor(spark, path, m, Map.empty,
-        srcDir = Some(tmpDir))
-      val newBytes = bytesUnder(fc, tmpDir, produced)
-      val newGens = inParallel(produced) { rel =>
-        val g = nextGenOnDisk(fc, path, m, rel)
-        fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
-        rel -> g
-      }.toMap
-      // tombstone-only outcomes: the partition leaves the manifest
-      val removed = rels.filterNot(newGens.contains)
-      writeManifestMeta(spark, path, m.copy(version = v + 1,
-        entries = m.entries -- removed ++ newGens,
-        deltas = m.deltas -- rels,
-        stats = m.stats -- removed ++ newStats,
-        blooms = m.blooms -- removed ++ newBlooms,
-        bytes = m.bytes -- removed ++ newBytes,
-        op = "fold", opDeletes = false))
-      fc.delete(new Path(tmpDir), true)
-      produced.sorted
+      val tmpDir = uniqueTmpDir(path)
+      try {
+        val obs = org.apache.spark.sql.Observation()
+        val clustered = resolved.observe(obs, count(lit(1)).as("n"))
+          .repartition(shufflePartitions(spark), m.partitionCols.map(col): _*)
+        (if (sortCols.isEmpty) clustered
+         else clustered.sortWithinPartitions(
+           (m.partitionCols ++ sortCols).map(col): _*))
+          .write.mode(SaveMode.Overwrite)
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          .partitionBy(m.partitionCols: _*).parquet(tmpDir)
+        val n0 = obs.get("n").asInstanceOf[Long]
+        val n1 = spark.read.parquet(tmpDir).count()
+        require(n1 == n0,
+          s"delta fold would lose rows: $n0 -> $n1; aborting")
+        val produced = listPartitionRels(fc, new Path(tmpDir))
+        val unexpected = produced.filterNot(rels.toSet)
+        require(unexpected.isEmpty,
+          s"foldManifestDeltas: writer produced partition dirs " +
+            s"${unexpected.mkString(",")} outside the delta-bearing set — " +
+            "partition rendering mismatch")
+        // published metadata from the tmp tree, before the commit
+        val newStats = statsFor(spark, path, m, Map.empty,
+          srcDir = Some(tmpDir))
+        val newBlooms = bloomsFor(spark, path, m, Map.empty,
+          srcDir = Some(tmpDir))
+        val newBytes = bytesUnder(fc, tmpDir, produced)
+        withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+          val v1 = manifestVersion(spark, path).get
+          val m1 = if (v1 == v) m else readManifestMeta(spark, path, v1)
+          if (v1 != v) invariantsChanged(m, m1).foreach(reason =>
+            throw new IllegalStateException(
+              s"foldManifestDeltas on $path: $reason landed mid-fold; " +
+                "re-run after the table-level change settles"))
+          // a rel commits iff its base entry did not move AND its delta
+          // list still starts with exactly what this fold resolved —
+          // deltas a concurrent writer APPENDED survive as pending on
+          // top of the folded base (that equals fold-then-delta);
+          // anything else (another fold/merge/compact won the race)
+          // skips: its tmp output is simply never renamed
+          val committable = rels.filter { rel =>
+            m1.entries.get(rel) == m.entries.get(rel) &&
+              m1.deltas.getOrElse(rel, Nil).startsWith(m.deltas(rel))
+          }
+          if (committable.isEmpty) Nil
+          else {
+            val producedCommit = produced.filter(committable.contains)
+            val newGens = inParallel(producedCommit) { rel =>
+              val g = nextGenOnDisk(fc, path, m1, rel)
+              fc.rename(new Path(s"$tmpDir/$rel"),
+                new Path(s"$path/$rel/gen=$g"))
+              rel -> g
+            }.toMap
+            // survivors: deltas appended after this fold's snapshot
+            val survivors = committable.map(rel =>
+              rel -> m1.deltas.getOrElse(rel, Nil)
+                .drop(m.deltas(rel).size)).toMap
+            // a rel whose fold produced no base output drops its base
+            // entry (the folded window resolved to zero rows) — fully
+            // removed when nothing survived, survivors-only otherwise
+            val entriesRemoved = committable.filterNot(newGens.contains)
+            val fullyRemoved = entriesRemoved
+              .filter(rel => survivors(rel).isEmpty)
+            // exact recomputed stats/blooms apply only where NO deltas
+            // survived — a survivor's rows are covered by the standing
+            // widened stats (kept), never by this fold's exact ones
+            val exactRels = committable.filter(rel =>
+              survivors(rel).isEmpty && newGens.contains(rel)).toSet
+            writeManifestMeta(spark, path, m1.copy(version = v1 + 1,
+              entries = m1.entries -- entriesRemoved ++ newGens,
+              deltas = (m1.deltas -- committable) ++
+                survivors.filter(_._2.nonEmpty),
+              stats = m1.stats -- fullyRemoved ++
+                newStats.view.filterKeys(exactRels).toMap,
+              blooms = m1.blooms -- fullyRemoved ++
+                newBlooms.view.filterKeys(exactRels).toMap,
+              bytes = m1.bytes -- entriesRemoved ++
+                newBytes.view.filterKeys(newGens.keySet).toMap,
+              op = "fold", opDeletes = false))
+            producedCommit.sorted
+          }
+        }
+      } finally { fc.delete(new Path(tmpDir), true); () }
     }
   }
 
@@ -2436,7 +2691,7 @@ object Layout {
     */
   def evolveManifest(spark: SparkSession, path: String,
                      addDdl: String): Unit =
-      withMaintenanceLock(spark, path) {
+      withMaintenanceLock(spark, path, lockWaitMs(spark)) {
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not a manifest table; seed it with writeManifestTable"))
@@ -2477,7 +2732,7 @@ object Layout {
   def reapManifest(spark: SparkSession, path: String,
                    keepVersions: Int = 1,
                    ignoreConsumers: Set[String] = Set.empty): Seq[String] =
-      withMaintenanceLock(spark, path) {
+      withMaintenanceLock(spark, path, lockWaitMs(spark)) {
     require(keepVersions >= 1, "keepVersions must be >= 1")
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"$path is not a manifest table"))
@@ -2552,6 +2807,23 @@ object Layout {
         deleted += n
       }
     }
+    // crashed optimistic writers leave their writer-unique tmp trees
+    // as SIBLINGS of the table dir (live writers delete theirs in a
+    // finally); anything older than an hour is certainly abandoned —
+    // an in-flight writer's tmp is younger than its own write job
+    val tblName = new Path(path).getName
+    val parent = new Path(path).getParent
+    if (parent != null && fc.util.exists(parent)) {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      fc.util.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith(s"$tblName.__manifest_tmp") &&
+            st.getModificationTime < cutoff) {
+          fc.delete(st.getPath, true)
+          deleted += n
+        }
+      }
+    }
     deleted.toSeq.sorted
   }
 
@@ -2605,8 +2877,7 @@ object Layout {
                       maxFiles: Int = 4,
                       sortCols: Seq[String] = Nil,
                       zorderCols: Seq[String] = Nil,
-                      zorderBits: Int = 8): Seq[String] =
-      withMaintenanceLock(spark, path) {
+                      zorderBits: Int = 8): Seq[String] = {
     require(maxFiles >= 0, "maxFiles must be >= 0 (0 = rewrite all)")
     require(sortCols.isEmpty || zorderCols.isEmpty,
       "sortCols and zorderCols are exclusive: linear sort or Z-curve")
@@ -2632,57 +2903,80 @@ object Layout {
     if (selected.isEmpty) Nil
     else {
       // stored-schema-aligned rewrite (readManifestRels): re-writes the
-      // seed's column types, null-filling evolved columns per file
+      // seed's column types, null-filling evolved columns per file.
+      // OPTIMISTIC: the rewrite reads only BASE generations without the
+      // lease — a compaction of a 100 TB table runs long enough that
+      // CDC ingest cannot stop for it. Deltas landing mid-rewrite are
+      // invisible here and stay pending on top of the compacted base
+      // (base rows keep resolution seq 0); partitions whose BASE a
+      // concurrent commit rewrote skip at commit (row-identity makes
+      // skipping always sound — the next compaction catches up).
       val base = readManifestRels(spark, path, m,
         selected.map(rel => rel -> m.entries(rel)).toMap)
-      val tmpDir = s"$path.__manifest_tmp"
-      fc.delete(new Path(tmpDir), true) // crashed prior run's leftover
-      val obs = org.apache.spark.sql.Observation()
-      // the z key is computed BEFORE the observation/shuffle (per-row,
-      // one boundary pass over the selected partitions only) and
-      // dropped after the in-task sort, never written
-      val keyed =
-        if (zorderCols.isEmpty) base
-        else withZ(base, zorderCols, zorderBits, 0.001)
-      val clustered = keyed.observe(obs, count(lit(1)).as("n"))
-        .repartition(shufflePartitions(spark), m.partitionCols.map(col): _*)
-      // partition cols lead the sort so each task's rows stay grouped
-      // by output dir; within a dir the file is sortCols- or z-ordered
-      val inTaskOrder =
-        if (zorderCols.nonEmpty) m.partitionCols.map(col) :+ col("__z")
-        else (m.partitionCols ++ sortCols).map(col)
-      (if (sortCols.isEmpty && zorderCols.isEmpty) clustered
-       else clustered.sortWithinPartitions(inTaskOrder: _*))
-        .drop("__z")
-        .write.mode(SaveMode.Overwrite)
-        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-        .partitionBy(m.partitionCols: _*).parquet(tmpDir)
-      val n0 = obs.get("n").asInstanceOf[Long]
-      val n1 = spark.read.parquet(tmpDir).count()
-      require(n1 == n0,
-        s"manifest compaction would lose rows: $n0 -> $n1; aborting")
-      val produced = listPartitionRels(fc, new Path(tmpDir))
-      val unexpected = produced.filterNot(selected.toSet)
-      require(unexpected.isEmpty,
-        s"compactManifest: writer produced partition dirs " +
-          s"${unexpected.mkString(",")} outside the selected set — " +
-          "partition rendering mismatch")
-      val newGens = inParallel(produced) { rel =>
-        // collision-free above manifest and disk (pending deltas stay
-        // pending on top of the compacted base — base rows keep
-        // resolution seq 0)
-        val g = nextGenOnDisk(fc, path, m, rel)
-        fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
-        rel -> g
-      }.toMap
-      // row-identical rewrite: stats carry forward unchanged, but the
-      // FILES changed — bytes recompute for the rewritten partitions
-      writeManifestMeta(spark, path, m.copy(version = v + 1,
-        entries = m.entries ++ newGens.toMap,
-        bytes = m.bytes ++ bytesFor(spark, path, newGens.toMap),
-        op = "compact", opDeletes = false))
-      fc.delete(new Path(tmpDir), true)
-      produced.sorted
+      val tmpDir = uniqueTmpDir(path)
+      try {
+        val obs = org.apache.spark.sql.Observation()
+        // the z key is computed BEFORE the observation/shuffle (per-row,
+        // one boundary pass over the selected partitions only) and
+        // dropped after the in-task sort, never written
+        val keyed =
+          if (zorderCols.isEmpty) base
+          else withZ(base, zorderCols, zorderBits, 0.001)
+        val clustered = keyed.observe(obs, count(lit(1)).as("n"))
+          .repartition(shufflePartitions(spark), m.partitionCols.map(col): _*)
+        // partition cols lead the sort so each task's rows stay grouped
+        // by output dir; within a dir the file is sortCols- or z-ordered
+        val inTaskOrder =
+          if (zorderCols.nonEmpty) m.partitionCols.map(col) :+ col("__z")
+          else (m.partitionCols ++ sortCols).map(col)
+        (if (sortCols.isEmpty && zorderCols.isEmpty) clustered
+         else clustered.sortWithinPartitions(inTaskOrder: _*))
+          .drop("__z")
+          .write.mode(SaveMode.Overwrite)
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          .partitionBy(m.partitionCols: _*).parquet(tmpDir)
+        val n0 = obs.get("n").asInstanceOf[Long]
+        val n1 = spark.read.parquet(tmpDir).count()
+        require(n1 == n0,
+          s"manifest compaction would lose rows: $n0 -> $n1; aborting")
+        val produced = listPartitionRels(fc, new Path(tmpDir))
+        val unexpected = produced.filterNot(selected.toSet)
+        require(unexpected.isEmpty,
+          s"compactManifest: writer produced partition dirs " +
+            s"${unexpected.mkString(",")} outside the selected set — " +
+            "partition rendering mismatch")
+        withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+          val v1 = manifestVersion(spark, path).get
+          val m1 = if (v1 == v) m else readManifestMeta(spark, path, v1)
+          if (v1 != v)
+            invariantsChanged(m, m1, checkMorSpec = false).foreach(reason =>
+              throw new IllegalStateException(
+                s"compactManifest on $path: $reason landed " +
+                  "mid-compaction; re-run after the change settles"))
+          // a rel commits iff its BASE entry did not move (pending
+          // deltas — existing or concurrently landed — are irrelevant:
+          // the compacted base is row-identical, resolution unchanged)
+          val committable = produced.filter(rel =>
+            m1.entries.get(rel) == m.entries.get(rel)).toSet
+          if (committable.isEmpty) Nil
+          else {
+            val newGens = inParallel(produced.filter(committable)) { rel =>
+              // collision-free above manifest and disk
+              val g = nextGenOnDisk(fc, path, m1, rel)
+              fc.rename(new Path(s"$tmpDir/$rel"),
+                new Path(s"$path/$rel/gen=$g"))
+              rel -> g
+            }.toMap
+            // row-identical rewrite: stats carry forward unchanged, but
+            // the FILES changed — bytes recompute for rewritten rels
+            writeManifestMeta(spark, path, m1.copy(version = v1 + 1,
+              entries = m1.entries ++ newGens.toMap,
+              bytes = m1.bytes ++ bytesFor(spark, path, newGens.toMap),
+              op = "compact", opDeletes = false))
+            newGens.keys.toSeq.sorted
+          }
+        }
+      } finally { fc.delete(new Path(tmpDir), true); () }
     }
   }
 
@@ -2713,7 +3007,7 @@ object Layout {
   def repartitionManifest(spark: SparkSession, path: String,
                           newPartitionCols: Seq[String],
                           sortCols: Seq[String] = Nil): Int =
-      withMaintenanceLock(spark, path) {
+      withMaintenanceLock(spark, path, lockWaitMs(spark)) {
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not a manifest table; seed it with writeManifestTable"))

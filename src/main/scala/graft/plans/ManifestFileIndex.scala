@@ -57,6 +57,10 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
                               version: Option[Int] = None)
     extends FileIndex {
 
+  /** The manifest table's root — the handle graft's `INSERT INTO`
+    * rewrite needs to route SQL DML back through the merge machinery. */
+  private[graft] def table: String = tablePath
+
   private val meta = {
     val v = version.orElse(Layout.manifestVersion(spark, tablePath))
       .getOrElse(throw new IllegalArgumentException(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SQLContext
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.operators.Layout
@@ -29,6 +29,7 @@ import graft.operators.Layout
   * merge-on-read deltas refuse loudly (the index's contract).
   */
 final class ManifestProvider extends RelationProvider
+    with CreatableRelationProvider
     with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "manifest"
@@ -52,9 +53,76 @@ final class ManifestProvider extends RelationProvider
     val spark = sqlContext.sparkSession
     val idx = new ManifestFileIndex(spark, path, version)
     // the index's (dataSchema ++ partitionSchema) IS the stored column
-    // order — manifest tables store data columns first by construction
+    // order — manifest tables store data columns first by construction.
+    // The view OPTIONS ride along so the INSERT rewrite
+    // ([[ManifestInsertRule]]) can read the merge spec (keys,
+    // versionCol, mor) off the relation.
     HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
-      new ParquetFileFormat, Map.empty)(spark)
+      new ParquetFileFormat, parameters)(spark)
+  }
+
+  /** The BATCH write surface: `df.write.format("manifest")` —
+    * SaveMode.Overwrite/ErrorIfExists/Ignore SEED a new table
+    * ([[graft.operators.Layout.writeManifestTable]]; `partitionCols`
+    * option required, plus optional `statsCols`/`bloomCols`), and
+    * SaveMode.Append applies a keyed merge onto an existing one
+    * (`keys` + `versionCol` options; `mor 'true'` lands it as a
+    * merge-on-read delta). Overwrite of an EXISTING manifest table
+    * refuses loudly — it would discard history retained versions still
+    * reference. */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame):
+      BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val path = opt(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "manifest writer needs .option(\"path\", <table dir>)"))
+    val spark = sqlContext.sparkSession
+    val exists = Layout.manifestVersion(spark, path).isDefined
+    def seed(): Unit = {
+      val pcols = opt(parameters, "partitionCols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      require(pcols.nonEmpty,
+        "seeding a manifest table needs .option(\"partitionCols\", " +
+          "\"p1,p2\") — the seed fixes the table's partitioning")
+      def cols(key: String): Seq[String] = opt(parameters, key).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      Layout.writeManifestTable(spark, path, data, pcols,
+        statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+    }
+    mode match {
+      case SaveMode.Append =>
+        require(exists,
+          s"$path is not a manifest table; seed it first " +
+            "(mode=overwrite with partitionCols, or writeManifestTable)")
+        val keys = opt(parameters, "keys").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val versionCol = opt(parameters, "versionCol")
+        require(keys.nonEmpty && versionCol.nonEmpty,
+          "manifest append is a keyed merge: set .option(\"keys\", " +
+            "\"k1,k2\") and .option(\"versionCol\", <col>)")
+        if (opt(parameters, "mor").exists(_.toBoolean))
+          Layout.mergeManifestDelta(spark, path, data, keys,
+            versionCol.get)
+        else
+          Layout.mergeManifest(spark, path, data, keys, versionCol.get)
+        ()
+      case SaveMode.Overwrite =>
+        require(!exists,
+          s"$path is already a manifest table: refusing to overwrite " +
+            "(history retained versions reference would vanish); merge " +
+            "onto it with mode=append, or reap + delete it explicitly " +
+            "first")
+        seed()
+      case SaveMode.ErrorIfExists =>
+        require(!exists, s"$path is already a manifest table")
+        seed()
+      case SaveMode.Ignore =>
+        if (!exists) seed()
+    }
+    createRelation(sqlContext, Map("path" -> path))
   }
 
   /** The WRITE side: `df.writeStream.format("manifest")` — each

@@ -13,6 +13,17 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** An analyzed LogicalPlan as a DataFrame — the seam a custom
+    * RunnableCommand (graft's `INSERT INTO … USING manifest` rewrite)
+    * needs to hand its already-resolved query to the DataFrame-level
+    * merge machinery (Delta's DeltaAnalysis commands use the identical
+    * `Dataset.ofRows` call from `org.apache.spark.sql.delta`). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Block until the listener bus has delivered all pending events — makes
     * QueryExecutionListener-based metric collection deterministic. */
   def waitListenerBus(spark: org.apache.spark.sql.SparkSession, timeoutMs: Long = 10000): Unit =

@@ -1,0 +1,237 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Optimistic concurrent commits on manifest tables: CDC ingest and
+  * maintenance overlap instead of serializing on the single lease —
+  * the expensive rewrite runs unlocked against a snapshot, the commit
+  * takes the lease briefly, rebases onto concurrent publishes when
+  * the touched state allows, retries from fresh otherwise — plus the
+  * dead-owner lock liveness (a crashed same-host writer's lease breaks
+  * automatically; a live owner's never does). */
+class LayoutConcurrencySpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_conc_$tag").resolve("t").toString
+
+  import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+
+  private def seed(dir: String, rows: Seq[(Long, String, Double, Long)]): Unit =
+    Layout.writeManifestTable(spark, dir,
+      rows.toDF("k", "part", "v", "ver"), Seq("part"))
+
+  private def snap(df: DataFrame): Map[Long, Double] =
+    df.select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  /** Run thunks concurrently, propagate the first failure. */
+  private def inThreads[A](thunks: (() => A)*): Seq[A] = {
+    val pool = Executors.newFixedThreadPool(thunks.size)
+    try {
+      val fs = thunks.map(t => pool.submit(
+        new java.util.concurrent.Callable[A] { def call(): A = t() }))
+      fs.map { f =>
+        try f.get(120, TimeUnit.SECONDS)
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
+  test("interleaved mergeManifestDelta + compactManifest from two " +
+      "threads: both succeed, final snapshot equals the sequential " +
+      "application") {
+    val dir = tmpDir("ingest_vs_compact")
+    val ref = tmpDir("ingest_vs_compact_ref")
+    // a seed heavy enough that the compaction rewrite takes real time
+    // while the delta merges land mid-flight
+    val seedRows = (1L to 20000L).map(i =>
+      (i, s"p${i % 3}", i * 1.0, 1L))
+    seed(dir, seedRows); seed(ref, seedRows)
+    val deltas = (1 to 4).map(b =>
+      (100000L + b, s"p${b % 3}", b * 10.0, 2L))
+    val started = new CountDownLatch(1)
+    val Seq(compacted, _) = inThreads[Any](
+      () => {
+        started.await()
+        Layout.compactManifest(spark, dir, maxFiles = 0)
+      },
+      () => {
+        started.countDown()
+        deltas.foreach { d =>
+          Layout.mergeManifestDelta(spark, dir,
+            Seq(d).toDF("k", "part", "v", "ver"), Seq("k"), "ver")
+        }
+      })
+    // BOTH succeeded: compaction committed its rewrites (deltas never
+    // move base entries, so every selected partition stays committable)
+    // and every delta merge published
+    assert(compacted.asInstanceOf[Seq[String]].nonEmpty,
+      "compaction must commit alongside concurrent ingest")
+    // sequential reference: same ops one after another
+    Layout.compactManifest(spark, ref, maxFiles = 0)
+    deltas.foreach { d =>
+      Layout.mergeManifestDelta(spark, ref,
+        Seq(d).toDF("k", "part", "v", "ver"), Seq("k"), "ver")
+    }
+    assert(snap(Layout.readManifest(spark, dir)) ==
+      snap(Layout.readManifest(spark, ref)),
+      "concurrent result must be hash-exact vs the sequential order")
+    // and the interleaving really published both op kinds
+    val v = Layout.manifestVersion(spark, dir).get
+    assert(v == 1 + 1 + deltas.size,
+      s"every publish must land exactly once (live v$v)")
+  }
+
+  test("copy-on-write rebase: concurrent CoW merges on DISJOINT " +
+      "partitions both commit; on the SAME partition the loser " +
+      "retries from fresh and neither update is lost") {
+    val dir = tmpDir("cow_race")
+    seed(dir, (1L to 30000L).map(i => (i, s"p${i % 2}", i * 1.0, 1L)))
+    // heavy merge on p0 (slow write phase) vs light merge on p0 (fast):
+    // the light one commits mid-heavy-write, the heavy one's commit
+    // detects the moved partition and retries — folding the light
+    // merge's row into its re-read base. Without conflict detection
+    // the heavy publish would silently DROP the light update.
+    val heavy = (1L to 15000L).filter(_ % 2 == 0).map(i =>
+      (i, "p0", i * 2.0, 2L))
+    val started = new CountDownLatch(1)
+    inThreads[Any](
+      () => {
+        started.await()
+        Layout.mergeManifest(spark, dir,
+          heavy.toDF("k", "part", "v", "ver"), Seq("k"), "ver")
+      },
+      () => {
+        started.countDown()
+        Thread.sleep(150) // land inside the heavy write phase
+        Layout.mergeManifest(spark, dir,
+          Seq((999999L, "p0", -1.0, 2L)).toDF("k", "part", "v", "ver"),
+          Seq("k"), "ver")
+      })
+    val got = snap(Layout.readManifest(spark, dir))
+    assert(got.get(999999L).contains(-1.0),
+      "the light merge's row must survive the heavy merge's commit " +
+        "(lost-update check)")
+    assert(got(2L) == 4.0 && got(14998L) == 29996.0,
+      "the heavy merge's updates must all be applied")
+    // disjoint partitions: both commit without retries, two versions
+    val v0 = Layout.manifestVersion(spark, dir).get
+    val started2 = new CountDownLatch(1)
+    inThreads[Any](
+      () => {
+        started2.await()
+        Layout.mergeManifest(spark, dir,
+          Seq((500001L, "p0", 1.0, 3L)).toDF("k", "part", "v", "ver"),
+          Seq("k"), "ver")
+      },
+      () => {
+        started2.countDown()
+        Layout.mergeManifest(spark, dir,
+          Seq((500002L, "p1", 1.0, 3L)).toDF("k", "part", "v", "ver"),
+          Seq("k"), "ver")
+      })
+    val got2 = snap(Layout.readManifest(spark, dir))
+    assert(got2.contains(500001L) && got2.contains(500002L))
+    assert(Layout.manifestVersion(spark, dir).contains(v0 + 2))
+  }
+
+  test("fold rebases around a delta that lands mid-fold: the folded " +
+      "base commits, the new delta survives as pending") {
+    val dir = tmpDir("fold_race")
+    seed(dir, (1L to 20000L).map(i => (i, s"p${i % 2}", i * 1.0, 1L)))
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((100001L, "p0", 1.0, 2L), (100002L, "p1", 1.0, 2L))
+        .toDF("k", "part", "v", "ver"), Seq("k"), "ver")
+    val started = new CountDownLatch(1)
+    val Seq(folded, _) = inThreads[Any](
+      () => {
+        started.await()
+        Layout.foldManifestDeltas(spark, dir)
+      },
+      () => {
+        started.countDown()
+        Thread.sleep(150) // land inside the fold's rewrite phase
+        Layout.mergeManifestDelta(spark, dir,
+          Seq((100003L, "p0", 3.0, 3L)).toDF("k", "part", "v", "ver"),
+          Seq("k"), "ver")
+      })
+    // every row is present regardless of which interleaving happened
+    val got = snap(Layout.readManifest(spark, dir))
+    assert(got.contains(100001L) && got.contains(100002L) &&
+      got.get(100003L).contains(3.0), s"rows lost in the race")
+    // if the delta landed mid-fold (the overwhelmingly likely timing),
+    // the fold still committed BOTH partitions — the new delta rebased
+    // to a surviving pending entry instead of blocking the fold
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    val pending = m.deltas.values.flatten.size
+    assert(folded.asInstanceOf[Seq[String]].nonEmpty,
+      "fold must commit alongside concurrent ingest")
+    assert(pending <= 1,
+      s"at most the mid-fold delta may remain pending (got $pending)")
+  }
+
+  test("sinkBatch markers survive a concurrent maintenance rebase; " +
+      "replay still refuses after the interleaving") {
+    val dir = tmpDir("marker_rebase")
+    seed(dir, (1L to 20000L).map(i => (i, s"p${i % 2}", i * 1.0, 1L)))
+    val started = new CountDownLatch(1)
+    inThreads[Any](
+      () => {
+        started.await()
+        // heavy compaction committing AFTER the delta below publishes:
+        // its rebase onto the delta's version must carry the marker
+        Layout.compactManifest(spark, dir, maxFiles = 0)
+      },
+      () => {
+        started.countDown()
+        Thread.sleep(150)
+        Layout.mergeManifestDelta(spark, dir,
+          Seq((200001L, "p0", 1.0, 2L)).toDF("k", "part", "v", "ver"),
+          Seq("k"), "ver", batchId = 7L, sinkId = "q1")
+      })
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.sinkBatch("q1") == 7L,
+      s"marker lost across the rebase: ${m.sinkBatches}")
+    // replay of the same id is still a quiet no-op
+    assert(!Layout.mergeManifestDelta(spark, dir,
+      Seq((200001L, "p0", 1.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver", batchId = 7L, sinkId = "q1"))
+  }
+
+  test("lease liveness: a crashed same-host owner's lock breaks " +
+      "automatically; a live owner's lock still refuses") {
+    val dir = tmpDir("liveness")
+    seed(dir, Seq((1L, "a", 1.0, 1L)))
+    val lock = new java.io.File(s"$dir.__maint.lock")
+    // a pid far above any real pid_max: provably no live process
+    java.nio.file.Files.writeString(lock.toPath,
+      "pid=999999999 thread=crashed-writer")
+    assert(Layout.mergeManifest(spark, dir,
+      Seq((2L, "a", 2.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver"), "dead-owner lock must break automatically")
+    assert(snap(Layout.readManifest(spark, dir)).contains(2L))
+    assert(!lock.exists(), "the broken lock must be gone")
+    // a LIVE owner (this very process) is never broken
+    java.nio.file.Files.writeString(lock.toPath,
+      s"pid=${ProcessHandle.current().pid()} thread=live-writer")
+    spark.conf.set("spark.graft.manifest.lockWaitMs", "300")
+    try {
+      val e = intercept[IllegalStateException] {
+        Layout.mergeManifest(spark, dir,
+          Seq((3L, "a", 3.0, 3L)).toDF("k", "part", "v", "ver"),
+          Seq("k"), "ver")
+      }
+      assert(e.getMessage.contains("maintenance writer"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.manifest.lockWaitMs")
+    assert(lock.delete())
+  }
+}

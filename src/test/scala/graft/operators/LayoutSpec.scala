@@ -501,14 +501,17 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Layout.readManifestVersion(spark, dir, 1)
     }
-    // the maintenance lease wraps manifest merges too
+    // the maintenance lease wraps the manifest merge's COMMIT: a held
+    // foreign lock (no owner pid — unbreakable, the safe side) makes
+    // the commit queue for the wait budget, then fail loudly
     val lock = new java.io.File(s"$dir.__maint.lock")
     assert(lock.createNewFile())
-    intercept[IllegalStateException] {
+    spark.conf.set("spark.graft.manifest.lockWaitMs", "300")
+    try intercept[IllegalStateException] {
       Layout.mergeManifest(spark, dir,
         Seq((9L, "a", 9.0, 9L, false)).toDF("k", "part", "v", "ver", "del"),
         Seq("k"), "ver", deleteCol = Some("del"))
-    }
+    } finally spark.conf.unset("spark.graft.manifest.lockWaitMs")
     assert(lock.delete())
   }
 
@@ -670,11 +673,15 @@ class LayoutSpec extends SparkSpec {
     def snap(df: DataFrame): Map[Long, Double] =
       df.collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
     val want = snap(pinned)
-    // crash leftover from a prior maintenance run: must be cleared
-    assert(new java.io.File(s"$dir.__manifest_tmp").mkdirs())
     val compacted = Layout.compactManifest(spark, dir, maxFiles = 1)
     assert(compacted.sorted == Seq("part=p0", "part=p1", "part=p2"))
-    assert(!new java.io.File(s"$dir.__manifest_tmp").exists())
+    // writers use a UNIQUE tmp tree and delete it on every exit path;
+    // none may linger beside the table after the compaction
+    val parent = new java.io.File(dir).getParentFile
+    val tblName = new java.io.File(dir).getName
+    assert(!parent.listFiles().exists(
+      _.getName.startsWith(s"$tblName.__manifest_tmp")),
+      "writer tmp tree must not survive the compaction")
     // pinned reader keeps its snapshot; live read is row-identical,
     // one data file per partition, manifest version bumped
     assert(snap(pinned) == want)
@@ -691,12 +698,18 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Layout.compactManifest(spark, flat)
     }
-    // the maintenance lease wraps compaction too
+    // a no-op compaction (nothing selected) never needs the lease —
+    // the optimistic discipline takes it only to COMMIT real work
     val lock = new java.io.File(s"$dir.__maint.lock")
     assert(lock.createNewFile())
-    intercept[IllegalStateException] {
-      Layout.compactManifest(spark, dir, maxFiles = 1)
-    }
+    assert(Layout.compactManifest(spark, dir, maxFiles = 1).isEmpty,
+      "no-op compaction must not block on a held lease")
+    // a compaction WITH work (maxFiles=0 rewrites all) queues its
+    // commit on the held lease for the wait budget, then fails loudly
+    spark.conf.set("spark.graft.manifest.lockWaitMs", "300")
+    try intercept[IllegalStateException] {
+      Layout.compactManifest(spark, dir, maxFiles = 0)
+    } finally spark.conf.unset("spark.graft.manifest.lockWaitMs")
     assert(lock.delete())
   }
 

@@ -1,0 +1,128 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.operators.Layout
+
+/** Pure-SQL DML over manifest tables: `INSERT INTO <USING manifest
+  * view> SELECT …` rewrites to a keyed merge (ManifestInsertRule) —
+  * never a raw parquet write into the table root — and the batch
+  * `df.write.format("manifest")` surface seeds/merges through the same
+  * machinery. */
+class ManifestDmlSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_dml_$tag").resolve("t").toString
+
+  import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+
+  private def snap(df: DataFrame): Map[Long, Double] =
+    df.select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("INSERT INTO a USING-manifest view lands as a keyed merge: " +
+      "upserts + inserts, snapshot history intact, no stray files") {
+    val dir = tmpDir("insert")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW t_dml
+      USING manifest OPTIONS (path '$dir', keys 'k', versionCol 'ver')""")
+    // positional INSERT: update k=1, insert k=3 — ONE merge publish
+    // the view's column order is DATA COLUMNS FIRST then partition
+    // cols (k, v, ver, part) — positional INSERT follows the view
+    spark.sql("INSERT INTO t_dml SELECT * FROM VALUES " +
+      "(1L, 11.0, 2L, 'a'), (3L, 30.0, 2L, 'c') AS s(k, v, ver, part)")
+    assert(Layout.manifestVersion(spark, dir).contains(2))
+    assert(snap(Layout.readManifest(spark, dir)) ==
+      Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+    // time travel still reaches the seed — the INSERT was a manifest
+    // publish, not an in-place write
+    assert(snap(Layout.readManifestVersion(spark, dir, 1)) ==
+      Map(1L -> 10.0, 2L -> 20.0))
+    // no part files outside generation dirs (the corruption the
+    // rewrite exists to prevent)
+    val stray = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    assert(stray.isEmpty, s"raw files in the table root: ${stray.toSeq}")
+    // the view is snapshot-pinned at creation; re-mounting sees the new
+    // rows through the planner-integrated index
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW t_dml2
+      USING manifest OPTIONS (path '$dir')""")
+    assert(spark.sql("SELECT count(*) FROM t_dml2").head().getLong(0) == 3)
+  }
+
+  test("INSERT column list must cover every column; arity and overwrite " +
+      "refuse loudly; mor option lands a delta") {
+    val dir = tmpDir("insert_guard")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L)).toDF("k", "part", "v", "ver"), Seq("part"))
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW t_g
+      USING manifest OPTIONS (path '$dir', keys 'k', versionCol 'ver')""")
+    // arity mismatch
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO t_g SELECT 1L, 'a', 2.0") }
+    assert(e1.getMessage.contains("arity") ||
+      e1.getMessage.contains("not enough data columns"), e1.getMessage)
+    // partial column list
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO t_g (k, v) SELECT 1L, 2.0") }
+    assert(e2.getMessage.contains("every column") ||
+      e2.getMessage.contains("not enough data columns"), e2.getMessage)
+    // INSERT OVERWRITE refused with the manifest rationale
+    val e3 = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE TABLE t_g SELECT 1L, 2.0, 2L, 'a'") }
+    assert(e3.getMessage.contains("INSERT OVERWRITE a manifest table"),
+      e3.getMessage)
+    // a view mounted with mor 'true' appends a merge-on-read delta:
+    // base generation untouched, pending delta recorded
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW t_mor
+      USING manifest OPTIONS (path '$dir', keys 'k', versionCol 'ver',
+                              mor 'true')""")
+    spark.sql(
+      "INSERT INTO t_mor SELECT * FROM VALUES (9L, 90.0, 2L, 'a') " +
+        "AS s(k, v, ver, part)")
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.deltas.nonEmpty, "mor INSERT must land as a pending delta")
+    assert(snap(Layout.readManifest(spark, dir)) ==
+      Map(1L -> 10.0, 9L -> 90.0))
+    // a view WITHOUT a merge spec (on a fresh table with no stored
+    // mor spec either) names the fix
+    val dir2 = tmpDir("nospec")
+    Layout.writeManifestTable(spark, dir2,
+      Seq((1L, "a", 1.0, 1L)).toDF("k", "part", "v", "ver"), Seq("part"))
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW t_nospec2
+      USING manifest OPTIONS (path '$dir2')""")
+    val e4 = intercept[Exception] {
+      spark.sql("INSERT INTO t_nospec2 SELECT * FROM VALUES " +
+        "(1L, 2.0, 2L, 'a') AS s(k, v, ver, part)") }
+    assert(e4.getMessage.contains("keys 'k1,k2'"), e4.getMessage)
+  }
+
+  test("df.write.format(\"manifest\"): overwrite seeds, append merges, " +
+      "existing-table overwrite refuses") {
+    val dir = tmpDir("writer")
+    Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+      .toDF("k", "part", "v", "ver")
+      .write.format("manifest").option("path", dir)
+      .option("partitionCols", "part").mode("overwrite").save()
+    assert(Layout.manifestVersion(spark, dir).contains(1))
+    Seq((2L, "b", 22.0, 2L), (3L, "c", 30.0, 2L))
+      .toDF("k", "part", "v", "ver")
+      .write.format("manifest").option("path", dir)
+      .option("keys", "k").option("versionCol", "ver")
+      .mode("append").save()
+    assert(snap(Layout.readManifest(spark, dir)) ==
+      Map(1L -> 10.0, 2L -> 22.0, 3L -> 30.0))
+    val e = intercept[Exception] {
+      Seq((9L, "z", 9.0, 9L)).toDF("k", "part", "v", "ver")
+        .write.format("manifest").option("path", dir)
+        .option("partitionCols", "part").mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("refusing to overwrite"), e.getMessage)
+  }
+}
