@@ -1435,6 +1435,79 @@ object EngineQueries {
         col("ver"))
     }),
 
+    // CHUNKED initial snapshot for CDC replication (m66 anchored at
+    // `earliest` into an EMPTY replica): with snapshotChunkPartitions
+    // the backfill pages the source snapshot as bounded per-partition
+    // chunks — each its own checkpointed batch and replica publish —
+    // instead of ONE batch a mid-flight failure would redo wholesale.
+    // The gate KILLS the stream after the first chunk (Trigger.Once)
+    // and restarts: the replica must hold a strict subset at the kill
+    // (in-gate pin), resume at the unfinished chunk, then follow a
+    // post-snapshot merge as a net diff — final table hash-exact
+    // (m66's oracle arithmetic).
+    "m68_manifest_chunked_backfill" -> ((s, dir) => {
+      import graft.operators.Layout
+      val base = tmp("chunkrepl")
+      val src = s"$base/src"
+      val dst = s"$base/dst"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val seed = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, src, seed, Seq("o_year"))
+      // the replica starts EMPTY — the chunked backfill populates it
+      Layout.writeManifestTable(s, dst, seed.limit(0), Seq("o_year"))
+      // v2 BEFORE the stream exists: update %10 (+100), delete %13 —
+      // the snapshot the backfill pages is already post-CDC
+      Layout.mergeManifest(s, src,
+        seed.filter(pmod(col("o_orderkey"), lit(10)) === 0 ||
+            pmod(col("o_orderkey"), lit(13)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("ver", lit(2L))
+          .withColumn("del", pmod(col("o_orderkey"), lit(13)) === 0),
+        Seq("o_orderkey"), "ver", deleteCol = Some("del"))
+      def writer = s.readStream.format("manifest-feed")
+        .option("path", src).option("mode", "changes")
+        .option("startingVersion", "earliest")
+        .option("snapshotChunkPartitions", "2").load()
+        .writeStream.format("manifest")
+        .option("path", dst)
+        .option("keys", "o_orderkey").option("versionCol", "ver")
+        .option("changeTypeCol", "_change_type")
+        .option("checkpointLocation", s"$base/ckpt")
+      // ONE micro-batch, then stop: the kill mid-snapshot
+      val q1 = writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      q1.awaitTermination()
+      val partial = Layout.readManifest(s, dst).count()
+      val full = Layout.readManifest(s, src).count()
+      require(partial > 0 && partial < full,
+        s"the first batch must be ONE bounded chunk ($partial of $full)")
+      // restart: the remaining chunks drain, each its own publish
+      val q2 = writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      require(Layout.manifestVersion(s, dst).exists(_ > 2),
+        "the snapshot must land as SEVERAL replica publishes")
+      require(Layout.readManifest(s, dst).count() == full,
+        "the reassembled backfill must be the exact snapshot")
+      // post-snapshot CDC flows as a net diff on the same checkpoint
+      Layout.mergeManifest(s, src,
+        Layout.readManifest(s, src)
+          .filter(pmod(col("o_orderkey"), lit(17)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 7)
+          .withColumn("ver", lit(3L)),
+        Seq("o_orderkey"), "ver")
+      val q3 = writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q3.awaitTermination()
+      Layout.readManifest(s, dst).select(col("o_orderkey"),
+        col("o_year").cast("int").as("o_year"), col("o_totalprice"),
+        col("ver"))
+    }),
+
     // Partition-spec change (Layout.repartitionManifest): the orders
     // manifest re-partitions from year to key band behind ONE snapshot
     // publish — a pending merge-on-read delta folds into the rewrite,
@@ -2539,6 +2612,20 @@ object EngineQueries {
     // order, deleted keys gone (same arithmetic on both engines — a
     // missed delete or a double-applied update breaks the hash)
     "m66_manifest_cdc_replication" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice
+             + CASE WHEN o_orderkey % 10 = 0 THEN 100 ELSE 0 END
+             + CASE WHEN o_orderkey % 17 = 0 THEN 7 ELSE 0 END
+             AS o_totalprice,
+           CASE WHEN o_orderkey % 17 = 0 THEN CAST(3 AS BIGINT)
+                WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders WHERE o_orderkey % 13 <> 0""",
+    // the chunked backfill reassembles exactly the post-CDC snapshot
+    // and then follows the diff — same arithmetic as m66 (the chunk
+    // boundaries and the mid-snapshot kill are pinned in-gate; any
+    // dropped or double-applied chunk breaks this hash)
+    "m68_manifest_chunked_backfill" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
            o_totalprice
              + CASE WHEN o_orderkey % 10 = 0 THEN 100 ELSE 0 END

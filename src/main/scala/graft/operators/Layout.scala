@@ -1873,6 +1873,20 @@ object Layout {
     }
   }
 
+  /** The rows of a RETAINED manifest version restricted to the given
+    * partition rel-paths, pending merge-on-read deltas resolved — the
+    * snapshot-CHUNK read of the chunked CDC backfill
+    * ([[graft.streaming.ManifestFeedSource]]): each chunk opens only
+    * its own partitions' generation dirs, so a paced initial snapshot
+    * costs O(|chunk|) per batch however large the table. Unknown rels
+    * are simply absent (an empty chunk reads as zero rows). */
+  def readManifestRelsOf(spark: SparkSession, path: String, version: Int,
+                         rels: Seq[String]): DataFrame = {
+    val m = readManifestMeta(spark, path, version)
+    readResolved(spark, path, m, rels.filter(r =>
+      m.entries.contains(r) || m.deltas.contains(r)))
+  }
+
   /** [[merge]] re-expressed under the manifest discipline: latest-wins
     * keyed upsert (+ CDC tombstones via `deleteCol`) onto the manifest
     * table at `path`, copy-on-write at PARTITION granularity — only the

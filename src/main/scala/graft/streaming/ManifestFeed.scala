@@ -47,7 +47,11 @@ import graft.operators.Layout
   * `consumer` — ack a feed cursor on batch commit;
   * `maxVersionsPerTrigger` — cap each micro-batch's version window so
   * a backfill over a long history replays as bounded batches (each
-  * its own checkpoint entry) instead of one giant batch.
+  * its own checkpoint entry) instead of one giant batch;
+  * `snapshotChunkPartitions` — (mode=changes, anchored at `earliest`)
+  * page the INITIAL SNAPSHOT itself as bounded per-partition chunks,
+  * each its own checkpointed batch, a restart resuming at the first
+  * unfinished chunk — without it the snapshot ships as one batch.
   *
   * Two deliberate asymmetries, both on the safe side:
   *  - absent `startingVersion` anchors at the live version when the
@@ -64,30 +68,80 @@ final class ManifestFeedSource(sqlContext: SQLContext, path: String,
                                startingVersion: Int,
                                consumer: Option[String],
                                maxVersionsPerTrigger: Option[Int] = None,
-                               mode: String = "appends")
+                               mode: String = "appends",
+                               snapshotChunkPartitions: Option[Int] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
   maxVersionsPerTrigger.foreach(n => require(n > 0,
     s"maxVersionsPerTrigger must be positive (got $n)"))
+  snapshotChunkPartitions.foreach(n => require(n > 0,
+    s"snapshotChunkPartitions must be positive (got $n)"))
   require(mode == "appends" || mode == "changes",
     s"manifest-feed mode must be 'appends' (append-only contract, " +
       s"O(|new rows|) per batch) or 'changes' (full CDC: net " +
       s"_change_type insert/delete rows via snapshot diffs); got '$mode'")
+  require(snapshotChunkPartitions.isEmpty || mode == "changes",
+    "snapshotChunkPartitions paces the mode=changes INITIAL SNAPSHOT; " +
+      "appends mode paces via maxVersionsPerTrigger")
 
   private val spark = sqlContext.sparkSession
+
+  // ---- Chunked initial snapshot (mode=changes, anchored at earliest) -
+  //
+  // A CDC stream anchored at version 0 must first ship the END snapshot
+  // as inserts. Unchunked, that is ONE micro-batch — at 100 TB an
+  // unbounded unit of work a mid-flight failure redoes wholesale. With
+  // `snapshotChunkPartitions = n`, the snapshot's partitions split into
+  // ceil(|rels| / n) CHUNKS, each its own checkpointed micro-batch
+  // (Flink-CDC's snapshot-chunking shape): a restart resumes at the
+  // first unfinished chunk. The offset log encodes the phase —
+  //   plain "V"                : snapshot complete through version V
+  //   {"v":V,"c":C,"of":K}     : snapshot of version V, C of K chunks
+  //                              delivered
+  // — and the chunk plan re-derives deterministically from V's manifest
+  // (sorted rel list, K fixed in the offset), so a restart with a
+  // CHANGED chunk-size option still replays the original boundaries.
+  // Diffs only start once the snapshot completes; the snapshot version
+  // must stay retained until then (ack/retention note below).
+  private case class FeedOffset(version: Int, chunk: Int, chunks: Int) {
+    def midSnapshot: Boolean = chunks > 0 && chunk < chunks
+    def toOffset: Offset =
+      if (chunks > 0 && chunk < chunks)
+        SerializedOffset(s"""{"v":$version,"c":$chunk,"of":$chunks}""")
+      else LongOffset(version.toLong)
+  }
+
+  private def parseOffset(json: String): FeedOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val node = ManifestFeedSource.json.readTree(t)
+      FeedOffset(node.get("v").asInt(), node.get("c").asInt(),
+        node.get("of").asInt())
+    } else FeedOffset(t.toInt, -1, -1)
+  }
+
+  private def parseOffset(o: Offset): FeedOffset = o match {
+    case l: LongOffset => FeedOffset(l.offset.toInt, -1, -1)
+    case other => parseOffset(other.json)
+  }
+
+  /** The snapshot version `v`'s partitions in chunk order — stable
+    * across restarts (the manifest is immutable per version). */
+  private def snapshotRels(v: Int): Seq[String] =
+    Layout.readManifestMeta(spark, path, v).allRels
+
+  private def chunkOf(rels: Seq[String], chunk: Int, chunks: Int):
+      Seq[String] = {
+    val size = math.max(1, (rels.size + chunks - 1) / chunks)
+    rels.slice(chunk * size, (chunk + 1) * size)
+  }
 
   override val schema: StructType = {
     val base = ManifestFeedSource.liveSchema(spark, path)
     if (mode == "changes") ManifestFeedSource.withChangeType(base)
     else base
-  }
-
-  private def versionOf(o: Offset): Int = o match {
-    case l: LongOffset => l.offset.toInt
-    case s: SerializedOffset => s.json.trim.toInt
-    case other => other.json.trim.toInt
   }
 
   private def liveVersion: Int =
@@ -126,14 +180,33 @@ final class ManifestFeedSource(sqlContext: SQLContext, path: String,
     // instead of one giant batch a mid-flight failure would redo
     // wholesale. AvailableNow still drains to the prepared target —
     // just across several batches.
-    val from = Option(start) match {
-      case Some(l: LongOffset) => l.offset.toInt
-      case Some(other) => other.json.trim.toInt
-      case None => startingVersion
+    val s = Option(start) match {
+      case Some(l: LongOffset) => FeedOffset(l.offset.toInt, -1, -1)
+      case Some(other) => parseOffset(other.json)
+      case None => FeedOffset(startingVersion, -1, -1)
     }
-    val capped = maxVersionsPerTrigger
-      .fold(target)(n => target.min(from + n))
-    LongOffset(capped.max(from).toLong)
+    // chunked initial snapshot: while the earliest-anchored changes
+    // stream has not finished its snapshot, each trigger advances ONE
+    // chunk (its own checkpointed batch); versions only pace after
+    val chunking = snapshotChunkPartitions.filter(_ =>
+      mode == "changes" && (s.midSnapshot ||
+        (s.version == 0 && s.chunks < 0)))
+    chunking match {
+      case Some(n) if s.midSnapshot =>
+        // resume the in-flight snapshot: its version and chunk count
+        // are pinned in the offset — the option may have changed,
+        // the boundaries must not
+        FeedOffset(s.version, s.chunk + 1, s.chunks).toOffset
+      case Some(n) if target > 0 =>
+        // begin the snapshot of the drain target
+        val k = math.max(1,
+          (snapshotRels(target).size + n - 1) / n)
+        FeedOffset(target, 1, k).toOffset
+      case _ =>
+        val capped = maxVersionsPerTrigger
+          .fold(target)(mv => target.min(s.version + mv))
+        LongOffset(capped.max(s.version).toLong)
+    }
   }
 
   override def reportLatestOffset():
@@ -142,23 +215,44 @@ final class ManifestFeedSource(sqlContext: SQLContext, path: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val from = start.map(versionOf).getOrElse(startingVersion)
-    val to = versionOf(end)
+    val s = start.map(parseOffset)
+      .getOrElse(FeedOffset(startingVersion, -1, -1))
+    val e = parseOffset(end)
+    val from = s.version
+    val to = e.version
+    // a snapshot-chunk window: either endpoint mid-snapshot means this
+    // batch ships a slice of version `to`'s partitions as inserts —
+    // start plain 0 = from chunk 0, end plain = through the last chunk
+    val chunkWindow = s.midSnapshot || e.midSnapshot
     // an empty replay window (recovery re-issuing the anchor batch)
     // builds its zero-row frame from the PINNED schema in BOTH modes —
     // no meta read, no existence checks, and retention having reaped
     // the anchor version cannot fail it
     val raw =
-      if (from >= to)
+      if (!chunkWindow && from >= to)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else if (mode == "changes") {
+        if (chunkWindow) {
+          // chunked initial snapshot: the chunk plan re-derives from
+          // the PINNED snapshot version and chunk count (both in the
+          // offset), so a restart — even with a changed chunk-size
+          // option — replays exactly the original boundaries
+          val k = if (e.midSnapshot) e.chunks else s.chunks
+          val c1 = if (s.midSnapshot) s.chunk else 0
+          val c2 = if (e.midSnapshot) e.chunk else k
+          val rels = snapshotRels(to)
+          val slice = (c1 until c2).flatMap(chunkOf(rels, _, k))
+          Layout.readManifestRelsOf(spark, path, to, slice)
+            .withColumn("_change_type", lit("insert"))
+        }
         // full CDC: net insert/delete rows between the window's
         // endpoint snapshots — rewrites and deletes are first-class
         // here (the appends contract does not apply). A window
         // anchored at 0 ships the end snapshot as inserts
-        // (snapshot-then-follow).
-        if (from == 0)
+        // (snapshot-then-follow; with snapshotChunkPartitions it pages
+        // through the chunk windows above instead).
+        else if (from == 0)
           Layout.readManifestVersion(spark, path, to)
             .withColumn("_change_type", lit("insert"))
         else Layout.manifestChanges(spark, path, from, to)
@@ -179,10 +273,17 @@ final class ManifestFeedSource(sqlContext: SQLContext, path: String,
 
   /** Batch committed: advance the durable feed cursor (idempotent; a
     * crash before this ack replays the increment — at-least-once into
-    * the cursor, exactly-once through the checkpoint's offset log). */
-  override def commit(end: Offset): Unit =
-    consumer.foreach(c =>
-      Layout.writeFeedCursor(spark, path, c, versionOf(end)))
+    * the cursor, exactly-once through the checkpoint's offset log).
+    * Mid-snapshot chunk commits ack NOTHING: the snapshot version must
+    * stay retained until every chunk drained (the cursor floor-guards
+    * retention, so an early ack could let a reap strand the rest of
+    * the backfill). */
+  override def commit(end: Offset): Unit = {
+    val e = parseOffset(end)
+    if (!e.midSnapshot)
+      consumer.foreach(c =>
+        Layout.writeFeedCursor(spark, path, c, e.version))
+  }
 
   override def stop(): Unit = ()
 
@@ -190,6 +291,9 @@ final class ManifestFeedSource(sqlContext: SQLContext, path: String,
 }
 
 object ManifestFeedSource {
+  private[streaming] val json =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
   private[streaming] def liveSchema(
       spark: org.apache.spark.sql.SparkSession, path: String): StructType = {
     val v = Layout.manifestVersion(spark, path).getOrElse(
@@ -289,6 +393,7 @@ final class ManifestFeedProvider extends StreamSourceProvider
     new ManifestFeedSource(sqlContext, path, starting,
       opt(parameters, "consumer"),
       opt(parameters, "maxVersionsPerTrigger").map(_.toInt),
-      opt(parameters, "mode").getOrElse("appends"))
+      opt(parameters, "mode").getOrElse("appends"),
+      opt(parameters, "snapshotChunkPartitions").map(_.toInt))
   }
 }

@@ -447,6 +447,74 @@ class ManifestFeedSpec extends SparkSpec {
     }
   }
 
+  test("chunked initial snapshot (mode=changes, snapshotChunkPartitions): " +
+      "the earliest-anchored backfill pages as N>1 bounded batches, a " +
+      "mid-snapshot restart resumes at the unfinished chunk, hash-exact") {
+    import spark.implicits._
+    val src = tmpDir("chunk_src")
+    val sink = tmpDir("chunk_sink")
+    val ckpt = tmpDir("chunk_ckpt")
+    // 6 partitions so chunkPartitions=2 yields 3 snapshot chunks
+    Layout.writeManifestTable(spark, src,
+      (1L to 60L).map(i => (i, s"p${i % 6}", i * 1.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    Layout.mergeManifest(spark, src,
+      Seq((61L, "p0", 610.0, 2L, false), (1L, "p1", 0.0, 2L, true))
+        .toDF("k", "part", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))              // v2
+    def stream = spark.readStream.format("manifest-feed")
+      .option("path", src).option("mode", "changes")
+      .option("startingVersion", "earliest")
+      .option("snapshotChunkPartitions", "2").load()
+    // Trigger.Once = exactly ONE micro-batch, i.e. a kill after the
+    // first snapshot chunk — the deterministic mid-snapshot restart
+    val q1 = stream.writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once()).start()
+    q1.awaitTermination()
+    val afterOne = spark.read.parquet(sink).count()
+    assert(afterOne > 0 && afterOne < 59,
+      s"first batch must be ONE bounded chunk, not the snapshot " +
+        s"($afterOne rows)")
+    // restart: drains the remaining chunks (each its own batch) — the
+    // snapshot completes through v2, no diffs beyond it exist
+    val q2 = stream.writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got = spark.read.parquet(sink)
+      .filter(col("_change_type") === "insert")
+      .select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Layout.readManifest(spark, src).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want,
+      "the chunked backfill must reassemble the exact snapshot")
+    assert(spark.read.parquet(sink)
+      .filter(col("_change_type") =!= "insert").isEmpty,
+      "a pure snapshot backfill carries only inserts")
+    // ≥3 chunks ran (6 partitions / 2 per chunk): the sink saw at
+    // least 3 distinct batch files beyond the first
+    val batches = new java.io.File(ckpt, "commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 3, s"snapshot must page as several batches " +
+      s"($batches commits)")
+    // post-snapshot publishes flow as NET DIFFS on the same checkpoint
+    Layout.mergeManifest(spark, src,
+      Seq((62L, "p2", 620.0, 3L, false))
+        .toDF("k", "part", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))              // v3
+    val q3 = stream.writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val tail = spark.read.parquet(sink)
+      .filter(col("k") === 62L).collect()
+    assert(tail.length == 1 &&
+      tail.head.getAs[String]("_change_type") == "insert",
+      s"post-snapshot increment must arrive as a diff: ${tail.toSeq}")
+  }
+
   test("manifest-feed: an explicit startingVersion excludes prior " +
       "versions; self-describing schema refuses .schema()") {
     val dir = tmpDir("fromnow")
