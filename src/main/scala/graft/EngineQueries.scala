@@ -1508,6 +1508,42 @@ object EngineQueries {
         col("ver"))
     }),
 
+    // FILE-level data skipping: per-file min/max recorded at publish
+    // time prune WITHIN a partition — after a sorted compaction split
+    // by maxRecordsPerFile each partition holds several contiguous-
+    // range files, and a key-window query must scan fewer files than
+    // the partition holds (scan-metric pin) while returning exactly
+    // the window's rows (the oracle). The granularity below partition
+    // stats (m40/m48) and above parquet row groups.
+    "m69_manifest_fileskip" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("fileskip")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"), col("o_totalprice"),
+        lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out, rows, Seq("o_year"),
+        statsCols = Seq("o_orderkey"))
+      val mrKey = "spark.sql.files.maxRecordsPerFile"
+      val mrPrev = s.conf.get(mrKey, "0")
+      s.conf.set(mrKey, "500")
+      try Layout.compactManifest(s, out, maxFiles = 0,
+        sortCols = Seq("o_orderkey"))
+      finally s.conf.set(mrKey, mrPrev)
+      val tbl = Layout.manifestTable(s, out)
+      val keyMax = 2000L // a window inside every year's low key range
+      val q = tbl.filter(col("o_orderkey") <= keyMax)
+      q.collect()
+      val scanned = PlanScan.scannedFiles(q)
+      val total = tbl.inputFiles.length.toLong
+      require(total > scanned && scanned > 0,
+        s"file-level stats must prune within partitions " +
+          s"($scanned of $total files)")
+      tbl.filter(col("o_orderkey") <= keyMax)
+        .select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+          col("o_totalprice"))
+    }),
+
     // Partition-spec change (Layout.repartitionManifest): the orders
     // manifest re-partitions from year to key band behind ONE snapshot
     // publish — a pending merge-on-read delta folds into the rewrite,
@@ -2621,6 +2657,13 @@ object EngineQueries {
                 WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
                 ELSE CAST(1 AS BIGINT) END AS ver
          FROM orders WHERE o_orderkey % 13 <> 0""",
+    // the key window is exact despite file-level pruning (the scan
+    // metric pin lives in-gate; a wrongly-pruned file loses rows and
+    // breaks this hash)
+    "m69_manifest_fileskip" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice
+         FROM orders WHERE o_orderkey <= 2000""",
     // the chunked backfill reassembles exactly the post-CDC snapshot
     // and then follows the diff — same arithmetic as m66 (the chunk
     // boundaries and the mid-snapshot kill are pinned in-gate; any

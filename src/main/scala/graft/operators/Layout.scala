@@ -682,6 +682,19 @@ object Layout {
       bloomItems: Long = 10000,
       bloomFpp: Double = 0.01,
       blooms: Map[String, Map[String, String]] = Map.empty,
+      // FILE-level data-skipping stats: per-partition, per data FILE
+      // (keyed "gen=G/part-….parquet") min/max of `statsCols` — after
+      // compaction a partition can be one large sorted file, but
+      // multi-file generations (several paced ingest batches, an
+      // oversized partition split by maxRecordsPerFile, a sorted
+      // rewrite) would otherwise scan whole. The planner index prunes
+      // at file granularity with these; a file with no entry is always
+      // kept (sound), so writers may skip recording when statsCols is
+      // empty. Every writer that changes a rel's FILES replaces (or
+      // surgically updates) that rel's map — stale entries would be
+      // unsound.
+      fileStats: Map[String, Map[String, Map[String,
+        (Option[String], Option[String])]]] = Map.empty,
       // per-partition BYTES of the live base generation's data files,
       // recorded by every writer at publish time — so planner-facing
       // reads (ManifestFileIndex.sizeInBytes, join-side broadcast
@@ -821,6 +834,18 @@ object Layout {
         else node.get("deltas").fields().asScala.map { rel =>
           rel.getKey -> rel.getValue.elements().asScala
             .map(_.asInt()).toSeq
+        }.toMap),
+      fileStats = m.fileStats ++ (
+        if (!node.has("fileStats"))
+          Map.empty[String, Map[String, Map[String,
+            (Option[String], Option[String])]]]
+        else node.get("fileStats").fields().asScala.map { rel =>
+          rel.getKey -> rel.getValue.fields().asScala.map { f =>
+            f.getKey -> f.getValue.fields().asScala.map { c =>
+              c.getKey ->
+                (optText(c.getValue, "min"), optText(c.getValue, "max"))
+            }.toMap
+          }.toMap
         }.toMap))
   }
 
@@ -866,6 +891,21 @@ object Layout {
         .foreach { case (rel, gens) =>
           val arr = dn.putArray(rel)
           gens.foreach(arr.add)
+        }
+    }
+    if (m.fileStats.nonEmpty) {
+      val fn = node.putObject("fileStats")
+      m.fileStats.view.filterKeys(rels).toSeq.sortBy(_._1)
+        .foreach { case (rel, files) =>
+          val rn = fn.putObject(rel)
+          files.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+            val fo = rn.putObject(f)
+            cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+              val cn = fo.putObject(c)
+              mn.fold { cn.putNull("min"); () }(v => { cn.put("min", v); () })
+              mx.fold { cn.putNull("max"); () }(v => { cn.put("max", v); () })
+            }
+          }
         }
     }
   }
@@ -1380,6 +1420,121 @@ object Layout {
     }
   }
 
+  /** Per-FILE min/max of `statsCols` over a writer's tmp tree — ONE
+    * aggregate grouped by (partition values, input_file_name), keyed
+    * by (rel, bare file name). At commit the writer prefixes each name
+    * with its rel's assigned generation ("gen=G/name"), the key the
+    * planner index prunes files by. Driver rows bounded by the touched
+    * FILE count (each rel writes one clustered file unless
+    * maxRecordsPerFile split it — the exact case file stats exist
+    * for). */
+  private def fileStatsUnder(spark: SparkSession, m: ManifestMeta,
+                             tmpDir: String):
+      Map[String, Map[String, Map[String, (Option[String], Option[String])]]] = {
+    if (m.statsCols.isEmpty) Map.empty
+    else {
+      val df = underDir(spark, m, tmpDir)
+      val pc = m.partitionCols
+      val aggs = m.statsCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c")))
+      df.groupBy((pc.map(c => col(c).cast("string").as(c)) :+
+          input_file_name().as("__file")): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val file = r.getAs[String]("__file")
+          val name = file.substring(file.lastIndexOf('/') + 1)
+          (relOf(pc, r), name,
+            m.statsCols.map(c => c ->
+              (Option(r.getAs[String](s"__mn_$c")),
+               Option(r.getAs[String](s"__mx_$c")))).toMap)
+        }
+        .groupBy(_._1)
+        .map { case (rel, rows) =>
+          rel -> rows.map(t => t._2 -> t._3).toMap }
+    }
+  }
+
+  /** BOTH stats granularities from ONE distributed pass over a
+    * writer's tmp tree: per-file min/max from [[fileStatsUnder]], and
+    * the per-partition bounds rolled up DRIVER-side from them (min of
+    * file mins / max of file maxes through Spark's own Cast +
+    * ordering, one tiny local job — the [[bucketRollups]] shape). The
+    * pre-existing two-pass writers paid one aggregate for partition
+    * stats; file granularity rides along for free. */
+  private def statsAllUnder(spark: SparkSession, m: ManifestMeta,
+                            tmpDir: String):
+      (Map[String, Map[String, (Option[String], Option[String])]],
+       Map[String, Map[String, Map[String, (Option[String], Option[String])]]]) = {
+    if (m.statsCols.isEmpty) (Map.empty, Map.empty)
+    else {
+      val perFile = fileStatsUnder(spark, m, tmpDir)
+      val sch = manifestSchema(m)
+      val rows = perFile.toSeq.sortBy(_._1).flatMap { case (rel, files) =>
+        files.values.map { cols =>
+          org.apache.spark.sql.Row.fromSeq(rel +: m.statsCols.flatMap { c =>
+            val (mn, mx) = cols.getOrElse(c, (None, None))
+            Seq(mn.orNull, mx.orNull)
+          })
+        }
+      }
+      val fields = org.apache.spark.sql.types.StructField("rel",
+        org.apache.spark.sql.types.StringType) +:
+        m.statsCols.zipWithIndex.flatMap { case (_, i) =>
+          Seq(org.apache.spark.sql.types.StructField(s"__mn_$i",
+            org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(s"__mx_$i",
+              org.apache.spark.sql.types.StringType))
+        }
+      val aggs = m.statsCols.zipWithIndex.flatMap { case (c, i) =>
+        val dt = sch(c).dataType
+        Seq(min(col(s"__mn_$i").cast(dt)).cast("string").as(s"__mn_$i"),
+          max(col(s"__mx_$i").cast(dt)).cast("string").as(s"__mx_$i"))
+      }
+      val perRel =
+        if (rows.isEmpty) Map.empty[String,
+          Map[String, (Option[String], Option[String])]]
+        else spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            org.apache.spark.sql.types.StructType(fields))
+          .groupBy(col("rel")).agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            r.getString(0) -> m.statsCols.zipWithIndex.map { case (c, i) =>
+              c -> (Option(r.getAs[String](s"__mn_$i")),
+                Option(r.getAs[String](s"__mx_$i")))
+            }.toMap
+          }.toMap
+      (perRel, perFile)
+    }
+  }
+
+  /** The entries of a rel's per-file stats that belong to the given
+    * generations — what survives a rewrite that replaced the others. */
+  private def fileStatsOfGens(
+      files: Map[String, Map[String, (Option[String], Option[String])]],
+      gens: Set[Int]):
+      Map[String, Map[String, (Option[String], Option[String])]] =
+    files.filter { case (k, _) =>
+      k.startsWith("gen=") && {
+        val d = k.drop(4).takeWhile(_.isDigit)
+        d.nonEmpty && gens.contains(d.toInt)
+      }
+    }
+
+  /** Re-key a writer's per-file stats under the generations its commit
+    * assigned ("gen=G/name") — the stored form. Rels the commit did
+    * not rename (a fold/compact skip) drop out. */
+  private def genKeyedFileStats(
+      raw: Map[String, Map[String, Map[String, (Option[String], Option[String])]]],
+      newGens: Map[String, Int]):
+      Map[String, Map[String, Map[String, (Option[String], Option[String])]]] =
+    raw.flatMap { case (rel, files) =>
+      newGens.get(rel).map(g =>
+        rel -> files.map { case (name, cols) => s"gen=$g/$name" -> cols })
+    }
+
   /** Per-partition bloom filters of `bloomCols` over the given
     * generation dirs — ONE distributed aggregate (groupBy partition
     * values, [[graft.expressions.BloomSketchAgg]] per column), the
@@ -1703,8 +1858,10 @@ object Layout {
     // renames scatter it: one recursive listing of one root, not
     // |partitions| explicit gen paths (at 525 partitions this halves
     // the publish cost)
+    val (seedStats, seedFileStats) = statsAllUnder(spark, meta0, tmpDir)
     val meta1 = meta0.copy(
-      stats = statsFor(spark, path, meta0, gens, srcDir = Some(tmpDir)),
+      stats = seedStats,
+      fileStats = genKeyedFileStats(seedFileStats, gens),
       blooms = bloomsFor(spark, path, meta0, gens, srcDir = Some(tmpDir)),
       bytes = bytesUnder(fc, tmpDir, rels),
       op = "seed")
@@ -1991,8 +2148,7 @@ object Layout {
         // derive published metadata from the tmp tree BEFORE the commit
         // (one root listing, not |touched| gen paths — and outside the
         // lease, so the critical section stays renames + one JSON)
-        val newStats = statsFor(spark, path, m0, Map.empty,
-          srcDir = Some(tmpDir))
+        val (newStats, newFileStats) = statsAllUnder(spark, m0, tmpDir)
         val newBlooms = bloomsFor(spark, path, m0, Map.empty,
           srcDir = Some(tmpDir))
         val newBytes = bytesUnder(fc, tmpDir, produced)
@@ -2035,6 +2191,10 @@ object Layout {
                 stats = m1.stats -- removed ++ newStats,
                 blooms = m1.blooms -- removed ++ newBlooms,
                 bytes = m1.bytes -- removed ++ newBytes,
+                // every touched rel's files were rewritten wholesale:
+                // replace their per-file entries, drop the vanished
+                fileStats = m1.fileStats -- baseRels --
+                  touchedRels ++ genKeyedFileStats(newFileStats, newGens),
                 deltas = m1.deltas -- baseRels,
                 op = "merge", opDeletes = false,
                 sinkBatches =
@@ -2228,8 +2388,7 @@ object Layout {
             "partition rendering mismatch")
         // delta stats/blooms: one aggregate each over the tmp tree —
         // widened monotonically into the standing ones at commit time
-        val deltaStats = statsFor(spark, path, m0, Map.empty,
-          srcDir = Some(tmpDir))
+        val (deltaStats, deltaFileStats) = statsAllUnder(spark, m0, tmpDir)
         val deltaBlooms = bloomsFor(spark, path, m0, Map.empty,
           srcDir = Some(tmpDir))
         val outcome: Either[String, Boolean] =
@@ -2258,6 +2417,13 @@ object Layout {
                   rel -> (m1.deltas.getOrElse(rel, Nil) :+ g) },
                 stats = widenStats(spark, m1, deltaStats),
                 blooms = widenBlooms(m1.blooms, deltaBlooms),
+                // delta files ADD to their rel's per-file entries (the
+                // base generation's stay valid — nothing rewrote it)
+                fileStats = m1.fileStats ++
+                  genKeyedFileStats(deltaFileStats, newDeltaGens)
+                    .map { case (rel, files) =>
+                      rel -> (m1.fileStats.getOrElse(rel, Map.empty) ++
+                        files) },
                 morKeys = keys, morVersionCol = Some(versionCol),
                 morDeleteCol = m1.morDeleteCol.orElse(deleteCol),
                 op = "delta", opDeletes = hasDeletes,
@@ -2336,8 +2502,7 @@ object Layout {
             s"${unexpected.mkString(",")} outside the delta-bearing set — " +
             "partition rendering mismatch")
         // published metadata from the tmp tree, before the commit
-        val newStats = statsFor(spark, path, m, Map.empty,
-          srcDir = Some(tmpDir))
+        val (newStats, newFileStatsRaw) = statsAllUnder(spark, m, tmpDir)
         val newBlooms = bloomsFor(spark, path, m, Map.empty,
           srcDir = Some(tmpDir))
         val newBytes = bytesUnder(fc, tmpDir, produced)
@@ -2382,6 +2547,17 @@ object Layout {
             // widened stats (kept), never by this fold's exact ones
             val exactRels = committable.filter(rel =>
               survivors(rel).isEmpty && newGens.contains(rel)).toSet
+            // per-file entries: the folded base's files replace the
+            // rel's old base+folded-delta entries; a surviving delta's
+            // entries (added when it landed) carry over untouched
+            val newFileStats = genKeyedFileStats(newFileStatsRaw, newGens)
+            val foldedFileStats = committable.flatMap { rel =>
+              val merged =
+                fileStatsOfGens(m1.fileStats.getOrElse(rel, Map.empty),
+                  survivors(rel).toSet) ++
+                newFileStats.getOrElse(rel, Map.empty)
+              if (merged.isEmpty) None else Some(rel -> merged)
+            }.toMap
             writeManifestMeta(spark, path, m1.copy(version = v1 + 1,
               entries = m1.entries -- entriesRemoved ++ newGens,
               deltas = (m1.deltas -- committable) ++
@@ -2392,6 +2568,7 @@ object Layout {
                 newBlooms.view.filterKeys(exactRels).toMap,
               bytes = m1.bytes -- entriesRemoved ++
                 newBytes.view.filterKeys(newGens.keySet).toMap,
+              fileStats = (m1.fileStats -- committable) ++ foldedFileStats,
               op = "fold", opDeletes = false))
             producedCommit.sorted
           }
@@ -2959,6 +3136,12 @@ object Layout {
           s"compactManifest: writer produced partition dirs " +
             s"${unexpected.mkString(",")} outside the selected set — " +
             "partition rendering mismatch")
+        // per-FILE stats over the rewritten output: a sorted/z-ordered
+        // compaction is exactly where per-file ranges turn disjoint, so
+        // the one extra aggregate buys file-granular skipping on every
+        // read after (partition-level stats carry forward unchanged —
+        // the rewrite is row-identical)
+        val (_, compactFileStats) = statsAllUnder(spark, m, tmpDir)
         withMaintenanceLock(spark, path, lockWaitMs(spark)) {
           val v1 = manifestVersion(spark, path).get
           val m1 = if (v1 == v) m else readManifestMeta(spark, path, v1)
@@ -2982,10 +3165,21 @@ object Layout {
               rel -> g
             }.toMap
             // row-identical rewrite: stats carry forward unchanged, but
-            // the FILES changed — bytes recompute for rewritten rels
+            // the FILES changed — bytes recompute for rewritten rels,
+            // and per-file entries replace the old BASE generation's
+            // (pending deltas' file entries stay: compaction never
+            // touches them)
+            val newFs = genKeyedFileStats(compactFileStats, newGens)
+            val compactedFs = newGens.keys.map { rel =>
+              rel -> (fileStatsOfGens(
+                m1.fileStats.getOrElse(rel, Map.empty),
+                m1.deltas.getOrElse(rel, Nil).toSet) ++
+                newFs.getOrElse(rel, Map.empty))
+            }.toMap
             writeManifestMeta(spark, path, m1.copy(version = v1 + 1,
               entries = m1.entries ++ newGens.toMap,
               bytes = m1.bytes ++ bytesFor(spark, path, newGens.toMap),
+              fileStats = m1.fileStats ++ compactedFs,
               op = "compact", opDeletes = false))
             newGens.keys.toSeq.sorted
           }
@@ -3061,8 +3255,7 @@ object Layout {
       s"repartition would lose rows: $n0 -> $n1; aborting")
     val produced = listPartitionRels(fc, new Path(tmpDir))
     val m2 = m.copy(schemaDdl = ddl, partitionCols = newPartitionCols)
-    val newStats = statsFor(spark, path, m2, Map.empty,
-      srcDir = Some(tmpDir))
+    val (newStats, newFileStats) = statsAllUnder(spark, m2, tmpDir)
     val newBlooms = bloomsFor(spark, path, m2, Map.empty,
       srcDir = Some(tmpDir))
     val newBytes = bytesUnder(fc, tmpDir, produced)
@@ -3081,6 +3274,7 @@ object Layout {
     writeManifestMeta(spark, path, m2.copy(version = v + 1,
       entries = newGens,
       stats = newStats, blooms = newBlooms, bytes = newBytes,
+      fileStats = genKeyedFileStats(newFileStats, newGens),
       deltas = Map.empty,
       op = "repartition", opDeletes = false))
     fc.delete(new Path(tmpDir), true)

@@ -255,28 +255,30 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
       kept = kept.filter(g => notNulls.forall(c =>
         meta.stats.getOrElse(g.rel, Map.empty)
           .getOrElse(c, (None, None))._1.isDefined))
-    if (windows.nonEmpty) {
-      val evals = windows.toSeq.map { case (c, lo, hi) =>
-        val dt = fullSchema(c).dataType
-        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
-          .getInterpretedOrdering(dt)
-        (c, dt, ord, lo.map(v => castString(v.toString, dt)),
-          hi.map(v => castString(v.toString, dt)))
-      }
-      kept = kept.filter { g =>
-        val st = meta.stats.getOrElse(g.rel, Map.empty)
-        evals.forall { case (c, dt, ord, lo, hi) =>
-          st.getOrElse(c, (None, None)) match {
-            case (Some(mn), Some(mx)) =>
-              val mnV = castString(mn, dt)
-              val mxV = castString(mx, dt)
-              lo.forall(l => ord.gteq(mxV, l)) &&
-                hi.forall(h => ord.lteq(mnV, h))
-            case _ => false // no non-null value: a comparison can't match
-          }
+    val evals = windows.toSeq.map { case (c, lo, hi) =>
+      val dt = fullSchema(c).dataType
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(dt)
+      (c, dt, ord, lo.map(v => castString(v.toString, dt)),
+        hi.map(v => castString(v.toString, dt)))
+    }
+    // a (min,max) bounds map admits the windows iff every window
+    // overlaps [min,max]; (None,None) = no non-null value, which no
+    // comparison can match
+    def admits(bounds: Map[String, (Option[String], Option[String])]):
+        Boolean =
+      evals.forall { case (c, dt, ord, lo, hi) =>
+        bounds.getOrElse(c, (None, None)) match {
+          case (Some(mn), Some(mx)) =>
+            val mnV = castString(mn, dt)
+            val mxV = castString(mx, dt)
+            lo.forall(l => ord.gteq(mxV, l)) &&
+              hi.forall(h => ord.lteq(mnV, h))
+          case _ => false
         }
       }
-    }
+    if (windows.nonEmpty)
+      kept = kept.filter(g => admits(meta.stats.getOrElse(g.rel, Map.empty)))
     if (probes.nonEmpty) {
       val dec = java.util.Base64.getDecoder
       // the build side hashed xxhash64(Cast(v, dt) cast string); probe
@@ -303,7 +305,28 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
         }
       }
     }
-    // only what SURVIVED pruning is ever listed
-    kept.map(g => PartitionDirectory(g.values, filesOf(g).toArray))
+    // only what SURVIVED pruning is ever listed — and within a
+    // surviving generation, FILE-level min/max (recorded per data file
+    // at publish time, keyed "gen=G/name") drop the files the windows
+    // refute: after a sorted compaction or a multi-batch ingest a
+    // partition holds several files with disjoint ranges, and
+    // partition-level stats alone would scan them all. A file with no
+    // recorded entry is always kept (sound); the in-plan residual
+    // keeps the result exact either way.
+    kept.map { g =>
+      val all = filesOf(g)
+      val perFile = meta.fileStats.getOrElse(g.rel, Map.empty)
+      val files =
+        if (perFile.isEmpty || (windows.isEmpty && notNulls.isEmpty)) all
+        else all.filter { st =>
+          perFile.get(s"gen=${g.gen}/${st.getPath.getName}") match {
+            case None => true
+            case Some(bounds) =>
+              admits(bounds) && notNulls.forall(c =>
+                bounds.getOrElse(c, (None, None))._1.isDefined)
+          }
+        }
+      PartitionDirectory(g.values, files.toArray)
+    }
   }
 }

@@ -713,6 +713,55 @@ class LayoutSpec extends SparkSpec {
     assert(lock.delete())
   }
 
+  test("FILE-level skipping: after a sorted multi-file compaction a " +
+      "selective predicate scans fewer files than the partition holds; " +
+      "rows stay exact; delta files prune independently") {
+    val dir = tmpDir("filestats")
+    import spark.implicits._
+    // 2 partitions x 4000 rows; sorted compaction under a low
+    // maxRecordsPerFile splits each partition into ~4 contiguous-range
+    // files — the exact layout partition-level stats cannot prune
+    val rows = (1L to 8000L).map(i =>
+      (i, if (i <= 4000) "a" else "b", i * 2.0, 1L))
+    Layout.writeManifestTable(spark, dir,
+      rows.toDF("k", "part", "v", "ver"), Seq("part"),
+      statsCols = Seq("k", "v"))
+    val mrKey = "spark.sql.files.maxRecordsPerFile"
+    val mrPrev = spark.conf.get(mrKey, "0")
+    spark.conf.set(mrKey, "1000")
+    try Layout.compactManifest(spark, dir, maxFiles = 0,
+      sortCols = Seq("k"))
+    finally spark.conf.set(mrKey, mrPrev)
+    val tbl = Layout.manifestTable(spark, dir)
+    val filesInA = tbl.inputFiles.count(_.contains("/part=a/"))
+    assert(filesInA >= 3, s"setup needs a multi-file partition ($filesInA)")
+    // a k-window inside partition a: partition pruning keeps part=a
+    // whole; FILE stats must narrow it to the one file holding range
+    val q = tbl.filter(col("k") >= 100L && col("k") <= 200L)
+    val got = q.collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(got == (100L to 200L).map(i => i -> i * 2.0).toMap)
+    val scanned = graft.PlanScan.scannedFiles(q)
+    assert(scanned >= 1 && scanned < filesInA,
+      s"file-level stats must prune within the partition " +
+        s"($scanned of $filesInA files)")
+    // file stats survive the delta->fold cycle: a sorted fold under
+    // the same split re-records per-file bounds for the folded gen
+    Layout.mergeManifestDelta(spark, dir,
+      (100001L to 100100L).map(i => (i, "a", 1.0, 2L))
+        .toDF("k", "part", "v", "ver"), Seq("k"), "ver")
+    spark.conf.set(mrKey, "1000")
+    try Layout.foldManifestDeltas(spark, dir, sortCols = Seq("k"))
+    finally spark.conf.set(mrKey, mrPrev)
+    val tbl2 = Layout.manifestTable(spark, dir)
+    val q2 = tbl2.filter(col("k") >= 100001L)
+    assert(q2.collect().length == 100)
+    val scanned2 = graft.PlanScan.scannedFiles(q2)
+    val filesA2 = tbl2.inputFiles.count(_.contains("/part=a/"))
+    assert(scanned2 < filesA2,
+      s"post-fold file stats must keep pruning ($scanned2 of $filesA2)")
+  }
+
   test("manifest data-skipping: stats follow merges, nulls prune, " +
       "missing stats fail loudly") {
     val dir = tmpDir("manstats")
