@@ -1544,6 +1544,52 @@ object EngineQueries {
           col("o_totalprice"))
     }),
 
+    // Schema evolution beyond add-nullable: METADATA-ONLY type
+    // widening (int->bigint — pre-widen generations up-cast per file,
+    // no byte rewritten) and column RENAME via alias chains (old-name
+    // files coalesce at read; post-rename merges speak the new name).
+    // Old snapshots time-travel under their own schema (in-gate
+    // requires); the final table's arithmetic is the oracle's.
+    "m70_manifest_evolution" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("evolution")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        pmod(col("o_orderkey"), lit(100)).cast("int").as("qty"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out,
+        rows.filter(pmod(col("o_orderkey"), lit(3)) =!= 0), Seq("o_year"),
+        statsCols = Seq("qty"))                                   // v1
+      Layout.mergeManifestDelta(s, out,
+        rows.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+        Seq("o_orderkey"), "ver")                                 // v2
+      Layout.widenManifestColumn(s, out, "qty", "bigint")         // v3
+      Layout.renameManifestColumn(s, out, "o_totalprice", "price") // v4
+      // post-evolution CDC speaks the new shape: every 10th key
+      // re-arrives with qty beyond... (kept in-range for the oracle)
+      // price+100 and ver 2 — merged over pre-evolution generations
+      Layout.mergeManifest(s, out,
+        Layout.readManifest(s, out)
+          .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("price", col("price") + 100)
+          .withColumn("ver", lit(2L)),
+        Seq("o_orderkey"), "ver")                                 // v5
+      // old snapshots keep their own schema: v1 is narrow + old name
+      val v1 = Layout.readManifestVersion(s, out, 1)
+      require(v1.schema("qty").dataType ==
+          org.apache.spark.sql.types.IntegerType &&
+          v1.columns.contains("o_totalprice"),
+        "time travel must serve the pre-evolution schema")
+      val live = Layout.readManifest(s, out)
+      require(live.schema("qty").dataType ==
+          org.apache.spark.sql.types.LongType &&
+          live.columns.contains("price"),
+        "the live schema must be widened + renamed")
+      live.select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+        col("qty"), col("price"), col("ver"))
+    }),
+
     // Partition-spec change (Layout.repartitionManifest): the orders
     // manifest re-partitions from year to key band behind ONE snapshot
     // publish — a pending merge-on-read delta folds into the rewrite,
@@ -2657,6 +2703,17 @@ object EngineQueries {
                 WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
                 ELSE CAST(1 AS BIGINT) END AS ver
          FROM orders WHERE o_orderkey % 13 <> 0""",
+    // post-evolution table: widened qty carries the same values as
+    // BIGINT, the renamed price carries the merge arithmetic — a
+    // mis-aligned old-name/narrow-type file breaks the hash
+    "m70_manifest_evolution" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(o_orderkey % 100 AS BIGINT) AS qty,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                ELSE o_totalprice END AS price,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders""",
     // the key window is exact despite file-level pruning (the scan
     // metric pin lives in-gate; a wrongly-pruned file loses rows and
     // breaks this hash)

@@ -711,6 +711,16 @@ object Layout {
       morKeys: Seq[String] = Nil,
       morVersionCol: Option[String] = None,
       morDeleteCol: Option[String] = None,
+      // RENAME history: current column name -> every PRIOR name still
+      // possibly present in live data files (newest prior first). A
+      // rename is METADATA-ONLY: files keep whatever name was current
+      // when they were written, and readers request the union of names
+      // and coalesce across them (a file carries exactly one, so the
+      // coalesce is exact — the name-mapping analogue of Iceberg's
+      // field ids, without rewriting a byte). Cleared by
+      // [[clearManifestAliases]] once a rewrite has retired the old
+      // names from every live generation.
+      colAliases: Map[String, Seq[String]] = Map.empty,
       // HIERARCHICAL layout (empty = flat): rel-name split points fixed
       // at seed time. Bucket i holds the rels in [bounds(i-1),
       // bounds(i)); per-rel state serializes into content-addressed
@@ -951,6 +961,11 @@ object Layout {
         else node.get("morKeys").elements().asScala.map(_.asText()).toSeq,
       morVersionCol = optText(node, "morVersionCol"),
       morDeleteCol = optText(node, "morDeleteCol"),
+      colAliases =
+        if (!node.has("colAliases")) Map.empty
+        else node.get("colAliases").fields().asScala.map { e =>
+          e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+        }.toMap,
       bucketBounds =
         if (!node.has("bucketBounds")) Nil
         else node.get("bucketBounds").elements().asScala
@@ -1114,6 +1129,13 @@ object Layout {
       m.morVersionCol.foreach(root.put("morVersionCol", _))
       m.morDeleteCol.foreach(root.put("morDeleteCol", _))
     }
+    if (m.colAliases.nonEmpty) {
+      val ca = root.putObject("colAliases")
+      m.colAliases.toSeq.sortBy(_._1).foreach { case (cur, olds) =>
+        val arr = ca.putArray(cur)
+        olds.foreach(arr.add)
+      }
+    }
     if (m.bucketBounds.isEmpty) {
       // FLAT: all per-rel maps inline in the root
       putRelMaps(m, m.allRels.toSet, root)
@@ -1238,6 +1260,31 @@ object Layout {
     * as typed NULLs, columns it has keep their values — the only read
     * shape that is correct over mixed-schema generations (first-footer
     * inference would silently null a column for every file). */
+  /** The read schema for files that may predate renames: the stored
+    * fields plus one extra field per PRIOR name (same type as its
+    * current column) — a file carries exactly one of the names, the
+    * others read as null. */
+  private def aliasedReadSchema(m: ManifestMeta,
+      fields: Seq[org.apache.spark.sql.types.StructField]):
+      Seq[org.apache.spark.sql.types.StructField] = {
+    val have = fields.map(_.name).toSet
+    fields ++ m.colAliases.toSeq.sortBy(_._1).flatMap { case (cur, olds) =>
+      fields.find(_.name == cur).toSeq.flatMap(f =>
+        olds.filterNot(have).map(o => f.copy(name = o)))
+    }
+  }
+
+  /** The projection that resolves a possibly-renamed column: coalesce
+    * over (current, priors) — exact because any one file carries
+    * exactly one of the names. */
+  private def aliasResolved(m: ManifestMeta, name: String):
+      org.apache.spark.sql.Column =
+    m.colAliases.get(name) match {
+      case Some(olds) if olds.nonEmpty =>
+        coalesce((name +: olds).map(col): _*).as(name)
+      case _ => col(name)
+    }
+
   private def readManifestRels(spark: SparkSession, path: String,
                                m: ManifestMeta,
                                gens: Map[String, Int]): DataFrame = {
@@ -1246,11 +1293,13 @@ object Layout {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     else
-      spark.read.option("basePath", path).schema(sch)
+      spark.read.option("basePath", path)
+        .schema(org.apache.spark.sql.types.StructType(
+          aliasedReadSchema(m, sch.fields.toSeq)))
         .parquet(gens.toSeq.sortBy(_._1).map { case (rel, g) =>
           s"$path/$rel/gen=$g" }: _*)
         .drop("gen") // discovered partition col, appended past the schema
-        .select(sch.fields.toSeq.map(f => col(f.name)): _*)
+        .select(sch.fields.toSeq.map(f => aliasResolved(m, f.name)): _*)
   }
 
   private val MorDel = "__mor_del"
@@ -1270,14 +1319,15 @@ object Layout {
       m.partitionCols.contains(f.name))
     val parts = m.partitionCols.map(sch(_))
     val readSch = org.apache.spark.sql.types.StructType(
-      (dataCols :+ org.apache.spark.sql.types.StructField(MorDel,
-        org.apache.spark.sql.types.BooleanType)) ++ parts)
+      aliasedReadSchema(m,
+        (dataCols :+ org.apache.spark.sql.types.StructField(MorDel,
+          org.apache.spark.sql.types.BooleanType)).toSeq) ++ parts)
     spark.read.option("basePath", path).schema(readSch)
       .parquet(gens.sorted.map { case (rel, g) =>
         s"$path/$rel/gen=$g" }: _*)
       .withColumn(MorSeq, col("gen").cast("int"))
       .drop("gen")
-      .select((sch.fields.map(f => col(f.name)) ++
+      .select((sch.fields.map(f => aliasResolved(m, f.name)) ++
         Seq(col(MorDel), col(MorSeq))).toSeq: _*)
   }
 
@@ -1979,7 +2029,8 @@ object Layout {
       diff("bloomCols", a.bloomCols, b.bloomCols),
       diff("bloomItems", a.bloomItems, b.bloomItems),
       diff("bloomFpp", a.bloomFpp, b.bloomFpp),
-      diff("bucketBounds", a.bucketBounds, b.bucketBounds)) ++
+      diff("bucketBounds", a.bucketBounds, b.bucketBounds),
+      diff("colAliases", a.colAliases, b.colAliases)) ++
       // the merge-on-read resolution spec matters only to writers that
       // RESOLVE (merges must re-check theirs against a concurrently
       // fixed spec); row-identical rewrites (compact) don't care, and
@@ -2619,11 +2670,18 @@ object Layout {
       val df = readResolved(spark, path, m,
         changed.filter(r => state(m, r).nonEmpty))
       // align to the TO schema: evolved columns null-fill on the FROM
-      // side; a column the TO side dropped cannot exist (evolution is
-      // add-only), so select is total
-      df.select(toSchema.fields.toSeq.map(f =>
-        (if (df.columns.contains(f.name)) col(f.name)
-         else lit(null).cast(f.dataType)).as(f.name)): _*)
+      // side, a RENAMED column resolves through the TO side's alias
+      // chain (the FROM side carries its era's name), a WIDENED column
+      // casts exactly; a column the TO side dropped cannot exist
+      // (evolution is add/rename/widen), so select is total
+      df.select(toSchema.fields.toSeq.map { f =>
+        val name =
+          if (df.columns.contains(f.name)) Some(f.name)
+          else mTo.colAliases.getOrElse(f.name, Nil)
+            .find(df.columns.contains)
+        name.fold(lit(null).cast(f.dataType).as(f.name))(n =>
+          col(n).cast(f.dataType).as(f.name))
+      }: _*)
     }
     val before = side(mFrom)
     val after = side(mTo)
@@ -2710,7 +2768,11 @@ object Layout {
         prevMeta = Some(m)
         def prev: ManifestMeta = prevOf.getOrElse(
           readManifestMeta(spark, path, v - 1))
-        val mAligned = m.copy(schemaDdl = mTo.schemaDdl)
+        // align to the END schema AND its alias chains: files in this
+        // window carry whatever names were current at their version,
+        // all of which the end version's chains cover
+        val mAligned = m.copy(schemaDdl = mTo.schemaDdl,
+          colAliases = mTo.colAliases)
         m.op match {
           case "seed" =>
             Right(Some(aligned(
@@ -2904,6 +2966,143 @@ object Layout {
     ).toDDL
     writeManifestMeta(spark, path, m.copy(version = v + 1, schemaDdl = ddl,
       op = "evolve", opDeletes = false))
+  }
+
+  /** The widening pairs a METADATA-ONLY type change supports: Spark's
+    * parquet reader up-casts these per file natively (probed —
+    * WidenProbe), and their Cast-to-string renderings are IDENTICAL
+    * for every representable value, so stored stats strings, bloom
+    * hashes and partition dir fragments all stay exact. float→double
+    * is deliberately ABSENT: a float's rendering ("0.1") parses to a
+    * DIFFERENT double than the widened value (0.10000000149…), which
+    * would silently mis-prune stats/bloom reads and mis-route
+    * partition dirs. */
+  private val wideningChain: Map[String, Seq[String]] = Map(
+    "byte" -> Seq("short", "integer", "long"),
+    "short" -> Seq("integer", "long"),
+    "integer" -> Seq("long"))
+
+  /** METADATA-ONLY type widening of one column (int→long and the rest
+    * of the integral chain; decimal precision growth at equal scale).
+    * Old generations keep their narrow physical type — every read path
+    * requests the stored (widened) schema and the parquet reader
+    * up-casts per file — and old snapshots time-travel under their own
+    * schema, untouched. Fails loudly on anything that is not a
+    * provably exact widening. */
+  def widenManifestColumn(spark: SparkSession, path: String,
+                          column: String, newType: String): Unit =
+      withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    val m = readManifestMeta(spark, path, v)
+    val sch = manifestSchema(m)
+    require(sch.fieldNames.contains(column),
+      s"widenManifestColumn: no column '$column' in " +
+        sch.fieldNames.mkString(", "))
+    val cur = sch(column).dataType
+    val target = org.apache.spark.sql.types.DataType.fromDDL(newType)
+    val ok = (cur, target) match {
+      case (a: org.apache.spark.sql.types.DecimalType,
+            b: org.apache.spark.sql.types.DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ =>
+        wideningChain.getOrElse(cur.typeName, Nil)
+          .contains(target.typeName)
+    }
+    require(ok,
+      s"widenManifestColumn: ${cur.sql} -> ${target.sql} is not a " +
+        "supported metadata-only widening (integral chain tinyint<" +
+        "smallint<int<bigint, or decimal precision growth at equal " +
+        "scale; float->double would change value renderings — rewrite " +
+        "via repartitionManifest instead)")
+    val ddl = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+      if (f.name == column) f.copy(dataType = target) else f)).toDDL
+    writeManifestMeta(spark, path, m.copy(version = v + 1, schemaDdl = ddl,
+      op = "evolve", opDeletes = false))
+  }
+
+  /** METADATA-ONLY column rename: the stored schema renames, every
+    * per-column map re-keys, and the old name joins the column's alias
+    * chain — data files keep whatever name was current when they were
+    * written, and readers coalesce across the names per file (see
+    * `colAliases`). Old snapshots time-travel under the old name. The
+    * planner-integrated index ([[manifestTable]], `USING manifest`)
+    * refuses alias-bearing tables — rewrite (compactManifest
+    * maxFiles=0 + foldManifestDeltas) and [[clearManifestAliases]] to
+    * re-enable it. Partition columns cannot rename (their name is
+    * baked into every directory fragment). */
+  def renameManifestColumn(spark: SparkSession, path: String,
+                           from: String, to: String): Unit =
+      withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    val m = readManifestMeta(spark, path, v)
+    val sch = manifestSchema(m)
+    require(sch.fieldNames.contains(from),
+      s"renameManifestColumn: no column '$from' in " +
+        sch.fieldNames.mkString(", "))
+    require(!sch.fieldNames.contains(to),
+      s"renameManifestColumn: column '$to' already exists")
+    require(!m.partitionCols.contains(from),
+      s"renameManifestColumn: '$from' is a partition column — its name " +
+        "is baked into every directory fragment; repartitionManifest " +
+        "to a renamed layout instead")
+    require(to != "gen" && to != MorDel && to != MorSeq,
+      s"'$to' is reserved by the manifest layout")
+    // the old name may also appear in OTHER columns' alias chains only
+    // as their history — but a LIVE file column can carry it, so the
+    // new column inherits the old name plus its whole prior chain
+    val priorChain = m.colAliases.getOrElse(from, Nil)
+    val ddl = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f)).toDDL
+    def rekey[V](mp: Map[String, V]): Map[String, V] =
+      mp.map { case (k, vv) => (if (k == from) to else k) -> vv }
+    writeManifestMeta(spark, path, m.copy(version = v + 1,
+      schemaDdl = ddl,
+      statsCols = m.statsCols.map(c => if (c == from) to else c),
+      bloomCols = m.bloomCols.map(c => if (c == from) to else c),
+      stats = m.stats.map { case (rel, cols) => rel -> rekey(cols) },
+      blooms = m.blooms.map { case (rel, cols) => rel -> rekey(cols) },
+      fileStats = m.fileStats.map { case (rel, files) =>
+        rel -> files.map { case (f, cols) => f -> rekey(cols) } },
+      morKeys = m.morKeys.map(c => if (c == from) to else c),
+      morVersionCol = m.morVersionCol.map(c => if (c == from) to else c),
+      morDeleteCol = m.morDeleteCol.map(c => if (c == from) to else c),
+      colAliases = (m.colAliases - from) + (to -> (from +: priorChain)),
+      op = "evolve", opDeletes = false))
+  }
+
+  /** Drop the rename alias chains once NO live generation still
+    * carries an old name — verified against every live gen dir's own
+    * parquet footer (one driver read per generation, the reap cost
+    * class), refusing loudly otherwise. Run after a full rewrite
+    * (compactManifest maxFiles=0 + foldManifestDeltas) retired the old
+    * names; re-enables the planner-integrated index. */
+  def clearManifestAliases(spark: SparkSession, path: String): Unit =
+      withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"$path is not a manifest table"))
+    val m = readManifestMeta(spark, path, v)
+    if (m.colAliases.nonEmpty) {
+      val oldNames = m.colAliases.values.flatten.toSet
+      val offenders = inParallel(
+          m.allRels.flatMap(r => m.liveGens(r).map(r -> _))) {
+        case (rel, g) =>
+          val carried = spark.read.parquet(s"$path/$rel/gen=$g")
+            .schema.fieldNames.filter(oldNames).toSeq
+          if (carried.isEmpty) None else Some(s"$rel/gen=$g: " +
+            carried.mkString(","))
+      }.flatten
+      require(offenders.isEmpty,
+        s"clearManifestAliases: live generation(s) still carry " +
+          s"pre-rename column names — ${offenders.take(5).mkString("; ")}" +
+          "; rewrite them first (compactManifest maxFiles=0 + " +
+          "foldManifestDeltas)")
+      writeManifestMeta(spark, path, m.copy(version = v + 1,
+        colAliases = Map.empty, op = "evolve", opDeletes = false))
+    }
   }
 
   /** Delete everything the RETAINED manifest versions do not reference

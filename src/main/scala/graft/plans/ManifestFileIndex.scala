@@ -74,6 +74,13 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
       s"${if (meta.deltas.size > 5) ", …" else ""}]: a file-level scan " +
       "cannot resolve latest-wins — run Layout.foldManifestDeltas (or " +
       "schedule a FoldDeltas node) first, or read via Layout.readManifest")
+  require(meta.colAliases.isEmpty,
+    s"manifest table $tablePath has renamed column(s) whose old names " +
+      s"may live in data files (${meta.colAliases.keys.toSeq.sorted
+        .mkString(", ")}): a file-level scan cannot coalesce across " +
+      "names — read via Layout.readManifest, or rewrite " +
+      "(compactManifest maxFiles=0 + foldManifestDeltas) and " +
+      "Layout.clearManifestAliases to re-enable this surface")
 
   /** The STORED schema, in stored column order (the order every other
     * manifest read presents). */

@@ -1,0 +1,143 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Schema evolution beyond add-nullable: METADATA-ONLY type widening
+  * (old generations up-cast per file through the parquet reader —
+  * WidenProbe pins the reader capability) and column RENAME via alias
+  * chains (readers coalesce across per-file names), with time travel,
+  * the change/append feeds, and the planner-index refusal contract. */
+class ManifestEvolutionSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_evo_$tag").resolve("t").toString
+
+  import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+
+  test("widenManifestColumn: int->bigint is metadata-only — old gens " +
+      "read up-cast, stats keep pruning, old snapshots keep their type, " +
+      "non-widenings refuse") {
+    val dir = tmpDir("widen")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1, "a", 10, 1L), (2, "b", 20, 1L))
+        .toDF("k", "part", "cnt", "ver"),
+      Seq("part"), statsCols = Seq("cnt"))
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((3, "a", 30, 2L)).toDF("k", "part", "cnt", "ver"),
+      Seq("k"), "ver")                                        // v2
+    Layout.widenManifestColumn(spark, dir, "cnt", "bigint")   // v3
+    val live = Layout.readManifest(spark, dir)
+    assert(live.schema("cnt").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(live.select("k", "cnt").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(1 -> 10L, 2 -> 20L, 3 -> 30L),
+      "pre-widen generations must resolve through the widened type")
+    // old snapshot time-travels under its OWN (narrow) schema
+    val v1 = Layout.readManifestVersion(spark, dir, 1)
+    assert(v1.schema("cnt").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // a post-widen merge carries bigint values beyond int range
+    Layout.mergeManifest(spark, dir,
+      Seq((4, "b", 5000000000L, 3L)).toDF("k", "part", "cnt", "ver"),
+      Seq("k"), "ver")
+    assert(Layout.readManifest(spark, dir)
+      .filter(col("k") === 4).head().getAs[Long]("cnt") == 5000000000L)
+    // stats pruning through the widened type stays exact (old string
+    // renderings parse identically as bigint)
+    val pruned = Layout.readManifestPruned(spark, dir,
+      Seq(("cnt", "15", "35")))
+    assert(pruned.select("k").collect().map(_.getInt(0)).toSet ==
+      Set(2, 3))
+    // the append feed across the widen boundary aligns old windows to
+    // the widened schema
+    val feed = Layout.appendsBetween(spark, dir, 0, 3)
+    assert(feed.schema("cnt").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(feed.select("cnt").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 20L, 30L))
+    // narrowing and cross-family float widening refuse loudly
+    intercept[IllegalArgumentException] {
+      Layout.widenManifestColumn(spark, dir, "cnt", "int") }
+    val e = intercept[IllegalArgumentException] {
+      Layout.widenManifestColumn(spark, dir, "ver", "double") }
+    assert(e.getMessage.contains("metadata-only widening"), e.getMessage)
+  }
+
+  test("renameManifestColumn: metadata-only rename with alias chains — " +
+      "mixed-name generations coalesce, feeds align across the " +
+      "boundary, the planner index refuses until clearManifestAliases") {
+    val dir = tmpDir("rename")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+        .toDF("k", "part", "v", "ver"),
+      Seq("part"), statsCols = Seq("v"))
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((3L, "a", 30.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")                                        // v2
+    Layout.renameManifestColumn(spark, dir, "v", "amount")    // v3
+    // partition columns refuse
+    intercept[IllegalArgumentException] {
+      Layout.renameManifestColumn(spark, dir, "part", "grp") }
+    // premature alias clearing refuses while old-name files live (the
+    // seed generations still carry 'v' on disk right now)
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.clearManifestAliases(spark, dir) }
+    assert(e2.getMessage.contains("pre-rename column names"),
+      e2.getMessage)
+    val live = Layout.readManifest(spark, dir)
+    assert(live.columns.contains("amount") && !live.columns.contains("v"))
+    assert(live.select("k", "amount").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0),
+      "old-name files must resolve through the alias chain")
+    // old snapshots keep the old name
+    assert(Layout.readManifestVersion(spark, dir, 1)
+      .columns.contains("v"))
+    // merges now speak the NEW name — and mixed-name gens coalesce
+    Layout.mergeManifest(spark, dir,
+      Seq((4L, "b", 40.0, 3L)).toDF("k", "part", "amount", "ver"),
+      Seq("k"), "ver")                                        // v4
+    assert(Layout.readManifest(spark, dir).select("k", "amount")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0))
+    // stats re-keyed: pruning on the NEW name stays exact
+    val pruned = Layout.readManifestPruned(spark, dir,
+      Seq(("amount", "15.0", "35.0")))
+    assert(pruned.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+    // the change feed across the rename boundary aligns old-side rows
+    // through the alias chain (an update shows as delete+insert, both
+    // under the NEW name, values intact)
+    val diff = Layout.manifestChanges(spark, dir, 1, 4)
+    assert(diff.columns.contains("amount"))
+    val inserted = diff.filter(col("_change_type") === "insert")
+      .select("k", "amount").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inserted == Map(3L -> 30.0, 4L -> 40.0), inserted.toString)
+    // the planner index refuses alias-bearing tables loudly (deltas
+    // folded first — that refusal is its own, earlier contract)…
+    Layout.foldManifestDeltas(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      Layout.manifestTable(spark, dir) }
+    assert(e.getMessage.contains("clearManifestAliases"), e.getMessage)
+    // rewrite everything under current names, then clear + re-enable
+    Layout.compactManifest(spark, dir, maxFiles = 0)
+    Layout.clearManifestAliases(spark, dir)
+    val tbl = Layout.manifestTable(spark, dir)
+    assert(tbl.filter(col("amount") === 30.0).select("k")
+      .head().getLong(0) == 3L)
+    // chained rename keeps the WHOLE history in one chain — rows from
+    // the original-name era still resolve if any survive a partial
+    // rewrite (here all rewritten, but the chain must parse back)
+    Layout.renameManifestColumn(spark, dir, "amount", "price")
+    assert(Layout.readManifest(spark, dir).select("k", "price")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .contains(4L))
+  }
+}
