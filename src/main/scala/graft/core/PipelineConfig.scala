@@ -110,6 +110,18 @@ object PipelineConfig {
       sketchK = c.get("sketch_k").map(_.toInt).getOrElse(4096),
       consumer = c.get("consumer"),
       appendOnly = c.get("append_only").exists(_.toBoolean))),
+    "Maintain" -> ((c, _) => MaintainModel(get(c, "path"),
+      maxPendingDeltas = c.get("max_pending_deltas").map(_.toInt)
+        .getOrElse(3),
+      maxFilesPerPartition = c.get("max_files_per_partition")
+        .map(_.toInt).getOrElse(0),
+      keepVersions = c.get("keep_versions").map(_.toInt).getOrElse(0),
+      sortCols = c.get("sort_cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      zorderCols = c.get("zorder_cols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      ignoreConsumers = c.get("ignore_consumers").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet)),
     "Reap" -> ((c, _) => ReapModel(get(c, "path"),
       keepVersions = c.get("keep_versions").map(_.toInt).getOrElse(1),
       generational = c.get("generational").exists(_.toBoolean),

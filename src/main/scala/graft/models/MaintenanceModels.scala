@@ -392,3 +392,66 @@ final case class IvmApplyModel(
     ExecResult(resultValue = Some(if (applied) 1L else 0L))
   }
 }
+
+/** SELF-DRIVING maintenance policy (the `Maintain` node): one
+  * scheduled run inspects the live manifest and chooses — with
+  * data-derived thresholds, not caller-chosen cadences — exactly the
+  * work the table needs:
+  *
+  *  - FOLD the partitions whose pending merge-on-read delta depth
+  *    reached `maxPendingDeltas` (others keep accruing — a fold per
+  *    trickle batch would pay the rewrite without bounding anything);
+  *  - COMPACT when `maxFilesPerPartition` > 0 (the file-count
+  *    selection is [[Layout.compactManifest]]'s own, partition by
+  *    partition; `sortCols`/`zorderCols` make the rewrite re-cluster);
+  *  - REAP versions below a `keepVersions` > 0 retention window (with
+  *    the cursor strand-guard consent every reap has).
+  *
+  * The decisions land in the step ledger (`resultLong` — e.g.
+  * `fold=part=a,part=c;compact=2;reap=5`), so an operator can read
+  * back WHY maintenance ran from `pd_step_history`. A run that decides
+  * nothing is a cheap no-op: one manifest JSON read.
+  */
+final case class MaintainModel(
+    path: String,
+    maxPendingDeltas: Int = 3,
+    maxFilesPerPartition: Int = 0,
+    keepVersions: Int = 0,
+    sortCols: Seq[String] = Nil,
+    zorderCols: Seq[String] = Nil,
+    ignoreConsumers: Set[String] = Set.empty,
+    override val knobs: ModelKnobs = ModelKnobs())
+  extends PdModel with Executable {
+
+  require(maxPendingDeltas >= 1,
+    "maxPendingDeltas must be >= 1 (the depth at which a fold pays)")
+
+  def execute(ctx: StepContext): ExecResult = {
+    val s = ctx.spark
+    val target = ctx.render(path)
+    val v = Layout.manifestVersion(s, target).getOrElse(
+      throw new IllegalArgumentException(
+        s"$target is not a manifest table; Maintain drives manifest " +
+          "maintenance only"))
+    val m = Layout.readManifestMeta(s, target, v)
+    // fold exactly the partitions whose delta depth crossed the policy
+    val deep = m.deltas.collect {
+      case (rel, gens) if gens.size >= maxPendingDeltas => rel
+    }.toSeq.sorted
+    val folded =
+      if (deep.isEmpty) Nil
+      else Layout.foldManifestDeltas(s, target, sortCols, only = deep)
+    val compacted =
+      if (maxFilesPerPartition <= 0) Nil
+      else Layout.compactManifest(s, target, maxFilesPerPartition,
+        sortCols, zorderCols)
+    val reaped =
+      if (keepVersions <= 0) Nil
+      else Layout.reapManifest(s, target, keepVersions, ignoreConsumers)
+    ExecResult(
+      resultValue = Some((folded.size + compacted.size + reaped.size).toLong),
+      resultLong = Some(
+        s"fold=${folded.mkString(",")};compact=${compacted.size};" +
+          s"reap=${reaped.size}"))
+  }
+}

@@ -2519,14 +2519,19 @@ object Layout {
     * widened stats until a later fold re-tightens them. Returns the
     * folded-and-committed partition rel-paths. */
   def foldManifestDeltas(spark: SparkSession, path: String,
-                         sortCols: Seq[String] = Nil): Seq[String] = {
+                         sortCols: Seq[String] = Nil,
+                         only: Seq[String] = Nil): Seq[String] = {
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not a manifest table"))
     val m = readManifestMeta(spark, path, v)
     require(sortCols.forall(manifestSchema(m).fieldNames.contains),
       s"sortCols ${sortCols.mkString(",")} must be table columns")
-    val rels = m.deltas.keys.toSeq.sorted
+    // `only` restricts the fold to the named partitions (a policy
+    // node folding exactly the rels whose delta depth crossed its
+    // threshold); unfolded rels keep their pending deltas untouched
+    val rels = (if (only.isEmpty) m.deltas.keys
+                else m.deltas.keys.filter(only.contains)).toSeq.sorted
     if (rels.isEmpty) Nil
     else {
       val fc = fileContext(spark, path)

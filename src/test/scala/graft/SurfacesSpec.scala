@@ -37,8 +37,64 @@ class SurfacesSpec extends SparkSpec {
     assert(Seq("Table", "Select", "Insert", "SQL", "CSV", "JSON", "XML",
       "Parquet", "Filenames", "FileManager", "Merge", "Compact",
       "Manifest", "IvmApply", "Zorder", "SortedWrite", "FoldDeltas",
-      "Reap", "IvmSync", "ManifestFeed", "Repartition")
+      "Reap", "IvmSync", "ManifestFeed", "Repartition", "Maintain")
       .forall(PipelineConfig.registry.contains))
+  }
+
+  test("Maintain node: data-derived policy folds EXACTLY the partitions " +
+      "whose delta depth crossed, compacts/reaps on their thresholds, " +
+      "and records its decisions") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val root = Files.createTempDirectory("cfg_maintain").toString
+    val dir = s"$root/t"
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L), (3L, "c", 30.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    // mixed workload: part=a takes THREE trickle deltas (crosses the
+    // policy), part=b one (does not), part=c none
+    def delta(k: Long, p: String, ver: Long): Unit = {
+      Layout.mergeManifestDelta(spark, dir,
+        Seq((k, p, k * 1.0, ver)).toDF("k", "part", "v", "ver"),
+        Seq("k"), "ver")
+      ()
+    }
+    delta(10L, "a", 2L); delta(11L, "a", 2L); delta(12L, "a", 2L)
+    delta(20L, "b", 2L)
+    val node = PipelineConfig.registry("Maintain")(
+      Map("path" -> dir, "max_pending_deltas" -> "3"), new SourceRegistry)
+      .asInstanceOf[graft.models.MaintainModel]
+    val r = node.execute(StepContext(spark, Calendar.day("2023-01-01")))
+    // the fold touched part=a ONLY; part=b's lone delta keeps pending
+    assert(r.resultLong.exists(_.startsWith("fold=part=a;")),
+      r.resultLong.toString)
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.deltas.keySet == Set("part=b"),
+      s"only the crossed partition folds: ${m.deltas.keySet}")
+    // rows intact either way
+    assert(Layout.readManifest(spark, dir).count() == 7)
+    // a second run decides NOTHING (depth 1 < 3): version unchanged
+    val v0 = Layout.manifestVersion(spark, dir).get
+    val r2 = node.execute(StepContext(spark, Calendar.day("2023-01-01")))
+    assert(r2.resultValue.contains(0L) &&
+      Layout.manifestVersion(spark, dir).contains(v0),
+      "an under-threshold table must be a no-op")
+    // with retention consent the node also reaps history
+    val full = PipelineConfig.registry("Maintain")(
+      Map("path" -> dir, "max_pending_deltas" -> "1",
+        "max_files_per_partition" -> "1", "keep_versions" -> "1"),
+      new SourceRegistry)
+    val r3 = full.asInstanceOf[graft.models.MaintainModel]
+      .execute(StepContext(spark, Calendar.day("2023-01-01")))
+    assert(r3.resultLong.exists(_.contains("fold=part=b")),
+      r3.resultLong.toString)
+    assert(r3.resultLong.exists(s => s.contains("reap=") &&
+      !s.endsWith("reap=0")), r3.resultLong.toString)
+    val mEnd = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(mEnd.deltas.isEmpty)
+    assert(Layout.readManifest(spark, dir).count() == 7)
   }
 
   test("config-driven merge-on-read lifecycle: mor Merge, FoldDeltas, " +
