@@ -274,15 +274,19 @@ final class ManifestFeedSource(sqlContext: SQLContext, path: String,
   /** Batch committed: advance the durable feed cursor (idempotent; a
     * crash before this ack replays the increment — at-least-once into
     * the cursor, exactly-once through the checkpoint's offset log).
-    * Mid-snapshot chunk commits ack NOTHING: the snapshot version must
-    * stay retained until every chunk drained (the cursor floor-guards
-    * retention, so an early ack could let a reap strand the rest of
-    * the backfill). */
+    * Mid-snapshot chunk commits must NOT ack the snapshot version (the
+    * rest of the backfill still needs it retained) — instead a NEW
+    * consumer pins the retention floor at version 0 until the snapshot
+    * completes, so a concurrent reap refuses to strand the remaining
+    * chunks (the strand-guard fires on any cursor below its floor). */
   override def commit(end: Offset): Unit = {
     val e = parseOffset(end)
-    if (!e.midSnapshot)
-      consumer.foreach(c =>
-        Layout.writeFeedCursor(spark, path, c, e.version))
+    consumer.foreach { c =>
+      if (!e.midSnapshot)
+        Layout.writeFeedCursor(spark, path, c, e.version)
+      else if (Layout.readFeedCursor(spark, path, c).isEmpty)
+        Layout.writeFeedCursor(spark, path, c, 0)
+    }
   }
 
   override def stop(): Unit = ()
