@@ -1524,14 +1524,22 @@ object EngineQueries {
         lit(1L).as("ver"))
       Layout.writeManifestTable(s, out, rows, Seq("o_year"),
         statsCols = Seq("o_orderkey"))
+      // scale-INVARIANT multi-file split: ~4 contiguous-range files
+      // per year partition at ANY sf (an absolute record cap collapses
+      // to one file per partition at smoke scale — the m48/m64 lesson)
+      val perPartition = rows.count() /
+        rows.select("o_year").distinct().count()
       val mrKey = "spark.sql.files.maxRecordsPerFile"
       val mrPrev = s.conf.get(mrKey, "0")
-      s.conf.set(mrKey, "500")
+      s.conf.set(mrKey, math.max(1L, perPartition / 4).toString)
       try Layout.compactManifest(s, out, maxFiles = 0,
         sortCols = Seq("o_orderkey"))
       finally s.conf.set(mrKey, mrPrev)
       val tbl = Layout.manifestTable(s, out)
-      val keyMax = 2000L // a window inside every year's low key range
+      // a window covering the LOW EIGHTH of the keyspace — derived
+      // from the data so it stays selective at every sf (a fixed
+      // bound covers the whole dense keyspace at smoke scale)
+      val keyMax = rows.agg(max(col("o_orderkey"))).head().getLong(0) / 8
       val q = tbl.filter(col("o_orderkey") <= keyMax)
       q.collect()
       val scanned = PlanScan.scannedFiles(q)
@@ -2720,7 +2728,8 @@ object EngineQueries {
     "m69_manifest_fileskip" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
            o_totalprice
-         FROM orders WHERE o_orderkey <= 2000""",
+         FROM orders
+         WHERE o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 8""",
     // the chunked backfill reassembles exactly the post-CDC snapshot
     // and then follows the diff — same arithmetic as m66 (the chunk
     // boundaries and the mid-snapshot kill are pinned in-gate; any
