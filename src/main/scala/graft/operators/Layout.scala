@@ -2962,6 +2962,16 @@ object Layout {
       s"evolveManifest: column(s) ${dup.mkString(", ")} already exist")
     require(!add.fieldNames.contains("gen"),
       "'gen' is the manifest's generation directory name")
+    // a retired name may still live PHYSICALLY in pre-rename files:
+    // adding a column under it would surface that old data as the new
+    // column's values — silent corruption, refuse until the chains
+    // clear ([[clearManifestAliases]])
+    val haunted = add.fieldNames
+      .filter(n => m.colAliases.values.exists(_.contains(n)))
+    require(haunted.isEmpty,
+      s"evolveManifest: column name(s) ${haunted.mkString(", ")} are " +
+        "retired by a rename and may still exist in old data files — " +
+        "rewrite and clearManifestAliases first, or pick another name")
     // new data columns slot BEFORE the partition columns, preserving
     // the stored order contract (data cols first, partition cols last)
     val dataCols = sch.fields.filterNot(f => m.partitionCols.contains(f.name))
@@ -3056,6 +3066,10 @@ object Layout {
         "to a renamed layout instead")
     require(to != "gen" && to != MorDel && to != MorSeq,
       s"'$to' is reserved by the manifest layout")
+    require(!m.colAliases.values.exists(_.contains(to)),
+      s"renameManifestColumn: '$to' is a RETIRED name another column's " +
+        "alias chain still covers — old files carrying it would surface " +
+        "under both columns; clear the chains first or pick another name")
     // the old name may also appear in OTHER columns' alias chains only
     // as their history — but a LIVE file column can carry it, so the
     // new column inherits the old name plus its whole prior chain

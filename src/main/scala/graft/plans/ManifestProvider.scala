@@ -70,12 +70,13 @@ final class ManifestProvider extends RelationProvider
     * merge-on-read delta). Overwrite of an EXISTING manifest table
     * refuses loudly — it would discard history retained versions still
     * reference. */
-  override def createRelation(sqlContext: SQLContext,
+  override def createRelation(sqlContext0: SQLContext,
                               mode: org.apache.spark.sql.SaveMode,
                               parameters: Map[String, String],
                               data: org.apache.spark.sql.DataFrame):
       BaseRelation = {
     import org.apache.spark.sql.SaveMode
+    val sqlContext = sqlContext0
     val path = opt(parameters, "path").getOrElse(
       throw new IllegalArgumentException(
         "manifest writer needs .option(\"path\", <table dir>)"))
@@ -122,7 +123,16 @@ final class ManifestProvider extends RelationProvider
       case SaveMode.Ignore =>
         if (!exists) seed()
     }
-    createRelation(sqlContext, Map("path" -> path))
+    // schema-only handle: constructing the planner index here would
+    // REFUSE after a successful merge-on-read append (pending deltas),
+    // and callers of .save() don't consume the relation anyway — mount
+    // a view via createRelation/`USING manifest` to read
+    val outSchema = data.schema
+    new BaseRelation {
+      override val sqlContext: SQLContext = sqlContext0
+      override def schema: org.apache.spark.sql.types.StructType =
+        outSchema
+    }
   }
 
   /** The WRITE side: `df.writeStream.format("manifest")` — each

@@ -139,5 +139,15 @@ class ManifestEvolutionSpec extends SparkSpec {
     assert(Layout.readManifest(spark, dir).select("k", "price")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       .contains(4L))
+    // RETIRED names are haunted: old files may still carry them, so
+    // adding a column (or renaming another) under one would surface
+    // old data as the new column's values — both refuse loudly
+    val e3 = intercept[IllegalArgumentException] {
+      Layout.evolveManifest(spark, dir, "amount DOUBLE") }
+    assert(e3.getMessage.contains("retired by a rename"), e3.getMessage)
+    Layout.evolveManifest(spark, dir, "note STRING")
+    val e4 = intercept[IllegalArgumentException] {
+      Layout.renameManifestColumn(spark, dir, "note", "amount") }
+    assert(e4.getMessage.contains("RETIRED name"), e4.getMessage)
   }
 }

@@ -124,5 +124,13 @@ class ManifestDmlSpec extends SparkSpec {
         .option("partitionCols", "part").mode("overwrite").save()
     }
     assert(e.getMessage.contains("refusing to overwrite"), e.getMessage)
+    // a merge-on-read append must SUCCEED end to end: the writer's
+    // returned relation is schema-only (constructing the planner index
+    // here would refuse the pending delta it just created)
+    Seq((4L, "c", 44.0, 3L)).toDF("k", "part", "v", "ver")
+      .write.format("manifest").option("path", dir)
+      .option("keys", "k").option("versionCol", "ver")
+      .option("mor", "true").mode("append").save()
+    assert(snap(Layout.readManifest(spark, dir)).get(4L).contains(44.0))
   }
 }
