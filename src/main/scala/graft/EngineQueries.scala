@@ -1508,6 +1508,38 @@ object EngineQueries {
         col("ver"))
     }),
 
+    // The COMPLETE pure-SQL DML lifecycle on one manifest view:
+    // UPDATE rewrites to a merge of the re-projected matched rows,
+    // DELETE to a tombstone merge — each ONE snapshot publish through
+    // the same optimistic machinery as every write path (Spark itself
+    // refuses UPDATE/DELETE on v1 relations; the injected rule makes
+    // them first-class). Time travel to the seed pinned in-gate; the
+    // oracle is the post-DML arithmetic.
+    "m71_manifest_sql_mutation" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("sqlmut")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      Layout.writeManifestTable(s, out,
+        orders.select(col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"),
+          col("o_totalprice"), lit(1L).as("ver")),
+        Seq("o_year"))
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW m71_t USING manifest " +
+        s"OPTIONS (path '$out', keys 'o_orderkey', versionCol 'ver')")
+      s.sql("UPDATE m71_t SET o_totalprice = o_totalprice + 100, " +
+        "ver = CAST(2 AS BIGINT) WHERE o_orderkey % 10 = 0")
+      s.sql("DELETE FROM m71_t WHERE o_orderkey % 13 = 0")
+      require(Layout.manifestVersion(s, out).contains(3),
+        "UPDATE and DELETE must each land as exactly ONE publish")
+      val seedVer = Layout.readManifestVersion(s, out, 1)
+        .agg(max(col("ver")), count(lit(1))).head()
+      require(seedVer.getLong(0) == 1L,
+        "time travel to the seed must predate the mutations")
+      Layout.readManifest(s, out).select(col("o_orderkey"),
+        col("o_year").cast("int").as("o_year"), col("o_totalprice"),
+        col("ver"))
+    }),
+
     // FILE-level data skipping: per-file min/max recorded at publish
     // time prune WITHIN a partition — after a sorted compaction split
     // by maxRecordsPerFile each partition holds several contiguous-
@@ -2709,6 +2741,16 @@ object EngineQueries {
              AS o_totalprice,
            CASE WHEN o_orderkey % 17 = 0 THEN CAST(3 AS BIGINT)
                 WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders WHERE o_orderkey % 13 <> 0""",
+    // the post-DML table: the UPDATE's arithmetic applied to every
+    // 10th key, the DELETE's keys gone — a lost tombstone or a
+    // double-applied update breaks the hash
+    "m71_manifest_sql_mutation" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
                 ELSE CAST(1 AS BIGINT) END AS ver
          FROM orders WHERE o_orderkey % 13 <> 0""",
     // post-evolution table: widened qty carries the same values as

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, InsertIntoStatement, LogicalPlan, Project, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -27,46 +28,188 @@ import graft.operators.Layout
   *
   * Merge keys/version come from the view's OPTIONS, falling back to
   * the table's stored merge-on-read resolution spec; with neither the
-  * INSERT fails loudly naming the fix. UPDATE/DELETE stay expressed as
-  * merges with tombstone flags through the Scala/streaming surfaces —
-  * a SQL MERGE INTO needs a parser extension and is documented out of
-  * scope. Registered via [[graft.expressions.GraftExtensions]]
-  * (`injectResolutionRule`, so it wins over the post-hoc
-  * HadoopFsRelation conversion).
+  * statement fails loudly naming the fix. `UPDATE <view> SET … WHERE`
+  * and `DELETE FROM <view> WHERE` rewrite the same way (Spark itself
+  * refuses them on v1 relations): the matched rows of the LIVE
+  * snapshot — expressions re-bound by name at run time, see
+  * [[ManifestMutateCommand]] — re-project through the assignments and
+  * merge (tombstone-flagged for DELETE). SQL MERGE INTO remains out of
+  * scope (a multi-clause conditional semantics worth a dedicated
+  * surface, not a rewrite). Registered via
+  * [[graft.expressions.GraftExtensions]] (`injectResolutionRule`, so
+  * it wins over the post-hoc HadoopFsRelation conversion).
   */
 final class ManifestInsertRule(session: SparkSession)
     extends Rule[LogicalPlan] {
 
   private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, child) => stripAlias(child)
+    // UPDATE/DELETE targets keep the temp-view wrapper the analyzer
+    // strips for INSERT targets
+    case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+      stripAlias(v.child)
     case other => other
   }
+
+  /** The (index, relation) behind a resolved DML target, when it is a
+    * manifest table mounted through [[ManifestFileIndex]]. */
+  private def manifestTarget(table: LogicalPlan):
+      Option[(ManifestFileIndex, HadoopFsRelation, LogicalRelation)] =
+    stripAlias(table) match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation
+            if fs.location.isInstanceOf[ManifestFileIndex] =>
+          Some((fs.location.asInstanceOf[ManifestFileIndex], fs, lr))
+        case _ => None
+      }
+      case _ => None
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case i: InsertIntoStatement if i.query.resolved =>
-        stripAlias(i.table) match {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: HadoopFsRelation
-                if fs.location.isInstanceOf[ManifestFileIndex] =>
-              val idx = fs.location.asInstanceOf[ManifestFileIndex]
-              require(!i.overwrite,
-                "INSERT OVERWRITE a manifest table is not supported: " +
-                  "overwriting discards history that retained versions " +
-                  "still reference — re-seed with writeManifestTable or " +
-                  "apply deletes as a merge with a tombstone flag")
-              require(i.partitionSpec.isEmpty,
-                "static PARTITION clauses are not supported on manifest " +
-                  "tables: partition routing is derived from the rows " +
-                  "themselves (the merge contract)")
-              ManifestInsertCommand(idx.table, fs.options,
-                lr.schema.asInstanceOf[StructType], i.query,
-                i.userSpecifiedCols, i.byName)
-            case _ => i
-          }
-          case _ => i
+        manifestTarget(i.table) match {
+          case Some((idx, fs, lr)) =>
+            require(!i.overwrite,
+              "INSERT OVERWRITE a manifest table is not supported: " +
+                "overwriting discards history that retained versions " +
+                "still reference — re-seed with writeManifestTable or " +
+                "apply deletes as a merge with a tombstone flag")
+            require(i.partitionSpec.isEmpty,
+              "static PARTITION clauses are not supported on manifest " +
+                "tables: partition routing is derived from the rows " +
+                "themselves (the merge contract)")
+            ManifestInsertCommand(idx.table, fs.options,
+              lr.schema.asInstanceOf[StructType], i.query,
+              i.userSpecifiedCols, i.byName)
+          case None => i
+        }
+
+      // DELETE FROM <view> WHERE …  →  tombstone merge of the matched
+      // rows. Spark's own check would otherwise refuse ("DELETE is
+      // only supported with v2 tables"). The condition is captured as
+      // an EXPRESSION and re-bound by name onto the LIVE snapshot at
+      // run time — binding to the view's pinned snapshot would carry
+      // stale row versions into the tombstones, and a row updated
+      // since the view was mounted would survive its own DELETE.
+      case d: DeleteFromTable if d.table.resolved &&
+          d.condition.resolved =>
+        manifestTarget(d.table) match {
+          case Some((idx, fs, lr)) =>
+            ManifestMutateCommand(idx.table, fs.options,
+              lr.schema.asInstanceOf[StructType],
+              condition = Some(d.condition), assignments = Nil,
+              verb = "DELETE")
+          case None => d
+        }
+
+      // UPDATE <view> SET c = expr, … WHERE …  →  merge of the LIVE
+      // matched rows re-projected through the assignments (same
+      // run-time re-binding as DELETE). Partition columns must not
+      // move rows (the merge contract) and key assignments change row
+      // identity — both refuse with the remedy.
+      case u: UpdateTable if u.table.resolved &&
+          u.assignments.forall(a => a.key.resolved && a.value.resolved) &&
+          u.condition.forall(_.resolved) =>
+        manifestTarget(u.table) match {
+          case Some((idx, fs, lr)) =>
+            def nameOf(e: org.apache.spark.sql.catalyst.expressions
+                .Expression): Option[String] = e match {
+              case ar: AttributeReference => Some(ar.name)
+              case _ => None
+            }
+            val unnamed = u.assignments.filter(a => nameOf(a.key).isEmpty)
+            require(unnamed.isEmpty,
+              s"UPDATE SET targets must be top-level columns " +
+                s"(got ${unnamed.map(_.key.sql).mkString(", ")})")
+            val assigned = u.assignments.map(a =>
+              nameOf(a.key).get -> a.value)
+            val assignedParts = assigned.map(_._1)
+              .filter(idx.partitionSchema.fieldNames.contains)
+            require(assignedParts.isEmpty,
+              s"UPDATE cannot assign partition column(s) " +
+                s"${assignedParts.mkString(", ")}: moved rows would " +
+                "change partitions, which the merge contract forbids — " +
+                "DELETE + INSERT the rows instead")
+            ManifestMutateCommand(idx.table, fs.options,
+              lr.schema.asInstanceOf[StructType],
+              condition = u.condition, assignments = assigned,
+              verb = "UPDATE")
+          case None => u
         }
     }
+}
+
+/** Runs a rewritten UPDATE/DELETE: the matched rows of the LIVE
+  * snapshot (condition/assignment expressions re-bound by COLUMN NAME
+  * onto a freshly-mounted relation — read-current semantics, not the
+  * view's pinned snapshot) re-project through the assignments and
+  * apply as ONE keyed merge — tombstone-flagged for DELETE — through
+  * the same machinery as every other write path: atomic snapshot
+  * publish, optimistic commit, time travel intact. */
+final case class ManifestMutateCommand(
+    path: String,
+    options: Map[String, String],
+    tableSchema: StructType,
+    condition: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+    assignments: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)],
+    verb: String) extends LeafRunnableCommand {
+
+  private def opt(key: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = Layout.manifestVersion(session, path).getOrElse(
+      throw new IllegalStateException(s"$path stopped being a manifest " +
+        "table after the view was created"))
+    val m = Layout.readManifestMeta(session, path, v)
+    val keys = opt("keys").map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(m.morKeys)
+    val versionCol = opt("versionCol").orElse(m.morVersionCol)
+    require(keys.nonEmpty && versionCol.nonEmpty,
+      s"$verb on a manifest table needs its merge spec: add " +
+        "OPTIONS (keys 'k1,k2', versionCol 'ver') to the view (or " +
+        "establish the table's merge-on-read spec with a first " +
+        "mergeManifestDelta)")
+    val badKeys = assignments.map(_._1)
+      .filter(c => keys.exists(_.equalsIgnoreCase(c)))
+    require(badKeys.isEmpty,
+      s"UPDATE cannot assign merge key(s) ${badKeys.mkString(", ")}: " +
+        "that changes row identity — DELETE + INSERT instead")
+    // LIVE snapshot, fresh mount: the mutation's row versions must be
+    // the table's CURRENT ones, or the merge's latest-wins would let
+    // rows updated since the view was created survive their own
+    // DELETE / shed this UPDATE
+    val fresh = session.read.format("manifest")
+      .option("path", path).load()
+    val outByName = fresh.queryExecution.analyzed.output
+      .map(a => a.name -> a).toMap
+    def rebind(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        org.apache.spark.sql.Column =
+      org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+        e.transform {
+          case a: AttributeReference => outByName.getOrElse(a.name,
+            throw new IllegalStateException(
+              s"$verb references column '${a.name}' which the live " +
+                "table no longer has (renamed since the view was " +
+                "created?) — re-create the view"))
+        })
+    val matched = condition.fold(fresh)(c => fresh.filter(rebind(c)))
+    val byName = assignments.toMap
+    val projected = matched.select(tableSchema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case Some(e) => rebind(e).cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    } ++ (if (verb == "DELETE")
+            Seq(org.apache.spark.sql.functions.lit(true).as("__sql_del"))
+          else Nil): _*)
+    Layout.mergeManifest(session, path, projected, keys, versionCol.get,
+      deleteCol = if (verb == "DELETE") Some("__sql_del") else None)
+    Seq.empty
+  }
 }
 
 /** Runs the rewritten INSERT: aligns the query's output to the table

@@ -103,6 +103,42 @@ class ManifestDmlSpec extends SparkSpec {
     assert(e4.getMessage.contains("keys 'k1,k2'"), e4.getMessage)
   }
 
+  test("SQL UPDATE and DELETE rewrite to tombstone merges: snapshot " +
+      "publish, time travel intact, partition/key assignments refuse") {
+    val dir = tmpDir("mutate")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "a", 20.0, 1L), (3L, "b", 30.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW t_mut
+      USING manifest OPTIONS (path '$dir', keys 'k', versionCol 'ver')""")
+    spark.sql("UPDATE t_mut SET v = v + 1.0 WHERE k <= 2")
+    assert(snap(Layout.readManifest(spark, dir)) ==
+      Map(1L -> 11.0, 2L -> 21.0, 3L -> 30.0))
+    spark.sql("DELETE FROM t_mut WHERE k = 2")
+    assert(snap(Layout.readManifest(spark, dir)) ==
+      Map(1L -> 11.0, 3L -> 30.0))
+    // each statement was ONE snapshot publish; the seed still
+    // time-travels
+    assert(Layout.manifestVersion(spark, dir).contains(3))
+    assert(snap(Layout.readManifestVersion(spark, dir, 1)) ==
+      Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // no stray parquet in the table root (the raw-write corruption the
+    // rewrites exist to prevent)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(f => f.isFile && f.getName.startsWith("part-")))
+    // a DELETE touching nothing publishes an empty merge harmlessly
+    spark.sql("DELETE FROM t_mut WHERE k = 999")
+    assert(snap(Layout.readManifest(spark, dir)) ==
+      Map(1L -> 11.0, 3L -> 30.0))
+    // partition and key assignments refuse with the remedy
+    val e1 = intercept[Exception] {
+      spark.sql("UPDATE t_mut SET part = 'z' WHERE k = 1") }
+    assert(e1.getMessage.contains("partition column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE t_mut SET k = 99 WHERE k = 1") }
+    assert(e2.getMessage.contains("merge key"), e2.getMessage)
+  }
+
   test("df.write.format(\"manifest\"): overwrite seeds, append merges, " +
       "existing-table overwrite refuses") {
     val dir = tmpDir("writer")
