@@ -173,6 +173,10 @@ final case class ManifestMutateCommand(
         "OPTIONS (keys 'k1,k2', versionCol 'ver') to the view (or " +
         "establish the table's merge-on-read spec with a first " +
         "mergeManifestDelta)")
+    require(opt("versionAsOf").isEmpty,
+      s"$verb through a versionAsOf (time-travel) view is ambiguous: " +
+        "the view serves a PINNED snapshot but a mutation would land on " +
+        "the LIVE table — mount an un-pinned view for DML")
     val badKeys = assignments.map(_._1)
       .filter(c => keys.exists(_.equalsIgnoreCase(c)))
     require(badKeys.isEmpty,
@@ -230,6 +234,10 @@ final case class ManifestInsertCommand(
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
   override def run(session: SparkSession): Seq[Row] = {
+    require(opt("versionAsOf").isEmpty,
+      "INSERT through a versionAsOf (time-travel) view is ambiguous: " +
+        "the view serves a PINNED snapshot but the merge would land on " +
+        "the LIVE table — mount an un-pinned view for DML")
     val df = org.apache.spark.sql.graftbridge.GraftSqlBridge
       .ofRows(session, query)
     val names = tableSchema.fieldNames.toSeq

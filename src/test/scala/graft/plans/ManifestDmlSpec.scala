@@ -137,6 +137,23 @@ class ManifestDmlSpec extends SparkSpec {
     val e2 = intercept[Exception] {
       spark.sql("UPDATE t_mut SET k = 99 WHERE k = 1") }
     assert(e2.getMessage.contains("merge key"), e2.getMessage)
+    // mutations compute against the LIVE table, not the view's pinned
+    // snapshot: an UPDATE bumping versions through view A, then a
+    // DELETE through the ORIGINAL view must still remove the row (its
+    // tombstone must carry the CURRENT version, or it loses the merge)
+    spark.sql("UPDATE t_mut SET v = 100.0, ver = CAST(9 AS BIGINT) " +
+      "WHERE k = 1")
+    spark.sql("DELETE FROM t_mut WHERE k = 1")
+    assert(snap(Layout.readManifest(spark, dir)) == Map(3L -> 30.0),
+      "a row updated after the view was mounted must not survive " +
+        "its own DELETE")
+    // DML through a time-travel view refuses (pinned read vs live write)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW t_pin
+      USING manifest OPTIONS (path '$dir', keys 'k', versionCol 'ver',
+                              versionAsOf '1')""")
+    val e3 = intercept[Exception] {
+      spark.sql("DELETE FROM t_pin WHERE k = 3") }
+    assert(e3.getMessage.contains("versionAsOf"), e3.getMessage)
   }
 
   test("df.write.format(\"manifest\"): overwrite seeds, append merges, " +
