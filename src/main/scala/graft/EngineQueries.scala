@@ -1508,6 +1508,50 @@ object EngineQueries {
         col("ver"))
     }),
 
+    // DECLARED append-only manifest table (the event/fact-table shape):
+    // no merge spec exists, so updates/deletes are structurally
+    // INEXPRESSIBLE — appendManifest lands spec-less delta generations
+    // in O(|batch|), the planner index serves the PENDING appends with
+    // partition pruning (nothing to resolve — pinned in-gate on the
+    // version, the pending-delta state, the keyed-merge refusal, and
+    // the scan metric), and the table contents equal the union of
+    // every batch (the oracle).
+    "m72_manifest_append_only" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("appendonly")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"), col("o_totalprice"))
+      def slice(r: Int) =
+        rows.filter(pmod(col("o_orderkey"), lit(4)) === r)
+      Layout.writeManifestTable(s, out, slice(0), Seq("o_year"),
+        statsCols = Seq("o_orderkey"), appendOnly = true)        // v1
+      (1 to 3).foreach(r =>
+        require(Layout.appendManifest(s, out, slice(r))))        // v2-4
+      val m = Layout.readManifestMeta(s, out,
+        Layout.manifestVersion(s, out).get)
+      require(m.version == 4 && m.deltas.nonEmpty,
+        "the reads below must serve PENDING spec-less appends")
+      // keyed writes are structurally inexpressible
+      val refused =
+        try { Layout.mergeManifest(s, out,
+          rows.limit(1).withColumn("ver", lit(9L)),
+          Seq("o_orderkey"), "ver"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("append-only") }
+      require(refused, "keyed merges must refuse on append-only tables")
+      val tbl = Layout.manifestTable(s, out)
+      val q = tbl.filter(col("o_year") === 1996)
+      q.collect()
+      val scanned = PlanScan.scannedFiles(q)
+      val total = tbl.inputFiles.length.toLong
+      require(scanned > 0 && scanned < total,
+        s"partition pruning must hold over pending appends " +
+          s"($scanned of $total)")
+      tbl.select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+        col("o_totalprice"))
+    }),
+
     // The COMPLETE pure-SQL DML lifecycle on one manifest view:
     // UPDATE rewrites to a merge of the re-projected matched rows,
     // DELETE to a tombstone merge — each ONE snapshot publish through
@@ -2743,6 +2787,13 @@ object EngineQueries {
                 WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
                 ELSE CAST(1 AS BIGINT) END AS ver
          FROM orders WHERE o_orderkey % 13 <> 0""",
+    // the append-only table is exactly the union of its batches (the
+    // four slices partition the key space; a lost or double-applied
+    // append breaks the hash)
+    "m72_manifest_append_only" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice
+         FROM orders""",
     // the post-DML table: the UPDATE's arithmetic applied to every
     // 10th key, the DELETE's keys gone — a lost tombstone or a
     // double-applied update breaks the hash

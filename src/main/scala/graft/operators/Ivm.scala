@@ -260,8 +260,15 @@ object Ivm {
         // per increment, widening with table size); sketch columns are
         // safe there by construction (nothing to retract). Windows
         // with rewrites fall back to the changes diff regardless.
+        // a DECLARED append-only table (seeded appendOnly = true)
+        // proves the assertion STRUCTURALLY: keyed merges refuse on
+        // it, so a delta can never be a key update in disguise — the
+        // caller flag remains only for tables that are append-only by
+        // convention rather than by declaration
+        val declared = Layout
+          .readManifestMeta(spark, tablePath, live).appendOnly
         val appends =
-          if (appendOnly)
+          if (appendOnly || declared)
             Layout.appendsBetweenOpt(spark, tablePath, v.toInt, live)
           else None
         appends match {

@@ -711,6 +711,17 @@ object Layout {
       morKeys: Seq[String] = Nil,
       morVersionCol: Option[String] = None,
       morDeleteCol: Option[String] = None,
+      // DECLARED append-only (fixed at seed): the table has NO merge
+      // spec at all — rows land via [[appendManifest]] (spec-less
+      // delta generations, plain-union reads), and every keyed or
+      // delete-bearing write path REFUSES, so updates and deletes are
+      // structurally INEXPRESSIBLE. That turns "this feed is
+      // append-only" from a caller assertion into a manifest-proven
+      // fact: sketch-valued IVM syncs, the appends feed, and the
+      // planner index (which can serve PENDING spec-less deltas — no
+      // resolution exists to skip) all derive it from here. The shape
+      // of event/fact tables — the most common 100 TB table.
+      appendOnly: Boolean = false,
       // RENAME history: current column name -> every PRIOR name still
       // possibly present in live data files (newest prior first). A
       // rename is METADATA-ONLY: files keep whatever name was current
@@ -961,6 +972,8 @@ object Layout {
         else node.get("morKeys").elements().asScala.map(_.asText()).toSeq,
       morVersionCol = optText(node, "morVersionCol"),
       morDeleteCol = optText(node, "morDeleteCol"),
+      appendOnly =
+        node.has("appendOnly") && node.get("appendOnly").asBoolean(),
       colAliases =
         if (!node.has("colAliases")) Map.empty
         else node.get("colAliases").fields().asScala.map { e =>
@@ -1129,6 +1142,7 @@ object Layout {
       m.morVersionCol.foreach(root.put("morVersionCol", _))
       m.morDeleteCol.foreach(root.put("morDeleteCol", _))
     }
+    if (m.appendOnly) root.put("appendOnly", true)
     if (m.colAliases.nonEmpty) {
       val ca = root.putObject("colAliases")
       m.colAliases.toSeq.sortBy(_._1).foreach { case (cur, olds) =>
@@ -1287,7 +1301,14 @@ object Layout {
 
   private def readManifestRels(spark: SparkSession, path: String,
                                m: ManifestMeta,
-                               gens: Map[String, Int]): DataFrame = {
+                               gens: Map[String, Int]): DataFrame =
+    readGenDirs(spark, path, m, gens.toSeq.sortBy(_._1))
+
+  /** Plain stored-schema read of explicit generation dirs (several per
+    * rel allowed — the spec-less delta shape of append-only tables). */
+  private def readGenDirs(spark: SparkSession, path: String,
+                          m: ManifestMeta,
+                          gens: Seq[(String, Int)]): DataFrame = {
     val sch = manifestSchema(m)
     if (gens.isEmpty)
       spark.createDataFrame(
@@ -1296,7 +1317,7 @@ object Layout {
       spark.read.option("basePath", path)
         .schema(org.apache.spark.sql.types.StructType(
           aliasedReadSchema(m, sch.fields.toSeq)))
-        .parquet(gens.toSeq.sortBy(_._1).map { case (rel, g) =>
+        .parquet(gens.sorted.map { case (rel, g) =>
           s"$path/$rel/gen=$g" }: _*)
         .drop("gen") // discovered partition col, appended past the schema
         .select(sch.fields.toSeq.map(f => aliasResolved(m, f.name)): _*)
@@ -1367,7 +1388,14 @@ object Layout {
     val plain = readManifestRels(spark, path, m,
       plainRels.flatMap(r => m.entries.get(r).map(r -> _)).toMap)
     if (deltaRels.isEmpty) plain
-    else {
+    else if (m.morKeys.isEmpty) {
+      // SPEC-LESS deltas — only an append-only table can hold them
+      // ([[appendManifest]]; keyed delta merges always fix a spec):
+      // there is nothing to resolve, every row is live — plain union
+      val dGens = deltaRels.flatMap(r =>
+        (m.entries.get(r).toSeq ++ m.deltas(r)).map(r -> _))
+      plain.unionByName(readGenDirs(spark, path, m, dGens))
+    } else {
       val dBase = readManifestRels(spark, path, m,
         deltaRels.flatMap(r => m.entries.get(r).map(r -> _)).toMap)
       val dGens = deltaRels.flatMap(r => m.deltas(r).map(r -> _))
@@ -1848,7 +1876,8 @@ object Layout {
                          bloomCols: Seq[String] = Nil,
                          bloomItems: Long = 10000,
                          bloomFpp: Double = 0.01,
-                         manifestBuckets: Int = 0): Unit =
+                         manifestBuckets: Int = 0,
+                         appendOnly: Boolean = false): Unit =
       withMaintenanceLock(spark, path, lockWaitMs(spark)) {
     require(manifestBuckets >= 0 && manifestBuckets <= 4096,
       "manifestBuckets must be in [0, 4096] (0 = flat manifest)")
@@ -1903,7 +1932,7 @@ object Layout {
     val meta0 = ManifestMeta(1, ddl, partitionCols, gens,
       statsCols = statsCols, bloomCols = bloomCols,
       bloomItems = bloomItems, bloomFpp = bloomFpp,
-      bucketBounds = bounds)
+      bucketBounds = bounds, appendOnly = appendOnly)
     // derive the published metadata from the tmp tree BEFORE the
     // renames scatter it: one recursive listing of one root, not
     // |partitions| explicit gen paths (at 525 partitions this halves
@@ -2149,6 +2178,10 @@ object Layout {
           s"$path is not a manifest table; seed it with writeManifestTable"))
       val m0 = readManifestMeta(spark, path, v0)
       if (replayedSinkBatch(path, m0, batchId, sinkId)) return false
+      require(!m0.appendOnly,
+        s"$path is a DECLARED append-only table: keyed merges (updates/" +
+          "deletes) are structurally inexpressible on it — appendManifest " +
+          "is the only write path")
       val pcols = m0.partitionCols
       require(pcols.forall(updates.columns.contains),
         "update batch must carry the partition columns " +
@@ -2348,6 +2381,124 @@ object Layout {
     * false and publishes nothing, so feed consumers never see a
     * duplicate delta generation. Returns true when the delta applied.
     */
+  /** Pure APPEND onto a DECLARED append-only manifest table (seeded
+    * with `appendOnly = true`): the batch lands as spec-less delta
+    * generations — O(|batch|), the base never read — and reads union
+    * them in (no resolution exists; every row is live forever). The
+    * structural twin of [[mergeManifestDelta]] for tables where
+    * updates and deletes must be INEXPRESSIBLE (event/fact feeds):
+    * keyed merges refuse on such tables, so downstream consumers
+    * (sketch IVM syncs, the appends feed) can derive append-only-ness
+    * from the manifest instead of trusting a caller assertion.
+    * `batchId`/`sinkId`: the usual exactly-once guard. Returns true
+    * when the append applied. */
+  def appendManifest(spark: SparkSession, path: String,
+                     rows: DataFrame,
+                     maxTouchedPartitions: Int = 10000,
+                     batchId: Long = -1L,
+                     sinkId: String = ""): Boolean = {
+    val fc = fileContext(spark, path)
+    val maxAttempts = 3
+    var attempt = 0
+    var lastConflict = ""
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val v0 = manifestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path is not a manifest table; seed it with writeManifestTable"))
+      val m0 = readManifestMeta(spark, path, v0)
+      require(m0.appendOnly,
+        s"$path is not a declared append-only table: appends without a " +
+          "merge spec would bypass latest-wins resolution — seed with " +
+          "appendOnly = true, or use mergeManifestDelta with keys")
+      if (replayedSinkBatch(path, m0, batchId, sinkId)) return false
+      val pcols = m0.partitionCols
+      require(pcols.forall(rows.columns.contains),
+        "append batch must carry the partition columns " +
+          pcols.mkString(","))
+      Seq("gen", MorDel, MorSeq).foreach(c =>
+        require(!rows.columns.contains(c),
+          s"'$c' is reserved by the manifest layout; rename the column"))
+      val baseCols = manifestSchema(m0).fieldNames.toSeq
+      val missing = baseCols.filterNot(rows.columns.contains)
+      require(missing.isEmpty,
+        s"appendManifest: batch is missing base column(s) " +
+          s"${missing.mkString("[", ", ", "]")}")
+      val extra = rows.columns.filterNot(baseCols.contains)
+      require(extra.isEmpty,
+        s"appendManifest: batch carries column(s) " +
+          s"${extra.mkString("[", ", ", "]")} absent from the base " +
+          "table — evolve the base schema first")
+      val touchedRows = rows
+        .select(pcols.map(c => col(c).cast("string").as(c)): _*)
+        .distinct().limit(maxTouchedPartitions + 1).collect()
+      require(touchedRows.length <= maxTouchedPartitions,
+        s"append batch touches > $maxTouchedPartitions partitions; " +
+          "split the batch or raise maxTouchedPartitions")
+      val touchedRels = touchedRows.map(relOf(pcols, _)).toSet
+      val tmpDir = uniqueTmpDir(path)
+      try {
+        val sch = manifestSchema(m0)
+        rows.select(sch.fields.toSeq.map(f => col(f.name)): _*)
+          .repartition(shufflePartitions(spark), pcols.map(col): _*)
+          .write.mode(SaveMode.Overwrite)
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          .partitionBy(pcols: _*).parquet(tmpDir)
+        val produced = listPartitionRels(fc, new Path(tmpDir))
+        val unexpected = produced.filterNot(touchedRels.contains)
+        require(unexpected.isEmpty,
+          s"appendManifest: writer produced partition dirs " +
+            s"${unexpected.mkString(",")} outside the touched set — " +
+            "partition rendering mismatch")
+        val (deltaStats, deltaFileStats) = statsAllUnder(spark, m0, tmpDir)
+        val deltaBlooms = bloomsFor(spark, path, m0, Map.empty,
+          srcDir = Some(tmpDir))
+        val outcome: Either[String, Boolean] =
+          withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+            val v1 = manifestVersion(spark, path).get
+            val m1 = if (v1 == v0) m0 else readManifestMeta(spark, path, v1)
+            if (v1 != v0 && replayedSinkBatch(path, m1, batchId, sinkId))
+              Right(false)
+            else if (v1 != v0 && invariantsChanged(m0, m1).isDefined)
+              Left(invariantsChanged(m0, m1).get)
+            else {
+              val newGens = inParallel(produced) { rel =>
+                val g = nextGenOnDisk(fc, path, m1, rel)
+                val dst = new Path(s"$path/$rel/gen=$g")
+                fc.mkdir(dst.getParent,
+                  org.apache.hadoop.fs.permission.FsPermission
+                    .getDirDefault, true)
+                fc.rename(new Path(s"$tmpDir/$rel"), dst)
+                rel -> g
+              }.toMap
+              writeManifestMeta(spark, path, m1.copy(version = v1 + 1,
+                deltas = m1.deltas ++ newGens.map { case (rel, g) =>
+                  rel -> (m1.deltas.getOrElse(rel, Nil) :+ g) },
+                stats = widenStats(spark, m1, deltaStats),
+                blooms = widenBlooms(m1.blooms, deltaBlooms),
+                fileStats = m1.fileStats ++
+                  genKeyedFileStats(deltaFileStats, newGens)
+                    .map { case (rel, files) =>
+                      rel -> (m1.fileStats.getOrElse(rel, Map.empty) ++
+                        files) },
+                op = "delta", opDeletes = false,
+                sinkBatches =
+                  if (batchId >= 0) m1.sinkBatches + (sinkId -> batchId)
+                  else m1.sinkBatches))
+              Right(true)
+            }
+          }
+        outcome match {
+          case Right(applied) => return applied
+          case Left(reason) => lastConflict = reason
+        }
+      } finally { fc.delete(new Path(tmpDir), true); () }
+    }
+    throw new IllegalStateException(
+      s"appendManifest on $path: commit conflicted $maxAttempts times " +
+        s"(last: $lastConflict)")
+  }
+
   def mergeManifestDelta(spark: SparkSession, path: String,
                          updates: DataFrame, keys: Seq[String],
                          versionCol: String,
@@ -2373,6 +2524,10 @@ object Layout {
           s"$path is not a manifest table; seed it with writeManifestTable"))
       val m0 = readManifestMeta(spark, path, v0)
       if (replayedSinkBatch(path, m0, batchId, sinkId)) return false
+      require(!m0.appendOnly,
+        s"$path is a DECLARED append-only table: keyed merges (updates/" +
+          "deletes) are structurally inexpressible on it — appendManifest " +
+          "is the only write path")
       if (m0.morKeys.nonEmpty)
         require(m0.morKeys == keys && m0.morVersionCol.contains(versionCol),
           s"merge spec mismatch: this table resolves merge-on-read deltas " +

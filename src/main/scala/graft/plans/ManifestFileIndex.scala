@@ -68,7 +68,10 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
           "writeManifestTable"))
     Layout.readManifestMeta(spark, tablePath, v)
   }
-  require(meta.deltas.isEmpty,
+  // spec-less deltas (DECLARED append-only tables) have no resolution
+  // to skip — every row is live, a file-level scan is exact; keyed
+  // merge-on-read deltas still refuse (latest-wins needs a window)
+  require(meta.deltas.isEmpty || meta.appendOnly,
     s"manifest table $tablePath has pending merge-on-read deltas in " +
       s"partitions [${meta.deltas.keys.toSeq.sorted.take(5).mkString(", ")}" +
       s"${if (meta.deltas.size > 5) ", …" else ""}]: a file-level scan " +
@@ -111,7 +114,8 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
   private case class Gen(rel: String, gen: Int, values: InternalRow)
 
   private val gens: Seq[Gen] =
-    meta.entries.toSeq.sortBy(_._1).map { case (rel, g) =>
+    (meta.entries.toSeq ++ meta.deltas.toSeq.flatMap { case (rel, gs) =>
+      gs.map(rel -> _) }).sortBy(_._1).map { case (rel, g) =>
       // reverse relOf: unescape each writer-rendered `col=value`
       // fragment, then Cast back through the column's stored type —
       // the round-trip the manifest's Cast-exact discipline guarantees
@@ -136,7 +140,9 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
     new java.util.concurrent.ConcurrentHashMap[String, Seq[FileStatus]]()
 
   private def filesOf(g: Gen): Seq[FileStatus] =
-    listed.computeIfAbsent(g.rel, _ =>
+    // keyed by rel AND gen: append-only tables list several live
+    // generations per rel (base + pending spec-less appends)
+    listed.computeIfAbsent(s"${g.rel}/gen=${g.gen}", _ =>
       fs.listStatus(new Path(tablePath, s"${g.rel}/gen=${g.gen}")).toSeq
         .filter(st => st.isFile && {
           val n = st.getPath.getName
@@ -153,7 +159,8 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
     * path. Manifests written before the field existed fall back to a
     * one-time full listing. */
   override def sizeInBytes: Long =
-    if (meta.entries.keySet.forall(meta.bytes.contains))
+    if (meta.deltas.isEmpty &&
+        meta.entries.keySet.forall(meta.bytes.contains))
       meta.entries.keySet.iterator.map(meta.bytes).sum
     else gens.flatMap(filesOf(_).map(_.getLen)).sum
   /** Snapshot-pinned (the manifest discipline): refresh is a no-op —

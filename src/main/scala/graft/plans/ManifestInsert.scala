@@ -164,6 +164,9 @@ final case class ManifestMutateCommand(
       throw new IllegalStateException(s"$path stopped being a manifest " +
         "table after the view was created"))
     val m = Layout.readManifestMeta(session, path, v)
+    require(!m.appendOnly,
+      s"$verb on $path: the table is DECLARED append-only — updates " +
+        "and deletes are structurally inexpressible on it")
     val keys = opt("keys").map(_.split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq)
       .getOrElse(m.morKeys)
@@ -280,6 +283,12 @@ final case class ManifestInsertCommand(
       throw new IllegalStateException(s"$path stopped being a manifest " +
         "table after the view was created"))
     val m = Layout.readManifestMeta(session, path, v)
+    if (m.appendOnly) {
+      // a DECLARED append-only table needs no merge spec at all: the
+      // INSERT is a pure spec-less append (rows live forever)
+      Layout.appendManifest(session, path, aligned)
+      return Seq.empty
+    }
     val keys = opt("keys").map(_.split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq)
       .getOrElse(m.morKeys)

@@ -91,25 +91,33 @@ final class ManifestProvider extends RelationProvider
       def cols(key: String): Seq[String] = opt(parameters, key).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       Layout.writeManifestTable(spark, path, data, pcols,
-        statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+        statsCols = cols("statsCols"), bloomCols = cols("bloomCols"),
+        appendOnly = opt(parameters, "appendOnly").exists(_.toBoolean))
     }
     mode match {
       case SaveMode.Append =>
         require(exists,
           s"$path is not a manifest table; seed it first " +
             "(mode=overwrite with partitionCols, or writeManifestTable)")
-        val keys = opt(parameters, "keys").toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        val versionCol = opt(parameters, "versionCol")
-        require(keys.nonEmpty && versionCol.nonEmpty,
-          "manifest append is a keyed merge: set .option(\"keys\", " +
-            "\"k1,k2\") and .option(\"versionCol\", <col>)")
-        if (opt(parameters, "mor").exists(_.toBoolean))
-          Layout.mergeManifestDelta(spark, path, data, keys,
-            versionCol.get)
-        else
-          Layout.mergeManifest(spark, path, data, keys, versionCol.get)
-        ()
+        val live = Layout.manifestVersion(spark, path).get
+        if (Layout.readManifestMeta(spark, path, live).appendOnly) {
+          // declared append-only: pure spec-less append, no options
+          Layout.appendManifest(spark, path, data)
+          ()
+        } else {
+          val keys = opt(parameters, "keys").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          val versionCol = opt(parameters, "versionCol")
+          require(keys.nonEmpty && versionCol.nonEmpty,
+            "manifest append is a keyed merge: set .option(\"keys\", " +
+              "\"k1,k2\") and .option(\"versionCol\", <col>)")
+          if (opt(parameters, "mor").exists(_.toBoolean))
+            Layout.mergeManifestDelta(spark, path, data, keys,
+              versionCol.get)
+          else
+            Layout.mergeManifest(spark, path, data, keys, versionCol.get)
+          ()
+        }
       case SaveMode.Overwrite =>
         require(!exists,
           s"$path is already a manifest table: refusing to overwrite " +
@@ -174,13 +182,11 @@ final class ManifestProvider extends RelationProvider
     val path = opt(parameters, "path").getOrElse(
       throw new IllegalArgumentException(
         "manifest sink needs .option(\"path\", <manifest table dir>)"))
+    // keys/versionCol are the KEYED-merge spec; a DECLARED append-only
+    // sink table needs neither (checked against the table in addBatch)
     val keys = opt(parameters, "keys").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    require(keys.nonEmpty,
-      "manifest sink needs .option(\"keys\", \"k1,k2\")")
-    val versionCol = opt(parameters, "versionCol").getOrElse(
-      throw new IllegalArgumentException(
-        "manifest sink needs .option(\"versionCol\", <col>)"))
+    val versionCol = opt(parameters, "versionCol")
     val deleteCol = opt(parameters, "deleteCol")
     // a CDC stream (manifest-feed mode=changes) tags rows with
     // _change_type instead of a boolean flag: changeTypeCol derives
@@ -216,14 +222,36 @@ final class ManifestProvider extends RelationProvider
       override def addBatch(batchId: Long,
                             data: org.apache.spark.sql.DataFrame): Unit = {
         val spark = data.sparkSession
-        require(Layout.manifestVersion(spark, path).isDefined,
-          s"$path is not a manifest table — seed it with " +
-            "Layout.writeManifestTable before starting the sink (the " +
-            "seed fixes the partitioning)")
+        val liveV = Layout.manifestVersion(spark, path).getOrElse(
+          throw new IllegalArgumentException(
+            s"$path is not a manifest table — seed it with " +
+              "Layout.writeManifestTable before starting the sink (the " +
+              "seed fixes the partitioning)"))
         // re-wrap: addBatch's frame supports one action, a merge needs
         // several (see StreamingShim.batchFrame)
         val raw = org.apache.spark.sql.graftshim.StreamingShim
           .batchFrame(spark, data.queryExecution.toRdd, data.schema)
+        // a DECLARED append-only sink table takes the batch as a pure
+        // spec-less append — the event-stream ingestion shape; the
+        // keyed options make no sense against it
+        if (Layout.readManifestMeta(spark, path, liveV).appendOnly) {
+          require(keys.isEmpty && versionCol.isEmpty &&
+              deleteCol.isEmpty && changeTypeCol.isEmpty &&
+              opt(parameters, "mor").isEmpty,
+            s"$path is a DECLARED append-only table: drop the keyed " +
+              "sink options (keys/versionCol/deleteCol/changeTypeCol/" +
+              "mor) — every batch is a pure append")
+          if (!raw.isEmpty) {
+            Layout.appendManifest(spark, path, raw,
+              batchId = batchId, sinkId = sinkId)
+            ()
+          }
+          return
+        }
+        require(keys.nonEmpty,
+          "manifest sink needs .option(\"keys\", \"k1,k2\")")
+        require(versionCol.nonEmpty,
+          "manifest sink needs .option(\"versionCol\", <col>)")
         changeTypeCol match {
           case Some(ct) =>
             // ONE atomic publish per batch: the insert/delete tags
@@ -259,21 +287,21 @@ final class ManifestProvider extends RelationProvider
             val net = ins.withColumn("__ct_del", lit(false))
               .unionByName(dels.withColumn("__ct_del", lit(true)))
             if (!net.isEmpty) {
-              Layout.mergeManifest(spark, path, net, keys, versionCol,
-                deleteCol = Some("__ct_del"), batchId = batchId,
-                sinkId = sinkId, forceWins = true)
+              Layout.mergeManifest(spark, path, net, keys,
+                versionCol.get, deleteCol = Some("__ct_del"),
+                batchId = batchId, sinkId = sinkId, forceWins = true)
               ()
             }
           case None =>
             if (!raw.isEmpty) {
               if (mor)
                 Layout.mergeManifestDelta(spark, path, raw, keys,
-                  versionCol, deleteCol = deleteCol, batchId = batchId,
-                  sinkId = sinkId)
+                  versionCol.get, deleteCol = deleteCol,
+                  batchId = batchId, sinkId = sinkId)
               else
-                Layout.mergeManifest(spark, path, raw, keys, versionCol,
-                  deleteCol = deleteCol, batchId = batchId,
-                  sinkId = sinkId)
+                Layout.mergeManifest(spark, path, raw, keys,
+                  versionCol.get, deleteCol = deleteCol,
+                  batchId = batchId, sinkId = sinkId)
               ()
             }
         }
