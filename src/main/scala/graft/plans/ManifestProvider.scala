@@ -148,8 +148,11 @@ final class ManifestProvider extends RelationProvider
     * PRE-SEEDED manifest table (seed with
     * [[graft.operators.Layout.writeManifestTable]]; the seed fixes the
     * partitioning, so auto-seeding from an arbitrary first batch would
-    * silently decide the table's layout). Options: `path`, `keys`
-    * (comma-separated), `versionCol` (required); `deleteCol` for CDC
+    * silently decide the table's layout). A DECLARED append-only sink
+    * table ingests every batch as a pure spec-less append instead —
+    * the event-stream shape, no keyed options accepted. Keyed options:
+    * `path`, `keys`
+    * (comma-separated), `versionCol`; `deleteCol` for CDC
     * tombstones, or `changeTypeCol` when the stream carries
     * `_change_type` insert/delete tags (the `manifest-feed
     * mode=changes` shape — the sink reduces each batch to its per-key
