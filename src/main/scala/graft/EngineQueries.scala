@@ -1508,6 +1508,53 @@ object EngineQueries {
         col("ver"))
     }),
 
+    // OPTIMISTIC CONCURRENT COMMITS as a correctness gate: a full-table
+    // compaction and a stream of CDC delta merges run from TWO THREADS
+    // against one manifest table — under the old single-lease
+    // discipline one of them would fail; under optimistic commits the
+    // compaction's commit REBASES onto the deltas' publishes (its
+    // rewrites never moved — deltas don't touch base entries) and the
+    // deltas rebase onto everything (they depend only on table
+    // invariants). Both must succeed (pinned in-gate), every publish
+    // lands exactly once (version-count pin), and the final snapshot
+    // equals the sequential application — the oracle's arithmetic.
+    "m73_manifest_concurrent_commits" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("concommit")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"), col("o_totalprice"),
+        (pmod(col("o_orderkey"), lit(4)) + 1).as("ver"))
+      def slice(r: Int) =
+        rows.filter(pmod(col("o_orderkey"), lit(4)) === r)
+      Layout.writeManifestTable(s, out, slice(0), Seq("o_year"))   // v1
+      val started = new java.util.concurrent.CountDownLatch(1)
+      @volatile var compacted: Seq[String] = Nil
+      @volatile var failure: Throwable = null
+      val tA = new Thread(() =>
+        try { started.await(); compacted =
+          Layout.compactManifest(s, out, maxFiles = 0) }
+        catch { case t: Throwable => failure = t })
+      val tB = new Thread(() =>
+        try {
+          started.countDown()
+          (1 to 3).foreach(r =>
+            Layout.mergeManifestDelta(s, out, slice(r),
+              Seq("o_orderkey"), "ver"))
+        } catch { case t: Throwable => failure = t })
+      tA.start(); tB.start(); tA.join(120000); tB.join(120000)
+      if (failure != null) throw failure
+      require(compacted.nonEmpty,
+        "the compaction must commit alongside concurrent ingest " +
+          "(delta merges never move base entries)")
+      require(Layout.manifestVersion(s, out).contains(5),
+        "every publish must land exactly once (seed + compact + 3 " +
+          s"deltas; live v${Layout.manifestVersion(s, out)})")
+      Layout.readManifest(s, out).select(col("o_orderkey"),
+        col("o_year").cast("int").as("o_year"), col("o_totalprice"),
+        col("ver"))
+    }),
+
     // DECLARED append-only manifest table (the event/fact-table shape):
     // no merge spec exists, so updates/deletes are structurally
     // INEXPRESSIBLE — appendManifest lands spec-less delta generations
@@ -2787,6 +2834,14 @@ object EngineQueries {
                 WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
                 ELSE CAST(1 AS BIGINT) END AS ver
          FROM orders WHERE o_orderkey % 13 <> 0""",
+    // the concurrent interleaving equals the sequential application:
+    // seed slice + three delta slices partition the key space, the
+    // compaction is row-identical (a dropped rebase or a double
+    // publish breaks the hash; the version-count pin lives in-gate)
+    "m73_manifest_concurrent_commits" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice, CAST(o_orderkey % 4 + 1 AS BIGINT) AS ver
+         FROM orders""",
     // the append-only table is exactly the union of its batches (the
     // four slices partition the key space; a lost or double-applied
     // append breaks the hash)
