@@ -22,9 +22,11 @@ class LayoutConcurrencySpec extends SparkSpec {
 
   import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
 
-  private def seed(dir: String, rows: Seq[(Long, String, Double, Long)]): Unit =
+  private def seed(dir: String, rows: Seq[(Long, String, Double, Long)],
+                   statsCols: Seq[String] = Nil): Unit =
     Layout.writeManifestTable(spark, dir,
-      rows.toDF("k", "part", "v", "ver"), Seq("part"))
+      rows.toDF("k", "part", "v", "ver"), Seq("part"),
+      statsCols = statsCols)
 
   private def snap(df: DataFrame): Map[Long, Double] =
     df.select("k", "v").collect()
@@ -145,7 +147,8 @@ class LayoutConcurrencySpec extends SparkSpec {
   test("fold rebases around a delta that lands mid-fold: the folded " +
       "base commits, the new delta survives as pending") {
     val dir = tmpDir("fold_race")
-    seed(dir, (1L to 20000L).map(i => (i, s"p${i % 2}", i * 1.0, 1L)))
+    seed(dir, (1L to 20000L).map(i => (i, s"p${i % 2}", i * 1.0, 1L)),
+      statsCols = Seq("k"))
     Layout.mergeManifestDelta(spark, dir,
       Seq((100001L, "p0", 1.0, 2L), (100002L, "p1", 1.0, 2L))
         .toDF("k", "part", "v", "ver"), Seq("k"), "ver")
@@ -176,6 +179,15 @@ class LayoutConcurrencySpec extends SparkSpec {
       "fold must commit alongside concurrent ingest")
     assert(pending <= 1,
       s"at most the mid-fold delta may remain pending (got $pending)")
+    // STATS SOUNDNESS across the rebase: the surviving delta's rows
+    // must remain findable through pruned reads — the fold must NOT
+    // have replaced the partition's widened stats with its own exact
+    // (pre-delta) bounds while the delta still pends
+    val hit = Layout.readManifestPruned(spark, dir,
+      Seq(("k", "100003", "100003")))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(100003L),
+      s"pruned read lost the surviving delta's row: $hit")
   }
 
   test("sinkBatch markers survive a concurrent maintenance rebase; " +

@@ -515,6 +515,55 @@ class ManifestFeedSpec extends SparkSpec {
       s"post-snapshot increment must arrive as a diff: ${tail.toSeq}")
   }
 
+  test("chunked snapshot with a MID-BACKFILL source publish: the " +
+      "snapshot stays pinned to its version, the new publish follows " +
+      "as a diff on the same checkpoint — nothing lost or doubled") {
+    import spark.implicits._
+    val src = tmpDir("midpub_src")
+    val dst = tmpDir("midpub_dst")
+    val ckpt = tmpDir("midpub_ckpt")
+    Layout.writeManifestTable(spark, src,
+      (1L to 60L).map(i => (i, s"p${i % 6}", i * 1.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))          // v1
+    Layout.writeManifestTable(spark, dst,
+      spark.emptyDataset[(Long, String, Double, Long)]
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    def writer = spark.readStream.format("manifest-feed")
+      .option("path", src).option("mode", "changes")
+      .option("startingVersion", "earliest")
+      .option("snapshotChunkPartitions", "2").load()
+      .writeStream.format("manifest")
+      .option("path", dst)
+      .option("keys", "k").option("versionCol", "ver")
+      .option("changeTypeCol", "_change_type")
+      .option("checkpointLocation", ckpt)
+    // one chunk, then stop — mid-backfill
+    val q1 = writer
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q1.awaitTermination()
+    val partial = Layout.readManifest(spark, dst).count()
+    assert(partial > 0 && partial < 60, s"one chunk only ($partial)")
+    // the SOURCE moves while the backfill is paused: update + insert
+    Layout.mergeManifest(spark, src,
+      Seq((1L, "p1", 11.0, 2L, false), (61L, "p1", 610.0, 2L, false))
+        .toDF("k", "part", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))               // v2
+    // resume: the remaining chunks replay the PINNED v1 snapshot, then
+    // the v1->v2 diff applies — the update must not be lost to a
+    // stale chunk nor doubled
+    val q2 = writer
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val got = Layout.readManifest(spark, dst).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Layout.readManifest(spark, src).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want && got.get(1L).contains(11.0) &&
+      got.get(61L).contains(610.0),
+      s"replica must equal the moved source: ${got.size} vs ${want.size}")
+  }
+
   test("manifest-feed: an explicit startingVersion excludes prior " +
       "versions; self-describing schema refuses .schema()") {
     val dir = tmpDir("fromnow")
