@@ -82,6 +82,44 @@ class ManifestAppendOnlySpec extends SparkSpec {
     assert(Layout.readManifestVersion(spark, dir, 2).count() == 4)
   }
 
+  test("append-only under concurrency and the Maintain policy: appends " +
+      "land while a compaction commits, and the node folds by depth") {
+    val dir = tmpDir("conc")
+    Layout.writeManifestTable(spark, dir,
+      (1L to 20000L).map(i => (i, s"p${i % 2}", i * 1.0))
+        .toDF("k", "part", "v"), Seq("part"), appendOnly = true)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    @volatile var failure: Throwable = null
+    val tA = new Thread(() =>
+      try { started.await()
+        assert(Layout.compactManifest(spark, dir, maxFiles = 0).nonEmpty) }
+      catch { case t: Throwable => failure = t })
+    val tB = new Thread(() =>
+      try { started.countDown()
+        (1 to 3).foreach(b => Layout.appendManifest(spark, dir,
+          Seq((100000L + b, "p0", b * 1.0)).toDF("k", "part", "v"))) }
+      catch { case t: Throwable => failure = t })
+    tA.start(); tB.start(); tA.join(120000); tB.join(120000)
+    if (failure != null) throw failure
+    assert(Layout.readManifest(spark, dir).count() == 20003,
+      "appends and the compaction must both land")
+    assert(Layout.manifestVersion(spark, dir).contains(5),
+      s"every publish exactly once (got " +
+        s"${Layout.manifestVersion(spark, dir)})")
+    // the Maintain policy folds the partitions whose depth crossed:
+    // p0 holds 3 pending appends, p1 none
+    val r = graft.models.MaintainModel(dir, maxPendingDeltas = 3)
+      .execute(graft.core.StepContext(spark,
+        graft.core.Calendar.day("2023-01-01")))
+    assert(r.resultLong.exists(_.startsWith("fold=part=p0")),
+      r.resultLong.toString)
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.deltas.isEmpty && m.appendOnly,
+      "the fold clears the appends; the declaration persists")
+    assert(Layout.readManifest(spark, dir).count() == 20003)
+  }
+
   test("sketch IVM sync derives append-only STRUCTURALLY from the " +
       "declaration — no caller assertion, base generations never read") {
     import graft.operators.{Ivm, Layout}
