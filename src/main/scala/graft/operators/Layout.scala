@@ -56,27 +56,37 @@ object Layout {
     val isLocal = Option(new Path(path).toUri.getScheme)
       .forall(s => s == "file" || s.isEmpty)
     val deadline = System.nanoTime() + waitMs * 1000000L
+    val staleMs = leaseStaleMs(spark)
     var out: org.apache.hadoop.fs.FSDataOutputStream = null
     while (out == null) {
       try out = fc.create(lock,
         java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
         org.apache.hadoop.fs.Options.CreateOpts.createParent())
       catch { case _: java.io.IOException =>
-        // LIVENESS: on a local filesystem the lock records its owner's
-        // pid — a lock whose owner is provably dead (crashed writer)
-        // breaks automatically instead of demanding a manual delete.
-        // The break is single-winner (an atomic `.break` claim file),
-        // so two waiters cannot each delete what the other just
-        // re-created. A reused pid or a remote filesystem stays on the
-        // safe side: wait, then fail with the manual remedy.
+        // LIVENESS, two probes — both single-winner through the same
+        // atomic `.break` claim file, both re-verifying the lock's
+        // state AFTER winning the claim (a claim won against an
+        // already-re-created lock must never delete the new holder):
+        //  - pid probe (local filesystems): the lock records its
+        //    owner's pid; a provably dead owner breaks immediately.
+        //  - heartbeat probe (any filesystem): the holder refreshes
+        //    the lock's mtime on a daemon thread (see
+        //    withLeaseHeartbeat); a lock whose mtime is older than
+        //    `spark.graft.manifest.leaseStaleMs` belongs to a crashed
+        //    writer — including one on ANOTHER HOST, where the pid
+        //    means nothing — and breaks. The margin (default 40 s vs
+        //    a 5 s refresh) absorbs GC pauses and filesystem clock
+        //    skew; a live holder's heartbeat keeps the mtime fresh.
         if (isLocal && breakDeadOwnerLock(fc, lock)) ()
+        else if (breakStaleLease(fc, lock, staleMs)) ()
         else if (System.nanoTime() < deadline) Thread.sleep(100)
         else throw new IllegalStateException(
           s"another maintenance writer holds $lock for table $path " +
           "(merge/compact/reap commits are single-writer" +
           (if (waitMs > 0) s"; waited ${waitMs}ms" else "") +
-          "); if that writer crashed on another host, delete the " +
-          "lock file and re-run (same-host crashes break automatically)")
+          "); crashed writers break automatically (same-host: pid " +
+          s"probe; any host: lease heartbeat stale > ${staleMs}ms) — " +
+          "if this persists with no live writer, delete the lock file")
       }
     }
     // Everything after the atomic create runs under the same finally
@@ -88,43 +98,106 @@ object Layout {
         s"pid=${ProcessHandle.current().pid()} thread=${Thread.currentThread().getName}"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      body
+      withLeaseHeartbeat(fc, lock, leaseHeartbeatMs(spark)) { body }
     } finally { if (fc.util.exists(lock)) fc.delete(lock, false); () }
+  }
+
+  /** How often a lease holder refreshes its lock file's mtime (the
+    * remote-host liveness signal) and how stale that mtime must be
+    * before a waiter may break the lease. Stale >> heartbeat so a GC
+    * pause or filesystem hiccup on a LIVE holder is never mistaken
+    * for a crash. */
+  private def leaseHeartbeatMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.manifest.leaseHeartbeatMs", "5000").toLong
+  private def leaseStaleMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.manifest.leaseStaleMs", "40000").toLong
+
+  /** Run `body` while a daemon thread refreshes `lock`'s mtime every
+    * `intervalMs` — the heartbeat [[breakStaleLease]] reads. IO errors
+    * are swallowed (the release path may have already deleted the
+    * lock; the worst a missed beat costs is a widened stale margin). */
+  private def withLeaseHeartbeat[T](fc: FileContext, lock: Path,
+                                    intervalMs: Long)(body: => T): T = {
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      while (!stop.await(intervalMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try fc.setTimes(lock, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+      }
+    }, "graft-lease-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    try body finally { stop.countDown(); t.join(2000) }
+  }
+
+  /** True iff `lock`'s heartbeat (mtime) is older than `staleMs` and
+    * THIS caller won the break. Works on ANY filesystem — the cure for
+    * a writer crashed on another host, where the pid probe is blind.
+    * After winning the single-winner claim the staleness re-verifies:
+    * a lock deleted-and-re-created by a concurrent breaker + new
+    * holder has a fresh mtime and is refused. */
+  private def breakStaleLease(fc: FileContext, lock: Path,
+                              staleMs: Long): Boolean = {
+    def stale: Boolean =
+      try System.currentTimeMillis() -
+        fc.getFileStatus(lock).getModificationTime > staleMs
+      catch { case _: java.io.IOException => false }
+    stale && underBreakClaim(fc, lock) {
+      if (stale) { if (fc.util.exists(lock)) fc.delete(lock, false); true }
+      else false
+    }
+  }
+
+  /** Single-winner break claim: runs `decide` only in the process that
+    * atomically created the `.break` claim file (released after), so
+    * two waiters can never each delete what the other just re-created.
+    * Returns false when the claim was lost or `decide` declined. */
+  private def underBreakClaim(fc: FileContext, lock: Path)
+                             (decide: => Boolean): Boolean = {
+    val claim = new Path(lock.getParent, lock.getName + ".break")
+    val won =
+      try {
+        fc.create(claim,
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+          org.apache.hadoop.fs.Options.CreateOpts.createParent()).close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!won) false
+    else try decide finally fc.delete(claim, false)
   }
 
   /** True iff `lock` named a provably-dead owner and THIS caller won
     * the break (deleted it). Owner liveness = the recorded pid has a
     * live process on this host (ProcessHandle probe — sound only for
     * local filesystems, the caller's check). An unreadable/empty lock
-    * (owner mid-create) or a live/unknown pid is never broken. */
+    * (owner mid-create) or a live/unknown pid is never broken.
+    *
+    * The liveness check runs TWICE: once cheap (don't claim for a live
+    * lock) and again AFTER winning the claim — a waiter that read a
+    * dead pid, then stalled while another waiter broke the lock and a
+    * NEW writer re-acquired it, must see the re-created lock's LIVE
+    * pid and refuse, not delete the fresh lease on stale evidence. */
   private def breakDeadOwnerLock(fc: FileContext, lock: Path): Boolean = {
-    val pid =
-      try {
-        val in = fc.open(lock)
-        val txt = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        "pid=(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-      } catch { case _: java.io.IOException => None }
-    val ownerDead = pid.exists { p =>
-      val h = ProcessHandle.of(p)
-      !h.isPresent || !h.get.isAlive
-    }
-    if (!ownerDead) false
-    else {
-      val claim = new Path(lock.getParent, lock.getName + ".break")
-      val won =
+    def ownerDead: Boolean = {
+      val pid =
         try {
-          fc.create(claim,
-            java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
-            org.apache.hadoop.fs.Options.CreateOpts.createParent()).close()
-          true
-        } catch { case _: java.io.IOException => false }
-      if (won) {
-        // single breaker: delete the stale lock, release the claim
-        try { if (fc.util.exists(lock)) fc.delete(lock, false) }
-        finally fc.delete(claim, false)
-        true
-      } else false
+          val in = fc.open(lock)
+          val txt = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          "pid=(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        } catch { case _: java.io.IOException => None }
+      pid.exists { p =>
+        val h = ProcessHandle.of(p)
+        !h.isPresent || !h.get.isAlive
+      }
+    }
+    ownerDead && underBreakClaim(fc, lock) {
+      // re-verify under the claim: the lock as it exists NOW (possibly
+      // re-created since the pre-claim read) must itself name a dead
+      // owner for the delete to be sound
+      if (ownerDead) { if (fc.util.exists(lock)) fc.delete(lock, false); true }
+      else false
     }
   }
 
@@ -2041,6 +2114,50 @@ object Layout {
   private def uniqueTmpDir(path: String): String =
     s"$path.__manifest_tmp.${java.util.UUID.randomUUID().toString.take(12)}"
 
+  /** Orphan-vs-in-flight discrimination for optimistic writers' tmp
+    * trees: while the (possibly hours-long) unlocked rewrite runs, a
+    * daemon thread re-creates `<tmpDir>/_GRAFT_HEARTBEAT` every minute
+    * — [[reapManifest]]'s orphan sweep ages a tree by
+    * max(root mtime, heartbeat mtime), because a directory's own mtime
+    * only moves on direct-child changes: a >1h compaction still in its
+    * SCAN phase (or writing deep inside partition subdirs) would
+    * otherwise look abandoned and lose its whole rewrite to a
+    * concurrent scheduled reap. The underscore name keeps the file
+    * invisible to parquet listings; SaveMode.Overwrite deleting the
+    * tree at write start just loses one beat (the next tick
+    * re-creates it, and an actively-writing tree has a fresh root
+    * mtime anyway). */
+  private val TmpHeartbeat = "_GRAFT_HEARTBEAT"
+  private def withTmpHeartbeat[T](fc: FileContext, tmpDir: String)
+                                 (body: => T): T = {
+    val hb = new Path(tmpDir, TmpHeartbeat)
+    def beat(): Unit =
+      try fc.create(hb,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+        org.apache.hadoop.fs.Options.CreateOpts.createParent()).close()
+      catch { case _: java.io.IOException => () }
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      beat()
+      while (!stop.await(60, java.util.concurrent.TimeUnit.SECONDS)) beat()
+    }, "graft-tmp-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    try body finally { stop.countDown(); t.join(2000) }
+  }
+
+  /** The orphan sweep's age of a crashed writer's tmp tree: the
+    * freshest of the root's own mtime and the in-flight heartbeat. */
+  private def tmpTreeMtime(fc: FileContext,
+                           st: org.apache.hadoop.fs.FileStatus): Long = {
+    val hb =
+      try fc.getFileStatus(new Path(st.getPath, TmpHeartbeat))
+        .getModificationTime
+      catch { case _: java.io.IOException => 0L }
+    math.max(st.getModificationTime, hb)
+  }
+
   /** Table-level facts a publish validated against its snapshot that a
     * concurrent commit may have changed — schema, partitioning, stats/
     * bloom config, hierarchy bounds, merge-on-read resolution spec. Any
@@ -2108,6 +2225,26 @@ object Layout {
           "seed a fresh table for a fresh checkpoint")
       batchId == marker
     }
+  }
+
+  /** Rewrite `sinkId`'s exactly-once marker to `marker` — ONE
+    * metadata-only publish (no generation changes; op "evolve" keeps
+    * append feeds transparent and the change feed diffs to nothing).
+    * The upgrade shim for pre-round-13 changeTypeCol checkpoints whose
+    * markers used the doubled 2*batchId(+1) encoding — see
+    * [[graft.plans.ManifestProvider]]'s legacy-marker migration. */
+  private[graft] def rewriteSinkMarker(spark: SparkSession, path: String,
+                                       sinkId: String,
+                                       marker: Long): Unit =
+      withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"$path is not a manifest table"))
+    val m = readManifestMeta(spark, path, v)
+    writeManifestMeta(spark, path, m.copy(version = v + 1,
+      sinkBatches =
+        if (marker < 0) m.sinkBatches - sinkId
+        else m.sinkBatches + (sinkId -> marker),
+      op = "evolve", opDeletes = false))
   }
 
   /** The rows of a RETAINED manifest version restricted to the given
@@ -2211,7 +2348,7 @@ object Layout {
       // touched partitions' deltas into the generation it writes
       val base = readResolved(spark, path, m0, baseRels)
       val tmpDir = uniqueTmpDir(path)
-      try {
+      try withTmpHeartbeat(fc, tmpDir) {
         // cluster on the partition columns after the latest-wins window:
         // one file per rewritten partition dir, shuffle.partitions
         // tasks, committer v2 (the seed's argument — tmp tree + pointer
@@ -2429,6 +2566,24 @@ object Layout {
         s"appendManifest: batch carries column(s) " +
           s"${extra.mkString("[", ", ", "]")} absent from the base " +
           "table — evolve the base schema first")
+      // TYPES, not just names: writing the batch's own types would
+      // publish a generation every subsequent read (which requests the
+      // stored schema) fails to decode — a deferred failure poisoning
+      // the table until the generation is removed by hand. Exact or
+      // provably-lossless up-casts are written AS the stored type;
+      // anything else fails loudly NOW (the other write paths' loud
+      // schema contract).
+      val badTypes = manifestSchema(m0).fields.toSeq.flatMap { f =>
+        val got = rows.schema(f.name).dataType
+        if (got == f.dataType ||
+            org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(got, f.dataType)) None
+        else Some(s"${f.name}: batch ${got.sql} vs stored ${f.dataType.sql}")
+      }
+      require(badTypes.isEmpty,
+        s"appendManifest: batch column type(s) do not match the stored " +
+          s"schema — ${badTypes.mkString("; ")}; cast the batch " +
+          "explicitly (only lossless up-casts are applied implicitly)")
       val touchedRows = rows
         .select(pcols.map(c => col(c).cast("string").as(c)): _*)
         .distinct().limit(maxTouchedPartitions + 1).collect()
@@ -2437,9 +2592,12 @@ object Layout {
           "split the batch or raise maxTouchedPartitions")
       val touchedRels = touchedRows.map(relOf(pcols, _)).toSet
       val tmpDir = uniqueTmpDir(path)
-      try {
+      try withTmpHeartbeat(fc, tmpDir) {
         val sch = manifestSchema(m0)
-        rows.select(sch.fields.toSeq.map(f => col(f.name)): _*)
+        // cast (validated lossless above) so the landed files carry
+        // exactly the stored types
+        rows.select(sch.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
           .repartition(shufflePartitions(spark), pcols.map(col): _*)
           .write.mode(SaveMode.Overwrite)
           .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
@@ -2566,7 +2724,7 @@ object Layout {
           "split the batch or raise maxTouchedPartitions")
       val touchedRels = touchedRows.map(relOf(pcols, _)).toSet
       val tmpDir = uniqueTmpDir(path)
-      try {
+      try withTmpHeartbeat(fc, tmpDir) {
         val del = deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false))
         val sch = manifestSchema(m0)
         // record whether this batch carries ANY delete row — observed on
@@ -2692,7 +2850,7 @@ object Layout {
       val fc = fileContext(spark, path)
       val resolved = readResolved(spark, path, m, rels)
       val tmpDir = uniqueTmpDir(path)
-      try {
+      try withTmpHeartbeat(fc, tmpDir) {
         val obs = org.apache.spark.sql.Observation()
         val clustered = resolved.observe(obs, count(lit(1)).as("n"))
           .repartition(shufflePartitions(spark), m.partitionCols.map(col): _*)
@@ -3052,6 +3210,17 @@ object Layout {
     fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Remove `consumer`'s cursor — an abandoned consumer, or the
+    * mid-snapshot retention pin ([[graft.streaming.ManifestFeedSource]]
+    * writes `<name>.__snapshot`) once its backfill completed.
+    * Idempotent. */
+  def deleteFeedCursor(spark: SparkSession, path: String,
+                       consumer: String): Unit = {
+    val fc = fileContext(spark, path)
+    val p = feedCursorPath(path, consumer)
+    if (fc.util.exists(p)) { fc.delete(p, false); () }
+  }
+
   /** The next feed increment for `consumer`: `(frame, ackVersion)` —
     * the at-least-once consumption loop over [[manifestChanges]].
     * First call (no cursor) returns the FULL live snapshot as
@@ -3373,8 +3542,12 @@ object Layout {
     }
     // crashed optimistic writers leave their writer-unique tmp trees
     // as SIBLINGS of the table dir (live writers delete theirs in a
-    // finally); anything older than an hour is certainly abandoned —
-    // an in-flight writer's tmp is younger than its own write job
+    // finally); anything whose heartbeat is older than an hour is
+    // certainly abandoned. The age is max(root mtime, _GRAFT_HEARTBEAT
+    // mtime) — see [[withTmpHeartbeat]]: a root dir's mtime only moves
+    // on direct-child changes, so a legitimately long rewrite (>1h
+    // scan phase, deep partition writes) is told apart from a crash by
+    // its in-flight heartbeat, not by the root going quiet
     val tblName = new Path(path).getName
     val parent = new Path(path).getParent
     if (parent != null && fc.util.exists(parent)) {
@@ -3382,7 +3555,7 @@ object Layout {
       fc.util.listStatus(parent).foreach { st =>
         val n = st.getPath.getName
         if (st.isDirectory && n.startsWith(s"$tblName.__manifest_tmp") &&
-            st.getModificationTime < cutoff) {
+            tmpTreeMtime(fc, st) < cutoff) {
           fc.delete(st.getPath, true)
           deleted += n
         }
@@ -3478,7 +3651,7 @@ object Layout {
       val base = readManifestRels(spark, path, m,
         selected.map(rel => rel -> m.entries(rel)).toMap)
       val tmpDir = uniqueTmpDir(path)
-      try {
+      try withTmpHeartbeat(fc, tmpDir) {
         val obs = org.apache.spark.sql.Observation()
         // the z key is computed BEFORE the observation/shuffle (per-row,
         // one boundary pass over the selected partitions only) and

@@ -257,6 +257,37 @@ final class ManifestProvider extends RelationProvider
           "manifest sink needs .option(\"versionCol\", <col>)")
         changeTypeCol match {
           case Some(ct) =>
+            // MARKER NAMESPACE: net-outcome batches record their
+            // exactly-once marker under "<sinkId>#net". The
+            // pre-round-13 changeTypeCol sink published each batch as
+            // TWO publishes with ids 2*batchId / 2*batchId+1 in the
+            // BARE namespace — recording raw ids there would be
+            // ambiguous against leftover doubled markers (a doubled
+            // 2k+1 can numerically EQUAL a raw replay id, silently
+            // dropping a live batch) and resuming a legacy checkpoint
+            // would otherwise hit the loud id-regression guard. On the
+            // first post-upgrade batch (#net marker absent) a bare
+            // legacy marker is consulted under the DOUBLED semantics,
+            // so upgraded streams resume exactly-once; the stale bare
+            // marker stays behind, harmless. (Don't name another
+            // writer's sinkId "<x>#net" by hand.)
+            val netSinkId = s"$sinkId#net"
+            val m0 = Layout.readManifestMeta(spark, path, liveV)
+            if (m0.sinkBatch(netSinkId) < 0) {
+              val legacy = m0.sinkBatch(sinkId)
+              if (legacy == 2 * batchId + 1) return // applied pre-upgrade
+              if (legacy > 2 * batchId + 1) throw new IllegalStateException(
+                s"manifest sink on $path: batch id $batchId is BEHIND " +
+                  s"the legacy doubled marker $legacy of sink namespace " +
+                  s"'$sinkId' — a fresh checkpoint was pointed at an " +
+                  "existing table or a second writer shares the " +
+                  "namespace; use a distinct sinkId")
+              // legacy == 2*batchId: the delete half applied, the
+              // insert half was lost to a crash — the net force-wins
+              // re-apply below completes it (idempotent over the
+              // half). legacy <= 2*batchId-1: the previous batch
+              // finished; proceed normally.
+            }
             // ONE atomic publish per batch: the insert/delete tags
             // reduce to the per-key NET outcome — the after-image row
             // when the window inserted the key (an update's delete
@@ -292,7 +323,7 @@ final class ManifestProvider extends RelationProvider
             if (!net.isEmpty) {
               Layout.mergeManifest(spark, path, net, keys,
                 versionCol.get, deleteCol = Some("__ct_del"),
-                batchId = batchId, sinkId = sinkId, forceWins = true)
+                batchId = batchId, sinkId = netSinkId, forceWins = true)
               ()
             }
           case None =>

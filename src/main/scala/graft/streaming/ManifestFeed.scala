@@ -275,17 +275,45 @@ final class ManifestFeedSource(sqlContext: SQLContext, path: String,
     * crash before this ack replays the increment — at-least-once into
     * the cursor, exactly-once through the checkpoint's offset log).
     * Mid-snapshot chunk commits must NOT ack the snapshot version (the
-    * rest of the backfill still needs it retained) — instead a NEW
-    * consumer pins the retention floor at version 0 until the snapshot
-    * completes, so a concurrent reap refuses to strand the remaining
-    * chunks (the strand-guard fires on any cursor below its floor). */
+    * rest of the backfill still needs it retained) — instead the
+    * retention floor pins until the snapshot completes, so a
+    * concurrent reap refuses to strand the remaining chunks (the
+    * strand-guard fires on any cursor below its floor): a NEW consumer
+    * pins through its own cursor at version 0; an EXISTING consumer
+    * (re-anchored at earliest on a fresh checkpoint, its old cursor
+    * high) cannot move its cursor backwards — it pins through a
+    * SIBLING `<name>.__snapshot` cursor at the pinned snapshot
+    * version, deleted once the snapshot completes. Without the sibling
+    * pin a reap could drop the pinned version mid-backfill, and — the
+    * offset log pinning that version — every restart would re-read the
+    * reaped version and wedge the stream until the checkpoint is
+    * discarded. */
+  @volatile private var snapshotPinMaybePresent = true
+
   override def commit(end: Offset): Unit = {
     val e = parseOffset(end)
     consumer.foreach { c =>
-      if (!e.midSnapshot)
-        Layout.writeFeedCursor(spark, path, c, e.version)
+      if (!e.midSnapshot) {
+        // the snapshot completed (or this stream never chunked): drop
+        // the sibling pin if one exists — including one left by a
+        // crashed prior run — then ack normally
+        if (snapshotPinMaybePresent) {
+          Layout.deleteFeedCursor(spark, path, s"$c.__snapshot")
+          snapshotPinMaybePresent = false
+        }
+        // monotone ack: a re-anchored consumer whose OLD deployment
+        // acked past this query's window (the sibling-pin scenario)
+        // keeps its high cursor — writeFeedCursor would rightly refuse
+        // the backwards move, which must not fail the stream
+        if (!Layout.readFeedCursor(spark, path, c).exists(_ > e.version))
+          Layout.writeFeedCursor(spark, path, c, e.version)
+      }
       else if (Layout.readFeedCursor(spark, path, c).isEmpty)
         Layout.writeFeedCursor(spark, path, c, 0)
+      else {
+        Layout.writeFeedCursor(spark, path, s"$c.__snapshot", e.version)
+        snapshotPinMaybePresent = true
+      }
     }
   }
 

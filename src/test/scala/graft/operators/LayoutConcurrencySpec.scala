@@ -246,4 +246,86 @@ class LayoutConcurrencySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.manifest.lockWaitMs")
     assert(lock.delete())
   }
+
+  test("lease heartbeat liveness: a lock with a STALE heartbeat breaks " +
+      "automatically even when its pid is alive (the remote-host crash " +
+      "shape); a live holder's heartbeat keeps the lease unbreakable") {
+    val dir = tmpDir("hb_liveness")
+    seed(dir, Seq((1L, "a", 1.0, 1L)))
+    val lock = new java.io.File(s"$dir.__maint.lock")
+    // a crashed writer on ANOTHER HOST: the recorded pid happens to be
+    // alive LOCALLY (this process), so the pid probe refuses — only
+    // the stale heartbeat identifies the crash
+    java.nio.file.Files.writeString(lock.toPath,
+      s"pid=${ProcessHandle.current().pid()} thread=remote-crashed")
+    assert(lock.setLastModified(System.currentTimeMillis() - 60000))
+    spark.conf.set("spark.graft.manifest.leaseStaleMs", "1500")
+    spark.conf.set("spark.graft.manifest.leaseHeartbeatMs", "100")
+    try {
+      assert(Layout.mergeManifest(spark, dir,
+        Seq((2L, "a", 2.0, 2L)).toDF("k", "part", "v", "ver"),
+        Seq("k"), "ver"), "stale-heartbeat lock must break automatically")
+      assert(!lock.exists(), "the broken lock must be gone")
+      // a LIVE holder: its heartbeat thread refreshes the lock's mtime
+      // faster than the stale threshold, so a concurrent writer waits
+      // and fails loudly — never breaks the live lease
+      val held = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      val holder = new Thread(() =>
+        Layout.withMaintenanceLock(spark, dir) {
+          held.countDown()
+          release.await(20, TimeUnit.SECONDS); ()
+        })
+      holder.start()
+      assert(held.await(10, TimeUnit.SECONDS))
+      spark.conf.set("spark.graft.manifest.lockWaitMs", "3000")
+      try {
+        val e = intercept[IllegalStateException] {
+          Layout.mergeManifest(spark, dir,
+            Seq((3L, "a", 3.0, 3L)).toDF("k", "part", "v", "ver"),
+            Seq("k"), "ver")
+        }
+        assert(e.getMessage.contains("maintenance writer"), e.getMessage)
+      } finally {
+        spark.conf.unset("spark.graft.manifest.lockWaitMs")
+        release.countDown()
+        holder.join(10000)
+      }
+      // after the holder releases, the same merge lands
+      assert(Layout.mergeManifest(spark, dir,
+        Seq((3L, "a", 3.0, 3L)).toDF("k", "part", "v", "ver"),
+        Seq("k"), "ver"))
+    } finally {
+      spark.conf.unset("spark.graft.manifest.leaseStaleMs")
+      spark.conf.unset("spark.graft.manifest.leaseHeartbeatMs")
+    }
+  }
+
+  test("orphan-tmp sweep discriminates by heartbeat: a long-running " +
+      "writer's quiet-rooted tmp tree survives the reap, a heartbeat-" +
+      "stale tree is swept") {
+    val dir = tmpDir("tmp_sweep")
+    seed(dir, Seq((1L, "a", 1.0, 1L)))
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+    // in-flight shape: root mtime hours old (a >1h scan phase moves no
+    // direct child) but the writer's heartbeat is FRESH
+    val inflight = new java.io.File(s"$dir.__manifest_tmp.inflight00")
+    assert(inflight.mkdirs())
+    val hb = new java.io.File(inflight, "_GRAFT_HEARTBEAT")
+    java.nio.file.Files.writeString(hb.toPath, "")
+    assert(inflight.setLastModified(old))
+    // abandoned shape: root AND heartbeat both stale
+    val orphan = new java.io.File(s"$dir.__manifest_tmp.abandoned0")
+    assert(orphan.mkdirs())
+    val hbOld = new java.io.File(orphan, "_GRAFT_HEARTBEAT")
+    java.nio.file.Files.writeString(hbOld.toPath, "")
+    assert(hbOld.setLastModified(old))
+    assert(orphan.setLastModified(old))
+    Layout.reapManifest(spark, dir)
+    assert(inflight.exists(),
+      "a tmp tree with a live heartbeat must survive the sweep")
+    assert(!orphan.exists(),
+      "a heartbeat-stale tmp tree must be swept")
+    assert(inflight.delete() || { hb.delete(); inflight.delete() })
+  }
 }

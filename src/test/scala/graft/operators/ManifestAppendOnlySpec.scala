@@ -206,4 +206,35 @@ class ManifestAppendOnlySpec extends SparkSpec {
     assert(causes(e3).exists(c => Option(c.getMessage)
       .exists(_.contains("append-only"))), e3.getMessage)
   }
+
+  test("appendManifest validates batch TYPES against the stored " +
+      "schema: lossless up-casts land AS the stored type, anything " +
+      "else refuses loudly at write time (not at the next read)") {
+    val dir = tmpDir("types")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 1.0)).toDF("k", "part", "v"),
+      Seq("part"), appendOnly = true)                           // v1
+    // int where the table stores bigint: a provably lossless up-cast —
+    // accepted, and the landed file carries the STORED type
+    assert(Layout.appendManifest(spark, dir,
+      Seq((2, "a", 2.0)).toDF("k", "part", "v")
+        .withColumn("k", col("k").cast("int"))))                // v2
+    val live = Layout.readManifest(spark, dir)
+    assert(live.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(rows(live) == Set(1L -> 1.0, 2L -> 2.0))
+    // string where the table stores double: refused NOW, naming the
+    // column — the old behavior wrote the batch's own type and every
+    // subsequent read (requesting the stored schema) failed to decode,
+    // poisoning the table until the generation was removed by hand
+    val e = intercept[IllegalArgumentException] {
+      Layout.appendManifest(spark, dir,
+        Seq((3L, "a", "3.0")).toDF("k", "part", "v"))
+    }
+    assert(e.getMessage.contains("v:") &&
+      e.getMessage.contains("stored"), e.getMessage)
+    // the refusal left no trace: the table still reads clean
+    assert(rows(Layout.readManifest(spark, dir)) ==
+      Set(1L -> 1.0, 2L -> 2.0))
+  }
 }

@@ -564,6 +564,137 @@ class ManifestFeedSpec extends SparkSpec {
       s"replica must equal the moved source: ${got.size} vs ${want.size}")
   }
 
+  test("mid-backfill retention pin for an EXISTING consumer: the " +
+      "sibling __snapshot cursor blocks a reap that would drop the " +
+      "pinned snapshot version, and clears once the snapshot completes") {
+    import spark.implicits._
+    val src = tmpDir("pin_src")
+    val sink = tmpDir("pin_sink")
+    val ckpt = tmpDir("pin_ckpt")
+    Layout.writeManifestTable(spark, src,
+      (1L to 60L).map(i => (i, s"p${i % 6}", i * 1.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))            // v1
+    Layout.mergeManifest(spark, src,
+      Seq((61L, "p0", 610.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")                                          // v2
+    // EXISTING consumer: its prior deployment acked the live version
+    Layout.writeFeedCursor(spark, src, "pinc", 2)
+    def stream = spark.readStream.format("manifest-feed")
+      .option("path", src).option("mode", "changes")
+      .option("startingVersion", "earliest")
+      .option("consumer", "pinc")
+      .option("snapshotChunkPartitions", "2").load()
+    // one chunk, then stop — mid-backfill with the snapshot pinned @v2
+    val q1 = stream.writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once()).start()
+    q1.awaitTermination()
+    // a second single-batch run: Spark commits batch N's offsets to
+    // the source as the NEXT run starts, which is when the pin lands
+    val q1b = stream.writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once()).start()
+    q1b.awaitTermination()
+    assert(Layout.readFeedCursor(spark, src, "pinc").contains(2),
+      "the existing cursor must never move backwards")
+    assert(Layout.readFeedCursor(spark, src, "pinc.__snapshot")
+      .contains(2), "mid-backfill must pin through the sibling cursor")
+    // the source moves on AND the old deployment keeps acking the main
+    // cursor forward — the exact shape where, without the sibling pin,
+    // a keepVersions=1 reap would drop the pinned v2 mid-backfill and
+    // wedge the stream permanently (the offset log pins v2)
+    Layout.mergeManifest(spark, src,
+      Seq((62L, "p1", 620.0, 3L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")                                          // v3
+    Layout.writeFeedCursor(spark, src, "pinc", 3)
+    val e = intercept[IllegalArgumentException] {
+      Layout.reapManifest(spark, src, keepVersions = 1)
+    }
+    assert(e.getMessage.contains("pinc.__snapshot"), e.getMessage)
+    // resume: the remaining chunks replay the RETAINED pinned v2, the
+    // v2->v3 diff follows, the pin clears, and the reap proceeds
+    val q2 = stream.writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(Layout.readFeedCursor(spark, src, "pinc.__snapshot").isEmpty,
+      "the pin must clear once the snapshot completes")
+    Layout.reapManifest(spark, src, keepVersions = 1)
+    val got = spark.read.parquet(sink)
+      .groupBy("k").agg(sum(when(col("_change_type") === "insert", 1)
+        .otherwise(-1)).as("net"))
+      .filter(col("net") > 0).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == (1L to 62L).toSet,
+      s"backfill + diff must cover exactly the live keys (${got.size})")
+  }
+
+  test("changeTypeCol sink migrates LEGACY doubled sink markers: a " +
+      "checkpoint recorded under the two-publish 2*batchId(+1) scheme " +
+      "resumes instead of hitting the id-regression guard") {
+    import spark.implicits._
+    val src = tmpDir("legacy_src")
+    val dst = tmpDir("legacy_dst")
+    val ckpt = tmpDir("legacy_ckpt")
+    Layout.writeManifestTable(spark, src,
+      (1L to 30L).map(i => (i, s"p${i % 3}", i * 1.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"))            // v1
+    Layout.writeManifestTable(spark, dst,
+      spark.emptyDataset[(Long, String, Double, Long)]
+        .toDF("k", "part", "v", "ver"), Seq("part"))
+    def writer = spark.readStream.format("manifest-feed")
+      .option("path", src).option("mode", "changes")
+      .option("startingVersion", "earliest").load()
+      .writeStream.format("manifest")
+      .option("path", dst)
+      .option("keys", "k").option("versionCol", "ver")
+      .option("changeTypeCol", "_change_type")
+      .option("checkpointLocation", ckpt)
+    val q1 = writer.trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val lastId = Layout.readManifestMeta(spark, dst,
+      Layout.manifestVersion(spark, dst).get).sinkBatch("#net")
+    assert(lastId >= 0)
+    // simulate the pre-upgrade marker state: the last batch was
+    // recorded under the OLD doubled encoding (insert half = 2B+1) in
+    // the BARE namespace, and no #net marker exists yet
+    Layout.rewriteSinkMarker(spark, dst, "#net", -1L)
+    Layout.rewriteSinkMarker(spark, dst, "", 2 * lastId + 1)
+    // the source moves; the resumed (upgraded) sink's next batch id is
+    // lastId+1, and the legacy marker 2*lastId+1 = 2*(lastId+1)-1 must
+    // migrate rather than throw "BEHIND the recorded marker"
+    Layout.mergeManifest(spark, src,
+      Seq((31L, "p1", 310.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")                                          // v2
+    val q2 = writer.trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got = Layout.readManifest(spark, dst).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Layout.readManifest(spark, src).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"replica must equal the moved source " +
+      s"(${got.size} vs ${want.size})")
+    // the resumed batch recorded its marker under #net — the scheme
+    // never writes raw ids into the doubled bare namespace again
+    val mEnd = Layout.readManifestMeta(spark, dst,
+      Layout.manifestVersion(spark, dst).get)
+    assert(mEnd.sinkBatch("#net") == lastId + 1,
+      s"#net marker must advance (${mEnd.sinkBatch("#net")})")
+    // a FULLY-APPLIED legacy marker makes the replayed batch a no-op:
+    // claim the NEXT batch already applied pre-upgrade and verify the
+    // skip (the source row never lands)
+    Layout.rewriteSinkMarker(spark, dst, "#net", -1L)
+    Layout.rewriteSinkMarker(spark, dst, "", 2 * (lastId + 2) + 1)
+    Layout.mergeManifest(spark, src,
+      Seq((32L, "p2", 320.0, 3L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    val q3 = writer.trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    assert(!Layout.readManifest(spark, dst).select("k").collect()
+      .map(_.getLong(0)).contains(32L),
+      "a batch the legacy marker proves applied must replay as a skip")
+  }
+
   test("manifest-feed: an explicit startingVersion excludes prior " +
       "versions; self-describing schema refuses .schema()") {
     val dir = tmpDir("fromnow")
