@@ -1518,6 +1518,111 @@ object EngineQueries {
     // invariants). Both must succeed (pinned in-gate), every publish
     // lands exactly once (version-count pin), and the final snapshot
     // equals the sequential application — the oracle's arithmetic.
+    // SQL MERGE INTO — the production CDC statement: the m17 change
+    // batch (updates + deletes + inserts) expressed as ONE statement
+    // against a catalog-registered manifest table, landing as exactly
+    // ONE net-outcome force-wins publish (version pin in-gate) — no
+    // reader-visible half-state, conditional WHEN clauses in statement
+    // order, merge spec from the manifest (zero OPTIONS). The oracle
+    // recomputes the applied batch (m17's arithmetic + the year
+    // partition column).
+    "m75_manifest_sql_merge" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("sqlmerge")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      Layout.writeManifestTable(s, out,
+        orders.select(col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"),
+          col("o_totalprice"), lit(1L).as("ver")),
+        Seq("o_year"), keys = Seq("o_orderkey"),
+        versionCol = Some("ver"))
+      s.sql("DROP TABLE IF EXISTS m75_t")
+      s.sql(s"CREATE TABLE m75_t USING manifest OPTIONS (path '$out')")
+      orders.select(col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"), col("o_totalprice"))
+        .createOrReplaceTempView("m75_src")
+      val vBefore = Layout.manifestVersion(s, out).get
+      s.sql("""
+        MERGE INTO m75_t t
+        USING (
+          SELECT o_orderkey, o_year,
+                 o_totalprice + 100 AS o_totalprice,
+                 CAST(2 AS BIGINT) AS ver, 'update' AS op
+          FROM m75_src WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, o_year, o_totalprice,
+                 CAST(2 AS BIGINT) AS ver, 'delete' AS op
+          FROM m75_src WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0
+          UNION ALL
+          SELECT o_orderkey + 2000000000 AS o_orderkey, o_year,
+                 o_totalprice, CAST(2 AS BIGINT) AS ver, 'insert' AS op
+          FROM m75_src WHERE o_orderkey % 11 = 0
+        ) c
+        ON t.o_orderkey = c.o_orderkey
+        WHEN MATCHED AND c.op = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = c.o_totalprice,
+                                     ver = c.ver
+        WHEN NOT MATCHED THEN
+          INSERT (o_orderkey, o_year, o_totalprice, ver)
+          VALUES (c.o_orderkey, c.o_year, c.o_totalprice, c.ver)""")
+      require(Layout.manifestVersion(s, out).contains(vBefore + 1),
+        "the full CDC batch must land as exactly ONE publish")
+      s.newSession()
+        .sql("SELECT o_orderkey, o_year, o_totalprice, ver FROM m75_t")
+        .select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+          col("o_totalprice"), col("ver"))
+    }),
+
+    // PERSISTENT catalog registration: CREATE TABLE <name> USING
+    // manifest stores the mount in the session catalog — DESCRIBE
+    // shows the real schema, a FRESH session (newSession over the same
+    // metastore) runs the full DML lifecycle by BARE NAME with the
+    // merge spec resolved from the manifest (declared at seed — zero
+    // per-statement OPTIONS), reads are LIVE (each scan serves the
+    // current manifest version, no REFRESH choreography), and
+    // `VERSION AS OF 1` time-travels to the seed through the parser
+    // seam. The oracle pins the post-DML arithmetic (m71's family).
+    "m74_manifest_catalog" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("catalog")}/ord"
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+          col("o_totalprice"), lit(1L).as("ver"))
+        .write.format("manifest").option("path", out)
+        .option("partitionCols", "o_year")
+        .option("keys", "o_orderkey").option("versionCol", "ver")
+        .mode("overwrite").save()
+      s.sql("DROP TABLE IF EXISTS m74_cat")
+      s.sql(s"CREATE TABLE m74_cat USING manifest OPTIONS (path '$out')")
+      val desc = s.sql("DESCRIBE TABLE m74_cat").collect()
+        .map(_.getString(0))
+      require(desc.contains("o_orderkey") && desc.contains("o_year"),
+        s"DESCRIBE must show the real schema (${desc.take(6).mkString(",")})")
+      // the FULL DML lifecycle from a FRESH session — bare table name,
+      // the stored merge spec, not one OPTION restated
+      val s2 = s.newSession()
+      s2.sql(s"""INSERT INTO m74_cat
+        SELECT o_orderkey, o_totalprice + 100 AS o_totalprice,
+               CAST(2 AS BIGINT) AS ver, year(o_orderdate) AS o_year
+        FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 10 = 0""")
+      s2.sql("UPDATE m74_cat SET o_totalprice = o_totalprice + 1, " +
+        "ver = CAST(3 AS BIGINT) WHERE o_orderkey % 20 = 0")
+      s2.sql("DELETE FROM m74_cat WHERE o_orderkey % 13 = 0")
+      require(Layout.manifestVersion(s, out).contains(4),
+        "seed + INSERT + UPDATE + DELETE must be exactly four publishes")
+      // time travel by bare name predates the whole lifecycle
+      val seedMax = s.sql(
+        "SELECT max(ver) AS mv FROM m74_cat VERSION AS OF 1")
+        .head().getLong(0)
+      require(seedMax == 1L,
+        s"VERSION AS OF 1 must serve the seed (max ver $seedMax)")
+      // a THIRD session reads the final state live, bare name
+      s.newSession()
+        .sql("SELECT o_orderkey, o_year, o_totalprice, ver FROM m74_cat")
+        .select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+          col("o_totalprice"), col("ver"))
+    }),
+
     "m73_manifest_concurrent_commits" -> ((s, dir) => {
       import graft.operators.Layout
       val out = s"${tmp("concommit")}/ord"
@@ -2831,6 +2936,40 @@ object EngineQueries {
              + CASE WHEN o_orderkey % 17 = 0 THEN 7 ELSE 0 END
              AS o_totalprice,
            CASE WHEN o_orderkey % 17 = 0 THEN CAST(3 AS BIGINT)
+                WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders WHERE o_orderkey % 13 <> 0""",
+    // the one-statement CDC application: every 10th key updated,
+    // every 13th-not-10th gone, every 11th re-inserted under key+2e9 —
+    // a dropped clause, a double-applied half, or a mis-classified
+    // matched/not-matched row breaks the hash (the ONE-publish pin
+    // lives in-gate)
+    "m75_manifest_sql_merge" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders
+         WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0)
+         UNION ALL
+         SELECT o_orderkey + 2000000000 AS o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice,
+           CAST(2 AS BIGINT) AS ver
+         FROM orders WHERE o_orderkey % 11 = 0""",
+    // the catalog-registered table after the fresh-session DML
+    // lifecycle: INSERT's +100 on every 10th key, UPDATE's further +1
+    // and ver 3 on every 20th, DELETE's 13th keys gone — a stale
+    // cached snapshot, a dropped publish, or a mis-resolved stored
+    // merge spec each break the hash (DESCRIBE/time-travel/publish-
+    // count pins live in-gate)
+    "m74_manifest_catalog" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice
+             + CASE WHEN o_orderkey % 10 = 0 THEN 100 ELSE 0 END
+             + CASE WHEN o_orderkey % 20 = 0 THEN 1 ELSE 0 END
+             AS o_totalprice,
+           CASE WHEN o_orderkey % 20 = 0 THEN CAST(3 AS BIGINT)
                 WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
                 ELSE CAST(1 AS BIGINT) END AS ver
          FROM orders WHERE o_orderkey % 13 <> 0""",

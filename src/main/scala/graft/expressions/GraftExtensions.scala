@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // write into the table root (see ManifestInsertRule)
     ext.injectResolutionRule(session =>
       new graft.plans.ManifestInsertRule(session))
+    // SQL `VERSION AS OF` on catalog-registered manifest tables: the
+    // analyzer refuses time travel on v1 relations before any
+    // resolution rule runs, so the rewrite lives in a parser wrapper
+    ext.injectParser((session, delegate) =>
+      new graft.plans.ManifestSqlParser(session, delegate))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

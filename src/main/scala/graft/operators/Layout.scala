@@ -1942,6 +1942,15 @@ object Layout {
     * `partitionCols`: every partition lands at generation 1 and
     * manifest v1 publishes the snapshot. One-time — a table is either
     * manifest-disciplined or rename-swap ([[merge]]), never both.
+    *
+    * `keys` + `versionCol` DECLARE the table's merge spec at seed time
+    * (stored as `morKeys`/`morVersionCol`): every later merge — Scala,
+    * the manifest sink, SQL INSERT/UPDATE/DELETE/MERGE through a
+    * catalog registration — resolves the spec from the manifest with
+    * no per-statement OPTIONS, and a caller passing a DIFFERENT spec
+    * fails loudly (the existing morKeys contract, previously fixed
+    * only by the first merge-on-read delta). Mutually exclusive with
+    * `appendOnly` (which declares that no merge spec can ever exist).
     */
   def writeManifestTable(spark: SparkSession, path: String, df: DataFrame,
                          partitionCols: Seq[String],
@@ -1950,8 +1959,22 @@ object Layout {
                          bloomItems: Long = 10000,
                          bloomFpp: Double = 0.01,
                          manifestBuckets: Int = 0,
-                         appendOnly: Boolean = false): Unit =
+                         appendOnly: Boolean = false,
+                         keys: Seq[String] = Nil,
+                         versionCol: Option[String] = None): Unit =
       withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+    require(keys.isEmpty == versionCol.isEmpty,
+      "declare the merge spec as BOTH keys and versionCol (or neither)")
+    require(keys.isEmpty || !appendOnly,
+      "a DECLARED append-only table can never have a merge spec — " +
+        "drop keys/versionCol or appendOnly")
+    require(keys.forall(df.columns.contains) &&
+        versionCol.forall(df.columns.contains),
+      s"merge-spec column(s) ${(keys ++ versionCol)
+        .filterNot(df.columns.contains).mkString(",")} are not columns " +
+        "of df")
+    require(!versionCol.exists(keys.contains),
+      "versionCol cannot be one of the keys")
     require(manifestBuckets >= 0 && manifestBuckets <= 4096,
       "manifestBuckets must be in [0, 4096] (0 = flat manifest)")
     require(statsCols.forall(df.columns.contains),
@@ -2005,7 +2028,8 @@ object Layout {
     val meta0 = ManifestMeta(1, ddl, partitionCols, gens,
       statsCols = statsCols, bloomCols = bloomCols,
       bloomItems = bloomItems, bloomFpp = bloomFpp,
-      bucketBounds = bounds, appendOnly = appendOnly)
+      bucketBounds = bounds, appendOnly = appendOnly,
+      morKeys = keys, morVersionCol = versionCol)
     // derive the published metadata from the tmp tree BEFORE the
     // renames scatter it: one recursive listing of one root, not
     // |partitions| explicit gen paths (at 525 partitions this halves

@@ -40,13 +40,24 @@ import graft.operators.Layout
   *    apply below the generation-level pruning (PushedFilters in
   *    `.explain` shows both layers working).
   *
-  * The index pins the LIVE manifest version at construction — the
-  * query-consistent snapshot discipline every other manifest read
-  * follows; a new publish is picked up by re-creating the frame (cheap:
-  * one JSON read + one listing per partition). Pending merge-on-read
+  * FRESHNESS: a `versionAsOf` mount is PINNED to that snapshot
+  * forever (time travel). A version-ABSENT mount is LIVE — each scan
+  * planning re-reads the manifest pointer (one small-file read, the
+  * `_last_checkpoint` cost Delta pays) and serves the current
+  * snapshot, so a `CREATE TABLE … USING manifest` registration or a
+  * long-lived view always reads the table as it is NOW, across
+  * sessions, with no REFRESH TABLE choreography. Each individual scan
+  * reads ONE committed snapshot (the state is swapped atomically);
+  * two scans of the same table inside one query may straddle a
+  * concurrent publish — the read-committed-per-scan contract early
+  * Delta shipped with, loudly documented here. A publish that CHANGED
+  * THE SCHEMA (widen/rename/add) fails the next scan with the remedy
+  * (re-create the view / re-CREATE TABLE) rather than serving rows
+  * under a stale shape. Pending merge-on-read
   * deltas REQUIRE resolution (a file-level scan would surface stale and
   * tombstoned rows), which a file index cannot express — construction
-  * fails loudly pointing at `foldManifestDeltas` / `readManifest`.
+  * (and a live advance onto such a version) fails loudly pointing at
+  * `foldManifestDeltas` / `readManifest`.
   *
   * Design echo of the reference's storage split (pydin `models.py`
   * delegates table scans to the backing database wholesale): here the
@@ -61,29 +72,95 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
     * rewrite needs to route SQL DML back through the merge machinery. */
   private[graft] def table: String = tablePath
 
-  private val meta = {
+  private val zone = spark.sessionState.conf.sessionLocalTimeZone
+
+  private def castString(s: String, dt: DataType): Any =
+    if (s == null) null
+    else org.apache.spark.sql.catalyst.expressions.Cast(
+      Literal(UTF8String.fromString(s), StringType), dt, Some(zone)).eval()
+
+  /** One live generation: its rel fragment, generation number and
+    * typed partition values. Files are NOT listed here — a state load
+    * reads only the manifest JSON, and [[listFiles]] lists exactly the
+    * generations that survive pruning (so a query that prunes a
+    * partition never touches its directory at all; at 10⁵ partitions
+    * that is the difference between one JSON read and 10⁵ RPCs). */
+  private case class Gen(rel: String, gen: Int, values: InternalRow)
+
+  private final case class State(
+      meta: graft.operators.Layout.ManifestMeta, gens: Seq[Gen])
+
+  private def loadState(): State = {
     val v = version.orElse(Layout.manifestVersion(spark, tablePath))
       .getOrElse(throw new IllegalArgumentException(
         s"$tablePath is not a manifest table; seed it with " +
           "writeManifestTable"))
-    Layout.readManifestMeta(spark, tablePath, v)
+    val meta = Layout.readManifestMeta(spark, tablePath, v)
+    // spec-less deltas (DECLARED append-only tables) have no resolution
+    // to skip — every row is live, a file-level scan is exact; keyed
+    // merge-on-read deltas still refuse (latest-wins needs a window)
+    require(meta.deltas.isEmpty || meta.appendOnly,
+      s"manifest table $tablePath has pending merge-on-read deltas in " +
+        s"partitions [${meta.deltas.keys.toSeq.sorted.take(5).mkString(", ")}" +
+        s"${if (meta.deltas.size > 5) ", …" else ""}]: a file-level scan " +
+        "cannot resolve latest-wins — run Layout.foldManifestDeltas (or " +
+        "schedule a FoldDeltas node) first, or read via Layout.readManifest")
+    require(meta.colAliases.isEmpty,
+      s"manifest table $tablePath has renamed column(s) whose old names " +
+        s"may live in data files (${meta.colAliases.keys.toSeq.sorted
+          .mkString(", ")}): a file-level scan cannot coalesce across " +
+        "names — read via Layout.readManifest, or rewrite " +
+        "(compactManifest maxFiles=0 + foldManifestDeltas) and " +
+        "Layout.clearManifestAliases to re-enable this surface")
+    val sch = Layout.manifestSchema(meta)
+    val gens: Seq[Gen] =
+      (meta.entries.toSeq ++ meta.deltas.toSeq.flatMap { case (rel, gs) =>
+        gs.map(rel -> _) }).sortBy(_._1).map { case (rel, g) =>
+        // reverse relOf: unescape each writer-rendered `col=value`
+        // fragment, then Cast back through the column's stored type —
+        // the round-trip the manifest's Cast-exact discipline guarantees
+        val segs = rel.split("/")
+        require(segs.length == meta.partitionCols.length,
+          s"partition dir '$rel' of $tablePath does not match " +
+            s"partitionCols ${meta.partitionCols.mkString(",")}")
+        val vals = meta.partitionCols.zip(segs).map { case (c, seg) =>
+          require(seg.startsWith(s"$c="),
+            s"partition dir segment '$seg' does not belong to column '$c'")
+          val raw = ExternalCatalogUtils.unescapePathName(
+            seg.substring(c.length + 1))
+          if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+          else castString(raw, sch(c).dataType)
+        }
+        Gen(rel, g, InternalRow.fromSeq(vals))
+      }
+    State(meta, gens)
   }
-  // spec-less deltas (DECLARED append-only tables) have no resolution
-  // to skip — every row is live, a file-level scan is exact; keyed
-  // merge-on-read deltas still refuse (latest-wins needs a window)
-  require(meta.deltas.isEmpty || meta.appendOnly,
-    s"manifest table $tablePath has pending merge-on-read deltas in " +
-      s"partitions [${meta.deltas.keys.toSeq.sorted.take(5).mkString(", ")}" +
-      s"${if (meta.deltas.size > 5) ", …" else ""}]: a file-level scan " +
-      "cannot resolve latest-wins — run Layout.foldManifestDeltas (or " +
-      "schedule a FoldDeltas node) first, or read via Layout.readManifest")
-  require(meta.colAliases.isEmpty,
-    s"manifest table $tablePath has renamed column(s) whose old names " +
-      s"may live in data files (${meta.colAliases.keys.toSeq.sorted
-        .mkString(", ")}): a file-level scan cannot coalesce across " +
-      "names — read via Layout.readManifest, or rewrite " +
-      "(compactManifest maxFiles=0 + foldManifestDeltas) and " +
-      "Layout.clearManifestAliases to re-enable this surface")
+
+  @volatile private var state: State = loadState()
+  private def meta = state.meta
+  private def gens = state.gens
+
+  /** LIVE advance (version-absent mounts only): if the manifest pointer
+    * moved since this state was loaded, atomically swap in the new
+    * snapshot — refusing a publish that changed the mounted SCHEMA
+    * (the relation's schema is fixed at resolution; serving rows under
+    * a different shape would be silent corruption). One small-file
+    * read when nothing moved. */
+  private def maybeAdvance(): Unit = if (version.isEmpty) {
+    val live = Layout.manifestVersion(spark, tablePath).getOrElse(
+      throw new IllegalStateException(
+        s"$tablePath stopped being a manifest table while mounted"))
+    if (live != state.meta.version) {
+      val next = loadState()
+      require(next.meta.schemaDdl == state.meta.schemaDdl &&
+          next.meta.partitionCols == state.meta.partitionCols,
+        s"manifest table $tablePath evolved its schema after this " +
+          "relation was mounted — re-create the view (or REFRESH TABLE " +
+          "/ re-CREATE TABLE for a catalog registration) to pick up " +
+          "the new shape")
+      state = next
+    }
+  }
 
   /** The STORED schema, in stored column order (the order every other
     * manifest read presents). */
@@ -97,42 +174,6 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
   val dataSchema: StructType =
     StructType(fullSchema.fields.filterNot(f =>
       meta.partitionCols.contains(f.name)))
-
-  private val zone = spark.sessionState.conf.sessionLocalTimeZone
-
-  private def castString(s: String, dt: DataType): Any =
-    if (s == null) null
-    else org.apache.spark.sql.catalyst.expressions.Cast(
-      Literal(UTF8String.fromString(s), StringType), dt, Some(zone)).eval()
-
-  /** One live generation: its rel fragment, generation number and
-    * typed partition values. Files are NOT listed here — construction
-    * reads only the manifest JSON, and [[listFiles]] lists exactly the
-    * generations that survive pruning (so a query that prunes a
-    * partition never touches its directory at all; at 10⁵ partitions
-    * that is the difference between one JSON read and 10⁵ RPCs). */
-  private case class Gen(rel: String, gen: Int, values: InternalRow)
-
-  private val gens: Seq[Gen] =
-    (meta.entries.toSeq ++ meta.deltas.toSeq.flatMap { case (rel, gs) =>
-      gs.map(rel -> _) }).sortBy(_._1).map { case (rel, g) =>
-      // reverse relOf: unescape each writer-rendered `col=value`
-      // fragment, then Cast back through the column's stored type —
-      // the round-trip the manifest's Cast-exact discipline guarantees
-      val segs = rel.split("/")
-      require(segs.length == meta.partitionCols.length,
-        s"partition dir '$rel' of $tablePath does not match " +
-          s"partitionCols ${meta.partitionCols.mkString(",")}")
-      val vals = meta.partitionCols.zip(segs).map { case (c, seg) =>
-        require(seg.startsWith(s"$c="),
-          s"partition dir segment '$seg' does not belong to column '$c'")
-        val raw = ExternalCatalogUtils.unescapePathName(
-          seg.substring(c.length + 1))
-        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
-        else castString(raw, fullSchema(c).dataType)
-      }
-      Gen(rel, g, InternalRow.fromSeq(vals))
-    }
 
   @transient private lazy val fs = new Path(tablePath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -163,9 +204,10 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
         meta.entries.keySet.forall(meta.bytes.contains))
       meta.entries.keySet.iterator.map(meta.bytes).sum
     else gens.flatMap(filesOf(_).map(_.getLen)).sum
-  /** Snapshot-pinned (the manifest discipline): refresh is a no-op —
-    * re-create the frame to move to a newer published version. */
-  override def refresh(): Unit = ()
+  /** versionAsOf mounts are pinned (refresh is a no-op there); live
+    * mounts advance on their own at each scan planning, and an
+    * explicit REFRESH re-loads immediately. */
+  override def refresh(): Unit = if (version.isEmpty) state = loadState()
 
   private def fieldIdx(schema: StructType, name: String): Option[Int] = {
     val i = schema.fieldNames.indexWhere(_ == name)
@@ -185,6 +227,12 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]):
       Seq[PartitionDirectory] = {
+    maybeAdvance()
+    // ONE committed snapshot per scan: everything below reads this
+    // capture, never the volatile field again
+    val st = state
+    val meta = st.meta
+    val gens = st.gens
     // 1. partition filters: exact interpreted evaluation per generation
     val afterPart =
       if (partitionFilters.isEmpty) gens

@@ -1,12 +1,13 @@
 package graft.plans
 
-import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, InsertIntoStatement, LogicalPlan, Project, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, ExprId, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.Layout
@@ -33,9 +34,9 @@ import graft.operators.Layout
   * refuses them on v1 relations): the matched rows of the LIVE
   * snapshot — expressions re-bound by name at run time, see
   * [[ManifestMutateCommand]] — re-project through the assignments and
-  * merge (tombstone-flagged for DELETE). SQL MERGE INTO remains out of
-  * scope (a multi-clause conditional semantics worth a dedicated
-  * surface, not a rewrite). Registered via
+  * merge (tombstone-flagged for DELETE). `MERGE INTO` — the production
+  * CDC statement — rewrites to ONE net-outcome force-wins publish, see
+  * [[ManifestMergeCommand]]. Registered via
   * [[graft.expressions.GraftExtensions]] (`injectResolutionRule`, so
   * it wins over the post-hoc HadoopFsRelation conversion).
   */
@@ -49,6 +50,17 @@ final class ManifestInsertRule(session: SparkSession)
     case v: org.apache.spark.sql.catalyst.plans.logical.View =>
       stripAlias(v.child)
     case other => other
+  }
+
+  private def mergeActionResolved(a: MergeAction): Boolean = a match {
+    case UpdateAction(c, as, _) => c.forall(_.resolved) &&
+      as.forall(x => x.key.resolved && x.value.resolved)
+    case InsertAction(c, as) => c.forall(_.resolved) &&
+      as.forall(x => x.key.resolved && x.value.resolved)
+    case DeleteAction(c) => c.forall(_.resolved)
+    case UpdateStarAction(c) => c.forall(_.resolved)
+    case InsertStarAction(c) => c.forall(_.resolved)
+    case _ => false
   }
 
   /** The (index, relation) behind a resolved DML target, when it is a
@@ -101,6 +113,35 @@ final class ManifestInsertRule(session: SparkSession)
               condition = Some(d.condition), assignments = Nil,
               verb = "DELETE")
           case None => d
+        }
+
+      // MERGE INTO <target> USING <source> ON … WHEN MATCHED [AND c]
+      // THEN UPDATE/DELETE WHEN NOT MATCHED [AND c] THEN INSERT  →
+      // the production CDC statement, as ONE net-outcome force-wins
+      // copy-on-write publish (Spark supports MERGE only on v2
+      // tables; its refusal lives in CheckAnalysis, after resolution,
+      // which is exactly the window this rule runs in). Clause shapes
+      // the keyed merge cannot express refuse with named remedies.
+      case mg: MergeIntoTable if mg.targetTable.resolved &&
+          mg.sourceTable.resolved && mg.mergeCondition.resolved &&
+          (mg.matchedActions ++ mg.notMatchedActions ++
+            mg.notMatchedBySourceActions).forall(mergeActionResolved) =>
+        manifestTarget(mg.targetTable) match {
+          case Some((idx, fs, lr)) =>
+            require(mg.notMatchedBySourceActions.isEmpty,
+              "MERGE INTO a manifest table does not support WHEN NOT " +
+                "MATCHED BY SOURCE: it acts on rows the batch never " +
+                "carries (an O(table) scan, not a keyed merge) — " +
+                "express it as a separate DELETE/UPDATE statement")
+            require(!mg.withSchemaEvolution,
+              "MERGE INTO a manifest table does not support WITH " +
+                "SCHEMA EVOLUTION: evolve explicitly (evolveManifest/" +
+                "widenManifestColumn) first")
+            ManifestMergeCommand(idx.table, fs.options,
+              lr.schema.asInstanceOf[StructType],
+              lr.output, mg.sourceTable, mg.mergeCondition,
+              mg.matchedActions, mg.notMatchedActions)
+          case None => mg
         }
 
       // UPDATE <view> SET c = expr, … WHERE …  →  merge of the LIVE
@@ -303,6 +344,279 @@ final case class ManifestInsertCommand(
         versionCol.get)
     else
       Layout.mergeManifest(session, path, aligned, keys, versionCol.get)
+    Seq.empty
+  }
+}
+
+/** Runs a rewritten MERGE INTO: the source joins the LIVE snapshot on
+  * the merge condition (right-outer — rows of the table the batch
+  * never matches stay out of the publish entirely), each row takes its
+  * FIRST applicable clause in statement order (the SQL MERGE
+  * contract), and the resulting net batch — updates re-projected
+  * through their assignments, deletes tombstone-flagged, inserts
+  * aligned to the table schema — applies as ONE force-wins
+  * copy-on-write publish through the same machinery as every other
+  * write path. A full CDC batch is one statement, one publish, no
+  * reader-visible half-state. Multiple batch rows landing on one key
+  * (an ON condition weaker than the key, or a duplicated source)
+  * refuse loudly BEFORE publishing — latest-wins between them would be
+  * arrival-order nondeterminism. */
+final case class ManifestMergeCommand(
+    path: String,
+    options: Map[String, String],
+    tableSchema: StructType,
+    targetAttrs: Seq[Attribute],
+    source: LogicalPlan,
+    mergeCondition: Expression,
+    matchedActions: Seq[MergeAction],
+    notMatchedActions: Seq[MergeAction]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  private def opt(key: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  /** One clause, normalized: `matched` side, optional guard, and a
+    * per-column value function over the joined frame. `partGuarded`
+    * names partition columns a star-expanded UPDATE assigns: the
+    * merge contract forbids moving a row across partitions, so the
+    * assignment applies only when it is a no-op and raises otherwise
+    * (in-plan, before anything publishes). */
+  private final case class Act(matched: Boolean, delete: Boolean,
+                               cond: Option[Expression],
+                               assigns: Option[Map[String, Expression]],
+                               partGuarded: Set[String] = Set.empty)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    require(opt("versionAsOf").isEmpty,
+      "MERGE INTO through a versionAsOf (time-travel) view is " +
+        "ambiguous: the view serves a PINNED snapshot but the merge " +
+        "would land on the LIVE table — mount an un-pinned view for DML")
+    val v = Layout.manifestVersion(session, path).getOrElse(
+      throw new IllegalStateException(s"$path stopped being a manifest " +
+        "table after the view was created"))
+    val m = Layout.readManifestMeta(session, path, v)
+    require(!m.appendOnly,
+      s"MERGE INTO $path: the table is DECLARED append-only — updates " +
+        "and deletes are structurally inexpressible on it; append " +
+        "event batches with INSERT instead")
+    val keys = opt("keys").map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(m.morKeys)
+    val versionCol = opt("versionCol").orElse(m.morVersionCol)
+    require(keys.nonEmpty && versionCol.nonEmpty,
+      "MERGE INTO a manifest table needs its merge spec: declare it at " +
+        "seed (writeManifestTable keys/versionCol), establish it with a " +
+        "first mergeManifestDelta, or add OPTIONS (keys, versionCol) " +
+        "to the view")
+
+    // --- rebinding: the resolved condition/assignments reference the
+    // ORIGINAL target attrs (the mounted view's pinned relation) and
+    // the source plan's attrs. The merge must read the LIVE snapshot
+    // (the UPDATE/DELETE discipline), and the source's columns must
+    // survive a name collision with the table's — so the source
+    // projects to reserved names (__s_i) and every expression rebinds
+    // by exprId to either the live table column or the renamed source
+    // column, resolved BY NAME against the joined frame.
+    val fresh = session.read.format("manifest")
+      .option("path", path).load()
+    val tgtNames = targetAttrs.map(a => a.exprId -> a.name).toMap
+    tableSchema.fieldNames.foreach(n => require(!n.startsWith("__s_") &&
+      n != "__s_present" && n != "__t_present" && n != "__mrg_action" &&
+      n != "__mrg_del",
+      s"table column '$n' collides with MERGE INTO's reserved names"))
+    val srcDF0 = org.apache.spark.sql.graftbridge.GraftSqlBridge
+      .ofRows(session, source)
+    val srcAttrs = srcDF0.queryExecution.analyzed.output
+    val srcNames: Map[ExprId, String] = srcAttrs.zipWithIndex
+      .map { case (a, i) => a.exprId -> s"__s_$i" }.toMap
+    // source column NAME -> renamed (__s_i) for star expansion
+    val srcByName: Map[String, String] = srcAttrs.zipWithIndex
+      .map { case (a, i) => a.name.toLowerCase -> s"__s_$i" }.toMap
+    def bridgeCol(e: Expression): Column =
+      org.apache.spark.sql.graftbridge.GraftSqlBridge.column(e)
+    val src = srcDF0.select(srcAttrs.zipWithIndex.map { case (a, i) =>
+      bridgeCol(a).as(s"__s_$i") } :+ lit(true).as("__s_present"): _*)
+    def rebind(e: Expression): Column = bridgeCol(e.transform {
+      case a: AttributeReference =>
+        srcNames.get(a.exprId).map(n => UnresolvedAttribute(Seq(n)))
+          .orElse(tgtNames.get(a.exprId).map { n =>
+            require(fresh.columns.exists(_.equalsIgnoreCase(n)),
+              s"MERGE references column '$n' which the live table no " +
+                "longer has (renamed since the view was created?) — " +
+                "re-create the view")
+            UnresolvedAttribute(Seq(n))
+          })
+          .getOrElse(throw new IllegalStateException(
+            s"MERGE INTO $path: cannot rebind ${a.sql} — it belongs to " +
+              "neither the target nor the source"))
+    })
+
+    // the ON condition must pin EVERY merge key by equality: "matched"
+    // in the statement must mean "same key" in the publish, or updates
+    // would land on rows the keyed merge then routes elsewhere
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keyEqs = conjuncts(mergeCondition).flatMap {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
+        Seq(l, r).collect {
+          case a: AttributeReference if tgtNames.contains(a.exprId) &&
+              keys.exists(_.equalsIgnoreCase(a.name)) =>
+            a.name.toLowerCase
+        }
+      case _ => Nil
+    }.toSet
+    val unpinned = keys.filterNot(k => keyEqs.contains(k.toLowerCase))
+    require(unpinned.isEmpty,
+      s"MERGE INTO $path: the ON condition must contain an equality on " +
+        s"every merge key — missing ${unpinned.mkString(", ")} (keys: " +
+        s"${keys.mkString(", ")})")
+
+    // --- normalize the clauses (statement order preserved)
+    def norm(a: MergeAction, matched: Boolean): Act = a match {
+      case UpdateAction(c, as, fromStar) =>
+        // `SET *` reaches here pre-expanded by the analyzer with
+        // fromStar = true and an assignment for EVERY column —
+        // including keys (identity by the ON equality: drop) and
+        // partition columns (forbidden to move: keep, but guarded
+        // in-plan to the no-op case)
+        var guarded = Set.empty[String]
+        val asg = as.flatMap { x =>
+          val n = x.key match {
+            case ar: AttributeReference => ar.name
+            case other => throw new IllegalArgumentException(
+              s"MERGE UPDATE SET targets must be top-level columns " +
+                s"(got ${other.sql})")
+          }
+          val isKey = keys.exists(_.equalsIgnoreCase(n))
+          val isPart = m.partitionCols.exists(_.equalsIgnoreCase(n))
+          require(fromStar || !isKey,
+            s"MERGE UPDATE cannot assign merge key '$n': that changes " +
+              "row identity — DELETE + INSERT instead")
+          require(fromStar || !isPart,
+            s"MERGE UPDATE cannot assign partition column '$n': moved " +
+              "rows would change partitions, which the merge contract " +
+              "forbids — DELETE + INSERT instead")
+          if (isKey) None // star: the ON equality makes it identity
+          else {
+            if (isPart) guarded += n.toLowerCase
+            Some(n.toLowerCase -> x.value)
+          }
+        }.toMap
+        Act(matched, delete = false, c, Some(asg), guarded)
+      case UpdateStarAction(c) =>
+        // un-expanded star (defensive: the analyzer normally expands):
+        // every table column from the source's same-named column, keys
+        // dropped (identity), partition columns guarded
+        var guarded = Set.empty[String]
+        val asg = tableSchema.fieldNames.flatMap { n =>
+          val s = srcByName.getOrElse(n.toLowerCase,
+            throw new IllegalArgumentException(
+              s"MERGE UPDATE SET *: source has no column '$n'"))
+          if (keys.exists(_.equalsIgnoreCase(n))) None
+          else {
+            if (m.partitionCols.exists(_.equalsIgnoreCase(n)))
+              guarded += n.toLowerCase
+            Some(n.toLowerCase -> (UnresolvedAttribute(Seq(s)): Expression))
+          }
+        }.toMap
+        Act(matched, delete = false, c, Some(asg), guarded)
+      case DeleteAction(c) => Act(matched, delete = true, c, None)
+      case InsertAction(c, as) =>
+        val asg = as.map { x =>
+          val n = x.key match {
+            case ar: AttributeReference => ar.name
+            case u: UnresolvedAttribute => u.name
+            case other => throw new IllegalArgumentException(
+              s"MERGE INSERT targets must be top-level columns " +
+                s"(got ${other.sql})")
+          }
+          n.toLowerCase -> x.value
+        }.toMap
+        val missing = tableSchema.fieldNames
+          .filterNot(n => asg.contains(n.toLowerCase))
+        require(missing.isEmpty,
+          s"MERGE INSERT must assign every table column (missing " +
+            s"${missing.mkString(", ")}): a keyed merge has no column " +
+            "defaults")
+        Act(matched, delete = false, c, Some(asg))
+      case InsertStarAction(c) =>
+        val asg = tableSchema.fieldNames.map { n =>
+          val s = srcByName.getOrElse(n.toLowerCase,
+            throw new IllegalArgumentException(
+              s"MERGE INSERT *: source has no column '$n'"))
+          n.toLowerCase -> (UnresolvedAttribute(Seq(s)): Expression)
+        }.toMap
+        Act(matched, delete = false, c, Some(asg))
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO a manifest table: unsupported clause $other")
+    }
+    val acts = matchedActions.map(norm(_, matched = true)) ++
+      notMatchedActions.map(norm(_, matched = false))
+    if (acts.isEmpty) return Seq.empty
+
+    // --- classify each (source ⟕ live-target) row to its FIRST
+    // applicable clause; rows no clause claims stay out of the batch
+    val tgt = fresh.withColumn("__t_present", lit(true))
+    val joined = tgt.join(src, rebind(mergeCondition), "right_outer")
+    val matchedC = col("__t_present").isNotNull
+    val actionCol = acts.zipWithIndex.foldRight(lit(0)) {
+      case ((a, i), els) =>
+        val side =
+          if (a.matched) matchedC else col("__t_present").isNull
+        when(side && a.cond.map(rebind).getOrElse(lit(true)), lit(i + 1))
+          .otherwise(els)
+    }
+    val classified = joined.withColumn("__mrg_action", actionCol)
+      .filter(col("__mrg_action") > 0)
+    val outCols = tableSchema.fields.toSeq.map { f =>
+      acts.zipWithIndex.foldRight(lit(null).cast(f.dataType)) {
+        case ((a, i), els) =>
+          val value: Column = a.assigns match {
+            case Some(asg) => asg.get(f.name.toLowerCase)
+              .map { e =>
+                val v = rebind(e).cast(f.dataType)
+                if (!a.partGuarded.contains(f.name.toLowerCase)) v
+                else // star-assigned partition column: no-op or raise
+                  when(v <=> col(f.name), col(f.name)).otherwise(
+                    org.apache.spark.sql.functions.raise_error(
+                      org.apache.spark.sql.functions.concat(
+                        lit(s"MERGE UPDATE SET * would move a row's " +
+                          s"partition column '${f.name}' from '"),
+                        col(f.name).cast("string"),
+                        lit("' — the merge contract forbids partition " +
+                          "moves; DELETE + INSERT the row instead"))))
+              }
+              .getOrElse(col(f.name)) // unassigned UPDATE col: target's
+            case None => col(f.name) // DELETE carries the before-image
+          }
+          when(col("__mrg_action") === (i + 1), value).otherwise(els)
+      }.as(f.name)
+    }
+    val deleteIdxs = acts.zipWithIndex.collect {
+      case (a, i) if a.delete => i + 1 }
+    val batch = classified.select(outCols :+
+      (if (deleteIdxs.isEmpty) lit(false)
+       else col("__mrg_action").isin(deleteIdxs: _*)).as("__mrg_del"): _*)
+
+    // one batch row per key, or the publish's latest-wins would pick
+    // an arrival-order winner (Delta refuses the same way)
+    val dup = batch.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"MERGE INTO $path: multiple source rows land on target key " +
+        s"${dup.headOption.map(_.toString).getOrElse("")} — the ON " +
+        "condition (plus clause guards) must match each key at most " +
+        "once per statement; de-duplicate the source")
+
+    if (!batch.isEmpty) {
+      Layout.mergeManifest(session, path, batch, keys, versionCol.get,
+        deleteCol = Some("__mrg_del"), forceWins = true)
+      ()
+    }
     Seq.empty
   }
 }

@@ -25,8 +25,22 @@ import graft.operators.Layout
   * index, so partition predicates prune exactly and stats/bloom
   * conjuncts skip generations with zero bespoke API — the same
   * relation [[graft.operators.Layout.manifestTable]] builds, now
-  * reachable from pure SQL. Snapshot-pinned at view creation; pending
+  * reachable from pure SQL. A `versionAsOf` mount is pinned to that
+  * snapshot (time travel); a version-absent mount is LIVE — each scan
+  * serves the current manifest version (see [[ManifestFileIndex]]),
+  * so `CREATE TABLE … USING manifest` registrations read fresh across
+  * sessions with no REFRESH choreography. Pending
   * merge-on-read deltas refuse loudly (the index's contract).
+  *
+  * PERSISTENT registration (the catalog surface): `CREATE TABLE name
+  * USING manifest OPTIONS (path '…')` stores the mount in the session
+  * catalog — `SHOW TABLES`/`DESCRIBE` see it, every session against
+  * the same metastore resolves it by bare name, and the stored merge
+  * spec (declared at seed, or fixed by the first merge-on-read delta)
+  * makes INSERT/UPDATE/DELETE/MERGE work with no per-view OPTIONS.
+  * Schema evolution after registration refuses at scan time with the
+  * remedy (re-CREATE TABLE): the catalog pins the creation-time
+  * schema.
   */
 final class ManifestProvider extends RelationProvider
     with CreatableRelationProvider
@@ -92,7 +106,10 @@ final class ManifestProvider extends RelationProvider
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       Layout.writeManifestTable(spark, path, data, pcols,
         statsCols = cols("statsCols"), bloomCols = cols("bloomCols"),
-        appendOnly = opt(parameters, "appendOnly").exists(_.toBoolean))
+        appendOnly = opt(parameters, "appendOnly").exists(_.toBoolean),
+        // declared merge spec: stored in the manifest so every later
+        // writer (SQL DML by bare table name included) needs no OPTIONS
+        keys = cols("keys"), versionCol = opt(parameters, "versionCol"))
     }
     mode match {
       case SaveMode.Append =>
@@ -100,17 +117,23 @@ final class ManifestProvider extends RelationProvider
           s"$path is not a manifest table; seed it first " +
             "(mode=overwrite with partitionCols, or writeManifestTable)")
         val live = Layout.manifestVersion(spark, path).get
-        if (Layout.readManifestMeta(spark, path, live).appendOnly) {
+        val m = Layout.readManifestMeta(spark, path, live)
+        if (m.appendOnly) {
           // declared append-only: pure spec-less append, no options
           Layout.appendManifest(spark, path, data)
           ()
         } else {
-          val keys = opt(parameters, "keys").toSeq
-            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          // explicit options first, the table's STORED merge spec
+          // second (declared at seed or fixed by the first delta)
+          val keys = Some(opt(parameters, "keys").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+            .filter(_.nonEmpty).getOrElse(m.morKeys)
           val versionCol = opt(parameters, "versionCol")
+            .orElse(m.morVersionCol)
           require(keys.nonEmpty && versionCol.nonEmpty,
             "manifest append is a keyed merge: set .option(\"keys\", " +
-              "\"k1,k2\") and .option(\"versionCol\", <col>)")
+              "\"k1,k2\") and .option(\"versionCol\", <col>), or seed " +
+              "the table with a declared merge spec")
           if (opt(parameters, "mor").exists(_.toBoolean))
             Layout.mergeManifestDelta(spark, path, data, keys,
               versionCol.get)
@@ -237,7 +260,8 @@ final class ManifestProvider extends RelationProvider
         // a DECLARED append-only sink table takes the batch as a pure
         // spec-less append — the event-stream ingestion shape; the
         // keyed options make no sense against it
-        if (Layout.readManifestMeta(spark, path, liveV).appendOnly) {
+        val liveMeta = Layout.readManifestMeta(spark, path, liveV)
+        if (liveMeta.appendOnly) {
           require(keys.isEmpty && versionCol.isEmpty &&
               deleteCol.isEmpty && changeTypeCol.isEmpty &&
               opt(parameters, "mor").isEmpty,
@@ -251,10 +275,15 @@ final class ManifestProvider extends RelationProvider
           }
           return
         }
-        require(keys.nonEmpty,
-          "manifest sink needs .option(\"keys\", \"k1,k2\")")
-        require(versionCol.nonEmpty,
-          "manifest sink needs .option(\"versionCol\", <col>)")
+        // explicit options first, the table's STORED merge spec second
+        val mergeKeys = if (keys.nonEmpty) keys else liveMeta.morKeys
+        val mergeVer = versionCol.orElse(liveMeta.morVersionCol)
+        require(mergeKeys.nonEmpty,
+          "manifest sink needs .option(\"keys\", \"k1,k2\") — or seed " +
+            "the table with a declared merge spec")
+        require(mergeVer.nonEmpty,
+          "manifest sink needs .option(\"versionCol\", <col>) — or " +
+            "seed the table with a declared merge spec")
         changeTypeCol match {
           case Some(ct) =>
             // MARKER NAMESPACE: net-outcome batches record their
@@ -316,25 +345,25 @@ final class ManifestProvider extends RelationProvider
               // a delete whose key the same window re-inserted is the
               // before-image of an update: the insert row IS the net
               // outcome, the delete half must not survive beside it
-              .join(ins.select(keys.map(col): _*).distinct(),
-                keys, "left_anti")
+              .join(ins.select(mergeKeys.map(col): _*).distinct(),
+                mergeKeys, "left_anti")
             val net = ins.withColumn("__ct_del", lit(false))
               .unionByName(dels.withColumn("__ct_del", lit(true)))
             if (!net.isEmpty) {
-              Layout.mergeManifest(spark, path, net, keys,
-                versionCol.get, deleteCol = Some("__ct_del"),
+              Layout.mergeManifest(spark, path, net, mergeKeys,
+                mergeVer.get, deleteCol = Some("__ct_del"),
                 batchId = batchId, sinkId = netSinkId, forceWins = true)
               ()
             }
           case None =>
             if (!raw.isEmpty) {
               if (mor)
-                Layout.mergeManifestDelta(spark, path, raw, keys,
-                  versionCol.get, deleteCol = deleteCol,
+                Layout.mergeManifestDelta(spark, path, raw, mergeKeys,
+                  mergeVer.get, deleteCol = deleteCol,
                   batchId = batchId, sinkId = sinkId)
               else
-                Layout.mergeManifest(spark, path, raw, keys,
-                  versionCol.get, deleteCol = deleteCol,
+                Layout.mergeManifest(spark, path, raw, mergeKeys,
+                  mergeVer.get, deleteCol = deleteCol,
                   batchId = batchId, sinkId = sinkId)
               ()
             }

@@ -186,4 +186,73 @@ class ManifestDmlSpec extends SparkSpec {
       .option("mor", "true").mode("append").save()
     assert(snap(Layout.readManifest(spark, dir)).get(4L).contains(44.0))
   }
+
+  test("MERGE INTO: a full CDC batch (update + delete + insert, " +
+      "conditional clauses, star forms) as ONE statement, ONE publish; " +
+      "inexpressible shapes refuse with remedies") {
+    val dir = tmpDir("merge")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L), (3L, "a", 30.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"),
+      keys = Seq("k"), versionCol = Some("ver"))
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW t_mrg
+      USING manifest OPTIONS (path '$dir')""")
+    Seq((1L, "a", 11.0, 2L, "u"), (2L, "b", 0.0, 2L, "d"),
+      (9L, "c", 90.0, 2L, "i"))
+      .toDF("k", "part", "v", "ver", "op")
+      .createOrReplaceTempView("mrg_batch")
+    spark.sql("""
+      MERGE INTO t_mrg t USING mrg_batch s ON t.k = s.k
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v, ver = s.ver
+      WHEN NOT MATCHED THEN INSERT (k, part, v, ver)
+        VALUES (s.k, s.part, s.v, s.ver)""")
+    assert(Layout.manifestVersion(spark, dir).contains(2),
+      "the whole batch must land as exactly ONE publish")
+    assert(snap(Layout.readManifest(spark, dir)) ==
+      Map(1L -> 11.0, 3L -> 30.0, 9L -> 90.0))
+    // the seed time-travels intact
+    assert(snap(Layout.readManifestVersion(spark, dir, 1)) ==
+      Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // star forms: analyzer-expanded SET * drops the key assignment
+    // (identity by ON) and guards the partition column to the no-op
+    Seq((3L, "a", 33.0, 3L)).toDF("k", "part", "v", "ver")
+      .createOrReplaceTempView("mrg2")
+    spark.sql("""MERGE INTO t_mrg t USING mrg2 s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(snap(Layout.readManifest(spark, dir))(3L) == 33.0)
+    // a star UPDATE that MOVES a partition raises in-plan
+    Seq((3L, "MOVED", 34.0, 4L)).toDF("k", "part", "v", "ver")
+      .createOrReplaceTempView("mrg3")
+    val eMove = intercept[Exception] {
+      spark.sql("""MERGE INTO t_mrg t USING mrg3 s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *""") }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(eMove).exists(_.contains("partition")), eMove.toString)
+    // NOT MATCHED BY SOURCE refuses with the remedy
+    val e1 = intercept[Exception] {
+      spark.sql("""MERGE INTO t_mrg t USING mrg2 s ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""") }
+    assert(messages(e1).exists(_.contains("NOT MATCHED BY SOURCE")),
+      e1.toString)
+    // duplicate source keys refuse before publishing
+    Seq((3L, "a", 1.0, 5L), (3L, "a", 2.0, 6L))
+      .toDF("k", "part", "v", "ver").createOrReplaceTempView("mrg_dup")
+    val e2 = intercept[Exception] {
+      spark.sql("""MERGE INTO t_mrg t USING mrg_dup s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, ver = s.ver""") }
+    assert(messages(e2).exists(_.contains("multiple source rows")),
+      e2.toString)
+    // an ON condition that does not pin the key refuses
+    val e3 = intercept[Exception] {
+      spark.sql("""MERGE INTO t_mrg t USING mrg2 s ON t.v = s.v
+        WHEN MATCHED THEN UPDATE SET ver = s.ver""") }
+    assert(messages(e3).exists(_.contains("equality on every merge key")),
+      e3.toString)
+    // no refused statement published anything
+    assert(Layout.manifestVersion(spark, dir).contains(3))
+  }
 }
