@@ -1518,6 +1518,58 @@ object EngineQueries {
     // invariants). Both must succeed (pinned in-gate), every publish
     // lands exactly once (version-count pin), and the final snapshot
     // equals the sequential application — the oracle's arithmetic.
+    // METADATA-ONLY column drop: one pointer swap retires the column
+    // from the stored schema — no byte rewritten, pre-drop generations
+    // (base AND pending delta) simply never decode it again. Post-drop
+    // merges refuse a batch still carrying the dead name, v1
+    // time-travels WITH the column, re-adding the haunted name refuses
+    // until a rewrite clears it (all pinned in-gate); the post-drop
+    // merge arithmetic over pre-drop generations is the oracle.
+    "m76_manifest_drop_column" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("dropcol")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        pmod(col("o_orderkey"), lit(100)).cast("int").as("qty"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out,
+        rows.filter(pmod(col("o_orderkey"), lit(3)) =!= 0), Seq("o_year"),
+        statsCols = Seq("qty"))                                   // v1
+      Layout.mergeManifestDelta(s, out,
+        rows.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+        Seq("o_orderkey"), "ver")                                 // v2
+      Layout.dropManifestColumn(s, out, "qty")                    // v3
+      // post-drop merges refuse the dead name loudly
+      val refused =
+        try { Layout.mergeManifest(s, out,
+          rows.limit(1).withColumn("ver", lit(9L)),
+          Seq("o_orderkey"), "ver"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("qty") }
+      require(refused, "a post-drop merge must refuse the dead column")
+      // ...and the new shape merges over PRE-drop generations
+      Layout.mergeManifest(s, out,
+        Layout.readManifest(s, out)
+          .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("ver", lit(2L)),
+        Seq("o_orderkey"), "ver")                                 // v4
+      val v1 = Layout.readManifestVersion(s, out, 1)
+      require(v1.columns.contains("qty"),
+        "time travel must keep the dropped column")
+      val live = Layout.readManifest(s, out)
+      require(!live.columns.contains("qty"),
+        "the live schema must have dropped it")
+      val haunted =
+        try { Layout.evolveManifest(s, out, "qty INT"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("retired") }
+      require(haunted, "re-adding a dropped name must refuse")
+      live.select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+        col("o_totalprice"), col("ver"))
+    }),
+
     // SQL MERGE INTO — the production CDC statement: the m17 change
     // batch (updates + deletes + inserts) expressed as ONE statement
     // against a catalog-registered manifest table, landing as exactly
@@ -2939,6 +2991,17 @@ object EngineQueries {
                 WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
                 ELSE CAST(1 AS BIGINT) END AS ver
          FROM orders WHERE o_orderkey % 13 <> 0""",
+    // post-drop table: the dropped column gone, every 10th key's
+    // post-drop merge applied over pre-drop generations — a read that
+    // mis-decodes a pre-drop file (or resurrects the dead column's
+    // bytes) breaks the hash; the refusal/time-travel pins live in-gate
+    "m76_manifest_drop_column" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders""",
     // the one-statement CDC application: every 10th key updated,
     // every 13th-not-10th gone, every 11th re-inserted under key+2e9 —
     // a dropped clause, a double-applied half, or a mis-classified

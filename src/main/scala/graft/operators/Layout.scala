@@ -805,6 +805,16 @@ object Layout {
       // [[clearManifestAliases]] once a rewrite has retired the old
       // names from every live generation.
       colAliases: Map[String, Seq[String]] = Map.empty,
+      // DROPPED column names (and their prior alias chains) that may
+      // still live PHYSICALLY in data files: a drop is METADATA-ONLY —
+      // every read requests the stored schema, so parquet simply never
+      // decodes the retired column — but re-ADDING one of these names
+      // would surface the old bytes as the new column's values, so
+      // [[evolveManifest]]/[[renameManifestColumn]] refuse them until
+      // [[clearManifestAliases]] verifies every live footer dropped
+      // the name (after a full rewrite). Old snapshots time-travel
+      // WITH the column (their meta keeps the old schema).
+      droppedCols: Seq[String] = Nil,
       // HIERARCHICAL layout (empty = flat): rel-name split points fixed
       // at seed time. Bucket i holds the rels in [bounds(i-1),
       // bounds(i)); per-rel state serializes into content-addressed
@@ -1052,6 +1062,10 @@ object Layout {
         else node.get("colAliases").fields().asScala.map { e =>
           e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
         }.toMap,
+      droppedCols =
+        if (!node.has("droppedCols")) Nil
+        else node.get("droppedCols").elements().asScala
+          .map(_.asText()).toSeq,
       bucketBounds =
         if (!node.has("bucketBounds")) Nil
         else node.get("bucketBounds").elements().asScala
@@ -1222,6 +1236,10 @@ object Layout {
         val arr = ca.putArray(cur)
         olds.foreach(arr.add)
       }
+    }
+    if (m.droppedCols.nonEmpty) {
+      val dc = root.putArray("droppedCols")
+      m.droppedCols.foreach(dc.add)
     }
     if (m.bucketBounds.isEmpty) {
       // FLAT: all per-rel maps inline in the root
@@ -3315,11 +3333,13 @@ object Layout {
     // column's values — silent corruption, refuse until the chains
     // clear ([[clearManifestAliases]])
     val haunted = add.fieldNames
-      .filter(n => m.colAliases.values.exists(_.contains(n)))
+      .filter(n => m.colAliases.values.exists(_.contains(n)) ||
+        m.droppedCols.contains(n))
     require(haunted.isEmpty,
       s"evolveManifest: column name(s) ${haunted.mkString(", ")} are " +
-        "retired by a rename and may still exist in old data files — " +
-        "rewrite and clearManifestAliases first, or pick another name")
+        "retired by a rename or drop and may still exist in old data " +
+        "files — rewrite and clearManifestAliases first, or pick " +
+        "another name")
     // new data columns slot BEFORE the partition columns, preserving
     // the stored order contract (data cols first, partition cols last)
     val dataCols = sch.fields.filterNot(f => m.partitionCols.contains(f.name))
@@ -3414,10 +3434,12 @@ object Layout {
         "to a renamed layout instead")
     require(to != "gen" && to != MorDel && to != MorSeq,
       s"'$to' is reserved by the manifest layout")
-    require(!m.colAliases.values.exists(_.contains(to)),
-      s"renameManifestColumn: '$to' is a RETIRED name another column's " +
-        "alias chain still covers — old files carrying it would surface " +
-        "under both columns; clear the chains first or pick another name")
+    require(!m.colAliases.values.exists(_.contains(to)) &&
+        !m.droppedCols.contains(to),
+      s"renameManifestColumn: '$to' is a RETIRED name (a rename chain " +
+        "or a dropped column still covers it) — old files carrying it " +
+        "would surface under both columns; clear the chains first or " +
+        "pick another name")
     // the old name may also appear in OTHER columns' alias chains only
     // as their history — but a LIVE file column can carry it, so the
     // new column inherits the old name plus its whole prior chain
@@ -3441,19 +3463,73 @@ object Layout {
       op = "evolve", opDeletes = false))
   }
 
-  /** Drop the rename alias chains once NO live generation still
-    * carries an old name — verified against every live gen dir's own
-    * parquet footer (one driver read per generation, the reap cost
-    * class), refusing loudly otherwise. Run after a full rewrite
-    * (compactManifest maxFiles=0 + foldManifestDeltas) retired the old
-    * names; re-enables the planner-integrated index. */
+  /** METADATA-ONLY column drop: the column leaves the stored schema in
+    * one pointer swap — no byte rewritten. Every read path requests
+    * the stored schema, so parquet simply never decodes the retired
+    * column from pre-drop files; old snapshots time-travel WITH it
+    * (their meta keeps the old schema); post-drop merges refuse a
+    * batch still carrying the dead name (the existing extra-column
+    * contract); feeds align each window to the end version's schema.
+    * The name (plus its whole prior alias chain) joins `droppedCols`,
+    * so re-adding it refuses until [[clearManifestAliases]] verifies a
+    * rewrite retired the bytes — the haunted-name discipline renames
+    * already follow. Matters operationally because rename-without-drop
+    * accumulates dead columns on long-lived tables. Partition columns
+    * and the merge spec cannot drop (named remedies). */
+  def dropManifestColumn(spark: SparkSession, path: String,
+                         column: String): Unit =
+      withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    val m = readManifestMeta(spark, path, v)
+    val sch = manifestSchema(m)
+    require(sch.fieldNames.contains(column),
+      s"dropManifestColumn: no column '$column' in " +
+        sch.fieldNames.mkString(", "))
+    require(!m.partitionCols.contains(column),
+      s"dropManifestColumn: '$column' is a partition column — its name " +
+        "is baked into every directory fragment; repartitionManifest " +
+        "to a new layout instead")
+    require(!m.morKeys.exists(_.equalsIgnoreCase(column)) &&
+        !m.morVersionCol.exists(_.equalsIgnoreCase(column)),
+      s"dropManifestColumn: '$column' is part of the table's merge " +
+        "spec (keys/versionCol) — row identity and resolution depend " +
+        "on it; repartition to a re-keyed table instead")
+    require(sch.fields.count(f =>
+        !m.partitionCols.contains(f.name)) > 1,
+      "dropManifestColumn: cannot drop the last data column")
+    val chain = column +: m.colAliases.getOrElse(column, Nil)
+    val ddl = org.apache.spark.sql.types.StructType(
+      sch.fields.filterNot(_.name == column)).toDDL
+    writeManifestMeta(spark, path, m.copy(version = v + 1,
+      schemaDdl = ddl,
+      statsCols = m.statsCols.filterNot(_ == column),
+      bloomCols = m.bloomCols.filterNot(_ == column),
+      stats = m.stats.map { case (rel, cols) => rel -> (cols - column) },
+      blooms = m.blooms.map { case (rel, cols) => rel -> (cols - column) },
+      fileStats = m.fileStats.map { case (rel, files) =>
+        rel -> files.map { case (f, cols) => f -> (cols - column) } },
+      colAliases = m.colAliases - column,
+      droppedCols = (m.droppedCols ++ chain).distinct,
+      op = "evolve", opDeletes = false))
+  }
+
+  /** Drop the rename alias chains AND dropped-column tombstones once
+    * NO live generation still carries a retired name — verified
+    * against every live gen dir's own parquet footer (one driver read
+    * per generation, the reap cost class), refusing loudly otherwise.
+    * Run after a full rewrite (compactManifest maxFiles=0 +
+    * foldManifestDeltas) retired the old names; re-enables the
+    * planner-integrated index (renames) and frees the names for
+    * re-use (drops). */
   def clearManifestAliases(spark: SparkSession, path: String): Unit =
       withMaintenanceLock(spark, path, lockWaitMs(spark)) {
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"$path is not a manifest table"))
     val m = readManifestMeta(spark, path, v)
-    if (m.colAliases.nonEmpty) {
-      val oldNames = m.colAliases.values.flatten.toSet
+    if (m.colAliases.nonEmpty || m.droppedCols.nonEmpty) {
+      val oldNames = m.colAliases.values.flatten.toSet ++ m.droppedCols
       val offenders = inParallel(
           m.allRels.flatMap(r => m.liveGens(r).map(r -> _))) {
         case (rel, g) =>
@@ -3464,11 +3540,12 @@ object Layout {
       }.flatten
       require(offenders.isEmpty,
         s"clearManifestAliases: live generation(s) still carry " +
-          s"pre-rename column names — ${offenders.take(5).mkString("; ")}" +
+          s"retired column names — ${offenders.take(5).mkString("; ")}" +
           "; rewrite them first (compactManifest maxFiles=0 + " +
           "foldManifestDeltas)")
       writeManifestMeta(spark, path, m.copy(version = v + 1,
-        colAliases = Map.empty, op = "evolve", opDeletes = false))
+        colAliases = Map.empty, droppedCols = Nil,
+        op = "evolve", opDeletes = false))
     }
   }
 

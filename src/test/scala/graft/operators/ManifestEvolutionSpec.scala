@@ -88,7 +88,7 @@ class ManifestEvolutionSpec extends SparkSpec {
     // seed generations still carry 'v' on disk right now)
     val e2 = intercept[IllegalArgumentException] {
       Layout.clearManifestAliases(spark, dir) }
-    assert(e2.getMessage.contains("pre-rename column names"),
+    assert(e2.getMessage.contains("retired column names"),
       e2.getMessage)
     val live = Layout.readManifest(spark, dir)
     assert(live.columns.contains("amount") && !live.columns.contains("v"))
@@ -149,5 +149,68 @@ class ManifestEvolutionSpec extends SparkSpec {
     val e4 = intercept[IllegalArgumentException] {
       Layout.renameManifestColumn(spark, dir, "note", "amount") }
     assert(e4.getMessage.contains("RETIRED name"), e4.getMessage)
+  }
+
+  test("dropManifestColumn: metadata-only drop — pre-drop generations " +
+      "never decode the column again, time travel keeps it, post-drop " +
+      "merges refuse the dead name, feeds align, haunted re-add " +
+      "refuses until a rewrite clears it") {
+    val dir = tmpDir("drop")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, "x1", 1L), (2L, "b", 20.0, "x2", 1L))
+        .toDF("k", "part", "v", "note", "ver"),
+      Seq("part"), statsCols = Seq("note"))
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((3L, "a", 30.0, "x3", 2L)).toDF("k", "part", "v", "note", "ver"),
+      Seq("k"), "ver")                                         // v2
+    Layout.dropManifestColumn(spark, dir, "note")              // v3
+    val live = Layout.readManifest(spark, dir)
+    assert(!live.columns.contains("note"))
+    assert(live.select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // stats config dropped with the column (no stale pruning state)
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.statsCols.isEmpty && m.droppedCols.contains("note"))
+    // time travel keeps the column and its values
+    val v2 = Layout.readManifestVersion(spark, dir, 2)
+    assert(v2.columns.contains("note") &&
+      v2.filter(col("k") === 3L).head().getAs[String]("note") == "x3")
+    // post-drop merges refuse the dead name
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.mergeManifest(spark, dir,
+        Seq((4L, "a", 40.0, "x4", 3L))
+          .toDF("k", "part", "v", "note", "ver"), Seq("k"), "ver") }
+    assert(e1.getMessage.contains("note"), e1.getMessage)
+    // ...and the new shape merges fine over pre-drop generations
+    Layout.mergeManifest(spark, dir,
+      Seq((4L, "a", 40.0, 3L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")                                         // v4
+    // the planner index serves the post-drop table (a drop does NOT
+    // block file-level scans: requested columns simply exclude it)
+    assert(Layout.manifestTable(spark, dir).count() == 4)
+    // a feed window CROSSING the drop aligns to its end version's
+    // schema (no dead column); a pre-drop window keeps it
+    assert(Layout.appendsBetween(spark, dir, 1, 2).columns
+      .contains("note"))
+    val feed = Layout.appendsBetween(spark, dir, 1, 3)
+    assert(!feed.columns.contains("note"))
+    assert(feed.select("k").collect().map(_.getLong(0)).toSet == Set(3L))
+    // haunted: re-adding or renaming onto the dropped name refuses
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.evolveManifest(spark, dir, "note STRING") }
+    assert(e2.getMessage.contains("retired"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Layout.renameManifestColumn(spark, dir, "v", "note") }
+    assert(e3.getMessage.contains("RETIRED"), e3.getMessage)
+    // a full rewrite retires the bytes; clearManifestAliases verifies
+    // the footers and frees the name
+    Layout.foldManifestDeltas(spark, dir)
+    Layout.compactManifest(spark, dir, maxFiles = 0)
+    Layout.reapManifest(spark, dir)
+    Layout.clearManifestAliases(spark, dir)
+    Layout.evolveManifest(spark, dir, "note STRING")
+    assert(Layout.readManifest(spark, dir).columns.contains("note"))
   }
 }
