@@ -311,6 +311,134 @@ object Cli {
         val restored = JobsRepo.pullRepo(repo, rest(0))
         out.println(s"restored ${restored.size} job(s)"); 0
 
+      // ---- lakehouse table verbs: the manifest admin surface from
+      // the same one-shot CLI the reference's admin drives everything
+      // with (cli.py:81-92 — jobs there, tables here) ----
+      case "list-tables" =>
+        val root = rest.filterNot(_.contains('=')).headOption.getOrElse {
+          out.println("usage: list-tables <rootDir>"); return 2 }
+        import graft.operators.Layout
+        val spark = cliSpark()
+        val rootP = new org.apache.hadoop.fs.Path(root)
+        val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(rootP)) { out.println(s"no such dir: $root"); return 1 }
+        val tables = fs.listStatus(rootP).filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(p => Layout.manifestVersion(spark, p.toString).isDefined)
+          .sortBy(_.getName)
+        tables.foreach { p =>
+          val v = Layout.manifestVersion(spark, p.toString).get
+          val m = Layout.readManifestMeta(spark, p.toString, v)
+          out.println(f"${p.getName}%-24s v$v%-4d " +
+            f"${if (m.appendOnly) "append-only" else "keyed"}%-12s " +
+            s"partitions=${m.allRels.size} " +
+            s"pendingDeltaRels=${m.deltas.size} " +
+            s"by=(${m.partitionCols.mkString(",")})")
+        }
+        if (tables.isEmpty) out.println("no manifest tables")
+        0
+
+      case "describe-table" =>
+        val path = rest.filterNot(_.contains('=')).headOption.getOrElse {
+          out.println("usage: describe-table <tableDir>"); return 2 }
+        import graft.operators.Layout
+        val spark = cliSpark()
+        Layout.manifestVersion(spark, path) match {
+          case None =>
+            out.println(s"$path is not a manifest table"); 1
+          case Some(v) =>
+            val m = Layout.readManifestMeta(spark, path, v)
+            out.println(s"path: $path")
+            out.println(s"live version: $v (op=${m.op}" +
+              s"${if (m.opDeletes) ", deletes" else ""})")
+            out.println("kind: " +
+              (if (m.appendOnly) "append-only (no merge spec can exist)"
+               else "keyed"))
+            if (m.morKeys.nonEmpty)
+              out.println(s"merge spec: keys=${m.morKeys.mkString(",")} " +
+                s"versionCol=${m.morVersionCol.getOrElse("")}")
+            out.println(s"partitioned by: ${m.partitionCols.mkString(", ")}")
+            out.println(s"partitions: ${m.allRels.size} " +
+              s"(pending-delta: ${m.deltas.size})")
+            val retained = Layout.manifestVersions(spark, path)
+            out.println(s"retained versions: ${retained.mkString(", ")}")
+            if (m.statsCols.nonEmpty)
+              out.println(s"stats columns: ${m.statsCols.mkString(", ")}")
+            if (m.bloomCols.nonEmpty)
+              out.println(s"bloom columns: ${m.bloomCols.mkString(", ")}")
+            if (m.colAliases.nonEmpty)
+              out.println("rename chains: " + m.colAliases.toSeq.sortBy(_._1)
+                .map { case (c, olds) => s"$c<-${olds.mkString("<-")}" }
+                .mkString(", "))
+            if (m.droppedCols.nonEmpty)
+              out.println("dropped (haunted) names: " +
+                m.droppedCols.mkString(", "))
+            out.println("schema:")
+            graft.operators.Layout.manifestSchema(m).fields.foreach(f =>
+              out.println(f"  ${f.name}%-24s ${f.dataType.sql.toLowerCase}" +
+                (if (m.partitionCols.contains(f.name)) "  (partition)"
+                 else "")))
+            val consumers = Layout.feedConsumers(spark, path)
+            if (consumers.nonEmpty)
+              out.println("feed consumers: " + consumers.toSeq.sorted
+                .map { case (n, c) => s"$n@v$c" }.mkString(", "))
+            0
+        }
+
+      case "maintain-table" =>
+        val path = rest.filterNot(_.contains('=')).headOption.getOrElse {
+          out.println("usage: maintain-table <tableDir> " +
+            "[max_pending_deltas=N] [max_files_per_partition=N] " +
+            "[keep_versions=N] [sort_cols=a,b] [zorder_cols=a,b] " +
+            "[ignore_consumers=a,b]"); return 2 }
+        def cols(k: String): Seq[String] = kv.get(k).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val node = graft.models.MaintainModel(path,
+          maxPendingDeltas = kv.getOrElse("max_pending_deltas", "3").toInt,
+          maxFilesPerPartition =
+            kv.getOrElse("max_files_per_partition", "0").toInt,
+          keepVersions = kv.getOrElse("keep_versions", "0").toInt,
+          sortCols = cols("sort_cols"),
+          zorderCols = cols("zorder_cols"),
+          ignoreConsumers = cols("ignore_consumers").toSet)
+        val r = node.execute(StepContext(cliSpark(), Calendar.today()))
+        out.println(s"maintain $path -> " +
+          r.resultLong.getOrElse("(no decisions)"))
+        0
+
+      case "reap-table" =>
+        val path = rest.filterNot(_.contains('=')).headOption.getOrElse {
+          out.println("usage: reap-table <tableDir> [keep_versions=N] " +
+            "[ignore_consumers=a,b]"); return 2 }
+        val deleted = graft.operators.Layout.reapManifest(cliSpark(), path,
+          keepVersions = kv.getOrElse("keep_versions", "1").toInt,
+          ignoreConsumers = kv.get("ignore_consumers").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet)
+        out.println(s"reaped ${deleted.size} object(s)" +
+          (if (deleted.isEmpty) ""
+           else s": ${deleted.take(10).mkString(", ")}" +
+             (if (deleted.size > 10) ", …" else "")))
+        0
+
+      case "table-history" =>
+        val path = rest.filterNot(_.contains('=')).headOption.getOrElse {
+          out.println("usage: table-history <tableDir>"); return 2 }
+        import graft.operators.Layout
+        val spark = cliSpark()
+        val versions = Layout.manifestVersions(spark, path)
+        if (versions.isEmpty) {
+          out.println(s"$path is not a manifest table (or fully reaped)")
+          return 1
+        }
+        versions.foreach { ver =>
+          val m = Layout.readManifestMeta(spark, path, ver)
+          out.println(f"v$ver%-4d op=${m.op}%-12s " +
+            s"${if (m.opDeletes) "deletes " else ""}" +
+            s"partitions=${m.allRels.size} " +
+            s"pendingDeltaRels=${m.deltas.size}")
+        }
+        0
+
       case "history" =>
         val c = db.connect()
         try {
@@ -352,16 +480,22 @@ object Cli {
     (code, text)
   }
 
-  private def runOne(jobId: Long, kv: Map[String, String], repo: Repository,
-                     ledger: JdbcLedger, out: PrintStream): Int = {
-    val cal = kv.get("date").map(Calendar.day).getOrElse(Calendar.today())
-    val tag = cal.start.toEpochSecond(java.time.ZoneOffset.UTC)
+  /** The one-shot verbs' shared local session (table verbs, run-job). */
+  private def cliSpark(): SparkSession = {
     val spark = SparkEntry.configure(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  private def runOne(jobId: Long, kv: Map[String, String], repo: Repository,
+                     ledger: JdbcLedger, out: PrintStream): Int = {
+    val cal = kv.get("date").map(Calendar.day).getOrElse(Calendar.today())
+    val tag = cal.start.toEpochSecond(java.time.ZoneOffset.UTC)
+    val spark = cliSpark()
     val runId = ledger.startRun(jobId, tag)
     val status = repo.loadPipeline(jobId, new SourceRegistry, ledger) match {
       case Some(pipeline) => pipeline.run(spark, cal, runId).status
@@ -395,6 +529,11 @@ object Cli {
     "install" -> "install [dir] — write graft.ini/sources.ini skeletons + create schema",
     "serve" -> "serve [config=ini] [port=] [token=] [duration=sec] — scheduler + REST engine process",
     "status" -> "show SCHEDULER/RESTAPI component liveness (pd_components)",
+    "list-tables" -> "list-tables <rootDir> — manifest tables under a directory",
+    "describe-table" -> "describe-table <tableDir> — schema, merge spec, partitions, retention, consumers",
+    "maintain-table" -> "maintain-table <tableDir> [max_pending_deltas=N] [max_files_per_partition=N] [keep_versions=N] [sort_cols=] [zorder_cols=] [ignore_consumers=]",
+    "reap-table" -> "reap-table <tableDir> [keep_versions=N] [ignore_consumers=a,b] — retention vacuum",
+    "table-history" -> "table-history <tableDir> — retained versions with publish provenance",
     "create-repo" -> "create-repo <dir> [remote=<url>] — git-version the schedule",
     "push-repo" -> "push-repo <dir> [message=<m>]",
     "pull-repo" -> "pull-repo <dir> — restore jobs from the git repo",
@@ -411,5 +550,7 @@ object Cli {
       |  cancel-run <runId> | cancel-job <id> | cancel-jobs | restart-scheduler   (live engine via REST)
       |  create-config [path] | edit-config [path] | edit-script <jobId>
       |  create-repo <dir> [remote=<url>] | push-repo <dir> [message=<m>] | pull-repo <dir>
+      |  list-tables <root> | describe-table <dir> | table-history <dir>
+      |  maintain-table <dir> [knobs] | reap-table <dir> [keep_versions=N]
       |  history | help [verb]""".stripMargin
 }

@@ -2070,6 +2070,21 @@ object Layout {
     fc.delete(new Path(tmpDir), true)
   }
 
+  /** Every RETAINED manifest version number on disk, ascending — the
+    * time-travel window ([[readManifestVersion]] reaches exactly
+    * these; [[reapManifest]] shrinks the list). */
+  def manifestVersions(spark: SparkSession, path: String): Seq[Int] = {
+    val fc = fileContext(spark, path)
+    if (!fc.util.exists(new Path(path))) Nil
+    else fc.util.listStatus(new Path(path)).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory && n.startsWith("_MANIFEST.v") &&
+          n.drop(11).nonEmpty && n.drop(11).forall(_.isDigit))
+        Some(n.drop(11).toInt)
+      else None
+    }.sorted
+  }
+
   /** Read the LIVE snapshot of the manifest table at `path`: the
     * pointer and manifest resolve once, here; the returned DataFrame
     * reads exactly the per-partition generation dirs that manifest

@@ -226,4 +226,51 @@ class CliSpec extends SparkSpec {
     assert(ledger.componentStatus("RESTAPI").exists(_._1 == "N"))
     sched.stop()
   }
+
+  test("table verbs: list/describe/maintain/reap/history drive a real " +
+      "manifest table from the one-shot CLI") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import graft.operators.Layout
+    val root = java.nio.file.Files.createTempDirectory("cli_tables")
+      .toString
+    val dir = s"$root/orders"
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"),
+      statsCols = Seq("k"), keys = Seq("k"), versionCol = Some("ver"))
+    (1 to 3).foreach(i => Layout.mergeManifestDelta(spark, dir,
+      Seq((10L + i, "a", i * 1.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver"))
+    def run(cmd: String*): String = {
+      val out = new ByteArrayOutputStream()
+      assert(Cli.execute(url, cmd.toSeq,
+        new PrintStream(out, true, "UTF-8")) == 0, cmd.mkString(" "))
+      new String(out.toByteArray, "UTF-8")
+    }
+    val listed = run("list-tables", root)
+    assert(listed.contains("orders") && listed.contains("v4") &&
+      listed.contains("keyed"), listed)
+    val desc = run("describe-table", dir)
+    assert(desc.contains("keys=k") && desc.contains("versionCol=ver"),
+      desc)
+    assert(desc.contains("partitioned by: part") &&
+      desc.contains("pending-delta: 1"), desc)
+    assert(desc.contains("retained versions: 1, 2, 3, 4"), desc)
+    assert(desc.contains("v ") && desc.contains("double"), desc)
+    val hist = run("table-history", dir)
+    assert(hist.contains("op=seed") && hist.contains("op=delta"), hist)
+    // maintain folds the deep partition, then reap with consent
+    val maint = run("maintain-table", dir, "max_pending_deltas=3")
+    assert(maint.contains("fold=part=a"), maint)
+    val reaped = run("reap-table", dir, "keep_versions=1")
+    assert(reaped.contains("reaped") && !reaped.contains("reaped 0"),
+      reaped)
+    assert(Layout.readManifest(spark, dir).count() == 5)
+    // a non-table path reports instead of stack-tracing
+    val out2 = new ByteArrayOutputStream()
+    assert(Cli.execute(url, Seq("describe-table", s"$root/nope"),
+      new PrintStream(out2, true, "UTF-8")) == 1)
+    assert(new String(out2.toByteArray, "UTF-8")
+      .contains("not a manifest table"))
+  }
 }

@@ -97,6 +97,65 @@ class SurfacesSpec extends SparkSpec {
     assert(Layout.readManifest(spark, dir).count() == 7)
   }
 
+  test("Maintain on a DECLARED append-only table: crossing the file " +
+      "threshold compacts it, and a LAGGING appends-mode streaming " +
+      "consumer drains across the compaction hash-exact") {
+    import graft.operators.Layout
+    import spark.implicits._
+    val root = Files.createTempDirectory("cfg_maintain_ao").toString
+    val dir = s"$root/t"
+    val sink = s"$root/sink"
+    val ckpt = s"$root/ckpt"
+    // a multi-file base: small maxRecordsPerFile splits each partition
+    // dir into ~5 files at seed time (the shape months of paced ingest
+    // folds leave behind)
+    val mrKey = "spark.sql.files.maxRecordsPerFile"
+    spark.conf.set(mrKey, "10")
+    try Layout.writeManifestTable(spark, dir,
+      (1L to 100L).map(i => (i, s"p${i % 2}", i * 1.0))
+        .toDF("k", "part", "v"), Seq("part"), appendOnly = true)  // v1
+    finally spark.conf.unset(mrKey)
+    Layout.appendManifest(spark, dir,
+      (101L to 110L).map(i => (i, s"p${i % 2}", i * 1.0))
+        .toDF("k", "part", "v"))                                  // v2
+    def drain(): Unit = {
+      val q = spark.readStream.format("manifest-feed")
+        .option("path", dir).option("startingVersion", "earliest")
+        .option("consumer", "ao_lag").load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // the consumer is current through v2
+    // the Maintain policy: file threshold crossed -> compact; the
+    // pending spec-less append stays pending (fold threshold not set)
+    val r = PipelineConfig.registry("Maintain")(
+      Map("path" -> dir, "max_pending_deltas" -> "99",
+        "max_files_per_partition" -> "2"), new SourceRegistry)
+      .asInstanceOf[graft.models.MaintainModel]
+      .execute(StepContext(spark, Calendar.day("2023-01-01")))  // v3
+    assert(r.resultLong.exists(s => s.contains("compact=") &&
+      !s.contains("compact=0")), r.resultLong.toString)
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.appendOnly && m.deltas.nonEmpty,
+      "the declaration and the pending append must survive compaction")
+    Layout.appendManifest(spark, dir,
+      (111L to 115L).map(i => (i, s"p${i % 2}", i * 1.0))
+        .toDF("k", "part", "v"))                                  // v4
+    drain() // LAGGING consumer crosses the compaction: row-identical
+            // re-layout emits NOTHING, only v4's rows arrive
+    val got = spark.read.parquet(sink).select("k", "v").collect()
+    assert(got.length == 115,
+      s"the compaction must emit nothing into the feed (${got.length})")
+    assert(got.map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap ==
+      Layout.readManifest(spark, dir).select("k", "v").collect()
+        .map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap,
+      "the drained feed must equal the table across the compaction")
+  }
+
   test("config-driven merge-on-read lifecycle: mor Merge, FoldDeltas, " +
       "Reap as one scheduled pipeline") {
     import graft.operators.Layout
