@@ -57,14 +57,15 @@ object Layout {
       .forall(s => s == "file" || s.isEmpty)
     val deadline = System.nanoTime() + waitMs * 1000000L
     val staleMs = leaseStaleMs(spark)
-    var out: org.apache.hadoop.fs.FSDataOutputStream = null
-    while (out == null) {
-      try out = fc.create(lock,
-        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
-        org.apache.hadoop.fs.Options.CreateOpts.createParent())
-      catch { case _: java.io.IOException =>
+    val ownerInfo =
+      s"pid=${ProcessHandle.current().pid()} thread=${Thread.currentThread().getName}"
+    var acquired = false
+    while (!acquired) {
+      if (atomicCreateExclusive(fc, lock, isLocal, ownerInfo))
+        acquired = true
+      else {
         // LIVENESS, two probes — both single-winner through the same
-        // atomic `.break` claim file, both re-verifying the lock's
+        // exclusive `.break` claim file, both re-verifying the lock's
         // state AFTER winning the claim (a claim won against an
         // already-re-created lock must never delete the new holder):
         //  - pid probe (local filesystems): the lock records its
@@ -77,8 +78,8 @@ object Layout {
         //    means nothing — and breaks. The margin (default 40 s vs
         //    a 5 s refresh) absorbs GC pauses and filesystem clock
         //    skew; a live holder's heartbeat keeps the mtime fresh.
-        if (isLocal && breakDeadOwnerLock(fc, lock)) ()
-        else if (breakStaleLease(fc, lock, staleMs)) ()
+        if (isLocal && breakDeadOwnerLock(fc, lock, isLocal)) ()
+        else if (breakStaleLease(fc, lock, isLocal, staleMs)) ()
         else if (System.nanoTime() < deadline) Thread.sleep(100)
         else throw new IllegalStateException(
           s"another maintenance writer holds $lock for table $path " +
@@ -89,18 +90,53 @@ object Layout {
           "if this persists with no live writer, delete the lock file")
       }
     }
-    // Everything after the atomic create runs under the same finally
-    // that releases the lease: an IO error writing the owner info (the
-    // liveness probe's input — the create alone IS the lease) must
-    // not leak the lock file and wedge all maintenance on the table.
-    try {
-      try out.write(
-        s"pid=${ProcessHandle.current().pid()} thread=${Thread.currentThread().getName}"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      withLeaseHeartbeat(fc, lock, leaseHeartbeatMs(spark)) { body }
-    } finally { if (fc.util.exists(lock)) fc.delete(lock, false); () }
+    try withLeaseHeartbeat(fc, lock, leaseHeartbeatMs(spark)) { body }
+    finally { if (fc.util.exists(lock)) fc.delete(lock, false); () }
   }
+
+  /** ATOMIC create-exclusive of a lock/claim file, owner info
+    * included. Hadoop's local `create(CreateFlag.CREATE)` is
+    * check-then-create — NOT exclusive: two racing acquirers can both
+    * "win" (found by ConcStressProbe at 7 contending threads; the
+    * 2-thread gates never hit the window) — so local paths go through
+    * NIO's O_EXCL `CREATE_NEW`. HDFS-like filesystems get real
+    * exclusivity from the namenode via CreateFlag.CREATE; object
+    * stores without atomic create keep the documented manual-remedy
+    * caveat. */
+  private def atomicCreateExclusive(fc: FileContext, p: Path,
+                                    isLocal: Boolean,
+                                    content: String): Boolean =
+    if (isLocal) {
+      try {
+        val nio = java.nio.file.Paths.get(p.toUri.getPath)
+        Option(nio.getParent).foreach(par =>
+          java.nio.file.Files.createDirectories(par))
+        java.nio.file.Files.write(nio,
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try {
+        val out = fc.create(p,
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+          org.apache.hadoop.fs.Options.CreateOpts.createParent())
+        // the create alone IS the lease; an IO error writing the owner
+        // info must not leak the file and wedge the table
+        try {
+          try out.write(content.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException =>
+          if (fc.util.exists(p)) fc.delete(p, false); false
+        }
+      } catch { case _: java.io.IOException => false }
+    }
 
   /** How often a lease holder refreshes its lock file's mtime (the
     * remote-host liveness signal) and how stale that mtime must be
@@ -138,12 +174,12 @@ object Layout {
     * a lock deleted-and-re-created by a concurrent breaker + new
     * holder has a fresh mtime and is refused. */
   private def breakStaleLease(fc: FileContext, lock: Path,
-                              staleMs: Long): Boolean = {
+                              isLocal: Boolean, staleMs: Long): Boolean = {
     def stale: Boolean =
       try System.currentTimeMillis() -
         fc.getFileStatus(lock).getModificationTime > staleMs
       catch { case _: java.io.IOException => false }
-    stale && underBreakClaim(fc, lock) {
+    stale && underBreakClaim(fc, lock, isLocal) {
       if (stale) { if (fc.util.exists(lock)) fc.delete(lock, false); true }
       else false
     }
@@ -153,17 +189,11 @@ object Layout {
     * atomically created the `.break` claim file (released after), so
     * two waiters can never each delete what the other just re-created.
     * Returns false when the claim was lost or `decide` declined. */
-  private def underBreakClaim(fc: FileContext, lock: Path)
+  private def underBreakClaim(fc: FileContext, lock: Path,
+                              isLocal: Boolean)
                              (decide: => Boolean): Boolean = {
     val claim = new Path(lock.getParent, lock.getName + ".break")
-    val won =
-      try {
-        fc.create(claim,
-          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
-          org.apache.hadoop.fs.Options.CreateOpts.createParent()).close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (!won) false
+    if (!atomicCreateExclusive(fc, claim, isLocal, "")) false
     else try decide finally fc.delete(claim, false)
   }
 
@@ -178,7 +208,8 @@ object Layout {
     * dead pid, then stalled while another waiter broke the lock and a
     * NEW writer re-acquired it, must see the re-created lock's LIVE
     * pid and refuse, not delete the fresh lease on stale evidence. */
-  private def breakDeadOwnerLock(fc: FileContext, lock: Path): Boolean = {
+  private def breakDeadOwnerLock(fc: FileContext, lock: Path,
+                                 isLocal: Boolean): Boolean = {
     def ownerDead: Boolean = {
       val pid =
         try {
@@ -192,7 +223,7 @@ object Layout {
         !h.isPresent || !h.get.isAlive
       }
     }
-    ownerDead && underBreakClaim(fc, lock) {
+    ownerDead && underBreakClaim(fc, lock, isLocal) {
       // re-verify under the claim: the lock as it exists NOW (possibly
       // re-created since the pre-claim read) must itself name a dead
       // owner for the delete to be sound
@@ -884,16 +915,51 @@ object Layout {
   }
 
   /** Live manifest version of the table at `path`, or None if `path` is
-    * not a manifest table. */
+    * not a manifest table.
+    *
+    * MID-SWAP WINDOW: Hadoop's `Rename.OVERWRITE` is delete-then-
+    * rename on several filesystems (RawLocal included), so a reader
+    * can catch the microsecond window where the pointer file is ABSENT
+    * while a commit replaces it (found by ConcStressProbe at 7
+    * threads; the 2-thread gates never hit it). A true manifest table
+    * always has `_MANIFEST.v*` files, so absence WITH version files
+    * present means mid-swap — retry briefly instead of mis-answering
+    * "not a manifest table"; a plain directory (no version files)
+    * still answers None immediately. */
   def manifestVersion(spark: SparkSession, path: String): Option[Int] = {
     val fc = fileContext(spark, path)
     val cur = new Path(path, ManifestPointer)
-    if (!fc.util.exists(cur)) None
-    else {
-      val in = fc.open(cur)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
-      finally in.close()
+    def read(): Option[Int] =
+      try {
+        if (!fc.util.exists(cur)) None
+        else {
+          val in = fc.open(cur)
+          try Some(new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+          finally in.close()
+        }
+      } catch { case _: java.io.IOException => None } // deleted mid-read
+    read().orElse {
+      val tableExists =
+        try fc.util.exists(new Path(path))
+        catch { case _: java.io.IOException => false }
+      val hasVersions = tableExists &&
+        fc.util.listStatus(new Path(path)).exists(st =>
+          !st.isDirectory &&
+            st.getPath.getName.startsWith("_MANIFEST.v"))
+      if (!hasVersions) None
+      else {
+        var got: Option[Int] = None
+        var attempt = 0
+        while (got.isEmpty && attempt < 40) {
+          Thread.sleep(50); got = read(); attempt += 1
+        }
+        Some(got.getOrElse(throw new IllegalStateException(
+          s"$path has _MANIFEST.v* version files but no readable " +
+            s"$ManifestPointer after 2s — a writer crashed between the " +
+            "pointer delete and rename; restore the pointer to the " +
+            "highest COMMITTED version (or re-publish)")))
+      }
     }
   }
 
@@ -2168,6 +2234,13 @@ object Layout {
   // version is the linearization point; Delta Lake's
   // OptimisticTransaction check-and-retry discipline).
 
+  /** Optimistic-commit conflicts observed process-wide (a commit found
+    * concurrent publishes it could not rebase over and retried from a
+    * fresh snapshot). Diagnostics only — the ConcStressProbe reads it;
+    * correctness never depends on the count. */
+  private[graft] val commitConflicts =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private def uniqueTmpDir(path: String): String =
     s"$path.__manifest_tmp.${java.util.UUID.randomUUID().toString.take(12)}"
 
@@ -2483,7 +2556,9 @@ object Layout {
           }
         outcome match {
           case Right(applied) => return applied
-          case Left(reason) => lastConflict = reason // retry fresh
+          case Left(reason) =>
+            commitConflicts.incrementAndGet()
+            lastConflict = reason // retry fresh
         }
       } finally { fc.delete(new Path(tmpDir), true); () }
     }
@@ -2705,7 +2780,9 @@ object Layout {
           }
         outcome match {
           case Right(applied) => return applied
-          case Left(reason) => lastConflict = reason
+          case Left(reason) =>
+            commitConflicts.incrementAndGet()
+            lastConflict = reason
         }
       } finally { fc.delete(new Path(tmpDir), true); () }
     }
@@ -2856,7 +2933,9 @@ object Layout {
           }
         outcome match {
           case Right(applied) => return applied
-          case Left(reason) => lastConflict = reason // retry fresh
+          case Left(reason) =>
+            commitConflicts.incrementAndGet()
+            lastConflict = reason // retry fresh
         }
       } finally { fc.delete(new Path(tmpDir), true); () }
     }
