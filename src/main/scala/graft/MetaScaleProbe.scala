@@ -86,16 +86,20 @@ object MetaScaleProbe {
         Runtime.getRuntime.freeMemory
       println(f"[metascale] $tag meta heap ~ ${(h1 - h0) / 1e6}%.1f MB " +
         s"(fileStats rels=${m.fileStats.size})")
-      // trickle-CDC unit of work at this file population
-      time(s"$tag small delta merge (100 rows)") {
+      // trickle-CDC unit of work at this file population — ONE
+      // partition touched (the realistic trickle shape; a batch
+      // scattered over every partition touches every metadata shard
+      // and defeats the hierarchical win by construction)
+      val preBytes = bytesOf(dir)
+      time(s"$tag single-partition delta merge (100 rows)") {
         Layout.mergeManifestDelta(spark, dir,
           spark.range(100).select((col("id") + rows).as("k"),
-            pmod(col("id"), lit(parts)).as("band"),
+            lit(7L).as("band"),
             lit(1.0).as("v"), lit(2L).as("ver")),
           Seq("k"), "ver")
       }
-      println(s"[metascale] $tag post-delta metadata bytes: " +
-        s"${bytesOf(dir)}")
+      println(s"[metascale] $tag metadata bytes WRITTEN by that " +
+        s"publish: ${bytesOf(dir) - preBytes}")
       time(s"$tag fold (re-tighten)") {
         Layout.foldManifestDeltas(spark, dir)
       }

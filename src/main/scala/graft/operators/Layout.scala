@@ -1025,10 +1025,19 @@ object Layout {
     * same content address). */
   private def putRelMaps(m: ManifestMeta, rels: Set[String],
                          node: ObjectNode): Unit = {
+    // every section guards on ITS OWN filtered content, never on the
+    // table-wide map: a table-level empty->nonempty transition (the
+    // first pending delta anywhere, the first recorded bytes) must not
+    // change the serialized bytes of UNRELATED shards — MetaScaleProbe
+    // caught the first delta merge on a 100k-file hierarchical table
+    // rewriting all 64 content-addressed shards (11.4 MB) because an
+    // empty `"deltas": {}` object appeared in each; with per-shard
+    // guards a publish rewrites the root plus only the TOUCHED shards
     val en = node.putObject("entries")
     m.entries.view.filterKeys(rels).toSeq.sortBy(_._1)
       .foreach { case (k, v) => en.put(k, v) }
-    if (m.statsCols.nonEmpty) {
+    if (m.statsCols.nonEmpty &&
+        m.stats.view.filterKeys(rels).nonEmpty) {
       val st = node.putObject("stats")
       m.stats.view.filterKeys(rels).toSeq.sortBy(_._1)
         .foreach { case (rel, cols) =>
@@ -1040,7 +1049,8 @@ object Layout {
           }
         }
     }
-    if (m.bloomCols.nonEmpty) {
+    if (m.bloomCols.nonEmpty &&
+        m.blooms.view.filterKeys(rels).nonEmpty) {
       val bl = node.putObject("blooms")
       m.blooms.view.filterKeys(rels).toSeq.sortBy(_._1)
         .foreach { case (rel, cols) =>
@@ -1050,12 +1060,12 @@ object Layout {
           }
         }
     }
-    if (m.bytes.nonEmpty) {
+    if (m.bytes.view.filterKeys(rels).nonEmpty) {
       val bn = node.putObject("bytes")
       m.bytes.view.filterKeys(rels).toSeq.sortBy(_._1)
         .foreach { case (rel, n) => bn.put(rel, n) }
     }
-    if (m.deltas.nonEmpty) {
+    if (m.deltas.view.filterKeys(rels).nonEmpty) {
       val dn = node.putObject("deltas")
       m.deltas.view.filterKeys(rels).toSeq.sortBy(_._1)
         .foreach { case (rel, gens) =>
@@ -1063,7 +1073,7 @@ object Layout {
           gens.foreach(arr.add)
         }
     }
-    if (m.fileStats.nonEmpty) {
+    if (m.fileStats.view.filterKeys(rels).nonEmpty) {
       val fn = node.putObject("fileStats")
       m.fileStats.view.filterKeys(rels).toSeq.sortBy(_._1)
         .foreach { case (rel, files) =>
