@@ -553,7 +553,7 @@ object Layout {
     try out.write(gen.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    atomicReplace(fc, tmp, cur)
   }
 
   /** Read the LIVE generation of the table at `path` — the pointer is
@@ -1095,6 +1095,27 @@ object Layout {
     try in.readAllBytes() finally in.close()
   }
 
+  /** Atomically replace `dst` with `tmp` — the pointer-swap primitive.
+    * Hadoop's `Rename.OVERWRITE` is delete-then-rename on several
+    * filesystems, leaving a reader-visible absence window
+    * (ConcStressProbe caught readers falling into it); on LOCAL
+    * filesystems NIO's ATOMIC_MOVE maps to rename(2), which replaces
+    * in one step — no window at all. Remote filesystems keep the
+    * Hadoop rename (HDFS's is atomic server-side) plus the readers'
+    * mid-swap retry as the backstop. */
+  private def atomicReplace(fc: FileContext, tmp: Path, dst: Path): Unit = {
+    val local = Option(tmp.toUri.getScheme)
+      .forall(s => s == "file" || s.isEmpty)
+    if (local)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    ()
+  }
+
   /** Parse the root of manifest `version`: the HEADER meta (schema,
     * partition cols, specs, bucket bounds — per-rel maps populated
     * only for FLAT manifests) plus the bucket references of a
@@ -1371,7 +1392,7 @@ object Layout {
     val cur = new Path(path, ManifestPointer)
     writeFile(fc, tmp, m.version.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
-    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    atomicReplace(fc, tmp, cur)
   }
 
   /** Next generation number for `rel` that collides with NOTHING:
@@ -3353,7 +3374,7 @@ object Layout {
     val tmp = new Path(path, s"_FEED.$consumer.tmp")
     writeFile(fc, tmp, version.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
-    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    atomicReplace(fc, tmp, cur)
   }
 
   /** Remove `consumer`'s cursor — an abandoned consumer, or the
