@@ -30,6 +30,14 @@ import scala.jdk.CollectionConverters._
   *   GET  /api/history       - completed runs
   *   POST /api/sync-repo     - pull the git job repo, register restored
   *                             jobs (web.py:310-322; needs repo+repoDir)
+  *
+  * Lakehouse table verbs (the CLI table surface over HTTP):
+  *   GET  /api/tables         - param: root (manifest tables under it)
+  *   GET  /api/describe-table - param: path (schema, merge spec,
+  *                              retention window, consumers)
+  *   POST /api/maintain-table - params: path [, max_pending_deltas,
+  *                              max_files_per_partition, keep_versions]
+  *   POST /api/reap-table     - params: path [, keep_versions]
   */
 final class RestServer(driver: Driver, token: String, port: Int = 0,
                        repo: Option[graft.core.Repository] = None,
@@ -69,7 +77,22 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
     "/api/run-job", "/api/cancel-run", "/api/cancel-job",
     "/api/cancel-jobs", "/api/deactivate-run",
     "/api/start-scheduler", "/api/stop-scheduler",
-    "/api/history", "/api/sync-repo")
+    "/api/history", "/api/sync-repo",
+    "/api/tables", "/api/describe-table", "/api/maintain-table",
+    "/api/reap-table")
+
+  /** The table verbs' local session (lazy: job-only deployments never
+    * start Spark for the REST process). */
+  private lazy val tableSpark: org.apache.spark.sql.SparkSession = {
+    val s = graft.SparkEntry.configure(
+      org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        .config("spark.ui.enabled", "false")).getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
 
   private def handle(ex: HttpExchange): Unit = {
     if (!authed(ex)) { respond(ex, 401, """{"error":"unauthorized"}"""); return }
@@ -141,6 +164,68 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
             s"""{"run_id":${r.runId},"job_id":${r.job.id},"tag":${r.tag},"status":"$st"}"""
           }
           respond(ex, 200, rows.mkString("[", ",", "]"))
+        // ---- lakehouse table verbs (the CLI surface over HTTP) ----
+        case "/api/tables" =>
+          import graft.operators.Layout
+          val root = params(ex)("root")
+          val rootP = new org.apache.hadoop.fs.Path(root)
+          val fs = rootP.getFileSystem(
+            tableSpark.sparkContext.hadoopConfiguration)
+          val rows =
+            if (!fs.exists(rootP)) Nil
+            else fs.listStatus(rootP).toSeq.filter(_.isDirectory)
+              .map(_.getPath).sortBy(_.getName).flatMap { p =>
+                Layout.manifestVersion(tableSpark, p.toString).map { v =>
+                  val m = Layout.readManifestMeta(tableSpark, p.toString, v)
+                  s"""{"name":"${esc(p.getName)}","version":$v,""" +
+                    s""""appendOnly":${m.appendOnly},""" +
+                    s""""partitions":${m.allRels.size},""" +
+                    s""""pendingDeltaRels":${m.deltas.size}}"""
+                }
+              }
+          respond(ex, 200, rows.mkString("[", ",", "]"))
+        case "/api/describe-table" =>
+          import graft.operators.Layout
+          val path = params(ex)("path")
+          Layout.manifestVersion(tableSpark, path) match {
+            case None =>
+              respond(ex, 404, """{"error":"not a manifest table"}""")
+            case Some(v) =>
+              val m = Layout.readManifestMeta(tableSpark, path, v)
+              val sch = Layout.manifestSchema(m)
+              respond(ex, 200,
+                s"""{"path":"${esc(path)}","version":$v,""" +
+                s""""op":"${esc(m.op)}","appendOnly":${m.appendOnly},""" +
+                s""""keys":[${m.morKeys.map(k => s""""${esc(k)}"""")
+                  .mkString(",")}],""" +
+                s""""versionCol":${m.morVersionCol
+                  .map(c => s""""${esc(c)}"""").getOrElse("null")},""" +
+                s""""partitionCols":[${m.partitionCols
+                  .map(c => s""""${esc(c)}"""").mkString(",")}],""" +
+                s""""partitions":${m.allRels.size},""" +
+                s""""pendingDeltaRels":${m.deltas.size},""" +
+                s""""retainedVersions":[${Layout
+                  .manifestVersions(tableSpark, path).mkString(",")}],""" +
+                s""""schema":[${sch.fields.map(f =>
+                  s"""{"name":"${esc(f.name)}","type":"${esc(
+                    f.dataType.sql.toLowerCase)}"}""").mkString(",")}]}""")
+          }
+        case "/api/maintain-table" =>
+          val p = params(ex)
+          val node = graft.models.MaintainModel(p("path"),
+            maxPendingDeltas = p.getOrElse("max_pending_deltas", "3").toInt,
+            maxFilesPerPartition =
+              p.getOrElse("max_files_per_partition", "0").toInt,
+            keepVersions = p.getOrElse("keep_versions", "0").toInt)
+          val r = node.execute(graft.core.StepContext(tableSpark,
+            graft.core.Calendar.today()))
+          respond(ex, 200,
+            s"""{"decisions":"${esc(r.resultLong.getOrElse(""))}"}""")
+        case "/api/reap-table" =>
+          val p = params(ex)
+          val deleted = graft.operators.Layout.reapManifest(tableSpark,
+            p("path"), keepVersions = p.getOrElse("keep_versions", "1").toInt)
+          respond(ex, 200, s"""{"reaped":${deleted.size}}""")
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
     } catch {

@@ -145,4 +145,54 @@ class RestServerSpec extends AnyFunSuite {
     assert(sched.job(id).isEmpty)
     sched.stop()
   }
+
+  test("lakehouse table verbs over REST: tables/describe/maintain/reap") {
+    val spark = graft.SparkSpec.session // shared local session
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import graft.operators.Layout
+    val root = java.nio.file.Files.createTempDirectory("rest_tables")
+      .toString
+    val dir = s"$root/orders"
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"),
+      keys = Seq("k"), versionCol = Some("ver"))
+    (1 to 3).foreach(i => Layout.mergeManifestDelta(spark, dir,
+      Seq((10L + i, "a", i * 1.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver"))
+    val srv = new RestServer(new Driver(new Scheduler(new Recorder)),
+      token = "s3cret").start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    val http = HttpClient.newHttpClient()
+    def call(path: String, post: Option[String] = None):
+        HttpResponse[String] = {
+      var b = HttpRequest.newBuilder(URI.create(base + path))
+        .header("Authorization", "Bearer s3cret")
+      post.foreach(p0 => b = b.POST(HttpRequest.BodyPublishers.ofString(p0)))
+      http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    def enc(s0: String): String =
+      java.net.URLEncoder.encode(s0, "UTF-8")
+    try {
+      val listed = call(s"/api/tables?root=${enc(root)}").body()
+      assert(listed.contains("\"name\":\"orders\"") &&
+        listed.contains("\"version\":4") &&
+        listed.contains("\"pendingDeltaRels\":1"), listed)
+      val desc = call(s"/api/describe-table?path=${enc(dir)}").body()
+      assert(desc.contains("\"keys\":[\"k\"]") &&
+        desc.contains("\"versionCol\":\"ver\"") &&
+        desc.contains("\"retainedVersions\":[1,2,3,4]") &&
+        desc.contains("\"name\":\"part\""), desc)
+      assert(call(s"/api/describe-table?path=${enc(root)}/nope")
+        .statusCode() == 404)
+      val maint = call("/api/maintain-table", post = Some(
+        s"path=${enc(dir)}&max_pending_deltas=3")).body()
+      assert(maint.contains("fold=part=a"), maint)
+      val reaped = call("/api/reap-table", post = Some(
+        s"path=${enc(dir)}&keep_versions=1")).body()
+      assert(reaped.contains("\"reaped\":") &&
+        !reaped.contains("\"reaped\":0"), reaped)
+      assert(Layout.readManifest(spark, dir).count() == 5)
+    } finally srv.stop()
+  }
 }
