@@ -432,7 +432,10 @@ object Cli {
         }
         versions.foreach { ver =>
           val m = Layout.readManifestMeta(spark, path, ver)
-          out.println(f"v$ver%-4d op=${m.op}%-12s " +
+          val at =
+            if (m.publishedAtMs <= 0L) "-"
+            else java.time.Instant.ofEpochMilli(m.publishedAtMs).toString
+          out.println(f"v$ver%-4d $at%-26s op=${m.op}%-12s " +
             s"${if (m.opDeletes) "deletes " else ""}" +
             s"partitions=${m.allRels.size} " +
             s"pendingDeltaRels=${m.deltas.size}")

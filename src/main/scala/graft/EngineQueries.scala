@@ -1525,6 +1525,226 @@ object EngineQueries {
     // time-travels WITH the column, re-adding the haunted name refuses
     // until a rewrite clears it (all pinned in-gate); the post-drop
     // merge arithmetic over pre-drop generations is the oracle.
+    // SQL DDL schema evolution by bare table name — ALTER TABLE
+    // ADD COLUMNS / RENAME COLUMN / ALTER COLUMN TYPE / DROP COLUMN
+    // over a catalog-registered manifest table (parser-seam rewrites;
+    // Spark's own analyzer refuses all four on v1 tables). Every verb
+    // is metadata-only on the table AND moves the catalog entry, so
+    // the next bare-name scan serves the new shape with no re-CREATE.
+    // In-gate pins: the added column fills via UPDATE before being
+    // dropped, DESCRIBE tracks each step, v1 time-travels under the
+    // original schema, and the haunted re-add refuses. The oracle
+    // recomputes the post-lifecycle table.
+    "m80_manifest_sql_ddl" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("sqlddl")}/ord"
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+          pmod(col("o_orderkey"), lit(100)).cast("int").as("qty"),
+          col("o_totalprice"), lit(1L).as("ver"))
+        .write.format("manifest").option("path", out)
+        .option("partitionCols", "o_year")
+        .option("keys", "o_orderkey").option("versionCol", "ver")
+        .mode("overwrite").save()                                 // v1
+      s.sql("DROP TABLE IF EXISTS m80_t")
+      s.sql(s"CREATE TABLE m80_t USING manifest OPTIONS (path '$out')")
+      s.sql("ALTER TABLE m80_t ADD COLUMNS (note STRING)")        // v2
+      def descCols() = s.sql("DESCRIBE TABLE m80_t").collect()
+        .map(_.getString(0)).toSeq
+      require(descCols().contains("note"),
+        "DESCRIBE must show the added column immediately")
+      // fill the new column through plain bare-name DML
+      s.sql("UPDATE m80_t SET note = 'flagged', ver = CAST(2 AS BIGINT) " +
+        "WHERE o_orderkey % 10 = 0")                              // v3
+      val filled = s.sql(
+        "SELECT count(*) FROM m80_t WHERE note = 'flagged'")
+        .head().getLong(0)
+      require(filled > 0L, "the added column must fill through UPDATE")
+      s.sql("ALTER TABLE m80_t RENAME COLUMN qty TO quantity")    // v4
+      s.sql("ALTER TABLE m80_t ALTER COLUMN quantity TYPE BIGINT") // v5
+      s.sql("ALTER TABLE m80_t DROP COLUMN note")                 // v6
+      val cols = descCols()
+      require(cols.contains("quantity") && !cols.contains("qty") &&
+          !cols.contains("note"),
+        s"DESCRIBE must track the full lifecycle (${cols.take(8)})")
+      // the haunted re-add refuses: 'note' may still live in files
+      val haunted =
+        try { s.sql("ALTER TABLE m80_t ADD COLUMNS (note STRING)"); false }
+        catch { case e: Exception => val m = e.getMessage
+          m != null && m.contains("retired") }
+      require(haunted, "re-adding a dropped column must refuse")
+      // v1 time-travels under the ORIGINAL schema, by bare name
+      val v1cols = s.sql("SELECT * FROM m80_t VERSION AS OF 1").columns
+      require(v1cols.contains("qty") && !v1cols.contains("note"),
+        s"v1 must keep its own schema (${v1cols.mkString(",")})")
+      // a FRESH session reads the final shape live
+      s.newSession()
+        .sql("SELECT o_orderkey, o_year, quantity, o_totalprice, ver " +
+          "FROM m80_t")
+        .select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+          col("quantity"), col("o_totalprice"), col("ver"))
+    }),
+
+    // SQL-admin table functions: `manifest_history`, `manifest_appends`
+    // and `manifest_changes` as FROM-clause relations (injected via
+    // SparkSessionExtensions.injectTableFunction) — the DESCRIBE
+    // HISTORY / table_changes posture, so a SQL-only operator inspects
+    // and incrementally consumes a table with zero Scala. In-gate
+    // pins: history rows carry the exact version/op/stamp sequence,
+    // and the change diff agrees with the append feed on a pure-append
+    // window; the oracle hashes the append feed itself.
+    "m79_manifest_sql_tvf" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("tvf")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"), col("o_totalprice"),
+        lit(1L).as("ver"))
+      def slice(r: Int) =
+        rows.filter(pmod(col("o_orderkey"), lit(3)) === r)
+      Layout.writeManifestTable(s, out, slice(0), Seq("o_year"))  // v1
+      Layout.mergeManifestDelta(s, out, slice(1),
+        Seq("o_orderkey"), "ver")                                 // v2
+      Layout.mergeManifestDelta(s, out, slice(2),
+        Seq("o_orderkey"), "ver")                                 // v3
+      val hist = s.sql(s"SELECT * FROM manifest_history('$out')")
+        .collect()
+      require(hist.map(_.getInt(0)).toSeq == Seq(1, 2, 3),
+        s"history must list every retained version " +
+          s"(${hist.map(_.getInt(0)).mkString(",")})")
+      require(hist.map(_.getString(2)).toSeq ==
+          Seq("seed", "delta", "delta"),
+        s"history must carry publish provenance " +
+          s"(${hist.map(_.getString(2)).mkString(",")})")
+      val stamps = hist.map(_.getTimestamp(1).getTime).toSeq
+      require(stamps.forall(_ > 0L) && stamps == stamps.sorted,
+        s"history stamps must be present and monotone ($stamps)")
+      // the change diff agrees with the append feed on a pure-append
+      // window (every change is an insert)
+      val nCh = s.sql(
+        s"SELECT count(*) FROM manifest_changes('$out', 1, 3)")
+        .head().getLong(0)
+      val nAp = s.sql(
+        s"SELECT count(*) FROM manifest_appends('$out', 1, 3)")
+        .head().getLong(0)
+      require(nCh == nAp,
+        s"diff vs append feed disagree on a pure-append window " +
+          s"($nCh vs $nAp)")
+      s.sql("SELECT o_orderkey, o_year, o_totalprice, ver " +
+          s"FROM manifest_appends('$out', 1, 3)")
+        .select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+          col("o_totalprice"), col("ver"))
+    }),
+
+    // TIMESTAMP AS OF — snapshot-by-time travel: every publish stamps
+    // its wall clock into the version root, and both the SQL clause
+    // (parser seam, bare table name) and the DataFrame option
+    // (`timestampAsOf`) binary-search the retained window for the
+    // newest version published at or before the instant. In-gate pins:
+    // an instant between two publishes serves the EARLIER one, a
+    // too-early instant refuses naming the earliest retained stamp,
+    // and "as of the last publish" serves the live table (the oracle).
+    "m78_manifest_timestamp_travel" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("tstravel")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"), col("o_totalprice"),
+        lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out, rows, Seq("o_year"),
+        keys = Seq("o_orderkey"), versionCol = Some("ver"))      // v1
+      val ts1 = Layout.readManifestMeta(s, out, 1).publishedAtMs
+      require(ts1 > 0L, "the seed must record its publish stamp")
+      Thread.sleep(20) // strictly separate the two stamps
+      Layout.mergeManifest(s, out,
+        rows.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("ver", lit(2L)),
+        Seq("o_orderkey"), "ver")                                // v2
+      val ts2 = Layout.readManifestMeta(s, out, 2).publishedAtMs
+      require(ts2 > ts1, "publish stamps must be strictly increasing")
+      s.sql("DROP TABLE IF EXISTS m78_t")
+      s.sql(s"CREATE TABLE m78_t USING manifest OPTIONS (path '$out')")
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneId.of("UTC"))
+      // an instant between the publishes serves the seed (SQL clause)
+      val between = fmt.format(java.time.Instant.ofEpochMilli(ts2 - 1))
+      val seedMax = s.sql(
+        s"SELECT max(ver) AS mv FROM m78_t TIMESTAMP AS OF '$between'")
+        .head().getLong(0)
+      require(seedMax == 1L,
+        s"TIMESTAMP AS OF between publishes must serve the seed " +
+          s"(max ver $seedMax)")
+      // a too-early instant refuses loudly, naming the earliest stamp
+      val early = fmt.format(java.time.Instant.ofEpochMilli(ts1 - 3600000L))
+      val refused =
+        try { s.sql(s"SELECT * FROM m78_t TIMESTAMP AS OF '$early'")
+          .collect(); false }
+        catch { case e: Exception => val m = e.getMessage
+          m != null && m.contains("predates") }
+      require(refused, "a too-early TIMESTAMP AS OF must refuse loudly")
+      // the DataFrame option resolves the same instant identically
+      val viaOption = s.read.format("manifest").option("path", out)
+        .option("timestampAsOf", (ts2 - 1).toString).load()
+      require(viaOption.agg(max(col("ver"))).head().getLong(0) == 1L,
+        "the timestampAsOf option must resolve like SQL TIMESTAMP AS OF")
+      // "as of the last publish" = the live table — the oracle's read
+      s.sql("SELECT o_orderkey, o_year, o_totalprice, ver FROM m78_t " +
+          s"TIMESTAMP AS OF '${fmt.format(
+            java.time.Instant.ofEpochMilli(ts2))}'")
+        .select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+          col("o_totalprice"), col("ver"))
+    }),
+
+    // MERGE INTO … WHEN NOT MATCHED BY SOURCE — the reconcile-to-
+    // snapshot statement ("make the table equal this feed"): upserts
+    // every source row, and target rows the feed no longer carries
+    // take conditional NMBS clauses (DELETE the pre-1996 ones, flag
+    // the rest), all as ONE full-outer-join publish (version pin
+    // in-gate). The full-table read is inherent to the clause — what
+    // round 13 refused is now implemented with the cost stated, not
+    // hidden.
+    "m77_manifest_merge_nmbs" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("nmbs")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      Layout.writeManifestTable(s, out,
+        orders.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).as("o_year"),
+            col("o_totalprice"), lit(1L).as("ver")),
+        Seq("o_year"), keys = Seq("o_orderkey"),
+        versionCol = Some("ver"))
+      s.sql("DROP TABLE IF EXISTS m77_t")
+      s.sql(s"CREATE TABLE m77_t USING manifest OPTIONS (path '$out')")
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("m77_src")
+      val vBefore = Layout.manifestVersion(s, out).get
+      s.sql("""
+        MERGE INTO m77_t t
+        USING m77_src c
+        ON t.o_orderkey = c.o_orderkey
+        WHEN MATCHED THEN
+          UPDATE SET o_totalprice = c.o_totalprice + 50,
+                     ver = CAST(2 AS BIGINT)
+        WHEN NOT MATCHED THEN
+          INSERT (o_orderkey, o_year, o_totalprice, ver)
+          VALUES (c.o_orderkey, c.o_year, c.o_totalprice + 50,
+                  CAST(2 AS BIGINT))
+        WHEN NOT MATCHED BY SOURCE AND o_year < 1996 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN
+          UPDATE SET ver = CAST(99 AS BIGINT)""")
+      require(Layout.manifestVersion(s, out).contains(vBefore + 1),
+        "the reconcile must land as exactly ONE publish")
+      s.newSession()
+        .sql("SELECT o_orderkey, o_year, o_totalprice, ver FROM m77_t")
+        .select(col("o_orderkey"), col("o_year").cast("int").as("o_year"),
+          col("o_totalprice"), col("ver"))
+    }),
+
     "m76_manifest_drop_column" -> ((s, dir) => {
       import graft.operators.Layout
       val out = s"${tmp("dropcol")}/ord"
@@ -2995,6 +3215,50 @@ object EngineQueries {
     // post-drop merge applied over pre-drop generations — a read that
     // mis-decodes a pre-drop file (or resurrects the dead column's
     // bytes) breaks the hash; the refusal/time-travel pins live in-gate
+    // the post-DDL table: qty renamed to quantity and widened to
+    // BIGINT with the SAME values, the dropped note column gone, the
+    // UPDATE's ver bump on every 10th key — a mis-aligned old-name or
+    // narrow-type file, or a resurrected dropped column, breaks the
+    // hash (DESCRIBE/haunted/time-travel pins live in-gate)
+    "m80_manifest_sql_ddl" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(o_orderkey % 100 AS BIGINT) AS quantity, o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders""",
+    // the v1..v3 append window is exactly the two delta slices — a
+    // feed that leaked seed rows, dropped a delta, or double-emitted
+    // breaks the hash; the history/diff-agreement pins live in-gate
+    "m79_manifest_sql_tvf" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice, CAST(1 AS BIGINT) AS ver
+         FROM orders WHERE o_orderkey % 3 <> 0""",
+    // "as of the last publish" equals the live table: seed + the
+    // every-10th-key merge — a mis-resolved instant (off-by-one
+    // version either way) breaks the hash; the between-publishes /
+    // too-early / option-parity pins live in-gate
+    "m78_manifest_timestamp_travel" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS ver
+         FROM orders""",
+    // the reconciled table: every even key upserted (+50, ver 2 —
+    // inserted where the seed lacked it), odd seed rows NOT in the
+    // source deleted when pre-1996 else flagged ver 99 — a row that
+    // dodged its NMBS clause (or a matched row that took one) breaks
+    // the hash; the one-publish pin lives in-gate
+    "m77_manifest_merge_nmbs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice + 50 AS o_totalprice, CAST(2 AS BIGINT) AS ver
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice, CAST(99 AS BIGINT) AS ver
+         FROM orders
+         WHERE o_orderkey % 2 = 1 AND o_orderkey % 13 <> 0
+           AND year(o_orderdate) >= 1996""",
     "m76_manifest_drop_column" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
            CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100

@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$what must be a numeric literal, got $other")
   }
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+      s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // pure-SQL DML on manifest tables: INSERT INTO a `USING manifest`
@@ -44,6 +50,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolution rule runs, so the rewrite lives in a parser wrapper
     ext.injectParser((session, delegate) =>
       new graft.plans.ManifestSqlParser(session, delegate))
+    // --- the SQL-admin table functions over manifest tables: history,
+    // the append feed, and the change diff as FROM-clause relations,
+    // so a SQL-only operator can inspect and incrementally consume a
+    // table without any Scala (the DESCRIBE HISTORY / table_changes
+    // posture). Arguments must be literals — these resolve table state
+    // during analysis, exactly like a DDL statement would.
+    ext.injectTableFunction((
+      new FunctionIdentifier("manifest_history"),
+      new ExpressionInfo("graft.operators.Layout", "manifest_history"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "manifest_history(path)")
+        val path = stringArg(args(0), "manifest_history path")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val vs = graft.operators.Layout.manifestVersions(spark, path)
+        require(vs.nonEmpty,
+          s"$path is not a manifest table (or fully reaped)")
+        val rows = vs.map { v =>
+          val m = graft.operators.Layout.readManifestMeta(spark, path, v)
+          org.apache.spark.sql.Row(v,
+            if (m.publishedAtMs > 0L)
+              new java.sql.Timestamp(m.publishedAtMs) else null,
+            if (m.op.isEmpty) null else m.op, m.opDeletes,
+            m.allRels.size, m.deltas.size)
+        }
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "version INT, published_at TIMESTAMP, op STRING, " +
+            "op_deletes BOOLEAN, partitions INT, pending_delta_rels INT")
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          .fromExternalRows(
+            org.apache.spark.sql.catalyst.types.DataTypeUtils
+              .toAttributes(schema), rows)
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("manifest_appends"),
+      new ExpressionInfo("graft.operators.Layout", "manifest_appends"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "manifest_appends(path, fromVersion, toVersion)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Layout.appendsBetween(spark,
+          stringArg(args(0), "manifest_appends path"),
+          intArg(args(1), "fromVersion"), intArg(args(2), "toVersion"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("manifest_changes"),
+      new ExpressionInfo("graft.operators.Layout", "manifest_changes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "manifest_changes(path, fromVersion, toVersion)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Layout.manifestChanges(spark,
+          stringArg(args(0), "manifest_changes path"),
+          intArg(args(1), "fromVersion"), intArg(args(2), "toVersion"))
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

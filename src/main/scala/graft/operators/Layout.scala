@@ -852,6 +852,15 @@ object Layout {
       // child files, the root keeps per-bucket rollups — see
       // [[writeManifestMeta]].
       bucketBounds: Seq[String] = Nil,
+      // wall-clock stamp (epoch millis) of the moment THIS version's
+      // root was serialized — the publish time, recorded by every
+      // writer. Powers `TIMESTAMP AS OF` ([[versionAtTimestamp]]) and
+      // table-history listings. 0 on manifests written before the
+      // field existed (timestamp travel refuses those loudly; version
+      // travel is unaffected). Monotone across versions on one table
+      // as long as writers' clocks are sane — a clock regression can
+      // only mis-resolve timestamp travel, never corrupt data.
+      publishedAtMs: Long = 0L,
       // provenance of THIS version's publish — "seed" | "merge" |
       // "delta" | "fold" | "compact" | "evolve". Lets incremental
       // consumers (the manifest-feed streaming source) tell apart an
@@ -1167,6 +1176,9 @@ object Layout {
         if (!node.has("bucketBounds")) Nil
         else node.get("bucketBounds").elements().asScala
           .map(_.asText()).toSeq,
+      publishedAtMs =
+        if (!node.has("publishedAtMs")) 0L
+        else node.get("publishedAtMs").asLong(),
       op = if (!node.has("op")) "" else node.get("op").asText(),
       opDeletes = node.has("opDeletes") && node.get("opDeletes").asBoolean(),
       sinkBatches =
@@ -1299,6 +1311,11 @@ object Layout {
     val fc = fileContext(spark, path)
     val root = manifestJson.createObjectNode()
     root.put("version", m.version)
+    // the publish stamp is ALWAYS freshly taken here — metas are
+    // carried forward by copy() across publishes, and inheriting the
+    // previous version's stamp would make every version look
+    // simultaneous to TIMESTAMP AS OF
+    root.put("publishedAtMs", System.currentTimeMillis())
     if (m.op.nonEmpty) root.put("op", m.op)
     if (m.opDeletes) root.put("opDeletes", true)
     if (m.sinkBatch() >= 0) root.put("sinkBatch", m.sinkBatch())
@@ -2180,6 +2197,48 @@ object Layout {
         Some(n.drop(11).toInt)
       else None
     }.sorted
+  }
+
+  /** The newest RETAINED manifest version published at or before
+    * `tsMs` (epoch millis) — `TIMESTAMP AS OF` resolution, the Delta/
+    * Iceberg snapshot-by-time contract. Publish stamps are recorded in
+    * every version's root ([[ManifestMeta.publishedAtMs]]) and are
+    * monotone across versions, so this binary-searches the retained
+    * window: O(log versions) root reads, no data touched. Fails loudly
+    * when `tsMs` predates the EARLIEST retained version (naming its
+    * stamp — the row Delta's `timestampAsOf` errors with), or when the
+    * resolved version predates the stamp field itself. A timestamp at
+    * or past the newest retained stamp serves that newest version —
+    * asking for "the table as of now" on a table idle since its last
+    * publish must answer, not refuse. */
+  def versionAtTimestamp(spark: SparkSession, path: String,
+                         tsMs: Long): Int = {
+    val vs = manifestVersions(spark, path)
+    require(vs.nonEmpty,
+      s"$path has no retained manifest versions — not a manifest table?")
+    def stampOf(v: Int): Long = {
+      val s = readManifestMeta(spark, path, v).publishedAtMs
+      require(s > 0L,
+        s"manifest v$v of $path predates publish timestamps " +
+          "(written before the publishedAtMs field existed) — travel " +
+          "by VERSION AS OF instead")
+      s
+    }
+    val earliest = stampOf(vs.head)
+    require(tsMs >= earliest,
+      s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMs)} " +
+        s"predates the earliest retained version of $path " +
+        s"(v${vs.head}, published " +
+        s"${java.time.Instant.ofEpochMilli(earliest)}) — earlier " +
+        "snapshots were reaped")
+    // binary search: the largest retained version with stamp <= tsMs
+    var lo = 0
+    var hi = vs.size - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (stampOf(vs(mid)) <= tsMs) lo = mid else hi = mid - 1
+    }
+    vs(lo)
   }
 
   /** Read the LIVE snapshot of the manifest table at `path`: the

@@ -128,11 +128,6 @@ final class ManifestInsertRule(session: SparkSession)
             mg.notMatchedBySourceActions).forall(mergeActionResolved) =>
         manifestTarget(mg.targetTable) match {
           case Some((idx, fs, lr)) =>
-            require(mg.notMatchedBySourceActions.isEmpty,
-              "MERGE INTO a manifest table does not support WHEN NOT " +
-                "MATCHED BY SOURCE: it acts on rows the batch never " +
-                "carries (an O(table) scan, not a keyed merge) — " +
-                "express it as a separate DELETE/UPDATE statement")
             require(!mg.withSchemaEvolution,
               "MERGE INTO a manifest table does not support WITH " +
                 "SCHEMA EVOLUTION: evolve explicitly (evolveManifest/" +
@@ -140,7 +135,8 @@ final class ManifestInsertRule(session: SparkSession)
             ManifestMergeCommand(idx.table, fs.options,
               lr.schema.asInstanceOf[StructType],
               lr.output, mg.sourceTable, mg.mergeCondition,
-              mg.matchedActions, mg.notMatchedActions)
+              mg.matchedActions, mg.notMatchedActions,
+              mg.notMatchedBySourceActions)
           case None => mg
         }
 
@@ -217,8 +213,9 @@ final case class ManifestMutateCommand(
         "OPTIONS (keys 'k1,k2', versionCol 'ver') to the view (or " +
         "establish the table's merge-on-read spec with a first " +
         "mergeManifestDelta)")
-    require(opt("versionAsOf").isEmpty,
-      s"$verb through a versionAsOf (time-travel) view is ambiguous: " +
+    require(opt("versionAsOf").isEmpty && opt("timestampAsOf").isEmpty,
+      s"$verb through a time-travel (versionAsOf/timestampAsOf) view " +
+        "is ambiguous: " +
         "the view serves a PINNED snapshot but a mutation would land on " +
         "the LIVE table — mount an un-pinned view for DML")
     val badKeys = assignments.map(_._1)
@@ -278,8 +275,9 @@ final case class ManifestInsertCommand(
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
   override def run(session: SparkSession): Seq[Row] = {
-    require(opt("versionAsOf").isEmpty,
-      "INSERT through a versionAsOf (time-travel) view is ambiguous: " +
+    require(opt("versionAsOf").isEmpty && opt("timestampAsOf").isEmpty,
+      "INSERT through a time-travel (versionAsOf/timestampAsOf) view " +
+        "is ambiguous: " +
         "the view serves a PINNED snapshot but the merge would land on " +
         "the LIVE table — mount an un-pinned view for DML")
     val df = org.apache.spark.sql.graftbridge.GraftSqlBridge
@@ -314,10 +312,15 @@ final case class ManifestInsertCommand(
             s"(${names.mkString(", ")})")
         names
       }
-    // align positionally onto the target order, cast to stored types
-    val aligned = df.select(df.columns.toSeq.zip(targetOrder).map {
-      case (qc, target) =>
-        col(qc).cast(tableSchema(target).dataType).as(target)
+    // align positionally onto the target order, cast to stored types —
+    // binding the query's output ATTRIBUTES, not their names: an
+    // auto-generated name like `30.0` (a bare literal in the SELECT)
+    // would mis-parse as a nested reference under col()
+    val outAttrs = df.queryExecution.analyzed.output
+    val aligned = df.select(outAttrs.zip(targetOrder).map {
+      case (attr, target) =>
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.column(attr)
+          .cast(tableSchema(target).dataType).as(target)
     }: _*)
     // merge spec: view OPTIONS first, stored merge-on-read spec second
     val v = Layout.manifestVersion(session, path).getOrElse(
@@ -360,7 +363,18 @@ final case class ManifestInsertCommand(
   * reader-visible half-state. Multiple batch rows landing on one key
   * (an ON condition weaker than the key, or a duplicated source)
   * refuse loudly BEFORE publishing — latest-wins between them would be
-  * arrival-order nondeterminism. */
+  * arrival-order nondeterminism.
+  *
+  * `WHEN NOT MATCHED BY SOURCE` (the reconcile-to-snapshot shape:
+  * "make the table equal this feed, deleting what the feed dropped")
+  * widens the join to FULL-outer — the cost is inherently a full
+  * table scan, because the clause acts on rows the batch never
+  * carries, and the planner can prune nothing (stated honestly; the
+  * PUBLISH is still copy-on-write at partition granularity over the
+  * claimed rows only). Target-only rows take UPDATE/DELETE clauses
+  * exactly like matched ones; their expressions can reference only
+  * target columns (Spark's analyzer enforces that before this
+  * command runs). */
 final case class ManifestMergeCommand(
     path: String,
     options: Map[String, String],
@@ -369,29 +383,36 @@ final case class ManifestMergeCommand(
     source: LogicalPlan,
     mergeCondition: Expression,
     matchedActions: Seq[MergeAction],
-    notMatchedActions: Seq[MergeAction]) extends LeafRunnableCommand {
+    notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction] = Nil)
+    extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   private def opt(key: String): Option[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
-  /** One clause, normalized: `matched` side, optional guard, and a
-    * per-column value function over the joined frame. `partGuarded`
-    * names partition columns a star-expanded UPDATE assigns: the
-    * merge contract forbids moving a row across partitions, so the
-    * assignment applies only when it is a no-op and raises otherwise
-    * (in-plan, before anything publishes). */
-  private final case class Act(matched: Boolean, delete: Boolean,
+  /** One clause, normalized: which join side it claims (MATCHED /
+    * NOT MATCHED [BY TARGET] / NOT MATCHED BY SOURCE), optional guard,
+    * and a per-column value function over the joined frame.
+    * `partGuarded` names partition columns a star-expanded UPDATE
+    * assigns: the merge contract forbids moving a row across
+    * partitions, so the assignment applies only when it is a no-op and
+    * raises otherwise (in-plan, before anything publishes). */
+  private final case class Act(side: Int, delete: Boolean,
                                cond: Option[Expression],
                                assigns: Option[Map[String, Expression]],
                                partGuarded: Set[String] = Set.empty)
+  private val SideMatched = 0
+  private val SideNotMatched = 1 // source row with no target match
+  private val SideNmbs = 2       // target row with no source match
 
   override def run(session: SparkSession): Seq[Row] = {
-    require(opt("versionAsOf").isEmpty,
-      "MERGE INTO through a versionAsOf (time-travel) view is " +
-        "ambiguous: the view serves a PINNED snapshot but the merge " +
-        "would land on the LIVE table — mount an un-pinned view for DML")
+    require(opt("versionAsOf").isEmpty && opt("timestampAsOf").isEmpty,
+      "MERGE INTO through a time-travel (versionAsOf/timestampAsOf) " +
+        "view is ambiguous: the view serves a PINNED snapshot but the " +
+        "merge would land on the LIVE table — mount an un-pinned view " +
+        "for DML")
     val v = Layout.manifestVersion(session, path).getOrElse(
       throw new IllegalStateException(s"$path stopped being a manifest " +
         "table after the view was created"))
@@ -476,7 +497,7 @@ final case class ManifestMergeCommand(
         s"${keys.mkString(", ")})")
 
     // --- normalize the clauses (statement order preserved)
-    def norm(a: MergeAction, matched: Boolean): Act = a match {
+    def norm(a: MergeAction, side: Int): Act = a match {
       case UpdateAction(c, as, fromStar) =>
         // `SET *` reaches here pre-expanded by the analyzer with
         // fromStar = true and an assignment for EVERY column —
@@ -506,7 +527,7 @@ final case class ManifestMergeCommand(
             Some(n.toLowerCase -> x.value)
           }
         }.toMap
-        Act(matched, delete = false, c, Some(asg), guarded)
+        Act(side, delete = false, c, Some(asg), guarded)
       case UpdateStarAction(c) =>
         // un-expanded star (defensive: the analyzer normally expands):
         // every table column from the source's same-named column, keys
@@ -523,8 +544,8 @@ final case class ManifestMergeCommand(
             Some(n.toLowerCase -> (UnresolvedAttribute(Seq(s)): Expression))
           }
         }.toMap
-        Act(matched, delete = false, c, Some(asg), guarded)
-      case DeleteAction(c) => Act(matched, delete = true, c, None)
+        Act(side, delete = false, c, Some(asg), guarded)
+      case DeleteAction(c) => Act(side, delete = true, c, None)
       case InsertAction(c, as) =>
         val asg = as.map { x =>
           val n = x.key match {
@@ -542,7 +563,7 @@ final case class ManifestMergeCommand(
           s"MERGE INSERT must assign every table column (missing " +
             s"${missing.mkString(", ")}): a keyed merge has no column " +
             "defaults")
-        Act(matched, delete = false, c, Some(asg))
+        Act(side, delete = false, c, Some(asg))
       case InsertStarAction(c) =>
         val asg = tableSchema.fieldNames.map { n =>
           val s = srcByName.getOrElse(n.toLowerCase,
@@ -550,23 +571,40 @@ final case class ManifestMergeCommand(
               s"MERGE INSERT *: source has no column '$n'"))
           n.toLowerCase -> (UnresolvedAttribute(Seq(s)): Expression)
         }.toMap
-        Act(matched, delete = false, c, Some(asg))
+        Act(side, delete = false, c, Some(asg))
       case other => throw new IllegalArgumentException(
         s"MERGE INTO a manifest table: unsupported clause $other")
     }
-    val acts = matchedActions.map(norm(_, matched = true)) ++
-      notMatchedActions.map(norm(_, matched = false))
+    notMatchedBySourceActions.foreach {
+      case _: UpdateAction | _: DeleteAction => ()
+      case other => throw new IllegalArgumentException(
+        "MERGE WHEN NOT MATCHED BY SOURCE supports only UPDATE and " +
+          s"DELETE (got $other): the row exists in the target; there " +
+          "is nothing to insert")
+    }
+    val acts = matchedActions.map(norm(_, SideMatched)) ++
+      notMatchedActions.map(norm(_, SideNotMatched)) ++
+      notMatchedBySourceActions.map(norm(_, SideNmbs))
     if (acts.isEmpty) return Seq.empty
 
-    // --- classify each (source ⟕ live-target) row to its FIRST
-    // applicable clause; rows no clause claims stay out of the batch
+    // --- classify each joined row to its FIRST applicable clause;
+    // rows no clause claims stay out of the batch. Without NOT MATCHED
+    // BY SOURCE clauses the join is right-outer (target rows the batch
+    // never matches never enter the plan); with them it must be
+    // FULL-outer — the full-table cost is inherent to the clause's
+    // semantics, not this implementation.
     val tgt = fresh.withColumn("__t_present", lit(true))
-    val joined = tgt.join(src, rebind(mergeCondition), "right_outer")
-    val matchedC = col("__t_present").isNotNull
+    val joinType =
+      if (notMatchedBySourceActions.isEmpty) "right_outer" else "full_outer"
+    val joined = tgt.join(src, rebind(mergeCondition), joinType)
     val actionCol = acts.zipWithIndex.foldRight(lit(0)) {
       case ((a, i), els) =>
-        val side =
-          if (a.matched) matchedC else col("__t_present").isNull
+        val side = a.side match {
+          case SideMatched =>
+            col("__t_present").isNotNull && col("__s_present").isNotNull
+          case SideNotMatched => col("__t_present").isNull
+          case _ => col("__s_present").isNull
+        }
         when(side && a.cond.map(rebind).getOrElse(lit(true)), lit(i + 1))
           .otherwise(els)
     }

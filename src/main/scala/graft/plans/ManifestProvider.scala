@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SQLContext
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.operators.Layout
@@ -44,7 +44,33 @@ import graft.operators.Layout
   */
 final class ManifestProvider extends RelationProvider
     with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider
+    with DataSourceRegister {
+
+  // `spark.readStream.format("manifest")` streams the table through
+  // the manifest-feed source — ONE format string covers batch read,
+  // batch write, streaming read and streaming sink, so a consumer
+  // never has to know the feed is a separate provider (the options —
+  // startingVersion, mode=appends/changes, maxVersionsPerBatch — are
+  // the feed's, documented on [[graft.streaming.ManifestFeedSource]])
+  private val feed = new graft.streaming.ManifestFeedProvider
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[org.apache.spark.sql.types
+                              .StructType],
+                            providerName: String,
+                            parameters: Map[String, String]):
+      (String, org.apache.spark.sql.types.StructType) =
+    (shortName(),
+      feed.sourceSchema(sqlContext, schema, providerName, parameters)._2)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[org.apache.spark.sql.types
+                              .StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source =
+    feed.createSource(sqlContext, metadataPath, schema, providerName,
+      parameters)
 
   override def shortName(): String = "manifest"
 
@@ -59,12 +85,25 @@ final class ManifestProvider extends RelationProvider
     val path = opt(parameters, "path").getOrElse(
       throw new IllegalArgumentException(
         "manifest source needs OPTIONS (path '<manifest table dir>')"))
+    val spark = sqlContext.sparkSession
     val version = opt(parameters, "versionAsOf").map { v =>
       require(v.forall(_.isDigit),
         s"versionAsOf must be an integer manifest version (got '$v')")
+      require(opt(parameters, "timestampAsOf").isEmpty,
+        "versionAsOf and timestampAsOf are mutually exclusive")
       v.toInt
-    }
-    val spark = sqlContext.sparkSession
+    }.orElse(opt(parameters, "timestampAsOf").map { t =>
+      // "yyyy-MM-dd HH:mm:ss[.SSS]" (session zone = the builder's UTC)
+      // or epoch millis — resolved to the newest version published at
+      // or before the instant, exactly like SQL TIMESTAMP AS OF
+      val ms =
+        if (t.forall(_.isDigit)) t.toLong
+        else java.time.LocalDateTime.parse(t.trim.replace(' ', 'T'))
+          .atZone(java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone))
+          .toInstant.toEpochMilli
+      graft.operators.Layout.versionAtTimestamp(spark, path, ms)
+    })
     val idx = new ManifestFileIndex(spark, path, version)
     // the index's (dataSchema ++ partitionSchema) IS the stored column
     // order — manifest tables store data columns first by construction.

@@ -2,16 +2,22 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, DropColumns, LogicalPlan, RenameColumn, SubqueryAlias, TruncateTable}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 
-/** SQL time travel for catalog-registered manifest tables:
+/** SQL time travel AND schema evolution for catalog-registered
+  * manifest tables:
   *
   * {{{
   *   SELECT * FROM orders VERSION AS OF 3
+  *   SELECT * FROM orders TIMESTAMP AS OF '2026-08-16 12:00:00'
+  *   ALTER TABLE orders ADD COLUMNS (note STRING)
+  *   ALTER TABLE orders RENAME COLUMN qty TO quantity
+  *   ALTER TABLE orders ALTER COLUMN quantity TYPE BIGINT
+  *   ALTER TABLE orders DROP COLUMN note
   * }}}
   *
   * Spark's analyzer supports `VERSION AS OF` only for DataSource V2
@@ -33,13 +39,135 @@ final class ManifestSqlParser(session: SparkSession,
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transform {
     case tt @ RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
         if v.nonEmpty && v.forall(_.isDigit) =>
-      manifestRelation(u.multipartIdentifier, v.toInt).getOrElse(tt)
+      manifestMount(u.multipartIdentifier).map { case (ident, p, props) =>
+        pinnedRelation(ident, p, props, v.toInt)
+      }.getOrElse(tt)
+    // TIMESTAMP AS OF <foldable ts>: resolve to the newest retained
+    // version published at or before the instant, then pin exactly
+    // like VERSION AS OF. A too-early timestamp fails HERE with the
+    // earliest retained stamp named (Layout.versionAtTimestamp) —
+    // passing it through would only reach Spark's generic
+    // TIME_TRAVEL-unsupported error. Non-foldable expressions
+    // (current_timestamp(), subqueries) do pass through to that error.
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, Some(ts), None) =>
+      (manifestMount(u.multipartIdentifier), tsMillis(ts)) match {
+        case (Some((ident, p, props)), Some(ms)) =>
+          pinnedRelation(ident, p, props,
+            graft.operators.Layout.versionAtTimestamp(session, p, ms))
+        case _ => tt
+      }
+
+    // SQL schema evolution on catalog-registered manifest tables —
+    // ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN /
+    // ALTER COLUMN TYPE. Same seam as time travel, same reason: the
+    // analyzer's ResolveSessionCatalog hard-refuses RENAME/DROP/ALTER
+    // COLUMN on v1 session-catalog tables (and would route ADD COLUMNS
+    // to a catalog-only schema edit that corrupts the manifest
+    // contract) before any injected rule runs. Each verb rewrites to
+    // [[ManifestAlterCommand]]: the Layout evolution machinery plus a
+    // catalog-schema move, so the next bare-name scan serves the new
+    // shape. Non-manifest tables pass through untouched.
+    case a @ AddColumns(u: UnresolvedTable, cols) =>
+      manifestMount(u.multipartIdentifier).map { case (ident, p, _) =>
+        val ddl = cols.map { c =>
+          require(c.path.isEmpty,
+            s"ALTER TABLE ADD COLUMNS on a manifest table supports " +
+              s"only top-level columns (got ${(c.path.get.name :+
+                c.colName).mkString(".")})")
+          require(c.position.isEmpty,
+            "ALTER TABLE ADD COLUMNS on a manifest table appends at " +
+              "the end — FIRST/AFTER positions would reorder the " +
+              "stored column order that every generation shares")
+          require(c.default.isEmpty,
+            "ALTER TABLE ADD COLUMNS on a manifest table does not " +
+              "support DEFAULT: existing rows null-fill (a keyed " +
+              "merge has no column defaults)")
+          require(c.nullable,
+            s"ALTER TABLE ADD COLUMNS: new column ${c.colName} must " +
+              "be nullable — existing generations null-fill it")
+          s"${c.colName} ${c.dataType.sql}"
+        }.mkString(", ")
+        ManifestAlterCommand(ident, p, "add", addDdl = ddl): LogicalPlan
+      }.getOrElse(a)
+    case r @ RenameColumn(u: UnresolvedTable, col, newName) =>
+      manifestMount(u.multipartIdentifier).map { case (ident, p, _) =>
+        require(col.name.length == 1,
+          s"RENAME COLUMN on a manifest table supports only top-level " +
+            s"columns (got ${col.name.mkString(".")})")
+        ManifestAlterCommand(ident, p, "rename",
+          renameFrom = col.name.head, renameTo = newName): LogicalPlan
+      }.getOrElse(r)
+    case d @ DropColumns(u: UnresolvedTable, cols, ifExists) =>
+      manifestMount(u.multipartIdentifier).map { case (ident, p, _) =>
+        val names = cols.map { c =>
+          require(c.name.length == 1,
+            s"DROP COLUMN on a manifest table supports only top-level " +
+              s"columns (got ${c.name.mkString(".")})")
+          c.name.head
+        }
+        ManifestAlterCommand(ident, p, "drop", dropCols = names,
+          dropIfExists = ifExists): LogicalPlan
+      }.getOrElse(d)
+    // TRUNCATE TABLE on an EXTERNAL datasource table deletes the files
+    // under its location — on a manifest table that would rip data out
+    // from under retained versions and feed cursors, bypassing every
+    // contract. Refuse with the remedies BEFORE Spark's v1 command can
+    // touch a byte. (DROP TABLE is safe: external registrations drop
+    // only the catalog entry.)
+    case t @ TruncateTable(u: UnresolvedTable) =>
+      manifestMount(u.multipartIdentifier).foreach { case (_, p, _) =>
+        throw new IllegalArgumentException(
+          s"TRUNCATE TABLE on manifest table $p would delete data " +
+            "files that retained versions and feed cursors still " +
+            "reference — DELETE FROM <table> to tombstone every row " +
+            "(history intact), or reap + remove the directory " +
+            "explicitly to destroy the table")
+      }
+      t
+    case ac @ AlterColumns(u: UnresolvedTable, specs) =>
+      manifestMount(u.multipartIdentifier) match {
+        case Some((ident, p, _)) =>
+          require(specs.length == 1,
+            "ALTER COLUMN on a manifest table takes one column at a time")
+          val s0 = specs.head
+          require(s0.column.name.length == 1,
+            s"ALTER COLUMN on a manifest table supports only top-level " +
+              s"columns (got ${s0.column.name.mkString(".")})")
+          require(s0.newDataType.nonEmpty && s0.newNullability.isEmpty &&
+              s0.newComment.isEmpty && s0.newPosition.isEmpty &&
+              s0.newDefaultExpression.isEmpty && !s0.dropDefault,
+            "ALTER COLUMN on a manifest table supports only TYPE " +
+              "changes (lossless widenings — widenManifestColumn's " +
+              "contract); nullability/comment/position/default edits " +
+              "have no manifest meaning")
+          ManifestAlterCommand(ident, p, "widen",
+            widenCol = s0.column.name.head,
+            widenType = s0.newDataType.get.sql): LogicalPlan
+        case None => ac
+      }
   }
 
-  /** The pinned relation, iff `parts` names a session-catalog table
-    * whose provider is `manifest`; None leaves the node untouched. */
-  private def manifestRelation(parts: Seq[String],
-                               ver: Int): Option[LogicalPlan] = {
+  /** Evaluate a parsed `TIMESTAMP AS OF` expression to epoch millis —
+    * defined only for foldable expressions castable to timestamp under
+    * the SESSION time zone (string/timestamp/date literals and
+    * arithmetic over them). */
+  private def tsMillis(e: org.apache.spark.sql.catalyst.expressions
+      .Expression): Option[Long] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.TimestampType
+      if (!e.resolved) return None
+      val cast = Cast(e, TimestampType,
+        Some(session.sessionState.conf.sessionLocalTimeZone))
+      if (!cast.foldable) None
+      else Option(cast.eval(null)).map(_.asInstanceOf[Long] / 1000L)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (identifier, table path, storage properties), iff `parts` names a
+    * session-catalog table whose provider is `manifest`; None leaves
+    * the node untouched. */
+  private def manifestMount(parts: Seq[String]):
+      Option[(TableIdentifier, String, Map[String, String])] = {
     val ident = parts match {
       case Seq(t) => TableIdentifier(t)
       case Seq(db, t) => TableIdentifier(t, Some(db))
@@ -52,16 +180,20 @@ final class ManifestSqlParser(session: SparkSession,
         cat.getTableMetadata(ident)
       } catch { case scala.util.control.NonFatal(_) => return None }
     if (!meta.provider.exists(_.equalsIgnoreCase("manifest"))) return None
-    val path = meta.storage.properties.collectFirst {
+    meta.storage.properties.collectFirst {
       case (k, p) if k.equalsIgnoreCase("path") => p
     }.orElse(meta.storage.locationUri
       .map(u => new org.apache.hadoop.fs.Path(u).toString))
-    path.map { p =>
-      val idx = new ManifestFileIndex(session, p, Some(ver))
-      val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
-        None, new ParquetFileFormat, meta.storage.properties)(session)
-      SubqueryAlias(ident.table, LogicalRelation(rel))
-    }
+      .map(p => (ident, p, meta.storage.properties))
+  }
+
+  private def pinnedRelation(ident: TableIdentifier, path: String,
+                             props: Map[String, String],
+                             ver: Int): LogicalPlan = {
+    val idx = new ManifestFileIndex(session, path, Some(ver))
+    val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
+      None, new ParquetFileFormat, props)(session)
+    SubqueryAlias(ident.table, LogicalRelation(rel))
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =

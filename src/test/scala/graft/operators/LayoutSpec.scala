@@ -42,6 +42,48 @@ class LayoutSpec extends SparkSpec {
     assert(readFiles < after, s"read $readFiles of $after files")
   }
 
+  test("versionAtTimestamp resolves the newest version published at or " +
+      "before the instant; boundaries and legacy manifests refuse " +
+      "loudly") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val dir = tmpDir("tstravel")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 1.0, 1L)).toDF("k", "part", "v", "ver"), Seq("part"))
+    for (n <- 2 to 4) {
+      Thread.sleep(15) // strictly separate the stamps
+      Layout.mergeManifest(spark, dir,
+        Seq((1L, "a", n.toDouble, n.toLong)).toDF("k", "part", "v", "ver"),
+        Seq("k"), "ver")
+    }
+    val stamps = (1 to 4).map(v =>
+      v -> Layout.readManifestMeta(spark, dir, v).publishedAtMs).toMap
+    assert(stamps.values.toSeq == stamps.values.toSeq.sorted,
+      s"publish stamps must be monotone: $stamps")
+    // exact stamp -> that version; between two -> the earlier;
+    // at/after the newest -> the newest
+    assert(Layout.versionAtTimestamp(spark, dir, stamps(2)) == 2)
+    assert(Layout.versionAtTimestamp(spark, dir, stamps(3) - 1) == 2)
+    assert(Layout.versionAtTimestamp(spark, dir, stamps(4)) == 4)
+    assert(Layout.versionAtTimestamp(spark, dir,
+      stamps(4) + 3600000L) == 4)
+    // before the earliest retained version: loud refusal naming it
+    val e = intercept[IllegalArgumentException] {
+      Layout.versionAtTimestamp(spark, dir, stamps(1) - 1) }
+    assert(e.getMessage.contains("predates the earliest retained"),
+      e.getMessage)
+    // a manifest written before the stamp field existed refuses with
+    // the VERSION AS OF remedy (simulated by stripping the field)
+    val v1 = new java.io.File(dir, "_MANIFEST.v1")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(v1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("publishedAtMs")
+    java.nio.file.Files.write(v1.toPath, om.writeValueAsBytes(root))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.versionAtTimestamp(spark, dir, stamps(2)) }
+    assert(e2.getMessage.contains("VERSION AS OF"), e2.getMessage)
+  }
+
   test("compact without partition columns coalesces a flat directory") {
     val dir = tmpDir("flat")
     val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")

@@ -19,6 +19,55 @@ class ManifestEvolutionSpec extends SparkSpec {
 
   import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
 
+  test("SQL ALTER TABLE on catalog-registered manifest tables: the " +
+      "four verbs evolve the manifest AND the catalog; inexpressible " +
+      "shapes refuse; non-manifest tables pass through") {
+    import graft.operators.Layout
+    val dir = tmpDir("sqlalter")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 7, 1L), (2L, "b", 9, 1L)).toDF("k", "part", "q", "ver"),
+      Seq("part"), keys = Seq("k"), versionCol = Some("ver"))
+    spark.sql("DROP TABLE IF EXISTS t_alter")
+    spark.sql(s"CREATE TABLE t_alter USING manifest OPTIONS (path '$dir')")
+    spark.sql("ALTER TABLE t_alter ADD COLUMNS (note STRING)")
+    assert(spark.table("t_alter").columns.contains("note"))
+    spark.sql("ALTER TABLE t_alter ALTER COLUMN q TYPE BIGINT")
+    assert(spark.table("t_alter").schema("q").dataType ==
+      org.apache.spark.sql.types.LongType)
+    spark.sql("ALTER TABLE t_alter RENAME COLUMN q TO qty")
+    assert(spark.sql("SELECT sum(qty) FROM t_alter").head().getLong(0)
+      == 16L)
+    // the rename retired its alias chain (SQL renames pay the rewrite)
+    val v = Layout.manifestVersion(spark, dir).get
+    assert(Layout.readManifestMeta(spark, dir, v).colAliases.isEmpty)
+    spark.sql("ALTER TABLE t_alter DROP COLUMN note")
+    assert(!spark.table("t_alter").columns.contains("note"))
+    // IF EXISTS skips a missing column; without it the drop refuses
+    spark.sql("ALTER TABLE t_alter DROP COLUMN IF EXISTS ghost")
+    val eGhost = intercept[Exception] {
+      spark.sql("ALTER TABLE t_alter DROP COLUMN ghost") }
+    assert(eGhost.getMessage.contains("no such column"), eGhost.getMessage)
+    // inexpressible shapes refuse with remedies
+    val ePos = intercept[Exception] {
+      spark.sql("ALTER TABLE t_alter ADD COLUMNS (x INT FIRST)") }
+    assert(ePos.getMessage.contains("appends at the end"), ePos.getMessage)
+    val eNul = intercept[Exception] {
+      spark.sql("ALTER TABLE t_alter ALTER COLUMN qty COMMENT 'c'") }
+    assert(eNul.getMessage.contains("only TYPE changes"), eNul.getMessage)
+    val eNarrow = intercept[Exception] {
+      spark.sql("ALTER TABLE t_alter ALTER COLUMN qty TYPE INT") }
+    assert(eNarrow.getMessage.contains("widen") ||
+      eNarrow.getMessage.contains("lossless"), eNarrow.getMessage)
+    // non-manifest catalog tables keep Spark's own ALTER path
+    spark.sql("DROP TABLE IF EXISTS t_plainalter")
+    spark.sql(s"CREATE TABLE t_plainalter (a INT) USING parquet " +
+      s"LOCATION '${tmpDir("plain")}'")
+    spark.sql("ALTER TABLE t_plainalter ADD COLUMNS (b STRING)")
+    assert(spark.table("t_plainalter").columns.toSeq == Seq("a", "b"))
+    spark.sql("DROP TABLE t_plainalter")
+    spark.sql("DROP TABLE t_alter")
+  }
+
   test("widenManifestColumn: int->bigint is metadata-only — old gens " +
       "read up-cast, stats keep pruning, old snapshots keep their type, " +
       "non-widenings refuse") {

@@ -187,6 +187,42 @@ class ManifestDmlSpec extends SparkSpec {
     assert(snap(Layout.readManifest(spark, dir)).get(4L).contains(44.0))
   }
 
+  test("CTAS: CREATE TABLE … USING manifest AS SELECT seeds the table " +
+      "AND registers it — DML by bare name works immediately") {
+    val dir = tmpDir("ctas")
+    spark.sql("DROP TABLE IF EXISTS t_ctas")
+    spark.sql(s"""CREATE TABLE t_ctas
+      USING manifest
+      OPTIONS (path '$dir', partitionCols 'part', keys 'k',
+               versionCol 'ver')
+      AS SELECT k, CAST(v AS DOUBLE) AS v, ver, part FROM VALUES
+        (1L, 10.0, 1L, 'a'), (2L, 20.0, 1L, 'b')
+        AS s(k, v, ver, part)""")
+    assert(Layout.manifestVersion(spark, dir).contains(1),
+      "CTAS must seed the manifest (one publish)")
+    assert(snap(spark.table("t_ctas")) == Map(1L -> 10.0, 2L -> 20.0))
+    // the declared merge spec came from the CTAS options: bare-name
+    // DML needs nothing restated
+    spark.sql("INSERT INTO t_ctas SELECT 3L, 30.0, 2L, 'c'")
+    spark.sql("UPDATE t_ctas SET v = 11.0, ver = 3 WHERE k = 1")
+    assert(snap(spark.table("t_ctas")) ==
+      Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+    assert(Layout.manifestVersion(spark, dir).contains(3))
+    // seed time-travels by bare name
+    assert(snap(spark.sql("SELECT * FROM t_ctas VERSION AS OF 1")) ==
+      Map(1L -> 10.0, 2L -> 20.0))
+    // TRUNCATE would delete files under retained versions — refuses
+    val eTrunc = intercept[Exception] {
+      spark.sql("TRUNCATE TABLE t_ctas") }
+    assert(eTrunc.getMessage.contains("retained versions"),
+      eTrunc.getMessage)
+    // DROP TABLE removes only the catalog entry (external
+    // registration) — the manifest table survives on disk
+    spark.sql("DROP TABLE t_ctas")
+    assert(Layout.manifestVersion(spark, dir).contains(3),
+      "DROP TABLE must never touch the manifest's data")
+  }
+
   test("MERGE INTO: a full CDC batch (update + delete + insert, " +
       "conditional clauses, star forms) as ONE statement, ONE publish; " +
       "inexpressible shapes refuse with remedies") {
@@ -232,11 +268,28 @@ class ManifestDmlSpec extends SparkSpec {
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(eMove).exists(_.contains("partition")), eMove.toString)
-    // NOT MATCHED BY SOURCE refuses with the remedy
+    // NOT MATCHED BY SOURCE — reconcile-to-snapshot: target rows the
+    // batch never carries take conditional UPDATE/DELETE clauses,
+    // still ONE publish (full-outer classification). mrg2 carries only
+    // k=3: k=1 is NMBS-deleted, k=9 NMBS-flagged, k=3 matched-updated.
+    spark.sql("""MERGE INTO t_mrg t USING mrg2 s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v + 1, ver = s.ver + 10
+      WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ver = 99""")
+    assert(Layout.manifestVersion(spark, dir).contains(4),
+      "the NMBS reconcile must land as exactly ONE publish")
+    assert(snap(Layout.readManifest(spark, dir)) ==
+      Map(3L -> 34.0, 9L -> 90.0))
+    assert(Layout.readManifest(spark, dir)
+      .filter("k = 9").select("ver").head().getLong(0) == 99L,
+      "an unclaimed NMBS row must take the unconditional NMBS clause")
+    // NMBS supports only UPDATE/DELETE (there is no source row to
+    // insert) — Spark's parser already refuses INSERT there, so the
+    // guard pins the command-level check via the star-insert shape
     val e1 = intercept[Exception] {
-      spark.sql("""MERGE INTO t_mrg t USING mrg2 s ON t.k = s.k
-        WHEN NOT MATCHED BY SOURCE THEN DELETE""") }
-    assert(messages(e1).exists(_.contains("NOT MATCHED BY SOURCE")),
+      spark.sql("""MERGE INTO t_mrg t USING mrg2 s ON t.v = s.v
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ver = 100""") }
+    assert(messages(e1).exists(_.contains("equality on every merge key")),
       e1.toString)
     // duplicate source keys refuse before publishing
     Seq((3L, "a", 1.0, 5L), (3L, "a", 2.0, 6L))
@@ -253,6 +306,6 @@ class ManifestDmlSpec extends SparkSpec {
     assert(messages(e3).exists(_.contains("equality on every merge key")),
       e3.toString)
     // no refused statement published anything
-    assert(Layout.manifestVersion(spark, dir).contains(3))
+    assert(Layout.manifestVersion(spark, dir).contains(4))
   }
 }

@@ -165,6 +165,33 @@ class ManifestFeedSpec extends SparkSpec {
       s"want the append-only refusal, got: ${e.getMessage}")
   }
 
+  test("readStream.format(\"manifest\") IS the feed source: one format " +
+      "string covers batch read, batch write, streaming read and sink") {
+    val dir = tmpDir("unified")
+    val sink = tmpDir("unisink")
+    val ckpt = tmpDir("unickpt")
+    seedTable(dir)                                        // v1
+    delta(dir, Seq((5L, "a", 50.0, 2L)))                  // v2
+    val q = spark.readStream.format("manifest")
+      .option("path", dir)
+      .option("startingVersion", "earliest")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(keys(spark.read.parquet(sink)) == Set(1L, 2L, 3L, 4L, 5L))
+    // self-describing, same as the feed: .schema() refuses
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("manifest")
+        .schema(spark.read.parquet(sink).schema)
+        .option("path", dir).load()
+    }
+    assert(e.getMessage.contains("self-describing"), e.getMessage)
+  }
+
   test("maxVersionsPerTrigger paces a backfill into bounded batches; " +
       "mid-stream schema evolution keeps the pinned shape until restart") {
     val dir = tmpDir("paced")
