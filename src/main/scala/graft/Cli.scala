@@ -409,11 +409,13 @@ object Cli {
       case "reap-table" =>
         val path = rest.filterNot(_.contains('=')).headOption.getOrElse {
           out.println("usage: reap-table <tableDir> [keep_versions=N] " +
-            "[ignore_consumers=a,b]"); return 2 }
+            "[keep_age_hours=H] [ignore_consumers=a,b]"); return 2 }
         val deleted = graft.operators.Layout.reapManifest(cliSpark(), path,
           keepVersions = kv.getOrElse("keep_versions", "1").toInt,
           ignoreConsumers = kv.get("ignore_consumers").toSeq
-            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet)
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet,
+          keepAgeMs = (kv.getOrElse("keep_age_hours", "0").toDouble *
+            3600000L).toLong)
         out.println(s"reaped ${deleted.size} object(s)" +
           (if (deleted.isEmpty) ""
            else s": ${deleted.take(10).mkString(", ")}" +
@@ -535,7 +537,7 @@ object Cli {
     "list-tables" -> "list-tables <rootDir> — manifest tables under a directory",
     "describe-table" -> "describe-table <tableDir> — schema, merge spec, partitions, retention, consumers",
     "maintain-table" -> "maintain-table <tableDir> [max_pending_deltas=N] [max_files_per_partition=N] [keep_versions=N] [sort_cols=] [zorder_cols=] [ignore_consumers=]",
-    "reap-table" -> "reap-table <tableDir> [keep_versions=N] [ignore_consumers=a,b] — retention vacuum",
+    "reap-table" -> "reap-table <tableDir> [keep_versions=N] [keep_age_hours=H] [ignore_consumers=a,b] — retention vacuum (count + age compose as the union)",
     "table-history" -> "table-history <tableDir> — retained versions with publish provenance",
     "create-repo" -> "create-repo <dir> [remote=<url>] — git-version the schedule",
     "push-repo" -> "push-repo <dir> [message=<m>]",

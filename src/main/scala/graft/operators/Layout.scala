@@ -3749,13 +3749,39 @@ object Layout {
     */
   def reapManifest(spark: SparkSession, path: String,
                    keepVersions: Int = 1,
-                   ignoreConsumers: Set[String] = Set.empty): Seq[String] =
+                   ignoreConsumers: Set[String] = Set.empty,
+                   keepAgeMs: Long = 0L): Seq[String] =
       withMaintenanceLock(spark, path, lockWaitMs(spark)) {
     require(keepVersions >= 1, "keepVersions must be >= 1")
+    require(keepAgeMs >= 0L, "keepAgeMs must be >= 0 (0 = version-based)")
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"$path is not a manifest table"))
     val fc = fileContext(spark, path)
-    val floor = math.max(1, v - keepVersions + 1)
+    // keepAgeMs > 0 additionally retains every version needed to
+    // time-travel to ANY instant in the last keepAgeMs (the Delta
+    // VACUUM retention posture, riding the publishedAtMs stamps): the
+    // floor lowers to the newest version published at or before
+    // now - keepAgeMs, because that version SERVES every instant from
+    // its publish until the next one. Retention only ever widens —
+    // age and count compose as the union. Versions predating the
+    // stamp field refuse through versionAtTimestamp's contract (use
+    // keepVersions alone on pre-stamp tables).
+    val versionFloor = math.max(1, v - keepVersions + 1)
+    val floor =
+      if (keepAgeMs <= 0L) versionFloor
+      else {
+        val cutoff = System.currentTimeMillis() - keepAgeMs
+        val ageFloor =
+          try versionAtTimestamp(spark, path, cutoff)
+          catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("predates the earliest") =>
+              // the whole retained window is younger than the cutoff:
+              // everything stays
+              manifestVersions(spark, path).headOption.getOrElse(1)
+          }
+        math.min(versionFloor, ageFloor)
+      }
     // a change-feed consumer whose acked cursor falls BELOW the floor
     // would lose its increment to this reap (its next feedSince needs
     // the acked version's generations) — refuse loudly instead of

@@ -104,7 +104,10 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
         s"partitions [${meta.deltas.keys.toSeq.sorted.take(5).mkString(", ")}" +
         s"${if (meta.deltas.size > 5) ", …" else ""}]: a file-level scan " +
         "cannot resolve latest-wins — run Layout.foldManifestDeltas (or " +
-        "schedule a FoldDeltas node) first, or read via Layout.readManifest")
+        "schedule a FoldDeltas node) first, or read via " +
+        "Layout.readManifest; if a streaming sink feeds this " +
+        "catalog-registered table, set .option(\"mor\", \"false\") on it " +
+        "so batches land copy-on-write and the SQL surface stays served")
     require(meta.colAliases.isEmpty,
       s"manifest table $tablePath has renamed column(s) whose old names " +
         s"may live in data files (${meta.colAliases.keys.toSeq.sorted

@@ -37,7 +37,7 @@ import scala.jdk.CollectionConverters._
   *                              retention window, consumers)
   *   POST /api/maintain-table - params: path [, max_pending_deltas,
   *                              max_files_per_partition, keep_versions]
-  *   POST /api/reap-table     - params: path [, keep_versions]
+  *   POST /api/reap-table     - params: path [, keep_versions, keep_age_hours]
   */
 final class RestServer(driver: Driver, token: String, port: Int = 0,
                        repo: Option[graft.core.Repository] = None,
@@ -224,7 +224,9 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
         case "/api/reap-table" =>
           val p = params(ex)
           val deleted = graft.operators.Layout.reapManifest(tableSpark,
-            p("path"), keepVersions = p.getOrElse("keep_versions", "1").toInt)
+            p("path"), keepVersions = p.getOrElse("keep_versions", "1").toInt,
+            keepAgeMs = (p.getOrElse("keep_age_hours", "0").toDouble *
+              3600000L).toLong)
           respond(ex, 200, s"""{"reaped":${deleted.size}}""")
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }

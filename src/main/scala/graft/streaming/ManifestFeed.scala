@@ -364,15 +364,32 @@ final class ManifestFeedProvider extends StreamSourceProvider
                             providerName: String,
                             parameters: Map[String, String]):
       (String, StructType) = {
-    require(schema.isEmpty,
-      "manifest-feed is self-describing: drop the .schema(...) call " +
-        "(the manifest stores the table schema)")
     val base = ManifestFeedSource.liveSchema(sqlContext.sparkSession,
       pathOf(parameters))
-    (shortName(),
+    val served =
       if (opt(parameters, "mode").contains("changes"))
         ManifestFeedSource.withChangeType(base)
-      else base)
+      else base
+    // the feed is self-describing — the manifest stores the table
+    // schema. A CALLER-provided schema is accepted only when it is a
+    // (possibly reordered) match of the live one: that is what
+    // `readStream.table(name)` relays from the catalog registration
+    // (whose column order is data-cols-then-partition-cols, not the
+    // stored order), and what a post-registration evolution makes
+    // stale — refuse the drift loudly instead of serving rows under
+    // the wrong shape. Explicit .schema() calls that do not match get
+    // the same refusal with the drop-it remedy.
+    schema.foreach { given =>
+      val g = given.fields.map(f => (f.name, f.dataType)).toSet
+      val l = served.fields.map(f => (f.name, f.dataType)).toSet
+      require(g == l,
+        "manifest-feed is self-describing (the manifest stores the " +
+          "table schema) and the provided schema does not match the " +
+          s"live one — table evolved after the catalog registration? " +
+          "REFRESH TABLE / re-CREATE TABLE; or drop the .schema(...) " +
+          s"call (got ${given.toDDL}; live ${served.toDDL})")
+    }
+    (shortName(), served)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

@@ -84,6 +84,44 @@ class LayoutSpec extends SparkSpec {
     assert(e2.getMessage.contains("VERSION AS OF"), e2.getMessage)
   }
 
+  test("reapManifest keepAgeMs: retention by AGE composes with the " +
+      "version count as the union — the floor covers every instant in " +
+      "the window") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val dir = tmpDir("agereap")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 1.0, 1L)).toDF("k", "part", "v", "ver"), Seq("part"))
+    for (n <- 2 to 4)
+      Layout.mergeManifest(spark, dir,
+        Seq((1L, "a", n.toDouble, n.toLong)).toDF("k", "part", "v", "ver"),
+        Seq("k"), "ver")
+    // age the stamps on disk: v1 100h old, v2 50h, v3 10h, v4 now
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val now = System.currentTimeMillis()
+    Seq(1 -> 100L, 2 -> 50L, 3 -> 10L).foreach { case (ver, hoursOld) =>
+      val f = new java.io.File(dir, s"_MANIFEST.v$ver")
+      val root = om.readTree(f)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      root.put("publishedAtMs", now - hoursOld * 3600000L)
+      java.nio.file.Files.write(f.toPath, om.writeValueAsBytes(root))
+    }
+    // keepVersions=1 alone would reap v1..v3; a 24h age window must
+    // ALSO keep v3 (inside it) and v2 (it SERVES time travel to the
+    // 24h-ago instant) — only v1 goes
+    Layout.reapManifest(spark, dir, keepVersions = 1,
+      keepAgeMs = 24L * 3600000L)
+    assert(Layout.manifestVersions(spark, dir) == Seq(2, 3, 4))
+    // the whole window still time-travels: the cutoff instant resolves
+    assert(Layout.versionAtTimestamp(spark, dir,
+      now - 24L * 3600000L) == 2)
+    intercept[IllegalArgumentException] {
+      Layout.readManifestVersion(spark, dir, 1).collect() }
+    // an age window wider than the table keeps everything
+    Layout.reapManifest(spark, dir, keepVersions = 1,
+      keepAgeMs = 1000L * 3600000L)
+    assert(Layout.manifestVersions(spark, dir) == Seq(2, 3, 4))
+  }
+
   test("compact without partition columns coalesces a flat directory") {
     val dir = tmpDir("flat")
     val li = spark.read.parquet(sf("lineitem")).select("l_orderkey", "l_quantity")

@@ -183,13 +183,57 @@ class ManifestFeedSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     assert(keys(spark.read.parquet(sink)) == Set(1L, 2L, 3L, 4L, 5L))
-    // self-describing, same as the feed: .schema() refuses
+    // self-describing, same as the feed: a NON-matching .schema()
+    // refuses (a matching one is accepted — that is what
+    // readStream.table relays from the catalog)
     val e = intercept[IllegalArgumentException] {
       spark.readStream.format("manifest")
-        .schema(spark.read.parquet(sink).schema)
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, wrong STRING"))
         .option("path", dir).load()
     }
-    assert(e.getMessage.contains("self-describing"), e.getMessage)
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+  }
+
+  test("streaming by BARE NAME: readStream.table feeds " +
+      "writeStream.toTable across two catalog-registered manifest " +
+      "tables — table-to-table replication with zero paths in the query") {
+    val src = tmpDir("bysrc")
+    val dst = tmpDir("bydst")
+    val ckpt = tmpDir("byckpt")
+    import spark.implicits._
+    seedTable(src)                                        // v1: k 1..4
+    Layout.writeManifestTable(spark, dst,
+      Seq((99L, "z", 0.0, 0L)).toDF("k", "part", "v", "ver"), Seq("part"),
+      keys = Seq("k"), versionCol = Some("ver"))
+    spark.sql("DROP TABLE IF EXISTS t_by_src")
+    spark.sql("DROP TABLE IF EXISTS t_by_dst")
+    spark.sql(s"CREATE TABLE t_by_src USING manifest OPTIONS (path '$src')")
+    spark.sql(s"CREATE TABLE t_by_dst USING manifest OPTIONS (path '$dst')")
+    // mor=false: the sink lands copy-on-write so the destination's
+    // catalog scans (which refuse pending deltas) stay served while
+    // the stream runs — the posture for a table queried by name
+    val q = spark.readStream
+      .option("startingVersion", "earliest")
+      .table("t_by_src")
+      .writeStream.format("manifest")
+      .option("mor", "false")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable("t_by_dst")
+    q.awaitTermination()
+    assert(keys(spark.table("t_by_dst")) == Set(1L, 2L, 3L, 4L, 99L))
+    // the relayed catalog schema is accepted (a reordered match of the
+    // live one); a DIFFERENT explicit schema still refuses
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, wrong STRING"))
+        .option("path", src).format("manifest").load()
+    }
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+    spark.sql("DROP TABLE t_by_src")
+    spark.sql("DROP TABLE t_by_dst")
   }
 
   test("maxVersionsPerTrigger paces a backfill into bounded batches; " +
