@@ -1619,6 +1619,16 @@ object EngineQueries {
       val stamps = hist.map(_.getTimestamp(1).getTime).toSeq
       require(stamps.forall(_ > 0L) && stamps == stamps.sorted,
         s"history stamps must be present and monotone ($stamps)")
+      // per-partition admin view: bytes recorded at publish (no
+      // filesystem calls), pending-delta counts reflecting the two
+      // un-folded appends
+      val parts = s.sql(s"SELECT * FROM manifest_partitions('$out')")
+        .collect()
+      require(parts.nonEmpty && parts.forall(r => !r.isNullAt(3) &&
+          r.getLong(3) > 0L),
+        "every live partition must carry its publish-recorded bytes")
+      require(parts.exists(_.getInt(2) > 0),
+        "pending delta counts must reflect the un-folded appends")
       // the change diff agrees with the append feed on a pure-append
       // window (every change is an insert)
       val nCh = s.sql(

@@ -121,12 +121,16 @@ object PipelineConfig {
       zorderCols = c.get("zorder_cols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       ignoreConsumers = c.get("ignore_consumers").toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet)),
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet,
+      keepAgeMs = (c.get("keep_age_hours").map(_.toDouble).getOrElse(0.0)
+        * 3600000L).toLong)),
     "Reap" -> ((c, _) => ReapModel(get(c, "path"),
       keepVersions = c.get("keep_versions").map(_.toInt).getOrElse(1),
       generational = c.get("generational").exists(_.toBoolean),
       ignoreConsumers = c.get("ignore_consumers").toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet)),
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet,
+      keepAgeMs = (c.get("keep_age_hours").map(_.toDouble).getOrElse(0.0)
+        * 3600000L).toLong)),
     "Manifest" -> ((c, _) => ManifestModel(get(c, "path"),
       version = c.get("version").map(_.toInt),
       // "col:lo..hi;col2:lo..hi" — first ':' splits the column (bounds

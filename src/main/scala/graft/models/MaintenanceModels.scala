@@ -306,6 +306,10 @@ final case class ReapModel(
     keepVersions: Int = 1,
     generational: Boolean = false,
     ignoreConsumers: Set[String] = Set.empty,
+    // additionally retain every version needed to time-travel within
+    // the last keepAgeMs (the Delta VACUUM retention posture; 0 =
+    // version-count only) — count and age compose as the union
+    keepAgeMs: Long = 0L,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
 
@@ -314,7 +318,7 @@ final case class ReapModel(
     val n =
       if (generational) Layout.reapGenerations(ctx.spark, target).length
       else Layout.reapManifest(ctx.spark, target, keepVersions,
-        ignoreConsumers).length
+        ignoreConsumers, keepAgeMs).length
     ExecResult(resultValue = Some(n.toLong))
   }
 }
@@ -420,6 +424,8 @@ final case class MaintainModel(
     sortCols: Seq[String] = Nil,
     zorderCols: Seq[String] = Nil,
     ignoreConsumers: Set[String] = Set.empty,
+    // age-based retention rider on the reap strand (0 = count only)
+    keepAgeMs: Long = 0L,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
 
@@ -446,8 +452,10 @@ final case class MaintainModel(
       else Layout.compactManifest(s, target, maxFilesPerPartition,
         sortCols, zorderCols)
     val reaped =
-      if (keepVersions <= 0) Nil
-      else Layout.reapManifest(s, target, keepVersions, ignoreConsumers)
+      if (keepVersions <= 0 && keepAgeMs <= 0L) Nil
+      else Layout.reapManifest(s, target,
+        if (keepVersions <= 0) 1 else keepVersions,
+        ignoreConsumers, keepAgeMs)
     ExecResult(
       resultValue = Some((folded.size + compacted.size + reaped.size).toLong),
       resultLong = Some(

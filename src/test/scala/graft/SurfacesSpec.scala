@@ -95,6 +95,17 @@ class SurfacesSpec extends SparkSpec {
       Layout.manifestVersion(spark, dir).get)
     assert(mEnd.deltas.isEmpty)
     assert(Layout.readManifest(spark, dir).count() == 7)
+    // age-based retention rider: a wide keep_age_hours window makes
+    // the reap a no-op even with keep_versions=1 (union semantics)
+    val aged = PipelineConfig.registry("Maintain")(
+      Map("path" -> dir, "max_pending_deltas" -> "1",
+        "keep_versions" -> "1", "keep_age_hours" -> "9999"),
+      new SourceRegistry)
+    val before = Layout.manifestVersions(spark, dir)
+    aged.asInstanceOf[graft.models.MaintainModel]
+      .execute(StepContext(spark, Calendar.day("2023-01-01")))
+    assert(Layout.manifestVersions(spark, dir) == before,
+      "every version is younger than the age window — nothing reaps")
   }
 
   test("Maintain on a DECLARED append-only table: crossing the file " +

@@ -144,6 +144,31 @@ class LayoutConcurrencySpec extends SparkSpec {
     assert(Layout.manifestVersion(spark, dir).contains(v0 + 2))
   }
 
+  test("concurrent SQL UPDATEs through the catalog: both land via the " +
+      "optimistic commit (the DML commands mount fresh and rebase like " +
+      "every other writer)") {
+    val dir = tmpDir("sqlconc")
+    Layout.writeManifestTable(spark, dir,
+      (1L to 40L).map(k => (k, s"p${k % 4}", k.toDouble, 1L))
+        .toDF("k", "part", "v", "ver"), Seq("part"),
+      keys = Seq("k"), versionCol = Some("ver"))
+    spark.sql("DROP TABLE IF EXISTS t_sqlconc")
+    spark.sql(s"CREATE TABLE t_sqlconc USING manifest OPTIONS (path '$dir')")
+    // two disjoint-row UPDATEs race; each lands exactly once
+    inThreads(
+      () => spark.sql("UPDATE t_sqlconc SET v = v + 100, ver = 2 " +
+        "WHERE k % 2 = 0"),
+      () => spark.sql("UPDATE t_sqlconc SET v = v + 1000, ver = 2 " +
+        "WHERE k % 2 = 1"))
+    assert(Layout.manifestVersion(spark, dir).contains(3),
+      "both UPDATEs must publish exactly once each")
+    val got = snap(spark.table("t_sqlconc"))
+    val want = (1L to 40L).map(k =>
+      k -> (k.toDouble + (if (k % 2 == 0) 100 else 1000))).toMap
+    assert(got == want, s"lost or double-applied update: ${
+      got.toSeq.sortBy(_._1).take(6)}")
+  }
+
   test("fold rebases around a delta that lands mid-fold: the folded " +
       "base commits, the new delta survives as pending") {
     val dir = tmpDir("fold_race")
