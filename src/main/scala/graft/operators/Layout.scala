@@ -2213,32 +2213,47 @@ object Layout {
     * publish must answer, not refuse. */
   def versionAtTimestamp(spark: SparkSession, path: String,
                          tsMs: Long): Int = {
-    val vs = manifestVersions(spark, path)
-    require(vs.nonEmpty,
-      s"$path has no retained manifest versions — not a manifest table?")
-    def stampOf(v: Int): Long = {
-      val s = readManifestMeta(spark, path, v).publishedAtMs
-      require(s > 0L,
-        s"manifest v$v of $path predates publish timestamps " +
-          "(written before the publishedAtMs field existed) — travel " +
-          "by VERSION AS OF instead")
-      s
+    // a concurrent reap can delete a version BETWEEN our listing and
+    // its root read — mid-search that surfaces as a confusing
+    // "not on disk"; re-list once and resolve against the shrunken
+    // window instead (the reap's own strand guards already protect
+    // consumers; a point-in-time read just needs the CURRENT window)
+    def attempt(retry: Boolean): Int = {
+      val vs = manifestVersions(spark, path)
+      require(vs.nonEmpty,
+        s"$path has no retained manifest versions — not a manifest table?")
+      def stampOf(v: Int): Long = {
+        val s = readManifestMeta(spark, path, v).publishedAtMs
+        require(s > 0L,
+          s"manifest v$v of $path predates publish timestamps " +
+            "(written before the publishedAtMs field existed) — travel " +
+            "by VERSION AS OF instead")
+        s
+      }
+      try {
+        val earliest = stampOf(vs.head)
+        require(tsMs >= earliest,
+          s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMs)} " +
+            s"predates the earliest retained version of $path " +
+            s"(v${vs.head}, published " +
+            s"${java.time.Instant.ofEpochMilli(earliest)}) — earlier " +
+            "snapshots were reaped")
+        // binary search: the largest retained version with stamp <= tsMs
+        var lo = 0
+        var hi = vs.size - 1
+        while (lo < hi) {
+          val mid = (lo + hi + 1) / 2
+          if (stampOf(vs(mid)) <= tsMs) lo = mid else hi = mid - 1
+        }
+        vs(lo)
+      } catch {
+        case e: IllegalArgumentException
+            if retry && e.getMessage != null &&
+              e.getMessage.contains("not on disk") =>
+          attempt(retry = false)
+      }
     }
-    val earliest = stampOf(vs.head)
-    require(tsMs >= earliest,
-      s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMs)} " +
-        s"predates the earliest retained version of $path " +
-        s"(v${vs.head}, published " +
-        s"${java.time.Instant.ofEpochMilli(earliest)}) — earlier " +
-        "snapshots were reaped")
-    // binary search: the largest retained version with stamp <= tsMs
-    var lo = 0
-    var hi = vs.size - 1
-    while (lo < hi) {
-      val mid = (lo + hi + 1) / 2
-      if (stampOf(vs(mid)) <= tsMs) lo = mid else hi = mid - 1
-    }
-    vs(lo)
+    attempt(retry = true)
   }
 
   /** Read the LIVE snapshot of the manifest table at `path`: the

@@ -28,8 +28,12 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   * parsed tree and replaces `RelationTimeTravel` over an identifier
   * that names a `USING manifest` catalog table with a relation over
   * the PINNED [[ManifestFileIndex]] — the exact snapshot semantics the
-  * `versionAsOf` view option gives, now by bare table name. Anything
-  * else (other providers, temp views, timestamps) passes through to
+  * `versionAsOf`/`timestampAsOf` view options give, now by bare table
+  * name (timestamps resolve through [[graft.operators.Layout
+  * .versionAtTimestamp]]). The same seam rewrites the four ALTER
+  * TABLE evolution verbs onto [[ManifestAlterCommand]] and refuses
+  * TRUNCATE. Anything over a non-manifest identifier — other
+  * providers, temp views, non-foldable timestamps — passes through to
   * the analyzer's own handling and error messages.
   */
 final class ManifestSqlParser(session: SparkSession,

@@ -262,6 +262,11 @@ class CliSpec extends SparkSpec {
     // maintain folds the deep partition, then reap with consent
     val maint = run("maintain-table", dir, "max_pending_deltas=3")
     assert(maint.contains("fold=part=a"), maint)
+    // an age window covering every publish makes the reap a no-op
+    // (count + age compose as the union)
+    val agedNoop = run("reap-table", dir, "keep_versions=1",
+      "keep_age_hours=9999")
+    assert(agedNoop.contains("reaped 0"), agedNoop)
     val reaped = run("reap-table", dir, "keep_versions=1")
     assert(reaped.contains("reaped") && !reaped.contains("reaped 0"),
       reaped)
