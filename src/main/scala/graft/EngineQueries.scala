@@ -1602,7 +1602,8 @@ object EngineQueries {
         lit(1L).as("ver"))
       def slice(r: Int) =
         rows.filter(pmod(col("o_orderkey"), lit(3)) === r)
-      Layout.writeManifestTable(s, out, slice(0), Seq("o_year"))  // v1
+      Layout.writeManifestTable(s, out, slice(0), Seq("o_year"),
+        statsCols = Seq("o_orderkey"))                            // v1
       Layout.mergeManifestDelta(s, out, slice(1),
         Seq("o_orderkey"), "ver")                                 // v2
       Layout.mergeManifestDelta(s, out, slice(2),
@@ -1629,6 +1630,16 @@ object EngineQueries {
         "every live partition must carry its publish-recorded bytes")
       require(parts.exists(_.getInt(2) > 0),
         "pending delta counts must reflect the un-folded appends")
+      // one-row DESCRIBE DETAIL summary: live version, merge state,
+      // total bytes — all from one root parse
+      val det = s.sql(s"SELECT * FROM manifest_detail('$out')").head()
+      require(det.getInt(1) == 3 && det.getInt(6) >= 2 &&
+          !det.isNullAt(7) && det.getLong(7) > 0L,
+        s"detail must carry version/pending/bytes ($det)")
+      // file-level skipping stats are enumerable for debugging
+      require(s.sql(s"SELECT count(*) FROM manifest_files('$out')")
+          .head().getLong(0) > 0L,
+        "per-file stats must be enumerable")
       // the change diff agrees with the append feed on a pure-append
       // window (every change is an insert)
       val nCh = s.sql(

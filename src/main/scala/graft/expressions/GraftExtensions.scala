@@ -87,6 +87,76 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.catalyst.types.DataTypeUtils
               .toAttributes(schema), rows)
       }))
+    // DESCRIBE DETAIL: one row summarizing the LIVE table — the facts
+    // an operator (or a dashboard) wants before anything else. All
+    // from one root parse; zero data-file access.
+    ext.injectTableFunction((
+      new FunctionIdentifier("manifest_detail"),
+      new ExpressionInfo("graft.operators.Layout", "manifest_detail"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "manifest_detail(path)")
+        val path = stringArg(args(0), "manifest_detail path")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val v = graft.operators.Layout.manifestVersion(spark, path)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$path is not a manifest table"))
+        val m = graft.operators.Layout.readManifestMeta(spark, path, v)
+        val retained = graft.operators.Layout
+          .manifestVersions(spark, path)
+        val row = org.apache.spark.sql.Row(
+          path, v,
+          if (m.publishedAtMs > 0L)
+            new java.sql.Timestamp(m.publishedAtMs) else null,
+          retained.size,
+          m.partitionCols, m.allRels.size,
+          m.deltas.values.map(_.size).sum,
+          if (m.bytes.isEmpty) null
+          else java.lang.Long.valueOf(m.bytes.values.sum),
+          m.appendOnly, m.morKeys, m.morVersionCol.orNull,
+          m.statsCols, m.bloomCols, m.droppedCols,
+          m.colAliases.keys.toSeq.sorted)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "path STRING, version INT, published_at TIMESTAMP, " +
+            "retained_versions INT, partition_cols ARRAY<STRING>, " +
+            "partitions INT, pending_deltas INT, bytes BIGINT, " +
+            "append_only BOOLEAN, merge_keys ARRAY<STRING>, " +
+            "version_col STRING, stats_cols ARRAY<STRING>, " +
+            "bloom_cols ARRAY<STRING>, dropped_cols ARRAY<STRING>, " +
+            "renamed_cols ARRAY<STRING>")
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          .fromExternalRows(
+            org.apache.spark.sql.catalyst.types.DataTypeUtils
+              .toAttributes(schema), Seq(row))
+      }))
+    // file-level listing with the per-FILE skipping stats (m69) — the
+    // debugging view for "why did this scan touch that file"
+    ext.injectTableFunction((
+      new FunctionIdentifier("manifest_files"),
+      new ExpressionInfo("graft.operators.Layout", "manifest_files"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "manifest_files(path)")
+        val path = stringArg(args(0), "manifest_files path")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val v = graft.operators.Layout.manifestVersion(spark, path)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$path is not a manifest table"))
+        val m = graft.operators.Layout.readManifestMeta(spark, path, v)
+        val rows = m.fileStats.toSeq.sortBy(_._1).flatMap {
+          case (rel, files) => files.toSeq.sortBy(_._1).map {
+            case (file, cols) =>
+              org.apache.spark.sql.Row(rel, file,
+                cols.map { case (c, mm) => c -> mm._1.orNull },
+                cols.map { case (c, mm) => c -> mm._2.orNull })
+          }
+        }
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "partition STRING, file STRING, " +
+            "stats_min MAP<STRING,STRING>, stats_max MAP<STRING,STRING>")
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          .fromExternalRows(
+            org.apache.spark.sql.catalyst.types.DataTypeUtils
+              .toAttributes(schema), rows)
+      }))
     // the SHOW PARTITIONS / DESCRIBE DETAIL posture: one row per live
     // partition with its base generation, pending-delta count, bytes
     // (recorded at publish — zero filesystem calls) and the
