@@ -3582,6 +3582,11 @@ object Layout {
     require(sch.fieldNames.contains(column),
       s"widenManifestColumn: no column '$column' in " +
         sch.fieldNames.mkString(", "))
+    require(!m.partitionCols.contains(column),
+      s"widenManifestColumn: '$column' is a partition column — its " +
+        "values are baked into every directory fragment and the catalog " +
+        "registration pins its type; repartitionManifest to a re-typed " +
+        "layout instead")
     val cur = sch(column).dataType
     val target = org.apache.spark.sql.types.DataType.fromDDL(newType)
     val ok = (cur, target) match {
@@ -3794,6 +3799,22 @@ object Layout {
               // the whole retained window is younger than the cutoff:
               // everything stays
               manifestVersions(spark, path).headOption.getOrElse(1)
+            case e: IllegalArgumentException
+                if e.getMessage.contains("predates publish timestamps") =>
+              // versions written before the publishedAtMs field existed
+              // are OLDER than every stamped one (versions are
+              // monotone): in a RETENTION context they are infinitely
+              // old — reapable past the count floor, never a reason to
+              // hard-fail age-based retention on an upgraded table. The
+              // floor is the newest version at or before the cutoff
+              // with unstamped versions ranking below every instant —
+              // a linear scan over the retained window (reap reads
+              // these roots anyway)
+              val vs = manifestVersions(spark, path)
+              vs.filter { ver =>
+                val s = readManifestMeta(spark, path, ver).publishedAtMs
+                s <= 0L || s <= cutoff
+              }.lastOption.getOrElse(vs.headOption.getOrElse(1))
           }
         math.min(versionFloor, ageFloor)
       }

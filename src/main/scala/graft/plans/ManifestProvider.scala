@@ -93,15 +93,24 @@ final class ManifestProvider extends RelationProvider
         "versionAsOf and timestampAsOf are mutually exclusive")
       v.toInt
     }.orElse(opt(parameters, "timestampAsOf").map { t =>
-      // "yyyy-MM-dd HH:mm:ss[.SSS]" (session zone = the builder's UTC)
-      // or epoch millis — resolved to the newest version published at
-      // or before the instant, exactly like SQL TIMESTAMP AS OF
+      // any timestamp-castable literal under the SESSION zone (the SQL
+      // `TIMESTAMP AS OF` contract — same Cast), or pure-digit epoch
+      // millis — resolved to the newest version published at or before
+      // the instant
       val ms =
-        if (t.forall(_.isDigit)) t.toLong
-        else java.time.LocalDateTime.parse(t.trim.replace(' ', 'T'))
-          .atZone(java.time.ZoneId.of(
-            spark.sessionState.conf.sessionLocalTimeZone))
-          .toInstant.toEpochMilli
+        if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+        else {
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+          import org.apache.spark.sql.types.TimestampType
+          val cast = Cast(Literal(t), TimestampType,
+            Some(spark.sessionState.conf.sessionLocalTimeZone))
+          Option(cast.eval(null)).map(_.asInstanceOf[Long] / 1000L)
+            .getOrElse(throw new IllegalArgumentException(
+              s"timestampAsOf '$t' is not a timestamp — pass epoch " +
+                "millis or any timestamp-castable literal " +
+                "('yyyy-MM-dd', 'yyyy-MM-dd HH:mm:ss[.SSS]', ISO-8601 " +
+                "with offset)"))
+        }
       graft.operators.Layout.versionAtTimestamp(spark, path, ms)
     })
     val idx = new ManifestFileIndex(spark, path, version)

@@ -382,7 +382,11 @@ final class ManifestFeedProvider extends StreamSourceProvider
     schema.foreach { given =>
       val g = given.fields.map(f => (f.name, f.dataType)).toSet
       val l = served.fields.map(f => (f.name, f.dataType)).toSet
-      require(g == l,
+      // in changes mode the catalog (readStream.table) relays the BASE
+      // table schema — the synthetic _change_type column is the feed's
+      // own addition, so a base match is as valid as a served match
+      val b = base.fields.map(f => (f.name, f.dataType)).toSet
+      require(g == l || g == b,
         "manifest-feed is self-describing (the manifest stores the " +
           "table schema) and the provided schema does not match the " +
           s"live one — table evolved after the catalog registration? " +

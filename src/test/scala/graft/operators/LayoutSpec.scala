@@ -84,6 +84,40 @@ class LayoutSpec extends SparkSpec {
     assert(e2.getMessage.contains("VERSION AS OF"), e2.getMessage)
   }
 
+  test("timestampAsOf DataFrame option accepts any timestamp-castable " +
+      "literal (SQL TIMESTAMP AS OF parity): date-only, ISO-offset, " +
+      "space-separated; garbage refuses naming the formats") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val dir = tmpDir("tsopt")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 1.0, 1L)).toDF("k", "part", "v", "ver"), Seq("part"))
+    Layout.mergeManifest(spark, dir,
+      Seq((2L, "a", 2.0, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    // pin stamps to known instants (session zone is UTC): v1 at
+    // 2020-01-01T12:00Z, v2 at 2020-06-01T00:00Z
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    Seq(1 -> 1577880000000L, 2 -> 1590969600000L).foreach {
+      case (ver, ms) =>
+        val f = new java.io.File(dir, s"_MANIFEST.v$ver")
+        val root = om.readTree(f)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        root.put("publishedAtMs", ms)
+        java.nio.file.Files.write(f.toPath, om.writeValueAsBytes(root))
+    }
+    def countAt(ts: String): Long =
+      spark.read.format("manifest").option("path", dir)
+        .option("timestampAsOf", ts).load().count()
+    assert(countAt("2020-01-02") == 1)              // date-only
+    assert(countAt("2020-06-01 00:00:00") == 2)     // space-separated
+    assert(countAt("2020-01-01T14:00:00+02:00") == 1) // ISO offset
+    assert(countAt((1590969600000L + 5).toString) == 2) // epoch millis
+    val e = intercept[IllegalArgumentException] { countAt("not a time") }
+    assert(e.getMessage.contains("timestamp-castable"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] { countAt("") }
+    assert(e2.getMessage.contains("timestamp"), e2.getMessage)
+  }
+
   test("reapManifest keepAgeMs: retention by AGE composes with the " +
       "version count as the union — the floor covers every instant in " +
       "the window") {
@@ -120,6 +154,49 @@ class LayoutSpec extends SparkSpec {
     Layout.reapManifest(spark, dir, keepVersions = 1,
       keepAgeMs = 1000L * 3600000L)
     assert(Layout.manifestVersions(spark, dir) == Seq(2, 3, 4))
+  }
+
+  test("reapManifest keepAgeMs on a PRE-STAMP table: versions written " +
+      "before publishedAtMs existed rank as infinitely old — age " +
+      "retention works on upgraded tables instead of hard-failing " +
+      "with the time-travel remedy") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val dir = tmpDir("prestampreap")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 1.0, 1L)).toDF("k", "part", "v", "ver"), Seq("part"))
+    for (n <- 2 to 4)
+      Layout.mergeManifest(spark, dir,
+        Seq((1L, "a", n.toDouble, n.toLong)).toDF("k", "part", "v", "ver"),
+        Seq("k"), "ver")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val now = System.currentTimeMillis()
+    // v1+v2 predate the stamp field (simulated by stripping it); v3 is
+    // 50h old, v4 fresh
+    Seq(1, 2).foreach { ver =>
+      val f = new java.io.File(dir, s"_MANIFEST.v$ver")
+      val root = om.readTree(f)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      root.remove("publishedAtMs")
+      java.nio.file.Files.write(f.toPath, om.writeValueAsBytes(root))
+    }
+    locally {
+      val f = new java.io.File(dir, "_MANIFEST.v3")
+      val root = om.readTree(f)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      root.put("publishedAtMs", now - 50L * 3600000L)
+      java.nio.file.Files.write(f.toPath, om.writeValueAsBytes(root))
+    }
+    // a 100h window: no stamped version is older than the cutoff, so
+    // the floor lands on the newest UNSTAMPED version (v2) — v1 reaps,
+    // v2 stays to serve the cutoff instant
+    Layout.reapManifest(spark, dir, keepVersions = 1,
+      keepAgeMs = 100L * 3600000L)
+    assert(Layout.manifestVersions(spark, dir) == Seq(2, 3, 4))
+    // a 1h window: v3 (50h) serves the cutoff — the remaining
+    // pre-stamp version reaps beyond the count floor, no hard fail
+    Layout.reapManifest(spark, dir, keepVersions = 1,
+      keepAgeMs = 1L * 3600000L)
+    assert(Layout.manifestVersions(spark, dir) == Seq(3, 4))
   }
 
   test("compact without partition columns coalesces a flat directory") {

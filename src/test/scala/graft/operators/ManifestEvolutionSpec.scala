@@ -118,6 +118,36 @@ class ManifestEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("metadata-only widening"), e.getMessage)
   }
 
+  test("widenManifestColumn refuses PARTITION columns (their values " +
+      "are baked into directory fragments and the catalog pins their " +
+      "type) — Scala and SQL surfaces alike, catalog never drifts") {
+    val dir = tmpDir("widenpart")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, 7, 10, 1L), (2L, 9, 20, 1L)).toDF("k", "p", "cnt", "ver"),
+      Seq("p"), keys = Seq("k"), versionCol = Some("ver"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.widenManifestColumn(spark, dir, "p", "bigint") }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // the SQL verb hits the same guard — and because it refuses, the
+    // catalog entry stays consistent with the manifest (no drifted
+    // partitionSchema; DESCRIBE and bare-name scans keep working)
+    spark.sql("DROP TABLE IF EXISTS t_widenpart")
+    spark.sql(
+      s"CREATE TABLE t_widenpart USING manifest OPTIONS (path '$dir')")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE t_widenpart ALTER COLUMN p TYPE BIGINT") }
+    assert(e2.getMessage.contains("partition column"), e2.getMessage)
+    assert(spark.table("t_widenpart").schema("p").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(spark.sql("SELECT sum(cnt) FROM t_widenpart")
+      .head().getLong(0) == 30L)
+    // a DATA column still widens through SQL and the catalog follows
+    spark.sql("ALTER TABLE t_widenpart ALTER COLUMN cnt TYPE BIGINT")
+    assert(spark.table("t_widenpart").schema("cnt").dataType ==
+      org.apache.spark.sql.types.LongType)
+    spark.sql("DROP TABLE t_widenpart")
+  }
+
   test("renameManifestColumn: metadata-only rename with alias chains — " +
       "mixed-name generations coalesce, feeds align across the " +
       "boundary, the planner index refuses until clearManifestAliases") {

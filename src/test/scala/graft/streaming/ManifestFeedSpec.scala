@@ -236,6 +236,33 @@ class ManifestFeedSpec extends SparkSpec {
     spark.sql("DROP TABLE t_by_dst")
   }
 
+  test("mode=changes by BARE NAME: the catalog relays the BASE schema " +
+      "and the feed accepts it — the synthetic _change_type column is " +
+      "the source's own addition, not schema drift") {
+    val src = tmpDir("chname")
+    val sink = tmpDir("chnamesink")
+    val ckpt = tmpDir("chnameckpt")
+    seedTable(src)                                        // v1: k 1..4
+    spark.sql("DROP TABLE IF EXISTS t_ch_src")
+    spark.sql(s"CREATE TABLE t_ch_src USING manifest OPTIONS (path '$src')")
+    val q = spark.readStream
+      .option("mode", "changes")
+      .option("startingVersion", "earliest")
+      .table("t_ch_src")
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(sink)
+    assert(out.columns.contains("_change_type"))
+    assert(keys(out) == Set(1L, 2L, 3L, 4L))
+    assert(out.select("_change_type").collect()
+      .forall(_.getString(0) == "insert"))
+    spark.sql("DROP TABLE t_ch_src")
+  }
+
   test("maxVersionsPerTrigger paces a backfill into bounded batches; " +
       "mid-stream schema evolution keeps the pinned shape until restart") {
     val dir = tmpDir("paced")
