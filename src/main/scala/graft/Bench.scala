@@ -128,6 +128,34 @@ object Bench {
     }.toMap).getOrElse(Map.empty)
   }
 
+  /** Normalized regression diff against the COMMITTED per-gate baseline
+    * (`bench_baseline.json`): each gate's ratio now/baseline divides by
+    * the MEDIAN ratio across all gates, so uniform machine variance
+    * (every gate 1.3× on a slower host / noisier day) cancels and only
+    * gates that moved RELATIVE TO THE BOARD surface. Returns
+    * (gate, rawRatio, normalizedRatio) for every gate whose normalized
+    * ratio >= `threshold` and whose current time clears `floorSec`
+    * (sub-floor gates are all jitter at sf0.1). Empty baseline = empty
+    * diff — the run records, it never blocks. */
+  def regressions(outcomes: Seq[Outcome], baseline: Map[String, Double],
+                  threshold: Double = 1.5, floorSec: Double = 0.3):
+      Seq[(String, Double, Double)] = {
+    val ratios = outcomes.flatMap(o => for {
+      now <- o.minSec
+      base <- baseline.get(o.name)
+      if base > 0
+    } yield (o.name, now, now / base))
+    if (ratios.isEmpty) Nil
+    else {
+      val med = ratios.map(_._3).sorted.apply(ratios.size / 2)
+      val norm = math.max(med, 1e-9)
+      ratios.collect {
+        case (n, now, r) if r / norm >= threshold && now >= floorSec =>
+          (n, r, r / norm)
+      }.sortBy(-_._3)
+    }
+  }
+
   /** 1 when any query failed — the process exit code for `main`. */
   def exitCode(outcomes: Seq[Outcome]): Int =
     if (outcomes.exists(_.minSec.isEmpty)) 1 else 0
@@ -169,6 +197,17 @@ object Bench {
       try parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(prevPath)), "UTF-8"))
       catch { case _: Throwable => Map.empty }
+    // COMMITTED cross-round baseline (bench_baseline.json at the repo
+    // root, min-of-3 at sf0.1 — regenerate with
+    // SPARK_GRAFT_WRITE_BASELINE=1 after an intentional perf change):
+    // the normalized diff below is the round-over-round regression
+    // gate that span archaeology used to approximate by hand
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      "bench_baseline.json")
+    val baseline: Map[String, Double] =
+      try parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(basePath)), "UTF-8"))
+      catch { case _: Throwable => Map.empty }
     val outcomes = run(spark, sfDir, names, passes, warmupPasses = warmup)
     val failed = outcomes.collect { case o if o.minSec.isEmpty => o.name }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -188,9 +227,17 @@ object Bench {
         o.spans.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = outcomes.flatMap(_.minSec).sum
+    val regs = regressions(outcomes, baseline)
+    val regJson = regs.map { case (n, r, nr) =>
+      s"""{"q":"$n","ratio":${num(r, 2)},"norm":${num(nr, 2)}}"""
+    }.mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mean":$means,"median":$medians,"samples":$smp,"spans":$sp,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"warmup":$warmup}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mean":$means,"median":$medians,"samples":$smp,"spans":$sp,"failed":$failedJson,"regressions":$regJson,"baselineGates":${baseline.size},"sf":"$sfDir","passes":$passes,"warmup":$warmup}"""
     println(fullLine)
+    regs.foreach { case (n, r, nr) =>
+      System.err.println(s"[bench] REGRESSION $n: ${num(r, 2)}x raw, " +
+        s"${num(nr, 2)}x vs the board median — a genuine per-gate " +
+        "slowdown, not machine variance") }
     // regression guard: print every >=1.5x mover vs the previous record with
     // this run's pass-to-pass spread — tight spread + slow = real regression;
     // wide spread = a stall-poisoned pass (min already strips it).
@@ -208,7 +255,17 @@ object Bench {
     // driver's tail capture. Emit a compact total-only line LAST so a
     // parseable metric line always survives tail truncation; it carries
     // the failed list so a crashing run is self-describing even truncated.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"nqueries":${outcomes.size},"failed":$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"nqueries":${outcomes.size},"failed":$failedJson,"regressions":$regJson}""")
+    // refresh the committed baseline on request (after an intentional
+    // perf change, from a clean full run on the bench host)
+    if (sys.env.get("SPARK_GRAFT_WRITE_BASELINE").contains("1") &&
+        failed.isEmpty) {
+      java.nio.file.Files.write(java.nio.file.Paths.get(basePath),
+        (s"""{"note":"per-gate min-of-$passes baseline; regenerate via SPARK_GRAFT_WRITE_BASELINE=1 on a full clean run","sf":"$sfDir","queries":$qs}""" + "\n")
+          .getBytes("UTF-8"))
+      System.err.println(s"[bench] baseline written to $basePath " +
+        s"(${outcomes.size} gates)")
+    }
     spark.stop()
     // a run with any failed query is a FAILED run — exit nonzero so the
     // driver (and any CI wrapper) cannot mistake it for clean

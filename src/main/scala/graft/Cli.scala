@@ -400,7 +400,10 @@ object Cli {
           keepVersions = kv.getOrElse("keep_versions", "0").toInt,
           sortCols = cols("sort_cols"),
           zorderCols = cols("zorder_cols"),
-          ignoreConsumers = cols("ignore_consumers").toSet)
+          ignoreConsumers = cols("ignore_consumers").toSet,
+          keepAgeMs = (kv.getOrElse("keep_age_hours", "0").toDouble *
+            3600000L).toLong,
+          clearAliases = kv.get("clear_aliases").exists(_.toBoolean))
         val r = node.execute(StepContext(cliSpark(), Calendar.today()))
         out.println(s"maintain $path -> " +
           r.resultLong.getOrElse("(no decisions)"))
@@ -420,6 +423,26 @@ object Cli {
           (if (deleted.isEmpty) ""
            else s": ${deleted.take(10).mkString(", ")}" +
              (if (deleted.size > 10) ", …" else "")))
+        0
+
+      case "respec-table" =>
+        // METADATA-ONLY partition-spec change (zero data rewritten —
+        // the Iceberg posture; Layout.changeManifestPartitionSpec's
+        // contract): new writes land under the new spec, old
+        // generations serve under their own, copy-on-write merges
+        // migrate on touch, and `maintain-table` / repartitionManifest
+        // finish the migration on the operator's schedule
+        val path = rest.filterNot(_.contains('=')).headOption.getOrElse {
+          out.println("usage: respec-table <tableDir> " +
+            "partition_cols=a,b"); return 2 }
+        val newCols = kv.get("partition_cols").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        if (newCols.isEmpty) {
+          out.println("respec-table needs partition_cols=a,b"); return 2 }
+        graft.operators.Layout.changeManifestPartitionSpec(
+          cliSpark(), path, newCols)
+        out.println(s"respec $path -> ${newCols.mkString(",")} " +
+          "(metadata-only; prior-spec generations serve in place)")
         0
 
       case "table-history" =>
@@ -536,7 +559,8 @@ object Cli {
     "status" -> "show SCHEDULER/RESTAPI component liveness (pd_components)",
     "list-tables" -> "list-tables <rootDir> — manifest tables under a directory",
     "describe-table" -> "describe-table <tableDir> — schema, merge spec, partitions, retention, consumers",
-    "maintain-table" -> "maintain-table <tableDir> [max_pending_deltas=N] [max_files_per_partition=N] [keep_versions=N] [sort_cols=] [zorder_cols=] [ignore_consumers=]",
+    "maintain-table" -> "maintain-table <tableDir> [max_pending_deltas=N] [max_files_per_partition=N] [keep_versions=N] [keep_age_hours=H] [clear_aliases=true] [sort_cols=] [zorder_cols=] [ignore_consumers=]",
+    "respec-table" -> "respec-table <tableDir> partition_cols=a,b — metadata-only partition-spec change (zero data rewritten)",
     "reap-table" -> "reap-table <tableDir> [keep_versions=N] [keep_age_hours=H] [ignore_consumers=a,b] — retention vacuum (count + age compose as the union)",
     "table-history" -> "table-history <tableDir> — retained versions with publish provenance",
     "create-repo" -> "create-repo <dir> [remote=<url>] — git-version the schedule",

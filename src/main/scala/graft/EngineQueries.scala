@@ -1585,6 +1585,185 @@ object EngineQueries {
           col("quantity"), col("o_totalprice"), col("ver"))
     }),
 
+    // SQL-DRIVEN MAINTENANCE (the OPTIMIZE / VACUUM posture): a
+    // SQL-only operator observes a table through the m79 TVFs and now
+    // ACTS through maintain_table/reap_table — one spark.sql call runs
+    // the scheduled-surface Maintain policy (fold deep deltas, compact
+    // multi-file partitions, reap retention) through a REAL one-node
+    // pipeline against a REAL Derby ledger, so the decision trail in
+    // pd_task/pd_step_history is identical to a scheduled run's.
+    // In-gate pins: the strand-guard refusal reaches SQL verbatim
+    // (a lagging feed cursor blocks the reap until ignored), folds
+    // clear the delta debt, compaction shrinks the file count,
+    // retention drops versions, and the ledger rows exist with the
+    // decisions string. The oracle recomputes the post-maintenance
+    // table — maintenance must be row-identical.
+    "m82_manifest_sql_maintenance" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("sqlmaint")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"), col("o_totalprice"),
+        lit(1L).as("ver"))
+      def slice(r: Int) =
+        rows.filter(pmod(col("o_orderkey"), lit(4)) === r)
+      // multi-file base generations at EVERY SF: split the seed write
+      // into ~24 files regardless of scale, so the compact strand has
+      // real work (scale-invariant, the m48/m64 lesson)
+      val seedRows = slice(0)
+      val per = math.max(1L, seedRows.count() / 24)
+      val prevSplit = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", per.toString)
+      try Layout.writeManifestTable(s, out, seedRows, Seq("o_year"))  // v1
+      finally prevSplit match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      for (r <- 1 to 3)
+        Layout.mergeManifestDelta(s, out, slice(r),
+          Seq("o_orderkey"), "ver")                           // v2..v4
+      val filesBefore = Layout.readManifest(s, out).inputFiles.length
+      // a lagging feed consumer: retention consent must reach SQL
+      Layout.writeFeedCursor(s, out, "m82lag", 1)
+      val refused =
+        try { s.sql(s"SELECT * FROM reap_table('$out', " +
+          "'keep_versions=1')").collect(); false }
+        catch { case e: Exception =>
+          e.getMessage != null && e.getMessage.contains("m82lag") }
+      require(refused, "the strand-guard refusal must reach SQL")
+      // one SQL call: fold (depth>=3), compact (maxFiles=1), reap
+      // (keep 2, ignoring the lagging consumer) — against a ledger
+      val url = "jdbc:derby:memory:graftm82;create=true"
+      val decisions = s.sql(s"SELECT decisions FROM maintain_table(" +
+        s"'$out', 'max_pending_deltas=3;max_files_per_partition=1;" +
+        s"keep_versions=2;ignore_consumers=m82lag', '$url')")
+        .head().getString(0)
+      require(decisions.startsWith("fold=") &&
+          !decisions.startsWith("fold=;"),
+        s"the fold strand must have fired: $decisions")
+      val m = Layout.readManifestMeta(s, out,
+        Layout.manifestVersion(s, out).get)
+      require(m.deltas.isEmpty, "maintenance must clear the delta debt")
+      val filesAfter = Layout.readManifest(s, out).inputFiles.length
+      require(filesAfter < filesBefore,
+        s"fold+compact must shrink files ($filesBefore -> $filesAfter)")
+      require(Layout.manifestVersions(s, out).size == 2,
+        s"retention must keep 2 (${Layout.manifestVersions(s, out)})")
+      // the decision trail is in the LEDGER, same as a scheduled run
+      val c = DatabaseSource("m82", url).connect()
+      try {
+        val rs = c.createStatement().executeQuery(
+          "select count(*) from pd_task_history t join pd_step_history " +
+            "s on s.task_id = t.id where t.result_long like 'fold=%'")
+        rs.next()
+        require(rs.getInt(1) >= 1, "ledger must hold the decision trail")
+      } finally c.close()
+      Layout.readManifest(s, out).select(col("o_orderkey"),
+        col("o_year").cast("int").as("o_year"), col("o_totalprice"),
+        col("ver"))
+    }),
+
+    // METADATA-ONLY PARTITION-SPEC EVOLUTION (the Iceberg posture):
+    // changeManifestPartitionSpec moves the table from [o_year] to
+    // [o_band] in ONE JSON publish — pinned in-gate to have moved ZERO
+    // data files. Generations serve under their own era's spec:
+    // manifestTable unions one pruned relation per era (scanned-file
+    // pins on BOTH an old-spec and a new-spec predicate), old
+    // snapshots time-travel under the old layout, the append feed
+    // sees the change as metadata-only, copy-on-write merges MIGRATE
+    // touched old-era partitions into EXISTING new-era ones without
+    // losing their rows (the oracle hashes exactly that), and
+    // merge-on-read deltas refuse unmigrated overlaps loudly.
+    // repartitionManifest remains the optional migration finisher
+    // (m64 pins it, unchanged).
+    "m81_manifest_spec_evolution" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("specevo")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        pmod(col("o_orderkey"), lit(8)).as("o_band"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, out,
+        rows.filter(pmod(col("o_orderkey"), lit(7)) =!= 0),
+        Seq("o_year"))                                            // v1
+      Layout.mergeManifest(s, out,
+        rows.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("ver", lit(2L)),
+        Seq("o_orderkey"), "ver")                                 // v2
+      val filesBefore = Layout.readManifest(s, out).inputFiles.toSet
+      Layout.changeManifestPartitionSpec(s, out, Seq("o_band"))   // v3
+      require(Layout.readManifest(s, out).inputFiles.toSet == filesBefore,
+        "a partition-spec change must move ZERO data files")
+      val m3 = Layout.readManifestMeta(s, out, 3)
+      require(m3.op == "spec" && m3.partitionCols == Seq("o_band") &&
+          m3.specHistory == Seq(Seq("o_year")),
+        s"spec publish provenance (${m3.op}, ${m3.partitionCols})")
+      // the spec version is metadata-only to the append feed
+      require(Layout.appendsBetween(s, out, 2, 3).isEmpty,
+        "the spec change must emit nothing on the append feed")
+      // NEW-ERA rows (years outside the data range -> no migration):
+      // land under o_band= directories
+      val synthetic = orders
+        .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit(2100).as("o_year"),
+          pmod(col("o_orderkey") + 10000000L, lit(8)).as("o_band"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          lit(2L).as("ver"))
+      Layout.mergeManifest(s, out, synthetic,
+        Seq("o_orderkey"), "ver")                                 // v4
+      // MIGRATION ON TOUCH: updating every min-year row folds that
+      // old-era o_year partition into the EXISTING new-era o_band
+      // dirs — the synthetic rows already there must survive (the
+      // oracle hashes the full table, so any loss breaks it). The
+      // year derives from the data so the gate is SF-invariant.
+      val minYear = rows.agg(min(col("o_year"))).head().getInt(0)
+      Layout.mergeManifest(s, out,
+        rows.filter(col("o_year") === minYear)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("ver", lit(3L)),
+        Seq("o_orderkey"), "ver")                                 // v5
+      val mLive = Layout.readManifestMeta(s, out,
+        Layout.manifestVersion(s, out).get)
+      require(!mLive.entries.contains(s"o_year=$minYear") &&
+          mLive.oldEraRels.nonEmpty,
+        s"o_year=$minYear must migrate, other years stay " +
+          s"(${mLive.entries.keys})")
+      // per-era pruning through the union of per-era relations
+      val t = Layout.manifestTable(s, out)
+      t.collect()
+      val total = PlanScan.scannedFiles(t)
+      val oldPruned = PlanScan.scannedFiles {
+        val f = Layout.manifestTable(s, out)
+          .filter(col("o_year") === minYear + 1); f.collect(); f }
+      val newPruned = PlanScan.scannedFiles {
+        val f = Layout.manifestTable(s, out)
+          .filter(col("o_band") === 3L); f.collect(); f }
+      require(oldPruned < total && newPruned < total,
+        s"per-era pruning must fire (old $oldPruned, new $newPruned " +
+          s"of $total)")
+      // old snapshots keep the old layout
+      require(Layout.readManifestVersion(s, out, 1)
+        .inputFiles.forall(_.contains("/o_year=")),
+        "v1 must time-travel under the old spec")
+      // merge-on-read deltas refuse unmigrated old-era overlaps
+      val refused =
+        try {
+          Layout.mergeManifestDelta(s, out,
+            rows.filter(col("o_year") === minYear + 1 &&
+              pmod(col("o_orderkey"), lit(13)) === 0)
+              .withColumn("ver", lit(4L)),
+            Seq("o_orderkey"), "ver")
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("prior-spec") }
+      require(refused, "MoR deltas must refuse unmigrated overlaps")
+      Layout.manifestTable(s, out).select(col("o_orderkey"),
+        col("o_year").cast("int").as("o_year"), col("o_band"),
+        col("o_totalprice"), col("ver"))
+    }),
+
     // SQL-admin table functions: `manifest_history`, `manifest_appends`
     // and `manifest_changes` as FROM-clause relations (injected via
     // SparkSessionExtensions.injectTableFunction) — the DESCRIBE
@@ -3247,6 +3426,46 @@ object EngineQueries {
            CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
                 ELSE CAST(1 AS BIGINT) END AS ver
          FROM orders""",
+    // post-maintenance table = the plain union of the four slices
+    // (disjoint keys, pure-insert deltas): every strand — fold,
+    // compact, reap — is row-identical by contract, so ANY row lost,
+    // duplicated or altered by the SQL-driven maintenance breaks the
+    // hash; the refusal/ledger/file-count pins live in-gate
+    "m82_manifest_sql_maintenance" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+           o_totalprice, CAST(1 AS BIGINT) AS ver
+         FROM orders""",
+    // the mixed-spec table read through the per-era union: seed +
+    // every-7th-key merge (old era), synthetic 2100-year rows (new
+    // era), every 1995 row updated by the MIGRATING merge — a
+    // migration that loses the landing partition's existing rows,
+    // double-serves a migrated row, or mis-reads either era's
+    // partition values from the wrong place breaks the hash; the
+    // zero-file-moved / per-era pruning / feed / refusal pins live
+    // in-gate
+    "m81_manifest_spec_evolution" ->
+      """SELECT o_orderkey, o_year, o_band, o_totalprice, ver FROM (
+           SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(o_orderkey % 8 AS BIGINT) AS o_band,
+             CASE WHEN year(o_orderdate) =
+                    (SELECT min(year(o_orderdate)) FROM orders)
+                  THEN o_totalprice + 100 ELSE o_totalprice
+             END AS o_totalprice,
+             CASE WHEN year(o_orderdate) =
+                    (SELECT min(year(o_orderdate)) FROM orders)
+                  THEN CAST(3 AS BIGINT)
+                  WHEN o_orderkey % 7 = 0 THEN CAST(2 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS ver
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey + 10000000,
+             CAST(2100 AS INT) AS o_year,
+             CAST((o_orderkey + 10000000) % 8 AS BIGINT) AS o_band,
+             o_totalprice * 2 AS o_totalprice,
+             CAST(2 AS BIGINT) AS ver
+           FROM orders WHERE o_orderkey % 97 = 0
+         )""",
     // the v1..v3 append window is exactly the two delta slices — a
     // feed that leaked seed rows, dropped a delta, or double-emitted
     // breaks the hash; the history/diff-agreement pins live in-gate

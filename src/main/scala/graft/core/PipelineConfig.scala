@@ -123,7 +123,8 @@ object PipelineConfig {
       ignoreConsumers = c.get("ignore_consumers").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet,
       keepAgeMs = (c.get("keep_age_hours").map(_.toDouble).getOrElse(0.0)
-        * 3600000L).toLong)),
+        * 3600000L).toLong,
+      clearAliases = c.get("clear_aliases").exists(_.toBoolean))),
     "Reap" -> ((c, _) => ReapModel(get(c, "path"),
       keepVersions = c.get("keep_versions").map(_.toInt).getOrElse(1),
       generational = c.get("generational").exists(_.toBoolean),

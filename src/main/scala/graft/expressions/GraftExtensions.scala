@@ -215,6 +215,66 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg(args(1), "fromVersion"), intArg(args(2), "toVersion"))
           .queryExecution.analyzed
       }))
+    // --- SQL-driven MAINTENANCE (the OPTIMIZE/VACUUM posture): the
+    // observation TVFs above tell an operator WHAT a table needs;
+    // these two let the same SQL session ACT on it — maintain_table
+    // runs the self-driving Maintain policy (fold deep deltas, compact
+    // beyond a file-count threshold, reap past retention), reap_table
+    // runs retention alone. Both execute DURING ANALYSIS like every
+    // DDL statement, route through the EXACT scheduled-surface
+    // machinery (PipelineConfig's registry builds the model from the
+    // same knob names a config-table row uses; the run goes through a
+    // real one-node Pipeline), and — with a ledger URL — land their
+    // decisions in pd_step_history exactly like a scheduled run, so
+    // "who compacted this table and why" has one answer regardless of
+    // the surface that asked. Retention-consent refusals (stranded
+    // feed consumers) propagate as errors — SQL gets the same loud
+    // refusal the Scala surface gives.
+    def runMaintenance(nodeType: String, args: Seq[Expression]):
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation = {
+      require(args.nonEmpty && args.length <= 3,
+        s"${nodeType.toLowerCase}_table(path [, 'k1=v1;k2=v2' " +
+          "[, ledger_jdbc_url]])")
+      val path = stringArg(args(0), s"$nodeType path")
+      val opts: Map[String, String] =
+        if (args.length < 2) Map.empty
+        else stringArg(args(1), s"$nodeType options").split(";")
+          .map(_.trim).filter(_.nonEmpty).map { kv =>
+            val i = kv.indexOf('=')
+            require(i > 0, s"$nodeType options must be k=v;k=v (got '$kv')")
+            kv.substring(0, i).trim -> kv.substring(i + 1).trim
+          }.toMap
+      val ledger =
+        if (args.length < 3) graft.core.Ledger.none
+        else graft.core.Ledger.jdbc(graft.core.DatabaseSource(
+          "sql_maintenance", stringArg(args(2), s"$nodeType ledger url")))
+      val model = graft.core.PipelineConfig.registry(nodeType)(
+        opts + ("path" -> path), new graft.core.SourceRegistry)
+      val spark = org.apache.spark.sql.SparkSession.active
+      val task = graft.core.Pipeline.withLedger(
+        s"sql_${nodeType.toLowerCase}", ledger, model).run(spark)
+      if (task.status != graft.core.Status.Done)
+        throw task.error.getOrElse(new IllegalStateException(
+          s"$nodeType on $path failed (${task.status})"))
+      val t = task.totals
+      val row = org.apache.spark.sql.Row(path, task.status,
+        t.resultValue.map(java.lang.Long.valueOf).orNull,
+        t.resultLong.orNull)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, status STRING, actions BIGINT, decisions STRING")
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        .fromExternalRows(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .toAttributes(schema), Seq(row))
+    }
+    ext.injectTableFunction((
+      new FunctionIdentifier("maintain_table"),
+      new ExpressionInfo("graft.models.MaintainModel", "maintain_table"),
+      (args: Seq[Expression]) => runMaintenance("Maintain", args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("reap_table"),
+      new ExpressionInfo("graft.models.ReapModel", "reap_table"),
+      (args: Seq[Expression]) => runMaintenance("Reap", args)))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -426,6 +426,15 @@ final case class MaintainModel(
     ignoreConsumers: Set[String] = Set.empty,
     // age-based retention rider on the reap strand (0 = count only)
     keepAgeMs: Long = 0L,
+    // retire RENAME/DROP alias debt (a deferred SQL rename —
+    // `spark.graft.rename.deferRewrite` — or Scala-surface renames):
+    // when the live manifest carries alias chains or haunted dropped
+    // names, pay the full rewrite (fold + compact every partition) and
+    // clear them, re-enabling the planner-index/bare-name SQL surface.
+    // The rewrite is O(table) BY DESIGN — the whole point of deferral
+    // is that maintenance pays it on the operator's schedule, not a
+    // DDL statement's.
+    clearAliases: Boolean = false,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
 
@@ -447,8 +456,19 @@ final case class MaintainModel(
     val folded =
       if (deep.isEmpty) Nil
       else Layout.foldManifestDeltas(s, target, sortCols, only = deep)
+    // alias retirement needs EVERY live file on the current names:
+    // fold any remaining deltas, rewrite all partitions, verify+clear
+    val aliasDebt = clearAliases &&
+      (m.colAliases.nonEmpty || m.droppedCols.nonEmpty)
+    if (aliasDebt) {
+      if (Layout.readManifestMeta(s, target,
+          Layout.manifestVersion(s, target).get).deltas.nonEmpty)
+        Layout.foldManifestDeltas(s, target, sortCols)
+      Layout.compactManifest(s, target, 0, sortCols, zorderCols)
+      Layout.clearManifestAliases(s, target)
+    }
     val compacted =
-      if (maxFilesPerPartition <= 0) Nil
+      if (maxFilesPerPartition <= 0 || aliasDebt) Nil
       else Layout.compactManifest(s, target, maxFilesPerPartition,
         sortCols, zorderCols)
     val reaped =
@@ -460,6 +480,7 @@ final case class MaintainModel(
       resultValue = Some((folded.size + compacted.size + reaped.size).toLong),
       resultLong = Some(
         s"fold=${folded.mkString(",")};compact=${compacted.size};" +
-          s"reap=${reaped.size}"))
+          s"reap=${reaped.size}" +
+          (if (aliasDebt) ";aliases=cleared" else "")))
   }
 }

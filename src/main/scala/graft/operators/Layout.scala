@@ -846,6 +846,17 @@ object Layout {
       // the name (after a full rewrite). Old snapshots time-travel
       // WITH the column (their meta keeps the old schema).
       droppedCols: Seq[String] = Nil,
+      // PRIOR partition specs (oldest first; `partitionCols` is the
+      // CURRENT one) — recorded by [[changeManifestPartitionSpec]], the
+      // METADATA-ONLY spec change: existing generations stay under the
+      // directories their era's spec produced (their rel fragment
+      // encodes which — see [[specOfRel]]), new writes land under the
+      // current spec, and every read serves each generation under its
+      // own era (the Iceberg partition-spec-evolution posture: a spec
+      // change never rewrites a byte). Empty on single-spec tables —
+      // the overwhelmingly common case — so every era-grouping code
+      // path collapses to the previous single-read shape.
+      specHistory: Seq[Seq[String]] = Nil,
       // HIERARCHICAL layout (empty = flat): rel-name split points fixed
       // at seed time. Bucket i holds the rels in [bounds(i-1),
       // bounds(i)); per-rel state serializes into content-addressed
@@ -905,7 +916,28 @@ object Layout {
     /** All rels this meta knows about (base or delta-bearing). */
     def allRels: Seq[String] =
       (entries.keySet ++ deltas.keySet).toSeq.sorted
+    /** Rels still living under a PRIOR partition spec — non-empty only
+      * after a metadata-only [[changeManifestPartitionSpec]] and before
+      * copy-on-write merges / [[repartitionManifest]] migrated them. */
+    def oldEraRels: Seq[String] =
+      if (specHistory.isEmpty) Nil
+      else allRels.filter(specOfRel(_) != partitionCols)
+    /** Every spec with LIVE generations, current first — what era-
+      * grouped reads iterate. */
+    def liveSpecs: Seq[Seq[String]] =
+      (partitionCols +: allRels.map(specOfRel)).distinct
   }
+
+  /** The partition spec a rel fragment was written under — each
+    * `col=value` segment names its own column (values escape `=` via
+    * [[org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    * .escapePathName]], so the first `=` always splits exactly). The
+    * per-generation spec is thus self-describing from the layout; the
+    * manifest's `specHistory` only records that a change happened. */
+  private[graft] def specOfRel(rel: String): Seq[String] =
+    rel.split("/").toSeq.map(seg =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.takeWhile(_ != '=')))
 
   /** Root-level reference to one hierarchical-manifest bucket: the
     * content-addressed child file plus the bucket's stats/bloom
@@ -1172,6 +1204,10 @@ object Layout {
         if (!node.has("droppedCols")) Nil
         else node.get("droppedCols").elements().asScala
           .map(_.asText()).toSeq,
+      specHistory =
+        if (!node.has("specHistory")) Nil
+        else node.get("specHistory").elements().asScala.map(spec =>
+          spec.elements().asScala.map(_.asText()).toSeq).toSeq,
       bucketBounds =
         if (!node.has("bucketBounds")) Nil
         else node.get("bucketBounds").elements().asScala
@@ -1355,6 +1391,13 @@ object Layout {
       val dc = root.putArray("droppedCols")
       m.droppedCols.foreach(dc.add)
     }
+    if (m.specHistory.nonEmpty) {
+      val sh = root.putArray("specHistory")
+      m.specHistory.foreach { spec =>
+        val arr = sh.addArray()
+        spec.foreach(arr.add)
+      }
+    }
     if (m.bucketBounds.isEmpty) {
       // FLAT: all per-rel maps inline in the root
       putRelMaps(m, m.allRels.toSet, root)
@@ -1510,7 +1553,15 @@ object Layout {
     readGenDirs(spark, path, m, gens.toSeq.sortBy(_._1))
 
   /** Plain stored-schema read of explicit generation dirs (several per
-    * rel allowed — the spec-less delta shape of append-only tables). */
+    * rel allowed — the spec-less delta shape of append-only tables).
+    * Generations written under DIFFERENT partition specs (a
+    * metadata-only [[changeManifestPartitionSpec]] happened) read as
+    * one parquet scan PER ERA and union: within an era the directory
+    * layout is uniform (that era's spec columns come from the dirs,
+    * everything else — the other eras' partition columns included,
+    * every writer stores them as data — from the files), and the
+    * explicit stored schema makes each era's read exact. Single-spec
+    * tables take the one-read path unchanged. */
   private def readGenDirs(spark: SparkSession, path: String,
                           m: ManifestMeta,
                           gens: Seq[(String, Int)]): DataFrame = {
@@ -1518,14 +1569,20 @@ object Layout {
     if (gens.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-    else
-      spark.read.option("basePath", path)
-        .schema(org.apache.spark.sql.types.StructType(
-          aliasedReadSchema(m, sch.fields.toSeq)))
-        .parquet(gens.sorted.map { case (rel, g) =>
-          s"$path/$rel/gen=$g" }: _*)
-        .drop("gen") // discovered partition col, appended past the schema
-        .select(sch.fields.toSeq.map(f => aliasResolved(m, f.name)): _*)
+    else {
+      def readEra(eraGens: Seq[(String, Int)]): DataFrame =
+        spark.read.option("basePath", path)
+          .schema(org.apache.spark.sql.types.StructType(
+            aliasedReadSchema(m, sch.fields.toSeq)))
+          .parquet(eraGens.sorted.map { case (rel, g) =>
+            s"$path/$rel/gen=$g" }: _*)
+          .drop("gen") // discovered partition col, appended past the schema
+          .select(sch.fields.toSeq.map(f => aliasResolved(m, f.name)): _*)
+      gens.groupBy { case (rel, _) => specOfRel(rel) }
+        .toSeq.sortBy(_._1.mkString(","))
+        .map { case (_, eraGens) => readEra(eraGens) }
+        .reduce(_ unionByName _)
+    }
   }
 
   private val MorDel = "__mor_del"
@@ -2282,19 +2339,44 @@ object Layout {
     * [[readManifestPruned]] stay the explicit-API reads (and the only
     * ones that resolve pending merge-on-read deltas — this one fails
     * loudly on them). Snapshot-pinned at creation like every other
-    * manifest read; `version` time-travels to any retained snapshot. */
+    * manifest read; `version` time-travels to any retained snapshot.
+    *
+    * After a METADATA-ONLY [[changeManifestPartitionSpec]] a table can
+    * hold generations under SEVERAL partition specs; one
+    * HadoopFsRelation serves one spec, so a mixed table mounts as a
+    * UNION of per-era relations — each branch's partition predicates
+    * prune exactly under its own spec (Catalyst pushes filters through
+    * Union), the other eras' partition columns read as plain data
+    * columns from their files, and the union presents the one stored
+    * schema. The uniform case (no spec change, or migration finished)
+    * keeps the single-relation plan unchanged. */
   def manifestTable(spark: SparkSession, path: String,
                     version: Option[Int] = None): DataFrame = {
-    val idx = new graft.plans.ManifestFileIndex(spark, path, version)
-    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      idx, idx.partitionSchema, idx.dataSchema, None,
-      new org.apache.spark.sql.execution.datasources.parquet
-        .ParquetFileFormat,
-      Map.empty)(spark)
-    spark.baseRelationToDataFrame(rel)
-      // present the STORED column order (the relation's physical order
-      // is data cols first, partition cols appended)
-      .select(idx.fullSchema.fields.toSeq.map(f => col(f.name)): _*)
+    def frame(idx: graft.plans.ManifestFileIndex): DataFrame = {
+      val rel = org.apache.spark.sql.execution.datasources
+        .HadoopFsRelation(
+          idx, idx.partitionSchema, idx.dataSchema, None,
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat,
+          Map.empty)(spark)
+      spark.baseRelationToDataFrame(rel)
+        // present the STORED column order (the relation's physical
+        // order is data cols first, partition cols appended)
+        .select(idx.fullSchema.fields.toSeq.map(f => col(f.name)): _*)
+    }
+    val v = version.orElse(manifestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    val m = readManifestMeta(spark, path, v)
+    val eras = m.liveSpecs
+    if (eras.size == 1)
+      // uniform: live (version-absent) mounts keep advancing per scan
+      frame(new graft.plans.ManifestFileIndex(spark, path, version))
+    else
+      // mixed eras: every branch pins the SAME resolved version so the
+      // union can never straddle a concurrent publish
+      eras.map(spec => frame(new graft.plans.ManifestFileIndex(
+        spark, path, Some(v), Some(spec)))).reduce(_ unionByName _)
   }
 
   /** Time-travel read of a RETAINED manifest version (any not yet
@@ -2406,6 +2488,7 @@ object Layout {
     val changed = Seq(
       diff("schema", a.schemaDdl, b.schemaDdl),
       diff("partitionCols", a.partitionCols, b.partitionCols),
+      diff("specHistory", a.specHistory, b.specHistory),
       diff("statsCols", a.statsCols, b.statsCols),
       diff("bloomCols", a.bloomCols, b.bloomCols),
       diff("bloomItems", a.bloomItems, b.bloomItems),
@@ -2576,7 +2659,52 @@ object Layout {
             s"${m0.morVersionCol.getOrElse("")}; a merge with " +
             s"keys=${keys.mkString(",")} / version=$versionCol would apply " +
             "different semantics to the same table")
-      val baseRels = touchedRels.filter(r =>
+      // METADATA-ONLY SPEC EVOLUTION ([[changeManifestPartitionSpec]]):
+      // a key whose row predates the current spec lives in an OLD-ERA
+      // partition, whose rel renders under that era's spec from the
+      // update row's own column values (a key's partition values are
+      // immutable — the standing merge contract, now spanning eras).
+      // Those partitions fold into this rewrite and MIGRATE to the
+      // current spec: the merge was rewriting them anyway, so the
+      // mixed-spec debt shrinks with every batch. The rows they
+      // contribute can land OUTSIDE the batch's own partitions — one
+      // narrow pre-scan over just the old-era touched partitions
+      // derives the landing set, keeping the produced-dirs guard and
+      // conflict detection exact.
+      val oldEraTouched: Seq[String] = {
+        val priorSpecs = m0.specHistory.distinct.filterNot(_ == pcols)
+        if (priorSpecs.isEmpty) Nil
+        else {
+          val eraRels = m0.allRels.filter(specOfRel(_) != pcols).toSet
+          if (eraRels.isEmpty) Nil
+          else priorSpecs.flatMap { spec =>
+            val rows = updates
+              .select(spec.map(c => col(c).cast("string").as(c)): _*)
+              .distinct().limit(maxTouchedPartitions + 1).collect()
+            require(rows.length <= maxTouchedPartitions,
+              s"update batch touches > $maxTouchedPartitions prior-spec " +
+                s"(${spec.mkString(",")}) partitions; split the batch " +
+                "or repartitionManifest to finish the migration")
+            rows.map(relOf(spec, _)).filter(eraRels.contains)
+          }.distinct.sorted
+        }
+      }
+      val landingRels: Set[String] =
+        if (oldEraTouched.isEmpty) Set.empty
+        else {
+          val landing = readResolved(spark, path, m0, oldEraTouched)
+            .select(pcols.map(c => col(c).cast("string").as(c)): _*)
+            .distinct().limit(maxTouchedPartitions + 1).collect()
+          require(landing.length <= maxTouchedPartitions,
+            s"migrating old-era partition(s) ${oldEraTouched.take(3)
+              .mkString(", ")} would land in > $maxTouchedPartitions " +
+              "current-spec partitions; repartitionManifest is the " +
+              "right tool for this migration")
+          landing.map(relOf(pcols, _)).toSet
+        }
+      val expectedProduced = touchedRels ++ landingRels
+      val allTouched = expectedProduced ++ oldEraTouched
+      val baseRels = allTouched.filter(r =>
         m0.entries.contains(r) || m0.deltas.contains(r)).toSeq.sorted
       // stored-schema-aligned window read with any pending merge-on-read
       // deltas resolved in-plan — a copy-on-write merge FOLDS the
@@ -2594,13 +2722,14 @@ object Layout {
           .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
           .partitionBy(pcols: _*).parquet(tmpDir)
         val produced = listPartitionRels(fc, new Path(tmpDir))
-        // a produced rel outside the touched set means the Cast
+        // a produced rel outside the touched+landing set means the Cast
         // rendering and the writer disagreed — fail BEFORE publishing
-        val unexpected = produced.filterNot(touchedRels.contains)
+        val unexpected = produced.filterNot(expectedProduced.contains)
         require(unexpected.isEmpty,
           s"mergeManifest: writer produced partition dirs " +
             s"${unexpected.mkString(",")} outside the touched set " +
-            s"${touchedRels.mkString(",")} — partition rendering mismatch")
+            s"${expectedProduced.mkString(",")} — partition rendering " +
+            "mismatch")
         // derive published metadata from the tmp tree BEFORE the commit
         // (one root listing, not |touched| gen paths — and outside the
         // lease, so the critical section stays renames + one JSON)
@@ -2614,7 +2743,7 @@ object Layout {
           withMaintenanceLock(spark, path, lockWaitMs(spark)) {
             val v1 = manifestVersion(spark, path).get
             val m1 = if (v1 == v0) m0 else readManifestMeta(spark, path, v1)
-            lazy val touchedMoved = relStateChanged(m0, m1, touchedRels)
+            lazy val touchedMoved = relStateChanged(m0, m1, allTouched)
             if (v1 != v0 && replayedSinkBatch(path, m1, batchId, sinkId))
               Right(false)
             else if (v1 != v0 && invariantsChanged(m0, m1).isDefined)
@@ -2640,7 +2769,9 @@ object Layout {
               // touched partitions that produced no output were fully
               // deleted: they leave the manifest (dirs reap after
               // readers drain); touched partitions' pending deltas were
-              // folded into the written gens
+              // folded into the written gens; old-era touched
+              // partitions migrated wholesale into the produced
+              // current-spec gens, so their entries drop too
               val removed = baseRels.filterNot(newGens.contains)
               writeManifestMeta(spark, path, m1.copy(version = v1 + 1,
                 entries = m1.entries -- removed ++ newGens,
@@ -2650,7 +2781,8 @@ object Layout {
                 // every touched rel's files were rewritten wholesale:
                 // replace their per-file entries, drop the vanished
                 fileStats = m1.fileStats -- baseRels --
-                  touchedRels ++ genKeyedFileStats(newFileStats, newGens),
+                  expectedProduced ++
+                  genKeyedFileStats(newFileStats, newGens),
                 deltas = m1.deltas -- baseRels,
                 op = "merge", opDeletes = false,
                 sinkBatches =
@@ -2962,6 +3094,36 @@ object Layout {
         s"update batch touches > $maxTouchedPartitions partitions; " +
           "split the batch or raise maxTouchedPartitions")
       val touchedRels = touchedRows.map(relOf(pcols, _)).toSet
+      // METADATA-ONLY SPEC EVOLUTION: merge-on-read resolution is
+      // per-partition (the window spans one rel's base + deltas), so a
+      // delta whose key still lives in an UNMIGRATED old-era partition
+      // would never meet its base row — the key would duplicate.
+      // Refuse exactly those batches (the old-era candidate rel renders
+      // from the batch's own values — keys never move partitions);
+      // batches entirely over new/migrated keys keep the O(batch) path.
+      locally {
+        val priorSpecs = m0.specHistory.distinct.filterNot(_ == pcols)
+        if (priorSpecs.nonEmpty) {
+          val eraRels = m0.allRels.filter(specOfRel(_) != pcols).toSet
+          if (eraRels.nonEmpty) {
+            val overlap = priorSpecs.flatMap { spec =>
+              updates.select(spec.map(c =>
+                  col(c).cast("string").as(c)): _*)
+                .distinct().limit(maxTouchedPartitions + 1).collect()
+                .map(relOf(spec, _)).filter(eraRels.contains)
+            }.distinct.sorted
+            require(overlap.isEmpty,
+              s"mergeManifestDelta on $path: the batch overlaps " +
+                s"prior-spec partition(s) ${overlap.take(5).mkString(", ")}" +
+                s"${if (overlap.size > 5) ", …" else ""} not yet migrated " +
+                "to the current partition spec — per-partition " +
+                "resolution cannot span spec eras. Apply this batch with " +
+                "mergeManifest (copy-on-write migrates those partitions " +
+                "on touch), or run repartitionManifest to finish the " +
+                "migration")
+          }
+        }
+      }
       val tmpDir = uniqueTmpDir(path)
       try withTmpHeartbeat(fc, tmpDir) {
         val del = deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false))
@@ -3086,6 +3248,12 @@ object Layout {
     // threshold); unfolded rels keep their pending deltas untouched
     val rels = (if (only.isEmpty) m.deltas.keys
                 else m.deltas.keys.filter(only.contains)).toSeq.sorted
+      // old-era rels (append-only tables can carry spec-less deltas
+      // across a spec change) are FROZEN: folding them would migrate
+      // rows into current-spec dirs, which is repartitionManifest's
+      // job — their plain-union reads stay exact unfolded
+      .filter(rel => m.specHistory.isEmpty ||
+        specOfRel(rel) == m.partitionCols)
     if (rels.isEmpty) Nil
     else {
       val fc = fileContext(spark, path)
@@ -3374,7 +3542,8 @@ object Layout {
               else Some(aligned(
                 readManifestRels(spark, path, mAligned, newRels))))
             }
-          case "fold" | "compact" | "evolve" | "repartition" => Right(None)
+          case "fold" | "compact" | "evolve" | "repartition" | "spec" =>
+            Right(None)
           case "" =>
             Left(s"manifest feed of $path: version $v predates publish " +
               "provenance (no 'op' recorded) — appendsBetween cannot " +
@@ -3564,6 +3733,14 @@ object Layout {
     "short" -> Seq("integer", "long"),
     "integer" -> Seq("long"))
 
+  /** Columns whose NAME is baked into live partition directories —
+    * the current spec plus any prior spec with unmigrated generations
+    * ([[changeManifestPartitionSpec]]). Rename/drop/widen refuse all
+    * of them: a prior-era directory fragment can no more follow a
+    * metadata rename than a current one. */
+  private def liveSpecCols(m: ManifestMeta): Set[String] =
+    (m.partitionCols ++ m.oldEraRels.flatMap(specOfRel)).toSet
+
   /** METADATA-ONLY type widening of one column (int→long and the rest
     * of the integral chain; decimal precision growth at equal scale).
     * Old generations keep their narrow physical type — every read path
@@ -3582,11 +3759,11 @@ object Layout {
     require(sch.fieldNames.contains(column),
       s"widenManifestColumn: no column '$column' in " +
         sch.fieldNames.mkString(", "))
-    require(!m.partitionCols.contains(column),
-      s"widenManifestColumn: '$column' is a partition column — its " +
-        "values are baked into every directory fragment and the catalog " +
-        "registration pins its type; repartitionManifest to a re-typed " +
-        "layout instead")
+    require(!liveSpecCols(m).contains(column),
+      s"widenManifestColumn: '$column' is a partition column (current " +
+        "or prior spec with live generations) — its values are baked " +
+        "into directory fragments and the catalog registration pins " +
+        "its type; repartitionManifest to a re-typed layout instead")
     val cur = sch(column).dataType
     val target = org.apache.spark.sql.types.DataType.fromDDL(newType)
     val ok = (cur, target) match {
@@ -3632,10 +3809,11 @@ object Layout {
         sch.fieldNames.mkString(", "))
     require(!sch.fieldNames.contains(to),
       s"renameManifestColumn: column '$to' already exists")
-    require(!m.partitionCols.contains(from),
-      s"renameManifestColumn: '$from' is a partition column — its name " +
-        "is baked into every directory fragment; repartitionManifest " +
-        "to a renamed layout instead")
+    require(!liveSpecCols(m).contains(from),
+      s"renameManifestColumn: '$from' is a partition column (current " +
+        "or prior spec with live generations) — its name is baked into " +
+        "directory fragments; repartitionManifest to a renamed layout " +
+        "instead")
     require(to != "gen" && to != MorDel && to != MorSeq,
       s"'$to' is reserved by the manifest layout")
     require(!m.colAliases.values.exists(_.contains(to)) &&
@@ -3691,10 +3869,11 @@ object Layout {
     require(sch.fieldNames.contains(column),
       s"dropManifestColumn: no column '$column' in " +
         sch.fieldNames.mkString(", "))
-    require(!m.partitionCols.contains(column),
-      s"dropManifestColumn: '$column' is a partition column — its name " +
-        "is baked into every directory fragment; repartitionManifest " +
-        "to a new layout instead")
+    require(!liveSpecCols(m).contains(column),
+      s"dropManifestColumn: '$column' is a partition column (current " +
+        "or prior spec with live generations) — its name is baked into " +
+        "directory fragments; repartitionManifest to a new layout " +
+        "instead")
     require(!m.morKeys.exists(_.equalsIgnoreCase(column)) &&
         !m.morVersionCol.exists(_.equalsIgnoreCase(column)),
       s"dropManifestColumn: '$column' is part of the table's merge " +
@@ -3848,6 +4027,11 @@ object Layout {
       val genKids = kids.filter(_.getPath.getName.startsWith("gen="))
       val partKids = kids.filter(k => k.getPath.getName.contains("=") &&
         !k.getPath.getName.startsWith("gen="))
+      // under METADATA-ONLY spec evolution one directory can hold BOTH:
+      // its own era's gen= dirs AND a nested deeper-spec partition tree
+      // (spec [a] -> [a,b] nests b=… beside a=…'s gen dirs) — so gen
+      // handling and recursion are independent, and a fully-retired rel
+      // deletes only its gen dirs when nested partitions remain
       if (genKids.nonEmpty) {
         val live = retained.flatMap(_.liveGens(rel))
           .map(g => s"gen=$g").toSet
@@ -3857,14 +4041,17 @@ object Layout {
               fc.delete(st.getPath, true)
               deleted += s"$rel/${st.getPath.getName}"
             }
-        else {
+        else if (partKids.isEmpty) {
           // partition absent from every retained version (fully
           // deleted or never published): the whole chain goes
           fc.delete(p, true)
           deleted += rel
+        } else genKids.foreach { st =>
+          fc.delete(st.getPath, true)
+          deleted += s"$rel/${st.getPath.getName}"
         }
       }
-      else partKids.foreach(k =>
+      partKids.foreach(k =>
         walk(k.getPath, if (rel.isEmpty) k.getPath.getName
           else s"$rel/${k.getPath.getName}"))
     }
@@ -3984,6 +4171,14 @@ object Layout {
     val selected = inParallel(m.entries.toSeq.sortBy(_._1)) {
       case (rel, g) => rel -> (dataFiles(rel, g) > maxFiles)
     }.collect { case (rel, true) => rel }
+      // after a METADATA-ONLY spec change, prior-era partitions are
+      // FROZEN (no write path adds files to them — deltas/appends land
+      // under the current spec, copy-on-write merges migrate them away
+      // wholesale), so their file counts never grow: compaction targets
+      // current-spec partitions and leaves migration to
+      // mergeManifest-on-touch / repartitionManifest
+      .filter(rel => m.specHistory.isEmpty ||
+        specOfRel(rel) == m.partitionCols)
     if (selected.isEmpty) Nil
     else {
       // stored-schema-aligned rewrite (readManifestRels): re-writes the
@@ -4081,6 +4276,83 @@ object Layout {
     }
   }
 
+  /** METADATA-ONLY partition-spec change — the Iceberg
+    * partition-spec-evolution posture: ONE JSON publish moves the
+    * table's CURRENT spec to `newCols` and rewrites ZERO data. Existing
+    * generations stay under the directories their era's spec produced
+    * (each rel fragment is self-describing — [[specOfRel]]); new writes
+    * land under the new spec; every read ([[readManifest]], time
+    * travel, feeds, [[readManifestPruned]], [[manifestTable]]) serves
+    * each generation under its own era and unions. At 100 TB this is
+    * the difference between an O(1) spec change and the O(table)
+    * rewrite [[repartitionManifest]] pays — which stays available as
+    * the optional migration FINISHER (it collapses all eras into the
+    * current spec).
+    *
+    * What changes semantically while eras are mixed:
+    *  - partition-level pruning on a spec column prunes only the ERAS
+    *    that have it in their spec; other eras fall back to the
+    *    per-partition/per-file stats and blooms (sound, just coarser) —
+    *    declare hot columns in `statsCols` to keep skipping tight
+    *    across eras;
+    *  - copy-on-write merges MIGRATE on touch: a batch whose keys'
+    *    old-era partitions still exist folds those partitions into the
+    *    new spec as part of its normal rewrite (same IO it would have
+    *    paid rewriting them in place), so mixed-spec debt shrinks with
+    *    every merge;
+    *  - merge-on-read deltas REFUSE batches that overlap unmigrated
+    *    old-era partitions (per-partition resolution cannot see across
+    *    rels — the refusal names the copy-on-write/repartition
+    *    remedies); batches entirely over migrated/new keys stay
+    *    O(batch);
+    *  - the append feed treats the change as metadata-only (emits
+    *    nothing); the change feed diffs it to nothing (no generation
+    *    moved); old snapshots time-travel under their own spec.
+    *
+    * Requires: all pending deltas folded ([[foldManifestDeltas]]) and
+    * alias chains cleared first — spec eras and rename/delta resolution
+    * compose multiplicatively, so each must be retired before the other
+    * begins. The new spec's columns must exist; the stored column order
+    * re-derives (data columns first, new spec last). */
+  def changeManifestPartitionSpec(spark: SparkSession, path: String,
+                                  newCols: Seq[String]): Unit =
+      withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    val m = readManifestMeta(spark, path, v)
+    val sch = manifestSchema(m)
+    require(newCols.nonEmpty,
+      "changeManifestPartitionSpec needs at least one partition column")
+    require(newCols.distinct == newCols,
+      s"duplicate partition columns in ${newCols.mkString(",")}")
+    require(newCols.forall(sch.fieldNames.contains),
+      s"partition columns ${newCols.mkString(",")} must be table columns" +
+        s" (${sch.fieldNames.mkString(", ")})")
+    require(newCols != m.partitionCols,
+      s"table is already partitioned by ${m.partitionCols.mkString(",")}")
+    // keyed merge-on-read deltas resolve per-partition and cannot span
+    // spec eras; a DECLARED append-only table's SPEC-LESS deltas have
+    // no resolution at all (plain union), so they may straddle eras
+    require(m.deltas.isEmpty || m.appendOnly,
+      s"$path has pending merge-on-read deltas: fold them " +
+        "(foldManifestDeltas) before changing the partition spec — " +
+        "delta resolution is per-partition and cannot span spec eras")
+    require(m.colAliases.isEmpty,
+      s"$path has live rename alias chains " +
+        s"(${m.colAliases.keys.toSeq.sorted.mkString(", ")}): rewrite + " +
+        "clearManifestAliases before changing the partition spec")
+    val dataCols = sch.fields.filterNot(f => newCols.contains(f.name))
+    val ddl = org.apache.spark.sql.types.StructType(
+      dataCols ++ newCols.map(sch(_))).toDDL
+    writeManifestMeta(spark, path, m.copy(version = v + 1,
+      schemaDdl = ddl,
+      partitionCols = newCols,
+      specHistory =
+        (m.specHistory :+ m.partitionCols).filterNot(_ == newCols),
+      op = "spec", opDeletes = false))
+  }
+
   /** Change the PARTITIONING of a manifest table — the maintenance
     * answer to "we partitioned by day, queries filter by tenant": the
     * whole table rewrites (pending merge-on-read deltas folded in)
@@ -4089,7 +4361,11 @@ object Layout {
     * the old layout, RETAINED old versions still time-travel under the
     * old partitioning (their directories survive until
     * [[reapManifest]] drops their versions), and a crash before the
-    * pointer rename leaves nothing visible.
+    * pointer rename leaves nothing visible. After a METADATA-ONLY
+    * [[changeManifestPartitionSpec]] this is the optional migration
+    * finisher: repartitioning to the CURRENT spec is allowed exactly
+    * when old-era generations remain, and collapses every era into
+    * one.
     *
     * Honest envelope vs. metadata-only partition-spec evolution
     * (Iceberg's approach): this is a FULL REWRITE — O(table) once,
@@ -4119,8 +4395,10 @@ object Layout {
     require(newPartitionCols.forall(sch.fieldNames.contains),
       s"partition columns ${newPartitionCols.mkString(",")} must be " +
         "table columns")
-    require(newPartitionCols != m.partitionCols,
-      s"table is already partitioned by ${m.partitionCols.mkString(",")}")
+    require(newPartitionCols != m.partitionCols ||
+        m.oldEraRels.nonEmpty,
+      s"table is already partitioned by ${m.partitionCols.mkString(",")} " +
+        "with no prior-spec generations left to migrate")
     require(sortCols.forall(sch.fieldNames.contains),
       s"sortCols ${sortCols.mkString(",")} must be table columns")
     val fc = fileContext(spark, path)
@@ -4147,7 +4425,10 @@ object Layout {
     require(n1 == n0,
       s"repartition would lose rows: $n0 -> $n1; aborting")
     val produced = listPartitionRels(fc, new Path(tmpDir))
-    val m2 = m.copy(schemaDdl = ddl, partitionCols = newPartitionCols)
+    // a full rewrite lands every row under the new spec: prior eras are
+    // fully migrated, so the spec history clears
+    val m2 = m.copy(schemaDdl = ddl, partitionCols = newPartitionCols,
+      specHistory = Nil)
     val (newStats, newFileStats) = statsAllUnder(spark, m2, tmpDir)
     val newBlooms = bloomsFor(spark, path, m2, Map.empty,
       srcDir = Some(tmpDir))

@@ -49,17 +49,28 @@ final case class ManifestAlterCommand(
         // which refuses live alias chains (a file-level scan cannot
         // coalesce across names — no parquet field-ids, the Iceberg
         // answer, in this format). A SQL-surface rename therefore PAYS
-        // THE REWRITE immediately: fold any pending deltas, rewrite
-        // every live file under the new name, retire the chain — so
-        // the very next bare-name statement serves. Stated honestly:
-        // this is O(table); the Scala surface keeps the metadata-only
-        // rename (Layout.readManifest coalesces across names) for
-        // pipelines that can defer the rewrite to scheduled maintenance.
-        val vr = Layout.manifestVersion(session, path).get
-        if (Layout.readManifestMeta(session, path, vr).deltas.nonEmpty)
-          Layout.foldManifestDeltas(session, path)
-        Layout.compactManifest(session, path, maxFiles = 0)
-        Layout.clearManifestAliases(session, path)
+        // THE REWRITE immediately by default: fold any pending deltas,
+        // rewrite every live file under the new name, retire the chain
+        // — so the very next bare-name statement serves. Stated
+        // honestly: this is O(table) — on a 100 TB table that is an
+        // accidental full rewrite hiding behind one DDL statement, so
+        // `SET spark.graft.rename.deferRewrite=true` takes the Scala
+        // surface's METADATA-ONLY path instead: the rename lands as an
+        // alias chain (Layout.readManifest coalesces across names;
+        // bare-name scans refuse with the remedy until maintenance),
+        // and a scheduled/SQL `Maintain` with `clear_aliases=true`
+        // pays the rewrite on the operator's schedule.
+        //  `manifest_detail(...)` exposes the pending debt as
+        // `renamed_cols`.
+        val defer = session.conf
+          .get("spark.graft.rename.deferRewrite", "false").toBoolean
+        if (!defer) {
+          val vr = Layout.manifestVersion(session, path).get
+          if (Layout.readManifestMeta(session, path, vr).deltas.nonEmpty)
+            Layout.foldManifestDeltas(session, path)
+          Layout.compactManifest(session, path, maxFiles = 0)
+          Layout.clearManifestAliases(session, path)
+        }
       case "drop" =>
         val v = Layout.manifestVersion(session, path).getOrElse(
           throw new IllegalStateException(

@@ -65,7 +65,8 @@ import graft.operators.Layout
   * rather than a remote engine.
   */
 final class ManifestFileIndex(spark: SparkSession, tablePath: String,
-                              version: Option[Int] = None)
+                              version: Option[Int] = None,
+                              spec: Option[Seq[String]] = None)
     extends FileIndex {
 
   /** The manifest table's root — the handle graft's `INSERT INTO`
@@ -116,17 +117,44 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
         "(compactManifest maxFiles=0 + foldManifestDeltas) and " +
         "Layout.clearManifestAliases to re-enable this surface")
     val sch = Layout.manifestSchema(meta)
-    val gens: Seq[Gen] =
-      (meta.entries.toSeq ++ meta.deltas.toSeq.flatMap { case (rel, gs) =>
-        gs.map(rel -> _) }).sortBy(_._1).map { case (rel, g) =>
+    // METADATA-ONLY SPEC EVOLUTION: one HadoopFsRelation has ONE
+    // partition schema, so a single index can only serve generations of
+    // ONE era. `spec = Some(s)` mounts exactly era s's generations
+    // (Layout.manifestTable unions one index per live era — each
+    // branch prunes its own spec's partition predicates exactly);
+    // `spec = None` (the uniform common case) requires every live
+    // generation to be under the current spec and refuses mixed tables
+    // with the remedies.
+    val mountSpec = spec.getOrElse(meta.partitionCols)
+    require(mountSpec.forall(sch.fieldNames.contains),
+      s"mounted partition spec ${mountSpec.mkString(",")} has columns " +
+        s"outside the stored schema of $tablePath")
+    val allGens =
+      meta.entries.toSeq ++ meta.deltas.toSeq.flatMap { case (rel, gs) =>
+        gs.map(rel -> _) }
+    if (spec.isEmpty) {
+      val foreign = allGens.map(_._1)
+        .filter(Layout.specOfRel(_) != meta.partitionCols).distinct
+      require(foreign.isEmpty,
+        s"manifest table $tablePath has generation(s) under prior " +
+          s"partition spec(s) (${foreign.take(3).mkString(", ")}" +
+          s"${if (foreign.size > 3) ", …" else ""}) — a single " +
+          "file-level relation serves one spec; read via " +
+          "Layout.manifestTable (it unions the eras) or " +
+          "Layout.readManifest, or run repartitionManifest to finish " +
+          "the migration")
+    }
+    val gens: Seq[Gen] = allGens
+      .filter { case (rel, _) => Layout.specOfRel(rel) == mountSpec }
+      .sortBy(_._1).map { case (rel, g) =>
         // reverse relOf: unescape each writer-rendered `col=value`
         // fragment, then Cast back through the column's stored type —
         // the round-trip the manifest's Cast-exact discipline guarantees
         val segs = rel.split("/")
-        require(segs.length == meta.partitionCols.length,
+        require(segs.length == mountSpec.length,
           s"partition dir '$rel' of $tablePath does not match " +
-            s"partitionCols ${meta.partitionCols.mkString(",")}")
-        val vals = meta.partitionCols.zip(segs).map { case (c, seg) =>
+            s"partition spec ${mountSpec.mkString(",")}")
+        val vals = mountSpec.zip(segs).map { case (c, seg) =>
           require(seg.startsWith(s"$c="),
             s"partition dir segment '$seg' does not belong to column '$c'")
           val raw = ExternalCatalogUtils.unescapePathName(
@@ -169,14 +197,20 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
     * manifest read presents). */
   val fullSchema: StructType = Layout.manifestSchema(meta)
 
+  /** The partition spec THIS mount serves — the table's current one,
+    * or the prior era an explicit `spec` pinned. */
+  private val mountedSpec: Seq[String] = spec.getOrElse(meta.partitionCols)
+
   /** Partition columns, in the writer's directory order. */
   override val partitionSchema: StructType =
-    StructType(meta.partitionCols.map(c => fullSchema(c)))
+    StructType(mountedSpec.map(c => fullSchema(c)))
 
-  /** Everything else, in stored order (what the parquet files hold). */
+  /** Everything else, in stored order (what this era's parquet files
+    * hold — every writer stores the OTHER eras' partition columns as
+    * plain data, so the split is exact per era). */
   val dataSchema: StructType =
     StructType(fullSchema.fields.filterNot(f =>
-      meta.partitionCols.contains(f.name)))
+      mountedSpec.contains(f.name)))
 
   @transient private lazy val fs = new Path(tablePath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -202,11 +236,12 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
     * at publish time — zero filesystem calls on the planner's hot
     * path. Manifests written before the field existed fall back to a
     * one-time full listing. */
-  override def sizeInBytes: Long =
-    if (meta.deltas.isEmpty &&
-        meta.entries.keySet.forall(meta.bytes.contains))
-      meta.entries.keySet.iterator.map(meta.bytes).sum
+  override def sizeInBytes: Long = {
+    val rels = gens.map(_.rel).distinct
+    if (meta.deltas.isEmpty && rels.forall(meta.bytes.contains))
+      rels.iterator.map(meta.bytes).sum
     else gens.flatMap(filesOf(_).map(_.getLen)).sum
+  }
   /** versionAsOf mounts are pinned (refresh is a no-op there); live
     * mounts advance on their own at each scan planning, and an
     * explicit REFRESH re-loads immediately. */

@@ -74,6 +74,37 @@ class BenchSpec extends SparkSpec {
     assert(lines.head.contains("spread="), "spread annotation present")
   }
 
+  test("regressions normalizes per-gate ratios by the board median so " +
+      "uniform machine variance cancels and only true movers surface") {
+    // the whole board ran 1.4x slower (machine variance) EXCEPT one
+    // gate that genuinely tripled: only that gate may surface
+    val baseline = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "d" -> 1.0,
+      "tiny" -> 0.01)
+    val outcomes = Seq(
+      Bench.Outcome("a", Some(1.4), List(1.4), Nil, None),
+      Bench.Outcome("b", Some(2.8), List(2.8), Nil, None),
+      Bench.Outcome("c", Some(5.6), List(5.6), Nil, None),
+      Bench.Outcome("d", Some(3.0), List(3.0), Nil, None), // 3.0x raw
+      // tiny gates below the floor never flag (pure jitter at sf0.1)
+      Bench.Outcome("tiny", Some(0.05), List(0.05), Nil, None),
+      Bench.Outcome("nobaseline", Some(9.0), List(9.0), Nil, None),
+      Bench.Outcome("failed", None, Nil, Nil, Some("x")))
+    val regs = Bench.regressions(outcomes, baseline)
+    assert(regs.map(_._1) == Seq("d"), s"only the true mover flags: $regs")
+    val (_, raw, norm) = regs.head
+    assert(math.abs(raw - 3.0) < 1e-9)
+    assert(norm > 1.5 && norm < 3.0,
+      s"normalized by the 1.4x board median: $norm")
+    // a uniformly-slower board with no true mover flags nothing
+    val uniform = Seq(
+      Bench.Outcome("a", Some(1.4), List(1.4), Nil, None),
+      Bench.Outcome("b", Some(2.8), List(2.8), Nil, None),
+      Bench.Outcome("c", Some(5.6), List(5.6), Nil, None))
+    assert(Bench.regressions(uniform, baseline).isEmpty)
+    assert(Bench.regressions(outcomes, Map.empty).isEmpty,
+      "no baseline = record-only, never block")
+  }
+
   test("parsePrevQueries reads the queries map out of a bench record line") {
     val line = """{"metric":"total","value":5.0,"queries":{"q1":1.25,"q2":3.75},"mean":{"q1":1.3},"failed":[],"sf":"x","passes":3}"""
     val m = Bench.parsePrevQueries(line)

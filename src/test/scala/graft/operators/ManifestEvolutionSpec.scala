@@ -118,6 +118,56 @@ class ManifestEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("metadata-only widening"), e.getMessage)
   }
 
+  test("DEFERRED SQL rename (spark.graft.rename.deferRewrite): the " +
+      "DDL lands metadata-only (alias chain, zero data rewritten), " +
+      "reads stay exact across mixed-name generations, bare-name scans " +
+      "refuse with the remedy, manifest_detail exposes the debt, and " +
+      "maintain_table clear_aliases retires it — re-enabling SQL") {
+    val dir = tmpDir("deferrename")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 10, 1L), (2L, "b", 20, 1L)).toDF("k", "part", "q", "ver"),
+      Seq("part"), keys = Seq("k"), versionCol = Some("ver"))
+    // a second generation so the chain spans mixed-name files
+    Layout.mergeManifest(spark, dir,
+      Seq((3L, "a", 30, 2L)).toDF("k", "part", "q", "ver"),
+      Seq("k"), "ver")
+    spark.sql("DROP TABLE IF EXISTS t_defer")
+    spark.sql(s"CREATE TABLE t_defer USING manifest OPTIONS (path '$dir')")
+    val filesBefore = Layout.readManifest(spark, dir).inputFiles.toSet
+    spark.conf.set("spark.graft.rename.deferRewrite", "true")
+    try spark.sql("ALTER TABLE t_defer RENAME COLUMN q TO qty")
+    finally spark.conf.unset("spark.graft.rename.deferRewrite")
+    // METADATA-ONLY: the files did not move; the alias chain is live
+    assert(Layout.readManifest(spark, dir).inputFiles.toSet == filesBefore,
+      "a deferred rename must rewrite zero data")
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.colAliases == Map("qty" -> Seq("q")))
+    // the Scala read surface coalesces across names exactly
+    assert(Layout.readManifest(spark, dir).select("k", "qty").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      Map(1L -> 10, 2L -> 20, 3L -> 30))
+    // bare-name scans refuse with the maintenance remedy until cleared
+    val e = intercept[Exception] { spark.table("t_defer").collect() }
+    assert(e.getMessage.contains("clearManifestAliases"), e.getMessage)
+    // the debt is visible to a SQL operator
+    val debt = spark.sql(s"SELECT renamed_cols FROM manifest_detail('$dir')")
+      .head().getSeq[String](0)
+    assert(debt == Seq("qty"), s"manifest_detail must expose it: $debt")
+    // maintenance retires the debt (the deferred rewrite, on schedule)
+    val decisions = spark.sql(
+      s"SELECT decisions FROM maintain_table('$dir', 'clear_aliases=true')")
+      .head().getString(0)
+    assert(decisions.contains("aliases=cleared"), decisions)
+    val m2 = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m2.colAliases.isEmpty)
+    // bare-name SQL serves again under the new name
+    assert(spark.sql("SELECT sum(qty) FROM t_defer").head().getLong(0)
+      == 60L)
+    spark.sql("DROP TABLE t_defer")
+  }
+
   test("widenManifestColumn refuses PARTITION columns (their values " +
       "are baked into directory fragments and the catalog pins their " +
       "type) — Scala and SQL surfaces alike, catalog never drifts") {

@@ -1,0 +1,317 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** METADATA-ONLY partition-spec evolution
+  * ([[Layout.changeManifestPartitionSpec]]): a spec change publishes
+  * one JSON and rewrites zero data; generations serve under their own
+  * era's spec; copy-on-write merges migrate old-era partitions on
+  * touch; merge-on-read deltas refuse unmigrated overlaps;
+  * [[Layout.manifestTable]] unions one pruned relation per era;
+  * [[Layout.repartitionManifest]] stays the optional migration
+  * finisher. */
+class ManifestSpecEvolutionSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_spec_$tag").resolve("t").toString
+
+  import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+
+  private def seed(dir: String): Unit =
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 1, 10.0, 1L), (2L, "a", 2, 20.0, 1L),
+        (3L, "b", 1, 30.0, 1L), (4L, "b", 2, 40.0, 1L))
+        .toDF("k", "part", "day", "v", "ver"),
+      Seq("part"), statsCols = Seq("v"),
+      keys = Seq("k"), versionCol = Some("ver"))
+
+  private def content(df: DataFrame): Set[(Long, String, Int, Double)] =
+    df.select("k", "part", "day", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getDouble(3))).toSet
+
+  private def genDirs(dir: String): Set[String] = {
+    def rec(f: java.io.File, prefix: String): Seq[String] = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+      kids.toSeq.flatMap { d =>
+        val rel = if (prefix.isEmpty) d.getName else s"$prefix/${d.getName}"
+        if (d.getName.startsWith("gen=")) Seq(rel)
+        else rec(d, rel)
+      }
+    }
+    rec(new java.io.File(dir), "").toSet
+  }
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case q: QueryStageExec => scans(q.plan)
+    case s: FileSourceScanExec => Seq(s)
+    case other => other.children.flatMap(scans)
+  }
+
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  test("changeManifestPartitionSpec is metadata-only: one publish, " +
+      "zero data moved, reads exact across eras, new writes land under " +
+      "the new spec, time travel keeps the old era's shape") {
+    val dir = tmpDir("meta")
+    seed(dir)                                              // v1, spec=part
+    val before = content(Layout.readManifest(spark, dir))
+    val dirsBefore = genDirs(dir)
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day")) // v2
+    assert(genDirs(dir) == dirsBefore, "a spec change must move NO data")
+    val m2 = Layout.readManifestMeta(spark, dir, 2)
+    assert(m2.partitionCols == Seq("day") &&
+      m2.specHistory == Seq(Seq("part")) && m2.op == "spec")
+    // reads across the boundary are exact
+    assert(content(Layout.readManifest(spark, dir)) == before)
+    // a new-era merge lands under day= directories
+    Layout.mergeManifest(spark, dir,
+      Seq((10L, "c", 1, 100.0, 2L)).toDF("k", "part", "day", "v", "ver"),
+      Seq("k"), "ver")                                     // v3
+    assert(genDirs(dir).exists(_.startsWith("day=1/")),
+      s"new write must land under the new spec: ${genDirs(dir)}")
+    assert(content(Layout.readManifest(spark, dir)) ==
+      before + ((10L, "c", 1, 100.0)))
+    // old snapshots time-travel under their own spec and column order
+    val v1 = Layout.readManifestVersion(spark, dir, 1)
+    assert(content(v1) == before)
+    // stats pruning still spans both eras (readManifestPruned is
+    // rel-keyed, era-agnostic)
+    val pruned = Layout.readManifestPruned(spark, dir,
+      Seq(("v", "25.0", "45.0")))
+    assert(pruned.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(3L, 4L))
+  }
+
+  test("copy-on-write merges MIGRATE old-era partitions on touch — " +
+      "including into EXISTING new-era partitions without losing their " +
+      "rows; deletes of old-era keys apply") {
+    val dir = tmpDir("migrate")
+    seed(dir)                                              // v1, part=a|b
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day")) // v2
+    // a fresh-key merge creates new-era partition day=1
+    Layout.mergeManifest(spark, dir,
+      Seq((10L, "c", 1, 100.0, 2L)).toDF("k", "part", "day", "v", "ver"),
+      Seq("k"), "ver")                                     // v3
+    // now touch keys living in old-era part=a: k=1 (day=1) updates,
+    // k=2 (day=2) deletes. part=a must migrate wholesale: its rows
+    // land in day=1 (which ALREADY holds k=10 — that row must survive)
+    // and day=2 disappears with the delete.
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 1, 11.0, 3L, false), (2L, "a", 2, 20.0, 3L, true))
+        .toDF("k", "part", "day", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))            // v4
+    val m4 = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(!m4.entries.contains("part=a"),
+      s"touched old-era partition must migrate away: ${m4.entries}")
+    assert(m4.entries.contains("part=b"),
+      "untouched old-era partition stays in place")
+    assert(content(Layout.readManifest(spark, dir)) == Set(
+      (1L, "a", 1, 11.0), (3L, "b", 1, 30.0), (4L, "b", 2, 40.0),
+      (10L, "c", 1, 100.0)),
+      "migration must preserve the landing partition's existing rows " +
+        "and apply the update + delete")
+    // migrating the REST via another touch empties the old era
+    Layout.mergeManifest(spark, dir,
+      Seq((3L, "b", 1, 31.0, 4L)).toDF("k", "part", "day", "v", "ver"),
+      Seq("k"), "ver")                                     // v5
+    val m5 = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m5.oldEraRels.isEmpty,
+      s"all old-era partitions migrated: ${m5.entries.keys}")
+    assert(content(Layout.readManifest(spark, dir)) == Set(
+      (1L, "a", 1, 11.0), (3L, "b", 1, 31.0), (4L, "b", 2, 40.0),
+      (10L, "c", 1, 100.0)))
+    // old snapshots still serve their own eras after the migration
+    assert(content(Layout.readManifestVersion(spark, dir, 1)).size == 4)
+  }
+
+  test("merge-on-read deltas refuse batches overlapping UNMIGRATED " +
+      "old-era partitions (named remedies); fresh-key batches keep the " +
+      "O(batch) path") {
+    val dir = tmpDir("mor")
+    seed(dir)
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day"))
+    // fresh key whose old-spec rel (part=z) never existed: accepted
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((20L, "z", 1, 200.0, 2L)).toDF("k", "part", "day", "v", "ver"),
+      Seq("k"), "ver")
+    assert(content(Layout.readManifest(spark, dir))
+      .contains((20L, "z", 1, 200.0)))
+    // a batch carrying part=a (an unmigrated old-era partition) refuses
+    val e = intercept[IllegalArgumentException] {
+      Layout.mergeManifestDelta(spark, dir,
+        Seq((1L, "a", 1, 12.0, 3L)).toDF("k", "part", "day", "v", "ver"),
+        Seq("k"), "ver")
+    }
+    assert(e.getMessage.contains("prior-spec") &&
+      e.getMessage.contains("mergeManifest"), e.getMessage)
+  }
+
+  test("manifestTable over a mixed-spec table: union of per-era " +
+      "relations, each pruning its own spec's partition predicates " +
+      "exactly; single-index mounts refuse mixed tables with remedies") {
+    val dir = tmpDir("union")
+    seed(dir)                                              // part=a|b
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day"))
+    Layout.mergeManifest(spark, dir,
+      Seq((10L, "c", 1, 100.0, 2L), (11L, "c", 2, 110.0, 2L))
+        .toDF("k", "part", "day", "v", "ver"),
+      Seq("k"), "ver")                                     // day=1, day=2
+    val t = Layout.manifestTable(spark, dir)
+    assert(content(t) == Set(
+      (1L, "a", 1, 10.0), (2L, "a", 2, 20.0), (3L, "b", 1, 30.0),
+      (4L, "b", 2, 40.0), (10L, "c", 1, 100.0), (11L, "c", 2, 110.0)))
+    val all = scannedFiles(Layout.manifestTable(spark, dir))
+    // an OLD-spec predicate prunes the old era's directories (the new
+    // era cannot prune on it at partition level — its files scan)
+    val oldPruned = scannedFiles(
+      Layout.manifestTable(spark, dir).filter(col("part") === "a"))
+    assert(oldPruned < all,
+      s"old-spec predicate must prune old-era dirs: $oldPruned vs $all")
+    // a NEW-spec predicate prunes the new era's directories
+    val newPruned = scannedFiles(
+      Layout.manifestTable(spark, dir).filter(col("day") === 1))
+    assert(newPruned < all,
+      s"new-spec predicate must prune new-era dirs: $newPruned vs $all")
+    // both at once composes
+    val both = scannedFiles(Layout.manifestTable(spark, dir)
+      .filter(col("part") === "a" && col("day") === 1))
+    assert(both <= oldPruned && both <= newPruned)
+    // a single-index mount (the SQL USING manifest surface) refuses
+    // mixed tables naming the remedies
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW t_mixed " +
+        s"USING manifest OPTIONS (path '$dir')")
+    }
+    assert(e.getMessage.contains("prior partition spec") &&
+      e.getMessage.contains("manifestTable"), e.getMessage)
+  }
+
+  test("feeds stay correct across the spec boundary: the spec publish " +
+      "is metadata-only to the append feed, the change feed diffs it " +
+      "to nothing, and post-change appends stream") {
+    val dir = tmpDir("feed")
+    val rows = Seq((1L, "a", 1, 10.0, 1L)).toDF("k", "part", "day", "v", "ver")
+    Layout.writeManifestTable(spark, dir, rows, Seq("part"),
+      appendOnly = true)                                   // v1
+    Layout.appendManifest(spark, dir,
+      Seq((2L, "b", 2, 20.0, 1L)).toDF("k", "part", "day", "v", "ver")) // v2
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day")) // v3
+    Layout.appendManifest(spark, dir,
+      Seq((3L, "c", 3, 30.0, 2L)).toDF("k", "part", "day", "v", "ver")) // v4
+    // append feed across the boundary: spec version emits nothing,
+    // appended rows on both sides stream
+    val feed = Layout.appendsBetween(spark, dir, 1, 4)
+    assert(feed.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+    assert(Layout.appendsBetween(spark, dir, 2, 3).isEmpty,
+      "the spec-change version is metadata-only to the append feed")
+    // change feed: the spec version diffs to nothing
+    assert(Layout.manifestChanges(spark, dir, 2, 3).isEmpty)
+    // full reads union the eras (append-only: spec-less deltas + bases)
+    assert(Layout.readManifest(spark, dir).count() == 3)
+  }
+
+  test("guards: spec change refuses pending deltas and live aliases; " +
+      "rename/drop/widen refuse PRIOR-spec columns while unmigrated " +
+      "generations remain; compact skips frozen old-era partitions; " +
+      "repartitionManifest to the CURRENT spec finishes the migration") {
+    val dir = tmpDir("guards")
+    seed(dir)
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((5L, "a", 1, 50.0, 2L)).toDF("k", "part", "day", "v", "ver"),
+      Seq("k"), "ver")
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.changeManifestPartitionSpec(spark, dir, Seq("day")) }
+    assert(e1.getMessage.contains("fold"), e1.getMessage)
+    Layout.foldManifestDeltas(spark, dir)
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day"))
+    // prior-spec column with live old-era generations: no rename/drop
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.renameManifestColumn(spark, dir, "part", "segment") }
+    assert(e2.getMessage.contains("prior spec") ||
+      e2.getMessage.contains("partition column"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Layout.dropManifestColumn(spark, dir, "part") }
+    assert(e3.getMessage.contains("partition column"), e3.getMessage)
+    // compaction leaves frozen old-era partitions alone
+    assert(Layout.compactManifest(spark, dir, maxFiles = 0).isEmpty,
+      "old-era partitions are frozen; nothing current-era to compact")
+    // the migration finisher: repartition TO THE CURRENT SPEC is legal
+    // exactly while old-era generations remain
+    val before = content(Layout.readManifest(spark, dir))
+    Layout.repartitionManifest(spark, dir, Seq("day"))
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.specHistory.isEmpty && m.oldEraRels.isEmpty)
+    assert(content(Layout.readManifest(spark, dir)) == before)
+    // after migration the old spec col is a plain data column again
+    Layout.renameManifestColumn(spark, dir, "part", "segment")
+    assert(Layout.readManifest(spark, dir).columns.contains("segment"))
+    // and a re-run refuses (nothing left to migrate)
+    val e4 = intercept[IllegalArgumentException] {
+      Layout.repartitionManifest(spark, dir, Seq("day")) }
+    assert(e4.getMessage.contains("already partitioned"), e4.getMessage)
+  }
+
+  test("NESTED spec evolution ([p] -> [p, day]): gen dirs and deeper " +
+      "partition trees coexist in one directory; reads, merges and " +
+      "retention all stay exact") {
+    val dir = tmpDir("nested")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 1, 10.0, 1L), (2L, "a", 2, 20.0, 1L),
+        (3L, "b", 1, 30.0, 1L))
+        .toDF("k", "part", "day", "v", "ver"),
+      Seq("part"), keys = Seq("k"), versionCol = Some("ver")) // v1
+    Layout.changeManifestPartitionSpec(spark, dir,
+      Seq("part", "day"))                                  // v2
+    // new-era write nests day= beside part=a's own gen dirs
+    Layout.mergeManifest(spark, dir,
+      Seq((10L, "a", 3, 100.0, 2L)).toDF("k", "part", "day", "v", "ver"),
+      Seq("k"), "ver")                                     // v3
+    assert(genDirs(dir).exists(_.startsWith("part=a/day=3/")),
+      s"nested era dirs: ${genDirs(dir)}")
+    assert(content(Layout.readManifest(spark, dir)) == Set(
+      (1L, "a", 1, 10.0), (2L, "a", 2, 20.0), (3L, "b", 1, 30.0),
+      (10L, "a", 3, 100.0)))
+    // touching an old-era key migrates part=a into part=a/day=*
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 1, 11.0, 3L)).toDF("k", "part", "day", "v", "ver"),
+      Seq("k"), "ver")                                     // v4
+    val mLive = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(!mLive.entries.contains("part=a") &&
+      mLive.entries.contains("part=a/day=1") &&
+      mLive.entries.contains("part=a/day=2"), s"${mLive.entries}")
+    assert(content(Layout.readManifest(spark, dir)) == Set(
+      (1L, "a", 1, 11.0), (2L, "a", 2, 20.0), (3L, "b", 1, 30.0),
+      (10L, "a", 3, 100.0)))
+    // retention with the nested tree: dropping pre-migration versions
+    // must delete part=a's RETIRED own-gen dirs but never the live
+    // nested day= dirs beneath the same directory
+    Layout.reapManifest(spark, dir, keepVersions = 1)
+    assert(Layout.manifestVersions(spark, dir) == Seq(4))
+    assert(content(Layout.readManifest(spark, dir)) == Set(
+      (1L, "a", 1, 11.0), (2L, "a", 2, 20.0), (3L, "b", 1, 30.0),
+      (10L, "a", 3, 100.0)),
+      "reap must not eat live nested-era generations")
+    assert(!genDirs(dir).exists(d => d.startsWith("part=a/gen=")),
+      s"retired old-era gen dirs under part=a must reap: ${genDirs(dir)}")
+  }
+}
