@@ -38,6 +38,39 @@ private[graft] object kernels {
     z = z ^ (z >>> 31)
     (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
   }
+
+  private def mixU01(seed: Long, i: Int, j: Int, salt: Long): Double = {
+    // murmur3 finalizer over a NON-Weyl input combination: the seed
+    // multiplies an odd constant (so seed, seed+1, ... decorrelate
+    // structurally, not just by avalanche) and i/j use constants
+    // unrelated to the golden-ratio steps common in data generators
+    var z = seed * 0x632BE59BD9B4E019L + i.toLong * 0xFF51AFD7ED558CCDL +
+      j.toLong * 0xC4CEB9FE1A85EC53L + salt
+    z = (z ^ (z >>> 33)) * 0xFF51AFD7ED558CCDL
+    z = (z ^ (z >>> 33)) * 0xC4CEB9FE1A85EC53L
+    z = z ^ (z >>> 33)
+    // (0, 1] — never 0, so log() below is always finite
+    ((z >>> 11) + 1).toDouble / (1L << 53).toDouble
+  }
+
+  /** Deterministic STANDARD-GAUSSIAN weight (Box-Muller over two
+    * decorrelated uniforms). Sign-LSH's collision probability equals
+    * theta/pi ONLY under a rotation-invariant weight distribution;
+    * uniform-cube weights are approximately Gaussian by CLT on dense
+    * unstructured vectors but can deviate badly when the data carries
+    * algebraic structure — the sf0.1 replay caught a real near-dup
+    * pair whose measured split rate under the old splitmix-uniform
+    * weights was 0.75 against a true theta/pi of 0.35 (72 of 96 fixed
+    * hyperplanes split it; binomially impossible for independent
+    * planes), so 48-table amplification still missed it. Gaussian
+    * weights make the theta/pi contract hold for EVERY pair by
+    * rotation invariance, independent of how the embeddings were
+    * produced. */
+  def mixGaussWeight(seed: Long, i: Int, j: Int): Double = {
+    val u1 = mixU01(seed, i, j, 0x9E3779B97F4A7C15L)
+    val u2 = mixU01(seed, i, j, 0x2545F4914F6CDD1DL)
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
 }
 
 private[expressions] trait FloatOrDoubleArray { self: Expression =>
@@ -107,7 +140,9 @@ case class HyperplaneSignatures(child: Expression, bits: Int, tables: Int, seed:
     if (wDim != dim) {
       val w = Array.tabulate(tables * bits) { ti =>
         val t = ti / bits; val i = ti % bits
-        Array.tabulate(dim)(j => kernels.mixWeight(seed + t, i, j))
+        // GAUSSIAN weights (rotation-invariant sign-LSH — see
+        // mixGaussWeight): theta/pi capture holds for every pair
+        Array.tabulate(dim)(j => kernels.mixGaussWeight(seed + t, i, j))
       }
       weights = w; wDim = dim
     }

@@ -274,7 +274,7 @@ final class AnnIndex private[operators] (
     spark: SparkSession, val path: String,
     val genPath: String, val generation: Int,
     private[operators] val centroids: Array[Array[Double]],
-    private[operators] val codebooks: Array[Array[Array[Double]]],
+    private[graft] val codebooks: Array[Array[Array[Double]]],
     val dim: Int, val idCol: String, val vecCol: String) {
 
   def nlist: Int = centroids.length

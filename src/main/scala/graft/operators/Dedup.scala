@@ -418,19 +418,61 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK) // 3 references, 32 bytes/row
     // bucket cap via groupBy + join (skew-splittable), not a window —
     // same rationale as lshCandidates; buckets are distinct-fp-sized
-    val okB = chunked.groupBy("chunk", "ckey")
+    val counts = chunked.groupBy("chunk", "ckey")
       .agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn").between(2, maxBucket))
+    val okB = counts.filter(col("__bn").between(2, maxBucket))
       .select("chunk", "ckey")
     val inB = chunked.join(okB, Seq("chunk", "ckey"))
-    val repPairs = inB.as("a").join(inB.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+    def selfJoinPairs(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.as("a").join(df.as("b"),
+          keys.map(kc => col(s"a.$kc") === col(s"b.$kc"))
+            .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+    val pairs0 = selfJoinPairs(inB, Seq("chunk", "ckey"))
+    // RECURSIVE PIGEONHOLE REFINEMENT for oversized buckets (the sf0.1
+    // density cliff: a skewed 1/4-chunk value can hold thousands of
+    // DISTINCT fingerprints, and silently dropping such buckets loses
+    // real near-dup pairs — caught by the full-board 10x replay).
+    // Every member of an oversized (chunk, value) bucket re-keys by
+    // ONE ADDITIONAL fine half-chunk (the 4 chunks split in two → 8
+    // fine chunks partitioning the fingerprint): a pair in the bucket
+    // differs in <= maxHamming(3) bits, which can touch at most 3 of
+    // the 8 fine chunks, so the pair still shares >= 5 refined keys —
+    // exactness is preserved while the bucket shrinks by the fine
+    // chunk's entropy (~width/2 bits). Quadratic work now only arises
+    // within clusters of distinct fingerprints sharing ~1.5 chunks
+    // (near-identical by construction); a generous upper cap bounds
+    // the adversarial worst case, above which candidates are dropped
+    // exactly as the old single-level cap dropped them at 1/64 the
+    // density.
+    val bigB = counts.filter(col("__bn") > maxBucket)
+      .select("chunk", "ckey")
+    val loW = width / 2
+    val hiW = width - loW
+    val fineKeys = (0 until 8).map { i =>
+      val j = i / 2
+      if (i % 2 == 0)
+        shiftrightunsigned(col("fp"), j * width)
+          .bitwiseAND(lit((1L << loW) - 1L))
+      else
+        shiftrightunsigned(col("fp"), j * width + loW)
+          .bitwiseAND(lit((1L << hiW) - 1L))
+    }
+    val fine = chunked.join(bigB, Seq("chunk", "ckey"))
+      .select(col(idCol), col("fp"), col("chunk"), col("ckey"),
+        posexplode(array(fineKeys: _*)))
+      .toDF(idCol, "fp", "chunk", "ckey", "fs", "fv")
+    val okF = fine.groupBy("chunk", "ckey", "fs", "fv")
+      .agg(count(lit(1)).as("__fn"))
+      .filter(col("__fn").between(2, maxBucket.toLong * 64))
+      .select("chunk", "ckey", "fs", "fv")
+    val pairs1 = selfJoinPairs(fine.join(okF,
+      Seq("chunk", "ckey", "fs", "fv")), Seq("chunk", "ckey", "fs", "fv"))
+    val repPairs = pairs0.union(pairs1)
       .filter(hamming(col("fp_a"), col("fp_b")) <= maxHamming)
       .select("id_a", "id_b")
-      .distinct() // cross-chunk repeats collapse before any CC loop
+      .distinct() // cross-chunk/fine repeats collapse before any CC loop
     repPairs.union(stars)
   }
 
