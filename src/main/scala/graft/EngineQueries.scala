@@ -1790,9 +1790,19 @@ object EngineQueries {
         } catch { case e: IllegalArgumentException =>
           e.getMessage.contains("prior-spec") }
       require(refused, "MoR deltas must refuse unmigrated overlaps")
-      Layout.manifestTable(s, out).select(col("o_orderkey"),
-        col("o_year").cast("int").as("o_year"), col("o_band"),
-        col("o_totalprice"), col("ver"))
+      // the SQL surface serves the same per-era union by BARE NAME
+      // (the parser-seam rewrite) — the oracle hashes THIS read, so
+      // the whole mixed-spec SQL path is the gated artifact
+      s.sql("DROP TABLE IF EXISTS m81_t")
+      s.sql(s"CREATE TABLE m81_t USING manifest OPTIONS (path '$out')")
+      require(s.sql(
+        s"SELECT count(*) FROM m81_t WHERE o_year = ${minYear + 1}")
+        .head().getLong(0) > 0, "bare-name SQL must serve the old era")
+      s.sql("SELECT o_orderkey, o_year, o_band, o_totalprice, ver " +
+          "FROM m81_t")
+        .select(col("o_orderkey"),
+          col("o_year").cast("int").as("o_year"), col("o_band"),
+          col("o_totalprice"), col("ver"))
     }),
 
     // SQL-admin table functions: `manifest_history`, `manifest_appends`

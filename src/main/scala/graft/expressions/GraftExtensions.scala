@@ -275,6 +275,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("reap_table"),
       new ExpressionInfo("graft.models.ReapModel", "reap_table"),
       (args: Seq[Expression]) => runMaintenance("Reap", args)))
+    // METADATA-ONLY partition-spec change from SQL (the CLI
+    // respec-table verb's twin): one JSON publish, zero data moved —
+    // Layout.changeManifestPartitionSpec's contract
+    ext.injectTableFunction((
+      new FunctionIdentifier("respec_table"),
+      new ExpressionInfo("graft.operators.Layout", "respec_table"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "respec_table(path, 'col1,col2')")
+        val path = stringArg(args(0), "respec_table path")
+        val cols = stringArg(args(1), "respec_table partition cols")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Layout.changeManifestPartitionSpec(
+          spark, path, cols)
+        val row = org.apache.spark.sql.Row(path, cols,
+          graft.operators.Layout.manifestVersion(spark, path)
+            .map(Integer.valueOf).orNull)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "path STRING, partition_cols ARRAY<STRING>, version INT")
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          .fromExternalRows(
+            org.apache.spark.sql.catalyst.types.DataTypeUtils
+              .toAttributes(schema), Seq(row))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

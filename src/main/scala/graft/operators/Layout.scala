@@ -4299,7 +4299,14 @@ object Layout {
     *    old-era partitions still exist folds those partitions into the
     *    new spec as part of its normal rewrite (same IO it would have
     *    paid rewriting them in place), so mixed-spec debt shrinks with
-    *    every merge;
+    *    every merge. TOUCH IS BY VALUE, not by key existence: the
+    *    merge cannot know a key is fresh without reading, so ANY batch
+    *    row whose old-spec column values name an existing old-era
+    *    partition migrates that whole partition (SpecEvoProbe: a
+    *    fresh-key batch scattered over every old year migrated the
+    *    entire 6M-row era in one merge — correct, but the cost of a
+    *    full rewrite; batches of genuinely new data with out-of-range
+    *    old-spec values pay nothing);
     *  - merge-on-read deltas REFUSE batches that overlap unmigrated
     *    old-era partitions (per-partition resolution cannot see across
     *    rels — the refusal names the copy-on-write/repartition
@@ -4312,8 +4319,9 @@ object Layout {
     * Requires: all pending deltas folded ([[foldManifestDeltas]]) and
     * alias chains cleared first — spec eras and rename/delta resolution
     * compose multiplicatively, so each must be retired before the other
-    * begins. The new spec's columns must exist; the stored column order
-    * re-derives (data columns first, new spec last). */
+    * begins. The new spec's columns must exist; the stored column ORDER
+    * is untouched (catalog registrations and readers keep their shape —
+    * only the data/partition split moves, derived by name). */
   def changeManifestPartitionSpec(spark: SparkSession, path: String,
                                   newCols: Seq[String]): Unit =
       withMaintenanceLock(spark, path, lockWaitMs(spark)) {
@@ -4342,11 +4350,12 @@ object Layout {
       s"$path has live rename alias chains " +
         s"(${m.colAliases.keys.toSeq.sorted.mkString(", ")}): rewrite + " +
         "clearManifestAliases before changing the partition spec")
-    val dataCols = sch.fields.filterNot(f => newCols.contains(f.name))
-    val ddl = org.apache.spark.sql.types.StructType(
-      dataCols ++ newCols.map(sch(_))).toDDL
+    // the STORED column order is untouched — a spec change must not
+    // invalidate catalog registrations (whose schema pins the
+    // creation-time order) or reshape what readers see; only the
+    // data/partition SPLIT moves, and every read path derives that
+    // from partitionCols by name
     writeManifestMeta(spark, path, m.copy(version = v + 1,
-      schemaDdl = ddl,
       partitionCols = newCols,
       specHistory =
         (m.specHistory :+ m.partitionCols).filterNot(_ == newCols),

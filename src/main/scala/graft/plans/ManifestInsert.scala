@@ -72,6 +72,19 @@ final class ManifestInsertRule(session: SparkSession)
         case fs: HadoopFsRelation
             if fs.location.isInstanceOf[ManifestFileIndex] =>
           Some((fs.location.asInstanceOf[ManifestFileIndex], fs, lr))
+        // a MIXED-SPEC table (metadata-only spec change, unmigrated
+        // generations): SQL DML routes through per-partition merge
+        // machinery that serves ONE spec — refuse with the remedies
+        // instead of Spark's generic "insertion not allowed"
+        case mx: MixedSpecManifestRelation =>
+          throw new IllegalArgumentException(
+            s"SQL DML on manifest table ${mx.table}: the table has " +
+              "generations under prior partition spec(s) — reads work " +
+              "(per-era union) but SQL writes need a uniform spec. " +
+              "Apply this change with Layout.mergeManifest " +
+              "(copy-on-write migrates touched old-era partitions), or " +
+              "run repartitionManifest / the Repartition node to " +
+              "finish the migration, then retry")
         case _ => None
       }
       case _ => None

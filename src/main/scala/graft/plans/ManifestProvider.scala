@@ -9,6 +9,68 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.operators.Layout
 
+/** The v1-relation safety net for MIXED-SPEC manifest tables: a
+  * [[org.apache.spark.sql.sources.PrunedFilteredScan]] over the
+  * per-era union ([[graft.operators.Layout.manifestTable]]), so any
+  * consumer the parser-seam rewrite does not reach — `CREATE TABLE`'s
+  * DDL-time schema resolution, `CREATE TEMPORARY VIEW USING manifest`,
+  * subqueries inside expressions — reads the table CORRECTLY (never a
+  * refusal, never one era's rows). Pushed Eq/range/In/null filters
+  * translate into the underlying per-era planner indexes, so partition
+  * pruning and stats skipping still fire per era; Spark re-applies
+  * every filter above the scan, so untranslated shapes stay sound.
+  * Write paths do not match this relation — SQL DML on a mixed table
+  * refuses with the migration remedies (see [[ManifestInsertRule]]).
+  * Version-absent mounts resolve the LIVE version at each buildScan
+  * (the read-committed-per-scan contract of the single-index mount). */
+final class MixedSpecManifestRelation(
+    spark: org.apache.spark.sql.SparkSession,
+    val table: String,
+    version: Option[Int],
+    sqlCtx: SQLContext) extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.{Column, functions => F}
+  import org.apache.spark.sql.sources
+
+  override def sqlContext: SQLContext = sqlCtx
+  override val schema: org.apache.spark.sql.types.StructType = {
+    val v = version.orElse(
+      graft.operators.Layout.manifestVersion(spark, table)).get
+    graft.operators.Layout.manifestSchema(
+      graft.operators.Layout.readManifestMeta(spark, table, v))
+  }
+
+  private def translate(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case sources.GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case sources.LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case sources.In(a, vs) => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(F.col(a).isNull)
+    case sources.IsNotNull(a) => Some(F.col(a).isNotNull)
+    case sources.And(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case sources.Not(c) => translate(c).map(!_)
+    case sources.StringStartsWith(a, p) =>
+      Some(F.col(a).startsWith(p))
+    case _ => None // re-applied above the scan anyway
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[sources.Filter]):
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val base = graft.operators.Layout.manifestTable(spark, table, version)
+    val filtered = filters.flatMap(translate)
+      .foldLeft(base)((d, c) => d.filter(c))
+    // empty requiredColumns = bare existence/count scan: zero-column
+    // rows at the right cardinality
+    filtered.select(requiredColumns.toIndexedSeq.map(F.col): _*).rdd
+  }
+}
+
 /** The manifest table as a plain Spark SQL data source — the DDL
   * surface on top of [[ManifestFileIndex]]:
   *
@@ -113,14 +175,31 @@ final class ManifestProvider extends RelationProvider
         }
       graft.operators.Layout.versionAtTimestamp(spark, path, ms)
     })
-    val idx = new ManifestFileIndex(spark, path, version)
-    // the index's (dataSchema ++ partitionSchema) IS the stored column
-    // order — manifest tables store data columns first by construction.
-    // The view OPTIONS ride along so the INSERT rewrite
-    // ([[ManifestInsertRule]]) can read the merge spec (keys,
-    // versionCol, mor) off the relation.
-    HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
-      new ParquetFileFormat, parameters)(spark)
+    // MIXED-SPEC tables (a metadata-only partition-spec change with
+    // unmigrated generations): one HadoopFsRelation serves one spec, so
+    // the provider returns a union-backed relation instead — correct
+    // for EVERY v1 consumer (DDL-time schema resolution, DESCRIBE,
+    // expression subqueries), with Eq/range/In filters translated into
+    // the per-era planner indexes so pruning still fires. Hot-path
+    // bare-name SELECTs never reach it: the parser seam substitutes
+    // native per-era relations (see ManifestSqlParser.rewriteMixed).
+    val vLive = version.orElse(
+      graft.operators.Layout.manifestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    val meta = graft.operators.Layout.readManifestMeta(spark, path, vLive)
+    if (meta.liveSpecs.size > 1)
+      new MixedSpecManifestRelation(spark, path, version, sqlContext)
+    else {
+      val idx = new ManifestFileIndex(spark, path, version)
+      // the index's (dataSchema ++ partitionSchema) IS the stored column
+      // order — manifest tables store data columns first by construction.
+      // The view OPTIONS ride along so the INSERT rewrite
+      // ([[ManifestInsertRule]]) can read the merge spec (keys,
+      // versionCol, mor) off the relation.
+      HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
+        new ParquetFileFormat, parameters)(spark)
+    }
   }
 
   /** The BATCH write surface: `df.write.format("manifest")` —

@@ -193,22 +193,79 @@ final class ManifestSqlParser(session: SparkSession,
 
   private def pinnedRelation(ident: TableIdentifier, path: String,
                              props: Map[String, String],
-                             ver: Int): LogicalPlan = {
-    val idx = new ManifestFileIndex(session, path, Some(ver))
-    val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
-      None, new ParquetFileFormat, props)(session)
-    SubqueryAlias(ident.table, LogicalRelation(rel))
+                             ver: Int): LogicalPlan =
+    SubqueryAlias(ident.table, eraRelations(path, props, ver))
+
+  /** The snapshot `ver` as a LogicalPlan: ONE planner-index relation
+    * when every generation is under the version's current partition
+    * spec (the overwhelmingly common case — plan unchanged), or a
+    * UNION of one spec-mounted relation per era after a METADATA-ONLY
+    * [[graft.operators.Layout.changeManifestPartitionSpec]] — each
+    * branch prunes its own spec's partition predicates exactly, and a
+    * per-branch Project aligns every era to the STORED column order so
+    * the union is positional-exact. */
+  private def eraRelations(path: String, props: Map[String, String],
+                           ver: Int): LogicalPlan = {
+    val m = graft.operators.Layout.readManifestMeta(session, path, ver)
+    val eras = m.liveSpecs
+    def branch(spec: Option[Seq[String]]): LogicalPlan = {
+      val idx = new ManifestFileIndex(session, path, Some(ver), spec)
+      val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
+        None, new ParquetFileFormat, props)(session)
+      val lr = LogicalRelation(rel)
+      if (spec.isEmpty) lr
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        idx.fullSchema.fieldNames.toSeq.map(n =>
+          lr.output.find(_.name == n).get), lr)
+    }
+    if (eras.size <= 1) branch(None)
+    else org.apache.spark.sql.catalyst.plans.logical.Union(
+      eras.map(spec => branch(Some(spec))))
+  }
+
+  /** Bare-name reads of MIXED-SPEC manifest tables: the v1 catalog
+    * resolution path builds ONE HadoopFsRelation, which can only serve
+    * one partition spec — so after a metadata-only spec change a bare
+    * SELECT would refuse at index construction. This pass substitutes
+    * the per-era UNION ([[eraRelations]]) for plain reads, pinned to
+    * the resolution-time version (each statement re-resolves, so reads
+    * stay current). DML TARGETS are deliberately left untouched: the
+    * merge machinery routes by path through its own rules, and a
+    * UNION target would break them — targets keep their loud
+    * single-index refusal until migration. Subqueries inside
+    * expressions keep the same refusal (sound: refuse, never serve
+    * wrong rows). Single-spec tables never reach the substitution —
+    * the mount check reads the manifest root only for `USING manifest`
+    * catalog tables. */
+  private def rewriteMixed(plan: LogicalPlan): LogicalPlan = plan match {
+    case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+      i.copy(query = rewriteMixed(i.query))
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
+    case mg: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+      mg.copy(sourceTable = rewriteMixed(mg.sourceTable))
+    case u: UnresolvedRelation =>
+      manifestMount(u.multipartIdentifier).flatMap {
+        case (ident, p, props) =>
+          graft.operators.Layout.manifestVersion(session, p).flatMap { v =>
+            val m = graft.operators.Layout.readManifestMeta(session, p, v)
+            if (m.liveSpecs.size <= 1) None
+            else Some(SubqueryAlias(ident.table,
+              eraRelations(p, props, v)): LogicalPlan)
+          }
+      }.getOrElse(u)
+    case other => other.mapChildren(rewriteMixed)
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+    rewriteMixed(rewrite(delegate.parsePlan(sqlText)))
 
   override def parsePlanWithParameters(sqlText: String,
                                        ctx: ParameterContext): LogicalPlan =
-    rewrite(delegate.parsePlanWithParameters(sqlText, ctx))
+    rewriteMixed(rewrite(delegate.parsePlanWithParameters(sqlText, ctx)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    rewrite(delegate.parseQuery(sqlText))
+    rewriteMixed(rewrite(delegate.parseQuery(sqlText)))
 
   override def parseExpression(sqlText: String):
       org.apache.spark.sql.catalyst.expressions.Expression =

@@ -193,14 +193,18 @@ class ManifestSpecEvolutionSpec extends SparkSpec {
     val both = scannedFiles(Layout.manifestTable(spark, dir)
       .filter(col("part") === "a" && col("day") === 1))
     assert(both <= oldPruned && both <= newPruned)
-    // a single-index mount (the SQL USING manifest surface) refuses
-    // mixed tables naming the remedies
-    val e = intercept[Exception] {
-      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW t_mixed " +
-        s"USING manifest OPTIONS (path '$dir')")
-    }
-    assert(e.getMessage.contains("prior partition spec") &&
-      e.getMessage.contains("manifestTable"), e.getMessage)
+    // the provider surface (USING manifest views — the paths the
+    // parser-seam rewrite does not cover) serves mixed tables through
+    // the union-backed fallback relation: correct rows, filters pushed
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW t_mixed " +
+      s"USING manifest OPTIONS (path '$dir')")
+    assert(spark.sql("SELECT count(*) FROM t_mixed").head().getLong(0)
+      == 6L)
+    assert(spark.sql("SELECT k FROM t_mixed WHERE part = 'a' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(spark.sql(
+      "SELECT sum(v) FROM t_mixed WHERE day = 1").head().getDouble(0)
+      == 140.0)
   }
 
   test("feeds stay correct across the spec boundary: the spec publish " +
@@ -268,6 +272,59 @@ class ManifestSpecEvolutionSpec extends SparkSpec {
     val e4 = intercept[IllegalArgumentException] {
       Layout.repartitionManifest(spark, dir, Seq("day")) }
     assert(e4.getMessage.contains("already partitioned"), e4.getMessage)
+  }
+
+  test("SQL over a MIXED-SPEC table: respec_table changes the spec " +
+      "from SQL, bare-name SELECTs serve the per-era union (both eras' " +
+      "predicates prune), VERSION AS OF spans the boundary, and DML " +
+      "targets keep the loud single-index refusal") {
+    val dir = tmpDir("sqlmixed")
+    seed(dir)                                              // v1, [part]
+    spark.sql("DROP TABLE IF EXISTS t_sqlmixed")
+    spark.sql(
+      s"CREATE TABLE t_sqlmixed USING manifest OPTIONS (path '$dir')")
+    // metadata-only spec change from pure SQL
+    val out = spark.sql(
+      s"SELECT * FROM respec_table('$dir', 'day')").collect().head
+    assert(out.getSeq[String](1) == Seq("day") && out.getInt(2) == 2)
+    Layout.mergeManifest(spark, dir,
+      Seq((10L, "c", 3, 100.0, 2L), (11L, "c", 4, 110.0, 2L))
+        .toDF("k", "part", "day", "v", "ver"),
+      Seq("k"), "ver")                                     // v3: day=3,4
+    // bare-name SELECT serves the union of eras
+    assert(spark.sql("SELECT sum(v) FROM t_sqlmixed").head().getDouble(0)
+      == 310.0)
+    assert(spark.sql(
+      "SELECT k FROM t_sqlmixed WHERE part = 'a' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(spark.sql("SELECT k FROM t_sqlmixed WHERE day = 3")
+      .head().getLong(0) == 10L)
+    // both eras' partition predicates PRUNE through the union
+    def scanned(sql: String): Long = {
+      val df = spark.sql(sql); df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => scans(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case o => o.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    val all = scanned("SELECT * FROM t_sqlmixed")
+    assert(scanned("SELECT * FROM t_sqlmixed WHERE part = 'a'") < all)
+    assert(scanned("SELECT * FROM t_sqlmixed WHERE day = 3") < all)
+    // time travel by bare name: v1 (pre-change) serves the old era
+    assert(spark.sql("SELECT count(*) FROM t_sqlmixed VERSION AS OF 1")
+      .head().getLong(0) == 4L)
+    // DML targets refuse with the single-index remedy until migrated
+    val e = intercept[Exception] {
+      spark.sql("UPDATE t_sqlmixed SET v = 0.0 WHERE k = 1") }
+    assert(e.getMessage.contains("prior partition spec"), e.getMessage)
+    spark.sql("DROP TABLE t_sqlmixed")
   }
 
   test("NESTED spec evolution ([p] -> [p, day]): gen dirs and deeper " +
