@@ -36,8 +36,11 @@ import scala.jdk.CollectionConverters._
   *   GET  /api/describe-table - param: path (schema, merge spec,
   *                              retention window, consumers)
   *   POST /api/maintain-table - params: path [, max_pending_deltas,
-  *                              max_files_per_partition, keep_versions]
+  *                              max_files_per_partition, keep_versions,
+  *                              keep_age_hours, clear_aliases]
   *   POST /api/reap-table     - params: path [, keep_versions, keep_age_hours]
+  *   POST /api/respec-table   - params: path, partition_cols (metadata-only
+  *                              partition-spec change, zero data rewritten)
   */
 final class RestServer(driver: Driver, token: String, port: Int = 0,
                        repo: Option[graft.core.Repository] = None,
@@ -79,7 +82,7 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
     "/api/start-scheduler", "/api/stop-scheduler",
     "/api/history", "/api/sync-repo",
     "/api/tables", "/api/describe-table", "/api/maintain-table",
-    "/api/reap-table")
+    "/api/reap-table", "/api/respec-table")
 
   /** The table verbs' local session (lazy: job-only deployments never
     * start Spark for the REST process). */
@@ -216,7 +219,10 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
             maxPendingDeltas = p.getOrElse("max_pending_deltas", "3").toInt,
             maxFilesPerPartition =
               p.getOrElse("max_files_per_partition", "0").toInt,
-            keepVersions = p.getOrElse("keep_versions", "0").toInt)
+            keepVersions = p.getOrElse("keep_versions", "0").toInt,
+            keepAgeMs = (p.getOrElse("keep_age_hours", "0").toDouble *
+              3600000L).toLong,
+            clearAliases = p.get("clear_aliases").exists(_.toBoolean))
           val r = node.execute(graft.core.StepContext(tableSpark,
             graft.core.Calendar.today()))
           respond(ex, 200,
@@ -228,6 +234,18 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
             keepAgeMs = (p.getOrElse("keep_age_hours", "0").toDouble *
               3600000L).toLong)
           respond(ex, 200, s"""{"reaped":${deleted.size}}""")
+        case "/api/respec-table" =>
+          // metadata-only partition-spec change (the CLI/SQL verb's
+          // REST twin) — zero data rewritten
+          val p = params(ex)
+          val cols = p("partition_cols").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          graft.operators.Layout.changeManifestPartitionSpec(
+            tableSpark, p("path"), cols)
+          respond(ex, 200,
+            s"""{"respec":"${esc(cols.mkString(","))}","version":${
+              graft.operators.Layout.manifestVersion(tableSpark,
+                p("path")).getOrElse(-1)}}""")
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
     } catch {

@@ -193,6 +193,16 @@ class RestServerSpec extends AnyFunSuite {
       assert(reaped.contains("\"reaped\":") &&
         !reaped.contains("\"reaped\":0"), reaped)
       assert(Layout.readManifest(spark, dir).count() == 5)
+      // metadata-only partition-spec change over HTTP: one publish,
+      // rows intact, the new spec live
+      val respec = call("/api/respec-table", post = Some(
+        s"path=${enc(dir)}&partition_cols=ver")).body()
+      assert(respec.contains("\"respec\":\"ver\""), respec)
+      val m2 = Layout.readManifestMeta(spark, dir,
+        Layout.manifestVersion(spark, dir).get)
+      assert(m2.partitionCols == Seq("ver") &&
+        m2.specHistory == Seq(Seq("part")))
+      assert(Layout.readManifest(spark, dir).count() == 5)
     } finally srv.stop()
   }
 }
