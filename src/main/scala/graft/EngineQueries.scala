@@ -1707,6 +1707,115 @@ object EngineQueries {
     // merge-on-read deltas refuse unmigrated overlaps loudly.
     // repartitionManifest remains the optional migration finisher
     // (m64 pins it, unchanged).
+    // FULL SQL DML ON A MIXED-SPEC TABLE + BUDGETED DRAIN: after a
+    // metadata-only respec_table, UPDATE / DELETE / MERGE INTO run
+    // purely via spark.sql by bare catalog name — each statement is
+    // ONE copy-on-write publish whose merge MIGRATES the old-era
+    // partitions it touches (era debt shrinks per statement, untouched
+    // old-era partitions stay byte-frozen), merge-on-read deltas
+    // overlapping unmigrated keys keep their loud refusal, and a
+    // budgeted `maintain_table(..., migrate_partitions=N)` loop drains
+    // the remainder to a single spec (specHistory clears; the
+    // manifest_detail debt columns hit zero). The oracle hashes the
+    // final table — any row lost/duplicated/mis-versioned by a DML
+    // migration or a drain run breaks it.
+    "m83_manifest_sql_dml_mixed" -> ((s, dir) => {
+      import graft.operators.Layout
+      val out = s"${tmp("sqlmix")}/ord"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val rows = orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        pmod(col("o_orderkey"), lit(8)).as("o_band"),
+        col("o_totalprice"), lit(1L).as("ver"))
+      // declared merge spec at seed: SQL DML by bare name needs no
+      // per-view OPTIONS
+      Layout.writeManifestTable(s, out, rows, Seq("o_year"),
+        keys = Seq("o_orderkey"), versionCol = Some("ver"))      // v1
+      s.sql("DROP TABLE IF EXISTS m83_t")
+      s.sql(s"CREATE TABLE m83_t USING manifest OPTIONS (path '$out')")
+      s.sql(s"SELECT * FROM respec_table('$out', 'o_band')")     // v2
+      val yr0 = rows.agg(min(col("o_year"))).head().getInt(0)
+      def meta() = Layout.readManifestMeta(s, out,
+        Layout.manifestVersion(s, out).get)
+      val m2 = meta()
+      require(m2.version == 2 && m2.oldEraRels.nonEmpty,
+        s"respec must leave every partition old-era (${m2.version})")
+      // a frozen witness: an old-era partition NO statement touches
+      val frozenRel = s"o_year=${yr0 + 3}"
+      val frozenGen = m2.entries(frozenRel)
+      // --- UPDATE: touches exactly the o_year=yr0 old-era partition
+      s.sql(s"UPDATE m83_t SET o_totalprice = o_totalprice + 100, " +
+        s"ver = 3 WHERE o_year = $yr0")                          // v3
+      val m3 = meta()
+      require(m3.version == 3, "UPDATE must be ONE publish")
+      require(!m3.entries.contains(s"o_year=$yr0"),
+        "UPDATE must migrate the touched old-era partition")
+      require(m3.oldEraRels.size < m2.oldEraRels.size,
+        "era debt must shrink")
+      // --- DELETE: tombstones + migration of o_year=yr0+1
+      s.sql(s"DELETE FROM m83_t WHERE o_year = ${yr0 + 1} " +
+        "AND o_orderkey % 5 = 0")                                // v4
+      val m4 = meta()
+      require(m4.version == 4 && !m4.entries.contains(s"o_year=${yr0 + 1}"),
+        "DELETE must publish once and migrate its partition")
+      // --- MERGE INTO: matched updates on o_year=yr0+2 (old era) +
+      // synthetic inserts (brand-new keys)
+      rows.filter(col("o_year") === yr0 + 2 &&
+          pmod(col("o_orderkey"), lit(3)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("ver", lit(4L))
+        .unionByName(orders.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            lit(2100).as("o_year"),
+            pmod(col("o_orderkey") + 20000000L, lit(8)).as("o_band"),
+            (col("o_totalprice") * 3).as("o_totalprice"),
+            lit(4L).as("ver")))
+        .createOrReplaceTempView("m83_src")
+      s.sql("""MERGE INTO m83_t t USING m83_src s
+               ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED THEN
+                 UPDATE SET o_totalprice = s.o_totalprice, ver = s.ver
+               WHEN NOT MATCHED THEN INSERT *""")               // v5
+      val m5 = meta()
+      require(m5.version == 5 && !m5.entries.contains(s"o_year=${yr0 + 2}"),
+        "MERGE must publish once and migrate its partition")
+      // untouched old-era partitions are byte-frozen throughout
+      require(m5.entries(frozenRel) == frozenGen,
+        s"$frozenRel must stay frozen across the DML statements")
+      // MoR deltas still refuse unmigrated old-era overlaps
+      val refused =
+        try {
+          Layout.mergeManifestDelta(s, out,
+            rows.filter(col("o_year") === yr0 + 3)
+              .withColumn("ver", lit(9L)), Seq("o_orderkey"), "ver")
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("prior-spec") }
+      require(refused, "MoR deltas must keep the loud refusal")
+      // --- budgeted drain to a single spec: 2 partitions per run
+      var guard = 0
+      while (meta().oldEraRels.nonEmpty && guard < 16) {
+        s.sql(s"SELECT decisions FROM maintain_table('$out', " +
+          "'migrate_partitions=2')").collect()
+        guard += 1
+      }
+      val mEnd = meta()
+      require(mEnd.oldEraRels.isEmpty && mEnd.specHistory.isEmpty,
+        s"the drain must converge to a single spec " +
+          s"(${mEnd.oldEraRels.size} left after $guard runs)")
+      // the debt dashboard reads zero
+      val det = s.sql(s"SELECT old_era_partitions, old_era_bytes, " +
+        s"prior_specs FROM manifest_detail('$out')").head()
+      require(det.getInt(0) == 0 && det.getLong(1) == 0L &&
+          det.getSeq[String](2).isEmpty,
+        s"manifest_detail must report zero spec debt ($det)")
+      s.sql("SELECT o_orderkey, o_year, o_band, o_totalprice, ver " +
+          "FROM m83_t")
+        .select(col("o_orderkey"),
+          col("o_year").cast("int").as("o_year"), col("o_band"),
+          col("o_totalprice"), col("ver"))
+    }),
+
     "m81_manifest_spec_evolution" -> ((s, dir) => {
       import graft.operators.Layout
       val out = s"${tmp("specevo")}/ord"
@@ -3501,6 +3610,38 @@ object EngineQueries {
     // partition values from the wrong place breaks the hash; the
     // zero-file-moved / per-era pruning / feed / refusal pins live
     // in-gate
+    // the post-DML, post-drain table: UPDATE (+100 on the min year),
+    // DELETE (every 5th key of min+1), MERGE (matched doubles every
+    // 3rd key of min+2; synthetic inserts), then the budgeted
+    // migration drain — which must be row-identical, so the same
+    // SELECT covers it
+    "m83_manifest_sql_dml_mixed" ->
+      """SELECT o_orderkey, o_year, o_band, o_totalprice, ver FROM (
+           SELECT b.o_orderkey, b.o_year, b.o_band,
+             CASE WHEN b.o_year = y.y0 THEN b.o_totalprice + 100
+                  WHEN b.o_year = y.y0 + 2 AND b.o_orderkey % 3 = 0
+                    THEN b.o_totalprice * 2
+                  ELSE b.o_totalprice END AS o_totalprice,
+             CASE WHEN b.o_year = y.y0 THEN CAST(3 AS BIGINT)
+                  WHEN b.o_year = y.y0 + 2 AND b.o_orderkey % 3 = 0
+                    THEN CAST(4 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS ver
+           FROM (
+             SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(o_orderkey % 8 AS BIGINT) AS o_band,
+               o_totalprice
+             FROM orders) b,
+             (SELECT min(year(o_orderdate)) AS y0 FROM orders) y
+           WHERE NOT (b.o_year = y.y0 + 1 AND b.o_orderkey % 5 = 0)
+           UNION ALL
+           SELECT o_orderkey + 20000000,
+             CAST(2100 AS INT) AS o_year,
+             CAST((o_orderkey + 20000000) % 8 AS BIGINT) AS o_band,
+             o_totalprice * 3 AS o_totalprice,
+             CAST(4 AS BIGINT) AS ver
+           FROM orders WHERE o_orderkey % 97 = 0
+         )""",
     "m81_manifest_spec_evolution" ->
       """SELECT o_orderkey, o_year, o_band, o_totalprice, ver FROM (
            SELECT o_orderkey,

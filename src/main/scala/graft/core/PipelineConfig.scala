@@ -124,7 +124,9 @@ object PipelineConfig {
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet,
       keepAgeMs = (c.get("keep_age_hours").map(_.toDouble).getOrElse(0.0)
         * 3600000L).toLong,
-      clearAliases = c.get("clear_aliases").exists(_.toBoolean))),
+      clearAliases = c.get("clear_aliases").exists(_.toBoolean),
+      migratePartitions = c.get("migrate_partitions").map(_.toInt)
+        .getOrElse(0))),
     "Reap" -> ((c, _) => ReapModel(get(c, "path"),
       keepVersions = c.get("keep_versions").map(_.toInt).getOrElse(1),
       generational = c.get("generational").exists(_.toBoolean),

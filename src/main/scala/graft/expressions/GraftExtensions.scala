@@ -114,7 +114,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else java.lang.Long.valueOf(m.bytes.values.sum),
           m.appendOnly, m.morKeys, m.morVersionCol.orNull,
           m.statsCols, m.bloomCols, m.droppedCols,
-          m.colAliases.keys.toSeq.sorted)
+          m.colAliases.keys.toSeq.sorted,
+          // SPEC-MIGRATION DEBT (mixed-spec tables after a metadata-only
+          // respec): how many partitions — and how many bytes — still
+          // live under a prior partition spec, and which specs those
+          // are. The dashboard a budgeted migrate_partitions Maintain
+          // drains against; 0/0/[] on single-spec tables.
+          m.oldEraRels.size,
+          java.lang.Long.valueOf(
+            m.oldEraRels.flatMap(m.bytes.get).sum),
+          m.specHistory.map(_.mkString(",")))
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "path STRING, version INT, published_at TIMESTAMP, " +
             "retained_versions INT, partition_cols ARRAY<STRING>, " +
@@ -122,7 +131,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "append_only BOOLEAN, merge_keys ARRAY<STRING>, " +
             "version_col STRING, stats_cols ARRAY<STRING>, " +
             "bloom_cols ARRAY<STRING>, dropped_cols ARRAY<STRING>, " +
-            "renamed_cols ARRAY<STRING>")
+            "renamed_cols ARRAY<STRING>, old_era_partitions INT, " +
+            "old_era_bytes BIGINT, prior_specs ARRAY<STRING>")
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation
           .fromExternalRows(
             org.apache.spark.sql.catalyst.types.DataTypeUtils
@@ -175,17 +185,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val m = graft.operators.Layout.readManifestMeta(spark, path, v)
         val rows = m.allRels.map { rel =>
           val st = m.stats.getOrElse(rel, Map.empty)
+          val spec = graft.operators.Layout.specOfRel(rel)
           org.apache.spark.sql.Row(rel,
             m.entries.get(rel).map(Integer.valueOf).orNull,
             m.deltas.getOrElse(rel, Nil).size,
             m.bytes.get(rel).map(java.lang.Long.valueOf).orNull,
             st.map { case (c, mm) => c -> mm._1.orNull },
-            st.map { case (c, mm) => c -> mm._2.orNull })
+            st.map { case (c, mm) => c -> mm._2.orNull },
+            spec,
+            // old_era marks partitions a budgeted spec migration still
+            // owes a rewrite — WHERE old_era lists the drain frontier
+            spec != m.partitionCols)
         }
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "partition STRING, base_gen INT, pending_deltas INT, " +
             "bytes BIGINT, stats_min MAP<STRING,STRING>, " +
-            "stats_max MAP<STRING,STRING>")
+            "stats_max MAP<STRING,STRING>, spec_cols ARRAY<STRING>, " +
+            "old_era BOOLEAN")
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation
           .fromExternalRows(
             org.apache.spark.sql.catalyst.types.DataTypeUtils

@@ -120,9 +120,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Random-hyperplane LSH signatures: `tables` independent signatures of
   * `bits` sign bits each, packed into longs, returned as array<long>.
   * Hyperplane weights derive deterministically from (seed + table, bit,
-  * dim) via a splitmix64 mix — reproducible on any executor, no RNG
-  * state, no broadcast needed. Weights are materialized once per
-  * (executor, dim) and reused across rows.
+  * dim) — reproducible on any executor, no RNG state, no broadcast
+  * needed. Weights are materialized once per (executor, dim) and reused
+  * across rows.
+  *
+  * WEIGHTING v2 (compatibility): the weights are standard GAUSSIAN
+  * (Box-Muller — see [[kernels.mixGaussWeight]]); earlier releases used
+  * splitmix-uniform weights, whose signatures for the same (vec, bits,
+  * tables, seed) DO NOT match v2's. Signatures persisted under the old
+  * weighting must be recomputed before joining against newly computed
+  * ones — a mixed join would silently mismatch, not fail. The sign-LSH
+  * theta/pi collision contract only holds under the Gaussian weighting
+  * (rotation invariance), which is why the old scheme was retired
+  * rather than kept as an option.
   */
 case class HyperplaneSignatures(child: Expression, bits: Int, tables: Int, seed: Long)
     extends UnaryExpression with FloatOrDoubleArray {

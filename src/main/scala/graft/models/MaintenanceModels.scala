@@ -435,6 +435,14 @@ final case class MaintainModel(
     // is that maintenance pays it on the operator's schedule, not a
     // DDL statement's.
     clearAliases: Boolean = false,
+    // BUDGETED spec-migration drain (0 = off): each run copy-on-write
+    // rewrites up to N oldest-era partitions into the current partition
+    // spec ([[Layout.migrateManifestPartitions]]) — the incremental
+    // alternative to a one-shot repartitionManifest. At 100 TB the
+    // all-or-nothing finisher is hours of rewrite in one commit; a
+    // scheduled drain converges over k runs while reads and writes stay
+    // fully serviced, and each run's decision lands in the step ledger.
+    migratePartitions: Int = 0,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
 
@@ -456,11 +464,30 @@ final case class MaintainModel(
     val folded =
       if (deep.isEmpty) Nil
       else Layout.foldManifestDeltas(s, target, sortCols, only = deep)
+    // budgeted spec-migration drain: up to N oldest-era partitions per
+    // run; a no-op once the table converged to a single spec
+    val migrated =
+      if (migratePartitions <= 0) Nil
+      else Layout.migrateManifestPartitions(s, target, migratePartitions,
+        sortCols)
     // alias retirement needs EVERY live file on the current names:
-    // fold any remaining deltas, rewrite all partitions, verify+clear
+    // fold any remaining deltas, rewrite all partitions, verify+clear.
+    // On a still-mixed-spec table compact cannot rewrite the frozen
+    // old-era generations — refuse up front with the working remedy
+    // instead of half-failing inside clearManifestAliases
     val aliasDebt = clearAliases &&
       (m.colAliases.nonEmpty || m.droppedCols.nonEmpty)
     if (aliasDebt) {
+      val oldEra = Layout.readManifestMeta(s, target,
+        Layout.manifestVersion(s, target).get).oldEraRels
+      require(oldEra.isEmpty,
+        s"Maintain clear_aliases on $target: partition(s) still live " +
+          s"under a prior partition spec " +
+          s"(${oldEra.take(3).mkString(", ")}" +
+          s"${if (oldEra.size > 3) ", …" else ""}) — finish the spec " +
+          "migration first: set migrate_partitions=N on this Maintain " +
+          "(budgeted drain) or run repartitionManifest, then retry " +
+          "clear_aliases")
       if (Layout.readManifestMeta(s, target,
           Layout.manifestVersion(s, target).get).deltas.nonEmpty)
         Layout.foldManifestDeltas(s, target, sortCols)
@@ -477,10 +504,13 @@ final case class MaintainModel(
         if (keepVersions <= 0) 1 else keepVersions,
         ignoreConsumers, keepAgeMs)
     ExecResult(
-      resultValue = Some((folded.size + compacted.size + reaped.size).toLong),
+      resultValue = Some((folded.size + migrated.size + compacted.size +
+        reaped.size).toLong),
       resultLong = Some(
         s"fold=${folded.mkString(",")};compact=${compacted.size};" +
           s"reap=${reaped.size}" +
+          (if (migratePartitions > 0)
+            s";migrate=${migrated.mkString(",")}" else "") +
           (if (aliasDebt) ";aliases=cleared" else "")))
   }
 }

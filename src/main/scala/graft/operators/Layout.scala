@@ -2672,7 +2672,12 @@ object Layout {
       // derives the landing set, keeping the produced-dirs guard and
       // conflict detection exact.
       val oldEraTouched: Seq[String] = {
-        val priorSpecs = m0.specHistory.distinct.filterNot(_ == pcols)
+        // only specs with LIVE rels: a fully-migrated era may reference
+        // a column since dropped/renamed — selecting it from the batch
+        // would throw on every merge even though no partition needs it
+        val liveSpecs = m0.allRels.map(specOfRel).toSet
+        val priorSpecs = m0.specHistory.distinct
+          .filterNot(_ == pcols).filter(liveSpecs.contains)
         if (priorSpecs.isEmpty) Nil
         else {
           val eraRels = m0.allRels.filter(specOfRel(_) != pcols).toSet
@@ -3102,15 +3107,30 @@ object Layout {
       // from the batch's own values — keys never move partitions);
       // batches entirely over new/migrated keys keep the O(batch) path.
       locally {
-        val priorSpecs = m0.specHistory.distinct.filterNot(_ == pcols)
+        // only specs with LIVE rels: a fully-migrated era may reference
+        // a column since dropped/renamed — selecting it from the batch
+        // would throw on every merge even though no partition needs it
+        val liveSpecs = m0.allRels.map(specOfRel).toSet
+        val priorSpecs = m0.specHistory.distinct
+          .filterNot(_ == pcols).filter(liveSpecs.contains)
         if (priorSpecs.nonEmpty) {
           val eraRels = m0.allRels.filter(specOfRel(_) != pcols).toSet
           if (eraRels.nonEmpty) {
             val overlap = priorSpecs.flatMap { spec =>
-              updates.select(spec.map(c =>
+              val rows = updates.select(spec.map(c =>
                   col(c).cast("string").as(c)): _*)
                 .distinct().limit(maxTouchedPartitions + 1).collect()
-                .map(relOf(spec, _)).filter(eraRels.contains)
+              // the limit above caps the COLLECT, not the check: a batch
+              // spanning more prior-spec tuples than the cap would get an
+              // arbitrarily truncated candidate set here, and an overlap
+              // with an unmigrated old-era partition could escape —
+              // silently duplicating keys on every read. Same posture as
+              // mergeManifest's pre-scan: refuse loudly instead.
+              require(rows.length <= maxTouchedPartitions,
+                s"update batch touches > $maxTouchedPartitions prior-spec " +
+                  s"(${spec.mkString(",")}) partitions; split the batch " +
+                  "or repartitionManifest to finish the migration")
+              rows.map(relOf(spec, _)).filter(eraRels.contains)
             }.distinct.sorted
             require(overlap.isEmpty,
               s"mergeManifestDelta on $path: the batch overlaps " +
@@ -3912,6 +3932,17 @@ object Layout {
       throw new IllegalArgumentException(s"$path is not a manifest table"))
     val m = readManifestMeta(spark, path, v)
     if (m.colAliases.nonEmpty || m.droppedCols.nonEmpty) {
+      // compactManifest skips FROZEN old-era generations on a
+      // mixed-spec table, so the usual compact+fold remedy can never
+      // retire names those generations carry — name the remedy that
+      // actually works instead of prescribing a rewrite loop
+      require(m.oldEraRels.isEmpty,
+        s"clearManifestAliases on $path: partition(s) still live under " +
+          s"a prior partition spec (${m.oldEraRels.take(3).mkString(", ")}" +
+          s"${if (m.oldEraRels.size > 3) ", …" else ""}) — a compact " +
+          "cannot rewrite frozen old-era generations; finish the spec " +
+          "migration first (repartitionManifest, or budgeted " +
+          "migrateManifestPartitions runs) and retry")
       val oldNames = m.colAliases.values.flatten.toSet ++ m.droppedCols
       val offenders = inParallel(
           m.allRels.flatMap(r => m.liveGens(r).map(r -> _))) {
@@ -4360,6 +4391,119 @@ object Layout {
       specHistory =
         (m.specHistory :+ m.partitionCols).filterNot(_ == newCols),
       op = "spec", opDeletes = false))
+  }
+
+  /** BUDGETED finisher for a metadata-only
+    * [[changeManifestPartitionSpec]]: copy-on-write-rewrite up to
+    * `maxPartitions` OLDEST-era partitions into the current partition
+    * spec and publish ONE new version — the incremental alternative to
+    * the all-or-nothing [[repartitionManifest]]. At 100 TB a spec
+    * migration is hours of rewrite; a maintenance operator drains it
+    * N partitions per run, on its own schedule, while reads (per-era
+    * union) and writes (migrate-on-touch merges) stay fully serviced
+    * throughout.
+    *
+    * Mechanics mirror [[mergeManifest]]'s migrate-on-touch: migrated
+    * rows can LAND in current-spec partitions that already hold data,
+    * so those landing partitions fold into the rewrite (deltas
+    * resolved); row-count-verified before publish; the picked old-era
+    * partitions leave the manifest wholesale. `specHistory` prunes to
+    * the eras that still hold live generations — when the last old-era
+    * partition drains, the table is single-spec again and every
+    * era-grouping path collapses to the plain single-read shape.
+    * Publishes as `op=repartition` (row-identical re-layout: change
+    * feeds diff it to nothing, append feeds skip it).
+    *
+    * Returns the migrated old-era rels (empty = nothing left: the
+    * quiet no-op that makes a scheduled drain converge). */
+  def migrateManifestPartitions(spark: SparkSession, path: String,
+                                maxPartitions: Int,
+                                sortCols: Seq[String] = Nil): Seq[String] =
+      withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+    require(maxPartitions >= 1,
+      "migrateManifestPartitions needs a positive partition budget")
+    val v = manifestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a manifest table; seed it with writeManifestTable"))
+    val m = readManifestMeta(spark, path, v)
+    val sch = manifestSchema(m)
+    require(sortCols.forall(sch.fieldNames.contains),
+      s"sortCols ${sortCols.mkString(",")} must be table columns")
+    val old = m.oldEraRels
+    if (old.isEmpty) Nil // fully migrated — converged
+    else {
+      val pcols = m.partitionCols
+      // oldest era first (specHistory is chronological), stable order
+      // within an era — successive budgeted runs drain deterministically
+      val eraOrder = m.specHistory.zipWithIndex.toMap
+      val pick = old.sortBy(r =>
+        (eraOrder.getOrElse(specOfRel(r), Int.MaxValue), r))
+        .take(maxPartitions)
+      val fc = fileContext(spark, path)
+      // landing set: bounded by the table's partition count — the same
+      // cardinality class the manifest root already holds in memory
+      val landing = readResolved(spark, path, m, pick)
+        .select(pcols.map(c => col(c).cast("string").as(c)): _*)
+        .distinct().collect().map(relOf(pcols, _)).toSeq.distinct
+      val baseRels = landing.filter(r =>
+        m.entries.contains(r) || m.deltas.contains(r))
+      val allTouched = (pick ++ baseRels).distinct.sorted
+      val src = readResolved(spark, path, m, allTouched)
+      val tmpDir = uniqueTmpDir(path)
+      try withTmpHeartbeat(fc, tmpDir) {
+        val obs = org.apache.spark.sql.Observation()
+        val clustered = src.observe(obs, count(lit(1)).as("n"))
+          .repartition(shufflePartitions(spark), pcols.map(col): _*)
+        (if (sortCols.isEmpty) clustered
+         else clustered.sortWithinPartitions(
+           (pcols ++ sortCols).map(col): _*))
+          .write.mode(SaveMode.Overwrite)
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          .partitionBy(pcols: _*).parquet(tmpDir)
+        val n0 = obs.get("n").asInstanceOf[Long]
+        val n1 = spark.read.parquet(tmpDir).count()
+        require(n1 == n0,
+          s"migration would lose rows: $n0 -> $n1; aborting")
+        val produced = listPartitionRels(fc, new Path(tmpDir))
+        val expected = (landing ++ baseRels).toSet
+        val unexpected = produced.filterNot(expected.contains)
+        require(unexpected.isEmpty,
+          s"migrateManifestPartitions: writer produced partition dirs " +
+            s"${unexpected.mkString(",")} outside the landing set — " +
+            "partition rendering mismatch")
+        val (newStats, newFileStats) = statsAllUnder(spark, m, tmpDir)
+        val newBlooms = bloomsFor(spark, path, m, Map.empty,
+          srcDir = Some(tmpDir))
+        val newBytes = bytesUnder(fc, tmpDir, produced)
+        val newGens = inParallel(produced) { rel =>
+          val g = nextGenOnDisk(fc, path, m, rel)
+          fc.mkdir(new Path(s"$path/$rel"),
+            org.apache.hadoop.fs.permission.FsPermission.getDirDefault,
+            true)
+          fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
+          rel -> g
+        }.toMap
+        // picked old-era partitions leave the manifest wholesale (their
+        // rows live in the produced current-spec gens); fully-deleted
+        // landing partitions (no output) leave too
+        val removed = allTouched.filterNot(newGens.contains)
+        val entries2 = m.entries -- removed ++ newGens
+        val deltas2 = m.deltas -- allTouched
+        val liveOld = (entries2.keySet ++ deltas2.keySet)
+          .map(specOfRel).filterNot(_ == pcols)
+        writeManifestMeta(spark, path, m.copy(version = v + 1,
+          entries = entries2,
+          stats = m.stats -- removed ++ newStats,
+          blooms = m.blooms -- removed ++ newBlooms,
+          bytes = m.bytes -- removed ++ newBytes,
+          fileStats = m.fileStats -- allTouched -- produced ++
+            genKeyedFileStats(newFileStats, newGens),
+          deltas = deltas2,
+          specHistory = m.specHistory.filter(liveOld.contains),
+          op = "repartition", opDeletes = false))
+        pick
+      } finally { fc.delete(new Path(tmpDir), true); () }
+    }
   }
 
   /** Change the PARTITIONING of a manifest table — the maintenance

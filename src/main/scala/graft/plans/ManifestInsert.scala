@@ -63,28 +63,45 @@ final class ManifestInsertRule(session: SparkSession)
     case _ => false
   }
 
-  /** The (index, relation) behind a resolved DML target, when it is a
-    * manifest table mounted through [[ManifestFileIndex]]. */
-  private def manifestTarget(table: LogicalPlan):
-      Option[(ManifestFileIndex, HadoopFsRelation, LogicalRelation)] =
+  /** A resolved DML target that is a manifest table: its path, mount
+    * OPTIONS, schema/output, and the column set an UPDATE must not
+    * assign (columns whose values place rows in partitions). */
+  private final case class DmlTarget(
+      path: String,
+      options: Map[String, String],
+      schema: StructType,
+      output: Seq[Attribute],
+      partitionCols: Seq[String])
+
+  private def manifestTarget(table: LogicalPlan): Option[DmlTarget] =
     stripAlias(table) match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation
             if fs.location.isInstanceOf[ManifestFileIndex] =>
-          Some((fs.location.asInstanceOf[ManifestFileIndex], fs, lr))
+          val idx = fs.location.asInstanceOf[ManifestFileIndex]
+          Some(DmlTarget(idx.table, fs.options,
+            lr.schema.asInstanceOf[StructType], lr.output,
+            idx.partitionSchema.fieldNames.toSeq))
         // a MIXED-SPEC table (metadata-only spec change, unmigrated
-        // generations): SQL DML routes through per-partition merge
-        // machinery that serves ONE spec — refuse with the remedies
-        // instead of Spark's generic "insertion not allowed"
+        // generations): the commands below read the LIVE table through
+        // the per-era union and WRITE through mergeManifest, whose
+        // copy-on-write path migrates touched old-era partitions to
+        // the current spec — so SQL DML works and every statement
+        // SHRINKS the spec debt. The UPDATE partition-assignment guard
+        // covers every live spec's columns: a key's partition values
+        // are immutable across eras (the standing merge contract).
+        // Merge-on-read deltas overlapping unmigrated keys keep their
+        // loud refusal inside mergeManifestDelta (per-partition
+        // resolution cannot span eras).
         case mx: MixedSpecManifestRelation =>
-          throw new IllegalArgumentException(
-            s"SQL DML on manifest table ${mx.table}: the table has " +
-              "generations under prior partition spec(s) — reads work " +
-              "(per-era union) but SQL writes need a uniform spec. " +
-              "Apply this change with Layout.mergeManifest " +
-              "(copy-on-write migrates touched old-era partitions), or " +
-              "run repartitionManifest / the Repartition node to " +
-              "finish the migration, then retry")
+          val spark = org.apache.spark.sql.SparkSession.active
+          val v = Layout.manifestVersion(spark, mx.table).getOrElse(
+            throw new IllegalStateException(
+              s"${mx.table} stopped being a manifest table"))
+          val m = Layout.readManifestMeta(spark, mx.table, v)
+          Some(DmlTarget(mx.table, mx.options,
+            lr.schema.asInstanceOf[StructType], lr.output,
+            m.liveSpecs.flatten.distinct))
         case _ => None
       }
       case _ => None
@@ -94,7 +111,7 @@ final class ManifestInsertRule(session: SparkSession)
     plan.resolveOperators {
       case i: InsertIntoStatement if i.query.resolved =>
         manifestTarget(i.table) match {
-          case Some((idx, fs, lr)) =>
+          case Some(t) =>
             require(!i.overwrite,
               "INSERT OVERWRITE a manifest table is not supported: " +
                 "overwriting discards history that retained versions " +
@@ -104,9 +121,8 @@ final class ManifestInsertRule(session: SparkSession)
               "static PARTITION clauses are not supported on manifest " +
                 "tables: partition routing is derived from the rows " +
                 "themselves (the merge contract)")
-            ManifestInsertCommand(idx.table, fs.options,
-              lr.schema.asInstanceOf[StructType], i.query,
-              i.userSpecifiedCols, i.byName)
+            ManifestInsertCommand(t.path, t.options,
+              t.schema, i.query, i.userSpecifiedCols, i.byName)
           case None => i
         }
 
@@ -120,9 +136,8 @@ final class ManifestInsertRule(session: SparkSession)
       case d: DeleteFromTable if d.table.resolved &&
           d.condition.resolved =>
         manifestTarget(d.table) match {
-          case Some((idx, fs, lr)) =>
-            ManifestMutateCommand(idx.table, fs.options,
-              lr.schema.asInstanceOf[StructType],
+          case Some(t) =>
+            ManifestMutateCommand(t.path, t.options, t.schema,
               condition = Some(d.condition), assignments = Nil,
               verb = "DELETE")
           case None => d
@@ -140,14 +155,13 @@ final class ManifestInsertRule(session: SparkSession)
           (mg.matchedActions ++ mg.notMatchedActions ++
             mg.notMatchedBySourceActions).forall(mergeActionResolved) =>
         manifestTarget(mg.targetTable) match {
-          case Some((idx, fs, lr)) =>
+          case Some(t) =>
             require(!mg.withSchemaEvolution,
               "MERGE INTO a manifest table does not support WITH " +
                 "SCHEMA EVOLUTION: evolve explicitly (evolveManifest/" +
                 "widenManifestColumn) first")
-            ManifestMergeCommand(idx.table, fs.options,
-              lr.schema.asInstanceOf[StructType],
-              lr.output, mg.sourceTable, mg.mergeCondition,
+            ManifestMergeCommand(t.path, t.options, t.schema,
+              t.output, mg.sourceTable, mg.mergeCondition,
               mg.matchedActions, mg.notMatchedActions,
               mg.notMatchedBySourceActions)
           case None => mg
@@ -162,7 +176,7 @@ final class ManifestInsertRule(session: SparkSession)
           u.assignments.forall(a => a.key.resolved && a.value.resolved) &&
           u.condition.forall(_.resolved) =>
         manifestTarget(u.table) match {
-          case Some((idx, fs, lr)) =>
+          case Some(t) =>
             def nameOf(e: org.apache.spark.sql.catalyst.expressions
                 .Expression): Option[String] = e match {
               case ar: AttributeReference => Some(ar.name)
@@ -175,14 +189,13 @@ final class ManifestInsertRule(session: SparkSession)
             val assigned = u.assignments.map(a =>
               nameOf(a.key).get -> a.value)
             val assignedParts = assigned.map(_._1)
-              .filter(idx.partitionSchema.fieldNames.contains)
+              .filter(t.partitionCols.contains)
             require(assignedParts.isEmpty,
               s"UPDATE cannot assign partition column(s) " +
                 s"${assignedParts.mkString(", ")}: moved rows would " +
                 "change partitions, which the merge contract forbids — " +
                 "DELETE + INSERT the rows instead")
-            ManifestMutateCommand(idx.table, fs.options,
-              lr.schema.asInstanceOf[StructType],
+            ManifestMutateCommand(t.path, t.options, t.schema,
               condition = u.condition, assignments = assigned,
               verb = "UPDATE")
           case None => u
@@ -434,6 +447,11 @@ final case class ManifestMergeCommand(
       s"MERGE INTO $path: the table is DECLARED append-only — updates " +
         "and deletes are structurally inexpressible on it; append " +
         "event batches with INSERT instead")
+    // every LIVE spec's columns: on a mixed-spec table a key's
+    // partition values are immutable under every era it may live in
+    // (mergeManifest's cross-era pre-scan derives the key's old-era
+    // partition from the row's own values)
+    val specCols = m.liveSpecs.flatten.distinct
     val keys = opt("keys").map(_.split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq)
       .getOrElse(m.morKeys)
@@ -526,7 +544,7 @@ final case class ManifestMergeCommand(
                 s"(got ${other.sql})")
           }
           val isKey = keys.exists(_.equalsIgnoreCase(n))
-          val isPart = m.partitionCols.exists(_.equalsIgnoreCase(n))
+          val isPart = specCols.exists(_.equalsIgnoreCase(n))
           require(fromStar || !isKey,
             s"MERGE UPDATE cannot assign merge key '$n': that changes " +
               "row identity — DELETE + INSERT instead")
@@ -552,7 +570,7 @@ final case class ManifestMergeCommand(
               s"MERGE UPDATE SET *: source has no column '$n'"))
           if (keys.exists(_.equalsIgnoreCase(n))) None
           else {
-            if (m.partitionCols.exists(_.equalsIgnoreCase(n)))
+            if (specCols.exists(_.equalsIgnoreCase(n)))
               guarded += n.toLowerCase
             Some(n.toLowerCase -> (UnresolvedAttribute(Seq(s)): Expression))
           }

@@ -19,15 +19,21 @@ import graft.operators.Layout
   * translate into the underlying per-era planner indexes, so partition
   * pruning and stats skipping still fire per era; Spark re-applies
   * every filter above the scan, so untranslated shapes stay sound.
-  * Write paths do not match this relation — SQL DML on a mixed table
-  * refuses with the migration remedies (see [[ManifestInsertRule]]).
+  * SQL DML targets resolving here route through the same commands as
+  * single-spec tables (see [[ManifestInsertRule]]): the copy-on-write
+  * merge migrates touched old-era partitions on the way, so every DML
+  * statement shrinks the spec debt.
   * Version-absent mounts resolve the LIVE version at each buildScan
   * (the read-committed-per-scan contract of the single-index mount). */
 final class MixedSpecManifestRelation(
     spark: org.apache.spark.sql.SparkSession,
     val table: String,
     version: Option[Int],
-    sqlCtx: SQLContext) extends BaseRelation
+    sqlCtx: SQLContext,
+    // the mount's OPTIONS (keys/versionCol/mor/versionAsOf…): carried
+    // so the SQL DML rewrite can read the merge spec off the relation,
+    // exactly as it does off a single-spec HadoopFsRelation's options
+    val options: Map[String, String] = Map.empty) extends BaseRelation
     with org.apache.spark.sql.sources.PrunedFilteredScan {
   import org.apache.spark.sql.{Column, functions => F}
   import org.apache.spark.sql.sources
@@ -189,7 +195,8 @@ final class ManifestProvider extends RelationProvider
         s"$path is not a manifest table; seed it with writeManifestTable"))
     val meta = graft.operators.Layout.readManifestMeta(spark, path, vLive)
     if (meta.liveSpecs.size > 1)
-      new MixedSpecManifestRelation(spark, path, version, sqlContext)
+      new MixedSpecManifestRelation(spark, path, version, sqlContext,
+        parameters)
     else {
       val idx = new ManifestFileIndex(spark, path, version)
       // the index's (dataSchema ++ partitionSchema) IS the stored column

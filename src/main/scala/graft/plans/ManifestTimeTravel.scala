@@ -178,6 +178,11 @@ final class ManifestSqlParser(session: SparkSession,
       case _ => return None
     }
     val cat = session.sessionState.catalog
+    // a temp view (or global temp view) SHADOWS the catalog table of
+    // the same name — tableExists/getTableMetadata ignore temp views,
+    // so without this guard a bare name would silently read the
+    // physical table instead of the shadowing view
+    if (cat.isTempView(parts)) return None
     val meta =
       try {
         if (!cat.tableExists(ident)) return None
@@ -237,13 +242,38 @@ final class ManifestSqlParser(session: SparkSession,
     * wrong rows). Single-spec tables never reach the substitution —
     * the mount check reads the manifest root only for `USING manifest`
     * catalog tables. */
-  private def rewriteMixed(plan: LogicalPlan): LogicalPlan = plan match {
+  private def rewriteMixed(plan: LogicalPlan): LogicalPlan =
+    rewriteMixed(plan, Set.empty)
+
+  /** `bound` carries the CTE names in scope (lower-cased): a CTE
+    * shadows any catalog table of the same name for the plans that can
+    * see it, so a bound bare name must never be substituted. Each CTE
+    * definition sees the names declared BEFORE it (Spark's sequential
+    * CTE scope, plus its own name under RECURSIVE); the main body sees
+    * them all. Temp views are handled in [[manifestMount]]. */
+  private def rewriteMixed(plan: LogicalPlan,
+                           bound: Set[String]): LogicalPlan = plan match {
     case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
-      i.copy(query = rewriteMixed(i.query))
+      i.copy(query = rewriteMixed(i.query, bound))
     case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u
     case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
     case mg: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
-      mg.copy(sourceTable = rewriteMixed(mg.sourceTable))
+      mg.copy(sourceTable = rewriteMixed(mg.sourceTable, bound))
+    case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+      var inScope = bound
+      val ctes = w.cteRelations.map { case (name, alias, maxRec) =>
+        val defScope =
+          if (w.allowRecursion) inScope + name.toLowerCase else inScope
+        val rewritten = alias.copy(
+          child = rewriteMixed(alias.child, defScope))
+        inScope += name.toLowerCase
+        (name, rewritten, maxRec)
+      }
+      w.copy(child = rewriteMixed(w.child, inScope), cteRelations = ctes)
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.size == 1 &&
+          bound.contains(u.multipartIdentifier.head.toLowerCase) =>
+      u // shadowed by an enclosing CTE — leave for normal resolution
     case u: UnresolvedRelation =>
       manifestMount(u.multipartIdentifier).flatMap {
         case (ident, p, props) =>
@@ -254,7 +284,7 @@ final class ManifestSqlParser(session: SparkSession,
               eraRelations(p, props, v)): LogicalPlan)
           }
       }.getOrElse(u)
-    case other => other.mapChildren(rewriteMixed)
+    case other => other.mapChildren(rewriteMixed(_, bound))
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =

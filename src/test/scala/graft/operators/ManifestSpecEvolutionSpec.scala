@@ -276,8 +276,8 @@ class ManifestSpecEvolutionSpec extends SparkSpec {
 
   test("SQL over a MIXED-SPEC table: respec_table changes the spec " +
       "from SQL, bare-name SELECTs serve the per-era union (both eras' " +
-      "predicates prune), VERSION AS OF spans the boundary, and DML " +
-      "targets keep the loud single-index refusal") {
+      "predicates prune), VERSION AS OF spans the boundary, and SQL " +
+      "DML migrates touched old-era partitions on the way") {
     val dir = tmpDir("sqlmixed")
     seed(dir)                                              // v1, [part]
     spark.sql("DROP TABLE IF EXISTS t_sqlmixed")
@@ -320,10 +320,30 @@ class ManifestSpecEvolutionSpec extends SparkSpec {
     // time travel by bare name: v1 (pre-change) serves the old era
     assert(spark.sql("SELECT count(*) FROM t_sqlmixed VERSION AS OF 1")
       .head().getLong(0) == 4L)
-    // DML targets refuse with the single-index remedy until migrated
+    // SQL DML on the mixed table routes through the migrate-on-touch
+    // merge: ONE publish, the touched old-era partition (part=a, via
+    // k=1's own values) migrates to the current spec, untouched
+    // old-era partitions stay frozen, and the read reflects the update
+    val vBefore = Layout.manifestVersion(spark, dir).get
+    val mBefore = Layout.readManifestMeta(spark, dir, vBefore)
+    val frozenGen = mBefore.entries("part=b")
+    spark.sql("UPDATE t_sqlmixed SET v = 0.5, ver = 9 WHERE k = 1")
+    val mAfter = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(mAfter.version == vBefore + 1, "UPDATE must be one publish")
+    assert(!mAfter.entries.contains("part=a") &&
+      mAfter.entries.contains("part=b") &&
+      mAfter.entries("part=b") == frozenGen,
+      s"part=a migrates, part=b stays frozen (${mAfter.entries})")
+    assert(mAfter.oldEraRels.size < mBefore.oldEraRels.size,
+      "era debt must shrink with the statement")
+    assert(spark.sql("SELECT v FROM t_sqlmixed WHERE k = 1")
+      .head().getDouble(0) == 0.5)
+    // UPDATE must not assign ANY live spec's columns on a mixed table
+    // (a key's partition values are immutable across eras)
     val e = intercept[Exception] {
-      spark.sql("UPDATE t_sqlmixed SET v = 0.0 WHERE k = 1") }
-    assert(e.getMessage.contains("prior partition spec"), e.getMessage)
+      spark.sql("UPDATE t_sqlmixed SET part = 'z' WHERE k = 2") }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
     spark.sql("DROP TABLE t_sqlmixed")
   }
 
@@ -370,5 +390,130 @@ class ManifestSpecEvolutionSpec extends SparkSpec {
       "reap must not eat live nested-era generations")
     assert(!genDirs(dir).exists(d => d.startsWith("part=a/gen=")),
       s"retired old-era gen dirs under part=a must reap: ${genDirs(dir)}")
+  }
+
+  test("a merge-on-read delta batch spanning MORE prior-spec tuples " +
+      "than maxTouchedPartitions refuses loudly — a truncated overlap " +
+      "scan could miss an unmigrated partition and silently duplicate " +
+      "keys on every read") {
+    val dir = tmpDir("deltacap")
+    seed(dir)                                              // v1, [part]
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day")) // v2
+    // 3 distinct prior-spec (part) tuples against a cap of 2: the
+    // collect is truncated, so the overlap check CANNOT be trusted —
+    // must refuse before accepting the delta
+    val e = intercept[IllegalArgumentException] {
+      Layout.mergeManifestDelta(spark, dir,
+        Seq((1L, "a", 1, 1.0, 2L), (3L, "b", 1, 3.0, 2L),
+          (5L, "c", 1, 5.0, 2L)).toDF("k", "part", "day", "v", "ver"),
+        Seq("k"), "ver", maxTouchedPartitions = 2)
+    }
+    assert(e.getMessage.contains("prior-spec") &&
+      e.getMessage.contains("split the batch"), e.getMessage)
+  }
+
+  test("bare-name substitution respects shadowing: a CTE or temp view " +
+      "named like a mixed-spec catalog table wins over the physical " +
+      "table") {
+    val dir = tmpDir("shadow")
+    seed(dir)                                              // v1, [part]
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day")) // v2
+    spark.sql("DROP TABLE IF EXISTS t_shadow")
+    spark.sql(s"CREATE TABLE t_shadow USING manifest OPTIONS (path '$dir')")
+    // sanity: the bare name serves the mixed table (4 seeded rows)
+    assert(spark.sql("SELECT count(*) FROM t_shadow").head().getLong(0)
+      == 4L)
+    // a CTE of the same name shadows it
+    assert(spark.sql(
+      "WITH t_shadow AS (SELECT 1 AS x) SELECT count(*) FROM t_shadow")
+      .head().getLong(0) == 1L)
+    // ... including for later CTEs in the same WITH
+    assert(spark.sql(
+      """WITH t_shadow AS (SELECT 1 AS x),
+        |     u AS (SELECT * FROM t_shadow)
+        |SELECT count(*) FROM u""".stripMargin).head().getLong(0) == 1L)
+    // a CTE defined BEFORE the shadowing name still reads the table
+    assert(spark.sql(
+      """WITH u AS (SELECT * FROM t_shadow),
+        |     t_shadow AS (SELECT 1 AS x)
+        |SELECT count(*) FROM u""".stripMargin).head().getLong(0) == 4L)
+    // a temp view of the same name shadows it too
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW t_shadow AS SELECT 1 AS x")
+    assert(spark.sql("SELECT count(*) FROM t_shadow").head().getLong(0)
+      == 1L)
+    spark.sql("DROP VIEW t_shadow")
+    assert(spark.sql("SELECT count(*) FROM t_shadow").head().getLong(0)
+      == 4L)
+    spark.sql("DROP TABLE t_shadow")
+  }
+
+  test("alias retirement on a mixed-spec table refuses up front with " +
+      "the working remedy (compact cannot rewrite frozen old-era " +
+      "generations), and the SQL RENAME path refuses before " +
+      "publishing a half-applied alias") {
+    val dir = tmpDir("aliasmix")
+    seed(dir)                                              // v1, [part]
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day")) // v2
+    spark.sql("DROP TABLE IF EXISTS t_aliasmix")
+    spark.sql(
+      s"CREATE TABLE t_aliasmix USING manifest OPTIONS (path '$dir')")
+    // immediate-rewrite SQL RENAME refuses BEFORE landing the alias
+    val e0 = intercept[Exception] {
+      spark.sql("ALTER TABLE t_aliasmix RENAME COLUMN v TO val") }
+    assert(e0.getMessage.contains("prior partition spec") &&
+      e0.getMessage.contains("deferRewrite"), e0.getMessage)
+    assert(Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get).colAliases.isEmpty,
+      "the refused rename must not publish an alias")
+    // a deferred (metadata-only) rename is fine on a mixed table...
+    Layout.renameManifestColumn(spark, dir, "v", "val")    // v3
+    // ...but retiring it cannot work until the spec migration finishes
+    val e = intercept[IllegalArgumentException] {
+      Layout.clearManifestAliases(spark, dir) }
+    assert(e.getMessage.contains("prior partition spec") &&
+      e.getMessage.contains("migrateManifestPartitions"), e.getMessage)
+    // Maintain clear_aliases names migrate_partitions as the remedy
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM maintain_table('$dir', " +
+        "'clear_aliases=true')").collect() }
+    assert(e2.getMessage.contains("migrate_partitions"), e2.getMessage)
+    // drain the spec debt, retire the alias — both now succeed
+    Layout.migrateManifestPartitions(spark, dir, maxPartitions = 16)
+    Layout.foldManifestDeltas(spark, dir)
+    Layout.compactManifest(spark, dir, maxFiles = 0)
+    Layout.clearManifestAliases(spark, dir)
+    assert(Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get).colAliases.isEmpty)
+    spark.sql("DROP TABLE t_aliasmix")
+  }
+
+  test("a FULLY-MIGRATED era whose column was since dropped no longer " +
+      "wedges merges: the cross-era pre-scan only consults specs with " +
+      "live generations") {
+    val dir = tmpDir("dropspec")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 1, 7, 10.0, 1L), (2L, "b", 2, 7, 20.0, 1L))
+        .toDF("k", "part", "day", "hour", "v", "ver"),
+      Seq("part"), keys = Seq("k"), versionCol = Some("ver")) // v1
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day")) // v2
+    // touch every part-era key: the part era fully migrates
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, "a", 1, 7, 11.0, 2L), (2L, "b", 2, 7, 21.0, 2L))
+        .toDF("k", "part", "day", "hour", "v", "ver"),
+      Seq("k"), "ver")                                     // v3
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("hour")) // v4
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.specHistory == Seq(Seq("part"), Seq("day")) &&
+      m.oldEraRels.forall(_.startsWith("day=")), s"${m.specHistory}")
+    // the part era is EMPTY: its column drops cleanly...
+    Layout.dropManifestColumn(spark, dir, "part")          // v5
+    // ...and a merge whose batch no longer carries 'part' still works
+    // (the pre-scan skips the dead era instead of selecting its column)
+    Layout.mergeManifest(spark, dir,
+      Seq((1L, 1, 7, 12.0, 3L)).toDF("k", "day", "hour", "v", "ver"),
+      Seq("k"), "ver")                                     // v6
+    assert(Layout.readManifest(spark, dir)
+      .filter(col("k") === 1L).head().getAs[Double]("v") == 12.0)
   }
 }

@@ -92,4 +92,49 @@ class MaintenanceTvfSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("k=v"), e2.getMessage)
   }
+
+  test("migrate_partitions drains a mixed-spec table to a single spec " +
+      "over budgeted runs: content hash-stable throughout, oldest era " +
+      "first, specHistory clears at convergence, the append feed sees " +
+      "nothing, and a converged run is a quiet no-op") {
+    val dir = tmpDir("migrate")
+    Layout.writeManifestTable(spark, dir,
+      Seq((1L, "a", 1, 10.0, 1L), (2L, "b", 1, 20.0, 1L),
+        (3L, "c", 2, 30.0, 1L), (4L, "d", 2, 40.0, 1L))
+        .toDF("k", "part", "day", "v", "ver"),
+      Seq("part"), keys = Seq("k"), versionCol = Some("ver"))  // v1
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day")) // v2
+    def content() = Layout.readManifest(spark, dir)
+      .select("k", "part", "day", "v", "ver").collect()
+      .map(_.toSeq).toSet
+    val before = content()
+    def meta() = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(meta().oldEraRels.size == 4)
+    // run 1: budget 2 — exactly the two lexicographically-first
+    // old-era partitions migrate (one era: rel-name order)
+    val out1 = spark.sql(s"SELECT decisions FROM maintain_table('$dir', " +
+      "'migrate_partitions=2')").head().getString(0)
+    assert(out1.contains("migrate=part=a,part=b"), out1)
+    val m1 = meta()
+    assert(m1.oldEraRels.size == 2 && m1.specHistory.nonEmpty)
+    assert(content() == before, "migration must be row-identical")
+    // the feed sees the migration as metadata-only (op=repartition)
+    assert(Layout.appendsBetween(spark, dir, 2, m1.version).isEmpty,
+      "budgeted migration must emit nothing on the append feed")
+    // run 2: converges — history clears with the last old-era rel
+    spark.sql(s"SELECT * FROM maintain_table('$dir', " +
+      "'migrate_partitions=2')").collect()
+    val m2 = meta()
+    assert(m2.oldEraRels.isEmpty && m2.specHistory.isEmpty,
+      s"converged (${m2.oldEraRels}, ${m2.specHistory})")
+    assert(m2.entries.keySet == Set("day=1", "day=2"), s"${m2.entries}")
+    assert(content() == before)
+    // run 3: nothing left — quiet no-op, no publish
+    val vConverged = m2.version
+    val out3 = spark.sql(s"SELECT decisions FROM maintain_table('$dir', " +
+      "'migrate_partitions=2')").head().getString(0)
+    assert(out3.contains("migrate=;") || out3.endsWith("migrate="), out3)
+    assert(meta().version == vConverged, "a converged drain must not publish")
+  }
 }
