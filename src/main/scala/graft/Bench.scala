@@ -156,6 +156,19 @@ object Bench {
     }
   }
 
+  /** Baseline-file JSON with `fresh` gates appended — existing entries
+    * NEVER move (a full refresh is the explicit WRITE_BASELINE path);
+    * `parsePrevQueries` round-trips the queries map. */
+  def appendedBaselineJson(baseline: Map[String, Double],
+                           fresh: Seq[(String, Double)],
+                           passes: Int, sf: String): String = {
+    val merged = (baseline ++ fresh.filterNot(f => baseline.contains(f._1)))
+      .toSeq.sortBy(_._1)
+      .map { case (n, t) => "\"" + n + "\":" + t }
+      .mkString("{", ",", "}")
+    s"""{"note":"per-gate min-of-$passes baseline; regenerate via SPARK_GRAFT_WRITE_BASELINE=1 on a full clean run","sf":"$sf","queries":$merged}"""
+  }
+
   /** 1 when any query failed — the process exit code for `main`. */
   def exitCode(outcomes: Seq[Outcome]): Int =
     if (outcomes.exists(_.minSec.isEmpty)) 1 else 0
@@ -258,13 +271,37 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"nqueries":${outcomes.size},"failed":$failedJson,"regressions":$regJson}""")
     // refresh the committed baseline on request (after an intentional
     // perf change, from a clean full run on the bench host)
-    if (sys.env.get("SPARK_GRAFT_WRITE_BASELINE").contains("1") &&
-        failed.isEmpty) {
+    val writeBaseline =
+      sys.env.get("SPARK_GRAFT_WRITE_BASELINE").contains("1")
+    if (writeBaseline && failed.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get(basePath),
         (s"""{"note":"per-gate min-of-$passes baseline; regenerate via SPARK_GRAFT_WRITE_BASELINE=1 on a full clean run","sf":"$sfDir","queries":$qs}""" + "\n")
           .getBytes("UTF-8"))
       System.err.println(s"[bench] baseline written to $basePath " +
         s"(${outcomes.size} gates)")
+    }
+    // auto-append gates the baseline does not know yet (added this
+    // round) after a clean run AT THE BASELINE'S OWN SF — so every new
+    // gate is regression-guarded from its second round without a
+    // manual baseline rewrite. Existing entries never move here; a
+    // full refresh stays the explicit WRITE_BASELINE path above.
+    if (!writeBaseline && failed.isEmpty && baseline.nonEmpty) {
+      val baseSf: Option[String] =
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(basePath)), "UTF-8")
+          """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        } catch { case _: Throwable => None }
+      val fresh = outcomes.filter(o =>
+        o.minSec.isDefined && !baseline.contains(o.name))
+      if (fresh.nonEmpty && baseSf.contains(sfDir)) {
+        java.nio.file.Files.write(java.nio.file.Paths.get(basePath),
+          (appendedBaselineJson(baseline,
+            fresh.map(o => o.name -> o.minSec.get), passes, sfDir) + "\n")
+            .getBytes("UTF-8"))
+        System.err.println(s"[bench] baseline appended: " +
+          fresh.map(_.name).mkString(", "))
+      }
     }
     spark.stop()
     // a run with any failed query is a FAILED run — exit nonzero so the

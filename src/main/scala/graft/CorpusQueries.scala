@@ -53,6 +53,24 @@ object CorpusQueries {
         (col("__hits") >= ceil(lit(floor) * col("__exact"))).as("floor_met"))
   }
 
+  /** Pair-scan twin of [[annRecallGate]]: one full-outer join over
+    * (id_a, id_b) yields the exact pair count (real-oracled), whether
+    * every approx pair is a true pair (cosine-verified candidates make
+    * this structural — a false emission breaks it), and the measured
+    * capture floor. */
+  private def pairCaptureGate(exact: DataFrame, approx: DataFrame,
+                              floor: Double): DataFrame = {
+    val e = exact.select(col("id_a"), col("id_b"), lit(1).as("__e"))
+    val a = approx.select(col("id_a"), col("id_b"), lit(1).as("__a"))
+    a.join(e, Seq("id_a", "id_b"), "full")
+      .agg(
+        count(col("__e")).as("n_exact"),
+        (count(when(col("__a") === 1 && col("__e").isNull, lit(1))) === 0)
+          .as("subset_ok"),
+        (count(when(col("__a") === 1 && col("__e") === 1, lit(1)))
+          >= ceil(lit(floor) * count(col("__e")))).as("floor_met"))
+  }
+
   val defs: Map[String, Q] = Map(
     // Multimodal frame sampling: every "video" fans out to n keyed frame
     // records via the batched mapPartitions path (per-partition codec
@@ -546,13 +564,27 @@ object CorpusQueries {
       Similarity.cosineNearDupPairsLsh(embs(s, dir), threshold = 0.45)
     }),
 
-    // IVF-blocked near-dup pair scan (the moderate-threshold scale path;
-    // capture on this corpus is total, so the exact s03 oracle applies —
-    // the capture floor is ALSO spec-asserted so a regression is caught
-    // in two places).
+    // IVF-blocked near-dup pair scan (the moderate-threshold scale
+    // path). MEASURED-CAPTURE gate (the s08 posture; the sf0.1 replay
+    // lesson): fixed nprobe=8 captured 14/14 pairs at sf0.01 but only
+    // 134/144 at sf0.1 — as the corpus densifies, k-means cells
+    // tighten and a fixed probe breadth stops covering the threshold's
+    // angular reach (theta_t = acos(0.45) ~ 1.1 rad), so "capture is
+    // total" is NOT a scale-stable exactness claim. IVF's honest
+    // contract at moderate thresholds is capture-vs-cost: nprobe
+    // density-scales (n/125, clamped [8, nlist] — measured 1.0 capture
+    // at both gate scales with the 0.95 floor's headroom), the exact
+    // pair COUNT stays a real DuckDB oracle, every emitted pair is
+    // cosine-verified (subset exactness pinned), and the floor is the
+    // gated claim.
     "s06_ivf_cosine_pairs" -> ((s, dir) => {
-      Similarity.cosineNearDupPairsIvf(embs(s, dir), threshold = 0.45,
-        nlist = 32, nprobe = 8)
+      val e = embs(s, dir)
+      val nprobe = math.max(8L, math.min(32L, e.count() / 125)).toInt
+      pairCaptureGate(
+        Similarity.cosineNearDupPairs(e, threshold = 0.45),
+        Similarity.cosineNearDupPairsIvf(e, threshold = 0.45,
+          nlist = 32, nprobe = nprobe),
+        floor = 0.95)
     }),
 
     // IVF approximate top-k with k-means-trained coarse quantizer (the
@@ -1147,8 +1179,12 @@ object CorpusQueries {
              ${cosSql("a.embedding", "b.embedding")} AS cos
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          WHERE cos >= 0.45""",
+    // measured-capture posture (the annRecallOracle shape): the exact
+    // pair COUNT is the real oracle; subset/floor booleans pin that the
+    // IVF scan emitted only true pairs and met the capture floor
     "s06_ivf_cosine_pairs" ->
-      s"""SELECT id_a, id_b, cos FROM (
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           true AS subset_ok, true AS floor_met FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ${cosSql("a.embedding", "b.embedding")} AS cos
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
@@ -1338,25 +1374,72 @@ object CorpusQueries {
 
   /** v08 twin: connected components of the hamming <= 3 graph, component
     * = min id (the d07 closure over fingerprint pairs). */
+  /** CONDENSED closure (the sf0.1 replay's lesson): the naive
+    * `bits x bits` hamming join + doc-level `reach` walls at 5000 docs
+    * — the synthetic gradient images share dhashes heavily (sf0.1: one
+    * 4,624-doc component, 21M reachability pairs, tens of GB). Exact
+    * equivalent at any SF: (1) pack each doc's 64 gradient bits into
+    * four 16-bit chunks; (2) CONDENSE identical fingerprints to their
+    * min-doc rep (hamming 0 ⇔ same component — connectivity is
+    * preserved); (3) candidate rep pairs by PIGEONHOLE (h<=3 over 4
+    * chunks ⇒ at least one chunk equal — four equi-joins, no cross
+    * product); (4) exact hamming via bit_count(xor(chunk)); (5) the
+    * recursive closure runs over the tiny rep graph (sf0.1: 1,190
+    * reps vs 5,000 docs), docs map back through their fingerprint.
+    * The component label = min rep id reached = the component's global
+    * min doc_id, exactly the naive formulation's label. Validated
+    * output-identical to the naive oracle at sf0.001/sf0.01. */
   private lazy val imageComponentsOracle: String =
     s"""WITH RECURSIVE $dhashBitsCtes,
-       ham AS (
-         SELECT a.doc_id AS ida, b.doc_id AS idb,
-           SUM(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) AS h
-         FROM bits a JOIN bits b
-           ON a.cy = b.cy AND a.cx = b.cx AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
-       sim AS (SELECT ida, idb FROM ham WHERE h <= 3),
+       fp AS (
+         SELECT doc_id,
+           CAST(coalesce(SUM(CASE WHEN (cy*8+cx) // 16 = 0
+             THEN b * (1 << ((cy*8+cx) % 16)) END), 0) AS BIGINT) AS c0,
+           CAST(coalesce(SUM(CASE WHEN (cy*8+cx) // 16 = 1
+             THEN b * (1 << ((cy*8+cx) % 16)) END), 0) AS BIGINT) AS c1,
+           CAST(coalesce(SUM(CASE WHEN (cy*8+cx) // 16 = 2
+             THEN b * (1 << ((cy*8+cx) % 16)) END), 0) AS BIGINT) AS c2,
+           CAST(coalesce(SUM(CASE WHEN (cy*8+cx) // 16 = 3
+             THEN b * (1 << ((cy*8+cx) % 16)) END), 0) AS BIGINT) AS c3
+         FROM bits GROUP BY doc_id),
+       rep AS (SELECT min(doc_id) AS rid, c0, c1, c2, c3
+               FROM fp GROUP BY c0, c1, c2, c3),
+       cand AS (
+         SELECT a.rid AS ra, b.rid AS rb,
+           bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+           + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS h
+         FROM rep a JOIN rep b ON a.c0 = b.c0 AND a.rid < b.rid
+         UNION
+         SELECT a.rid, b.rid,
+           bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+           + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+         FROM rep a JOIN rep b ON a.c1 = b.c1 AND a.rid < b.rid
+         UNION
+         SELECT a.rid, b.rid,
+           bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+           + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+         FROM rep a JOIN rep b ON a.c2 = b.c2 AND a.rid < b.rid
+         UNION
+         SELECT a.rid, b.rid,
+           bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+           + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+         FROM rep a JOIN rep b ON a.c3 = b.c3 AND a.rid < b.rid),
+       sim AS (SELECT DISTINCT ra, rb FROM cand WHERE h <= 3),
        edges AS (
-         SELECT ida AS src, idb AS dst FROM sim
-         UNION ALL SELECT idb, ida FROM sim
-         UNION ALL SELECT doc_id, doc_id FROM documents),
+         SELECT ra AS src, rb AS dst FROM sim
+         UNION ALL SELECT rb, ra FROM sim
+         UNION ALL SELECT rid, rid FROM rep),
        reach(src, dst) AS (
          SELECT src, dst FROM edges
          UNION
-         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       SELECT src AS media_id, min(dst) AS component
-       FROM reach GROUP BY src"""
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       comp AS (SELECT src AS rid, min(dst) AS component
+                FROM reach GROUP BY src)
+       SELECT f.doc_id AS media_id, c.component
+       FROM fp f
+       JOIN rep r ON r.c0 = f.c0 AND r.c1 = f.c1 AND r.c2 = f.c2
+                 AND r.c3 = f.c3
+       JOIN comp c ON c.rid = r.rid"""
 
   /** d14 twin: batch docs (ids >= 250) dropped iff an exact-Jaccard
     * similar doc with a smaller id exists anywhere (index ids are all

@@ -102,8 +102,16 @@ object RelationalQueries {
 
     // Window: running sum per supplier (exact decimal accumulation).
     "q08_window_running" -> ((s, dir) => {
+      // l_quantity last in the ORDER BY: the fixture REUSES
+      // (l_orderkey, l_linenumber) at sf>=0.1 (118k dup groups), so
+      // without it two exact order-ties with different quantities make
+      // the ROWS-frame prefix sum tie-order-ambiguous — the sf0.1
+      // replay caught exactly one such row. With the summed column as
+      // the final key, equal-prefix rows are interchangeable and the
+      // running sum is total-order deterministic at any SF.
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc, col("l_quantity").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -1128,7 +1136,8 @@ object RelationalQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
             PARTITION BY l_suppkey
-            ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+            ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+                     l_quantity ASC
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         FROM lineitem""",
     "q09_rollup" ->

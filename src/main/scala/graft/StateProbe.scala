@@ -18,11 +18,30 @@ import org.apache.spark.sql.functions._
   *    plateau at ~(rows inside the join window), evicted as the
   *    watermark passes.
   *
+  *  - DEDUP (m39's shape): `dropDuplicatesWithinWatermark` on the key
+  *    alone. Expected: state holds only the keys seen inside the
+  *    watermark horizon — plateau at ~2-3 batch-widths x keys.
+  *  - WINDOWED AGG (the in-state-store twin of m41/m42's fold; the
+  *    m42 lift itself is foreachBatch + Ivm, whose "state" is the
+  *    on-disk summary — bounded by |summary| by construction and
+  *    measured by IvmProbe, not the state store): tumbling-window
+  *    groupBy agg under a watermark. Expected: plateau at ~(windows
+  *    open inside the horizon) x keys.
+  *
   * Prints per-batch `numRowsTotal` / `stateMemory` from the progress
   * telemetry, then the min/max/final across the drain. An unbounded
   * operator shows monotone growth ~ batches; a bounded one flattens.
-  * Run: `sbt "runMain graft.StateProbe [keys] [batches]"` (defaults
-  * 100000 x 60; the NOTES record 1e6-key runs).
+  *
+  * PROVIDER dimension: arg 3 selects the state-store backend —
+  * `hdfs` (default in-heap HDFSBackedStateStoreProvider), `rocksdb`
+  * (off-heap RocksDBStateStoreProvider, the at-scale choice once live
+  * keys outgrow executor heap: ~2.6 KB/key in-heap means 10^8 live
+  * keys ≈ 260 GB of heap, where RocksDB pages to local SSD), or
+  * `both` to print the comparison. memoryUsedBytes under RocksDB
+  * reports the native memtable+block-cache footprint, not JVM heap —
+  * compare plateaus, not absolute bytes.
+  * Run: `sbt "runMain graft.StateProbe [keys] [batches] [provider]"`
+  * (defaults 100000 x 60 x hdfs; the NOTES record 1e6/1e7-key runs).
   */
 object StateProbe {
 
@@ -111,40 +130,84 @@ object StateProbe {
       "(a bounded operator's second half ~ 0; unbounded ~ keys)")
   }
 
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider"
+  private val Hdfs =
+    "org.apache.spark.sql.execution.streaming.state" +
+      ".HDFSBackedStateStoreProvider"
+
   def main(args: Array[String]): Unit = {
     val keys = args.headOption.map(_.toInt).getOrElse(100000)
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(60)
+    val providers = args.drop(2).headOption.getOrElse("hdfs") match {
+      case "both" => Seq("hdfs", "rocksdb")
+      case p => Seq(p)
+    }
+    val only = args.drop(3).headOption.map(_.split(",").toSet)
     val spark = mkSpark()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // 1. SESSIONIZER: 10-second session gap, 2-minute watermark — with
-    // batches a minute apart every session closes two batches later,
-    // so live state must plateau at ~2 batches x keys, NOT grow
-    val sess = drain(spark, "sessionize", keys, batches, df =>
-      df.withWatermark("ts", "2 minutes")
-        .groupBy(col("k"),
-          org.apache.spark.sql.functions.session_window(col("ts"),
-            "10 seconds"))
-        .agg(count(lit(1)).as("n"), max(col("batch")).as("lastBatch"))
-        .select(col("k"), col("n"), col("lastBatch")))
-    report("sessionize", keys, batches, sess)
+    for (prov <- providers) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        if (prov == "rocksdb") RocksDb else Hdfs)
+      def want(s: String): Boolean = only.forall(_.contains(s))
 
-    // 2. STREAM-STREAM INNER JOIN: self-join key=key within 1 minute,
-    // both sides watermarked 2 minutes — buffered rows must plateau at
-    // ~2-3 batches x keys x 2 sides
-    val joined = drain(spark, "join", keys, batches, df => {
-      val a = df.select(col("k"), col("ts").as("tsa"),
-        col("batch").as("ba")).withWatermark("tsa", "2 minutes")
-      val b = df.select(col("k").as("kb"), col("ts").as("tsb"),
-        col("batch").as("bb")).withWatermark("tsb", "2 minutes")
-      a.join(b, a("k") === b("kb") &&
-        b("tsb") >= a("tsa") - expr("interval 1 minute") &&
-        b("tsb") <= a("tsa") + expr("interval 1 minute"))
-        .select(col("k"), col("ba"), col("bb"))
-    })
-    report("stream-stream-join", keys, batches, joined)
+      // 1. SESSIONIZER: 10-second session gap, 2-minute watermark —
+      // with batches a minute apart every session closes two batches
+      // later, so live state must plateau at ~2 batches x keys
+      if (want("sessionize")) {
+        val sess = drain(spark, s"sessionize-$prov", keys, batches, df =>
+          df.withWatermark("ts", "2 minutes")
+            .groupBy(col("k"),
+              org.apache.spark.sql.functions.session_window(col("ts"),
+                "10 seconds"))
+            .agg(count(lit(1)).as("n"), max(col("batch")).as("lastBatch"))
+            .select(col("k"), col("n"), col("lastBatch")))
+        report(s"sessionize[$prov]", keys, batches, sess)
+      }
 
+      // 2. STREAM-STREAM INNER JOIN: self-join key=key within 1
+      // minute, both sides watermarked 2 minutes — buffered rows must
+      // plateau at ~2-3 batches x keys x 2 sides
+      if (want("join")) {
+        val joined = drain(spark, s"join-$prov", keys, batches, df => {
+          val a = df.select(col("k"), col("ts").as("tsa"),
+            col("batch").as("ba")).withWatermark("tsa", "2 minutes")
+          val b = df.select(col("k").as("kb"), col("ts").as("tsb"),
+            col("batch").as("bb")).withWatermark("tsb", "2 minutes")
+          a.join(b, a("k") === b("kb") &&
+            b("tsb") >= a("tsa") - expr("interval 1 minute") &&
+            b("tsb") <= a("tsa") + expr("interval 1 minute"))
+            .select(col("k"), col("ba"), col("bb"))
+        })
+        report(s"stream-stream-join[$prov]", keys, batches, joined)
+      }
+
+      // 3. DEDUP (m39): dropDuplicatesWithinWatermark on the bare key
+      // — every batch re-sends every key, so an EVICTING store
+      // plateaus at ~2-3 batch-widths x keys while a non-evicting one
+      // would hold keys x batches
+      if (want("dedup")) {
+        val dd = drain(spark, s"dedup-$prov", keys, batches, df =>
+          graft.streaming.Streams.streamingDedup(df, Seq("k"), "ts",
+            "2 minutes"))
+        report(s"dedup[$prov]", keys, batches, dd)
+      }
+
+      // 4. WINDOWED AGG (m41/m42's in-store twin): 1-minute tumbling
+      // windows per key under a 2-minute watermark — open windows
+      // inside the horizon bound the state
+      if (want("agg")) {
+        val agg = drain(spark, s"agg-$prov", keys, batches, df =>
+          df.withWatermark("ts", "2 minutes")
+            .groupBy(window(col("ts"), "1 minute"), col("k"))
+            .agg(count(lit(1)).as("n"), sum(col("batch")).as("sb"))
+            .select(col("k"), col("n"), col("sb")))
+        report(s"windowed-agg[$prov]", keys, batches, agg)
+      }
+    }
     spark.stop()
   }
 }

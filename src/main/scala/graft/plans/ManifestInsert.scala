@@ -252,9 +252,11 @@ final case class ManifestMutateCommand(
     // LIVE snapshot, fresh mount: the mutation's row versions must be
     // the table's CURRENT ones, or the merge's latest-wins would let
     // rows updated since the view was created survive their own
-    // DELETE / shed this UPDATE
-    val fresh = session.read.format("manifest")
-      .option("path", path).load()
+    // DELETE / shed this UPDATE. manifestTable (not the provider
+    // relation): on a MIXED-SPEC table it serves the native per-era
+    // planner-index union — whole-stage codegen and exact per-era
+    // pruning — where the provider's v1 fallback drops to .rdd
+    val fresh = Layout.manifestTable(session, path)
     val outByName = fresh.queryExecution.analyzed.output
       .map(a => a.name -> a).toMap
     def rebind(e: org.apache.spark.sql.catalyst.expressions.Expression):
@@ -470,8 +472,8 @@ final case class ManifestMergeCommand(
     // projects to reserved names (__s_i) and every expression rebinds
     // by exprId to either the live table column or the renamed source
     // column, resolved BY NAME against the joined frame.
-    val fresh = session.read.format("manifest")
-      .option("path", path).load()
+    // native per-era union on mixed tables — see ManifestMutateCommand
+    val fresh = Layout.manifestTable(session, path)
     val tgtNames = targetAttrs.map(a => a.exprId -> a.name).toMap
     tableSchema.fieldNames.foreach(n => require(!n.startsWith("__s_") &&
       n != "__s_present" && n != "__t_present" && n != "__mrg_action" &&

@@ -125,4 +125,15 @@ class BenchSpec extends SparkSpec {
     assert(outcomes.head.minSec.isEmpty)
     assert(Bench.exitCode(outcomes) == 1)
   }
+
+  test("appendedBaselineJson adds new gates without moving existing " +
+      "entries, and parsePrevQueries round-trips it") {
+    val base = Map("q1" -> 1.5, "m48" -> 9.6)
+    val json = Bench.appendedBaselineJson(base,
+      Seq("m83" -> 6.0, "q1" -> 99.0), passes = 3, sf = "/sf0.1")
+    val back = Bench.parsePrevQueries(json)
+    assert(back == Map("q1" -> 1.5, "m48" -> 9.6, "m83" -> 6.0),
+      s"existing entries must not move, new ones append: $back")
+    assert(json.contains("\"sf\":\"/sf0.1\""))
+  }
 }

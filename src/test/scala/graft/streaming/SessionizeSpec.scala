@@ -146,4 +146,52 @@ class SessionizeSpec extends SparkSpec {
         s"absorbed event must count without shifting boundaries; got $all")
     } finally q.stop()
   }
+
+  test("the sessionizer runs green under the RocksDB state store (the " +
+      "documented at-scale backend — Streams.useRocksDbStateStore)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    Streams.useRocksDbStateStore(spark)
+    try {
+      val input = MemoryStream[(Long, Timestamp)]
+      val events = input.toDF().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+      val out = Sessionize.sessions(events, gapMinutes = 30)
+      val q = out.writeStream.format("memory").queryName("sessions_rocks")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(
+          (1L, ts("2023-01-01 10:00:00")),
+          (1L, ts("2023-01-01 10:20:00")),
+          (1L, ts("2023-01-01 12:00:00")),
+          (2L, ts("2023-01-01 10:00:00")))
+        q.processAllAvailable()
+        input.addData((3L, ts("2023-01-01 18:00:00")))
+        q.processAllAvailable()
+        input.addData((3L, ts("2023-01-01 18:00:01")))
+        q.processAllAvailable()
+        val got = spark.table("sessions_rocks")
+          .orderBy("user_id", "session_start").collect()
+          .map(r => (r.getLong(0), r.getAs[Timestamp](1).toString,
+            r.getAs[Timestamp](2).toString, r.getLong(3))).toSeq
+        // identical closed-session set to the HDFS-provider run above
+        assert(got.contains(
+          (1L, "2023-01-01 10:00:00.0", "2023-01-01 10:20:00.0", 2L)) &&
+          got.contains(
+            (1L, "2023-01-01 12:00:00.0", "2023-01-01 12:00:00.0", 1L)) &&
+          got.contains(
+            (2L, "2023-01-01 10:00:00.0", "2023-01-01 10:00:00.0", 1L)),
+          s"RocksDB run must emit the same sessions; got $got")
+        // the query really ran on RocksDB, not a silent fallback
+        assert(Option(q.lastProgress).exists(_.stateOperators.nonEmpty))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
