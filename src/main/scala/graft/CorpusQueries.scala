@@ -601,10 +601,13 @@ object CorpusQueries {
     }),
 
     // Embedding-cosine near-dup dedup (keep-min-id survivors), IVF-blocked
-    // pair scan — the moderate-threshold SCALE path (same quantizer
-    // config as s06, whose capture on this corpus is total, so the exact
-    // brute-pair oracle applies). The brute crossjoin is demoted to the
-    // oracle side only.
+    // pair scan — the moderate-threshold SCALE path. The exact
+    // brute-pair oracle applies because nprobe=16 capture measures
+    // total at both gate SFs (s06's round-16 lesson: that is a
+    // per-corpus measurement, not a structural guarantee — if a future
+    // fixture leaks a survivor-changing pair, re-pin this gate to the
+    // measured-capture posture like s06). The brute crossjoin is
+    // demoted to the oracle side only.
     "d06_embedding_dedup" -> ((s, dir) => {
       // nprobe = nlist/2: capture measured TOTAL on this corpus at both
       // sf0.01 and sf0.1 (the 10x replay caught nprobe=8 leaking 8

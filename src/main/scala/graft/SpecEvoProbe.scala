@@ -101,10 +101,27 @@ object SpecEvoProbe {
     val touchRw = touch.withColumn("ver", lit(2L))
     timed("same-size merge on the single-spec twin")(
       Layout.mergeManifest(spark, dirRw, touchRw, Seq("k"), "ver"))
-    // the deferred finisher
-    timed("repartitionManifest finisher (migrate remaining eras)")(
-      Layout.repartitionManifest(spark, dir, Seq("o_band")))
-    timed("post-migration full read")(
+    // the BUDGETED finisher: drain the remaining old-era partitions 2
+    // per run (the maintenance shape) — per-run cost must track the
+    // budget's share of the table, not the table; content must be
+    // byte-stable across runs; convergence clears specHistory
+    val preDrain = Layout.readManifest(spark, dir).count()
+    var run = 0
+    while (Layout.readManifestMeta(spark, dir,
+        Layout.manifestVersion(spark, dir).get).oldEraRels.nonEmpty) {
+      run += 1
+      val migrated = timed(s"migrateManifestPartitions budget=2 run $run")(
+        Layout.migrateManifestPartitions(spark, dir, 2))
+      println(s"[specevo]   migrated: ${migrated.mkString(", ")}")
+    }
+    require(Layout.readManifest(spark, dir).count() == preDrain,
+      "budgeted drain must be row-identical")
+    require(Layout.readManifestMeta(spark, dir,
+        Layout.manifestVersion(spark, dir).get).specHistory.isEmpty,
+      "drain must clear specHistory at convergence")
+    // the one-shot alternative on what WOULD have been the same table
+    // is the twin's repartition above — compare per-run vs one-shot
+    timed("post-drain full read")(
       Layout.readManifest(spark, dir).count())
     spark.stop()
   }
