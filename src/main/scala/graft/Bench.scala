@@ -285,7 +285,11 @@ object Bench {
     // gate is regression-guarded from its second round without a
     // manual baseline rewrite. Existing entries never move here; a
     // full refresh stays the explicit WRITE_BASELINE path above.
-    if (!writeBaseline && failed.isEmpty && baseline.nonEmpty) {
+    // Representative runs only: a SPARK_GRAFT_ONLY subset or a
+    // single-pass smoke must never land its noisy sample in the
+    // committed baseline (min-of-3 is the baseline's contract).
+    if (!writeBaseline && failed.isEmpty && baseline.nonEmpty &&
+        only.isEmpty && passes >= 3) {
       val baseSf: Option[String] =
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(

@@ -390,7 +390,8 @@ object Cli {
           out.println("usage: maintain-table <tableDir> " +
             "[max_pending_deltas=N] [max_files_per_partition=N] " +
             "[keep_versions=N] [sort_cols=a,b] [zorder_cols=a,b] " +
-            "[ignore_consumers=a,b]"); return 2 }
+            "[ignore_consumers=a,b] [migrate_partitions=N] " +
+            "[clear_aliases=true]"); return 2 }
         def cols(k: String): Seq[String] = kv.get(k).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val node = graft.models.MaintainModel(path,
@@ -403,7 +404,9 @@ object Cli {
           ignoreConsumers = cols("ignore_consumers").toSet,
           keepAgeMs = (kv.getOrElse("keep_age_hours", "0").toDouble *
             3600000L).toLong,
-          clearAliases = kv.get("clear_aliases").exists(_.toBoolean))
+          clearAliases = kv.get("clear_aliases").exists(_.toBoolean),
+          migratePartitions =
+            kv.getOrElse("migrate_partitions", "0").toInt)
         val r = node.execute(StepContext(cliSpark(), Calendar.today()))
         out.println(s"maintain $path -> " +
           r.resultLong.getOrElse("(no decisions)"))

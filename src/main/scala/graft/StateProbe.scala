@@ -142,7 +142,11 @@ object StateProbe {
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(60)
     val providers = args.drop(2).headOption.getOrElse("hdfs") match {
       case "both" => Seq("hdfs", "rocksdb")
-      case p => Seq(p)
+      case p @ ("hdfs" | "rocksdb") => Seq(p)
+      // fail fast: a typo would silently measure the HDFS store while
+      // LABELING the output with the requested name — poisoned data
+      case other => sys.error(
+        s"unknown state-store provider '$other' (hdfs | rocksdb | both)")
     }
     val only = args.drop(3).headOption.map(_.split(",").toSet)
     val spark = mkSpark()

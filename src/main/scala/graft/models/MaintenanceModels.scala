@@ -475,21 +475,33 @@ final case class MaintainModel(
     // On a still-mixed-spec table compact cannot rewrite the frozen
     // old-era generations — refuse up front with the working remedy
     // instead of half-failing inside clearManifestAliases
-    val aliasDebt = clearAliases &&
+    val wantAliases = clearAliases &&
       (m.colAliases.nonEmpty || m.droppedCols.nonEmpty)
-    if (aliasDebt) {
-      val oldEra = Layout.readManifestMeta(s, target,
-        Layout.manifestVersion(s, target).get).oldEraRels
-      require(oldEra.isEmpty,
+    // one post-migration re-read serves the old-era and deltas checks
+    val m2 =
+      if (!wantAliases) m
+      else Layout.readManifestMeta(s, target,
+        Layout.manifestVersion(s, target).get)
+    // clear_aliases on a still-mixed table: with a drain configured on
+    // THIS Maintain (migrate_partitions > 0) the retirement simply
+    // DEFERS until a later run converges — each run still publishes
+    // its migrate decisions; throwing here would fail the scheduled
+    // step N times and lose its ledger record. With NO drain
+    // configured the setup cannot ever succeed, so that refuses loudly
+    // with the remedy.
+    val aliasDeferred = wantAliases && m2.oldEraRels.nonEmpty
+    if (aliasDeferred)
+      require(migratePartitions > 0,
         s"Maintain clear_aliases on $target: partition(s) still live " +
           s"under a prior partition spec " +
-          s"(${oldEra.take(3).mkString(", ")}" +
-          s"${if (oldEra.size > 3) ", …" else ""}) — finish the spec " +
-          "migration first: set migrate_partitions=N on this Maintain " +
-          "(budgeted drain) or run repartitionManifest, then retry " +
-          "clear_aliases")
-      if (Layout.readManifestMeta(s, target,
-          Layout.manifestVersion(s, target).get).deltas.nonEmpty)
+          s"(${m2.oldEraRels.take(3).mkString(", ")}" +
+          s"${if (m2.oldEraRels.size > 3) ", …" else ""}) — finish the " +
+          "spec migration first: set migrate_partitions=N on this " +
+          "Maintain (budgeted drain) or run repartitionManifest, then " +
+          "retry clear_aliases")
+    val aliasDebt = wantAliases && !aliasDeferred
+    if (aliasDebt) {
+      if (m2.deltas.nonEmpty)
         Layout.foldManifestDeltas(s, target, sortCols)
       Layout.compactManifest(s, target, 0, sortCols, zorderCols)
       Layout.clearManifestAliases(s, target)
@@ -511,6 +523,8 @@ final case class MaintainModel(
           s"reap=${reaped.size}" +
           (if (migratePartitions > 0)
             s";migrate=${migrated.mkString(",")}" else "") +
-          (if (aliasDebt) ";aliases=cleared" else "")))
+          (if (aliasDebt) ";aliases=cleared"
+           else if (aliasDeferred) ";aliases=deferred(migration pending)"
+           else "")))
   }
 }

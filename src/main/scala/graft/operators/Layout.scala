@@ -2778,8 +2778,18 @@ object Layout {
               // partitions migrated wholesale into the produced
               // current-spec gens, so their entries drop too
               val removed = baseRels.filterNot(newGens.contains)
+              val entries2 = m1.entries -- removed ++ newGens
+              val deltas2 = m1.deltas -- baseRels
+              // migrate-on-touch can drain an era's LAST partition:
+              // prune specHistory to eras with live rels, so the
+              // spec-debt dashboard, the budgeted drain's convergence
+              // check, and repartitionManifest's "nothing left" guard
+              // all see a clean single-spec table (the same pruning
+              // migrateManifestPartitions does)
+              val liveOld = (entries2.keySet ++ deltas2.keySet)
+                .map(specOfRel).filterNot(_ == pcols)
               writeManifestMeta(spark, path, m1.copy(version = v1 + 1,
-                entries = m1.entries -- removed ++ newGens,
+                entries = entries2,
                 stats = m1.stats -- removed ++ newStats,
                 blooms = m1.blooms -- removed ++ newBlooms,
                 bytes = m1.bytes -- removed ++ newBytes,
@@ -2788,7 +2798,8 @@ object Layout {
                 fileStats = m1.fileStats -- baseRels --
                   expectedProduced ++
                   genKeyedFileStats(newFileStats, newGens),
-                deltas = m1.deltas -- baseRels,
+                deltas = deltas2,
+                specHistory = m1.specHistory.filter(liveOld.contains),
                 op = "merge", opDeletes = false,
                 sinkBatches =
                   if (batchId >= 0) m1.sinkBatches + (sinkId -> batchId)
@@ -4430,8 +4441,17 @@ object Layout {
     require(sortCols.forall(sch.fieldNames.contains),
       s"sortCols ${sortCols.mkString(",")} must be table columns")
     val old = m.oldEraRels
-    if (old.isEmpty) Nil // fully migrated — converged
-    else {
+    if (old.isEmpty) {
+      // fully migrated — converged. A table whose last old-era
+      // partition drained through a merge published BEFORE merges
+      // pruned specHistory can still carry phantom entries: clear them
+      // with one metadata publish so the debt dashboard reads zero and
+      // repartitionManifest's "nothing left" refusal holds
+      if (m.specHistory.nonEmpty)
+        writeManifestMeta(spark, path, m.copy(version = v + 1,
+          specHistory = Nil, op = "repartition", opDeletes = false))
+      Nil
+    } else {
       val pcols = m.partitionCols
       // oldest era first (specHistory is chronological), stable order
       // within an era — successive budgeted runs drain deterministically

@@ -44,32 +44,30 @@ final case class ManifestAlterCommand(
     verb match {
       case "add" => Layout.evolveManifest(session, path, addDdl)
       case "rename" =>
+        val defer = session.conf
+          .get("spark.graft.rename.deferRewrite", "false").toBoolean
         // check BEFORE publishing the alias: on a mixed-spec table the
         // immediate-rewrite path below cannot retire the chain
         // (compactManifest skips frozen old-era generations), which
         // would leave the rename half-applied — alias published,
         // bare-name surface disabled, no rewrite able to finish it
-        locally {
-          val defer = session.conf
-            .get("spark.graft.rename.deferRewrite", "false").toBoolean
-          if (!defer) {
-            val v0 = Layout.manifestVersion(session, path).getOrElse(
-              throw new IllegalStateException(
-                s"$path stopped being a manifest table"))
-            val oldEra =
-              Layout.readManifestMeta(session, path, v0).oldEraRels
-            require(oldEra.isEmpty,
-              s"ALTER TABLE RENAME on $path: partition(s) still live " +
-                s"under a prior partition spec " +
-                s"(${oldEra.take(3).mkString(", ")}" +
-                s"${if (oldEra.size > 3) ", …" else ""}) — the " +
-                "immediate rewrite cannot retire the rename on frozen " +
-                "old-era generations. Finish the spec migration first " +
-                "(repartition_manifest / migrate_partitions " +
-                "maintenance), or SET " +
-                "spark.graft.rename.deferRewrite=true to land the " +
-                "rename as a deferred alias chain")
-          }
+        if (!defer) {
+          val v0 = Layout.manifestVersion(session, path).getOrElse(
+            throw new IllegalStateException(
+              s"$path stopped being a manifest table"))
+          val oldEra =
+            Layout.readManifestMeta(session, path, v0).oldEraRels
+          require(oldEra.isEmpty,
+            s"ALTER TABLE RENAME on $path: partition(s) still live " +
+              s"under a prior partition spec " +
+              s"(${oldEra.take(3).mkString(", ")}" +
+              s"${if (oldEra.size > 3) ", …" else ""}) — the " +
+              "immediate rewrite cannot retire the rename on frozen " +
+              "old-era generations. Finish the spec migration first " +
+              "(repartition_manifest / migrate_partitions " +
+              "maintenance), or SET " +
+              "spark.graft.rename.deferRewrite=true to land the " +
+              "rename as a deferred alias chain")
         }
         Layout.renameManifestColumn(session, path, renameFrom, renameTo)
         // the catalog's bare-name scans go through the planner index,
@@ -89,8 +87,6 @@ final case class ManifestAlterCommand(
         // pays the rewrite on the operator's schedule.
         //  `manifest_detail(...)` exposes the pending debt as
         // `renamed_cols`.
-        val defer = session.conf
-          .get("spark.graft.rename.deferRewrite", "false").toBoolean
         if (!defer) {
           val vr = Layout.manifestVersion(session, path).get
           if (Layout.readManifestMeta(session, path, vr).deltas.nonEmpty)

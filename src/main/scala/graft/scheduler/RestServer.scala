@@ -222,7 +222,9 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
             keepVersions = p.getOrElse("keep_versions", "0").toInt,
             keepAgeMs = (p.getOrElse("keep_age_hours", "0").toDouble *
               3600000L).toLong,
-            clearAliases = p.get("clear_aliases").exists(_.toBoolean))
+            clearAliases = p.get("clear_aliases").exists(_.toBoolean),
+            migratePartitions =
+              p.getOrElse("migrate_partitions", "0").toInt)
           val r = node.execute(graft.core.StepContext(tableSpark,
             graft.core.Calendar.today()))
           respond(ex, 200,

@@ -472,44 +472,64 @@ class ManifestSpecEvolutionSpec extends SparkSpec {
       Layout.clearManifestAliases(spark, dir) }
     assert(e.getMessage.contains("prior partition spec") &&
       e.getMessage.contains("migrateManifestPartitions"), e.getMessage)
-    // Maintain clear_aliases names migrate_partitions as the remedy
+    // Maintain clear_aliases WITHOUT a drain configured cannot ever
+    // succeed — refuses loudly naming migrate_partitions as the remedy
     val e2 = intercept[Exception] {
       spark.sql(s"SELECT * FROM maintain_table('$dir', " +
         "'clear_aliases=true')").collect() }
     assert(e2.getMessage.contains("migrate_partitions"), e2.getMessage)
-    // drain the spec debt, retire the alias — both now succeed
-    Layout.migrateManifestPartitions(spark, dir, maxPartitions = 16)
-    Layout.foldManifestDeltas(spark, dir)
-    Layout.compactManifest(spark, dir, maxFiles = 0)
-    Layout.clearManifestAliases(spark, dir)
-    assert(Layout.readManifestMeta(spark, dir,
-      Layout.manifestVersion(spark, dir).get).colAliases.isEmpty)
+    // WITH the drain configured, retirement DEFERS (run succeeds, the
+    // decision trail says so) until a later run converges and retires
+    val d1 = spark.sql(s"SELECT decisions FROM maintain_table('$dir', " +
+      "'clear_aliases=true;migrate_partitions=1')").head().getString(0)
+    assert(d1.contains("aliases=deferred") && d1.contains("migrate=part="),
+      d1)
+    var spins = 0
+    while (Layout.readManifestMeta(spark, dir,
+        Layout.manifestVersion(spark, dir).get).colAliases.nonEmpty &&
+        spins < 8) {
+      spark.sql(s"SELECT decisions FROM maintain_table('$dir', " +
+        "'clear_aliases=true;migrate_partitions=1')").collect()
+      spins += 1
+    }
+    val mDone = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(mDone.colAliases.isEmpty && mDone.oldEraRels.isEmpty &&
+      mDone.specHistory.isEmpty,
+      s"the drain+retire loop must converge (spins=$spins)")
     spark.sql("DROP TABLE t_aliasmix")
   }
 
-  test("a FULLY-MIGRATED era whose column was since dropped no longer " +
-      "wedges merges: the cross-era pre-scan only consults specs with " +
-      "live generations") {
+  test("a merge that drains an era's LAST partition prunes specHistory " +
+      "— the debt dashboard reads zero, the spec's column drops " +
+      "cleanly, and later merges never consult the dead era") {
     val dir = tmpDir("dropspec")
     Layout.writeManifestTable(spark, dir,
       Seq((1L, "a", 1, 7, 10.0, 1L), (2L, "b", 2, 7, 20.0, 1L))
         .toDF("k", "part", "day", "hour", "v", "ver"),
       Seq("part"), keys = Seq("k"), versionCol = Some("ver")) // v1
     Layout.changeManifestPartitionSpec(spark, dir, Seq("day")) // v2
-    // touch every part-era key: the part era fully migrates
+    // touch every part-era key: the part era fully migrates, and the
+    // PUBLISH ITSELF prunes the drained spec from the history — no
+    // phantom debt survives (the round-16 review finding)
     Layout.mergeManifest(spark, dir,
       Seq((1L, "a", 1, 7, 11.0, 2L), (2L, "b", 2, 7, 21.0, 2L))
         .toDF("k", "part", "day", "hour", "v", "ver"),
       Seq("k"), "ver")                                     // v3
-    Layout.changeManifestPartitionSpec(spark, dir, Seq("hour")) // v4
-    val m = Layout.readManifestMeta(spark, dir,
+    val m3 = Layout.readManifestMeta(spark, dir,
       Layout.manifestVersion(spark, dir).get)
-    assert(m.specHistory == Seq(Seq("part"), Seq("day")) &&
-      m.oldEraRels.forall(_.startsWith("day=")), s"${m.specHistory}")
-    // the part era is EMPTY: its column drops cleanly...
+    assert(m3.specHistory.isEmpty && m3.oldEraRels.isEmpty,
+      s"the draining merge must prune the dead era (${m3.specHistory})")
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("hour")) // v4
+    val m4 = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m4.specHistory == Seq(Seq("day")) &&
+      m4.oldEraRels.forall(_.startsWith("day=")), s"${m4.specHistory}")
+    // 'part' is in NO live spec: its column drops cleanly...
     Layout.dropManifestColumn(spark, dir, "part")          // v5
     // ...and a merge whose batch no longer carries 'part' still works
-    // (the pre-scan skips the dead era instead of selecting its column)
+    // (the pre-scan only consults specs with live generations — the
+    // belt to the pruning's suspenders, for tables published pre-fix)
     Layout.mergeManifest(spark, dir,
       Seq((1L, 1, 7, 12.0, 3L)).toDF("k", "day", "hour", "v", "ver"),
       Seq("k"), "ver")                                     // v6

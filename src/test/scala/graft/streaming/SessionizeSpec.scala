@@ -184,8 +184,14 @@ class SessionizeSpec extends SparkSpec {
           got.contains(
             (2L, "2023-01-01 10:00:00.0", "2023-01-01 10:00:00.0", 1L)),
           s"RocksDB run must emit the same sessions; got $got")
-        // the query really ran on RocksDB, not a silent fallback
-        assert(Option(q.lastProgress).exists(_.stateOperators.nonEmpty))
+        // the query really ran on RocksDB, not a silent fallback:
+        // only the RocksDB provider reports rocksdb* custom metrics
+        val metricKeys = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+          .flatMap(op => scala.jdk.CollectionConverters
+            .SetHasAsScala(op.customMetrics.keySet).asScala)
+        assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+          s"state operator must report RocksDB metrics ($metricKeys)")
       } finally q.stop()
     } finally prev match {
       case Some(p) => spark.conf.set(
