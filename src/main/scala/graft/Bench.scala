@@ -280,14 +280,18 @@ object Bench {
       System.err.println(s"[bench] baseline written to $basePath " +
         s"(${outcomes.size} gates)")
     }
-    // auto-append gates the baseline does not know yet (added this
-    // round) after a clean run AT THE BASELINE'S OWN SF — so every new
-    // gate is regression-guarded from its second round without a
-    // manual baseline rewrite. Existing entries never move here; a
-    // full refresh stays the explicit WRITE_BASELINE path above.
-    // Representative runs only: a SPARK_GRAFT_ONLY subset or a
-    // single-pass smoke must never land its noisy sample in the
-    // committed baseline (min-of-3 is the baseline's contract).
+    // gates the baseline does not know yet (added this round) after a
+    // clean run AT THE BASELINE'S OWN SF: the committed regression
+    // floor only changes DELIBERATELY, so the default is a PROPOSAL —
+    // the merged file lands in target/bench_baseline_proposed.json
+    // with a stderr note, and only SPARK_GRAFT_APPEND_BASELINE=1
+    // writes the committed file in place (a new gate's first min can
+    // be lucky-fast on an idle host; an operator should look at it
+    // before it becomes the permanent floor). Existing entries never
+    // move either way; a full refresh stays the explicit
+    // WRITE_BASELINE path above. Representative runs only: a
+    // SPARK_GRAFT_ONLY subset or a single-pass smoke never lands its
+    // noisy sample even in the proposal (min-of-3 is the contract).
     if (!writeBaseline && failed.isEmpty && baseline.nonEmpty &&
         only.isEmpty && passes >= 3) {
       val baseSf: Option[String] =
@@ -299,12 +303,24 @@ object Bench {
       val fresh = outcomes.filter(o =>
         o.minSec.isDefined && !baseline.contains(o.name))
       if (fresh.nonEmpty && baseSf.contains(sfDir)) {
-        java.nio.file.Files.write(java.nio.file.Paths.get(basePath),
-          (appendedBaselineJson(baseline,
-            fresh.map(o => o.name -> o.minSec.get), passes, sfDir) + "\n")
-            .getBytes("UTF-8"))
-        System.err.println(s"[bench] baseline appended: " +
-          fresh.map(_.name).mkString(", "))
+        val merged = appendedBaselineJson(baseline,
+          fresh.map(o => o.name -> o.minSec.get), passes, sfDir) + "\n"
+        if (sys.env.get("SPARK_GRAFT_APPEND_BASELINE").contains("1")) {
+          java.nio.file.Files.write(java.nio.file.Paths.get(basePath),
+            merged.getBytes("UTF-8"))
+          System.err.println(s"[bench] baseline appended: " +
+            fresh.map(_.name).mkString(", "))
+        } else {
+          val prop =
+            java.nio.file.Paths.get("target/bench_baseline_proposed.json")
+          java.nio.file.Files.createDirectories(prop.getParent)
+          java.nio.file.Files.write(prop, merged.getBytes("UTF-8"))
+          System.err.println(s"[bench] new gate(s) not in the committed " +
+            s"baseline: ${fresh.map(_.name).mkString(", ")} — proposal " +
+            s"written to $prop; review and re-run with " +
+            "SPARK_GRAFT_APPEND_BASELINE=1 (or copy it over " +
+            s"$basePath) to adopt")
+        }
       }
     }
     spark.stop()

@@ -53,6 +53,41 @@ object CorpusQueries {
         (col("__hits") >= ceil(lit(floor) * col("__exact"))).as("floor_met"))
   }
 
+  /** Per-corpus memo of the EXACT cosine pair set + corpus count for
+    * measured-capture gates: the brute all-pairs scan is the gate's
+    * REFERENCE, not the path under measurement, so it computes once
+    * per (corpus, threshold) per process and replays from memory on
+    * every later call — a benched min-of-N time then tracks the IVF
+    * path the gate claims to measure, not the quadratic reference (the
+    * v08 quadratic-oracle lesson applied to the engine side). Bounded
+    * collect: near-dup pair sets are sparse by construction (144 pairs
+    * at sf0.1) and the hard cap fails loudly with the remedy long
+    * before a dense corpus could collect unboundedly. At SFs beyond
+    * the oracle's quadratic reach the whole two-sided gate shape (a
+    * DuckDB brute join) stops being runnable anyway — the at-scale
+    * posture is the sampled-capture probe (S06Probe), not this gate. */
+  private val exactPairMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Array[(Long, Long)], Long)]()
+  private def exactCosinePairs(s: SparkSession, dir: String,
+                               threshold: Double): (DataFrame, Long) = {
+    val (pairs, n) = exactPairMemo.computeIfAbsent(s"$dir@$threshold", _ => {
+      val e = embs(s, dir)
+      val maxPairs = 4000000
+      val rows = Similarity.cosineNearDupPairs(e, threshold)
+        .select(col("id_a"), col("id_b")).limit(maxPairs + 1).collect()
+      require(rows.length <= maxPairs,
+        s"exact cosine pair set at threshold $threshold exceeds " +
+          s"$maxPairs pairs — this corpus is too dup-dense for the " +
+          "in-memory reference memo; gate capture on a deterministic " +
+          "sample instead")
+      (rows.map(r => (r.getLong(0), r.getLong(1))), e.count())
+    })
+    val spk = s
+    import spk.implicits._
+    (pairs.toSeq.toDF("id_a", "id_b"), n)
+  }
+
   /** Pair-scan twin of [[annRecallGate]]: one full-outer join over
     * (id_a, id_b) yields the exact pair count (real-oracled), whether
     * every approx pair is a true pair (cosine-verified candidates make
@@ -579,9 +614,13 @@ object CorpusQueries {
     // gated claim.
     "s06_ivf_cosine_pairs" -> ((s, dir) => {
       val e = embs(s, dir)
-      val nprobe = math.max(8L, math.min(32L, e.count() / 125)).toInt
+      // the exact reference side (brute pair set + corpus count) comes
+      // from the per-process memo: computed once, replayed thereafter —
+      // the gate's repeated cost is the IVF scan it claims to measure
+      val (exact, n) = exactCosinePairs(s, dir, threshold = 0.45)
+      val nprobe = math.max(8L, math.min(32L, n / 125)).toInt
       pairCaptureGate(
-        Similarity.cosineNearDupPairs(e, threshold = 0.45),
+        exact,
         Similarity.cosineNearDupPairsIvf(e, threshold = 0.45,
           nlist = 32, nprobe = nprobe),
         floor = 0.95)

@@ -3828,12 +3828,31 @@ object Layout {
     * re-enable it. Partition columns cannot rename (their name is
     * baked into every directory fragment). */
   def renameManifestColumn(spark: SparkSession, path: String,
-                           from: String, to: String): Unit =
+                           from: String, to: String,
+                           requireSingleSpec: Boolean = false): Unit =
       withMaintenanceLock(spark, path, lockWaitMs(spark)) {
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"$path is not a manifest table; seed it with writeManifestTable"))
     val m = readManifestMeta(spark, path, v)
+    // for callers that must retire the alias chain IMMEDIATELY after
+    // (the SQL-surface rename's default): the single-spec check runs
+    // UNDER the lease, atomic with the alias publish — a concurrent
+    // changeManifestPartitionSpec landing after a caller-side pre-check
+    // can no longer strand a half-applied rename (alias published,
+    // bare-name surface disabled, frozen old-era gens unrewritable)
+    if (requireSingleSpec) {
+      val oldEra = m.oldEraRels
+      require(oldEra.isEmpty,
+        s"renameManifestColumn on $path: partition(s) still live under " +
+          s"a prior partition spec (${oldEra.take(3).mkString(", ")}" +
+          s"${if (oldEra.size > 3) ", …" else ""}) — an immediate " +
+          "rewrite cannot retire the rename on frozen old-era " +
+          "generations. Finish the spec migration first " +
+          "(repartition_manifest / migrate_partitions maintenance), " +
+          "or SET spark.graft.rename.deferRewrite=true to land the " +
+          "rename as a deferred alias chain")
+    }
     val sch = manifestSchema(m)
     require(sch.fieldNames.contains(from),
       s"renameManifestColumn: no column '$from' in " +
@@ -4425,50 +4444,71 @@ object Layout {
     * Publishes as `op=repartition` (row-identical re-layout: change
     * feeds diff it to nothing, append feeds skip it).
     *
+    * OPTIMISTIC like [[mergeManifest]]/[[compactManifest]]: the read,
+    * shuffle write, verify, and stats/bloom derivation all run against
+    * a snapshot WITHOUT the lease — at 100 TB partition sizes a
+    * budget-N rewrite takes longer than any reasonable lockWaitMs, and
+    * writes must stay serviced throughout a drain. The lease covers
+    * only gen renames + one JSON publish, with rebase-or-retry: unlike
+    * compaction (row-identical per rel, movers skippable), a migration
+    * moves rows ACROSS partitions, so a concurrent commit touching ANY
+    * read rel invalidates the whole run — it retries from fresh (up to
+    * 3 attempts), never partially commits.
+    *
     * Returns the migrated old-era rels (empty = nothing left: the
     * quiet no-op that makes a scheduled drain converge). */
   def migrateManifestPartitions(spark: SparkSession, path: String,
                                 maxPartitions: Int,
-                                sortCols: Seq[String] = Nil): Seq[String] =
-      withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+                                sortCols: Seq[String] = Nil): Seq[String] = {
     require(maxPartitions >= 1,
       "migrateManifestPartitions needs a positive partition budget")
-    val v = manifestVersion(spark, path).getOrElse(
-      throw new IllegalArgumentException(
-        s"$path is not a manifest table; seed it with writeManifestTable"))
-    val m = readManifestMeta(spark, path, v)
-    val sch = manifestSchema(m)
-    require(sortCols.forall(sch.fieldNames.contains),
-      s"sortCols ${sortCols.mkString(",")} must be table columns")
-    val old = m.oldEraRels
-    if (old.isEmpty) {
-      // fully migrated — converged. A table whose last old-era
-      // partition drained through a merge published BEFORE merges
-      // pruned specHistory can still carry phantom entries: clear them
-      // with one metadata publish so the debt dashboard reads zero and
-      // repartitionManifest's "nothing left" refusal holds
-      if (m.specHistory.nonEmpty)
-        writeManifestMeta(spark, path, m.copy(version = v + 1,
-          specHistory = Nil, op = "repartition", opDeletes = false))
-      Nil
-    } else {
-      val pcols = m.partitionCols
+    val fc = fileContext(spark, path)
+    val maxAttempts = 3
+    var attempt = 0
+    var lastConflict = ""
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val v0 = manifestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path is not a manifest table; seed it with writeManifestTable"))
+      val m0 = readManifestMeta(spark, path, v0)
+      val sch = manifestSchema(m0)
+      require(sortCols.forall(sch.fieldNames.contains),
+        s"sortCols ${sortCols.mkString(",")} must be table columns")
+      val old = m0.oldEraRels
+      if (old.isEmpty) {
+        // fully migrated — converged. A table whose last old-era
+        // partition drained through a merge published BEFORE merges
+        // pruned specHistory can still carry phantom entries: clear
+        // them with one metadata publish (brief lease — re-checked
+        // under it) so the debt dashboard reads zero and
+        // repartitionManifest's "nothing left" refusal holds
+        if (m0.specHistory.nonEmpty)
+          withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+            val v1 = manifestVersion(spark, path).get
+            val m1 = if (v1 == v0) m0 else readManifestMeta(spark, path, v1)
+            if (m1.oldEraRels.isEmpty && m1.specHistory.nonEmpty)
+              writeManifestMeta(spark, path, m1.copy(version = v1 + 1,
+                specHistory = Nil, op = "repartition", opDeletes = false))
+          }
+        return Nil
+      }
+      val pcols = m0.partitionCols
       // oldest era first (specHistory is chronological), stable order
       // within an era — successive budgeted runs drain deterministically
-      val eraOrder = m.specHistory.zipWithIndex.toMap
+      val eraOrder = m0.specHistory.zipWithIndex.toMap
       val pick = old.sortBy(r =>
         (eraOrder.getOrElse(specOfRel(r), Int.MaxValue), r))
         .take(maxPartitions)
-      val fc = fileContext(spark, path)
       // landing set: bounded by the table's partition count — the same
       // cardinality class the manifest root already holds in memory
-      val landing = readResolved(spark, path, m, pick)
+      val landing = readResolved(spark, path, m0, pick)
         .select(pcols.map(c => col(c).cast("string").as(c)): _*)
         .distinct().collect().map(relOf(pcols, _)).toSeq.distinct
       val baseRels = landing.filter(r =>
-        m.entries.contains(r) || m.deltas.contains(r))
+        m0.entries.contains(r) || m0.deltas.contains(r))
       val allTouched = (pick ++ baseRels).distinct.sorted
-      val src = readResolved(spark, path, m, allTouched)
+      val src = readResolved(spark, path, m0, allTouched)
       val tmpDir = uniqueTmpDir(path)
       try withTmpHeartbeat(fc, tmpDir) {
         val obs = org.apache.spark.sql.Observation()
@@ -4491,39 +4531,68 @@ object Layout {
           s"migrateManifestPartitions: writer produced partition dirs " +
             s"${unexpected.mkString(",")} outside the landing set — " +
             "partition rendering mismatch")
-        val (newStats, newFileStats) = statsAllUnder(spark, m, tmpDir)
-        val newBlooms = bloomsFor(spark, path, m, Map.empty,
+        // derive published metadata from the tmp tree BEFORE the commit
+        val (newStats, newFileStats) = statsAllUnder(spark, m0, tmpDir)
+        val newBlooms = bloomsFor(spark, path, m0, Map.empty,
           srcDir = Some(tmpDir))
         val newBytes = bytesUnder(fc, tmpDir, produced)
-        val newGens = inParallel(produced) { rel =>
-          val g = nextGenOnDisk(fc, path, m, rel)
-          fc.mkdir(new Path(s"$path/$rel"),
-            org.apache.hadoop.fs.permission.FsPermission.getDirDefault,
-            true)
-          fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
-          rel -> g
-        }.toMap
-        // picked old-era partitions leave the manifest wholesale (their
-        // rows live in the produced current-spec gens); fully-deleted
-        // landing partitions (no output) leave too
-        val removed = allTouched.filterNot(newGens.contains)
-        val entries2 = m.entries -- removed ++ newGens
-        val deltas2 = m.deltas -- allTouched
-        val liveOld = (entries2.keySet ++ deltas2.keySet)
-          .map(specOfRel).filterNot(_ == pcols)
-        writeManifestMeta(spark, path, m.copy(version = v + 1,
-          entries = entries2,
-          stats = m.stats -- removed ++ newStats,
-          blooms = m.blooms -- removed ++ newBlooms,
-          bytes = m.bytes -- removed ++ newBytes,
-          fileStats = m.fileStats -- allTouched -- produced ++
-            genKeyedFileStats(newFileStats, newGens),
-          deltas = deltas2,
-          specHistory = m.specHistory.filter(liveOld.contains),
-          op = "repartition", opDeletes = false))
-        pick
+        // COMMIT: short lease — re-read the live manifest, rebase or
+        // conflict, rename the tmp tree into gen dirs, one publish
+        val outcome: Either[String, Seq[String]] =
+          withMaintenanceLock(spark, path, lockWaitMs(spark)) {
+            val v1 = manifestVersion(spark, path).get
+            val m1 = if (v1 == v0) m0 else readManifestMeta(spark, path, v1)
+            lazy val touchedMoved = relStateChanged(m0, m1, allTouched)
+            if (v1 != v0 && invariantsChanged(m0, m1,
+                checkMorSpec = false).isDefined)
+              Left(invariantsChanged(m0, m1, checkMorSpec = false).get)
+            else if (v1 != v0 && touchedMoved.nonEmpty)
+              Left(s"concurrent commit moved touched partition(s) " +
+                touchedMoved.take(5).mkString(", "))
+            else {
+              val newGens = inParallel(produced) { rel =>
+                val g = nextGenOnDisk(fc, path, m1, rel)
+                fc.mkdir(new Path(s"$path/$rel"),
+                  org.apache.hadoop.fs.permission.FsPermission
+                    .getDirDefault, true)
+                fc.rename(new Path(s"$tmpDir/$rel"),
+                  new Path(s"$path/$rel/gen=$g"))
+                rel -> g
+              }.toMap
+              // picked old-era partitions leave the manifest wholesale
+              // (their rows live in the produced current-spec gens);
+              // fully-deleted landing partitions (no output) leave too
+              val removed = allTouched.filterNot(newGens.contains)
+              val entries2 = m1.entries -- removed ++ newGens
+              val deltas2 = m1.deltas -- allTouched
+              val liveOld = (entries2.keySet ++ deltas2.keySet)
+                .map(specOfRel).filterNot(_ == pcols)
+              writeManifestMeta(spark, path, m1.copy(version = v1 + 1,
+                entries = entries2,
+                stats = m1.stats -- removed ++ newStats,
+                blooms = m1.blooms -- removed ++ newBlooms,
+                bytes = m1.bytes -- removed ++ newBytes,
+                fileStats = m1.fileStats -- allTouched -- produced ++
+                  genKeyedFileStats(newFileStats, newGens),
+                deltas = deltas2,
+                specHistory = m1.specHistory.filter(liveOld.contains),
+                op = "repartition", opDeletes = false))
+              Right(pick)
+            }
+          }
+        outcome match {
+          case Right(migrated) => return migrated
+          case Left(reason) =>
+            commitConflicts.incrementAndGet()
+            lastConflict = reason // retry fresh
+        }
       } finally { fc.delete(new Path(tmpDir), true); () }
     }
+    throw new IllegalStateException(
+      s"migrateManifestPartitions on $path: commit conflicted " +
+        s"$maxAttempts times (last: $lastConflict) — concurrent writers " +
+        "keep touching the partitions this drain reads; lower the " +
+        "budget or schedule the drain off the write peak")
   }
 
   /** Change the PARTITIONING of a manifest table — the maintenance

@@ -48,17 +48,33 @@ object LmScore {
   /** Collect the bigram model as a driver-side map (hashed gram →
     * count), pruned to `minCount`. The materialization step of the
     * broadcast scoring path: train once per reference snapshot, reuse
-    * across batches and streams. Bounded by the pruned vocabulary —
-    * `minCount` is the knob that makes it fit.
+    * across batches and streams. HARD-BOUNDED: `minCount` is the knob
+    * that makes the pruned vocabulary fit, but its default (1) prunes
+    * nothing — so the collect is capped at `maxVocab` entries and FAILS
+    * LOUDLY with the remedy rather than OOMing the driver on a large
+    * reference corpus (the Boilerplate.topTemplates discipline: every
+    * documented bound backed by a require). 4M entries ≈ 64 MB of
+    * longs — comfortably broadcastable, which is the whole point of
+    * this path; a model that exceeds it belongs on [[bigramFit]]'s
+    * shuffle-join form instead.
     */
   def bigramModel(refDocs: DataFrame, textCol: String,
-                  minCount: Long = 1L): Map[Long, Long] =
-    refDocs
+                  minCount: Long = 1L,
+                  maxVocab: Int = 4000000): Map[Long, Long] = {
+    val rows = refDocs
       .select(explode(wordNGramsAll(col(textCol), 2)).as("__g"))
       .select(xxhash64(col("__g")).as("__h"))
       .groupBy("__h").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minCount)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .limit(maxVocab + 1)
+      .collect()
+    require(rows.length <= maxVocab,
+      s"bigramModel: pruned vocabulary exceeds maxVocab=$maxVocab " +
+        s"entries at minCount=$minCount — raise minCount (or maxVocab, " +
+        "if the driver can hold it), or score with the unbounded " +
+        "shuffle-join path bigramFit instead")
+    rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
 
   /** Zero-shuffle scoring: the model rides into the plan as a map
     * literal (the broadcast-variable pattern), and every score column is

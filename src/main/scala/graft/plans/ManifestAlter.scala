@@ -46,30 +46,18 @@ final case class ManifestAlterCommand(
       case "rename" =>
         val defer = session.conf
           .get("spark.graft.rename.deferRewrite", "false").toBoolean
-        // check BEFORE publishing the alias: on a mixed-spec table the
-        // immediate-rewrite path below cannot retire the chain
+        // single-spec precondition for the immediate-rewrite path: on a
+        // mixed-spec table the rewrite below cannot retire the chain
         // (compactManifest skips frozen old-era generations), which
         // would leave the rename half-applied — alias published,
-        // bare-name surface disabled, no rewrite able to finish it
-        if (!defer) {
-          val v0 = Layout.manifestVersion(session, path).getOrElse(
-            throw new IllegalStateException(
-              s"$path stopped being a manifest table"))
-          val oldEra =
-            Layout.readManifestMeta(session, path, v0).oldEraRels
-          require(oldEra.isEmpty,
-            s"ALTER TABLE RENAME on $path: partition(s) still live " +
-              s"under a prior partition spec " +
-              s"(${oldEra.take(3).mkString(", ")}" +
-              s"${if (oldEra.size > 3) ", …" else ""}) — the " +
-              "immediate rewrite cannot retire the rename on frozen " +
-              "old-era generations. Finish the spec migration first " +
-              "(repartition_manifest / migrate_partitions " +
-              "maintenance), or SET " +
-              "spark.graft.rename.deferRewrite=true to land the " +
-              "rename as a deferred alias chain")
-        }
-        Layout.renameManifestColumn(session, path, renameFrom, renameTo)
+        // bare-name surface disabled, no rewrite able to finish it.
+        // The check runs INSIDE renameManifestColumn's maintenance
+        // lease (requireSingleSpec), atomic with the alias publish — a
+        // concurrent changeManifestPartitionSpec between a caller-side
+        // pre-check and the rename could otherwise still publish the
+        // half-applied state
+        Layout.renameManifestColumn(session, path, renameFrom, renameTo,
+          requireSingleSpec = !defer)
         // the catalog's bare-name scans go through the planner index,
         // which refuses live alias chains (a file-level scan cannot
         // coalesce across names — no parquet field-ids, the Iceberg

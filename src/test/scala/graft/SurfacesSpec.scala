@@ -13,6 +13,36 @@ import graft.streaming.Streams
 /** M4 surfaces: config-driven pipelines, streaming, multimodal plumbing. */
 class SurfacesSpec extends SparkSpec {
 
+  /** Run `body` once per streaming state-store provider: the default
+    * in-heap HDFSBackedStateStoreProvider, then RocksDB
+    * ([[Streams.useRocksDbStateStore]] — the documented at-scale
+    * backend). Provider-specific divergence (state encoding,
+    * eviction/timeout semantics, dropDuplicatesWithinWatermark
+    * behavior, flatMapGroupsWithState state round-trips) surfaces here
+    * instead of on a 100 TB cluster. The conf is read at query START,
+    * so each iteration's queries run wholly under its provider; bodies
+    * create fresh tmp dirs / UUID sink names, so both passes are
+    * independent. SessionizeSpec pins (via rocksdb* custom metrics)
+    * that the RocksDB conf really engages the provider — no silent
+    * fallback. NOT needed for foreachBatch sinks (cdcApply,
+    * incrementalAgg, annIngest): those keep no state-store state by
+    * construction — their exactly-once markers live in the sink
+    * table/checkpoint. */
+  private def stateMatrixTest(name: String)(body: => Unit): Unit =
+    test(name + " [state-store matrix: hdfs + rocksdb]") {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      try {
+        spark.conf.unset(key)
+        body
+        Streams.useRocksDbStateStore(spark)
+        body
+      } finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+
   test("config-driven pipeline hydrates from JSON and runs") {
     val out = Files.createTempDirectory("cfg").toString
     val json =
@@ -507,7 +537,7 @@ class SurfacesSpec extends SparkSpec {
     assert(rows.agg(sum("v")).collect()(0).getDouble(0) == 7.5)
   }
 
-  test("streaming windowed stats with watermark produce event-time windows") {
+  stateMatrixTest("streaming windowed stats with watermark produce event-time windows") {
     val dir = Files.createTempDirectory("stream_ev").toString
     val out = Files.createTempDirectory("stream_ev_out").toString
     val ckpt = Files.createTempDirectory("stream_ev_ckpt").toString
@@ -546,7 +576,7 @@ class SurfacesSpec extends SparkSpec {
     assert(first.getAs[Long]("n") == 2L)
   }
 
-  test("streaming KMV sketch per window: flushed sketch equals batch sketch") {
+  stateMatrixTest("streaming KMV sketch per window: flushed sketch equals batch sketch") {
     val dir = Files.createTempDirectory("stream_kmv").toString
     val out = Files.createTempDirectory("stream_kmv_out").toString
     val ckpt = Files.createTempDirectory("stream_kmv_ckpt").toString
@@ -587,7 +617,7 @@ class SurfacesSpec extends SparkSpec {
     assert(batch.size == 2)
   }
 
-  test("streaming heavy hitters per window equal the batch summary") {
+  stateMatrixTest("streaming heavy hitters per window equal the batch summary") {
     val dir = Files.createTempDirectory("stream_tk").toString
     val out = Files.createTempDirectory("stream_tk_out").toString
     val ckpt = Files.createTempDirectory("stream_tk_ckpt").toString
@@ -618,7 +648,7 @@ class SurfacesSpec extends SparkSpec {
     assert(first == Seq(("a", 3L), ("b", 1L)))
   }
 
-  test("streaming resample+ffill: closed-grid emission equals the batch operator") {
+  stateMatrixTest("streaming resample+ffill: closed-grid emission equals the batch operator") {
     val dir = Files.createTempDirectory("stream_rsf").toString
     // user 1: bucket 0 (two obs), GAP at 10, bucket 20, GAP at 30,
     // bucket 40; user 2: single bucket. Step 10 s, base 2023-01-01T10Z.
@@ -686,7 +716,7 @@ class SurfacesSpec extends SparkSpec {
     assert(gotI.map(_._4) != got.map(_._4))
   }
 
-  test("streaming resample: null-VALUE rows match batch n_obs and fill semantics") {
+  stateMatrixTest("streaming resample: null-VALUE rows match batch n_obs and fill semantics") {
     // batch counts null-value rows in n_obs (count(*)) while excluding
     // them from the mean (count(value) divisor); all-null buckets are
     // fill-transparent (ffill carries through, interp lerps across) and
@@ -752,7 +782,7 @@ class SurfacesSpec extends SparkSpec {
     assert(at40 > 6.0 && at40 < 8.0, s"lerped across the null bucket: $at40")
   }
 
-  test("streaming resample: late rows for emitted buckets drop, open buckets absorb") {
+  stateMatrixTest("streaming resample: late rows for emitted buckets drop, open buckets absorb") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -789,7 +819,7 @@ class SurfacesSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming resample: randomized out-of-order arrival still equals batch") {
+  stateMatrixTest("streaming resample: randomized out-of-order arrival still equals batch") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -839,7 +869,7 @@ class SurfacesSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming resample: pathological gap fails loudly (maxGapBuckets)") {
+  stateMatrixTest("streaming resample: pathological gap fails loudly (maxGapBuckets)") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -898,7 +928,7 @@ class SurfacesSpec extends SparkSpec {
     assert(got == batch && got == Set(1L, 3L), s"stream $got batch $batch")
   }
 
-  test("stream-stream interval join: inclusive bounds, key equality, both sides unbounded") {
+  stateMatrixTest("stream-stream interval join: inclusive bounds, key equality, both sides unbounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
     implicit val sqlCtx = spark.sqlContext
@@ -950,7 +980,7 @@ class SurfacesSpec extends SparkSpec {
     assert(e.getMessage.contains("rename one side"), e.getMessage)
   }
 
-  test("stream-stream interval join, left_outer: unmatched points emit nulls after watermark") {
+  stateMatrixTest("stream-stream interval join, left_outer: unmatched points emit nulls after watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
     implicit val sqlCtx = spark.sqlContext
@@ -995,7 +1025,7 @@ class SurfacesSpec extends SparkSpec {
       "user 1 has no matching window; every user-1 row must be outer")
   }
 
-  test("streaming CDC apply: micro-batches merge latest-wins with tombstones") {
+  stateMatrixTest("streaming CDC apply: micro-batches merge latest-wins with tombstones") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -1173,7 +1203,7 @@ class SurfacesSpec extends SparkSpec {
       s"self-retrieval after streaming ingest, got $got")
   }
 
-  test("streaming quantile sketch per window equals the batch sketch") {
+  stateMatrixTest("streaming quantile sketch per window equals the batch sketch") {
     val dir = Files.createTempDirectory("stream_kll").toString
     val out = Files.createTempDirectory("stream_kll_out").toString
     val ckpt = Files.createTempDirectory("stream_kll_ckpt").toString
@@ -1205,7 +1235,7 @@ class SurfacesSpec extends SparkSpec {
     assert(res(0).getDouble(0) == 2.0 && res(0).getInt(1) == 3)
   }
 
-  test("streaming dedup drops within-watermark duplicate keys, bounded state") {
+  stateMatrixTest("streaming dedup drops within-watermark duplicate keys, bounded state") {
     val dir = Files.createTempDirectory("stream_dd").toString
     val out = Files.createTempDirectory("stream_dd_out").toString
     val ckpt = Files.createTempDirectory("stream_dd_ckpt").toString

@@ -295,6 +295,19 @@ class CurationSpec extends SparkSpec {
     assert(viaMap == viaJoin)
   }
 
+  test("bigramModel: maxVocab cap fails loudly instead of OOMing the driver") {
+    val ref = docs.filter(col("doc_id") % 7 === 0)
+    val ex = intercept[IllegalArgumentException] {
+      LmScore.bigramModel(ref, "text", maxVocab = 3)
+    }
+    assert(ex.getMessage.contains("maxVocab"))
+    assert(ex.getMessage.contains("minCount")) // names the remedy
+    // a cap above the pruned vocabulary is invisible to results
+    val m = LmScore.bigramModel(ref, "text")
+    assert(m.nonEmpty && m == LmScore.bigramModel(ref, "text",
+      maxVocab = m.size))
+  }
+
   test("overlapReport: planted shared grams and bench-doc counts") {
     val bench = Seq(
       (0L, "alpha beta gamma delta x"),

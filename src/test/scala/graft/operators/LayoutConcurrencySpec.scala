@@ -144,6 +144,49 @@ class LayoutConcurrencySpec extends SparkSpec {
     assert(Layout.manifestVersion(spark, dir).contains(v0 + 2))
   }
 
+  test("budgeted spec-migration drain overlapping a migrate-on-touch " +
+      "merge: optimistic commits — both land, no row lost or " +
+      "duplicated, and the drain still converges") {
+    val dir = tmpDir("drain_race")
+    val rows = (1L to 30000L).map(i =>
+      (i, s"p${i % 3}", (i % 5).toInt, i * 1.0, 1L))
+    Layout.writeManifestTable(spark, dir,
+      rows.toDF("k", "part", "day", "v", "ver"), Seq("part"))
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day"))
+    // the drain's rewrite runs unlocked against its snapshot while the
+    // merge (which migrates the old-era partition its key's part value
+    // names) publishes mid-flight — whichever commits second detects
+    // the moved rels under the lease and retries from fresh; without
+    // the optimistic restructure the merge would instead block on the
+    // lease for the drain's whole rewrite
+    val started = new CountDownLatch(1)
+    inThreads[Any](
+      () => {
+        started.await()
+        Layout.migrateManifestPartitions(spark, dir, maxPartitions = 3)
+      },
+      () => {
+        started.countDown()
+        Thread.sleep(100) // land inside the drain's rewrite phase
+        Layout.mergeManifest(spark, dir,
+          Seq((999999L, "p1", 2, -1.0, 2L))
+            .toDF("k", "part", "day", "v", "ver"),
+          Seq("k"), "ver")
+      })
+    var spins = 0
+    while (Layout.migrateManifestPartitions(spark, dir,
+        maxPartitions = 3).nonEmpty && spins < 8) spins += 1
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.oldEraRels.isEmpty && m.specHistory.isEmpty,
+      s"the drain must converge to single-spec (spins=$spins)")
+    val got = Layout.readManifest(spark, dir)
+    assert(got.count() == 30001L, "no row lost or duplicated")
+    assert(got.select("k").distinct().count() == 30001L)
+    assert(snap(got.filter(col("k") === 999999L))(999999L) == -1.0,
+      "the merge's row must survive the drain (lost-update check)")
+  }
+
   test("concurrent SQL UPDATEs through the catalog: both land via the " +
       "optimistic commit (the DML commands mount fresh and rebase like " +
       "every other writer)") {

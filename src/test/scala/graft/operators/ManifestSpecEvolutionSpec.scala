@@ -465,6 +465,15 @@ class ManifestSpecEvolutionSpec extends SparkSpec {
     assert(Layout.readManifestMeta(spark, dir,
       Layout.manifestVersion(spark, dir).get).colAliases.isEmpty,
       "the refused rename must not publish an alias")
+    // the single-spec check is the OPERATOR's, under its own lease
+    // (atomic with the alias publish — a concurrent spec change after
+    // a caller-side pre-check cannot slip through): the direct call
+    // with requireSingleSpec refuses identically
+    val eDirect = intercept[IllegalArgumentException] {
+      Layout.renameManifestColumn(spark, dir, "v", "val",
+        requireSingleSpec = true) }
+    assert(eDirect.getMessage.contains("prior partition spec"),
+      eDirect.getMessage)
     // a deferred (metadata-only) rename is fine on a mixed table...
     Layout.renameManifestColumn(spark, dir, "v", "val")    // v3
     // ...but retiring it cannot work until the spec migration finishes
