@@ -1569,16 +1569,24 @@ object EngineQueries {
     "m80_manifest_sql_ddl" -> ((s, dir) => {
       import graft.operators.Layout
       val out = s"${tmp("sqlddl")}/ord"
+      // PURE-SQL lifecycle from the first byte: the table is BORN via
+      // CTAS with a native PARTITIONED BY clause (the parser seam maps
+      // it onto the provider's partitionCols option — Spark's v1
+      // CreatableRelationProvider API drops the clause otherwise) and
+      // a declared merge spec, all in one statement
       s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
           pmod(col("o_orderkey"), lit(100)).cast("int").as("qty"),
           col("o_totalprice"), lit(1L).as("ver"))
-        .write.format("manifest").option("path", out)
-        .option("partitionCols", "o_year")
-        .option("keys", "o_orderkey").option("versionCol", "ver")
-        .mode("overwrite").save()                                 // v1
+        .createOrReplaceTempView("m80_src")
       s.sql("DROP TABLE IF EXISTS m80_t")
-      s.sql(s"CREATE TABLE m80_t USING manifest OPTIONS (path '$out')")
+      s.sql(s"CREATE TABLE m80_t USING manifest PARTITIONED BY (o_year) " +
+        s"OPTIONS (path '$out', keys 'o_orderkey', versionCol 'ver') " +
+        "AS SELECT * FROM m80_src")                               // v1
+      require(Layout.readManifestMeta(s, out,
+          Layout.manifestVersion(s, out).get).partitionCols ==
+          Seq("o_year"),
+        "the PARTITIONED BY clause must fix the manifest's layout")
       s.sql("ALTER TABLE m80_t ADD COLUMNS (note STRING)")        // v2
       def descCols() = s.sql("DESCRIBE TABLE m80_t").collect()
         .map(_.getString(0)).toSeq

@@ -128,6 +128,57 @@ final class ManifestSqlParser(session: SparkSession,
             "explicitly to destroy the table")
       }
       t
+    // `PARTITIONED BY` at SQL DDL over `USING manifest`:
+    //  - CTAS: Spark's v1 CreatableRelationProvider API cannot carry
+    //    the clause to the provider, so without this seam it is
+    //    silently DROPPED (the seed then refuses for want of the
+    //    partitionCols OPTION — or, with both stated, the OPTION wins
+    //    while the clause reads differently). Map the clause onto the
+    //    provider's partitionCols OPTION; refuse a disagreeing
+    //    clause/option pair and non-identity transforms.
+    //  - CREATE TABLE (registration over an existing table): Spark's
+    //    own user-schema check catches most wrong clauses via its
+    //    partition-cols-last reordering, but accepts a TRAILING SUBSET
+    //    (PARTITIONED BY (b) on a table partitioned by (a, b)) and
+    //    would record the wrong layout in the catalog — validate the
+    //    clause against the table's LIVE spec, loudly.
+    case cta: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect
+        if manifestTableSpec(cta.tableSpec).isDefined &&
+          cta.partitioning.nonEmpty =>
+      val ts = manifestTableSpec(cta.tableSpec).get
+      val cols = identityPartitionCols(cta.partitioning,
+        "CREATE TABLE ... AS SELECT")
+      val declared = specOption(ts, "partitionCols")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      require(declared.forall(_ == cols),
+        s"CREATE TABLE ... USING manifest: PARTITIONED BY " +
+          s"(${cols.mkString(", ")}) disagrees with OPTIONS " +
+          s"(partitionCols '${declared.getOrElse(Nil).mkString(",")}') — " +
+          "state the layout once (the clause alone is enough)")
+      if (declared.isDefined) cta
+      else cta.copy(tableSpec = ts.copy(optionExpression =
+        org.apache.spark.sql.catalyst.plans.logical.OptionList(
+          ts.optionExpression.options :+ ("partitionCols" ->
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              cols.mkString(","))))))
+    case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable
+        if manifestTableSpec(ct.tableSpec).isDefined &&
+          ct.partitioning.nonEmpty =>
+      val ts = manifestTableSpec(ct.tableSpec).get
+      val cols = identityPartitionCols(ct.partitioning, "CREATE TABLE")
+      specOption(ts, "path").orElse(ts.location).foreach { p =>
+        graft.operators.Layout.manifestVersion(session, p).foreach { v =>
+          val actual = graft.operators.Layout
+            .readManifestMeta(session, p, v).partitionCols
+          require(cols == actual,
+            s"CREATE TABLE ... USING manifest PARTITIONED BY " +
+              s"(${cols.mkString(", ")}): $p is partitioned by " +
+              s"(${actual.mkString(", ")}) — a registration cannot " +
+              "change an existing table's layout (that is " +
+              "repartition_manifest / migrate_partitions maintenance)")
+        }
+      }
+      ct
     case ac @ AlterColumns(u: UnresolvedTable, specs) =>
       manifestMount(u.multipartIdentifier) match {
         case Some((ident, p, _)) =>
@@ -150,6 +201,41 @@ final class ManifestSqlParser(session: SparkSession,
         case None => ac
       }
   }
+
+  /** The DDL's table spec, iff it declares `USING manifest`. */
+  private def manifestTableSpec(
+      ts: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase):
+      Option[org.apache.spark.sql.catalyst.plans.logical
+        .UnresolvedTableSpec] = ts match {
+    case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec
+        if u.provider.exists(_.equalsIgnoreCase("manifest")) => Some(u)
+    case _ => None
+  }
+
+  /** A foldable string OPTION off the parsed spec (OPTIONS values are
+    * literals; anything non-foldable is not ours to interpret). */
+  private def specOption(
+      ts: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec,
+      key: String): Option[String] =
+    ts.optionExpression.options.collectFirst {
+      case (k, e) if k.equalsIgnoreCase(key) && e.foldable =>
+        String.valueOf(e.eval(null))
+    }
+
+  /** Plain column names out of a `PARTITIONED BY` clause; transform
+    * shapes (bucket/days/...) have no manifest meaning and refuse. */
+  private def identityPartitionCols(
+      parts: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      stmt: String): Seq[String] =
+    parts.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case other => throw new IllegalArgumentException(
+        s"$stmt ... USING manifest supports only plain top-level " +
+          s"columns in PARTITIONED BY (got '$other'): manifest " +
+          "partitioning is by stored column values, not transforms")
+    }
 
   /** Evaluate a parsed `TIMESTAMP AS OF` expression to epoch millis —
     * defined only for foldable expressions castable to timestamp under
@@ -232,14 +318,15 @@ final class ManifestSqlParser(session: SparkSession,
     * resolution path builds ONE HadoopFsRelation, which can only serve
     * one partition spec — so after a metadata-only spec change a bare
     * SELECT would refuse at index construction. This pass substitutes
-    * the per-era UNION ([[eraRelations]]) for plain reads, pinned to
-    * the resolution-time version (each statement re-resolves, so reads
+    * the per-era UNION ([[eraRelations]]) for plain reads — including
+    * reads inside EXPRESSION SUBQUERIES (scalar/EXISTS/IN), whose
+    * plans hang off expressions rather than children — pinned to the
+    * resolution-time version (each statement re-resolves, so reads
     * stay current). DML TARGETS are deliberately left untouched: the
     * merge machinery routes by path through its own rules, and a
-    * UNION target would break them — targets keep their loud
-    * single-index refusal until migration. Subqueries inside
-    * expressions keep the same refusal (sound: refuse, never serve
-    * wrong rows). Single-spec tables never reach the substitution —
+    * UNION target would break them — targets resolve through
+    * [[MixedSpecManifestRelation]] and route into the same DML
+    * commands. Single-spec tables never reach the substitution —
     * the mount check reads the manifest root only for `USING manifest`
     * catalog tables. */
   private def rewriteMixed(plan: LogicalPlan): LogicalPlan =
@@ -284,7 +371,18 @@ final class ManifestSqlParser(session: SparkSession,
               eraRelations(p, props, v)): LogicalPlan)
           }
       }.getOrElse(u)
+    // subqueries INSIDE expressions (scalar subqueries, EXISTS, IN
+    // (SELECT …)) carry their own plans — without this hop a mixed
+    // table read inside one falls to the MixedSpecManifestRelation
+    // RDD fallback (correct, but off codegen); with it, every read
+    // position serves the native per-era union. DML targets stay
+    // untouched above (their own cases return before reaching here).
     case other => other.mapChildren(rewriteMixed(_, bound))
+      .transformExpressions {
+        case se: org.apache.spark.sql.catalyst.expressions
+            .SubqueryExpression =>
+          se.withNewPlan(rewriteMixed(se.plan, bound))
+      }
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =

@@ -347,6 +347,47 @@ class ManifestSpecEvolutionSpec extends SparkSpec {
     spark.sql("DROP TABLE t_sqlmixed")
   }
 
+  test("expression subqueries over a MIXED-SPEC table serve the native " +
+      "per-era union, not the RDD fallback: correct values, zero " +
+      "RowDataSourceScan in the executed plan") {
+    val dir = tmpDir("subqmixed")
+    seed(dir)                                              // v1, [part]
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day")) // v2
+    spark.sql("DROP TABLE IF EXISTS t_subqmixed")
+    spark.sql(
+      s"CREATE TABLE t_subqmixed USING manifest OPTIONS (path '$dir')")
+    def rowScans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        (p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => walk(q.plan)
+          case _: org.apache.spark.sql.execution
+              .RowDataSourceScanExec => 1
+          case o => o.children.map(walk).sum
+        }) + p.subqueries.map(walk).sum
+      walk(df.queryExecution.executedPlan)
+    }
+    // scalar subquery: rows above the table's own average
+    val scalar = spark.sql("SELECT k FROM t_subqmixed WHERE v > " +
+      "(SELECT avg(v) FROM t_subqmixed) ORDER BY k")
+    assert(rowScans(scalar) == 0,
+      "the scalar subquery's mixed read must be the native union")
+    assert(scalar.collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    // EXISTS and IN (SELECT …) over the mixed table
+    val exists = spark.sql("SELECT count(*) FROM t_subqmixed a WHERE " +
+      "EXISTS (SELECT 1 FROM t_subqmixed b WHERE b.k = a.k + 1)")
+    assert(rowScans(exists) == 0)
+    assert(exists.collect().head.getLong(0) == 3L)
+    val inq = spark.sql("SELECT sum(v) FROM t_subqmixed WHERE k IN " +
+      "(SELECT k FROM t_subqmixed WHERE part = 'a')")
+    assert(rowScans(inq) == 0)
+    assert(inq.collect().head.getDouble(0) == 30.0)
+    spark.sql("DROP TABLE t_subqmixed")
+  }
+
   test("NESTED spec evolution ([p] -> [p, day]): gen dirs and deeper " +
       "partition trees coexist in one directory; reads, merges and " +
       "retention all stay exact") {

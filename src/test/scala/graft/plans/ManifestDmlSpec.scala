@@ -223,6 +223,66 @@ class ManifestDmlSpec extends SparkSpec {
       "DROP TABLE must never touch the manifest's data")
   }
 
+  test("PARTITIONED BY at SQL DDL: the CTAS clause maps onto the " +
+      "manifest's layout; clause/option disagreement, wrong " +
+      "registration clauses, and transform shapes refuse loudly") {
+    // CTAS with the native clause — no partitionCols OPTION needed
+    val dir = tmpDir("pby")
+    spark.sql("DROP TABLE IF EXISTS t_pby")
+    spark.sql(s"""CREATE TABLE t_pby
+      USING manifest PARTITIONED BY (part)
+      OPTIONS (path '$dir', keys 'k', versionCol 'ver')
+      AS SELECT k, CAST(v AS DOUBLE) AS v, ver, part FROM VALUES
+        (1L, 10.0, 1L, 'a'), (2L, 20.0, 1L, 'b')
+        AS s(k, v, ver, part)""")
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.partitionCols == Seq("part"),
+      "the clause must fix the manifest partition spec")
+    assert(snap(spark.table("t_pby")) == Map(1L -> 10.0, 2L -> 20.0))
+    // the catalog records the layout too (DESCRIBE shows it)
+    assert(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("t_pby"))
+      .partitionColumnNames == Seq("part"))
+    // a clause that disagrees with an explicit option refuses
+    val dir2 = tmpDir("pby2")
+    val eBoth = intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE TABLE t_pby2
+        USING manifest PARTITIONED BY (part)
+        OPTIONS (path '$dir2', partitionCols 'ver')
+        AS SELECT 1L AS k, 'a' AS part, 1L AS ver""") }
+    assert(eBoth.getMessage.contains("disagrees"), eBoth.getMessage)
+    // registering an EXISTING table under a different clause refuses
+    // (Spark's own schema check misses a trailing subset of a
+    // multi-column spec — the seam checks the LIVE spec exactly)
+    val dir3 = tmpDir("pby3")
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    Layout.writeManifestTable(spark, dir3,
+      Seq((1L, "a", 1, 10.0, 1L)).toDF("k", "part", "day", "v", "ver"),
+      Seq("part", "day"))
+    val eReg = intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE t_pby3 (k BIGINT, v DOUBLE, ver BIGINT, " +
+        "part STRING, day INT) USING manifest PARTITIONED BY (day) " +
+        s"OPTIONS (path '$dir3')") }
+    assert(eReg.getMessage.contains("partitioned by (part, day)"),
+      eReg.getMessage)
+    // ... while the TRUE clause registers fine
+    spark.sql("DROP TABLE IF EXISTS t_pby3")
+    spark.sql("CREATE TABLE t_pby3 (k BIGINT, v DOUBLE, ver BIGINT, " +
+      "part STRING, day INT) USING manifest PARTITIONED BY (part, day) " +
+      s"OPTIONS (path '$dir3')")
+    assert(spark.table("t_pby3").count() == 1L)
+    // transform shapes have no manifest meaning
+    val eTf = intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE TABLE t_pby4
+        USING manifest PARTITIONED BY (bucket(4, part))
+        OPTIONS (path '${tmpDir("pby4")}')
+        AS SELECT 1L AS k, 'a' AS part""") }
+    assert(eTf.getMessage.contains("not transforms"), eTf.getMessage)
+    spark.sql("DROP TABLE IF EXISTS t_pby")
+    spark.sql("DROP TABLE IF EXISTS t_pby3")
+  }
+
   test("MERGE INTO: a full CDC batch (update + delete + insert, " +
       "conditional clauses, star forms) as ONE statement, ONE publish; " +
       "inexpressible shapes refuse with remedies") {

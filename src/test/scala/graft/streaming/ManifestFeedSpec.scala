@@ -473,6 +473,109 @@ class ManifestFeedSpec extends SparkSpec {
       .exists(_.contains("writeManifestTable"))), e1.getMessage)
   }
 
+  test("LIVE mode=changes consumer across a metadata-only respec, a " +
+      "budgeted migrate_partitions drain mid-feed, and post-drain DML: " +
+      "op=repartition publishes emit nothing, every window equals the " +
+      "batch diff, replication stays exact — nothing lost or doubled") {
+    import spark.implicits._
+    val src = tmpDir("respec_src")
+    val dst = tmpDir("respec_dst")
+    val dstCkpt = tmpDir("respec_dstck")
+    val raw = tmpDir("respec_raw")
+    val rawCkpt = tmpDir("respec_rawck")
+    // seed: 30 keys partitioned by part; day is the future spec
+    Layout.writeManifestTable(spark, src,
+      (1L to 30L).map(i => (i, s"p${i % 3}", (i % 4).toInt, i * 1.0, 1L))
+        .toDF("k", "part", "day", "v", "ver"), Seq("part"))       // v1
+    // replica anchored at the same snapshot (different layout on
+    // purpose — diffs are layout-independent)
+    Layout.writeManifestTable(spark, dst,
+      Layout.readManifest(spark, src), Seq("part"))
+    def feed = spark.readStream.format("manifest-feed")
+      .option("path", src).option("mode", "changes")
+      .option("startingVersion", "1").load()
+    // consumer A: full-CDC replication into dst
+    def drainRepl(): Unit = {
+      val q = feed.writeStream.format("manifest")
+        .option("path", dst)
+        .option("keys", "k").option("versionCol", "ver")
+        .option("changeTypeCol", "_change_type")
+        .option("checkpointLocation", dstCkpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // consumer B: raw change rows into parquet (window accounting)
+    def drainRaw(): Unit = {
+      val q = feed.writeStream.format("parquet")
+        .option("path", raw).option("checkpointLocation", rawCkpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def rawRows(): Seq[(Long, Double, String)] =
+      (try spark.read.parquet(raw).collect()
+       catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] })
+        .map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"),
+          r.getAs[String]("_change_type"))).toSeq.sorted
+    def batchDiff(a: Int, b: Int): Seq[(Long, Double, String)] =
+      Layout.manifestChanges(spark, src, a, b)
+        .select("k", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .toSeq.sorted
+    def table(p: String): Map[Long, Double] =
+      Layout.readManifest(spark, p).select("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ANCHOR both consumers before the respec (empty first drain)
+    drainRepl(); drainRaw()
+    assert(rawRows().isEmpty, "anchored at v1: nothing to emit yet")
+    // 1) metadata-only respec: part -> day                       // v2
+    Layout.changeManifestPartitionSpec(spark, src, Seq("day"))
+    // 2) mid-feed DML on the MIXED table (update k=7, insert k=31;
+    //    migrate-on-touch folds old-era p1 into the new spec)    // v3
+    Layout.mergeManifest(spark, src,
+      Seq((7L, "p1", 3, 77.0, 2L), (31L, "p1", 2, 310.0, 2L))
+        .toDF("k", "part", "day", "v", "ver"), Seq("k"), "ver")
+    val v3 = Layout.manifestVersion(spark, src).get
+    drainRepl(); drainRaw()
+    val window1 = rawRows()
+    assert(window1 == batchDiff(1, v3),
+      s"respec+DML window must equal the batch diff: $window1")
+    assert(window1.nonEmpty && window1.forall(_._1 != 8L),
+      "migrate-on-touch's row-identical moves must not leak as changes")
+    // 3) budgeted drain runs MID-FEED: one old-era partition per run,
+    //    each an op=repartition publish                        // v4..vN
+    var spins = 0
+    while (Layout.migrateManifestPartitions(spark, src,
+        maxPartitions = 1).nonEmpty && spins < 10) spins += 1
+    assert(spins >= 2, s"drain must run over several budgeted publishes " +
+      s"(got $spins)")
+    val vDrained = Layout.manifestVersion(spark, src).get
+    drainRepl(); drainRaw()
+    assert(rawRows() == window1,
+      "row-identical drain publishes must emit ZERO change rows " +
+        "on a live mid-feed consumer")
+    // 4) post-drain DML on the now-single-spec table: delete k=2,
+    //    update k=9, insert k=41                                  // +1
+    Layout.mergeManifest(spark, src,
+      Seq((2L, "p2", 2, 0.0, 3L, true), (9L, "p0", 1, 99.0, 3L, false),
+        (41L, "p2", 1, 410.0, 3L, false))
+        .toDF("k", "part", "day", "v", "ver", "del"),
+      Seq("k"), "ver", deleteCol = Some("del"))
+    val vFinal = Layout.manifestVersion(spark, src).get
+    drainRepl(); drainRaw()
+    assert(rawRows() == (window1 ++ batchDiff(vDrained, vFinal)).sorted,
+      "post-drain DML must flow as exactly its own batch diff")
+    // end state: replica equals source exactly (no dup/lost rows),
+    // and the source is single-spec again
+    assert(table(dst) == table(src), s"replica diverged: ${table(dst)}")
+    assert(table(src).get(7L).contains(77.0) &&
+      table(src).get(9L).contains(99.0) && !table(src).contains(2L) &&
+      table(src).get(41L).contains(410.0))
+    val m = Layout.readManifestMeta(spark, src,
+      Layout.manifestVersion(spark, src).get)
+    assert(m.oldEraRels.isEmpty && m.specHistory.isEmpty,
+      "the drain must have converged mid-feed")
+  }
+
   test("mode=changes + changeTypeCol: full-CDC replication with " +
       "updates and deletes, pure format strings") {
     import spark.implicits._
