@@ -71,7 +71,21 @@ object CorpusQueries {
       String, (Array[(Long, Long)], Long)]()
   private def exactCosinePairs(s: SparkSession, dir: String,
                                threshold: Double): (DataFrame, Long) = {
-    val (pairs, n) = exactPairMemo.computeIfAbsent(s"$dir@$threshold", _ => {
+    // the memo key carries a content fingerprint of the embeddings
+    // files (name/length/mtime), so a corpus REWRITTEN under the same
+    // dir within one JVM (a reseeding driver, a long test session)
+    // recomputes instead of replaying a stale reference set
+    val fp = {
+      val root = new java.io.File(s"$dir/embeddings.parquet")
+      val fs =
+        if (root.isDirectory)
+          Option(root.listFiles()).getOrElse(Array.empty)
+        else Array(root) // single-file table
+      fs.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .sorted.mkString("|").hashCode
+    }
+    val (pairs, n) = exactPairMemo.computeIfAbsent(
+      s"$dir@$threshold@$fp", _ => {
       val e = embs(s, dir)
       val maxPairs = 4000000
       val rows = Similarity.cosineNearDupPairs(e, threshold)

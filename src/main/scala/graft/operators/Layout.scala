@@ -3838,9 +3838,12 @@ object Layout {
     // for callers that must retire the alias chain IMMEDIATELY after
     // (the SQL-surface rename's default): the single-spec check runs
     // UNDER the lease, atomic with the alias publish — a concurrent
-    // changeManifestPartitionSpec landing after a caller-side pre-check
-    // can no longer strand a half-applied rename (alias published,
-    // bare-name surface disabled, frozen old-era gens unrewritable)
+    // changeManifestPartitionSpec landing after a caller-side
+    // pre-check can no longer slip between check and publish. A respec
+    // landing AFTER this publish but before the caller's retire
+    // sequence still fails that sequence — into the recoverable
+    // deferred-alias state (maintenance clear_aliases + drain
+    // converges it), not a wedge
     if (requireSingleSpec) {
       val oldEra = m.oldEraRels
       require(oldEra.isEmpty,
@@ -4507,8 +4510,15 @@ object Layout {
         .distinct().collect().map(relOf(pcols, _)).toSeq.distinct
       val baseRels = landing.filter(r =>
         m0.entries.contains(r) || m0.deltas.contains(r))
-      val allTouched = (pick ++ baseRels).distinct.sorted
-      val src = readResolved(spark, path, m0, allTouched)
+      // the conflict/commit set is the FULL landing set, existing in
+      // the snapshot or not (mergeManifest's expectedProduced
+      // discipline): a landing rel CREATED by a concurrent commit
+      // mid-rewrite would otherwise be silently REPLACED at publish —
+      // relStateChanged's None-vs-Some comparison is exactly what
+      // catches it. The read below still covers only rels that exist.
+      val allTouched = (pick ++ landing).distinct.sorted
+      val src = readResolved(spark, path, m0,
+        (pick ++ baseRels).distinct.sorted)
       val tmpDir = uniqueTmpDir(path)
       try withTmpHeartbeat(fc, tmpDir) {
         val obs = org.apache.spark.sql.Observation()

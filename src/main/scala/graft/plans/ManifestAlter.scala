@@ -54,8 +54,16 @@ final case class ManifestAlterCommand(
         // The check runs INSIDE renameManifestColumn's maintenance
         // lease (requireSingleSpec), atomic with the alias publish — a
         // concurrent changeManifestPartitionSpec between a caller-side
-        // pre-check and the rename could otherwise still publish the
-        // half-applied state
+        // pre-check and the rename could otherwise publish that state.
+        // NARROWED, not fully closed: a respec landing between the
+        // rename's publish and clearManifestAliases below still fails
+        // this statement AFTER the alias landed — but into the
+        // RECOVERABLE deferred-alias state (clearManifestAliases
+        // refuses loudly with the drain remedy; a scheduled Maintain
+        // with clear_aliases + migrate_partitions converges it — the
+        // exact lifecycle ManifestSpecEvolutionSpec pins), never the
+        // wedge this guard exists for (alias published on a table no
+        // rewrite can serve)
         Layout.renameManifestColumn(session, path, renameFrom, renameTo,
           requireSingleSpec = !defer)
         // the catalog's bare-name scans go through the planner index,

@@ -14,10 +14,13 @@ import graft.operators.Layout
   * per-era union ([[graft.operators.Layout.manifestTable]]), so any
   * consumer the parser-seam rewrite does not reach — `CREATE TABLE`'s
   * DDL-time schema resolution, `CREATE TEMPORARY VIEW USING manifest`,
-  * DataFrame-API mounts — reads the table CORRECTLY (never a
-  * refusal, never one era's rows). Bare-name SQL reads, including
-  * expression subqueries, never land here: the parser seam substitutes
-  * the native codegen'd per-era union for them. Pushed Eq/range/In/null filters
+  * DataFrame-API mounts, subqueries inside DML conditions (UPDATE /
+  * DELETE WHERE clauses pass through rewriteMixed untouched because
+  * their TARGET must) — reads the table CORRECTLY (never a refusal,
+  * never one era's rows). Bare-name SQL reads elsewhere, including
+  * SELECT-side expression subqueries, never land here: the parser seam
+  * substitutes the native codegen'd per-era union for them.
+  * Pushed Eq/range/In/null filters
   * translate into the underlying per-era planner indexes, so partition
   * pruning and stats skipping still fire per era; Spark re-applies
   * every filter above the scan, so untranslated shapes stay sound.

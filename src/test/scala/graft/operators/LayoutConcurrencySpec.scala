@@ -187,6 +187,49 @@ class LayoutConcurrencySpec extends SparkSpec {
       "the merge's row must survive the drain (lost-update check)")
   }
 
+  test("budgeted drain vs a concurrent insert CREATING one of the " +
+      "drain's landing partitions: the created partition is conflict-" +
+      "checked (None-vs-Some), not silently replaced — no lost rows") {
+    val dir = tmpDir("drain_land")
+    // old-era rows will land in day=0..4; day partitions do not exist
+    // at the drain's snapshot, so a concurrent insert that CREATES
+    // day=2 is invisible to a conflict check scoped to snapshot rels
+    val rows = (1L to 30000L).map(i =>
+      (i, s"p${i % 3}", (i % 5).toInt, i * 1.0, 1L))
+    Layout.writeManifestTable(spark, dir,
+      rows.toDF("k", "part", "day", "v", "ver"), Seq("part"))
+    Layout.changeManifestPartitionSpec(spark, dir, Seq("day"))
+    val started = new CountDownLatch(1)
+    inThreads[Any](
+      () => {
+        started.await()
+        Layout.migrateManifestPartitions(spark, dir, maxPartitions = 1)
+      },
+      () => {
+        started.countDown()
+        Thread.sleep(100) // land inside the drain's rewrite phase
+        // brand-new key, brand-new part value (no old-era partition
+        // named — no migrate-on-touch), landing in day=2: the commit
+        // CREATES the day=2 rel the drain is about to publish into
+        Layout.mergeManifest(spark, dir,
+          Seq((999999L, "p9", 2, -1.0, 2L))
+            .toDF("k", "part", "day", "v", "ver"),
+          Seq("k"), "ver")
+      })
+    var spins = 0
+    while (Layout.migrateManifestPartitions(spark, dir,
+        maxPartitions = 1).nonEmpty && spins < 10) spins += 1
+    val got = Layout.readManifest(spark, dir)
+    assert(got.count() == 30001L,
+      "the concurrently created landing partition's rows must survive " +
+        "the drain's publish (lost-update check)")
+    assert(snap(got.filter(col("k") === 999999L))(999999L) == -1.0)
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.oldEraRels.isEmpty && m.specHistory.isEmpty,
+      s"drain must still converge (spins=$spins)")
+  }
+
   test("concurrent SQL UPDATEs through the catalog: both land via the " +
       "optimistic commit (the DML commands mount fresh and rebase like " +
       "every other writer)") {
