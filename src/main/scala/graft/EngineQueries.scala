@@ -1624,6 +1624,64 @@ object EngineQueries {
           col("quantity"), col("o_totalprice"), col("ver"))
     }),
 
+    // BUCKETED MANIFEST TABLES (the co-located-join layout): both
+    // sides of a fact-to-fact join are hash-bucketed at seed on the
+    // join key under Spark's OWN bucket contract —
+    // pmod(murmur3(cols), n) placement + `…_0000N` file naming — so
+    // the planner-integrated reads surface a real BucketSpec and the
+    // join PLUS its key-grouped aggregation execute with ZERO shuffle
+    // exchange (asserted through the AQE wrappers, broadcast disabled
+    // so the pin is not vacuous). At 100 TB this removes the dominant
+    // exchange of every fact-to-fact join — too big to broadcast on
+    // either side — amortized into one bucketized write. A
+    // copy-on-write merge lands BETWEEN seed and read, so the pin also
+    // proves DML preserves the contract; the oracle recomputes the
+    // merge arithmetic + join from the raw parquet.
+    "m84_manifest_bucketed_join" -> ((s, dir) => {
+      import graft.operators.Layout
+      val base = tmp("buckjoin")
+      val ordPath = s"$base/ord"; val custPath = s"$base/cust"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(s, ordPath, orders, Seq("o_orderstatus"),
+        keys = Seq("o_orderkey"), versionCol = Some("ver"),
+        bucketCols = Seq("o_custkey"), buckets = 8)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          lit(1L).as("ver"))
+      Layout.writeManifestTable(s, custPath, cust, Seq("c_mktsegment"),
+        keys = Seq("c_custkey"), versionCol = Some("ver"),
+        bucketCols = Seq("c_custkey"), buckets = 8)
+      // a keyed CoW merge rewrites its partitions through the same
+      // bucketized writer — the read below proves the layout survived
+      Layout.mergeManifest(s, ordPath,
+        orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+          .withColumn("ver", lit(2L)),
+        Seq("o_orderkey"), "ver")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = Layout.manifestTable(s, custPath)
+          .join(Layout.manifestTable(s, ordPath),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            // order-independent sum: decimal inside, double out
+            sum(col("o_totalprice").cast("decimal(38,6)")).cast("double")
+              .as("revenue"),
+            max(col("c_acctbal")).as("acctbal"))
+        j.collect()
+        val ex = PlanScan.shuffles(j.queryExecution.executedPlan)
+        require(ex.isEmpty,
+          s"co-bucketed manifest join + key-grouped agg must be " +
+            s"exchange-free, found ${ex.size}:\n" +
+            j.queryExecution.executedPlan.toString.take(2000))
+        j
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
     // SQL-DRIVEN MAINTENANCE (the OPTIMIZE / VACUUM posture): a
     // SQL-only operator observes a table through the m79 TVFs and now
     // ACTS through maintain_table/reap_table — one spark.sql call runs
@@ -3601,6 +3659,23 @@ object EngineQueries {
            CASE WHEN o_orderkey % 10 = 0 THEN CAST(2 AS BIGINT)
                 ELSE CAST(1 AS BIGINT) END AS ver
          FROM orders""",
+    // join + key-grouped agg over the two bucketed tables, with the
+    // CoW merge's arithmetic folded in — any row a bucketized write
+    // misplaced, dropped or doubled breaks the hash; the
+    // exchange-free plan pin lives in-gate
+    "m84_manifest_bucketed_join" ->
+      """WITH ord AS (
+           SELECT o_custkey,
+                  CASE WHEN o_orderkey % 10 = 0
+                       THEN o_totalprice + 10.0
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders)
+         SELECT c.c_custkey AS custkey, count(*) AS n_orders,
+                CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6)))
+                     AS DOUBLE) AS revenue,
+                max(c.c_acctbal) AS acctbal
+         FROM customer c JOIN ord o ON c.c_custkey = o.o_custkey
+         GROUP BY 1""",
     // post-maintenance table = the plain union of the four slices
     // (disjoint keys, pure-insert deltas): every strand — fold,
     // compact, reap — is row-identical by contract, so ANY row lost,

@@ -37,6 +37,20 @@ object PlanScan {
     case other => other.children.flatMap(fileScans)
   }
 
+  /** Every shuffle exchange in an EXECUTED plan, walking through the
+    * adaptive wrappers — the "did bucketing / co-partitioning elide
+    * the exchange" assertion (gate m84, ManifestBucketSpec). */
+  def shuffles(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      shuffles(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      shuffles(q.plan)
+    case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+      e +: e.children.flatMap(shuffles)
+    case other => other.children.flatMap(shuffles)
+  }
+
   /** Total `numFiles` metric across the (executed) plan's file scans,
     * optionally restricted to manifest-index-backed scans. */
   def scannedFiles(df: DataFrame, manifestOnly: Boolean = false): Long =

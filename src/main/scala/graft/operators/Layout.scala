@@ -826,6 +826,27 @@ object Layout {
       // resolution exists to skip) all derive it from here. The shape
       // of event/fact tables — the most common 100 TB table.
       appendOnly: Boolean = false,
+      // DATA-BUCKETED layout (0 = unbucketed, the default), fixed at
+      // seed: every partition directory's data files are hash-bucketed
+      // by `dataBucketCols` into `dataBuckets` files carrying Spark's
+      // own bucket-file naming (`…_00003.parquet`), under Spark's own
+      // bucket-id contract — pmod(murmur3(cols), n), the exact
+      // expression `HashPartitioning.partitionIdExpression` evaluates —
+      // so the planner-integrated reads surface a real
+      // `BucketSpec` and joins/aggregations on the bucket columns run
+      // WITHOUT a shuffle exchange against any co-bucketed table
+      // (manifest or Spark-native bucketBy), and equality filters on
+      // the bucket columns prune to 1/n of the files before any is
+      // opened. The 100 TB shape this buys: the fact-to-fact join
+      // (events⋈events, orders⋈lineitem) whose both sides are too big
+      // to broadcast stops paying its dominant exchange on every
+      // query, amortized into one bucketized write. Bucketed tables
+      // are COPY-ON-WRITE only (merge-on-read delta files would need
+      // the naming + placement contract per trickle batch — refused
+      // loudly) and never appendOnly; every rewrite path routes
+      // through [[clusteredWrite]], which preserves the contract.
+      dataBucketCols: Seq[String] = Nil,
+      dataBuckets: Int = 0,
       // RENAME history: current column name -> every PRIOR name still
       // possibly present in live data files (newest prior first). A
       // rename is METADATA-ONLY: files keep whatever name was current
@@ -1195,6 +1216,12 @@ object Layout {
       morDeleteCol = optText(node, "morDeleteCol"),
       appendOnly =
         node.has("appendOnly") && node.get("appendOnly").asBoolean(),
+      dataBucketCols =
+        if (!node.has("dataBucketCols")) Nil
+        else node.get("dataBucketCols").elements().asScala
+          .map(_.asText()).toSeq,
+      dataBuckets =
+        if (!node.has("dataBuckets")) 0 else node.get("dataBuckets").asInt(),
       colAliases =
         if (!node.has("colAliases")) Map.empty
         else node.get("colAliases").fields().asScala.map { e =>
@@ -1380,6 +1407,11 @@ object Layout {
       m.morDeleteCol.foreach(root.put("morDeleteCol", _))
     }
     if (m.appendOnly) root.put("appendOnly", true)
+    if (m.dataBuckets > 0) {
+      root.put("dataBuckets", m.dataBuckets)
+      val dbc = root.putArray("dataBucketCols")
+      m.dataBucketCols.foreach(dbc.add)
+    }
     if (m.colAliases.nonEmpty) {
       val ca = root.putObject("colAliases")
       m.colAliases.toSeq.sortBy(_._1).foreach { case (cur, olds) =>
@@ -2141,6 +2173,85 @@ object Layout {
     * only by the first merge-on-read delta). Mutually exclusive with
     * `appendOnly` (which declares that no merge spec can ever exist).
     */
+  /** Transient directory column a bucketized write routes bucket ids
+    * through (never lands in data files — `partitionBy` strips it). */
+  private[graft] val BucketDir = "__gbucket"
+
+  /** Spark's OWN bucket-id expression —
+    * `HashPartitioning(cols, n).partitionIdExpression`, i.e.
+    * `pmod(murmur3(cols), n)`: `hash()` IS Murmur3Hash at the default
+    * seed 42, the identical expression bucketed scans assume of every
+    * file named `…_<id>`, so a file written under this id joins
+    * shuffle-free against Spark's native `bucketBy` tables. */
+  private def bucketIdCol(cols: Seq[String], n: Int):
+      org.apache.spark.sql.Column =
+    pmod(hash(cols.map(col): _*), lit(n))
+
+  /** Rewrite a bucketized tmp tree (`rel/__gbucket=N/part-….parquet`)
+    * into the flat per-rel shape every downstream publish step expects
+    * (`rel/part-…_0000N.parquet`): each data file moves up one level
+    * carrying Spark's bucket-file suffix — the naming
+    * `FileSourceScanExec` parses bucket ids from — derived from its
+    * directory. Pure renames on the bounded pool (one per data file,
+    * the publish-path cost class); the emptied bucket dirs delete
+    * recursively, sweeping any checksum shadows along. */
+  private def flattenBucketDirs(spark: SparkSession, tmpDir: String): Unit = {
+    val fc = fileContext(spark, tmpDir)
+    val bucketRels = listPartitionRels(fc, new Path(tmpDir))
+      .filter(_.split("/").last.startsWith(s"$BucketDir="))
+    inParallel(bucketRels) { rel =>
+      val dir = new Path(s"$tmpDir/$rel")
+      val b = rel.substring(rel.lastIndexOf('=') + 1).toInt
+      fc.util.listStatus(dir).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .foreach { st =>
+          val n = st.getPath.getName
+          val dot = n.indexOf('.')
+          val (base, ext) = if (dot < 0) (n, "") else n.splitAt(dot)
+          fc.rename(st.getPath,
+            new Path(dir.getParent, f"${base}_$b%05d$ext"))
+        }
+      fc.delete(dir, true)
+    }
+  }
+
+  /** THE manifest data write: cluster `df` on the partition columns
+    * into `shuffle.partitions` tasks (one file per partition dir, not
+    * |tasks| tiny files in every dir — the small-files problem the
+    * compactor would then have to cure) and land it under `tmpDir` as
+    * a plain `rel/files` tree. On a BUCKETED table (`nBuckets > 0`)
+    * the clustering key gains the bucket id and the landed files carry
+    * Spark's bucket naming + placement contract (see
+    * [[flattenBucketDirs]]) — every write path routes through here, so
+    * the contract survives merges, DML, compaction and migration.
+    * `sortTail` appends an in-task sort under the directory grouping
+    * (the sorted-compaction discipline); `dropCols` drop after the
+    * sort, before the write (transient sort keys like `__z`).
+    * Committer v2 (direct task commit) is safe here: atomicity comes
+    * from the manifest pointer swap, and the tmp tree is
+    * writer-unique. */
+  private def clusteredWrite(spark: SparkSession, df: DataFrame,
+      tmpDir: String, pcols: Seq[String],
+      bucketCols: Seq[String], nBuckets: Int,
+      sortTail: Seq[org.apache.spark.sql.Column] = Nil,
+      dropCols: Seq[String] = Nil): Unit = {
+    val dirCols = if (nBuckets > 0) pcols :+ BucketDir else pcols
+    val keyed =
+      if (nBuckets > 0) df.withColumn(BucketDir, bucketIdCol(bucketCols, nBuckets))
+      else df
+    val clustered =
+      keyed.repartition(shufflePartitions(spark), dirCols.map(col): _*)
+    val ordered =
+      if (sortTail.isEmpty) clustered
+      else clustered.sortWithinPartitions(dirCols.map(col) ++ sortTail: _*)
+    dropCols.foldLeft(ordered)(_ drop _)
+      .write.mode(SaveMode.Overwrite)
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .partitionBy(dirCols: _*).parquet(tmpDir)
+    if (nBuckets > 0) flattenBucketDirs(spark, tmpDir)
+  }
+
   def writeManifestTable(spark: SparkSession, path: String, df: DataFrame,
                          partitionCols: Seq[String],
                          statsCols: Seq[String] = Nil,
@@ -2150,7 +2261,9 @@ object Layout {
                          manifestBuckets: Int = 0,
                          appendOnly: Boolean = false,
                          keys: Seq[String] = Nil,
-                         versionCol: Option[String] = None): Unit =
+                         versionCol: Option[String] = None,
+                         bucketCols: Seq[String] = Nil,
+                         buckets: Int = 0): Unit =
       withMaintenanceLock(spark, path, lockWaitMs(spark)) {
     require(keys.isEmpty == versionCol.isEmpty,
       "declare the merge spec as BOTH keys and versionCol (or neither)")
@@ -2179,6 +2292,29 @@ object Layout {
       s"df must carry the partition columns ${partitionCols.mkString(",")}")
     require(!df.columns.contains("gen"),
       "'gen' is the manifest's generation directory name; rename the column")
+    // DATA bucketing (shuffle-free co-bucketed joins; distinct from
+    // manifestBuckets, which shards METADATA): fixed at seed, CoW-only
+    require(bucketCols.isEmpty == (buckets == 0),
+      "declare data bucketing as BOTH bucketCols and buckets (or neither)")
+    if (buckets > 0) {
+      require(buckets >= 2 && buckets <= 4096,
+        "buckets must be in [2, 4096]")
+      require(bucketCols.forall(df.columns.contains),
+        s"bucketCols ${bucketCols.filterNot(df.columns.contains)
+          .mkString(",")} are not columns of df")
+      require(bucketCols.intersect(partitionCols).isEmpty,
+        "bucketCols cannot overlap the partition columns: a partition " +
+          "column is directory-encoded, not in the files a bucketed " +
+          "scan hashes")
+      require(!appendOnly,
+        "a bucketed manifest table cannot be appendOnly: spec-less " +
+          "append generations would land files outside the bucket " +
+          "naming + placement contract — bucketed tables are " +
+          "copy-on-write (seed with keys/versionCol and merge)")
+      require(!df.columns.contains(BucketDir),
+        s"'$BucketDir' is reserved by the bucketized write; rename the " +
+          "column")
+    }
     require(manifestVersion(spark, path).isEmpty,
       s"$path is already a manifest table; use mergeManifest")
     val fc = fileContext(spark, path)
@@ -2194,10 +2330,7 @@ object Layout {
     // maxRecordsPerFile. Committer v2 (direct task commit) is safe
     // here: atomicity comes from the manifest pointer swap, and the
     // tmp tree is deleted before every attempt.
-    df.repartition(shufflePartitions(spark), partitionCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .partitionBy(partitionCols: _*).parquet(tmpDir)
+    clusteredWrite(spark, df, tmpDir, partitionCols, bucketCols, buckets)
     val rels = listPartitionRels(fc, new Path(tmpDir))
     val dataCols = df.schema.fields.filterNot(f =>
       partitionCols.contains(f.name))
@@ -2218,7 +2351,8 @@ object Layout {
       statsCols = statsCols, bloomCols = bloomCols,
       bloomItems = bloomItems, bloomFpp = bloomFpp,
       bucketBounds = bounds, appendOnly = appendOnly,
-      morKeys = keys, morVersionCol = versionCol)
+      morKeys = keys, morVersionCol = versionCol,
+      dataBucketCols = bucketCols, dataBuckets = buckets)
     // derive the published metadata from the tmp tree BEFORE the
     // renames scatter it: one recursive listing of one root, not
     // |partitions| explicit gen paths (at 525 partitions this halves
@@ -2355,7 +2489,7 @@ object Layout {
     def frame(idx: graft.plans.ManifestFileIndex): DataFrame = {
       val rel = org.apache.spark.sql.execution.datasources
         .HadoopFsRelation(
-          idx, idx.partitionSchema, idx.dataSchema, None,
+          idx, idx.partitionSchema, idx.dataSchema, idx.dataBucketSpec,
           new org.apache.spark.sql.execution.datasources.parquet
             .ParquetFileFormat,
           Map.empty)(spark)
@@ -2494,6 +2628,8 @@ object Layout {
       diff("bloomItems", a.bloomItems, b.bloomItems),
       diff("bloomFpp", a.bloomFpp, b.bloomFpp),
       diff("bucketBounds", a.bucketBounds, b.bucketBounds),
+      diff("dataBucketCols", a.dataBucketCols, b.dataBucketCols),
+      diff("dataBuckets", a.dataBuckets, b.dataBuckets),
       diff("colAliases", a.colAliases, b.colAliases)) ++
       // the merge-on-read resolution spec matters only to writers that
       // RESOLVE (merges must re-check theirs against a concurrently
@@ -2717,15 +2853,12 @@ object Layout {
       val base = readResolved(spark, path, m0, baseRels)
       val tmpDir = uniqueTmpDir(path)
       try withTmpHeartbeat(fc, tmpDir) {
-        // cluster on the partition columns after the latest-wins window:
-        // one file per rewritten partition dir, shuffle.partitions
-        // tasks, committer v2 (the seed's argument — tmp tree + pointer
-        // swap give the atomicity)
-        latestWins(base, updates, keys, versionCol, deleteCol, forceWins)
-          .repartition(shufflePartitions(spark), pcols.map(col): _*)
-          .write.mode(SaveMode.Overwrite)
-          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-          .partitionBy(pcols: _*).parquet(tmpDir)
+        // cluster on the partition columns after the latest-wins window
+        // (plus the bucket id on a bucketed table — the rewrite
+        // preserves the naming + placement contract)
+        clusteredWrite(spark,
+          latestWins(base, updates, keys, versionCol, deleteCol, forceWins),
+          tmpDir, pcols, m0.dataBucketCols, m0.dataBuckets)
         val produced = listPartitionRels(fc, new Path(tmpDir))
         // a produced rel outside the touched+landing set means the Cast
         // rendering and the writer disagreed — fail BEFORE publishing
@@ -3073,6 +3206,12 @@ object Layout {
         s"$path is a DECLARED append-only table: keyed merges (updates/" +
           "deletes) are structurally inexpressible on it — appendManifest " +
           "is the only write path")
+      require(m0.dataBuckets == 0,
+        s"$path is a data-bucketed manifest table: merge-on-read delta " +
+          "generations would land files outside the bucket naming + " +
+          "placement contract every bucketed scan assumes — bucketed " +
+          "tables are copy-on-write; use mergeManifest (SQL DML routes " +
+          "there; streaming sinks: set .option(\"mor\", \"false\"))")
       if (m0.morKeys.nonEmpty)
         require(m0.morKeys == keys && m0.morVersionCol.contains(versionCol),
           s"merge spec mismatch: this table resolves merge-on-read deltas " +
@@ -3795,6 +3934,12 @@ object Layout {
         "or prior spec with live generations) — its values are baked " +
         "into directory fragments and the catalog registration pins " +
         "its type; repartitionManifest to a re-typed layout instead")
+    require(!m.dataBucketCols.contains(column),
+      s"widenManifestColumn: '$column' is a data-bucket column — " +
+        "murmur3 hashes by physical width, so widening its type would " +
+        "silently invalidate every stored bucket id (an int 5 and a " +
+        "bigint 5 bucket differently); re-seed to re-type the bucket " +
+        "key")
     val cur = sch(column).dataType
     val target = org.apache.spark.sql.types.DataType.fromDDL(newType)
     val ok = (cur, target) match {
@@ -3894,6 +4039,9 @@ object Layout {
       morKeys = m.morKeys.map(c => if (c == from) to else c),
       morVersionCol = m.morVersionCol.map(c => if (c == from) to else c),
       morDeleteCol = m.morDeleteCol.map(c => if (c == from) to else c),
+      // a rename never moves bytes, so bucket ids stay valid — the
+      // spec just follows the name
+      dataBucketCols = m.dataBucketCols.map(c => if (c == from) to else c),
       colAliases = (m.colAliases - from) + (to -> (from +: priorChain)),
       op = "evolve", opDeletes = false))
   }
@@ -3932,6 +4080,10 @@ object Layout {
       s"dropManifestColumn: '$column' is part of the table's merge " +
         "spec (keys/versionCol) — row identity and resolution depend " +
         "on it; repartition to a re-keyed table instead")
+    require(!m.dataBucketCols.contains(column),
+      s"dropManifestColumn: '$column' is a data-bucket column — every " +
+        "file's placement is a function of its values; re-seed to " +
+        "change the bucket layout")
     require(sch.fields.count(f =>
         !m.partitionCols.contains(f.name)) > 1,
       "dropManifestColumn: cannot drop the last data column")
@@ -4231,9 +4383,13 @@ object Layout {
         .count(st => !st.isDirectory &&
           st.getPath.getName.startsWith("part-"))
     // selection listing on the bounded pool — O(partitions) latency-
-    // bound round trips, the publish-path discipline
+    // bound round trips, the publish-path discipline. A BUCKETED
+    // partition holds nBuckets files at steady state by design, so the
+    // threshold reads per-bucket there (maxFiles=0 keeps rewrite-all)
+    val fileThreshold =
+      if (m.dataBuckets > 0) maxFiles * m.dataBuckets else maxFiles
     val selected = inParallel(m.entries.toSeq.sortBy(_._1)) {
-      case (rel, g) => rel -> (dataFiles(rel, g) > maxFiles)
+      case (rel, g) => rel -> (dataFiles(rel, g) > fileThreshold)
     }.collect { case (rel, true) => rel }
       // after a METADATA-ONLY spec change, prior-era partitions are
       // FROZEN (no write path adds files to them — deltas/appends land
@@ -4265,19 +4421,16 @@ object Layout {
         val keyed =
           if (zorderCols.isEmpty) base
           else withZ(base, zorderCols, zorderBits, 0.001)
-        val clustered = keyed.observe(obs, count(lit(1)).as("n"))
-          .repartition(shufflePartitions(spark), m.partitionCols.map(col): _*)
-        // partition cols lead the sort so each task's rows stay grouped
-        // by output dir; within a dir the file is sortCols- or z-ordered
-        val inTaskOrder =
-          if (zorderCols.nonEmpty) m.partitionCols.map(col) :+ col("__z")
-          else (m.partitionCols ++ sortCols).map(col)
-        (if (sortCols.isEmpty && zorderCols.isEmpty) clustered
-         else clustered.sortWithinPartitions(inTaskOrder: _*))
-          .drop("__z")
-          .write.mode(SaveMode.Overwrite)
-          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-          .partitionBy(m.partitionCols: _*).parquet(tmpDir)
+        // partition cols (and, on a bucketed table, the bucket id —
+        // compaction preserves the contract, one file per bucket per
+        // dir) lead the in-task sort so each task's rows stay grouped
+        // by output dir; within a dir the file is sortCols- or
+        // z-ordered
+        val sortTail =
+          if (zorderCols.nonEmpty) Seq(col("__z")) else sortCols.map(col)
+        clusteredWrite(spark, keyed.observe(obs, count(lit(1)).as("n")),
+          tmpDir, m.partitionCols, m.dataBucketCols, m.dataBuckets,
+          sortTail = sortTail, dropCols = Seq("__z"))
         val n0 = obs.get("n").asInstanceOf[Long]
         val n1 = spark.read.parquet(tmpDir).count()
         require(n1 == n0,
@@ -4403,6 +4556,12 @@ object Layout {
         s" (${sch.fieldNames.mkString(", ")})")
     require(newCols != m.partitionCols,
       s"table is already partitioned by ${m.partitionCols.mkString(",")}")
+    require(newCols.intersect(m.dataBucketCols).isEmpty,
+      s"changeManifestPartitionSpec: new partition column(s) " +
+        s"${newCols.intersect(m.dataBucketCols).mkString(",")} are the " +
+        "table's data-bucket columns — a partition column is " +
+        "directory-encoded, not in the files a bucketed scan hashes; " +
+        "re-seed to change the bucket layout")
     // keyed merge-on-read deltas resolve per-partition and cannot span
     // spec eras; a DECLARED append-only table's SPEC-LESS deltas have
     // no resolution at all (plain union), so they may straddle eras
@@ -4522,14 +4681,9 @@ object Layout {
       val tmpDir = uniqueTmpDir(path)
       try withTmpHeartbeat(fc, tmpDir) {
         val obs = org.apache.spark.sql.Observation()
-        val clustered = src.observe(obs, count(lit(1)).as("n"))
-          .repartition(shufflePartitions(spark), pcols.map(col): _*)
-        (if (sortCols.isEmpty) clustered
-         else clustered.sortWithinPartitions(
-           (pcols ++ sortCols).map(col): _*))
-          .write.mode(SaveMode.Overwrite)
-          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-          .partitionBy(pcols: _*).parquet(tmpDir)
+        clusteredWrite(spark, src.observe(obs, count(lit(1)).as("n")),
+          tmpDir, pcols, m0.dataBucketCols, m0.dataBuckets,
+          sortTail = sortCols.map(col))
         val n0 = obs.get("n").asInstanceOf[Long]
         val n1 = spark.read.parquet(tmpDir).count()
         require(n1 == n0,
@@ -4653,6 +4807,12 @@ object Layout {
         "with no prior-spec generations left to migrate")
     require(sortCols.forall(sch.fieldNames.contains),
       s"sortCols ${sortCols.mkString(",")} must be table columns")
+    require(newPartitionCols.intersect(m.dataBucketCols).isEmpty,
+      s"repartitionManifest: new partition column(s) " +
+        s"${newPartitionCols.intersect(m.dataBucketCols).mkString(",")} " +
+        "are the table's data-bucket columns — a partition column is " +
+        "directory-encoded, not in the files a bucketed scan hashes; " +
+        "re-seed to change the bucket layout")
     val fc = fileContext(spark, path)
     // the full resolved snapshot — a repartition is a whole-table
     // rewrite by definition, so pending deltas fold in for free
@@ -4664,14 +4824,9 @@ object Layout {
     val tmpDir = s"$path.__manifest_tmp"
     fc.delete(new Path(tmpDir), true)
     val obs = org.apache.spark.sql.Observation()
-    val clustered = all.observe(obs, count(lit(1)).as("n"))
-      .repartition(shufflePartitions(spark), newPartitionCols.map(col): _*)
-    (if (sortCols.isEmpty) clustered
-     else clustered.sortWithinPartitions(
-       (newPartitionCols ++ sortCols).map(col): _*))
-      .write.mode(SaveMode.Overwrite)
-      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .partitionBy(newPartitionCols: _*).parquet(tmpDir)
+    clusteredWrite(spark, all.observe(obs, count(lit(1)).as("n")),
+      tmpDir, newPartitionCols, m.dataBucketCols, m.dataBuckets,
+      sortTail = sortCols.map(col))
     val n0 = obs.get("n").asInstanceOf[Long]
     val n1 = spark.read.parquet(tmpDir).count()
     require(n1 == n0,

@@ -197,6 +197,25 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
     * manifest read presents). */
   val fullSchema: StructType = Layout.manifestSchema(meta)
 
+  /** The table's DATA-bucket layout as Spark's own [[BucketSpec]] —
+    * hand it to the HadoopFsRelation and `FileSourceScanExec` parses
+    * each file's bucket id from its name, reports
+    * `HashPartitioning(bucketCols, n)` and elides the shuffle exchange
+    * under joins/aggregations on the bucket columns (plus bucket
+    * pruning on equality filters). Sound because EVERY manifest write
+    * path routes through `Layout.clusteredWrite`, which enforces the
+    * naming + placement contract (`pmod(murmur3(cols), n)`, Spark's
+    * `HashPartitioning.partitionIdExpression`) on every landed file.
+    * Sort columns are never claimed: a bucket spans one file per
+    * PARTITION DIR, and Spark's sorted-bucket fast path requires one
+    * file per bucket table-wide. */
+  private[graft] def dataBucketSpec:
+      Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+    if (meta.dataBuckets > 0)
+      Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        meta.dataBuckets, meta.dataBucketCols, Nil))
+    else None
+
   /** The partition spec THIS mount serves — the table's current one,
     * or the prior era an explicit `spec` pinned. */
   private val mountedSpec: Seq[String] = spec.getOrElse(meta.partitionCols)

@@ -209,8 +209,8 @@ final class ManifestProvider extends RelationProvider
       // The view OPTIONS ride along so the INSERT rewrite
       // ([[ManifestInsertRule]]) can read the merge spec (keys,
       // versionCol, mor) off the relation.
-      HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
-        new ParquetFileFormat, parameters)(spark)
+      HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
+        idx.dataBucketSpec, new ParquetFileFormat, parameters)(spark)
     }
   }
 
@@ -248,7 +248,11 @@ final class ManifestProvider extends RelationProvider
         appendOnly = opt(parameters, "appendOnly").exists(_.toBoolean),
         // declared merge spec: stored in the manifest so every later
         // writer (SQL DML by bare table name included) needs no OPTIONS
-        keys = cols("keys"), versionCol = opt(parameters, "versionCol"))
+        keys = cols("keys"), versionCol = opt(parameters, "versionCol"),
+        // DATA bucketing (shuffle-free co-bucketed joins): fixed at
+        // seed like the partitioning
+        bucketCols = cols("bucketBy"),
+        buckets = opt(parameters, "buckets").map(_.toInt).getOrElse(0))
     }
     mode match {
       case SaveMode.Append =>

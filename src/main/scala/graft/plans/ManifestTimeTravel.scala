@@ -146,36 +146,71 @@ final class ManifestSqlParser(session: SparkSession,
         if manifestTableSpec(cta.tableSpec).isDefined &&
           cta.partitioning.nonEmpty =>
       val ts = manifestTableSpec(cta.tableSpec).get
-      val cols = identityPartitionCols(cta.partitioning,
+      val (bucket, partTs) = splitBucketClause(cta.partitioning,
         "CREATE TABLE ... AS SELECT")
+      val cols = identityPartitionCols(partTs, "CREATE TABLE ... AS SELECT")
       val declared = specOption(ts, "partitionCols")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      require(declared.forall(_ == cols),
+      require(cols.isEmpty || declared.forall(_ == cols),
         s"CREATE TABLE ... USING manifest: PARTITIONED BY " +
           s"(${cols.mkString(", ")}) disagrees with OPTIONS " +
           s"(partitionCols '${declared.getOrElse(Nil).mkString(",")}') — " +
           "state the layout once (the clause alone is enough)")
-      if (declared.isDefined) cta
+      // CLUSTERED BY ... INTO n BUCKETS → the provider's
+      // bucketBy/buckets OPTIONS (the data-bucket layout), same
+      // state-it-once discipline
+      val declaredB = specOption(ts, "bucketBy")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      val declaredN = specOption(ts, "buckets").map(_.trim.toInt)
+      bucket.foreach { case (n, bcols) =>
+        require(declaredB.forall(_ == bcols) && declaredN.forall(_ == n),
+          s"CREATE TABLE ... USING manifest: CLUSTERED BY " +
+            s"(${bcols.mkString(", ")}) INTO $n BUCKETS disagrees with " +
+            s"OPTIONS (bucketBy '${declaredB.getOrElse(Nil).mkString(",")}'" +
+            s", buckets '${declaredN.getOrElse(0)}') — state the layout " +
+            "once (the clause alone is enough)")
+      }
+      val lit = (s: String) =>
+        org.apache.spark.sql.catalyst.expressions.Literal(s)
+      val added =
+        (if (declared.isEmpty && cols.nonEmpty)
+           Seq("partitionCols" -> lit(cols.mkString(",")))
+         else Nil) ++
+        bucket.toSeq.flatMap { case (n, bcols) =>
+          if (declaredB.isDefined) Nil
+          else Seq("bucketBy" -> lit(bcols.mkString(",")),
+            "buckets" -> lit(n.toString))
+        }
+      if (added.isEmpty) cta
       else cta.copy(tableSpec = ts.copy(optionExpression =
         org.apache.spark.sql.catalyst.plans.logical.OptionList(
-          ts.optionExpression.options :+ ("partitionCols" ->
-            org.apache.spark.sql.catalyst.expressions.Literal(
-              cols.mkString(","))))))
+          ts.optionExpression.options ++ added)))
     case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable
         if manifestTableSpec(ct.tableSpec).isDefined &&
           ct.partitioning.nonEmpty =>
       val ts = manifestTableSpec(ct.tableSpec).get
-      val cols = identityPartitionCols(ct.partitioning, "CREATE TABLE")
+      val (bucket, partTs) = splitBucketClause(ct.partitioning,
+        "CREATE TABLE")
+      val cols = identityPartitionCols(partTs, "CREATE TABLE")
       specOption(ts, "path").orElse(ts.location).foreach { p =>
         graft.operators.Layout.manifestVersion(session, p).foreach { v =>
-          val actual = graft.operators.Layout
-            .readManifestMeta(session, p, v).partitionCols
-          require(cols == actual,
+          val meta = graft.operators.Layout.readManifestMeta(session, p, v)
+          require(cols.isEmpty || cols == meta.partitionCols,
             s"CREATE TABLE ... USING manifest PARTITIONED BY " +
               s"(${cols.mkString(", ")}): $p is partitioned by " +
-              s"(${actual.mkString(", ")}) — a registration cannot " +
-              "change an existing table's layout (that is " +
+              s"(${meta.partitionCols.mkString(", ")}) — a registration " +
+              "cannot change an existing table's layout (that is " +
               "repartition_manifest / migrate_partitions maintenance)")
+          bucket.foreach { case (n, bcols) =>
+            require(bcols == meta.dataBucketCols && n == meta.dataBuckets,
+              s"CREATE TABLE ... USING manifest CLUSTERED BY " +
+                s"(${bcols.mkString(", ")}) INTO $n BUCKETS: $p is " +
+                (if (meta.dataBuckets == 0) "not data-bucketed"
+                 else s"bucketed by (${meta.dataBucketCols.mkString(", ")}" +
+                   s") into ${meta.dataBuckets} buckets") +
+                " — a registration cannot change an existing table's " +
+                "bucket layout (fixed at seed)")
+          }
         }
       }
       ct
@@ -223,7 +258,9 @@ final class ManifestSqlParser(session: SparkSession,
     }
 
   /** Plain column names out of a `PARTITIONED BY` clause; transform
-    * shapes (bucket/days/...) have no manifest meaning and refuse. */
+    * shapes (days/hours/...) have no manifest meaning and refuse.
+    * Bucket transforms never reach here — [[splitBucketClause]] peels
+    * them off first. */
   private def identityPartitionCols(
       parts: Seq[org.apache.spark.sql.connector.expressions.Transform],
       stmt: String): Seq[String] =
@@ -236,6 +273,40 @@ final class ManifestSqlParser(session: SparkSession,
           s"columns in PARTITIONED BY (got '$other'): manifest " +
           "partitioning is by stored column values, not transforms")
     }
+
+  /** Peel `CLUSTERED BY (cols) [SORTED BY ...] INTO n BUCKETS` out of
+    * the DDL's transform list (Spark's unified plan carries it
+    * alongside the identity partition transforms): the manifest's
+    * DATA-bucket layout, mapped onto the provider's bucketBy/buckets
+    * OPTIONS. `SORTED BY` refuses — bucket files are per PARTITION
+    * DIRECTORY, so a table-wide sorted-bucket claim would be unsound
+    * (Spark's own fast path requires one file per bucket table-wide,
+    * which a partitioned manifest never has). */
+  private def splitBucketClause(
+      parts: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      stmt: String): (Option[(Int, Seq[String])],
+        Seq[org.apache.spark.sql.connector.expressions.Transform]) = {
+    // BucketTransform is private[sql]; its extractor is exposed via
+    // the access bridge (matches both bucket and sorted_bucket shapes)
+    val unbucket =
+      org.apache.spark.sql.graftbridge.GraftSqlBridge.bucketTransform _
+    val (b, rest) = parts.partition(unbucket(_).isDefined)
+    val spec = b.map(unbucket(_).get).map { case (n, cols, sorted) =>
+      require(sorted.isEmpty,
+        s"$stmt ... USING manifest: SORTED BY has no manifest " +
+          "meaning — bucket files are per partition directory, so a " +
+          "table-wide sorted-bucket claim would be unsound; drop the " +
+          "clause (sorted compaction is maintain_table's job)")
+      val names = cols.map { c =>
+        require(c.length == 1,
+          s"$stmt ... USING manifest: CLUSTERED BY supports only " +
+            s"top-level columns (got ${c.mkString(".")})")
+        c.head
+      }
+      (n, names)
+    }
+    (spec.headOption, rest)
+  }
 
   /** Evaluate a parsed `TIMESTAMP AS OF` expression to epoch millis —
     * defined only for foldable expressions castable to timestamp under
@@ -302,7 +373,7 @@ final class ManifestSqlParser(session: SparkSession,
     def branch(spec: Option[Seq[String]]): LogicalPlan = {
       val idx = new ManifestFileIndex(session, path, Some(ver), spec)
       val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
-        None, new ParquetFileFormat, props)(session)
+        idx.dataBucketSpec, new ParquetFileFormat, props)(session)
       val lr = LogicalRelation(rel)
       if (spec.isEmpty) lr
       else org.apache.spark.sql.catalyst.plans.logical.Project(

@@ -24,6 +24,19 @@ object GraftSqlBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** `CLUSTERED BY (cols) [SORTED BY …] INTO n BUCKETS` arrives in a
+    * DDL plan's `partitioning` as a `BucketTransform` /
+    * `SortedBucketTransform` — both `private[sql]`, so the extractor
+    * lives here. Returns (numBuckets, bucketCols, sortCols) as
+    * field-name paths; None for any other transform shape. */
+  def bucketTransform(
+      t: org.apache.spark.sql.connector.expressions.Transform):
+      Option[(Int, Seq[Seq[String]], Seq[Seq[String]])] =
+    org.apache.spark.sql.connector.expressions.BucketTransform.unapply(t)
+      .map { case (n, cols, sorted) =>
+        (n, cols.map(_.fieldNames.toSeq), sorted.map(_.fieldNames.toSeq))
+      }
+
   /** Block until the listener bus has delivered all pending events — makes
     * QueryExecutionListener-based metric collection deterministic. */
   def waitListenerBus(spark: org.apache.spark.sql.SparkSession, timeoutMs: Long = 10000): Unit =

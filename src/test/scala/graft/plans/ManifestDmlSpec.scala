@@ -272,15 +272,79 @@ class ManifestDmlSpec extends SparkSpec {
       "part STRING, day INT) USING manifest PARTITIONED BY (part, day) " +
       s"OPTIONS (path '$dir3')")
     assert(spark.table("t_pby3").count() == 1L)
-    // transform shapes have no manifest meaning
+    // transform shapes (other than bucket — that one IS the
+    // data-bucket layout, see the CLUSTERED BY test) have no manifest
+    // meaning
     val eTf = intercept[IllegalArgumentException] {
       spark.sql(s"""CREATE TABLE t_pby4
-        USING manifest PARTITIONED BY (bucket(4, part))
+        USING manifest PARTITIONED BY (days(part))
         OPTIONS (path '${tmpDir("pby4")}')
-        AS SELECT 1L AS k, 'a' AS part""") }
+        AS SELECT 1L AS k, TIMESTAMP'2024-01-01' AS part""") }
     assert(eTf.getMessage.contains("not transforms"), eTf.getMessage)
     spark.sql("DROP TABLE IF EXISTS t_pby")
     spark.sql("DROP TABLE IF EXISTS t_pby3")
+  }
+
+  test("CLUSTERED BY ... INTO n BUCKETS at SQL DDL fixes the " +
+      "manifest's DATA-bucket layout; SORTED BY, clause/option " +
+      "disagreement and wrong registration clauses refuse") {
+    val dir = tmpDir("cby")
+    spark.sql("DROP TABLE IF EXISTS t_cby")
+    spark.sql(s"""CREATE TABLE t_cby
+      USING manifest PARTITIONED BY (part)
+      CLUSTERED BY (k) INTO 4 BUCKETS
+      OPTIONS (path '$dir', keys 'k', versionCol 'ver')
+      AS SELECT id AS k, CAST(id AS DOUBLE) * 10 AS v, 1L AS ver,
+        CAST(id % 2 AS STRING) AS part FROM range(40)""")
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.dataBuckets == 4 && m.dataBucketCols == Seq("k"),
+      s"the clause must fix the bucket layout (got " +
+        s"${m.dataBucketCols} x ${m.dataBuckets})")
+    // the registered table serves the BucketSpec: a key-grouped
+    // aggregation by bare SQL name runs exchange-free
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val g = spark.sql(
+        "SELECT k, sum(v) AS sv FROM t_cby GROUP BY k")
+      assert(g.count() == 40L)
+      assert(graft.PlanScan.shuffles(g.queryExecution.executedPlan)
+        .isEmpty, "bare-name groupBy on the bucket column must not " +
+        "exchange")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // SORTED BY would be an unsound table-wide claim
+    val eS = intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE TABLE t_cby_s
+        USING manifest PARTITIONED BY (part)
+        CLUSTERED BY (k) SORTED BY (v) INTO 4 BUCKETS
+        OPTIONS (path '${tmpDir("cby_s")}', keys 'k', versionCol 'ver')
+        AS SELECT 1L AS k, 1.0 AS v, 1L AS ver, 'a' AS part""") }
+    assert(eS.getMessage.contains("SORTED BY"), eS.getMessage)
+    // clause/option disagreement refuses
+    val eD = intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE TABLE t_cby_d
+        USING manifest PARTITIONED BY (part)
+        CLUSTERED BY (k) INTO 4 BUCKETS
+        OPTIONS (path '${tmpDir("cby_d")}', keys 'k', versionCol 'ver',
+          bucketBy 'v', buckets '4')
+        AS SELECT 1L AS k, 1.0 AS v, 1L AS ver, 'a' AS part""") }
+    assert(eD.getMessage.contains("disagrees"), eD.getMessage)
+    // registering an existing table under a WRONG bucket clause
+    // refuses; the true clause registers
+    spark.sql("DROP TABLE IF EXISTS t_cby2")
+    val eReg = intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE t_cby2 (k BIGINT, v DOUBLE, ver BIGINT, " +
+        "part STRING) USING manifest PARTITIONED BY (part) " +
+        s"CLUSTERED BY (k) INTO 8 BUCKETS OPTIONS (path '$dir')") }
+    assert(eReg.getMessage.contains("bucket layout"), eReg.getMessage)
+    spark.sql("CREATE TABLE t_cby2 (k BIGINT, v DOUBLE, ver BIGINT, " +
+      "part STRING) USING manifest PARTITIONED BY (part) " +
+      s"CLUSTERED BY (k) INTO 4 BUCKETS OPTIONS (path '$dir')")
+    assert(spark.table("t_cby2").count() == 40L)
+    spark.sql("DROP TABLE IF EXISTS t_cby")
+    spark.sql("DROP TABLE IF EXISTS t_cby2")
   }
 
   test("MERGE INTO: a full CDC batch (update + delete + insert, " +
