@@ -48,7 +48,7 @@ object BucketProbe {
       val dir = Files.createTempDirectory(s"probe_bk_$tag")
         .resolve("t").toString
       val (_, s) = time {
-        Layout.writeManifestTable(spark, dir, synth(if (tag.contains("a"))
+        Layout.writeManifestTable(spark, dir, synth(if (tag.endsWith("a"))
           0L else 500L), Seq("part"),
           keys = Seq("k"), versionCol = Some("ver"),
           bucketCols = if (bucketed) Seq("k") else Nil,

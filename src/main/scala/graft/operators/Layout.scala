@@ -2223,7 +2223,10 @@ object Layout {
     * a plain `rel/files` tree. On a BUCKETED table (`nBuckets > 0`)
     * the clustering key gains the bucket id and the landed files carry
     * Spark's bucket naming + placement contract (see
-    * [[flattenBucketDirs]]) — every write path routes through here, so
+    * [[flattenBucketDirs]]) — every write path REACHABLE on a bucketed
+    * table routes through here (the direct writers — appendManifest,
+    * mergeManifestDelta and its fold — are unreachable by refusal:
+    * bucketed tables cannot be appendOnly and refuse MoR deltas), so
     * the contract survives merges, DML, compaction and migration.
     * `sortTail` appends an in-task sort under the directory grouping
     * (the sorted-compaction discipline); `dropCols` drop after the
@@ -3201,7 +3204,10 @@ object Layout {
         throw new IllegalArgumentException(
           s"$path is not a manifest table; seed it with writeManifestTable"))
       val m0 = readManifestMeta(spark, path, v0)
-      if (replayedSinkBatch(path, m0, batchId, sinkId)) return false
+      // STRUCTURAL refusals fire before the replay short-circuit: a
+      // delta write is NEVER valid on these tables, and a sinkBatch
+      // marker left by a different (legitimate) writer under the same
+      // sinkId must not silently no-op the misuse
       require(!m0.appendOnly,
         s"$path is a DECLARED append-only table: keyed merges (updates/" +
           "deletes) are structurally inexpressible on it — appendManifest " +
@@ -3212,6 +3218,7 @@ object Layout {
           "placement contract every bucketed scan assumes — bucketed " +
           "tables are copy-on-write; use mergeManifest (SQL DML routes " +
           "there; streaming sinks: set .option(\"mor\", \"false\"))")
+      if (replayedSinkBatch(path, m0, batchId, sinkId)) return false
       if (m0.morKeys.nonEmpty)
         require(m0.morKeys == keys && m0.morVersionCol.contains(versionCol),
           s"merge spec mismatch: this table resolves merge-on-read deltas " +

@@ -202,10 +202,18 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
     * each file's bucket id from its name, reports
     * `HashPartitioning(bucketCols, n)` and elides the shuffle exchange
     * under joins/aggregations on the bucket columns (plus bucket
-    * pruning on equality filters). Sound because EVERY manifest write
-    * path routes through `Layout.clusteredWrite`, which enforces the
-    * naming + placement contract (`pmod(murmur3(cols), n)`, Spark's
-    * `HashPartitioning.partitionIdExpression`) on every landed file.
+    * pruning on equality filters). Sound because every write path
+    * REACHABLE on a bucketed table (seed, CoW merge, SQL DML, compact,
+    * migrate, repartition) routes through `Layout.clusteredWrite`,
+    * which enforces the naming + placement contract
+    * (`pmod(murmur3(cols), n)`, Spark's
+    * `HashPartitioning.partitionIdExpression`) on every landed file —
+    * and the paths that write directly (appendManifest,
+    * mergeManifestDelta, and therefore foldManifestDeltas) are
+    * UNREACHABLE by refusal: a bucketed table cannot be appendOnly and
+    * refuses merge-on-read deltas. Relaxing either refusal without
+    * routing that path through clusteredWrite would land files outside
+    * the contract and break every bucketed scan.
     * Sort columns are never claimed: a bucket spans one file per
     * PARTITION DIR, and Spark's sorted-bucket fast path requires one
     * file per bucket table-wide. */

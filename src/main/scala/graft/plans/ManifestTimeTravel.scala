@@ -177,9 +177,15 @@ final class ManifestSqlParser(session: SparkSession,
            Seq("partitionCols" -> lit(cols.mkString(",")))
          else Nil) ++
         bucket.toSeq.flatMap { case (n, bcols) =>
-          if (declaredB.isDefined) Nil
-          else Seq("bucketBy" -> lit(bcols.mkString(",")),
-            "buckets" -> lit(n.toString))
+          // fill in whichever half of the OPTIONS pair is missing
+          // independently: a clause plus a half-declared pair is
+          // self-consistent DDL (the agreement require above already
+          // held), and injecting only the absent keys never duplicates
+          // an OptionList entry
+          (if (declaredB.isEmpty)
+             Seq("bucketBy" -> lit(bcols.mkString(","))) else Nil) ++
+          (if (declaredN.isEmpty)
+             Seq("buckets" -> lit(n.toString)) else Nil)
         }
       if (added.isEmpty) cta
       else cta.copy(tableSpec = ts.copy(optionExpression =

@@ -211,6 +211,58 @@ class ManifestBucketSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC sink in copy-on-write mode preserves the bucket " +
+      "contract; merge-on-read mode fails the query with the remedy") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("stream")
+    seedBucketed(dir)
+    val input = MemoryStream[(Long, String, Double, Long)]
+    val q = graft.streaming.Streams.cdcApply(
+        input.toDF().toDF("k", "part", "v", "ver"),
+        dir, Seq("k"), "ver", manifest = true)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_bucket_ckpt").toString)
+      .start()
+    try {
+      input.addData((7L, "1", 777.0, 2L), (61L, "1", 610.0, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expect = rows(60)
+      .withColumn("v", when(col("k") === 7L, 777.0).otherwise(col("v")))
+      .withColumn("ver", when(col("k") === 7L, 2L).otherwise(col("ver")))
+      .union(Seq((61L, "1", 610.0, 1L)).toDF("k", "part", "v", "ver"))
+    assert(sortedRows(Layout.manifestTable(spark, dir)) ==
+      sortedRows(expect))
+    val pat = """.*_(\d+)(?:\..*)?$""".r
+    Layout.manifestTable(spark, dir).inputFiles.foreach { f =>
+      assert(pat.findFirstIn(f.split("/").last).isDefined,
+        s"sink-rewritten file ${f.split("/").last} lost the bucket naming")
+    }
+    noBroadcast {
+      val g = Layout.manifestTable(spark, dir).groupBy("k")
+        .agg(sum("v").as("sv"))
+      g.collect()
+      assert(PlanScan.shuffles(g.queryExecution.executedPlan).isEmpty,
+        "post-sink groupBy on the bucket column must not exchange")
+    }
+    // mor = true would land delta files outside the contract: the
+    // refusal surfaces as the streaming query's failure, remedy intact
+    val q2 = graft.streaming.Streams.cdcApply(
+        input.toDF().toDF("k", "part", "v", "ver"),
+        dir, Seq("k"), "ver", manifest = true, mor = true)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_bucket_ckpt2").toString)
+      .start()
+    val eMor = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        input.addData((8L, "2", 80.0, 3L))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    assert(eMor.getMessage.contains("copy-on-write"), eMor.getMessage)
+  }
+
   test("rename of a bucket column rekeys the stored layout (a rename " +
       "never moves bytes, so bucket ids stay valid)") {
     val dir = tmpDir("rename")

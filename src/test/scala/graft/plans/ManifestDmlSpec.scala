@@ -322,6 +322,23 @@ class ManifestDmlSpec extends SparkSpec {
         OPTIONS (path '${tmpDir("cby_s")}', keys 'k', versionCol 'ver')
         AS SELECT 1L AS k, 1.0 AS v, 1L AS ver, 'a' AS part""") }
     assert(eS.getMessage.contains("SORTED BY"), eS.getMessage)
+    // a clause plus a HALF-declared OPTIONS pair is self-consistent
+    // DDL: the injection fills in only the missing key (no duplicate
+    // OPTIONS entry, no bogus both-or-neither refusal)
+    val dirH = tmpDir("cby_h")
+    spark.sql("DROP TABLE IF EXISTS t_cby_h")
+    spark.sql(s"""CREATE TABLE t_cby_h
+      USING manifest PARTITIONED BY (part)
+      CLUSTERED BY (k) INTO 4 BUCKETS
+      OPTIONS (path '$dirH', keys 'k', versionCol 'ver', bucketBy 'k')
+      AS SELECT id AS k, 1.0 AS v, 1L AS ver,
+        CAST(id % 2 AS STRING) AS part FROM range(8)""")
+    val mH = Layout.readManifestMeta(spark, dirH,
+      Layout.manifestVersion(spark, dirH).get)
+    assert(mH.dataBuckets == 4 && mH.dataBucketCols == Seq("k"),
+      s"half-declared OPTIONS + clause must seed bucketed (got " +
+        s"${mH.dataBucketCols} x ${mH.dataBuckets})")
+    spark.sql("DROP TABLE IF EXISTS t_cby_h")
     // clause/option disagreement refuses
     val eD = intercept[IllegalArgumentException] {
       spark.sql(s"""CREATE TABLE t_cby_d
