@@ -448,6 +448,33 @@ object Cli {
           "(metadata-only; prior-spec generations serve in place)")
         0
 
+      case "repartition-table" =>
+        // FULL-REWRITE layout change (Layout.repartitionManifest's
+        // contract): one snapshot publish, deltas folded in, old
+        // versions time-travel under the old layout. Also the in-place
+        // DATA-bucket adoption path: new_bucket_cols/new_buckets
+        // (together; ''/0 un-buckets) change the bucket layout in the
+        // same rewrite — partition_cols may restate the current spec.
+        val path = rest.filterNot(_.contains('=')).headOption.getOrElse {
+          out.println("usage: repartition-table <tableDir> " +
+            "partition_cols=a,b [sort_cols=a,b] " +
+            "[new_bucket_cols=a,b new_buckets=N]"); return 2 }
+        val pCols = kv.get("partition_cols").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        if (pCols.isEmpty) {
+          out.println("repartition-table needs partition_cols=a,b")
+          return 2 }
+        val nParts = graft.operators.Layout.repartitionManifest(
+          cliSpark(), path, pCols,
+          sortCols = kv.get("sort_cols").toSeq.flatMap(_.split(","))
+            .map(_.trim).filter(_.nonEmpty),
+          newBucketCols = kv.get("new_bucket_cols").map(
+            _.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+          newBuckets = kv.get("new_buckets").map(_.toInt))
+        out.println(s"repartition $path -> ${pCols.mkString(",")} " +
+          s"($nParts partitions)")
+        0
+
       case "table-history" =>
         val path = rest.filterNot(_.contains('=')).headOption.getOrElse {
           out.println("usage: table-history <tableDir>"); return 2 }

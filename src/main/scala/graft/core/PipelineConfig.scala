@@ -172,7 +172,12 @@ object PipelineConfig {
       partitionCols = get(c, "partition_cols").split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq,
       sortCols = c.get("sort_cols").toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))),
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      // new_bucket_cols '' + new_buckets 0 un-buckets; both absent
+      // keeps the current layout
+      newBucketCols = c.get("new_bucket_cols").map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+      newBuckets = c.get("new_buckets").map(_.toInt))),
     "Zorder" -> ((c, _) => ZorderModel(get(c, "path"),
       zCols = get(c, "z_cols").split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq,

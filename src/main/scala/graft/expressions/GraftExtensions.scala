@@ -123,7 +123,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           m.oldEraRels.size,
           java.lang.Long.valueOf(
             m.oldEraRels.flatMap(m.bytes.get).sum),
-          m.specHistory.map(_.mkString(",")))
+          m.specHistory.map(_.mkString(",")),
+          // DATA-bucket layout (empty/0 on unbucketed tables): the
+          // co-located-join contract repartition_table can adopt
+          m.dataBucketCols, m.dataBuckets)
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "path STRING, version INT, published_at TIMESTAMP, " +
             "retained_versions INT, partition_cols ARRAY<STRING>, " +
@@ -132,7 +135,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "version_col STRING, stats_cols ARRAY<STRING>, " +
             "bloom_cols ARRAY<STRING>, dropped_cols ARRAY<STRING>, " +
             "renamed_cols ARRAY<STRING>, old_era_partitions INT, " +
-            "old_era_bytes BIGINT, prior_specs ARRAY<STRING>")
+            "old_era_bytes BIGINT, prior_specs ARRAY<STRING>, " +
+            "bucket_cols ARRAY<STRING>, buckets INT")
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation
           .fromExternalRows(
             org.apache.spark.sql.catalyst.types.DataTypeUtils
@@ -311,6 +315,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .map(Integer.valueOf).orNull)
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "path STRING, partition_cols ARRAY<STRING>, version INT")
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          .fromExternalRows(
+            org.apache.spark.sql.catalyst.types.DataTypeUtils
+              .toAttributes(schema), Seq(row))
+      }))
+    // FULL-REWRITE layout change from SQL (the CLI repartition-table
+    // verb's twin): one snapshot publish, deltas folded in. The 4-arg
+    // form also changes the DATA-bucket layout in the same rewrite —
+    // repartition_table(path, 'p1,p2', 'k', 16) buckets in place,
+    // ('', 0) un-buckets — the in-place adoption path for co-located
+    // joins on an existing table.
+    ext.injectTableFunction((
+      new FunctionIdentifier("repartition_table"),
+      new ExpressionInfo("graft.operators.Layout", "repartition_table"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 4,
+          "repartition_table(path, 'col1,col2'[, 'bucketCols', buckets])")
+        val path = stringArg(args(0), "repartition_table path")
+        val cols = stringArg(args(1), "repartition_table partition cols")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val bCols =
+          if (args.length < 4) None
+          else Some(stringArg(args(2), "repartition_table bucket cols")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        val bN =
+          if (args.length < 4) None
+          else Some(intArg(args(3), "repartition_table buckets"))
+        val spark = org.apache.spark.sql.SparkSession.active
+        val nParts = graft.operators.Layout.repartitionManifest(
+          spark, path, cols, newBucketCols = bCols, newBuckets = bN)
+        val row = org.apache.spark.sql.Row(path, cols, nParts)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "path STRING, partition_cols ARRAY<STRING>, partitions INT")
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation
           .fromExternalRows(
             org.apache.spark.sql.catalyst.types.DataTypeUtils

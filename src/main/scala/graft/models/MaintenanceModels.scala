@@ -251,17 +251,23 @@ final case class CompactModel(
   * whole table rewrites under `partitionCols` behind one snapshot
   * publish, pending merge-on-read deltas folded in, old versions still
   * time-traveling under the old layout until retention drops them.
+  * `newBucketCols`/`newBuckets` (both or neither) change the table's
+  * DATA-bucket layout in the same rewrite — the scheduled way to
+  * bucket / re-bucket / un-bucket an existing table in place.
   * Returns the new partition count. */
 final case class RepartitionModel(
     path: String,
     partitionCols: Seq[String],
     sortCols: Seq[String] = Nil,
+    newBucketCols: Option[Seq[String]] = None,
+    newBuckets: Option[Int] = None,
     override val knobs: ModelKnobs = ModelKnobs())
   extends PdModel with Executable {
 
   def execute(ctx: StepContext): ExecResult =
     ExecResult(resultValue = Some(Layout.repartitionManifest(ctx.spark,
-      ctx.render(path), partitionCols, sortCols).toLong))
+      ctx.render(path), partitionCols, sortCols,
+      newBucketCols, newBuckets).toLong))
 }
 
 /** Self-driving materialized-view refresh (the scheduled

@@ -3945,8 +3945,9 @@ object Layout {
       s"widenManifestColumn: '$column' is a data-bucket column — " +
         "murmur3 hashes by physical width, so widening its type would " +
         "silently invalidate every stored bucket id (an int 5 and a " +
-        "bigint 5 bucket differently); re-seed to re-type the bucket " +
-        "key")
+        "bigint 5 bucket differently); rebucket off the column first " +
+        "(repartitionManifest newBucketCols/newBuckets), widen, then " +
+        "rebucket")
     val cur = sch(column).dataType
     val target = org.apache.spark.sql.types.DataType.fromDDL(newType)
     val ok = (cur, target) match {
@@ -4089,8 +4090,9 @@ object Layout {
         "on it; repartition to a re-keyed table instead")
     require(!m.dataBucketCols.contains(column),
       s"dropManifestColumn: '$column' is a data-bucket column — every " +
-        "file's placement is a function of its values; re-seed to " +
-        "change the bucket layout")
+        "file's placement is a function of its values; rebucket off " +
+        "the column first (repartitionManifest newBucketCols/" +
+        "newBuckets), then drop")
     require(sch.fields.count(f =>
         !m.partitionCols.contains(f.name)) > 1,
       "dropManifestColumn: cannot drop the last data column")
@@ -4568,7 +4570,8 @@ object Layout {
         s"${newCols.intersect(m.dataBucketCols).mkString(",")} are the " +
         "table's data-bucket columns — a partition column is " +
         "directory-encoded, not in the files a bucketed scan hashes; " +
-        "re-seed to change the bucket layout")
+        "repartitionManifest (newBucketCols/newBuckets) changes both " +
+        "layouts in one rewrite")
     // keyed merge-on-read deltas resolve per-partition and cannot span
     // spec eras; a DECLARED append-only table's SPEC-LESS deltas have
     // no resolution at all (plain union), so they may straddle eras
@@ -4792,11 +4795,22 @@ object Layout {
     * construction and count-verified before publish; the change feed
     * diffs it to nothing; the append feed treats it like a fold
     * (emits nothing). `sortCols` sorts each new partition's file (the
-    * sorted-compaction discipline). Returns the new partition count.
+    * sorted-compaction discipline).
+    *
+    * The same rewrite is also THE way to change a table's DATA-BUCKET
+    * layout in place (the adoption path for an existing 100 TB table —
+    * no re-seed, feeds/history/retained versions all survive): pass
+    * `newBucketCols`/`newBuckets` together to bucket an unbucketed
+    * table, re-key or re-size an existing layout, or un-bucket
+    * (`Some(Nil)`/`Some(0)`); leave both `None` to keep the current
+    * layout. The partition spec may stay put when only the bucket
+    * layout changes. Returns the new partition count.
     */
   def repartitionManifest(spark: SparkSession, path: String,
                           newPartitionCols: Seq[String],
-                          sortCols: Seq[String] = Nil): Int =
+                          sortCols: Seq[String] = Nil,
+                          newBucketCols: Option[Seq[String]] = None,
+                          newBuckets: Option[Int] = None): Int =
       withMaintenanceLock(spark, path, lockWaitMs(spark)) {
     val v = manifestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
@@ -4808,18 +4822,44 @@ object Layout {
     require(newPartitionCols.forall(sch.fieldNames.contains),
       s"partition columns ${newPartitionCols.mkString(",")} must be " +
         "table columns")
+    require(newBucketCols.isDefined == newBuckets.isDefined,
+      "declare the new bucket layout as BOTH newBucketCols and " +
+        "newBuckets (or neither, which keeps the current layout)")
+    // target DATA-bucket layout: explicit change, or carry the current
+    val (tgtBucketCols, tgtBuckets) = (newBucketCols, newBuckets) match {
+      case (Some(c), Some(n)) => (c, n)
+      case _ => (m.dataBucketCols, m.dataBuckets)
+    }
+    require(tgtBucketCols.isEmpty == (tgtBuckets == 0),
+      "declare the new bucket layout as BOTH newBucketCols and " +
+        "newBuckets (Some(Nil)/Some(0) un-buckets)")
+    if (newBucketCols.isDefined && tgtBuckets > 0) {
+      require(tgtBuckets >= 2 && tgtBuckets <= 4096,
+        "newBuckets must be in [2, 4096] (or 0 to un-bucket)")
+      require(tgtBucketCols.forall(sch.fieldNames.contains),
+        s"newBucketCols ${tgtBucketCols.filterNot(sch.fieldNames.contains)
+          .mkString(",")} must be table columns")
+      require(!m.appendOnly,
+        "a declared append-only table cannot become data-bucketed: its " +
+          "spec-less append generations land outside the bucket naming " +
+          "+ placement contract")
+    }
+    val layoutChanges = (tgtBucketCols, tgtBuckets) !=
+      (m.dataBucketCols, m.dataBuckets)
     require(newPartitionCols != m.partitionCols ||
-        m.oldEraRels.nonEmpty,
+        m.oldEraRels.nonEmpty || layoutChanges,
       s"table is already partitioned by ${m.partitionCols.mkString(",")} " +
-        "with no prior-spec generations left to migrate")
+        "with no prior-spec generations left to migrate (and no bucket-" +
+        "layout change requested)")
     require(sortCols.forall(sch.fieldNames.contains),
       s"sortCols ${sortCols.mkString(",")} must be table columns")
-    require(newPartitionCols.intersect(m.dataBucketCols).isEmpty,
+    require(newPartitionCols.intersect(tgtBucketCols).isEmpty,
       s"repartitionManifest: new partition column(s) " +
-        s"${newPartitionCols.intersect(m.dataBucketCols).mkString(",")} " +
-        "are the table's data-bucket columns — a partition column is " +
-        "directory-encoded, not in the files a bucketed scan hashes; " +
-        "re-seed to change the bucket layout")
+        s"${newPartitionCols.intersect(tgtBucketCols).mkString(",")} " +
+        "are in the (target) data-bucket layout — a partition column " +
+        "is directory-encoded, not in the files a bucketed scan " +
+        "hashes; change the bucket layout in the same call " +
+        "(newBucketCols/newBuckets)")
     val fc = fileContext(spark, path)
     // the full resolved snapshot — a repartition is a whole-table
     // rewrite by definition, so pending deltas fold in for free
@@ -4832,7 +4872,7 @@ object Layout {
     fc.delete(new Path(tmpDir), true)
     val obs = org.apache.spark.sql.Observation()
     clusteredWrite(spark, all.observe(obs, count(lit(1)).as("n")),
-      tmpDir, newPartitionCols, m.dataBucketCols, m.dataBuckets,
+      tmpDir, newPartitionCols, tgtBucketCols, tgtBuckets,
       sortTail = sortCols.map(col))
     val n0 = obs.get("n").asInstanceOf[Long]
     val n1 = spark.read.parquet(tmpDir).count()
@@ -4842,7 +4882,8 @@ object Layout {
     // a full rewrite lands every row under the new spec: prior eras are
     // fully migrated, so the spec history clears
     val m2 = m.copy(schemaDdl = ddl, partitionCols = newPartitionCols,
-      specHistory = Nil)
+      specHistory = Nil,
+      dataBucketCols = tgtBucketCols, dataBuckets = tgtBuckets)
     val (newStats, newFileStats) = statsAllUnder(spark, m2, tmpDir)
     val newBlooms = bloomsFor(spark, path, m2, Map.empty,
       srcDir = Some(tmpDir))

@@ -248,6 +248,23 @@ final class RestServer(driver: Driver, token: String, port: Int = 0,
             s"""{"respec":"${esc(cols.mkString(","))}","version":${
               graft.operators.Layout.manifestVersion(tableSpark,
                 p("path")).getOrElse(-1)}}""")
+        case "/api/repartition-table" =>
+          // full-rewrite layout change (repartitionManifest) — also
+          // the in-place bucket adoption path via new_bucket_cols/
+          // new_buckets (''/0 un-buckets)
+          val p = params(ex)
+          val cols = p("partition_cols").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          val nParts = graft.operators.Layout.repartitionManifest(
+            tableSpark, p("path"), cols,
+            sortCols = p.get("sort_cols").toSeq.flatMap(_.split(","))
+              .map(_.trim).filter(_.nonEmpty),
+            newBucketCols = p.get("new_bucket_cols").map(
+              _.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+            newBuckets = p.get("new_buckets").map(_.toInt))
+          respond(ex, 200,
+            s"""{"repartition":"${esc(cols.mkString(","))}",""" +
+              s""""partitions":$nParts}""")
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
     } catch {

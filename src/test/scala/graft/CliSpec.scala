@@ -271,6 +271,16 @@ class CliSpec extends SparkSpec {
     assert(reaped.contains("reaped") && !reaped.contains("reaped 0"),
       reaped)
     assert(Layout.readManifest(spark, dir).count() == 5)
+    // full-rewrite repartition verb: same spec restated, but adopting
+    // a data-bucket layout in place makes it a real (non-noop) rewrite
+    val repart = run("repartition-table", dir, "partition_cols=part",
+      "new_bucket_cols=k", "new_buckets=2")
+    assert(repart.contains("repartition") &&
+      repart.contains("partitions)"), repart)
+    val mB = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(mB.dataBuckets == 2 && mB.dataBucketCols == Seq("k"))
+    assert(Layout.readManifest(spark, dir).count() == 5)
     // a non-table path reports instead of stack-tracing
     val out2 = new ByteArrayOutputStream()
     assert(Cli.execute(url, Seq("describe-table", s"$root/nope"),

@@ -69,6 +69,19 @@ class SurfacesSpec extends SparkSpec {
       "Manifest", "IvmApply", "Zorder", "SortedWrite", "FoldDeltas",
       "Reap", "IvmSync", "ManifestFeed", "Repartition", "Maintain")
       .forall(PipelineConfig.registry.contains))
+    // the Repartition node parses the in-place bucket-adoption knobs
+    // (new_bucket_cols/new_buckets; '' + 0 un-buckets)
+    val rp = PipelineConfig.registry("Repartition")(
+      Map("path" -> "/t", "partition_cols" -> "day",
+        "new_bucket_cols" -> "k", "new_buckets" -> "16"),
+      new SourceRegistry).asInstanceOf[graft.models.RepartitionModel]
+    assert(rp.newBucketCols.contains(Seq("k")) &&
+      rp.newBuckets.contains(16))
+    val rpU = PipelineConfig.registry("Repartition")(
+      Map("path" -> "/t", "partition_cols" -> "day",
+        "new_bucket_cols" -> "", "new_buckets" -> "0"),
+      new SourceRegistry).asInstanceOf[graft.models.RepartitionModel]
+    assert(rpU.newBucketCols.contains(Nil) && rpU.newBuckets.contains(0))
   }
 
   test("Maintain node: data-derived policy folds EXACTLY the partitions " +

@@ -278,6 +278,130 @@ class ManifestBucketSpec extends SparkSpec {
       .agg(sum("kid")).head().getLong(0) == (1 to 60).map(_.toLong).sum)
   }
 
+  test("repartitionManifest buckets an EXISTING table in place (the " +
+      "100 TB adoption path): layout lands, DML keeps it, the change " +
+      "feed diffs the rewrite to nothing") {
+    val dir = tmpDir("adopt")
+    // plain (unbucketed) table with history: seed + one CoW merge
+    Layout.writeManifestTable(spark, dir, rows(60), Seq("part"),
+      keys = Seq("k"), versionCol = Some("ver"))
+    Layout.mergeManifest(spark, dir,
+      Seq((7L, "1", 7.7, 2L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    val vBefore = Layout.manifestVersion(spark, dir).get
+    // bucket it in place — partition spec unchanged
+    val nParts = Layout.repartitionManifest(spark, dir, Seq("part"),
+      newBucketCols = Some(Seq("k")), newBuckets = Some(4))
+    assert(nParts == 3)
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.dataBuckets == 4 && m.dataBucketCols == Seq("k"))
+    val expect = rows(60)
+      .withColumn("v", when(col("k") === 7L, 7.7).otherwise(col("v")))
+      .withColumn("ver", when(col("k") === 7L, 2L).otherwise(col("ver")))
+    assert(sortedRows(Layout.manifestTable(spark, dir)) ==
+      sortedRows(expect))
+    // the rewrite is row-invisible to CDC consumers
+    assert(Layout.manifestChanges(spark, dir, vBefore,
+      Layout.manifestVersion(spark, dir).get).isEmpty,
+      "an in-place rebucket must diff to nothing in the change feed")
+    // the adopted layout is the real contract: exchange-free agg and
+    // a post-rebucket merge preserves it
+    noBroadcast {
+      val g = Layout.manifestTable(spark, dir).groupBy("k")
+        .agg(sum("v").as("sv"))
+      g.collect()
+      assert(PlanScan.shuffles(g.queryExecution.executedPlan).isEmpty,
+        "adopted bucket layout must serve exchange-free aggregation")
+    }
+    Layout.mergeManifest(spark, dir,
+      Seq((9L, "0", 99.0, 3L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    val pat = """.*_(\d+)(?:\..*)?$""".r
+    Layout.manifestTable(spark, dir).inputFiles.foreach { f =>
+      assert(pat.findFirstIn(f.split("/").last).isDefined,
+        s"post-adoption merge file ${f.split("/").last} lost the naming")
+    }
+    // re-size 4 -> 2 in place, then un-bucket; both round-trip exactly
+    Layout.repartitionManifest(spark, dir, Seq("part"),
+      newBucketCols = Some(Seq("k")), newBuckets = Some(2))
+    assert(Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get).dataBuckets == 2)
+    val expect2 = expect
+      .withColumn("v", when(col("k") === 9L, 99.0).otherwise(col("v")))
+      .withColumn("ver", when(col("k") === 9L, 3L).otherwise(col("ver")))
+    assert(sortedRows(Layout.manifestTable(spark, dir)) ==
+      sortedRows(expect2))
+    Layout.repartitionManifest(spark, dir, Seq("part"),
+      newBucketCols = Some(Nil), newBuckets = Some(0))
+    val m3 = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m3.dataBuckets == 0 && m3.dataBucketCols.isEmpty)
+    assert(sortedRows(Layout.manifestTable(spark, dir)) ==
+      sortedRows(expect2))
+    // un-bucketed again: MoR deltas are legal once more
+    Layout.mergeManifestDelta(spark, dir,
+      Seq((1L, "1", 1.5, 4L)).toDF("k", "part", "v", "ver"),
+      Seq("k"), "ver")
+    assert(Layout.readManifest(spark, dir).filter(col("k") === 1L)
+      .head().getAs[Double]("v") == 1.5)
+    // refusals: half-declared layout; a no-op call; bucketing an
+    // append-only table
+    val eHalf = intercept[IllegalArgumentException] {
+      Layout.repartitionManifest(spark, dir, Seq("part"),
+        newBucketCols = Some(Seq("k")))
+    }
+    assert(eHalf.getMessage.contains("BOTH"))
+    val eNoop = intercept[IllegalArgumentException] {
+      Layout.repartitionManifest(spark, dir, Seq("part"))
+    }
+    assert(eNoop.getMessage.contains("already partitioned"))
+    val dirAo = tmpDir("adopt_ao")
+    Layout.writeManifestTable(spark, dirAo, rows(6), Seq("part"),
+      appendOnly = true)
+    val eAo = intercept[IllegalArgumentException] {
+      Layout.repartitionManifest(spark, dirAo, Seq("part"),
+        newBucketCols = Some(Seq("k")), newBuckets = Some(2))
+    }
+    assert(eAo.getMessage.contains("append-only"))
+  }
+
+  test("repartition_table from pure SQL adopts a bucket layout by " +
+      "table path; the registered bare name then serves it " +
+      "exchange-free") {
+    val dir = tmpDir("sqladopt")
+    Layout.writeManifestTable(spark, dir, rows(60), Seq("part"),
+      keys = Seq("k"), versionCol = Some("ver"))
+    spark.sql("DROP TABLE IF EXISTS t_badopt")
+    spark.sql(s"CREATE TABLE t_badopt USING manifest OPTIONS (path '$dir')")
+    val out = spark.sql(
+      s"SELECT * FROM repartition_table('$dir', 'part', 'k', 4)")
+      .collect().head
+    assert(out.getSeq[String](1) == Seq("part") && out.getInt(2) == 3)
+    val m = Layout.readManifestMeta(spark, dir,
+      Layout.manifestVersion(spark, dir).get)
+    assert(m.dataBuckets == 4 && m.dataBucketCols == Seq("k"))
+    noBroadcast {
+      val g = spark.sql("SELECT k, sum(v) AS sv FROM t_badopt GROUP BY k")
+      assert(g.count() == 60L)
+      assert(PlanScan.shuffles(g.queryExecution.executedPlan).isEmpty,
+        "bare-name groupBy after SQL adoption must not exchange")
+    }
+    // the layout is dashboard-visible
+    val det = spark.sql(
+      s"SELECT bucket_cols, buckets FROM manifest_detail('$dir')").head()
+    assert(det.getSeq[String](0) == Seq("k") && det.getInt(1) == 4,
+      s"manifest_detail must expose the bucket layout ($det)")
+    // 2-arg form still refuses a pure no-op
+    val eNoop = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT * FROM repartition_table('$dir', 'part')")
+        .collect()
+    }
+    assert(eNoop.getMessage.contains("already partitioned"),
+      eNoop.getMessage)
+    spark.sql("DROP TABLE IF EXISTS t_badopt")
+  }
+
   test("the layouts the contract cannot honor refuse loudly with " +
       "their remedies") {
     val dir = tmpDir("refuse")

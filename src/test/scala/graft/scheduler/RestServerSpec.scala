@@ -203,6 +203,17 @@ class RestServerSpec extends AnyFunSuite {
       assert(m2.partitionCols == Seq("ver") &&
         m2.specHistory == Seq(Seq("part")))
       assert(Layout.readManifest(spark, dir).count() == 5)
+      // full-rewrite repartition over HTTP finishes the migration AND
+      // adopts a data-bucket layout in place
+      val repart = call("/api/repartition-table", post = Some(
+        s"path=${enc(dir)}&partition_cols=ver" +
+          "&new_bucket_cols=k&new_buckets=2")).body()
+      assert(repart.contains("\"repartition\":\"ver\""), repart)
+      val m3 = Layout.readManifestMeta(spark, dir,
+        Layout.manifestVersion(spark, dir).get)
+      assert(m3.specHistory.isEmpty && m3.dataBuckets == 2 &&
+        m3.dataBucketCols == Seq("k"))
+      assert(Layout.readManifest(spark, dir).count() == 5)
     } finally srv.stop()
   }
 }
