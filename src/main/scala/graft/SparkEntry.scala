@@ -30,6 +30,17 @@ object SparkEntry {
       // config-level so every entry point (Verify, Bench, user
       // sessions built through configure) gets the same SQL surface
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // manifest reads hand Spark EXPLICIT generation-dir lists that are
+      // bounded by the touched-partition contract; above the default 32
+      // paths Spark launches a distributed listing JOB whose fixed
+      // latency dwarfs the listing itself (measured: ~0.17 s per job,
+      // 16 such jobs inside one 500-partition publish+read gate). List
+      // on the driver up to 1024 paths; on an object store whose
+      // per-listing round trip is slow, lower it back via the same
+      // conf/env (scale-dependent knob, local default documented in
+      // OPTIMIZATION_r17.md)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "1024"))
     if (sys.env.get("SPARK_GRAFT_ANSI").contains("1")) base
     else base.config("spark.sql.ansi.enabled", "false")
   }

@@ -1842,6 +1842,17 @@ object Layout {
     if (m.statsCols.isEmpty) (Map.empty, Map.empty)
     else {
       val perFile = fileStatsUnder(spark, m, tmpDir)
+      (rollupPerRel(spark, m, perFile), perFile)
+    }
+  }
+
+  /** Per-rel bounds rolled up from per-file stats strings — min of file
+    * mins / max of file maxes through Spark's own Cast + ordering, one
+    * tiny local job (the [[bucketRollups]] shape). */
+  private def rollupPerRel(spark: SparkSession, m: ManifestMeta,
+      perFile: Map[String, Map[String, Map[String, (Option[String], Option[String])]]]):
+      Map[String, Map[String, (Option[String], Option[String])]] = {
+    {
       val sch = manifestSchema(m)
       val rows = perFile.toSeq.sortBy(_._1).flatMap { case (rel, files) =>
         files.values.map { cols =>
@@ -1864,21 +1875,19 @@ object Layout {
         Seq(min(col(s"__mn_$i").cast(dt)).cast("string").as(s"__mn_$i"),
           max(col(s"__mx_$i").cast(dt)).cast("string").as(s"__mx_$i"))
       }
-      val perRel =
-        if (rows.isEmpty) Map.empty[String,
+      if (rows.isEmpty) Map.empty[String,
           Map[String, (Option[String], Option[String])]]
-        else spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](
-              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-            org.apache.spark.sql.types.StructType(fields))
-          .groupBy(col("rel")).agg(aggs.head, aggs.tail: _*)
-          .collect().map { r =>
-            r.getString(0) -> m.statsCols.zipWithIndex.map { case (c, i) =>
-              c -> (Option(r.getAs[String](s"__mn_$i")),
-                Option(r.getAs[String](s"__mx_$i")))
-            }.toMap
+      else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          org.apache.spark.sql.types.StructType(fields))
+        .groupBy(col("rel")).agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          r.getString(0) -> m.statsCols.zipWithIndex.map { case (c, i) =>
+            c -> (Option(r.getAs[String](s"__mn_$i")),
+              Option(r.getAs[String](s"__mx_$i")))
           }.toMap
-      (perRel, perFile)
+        }.toMap
     }
   }
 
@@ -1906,6 +1915,258 @@ object Layout {
       newGens.get(rel).map(g =>
         rel -> files.map { case (name, cols) => s"gen=$g/$name" -> cols })
     }
+
+  /** One walk of a writer's tmp tree in place of the post-write data
+    * rescan (optimization guide §6 — metadata, not data): per-rel data
+    * files with sizes (the [[bytesUnder]] listing), the exact total
+    * row count from parquet footer metadata (replacing the
+    * `spark.read.parquet(tmpDir).count()` verify job), and — when
+    * every stats column has a sound footer mapping — per-row-group
+    * min/max values for [[statsFromScan]]. At 100 TB the old path
+    * re-read every byte a publish had just written; the footers are
+    * KBs per file and were written milliseconds ago (page-cache hot).
+    * Driver-side result stays bounded by the touched-file count, the
+    * same bound the per-file stats collect already had. */
+  private[operators] final case class TmpScan(
+      files: Map[String, Seq[(String, Long)]],
+      rows: Long,
+      blockStats: Option[Seq[(String, String,
+        IndexedSeq[(Option[Any], Option[Any])])]]) {
+    def bytes: Map[String, Long] =
+      files.map { case (rel, fs) => rel -> fs.map(_._2).sum }
+  }
+
+  /** Convert one parquet footer statistic to the EXTERNAL Spark value
+    * of the declared column type, or None when the mapping is not
+    * sound (type mismatch, NaN-poisoned float stats, sub-micro
+    * timestamp units whose flooring could narrow a bound) — None makes
+    * the caller fall back to the data-scan path for the whole table.
+    * Binary/string footer bounds may be writer-truncated; parquet
+    * truncation keeps them SOUND (prefix min, last-byte-incremented
+    * max), merely wider — pruning reads more, never less. */
+  private def footerStat(dt: org.apache.spark.sql.types.DataType,
+                         prim: org.apache.parquet.schema.PrimitiveType,
+                         v: AnyRef): Option[Any] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    try {
+      val ptn = prim.getPrimitiveTypeName
+      dt match {
+        case LongType if ptn == INT64 => Some(v)
+        case IntegerType if ptn == INT32 => Some(v)
+        case ShortType if ptn == INT32 =>
+          Some(v.asInstanceOf[java.lang.Integer].shortValue())
+        case ByteType if ptn == INT32 =>
+          Some(v.asInstanceOf[java.lang.Integer].byteValue())
+        case BooleanType if ptn == BOOLEAN => Some(v)
+        case FloatType if ptn == FLOAT =>
+          val f = v.asInstanceOf[java.lang.Float]
+          if (f.isNaN) None else Some(f)
+        case DoubleType if ptn == DOUBLE =>
+          val d = v.asInstanceOf[java.lang.Double]
+          if (d.isNaN) None else Some(d)
+        case StringType if ptn == BINARY =>
+          Some(v.asInstanceOf[org.apache.parquet.io.api.Binary]
+            .toStringUsingUTF8)
+        case DateType if ptn == INT32 &&
+            prim.getLogicalTypeAnnotation
+              .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+          Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .toJavaDate(v.asInstanceOf[java.lang.Integer]))
+        case TimestampType | TimestampNTZType if ptn == INT64 =>
+          prim.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              val raw = v.asInstanceOf[java.lang.Long].longValue()
+              val micros = t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => Some(raw)
+                case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                  Some(Math.multiplyExact(raw, 1000L))
+                case _ => None // NANOS: flooring could narrow a bound
+              }
+              micros.map { us =>
+                if (dt == TimestampType)
+                  org.apache.spark.sql.catalyst.util.DateTimeUtils
+                    .toJavaTimestamp(us)
+                else
+                  org.apache.spark.sql.catalyst.util.DateTimeUtils
+                    .microsToLocalDateTime(us)
+              }
+            case _ => None
+          }
+        case d: DecimalType =>
+          prim.getLogicalTypeAnnotation match {
+            case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+                if a.getScale == d.scale =>
+              ptn match {
+                case INT32 | INT64 =>
+                  Some(java.math.BigDecimal.valueOf(
+                    v.asInstanceOf[java.lang.Number].longValue(), d.scale))
+                case BINARY | FIXED_LEN_BYTE_ARRAY =>
+                  Some(new java.math.BigDecimal(new java.math.BigInteger(
+                    v.asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .getBytes), d.scale))
+                case _ => None
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private def scanTmpTree(spark: SparkSession, fc: FileContext,
+                          m: ManifestMeta, tmpDir: String,
+                          rels: Seq[String]): TmpScan = {
+    val sch = manifestSchema(m)
+    // a stats column that is ALSO a partition column is directory-
+    // encoded — its values are not in the data files, so footer stats
+    // cannot serve it; the data-scan fallback (which reads with
+    // basePath) still can
+    val footerEligible = m.statsCols.nonEmpty &&
+      m.statsCols.forall(c => !m.partitionCols.contains(c))
+    val listed: Seq[(String, Seq[(String, Long)])] = inParallel(rels) { rel =>
+      rel -> fc.util.listStatus(new Path(s"$tmpDir/$rel"))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => (st.getPath.getName, st.getLen)).toSeq.sortBy(_._1)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val allFiles = listed.flatMap { case (rel, fs) =>
+      fs.map { case (name, _) => (rel, name) } }
+    val bailReason =
+      new java.util.concurrent.atomic.AtomicReference[String](null)
+    // per-file footer read: row counts always; per-block min/max only
+    // while every needed chunk stays soundly mappable
+    val perFile = inParallel(allFiles) { case (rel, name) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(s"$tmpDir/$rel/$name"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val stats: Option[Seq[IndexedSeq[(Option[Any], Option[Any])]]] =
+          if (!footerEligible) None
+          else {
+            val perBlock = blocks.map { b =>
+              val chunks = b.getColumns.asScala
+              val bounds = m.statsCols.map { c =>
+                chunks.find(_.getPath.toDotString == c) match {
+                  case None =>
+                    bailReason.compareAndSet(null,
+                      s"column $c absent from $rel/$name")
+                    None
+                  case Some(ch) =>
+                    val st = ch.getStatistics
+                    if (st == null) {
+                      bailReason.compareAndSet(null,
+                        s"no footer statistics for $c in $rel/$name")
+                      None
+                    } else if (!st.hasNonNullValue) {
+                      // all-null chunk → sound unbounded entry; stats
+                      // DROPPED (e.g. oversized binary) is not
+                      // distinguishable except through the null count
+                      if (st.isNumNullsSet && st.getNumNulls == b.getRowCount)
+                        Some((Option.empty[Any], Option.empty[Any]))
+                      else {
+                        bailReason.compareAndSet(null,
+                          s"dropped footer statistics for $c in $rel/$name")
+                        None
+                      }
+                    } else {
+                      val dt = sch(c).dataType
+                      (footerStat(dt, ch.getPrimitiveType,
+                          st.genericGetMin().asInstanceOf[AnyRef]),
+                        footerStat(dt, ch.getPrimitiveType,
+                          st.genericGetMax().asInstanceOf[AnyRef])) match {
+                        case (Some(mn), Some(mx)) => Some((Some(mn), Some(mx)))
+                        case _ =>
+                          bailReason.compareAndSet(null,
+                            s"no sound mapping for $c " +
+                              s"(${sch(c).dataType.sql} <- " +
+                              s"${ch.getPrimitiveType}) in $rel/$name")
+                          None
+                      }
+                    }
+                }
+              }
+              if (bounds.exists(_.isEmpty)) None
+              else Some(bounds.map(_.get).toIndexedSeq)
+            }
+            if (perBlock.exists(_.isEmpty)) None
+            else Some(perBlock.map(_.get))
+          }
+        (rel, name, rows, stats)
+      } finally r.close()
+    }
+    val blockStats =
+      if (!footerEligible) None
+      else if (perFile.exists(_._4.isEmpty)) {
+        // operational breadcrumb: the fallback is a full rescan of the
+        // written bytes — at scale that is worth a visible line
+        System.err.println(s"[layout] footer stats unavailable under " +
+          s"$tmpDir (${Option(bailReason.get).getOrElse("?")}); " +
+          "falling back to the data-scan stats pass")
+        None
+      } else Some(perFile.flatMap { case (rel, name, _, st) =>
+        st.get.map(bounds => (rel, name, bounds)) })
+    TmpScan(listed.toMap, perFile.map(_._3).sum, blockStats)
+  }
+
+  /** Both stats granularities from a [[scanTmpTree]] result: per-file
+    * strings and the per-rel rollup render through ONE tiny
+    * LocalRelation aggregate (Spark's own min/max ordering + Cast — the
+    * exact semantics of the data-scan path), no data pass. Tables whose
+    * stats columns have no sound footer mapping fall back to
+    * [[statsAllUnder]]'s distributed scan. */
+  private def statsFromScan(spark: SparkSession, m: ManifestMeta,
+                            tmpDir: String, scan: TmpScan):
+      (Map[String, Map[String, (Option[String], Option[String])]],
+       Map[String, Map[String, Map[String, (Option[String], Option[String])]]]) = {
+    if (m.statsCols.isEmpty) (Map.empty, Map.empty)
+    else scan.blockStats match {
+      case None => statsAllUnder(spark, m, tmpDir)
+      case Some(blocks) if blocks.isEmpty => (Map.empty, Map.empty)
+      case Some(blocks) =>
+        val sch = manifestSchema(m)
+        val fields = Seq(
+          org.apache.spark.sql.types.StructField("rel",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType)) ++
+          m.statsCols.zipWithIndex.flatMap { case (c, i) =>
+            Seq(org.apache.spark.sql.types.StructField(s"__mn_$i",
+              sch(c).dataType),
+              org.apache.spark.sql.types.StructField(s"__mx_$i",
+                sch(c).dataType))
+          }
+        val rows = blocks.map { case (rel, file, bounds) =>
+          org.apache.spark.sql.Row.fromSeq(rel +: file +:
+            bounds.flatMap { case (mn, mx) => Seq(mn.orNull, mx.orNull) })
+        }
+        val aggs = m.statsCols.zipWithIndex.flatMap { case (_, i) =>
+          Seq(min(col(s"__mn_$i")).cast("string").as(s"__mn_$i"),
+            max(col(s"__mx_$i")).cast("string").as(s"__mx_$i"))
+        }
+        val perFile = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            org.apache.spark.sql.types.StructType(fields))
+          .groupBy(col("rel"), col("file")).agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            (r.getString(0), r.getString(1),
+              m.statsCols.zipWithIndex.map { case (c, i) =>
+                c -> (Option(r.getAs[String](s"__mn_$i")),
+                  Option(r.getAs[String](s"__mx_$i")))
+              }.toMap)
+          }
+          .groupBy(_._1)
+          .map { case (rel, rs) => rel -> rs.map(t => t._2 -> t._3).toMap }
+        (rollupPerRel(spark, m, perFile), perFile)
+    }
+  }
 
   /** Per-partition bloom filters of `bloomCols` over the given
     * generation dirs — ONE distributed aggregate (groupBy partition
@@ -2357,15 +2618,15 @@ object Layout {
       morKeys = keys, morVersionCol = versionCol,
       dataBucketCols = bucketCols, dataBuckets = buckets)
     // derive the published metadata from the tmp tree BEFORE the
-    // renames scatter it: one recursive listing of one root, not
-    // |partitions| explicit gen paths (at 525 partitions this halves
-    // the publish cost)
-    val (seedStats, seedFileStats) = statsAllUnder(spark, meta0, tmpDir)
+    // renames scatter it: one footer walk of one root — file list,
+    // bytes and stats without re-reading the data just written
+    val scan = scanTmpTree(spark, fc, meta0, tmpDir, rels)
+    val (seedStats, seedFileStats) = statsFromScan(spark, meta0, tmpDir, scan)
     val meta1 = meta0.copy(
       stats = seedStats,
       fileStats = genKeyedFileStats(seedFileStats, gens),
       blooms = bloomsFor(spark, path, meta0, gens, srcDir = Some(tmpDir)),
-      bytes = bytesUnder(fc, tmpDir, rels),
+      bytes = scan.bytes,
       op = "seed")
     inParallel(rels) { rel =>
       val dst = new Path(s"$path/$rel/gen=1")
@@ -2872,12 +3133,13 @@ object Layout {
             s"${expectedProduced.mkString(",")} — partition rendering " +
             "mismatch")
         // derive published metadata from the tmp tree BEFORE the commit
-        // (one root listing, not |touched| gen paths — and outside the
-        // lease, so the critical section stays renames + one JSON)
-        val (newStats, newFileStats) = statsAllUnder(spark, m0, tmpDir)
+        // (one footer walk, no data rescan — and outside the lease, so
+        // the critical section stays renames + one JSON)
+        val scan = scanTmpTree(spark, fc, m0, tmpDir, produced)
+        val (newStats, newFileStats) = statsFromScan(spark, m0, tmpDir, scan)
         val newBlooms = bloomsFor(spark, path, m0, Map.empty,
           srcDir = Some(tmpDir))
-        val newBytes = bytesUnder(fc, tmpDir, produced)
+        val newBytes = scan.bytes
         // COMMIT: short lease — re-read the live manifest, rebase or
         // conflict, rename the tmp tree into gen dirs, one publish
         val outcome: Either[String, Boolean] =
@@ -3129,7 +3391,8 @@ object Layout {
           s"appendManifest: writer produced partition dirs " +
             s"${unexpected.mkString(",")} outside the touched set — " +
             "partition rendering mismatch")
-        val (deltaStats, deltaFileStats) = statsAllUnder(spark, m0, tmpDir)
+        val (deltaStats, deltaFileStats) = statsFromScan(spark, m0, tmpDir,
+          scanTmpTree(spark, fc, m0, tmpDir, produced))
         val deltaBlooms = bloomsFor(spark, path, m0, Map.empty,
           srcDir = Some(tmpDir))
         val outcome: Either[String, Boolean] =
@@ -3328,9 +3591,11 @@ object Layout {
           s"mergeManifestDelta: writer produced partition dirs " +
             s"${unexpected.mkString(",")} outside the touched set — " +
             "partition rendering mismatch")
-        // delta stats/blooms: one aggregate each over the tmp tree —
-        // widened monotonically into the standing ones at commit time
-        val (deltaStats, deltaFileStats) = statsAllUnder(spark, m0, tmpDir)
+        // delta stats from the written footers (blooms stay the one
+        // aggregate) — widened monotonically into the standing ones at
+        // commit time
+        val (deltaStats, deltaFileStats) = statsFromScan(spark, m0, tmpDir,
+          scanTmpTree(spark, fc, m0, tmpDir, produced))
         val deltaBlooms = bloomsFor(spark, path, m0, Map.empty,
           srcDir = Some(tmpDir))
         val outcome: Either[String, Boolean] =
@@ -3447,20 +3712,22 @@ object Layout {
           .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
           .partitionBy(m.partitionCols: _*).parquet(tmpDir)
         val n0 = obs.get("n").asInstanceOf[Long]
-        val n1 = spark.read.parquet(tmpDir).count()
-        require(n1 == n0,
-          s"delta fold would lose rows: $n0 -> $n1; aborting")
         val produced = listPartitionRels(fc, new Path(tmpDir))
         val unexpected = produced.filterNot(rels.toSet)
         require(unexpected.isEmpty,
           s"foldManifestDeltas: writer produced partition dirs " +
             s"${unexpected.mkString(",")} outside the delta-bearing set — " +
             "partition rendering mismatch")
-        // published metadata from the tmp tree, before the commit
-        val (newStats, newFileStatsRaw) = statsAllUnder(spark, m, tmpDir)
+        // published metadata from the written footers, before the
+        // commit — the row-count verify reads parquet metadata, not
+        // the data
+        val scan = scanTmpTree(spark, fc, m, tmpDir, produced)
+        require(scan.rows == n0,
+          s"delta fold would lose rows: $n0 -> ${scan.rows}; aborting")
+        val (newStats, newFileStatsRaw) = statsFromScan(spark, m, tmpDir, scan)
         val newBlooms = bloomsFor(spark, path, m, Map.empty,
           srcDir = Some(tmpDir))
-        val newBytes = bytesUnder(fc, tmpDir, produced)
+        val newBytes = scan.bytes
         withMaintenanceLock(spark, path, lockWaitMs(spark)) {
           val v1 = manifestVersion(spark, path).get
           val m1 = if (v1 == v) m else readManifestMeta(spark, path, v1)
@@ -4441,21 +4708,22 @@ object Layout {
           tmpDir, m.partitionCols, m.dataBucketCols, m.dataBuckets,
           sortTail = sortTail, dropCols = Seq("__z"))
         val n0 = obs.get("n").asInstanceOf[Long]
-        val n1 = spark.read.parquet(tmpDir).count()
-        require(n1 == n0,
-          s"manifest compaction would lose rows: $n0 -> $n1; aborting")
         val produced = listPartitionRels(fc, new Path(tmpDir))
         val unexpected = produced.filterNot(selected.toSet)
         require(unexpected.isEmpty,
           s"compactManifest: writer produced partition dirs " +
             s"${unexpected.mkString(",")} outside the selected set — " +
             "partition rendering mismatch")
-        // per-FILE stats over the rewritten output: a sorted/z-ordered
-        // compaction is exactly where per-file ranges turn disjoint, so
-        // the one extra aggregate buys file-granular skipping on every
-        // read after (partition-level stats carry forward unchanged —
-        // the rewrite is row-identical)
-        val (_, compactFileStats) = statsAllUnder(spark, m, tmpDir)
+        // row-count verify + per-FILE stats from the written footers: a
+        // sorted/z-ordered compaction is exactly where per-file ranges
+        // turn disjoint, so file-granular skipping comes along free
+        // (partition-level stats carry forward unchanged — the rewrite
+        // is row-identical)
+        val scan = scanTmpTree(spark, fc, m, tmpDir, produced)
+        require(scan.rows == n0,
+          s"manifest compaction would lose rows: $n0 -> ${scan.rows}; " +
+            "aborting")
+        val (_, compactFileStats) = statsFromScan(spark, m, tmpDir, scan)
         withMaintenanceLock(spark, path, lockWaitMs(spark)) {
           val v1 = manifestVersion(spark, path).get
           val m1 = if (v1 == v) m else readManifestMeta(spark, path, v1)
@@ -4492,7 +4760,10 @@ object Layout {
             }.toMap
             writeManifestMeta(spark, path, m1.copy(version = v1 + 1,
               entries = m1.entries ++ newGens.toMap,
-              bytes = m1.bytes ++ bytesFor(spark, path, newGens.toMap),
+              // bytes from the pre-rename footer walk (same files, just
+              // renamed) — no second listing of the published gen dirs
+              bytes = m1.bytes ++
+                scan.bytes.filter { case (rel, _) => newGens.contains(rel) },
               fileStats = m1.fileStats ++ compactedFs,
               op = "compact", opDeletes = false))
             newGens.keys.toSeq.sorted
@@ -4695,9 +4966,6 @@ object Layout {
           tmpDir, pcols, m0.dataBucketCols, m0.dataBuckets,
           sortTail = sortCols.map(col))
         val n0 = obs.get("n").asInstanceOf[Long]
-        val n1 = spark.read.parquet(tmpDir).count()
-        require(n1 == n0,
-          s"migration would lose rows: $n0 -> $n1; aborting")
         val produced = listPartitionRels(fc, new Path(tmpDir))
         val expected = (landing ++ baseRels).toSet
         val unexpected = produced.filterNot(expected.contains)
@@ -4705,11 +4973,15 @@ object Layout {
           s"migrateManifestPartitions: writer produced partition dirs " +
             s"${unexpected.mkString(",")} outside the landing set — " +
             "partition rendering mismatch")
-        // derive published metadata from the tmp tree BEFORE the commit
-        val (newStats, newFileStats) = statsAllUnder(spark, m0, tmpDir)
+        // derive published metadata from the written footers BEFORE the
+        // commit; the row-count verify is parquet metadata, no rescan
+        val scan = scanTmpTree(spark, fc, m0, tmpDir, produced)
+        require(scan.rows == n0,
+          s"migration would lose rows: $n0 -> ${scan.rows}; aborting")
+        val (newStats, newFileStats) = statsFromScan(spark, m0, tmpDir, scan)
         val newBlooms = bloomsFor(spark, path, m0, Map.empty,
           srcDir = Some(tmpDir))
-        val newBytes = bytesUnder(fc, tmpDir, produced)
+        val newBytes = scan.bytes
         // COMMIT: short lease — re-read the live manifest, rebase or
         // conflict, rename the tmp tree into gen dirs, one publish
         val outcome: Either[String, Seq[String]] =
@@ -4875,19 +5147,19 @@ object Layout {
       tmpDir, newPartitionCols, tgtBucketCols, tgtBuckets,
       sortTail = sortCols.map(col))
     val n0 = obs.get("n").asInstanceOf[Long]
-    val n1 = spark.read.parquet(tmpDir).count()
-    require(n1 == n0,
-      s"repartition would lose rows: $n0 -> $n1; aborting")
     val produced = listPartitionRels(fc, new Path(tmpDir))
     // a full rewrite lands every row under the new spec: prior eras are
     // fully migrated, so the spec history clears
     val m2 = m.copy(schemaDdl = ddl, partitionCols = newPartitionCols,
       specHistory = Nil,
       dataBucketCols = tgtBucketCols, dataBuckets = tgtBuckets)
-    val (newStats, newFileStats) = statsAllUnder(spark, m2, tmpDir)
+    val scan = scanTmpTree(spark, fc, m2, tmpDir, produced)
+    require(scan.rows == n0,
+      s"repartition would lose rows: $n0 -> ${scan.rows}; aborting")
+    val (newStats, newFileStats) = statsFromScan(spark, m2, tmpDir, scan)
     val newBlooms = bloomsFor(spark, path, m2, Map.empty,
       srcDir = Some(tmpDir))
-    val newBytes = bytesUnder(fc, tmpDir, produced)
+    val newBytes = scan.bytes
     val newGens = inParallel(produced) { rel =>
       // collision-free above manifest and disk (nextGenOnDisk): a
       // repartition BACK to a previous scheme lands beside dirs that
