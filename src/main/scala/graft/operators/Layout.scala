@@ -456,10 +456,23 @@ object Layout {
     * everything the rewrite needs. With `deleteCol` (CDC apply): a
     * winning row whose flag is true REMOVES the key.
     */
+  /** `clusterCols`/`clusterParts` (the partitioned-merge fast path):
+    * hash-repartition the tagged union by the table's partition
+    * columns BEFORE the window, and partition the window by
+    * (clusterCols ++ keys). Because a key's partition values are
+    * immutable under the merge contract (the same invariant
+    * [[resolveMor]] already relies on), the per-key groups — and so the
+    * winners — are identical; but HashPartitioning(clusterCols)
+    * satisfies ClusteredDistribution(clusterCols ++ keys), so the
+    * window adds NO second exchange and the caller can write
+    * partition-clustered output directly: ONE shuffle of the merged
+    * data instead of two (optimization guide §2.4). */
   private def latestWins(b: DataFrame, u: DataFrame, keys: Seq[String],
                          versionCol: String,
                          deleteCol: Option[String],
-                         forceWins: Boolean = false): DataFrame = {
+                         forceWins: Boolean = false,
+                         clusterCols: Seq[String] = Nil,
+                         clusterParts: Int = 0): DataFrame = {
     // loud schema contract (CDC pipelines hit schema drift constantly):
     // the update batch must carry EVERY base column — a missing one
     // would otherwise surface as a raw resolver error — and must not
@@ -482,18 +495,21 @@ object Layout {
       "project the batch explicitly")
     val cols = b.columns.filterNot(deleteCol.contains)
     val del = deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false))
-    val tagged = b.select(cols.map(col): _*)
+    val union = b.select(cols.map(col): _*)
         .withColumn("__src", lit(0)).withColumn("__del", lit(false))
       .unionByName(u.withColumn("__del", coalesce(del, lit(false)))
         .select((cols.map(col) :+ col("__del")): _*)
         .withColumn("__src", lit(1)))
+    val tagged =
+      if (clusterCols.isEmpty) union
+      else union.repartition(clusterParts, clusterCols.map(col): _*)
     // forceWins: the batch is AUTHORITATIVE — its rows outrank the
     // base regardless of versionCol (a net snapshot diff re-creating a
     // key with a LOWER version must still replace the base row); within
     // the batch versionCol still breaks ties. Default: versionCol
     // dominates, update wins ties (idempotent CDC latest-wins).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
+      .partitionBy((clusterCols ++ keys).distinct.map(col): _*)
       .orderBy((if (forceWins) Seq(col("__src").desc, col(versionCol).desc)
                 else Seq(col(versionCol).desc, col("__src").desc)): _*)
     tagged.withColumn("__rn", row_number().over(w))
@@ -3117,12 +3133,23 @@ object Layout {
       val base = readResolved(spark, path, m0, baseRels)
       val tmpDir = uniqueTmpDir(path)
       try withTmpHeartbeat(fc, tmpDir) {
-        // cluster on the partition columns after the latest-wins window
-        // (plus the bucket id on a bucketed table — the rewrite
-        // preserves the naming + placement contract)
-        clusteredWrite(spark,
-          latestWins(base, updates, keys, versionCol, deleteCol, forceWins),
-          tmpDir, pcols, m0.dataBucketCols, m0.dataBuckets)
+        // ONE shuffle for resolve + layout on unbucketed tables: the
+        // tagged union pre-partitions by the partition columns, the
+        // latest-wins window rides that clustering (see latestWins),
+        // and the partitioned write needs no second repartition.
+        // Bucketed tables keep the two-step path — the bucket-id dir
+        // column is not a function of the window keys
+        if (m0.dataBuckets > 0)
+          clusteredWrite(spark,
+            latestWins(base, updates, keys, versionCol, deleteCol,
+              forceWins),
+            tmpDir, pcols, m0.dataBucketCols, m0.dataBuckets)
+        else
+          latestWins(base, updates, keys, versionCol, deleteCol, forceWins,
+              clusterCols = pcols, clusterParts = shufflePartitions(spark))
+            .write.mode(SaveMode.Overwrite)
+            .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+            .partitionBy(pcols: _*).parquet(tmpDir)
         val produced = listPartitionRels(fc, new Path(tmpDir))
         // a produced rel outside the touched+landing set means the Cast
         // rendering and the writer disagreed — fail BEFORE publishing
@@ -3856,9 +3883,25 @@ object Layout {
     }
     val before = side(mFrom)
     val after = side(mTo)
-    after.exceptAll(before).withColumn("_change_type", lit("insert"))
-      .unionByName(
-        before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    // ONE signed-count pass instead of two exceptAll diffs: Spark
+    // compiles exceptAll to union + sum(±1) + replicate, so the
+    // two-direction form scanned both snapshots TWICE and shuffled
+    // twice. Tagging after=+1 / before=−1 and grouping once yields the
+    // identical multiset diff — net>0 rows are inserts (×net), net<0
+    // deletes (×|net|) — with half the scans and one Exchange
+    // (optimization guide §2.3/§2.4; plan diff in
+    // plans/r17/m52_manifest_changes_*.txt)
+    val dataCols = toSchema.fieldNames.toSeq
+    after.withColumn("__w", lit(1L))
+      .unionByName(before.withColumn("__w", lit(-1L)))
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("__w")).as("__net"))
+      .filter(col("__net") =!= 0L)
+      .select(dataCols.map(col) :+
+        when(col("__net") > 0, lit("insert")).otherwise(lit("delete"))
+          .as("_change_type") :+
+        explode(sequence(lit(1L), abs(col("__net")))).as("__dup"): _*)
+      .drop("__dup")
   }
 
   /** The rows APPENDED to the manifest table in versions
