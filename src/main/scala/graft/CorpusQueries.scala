@@ -53,55 +53,6 @@ object CorpusQueries {
         (col("__hits") >= ceil(lit(floor) * col("__exact"))).as("floor_met"))
   }
 
-  /** Per-corpus memo of the EXACT cosine pair set + corpus count for
-    * measured-capture gates: the brute all-pairs scan is the gate's
-    * REFERENCE, not the path under measurement, so it computes once
-    * per (corpus, threshold) per process and replays from memory on
-    * every later call — a benched min-of-N time then tracks the IVF
-    * path the gate claims to measure, not the quadratic reference (the
-    * v08 quadratic-oracle lesson applied to the engine side). Bounded
-    * collect: near-dup pair sets are sparse by construction (144 pairs
-    * at sf0.1) and the hard cap fails loudly with the remedy long
-    * before a dense corpus could collect unboundedly. At SFs beyond
-    * the oracle's quadratic reach the whole two-sided gate shape (a
-    * DuckDB brute join) stops being runnable anyway — the at-scale
-    * posture is the sampled-capture probe (S06Probe), not this gate. */
-  private val exactPairMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (Array[(Long, Long)], Long)]()
-  private def exactCosinePairs(s: SparkSession, dir: String,
-                               threshold: Double): (DataFrame, Long) = {
-    // the memo key carries a content fingerprint of the embeddings
-    // files (name/length/mtime), so a corpus REWRITTEN under the same
-    // dir within one JVM (a reseeding driver, a long test session)
-    // recomputes instead of replaying a stale reference set
-    val fp = {
-      val root = new java.io.File(s"$dir/embeddings.parquet")
-      val fs =
-        if (root.isDirectory)
-          Option(root.listFiles()).getOrElse(Array.empty)
-        else Array(root) // single-file table
-      fs.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .sorted.mkString("|").hashCode
-    }
-    val (pairs, n) = exactPairMemo.computeIfAbsent(
-      s"$dir@$threshold@$fp", _ => {
-      val e = embs(s, dir)
-      val maxPairs = 4000000
-      val rows = Similarity.cosineNearDupPairs(e, threshold)
-        .select(col("id_a"), col("id_b")).limit(maxPairs + 1).collect()
-      require(rows.length <= maxPairs,
-        s"exact cosine pair set at threshold $threshold exceeds " +
-          s"$maxPairs pairs — this corpus is too dup-dense for the " +
-          "in-memory reference memo; gate capture on a deterministic " +
-          "sample instead")
-      (rows.map(r => (r.getLong(0), r.getLong(1))), e.count())
-    })
-    val spk = s
-    import spk.implicits._
-    (pairs.toSeq.toDF("id_a", "id_b"), n)
-  }
-
   /** Pair-scan twin of [[annRecallGate]]: one full-outer join over
     * (id_a, id_b) yields the exact pair count (real-oracled), whether
     * every approx pair is a true pair (cosine-verified candidates make
@@ -555,21 +506,37 @@ object CorpusQueries {
     "s11_ann_index_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_s11_${Integer.toHexString(dir.hashCode)}"
-      AnnIndex.build(e, path, nlist = 32, m = 8)
+      // build RETURNS the loaded index — reusing it (instead of two
+      // more AnnIndex.load calls) drops 6 small quantizer-collect jobs
+      val idx = AnnIndex.build(e, path, nlist = 32, m = 8)
       AnnIndex.cleanup(s, path) // this run's build supersedes any prior generation
       // density-scaled rescore margin — see s08
       val rf = math.max(8L, math.min(64L, e.count() / 1250)).toInt
       val q = e.filter(col("vec_id") < 20L)
-      val fromIndex = AnnIndex.load(s, path)
-        .topK(q, k = 5, nprobe = 0, rescoreFactor = rf)
+      // tiny result (|q| x k rows) computed ONCE per gate invocation:
+      // localCheckpoint materializes it so the equality pin below and
+      // the recall gate don't re-run the full ADC scan (it used to
+      // compute 3x: once per exceptAll direction + once in the gate)
+      val fromIndex = idx.topK(q, k = 5, nprobe = 0, rescoreFactor = rf)
+        .localCheckpoint()
       // the INDEX MACHINERY's claim stays exact and scale-invariant:
       // the loaded-artifact path answers IDENTICALLY to the
       // retrain-in-place s08 kernel given the same quantizers — only
       // PQ's recall-vs-compression (gated in s08) is approximate
       val inPlace = Similarity.pqTopK(e, q, k = 5, rescoreFactor = rf,
-        trainedCodebooks = Some(AnnIndex.load(s, path).codebooks))
-      require(fromIndex.exceptAll(inPlace).isEmpty &&
-          inPlace.exceptAll(fromIndex).isEmpty,
+        trainedCodebooks = Some(idx.codebooks))
+      // multiset equality in ONE pass over each side (the signed-count
+      // form Spark itself compiles exceptAll into): net-count 0 on
+      // every row group ⇔ both exceptAll directions empty — same pin,
+      // one action instead of two, each side scanned once instead of
+      // twice (optimization guide §2.3)
+      val dataCols = fromIndex.columns.toSeq
+      val mismatch = fromIndex.withColumn("__w", lit(1L))
+        .unionByName(inPlace.withColumn("__w", lit(-1L)))
+        .groupBy(dataCols.map(col): _*)
+        .agg(sum(col("__w")).as("__net"))
+        .filter(col("__net") =!= 0L)
+      require(mismatch.isEmpty,
         "the persisted-index path must equal the in-place path exactly")
       annRecallGate(Similarity.bruteForceTopK(e, q, k = 5), fromIndex,
         floor = 0.85)
@@ -628,13 +595,15 @@ object CorpusQueries {
     // gated claim.
     "s06_ivf_cosine_pairs" -> ((s, dir) => {
       val e = embs(s, dir)
-      // the exact reference side (brute pair set + corpus count) comes
-      // from the per-process memo: computed once, replayed thereafter —
-      // the gate's repeated cost is the IVF scan it claims to measure
-      val (exact, n) = exactCosinePairs(s, dir, threshold = 0.45)
-      val nprobe = math.max(8L, math.min(32L, n / 125)).toInt
+      // the exact brute reference computes FRESH on every call (the
+      // r17 per-process memo replayed it from memory on bench passes
+      // 2..N, detaching the recorded min from the committed baseline —
+      // de-gamed per the r17 verdict: no cross-pass memoized state in
+      // any benched path; the gate's cost is reference + IVF, exactly
+      // what its 1.39 s baseline entry was set with)
+      val nprobe = math.max(8L, math.min(32L, e.count() / 125)).toInt
       pairCaptureGate(
-        exact,
+        Similarity.cosineNearDupPairs(e, threshold = 0.45),
         Similarity.cosineNearDupPairsIvf(e, threshold = 0.45,
           nlist = 32, nprobe = nprobe),
         floor = 0.95)

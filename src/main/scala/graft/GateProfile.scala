@@ -39,9 +39,9 @@ object GateProfile {
         // of the first stage's creation site
         val site = prop("callSite.short")
           .orElse(prop("spark.job.description").map(_.take(60)))
-          .orElse(js.stageInfos.headOption.flatMap(si =>
+          .orElse(js.stageInfos.iterator.flatMap(si =>
             si.details.linesIterator.find(_.contains("graft."))
-              .map(_.trim.take(90))))
+              .map(_.trim.take(90))).toSeq.headOption)
           .getOrElse("?")
         jobs.put(js.jobId, JobSpan(site, js.time, js.time))
       }
@@ -51,9 +51,14 @@ object GateProfile {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    // driver-thread sampler: histogram the MAIN thread's deepest graft
-    // frame every 20 ms — attributes the "driver gap" (renames,
-    // listings, planning) that job wall time cannot see
+    // driver-thread sampler: histogram every live thread's deepest
+    // graft frame every 20 ms — attributes the "driver gap" (renames,
+    // listings, planning) that job wall time cannot see. Sampling ALL
+    // threads (r18) instead of only main matters for streaming gates:
+    // main blocks in awaitTermination while the real work happens on
+    // the micro-batch thread — a main-only histogram showed nothing.
+    // Threads with no graft frame attribute to their deepest streaming/
+    // execution frame so stream-machinery overhead is visible too.
     val mainThread = Thread.currentThread()
     val hist = new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.atomic.AtomicLong]()
@@ -61,18 +66,34 @@ object GateProfile {
     val sampler = new Thread(() => {
       while (true) {
         if (sampling) {
-          val st = mainThread.getStackTrace
-          val frame = st.find(f =>
-              f.getClassName.startsWith("graft.") &&
-                !f.getClassName.contains("GateProfile"))
-            .orElse(st.headOption)
-            .map(f => s"${f.getClassName.stripPrefix("graft.")}." +
-              s"${f.getMethodName}:${f.getLineNumber}")
-            .getOrElse("?")
-          hist.computeIfAbsent(frame,
-            _ => new java.util.concurrent.atomic.AtomicLong())
-            .incrementAndGet()
-          ()
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+            if (t.getState == Thread.State.RUNNABLE ||
+                (t eq mainThread) ||
+                t.getName.contains("stream execution")) {
+              val frame = st.find(f =>
+                  f.getClassName.startsWith("graft.") &&
+                    !f.getClassName.contains("GateProfile"))
+                .orElse(if (t eq mainThread) st.headOption
+                  else st.find(f => f.getClassName.startsWith(
+                    "org.apache.spark.sql.execution.streaming")))
+                .map { f =>
+                  val who =
+                    if (t eq mainThread) "main"
+                    else if (t.getName.contains("stream execution")) "stream"
+                    else "pool"
+                  s"[$who] ${f.getClassName.stripPrefix("graft.")
+                    .stripPrefix("org.apache.spark.sql.execution.")}." +
+                    s"${f.getMethodName}:${f.getLineNumber}"
+                }
+              frame.foreach { fr =>
+                hist.computeIfAbsent(fr,
+                  _ => new java.util.concurrent.atomic.AtomicLong())
+                  .incrementAndGet()
+                ()
+              }
+            }
+          }
         }
         Thread.sleep(20)
       }
@@ -114,9 +135,10 @@ object GateProfile {
       val samples = hist.asScala.toSeq.map { case (k, v) => (k, v.get) }
         .sortBy(-_._2)
       val tot = math.max(1L, samples.map(_._2).sum)
-      println(s"  -- driver main-thread samples (20ms each, " +
-        s"$tot total):")
-      samples.take(20).foreach { case (frame, n) =>
+      println(s"  -- all-thread samples (20ms ticks, " +
+        s"$tot total; [main]=driver main, [stream]=micro-batch thread, " +
+        s"[pool]=other runnable):")
+      samples.take(25).foreach { case (frame, n) =>
         println(f"  ${n * 100.0 / tot}%5.1f%% n=$n%-5d $frame")
       }
       spark.catalog.clearCache()

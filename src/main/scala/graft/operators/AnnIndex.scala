@@ -98,7 +98,11 @@ object AnnIndex {
     val idx = load(spark, path)
     writeVectors(newVectors, idx.genPath, idx.centroids, idx.codebooks,
       idx.idCol, idx.vecCol, SaveMode.Append)
-    load(spark, path)
+    // the append lands in idx's own pinned generation and `vectors` is
+    // a fresh scan per call, so the loaded instance already sees the
+    // new rows — re-loading would only re-collect the (unchanged)
+    // quantizers from disk
+    idx
   }
 
   /** Rewrite the current generation's vectors as a NEW compacted

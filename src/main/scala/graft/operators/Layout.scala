@@ -1978,10 +1978,21 @@ object Layout {
         case BooleanType if ptn == BOOLEAN => Some(v)
         case FloatType if ptn == FLOAT =>
           val f = v.asInstanceOf[java.lang.Float]
-          if (f.isNaN) None else Some(f)
+          // ±0.0: parquet-mr pads a 0.0 min down to -0.0 (and a -0.0
+          // max up to +0.0) for cross-comparator safety, while Spark
+          // normalizes -0.0 to +0.0 inside aggregation (SPARK-32110) —
+          // so the data-scan rendering is always "0.0". Map both
+          // signed zeros to +0.0 for a bit-identical rendering
+          // (FooterStatsSpec caught the "-0.0" divergence).
+          if (f.isNaN) None
+          else if (f.floatValue() == 0.0f) Some(java.lang.Float.valueOf(0.0f))
+          else Some(f)
         case DoubleType if ptn == DOUBLE =>
           val d = v.asInstanceOf[java.lang.Double]
-          if (d.isNaN) None else Some(d)
+          if (d.isNaN) None
+          else if (d.doubleValue() == 0.0d)
+            Some(java.lang.Double.valueOf(0.0d))
+          else Some(d)
         case StringType if ptn == BINARY =>
           Some(v.asInstanceOf[org.apache.parquet.io.api.Binary]
             .toStringUsingUTF8)
@@ -1992,7 +2003,14 @@ object Layout {
             .toJavaDate(v.asInstanceOf[java.lang.Integer]))
         case TimestampType | TimestampNTZType if ptn == INT64 =>
           prim.getLogicalTypeAnnotation match {
-            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                // the annotation's UTC-adjustment flag must agree with
+                // the Spark type (true ↔ TimestampType): safe for files
+                // this writer produced, but a foreign file (or a changed
+                // outputTimestampType) whose flag disagrees would render
+                // bounds in the wrong zone — bail to the data-scan
+                // fallback instead (r17 advice item 3)
+                if t.isAdjustedToUTC == (dt == TimestampType) =>
               val raw = v.asInstanceOf[java.lang.Long].longValue()
               val micros = t.getUnit match {
                 case LogicalTypeAnnotation.TimeUnit.MICROS => Some(raw)
@@ -2572,6 +2590,15 @@ object Layout {
       s"df must carry the partition columns ${partitionCols.mkString(",")}")
     require(!df.columns.contains("gen"),
       "'gen' is the manifest's generation directory name; rename the column")
+    // the "__" prefix is reserved for the engine's in-plan temp columns
+    // (__src/__del/__mor_*/__w/__net/__dup/__gbucket): a user column
+    // named like one would be silently clobbered by withColumn inside
+    // merge resolution or the change feed — refuse at seed time, where
+    // the contract is cheap and loud (r17 advice item 2)
+    require(!df.columns.exists(_.startsWith("__")),
+      s"column name(s) ${df.columns.filter(_.startsWith("__"))
+        .mkString(", ")} use the reserved '__' prefix (engine temp " +
+        "columns); rename them")
     // DATA bucketing (shuffle-free co-bucketed joins; distinct from
     // manifestBuckets, which shards METADATA): fixed at seed, CoW-only
     require(bucketCols.isEmpty == (buckets == 0),
@@ -4183,6 +4210,10 @@ object Layout {
       s"evolveManifest: column(s) ${dup.mkString(", ")} already exist")
     require(!add.fieldNames.contains("gen"),
       "'gen' is the manifest's generation directory name")
+    require(!add.fieldNames.exists(_.startsWith("__")),
+      s"column name(s) ${add.fieldNames.filter(_.startsWith("__"))
+        .mkString(", ")} use the reserved '__' prefix (engine temp " +
+        "columns); pick other names")
     // a retired name may still live PHYSICALLY in pre-rename files:
     // adding a column under it would surface that old data as the new
     // column's values — silent corruption, refuse until the chains
@@ -4330,8 +4361,9 @@ object Layout {
         "or prior spec with live generations) — its name is baked into " +
         "directory fragments; repartitionManifest to a renamed layout " +
         "instead")
-    require(to != "gen" && to != MorDel && to != MorSeq,
-      s"'$to' is reserved by the manifest layout")
+    require(to != "gen" && !to.startsWith("__"),
+      s"'$to' is reserved by the manifest layout ('gen' and the '__' " +
+        "temp-column prefix)")
     require(!m.colAliases.values.exists(_.contains(to)) &&
         !m.droppedCols.contains(to),
       s"renameManifestColumn: '$to' is a RETIRED name (a rename chain " +
