@@ -294,8 +294,8 @@ object Layout {
       spark.sessionState.newHadoopConf())
     val aside = new Path(s"$path.__compact_old")
     if (fc.util.exists(aside)) fc.delete(aside, true) // crashed prior run
-    fc.rename(new Path(path), aside)
-    fc.rename(new Path(tmp), new Path(path))
+    renameFresh(fc, new Path(path), aside)
+    renameFresh(fc, new Path(tmp), new Path(path))
     fc.delete(aside, true)
     val filesAfter = spark.read.parquet(path).inputFiles.length.toLong
     (filesBefore, filesAfter)
@@ -357,8 +357,8 @@ object Layout {
         .write.mode(SaveMode.Overwrite).parquet(tmpDir)
       val aside = new Path(s"$path.__merge_old")
       if (fc.util.exists(aside)) fc.delete(aside, true)
-      fc.rename(new Path(path), aside)
-      fc.rename(new Path(tmpDir), new Path(path))
+      renameFresh(fc, new Path(path), aside)
+      renameFresh(fc, new Path(tmpDir), new Path(path))
       fc.delete(aside, true)
     } else {
       // touched partition values: bounded by the BATCH's partitions.
@@ -403,12 +403,11 @@ object Layout {
           // the aside is the only copy of this partition; restore it
           // before treating it as stale
           if (fc.util.exists(aside) && !fc.util.exists(dst))
-            fc.rename(aside, dst)
+            renameFresh(fc, aside, dst)
           if (fc.util.exists(aside)) fc.delete(aside, true)
-          if (fc.util.exists(dst)) fc.rename(dst, aside)
-          fc.mkdir(dst.getParent,
-            org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
-          fc.rename(src, dst)
+          if (fc.util.exists(dst)) renameFresh(fc, dst, aside)
+          mkdirsFast(fc, dst.getParent)
+          renameFresh(fc, src, dst)
           if (fc.util.exists(aside)) fc.delete(aside, true)
         }
       }
@@ -1194,6 +1193,43 @@ object Layout {
     ()
   }
 
+  /** Local-filesystem fast paths for the publish pools' metadata ops
+    * (r18, optimization guide §6 — metadata latency). Without the
+    * native hadoop library, the Hadoop local filesystem SHELLS OUT a
+    * process per call on exactly the ops a publish runs once per
+    * partition dir: mkdir-with-permission forks `chmod`, and
+    * FileContext.rename loads permissions via a forked `ls -ld`.
+    * Measured (FsProbe): fc.mkdir 4.5 ms, fc.rename 13.8 ms — vs
+    * 0.03 ms for the equivalent java.nio call, which is the same
+    * mkdir(2)/rename(2) the fork eventually issues. A 525-partition
+    * publish pays ~10 s of fork latency in its rename pool alone.
+    * On `file://` paths these helpers go straight to java.nio
+    * ([[atomicReplace]]'s existing pattern); any other scheme keeps
+    * FileContext unchanged — on HDFS/object stores the ops are RPCs
+    * (no forking) and FileContext's semantics are required. The
+    * non-overwrite rename keeps fail-loud semantics: java.nio throws
+    * FileAlreadyExistsException when dst exists, exactly like
+    * fc.rename with Rename.NONE. */
+  private def localNioPath(p: Path): Option[java.nio.file.Path] = {
+    val u = p.toUri
+    if (u.getScheme == null || u.getScheme == "file")
+      Some(java.nio.file.Paths.get(u.getPath))
+    else None
+  }
+
+  private def mkdirsFast(fc: FileContext, p: Path): Unit =
+    localNioPath(p) match {
+      case Some(np) => java.nio.file.Files.createDirectories(np); ()
+      case None => fc.mkdir(p,
+        org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+    }
+
+  private def renameFresh(fc: FileContext, src: Path, dst: Path): Unit =
+    (localNioPath(src), localNioPath(dst)) match {
+      case (Some(s), Some(d)) => java.nio.file.Files.move(s, d); ()
+      case _ => fc.rename(src, dst)
+    }
+
   /** Parse the root of manifest `version`: the HEADER meta (schema,
     * partition cols, specs, bucket bounds — per-rel maps populated
     * only for FLAT manifests) plus the bucket references of a
@@ -1314,13 +1350,24 @@ object Layout {
   }
 
   private def writeFile(fc: FileContext, p: Path,
-                        bytes: Array[Byte]): Unit = {
-    val out = fc.create(p,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-      org.apache.hadoop.fs.Options.CreateOpts.createParent())
-    try out.write(bytes) finally out.close()
-  }
+                        bytes: Array[Byte]): Unit =
+    localNioPath(p) match {
+      // local fast path: fc.create-with-permission forks a chmod per
+      // file without the native hadoop lib (the [[mkdirsFast]] story);
+      // java.nio is the same create+truncate+write
+      case Some(np) =>
+        Option(np.getParent).foreach { par =>
+          java.nio.file.Files.createDirectories(par); ()
+        }
+        java.nio.file.Files.write(np, bytes)
+        ()
+      case None =>
+        val out = fc.create(p,
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+            org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+          org.apache.hadoop.fs.Options.CreateOpts.createParent())
+        try out.write(bytes) finally out.close()
+    }
 
   /** Per-bucket stats rollup (min of mins / max of maxes across the
     * bucket's rels, through Spark's Cast + ordering — one tiny local
@@ -2073,8 +2120,15 @@ object Layout {
     // per-file footer read: row counts always; per-block min/max only
     // while every needed chunk stays soundly mappable
     val perFile = inParallel(allFiles) { case (rel, name) =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new Path(s"$tmpDir/$rel/$name"), conf)
+      // nio InputFile on local paths: skips the Hadoop stream stack
+      // (FsProbe: 9.3 → 6.8 ms per footer open); other schemes keep
+      // the Hadoop input file
+      val fp = new Path(s"$tmpDir/$rel/$name")
+      val in = localNioPath(fp) match {
+        case Some(np) => new org.apache.parquet.io.LocalInputFile(np)
+        case None =>
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fp, conf)
+      }
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         import scala.jdk.CollectionConverters._
@@ -2504,7 +2558,7 @@ object Layout {
           val n = st.getPath.getName
           val dot = n.indexOf('.')
           val (base, ext) = if (dot < 0) (n, "") else n.splitAt(dot)
-          fc.rename(st.getPath,
+          renameFresh(fc, st.getPath,
             new Path(dir.getParent, f"${base}_$b%05d$ext"))
         }
       fc.delete(dir, true)
@@ -2673,10 +2727,9 @@ object Layout {
       op = "seed")
     inParallel(rels) { rel =>
       val dst = new Path(s"$path/$rel/gen=1")
-      fc.mkdir(dst.getParent,
-        org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
+      mkdirsFast(fc, dst.getParent)
       if (fc.util.exists(dst)) fc.delete(dst, true) // crashed prior seed
-      fc.rename(new Path(s"$tmpDir/$rel"), dst)
+      renameFresh(fc, new Path(s"$tmpDir/$rel"), dst)
     }
     writeManifestMeta(spark, path, meta1)
     fc.delete(new Path(tmpDir), true)
@@ -3217,10 +3270,8 @@ object Layout {
                 // so two writers can never pick the same gen
                 val g = nextGenOnDisk(fc, path, m1, rel)
                 val dst = new Path(s"$path/$rel/gen=$g")
-                fc.mkdir(dst.getParent,
-                  org.apache.hadoop.fs.permission.FsPermission
-                    .getDirDefault, true)
-                fc.rename(new Path(s"$tmpDir/$rel"), dst)
+                mkdirsFast(fc, dst.getParent)
+                renameFresh(fc, new Path(s"$tmpDir/$rel"), dst)
                 rel -> g
               }.toMap
               // touched partitions that produced no output were fully
@@ -3461,10 +3512,8 @@ object Layout {
               val newGens = inParallel(produced) { rel =>
                 val g = nextGenOnDisk(fc, path, m1, rel)
                 val dst = new Path(s"$path/$rel/gen=$g")
-                fc.mkdir(dst.getParent,
-                  org.apache.hadoop.fs.permission.FsPermission
-                    .getDirDefault, true)
-                fc.rename(new Path(s"$tmpDir/$rel"), dst)
+                mkdirsFast(fc, dst.getParent)
+                renameFresh(fc, new Path(s"$tmpDir/$rel"), dst)
                 rel -> g
               }.toMap
               writeManifestMeta(spark, path, m1.copy(version = v1 + 1,
@@ -3664,10 +3713,8 @@ object Layout {
               val newDeltaGens = inParallel(produced) { rel =>
                 val g = nextGenOnDisk(fc, path, m1, rel)
                 val dst = new Path(s"$path/$rel/gen=$g")
-                fc.mkdir(dst.getParent,
-                  org.apache.hadoop.fs.permission.FsPermission
-                    .getDirDefault, true)
-                fc.rename(new Path(s"$tmpDir/$rel"), dst)
+                mkdirsFast(fc, dst.getParent)
+                renameFresh(fc, new Path(s"$tmpDir/$rel"), dst)
                 rel -> g
               }.toMap
               // widen against the LIVE stats (which already cover any
@@ -3804,7 +3851,7 @@ object Layout {
             val producedCommit = produced.filter(committable.contains)
             val newGens = inParallel(producedCommit) { rel =>
               val g = nextGenOnDisk(fc, path, m1, rel)
-              fc.rename(new Path(s"$tmpDir/$rel"),
+              renameFresh(fc, new Path(s"$tmpDir/$rel"),
                 new Path(s"$path/$rel/gen=$g"))
               rel -> g
             }.toMap
@@ -4817,7 +4864,7 @@ object Layout {
             val newGens = inParallel(produced.filter(committable)) { rel =>
               // collision-free above manifest and disk
               val g = nextGenOnDisk(fc, path, m1, rel)
-              fc.rename(new Path(s"$tmpDir/$rel"),
+              renameFresh(fc, new Path(s"$tmpDir/$rel"),
                 new Path(s"$path/$rel/gen=$g"))
               rel -> g
             }.toMap
@@ -5073,10 +5120,8 @@ object Layout {
             else {
               val newGens = inParallel(produced) { rel =>
                 val g = nextGenOnDisk(fc, path, m1, rel)
-                fc.mkdir(new Path(s"$path/$rel"),
-                  org.apache.hadoop.fs.permission.FsPermission
-                    .getDirDefault, true)
-                fc.rename(new Path(s"$tmpDir/$rel"),
+                mkdirsFast(fc, new Path(s"$path/$rel"))
+                renameFresh(fc, new Path(s"$tmpDir/$rel"),
                   new Path(s"$path/$rel/gen=$g"))
                 rel -> g
               }.toMap
@@ -5240,9 +5285,8 @@ object Layout {
       // repartition BACK to a previous scheme lands beside dirs that
       // retained old versions still reference — never sweep them
       val g = nextGenOnDisk(fc, path, m, rel)
-      fc.mkdir(new Path(s"$path/$rel"),
-        org.apache.hadoop.fs.permission.FsPermission.getDirDefault, true)
-      fc.rename(new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
+      mkdirsFast(fc, new Path(s"$path/$rel"))
+      renameFresh(fc, new Path(s"$tmpDir/$rel"), new Path(s"$path/$rel/gen=$g"))
       rel -> g
     }.toMap
     // the new manifest references ONLY the new-scheme generations; old
@@ -5406,8 +5450,8 @@ object Layout {
     val fc = fileContext(spark, path)
     val aside = new Path(s"$path.__cluster_old")
     if (fc.util.exists(aside)) fc.delete(aside, true) // crashed prior run
-    fc.rename(new Path(path), aside)
-    fc.rename(new Path(tmp), new Path(path))
+    renameFresh(fc, new Path(path), aside)
+    renameFresh(fc, new Path(tmp), new Path(path))
     fc.delete(aside, true)
     n1
   }
