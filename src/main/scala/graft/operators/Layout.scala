@@ -3218,12 +3218,34 @@ object Layout {
         // latest-wins window rides that clustering (see latestWins),
         // and the partitioned write needs no second repartition.
         // Bucketed tables keep the two-step path — the bucket-id dir
-        // column is not a function of the window keys
+        // column is not a function of the window keys.
+        //
+        // SKEW GUARD (r17 verdict item 7): clustering the window by
+        // the partition columns concentrates a hot landing partition's
+        // entire latest-wins sort in ONE task (§2.5 skew, §5 spill).
+        // The manifest's own per-rel bytes metadata prices that for
+        // free: when the largest touched base rel exceeds
+        // spark.graft.merge.clusteredMergeMaxRelBytes (default 1 GiB —
+        // past it the single sort task dominates the stage against
+        // ~256 MB-sized peers), fall back to the two-exchange path:
+        // window by keys (spread across tasks), then cluster for the
+        // write. Winners are identical on both paths (LayoutSpec pins
+        // result equality); only the exchange count differs.
+        val hotRelBytes = spark.conf.get(
+          "spark.graft.merge.clusteredMergeMaxRelBytes",
+          (1L << 30).toString).toLong
+        val maxTouchedRelBytes =
+          baseRels.flatMap(m0.bytes.get).foldLeft(0L)(math.max)
         if (m0.dataBuckets > 0)
           clusteredWrite(spark,
             latestWins(base, updates, keys, versionCol, deleteCol,
               forceWins),
             tmpDir, pcols, m0.dataBucketCols, m0.dataBuckets)
+        else if (maxTouchedRelBytes > hotRelBytes)
+          clusteredWrite(spark,
+            latestWins(base, updates, keys, versionCol, deleteCol,
+              forceWins),
+            tmpDir, pcols, Nil, 0)
         else
           latestWins(base, updates, keys, versionCol, deleteCol, forceWins,
               clusterCols = pcols, clusterParts = shufflePartitions(spark))

@@ -258,6 +258,35 @@ class LayoutSpec extends SparkSpec {
     assert(again.exceptAll(expect).isEmpty && expect.exceptAll(again).isEmpty)
   }
 
+  test("mergeManifest skew guard: the two-exchange fallback (hot " +
+      "landing partition) publishes exactly the single-shuffle result") {
+    def seedAndMerge(dir: String): Unit = {
+      val base = spark.read.parquet(sf("orders"))
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"),
+          col("o_totalprice"), lit(1L).as("ver"))
+      Layout.writeManifestTable(spark, dir, base, Seq("o_year"))
+      val batch = base
+        .filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 42)
+        .withColumn("ver", lit(2L))
+        .withColumn("del", pmod(col("o_orderkey"), lit(25)) === 0)
+      Layout.mergeManifest(spark, dir, batch, Seq("o_orderkey"), "ver",
+        deleteCol = Some("del"))
+    }
+    val a = tmpDir("skewa")
+    seedAndMerge(a) // default threshold: single-shuffle clustered window
+    val b = tmpDir("skewb")
+    val key = "spark.graft.merge.clusteredMergeMaxRelBytes"
+    spark.conf.set(key, "1") // every rel is "hot": two-exchange fallback
+    try seedAndMerge(b) finally spark.conf.unset(key)
+    val ra = Layout.readManifest(spark, a)
+    val rb = Layout.readManifest(spark, b)
+    assert(ra.count() == rb.count())
+    assert(ra.exceptAll(rb).isEmpty && rb.exceptAll(ra).isEmpty,
+      "hot-partition fallback must publish byte-identical winners")
+  }
+
   test("merge: partitioned copy-on-write touches ONLY the batch's partitions") {
     val dir = tmpDir("merge_part")
     val base = spark.read.parquet(sf("orders"))
